@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.  The driver records this as
+BENCH_r{N}.json and grades against BASELINE.md (within 2x at the same SF).
+
+Each timed run forces full execution via a count over the materialized result
+(`df.toLocalIterator` would under-count lazy work; count() executes the whole
+plan; noop write would also work but count keeps the driver memory flat).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from clickhouseocp_spark import get_spark
+from clickhouseocp_spark.queries import all_queries
+
+#: Headline set: one per major operator family (scan+agg, multi-join,
+#: window, theta join, rollup, JSON, sort/limit) — extended as coverage grows.
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_inner_multi",
+    "join_theta_range",
+    "window_rank",
+    "window_frames",
+    "rollup_grouping",
+    "json_extract_agg",
+    "sort_nulls_offset",
+    "agg_basic",
+    "subquery_in_exists",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    registry = all_queries()
+    names = [n for n in HEADLINE if n in registry]
+
+    # Warm the JVM + parquet footers once so timings measure query execution,
+    # not first-touch class loading.
+    registry["q1_pricing_summary"].fn(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        registry[name].fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

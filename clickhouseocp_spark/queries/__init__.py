@@ -1,0 +1,65 @@
+"""Query registry — the driver-facing inventory of implemented operators.
+
+Every operator row claimed as done in SURVEY.md §2 has a named entry here:
+a PySpark callable ``(spark, sf_dir) -> DataFrame`` plus (where expressible)
+an equivalent ANSI/DuckDB SQL oracle string over the same fixture views.
+``__spark_entry__.queries()`` / ``oracle_sql()`` are thin projections of this
+registry.
+
+Determinism contract (driver hashes values order-insensitively but exactly):
+- alias every computed column identically in Spark and oracle SQL;
+- per-row IEEE double arithmetic is bitwise-identical across engines — safe;
+- double *reductions* (SUM/AVG) are order-dependent → route through exact
+  DECIMAL sums (``fsum`` helper) or round;
+- libm-backed scalars and variance-family aggregates get ``round(x, 6)``
+  on both sides;
+- anything rank/limit-based orders by a unique key as tiebreak.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB-runnable SQL, or None → driver rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = "", tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every query module so registration side effects run."""
+    from clickhouseocp_spark.queries import (  # noqa: F401
+        relational,
+        composites,
+        llm,
+        streaming_q,
+    )
+
+
+def all_queries() -> dict[str, Query]:
+    _load_all()
+    return dict(REGISTRY)

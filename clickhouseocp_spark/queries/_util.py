@@ -1,0 +1,51 @@
+"""Shared determinism helpers for oracle-checked queries.
+
+IEEE-754 per-row arithmetic is bitwise-identical across engines; *reductions*
+over doubles are order-dependent (Spark sums per-partition, DuckDB streams).
+``fsum``/``favg`` route sums through DECIMAL (exact, associative) and convert
+the final value back to double — same result on any engine, any parallelism,
+any row order.  This is also the 100 TB-safe pattern: decimal partial
+aggregates merge exactly regardless of partition count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: decimal(38, S) holds |x| < 10^(38-S).  Scale 6 covers the exact decimal
+#: width of products of 2-decimal fixture values (price*disc*tax), so both
+#: engines round identically despite Spark casting via shortest-string repr
+DEC = "decimal(38,6)"
+
+
+def fsum(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent SUM of a double column, returned as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double").alias(alias)
+
+
+def favg(col: Column | str, alias: str, scale: int = 6) -> Column:
+    """Order-independent AVG: exact decimal sum / count, divided in double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)
+    ).alias(alias)
+
+
+def sql_fsum(expr: str, alias: str, scale: int = 6) -> str:
+    """Oracle-side (DuckDB) rendering of :func:`fsum`."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_favg(expr: str, alias: str, scale: int = 6) -> str:
+    """Oracle-side (DuckDB) rendering of :func:`favg`."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def r6(col: Column, alias: str) -> Column:
+    """round(x, 6): tolerance wrapper for libm-backed scalars / normalized
+    statistics whose low bits may differ across engines."""
+    return F.round(col, 6).alias(alias)
