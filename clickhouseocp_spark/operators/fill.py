@@ -1,0 +1,61 @@
+"""ORDER BY ... WITH FILL [FROM|TO|STEP] [INTERPOLATE] — gap-filling an
+ordered axis (SURVEY.md §2.6, a ClickHouse signature op; ships via the
+reference engine pin Dockerfile:102-104).
+
+Composite strategy: derive (or accept) axis bounds per partition, generate the
+dense axis with ``sequence()`` + ``explode``, left-join the data back, then
+optionally carry values forward (INTERPOLATE analog) with
+``last(ignorenulls)``.
+
+Scale: the axis cardinality is (range/step) per partition — independent of the
+fact-table row count, so the generated side stays tiny at 100 TB; the join is
+a shuffle on (partition keys, axis) or a broadcast of the axis when global.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def with_fill(
+    df: DataFrame,
+    order_col: str,
+    step: Column | str,
+    partition_by: Sequence[str] = (),
+    fill_from: Column | None = None,
+    fill_to: Column | None = None,
+    zero_fill: dict[str, object] | None = None,
+    interpolate: Sequence[str] = (),
+) -> DataFrame:
+    """Gap-fill ``df`` so ``order_col`` becomes dense from min (or
+    ``fill_from``) to max (or ``fill_to``) in increments of ``step``.
+
+    ``zero_fill`` maps column → literal used for generated rows (ClickHouse
+    fills with type defaults); ``interpolate`` columns carry the last seen
+    value forward instead (INTERPOLATE clause analog).
+    """
+    step_col = F.expr(step) if isinstance(step, str) else step
+    pk = list(partition_by)
+
+    bounds = df.groupBy(*pk).agg(
+        (fill_from if fill_from is not None else F.min(order_col)).alias("__mn"),
+        (fill_to if fill_to is not None else F.max(order_col)).alias("__mx"),
+    )
+    axis = bounds.select(
+        *pk, F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step_col)).alias(order_col)
+    )
+    out = axis.join(df, pk + [order_col], "left")
+    if zero_fill:
+        for c, default in zero_fill.items():
+            out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))
+    if interpolate:
+        w = (
+            Window.partitionBy(*pk)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        for c in interpolate:
+            out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

@@ -55,6 +55,7 @@ def _load_all() -> None:
     from clickhouseocp_spark.queries import (  # noqa: F401
         relational,
         composites,
+        scalars,
         llm,
         streaming_q,
     )

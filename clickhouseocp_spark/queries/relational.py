@@ -296,15 +296,16 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_mktsegment, COUNT(*) AS n_customers
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
 GROUP BY c_mktsegment
 """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI JOIN — customers with no orders at all."""
+    """LEFT ANTI JOIN — customers with no high-value orders."""
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
