@@ -34,6 +34,10 @@ HEADLINE = [
     "sort_nulls_offset",
     "agg_basic",
     "subquery_in_exists",
+    "asof_join_backward",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
 ]
 
 

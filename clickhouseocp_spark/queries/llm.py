@@ -1,2 +1,368 @@
-"""LLM-data-pipeline operators (dedup, similarity, text analysis) — populated
-incrementally; see operators/ and functions/ for implementations."""
+"""LLM-data-pipeline operators (driver north star, BASELINE.json): text
+analysis, deduplication tiers, embedding similarity search, multimodal
+plumbing — over the documents/embeddings fixtures.
+
+Planted-duplicate pattern: the fixtures are dedup-clean (every text distinct),
+so dedup queries build corpus = originals ∪ deterministic perturbed copies
+(id + 1_000_000) and must recover exactly the planted relationships — a real
+correctness check rather than an empty result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.functions.text import (
+    LANG_MARKERS,
+    TOKEN_RE,
+    detect_language,
+    fingerprint_md5,
+    normalize_text,
+    quality_score,
+    regex_tokens,
+    whitespace_tokens,
+    word_shingles,
+)
+from clickhouseocp_spark.operators.dedup_text import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from clickhouseocp_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    srp_lsh_topk,
+)
+from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.sources.multimodal import attach_binary_payload, extract_media_meta
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '({TOKEN_RE})')) AS INTEGER) AS n_tokens_bpe,
+       CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER) AS n_distinct,
+       CAST(list_aggregate(list_transform(string_split(text, ' '), x -> length(x)), 'sum') AS DOUBLE)
+         / len(string_split(text, ' ')) AS avg_token_len
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex tokenizer), distinct ratio,
+    mean token length — scan-speed text profiling (functions/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).alias("n_tokens"),
+        F.size(regex_tokens(F.col("text"))).alias("n_tokens_bpe"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        (
+            F.aggregate(
+                F.transform(ws, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size(ws)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_ngram_stats",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_distinct(list_transform(
+            range(1, greatest(len(words) - 1, 1)),
+            i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS INTEGER) AS n_trigrams,
+       CAST(len(list_distinct(list_transform(
+            range(1, greatest(len(words), 1)),
+            i -> words[i] || ' ' || words[i+1]))) AS INTEGER) AS n_bigrams
+FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+""",
+    tags=("llm", "text"),
+)
+def text_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word n-gram profile: distinct bigram/trigram counts per document
+    (ClickHouse ngrams(), SURVEY §2.8 text family)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(word_shingles(ws, 3))).alias("n_trigrams"),
+        F.size(F.array_distinct(word_shingles(ws, 2))).alias("n_bigrams"),
+    )
+
+
+def _lid_oracle() -> str:
+    score_cols = ",\n       ".join(
+        f"len(list_filter(words, x -> x IN ({', '.join(repr(m) for m in marks)}))) AS s_{lang}"
+        for lang, marks in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "GREATEST(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in langs:
+        case += f"WHEN s_{lang} = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS words FROM documents
+), s AS (
+  SELECT doc_id, lang,
+       {score_cols}
+  FROM t
+)
+SELECT doc_id, lang, {case} AS lid,
+       ({case}) = lang AS lid_agrees
+FROM s
+"""
+
+
+@register("text_language_id", oracle=_lid_oracle(), tags=("llm", "text"))
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (detectLanguage analog): argmax of per-language
+    marker-word hits, first language wins ties, 'und' when no evidence."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = whitespace_tokens(F.lower(F.col("text")))
+    lid = detect_language(toks)
+    return d.select(
+        "doc_id", "lang", lid.alias("lid"), (lid == F.col("lang")).alias("lid_agrees")
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       ROUND(
+         0.5 * least(CAST(len(string_split(text,' ')) AS DOUBLE) / 50.0, 1.0)
+       + 0.3 * (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) >= 3.0
+                      AND CAST(length(text) AS DOUBLE) / greatest(CAST(len(string_split(text,' ')) AS DOUBLE), 1.0) <= 9.0
+                     THEN 1.0 ELSE 0.5 END)
+       - 0.4 * (CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       - 0.4 * (CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / greatest(CAST(length(text) AS DOUBLE), 1.0))
+       , 6) AS quality
+FROM documents
+""",
+    tags=("llm", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/word-length/digit-ratio/punct-ratio heuristic
+    (functions/text.quality_score)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(whitespace_tokens(F.col("text"))).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 6).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup tiers
+# ---------------------------------------------------------------------------
+
+
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ exact copies at doc_id + 1_000_000."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    copies = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang")
+    return d.unionByName(copies)
+
+
+def _perturbed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-copies (last 5 words dropped) at doc_id + 1_000_000."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    words = whitespace_tokens(F.col("text"))
+    trunc = F.array_join(F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " ")
+    near = d.select((F.col("doc_id") + 1_000_000).alias("doc_id"), trunc.alias("text"), "lang")
+    return d.unionByName(near)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+)
+SELECT min(doc_id) AS doc_id, COUNT(*) AS dup_count,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM corpus
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+""",
+    tags=("llm", "dedup", "bench"),
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the normalized-text fingerprint
+    (operators/dedup_text.exact_dedup): survivor = min doc_id, with group
+    size.  Planted exact copies must collapse 2→1."""
+    corpus = _planted_corpus(spark, sf_dir)
+    return exact_dedup(corpus, "text", "doc_id").select(
+        "doc_id", "dup_count", fingerprint_md5(F.col("text")).alias("fp")
+    )
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("llm", "dedup", "bench"))
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) near-dup pairs over originals ∪ perturbed
+    copies, verified by exact Jaccard >= 0.5.  xxhash64-based → no SQL oracle
+    (rows-only for the driver); pytest asserts planted-pair recall."""
+    return minhash_lsh_pairs(
+        _perturbed_corpus(spark, sf_dir),
+        num_hashes=16,
+        bands=4,
+        shingle_len=3,
+        threshold=0.5,
+    )
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming <= 8) with 16-bit-chunk blocking
+    over originals ∪ perturbed copies.  Engine-specific bit math → rows-only."""
+    return simhash_near_pairs(_perturbed_corpus(spark, sf_dir), max_hamming=8)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, lang,
+         array_to_string(
+           string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[
+             1 : greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 5, 1)],
+           ' ') AS text
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+         )) AS s
+  FROM corpus
+  WHERE len(list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+         ))) > 0
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))), 6) AS jaccard
+FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+      / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.5
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup pairs blocked by lang (the deterministic
+    verifier tier under LSH; operators/dedup_text.ngram_jaccard_pairs)."""
+    return ngram_jaccard_pairs(
+        _perturbed_corpus(spark, sf_dir),
+        block_cols=["lang"],
+        shingle_len=3,
+        threshold=0.5,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 10),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+  FROM e CROSS JOIN q
+  WHERE q.vec_id <> e.vec_id
+)
+SELECT query_id, neighbor_id, score, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+    tags=("llm", "similarity", "bench"),
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 neighbors for query vectors (vec_id <
+    10) — the ANN baseline (operators/similarity.cosine_topk).  HOF dot
+    product folds left-to-right like DuckDB's list_dot_product → bitwise
+    oracle parity after round(,6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk(queries, emb, k=5)
+
+
+@register("similarity_topk_lsh", oracle=None, tags=("llm", "similarity"))
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via signed-random-projection LSH (4 bits x 8 tables,
+    deterministic xxhash-seeded hyperplanes).  Approximate → rows-only check;
+    pytest measures recall against the brute-force baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return srp_lsh_topk(queries, emb, k=5, dim=64, n_bits=4, num_tables=8)
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+WITH corpus AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id, label,
+         CAST(list_transform(embedding, x -> x * CAST(2.0 AS FLOAT)) AS DOUBLE[]) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS score
+FROM corpus a JOIN corpus b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.95
+""",
+    tags=("llm", "similarity"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (label-blocked) over originals ∪
+    planted scaled copies (x2 — exact direction match, cosine ≈ 1); recovers
+    exactly the planted pairs (operators/similarity.embedding_near_dup_pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    return embedding_near_dup_pairs(corpus, block_cols=("label",), threshold=0.95)
+
+
+@register("multimodal_binary_meta", oracle=None, tags=("llm", "multimodal"))
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal column plumbing: documents carried as opaque binary payloads
+    with typed metadata extracted via Arrow-batched mapInPandas (real schema /
+    partitioning / batch shape; the image decode itself is stubbed — see
+    sources/multimodal.py).  Rows-only for the driver; pytest checks values."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = attach_binary_payload(d, text_col="text", id_col="doc_id")
+    return extract_media_meta(with_payload, payload_col="payload", id_col="doc_id")
