@@ -1,1 +1,104 @@
-"""Streaming surface queries (bounded-input checks) — populated incrementally."""
+"""Streaming surface queries (SURVEY.md §2.9) — bounded file streams through
+real Structured Streaming queries (availableNow trigger, checkpointed state),
+checked against batch SQL oracles.  With a single bounded input batch no rows
+fall behind the watermark, so streaming output must equal the batch result —
+the discipline that makes streaming semantics oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.queries._util import sql_fsum
+from clickhouseocp_spark.streaming.pipeline import (
+    events_stream,
+    materialized_view,
+    run_available_now,
+    session_window_stats,
+    streaming_dedup_counts,
+    tumbling_window_counts,
+)
+
+
+@register(
+    "stream_tumbling_window",
+    oracle=f"""
+SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+       COUNT(*) AS n, {sql_fsum('value', 'sum_value')}
+FROM events GROUP BY event_type, CAST(date_trunc('day', ts) AS TIMESTAMP)
+""",
+    tags=("streaming",),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowView tumble analog: 1-day tumbling windows + watermark over a
+    bounded event stream; equals the batch day-bucket aggregation."""
+    return run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir), "1 day", "1 hour")
+    )
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, sid
+""",
+    tags=("streaming",),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user over the stream — beyond the
+    reference's surface (CH has no session windows); oracle is the
+    gaps-and-islands batch formulation."""
+    return run_available_now(
+        session_window_stats(events_stream(spark, sf_dir), "30 minutes")
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_unique_users
+FROM events GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup on (user_id, event_type) → per-type unique
+    user counts; equals batch COUNT(DISTINCT)."""
+    return run_available_now(streaming_dedup_counts(events_stream(spark, sf_dir)))
+
+
+@register(
+    "stream_materialized_view",
+    oracle=f"""
+SELECT event_type, COUNT(*) AS n, {sql_fsum('value', 'sum_value')}
+FROM events GROUP BY event_type
+""",
+    tags=("streaming",),
+)
+def stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MaterializedView pipeline (the reference image's own query_log shape,
+    Dockerfile:225-230): stream → foreachBatch append into a parquet target →
+    read back and merge-aggregate; equals direct batch aggregation."""
+    stream = events_stream(spark, sf_dir).select("event_type", "value", "ts")
+    target, q = materialized_view(stream)
+    q.awaitTermination()
+    mv = spark.read.parquet(target)
+    return mv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )

@@ -1,0 +1,144 @@
+"""Structured Streaming slice (SURVEY.md §2.9).
+
+ClickHouse's streaming story as shipped by the reference image: integration
+engines (Kafka/NATS/RabbitMQ) feed **materialized views** — every inserted
+block is transformed and appended to a target table (the image's own
+query_log flows this way, Dockerfile:225-230); WindowView adds tumble/hop
+windows with WATERMARK.  The Spark-native mapping:
+
+- engine + MV pipeline  → ``readStream`` → transform → ``writeStream``
+  (:func:`materialized_view`, foreachBatch append + read-back merge)
+- WindowView tumble/hop → ``F.window`` + ``withWatermark``
+- (beyond CH) session windows → ``F.session_window``
+- ReplacingMergeTree-on-ingest dedup → ``dropDuplicates`` with state
+
+Tests/driver checks run bounded file streams with ``availableNow`` triggers
+so streaming results are comparable to batch oracles — the same discipline
+ClickHouse upstream uses for its stateless streaming tests.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+
+
+_STREAM_DIRS: dict[str, str] = {}
+
+
+def _staged_dir(path: str) -> str:
+    """The file stream source lists a DIRECTORY; the fixture is a single
+    read-only file → stage a symlink inside a temp dir (no byte copy)."""
+    import os
+
+    if path not in _STREAM_DIRS:
+        d = tempfile.mkdtemp(prefix="stream_src_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        _STREAM_DIRS[path] = d
+    return _STREAM_DIRS[path]
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a bounded file stream (same nanos handling as
+    the batch catalog: read ts as int64, floor-divide to micros)."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    stream = spark.readStream.schema(raw_schema).parquet(_staged_dir(path))
+    ts_type = {f.name: f.dataType.simpleString() for f in raw_schema.fields}.get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(div(ts, 1000))"))
+    return stream
+
+
+def run_available_now(stream_df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Execute a bounded streaming query to a memory sink and return the
+    result table (one-shot availableNow trigger — drains everything, then
+    stops; the pattern for batch-checking streaming semantics)."""
+    name = f"mv_{uuid.uuid4().hex[:12]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name)
+
+
+def materialized_view(
+    stream_df: DataFrame,
+    target_dir: str | None = None,
+) -> tuple[str, object]:
+    """MaterializedView analog: every micro-batch is appended to a parquet
+    target table (insert-trigger semantics, Dockerfile:225-230 pattern).
+    Returns (target_dir, streaming_query_handle); read the target with
+    ``spark.read.parquet(target_dir)`` and re-aggregate for the merged view
+    (the AggregatingMergeTree read pattern)."""
+    target_dir = target_dir or tempfile.mkdtemp(prefix="mv_target_")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("__batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(target_dir)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    return target_dir, q
+
+
+def tumbling_window_counts(
+    stream: DataFrame, window: str = "1 day", watermark: str = "1 hour"
+) -> DataFrame:
+    """WindowView tumble analog: counts + decimal sums per (event_type,
+    window); watermark bounds state (late rows beyond it are dropped —
+    ClickHouse instead lands them in old partitions, SURVEY §2.9)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (exceeds the reference — CH has no session
+    windows, SURVEY §2.9)."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+    )
+
+
+def streaming_dedup_counts(stream: DataFrame) -> DataFrame:
+    """ReplacingMergeTree-on-ingest analog: stateful dropDuplicates on
+    (user_id, event_type), then counts per type."""
+    return (
+        stream.select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_users"))
+    )

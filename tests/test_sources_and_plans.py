@@ -1,0 +1,102 @@
+"""Format round-trips, table functions, MergeTree-style layout conventions,
+and physical-plan shape gates (pushdown / pruning / broadcast)."""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.plans.inspect import (
+    has_broadcast_join,
+    pushed_filters,
+    scan_read_schemas,
+    shuffle_count,
+)
+from clickhouseocp_spark.sources.readers import generate_random, numbers, read_any
+from clickhouseocp_spark.sources.writers import write_any, write_mergetree_style
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "json", "csv"])
+def test_format_round_trip(spark, sf_dir, fmt):
+    src = load_table(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, f"customer_{fmt}")
+        write_any(src, path, fmt)
+        back = read_any(spark, path, fmt, schema=src.schema)
+        assert back.count() == src.count()
+        a = {tuple(r) for r in src.collect()}
+        b = {tuple(r) for r in back.collect()}
+        assert a == b
+
+
+def test_numbers_table_function(spark):
+    df = numbers(spark, 1000, start=5)
+    assert df.count() == 1000
+    r = df.agg(F.min("number"), F.max("number")).collect()[0]
+    assert (r[0], r[1]) == (5, 1004)
+
+
+def test_generate_random_deterministic(spark):
+    a = generate_random(spark, 500, seed=7, partitions=4).collect()
+    b = generate_random(spark, 500, seed=7, partitions=13).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-independent
+    c = generate_random(spark, 500, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))  # seed-sensitive
+
+
+def test_mergetree_style_write_prunes_partitions(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyyMM")
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "li")
+        write_mergetree_style(
+            li,
+            path,
+            partition_by=("ship_month",),
+            order_by=("l_orderkey",),
+            bloom_cols=("l_partkey",),
+        )
+        months = [m for m in os.listdir(path) if m.startswith("ship_month=")]
+        assert len(months) > 10  # directory partitioning happened
+        back = spark.read.parquet(path).filter(F.col("ship_month") == "199601")
+        # partition pruning: only the matching directory is scanned
+        assert "PartitionFilters" in __import__(
+            "clickhouseocp_spark.plans.inspect", fromlist=["formatted_plan"]
+        ).formatted_plan(back)
+        expected = li.filter(F.col("ship_month") == "199601").count()
+        assert back.count() == expected
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.filter(F.col("l_quantity") > 45).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert pf and any("l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning_narrow_read_schema(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    q = li.select("l_orderkey", "l_quantity")
+    schemas = scan_read_schemas(q)
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_orderkey" in s for s in schemas
+    ), schemas
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["join_inner_multi"].fn(spark, sf_dir)
+    assert has_broadcast_join(q)
+
+
+def test_q1_shuffle_budget(spark, sf_dir):
+    """Flagship is scan → partial agg → ONE exchange → final agg (+AQE read);
+    more exchanges than that means the plan regressed."""
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
+    assert shuffle_count(q) <= 1, shuffle_count(q)
