@@ -1,0 +1,56 @@
+"""Engine front door — the `clickhouse-local` analog (SURVEY.md §3.3).
+
+The reference's primary entry points are SQL over a server (ports 8123/9000,
+Dockerfile:203-206) or the embedded `clickhouse-local` binary
+(Dockefile-ubuntu:52).  The Spark-native equivalent is a SparkSession with
+the fixture catalog registered; this class packages that: one object that a
+reference user points at a data directory and queries with SQL text or the
+named operator registry.
+
+    eng = ChSparkEngine(sf_dir="/data")     # ≈ clickhouse-local --path /data
+    eng.sql("SELECT count(*) FROM lineitem").show()
+    eng.query("q1_pricing_summary")          # named operator registry
+    eng.ch.toYYYYMM(...)                     # ClickHouse function vocabulary
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouseocp_spark.catalog import register_tables
+from clickhouseocp_spark.functions import clickhouse_names as _ch
+from clickhouseocp_spark.session import get_spark
+
+
+class ChSparkEngine:
+    """SQL + named-query engine over a fixture/data directory."""
+
+    #: ClickHouse-named function vocabulary (functions/clickhouse_names.py)
+    ch = _ch
+
+    def __init__(self, sf_dir: str, spark: SparkSession | None = None):
+        self.spark = spark or get_spark("ChSparkEngine")
+        self.sf_dir = sf_dir
+        self.tables = register_tables(self.spark, sf_dir)
+
+    def sql(self, query: str) -> DataFrame:
+        """SQL entry point (Catalyst = parser/analyzer/optimizer/executor,
+        SURVEY §3.3)."""
+        return self.spark.sql(query)
+
+    def query(self, name: str) -> DataFrame:
+        """Run a named operator from the registry (SURVEY §2 inventory)."""
+        from clickhouseocp_spark.queries import all_queries
+
+        return all_queries()[name].fn(self.spark, self.sf_dir)
+
+    def explain(self, name_or_sql: str) -> str:
+        """EXPLAIN analog returning the formatted physical plan."""
+        from clickhouseocp_spark.plans.inspect import formatted_plan
+        from clickhouseocp_spark.queries import all_queries
+
+        if name_or_sql.lstrip().upper().startswith(("SELECT", "WITH")):
+            df = self.sql(name_or_sql)
+        else:
+            df = all_queries()[name_or_sql].fn(self.spark, self.sf_dir)
+        return formatted_plan(df)

@@ -1,0 +1,657 @@
+"""ClickHouse function-name compatibility layer (SURVEY.md §2.8 — 'full
+CH↔Spark name map lives in the future chspark/functions.py': this is it).
+
+Each public callable carries the ClickHouse name (camelCase, as shipped in
+the reference's engine pin, /root/reference Dockerfile:102-104) and builds the
+equivalent Spark Column expression — zero-overhead aliases, all JVM-side.
+A user porting queries from the reference can keep their function vocabulary:
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+    df.select(ch.toYYYYMM("ts"), ch.multiIf((cond, 'a'), default='b'))
+
+Deliberate ANSI deviations from ClickHouse are documented per function
+(SURVEY §7.4): ``intDiv`` truncates toward zero like CH; ``any`` requires an
+explicit deterministic ordering upstream; NULL propagation is ANSI.
+
+``MAPPING`` indexes every alias → implementation note for the parity
+inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- arithmetic / rounding --------------------------------------------------
+
+def plus(a, b) -> Column:
+    return _c(a) + _c(b)
+
+
+def minus(a, b) -> Column:
+    return _c(a) - _c(b)
+
+
+def multiply(a, b) -> Column:
+    return _c(a) * _c(b)
+
+
+def divide(a, b) -> Column:
+    """Float division (CH divide always returns Float64)."""
+    return _c(a).cast("double") / _c(b).cast("double")
+
+
+def intDiv(a, b) -> Column:
+    """Integer division truncating toward zero — CH semantics (float divide
+    then truncate-cast; Spark's floor-div `/`+floor would differ on negatives)."""
+    return F.try_divide(_c(a), _c(b)).cast("long")
+
+
+def modulo(a, b) -> Column:
+    return _c(a) % _c(b)
+
+
+def negate(a) -> Column:
+    return -_c(a)
+
+
+def intDivOrZero(a, b) -> Column:
+    return F.coalesce(F.try_divide(_c(a), _c(b)).cast("long"), F.lit(0))
+
+
+def roundBankers(a, n: int = 0) -> Column:
+    return F.bround(_c(a), n)
+
+
+def _sql(col) -> str:
+    return col if isinstance(col, str) else str(col)
+
+
+# --- conditional ------------------------------------------------------------
+
+def if_(cond: Column, then, else_) -> Column:
+    return F.when(cond, then).otherwise(else_)
+
+
+def multiIf(*cond_value_pairs, default=None) -> Column:
+    """multiIf(c1, v1, c2, v2, ..., default) — pass (cond, value) tuples."""
+    expr = None
+    for cond, value in cond_value_pairs:
+        expr = F.when(cond, value) if expr is None else expr.when(cond, value)
+    return expr.otherwise(default)
+
+
+def ifNull(a, b) -> Column:
+    return F.coalesce(_c(a), _c(b))
+
+
+def nullIf(a, b) -> Column:
+    return F.nullif(_c(a), _c(b))
+
+
+def assumeNotNull(a) -> Column:
+    return F.coalesce(_c(a), F.lit(0))
+
+
+# --- strings ----------------------------------------------------------------
+
+def lengthUTF8(a) -> Column:
+    return F.length(_c(a))
+
+
+def lowerUTF8(a) -> Column:
+    return F.lower(_c(a))
+
+
+def upperUTF8(a) -> Column:
+    return F.upper(_c(a))
+
+
+def concatWithSeparator(sep: str, *cols) -> Column:
+    return F.concat_ws(sep, *[_c(c) for c in cols])
+
+
+def splitByChar(sep: str, a) -> Column:
+    import re
+
+    return F.split(_c(a), re.escape(sep))
+
+
+def arrayStringConcat(arr, sep: str = "") -> Column:
+    return F.array_join(_c(arr), sep)
+
+
+def position(haystack, needle) -> Column:
+    """1-based position, 0 when absent (CH position)."""
+    return F.instr(_c(haystack), needle) if isinstance(needle, str) else F.locate(needle, _c(haystack))
+
+
+def replaceOne(a, needle: str, replacement: str) -> Column:
+    """Replace only the FIRST occurrence (Spark's replace/regexp_replace are
+    replace-all, so splice via locate)."""
+    c = _c(a)
+    pos = F.instr(c, needle)
+    return F.when(pos == 0, c).otherwise(
+        F.concat(
+            F.substring(c, 1, pos - 1),
+            F.lit(replacement),
+            F.substring(c, pos + len(needle), F.length(c)),
+        )
+    )
+
+
+def replaceAll(a, pattern: str, replacement: str) -> Column:
+    import re
+
+    return F.regexp_replace(_c(a), re.escape(pattern), replacement)
+
+
+def replaceRegexpAll(a, pattern: str, replacement: str) -> Column:
+    return F.regexp_replace(_c(a), pattern, replacement)
+
+
+def extract(a, pattern: str) -> Column:
+    return F.regexp_extract(_c(a), pattern, 1)
+
+
+def extractAll(a, pattern: str) -> Column:
+    return F.regexp_extract_all(_c(a), F.lit(pattern))
+
+
+def match(a, pattern: str) -> Column:
+    return _c(a).rlike(pattern)
+
+
+def multiSearchAny(a, needles: list[str]) -> Column:
+    out = F.lit(False)
+    for n in needles:
+        out = out | _c(a).contains(n)
+    return out
+
+
+def startsWith(a, prefix: str) -> Column:
+    return _c(a).startswith(prefix)
+
+
+def endsWith(a, suffix: str) -> Column:
+    return _c(a).endswith(suffix)
+
+
+def leftPad(a, length: int, pad: str = " ") -> Column:
+    return F.lpad(_c(a), length, pad)
+
+
+def rightPad(a, length: int, pad: str = " ") -> Column:
+    return F.rpad(_c(a), length, pad)
+
+
+def trimBoth(a) -> Column:
+    return F.trim(_c(a))
+
+
+# --- date / time ------------------------------------------------------------
+
+def toYYYYMM(a) -> Column:
+    """CH returns UInt32; we return int (documented cast, SURVEY §7.4)."""
+    return F.date_format(_c(a), "yyyyMM").cast("int")
+
+
+def toYYYYMMDD(a) -> Column:
+    return F.date_format(_c(a), "yyyyMMdd").cast("int")
+
+
+def toStartOfDay(a) -> Column:
+    return F.date_trunc("day", _c(a))
+
+
+def toStartOfHour(a) -> Column:
+    return F.date_trunc("hour", _c(a))
+
+
+def toStartOfMonth(a) -> Column:
+    return F.date_trunc("month", _c(a))
+
+
+def toStartOfQuarter(a) -> Column:
+    return F.date_trunc("quarter", _c(a))
+
+
+def toStartOfYear(a) -> Column:
+    return F.date_trunc("year", _c(a))
+
+
+def toStartOfInterval(a, interval: str) -> Column:
+    """toStartOfInterval(ts, INTERVAL n unit) → window bucketing."""
+    return F.window(_c(a), interval).getField("start")
+
+
+def toDayOfWeek(a) -> Column:
+    """ISO: Monday=1 (CH default mode)."""
+    return (F.weekday(_c(a)) + 1).cast("int")
+
+
+def toHour(a) -> Column:
+    return F.hour(_c(a))
+
+
+def toMinute(a) -> Column:
+    return F.minute(_c(a))
+
+
+def toDate(a) -> Column:
+    return F.to_date(_c(a))
+
+
+def toDateTime(a) -> Column:
+    return F.to_timestamp(_c(a))
+
+
+def toUnixTimestamp(a) -> Column:
+    return F.unix_timestamp(_c(a))
+
+
+def fromUnixTimestamp(a) -> Column:
+    return F.timestamp_seconds(_c(a))
+
+
+def dateDiff(unit: str, start, end) -> Column:
+    return F.timestampdiff(unit, _c(start), _c(end))
+
+
+def dateAdd(unit: str, n: int, a) -> Column:
+    return _c(a) + F.expr(f"INTERVAL {n} {unit}")
+
+
+def addDays(a, n: int) -> Column:
+    return dateAdd("DAY", n, a)
+
+
+def addMonths(a, n: int) -> Column:
+    return dateAdd("MONTH", n, a)
+
+
+def formatDateTime(a, fmt: str) -> Column:
+    """CH %-style format → pass a Spark pattern (documented deviation)."""
+    return F.date_format(_c(a), fmt)
+
+
+def now() -> Column:
+    return F.current_timestamp()
+
+
+def today() -> Column:
+    return F.current_date()
+
+
+# --- arrays -----------------------------------------------------------------
+
+def arrayMap(fn, arr) -> Column:
+    return F.transform(_c(arr), fn)
+
+
+def arrayFilter(fn, arr) -> Column:
+    return F.filter(_c(arr), fn)
+
+
+def arrayExists(fn, arr) -> Column:
+    return F.exists(_c(arr), fn)
+
+
+def arrayAll(fn, arr) -> Column:
+    return F.forall(_c(arr), fn)
+
+
+def arraySum(arr) -> Column:
+    return F.aggregate(_c(arr), F.lit(0).cast("double"), lambda a, x: a + x.cast("double"))
+
+
+def arrayAvg(arr) -> Column:
+    return arraySum(arr) / F.size(_c(arr))
+
+
+def arrayMin(arr) -> Column:
+    return F.array_min(_c(arr))
+
+
+def arrayMax(arr) -> Column:
+    return F.array_max(_c(arr))
+
+
+def arrayCount(fn, arr) -> Column:
+    return F.size(F.filter(_c(arr), fn))
+
+
+def arrayCumSum(arr) -> Column:
+    """Running-sum array (CH arrayCumSum) via an index-driven prefix fold."""
+    a = _c(arr)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(a)),
+        lambda i: F.aggregate(
+            F.slice(a, 1, i), F.lit(0).cast("double"), lambda acc, x: acc + x.cast("double")
+        ),
+    )
+
+
+def arrayDistinct(arr) -> Column:
+    return F.array_distinct(_c(arr))
+
+
+def arraySort(arr) -> Column:
+    return F.array_sort(_c(arr))
+
+
+def arrayReverseSort(arr) -> Column:
+    return F.reverse(F.array_sort(_c(arr)))
+
+
+def arrayJoin(arr) -> Column:
+    """Row-multiplying arrayJoin → use inside select: explode."""
+    return F.explode(_c(arr))
+
+
+def arrayConcat(*arrs) -> Column:
+    return F.concat(*[_c(a) for a in arrs])
+
+
+def arrayElement(arr, idx) -> Column:
+    return F.element_at(_c(arr), idx)
+
+
+def arraySlice(arr, offset: int, length: int) -> Column:
+    return F.slice(_c(arr), offset, length)
+
+
+def arrayZip(*arrs) -> Column:
+    return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def arrayFlatten(arr) -> Column:
+    return F.flatten(_c(arr))
+
+
+def arrayIntersect(a, b) -> Column:
+    return F.array_intersect(_c(a), _c(b))
+
+
+def arrayDifference(arr) -> Column:
+    """Pairwise differences [0, a1-a0, ...] (CH arrayDifference)."""
+    a = _c(arr)
+    return F.transform(
+        F.sequence(F.lit(1), F.size(a)),
+        lambda i: F.when(i == 1, F.lit(0.0)).otherwise(
+            F.element_at(a, i).cast("double") - F.element_at(a, i - 1).cast("double")
+        ),
+    )
+
+
+def has(arr, value) -> Column:
+    return F.array_contains(_c(arr), value)
+
+
+def hasAll(a, b) -> Column:
+    return F.forall(_c(b), lambda x: F.array_contains(_c(a), x))
+
+
+def hasAny(a, b) -> Column:
+    return F.arrays_overlap(_c(a), _c(b))
+
+
+def indexOf(arr, value) -> Column:
+    return F.array_position(_c(arr), value)
+
+
+def range_(n) -> Column:
+    return F.sequence(F.lit(0), _c(n) - 1) if not isinstance(n, int) else F.sequence(F.lit(0), F.lit(n - 1))
+
+
+# --- maps / tuples ----------------------------------------------------------
+
+def map_(*kv) -> Column:
+    return F.create_map(*[_c(x) if not isinstance(x, (int, float)) else F.lit(x) for x in kv])
+
+
+def mapKeys(m) -> Column:
+    return F.map_keys(_c(m))
+
+
+def mapValues(m) -> Column:
+    return F.map_values(_c(m))
+
+
+def mapContains(m, key) -> Column:
+    return F.map_contains_key(_c(m), key)
+
+
+def mapApply(fn, m) -> Column:
+    return F.transform_values(_c(m), fn)
+
+
+def mapFilter(fn, m) -> Column:
+    return F.map_filter(_c(m), fn)
+
+
+def tuple_(*cols) -> Column:
+    return F.struct(*[_c(c) for c in cols])
+
+
+def tupleElement(t, name_or_idx) -> Column:
+    return _c(t).getField(name_or_idx) if isinstance(name_or_idx, str) else _c(t).getField(f"col{name_or_idx}")
+
+
+# --- JSON -------------------------------------------------------------------
+
+def JSONExtractString(j, path: str) -> Column:
+    return F.get_json_object(_c(j), f"$.{path}" if not path.startswith("$") else path)
+
+
+def JSONExtractInt(j, path: str) -> Column:
+    return JSONExtractString(j, path).cast("bigint")
+
+
+def JSONExtractFloat(j, path: str) -> Column:
+    return JSONExtractString(j, path).cast("double")
+
+
+def JSONExtractBool(j, path: str) -> Column:
+    return JSONExtractString(j, path).cast("boolean")
+
+
+def JSONHas(j, path: str) -> Column:
+    return JSONExtractString(j, path).isNotNull()
+
+
+def JSONLength(j) -> Column:
+    return F.json_array_length(_c(j))
+
+
+# --- hash / encoding --------------------------------------------------------
+
+def cityHash64(*cols) -> Column:
+    """CH cityHash64 role (fast 64-bit hash) → xxhash64 (different algorithm,
+    same contract: deterministic 64-bit; documented deviation)."""
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+def sipHash64(*cols) -> Column:
+    return F.xxhash64(*[_c(c) for c in cols])
+
+
+def halfMD5(a) -> Column:
+    return F.conv(F.substring(F.md5(_c(a)), 1, 15), 16, 10).cast("bigint")
+
+
+def MD5(a) -> Column:
+    return F.md5(_c(a))
+
+
+def SHA256(a) -> Column:
+    return F.sha2(_c(a), 256)
+
+
+def hex_(a) -> Column:
+    return F.hex(_c(a))
+
+
+def unhex(a) -> Column:
+    return F.unhex(_c(a))
+
+
+def base64Encode(a) -> Column:
+    return F.base64(F.encode(_c(a), "utf-8"))
+
+
+def base64Decode(a) -> Column:
+    return F.decode(F.unbase64(_c(a)), "utf-8")
+
+
+# --- bit --------------------------------------------------------------------
+
+def bitAnd(a, b) -> Column:
+    return _c(a).bitwiseAND(_c(b))
+
+
+def bitOr(a, b) -> Column:
+    return _c(a).bitwiseOR(_c(b))
+
+
+def bitXor(a, b) -> Column:
+    return _c(a).bitwiseXOR(_c(b))
+
+
+def bitNot(a) -> Column:
+    return F.bitwise_not(_c(a))
+
+
+def bitShiftLeft(a, n: int) -> Column:
+    return F.shiftleft(_c(a), n)
+
+
+def bitShiftRight(a, n: int) -> Column:
+    return F.shiftright(_c(a), n)
+
+
+def bitCount(a) -> Column:
+    return F.bit_count(_c(a))
+
+
+# --- IP ---------------------------------------------------------------------
+
+def IPv4NumToString(a) -> Column:
+    """uint32 → dotted quad, pure arithmetic (portable)."""
+    c = _c(a)
+    return F.concat_ws(
+        ".",
+        ((c / 16777216).cast("long") % 256).cast("string"),
+        ((c / 65536).cast("long") % 256).cast("string"),
+        ((c / 256).cast("long") % 256).cast("string"),
+        (c % 256).cast("string"),
+    )
+
+
+def IPv4StringToNum(a) -> Column:
+    parts = F.split(_c(a), r"\.")
+    return (
+        F.element_at(parts, 1).cast("long") * 16777216
+        + F.element_at(parts, 2).cast("long") * 65536
+        + F.element_at(parts, 3).cast("long") * 256
+        + F.element_at(parts, 4).cast("long")
+    )
+
+
+# --- type conversion --------------------------------------------------------
+
+def toInt64(a) -> Column:
+    return _c(a).cast("bigint")
+
+
+def toInt32(a) -> Column:
+    return _c(a).cast("int")
+
+
+def toFloat64(a) -> Column:
+    return _c(a).cast("double")
+
+
+def toString(a) -> Column:
+    return _c(a).cast("string")
+
+
+def toDecimal(a, precision: int, scale: int) -> Column:
+    return _c(a).cast(f"decimal({precision},{scale})")
+
+
+def accurateCastOrNull(a, t: str) -> Column:
+    return _c(a).try_cast(t)
+
+
+def toTypeName(a) -> Column:
+    return F.typeof(_c(a))
+
+
+# --- aggregate-name aliases (for .agg(...) call sites) ----------------------
+
+def uniq(a) -> Column:
+    return F.approx_count_distinct(_c(a))
+
+
+def uniqExact(a) -> Column:
+    return F.countDistinct(_c(a))
+
+
+def argMax(a, b) -> Column:
+    return F.max_by(_c(a), _c(b))
+
+
+def argMin(a, b) -> Column:
+    return F.min_by(_c(a), _c(b))
+
+
+def groupArray(a) -> Column:
+    return F.collect_list(_c(a))
+
+
+def groupUniqArray(a) -> Column:
+    return F.collect_set(_c(a))
+
+
+def quantile(a, q: float) -> Column:
+    return F.percentile_approx(_c(a), q)
+
+
+def quantileExact(a, q: float) -> Column:
+    return F.percentile(_c(a), F.lit(q))
+
+
+def median(a) -> Column:
+    return F.percentile(_c(a), F.lit(0.5))
+
+
+def anyLast(a) -> Column:
+    return F.last(_c(a), ignorenulls=True)
+
+
+def any_(a) -> Column:
+    """CH any() is nondeterministic; we map to first(ignorenulls) and REQUIRE
+    a deterministic upstream ordering (SURVEY §7.4)."""
+    return F.first(_c(a), ignorenulls=True)
+
+
+def topK(a, k: int) -> Column:
+    """Exact top-k values as array (CH returns approximate; we return exact
+    from a full sort of the distinct counts — documented upgrade)."""
+    return F.slice(
+        F.reverse(F.array_sort(F.collect_list(_c(a)))), 1, k
+    )
+
+
+#: alias → note, for the parity inventory (names that clash with Python
+#: keywords/builtins carry a trailing underscore).
+MAPPING: dict[str, str] = {
+    name: (fn.__doc__ or "direct Spark equivalent").splitlines()[0]
+    for name, fn in list(globals().items())
+    if callable(fn) and not name.startswith("_") and fn.__module__ == __name__
+}

@@ -56,6 +56,7 @@ def _load_all() -> None:
         relational,
         composites,
         scalars,
+        extras,
         llm,
         streaming_q,
     )

@@ -1,0 +1,206 @@
+"""Remaining SURVEY.md §2 rows: sumMap/map functions, bit functions, IP
+functions, histogram, topKWeighted, collation-style sort — each through the
+ClickHouse-name compatibility layer where applicable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.functions import clickhouse_names as ch
+from clickhouseocp_spark.operators.groupwise import top_k
+from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.queries._util import fsum
+
+
+@register(
+    "sum_map_agg",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR), ',' ORDER BY event_type) AS type_counts
+FROM per GROUP BY user_id
+""",
+    tags=("agg", "map"),
+)
+def sum_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMap (SURVEY §2.4): element-wise aggregation of (key→count) maps per
+    user, built as explode→agg→map_from_entries, rendered as a sorted string
+    (map cell layouts differ across engines, strings hash stably)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    # render the map deterministically: sorted key:value CSV
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys("m")),
+            lambda k: F.concat(k, F.lit(":"), F.element_at(F.col("m"), k).cast("string")),
+        ),
+        ",",
+    )
+    return maps.select("user_id", rendered.alias("type_counts"))
+
+
+@register(
+    "bit_functions",
+    oracle="""
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, 1365) AS xored,
+       event_id << 3 AS shifted_l,
+       event_id >> 2 AS shifted_r,
+       CAST(bit_count(event_id) AS INTEGER) AS popcount
+FROM events WHERE event_id % 11 = 0
+""",
+    tags=("scalar", "bit"),
+)
+def bit_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit family (SURVEY §2.8) through the CH-name layer: bitAnd/bitOr/
+    bitXor/bitShiftLeft/bitShiftRight/bitCount."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 11 == 0)
+    return ev.select(
+        "event_id",
+        ch.bitAnd("event_id", F.lit(255)).alias("low_byte"),
+        ch.bitOr("event_id", F.lit(4096)).alias("with_flag"),
+        ch.bitXor("event_id", F.lit(1365)).alias("xored"),
+        ch.bitShiftLeft("event_id", 3).alias("shifted_l"),
+        ch.bitShiftRight("event_id", 2).alias("shifted_r"),
+        ch.bitCount("event_id").cast("int").alias("popcount"),
+    )
+
+
+@register(
+    "ip_functions",
+    oracle="""
+SELECT user_id, ip_num,
+       CAST(ip_num // 16777216 % 256 AS VARCHAR) || '.' ||
+       CAST(ip_num // 65536 % 256 AS VARCHAR) || '.' ||
+       CAST(ip_num // 256 % 256 AS VARCHAR) || '.' ||
+       CAST(ip_num % 256 AS VARCHAR) AS ip_str,
+       ip_num // 16777216 % 256 = 10 AS is_private_10
+FROM (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip_num FROM events WHERE event_id % 13 = 0)
+""",
+    tags=("scalar", "ip"),
+)
+def ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4NumToString / isIPAddressInRange-style checks (SURVEY §2.8 URL/IP
+    family) — pure integer arithmetic, reproduced exactly by the oracle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") % 13 == 0)
+    ipd = ev.select(
+        "user_id",
+        ((F.col("user_id") * 2654435761) % 4294967296).alias("ip_num"),
+    )
+    ip_str = ch.IPv4NumToString(F.col("ip_num"))
+    return ipd.select(
+        "user_id",
+        "ip_num",
+        ip_str.alias("ip_str"),
+        (((F.col("ip_num") / 16777216).cast("long") % 256) == 10).alias("is_private_10"),
+    )
+
+
+@register(
+    "histogram_buckets",
+    oracle="""
+SELECT CAST(floor(o_totalprice / 50000.0) AS INTEGER) AS bucket,
+       COUNT(*) AS n,
+       MIN(o_totalprice) AS lo,
+       MAX(o_totalprice) AS hi
+FROM orders GROUP BY CAST(floor(o_totalprice / 50000.0) AS INTEGER)
+""",
+    tags=("agg", "histogram"),
+)
+def histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram(n) analog (SURVEY §2.4): fixed-width bucketing + per-bucket
+    count/bounds (CH's adaptive histogram is approximate; fixed-width is the
+    deterministic, oracle-checkable formulation)."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("int")
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@register(
+    "top_k_weighted",
+    oracle="""
+SELECT event_type, CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS cnt
+FROM events GROUP BY event_type
+ORDER BY cnt DESC, event_type ASC LIMIT 3
+""",
+    tags=("top_k", "agg"),
+)
+def top_k_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topKWeighted (SURVEY §2.4): heavy hitters by summed weight rather than
+    count (operators/groupwise.top_k with weight)."""
+    ev = load_table(spark, sf_dir, "events")
+    return top_k(
+        ev,
+        3,
+        by="event_type",
+        weight=F.col("value").cast("decimal(38,6)"),
+    ).withColumn("cnt", F.col("cnt").cast("double"))
+
+
+@register(
+    "collate_sort",
+    oracle="""
+SELECT c_name, c_mktsegment
+FROM customer
+ORDER BY lower(c_mktsegment), c_name, c_custkey
+LIMIT 100
+""",
+    tags=("sort",),
+)
+def collate_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATE-style case-insensitive ordering (SURVEY §2.6; ICU ships in the
+    reference image, Dockerfile:26) via an explicit casefolded sort key — the
+    portable formulation (Spark 4 native collations exist but DuckDB's
+    collation tables differ)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.lower("c_mktsegment"), "c_name", "c_custkey")
+        .select("c_name", "c_mktsegment")
+        .limit(100)
+    )
+
+
+@register(
+    "ch_function_names",
+    oracle="""
+SELECT o_orderkey,
+       CAST(strftime(o_orderdate, '%Y%m') AS INTEGER) AS yyyymm,
+       CAST(floor(o_totalprice / 1000) AS BIGINT) AS price_k,
+       CASE WHEN o_orderstatus = 'F' THEN 'final'
+            WHEN o_orderstatus = 'O' THEN 'open' ELSE 'other' END AS status,
+       COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'default') AS prio
+FROM orders WHERE o_orderkey % 7 = 0
+""",
+    tags=("scalar", "compat"),
+)
+def ch_function_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ClickHouse-name compatibility layer end-to-end (functions/
+    clickhouse_names.py): toYYYYMM/intDiv/multiIf/ifNull/nullIf as a
+    reference user would write them."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        ch.toYYYYMM("o_orderdate").alias("yyyymm"),
+        ch.intDiv("o_totalprice", F.lit(1000)).alias("price_k"),
+        ch.multiIf(
+            (F.col("o_orderstatus") == "F", "final"),
+            (F.col("o_orderstatus") == "O", "open"),
+            default="other",
+        ).alias("status"),
+        ch.ifNull(ch.nullIf("o_orderpriority", F.lit("3-MEDIUM")), F.lit("default")).alias("prio"),
+    )

@@ -1,0 +1,60 @@
+"""Engine front door (clickhouse-local analog) + ClickHouse-name layer."""
+
+from pyspark.sql import functions as F
+
+from clickhouseocp_spark.engine import ChSparkEngine
+from clickhouseocp_spark.functions import clickhouse_names as ch
+
+
+def test_engine_sql_and_named_queries(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    n = eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert n > 0
+    q1 = eng.query("q1_pricing_summary")
+    assert q1.count() > 0
+    plan = eng.explain("SELECT l_returnflag FROM lineitem WHERE l_quantity > 45")
+    assert "PushedFilters" in plan
+
+
+def test_ch_name_layer_values(spark):
+    df = spark.createDataFrame(
+        [(7, -7, "hello world hello", "2024-03-15 10:30:00")],
+        "a int, b int, s string, ts string",
+    ).select(F.col("a"), F.col("b"), F.col("s"), F.col("ts").cast("timestamp").alias("ts"))
+    row = df.select(
+        ch.intDiv("a", F.lit(2)).alias("idiv"),
+        ch.intDiv("b", F.lit(2)).alias("idiv_neg"),
+        ch.toYYYYMM("ts").alias("ym"),
+        ch.toDayOfWeek("ts").alias("dow"),
+        ch.replaceOne("s", "hello", "hi").alias("r1"),
+        ch.replaceAll("s", "hello", "hi").alias("rall"),
+        ch.position("s", "world").alias("pos"),
+        ch.IPv4NumToString(F.lit(3232235777)).alias("ip"),
+        ch.IPv4StringToNum(F.lit("192.168.1.1")).alias("ipn"),
+        ch.bitCount(F.lit(255)).alias("pc"),
+        ch.multiSearchAny("s", ["xyz", "world"]).alias("msa"),
+        ch.arraySum(F.expr("array(1.0, 2.5, 3.5)")).alias("asum"),
+        ch.arrayCumSum(F.expr("array(1, 2, 3)")).alias("acs"),
+        ch.arrayDifference(F.expr("array(10, 13, 11)")).alias("adiff"),
+        ch.halfMD5(F.lit("x")).alias("hmd5"),
+        ch.base64Decode(ch.base64Encode(F.lit("round trip"))).alias("b64"),
+    ).collect()[0]
+    assert row.idiv == 3 and row.idiv_neg == -3  # truncation toward zero
+    assert row.ym == 202403
+    assert row.dow == 5  # 2024-03-15 is Friday
+    assert row.r1 == "hi world hello"
+    assert row.rall == "hi world hi"
+    assert row.pos == 7
+    assert row.ip == "192.168.1.1" and row.ipn == 3232235777
+    assert row.pc == 8
+    assert row.msa is True
+    assert row.asum == 7.0
+    assert row.acs == [1.0, 3.0, 6.0]
+    assert row.adiff == [0.0, 3.0, -2.0]
+    assert isinstance(row.hmd5, int)
+    assert row.b64 == "round trip"
+
+
+def test_mapping_inventory_nonempty():
+    assert len(ch.MAPPING) > 100
+    assert "toYYYYMM" in ch.MAPPING and "argMax" in ch.MAPPING
