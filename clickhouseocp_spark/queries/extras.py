@@ -204,3 +204,23 @@ def ch_function_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("status"),
         ch.ifNull(ch.nullIf("o_orderpriority", F.lit("3-MEDIUM")), F.lit("default")).alias("prio"),
     )
+
+
+@register("hll_state_merge", oracle=None, tags=("agg", "sketch", "mergetree"))
+def hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uniqState/uniqMerge (SURVEY §2.4 -State/-Merge, §7.2): daily HLL
+    sketches of user_id materialized per (event_type, day), then merged per
+    event_type without rescanning facts (operators/sketches.py).  Sketch
+    bytes are engine-specific → rows-only; pytest bounds the estimate error
+    against the exact count."""
+    from clickhouseocp_spark.operators.sketches import hll_merge, hll_partial
+
+    ev = load_table(spark, sf_dir, "events")
+    partials = hll_partial(
+        ev.withColumn("day", F.date_trunc("day", "ts")),
+        keys=("event_type", "day"),
+        col="user_id",
+        extra_aggs=[F.count(F.lit(1)).alias("n")],
+    )
+    merged = hll_merge(partials, keys=("event_type",), extra_aggs=[F.sum("n").alias("n")])
+    return merged.select("event_type", "n", "uniq_estimate")

@@ -61,6 +61,11 @@ def get_spark(
         # NULL semantics, not ClickHouse's default-fill deviation).
         .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # managed tables (bucketed-join conventions) land in /tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/chspark_warehouse"),
+        )
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -133,3 +133,58 @@ def test_range_dict_get(spark, sf_dir):
     )
     got = enriched.filter(F.col("value") < 100.0).select("tier").distinct().collect()
     assert [r.tier for r in got] == ["low"]
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from clickhouseocp_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    ).collect()
+    salted = salted_join(li, orders, on=["l_orderkey"], salt_factor=4).agg(
+        F.count(F.lit(1)), F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    ).collect()
+    assert plain == salted
+
+
+def test_hll_state_merge_accuracy(spark, sf_dir):
+    rows = {r.event_type: r for r in QS["hll_state_merge"].fn(spark, sf_dir).collect()}
+    exact = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(rows[t].uniq_estimate - n) / n < 0.05, (t, rows[t].uniq_estimate, n)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+    from clickhouseocp_spark.sources.writers import write_bucketed_table
+
+    import uuid
+
+    sfx = uuid.uuid4().hex[:8]
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    write_bucketed_table(li, f"b_li_{sfx}", bucket_by=["l_orderkey"], num_buckets=8, sort_by=["l_orderkey"])
+    write_bucketed_table(orders, f"b_orders_{sfx}", bucket_by=["o_orderkey"], num_buckets=8, sort_by=["o_orderkey"])
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table(f"b_li_{sfx}").join(
+            spark.table(f"b_orders_{sfx}"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = formatted_plan(j)
+        # co-located buckets: the sort-merge join runs with NO shuffle exchange
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
