@@ -53,24 +53,35 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in formatted_plan(df)
 
 
+def simple_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
 def wholestage_codegen_ids(df: DataFrame) -> int:
-    """Number of WholeStageCodegen spans — wider/fewer is better; zero on a
-    hot path means the plan fell out of codegen entirely."""
-    plan = formatted_plan(df)
-    ids = {
-        line.split("(")[-1].split(")")[0]
-        for line in plan.splitlines()
-        if "WholeStageCodegen" in line
-    }
-    return len(ids)
+    """Number of WholeStageCodegen spans (the `*(n)` markers in the simple
+    plan) — wider/fewer is better; zero on a hot path means the plan fell out
+    of codegen entirely."""
+    import re
+
+    return len(set(re.findall(r"\*\((\d+)\)", simple_plan(df))))
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Exchange nodes in the plan ≈ shuffle stages; the thing to minimize
-    (every groupBy/join/orderBy boundary at 100 TB is this number)."""
+    """SHUFFLE exchanges in the plan — the thing to minimize (every
+    groupBy/join/orderBy boundary at 100 TB is this number).  Broadcast
+    exchanges are excluded: a broadcast ships the small side, it does not
+    repartition the fact stream."""
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if line.strip().startswith(("Exchange", "(") ) and "Exchange" in line and "Reused" not in line
-    )
+    n = 0
+    for raw in plan.splitlines():
+        line = raw.strip()
+        if "Exchange" not in line:
+            continue
+        if "BroadcastExchange" in line or "ReusedExchange" in line:
+            continue
+        if line.startswith("Exchange") or ") Exchange" in line:
+            n += 1
+    return n

@@ -57,6 +57,7 @@ def _load_all() -> None:
         composites,
         scalars,
         extras,
+        mergetree_q,
         llm,
         streaming_q,
     )

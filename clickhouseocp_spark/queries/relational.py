@@ -640,7 +640,7 @@ SELECT event_id, user_id, ts, value,
             PARTITION BY user_id ORDER BY ts, event_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
        COUNT(*) OVER (
-            PARTITION BY user_id ORDER BY epoch(ts)
+            PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_last_day
 FROM events
 """,
