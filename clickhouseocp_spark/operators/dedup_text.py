@@ -73,17 +73,21 @@ def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Keep one row (min id) per distinct normalized text; adds ``dup_count``.
-    Scale: single shuffle on md5(normalized text) — 16-byte keys, not full
-    documents, cross the wire for the survivor election."""
+
+    Survivor election as a single hash aggregation (min_by over the packed
+    row) — one shuffle on the fingerprint, partial-agg'd map-side, no sort
+    (the window formulation costs a per-group sort for the same answer)."""
     fp = F.md5(normalize_text(F.col(text_col)))
-    w = Window.partitionBy("__fp").orderBy(id_col)
-    return (
+    cols = df.columns
+    agged = (
         df.withColumn("__fp", fp)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("__fp")))
-        .filter(F.col("__rn") == 1)
-        .drop("__fp", "__rn")
+        .groupBy("__fp")
+        .agg(
+            F.min_by(F.struct(*cols), F.col(id_col)).alias("__row"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
     )
+    return agged.select(*[F.col(f"__row.{c}").alias(c) for c in cols], "dup_count")
 
 
 def minhash_signatures(
