@@ -481,3 +481,56 @@ def array_join_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col.w").alias("word"),
         F.col("col.l").alias("wlen"),
     )
+
+
+@register(
+    "asof_join_inner",
+    oracle="""
+SELECT c.event_id, c.user_id, c.ts, p.value AS purchase_value
+FROM (SELECT * FROM events WHERE event_type = 'view') c
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON c.user_id = p.user_id AND c.ts >= p.ts
+""",
+    tags=("asof", "join"),
+)
+def asof_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF INNER JOIN: views with no preceding purchase are dropped
+    (how='inner' in operators/asof.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    return asof_join(
+        views, purchases, on="user_id", left_ts="ts", right_cols=["value"], how="inner"
+    ).select("event_id", "user_id", "ts", F.col("value").alias("purchase_value"))
+
+
+@register(
+    "with_fill_from_to",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+  FROM events WHERE event_type = 'purchase' AND value > 180 GROUP BY 1
+),
+axis AS (SELECT unnest(generate_series(TIMESTAMP '2023-12-29', TIMESTAMP '2024-02-03', INTERVAL 1 DAY)) AS day)
+SELECT axis.day, COALESCE(d.n, 0) AS n
+FROM axis LEFT JOIN d ON axis.day = d.day
+""",
+    tags=("fill",),
+)
+def with_fill_from_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL FROM ... TO ... (SURVEY §2.6): explicit axis bounds extend
+    beyond the data range on both sides (leading/trailing zero rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 180))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return with_fill(
+        daily,
+        order_col="day",
+        step="INTERVAL 1 DAY",
+        fill_from=F.lit("2023-12-29 00:00:00").cast("timestamp"),
+        fill_to=F.lit("2024-02-03 00:00:00").cast("timestamp"),
+        zero_fill={"n": 0},
+    )
