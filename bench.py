@@ -48,9 +48,13 @@ def main() -> None:
     registry = all_queries()
     names = [n for n in HEADLINE if n in registry]
 
-    # Warm the JVM + parquet footers once so timings measure query execution,
-    # not first-touch class loading.
+    # Warm the JVM + parquet footers + Python worker pool once so timings
+    # measure query execution, not first-touch class loading or Arrow-worker
+    # startup (the dedup/similarity kernels run in reused python workers).
     registry["q1_pricing_summary"].fn(spark, sf_dir).count()
+    spark.range(1000).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in names:

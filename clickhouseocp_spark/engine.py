@@ -44,6 +44,34 @@ class ChSparkEngine:
 
         return all_queries()[name].fn(self.spark, self.sf_dir)
 
+    def system_build_options(self) -> DataFrame:
+        """`SELECT * FROM system.build_options` analog — the reference's own
+        smoke check (Dockefile-ubuntu:52).  Engine version + the perf-relevant
+        session configuration as a queryable DataFrame."""
+        confs = [
+            ("engine", "spark"),
+            ("version", self.spark.version),
+            ("master", self.spark.sparkContext.master),
+        ] + [
+            (k, self.spark.conf.get(k, "unset"))
+            for k in (
+                "spark.sql.session.timeZone",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.ansi.enabled",
+                "spark.sql.shuffle.partitions",
+                "spark.sql.parquet.filterPushdown",
+            )
+        ]
+        return self.spark.createDataFrame(confs, "name string, value string")
+
+    def system_tables(self) -> DataFrame:
+        """`system.tables` analog via the session catalog."""
+        rows = [
+            (t.name, t.tableType, ",".join(t.namespace or []))
+            for t in self.spark.catalog.listTables()
+        ]
+        return self.spark.createDataFrame(rows, "name string, type string, namespace string")
+
     def explain(self, name_or_sql: str) -> str:
         """EXPLAIN analog returning the formatted physical plan."""
         from clickhouseocp_spark.plans.inspect import formatted_plan

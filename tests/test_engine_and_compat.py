@@ -58,3 +58,11 @@ def test_ch_name_layer_values(spark):
 def test_mapping_inventory_nonempty():
     assert len(ch.MAPPING) > 100
     assert "toYYYYMM" in ch.MAPPING and "argMax" in ch.MAPPING
+
+
+def test_system_introspection(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    opts = {r.name: r.value for r in eng.system_build_options().collect()}
+    assert opts["engine"] == "spark" and opts["spark.sql.session.timeZone"] == "UTC"
+    tables = {r.name for r in eng.system_tables().collect()}
+    assert {"lineitem", "events", "documents"} <= tables
