@@ -58,6 +58,7 @@ def _load_all() -> None:
         scalars,
         extras,
         mergetree_q,
+        funnel_q,
         llm,
         streaming_q,
     )

@@ -1,0 +1,85 @@
+"""Funnel / retention queries (ClickHouse windowFunnel & retention — the
+events-analytics aggregates, SURVEY.md §2.4 scope)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.operators.funnel import retention, window_funnel
+from clickhouseocp_spark.queries import register
+
+_FUNNEL_WINDOW_S = 7 * 86400  # 7 days
+
+
+@register(
+    "retention_steps",
+    oracle="""
+SELECT user_id,
+       CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER) AS r_signup,
+       CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS INTEGER) AS r_click,
+       CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            * max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INTEGER) AS r_purchase
+FROM events GROUP BY user_id
+""",
+    tags=("funnel", "agg"),
+)
+def retention_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retention(signup, click, purchase): first condition gates the rest
+    (operators/funnel.retention)."""
+    ev = load_table(spark, sf_dir, "events")
+    return retention(
+        ev,
+        key="user_id",
+        conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        aliases=["r_signup", "r_click", "r_purchase"],
+    )
+
+
+@register(
+    "window_funnel_depth",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'signup' THEN 1
+              WHEN event_type = 'click' THEN 2
+              WHEN event_type = 'purchase' THEN 3 END AS step
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+)
+SELECT u.user_id,
+       CAST(CASE
+         WHEN EXISTS (SELECT 1 FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts > a.ts
+                        JOIN e c ON b.user_id = c.user_id AND c.ts > b.ts
+                      WHERE a.user_id = u.user_id AND a.step = 1 AND b.step = 2 AND c.step = 3
+                        AND epoch(c.ts) - epoch(a.ts) <= {_FUNNEL_WINDOW_S}) THEN 3
+         WHEN EXISTS (SELECT 1 FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts > a.ts
+                      WHERE a.user_id = u.user_id AND a.step = 1 AND b.step = 2
+                        AND epoch(b.ts) - epoch(a.ts) <= {_FUNNEL_WINDOW_S}) THEN 2
+         WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id AND a.step = 1) THEN 1
+         ELSE 0 END AS INTEGER) AS level
+FROM (SELECT DISTINCT user_id FROM e) u
+""",
+    tags=("funnel", "agg"),
+)
+def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(7 days)(ts, signup, click, purchase): deepest strictly-
+    ordered step chain whose span fits the window (operators/funnel.
+    window_funnel, max-chain-start fold via applyInPandas).  The oracle states
+    the same semantics declaratively as EXISTS-chains."""
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        step_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=_FUNNEL_WINDOW_S,
+    )
