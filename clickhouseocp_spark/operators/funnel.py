@@ -1,6 +1,7 @@
-"""Funnel / retention analytics (ClickHouse windowFunnel, retention — the
-signature events-analysis aggregates in the pinned engine's
-AggregateFunctions family, SURVEY.md §2.4 scope note).
+"""Funnel / retention / sequence analytics (ClickHouse windowFunnel,
+retention, sequenceMatch, sequenceCount — the signature events-analysis
+aggregates in the pinned engine's AggregateFunctions family, SURVEY.md §2.4
+scope note).
 
 - :func:`retention`: per key, flag array [any(cond1), any(cond1)&any(cond2),
   ...] — pure conditional aggregation, one shuffle.
@@ -11,6 +12,13 @@ AggregateFunctions family, SURVEY.md §2.4 scope note).
   any chain's start time is ≤ the fold's best start at its level).  Runs per
   key group via applyInPandas — the sanctioned path for custom order-sensitive
   stateful aggregates; each group's state is O(#steps).
+- :func:`sequence_match`: does a chain matching the pattern exist?  Supports
+  the (?N) / .* / single (?t OP n) -per-edge subset of CH's pattern syntax.
+  Exact via a min/max achievable-time DP per level (each edge constraint is a
+  one-sided predicate on the previous matched time, so the extremes suffice).
+- :func:`sequence_count`: greedy count of non-overlapping chains (restart
+  after each completion — CH's documented search strategy), no time
+  constraints.  State per group is O(#steps).
 """
 
 from __future__ import annotations
@@ -18,6 +26,16 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _ts_ns(series):
+    """Timestamp pandas Series → int64 ns since epoch, robust to the Arrow
+    batch arriving as datetime64[ns] or datetime64[us]."""
+    import pandas as pd
+
+    if pd.api.types.is_datetime64_any_dtype(series):
+        return series.dt.as_unit("ns").astype("int64").to_numpy()
+    return series.astype("int64").to_numpy()
 
 
 def retention(
@@ -64,7 +82,7 @@ def window_funnel(
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["__ts"], kind="mergesort")
         best_start = [None] * (n_steps + 1)  # best_start[s]: max chain start achieving level s
-        ts_ns = pdf["__ts"].astype("int64").to_numpy()  # ns since epoch
+        ts_ns = _ts_ns(pdf["__ts"])
         steps = pdf["__step"].to_numpy()
         win_ns = window_seconds * 1_000_000_000
         # Strict increase: events sharing a timestamp must all extend against
@@ -93,5 +111,139 @@ def window_funnel(
     return (
         events.groupBy("__k")
         .applyInPandas(fold, schema=f"__k {df.schema[key].dataType.simpleString()}, level int")
+        .withColumnRenamed("__k", key)
+    )
+
+
+def _multi_step_events(
+    df: DataFrame, key: str, ts_col: str, step_conds: Sequence[Column]
+) -> DataFrame:
+    """One row per (event, matching condition index+1); events matching no
+    condition are dropped (CH: non-matching events are invisible to the
+    pattern).  An event may match several conditions → several rows."""
+    arr = F.array(*[F.when(c, F.lit(i + 1)) for i, c in enumerate(step_conds)])
+    return df.select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        F.explode(F.array_compact(arr)).alias("__step"),
+    )
+
+
+def sequence_match(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+    time_constraints: Sequence[tuple[str, int] | None] | None = None,
+) -> DataFrame:
+    """sequenceMatch('(?1)[(?t OP n)](?2)...')(ts, cond1, ..., condN): per
+    key, 1 iff an event chain e1 < e2 < ... < eN (strictly increasing ts)
+    exists with e_i matching cond_i and each adjacent pair satisfying its
+    optional time constraint ``(op, seconds)`` with op in {<=, <, >=, >}.
+
+    Exact min/max DP: per level keep the min and max achievable matched-event
+    time.  Each edge check is one-sided in the previous matched time
+    (<=n ⟺ prev >= t-n → check max; >=n ⟺ prev <= t-n → check min), so the
+    extremes decide feasibility; chain state is Markov in the last matched
+    time.  Same-ts events extend against the state as of the previous
+    distinct ts (strict increase), like :func:`window_funnel`.
+    """
+    import pandas as pd
+
+    n = len(step_conds)
+    edges = list(time_constraints or [None] * (n - 1))
+    if len(edges) != n - 1:
+        raise ValueError("need one time constraint slot per adjacent pair")
+    edges_ns = [
+        None if e is None else (e[0], int(e[1]) * 1_000_000_000) for e in edges
+    ]
+    events = _multi_step_events(df, key, ts_col, step_conds)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__step"], kind="mergesort")
+        lo = [None] * (n + 1)
+        hi = [None] * (n + 1)
+        ts_ns = _ts_ns(pdf["__ts"])
+        steps = pdf["__step"].to_numpy()
+        pending: list[tuple[int, int]] = []
+        prev_t = None
+
+        def flush() -> None:
+            for lv, t in pending:
+                if lo[lv] is None or t < lo[lv]:
+                    lo[lv] = t
+                if hi[lv] is None or t > hi[lv]:
+                    hi[lv] = t
+            pending.clear()
+
+        for t, s in zip(ts_ns, steps):
+            if prev_t is not None and t != prev_t:
+                flush()
+            prev_t = t
+            s = int(s)
+            if s == 1:
+                pending.append((1, t))
+            elif hi[s - 1] is not None:
+                c = edges_ns[s - 2]
+                if c is None:
+                    ok = True
+                else:
+                    op, lim = c
+                    if op == "<=":
+                        ok = hi[s - 1] >= t - lim
+                    elif op == "<":
+                        ok = hi[s - 1] > t - lim
+                    elif op == ">=":
+                        ok = lo[s - 1] <= t - lim
+                    elif op == ">":
+                        ok = lo[s - 1] < t - lim
+                    else:
+                        raise ValueError(f"bad time op {op!r}")
+                if ok:
+                    pending.append((s, t))
+        flush()
+        matched = 1 if hi[n] is not None else 0
+        return pd.DataFrame({"__k": [pdf["__k"].iloc[0]], "matched": [matched]})
+
+    return (
+        events.groupBy("__k")
+        .applyInPandas(
+            fold, schema=f"__k {df.schema[key].dataType.simpleString()}, matched int"
+        )
+        .withColumnRenamed("__k", key)
+    )
+
+
+def sequence_count(
+    df: DataFrame, key: str, ts_col: str, step_conds: Sequence[Column]
+) -> DataFrame:
+    """sequenceCount('(?1)(?2)...')(ts, cond1, ..., condN): per key, greedy
+    count of non-overlapping chains — after a chain completes, the search
+    restarts at the next event (CH's documented strategy; greedy
+    earliest-advance maximizes the count for constraint-free patterns).
+    Same-second order is undefined in CH; we pin (ts, step) ascending so
+    results are deterministic and oracle-expressible."""
+    import pandas as pd
+
+    n = len(step_conds)
+    events = _multi_step_events(df, key, ts_col, step_conds)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["__ts", "__step"], kind="mergesort")
+        level = 0
+        cnt = 0
+        for s in pdf["__step"].to_numpy():
+            if int(s) == level + 1:
+                level += 1
+                if level == n:
+                    cnt += 1
+                    level = 0
+        return pd.DataFrame({"__k": [pdf["__k"].iloc[0]], "n_chains": [cnt]})
+
+    return (
+        events.groupBy("__k")
+        .applyInPandas(
+            fold, schema=f"__k {df.schema[key].dataType.simpleString()}, n_chains long"
+        )
         .withColumnRenamed("__k", key)
     )

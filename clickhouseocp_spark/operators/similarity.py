@@ -14,6 +14,9 @@ variant as the scale path; no HNSW in Spark, documented gap SURVEY §7.6).
   pseudo-random hyperplanes (seeded from xxhash64, no RNG state), bucket by
   sign bits, search only colliding buckets across ``num_tables`` tables.
   Approximate: recall < 1, cost ~ |Q| * bucket_size * tables.
+- :func:`ivf_topk` — IVF coarse quantizer: nearest-centroid cells, probe the
+  query's n_probe cells only.  The partition-by-cell layout is the one that
+  scales to 100 TB (probe join = partition pruning).
 """
 
 from __future__ import annotations
@@ -172,6 +175,89 @@ def srp_lsh_topk(
         cb.join(F.broadcast(qb), ["__t", "__b"])
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer: assign
+    every corpus vector to its nearest centroid cell, probe only the query's
+    ``n_probe`` closest cells, exact cosine re-rank inside them.
+
+    Centroids are a deterministic hash-sample of the corpus (smallest
+    xxhash64(id) rows — no RNG state, stable across runs/executors); swap in
+    offline KMeans centroids for production recall.  Scale shape: one
+    streaming numpy pass assigns cells (no shuffle of the corpus), the probe
+    list is broadcast, and the cell equi-join prunes the candidate set to
+    ~n_probe/n_centroids of the corpus.  At 100 TB, write the corpus
+    partitioned by ``cell`` once and the probe join becomes partition
+    pruning.  Returns (query_id, neighbor_id, score, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.array([r.v for r in cent_rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    sc = corpus.sparkSession
+    bc = sc.sparkContext.broadcast(cmat)
+
+    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
+
+    def assign(batches):
+        cm = bc.value
+        for pdf in batches:
+            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            pdf = pdf.assign(__cell=np.argmax(vn @ cm.T, axis=1).astype("int32"))
+            yield pdf
+
+    vec_t = corpus.schema[corpus_vec].dataType.simpleString()
+    assigned = c.mapInPandas(
+        assign, schema=f"neighbor_id long, __cv {vec_t}, __cell int"
+    )
+
+    qrows = queries.select(F.col(query_id).alias("id"), F.col(query_vec).alias("v")).collect()
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    probe_order = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
+    probes = pd.DataFrame(
+        {
+            "query_id": [r.id for r in qrows for _ in range(n_probe)],
+            "__qv": [list(r.v) for r in qrows for _ in range(n_probe)],
+            "__cell": probe_order.astype("int32").ravel(),
+        }
+    )
+    qdf = queries.sparkSession.createDataFrame(
+        probes, schema=f"query_id long, __qv {vec_t}, __cell int"
+    )
+
+    cand = assigned.join(F.broadcast(qdf), "__cell")
     if exclude_self:
         cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
     scored = cand.select(

@@ -6,7 +6,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clickhouseocp_spark.catalog import load_table
-from clickhouseocp_spark.operators.funnel import retention, window_funnel
+from clickhouseocp_spark.operators.funnel import (
+    retention,
+    sequence_count,
+    sequence_match,
+    window_funnel,
+)
 from clickhouseocp_spark.queries import register
 
 _FUNNEL_WINDOW_S = 7 * 86400  # 7 days
@@ -82,4 +87,78 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "purchase",
         ],
         window_seconds=_FUNNEL_WINDOW_S,
+    )
+
+
+@register(
+    "sequence_match_chain",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+)
+SELECT u.user_id,
+       CAST(EXISTS (
+         SELECT 1 FROM e a
+         JOIN e b ON b.user_id = a.user_id AND b.ts > a.ts
+                 AND epoch(b.ts) - epoch(a.ts) <= 86400
+         JOIN e c ON c.user_id = b.user_id AND c.ts > b.ts
+         WHERE a.user_id = u.user_id AND a.event_type = 'signup'
+           AND b.event_type = 'click' AND c.event_type = 'purchase'
+       ) AS INTEGER) AS matched
+FROM (SELECT DISTINCT user_id FROM e) u
+""",
+    tags=("funnel", "agg"),
+)
+def sequence_match_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceMatch('(?1)(?t<=86400)(?2).*(?3)'): signup, click within a day
+    of it, then a purchase any time later (operators/funnel.sequence_match,
+    min/max achievable-time DP).  Oracle restates it as an EXISTS chain."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_match(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        step_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        time_constraints=[("<=", 86400), None],
+    )
+
+
+@register(
+    "sequence_count_pairs",
+    oracle="""
+WITH m AS (
+  SELECT user_id, ts,
+         CASE WHEN event_type = 'signup' THEN 1 ELSE 2 END AS step
+  FROM events WHERE event_type IN ('signup', 'click')
+),
+l AS (
+  SELECT user_id, step,
+         lag(step) OVER (PARTITION BY user_id ORDER BY ts, step) AS prev
+  FROM m
+)
+SELECT user_id, CAST(count(*) FILTER (WHERE step = 2 AND prev = 1) AS BIGINT) AS n_chains
+FROM l GROUP BY user_id
+""",
+    tags=("funnel", "agg"),
+)
+def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount('(?1)(?2)'): greedy non-overlapping signup→click chains
+    per user (operators/funnel.sequence_count).  The oracle uses the
+    independent run-collapse identity: greedy 2-step chain count = number of
+    1→2 transitions in the (ts, step)-ordered matching-event sequence —
+    a strong cross-formulation check of the fold."""
+    ev = load_table(spark, sf_dir, "events")
+    return sequence_count(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        step_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+        ],
     )

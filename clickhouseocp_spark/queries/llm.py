@@ -33,6 +33,7 @@ from clickhouseocp_spark.operators.dedup_text import (
 from clickhouseocp_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     srp_lsh_topk,
 )
 from clickhouseocp_spark.queries import register
@@ -322,6 +323,17 @@ def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return srp_lsh_topk(queries, emb, k=5, dim=64, n_bits=4, num_tables=8)
+
+
+@register("similarity_topk_ivf", oracle=None, tags=("llm", "similarity"))
+def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via an IVF coarse quantizer (16 hash-sampled
+    centroid cells, probe 4).  Approximate → rows-only check; pytest asserts
+    planted same-direction duplicates are recalled at rank 1
+    (operators/similarity.ivf_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4)
 
 
 @register(

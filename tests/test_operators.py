@@ -188,3 +188,95 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
         assert j.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+# ---------------------------------------------------------------------------
+# Sequence aggregates (sequenceMatch / sequenceCount)
+# ---------------------------------------------------------------------------
+
+
+def _seq_df(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [(k, base + dt.timedelta(seconds=s), e) for k, s, e in rows],
+        "k long, ts timestamp, ev string",
+    )
+
+
+def test_sequence_match_later_start_beats_greedy_earliest(spark):
+    from clickhouseocp_spark.operators.funnel import sequence_match
+
+    # earliest-match greedy would bind A@0 and miss; the A@95 chain fits <=10
+    df = _seq_df(spark, [(1, 0, "A"), (1, 95, "A"), (1, 100, "B")])
+    conds = [F.col("ev") == "A", F.col("ev") == "B"]
+    out = sequence_match(df, "k", "ts", conds, [("<=", 10)]).collect()
+    assert out[0].matched == 1
+
+
+def test_sequence_match_requires_strictly_increasing_ts(spark):
+    from clickhouseocp_spark.operators.funnel import sequence_match
+
+    df = _seq_df(spark, [(1, 5, "A"), (1, 5, "B"), (2, 5, "A"), (2, 6, "B")])
+    conds = [F.col("ev") == "A", F.col("ev") == "B"]
+    out = {r.k: r.matched for r in sequence_match(df, "k", "ts", conds).collect()}
+    assert out == {1: 0, 2: 1}
+
+
+def test_sequence_match_min_gap_constraint(spark):
+    from clickhouseocp_spark.operators.funnel import sequence_match
+
+    conds = [F.col("ev") == "A", F.col("ev") == "B"]
+    near = _seq_df(spark, [(1, 0, "A"), (1, 5, "B")])
+    far = _seq_df(spark, [(2, 0, "A"), (2, 5, "B"), (2, 20, "B")])
+    assert sequence_match(near, "k", "ts", conds, [(">=", 10)]).collect()[0].matched == 0
+    assert sequence_match(far, "k", "ts", conds, [(">=", 10)]).collect()[0].matched == 1
+
+
+def test_sequence_count_greedy_restart(spark):
+    from clickhouseocp_spark.operators.funnel import sequence_count
+
+    conds = [F.col("ev") == "A", F.col("ev") == "B"]
+    # ABAB -> 2 ; AABB -> 1 (second B has no fresh A) ; BBB -> 0
+    df = _seq_df(
+        spark,
+        [(1, 0, "A"), (1, 1, "B"), (1, 2, "A"), (1, 3, "B")]
+        + [(2, 0, "A"), (2, 1, "A"), (2, 2, "B"), (2, 3, "B")]
+        + [(3, 0, "B"), (3, 1, "B"), (3, 2, "B")],
+    )
+    out = {r.k: r.n_chains for r in sequence_count(df, "k", "ts", conds).collect()}
+    assert out == {1: 2, 2: 1, 3: 0}
+
+
+def test_ivf_planted_duplicates_recalled_at_rank1(spark, sf_dir):
+    from clickhouseocp_spark.operators.similarity import ivf_topk
+
+    # corpus = originals ∪ same-direction scaled copies: cell assignment is
+    # scale-invariant, so each query's copy shares its cell → recall = 1
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivf_topk(queries, corpus, k=3, n_centroids=8, n_probe=2)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert top1 == {q: q + 1_000_000 for q in top1}
+    assert len(top1) == queries.count()
+
+
+def test_ivf_scores_are_exact_cosine(spark, sf_dir):
+    from clickhouseocp_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in cosine_topk(queries, emb, k=10**6).collect()
+    }
+    ivf = ivf_topk(queries, emb, k=5, n_centroids=16, n_probe=4).collect()
+    assert len(ivf) > 0
+    for r in ivf:  # every candidate re-ranked with the exact metric
+        assert exact[(r.query_id, r.neighbor_id)] == r.score
