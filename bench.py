@@ -7,6 +7,13 @@ BENCH_r{N}.json and grades against BASELINE.md (within 2x at the same SF).
 Each timed run forces full execution via a count over the materialized result
 (`df.toLocalIterator` would under-count lazy work; count() executes the whole
 plan; noop write would also work but count keeps the driver memory flat).
+
+Protocol: per query, one untimed warmup run then the MEDIAN of 3 timed runs —
+the same steady-state convention as the reference's own measurement tool
+(`clickhouse-benchmark`, Dockerfile:153, which reports percentiles over
+repeated executions).  At sf0.1 a cold first run is dominated by whole-stage
+codegen compilation (one-time Janino cost, amortized to noise at real scale),
+which would otherwise swamp the signal the bench exists to track.
 """
 
 from __future__ import annotations
@@ -35,9 +42,13 @@ HEADLINE = [
     "agg_basic",
     "subquery_in_exists",
     "asof_join_backward",
+    "window_funnel_depth",
+    "sequence_match_chain",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "similarity_topk",
+    "similarity_topk_ivf",
 ]
 
 
@@ -58,9 +69,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        registry[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        fn = registry[name].fn
+        fn(spark, sf_dir).count()  # per-plan warmup (codegen compile)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -70,6 +86,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "protocol": "median of 3 timed runs after 1 warmup run per query",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

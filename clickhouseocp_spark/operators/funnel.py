@@ -7,25 +7,33 @@ scope note).
   ...] — pure conditional aggregation, one shuffle.
 - :func:`window_funnel`: max funnel depth per key — the longest step chain
   with strictly increasing timestamps whose span from the chain's first event
-  fits in ``window``.  Computed with a max-chain-start fold over the key's
-  time-sorted events (greedy max-start is exact for exists-chain semantics:
-  any chain's start time is ≤ the fold's best start at its level).  Runs per
-  key group via applyInPandas — the sanctioned path for custom order-sensitive
-  stateful aggregates; each group's state is O(#steps).
+  fits in ``window``.  The max-chain-start recurrence (greedy max-start is
+  exact for exists-chain semantics: any chain's start time is ≤ the best
+  start at its level) is evaluated level-by-level with JVM window functions —
+  ``max(prev_level_start) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+  UNBOUNDED PRECEDING AND 1 PRECEDING)`` — so the whole operator is one
+  shuffle + one sort, no Python on the data plane, and the strictly-preceding
+  RANGE frame enforces strict ts increase for free.
 - :func:`sequence_match`: does a chain matching the pattern exist?  Supports
   the (?N) / .* / single (?t OP n) -per-edge subset of CH's pattern syntax.
   Exact via a min/max achievable-time DP per level (each edge constraint is a
-  one-sided predicate on the previous matched time, so the extremes suffice).
+  one-sided predicate on the previous matched time, so the extremes decide
+  feasibility; chain state is Markov in the last matched time).  Same
+  JVM-window evaluation as :func:`window_funnel`.
 - :func:`sequence_count`: greedy count of non-overlapping chains (restart
   after each completion — CH's documented search strategy), no time
-  constraints.  State per group is O(#steps).
+  constraints.  Genuinely sequential state → applyInPandas fold, O(#steps)
+  state per group.
+- :func:`window_funnel_pandas` / :func:`sequence_match_pandas`: independent
+  applyInPandas fold implementations of the same recurrences, kept as
+  cross-checks (pytest asserts they match the window versions on fixtures).
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _ts_ns(series):
@@ -55,6 +63,18 @@ def retention(
     return agged.select(key, *out)
 
 
+def _first_match_step(step_conds: Sequence[Column]) -> Column:
+    # step = CASE WHEN cond1 THEN 1 WHEN cond2 THEN 2 ... END — first
+    # matching condition wins, like CH (conditions checked in order)
+    expr = None
+    for i, c in enumerate(step_conds):
+        expr = F.when(c, i + 1) if expr is None else expr.when(c, i + 1)
+    return expr
+
+
+_STRICTLY_BEFORE = (Window.unboundedPreceding, -1)
+
+
 def window_funnel(
     df: DataFrame,
     key: str,
@@ -64,7 +84,53 @@ def window_funnel(
 ) -> DataFrame:
     """windowFunnel(window)(ts, cond1, ..., condN): per key, the deepest level
     L such that events e1 < e2 < ... < eL exist with e_i matching cond_i,
-    strictly increasing ts, and ts(eL) - ts(e1) <= window."""
+    strictly increasing ts, and ts(eL) - ts(e1) <= window.
+
+    Level-by-level window evaluation of the max-chain-start recurrence:
+    ``__s{s}`` at an event holds the best (max) chain start achieving level s
+    *through this event*; feasibility at level s needs only the running max
+    of ``__s{s-1}`` over strictly-earlier events (RANGE ... AND 1 PRECEDING
+    on microsecond ts).  One shuffle on ``key``, one sort, all JVM."""
+    n = len(step_conds)
+    events = df.select(
+        F.col(key).alias("__k"),
+        F.unix_micros(F.col(ts_col)).alias("__tus"),
+        _first_match_step(step_conds).alias("__step"),
+    ).filter(F.col("__step").isNotNull())
+
+    w = Window.partitionBy("__k").orderBy("__tus").rangeBetween(*_STRICTLY_BEFORE)
+    win_us = int(window_seconds) * 1_000_000
+    cur = events.withColumn(
+        "__s1", F.when(F.col("__step") == 1, F.col("__tus"))
+    )
+    for s in range(2, n + 1):
+        best_prev = F.max(f"__s{s - 1}").over(w)
+        cur = cur.withColumn(
+            f"__s{s}",
+            F.when(
+                (F.col("__step") == s) & (best_prev >= F.col("__tus") - win_us),
+                best_prev,
+            ),
+        )
+    level = F.greatest(
+        F.lit(0),
+        *[
+            F.max(F.when(F.col(f"__s{s}").isNotNull(), F.lit(s)))
+            for s in range(1, n + 1)
+        ],
+    )
+    return cur.groupBy("__k").agg(level.alias("level")).withColumnRenamed("__k", key)
+
+
+def window_funnel_pandas(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+    window_seconds: int,
+) -> DataFrame:
+    """Reference applyInPandas fold for :func:`window_funnel` (same
+    max-chain-start recurrence evaluated sequentially per key group)."""
     import pandas as pd
 
     n_steps = len(step_conds)
@@ -129,6 +195,18 @@ def _multi_step_events(
     )
 
 
+def _check_edges(
+    time_constraints: Sequence[tuple[str, int] | None] | None, n: int
+) -> list[tuple[str, int] | None]:
+    edges = list(time_constraints or [None] * (n - 1))
+    if len(edges) != n - 1:
+        raise ValueError("need one time constraint slot per adjacent pair")
+    for e in edges:
+        if e is not None and e[0] not in ("<=", "<", ">=", ">"):
+            raise ValueError(f"bad time op {e[0]!r}")
+    return edges
+
+
 def sequence_match(
     df: DataFrame,
     key: str,
@@ -145,15 +223,56 @@ def sequence_match(
     time.  Each edge check is one-sided in the previous matched time
     (<=n ⟺ prev >= t-n → check max; >=n ⟺ prev <= t-n → check min), so the
     extremes decide feasibility; chain state is Markov in the last matched
-    time.  Same-ts events extend against the state as of the previous
-    distinct ts (strict increase), like :func:`window_funnel`.
-    """
+    time.  Evaluated level-by-level with JVM window functions over a
+    strictly-preceding RANGE frame (microsecond ts — strict increase for
+    free): one shuffle on ``key``, one sort, no Python."""
+    n = len(step_conds)
+    edges = _check_edges(time_constraints, n)
+    events = _multi_step_events(df, key, ts_col, step_conds).withColumn(
+        "__tus", F.unix_micros(F.col("__ts"))
+    )
+    w = Window.partitionBy("__k").orderBy("__tus").rangeBetween(*_STRICTLY_BEFORE)
+    cur = events.withColumn("__a1", F.when(F.col("__step") == 1, F.col("__tus")))
+    for s in range(2, n + 1):
+        edge = edges[s - 2]
+        prev_hi = F.max(f"__a{s - 1}").over(w)
+        if edge is None:
+            feasible = prev_hi.isNotNull()
+        else:
+            op, sec = edge
+            lim = F.col("__tus") - F.lit(int(sec) * 1_000_000)
+            if op == "<=":
+                feasible = prev_hi >= lim
+            elif op == "<":
+                feasible = prev_hi > lim
+            elif op == ">=":
+                feasible = F.min(f"__a{s - 1}").over(w) <= lim
+            else:  # ">"
+                feasible = F.min(f"__a{s - 1}").over(w) < lim
+        cur = cur.withColumn(
+            f"__a{s}", F.when((F.col("__step") == s) & feasible, F.col("__tus"))
+        )
+    matched = F.max(
+        F.when(F.col(f"__a{n}").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    )
+    return (
+        cur.groupBy("__k").agg(matched.alias("matched")).withColumnRenamed("__k", key)
+    )
+
+
+def sequence_match_pandas(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+    time_constraints: Sequence[tuple[str, int] | None] | None = None,
+) -> DataFrame:
+    """Reference applyInPandas fold for :func:`sequence_match` (same min/max
+    achievable-time DP evaluated sequentially per key group)."""
     import pandas as pd
 
     n = len(step_conds)
-    edges = list(time_constraints or [None] * (n - 1))
-    if len(edges) != n - 1:
-        raise ValueError("need one time constraint slot per adjacent pair")
+    edges = _check_edges(time_constraints, n)
     edges_ns = [
         None if e is None else (e[0], int(e[1]) * 1_000_000_000) for e in edges
     ]

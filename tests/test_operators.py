@@ -280,3 +280,27 @@ def test_ivf_scores_are_exact_cosine(spark, sf_dir):
     assert len(ivf) > 0
     for r in ivf:  # every candidate re-ranked with the exact metric
         assert exact[(r.query_id, r.neighbor_id)] == r.score
+
+
+def test_funnel_window_impls_match_pandas_folds(spark, sf_dir):
+    from clickhouseocp_spark.operators.funnel import (
+        sequence_match,
+        sequence_match_pandas,
+        window_funnel,
+        window_funnel_pandas,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    conds = [
+        F.col("event_type") == "signup",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+    ]
+    args = dict(key="user_id", ts_col="ts", step_conds=conds)
+    wf = {(r.user_id, r.level) for r in window_funnel(ev, window_seconds=86400, **args).collect()}
+    wfp = {(r.user_id, r.level) for r in window_funnel_pandas(ev, window_seconds=86400, **args).collect()}
+    assert wf == wfp
+    tc = [("<=", 3600), (">", 60)]
+    sm = {(r.user_id, r.matched) for r in sequence_match(ev, time_constraints=tc, **args).collect()}
+    smp = {(r.user_id, r.matched) for r in sequence_match_pandas(ev, time_constraints=tc, **args).collect()}
+    assert sm == smp
