@@ -1,0 +1,42 @@
+"""Geo scalar functions (SURVEY.md §2.8 geo family — upgraded from "skip" to
+composite for the distance/containment subset; polygon/h3 index machinery
+stays out of scope, documented).
+
+All pure built-in column expressions (libm trig → callers should round
+results for cross-engine comparison, queries/_util.r6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+#: mean Earth radius, meters (the WGS84 mean; CH's greatCircleDistance uses
+#: its own ellipsoidal constant — we pin the simple sphere and document it)
+EARTH_RADIUS_M = 6371000.0
+
+
+def great_circle_distance(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """greatCircleDistance(lon1, lat1, lon2, lat2) → meters (haversine on a
+    mean-radius sphere)."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.least(F.lit(1.0), F.sqrt(a)))
+
+
+def point_in_box(
+    lon: Column, lat: Column, lon_min: Column, lat_min: Column,
+    lon_max: Column, lat_max: Column,
+) -> Column:
+    """pointInBox (the rectangle case of CH's pointInPolygon family)."""
+    return (
+        (lon >= lon_min) & (lon <= lon_max) & (lat >= lat_min) & (lat <= lat_max)
+    )

@@ -106,3 +106,48 @@ def summing_merge(
     """SummingMergeTree read-time fold (SURVEY §2.1): rows with equal key
     collapse to one row of sums."""
     return df.groupBy(*keys).agg(*sums)
+
+
+def graphite_rollup(
+    df: DataFrame,
+    retentions: Sequence[tuple[int, int]],
+    now: str,
+    path_col: str = "path",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    aggs: Sequence[Column] | None = None,
+) -> DataFrame:
+    """GraphiteMergeTree-style age-tiered rollup (SURVEY §2.1 MergeTree
+    family): rows older than a tier's ``min_age`` collapse into coarser time
+    buckets — ``retentions`` is [(min_age_sec, precision_sec), ...] ascending
+    by age; a row takes the precision of the last tier it has aged past.
+
+    ``now`` is an explicit timestamp literal (determinism: never wall-clock).
+    Default aggregates are the re-mergeable pair (decimal-exact value_sum,
+    n) — partial states merge exactly at any parallelism, the
+    AggregatingMergeTree discipline.  One shuffle on (path, bucket).
+    Integer-second semantics: ts truncates to the second before bucketing, so
+    tier and bucket edges are engine-independent.
+    """
+    now_sec = F.unix_timestamp(F.lit(now).cast("timestamp"))
+    tsec = F.unix_timestamp(F.col(ts_col))
+    age = now_sec - tsec
+    tiers = sorted(retentions)
+    prec = F.lit(tiers[0][1])
+    for min_age, p in tiers[1:]:
+        prec = F.when(age >= min_age, F.lit(p)).otherwise(prec)
+    bucket = F.timestamp_seconds(F.floor(tsec / prec).cast("long") * prec)
+    if aggs is None:
+        aggs = [
+            F.sum(F.col(value_col).cast("decimal(38,6)")).cast("double").alias("value_sum"),
+            F.count(F.lit(1)).alias("n"),
+        ]
+    return (
+        df.select(
+            F.col(path_col).alias("path"),
+            bucket.alias("bucket_ts"),
+            F.col(value_col).alias(value_col),
+        )
+        .groupBy("path", "bucket_ts")
+        .agg(*aggs)
+    )

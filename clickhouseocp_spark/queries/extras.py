@@ -224,3 +224,45 @@ def hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = hll_merge(partials, keys=("event_type",), extra_aggs=[F.sum("n").alias("n")])
     return merged.select("event_type", "n", "uniq_estimate")
+
+
+@register(
+    "minmax_map_agg",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type,
+         CAST(MIN(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS vmin,
+         CAST(MAX(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS vmax
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || vmin, ',' ORDER BY event_type) AS type_mins,
+       string_agg(event_type || ':' || vmax, ',' ORDER BY event_type) AS type_maxs
+FROM per GROUP BY user_id
+""",
+    tags=("agg", "map"),
+)
+def minmax_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minMap / maxMap (SURVEY §2.4 sumMap family): element-wise min and max
+    of (event_type → value) maps per user — explode→agg→map_from_entries,
+    rendered as sorted key:value CSV (decimal cast pins the cross-engine
+    string format)."""
+    ev = load_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.col("value").cast("decimal(18,2)")).cast("string").alias("vmin"),
+        F.max(F.col("value").cast("decimal(18,2)")).cast("string").alias("vmax"),
+    )
+    def rendered(vcol: str) -> F.Column:
+        m = F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", vcol)))
+        )
+        return F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(m)),
+                lambda k: F.concat(k, F.lit(":"), F.element_at(m, k)),
+            ),
+            ",",
+        )
+    return per.groupBy("user_id").agg(
+        rendered("vmin").alias("type_mins"), rendered("vmax").alias("type_maxs")
+    )

@@ -6,6 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.operators.groupwise import graphite_rollup
 from clickhouseocp_spark.operators.mutations import (
     collapsing_merge,
     delete_where,
@@ -214,4 +215,41 @@ def numbers_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("number").alias("total"),
         F.sum(F.col("number") * F.col("number")).alias("sum_sq"),
+    )
+
+
+@register(
+    "graphite_rollup_tiers",
+    oracle="""
+WITH e AS (
+  SELECT event_type AS path,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         value
+  FROM events
+),
+p AS (
+  SELECT path, value, tsec,
+         CASE WHEN 1706659200 - tsec >= 1814400 THEN 604800
+              WHEN 1706659200 - tsec >= 604800 THEN 86400
+              ELSE 3600 END AS prec
+  FROM e
+)
+SELECT path,
+       CAST(to_timestamp((tsec // prec) * prec) AS TIMESTAMP) AS bucket_ts,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY path, (tsec // prec) * prec
+""",
+    tags=("mergetree", "rollup"),
+)
+def graphite_rollup_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphiteMergeTree age-tiered rollup (operators/groupwise.
+    graphite_rollup): hourly buckets for the last week before the fixed
+    reference time 2024-01-31, daily for 1-3 weeks old, weekly beyond —
+    re-mergeable (decimal sum, count) states per (path, bucket)."""
+    ev = load_table(spark, sf_dir, "events")
+    return graphite_rollup(
+        ev.select(F.col("event_type").alias("path"), "ts", "value"),
+        retentions=[(0, 3600), (604800, 86400), (1814400, 604800)],
+        now="2024-01-31 00:00:00",
     )

@@ -367,3 +367,50 @@ def scalar_url(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("url", F.lit("QUERY")).alias("query_string"),
         F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "scalar_geo",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         (c_custkey % 17000) / 100.0 - 85.0 AS lat,
+         (c_custkey % 35000) / 100.0 - 175.0 AS lon
+  FROM customer
+)
+SELECT c_custkey,
+       ROUND(2.0 * 6371000.0 * asin(least(1.0, sqrt(
+         sin(radians(48.8566 - lat) / 2) * sin(radians(48.8566 - lat) / 2)
+         + cos(radians(lat)) * cos(radians(48.8566))
+           * sin(radians(2.3522 - lon) / 2) * sin(radians(2.3522 - lon) / 2)
+       ))) / 1000.0, 6) AS dist_km,
+       CAST(lon BETWEEN -10 AND 30 AND lat BETWEEN 35 AND 70 AS INTEGER) AS in_europe_box
+FROM pts
+""",
+    tags=("scalar", "geo"),
+)
+def scalar_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo family (SURVEY §2.8): greatCircleDistance (haversine, mean-radius
+    sphere — functions/geo.py) from synthetic per-customer coordinates to
+    Paris, plus a pointInBox containment flag.  r6 on the libm-backed
+    distance."""
+    from clickhouseocp_spark.functions.geo import great_circle_distance, point_in_box
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 17000) / 100.0 - 85.0).alias("lat"),
+        ((F.col("c_custkey") % 35000) / 100.0 - 175.0).alias("lon"),
+    )
+    dist = great_circle_distance(
+        F.col("lon"), F.col("lat"), F.lit(2.3522), F.lit(48.8566)
+    )
+    box = point_in_box(
+        F.col("lon"), F.col("lat"),
+        F.lit(-10.0), F.lit(35.0), F.lit(30.0), F.lit(70.0),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(dist / 1000.0, 6).alias("dist_km"),
+        box.cast("int").alias("in_europe_box"),
+    )
