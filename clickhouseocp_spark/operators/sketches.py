@@ -9,8 +9,12 @@ columns and merges them at read time.  Spark equivalents, per state type:
 - uniq state          → HLL sketch binary columns: ``hll_sketch_agg`` to
   materialize, ``hll_union_agg`` to merge, ``hll_sketch_estimate`` to read
   (Spark 3.5+ Apache DataSketches — same role as CH uniqState/uniqMerge)
-- quantile states     → no native re-mergeable sketch; documented gap
-  (SURVEY §7.2: expose HLL only)
+- quantile states     → fixed-resolution histogram states (the public
+  quantileTiming design: bounded bins, exact merge by element-wise sum) —
+  ``quantile_timing_partial`` / ``quantile_timing_merge`` /
+  ``quantile_timing_estimate`` below.  Unlike t-digest, the merge is
+  EXACT and associative, so any partial/final split yields identical
+  states — the property AggregatingMergeTree rollups rely on.
 
 These functions implement the rollup pattern: fine-grained partials persisted
 once, then merged along any coarser dimension WITHOUT rescanning the facts —
@@ -51,3 +55,85 @@ def hll_merge(
     return merged.withColumn(
         "uniq_estimate", F.hll_sketch_estimate("uniq_state")
     )
+
+
+def _bucket_index(col: F.Column, lo: float, width: float, bins: int) -> F.Column:
+    """Clamped fixed-width bucket index — identical integer result on any
+    engine when ``lo``/``width`` are exactly-representable doubles."""
+    raw = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.least(F.lit(bins - 1), F.greatest(F.lit(0), raw))
+
+
+def quantile_timing_partial(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    bins: int = 256,
+    lo: float = 0.0,
+    hi: float = 512.0,
+) -> DataFrame:
+    """quantileTimingState analog: per-key length-``bins`` count array over
+    fixed-width buckets of ``col`` (out-of-range values clamp to edge bins).
+
+    The state column ``qt_state`` is re-mergeable by element-wise sum —
+    ``quantile_timing_merge``.  Shuffle profile: one partial+final hash agg
+    on (keys, bucket) — map-side combine shrinks the shuffle to at most
+    |keys|×bins rows regardless of input size — then one narrow agg to
+    assemble the array.
+    """
+    width = (hi - lo) / bins
+    per_bucket = (
+        df.select(*keys, _bucket_index(F.col(col), lo, width, bins).alias("_b"))
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    # dense array: missing buckets are zero
+    entries = F.map_from_entries(F.array_sort(F.collect_list(F.struct("_b", "_n"))))
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(bins - 1)),
+        lambda i: F.coalesce(F.element_at(entries, i), F.lit(0).cast("long")),
+    )
+    return per_bucket.groupBy(*keys).agg(dense.alias("qt_state"))
+
+
+def quantile_timing_merge(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """quantileTimingMerge analog: element-wise sum of state arrays along
+    coarser keys.  Exact and associative — merging day-level states to
+    month level equals aggregating the raw rows directly."""
+    bins = F.size(F.first("qt_state"))
+    folded = F.aggregate(
+        F.collect_list("qt_state"),
+        F.array_repeat(F.lit(0).cast("long"), bins),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+    )
+    return partials.groupBy(*keys).agg(folded.alias("qt_state"))
+
+
+def quantile_timing_estimate(
+    q: float, bins: int = 256, lo: float = 0.0, hi: float = 512.0
+) -> F.Column:
+    """quantileTiming read: midpoint of the first bucket whose cumulative
+    count reaches ``ceil(q * total)`` of the ``qt_state`` column.  Error is
+    bounded by the bucket width — the quantileTiming contract."""
+    width = (hi - lo) / bins
+    state = F.col("qt_state")
+    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(F.lit(q) * total)
+    # fold: (cum, found_idx, pos); found_idx fixes at the first crossing
+    found = F.aggregate(
+        state,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).alias("idx"),
+            F.lit(0).alias("pos"),
+        ),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x).alias("cum"),
+            F.when(acc["idx"] >= 0, acc["idx"])
+            .when(acc["cum"] + x >= target, acc["pos"])
+            .otherwise(F.lit(-1))
+            .alias("idx"),
+            (acc["pos"] + 1).alias("pos"),
+        ),
+    )["idx"]
+    return F.lit(lo) + (found + F.lit(0.5)) * F.lit(width)

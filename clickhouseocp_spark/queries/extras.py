@@ -266,3 +266,55 @@ def minmax_map_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("user_id").agg(
         rendered("vmin").alias("type_mins"), rendered("vmax").alias("type_maxs")
     )
+
+
+@register(
+    "quantile_timing_state_merge",
+    oracle="""
+WITH b AS (
+  SELECT event_type,
+         LEAST(255, GREATEST(0, CAST(floor(value / 2.0) AS INTEGER))) AS idx
+  FROM events
+),
+c AS (
+  SELECT event_type, idx, COUNT(*) AS n FROM b GROUP BY event_type, idx
+),
+w AS (
+  SELECT event_type, idx, n,
+         SUM(n) OVER (PARTITION BY event_type ORDER BY idx) AS cum,
+         SUM(n) OVER (PARTITION BY event_type) AS total
+  FROM c
+)
+SELECT event_type,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.50 * total) THEN (idx + 0.5) * 2.0 END), 6) AS q50,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.90 * total) THEN (idx + 0.5) * 2.0 END), 6) AS q90,
+       ROUND(MIN(CASE WHEN cum >= CEIL(0.99 * total) THEN (idx + 0.5) * 2.0 END), 6) AS q99,
+       CAST(MAX(total) AS BIGINT) AS n
+FROM w GROUP BY event_type
+""",
+    tags=("agg", "sketch", "mergetree"),
+)
+def quantile_timing_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileTimingState / -Merge (SURVEY §2.4 / §7.2): re-mergeable
+    fixed-bin quantile states — day-level partials merged to event_type, then
+    read at q50/q90/q99 (operators/sketches.quantile_timing_*).  The oracle
+    computes the same histogram directly from raw rows, so a value-hash match
+    proves the partial→merge split is EXACT, the AggregatingMergeTree rollup
+    property."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_timing_estimate,
+        quantile_timing_merge,
+        quantile_timing_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = quantile_timing_partial(ev, keys=("event_type", "day"), col="value")
+    merged = quantile_timing_merge(partials, keys=("event_type",))
+    total = F.aggregate("qt_state", F.lit(0).cast("long"), lambda a, x: a + x)
+    return merged.select(
+        "event_type",
+        F.round(quantile_timing_estimate(0.50), 6).alias("q50"),
+        F.round(quantile_timing_estimate(0.90), 6).alias("q90"),
+        F.round(quantile_timing_estimate(0.99), 6).alias("q99"),
+        total.alias("n"),
+    )

@@ -414,3 +414,83 @@ def scalar_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dist / 1000.0, 6).alias("dist_km"),
         box.cast("int").alias("in_europe_box"),
     )
+
+
+@register(
+    "scalar_tuple_map",
+    oracle="""
+SELECT p_partkey,
+       p_brand AS tuple_brand,
+       CAST(p_size AS BIGINT) AS tuple_size,
+       'brand,type' AS map_keys_csv,
+       p_brand AS map_brand_val,
+       CAST(0 AS BOOLEAN) AS has_container_key,
+       upper(p_type) AS type_upper,
+       CAST(1 AS INTEGER) AS brand_only_size
+FROM part WHERE p_partkey <= 2000
+""",
+    tags=("scalar", "tuple", "map"),
+)
+def scalar_tuple_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tuples/Maps family (SURVEY §2.8): tuple/tupleElement via struct +
+    getField; map / mapKeys / mapContains / mapApply (transform_values) /
+    mapFilter / element_at.  The oracle states the algebraically-equal scalar
+    results — the map round-trips must be lossless to hash-match."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 2000)
+    tup = F.struct(F.col("p_brand"), F.col("p_size"))
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("brand").alias("k"), F.col("p_brand").alias("v")),
+            F.struct(F.lit("type").alias("k"), F.col("p_type").alias("v")),
+        )
+    )
+    upper_m = F.transform_values(m, lambda k, v: F.upper(v))
+    brand_only = F.map_filter(m, lambda k, v: k == F.lit("brand"))
+    return p.select(
+        "p_partkey",
+        tup.getField("p_brand").alias("tuple_brand"),
+        tup.getField("p_size").cast("bigint").alias("tuple_size"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("map_keys_csv"),
+        F.element_at(m, F.lit("brand")).alias("map_brand_val"),
+        F.map_contains_key(m, F.lit("container")).alias("has_container_key"),
+        F.element_at(upper_m, F.lit("type")).alias("type_upper"),
+        F.size(F.map_keys(brand_only)).alias("brand_only_size"),
+    )
+
+
+@register(
+    "scalar_interval",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d
+  FROM orders WHERE o_orderkey <= 4000
+)
+SELECT o_orderkey,
+       CAST(d + INTERVAL 3 MONTH AS DATE) AS plus_3_months,
+       d - 45 AS minus_45_days,
+       CAST(date_diff('day', d - 45, CAST(d + INTERVAL 3 MONTH AS DATE)) AS INTEGER) AS span_days,
+       CAST(date_trunc('quarter', d) AS DATE) AS quarter_start,
+       CAST(d AS TIMESTAMP) + INTERVAL 36 HOUR AS ts_plus_36h
+FROM o
+""",
+    tags=("scalar", "datetime", "interval"),
+)
+def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval family (SURVEY §1.2 Interval* → ANSI intervals): year-month
+    and day-time interval arithmetic on dates/timestamps, datediff spans,
+    quarter truncation."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") <= 4000)
+        .withColumn("d", F.col("o_orderdate").cast("date"))
+    )
+    plus3m = F.expr("d + INTERVAL '3' MONTH").cast("date")
+    minus45 = F.date_sub("d", 45)
+    return o.select(
+        "o_orderkey",
+        plus3m.alias("plus_3_months"),
+        minus45.alias("minus_45_days"),
+        F.datediff(plus3m, minus45).alias("span_days"),
+        F.date_trunc("quarter", "d").cast("date").alias("quarter_start"),
+        F.expr("CAST(d AS TIMESTAMP) + INTERVAL '36' HOUR").alias("ts_plus_36h"),
+    )

@@ -304,3 +304,51 @@ def test_funnel_window_impls_match_pandas_folds(spark, sf_dir):
     sm = {(r.user_id, r.matched) for r in sequence_match(ev, time_constraints=tc, **args).collect()}
     smp = {(r.user_id, r.matched) for r in sequence_match_pandas(ev, time_constraints=tc, **args).collect()}
     assert sm == smp
+
+
+def test_quantile_timing_state_merge_properties(spark, sf_dir):
+    """Merge associativity: states built at any partial granularity merge to
+    the identical state; estimates stay within one bucket width of exact."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_timing_estimate,
+        quantile_timing_merge,
+        quantile_timing_partial,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    direct = quantile_timing_partial(ev, keys=("event_type",), col="value")
+    via_day = quantile_timing_merge(
+        quantile_timing_partial(ev, keys=("event_type", "day"), col="value"),
+        keys=("event_type",),
+    )
+    via_user = quantile_timing_merge(
+        quantile_timing_partial(ev, keys=("event_type", "user_id"), col="value"),
+        keys=("event_type",),
+    )
+    d = {r.event_type: r.qt_state for r in direct.collect()}
+    for merged in (via_day, via_user):
+        m = {r.event_type: r.qt_state for r in merged.collect()}
+        assert m == d  # bit-exact state equality, any split
+
+    width = 512.0 / 256
+    est = {
+        r.event_type: r.q90
+        for r in direct.select(
+            "event_type", quantile_timing_estimate(0.90).alias("q90")
+        ).collect()
+    }
+    # the state's rank convention is the ceil(q*n)-th order statistic
+    # (discrete), so compare to that — midpoint error is bounded by width/2
+    exact = {
+        r.event_type: r.q90
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.expr(
+                "sort_array(collect_list(value))"
+                "[cast(ceil(0.90 * count(value)) as int) - 1]"
+            ).alias("q90")
+        )
+        .collect()
+    }
+    for t, v in exact.items():
+        assert abs(est[t] - v) <= width / 2, (t, est[t], v)
