@@ -318,3 +318,44 @@ def quantile_timing_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(quantile_timing_estimate(0.99), 6).alias("q99"),
         total.alias("n"),
     )
+
+
+@register(
+    "projection_rollup_answer",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+       CAST(COUNT(l_extendedprice) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+         / COUNT(l_extendedprice) AS price_avg,
+       MIN(l_shipdate) AS ship_min,
+       MAX(l_shipdate) AS ship_max
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "projection", "mergetree"),
+)
+def projection_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree projections (SURVEY §4's one custom-optimizer candidate,
+    plans/projections.py): a (l_returnflag, l_linestatus) summary of
+    re-mergeable states answers the coarser GROUP BY l_returnflag without
+    touching the fact table — the oracle aggregates the raw rows, so the
+    hash match proves projection answering is exact."""
+    from clickhouseocp_spark.plans.projections import (
+        ProjectionCatalog,
+        build_projection,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = {
+        "qty_sum": ("sum", "l_quantity"),
+        "n": ("count", "l_extendedprice"),
+        "price_avg": ("avg", "l_extendedprice"),
+        "ship_min": ("min", "l_shipdate"),
+        "ship_max": ("max", "l_shipdate"),
+    }
+    proj, summary = build_projection(
+        li, "li_flag_status", keys=("l_returnflag", "l_linestatus"), measures=measures
+    )
+    cat = ProjectionCatalog(spark)
+    cat.register(proj, summary)
+    return cat.aggregate(None, ("l_returnflag",), measures)

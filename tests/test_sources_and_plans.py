@@ -100,3 +100,40 @@ def test_q1_shuffle_budget(spark, sf_dir):
 
     q = all_queries()["q1_pricing_summary"].fn(spark, sf_dir)
     assert shuffle_count(q) <= 1, shuffle_count(q)
+
+
+def test_projection_answers_without_fact_scan(spark, sf_dir, tmp_path):
+    """plans/projections.py: a routed aggregate scans ONLY the summary
+    parquet (the fact table path never appears in the physical plan), and
+    its result is identical to the direct fact-table aggregate."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+    from clickhouseocp_spark.plans.projections import (
+        ProjectionCatalog,
+        build_projection,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    measures = {
+        "qty_sum": ("sum", "l_quantity"),
+        "n": ("count", "l_quantity"),
+        "price_avg": ("avg", "l_extendedprice"),
+    }
+    path = str(tmp_path / "proj_li")
+    proj, _ = build_projection(
+        li, "li_proj", keys=("l_returnflag", "l_linestatus"), measures=measures, path=path
+    )
+    cat = ProjectionCatalog(spark)
+    cat.register(proj)
+
+    routed = cat.aggregate(li, ("l_returnflag",), measures)
+    plan = formatted_plan(routed)
+    assert "proj_li" in plan
+    assert "lineitem" not in plan  # fact table never scanned
+
+    direct = cat.aggregate(li, ("l_returnflag",), {**measures, "_force": ("count", "l_tax")})
+    direct = direct.drop("_force")
+    assert sorted(map(tuple, routed.collect())) == sorted(map(tuple, direct.collect()))
+
+    # a grouping not covered by the projection falls back to the fact table
+    fallback = cat.aggregate(li, ("l_returnflag", "l_shipdate"), measures)
+    assert "lineitem" in formatted_plan(fallback)
