@@ -16,6 +16,7 @@ from clickhouseocp_spark.streaming.pipeline import (
     materialized_view,
     run_available_now,
     session_window_stats,
+    stateful_running_totals,
     streaming_dedup_counts,
     tumbling_window_counts,
 )
@@ -101,4 +102,27 @@ def stream_materialized_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mv.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "stream_stateful_totals",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM events GROUP BY event_type
+""",
+    tags=("streaming", "stateful"),
+)
+def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): running
+    per-type totals in integer-cent state.  Totals are cumulative, so the
+    max row per key is the drained-stream total — equal to the batch
+    aggregate."""
+    out = run_available_now(
+        stateful_running_totals(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+    return out.groupBy("event_type").agg(
+        F.max("n").alias("n"), F.max("total_cents").alias("total_cents")
     )

@@ -142,3 +142,41 @@ def streaming_dedup_counts(stream: DataFrame) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_users"))
     )
+
+
+def stateful_running_totals(stream: DataFrame) -> DataFrame:
+    """Arbitrary stateful transform (SURVEY §2.9 last row — beyond CH's
+    surface): per-event_type running (count, exact cent-sum) state carried
+    across micro-batches via ``applyInPandasWithState``.  Each batch emits
+    the updated cumulative totals for the keys it touched; totals are
+    monotone, so the final row per key is the grand total.
+
+    State is integer cents (2-decimal fixture values), so accumulation is
+    exact and engine-independent; state size is O(#event_types) — bounded
+    regardless of stream length.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n": [n], "total_cents": [cents]}
+        )
+
+    return (
+        stream.select("event_type", "value")
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            update,
+            outputStructType="event_type string, n bigint, total_cents bigint",
+            stateStructType="n bigint, cents bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
