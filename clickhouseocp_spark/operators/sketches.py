@@ -137,3 +137,62 @@ def quantile_timing_estimate(
         ),
     )["idx"]
     return F.lit(lo) + (found + F.lit(0.5)) * F.lit(width)
+
+
+def topk_state_partial(
+    df: DataFrame,
+    keys: Sequence[str],
+    item_col: str,
+    m: int,
+) -> DataFrame:
+    """topKState analog: per-key state = the ``m`` highest-count (item, cnt)
+    pairs, sorted (cnt desc, item asc).  With ``m`` >= the key's distinct-item
+    cardinality the state is lossless and merging is EXACT; smaller ``m``
+    gives the space-saving trade-off: a dropped item's merged count is
+    underestimated by at most the truncated tail mass (pytest bounds it).
+
+    Shuffle profile: partial+final hash agg on (keys, item), then a window
+    top-m (same shuffle key) — state rows crossing the wire are capped at
+    |keys|×m.
+    """
+    from pyspark.sql import Window
+
+    counted = df.groupBy(*keys, item_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_cnt"), F.asc(item_col))
+    top = counted.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= m)
+    entry = F.struct(
+        (-F.col("_cnt")).alias("neg_cnt"), F.col(item_col).cast("string").alias("item")
+    )
+    return top.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(entry)).alias("topk_state")
+    )
+
+
+def topk_state_merge(partials: DataFrame, keys: Sequence[str], m: int) -> DataFrame:
+    """topKMerge analog: element counts sum across states, re-truncate to m."""
+    from pyspark.sql import Window
+
+    flat = partials.select(*keys, F.explode("topk_state").alias("e")).select(
+        *keys,
+        F.col("e.item").alias("_item"),
+        (-F.col("e.neg_cnt")).alias("_cnt"),
+    )
+    summed = flat.groupBy(*keys, "_item").agg(F.sum("_cnt").alias("_cnt"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_cnt"), F.asc("_item"))
+    top = summed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= m)
+    entry = F.struct((-F.col("_cnt")).alias("neg_cnt"), F.col("_item").alias("item"))
+    return top.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(entry)).alias("topk_state")
+    )
+
+
+def topk_state_read(k: int) -> F.Column:
+    """Read the top-``k`` as a deterministic "item:cnt,..." CSV (cnt desc,
+    item asc — the state's sort order)."""
+    return F.array_join(
+        F.transform(
+            F.slice("topk_state", 1, k),
+            lambda e: F.concat(e["item"], F.lit(":"), (-e["neg_cnt"]).cast("string")),
+        ),
+        ",",
+    )

@@ -359,3 +359,43 @@ def projection_rollup_answer(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = ProjectionCatalog(spark)
     cat.register(proj, summary)
     return cat.aggregate(None, ("l_returnflag",), measures)
+
+
+@register(
+    "topk_state_merge",
+    oracle="""
+WITH c AS (
+  SELECT event_type, user_id, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, user_id
+),
+r AS (
+  SELECT event_type, user_id, cnt,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY cnt DESC, CAST(user_id AS VARCHAR) ASC) AS rn
+  FROM c
+)
+SELECT event_type,
+       string_agg(CAST(user_id AS VARCHAR) || ':' || CAST(cnt AS VARCHAR),
+                  ',' ORDER BY rn) AS top5
+FROM r WHERE rn <= 5 GROUP BY event_type
+""",
+    tags=("agg", "sketch", "mergetree"),
+)
+def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topKState / topKMerge (SURVEY §2.4 -State family): per-(event_type,
+    day) heavy-hitter states merged to event_type, read at k=5
+    (operators/sketches.topk_state_*).  m is un-truncating here, so the merge
+    is exact and the oracle's direct top-5 must hash-match; the truncated
+    space-saving path is bounded by pytest."""
+    from clickhouseocp_spark.operators.sketches import (
+        topk_state_merge as merge_states,
+        topk_state_partial,
+        topk_state_read,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = topk_state_partial(
+        ev, keys=("event_type", "day"), item_col="user_id", m=1_000_000
+    )
+    merged = merge_states(partials, keys=("event_type",), m=1_000_000)
+    return merged.select("event_type", topk_state_read(5).alias("top5"))

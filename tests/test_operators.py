@@ -352,3 +352,30 @@ def test_quantile_timing_state_merge_properties(spark, sf_dir):
     }
     for t, v in exact.items():
         assert abs(est[t] - v) <= width / 2, (t, est[t], v)
+
+
+def test_topk_state_truncation_keeps_heavy_hitter(spark):
+    """Space-saving path: with state truncated to m, a dominant item survives
+    partial→merge and its merged count underestimate is bounded by the
+    dropped tail mass per partial."""
+    from clickhouseocp_spark.operators.sketches import (
+        topk_state_merge,
+        topk_state_partial,
+        topk_state_read,
+    )
+
+    # 4 batches × (60 rows of item "hot" + 40 distinct noise items, 1 row each)
+    base = spark.range(400).select(
+        (F.col("id") % 4).alias("batch"),
+        F.when(F.col("id") % 100 < 60, F.lit("hot"))
+        .otherwise(F.concat(F.lit("n"), F.col("id").cast("string")))
+        .alias("item"),
+        F.lit("g").alias("grp"),
+    )
+    partials = topk_state_partial(base, keys=("grp", "batch"), item_col="item", m=8)
+    merged = topk_state_merge(partials, keys=("grp",), m=8)
+    top1 = merged.select(topk_state_read(1).alias("t")).collect()[0].t
+    item, cnt = top1.split(":")
+    assert item == "hot"
+    # exact hot count is 240; each of 4 partials drops only count-1 tail items
+    assert 240 - 4 * 1 <= int(cnt) <= 240
