@@ -63,15 +63,6 @@ def retention(
     return agged.select(key, *out)
 
 
-def _first_match_step(step_conds: Sequence[Column]) -> Column:
-    # step = CASE WHEN cond1 THEN 1 WHEN cond2 THEN 2 ... END — first
-    # matching condition wins, like CH (conditions checked in order)
-    expr = None
-    for i, c in enumerate(step_conds):
-        expr = F.when(c, i + 1) if expr is None else expr.when(c, i + 1)
-    return expr
-
-
 _STRICTLY_BEFORE = (Window.unboundedPreceding, -1)
 
 
@@ -84,7 +75,11 @@ def window_funnel(
 ) -> DataFrame:
     """windowFunnel(window)(ts, cond1, ..., condN): per key, the deepest level
     L such that events e1 < e2 < ... < eL exist with e_i matching cond_i,
-    strictly increasing ts, and ts(eL) - ts(e1) <= window.
+    strictly increasing ts, and ts(eL) - ts(e1) <= window.  An event
+    registers **every** condition it matches (CH semantics — one chain slot
+    per matching condition), so overlapping conditions are handled exactly;
+    an event still cannot fill two adjacent slots itself because ts must
+    strictly increase.
 
     Level-by-level window evaluation of the max-chain-start recurrence:
     ``__s{s}`` at an event holds the best (max) chain start achieving level s
@@ -92,11 +87,9 @@ def window_funnel(
     of ``__s{s-1}`` over strictly-earlier events (RANGE ... AND 1 PRECEDING
     on microsecond ts).  One shuffle on ``key``, one sort, all JVM."""
     n = len(step_conds)
-    events = df.select(
-        F.col(key).alias("__k"),
-        F.unix_micros(F.col(ts_col)).alias("__tus"),
-        _first_match_step(step_conds).alias("__step"),
-    ).filter(F.col("__step").isNotNull())
+    events = _multi_step_events(df, key, ts_col, step_conds).withColumn(
+        "__tus", F.unix_micros(F.col("__ts"))
+    )
 
     w = Window.partitionBy("__k").orderBy("__tus").rangeBetween(*_STRICTLY_BEFORE)
     win_us = int(window_seconds) * 1_000_000
@@ -130,23 +123,15 @@ def window_funnel_pandas(
     window_seconds: int,
 ) -> DataFrame:
     """Reference applyInPandas fold for :func:`window_funnel` (same
-    max-chain-start recurrence evaluated sequentially per key group)."""
+    max-chain-start recurrence over the same all-matches event expansion,
+    evaluated sequentially per key group)."""
     import pandas as pd
 
     n_steps = len(step_conds)
-    # step = CASE WHEN cond1 THEN 1 WHEN cond2 THEN 2 ... END — first
-    # matching condition wins, like CH (conditions checked in order)
-    expr = None
-    for i, c in enumerate(step_conds):
-        expr = F.when(c, i + 1) if expr is None else expr.when(c, i + 1)
-    events = df.select(
-        F.col(key).alias("__k"),
-        F.col(ts_col).alias("__ts"),
-        expr.alias("__step"),
-    ).filter(F.col("__step").isNotNull())
+    events = _multi_step_events(df, key, ts_col, step_conds)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["__ts"], kind="mergesort")
+        pdf = pdf.sort_values(["__ts", "__step"], kind="mergesort")
         best_start = [None] * (n_steps + 1)  # best_start[s]: max chain start achieving level s
         ts_ns = _ts_ns(pdf["__ts"])
         steps = pdf["__step"].to_numpy()

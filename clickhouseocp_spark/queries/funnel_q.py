@@ -91,6 +91,54 @@ def window_funnel_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_funnel_overlap",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+)
+SELECT u.user_id,
+       CAST(CASE
+         WHEN EXISTS (SELECT 1 FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts > a.ts
+                        JOIN e c ON b.user_id = c.user_id AND c.ts > b.ts
+                      WHERE a.user_id = u.user_id
+                        AND a.event_type IN ('signup', 'click')
+                        AND b.event_type IN ('click', 'purchase')
+                        AND c.event_type = 'purchase'
+                        AND epoch(c.ts) - epoch(a.ts) <= {_FUNNEL_WINDOW_S}) THEN 3
+         WHEN EXISTS (SELECT 1 FROM e a JOIN e b ON a.user_id = b.user_id AND b.ts > a.ts
+                      WHERE a.user_id = u.user_id
+                        AND a.event_type IN ('signup', 'click')
+                        AND b.event_type IN ('click', 'purchase')
+                        AND epoch(b.ts) - epoch(a.ts) <= {_FUNNEL_WINDOW_S}) THEN 2
+         WHEN EXISTS (SELECT 1 FROM e a WHERE a.user_id = u.user_id
+                        AND a.event_type IN ('signup', 'click')) THEN 1
+         ELSE 0 END AS INTEGER) AS level
+FROM (SELECT DISTINCT user_id FROM e) u
+""",
+    tags=("funnel", "agg"),
+)
+def window_funnel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel with OVERLAPPING step conditions: an event matching
+    several conditions registers every one of them (CH semantics — a 'click'
+    here can serve as step 1 or step 2 of the same user's funnel).  Guards the
+    all-matches expansion in operators/funnel.window_funnel; the oracle states
+    the chains with raw predicates, no per-event step assignment."""
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel(
+        ev,
+        key="user_id",
+        ts_col="ts",
+        step_conds=[
+            F.col("event_type").isin("signup", "click"),
+            F.col("event_type").isin("click", "purchase"),
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=_FUNNEL_WINDOW_S,
+    )
+
+
+@register(
     "sequence_match_chain",
     oracle="""
 WITH e AS (

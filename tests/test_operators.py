@@ -306,6 +306,18 @@ def test_funnel_window_impls_match_pandas_folds(spark, sf_dir):
     assert sm == smp
 
 
+def test_window_funnel_overlapping_conditions(spark):
+    from clickhouseocp_spark.operators.funnel import window_funnel, window_funnel_pandas
+
+    # B@1 matches both cond1 and cond2: it must extend A@0's level-1 chain to
+    # level 2 (a first-match-only step assignment would report level 1).
+    df = _seq_df(spark, [(1, 0, "A"), (1, 1, "B")])
+    conds = [F.col("ev").isin("A", "B"), F.col("ev") == "B"]
+    for impl in (window_funnel, window_funnel_pandas):
+        out = impl(df, "k", "ts", conds, window_seconds=100).collect()
+        assert out[0].level == 2, impl.__name__
+
+
 def test_quantile_timing_state_merge_properties(spark, sf_dir):
     """Merge associativity: states built at any partial granularity merge to
     the identical state; estimates stay within one bucket width of exact."""
