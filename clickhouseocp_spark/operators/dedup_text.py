@@ -347,7 +347,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within blocking keys.  Quadratic
     *per block* — blocks must be bounded (lang, length bucket, LSH bucket…);
-    used directly for modest blocks and as the verifier behind LSH."""
+    used directly for modest blocks and as the verifier behind LSH.
+
+    ``block_cols`` is mandatory: an unblocked self-join is all-pairs and can
+    never finish at the 100 TB design point, so we refuse rather than let the
+    default silently pick the quadratic path (use ``minhash_lsh_pairs`` for
+    unbounded corpora)."""
+    if not block_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires at least one blocking column; an "
+            "unblocked self-join is O(n^2). Use minhash_lsh_pairs (band "
+            "buckets) for unbounded corpora, or block by lang/length bucket."
+        )
     toks = whitespace_tokens(normalize_text(F.col(text_col)))
     prepped = df.select(
         *block_cols,

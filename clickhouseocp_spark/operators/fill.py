@@ -46,7 +46,24 @@ def with_fill(
     axis = bounds.select(
         *pk, F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step_col)).alias(order_col)
     )
-    out = axis.join(df, pk + [order_col], "left")
+    if not pk:
+        # Global fill, deterministic shuffle-free shape: no supported
+        # BroadcastHashJoin form can broadcast the PRESERVED side of an outer
+        # join, so instead of `axis LEFT JOIN data` we keep the data stream in
+        # place — clamp it to the axis range via a 1-row broadcast of the
+        # bounds, broadcast-anti the distinct present keys (≤ range/step rows
+        # after map-side combine) against the axis, and union the missing rows
+        # back with nulls.  The fact side never shuffles.
+        bounded = (
+            df.join(F.broadcast(bounds))
+            .filter(F.col(order_col).between(F.col("__mn"), F.col("__mx")))
+            .drop("__mn", "__mx")
+        )
+        present = bounded.select(order_col).distinct()
+        missing = axis.join(F.broadcast(present), [order_col], "left_anti")
+        out = bounded.unionByName(missing, allowMissingColumns=True)
+    else:
+        out = axis.join(df, pk + [order_col], "left")
     if zero_fill:
         for c, default in zero_fill.items():
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))

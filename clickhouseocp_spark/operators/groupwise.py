@@ -83,6 +83,29 @@ def dedup_latest(
     )
 
 
+def _global_rank(df: DataFrame, order: Sequence[Column | str]) -> DataFrame:
+    """Attach a dense 1-based global rank ``__rn`` under ``order`` without a
+    single-partition window: range-partition on the order key, rank locally
+    per partition, then add cumulative partition offsets (zipWithIndex's
+    two-pass scheme expressed in DataFrames).  The only global window runs
+    over one row per partition — bounded by the shuffle parallelism, never by
+    the data."""
+    parted = df.repartitionByRange(*order).withColumn("__pid", F.spark_partition_id())
+    local = parted.withColumn(
+        "__pos", F.row_number().over(Window.partitionBy("__pid").orderBy(*order))
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    prior = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__pid", F.coalesce(F.sum("__n").over(prior), F.lit(0)).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn("__rn", F.col("__off") + F.col("__pos"))
+        .drop("__pid", "__pos", "__off")
+    )
+
+
 def paste_join(
     left: DataFrame,
     right: DataFrame,
@@ -92,11 +115,11 @@ def paste_join(
     """ClickHouse ``PASTE JOIN`` (positional zip).  CH zips by physical row
     position; a distributed engine has no stable physical order, so we require
     explicit total orders and zip by rank — same result, deterministic.
-    Scale note: two global sorts; suitable for bounded inputs."""
-    wl = Window.orderBy(*left_order)
-    wr = Window.orderBy(*right_order)
-    l2 = left.withColumn("__rn", F.row_number().over(wl))
-    r2 = right.withColumn("__rn", F.row_number().over(wr))
+    Scale note: ranks come from range-partitioned local sorts + per-partition
+    offsets (``_global_rank``), so neither input funnels through a single
+    reducer; the zip itself is one equi-join on ``__rn``."""
+    l2 = _global_rank(left, left_order)
+    r2 = _global_rank(right, right_order)
     return l2.join(r2, "__rn", "inner").drop("__rn")
 
 

@@ -277,9 +277,22 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking keys (exact
-    within blocks; pair blocking with LSH buckets for unbounded corpora)."""
+    within blocks).
+
+    ``block_cols`` is mandatory unless ``allow_all_pairs=True``: an unblocked
+    self-join is all-pairs — quadratic in the corpus — and silently picking it
+    by default is the scale-breaking path.  For unbounded corpora use
+    :func:`embedding_near_dup_lsh`, which blocks by SRP-LSH bucket instead of
+    a data column."""
+    if not block_cols and not allow_all_pairs:
+        raise ValueError(
+            "embedding_near_dup_pairs requires blocking columns; an unblocked "
+            "self-join is O(n^2). Use embedding_near_dup_lsh for unbounded "
+            "corpora, or pass allow_all_pairs=True for bounded inputs."
+        )
     cols = [F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), *block_cols]
     prepped = df.select(*cols)
     a, b = prepped.alias("a"), prepped.alias("b")
@@ -297,3 +310,50 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("score") >= threshold)
     )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    num_tables: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs for UNBOUNDED corpora: block by SRP-LSH bucket
+    (``_srp_bits``) instead of a data column, so candidate generation is an
+    equi-self-join on (table, bucket) — never an all-pairs cross.
+
+    Plan shape at 100 TB: one narrow pass computes ``num_tables`` bucket ids
+    per vector, ``posexplode`` multiplies rows by num_tables (ids + vec only),
+    the self-join shuffles on (table, bucket) — expected bucket occupancy is
+    n / 2^n_bits per table, tunable — and the exact cosine verify runs only on
+    colliding pairs.  ``dropDuplicates`` folds pairs found in several tables.
+    Approximate by construction: recall < 1 for pairs whose vectors never share
+    a bucket; raise num_tables (union of tables) to raise recall."""
+    tables = F.array(*[_srp_bits(F.col(vec_col), dim, n_bits, t) for t in range(num_tables)])
+    bucketed = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), tables.alias("__bk")
+    ).select("__id", "__v", F.posexplode("__bk").alias("__t", "__b"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.__t") == F.col("b.__t"))
+            & (F.col("a.__b") == F.col("b.__b"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__v").alias("__va"),
+            F.col("b.__v").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("score"),
+    ).filter(F.col("score") >= threshold)

@@ -114,7 +114,9 @@ def quantile_timing_estimate(
 ) -> F.Column:
     """quantileTiming read: midpoint of the first bucket whose cumulative
     count reaches ``ceil(q * total)`` of the ``qt_state`` column.  Error is
-    bounded by the bucket width — the quantileTiming contract."""
+    bounded by the bucket width — the quantileTiming contract.  An empty
+    state (all-zero counts) yields NULL, matching quantileTiming's NaN on
+    empty sets rather than reporting the first bucket's midpoint."""
     width = (hi - lo) / bins
     state = F.col("qt_state")
     total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
@@ -136,7 +138,7 @@ def quantile_timing_estimate(
             (acc["pos"] + 1).alias("pos"),
         ),
     )["idx"]
-    return F.lit(lo) + (found + F.lit(0.5)) * F.lit(width)
+    return F.when(total > 0, F.lit(lo) + (found + F.lit(0.5)) * F.lit(width))
 
 
 def topk_state_partial(

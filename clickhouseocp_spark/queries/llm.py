@@ -32,6 +32,7 @@ from clickhouseocp_spark.operators.dedup_text import (
 )
 from clickhouseocp_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     ivf_topk,
     srp_lsh_topk,
@@ -367,6 +368,24 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.unionByName(scaled)
     return embedding_near_dup_pairs(corpus, block_cols=("label",), threshold=0.95)
+
+
+@register("embedding_near_dup_lsh", oracle=None, tags=("llm", "similarity", "dedup"))
+def embedding_near_dup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs for UNBOUNDED corpora: blocking key = SRP-LSH
+    bucket (6 bits x 4 tables) instead of a data column, so candidate
+    generation is an equi-self-join on (table, bucket) — no all-pairs cross
+    anywhere in the plan.  Planted scaled copies (x2) share the exact
+    direction, hence every bucket, so pytest can assert recall 1.0 on them;
+    xxhash-seeded hyperplanes are engine-specific → rows-only for the driver
+    (operators/similarity.embedding_near_dup_lsh)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    return embedding_near_dup_lsh(corpus, dim=64, threshold=0.95, n_bits=6, num_tables=4)
 
 
 @register("multimodal_binary_meta", oracle=None, tags=("llm", "multimodal"))

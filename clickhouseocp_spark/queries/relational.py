@@ -485,17 +485,41 @@ def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific; driver rows-only check
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_orderkey) AS exact_orders,
+       COUNT(DISTINCT l_partkey) AS exact_parts,
+       TRUE AS hll_ok
+FROM lineitem GROUP BY l_returnflag
+""",
     tags=("agg", "approx"),
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """uniq/uniqCombined/uniqHLL12 (SURVEY §2.4) → approx_count_distinct
-    (HyperLogLog++). Sketch values are engine-specific → no SQL oracle; the
-    pytest suite asserts relative error < 5% against the exact count."""
+    """uniq/uniqExact/uniqCombined (SURVEY §2.4): exact counts via
+    count_distinct (oracle-checked) paired with HyperLogLog++ estimates whose
+    relative error is asserted IN-QUERY — ``hll_ok`` is true iff both sketch
+    estimates land within 5% of the exact companion, so the accuracy property
+    itself passes through the driver's value-hash gate (sketch values are
+    engine-specific and never leave the query)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
-        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+    agged = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.count_distinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__hll_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__hll_parts"),
+    )
+
+    def rel_err(approx: str, exact: str) -> F.Column:
+        return F.abs(F.col(approx).cast("double") / F.col(exact) - 1.0)
+
+    return agged.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        (
+            (rel_err("__hll_orders", "exact_orders") <= 0.05)
+            & (rel_err("__hll_parts", "exact_parts") <= 0.05)
+        ).alias("hll_ok"),
     )
 
 

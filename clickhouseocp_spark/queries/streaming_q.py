@@ -13,6 +13,7 @@ from clickhouseocp_spark.queries import register
 from clickhouseocp_spark.queries._util import sql_fsum
 from clickhouseocp_spark.streaming.pipeline import (
     events_stream,
+    hopping_window_counts,
     materialized_view,
     run_available_now,
     session_window_stats,
@@ -36,6 +37,30 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded event stream; equals the batch day-bucket aggregation."""
     return run_available_now(
         tumbling_window_counts(events_stream(spark, sf_dir), "1 day", "1 hour")
+    )
+
+
+@register(
+    "stream_hopping_window",
+    oracle=f"""
+SELECT event_type,
+       TIMESTAMP '1970-01-01 00:00:00'
+         + INTERVAL 1 SECOND * ((CAST(floor(epoch(ts) / 21600) AS BIGINT) - h.i) * 21600)
+         AS win_start,
+       COUNT(*) AS n, {sql_fsum('value', 'sum_value')}
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) h
+GROUP BY 1, 2
+""",
+    tags=("streaming",),
+)
+def stream_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WindowView HOP analog: 1-day windows sliding every 6 hours (each event
+    in exactly 4 overlapping windows) + watermark.  Oracle expands each event
+    to its 4 epoch-aligned hop starts — floor(ts/slide)*slide - i*slide for
+    i in 0..3 — which is precisely ``F.window(ts, size, slide)``'s window set
+    when size = 4*slide."""
+    return run_available_now(
+        hopping_window_counts(events_stream(spark, sf_dir), "1 day", "6 hours", "1 hour")
     )
 
 

@@ -122,6 +122,84 @@ def tumbling_window_counts(
     )
 
 
+def hopping_window_counts(
+    stream: DataFrame,
+    window: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """WindowView HOP analog (SURVEY §2.9): overlapping windows of ``window``
+    length every ``slide``; each event lands in window/slide windows.  Same
+    partial-agg shuffle shape as tumble — ``F.window`` expands the window set
+    map-side before the combine, so the shuffle carries (type, window) partial
+    rows, not events."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("event_type", F.window("ts", window, slide).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "event_type",
+            F.col("w.start").alias("win_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def kafka_available(spark: SparkSession) -> bool:
+    """True iff the spark-sql-kafka connector jars are on the classpath.
+    The reference image ships Kafka/NATS/RabbitMQ engines (SURVEY §2.1); this
+    container has no connector jars, so the Kafka path is availability-gated
+    exactly like the Avro format (tests skip cleanly when absent)."""
+    try:
+        spark.readStream.format("kafka").option(
+            "kafka.bootstrap.servers", "localhost:9092"
+        ).option("subscribe", "__probe__").load()
+        return True
+    except Exception as e:  # DATA_SOURCE_NOT_FOUND / ClassNotFound
+        msg = str(e)
+        if "kafka" in msg.lower() and ("NOT_FOUND" in msg or "ClassNotFound" in msg or "Failed to find" in msg):
+            return False
+        return True  # source resolved; broker errors surface at query start
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka-engine analog (config-gated): subscribe and project the CH Kafka
+    virtual-column surface (_topic/_partition/_offset/_timestamp + raw value).
+    Parse the payload downstream with from_json/from_csv — the same
+    JSONEachRow-style contract the reference's Kafka engine uses.  Raises a
+    clear error when the connector jars are absent (``kafka_available``)."""
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add the "
+            "org.apache.spark:spark-sql-kafka-0-10 package to enable the "
+            "Kafka source (availability-gated like Avro in this container)"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.col("topic").alias("_topic"),
+        F.col("partition").alias("_partition"),
+        F.col("offset").alias("_offset"),
+        F.col("timestamp").alias("_timestamp"),
+        F.col("key").cast("string").alias("_key"),
+        F.col("value").cast("string").alias("value"),
+    )
+
+
 def session_window_stats(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows per user (exceeds the reference — CH has no session
     windows, SURVEY §2.9)."""

