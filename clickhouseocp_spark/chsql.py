@@ -1,0 +1,721 @@
+"""ClickHouse SQL dialect → Spark SQL transpiler (SELECT-core subset).
+
+The reference's real entry surface is SQL *text*: `clickhouse-local -q '<SQL>'`
+(/root/reference Dockefile-ubuntu:52) and the HTTP/TCP server ports
+(Dockerfile:203-206).  `ChSparkEngine.sql(..., dialect="clickhouse")` accepts
+that text directly; this module rewrites it to Spark SQL, which Catalyst then
+plans like any native query — the transpiler is a *front end*, not an engine.
+
+Hand-written (no sqlglot in the container): a regex tokenizer + token-stream
+rewrites.  Strings/backtick identifiers are opaque tokens, so rewrites never
+touch literal content.
+
+Supported surface (documented subset — unsupported constructs raise
+``ChSqlError`` where detectable, otherwise pass through for Spark to reject):
+
+- clause level: ``PREWHERE`` (merged into WHERE — Spark pushes predicates to
+  the scan automatically, SURVEY §2.2), ``LIMIT n BY cols`` (row_number
+  window rewrite; requires an ORDER BY on base columns and aliased/simple
+  select items), ``ASOF [LEFT|INNER] JOIN ... ON eq AND ineq`` (LATERAL
+  ORDER-BY-LIMIT-1 rewrite; operators/asof.py remains the 1-shuffle scale
+  path), trailing ``FORMAT x`` / ``SETTINGS k=v`` stripped, ``FINAL`` and
+  ``GLOBAL`` dropped (every read is a merged view; every join is cluster-wide
+  in Spark).
+- expression level: ~100 ClickHouse function names → Spark equivalents
+  (see FUNC_RULES / PARAMETRIC_RULES), parametric aggregate syntax
+  ``quantile(0.9)(x)``, CH type names inside CAST (``Float64``→``DOUBLE``),
+  ``==`` → ``=``.
+
+Documented deviations (same ANSI posture as the rest of the engine,
+SURVEY §7.4): hash functions map to Spark's (xxhash64 — values differ from
+cityHash64), ``groupArray`` order is nondeterministic on both engines unless
+sorted, ``uniq*`` map to HyperLogLog++ estimates.
+"""
+
+from __future__ import annotations
+
+import re
+
+
+class ChSqlError(ValueError):
+    """Raised when CH-dialect text uses a construct outside the supported
+    subset in a way the transpiler can detect."""
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+      (?P<ws>\s+)
+    | (?P<comment>--[^\n]*|\#[^\n]*|/\*.*?\*/)
+    | (?P<string>'(?:[^'\\]|\\.|'')*')
+    | (?P<bq>`[^`]*`)
+    | (?P<num>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?|\.\d+)
+    | (?P<word>[A-Za-z_$][A-Za-z0-9_$]*)
+    | (?P<op><=|>=|!=|==|<>|\|\||->|::)
+    | (?P<punct>.)
+    """,
+    re.X | re.S,
+)
+
+
+def tokenize(sql: str) -> list[str]:
+    """Token texts with whitespace/comments dropped (strings and backtick
+    identifiers stay single opaque tokens)."""
+    out = []
+    for m in _TOKEN_RE.finditer(sql):
+        if m.lastgroup in ("ws", "comment"):
+            continue
+        out.append(m.group())
+    return out
+
+
+def render(tokens: list[str]) -> str:
+    """Re-render a token list as SQL text (minimal spacing rules: none around
+    '.', none before ',' / ')' / '(', none after '(')."""
+    parts: list[str] = []
+    prev = ""
+    for t in tokens:
+        if parts and not (
+            prev in ("(", ".") or t in (".", ",", ")", "(")
+        ):
+            parts.append(" ")
+        # keep "(" glued to a preceding function name but spaced after keywords
+        parts.append(t)
+        prev = t
+    return "".join(parts)
+
+
+_KW = lambda t: t.upper()  # noqa: E731
+
+
+def _is_word(t: str) -> bool:
+    return bool(re.match(r"[A-Za-z_$]", t)) and not t.startswith(("'", "`"))
+
+
+# ---------------------------------------------------------------------------
+# Clause-level rewrites (top-level scope; subqueries inherit expression-level
+# rewrites but clause rewrites are documented top-level-only subset)
+# ---------------------------------------------------------------------------
+
+_CLAUSE_STOP = {
+    "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER", "LIMIT", "SETTINGS",
+    "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY", "FORMAT",
+}
+
+
+def _depth0_positions(tokens: list[str], pred) -> list[int]:
+    depth = 0
+    out = []
+    for i, t in enumerate(tokens):
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        elif depth == 0 and pred(t, i):
+            out.append(i)
+    return out
+
+
+def _strip_tail(tokens: list[str]) -> list[str]:
+    """Drop trailing FORMAT <name> and SETTINGS k = v [, ...] clauses."""
+    for kw in ("FORMAT", "SETTINGS"):
+        pos = _depth0_positions(tokens, lambda t, i: _KW(t) == kw)
+        if pos:
+            tokens = tokens[: pos[0]]
+    return tokens
+
+
+def _drop_modifiers(tokens: list[str]) -> list[str]:
+    """GLOBAL JOIN/IN → JOIN/IN (all Spark joins are cluster-wide); FINAL →
+    dropped (reads are merged views by construction)."""
+    return [t for t in tokens if _KW(t) not in ("GLOBAL", "FINAL")]
+
+
+def _merge_prewhere(tokens: list[str]) -> list[str]:
+    """PREWHERE cond [WHERE cond2] → WHERE (cond) AND (cond2).  Spark's scan
+    pushdown (PushedFilters) is the PREWHERE two-stage read, applied
+    automatically — plan-gated in tests/test_sources_and_plans.py."""
+    pre = _depth0_positions(tokens, lambda t, i: _KW(t) == "PREWHERE")
+    if not pre:
+        return tokens
+    i = pre[0]
+    stops = _depth0_positions(
+        tokens, lambda t, j: j > i and _KW(t) in (_CLAUSE_STOP - {"PREWHERE"})
+    )
+    end = stops[0] if stops else len(tokens)
+    cond = tokens[i + 1 : end]
+    rest = tokens[:i] + tokens[end:]
+    where = _depth0_positions(rest, lambda t, j: _KW(t) == "WHERE")
+    if where:
+        w = where[0]
+        wstops = _depth0_positions(
+            rest, lambda t, j: j > w and _KW(t) in (_CLAUSE_STOP - {"WHERE"})
+        )
+        wend = wstops[0] if wstops else len(rest)
+        wcond = rest[w + 1 : wend]
+        return (
+            rest[:w]
+            + ["WHERE", "("] + cond + [")", "AND", "("] + wcond + [")"]
+            + rest[wend:]
+        )
+    return tokens[:i] + ["WHERE"] + tokens[i + 1 :]
+
+
+def _split_top(tokens: list[str], sep: str) -> list[list[str]]:
+    """Split a token slice on depth-0 separators (',' or a keyword)."""
+    depth = 0
+    out: list[list[str]] = [[]]
+    for t in tokens:
+        if t in ("(", "["):
+            depth += 1
+        elif t in (")", "]"):
+            depth -= 1
+        if depth == 0 and (_KW(t) == sep or t == sep):
+            out.append([])
+        else:
+            out[-1].append(t)
+    return out
+
+
+def _select_item_name(item: list[str]) -> str:
+    """Output column name of a select item: explicit AS alias, or the final
+    segment of a bare (possibly dotted) identifier."""
+    for j in range(len(item) - 2, -1, -1):
+        if _KW(item[j]) == "AS":
+            return item[j + 1]
+    if all(_is_word(t) or t == "." for t in item):
+        return item[-1]
+    raise ChSqlError(
+        f"LIMIT BY rewrite needs an alias on select item: {render(item)!r}"
+    )
+
+
+def _rewrite_limit_by(tokens: list[str]) -> list[str]:
+    """``SELECT ... ORDER BY o LIMIT n BY e [LIMIT m]`` → row_number window
+    subquery (the same plan operators/groupwise.limit_by builds)."""
+    limits = _depth0_positions(tokens, lambda t, i: _KW(t) == "LIMIT")
+    lb = None
+    for i in limits:
+        if i + 2 < len(tokens) and _KW(tokens[i + 2]) == "BY":
+            lb = i
+            break
+    if lb is None:
+        return tokens
+    n = tokens[lb + 1]
+    after = tokens[lb + 3 :]
+    tail_limits = _depth0_positions(after, lambda t, i: _KW(t) == "LIMIT")
+    if tail_limits:
+        by_exprs = after[: tail_limits[0]]
+        outer_limit = after[tail_limits[0] :]
+    else:
+        by_exprs, outer_limit = after, []
+
+    sel = _depth0_positions(tokens, lambda t, i: _KW(t) == "SELECT")
+    frm = _depth0_positions(tokens, lambda t, i: _KW(t) == "FROM")
+    order = _depth0_positions(tokens, lambda t, i: _KW(t) == "ORDER")
+    if not sel or not frm:
+        raise ChSqlError("LIMIT BY rewrite: SELECT/FROM not found at top level")
+    if not order or order[0] > lb:
+        raise ChSqlError("LIMIT BY subset requires an explicit ORDER BY")
+    o = order[0]
+    order_by = tokens[o + 2 : lb]  # skip ORDER BY
+    select_items = _split_top(tokens[sel[0] + 1 : frm[0]], ",")
+    out_cols = [_select_item_name(it) for it in select_items]
+
+    # splice the window column into the select list (before FROM); the inner
+    # query keeps WHERE/GROUP/HAVING but drops ORDER BY (re-applied outside)
+    inner = (
+        tokens[sel[0] : frm[0]]
+        + [",", "row_number", "(", ")", "OVER", "(", "PARTITION", "BY"]
+        + by_exprs
+        + ["ORDER", "BY"]
+        + order_by
+        + [")", "AS", "__rn"]
+        + tokens[frm[0] : o]
+    )
+    outer = (
+        ["SELECT"]
+        + sum(([c, ","] for c in out_cols), [])[:-1]
+        + ["FROM", "("] + inner + [")", "__lb", "WHERE", "__rn", "<=", n]
+        + ["ORDER", "BY"] + order_by
+        + outer_limit
+    )
+    return tokens[: sel[0]] + outer
+
+
+def _rewrite_asof(tokens: list[str]) -> list[str]:
+    """``A ASOF [LEFT] JOIN B b ON eqs AND ineq`` → ``[LEFT] JOIN LATERAL
+    (SELECT * FROM B b WHERE eqs AND ineq ORDER BY <right side of ineq>
+    DESC|ASC LIMIT 1) b ON true``.
+
+    Correct for every ASOF direction (>=, >, <=, <); Spark decorrelates the
+    LATERAL into a join.  For the shuffle-optimal union-window form use
+    operators/asof.py — cited here so the transpiler's naive-but-correct
+    rewrite is never mistaken for the scale path."""
+    pos = _depth0_positions(tokens, lambda t, i: _KW(t) == "ASOF")
+    if not pos:
+        return tokens
+    i = pos[0]
+    j = i + 1
+    joinkind = []
+    while _KW(tokens[j]) in ("LEFT", "INNER", "OUTER"):
+        joinkind.append(_KW(tokens[j]))
+        j += 1
+    if _KW(tokens[j]) != "JOIN":
+        raise ChSqlError("ASOF must be followed by [LEFT|INNER] JOIN")
+    j += 1
+    # relation: single identifier or parenthesized subquery, optional AS alias
+    rel_start = j
+    if tokens[j] == "(":
+        depth = 0
+        while True:
+            if tokens[j] == "(":
+                depth += 1
+            elif tokens[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        j += 1
+    else:
+        while j < len(tokens) and (tokens[j] == "." or _is_word(tokens[j])):
+            if _KW(tokens[j]) in ("AS", "ON"):
+                break
+            j += 1
+    rel = tokens[rel_start:j]
+    alias = None
+    if j < len(tokens) and _KW(tokens[j]) == "AS":
+        alias = tokens[j + 1]
+        j += 2
+    elif j < len(tokens) and _is_word(tokens[j]) and _KW(tokens[j]) != "ON":
+        alias = tokens[j]
+        j += 1
+    if alias is None:
+        # bare `rel alias` chains land fully inside rel; the trailing word
+        # (not part of a dotted path) is the alias
+        if len(rel) > 1 and rel[-2] != ".":
+            alias = rel[-1]
+            rel = rel[:-1]
+        else:
+            alias = rel[-1]
+    if _KW(tokens[j]) != "ON":
+        raise ChSqlError("ASOF JOIN subset requires an ON clause")
+    j += 1
+    stops = _depth0_positions(
+        tokens,
+        lambda t, k: k >= j
+        and (_KW(t) in _CLAUSE_STOP or _KW(t) in ("JOIN", "LEFT", "RIGHT", "INNER", "CROSS", "ASOF")),
+    )
+    cend = stops[0] if stops else len(tokens)
+    cond = tokens[j:cend]
+
+    conjuncts = _split_top(cond, "AND")
+    ineq = [c for c in conjuncts if any(t in ("<", ">", "<=", ">=") for t in c)]
+    if len(ineq) != 1:
+        raise ChSqlError("ASOF JOIN needs exactly one inequality in ON")
+    c = ineq[0]
+    op_idx = next(k for k, t in enumerate(c) if t in ("<", ">", "<=", ">="))
+    lhs, op, rhs = c[:op_idx], c[op_idx], c[op_idx + 1 :]
+
+    def mentions_alias(side: list[str]) -> bool:
+        return any(
+            side[k] == alias and k + 1 < len(side) and side[k + 1] == "."
+            for k in range(len(side))
+        ) or side == [alias]
+
+    if mentions_alias(rhs) and not mentions_alias(lhs):
+        right_expr, left_op = rhs, op
+    elif mentions_alias(lhs) and not mentions_alias(rhs):
+        right_expr = lhs
+        left_op = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}[op]
+    else:
+        raise ChSqlError(
+            "ASOF inequality must reference the right alias on exactly one side"
+        )
+    # left_op is the op with the LEFT expr on the left: left <op> right.
+    # >=/> → latest right at-or-before left → ORDER BY right DESC; else ASC.
+    direction = "DESC" if left_op in (">=", ">") else "ASC"
+
+    lateral = (
+        (["LEFT"] if "LEFT" in joinkind else [])
+        + ["JOIN", "LATERAL", "(", "SELECT", "*", "FROM"]
+        + rel + ["AS", alias, "WHERE"]
+        + cond
+        + ["ORDER", "BY"] + right_expr + [direction, "LIMIT", "1", ")"]
+        + [alias, "ON", "true"]
+    )
+    return tokens[:i] + lateral + tokens[cend:]
+
+
+# ---------------------------------------------------------------------------
+# Expression-level rewrites: function map
+# ---------------------------------------------------------------------------
+
+_TYPE_MAP = {
+    "float64": "DOUBLE", "float32": "FLOAT",
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT", "uint64": "BIGINT",
+    "string": "STRING", "fixedstring": "STRING",
+    "date": "DATE", "datetime": "TIMESTAMP", "datetime64": "TIMESTAMP",
+    "bool": "BOOLEAN",
+}
+
+
+def _map_type(name: str) -> str:
+    return _TYPE_MAP.get(name.lower(), name)
+
+
+def _filter_agg(fn: str):
+    """CH -If combinator → ANSI aggregate FILTER clause (JVM-side, no UDF)."""
+    def rule(args: list[str]) -> str:
+        *exprs, cond = args
+        return f"{fn}({', '.join(exprs)}) FILTER (WHERE {cond})"
+    return rule
+
+
+def _rename(fn: str):
+    return lambda args: f"{fn}({', '.join(args)})"
+
+
+def _cast_to(sql_type: str):
+    return lambda args: f"CAST({args[0]} AS {sql_type})"
+
+
+def _trunc_to(unit: str, as_date: bool = False):
+    def rule(args):
+        e = f"date_trunc('{unit}', {args[0]})"
+        return f"CAST({e} AS DATE)" if as_date else e
+    return rule
+
+
+def _ts_add(unit: str, sign: str = ""):
+    return lambda args: f"timestampadd({unit}, {sign}({args[1]}), {args[0]})"
+
+
+FUNC_RULES: dict[str, object] = {
+    # conditionals
+    "multiIf": lambda args: (
+        "CASE "
+        + " ".join(
+            f"WHEN {args[k]} THEN {args[k + 1]}" for k in range(0, len(args) - 1, 2)
+        )
+        + (f" ELSE {args[-1]}" if len(args) % 2 == 1 else "")
+        + " END"
+    ),
+    "ifNull": _rename("coalesce"),
+    "nullIf": _rename("nullif"),
+    "assumeNotNull": lambda args: args[0],
+    "toNullable": lambda args: args[0],
+    # type conversion (CH camelCase; CAST with CH type names handled separately)
+    "toInt8": _cast_to("TINYINT"), "toInt16": _cast_to("SMALLINT"),
+    "toInt32": _cast_to("INT"), "toInt64": _cast_to("BIGINT"),
+    "toUInt8": _cast_to("SMALLINT"), "toUInt16": _cast_to("INT"),
+    "toUInt32": _cast_to("BIGINT"), "toUInt64": _cast_to("BIGINT"),
+    "toFloat32": _cast_to("FLOAT"), "toFloat64": _cast_to("DOUBLE"),
+    "toString": _cast_to("STRING"),
+    "toDate": _rename("to_date"),
+    "toDateTime": _rename("to_timestamp"),
+    "toDecimal32": lambda args: f"CAST({args[0]} AS DECIMAL(9,{args[1]}))",
+    "toDecimal64": lambda args: f"CAST({args[0]} AS DECIMAL(38,{args[1]}))",
+    "toDecimal128": lambda args: f"CAST({args[0]} AS DECIMAL(38,{args[1]}))",
+    "accurateCastOrNull": lambda args: f"try_cast({args[0]} AS {_map_type(args[1].strip(chr(39)))})",
+    # date/time
+    "toYear": _rename("year"), "toQuarter": _rename("quarter"),
+    "toMonth": _rename("month"), "toDayOfMonth": _rename("day"),
+    "toHour": _rename("hour"), "toMinute": _rename("minute"),
+    "toSecond": _rename("second"),
+    "toDayOfYear": _rename("dayofyear"),
+    # CH: Monday=1..Sunday=7; Spark dayofweek: Sunday=1..Saturday=7
+    "toDayOfWeek": lambda args: f"(((dayofweek({args[0]}) + 5) % 7) + 1)",
+    "toStartOfYear": _trunc_to("YEAR", as_date=True),
+    "toStartOfQuarter": _trunc_to("QUARTER", as_date=True),
+    "toStartOfMonth": _trunc_to("MONTH", as_date=True),
+    "toMonday": _trunc_to("WEEK", as_date=True),
+    "toStartOfDay": _trunc_to("DAY"),
+    "toStartOfHour": _trunc_to("HOUR"),
+    "toStartOfMinute": _trunc_to("MINUTE"),
+    "toYYYYMM": lambda args: f"CAST(date_format({args[0]}, 'yyyyMM') AS INT)",
+    "toYYYYMMDD": lambda args: f"CAST(date_format({args[0]}, 'yyyyMMdd') AS INT)",
+    "toUnixTimestamp": _rename("unix_timestamp"),
+    "fromUnixTimestamp": _rename("timestamp_seconds"),
+    "now": _rename("current_timestamp"),
+    "today": _rename("current_date"),
+    "yesterday": lambda args: "date_sub(current_date(), 1)",
+    "addYears": _ts_add("YEAR"), "addMonths": _ts_add("MONTH"),
+    "addWeeks": _ts_add("WEEK"), "addDays": _ts_add("DAY"),
+    "addHours": _ts_add("HOUR"), "addMinutes": _ts_add("MINUTE"),
+    "addSeconds": _ts_add("SECOND"),
+    "subtractYears": _ts_add("YEAR", "-"), "subtractMonths": _ts_add("MONTH", "-"),
+    "subtractDays": _ts_add("DAY", "-"), "subtractHours": _ts_add("HOUR", "-"),
+    "subtractMinutes": _ts_add("MINUTE", "-"), "subtractSeconds": _ts_add("SECOND", "-"),
+    "dateDiff": lambda args: f"timestampdiff({args[0].strip(chr(39)).upper()}, {args[1]}, {args[2]})",
+    "toIntervalDay": lambda args: f"({args[0]} * INTERVAL 1 DAY)",
+    "toIntervalHour": lambda args: f"({args[0]} * INTERVAL 1 HOUR)",
+    # strings
+    "lengthUTF8": _rename("length"),
+    "lowerUTF8": _rename("lower"), "upperUTF8": _rename("upper"),
+    "substringUTF8": _rename("substring"), "mid": _rename("substring"),
+    "position": lambda args: f"locate({args[1]}, {args[0]}" + (f", {args[2]}" if len(args) > 2 else "") + ")",
+    "positionCaseInsensitive": lambda args: f"locate(lower({args[1]}), lower({args[0]}))",
+    "startsWith": _rename("startswith"), "endsWith": _rename("endswith"),
+    "match": _rename("regexp_like"),
+    "replaceAll": _rename("replace"),
+    "replaceRegexpAll": _rename("regexp_replace"),
+    "concatWithSeparator": _rename("concat_ws"),
+    "splitByChar": lambda args: f"split({args[1]}, {_regex_quote(args[0])}, -1)",
+    "splitByString": lambda args: f"split({args[1]}, {_regex_quote(args[0])}, -1)",
+    "trimBoth": _rename("trim"), "trimLeft": _rename("ltrim"), "trimRight": _rename("rtrim"),
+    "leftPad": _rename("lpad"), "rightPad": _rename("rpad"),
+    "empty": lambda args: f"(length({args[0]}) = 0)",
+    "notEmpty": lambda args: f"(length({args[0]}) > 0)",
+    "caseWithExpression": None,
+    # aggregates
+    "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",
+    "any": _rename("any_value"),
+    "anyLast": _rename("any_value"),
+    "argMin": _rename("min_by"), "argMax": _rename("max_by"),
+    "uniq": _rename("approx_count_distinct"),
+    "uniqCombined": _rename("approx_count_distinct"),
+    "uniqHLL12": _rename("approx_count_distinct"),
+    "uniqExact": lambda args: f"count(DISTINCT {', '.join(args)})",
+    "median": lambda args: f"percentile({args[0]}, 0.5)",
+    "groupArray": _rename("collect_list"),
+    "groupUniqArray": _rename("collect_set"),
+    "sumIf": _filter_agg("sum"), "avgIf": _filter_agg("avg"),
+    "minIf": _filter_agg("min"), "maxIf": _filter_agg("max"),
+    "countIf": lambda args: f"count_if({args[0]})",
+    "varPop": _rename("var_pop"), "varSamp": _rename("var_samp"),
+    "stddevPop": _rename("stddev_pop"), "stddevSamp": _rename("stddev_samp"),
+    "covarPop": _rename("covar_pop"), "covarSamp": _rename("covar_samp"),
+    "corr": _rename("corr"),
+    "skewPop": _rename("skewness"), "kurtPop": _rename("kurtosis"),
+    # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
+    "has": _rename("array_contains"),
+    "indexOf": _rename("array_position"),
+    "arrayDistinct": _rename("array_distinct"),
+    "arrayUniq": lambda args: f"size(array_distinct({args[0]}))",
+    "arraySort": _rename("array_sort"),
+    "arrayReverse": _rename("reverse"),
+    "arrayConcat": _rename("concat"),
+    "arraySlice": _rename("slice"),
+    "arrayElement": _rename("element_at"),
+    "arrayJoin": _rename("explode"),
+    "arrayMap": lambda args: f"transform({args[1]}, {args[0]})",
+    "arrayFilter": lambda args: f"filter({args[1]}, {args[0]})",
+    "arrayExists": lambda args: f"exists({args[1]}, {args[0]})",
+    "arrayAll": lambda args: f"forall({args[1]}, {args[0]})",
+    "arrayFlatten": _rename("flatten"),
+    "arrayCount": lambda args: (
+        f"size(filter({args[1]}, {args[0]}))" if len(args) == 2
+        else f"size(filter({args[0]}, x -> x))"
+    ),
+    "arraySum": lambda args: f"aggregate({args[-1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + " + ("x" if len(args) == 1 else f"({args[0]})(x)") + ")",
+    "arrayStringConcat": lambda args: f"array_join({args[0]}, " + (args[1] if len(args) > 1 else "''") + ")",
+    "range": lambda args: (
+        f"sequence(0, ({args[0]}) - 1)" if len(args) == 1
+        else f"sequence({args[0]}, ({args[1]}) - 1" + (f", {args[2]}" if len(args) > 2 else "") + ")"
+    ),
+    "length": None,  # string length ↔ array size is context-dependent; passthrough
+    # math / rounding
+    "roundBankers": _rename("bround"),
+    "intDiv": lambda args: f"CAST(try_divide({args[0]}, {args[1]}) AS BIGINT)",
+    "intDivOrZero": lambda args: f"coalesce(CAST(try_divide({args[0]}, {args[1]}) AS BIGINT), 0)",
+    "modulo": lambda args: f"({args[0]} % {args[1]})",
+    "plus": lambda args: f"({args[0]} + {args[1]})",
+    "minus": lambda args: f"({args[0]} - {args[1]})",
+    "multiply": lambda args: f"({args[0]} * {args[1]})",
+    "divide": lambda args: f"(CAST({args[0]} AS DOUBLE) / {args[1]})",
+    "negate": lambda args: f"(-({args[0]}))",
+    "gcd": None, "lcm": None,
+    "exp2": lambda args: f"power(2, {args[0]})",
+    "exp10": lambda args: f"power(10, {args[0]})",
+    "log2": _rename("log2"), "log10": _rename("log10"),
+    "intExp2": lambda args: f"CAST(power(2, {args[0]}) AS BIGINT)",
+    # hash / encoding — Spark's hash family; VALUES DIFFER from CH's
+    "cityHash64": _rename("xxhash64"),
+    "sipHash64": _rename("xxhash64"),
+    "farmHash64": _rename("xxhash64"),
+    "halfMD5": lambda args: f"conv(substring(md5({args[0]}), 1, 16), 16, 10)",
+    "MD5": _rename("md5"),
+    "hex": _rename("hex"), "unhex": _rename("unhex"),
+    "base64Encode": _rename("base64"), "base64Decode": _rename("unbase64"),
+    "bitAnd": lambda args: f"({args[0]} & {args[1]})",
+    "bitOr": lambda args: f"({args[0]} | {args[1]})",
+    "bitXor": lambda args: f"({args[0]} ^ {args[1]})",
+    "bitNot": lambda args: f"(~{args[0]})",
+    "bitShiftLeft": _rename("shiftleft"), "bitShiftRight": _rename("shiftright"),
+    # JSON
+    "JSONExtractString": lambda args: _json_path("get_json_object", args),
+    "JSONExtractInt": lambda args: f"CAST({_json_path('get_json_object', args)} AS BIGINT)",
+    "JSONExtractFloat": lambda args: f"CAST({_json_path('get_json_object', args)} AS DOUBLE)",
+    "JSONExtractBool": lambda args: f"CAST({_json_path('get_json_object', args)} AS BOOLEAN)",
+    "JSONHas": lambda args: f"({_json_path('get_json_object', args)} IS NOT NULL)",
+    "JSONLength": lambda args: f"json_array_length({args[0]})",
+    # URL / IP
+    "domain": lambda args: f"parse_url({args[0]}, 'HOST')",
+    "path": lambda args: f"parse_url({args[0]}, 'PATH')",
+    "protocol": lambda args: f"parse_url({args[0]}, 'PROTOCOL')",
+    "queryString": lambda args: f"parse_url({args[0]}, 'QUERY')",
+    "extractURLParameter": lambda args: f"parse_url({args[0]}, 'QUERY', {args[1]})",
+    # misc
+    "toTypeName": lambda args: f"typeof({args[0]})",
+    "generateUUIDv4": _rename("uuid"),
+    "rand": _rename("rand"),
+    "greatCircleDistance": None,  # functions/geo.py covers; no 1-line SQL
+}
+FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
+
+
+def _regex_quote(literal: str) -> str:
+    """Wrap a single-char string literal for use as a split() regex."""
+    inner = literal[1:-1]
+    if re.match(r"[A-Za-z0-9_ ]", inner) and len(inner) == 1:
+        return literal
+    return f"'\\\\Q{inner}\\\\E'"
+
+
+def _json_path(fn: str, args: list[str]) -> str:
+    key = args[1]
+    if key.startswith("'") and key.endswith("'"):
+        return f"{fn}({args[0]}, '$.{key[1:-1]}')"
+    return f"{fn}({args[0]}, concat('$.', {key}))"
+
+
+#: CH parametric aggregate syntax fname(params)(args)
+PARAMETRIC_RULES: dict[str, object] = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "histogram": None,  # operators/sketches.py covers re-mergeable histograms
+    "topK": None,       # operators/groupwise.top_k / sketches.topk_state cover
+}
+PARAMETRIC_RULES = {k: v for k, v in PARAMETRIC_RULES.items() if v is not None}
+
+
+# ---------------------------------------------------------------------------
+# Recursive call rewriting
+# ---------------------------------------------------------------------------
+
+
+def _find_close(tokens: list[str], open_idx: int) -> int:
+    depth = 0
+    for k in range(open_idx, len(tokens)):
+        if tokens[k] == "(":
+            depth += 1
+        elif tokens[k] == ")":
+            depth -= 1
+            if depth == 0:
+                return k
+    raise ChSqlError("unbalanced parentheses")
+
+
+_IDX_PRECEDERS = re.compile(r"^[)\]`']|^[A-Za-z_$]")
+_SQL_KEYWORDS = {
+    "SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "IN", "AS", "BY", "ON",
+    "WHEN", "THEN", "ELSE", "END", "CASE", "HAVING", "GROUP", "ORDER",
+    "LIMIT", "JOIN", "UNION", "ALL", "DISTINCT", "BETWEEN", "LIKE", "IS",
+    "NULL", "TRUE", "FALSE", "OVER", "PARTITION", "INTERVAL", "EXISTS",
+}
+
+
+def _find_close_bracket(tokens: list[str], open_idx: int) -> int:
+    depth = 0
+    for k in range(open_idx, len(tokens)):
+        if tokens[k] == "[":
+            depth += 1
+        elif tokens[k] == "]":
+            depth -= 1
+            if depth == 0:
+                return k
+    raise ChSqlError("unbalanced brackets")
+
+
+def _rewrite_exprs(tokens: list[str]) -> str:
+    """Depth-first call rewriting over the whole token stream; returns SQL
+    text (function args are rendered strings by the time a rule fires)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        t = tokens[i]
+        if t == "==":
+            out.append("=")
+            i += 1
+            continue
+        if t == "[":
+            # CH array literal `[a, b]` → array(a, b).  Subscripting
+            # (`expr[i]`, identifier/paren/bracket/string just before) is NOT
+            # translated — CH is 1-based, Spark 0-based; use arrayElement/
+            # element_at instead (documented subset).
+            prev = out[-1] if out else ""
+            is_literal = not (
+                _IDX_PRECEDERS.match(prev) and _KW(prev) not in _SQL_KEYWORDS
+            )
+            if is_literal:
+                close = _find_close_bracket(tokens, i)
+                items = [
+                    _rewrite_exprs(s)
+                    for s in _split_top(tokens[i + 1 : close], ",")
+                    if s
+                ]
+                out.append(f"array({', '.join(items)})")
+                i = close + 1
+                continue
+        if _is_word(t) and i + 1 < len(tokens) and tokens[i + 1] == "(":
+            close = _find_close(tokens, i + 1)
+            arg_slices = _split_top(tokens[i + 2 : close], ",")
+            args = [
+                _rewrite_exprs(s) for s in arg_slices if s
+            ]
+            # CAST(x AS ChType) — translate the type name
+            if _KW(t) == "CAST":
+                inner = tokens[i + 2 : close]
+                parts = _split_top(inner, "AS")
+                if len(parts) == 2:
+                    expr = _rewrite_exprs(parts[0])
+                    ty = render(parts[1])
+                    out.append(f"CAST({expr} AS {_map_type(ty)})")
+                    i = close + 1
+                    continue
+            # parametric: fname(params)(args)
+            if (
+                t in PARAMETRIC_RULES
+                and close + 1 < len(tokens)
+                and tokens[close + 1] == "("
+            ):
+                close2 = _find_close(tokens, close + 1)
+                args2 = [
+                    _rewrite_exprs(s)
+                    for s in _split_top(tokens[close + 2 : close2], ",")
+                    if s
+                ]
+                out.append(PARAMETRIC_RULES[t](args, args2))
+                i = close2 + 1
+                continue
+            if t in FUNC_RULES:
+                out.append(FUNC_RULES[t](args))
+                i = close + 1
+                continue
+            out.append(f"{t}({', '.join(args)})")
+            i = close + 1
+            continue
+        out.append(t)
+        i += 1
+    return render(out)
+
+
+def transpile(sql: str) -> str:
+    """ClickHouse-dialect SQL text → Spark SQL text (subset; see module doc)."""
+    tokens = tokenize(sql)
+    tokens = _strip_tail(tokens)
+    tokens = _drop_modifiers(tokens)
+    tokens = _merge_prewhere(tokens)
+    tokens = _rewrite_asof(tokens)
+    tokens = _rewrite_limit_by(tokens)
+    return _rewrite_exprs(tokens)

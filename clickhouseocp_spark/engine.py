@@ -33,10 +33,30 @@ class ChSparkEngine:
         self.sf_dir = sf_dir
         self.tables = register_tables(self.spark, sf_dir)
 
-    def sql(self, query: str) -> DataFrame:
+    def sql(self, query: str, dialect: str = "auto") -> DataFrame:
         """SQL entry point (Catalyst = parser/analyzer/optimizer/executor,
-        SURVEY §3.3)."""
-        return self.spark.sql(query)
+        SURVEY §3.3).
+
+        ``dialect="clickhouse"`` transpiles CH-dialect text (chsql.transpile —
+        the `clickhouse-local -q` surface, Dockefile-ubuntu:52) before
+        planning; ``"spark"`` skips transpilation; ``"auto"`` (default) tries
+        native Spark SQL first and falls back to the CH transpiler when
+        parsing/analysis rejects the text."""
+        if dialect in ("clickhouse", "ch"):
+            from clickhouseocp_spark.chsql import transpile
+
+            return self.spark.sql(transpile(query))
+        if dialect == "spark":
+            return self.spark.sql(query)
+        try:
+            return self.spark.sql(query)
+        except Exception:
+            from clickhouseocp_spark.chsql import transpile
+
+            transpiled = transpile(query)
+            if transpiled == query:
+                raise
+            return self.spark.sql(transpiled)
 
     def query(self, name: str) -> DataFrame:
         """Run a named operator from the registry (SURVEY §2 inventory)."""

@@ -64,6 +64,7 @@ def _load_all() -> None:
         funnel_q,
         extras,
         mergetree_q,
+        chsql_q,
         streaming_q,
         relational,
         composites,

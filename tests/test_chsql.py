@@ -1,0 +1,165 @@
+"""Unit tests for the ClickHouse-dialect → Spark SQL transpiler (chsql.py).
+
+String-level tests need no SparkSession; the end-to-end dialect tests run
+through ``ChSparkEngine.sql(dialect=...)`` plumbing via ``spark.sql`` on the
+session fixture.  The 12 ``chsql_*`` registry queries hash-match DuckDB
+oracles separately (test_oracle_parity / driver) — these tests pin the
+rewrite *mechanics* and the documented error surface.
+"""
+
+import pytest
+
+from clickhouseocp_spark.chsql import ChSqlError, tokenize, transpile
+
+
+def canon(s: str) -> str:
+    return "".join(s.split())
+
+
+# --- tokenizer --------------------------------------------------------------
+
+
+def test_tokenize_opaque_strings_and_comments():
+    toks = tokenize("SELECT 'a -- not comment', x -- real comment\nFROM t")
+    assert "'a -- not comment'" in toks
+    assert not any("real" in t for t in toks)
+
+
+def test_tokenize_numbers_and_ops():
+    assert tokenize("1.5e3 >= .5") == ["1.5e3", ">=", ".5"]
+
+
+# --- clause rewrites --------------------------------------------------------
+
+
+def test_format_and_settings_stripped():
+    out = transpile("SELECT 1 FROM t FORMAT JSONEachRow")
+    assert "FORMAT" not in out
+    out = transpile("SELECT 1 FROM t SETTINGS max_threads = 4")
+    assert "SETTINGS" not in out
+
+
+def test_final_and_global_dropped():
+    out = transpile("SELECT a FROM t FINAL WHERE a GLOBAL IN (SELECT b FROM u)")
+    assert "FINAL" not in out and "GLOBAL" not in out
+
+
+def test_prewhere_merges_into_where():
+    out = canon(transpile("SELECT a FROM t PREWHERE x > 1 WHERE y < 2"))
+    assert canon("WHERE (x > 1) AND (y < 2)") in out
+    out = canon(transpile("SELECT a FROM t PREWHERE x > 1 GROUP BY a"))
+    assert canon("WHERE x > 1 GROUP BY a") in out
+
+
+def test_limit_by_rewrite_shape():
+    out = canon(
+        transpile("SELECT g, v FROM t ORDER BY v DESC LIMIT 2 BY g LIMIT 10")
+    )
+    assert canon("row_number() OVER (PARTITION BY g ORDER BY v DESC)") in out
+    assert canon("__rn <= 2") in out
+    assert out.endswith(canon("LIMIT 10"))
+
+
+def test_limit_by_requires_order_by():
+    with pytest.raises(ChSqlError):
+        transpile("SELECT g, v FROM t LIMIT 2 BY g")
+
+
+def test_asof_join_backward_becomes_lateral_desc():
+    out = canon(
+        transpile(
+            "SELECT * FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        )
+    )
+    assert canon("LEFT JOIN LATERAL") in out
+    assert canon("ORDER BY r.ts DESC LIMIT 1") in out
+    assert canon("ON true") in out
+
+
+def test_asof_join_forward_becomes_asc():
+    out = canon(
+        transpile("SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts < r.ts")
+    )
+    assert canon("ASC LIMIT 1") in out
+
+
+def test_asof_requires_single_inequality():
+    with pytest.raises(ChSqlError):
+        transpile("SELECT * FROM l ASOF JOIN r ON l.k = r.k")
+
+
+# --- expression rewrites ----------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        ("SELECT countIf(x > 1) FROM t", "count_if ( x > 1 )"),
+        ("SELECT sumIf(v, x = 1) FROM t", "sum ( v ) FILTER ( WHERE x = 1 )"),
+        ("SELECT argMax(n, v) FROM t", "max_by ( n, v )"),
+        ("SELECT uniqExact(x) FROM t", "count ( DISTINCT x )"),
+        ("SELECT count() FROM t", "count ( * )"),
+        ("SELECT toInt64(x) FROM t", "CAST ( x AS BIGINT )"),
+        ("SELECT CAST(x AS Float64) FROM t", "CAST ( x AS DOUBLE )"),
+        ("SELECT toYYYYMM(d) FROM t", "date_format ( d, 'yyyyMM' )"),
+        ("SELECT position(h, 'n') FROM t", "locate ( 'n', h )"),
+        ("SELECT quantile(0.9)(x) FROM t", "percentile ( x, 0.9 )"),
+        (
+            "SELECT arrayMap(x -> x + 1, a) FROM t",
+            "transform ( a, x -> x + 1 )",
+        ),
+        ("SELECT x == 1 FROM t", "x = 1"),
+    ],
+)
+def test_function_rules(ch, expected):
+    assert canon(expected) in canon(transpile(ch))
+
+
+def test_multiif_to_case():
+    out = canon(transpile("SELECT multiIf(a, 1, b, 2, 3) FROM t"))
+    assert canon("CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END") in out
+
+
+def test_array_literal_vs_subscript():
+    out = canon(transpile("SELECT [1, 2, 3] FROM t"))
+    assert canon("array(1, 2, 3)") in out
+    # subscripting passes through untouched (1-based CH vs 0-based Spark —
+    # documented out of subset)
+    out = canon(transpile("SELECT arr[1] FROM t"))
+    assert canon("arr[1]") in out
+
+
+def test_nested_function_rewrite():
+    out = canon(transpile("SELECT sumIf(toDecimal64(v, 6), x = 1) FROM t"))
+    assert canon("sum(CAST(v AS DECIMAL(38,6))) FILTER (WHERE x = 1)") in out
+
+
+def test_strings_are_opaque():
+    out = transpile("SELECT 'countIf(x)' FROM t")
+    assert "'countIf(x)'" in out
+
+
+def test_day_of_week_is_monday_one():
+    out = transpile("SELECT toDayOfWeek(d) FROM t")
+    assert "dayofweek" in out and "% 7" in out
+
+
+# --- engine plumbing --------------------------------------------------------
+
+
+def test_engine_sql_dialects(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(spark=spark, sf_dir=sf_dir)
+    # explicit CH dialect
+    n = eng.sql(
+        "SELECT count() AS n FROM nation PREWHERE n_regionkey == 0",
+        dialect="clickhouse",
+    ).collect()[0]["n"]
+    # auto fallback: invalid Spark SQL, valid CH
+    n2 = eng.sql("SELECT countIf(n_regionkey == 0) AS n FROM nation").collect()[
+        0
+    ]["n"]
+    assert n == n2 == 5
+    # auto mode leaves valid Spark SQL alone
+    assert eng.sql("SELECT 1 AS one").collect()[0]["one"] == 1
