@@ -49,7 +49,29 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_topk_ivf",
+    # distinctive-operator regression tracking (round-2 verdict #9)
+    "projection_rollup_answer",
+    "graphite_rollup_tiers",
+    "topk_state_merge",
+    "quantile_dd_state_merge",
+    "chsql_q1",
 ]
+
+
+def _prev_timings() -> tuple[str, dict[str, float]]:
+    """Per-query medians from the newest committed BENCH_r{N}.json (driver
+    artifact), so each round's line carries its deltas vs the round before."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json"))
+    for name in reversed(arts):
+        try:
+            with open(os.path.join(here, name)) as f:
+                parsed = json.load(f).get("parsed", {})
+            if isinstance(parsed, dict) and parsed.get("queries"):
+                return name, parsed["queries"]
+        except (OSError, ValueError):
+            continue
+    return "", {}
 
 
 def main() -> None:
@@ -79,18 +101,23 @@ def main() -> None:
         timings[name] = round(sorted(runs)[1], 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "protocol": "median of 3 timed runs after 1 warmup run per query",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "protocol": "median of 3 timed runs after 1 warmup run per query",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    prev_name, prev = _prev_timings()
+    if prev:
+        line["vs_prev"] = {
+            "artifact": prev_name,
+            "deltas": {
+                n: round(t - prev[n], 4) for n, t in timings.items() if n in prev
+            },
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -40,3 +40,29 @@ def point_in_box(
     return (
         (lon >= lon_min) & (lon <= lon_max) & (lat >= lat_min) & (lat <= lat_max)
     )
+
+
+def point_in_polygon(
+    x: Column, y: Column, polygon: "list[tuple[float, float]]"
+) -> Column:
+    """pointInPolygon((x, y), [(x1,y1), ...]) — even-odd ray casting.
+
+    The polygon is a CONSTANT (the CH calling convention too: the polygon
+    argument must be a literal), so the edge tests unroll at plan time into
+    a sum of codegen'd comparisons — no arrays, no UDF, no shuffle.  A point
+    is inside iff a ray to +inf in x crosses an odd number of edges.  Edge
+    arithmetic is plain IEEE double (same ops, same order on any engine), so
+    results are engine-deterministic; boundary points follow the strict `<`
+    convention.  Closing edge (last→first vertex) is implicit.
+    """
+    crossings: Column | None = None
+    n = len(polygon)
+    for i in range(n):
+        x1, y1 = polygon[i]
+        x2, y2 = polygon[(i + 1) % n]
+        straddles = (F.lit(y1) > y) != (F.lit(y2) > y)
+        # x-coordinate where the edge crosses the point's horizontal line
+        cross_x = F.lit(x1) + (y - F.lit(y1)) * F.lit((x2 - x1)) / F.lit((y2 - y1)) if y2 != y1 else F.lit(float("inf"))
+        hit = F.when(straddles & (x < cross_x), 1).otherwise(0)
+        crossings = hit if crossings is None else crossings + hit
+    return (crossings % 2) == 1

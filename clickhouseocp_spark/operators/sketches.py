@@ -9,12 +9,15 @@ columns and merges them at read time.  Spark equivalents, per state type:
 - uniq state          → HLL sketch binary columns: ``hll_sketch_agg`` to
   materialize, ``hll_union_agg`` to merge, ``hll_sketch_estimate`` to read
   (Spark 3.5+ Apache DataSketches — same role as CH uniqState/uniqMerge)
-- quantile states     → fixed-resolution histogram states (the public
-  quantileTiming design: bounded bins, exact merge by element-wise sum) —
-  ``quantile_timing_partial`` / ``quantile_timing_merge`` /
-  ``quantile_timing_estimate`` below.  Unlike t-digest, the merge is
-  EXACT and associative, so any partial/final split yields identical
-  states — the property AggregatingMergeTree rollups rely on.
+- quantile states     → two histogram-state families, both with EXACT,
+  associative merges (element-wise count sum), so any partial/final split
+  yields identical states — the property AggregatingMergeTree rollups rely
+  on, which an actual t-digest (order-dependent centroid merge) lacks:
+  * ``quantile_timing_*`` — fixed-width bins over a known [lo, hi), the
+    public quantileTiming design (absolute-error bound = bin width);
+  * ``quantile_dd_*`` — logarithmic bins over an UNBOUNDED positive range,
+    the published DDSketch design (relative-error bound alpha) — the
+    quantileTDigest use case.
 
 These functions implement the rollup pattern: fine-grained partials persisted
 once, then merged along any coarser dimension WITHOUT rescanning the facts —
@@ -23,6 +26,7 @@ the 100 TB point of the whole feature.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -139,6 +143,106 @@ def quantile_timing_estimate(
         ),
     )["idx"]
     return F.when(total > 0, F.lit(lo) + (found + F.lit(0.5)) * F.lit(width))
+
+
+#: map key reserved for non-positive values (log buckets cover x > 0 only);
+#: INT32_MIN sorts before every real bucket index, so the estimate fold walks
+#: zeros first — the correct rank position.
+_DD_ZERO_KEY = -(2**31)
+
+
+def _dd_gamma(alpha: float) -> float:
+    return (1.0 + alpha) / (1.0 - alpha)
+
+
+def quantile_dd_partial(
+    df: DataFrame,
+    keys: Sequence[str],
+    col: str,
+    alpha: float = 0.01,
+) -> DataFrame:
+    """quantileTDigestState analog with the published DDSketch design
+    (Masson/Rim/Lee, VLDB'19): logarithmic buckets ``ceil(log_gamma(x))``
+    with ``gamma = (1+alpha)/(1-alpha)``, giving a RELATIVE-error guarantee
+    ``|est/true - 1| <= alpha`` for positive values over an UNBOUNDED range —
+    the adaptive companion to the fixed-width ``quantile_timing_*`` state
+    (which is exact-width but needs a known [lo, hi)).
+
+    State column ``dd_state``: sparse ``map<int, long>`` of bucket → count
+    (non-positive values under the reserved ``_DD_ZERO_KEY``).  Like the
+    fixed-bin state the merge (element-wise count sum) is EXACT and
+    associative, so any partial/final split yields identical states — unlike
+    an actual t-digest, whose centroid merge is order-dependent.  Occupied
+    buckets grow with the LOG of the value range (alpha=0.01 →
+    ln(10)/ln(gamma) ≈ 115 buckets per decade), so states stay tiny
+    regardless of input size.
+
+    Shuffle profile: partial+final hash agg on (keys, bucket) — map-side
+    combine caps shuffle rows at |keys|×occupied-buckets — then one narrow
+    agg to assemble the map.
+    """
+    gamma = _dd_gamma(alpha)
+    idx = (
+        F.when(
+            F.col(col) > 0,
+            F.ceil(F.log(F.col(col).cast("double")) / F.lit(math.log(gamma))).cast(
+                "int"
+            ),
+        )
+        .otherwise(F.lit(_DD_ZERO_KEY))
+        .alias("_b")
+    )
+    per_bucket = (
+        df.where(F.col(col).isNotNull())  # NULLs are skipped, CH aggregate contract
+        .select(*keys, idx)
+        .groupBy(*keys, "_b")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    state = F.map_from_entries(F.array_sort(F.collect_list(F.struct("_b", "_n"))))
+    return per_bucket.groupBy(*keys).agg(state.alias("dd_state"))
+
+
+def quantile_dd_merge(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """quantileTDigestMerge analog: bucket-wise count sum along coarser keys.
+    Exact and associative (same property as ``quantile_timing_merge``)."""
+    flat = partials.select(
+        *keys, F.explode(F.map_entries("dd_state")).alias("e")
+    ).select(*keys, F.col("e.key").alias("_b"), F.col("e.value").alias("_n"))
+    summed = flat.groupBy(*keys, "_b").agg(F.sum("_n").alias("_n"))
+    state = F.map_from_entries(F.array_sort(F.collect_list(F.struct("_b", "_n"))))
+    return summed.groupBy(*keys).agg(state.alias("dd_state"))
+
+
+def quantile_dd_estimate(q: float, alpha: float = 0.01) -> F.Column:
+    """DDSketch read: walk buckets in key order until the cumulative count
+    reaches ``max(1, ceil(q * total))``; report the bucket's midpoint
+    ``2·gamma^i/(gamma+1)`` (0.0 for the non-positive bucket).  Relative
+    error vs the true order statistic is bounded by alpha for positive
+    values.  Empty state → NULL (quantile-on-empty contract)."""
+    gamma = _dd_gamma(alpha)
+    entries = F.array_sort(F.map_entries(F.col("dd_state")))
+    total = F.aggregate(
+        entries, F.lit(0).cast("long"), lambda a, e: a + e["value"]
+    )
+    target = F.greatest(F.lit(1).cast("long"), F.ceil(F.lit(q) * total))
+    found = F.aggregate(
+        entries,
+        F.struct(
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(None).cast("int").alias("idx"),
+        ),
+        lambda acc, e: F.struct(
+            (acc["cum"] + e["value"]).alias("cum"),
+            F.coalesce(
+                acc["idx"],
+                F.when(acc["cum"] + e["value"] >= target, e["key"]),
+            ).alias("idx"),
+        ),
+    )["idx"]
+    est = F.when(found == _DD_ZERO_KEY, F.lit(0.0)).otherwise(
+        F.lit(2.0 / (gamma + 1.0)) * F.pow(F.lit(gamma), found.cast("double"))
+    )
+    return F.when(total > 0, est)
 
 
 def topk_state_partial(

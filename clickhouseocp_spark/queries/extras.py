@@ -321,6 +321,78 @@ def quantile_timing_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantile_dd_state_merge",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS exact_q50,
+       ROUND(quantile_cont(value, 0.90), 6) AS exact_q90,
+       ROUND(quantile_cont(value, 0.99), 6) AS exact_q99,
+       COUNT(*) AS n,
+       TRUE AS dd_ok
+FROM events GROUP BY event_type
+""",
+    tags=("agg", "sketch", "mergetree"),
+)
+def quantile_dd_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileTDigestState / -Merge analog (SURVEY §2.4): re-mergeable
+    log-bucket quantile states with a RELATIVE-error guarantee over an
+    unbounded value range (DDSketch design — operators/sketches.quantile_dd_*).
+    Day-level partials merge to event_type; the output pairs oracle-checked
+    exact interpolated quantiles with an IN-QUERY ``dd_ok`` flag asserting
+    each sketch estimate lands within alpha of the ceil(q·n)-th order
+    statistic — the exact value the DDSketch bound is stated against (the
+    interpolated quantile differs from it by up to a whole inter-sample gap
+    on sparse tails, so it can't carry the tight bound).  A value-hash match
+    therefore proves the exact companion AND the sketch's guarantee."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_dd_estimate,
+        quantile_dd_merge,
+        quantile_dd_partial,
+    )
+
+    alpha = 0.01
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    partials = quantile_dd_partial(ev, keys=("event_type", "day"), col="value", alpha=alpha)
+    merged = quantile_dd_merge(partials, keys=("event_type",))
+    ests = merged.select(
+        "event_type",
+        quantile_dd_estimate(0.50, alpha).alias("__e50"),
+        quantile_dd_estimate(0.90, alpha).alias("__e90"),
+        quantile_dd_estimate(0.99, alpha).alias("__e99"),
+    )
+    def order_stat(q: float) -> F.Column:
+        # the ceil(q*n)-th smallest sample — test instrumentation only (the
+        # collect_list sort is bounded by the per-group row count at test SF)
+        return F.expr(
+            f"sort_array(collect_list(value))[cast(ceil({q} * count(value)) as int) - 1]"
+        )
+
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("exact_q50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("exact_q90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("exact_q99"),
+        F.count(F.lit(1)).alias("n"),
+        order_stat(0.50).alias("__o50"),
+        order_stat(0.90).alias("__o90"),
+        order_stat(0.99).alias("__o99"),
+    )
+
+    def ok(est: str, ostat: str) -> F.Column:
+        return F.abs(F.col(est) / F.col(ostat) - 1.0) <= alpha + 1e-12
+
+    return exact.join(F.broadcast(ests), "event_type").select(
+        "event_type",
+        "exact_q50",
+        "exact_q90",
+        "exact_q99",
+        "n",
+        (ok("__e50", "__o50") & ok("__e90", "__o90") & ok("__e99", "__o99")).alias(
+            "dd_ok"
+        ),
+    )
+
+
+@register(
     "projection_rollup_answer",
     oracle="""
 SELECT l_returnflag,
@@ -399,3 +471,69 @@ def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     merged = merge_states(partials, keys=("event_type",), m=1_000_000)
     return merged.select("event_type", topk_state_read(5).alias("top5"))
+
+
+@register(
+    "bitmap_agg_operations",
+    oracle="""
+WITH s AS (SELECT DISTINCT o_orderpriority AS p, o_custkey AS c FROM orders),
+u AS (SELECT c FROM s WHERE p = '1-URGENT'),
+j AS (
+  SELECT p,
+         COUNT(*) AS card,
+         COUNT(*) FILTER (WHERE c IN (SELECT c FROM u)) AS and_card,
+         bool_or(c = 7) AS contains_7
+  FROM s GROUP BY p
+)
+SELECT p AS priority,
+       CAST(card AS BIGINT) AS card,
+       CAST(and_card AS BIGINT) AS and_card,
+       CAST(card - and_card AS BIGINT) AS andnot_card,
+       CAST(card + (SELECT COUNT(*) FROM u) - and_card AS BIGINT) AS or_card,
+       CAST(card + (SELECT COUNT(*) FROM u) - 2 * and_card AS BIGINT) AS xor_card,
+       and_card > 0 AS any_urgent,
+       contains_7
+FROM j
+""",
+    tags=("agg", "bitmap", "mergetree"),
+)
+def bitmap_agg_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBitmap / bitmapAnd/Or/Xor/Andnot/Cardinality/HasAny/Contains
+    (SURVEY §2.8 bit-ops row; operators/bitmap.py).  Per-priority custkey
+    bitmaps — day-level partials merged first, proving the groupBitmapMerge
+    path — then full set algebra against the broadcast '1-URGENT' bitmap.
+    The oracle recomputes every cardinality relationally (|A∪B| =
+    |A|+|B|-|A∩B| etc.), so a value-hash match proves the set semantics."""
+    from clickhouseocp_spark.operators.bitmap import (
+        bitmap_and,
+        bitmap_andnot,
+        bitmap_cardinality,
+        bitmap_contains,
+        bitmap_has_any,
+        bitmap_merge,
+        bitmap_or,
+        bitmap_partial,
+        bitmap_xor,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    partials = bitmap_partial(
+        orders.withColumn("month", F.trunc("o_orderdate", "month")),
+        keys=("o_orderpriority", "month"),
+        col="o_custkey",
+    )
+    bitmaps = bitmap_merge(partials, keys=("o_orderpriority",))
+    urgent = bitmaps.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("bm_state").alias("u_state")
+    )
+    a, u = F.col("bm_state"), F.col("u_state")
+    return bitmaps.crossJoin(F.broadcast(urgent)).select(
+        F.col("o_orderpriority").alias("priority"),
+        bitmap_cardinality(a).cast("long").alias("card"),
+        bitmap_cardinality(bitmap_and(a, u)).cast("long").alias("and_card"),
+        bitmap_cardinality(bitmap_andnot(a, u)).cast("long").alias("andnot_card"),
+        bitmap_cardinality(bitmap_or(a, u)).cast("long").alias("or_card"),
+        bitmap_cardinality(bitmap_xor(a, u)).cast("long").alias("xor_card"),
+        bitmap_has_any(a, u).alias("any_urgent"),
+        bitmap_contains(a, F.lit(7)).alias("contains_7"),
+    )

@@ -494,3 +494,60 @@ def scalar_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_trunc("quarter", "d").cast("date").alias("quarter_start"),
         F.expr("CAST(d AS TIMESTAMP) + INTERVAL '36' HOUR").alias("ts_plus_36h"),
     )
+
+
+# --- pointInPolygon ---------------------------------------------------------
+
+#: non-convex "arrow" polygon in the synthetic lon/lat plane (integral
+#: vertices → exact doubles, so both engines' edge arithmetic is bitwise
+#: identical).  Shared by the Spark expression AND the generated oracle.
+_POLY = [(-20.0, 0.0), (0.0, 45.0), (20.0, 0.0), (0.0, 12.0)]
+
+
+def _poly_oracle_terms() -> str:
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        x1, y1 = _POLY[i]
+        x2, y2 = _POLY[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1!r} > lat) != ({y2!r} > lat)) "
+            f"AND lon < {x1!r} + (lat - {y1!r}) * {(x2 - x1)!r} / {(y2 - y1)!r} "
+            "THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "geo_point_in_polygon",
+    oracle=f"""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 97 - 48 AS DOUBLE) + 0.5 AS lat,
+         CAST(c_custkey % 113 - 56 AS DOUBLE) + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey,
+       ({_poly_oracle_terms()}) % 2 = 1 AS inside
+FROM pts
+""",
+    tags=("scalar", "geo"),
+)
+def geo_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pointInPolygon (SURVEY §2.8 geo family): even-odd ray casting against
+    a constant non-convex polygon, unrolled at plan time into codegen'd
+    comparisons (functions/geo.point_in_polygon).  The oracle runs the SAME
+    per-edge arithmetic, generated from the same vertex list — a value-hash
+    match proves the crossing test edge by edge."""
+    from clickhouseocp_spark.functions.geo import point_in_polygon
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97 - 48).cast("double") + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 113 - 56).cast("double") + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        point_in_polygon(F.col("lon"), F.col("lat"), _POLY).alias("inside"),
+    )

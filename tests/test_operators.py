@@ -411,6 +411,137 @@ def test_quantile_timing_state_merge_properties(spark, sf_dir):
         assert abs(est[t] - v) <= width / 2, (t, est[t], v)
 
 
+def test_quantile_dd_state_merge_properties(spark, sf_dir):
+    """DDSketch log-bucket state: merge associativity (bit-exact states from
+    any partial split) and the alpha relative-error bound vs the true order
+    statistic, over a 6-decade value range no fixed-bin state could cover."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_dd_estimate,
+        quantile_dd_merge,
+        quantile_dd_partial,
+    )
+
+    alpha = 0.01
+    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
+    direct = quantile_dd_partial(ev, keys=("event_type",), col="value", alpha=alpha)
+    via_day = quantile_dd_merge(
+        quantile_dd_partial(ev, keys=("event_type", "day"), col="value", alpha=alpha),
+        keys=("event_type",),
+    )
+    d = {r.event_type: sorted(r.dd_state.items()) for r in direct.collect()}
+    m = {r.event_type: sorted(r.dd_state.items()) for r in via_day.collect()}
+    assert m == d
+
+    # wide-range synthetic: exp-spaced values spanning ~1e-3 .. 1e3
+    wide = spark.range(6000).select(
+        F.lit("g").alias("g"),
+        F.exp((F.col("id") / 1000.0 - 3.0) * F.lit(2.302585092994046)).alias("v"),
+    )
+    st = quantile_dd_partial(wide, keys=("g",), col="v", alpha=alpha)
+    for q in (0.01, 0.5, 0.9, 0.99):
+        est = st.select(quantile_dd_estimate(q, alpha).alias("e")).collect()[0].e
+        exact = (
+            wide.agg(
+                F.expr(
+                    f"sort_array(collect_list(v))[cast(ceil({q} * count(v)) as int) - 1]"
+                ).alias("x")
+            ).collect()[0].x
+        )
+        assert abs(est / exact - 1.0) <= alpha, (q, est, exact)
+
+
+def test_quantile_dd_zero_and_empty(spark):
+    """Non-positive values land in the reserved first bucket (estimate 0.0 at
+    low ranks); NULLs are skipped, so a NULL-only group yields no state row."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_dd_estimate,
+        quantile_dd_partial,
+    )
+
+    df = spark.createDataFrame(
+        [("z", 0.0), ("z", -5.0), ("z", 10.0), ("e", None)], "k string, v double"
+    )
+    st = quantile_dd_partial(df, keys=("k",), col="v")
+    rows = {
+        r.k: (r.lo, r.hi)
+        for r in st.select(
+            "k",
+            quantile_dd_estimate(0.25).alias("lo"),
+            quantile_dd_estimate(0.99).alias("hi"),
+        ).collect()
+    }
+    assert "e" not in rows
+    assert rows["z"][0] == 0.0
+    assert abs(rows["z"][1] / 10.0 - 1.0) <= 0.01
+
+
+def test_point_in_polygon_nonconvex(spark):
+    """Ray casting handles the non-convex notch: a point above the notch
+    vertex but inside the arrow's wings is IN, the notch cavity itself is
+    OUT, and far-away points are OUT."""
+    from clickhouseocp_spark.functions.geo import point_in_polygon
+
+    poly = [(-20.0, 0.0), (0.0, 45.0), (20.0, 0.0), (0.0, 12.0)]
+    cases = [
+        (-10.0, 10.0, True),   # left wing
+        (10.0, 10.0, True),    # right wing
+        (0.0, 30.0, True),     # above the notch, inside the arrow head
+        (0.0, 5.0, False),     # inside the notch cavity
+        (0.0, 50.0, False),    # above the apex
+        (-25.0, 10.0, False),  # left of everything
+    ]
+    df = spark.createDataFrame(
+        [(x, y) for x, y, _ in cases], "x double, y double"
+    )
+    got = [
+        r.inside
+        for r in df.select(
+            point_in_polygon(F.col("x"), F.col("y"), poly).alias("inside")
+        ).collect()
+    ]
+    assert got == [e for _, _, e in cases]
+
+
+def test_bitmap_state_merge_associative(spark, sf_dir):
+    """Bitmap states (sorted distinct arrays) merge exactly: any partial
+    split unions to the identical bitmap, and the set-algebra identities
+    (|A∪B| = |A|+|B|-|A∩B|; XOR = OR minus AND) hold on real data."""
+    from clickhouseocp_spark.operators.bitmap import (
+        bitmap_and,
+        bitmap_cardinality,
+        bitmap_merge,
+        bitmap_or,
+        bitmap_partial,
+        bitmap_xor,
+    )
+
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "month", F.trunc("o_orderdate", "month")
+    )
+    direct = bitmap_partial(o, keys=("o_orderpriority",), col="o_custkey")
+    via_month = bitmap_merge(
+        bitmap_partial(o, keys=("o_orderpriority", "month"), col="o_custkey"),
+        keys=("o_orderpriority",),
+    )
+    d = {r.o_orderpriority: r.bm_state for r in direct.collect()}
+    m = {r.o_orderpriority: r.bm_state for r in via_month.collect()}
+    assert m == d
+    assert all(v == sorted(set(v)) for v in d.values())
+
+    two = direct.limit(2).agg(F.collect_list("bm_state").alias("bms")).select(
+        F.col("bms")[0].alias("a"), F.col("bms")[1].alias("b")
+    )
+    r = two.select(
+        bitmap_cardinality(F.col("a")).alias("ca"),
+        bitmap_cardinality(F.col("b")).alias("cb"),
+        bitmap_cardinality(bitmap_and(F.col("a"), F.col("b"))).alias("cand"),
+        bitmap_cardinality(bitmap_or(F.col("a"), F.col("b"))).alias("cor"),
+        bitmap_cardinality(bitmap_xor(F.col("a"), F.col("b"))).alias("cxor"),
+    ).collect()[0]
+    assert r.cor == r.ca + r.cb - r.cand
+    assert r.cxor == r.cor - r.cand
+
+
 def test_topk_state_truncation_keeps_heavy_hitter(spark):
     """Space-saving path: with state truncated to m, a dominant item survives
     partial→merge and its merged count underestimate is bounded by the
