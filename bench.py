@@ -49,6 +49,8 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_topk_ivf",
+    "contamination_ngram_overlap",
+    "quality_filter_gopher",
     # distinctive-operator regression tracking (round-2 verdict #9)
     "projection_rollup_answer",
     "graphite_rollup_tiers",

@@ -18,9 +18,12 @@ Supported surface (documented subset — unsupported constructs raise
   window rewrite; requires an ORDER BY on base columns and aliased/simple
   select items), ``ASOF [LEFT|INNER] JOIN ... ON eq AND ineq`` (LATERAL
   ORDER-BY-LIMIT-1 rewrite; operators/asof.py remains the 1-shuffle scale
-  path), trailing ``FORMAT x`` / ``SETTINGS k=v`` stripped, ``FINAL`` and
-  ``GLOBAL`` dropped (every read is a merged view; every join is cluster-wide
-  in Spark).
+  path), ``GROUP BY ... WITH TOTALS`` (GROUPING SETS rewrite; the totals row
+  carries NULL keys), ``[LEFT] ARRAY JOIN`` incl. parallel arrays
+  (posexplode lateral view; companions subscripted by position), trailing
+  ``FORMAT x`` / ``SETTINGS k=v`` stripped, ``FINAL`` and ``GLOBAL`` dropped
+  (every read is a merged view; every join is cluster-wide in Spark).
+  ``WITH ROLLUP/CUBE`` pass through (identical Spark syntax).
 - expression level: ~100 ClickHouse function names → Spark equivalents
   (see FUNC_RULES / PARAMETRIC_RULES), parametric aggregate syntax
   ``quantile(0.9)(x)``, CH type names inside CAST (``Float64``→``DOUBLE``),
@@ -504,6 +507,7 @@ FUNC_RULES: dict[str, object] = {
     "arrayElement": _rename("element_at"),
     "arrayJoin": _rename("explode"),
     "arrayMap": lambda args: f"transform({args[1]}, {args[0]})",
+    "arrayEnumerate": lambda args: f"sequence(1, size({args[0]}))",
     "arrayFilter": lambda args: f"filter({args[1]}, {args[0]})",
     "arrayExists": lambda args: f"exists({args[1]}, {args[0]})",
     "arrayAll": lambda args: f"forall({args[1]}, {args[0]})",
@@ -637,6 +641,119 @@ def _find_close_bracket(tokens: list[str], open_idx: int) -> int:
     raise ChSqlError("unbalanced brackets")
 
 
+def _rewrite_totals(tokens: list[str]) -> list[str]:
+    """``GROUP BY k1, k2 WITH TOTALS`` → ``GROUP BY GROUPING SETS ((k1, k2),
+    ())``.  The totals row arrives as an extra row with NULL keys (ANSI
+    grouping-sets semantics) rather than CH's zero/empty defaults — the same
+    documented ANSI posture as join_use_nulls.  ``WITH ROLLUP`` / ``WITH
+    CUBE`` need no rewrite (Spark accepts the identical syntax)."""
+    wt = None
+    for i in _depth0_positions(tokens, lambda t, j: _KW(t) == "WITH"):
+        if i + 1 < len(tokens) and _KW(tokens[i + 1]) == "TOTALS":
+            wt = i
+            break
+    if wt is None:
+        return tokens
+    groups = _depth0_positions(
+        tokens, lambda t, j: _KW(t) == "GROUP" and j < wt
+    )
+    if not groups or _KW(tokens[groups[-1] + 1]) != "BY":
+        raise ChSqlError("WITH TOTALS without a GROUP BY clause")
+    g = groups[-1]
+    keys = tokens[g + 2 : wt]
+    return (
+        tokens[:g]
+        + ["GROUP", "BY", "GROUPING", "SETS", "(", "("] + keys + [")", ",", "(", ")", ")"]
+        + tokens[wt + 2 :]
+    )
+
+
+#: clause keywords that terminate an ARRAY JOIN item list at depth 0
+_AJ_STOP = _CLAUSE_STOP | {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "ARRAY"}
+
+
+def _rewrite_array_join(tokens: list[str]) -> list[str]:
+    """``[LEFT] ARRAY JOIN item [, item ...]`` → ``LATERAL VIEW [OUTER]
+    posexplode(first) _aj AS _aj_pos, _aj_c0`` with references rewritten:
+    the first item's name → ``_aj_c0``, each further item ``e AS a`` →
+    ``e[_aj_pos]`` (CH zips parallel arrays positionally; the 0-based Spark
+    subscript is generated by us, so the documented no-subscript-translation
+    rule doesn't apply).  Items must be a bare column or ``expr AS alias``;
+    LEFT ARRAY JOIN keeps rows with empty arrays (OUTER), emitting NULLs —
+    CH emits default values, same ANSI deviation as everywhere else."""
+    aj = None
+    for i in _depth0_positions(tokens, lambda t, j: _KW(t) == "ARRAY"):
+        if i + 1 < len(tokens) and _KW(tokens[i + 1]) == "JOIN":
+            aj = i
+            break
+    if aj is None:
+        return tokens
+    left = aj > 0 and _KW(tokens[aj - 1]) == "LEFT"
+    start = aj - 1 if left else aj
+    stops = _depth0_positions(
+        tokens, lambda t, j: j > aj + 1 and _KW(t) in _AJ_STOP
+    )
+    end = stops[0] if stops else len(tokens)
+    items: list[tuple[list[str], str]] = []  # (expr tokens, reference name)
+    for item in _split_top(tokens[aj + 2 : end], ","):
+        if not item:
+            continue
+        if len(item) >= 3 and _KW(item[-2]) == "AS":
+            items.append((item[:-2], item[-1]))
+        elif len(item) == 1 and _is_word(item[0]):
+            items.append((item, item[0]))
+        else:
+            raise ChSqlError(
+                f"ARRAY JOIN item must be a column or 'expr AS alias': {render(item)!r}"
+            )
+    if not items:
+        raise ChSqlError("ARRAY JOIN with no items")
+    first_expr, first_name = items[0]
+    # A bare-column item (`ARRAY JOIN x`) shadows the table's own column in
+    # CH; the generated lateral column must get a FRESH name (_aj_c0) to
+    # avoid ambiguity, with references substituted.  An aliased item's alias
+    # is a new name, so the lateral column can carry it directly.
+    bare_first = len(first_expr) == 1 and first_expr[0] == first_name
+    col0 = "_aj_c0" if bare_first else first_name
+    # clause removed before ref rewrite; sentinel marks the insertion point
+    # (substitutions below change token counts, invalidating raw indexes)
+    sentinel = "\x00AJ"
+    body = tokens[:start] + [sentinel] + tokens[end:]
+
+    def sub(name: str, repl: list[str]) -> None:
+        # Replacing a whole top-level select item (`SELECT name,`) keeps the
+        # CH output column name via an explicit alias.
+        j = 0
+        while j < len(body):
+            if (
+                body[j] == name
+                and (j == 0 or body[j - 1] != ".")
+                and (j + 1 >= len(body) or body[j + 1] != ".")
+            ):
+                r = list(repl)
+                prev = _KW(body[j - 1]) if j > 0 else ""
+                nxt = _KW(body[j + 1]) if j + 1 < len(body) else ""
+                if prev in ("SELECT", "DISTINCT", ",") and nxt in (",", "FROM"):
+                    r += ["AS", name]
+                body[j : j + 1] = r
+                j += len(r)
+            else:
+                j += 1
+
+    if bare_first:
+        sub(first_name, [col0])
+    for expr, name in items[1:]:
+        sub(name, ["("] + expr + ["[", "_aj_pos", "]", ")"])
+    lateral = (
+        ["LATERAL", "VIEW"]
+        + (["OUTER"] if left else [])
+        + ["posexplode", "("] + first_expr + [")"]
+        + ["_aj", "AS", "_aj_pos", ",", col0]
+    )
+    at = body.index(sentinel)
+    return body[:at] + lateral + body[at + 1 :]
+
+
 def _rewrite_exprs(tokens: list[str]) -> str:
     """Depth-first call rewriting over the whole token stream; returns SQL
     text (function args are rendered strings by the time a rule fires)."""
@@ -718,4 +835,6 @@ def transpile(sql: str) -> str:
     tokens = _merge_prewhere(tokens)
     tokens = _rewrite_asof(tokens)
     tokens = _rewrite_limit_by(tokens)
+    tokens = _rewrite_totals(tokens)
+    tokens = _rewrite_array_join(tokens)
     return _rewrite_exprs(tokens)

@@ -406,3 +406,102 @@ def chsql_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
         """,
     )
+
+
+# --- 13. WITH TOTALS --------------------------------------------------------
+
+
+@register(
+    "chsql_totals",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= DATE '1996-01-01'
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), ())
+""",
+    tags=("chsql", "agg"),
+)
+def chsql_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH TOTALS → GROUPING SETS ((keys), ()) — the totals
+    row arrives with NULL keys (documented ANSI posture; CH would emit
+    zero-value defaults)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               count() AS n,
+               CAST(sum(toDecimal64(o_totalprice, 6)) AS Float64) AS total
+        FROM orders
+        WHERE o_orderdate >= toDate('1996-01-01')
+        GROUP BY o_orderpriority, o_orderstatus WITH TOTALS
+        """,
+    )
+
+
+# --- 14. ARRAY JOIN ---------------------------------------------------------
+
+
+@register(
+    "chsql_array_join",
+    oracle="""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+FROM (SELECT doc_id, unnest(words) AS word FROM w)
+WHERE length(word) >= 5
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+""",
+    tags=("chsql", "array"),
+)
+def chsql_array_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY JOIN clause (CH's explode): token frequency top-20 written as
+    CH text — `ARRAY JOIN splitByChar(...) AS word` becomes a posexplode
+    LATERAL VIEW."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT word, count() AS n
+        FROM documents
+        ARRAY JOIN splitByChar(' ', text) AS word
+        WHERE lengthUTF8(word) >= 5
+        GROUP BY word ORDER BY n DESC, word LIMIT 20
+        """,
+    )
+
+
+@register(
+    "chsql_array_join_parallel",
+    oracle="""
+WITH base AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents WHERE doc_id % 25 = 0
+),
+z AS (
+  SELECT doc_id,
+         unnest(words) AS word,
+         unnest(list_transform(range(1, len(words) + 1), i -> i - 1)) AS pos
+  FROM base)
+SELECT doc_id, pos, word
+FROM z WHERE pos < 3
+ORDER BY doc_id, pos
+""",
+    tags=("chsql", "array"),
+)
+def chsql_array_join_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel-array ARRAY JOIN: CH zips the listed arrays positionally;
+    the rewrite drives off posexplode of the first and subscripts the
+    companions by the shared position."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT doc_id, idx AS pos, word
+        FROM documents
+        ARRAY JOIN splitByChar(' ', text) AS word,
+                   arrayMap(i -> i - 1, arrayEnumerate(splitByChar(' ', text))) AS idx
+        WHERE doc_id % 25 = 0 AND idx < 3
+        ORDER BY doc_id, idx
+        """,
+    )

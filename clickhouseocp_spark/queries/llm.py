@@ -397,3 +397,264 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     with_payload = attach_binary_payload(d, text_col="text", id_col="doc_id")
     return extract_media_meta(with_payload, payload_col="payload", id_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Training-data curation: decontamination, quality gating, PII scrubbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "contamination_ngram_overlap",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, greatest(len(words) - 3, 1)),
+             i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                  words[i+3] || ' ' || words[i+4]))) AS gram
+  FROM toks),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 101 = 0),
+corpus AS (
+  SELECT doc_id, gram FROM g WHERE doc_id % 101 <> 0
+  UNION ALL
+  SELECT doc_id + 2000000, gram FROM g WHERE doc_id % 101 = 0)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_grams,
+       CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS BIGINT)
+         AS hit_grams,
+       ROUND(CAST(COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) AS DOUBLE)
+             / COUNT(*), 6) AS contamination,
+       COUNT(*) FILTER (WHERE gram IN (SELECT gram FROM bench)) * 5 >= COUNT(*)
+         AS flagged
+FROM corpus GROUP BY doc_id
+""",
+    tags=("llm", "text", "dedup"),
+)
+def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the GPT-3/PaLM n-gram-overlap protocol):
+    flag training documents sharing word 5-grams with an eval/benchmark set.
+    Benchmark = every 101st doc; the corpus is the rest PLUS the benchmark
+    texts re-id'd at +2_000_000 (planted leakage, same protocol as the dedup
+    queries) — planted rows must come back contamination=1.0, clean rows 0.
+
+    Scale shape: the benchmark gram set is bounded (eval suites are small by
+    definition) -> broadcast LEFT SEMI join against it; the corpus side is one
+    explode + per-doc count with map-side combine.  One shuffle on doc_id,
+    corpus never self-joins."""
+    d = load_table(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(word_shingles(whitespace_tokens(F.col("text")), 5))
+        ).alias("gram"),
+    )
+    bench_grams = grams.where(F.col("doc_id") % 101 == 0).select("gram").distinct()
+    corpus = grams.where(F.col("doc_id") % 101 != 0).unionByName(
+        grams.where(F.col("doc_id") % 101 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "gram"
+        )
+    )
+    hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
+    marked = corpus.join(
+        F.broadcast(bench_grams.withColumn("__hit", F.lit(1))), "gram", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("total_grams"),
+        F.sum(hit).cast("long").alias("hit_grams"),
+    ).select(
+        "doc_id",
+        "total_grams",
+        "hit_grams",
+        F.round(F.col("hit_grams").cast("double") / F.col("total_grams"), 6).alias(
+            "contamination"
+        ),
+        (F.col("hit_grams") * 5 >= F.col("total_grams")).alias("flagged"),
+    )
+
+
+#: Gopher-style rule thresholds (Rae et al. 2021 §A1.1, adapted to the
+#: fixture's word-soup distributions so both keep and drop occur): each rule
+#: name appears in ``reasons`` when violated.
+_GOPHER_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+
+
+@register(
+    "quality_filter_gopher",
+    oracle="""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+         ROUND(CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+               / len(words), 6) AS mean_word_len,
+         ROUND(CAST(len(list_filter(words, x -> x IN ('the','a','of','to','and','in'))) AS DOUBLE)
+               / len(words), 6) AS stop_ratio,
+         ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                 range(1, greatest(len(words) - 1, 1)),
+                 i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))) AS DOUBLE)
+               / greatest(len(words) - 2, 1), 6) AS dup_trigram_frac
+  FROM toks),
+freq AS (
+  SELECT doc_id, ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6) AS top_token_ratio
+  FROM (SELECT doc_id, w, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(words) AS w FROM toks) GROUP BY doc_id, w)
+  GROUP BY doc_id)
+SELECT doc_id, n_words, mean_word_len, stop_ratio, dup_trigram_frac, top_token_ratio,
+       concat_ws(',',
+         CASE WHEN n_words < 30 THEN 'too_short' END,
+         CASE WHEN mean_word_len < 3 OR mean_word_len > 10 THEN 'word_len' END,
+         CASE WHEN stop_ratio < 0.02 THEN 'low_stopwords' END,
+         CASE WHEN top_token_ratio > 0.15 THEN 'repetitive_token' END,
+         CASE WHEN dup_trigram_frac > 0.05 THEN 'dup_trigrams' END) AS reasons,
+       (n_words >= 30 AND mean_word_len >= 3 AND mean_word_len <= 10
+        AND stop_ratio >= 0.02 AND top_token_ratio <= 0.15
+        AND dup_trigram_frac <= 0.05) AS keep
+FROM base JOIN freq USING (doc_id)
+""",
+    tags=("llm", "text"),
+)
+def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gating (Rae et al. 2021): per-doc signals
+    (word count, mean word length, stopword ratio, duplicate-trigram
+    fraction, most-frequent-token ratio) folded into a keep/drop decision
+    with machine-readable drop reasons — the canonical pre-training filter
+    pass.  Thresholds are adapted to the fixture distributions so the gate
+    actually splits the corpus.
+
+    All signals are columnar except top_token_ratio, which needs a real
+    per-(doc, token) count: explode -> two map-side-combinable hash aggs
+    (shuffle keyed on doc_id — no skew: docs are bounded).  Signals join
+    back 1:1 on doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = whitespace_tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                F.transform(ws, lambda x: F.length(x).cast("bigint")),
+                F.lit(0).cast("bigint"),
+                lambda a, x: a + x,
+            ).cast("double")
+            / F.size(ws),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter(ws, lambda t: t.isin(*_GOPHER_STOPWORDS))).cast("double")
+            / F.size(ws),
+            6,
+        ).alias("stop_ratio"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(word_shingles(ws, 3))).cast("double")
+            / F.greatest(F.size(ws) - 2, F.lit(1)),
+            6,
+        ).alias("dup_trigram_frac"),
+    )
+    freq = (
+        d.select("doc_id", F.explode(ws).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
+            ).alias("top_token_ratio")
+        )
+    )
+    j = base.join(freq, "doc_id")
+    rules = [
+        ("too_short", F.col("n_words") < 30),
+        ("word_len", (F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10)),
+        ("low_stopwords", F.col("stop_ratio") < 0.02),
+        ("repetitive_token", F.col("top_token_ratio") > 0.15),
+        ("dup_trigrams", F.col("dup_trigram_frac") > 0.05),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    keep = F.lit(True)
+    for _, cond in rules:
+        keep = keep & ~cond
+    return j.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "stop_ratio",
+        "dup_trigram_frac",
+        "top_token_ratio",
+        reasons.alias("reasons"),
+        keep.alias("keep"),
+    )
+
+
+#: PII patterns kept inside the RE2 ∩ java.util.regex common subset so the
+#: SAME pattern string runs on both engines (no lookarounds, no backrefs).
+_EMAIL_RE = r"[a-z0-9][a-z0-9.]*@[a-z0-9]+\.[a-z]+"
+_PHONE_RE = r"\+[0-9]{2}-[0-9]{3}-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+WITH raw AS (
+  SELECT doc_id,
+         text ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id || '@mail.com or u' || doc_id || '@sub.example.org'
+              ELSE '' END ||
+         CASE WHEN doc_id % 5 = 0
+              THEN ' call +12-345-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS INTEGER) AS emails_found,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS INTEGER) AS phones_found,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{_PHONE_RE}', '[PHONE]', 'g')) AS scrubbed_md5
+FROM raw
+""",
+    tags=("llm", "text"),
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (emails / phone numbers) — the scrubbing
+    pass every training-data pipeline runs before tokenization.  The fixture
+    text is synthetic word soup, so deterministic PII is INJECTED first
+    (doc_id-derived emails/phones on every 3rd/5th doc) and the oracle builds
+    the identical raw string; the output md5 of the scrubbed text proves the
+    redaction byte-for-byte.
+
+    Pure regexp column expressions (count + replace) — scan-speed, no
+    shuffle; patterns live in the RE2 ∩ Java-regex common subset so both
+    engines compile the same automaton."""
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail.com or u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@sub.example.org"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit(" call +12-345-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).alias("emails_found"),
+        F.regexp_count(raw, F.lit(_PHONE_RE)).alias("phones_found"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

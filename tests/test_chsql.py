@@ -163,3 +163,41 @@ def test_engine_sql_dialects(spark, sf_dir):
     assert n == n2 == 5
     # auto mode leaves valid Spark SQL alone
     assert eng.sql("SELECT 1 AS one").collect()[0]["one"] == 1
+
+
+# --- WITH TOTALS / ARRAY JOIN rewrites --------------------------------------
+
+
+def test_with_totals_rewrite():
+    out = transpile("SELECT k, count() FROM t GROUP BY k WITH TOTALS")
+    assert "GROUPINGSETS((k),())" in canon(out)
+    with pytest.raises(ChSqlError):
+        transpile("SELECT count() FROM t WITH TOTALS")
+
+
+def test_with_rollup_passthrough():
+    out = transpile("SELECT a, b, count() FROM t GROUP BY a, b WITH ROLLUP")
+    assert "WITH ROLLUP" in out and "GROUPING SETS" not in out
+
+
+def test_array_join_bare_column():
+    out = transpile("SELECT x, n FROM t ARRAY JOIN x")
+    assert "LATERALVIEWposexplode(x)_ajAS_aj_pos,_aj_c0" in canon(out)
+    # select item keeps CH's output name via alias
+    assert canon(out).startswith("SELECT_aj_c0ASx,n")
+
+
+def test_array_join_aliased_and_left():
+    out = transpile("SELECT v FROM t LEFT ARRAY JOIN arr AS v")
+    assert "LATERALVIEWOUTERposexplode(arr)_ajAS_aj_pos,v" in canon(out)
+
+
+def test_array_join_parallel_subscripts_companion():
+    out = transpile("SELECT a_v, b_v FROM t ARRAY JOIN a AS a_v, b AS b_v")
+    assert "posexplode(a)" in canon(out)
+    assert "(b[_aj_pos])ASb_v" in canon(out)
+
+
+def test_array_join_rejects_unaliased_expr():
+    with pytest.raises(ChSqlError):
+        transpile("SELECT 1 FROM t ARRAY JOIN splitByChar(' ', s)")
