@@ -23,7 +23,9 @@ Supported surface (documented subset — unsupported constructs raise
   (posexplode lateral view; companions subscripted by position), trailing
   ``FORMAT x`` / ``SETTINGS k=v`` stripped, ``FINAL`` and ``GLOBAL`` dropped
   (every read is a merged view; every join is cluster-wide in Spark).
-  ``WITH ROLLUP/CUBE`` pass through (identical Spark syntax).
+  ``WITH ROLLUP/CUBE`` pass through (identical Spark syntax).  CH scalar
+  ``WITH <expr> AS name`` aliases inline; ``SAMPLE f`` becomes the
+  deterministic sampling-key filter declared in ``SAMPLE_KEYS``.
 - expression level: ~100 ClickHouse function names → Spark equivalents
   (see FUNC_RULES / PARAMETRIC_RULES), parametric aggregate syntax
   ``quantile(0.9)(x)``, CH type names inside CAST (``Float64``→``DOUBLE``),
@@ -641,6 +643,145 @@ def _find_close_bracket(tokens: list[str], open_idx: int) -> int:
     raise ChSqlError("unbalanced brackets")
 
 
+#: SAMPLE BY keys of the fixture tables (CH ties SAMPLE to the table DDL's
+#: SAMPLE BY clause; this map is that declaration for the catalog tables).
+#: The documented deterministic variant: key % 1_000_000 < frac·1_000_000 —
+#: reproducible on any engine, same contract as the sample_by_key query.
+SAMPLE_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+
+def _add_where(tokens: list[str], cond: list[str]) -> list[str]:
+    """AND a condition into the statement's WHERE clause (creating one before
+    the first post-FROM clause keyword if absent)."""
+    where = _depth0_positions(tokens, lambda t, j: _KW(t) == "WHERE")
+    if where:
+        w = where[0]
+        stops = _depth0_positions(
+            tokens, lambda t, j: j > w and _KW(t) in (_CLAUSE_STOP - {"WHERE"})
+        )
+        end = stops[0] if stops else len(tokens)
+        return (
+            tokens[:w]
+            + ["WHERE", "("] + tokens[w + 1 : end] + [")", "AND"] + cond
+            + tokens[end:]
+        )
+    stops = _depth0_positions(tokens, lambda t, j: _KW(t) in _CLAUSE_STOP)
+    at = stops[0] if stops else len(tokens)
+    return tokens[:at] + ["WHERE"] + cond + tokens[at:]
+
+
+def _rewrite_sample(tokens: list[str]) -> list[str]:
+    """``FROM t SAMPLE f`` (f in (0,1)) → deterministic key-hash filter on
+    t's declared sampling key: ``WHERE t_key % 1000000 < f·1000000``.
+    Aggregates over a sample estimate the full-table value scaled by f —
+    CH semantics exactly (SAMPLE reads a key range; the caller rescales).
+    Row-count form (``SAMPLE 10000``) and OFFSET are outside the subset."""
+    pos = _depth0_positions(tokens, lambda t, j: _KW(t) == "SAMPLE")
+    if not pos:
+        return tokens
+    i = pos[0]
+    if i == 0 or i + 1 >= len(tokens):
+        raise ChSqlError("SAMPLE needs a preceding table and a fraction")
+    table, frac_tok = tokens[i - 1], tokens[i + 1]
+    if i + 2 < len(tokens) and _KW(tokens[i + 2]) == "OFFSET":
+        raise ChSqlError("SAMPLE ... OFFSET is outside the supported subset")
+    try:
+        frac = float(frac_tok)
+    except ValueError:
+        return tokens  # not the clause — an identifier named "sample"
+    if not 0.0 < frac < 1.0:
+        raise ChSqlError("only fractional SAMPLE f with 0 < f < 1 is supported")
+    key = SAMPLE_KEYS.get(table.lower())
+    if key is None:
+        raise ChSqlError(f"no declared sampling key for table {table!r}")
+    rest = tokens[:i] + tokens[i + 2 :]
+    cond = ["(", key, "%", "1000000", ")", "<", str(int(frac * 1_000_000))]
+    return _add_where(rest, ["("] + cond + [")"])
+
+
+def _rewrite_scalar_with(tokens: list[str]) -> list[str]:
+    """CH scalar WITH: ``WITH <expr> AS name, ... SELECT ...`` inlines
+    ``name`` → ``(expr)`` (CH evaluates the alias per reference).  Standard
+    CTEs (``name AS (SELECT ...)``) pass through untouched; the two forms
+    can be mixed in one WITH list."""
+    if not tokens or _KW(tokens[0]) != "WITH":
+        return tokens
+    sel = _depth0_positions(tokens, lambda t, j: j > 0 and _KW(t) == "SELECT")
+    if not sel:
+        return tokens
+    end = sel[0]
+    items = _split_top(tokens[1:end], ",")
+    ctes: list[list[str]] = []
+    scalars: list[tuple[str, list[str]]] = []
+    for item in items:
+        if not item:
+            continue
+        if (
+            len(item) >= 3
+            and _is_word(item[0])
+            and _KW(item[1]) == "AS"
+            and item[2] == "("
+        ):
+            ctes.append(item)
+        elif len(item) >= 3 and _KW(item[-2]) == "AS" and _is_word(item[-1]):
+            scalars.append((item[-1], item[:-2]))
+        else:
+            raise ChSqlError(f"unsupported WITH item: {render(item)!r}")
+    if not scalars:
+        return tokens
+    body = tokens[end:]
+    for name, expr in scalars:
+        repl = ["("] + expr + [")"]
+        j = 0
+        while j < len(body):
+            if (
+                body[j] == name
+                and (j == 0 or body[j - 1] != ".")
+                and (j + 1 >= len(body) or body[j + 1] not in (".", "("))
+            ):
+                body[j : j + 1] = repl
+                j += len(repl)
+            else:
+                j += 1
+    if ctes:
+        head = ["WITH"]
+        for k, c in enumerate(ctes):
+            head += ([","] if k else []) + c
+        return head + body
+    return body
+
+
+def _rewrite_system_tables(tokens: list[str]) -> list[str]:
+    """``system.X`` → ``system_X`` (the engine registers the introspection
+    surface under those view names — ChSparkEngine._ensure_system_views)."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if (
+            _KW(tokens[i]) == "SYSTEM"
+            and i + 2 < len(tokens)
+            and tokens[i + 1] == "."
+            and _is_word(tokens[i + 2])
+        ):
+            out.append(f"system_{tokens[i + 2]}")
+            i += 3
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 def _rewrite_totals(tokens: list[str]) -> list[str]:
     """``GROUP BY k1, k2 WITH TOTALS`` → ``GROUP BY GROUPING SETS ((k1, k2),
     ())``.  The totals row arrives as an extra row with NULL keys (ANSI
@@ -835,6 +976,9 @@ def transpile(sql: str) -> str:
     tokens = _merge_prewhere(tokens)
     tokens = _rewrite_asof(tokens)
     tokens = _rewrite_limit_by(tokens)
+    tokens = _rewrite_scalar_with(tokens)
+    tokens = _rewrite_system_tables(tokens)
+    tokens = _rewrite_sample(tokens)
     tokens = _rewrite_totals(tokens)
     tokens = _rewrite_array_join(tokens)
     return _rewrite_exprs(tokens)

@@ -42,6 +42,8 @@ class ChSparkEngine:
         planning; ``"spark"`` skips transpilation; ``"auto"`` (default) tries
         native Spark SQL first and falls back to the CH transpiler when
         parsing/analysis rejects the text."""
+        if "system." in query.lower() or "system_" in query.lower():
+            self._ensure_system_views()
         if dialect in ("clickhouse", "ch"):
             from clickhouseocp_spark.chsql import transpile
 
@@ -63,6 +65,17 @@ class ChSparkEngine:
         from clickhouseocp_spark.queries import all_queries
 
         return all_queries()[name].fn(self.spark, self.sf_dir)
+
+    def _ensure_system_views(self) -> None:
+        """Register the system.* introspection surface as temp views so SQL
+        text can read it (chsql rewrites ``system.X`` → ``system_X``)."""
+        if getattr(self, "_system_views_done", False):
+            return
+        self.system_tables().createOrReplaceTempView("system_tables")
+        self.system_columns().createOrReplaceTempView("system_columns")
+        self.system_functions().createOrReplaceTempView("system_functions")
+        self.system_build_options().createOrReplaceTempView("system_build_options")
+        self._system_views_done = True
 
     def system_build_options(self) -> DataFrame:
         """`SELECT * FROM system.build_options` analog — the reference's own
@@ -91,6 +104,32 @@ class ChSparkEngine:
             for t in self.spark.catalog.listTables()
         ]
         return self.spark.createDataFrame(rows, "name string, type string, namespace string")
+
+    def system_columns(self) -> DataFrame:
+        """`system.columns` analog: every registered fixture table's columns
+        with ordinal position and Spark type (CH exposes the same through
+        system.columns; the `system_columns` registry query oracle-checks
+        this against DuckDB's information_schema over identical views)."""
+        rows = [
+            (name, f.name, f.dataType.simpleString(), i + 1)
+            for name, df in sorted(self.tables.items())
+            for i, f in enumerate(df.schema.fields)
+        ]
+        # CH system.columns column names: table, name, type, position
+        return self.spark.createDataFrame(
+            rows, "table string, name string, type string, position int"
+        )
+
+    def system_functions(self) -> DataFrame:
+        """`system.functions` analog: the ClickHouse-name vocabulary this
+        engine accepts (functions/clickhouse_names.py) plus whether each name
+        also exists as a native Spark builtin."""
+        names = sorted(n for n in dir(_ch) if not n.startswith("_"))
+        native = {
+            r[0] for r in self.spark.sql("SHOW FUNCTIONS").collect()
+        }
+        rows = [(n, n.lower() in native) for n in names]
+        return self.spark.createDataFrame(rows, "name string, spark_builtin boolean")
 
     def explain(self, name_or_sql: str) -> str:
         """EXPLAIN analog returning the formatted physical plan."""

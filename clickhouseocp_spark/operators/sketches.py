@@ -145,10 +145,16 @@ def quantile_timing_estimate(
     return F.when(total > 0, F.lit(lo) + (found + F.lit(0.5)) * F.lit(width))
 
 
-#: map key reserved for non-positive values (log buckets cover x > 0 only);
-#: INT32_MIN sorts before every real bucket index, so the estimate fold walks
-#: zeros first — the correct rank position.
-_DD_ZERO_KEY = -(2**31)
+#: Two-sided DDSketch key layout (one int key space, ascending key ==
+#: ascending value so the estimate fold walks ranks in order):
+#:   negatives  key = -_DD_NEG_OFF - ceil(log_gamma(-x))   (< _DD_ZERO_KEY)
+#:   zero       key = _DD_ZERO_KEY = -2^30
+#:   positives  key = ceil(log_gamma(x))                    (|key| ≤ ~75k)
+#: log_gamma indexes stay within ±~75k for the whole double range at any
+#: alpha ≥ 0.001, so the bands can't collide: negative keys live in
+#: [-2^30-2^21-75k, -2^30-2^21+75k], all below -2^30, all above INT32_MIN.
+_DD_ZERO_KEY = -(2**30)
+_DD_NEG_OFF = 2**30 + 2**21
 
 
 def _dd_gamma(alpha: float) -> float:
@@ -164,12 +170,14 @@ def quantile_dd_partial(
     """quantileTDigestState analog with the published DDSketch design
     (Masson/Rim/Lee, VLDB'19): logarithmic buckets ``ceil(log_gamma(x))``
     with ``gamma = (1+alpha)/(1-alpha)``, giving a RELATIVE-error guarantee
-    ``|est/true - 1| <= alpha`` for positive values over an UNBOUNDED range —
-    the adaptive companion to the fixed-width ``quantile_timing_*`` state
-    (which is exact-width but needs a known [lo, hi)).
+    ``|est|/|true| ∈ [1-alpha, 1+alpha]`` (same sign) over an UNBOUNDED
+    range — the adaptive companion to the fixed-width ``quantile_timing_*``
+    state (which is exact-width but needs a known [lo, hi)).  TWO-SIDED:
+    negative values get mirrored log buckets below the reserved zero key,
+    so the single sorted key space walks ranks in true value order.
 
     State column ``dd_state``: sparse ``map<int, long>`` of bucket → count
-    (non-positive values under the reserved ``_DD_ZERO_KEY``).  Like the
+    (zeros under the reserved ``_DD_ZERO_KEY``).  Like the
     fixed-bin state the merge (element-wise count sum) is EXACT and
     associative, so any partial/final split yields identical states — unlike
     an actual t-digest, whose centroid merge is order-dependent.  Occupied
@@ -182,12 +190,13 @@ def quantile_dd_partial(
     agg to assemble the map.
     """
     gamma = _dd_gamma(alpha)
+    lg = F.lit(math.log(gamma))
+    x = F.col(col).cast("double")
     idx = (
-        F.when(
-            F.col(col) > 0,
-            F.ceil(F.log(F.col(col).cast("double")) / F.lit(math.log(gamma))).cast(
-                "int"
-            ),
+        F.when(x > 0, F.ceil(F.log(x) / lg).cast("int"))
+        .when(
+            x < 0,
+            (F.lit(-_DD_NEG_OFF) - F.ceil(F.log(-x) / lg)).cast("int"),
         )
         .otherwise(F.lit(_DD_ZERO_KEY))
         .alias("_b")
@@ -216,9 +225,10 @@ def quantile_dd_merge(partials: DataFrame, keys: Sequence[str]) -> DataFrame:
 def quantile_dd_estimate(q: float, alpha: float = 0.01) -> F.Column:
     """DDSketch read: walk buckets in key order until the cumulative count
     reaches ``max(1, ceil(q * total))``; report the bucket's midpoint
-    ``2·gamma^i/(gamma+1)`` (0.0 for the non-positive bucket).  Relative
-    error vs the true order statistic is bounded by alpha for positive
-    values.  Empty state → NULL (quantile-on-empty contract)."""
+    ``±2·gamma^i/(gamma+1)`` (0.0 for the zero bucket; negative band keys
+    decode via the mirror offset).  Relative error vs the true order
+    statistic's MAGNITUDE is bounded by alpha, sign exact.  Empty state →
+    NULL (quantile-on-empty contract)."""
     gamma = _dd_gamma(alpha)
     entries = F.array_sort(F.map_entries(F.col("dd_state")))
     total = F.aggregate(
@@ -239,8 +249,14 @@ def quantile_dd_estimate(q: float, alpha: float = 0.01) -> F.Column:
             ).alias("idx"),
         ),
     )["idx"]
-    est = F.when(found == _DD_ZERO_KEY, F.lit(0.0)).otherwise(
-        F.lit(2.0 / (gamma + 1.0)) * F.pow(F.lit(gamma), found.cast("double"))
+    mid = F.lit(2.0 / (gamma + 1.0))
+    est = (
+        F.when(found == _DD_ZERO_KEY, F.lit(0.0))
+        .when(
+            found < _DD_ZERO_KEY,
+            -mid * F.pow(F.lit(gamma), (-(found + F.lit(_DD_NEG_OFF))).cast("double")),
+        )
+        .otherwise(mid * F.pow(F.lit(gamma), found.cast("double")))
     )
     return F.when(total > 0, est)
 

@@ -49,3 +49,22 @@ def r6(col: Column, alias: str) -> Column:
     """round(x, 6): tolerance wrapper for libm-backed scalars / normalized
     statistics whose low bits may differ across engines."""
     return F.round(col, 6).alias(alias)
+
+
+def fan_out(df, min_parts: int | None = None):
+    """Repartition ONLY when the source has fewer partitions than the
+    session's parallelism — the guard that makes heavy per-row compute
+    (n-gram explode, tokenize, sketch kernels) use every core when the
+    input is a small single-row-group file (the test-SF situation: Spark
+    cannot split a parquet row group, so a tiny file = one task for the
+    whole downstream chain).
+
+    At production scale this is a NO-OP by construction: a 100 TB scan has
+    orders of magnitude more row groups than cores, so the condition never
+    fires and no shuffle is added.  Round-robin partitioning (no keys) keeps
+    rows balanced without assuming any distribution."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

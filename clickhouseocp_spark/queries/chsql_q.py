@@ -505,3 +505,65 @@ def chsql_array_join_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, idx
         """,
     )
+
+
+# --- 16. SAMPLE + scalar WITH -----------------------------------------------
+
+
+@register(
+    "chsql_sample",
+    oracle="""
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price
+FROM lineitem
+WHERE (l_orderkey % 1000000) < 100000
+GROUP BY l_returnflag
+""",
+    tags=("chsql", "sample"),
+)
+def chsql_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE f → deterministic filter on the table's declared sampling key
+    (chsql.SAMPLE_KEYS ≈ the CH table DDL's SAMPLE BY clause)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               count() AS n,
+               CAST(sum(toDecimal64(l_extendedprice, 6)) AS Float64) AS sum_price
+        FROM lineitem SAMPLE 0.1
+        GROUP BY l_returnflag
+        """,
+    )
+
+
+@register(
+    "chsql_scalar_with",
+    oracle="""
+WITH b AS (SELECT o_orderpriority AS p, o_totalprice AS tp FROM orders)
+SELECT p,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(tp * (1 + 0.07) AS DECIMAL(38,6))) AS DOUBLE) AS taxed,
+       CAST(COUNT(*) FILTER (WHERE tp > 150000.0) AS BIGINT) AS big
+FROM b GROUP BY p
+""",
+    tags=("chsql", "scalar"),
+)
+def chsql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH scalar WITH aliases (``WITH expr AS name``) inlined, mixed with a
+    standard CTE in the same WITH list."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH 0.07 AS taxrate,
+             150000.0 AS big_cutoff,
+             b AS (SELECT o_orderpriority AS p, o_totalprice AS tp FROM orders)
+        SELECT p,
+               count() AS n,
+               CAST(sum(toDecimal64(tp * (1 + taxrate), 6)) AS Float64) AS taxed,
+               countIf(tp > big_cutoff) AS big
+        FROM b GROUP BY p
+        """,
+    )

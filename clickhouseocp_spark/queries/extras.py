@@ -537,3 +537,46 @@ def bitmap_agg_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
         bitmap_has_any(a, u).alias("any_urgent"),
         bitmap_contains(a, F.lit(7)).alias("contains_7"),
     )
+
+
+@register(
+    "system_columns",
+    oracle="""
+SELECT table_name AS tbl, column_name AS col,
+       CAST(ordinal_position AS INTEGER) AS position,
+       CASE data_type
+         WHEN 'BIGINT' THEN 'bigint'
+         WHEN 'INTEGER' THEN 'int'
+         WHEN 'DOUBLE' THEN 'double'
+         WHEN 'FLOAT' THEN 'float'
+         WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DATE' THEN 'date'
+         WHEN 'TIMESTAMP' THEN 'timestamp'
+         WHEN 'FLOAT[]' THEN 'array<float>'
+         ELSE lower(data_type)
+       END AS dtype
+FROM information_schema.columns
+WHERE table_name IN ('region','nation','customer','supplier','part','orders',
+                     'lineitem','events','documents','embeddings')
+""",
+    tags=("introspection",),
+)
+def system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.columns analog (SURVEY §2.8 introspection): every catalog
+    table's columns with ordinal position and engine type, oracle-checked
+    against DuckDB's information_schema over the SAME views — proving both
+    engines materialize identical schemas from the shared parquet (incl. the
+    nanos→micros timestamp normalization on events.ts).  Driver-side
+    metadata only (bounded by schema width), no cluster work."""
+    from clickhouseocp_spark.catalog import TABLES
+
+    rows = [
+        # timestamp_ntz vs timestamp is Spark's UTC-adjustment flag on the
+        # same parquet logical type — one "timestamp" label on both engines
+        (t, f.name, i + 1, f.dataType.simpleString().replace("timestamp_ntz", "timestamp"))
+        for t in TABLES
+        for i, f in enumerate(load_table(spark, sf_dir, t).schema.fields)
+    ]
+    return spark.createDataFrame(
+        rows, "tbl string, col string, position int, dtype string"
+    )

@@ -38,6 +38,7 @@ from clickhouseocp_spark.operators.similarity import (
     srp_lsh_topk,
 )
 from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.queries._util import fan_out
 from clickhouseocp_spark.sources.multimodal import attach_binary_payload, extract_media_meta
 
 # ---------------------------------------------------------------------------
@@ -443,7 +444,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition) -> broadcast LEFT SEMI join against it; the corpus side is one
     explode + per-doc count with map-side combine.  One shuffle on doc_id,
     corpus never self-joins."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     grams = d.select(
         "doc_id",
         F.explode(
@@ -526,7 +527,7 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-(doc, token) count: explode -> two map-side-combinable hash aggs
     (shuffle keyed on doc_id — no skew: docs are bounded).  Signals join
     back 1:1 on doc_id."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = whitespace_tokens(F.col("text"))
     base = d.select(
         "doc_id",

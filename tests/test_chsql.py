@@ -201,3 +201,33 @@ def test_array_join_parallel_subscripts_companion():
 def test_array_join_rejects_unaliased_expr():
     with pytest.raises(ChSqlError):
         transpile("SELECT 1 FROM t ARRAY JOIN splitByChar(' ', s)")
+
+
+# --- SAMPLE / scalar WITH ---------------------------------------------------
+
+
+def test_sample_rewrite_uses_declared_key():
+    out = transpile("SELECT count() FROM lineitem SAMPLE 0.25 WHERE l_tax > 0")
+    c = canon(out)
+    assert "(l_orderkey%1000000)<250000" in c
+    assert "SAMPLE" not in out.upper()
+    assert "(l_tax>0)AND" in c  # existing WHERE preserved
+
+
+def test_sample_rejects_unknown_table_and_rowcount():
+    with pytest.raises(ChSqlError):
+        transpile("SELECT 1 FROM mystery SAMPLE 0.5")
+    with pytest.raises(ChSqlError):
+        transpile("SELECT 1 FROM lineitem SAMPLE 10000")
+
+
+def test_scalar_with_inlines_and_keeps_ctes():
+    out = transpile(
+        "WITH 3 AS k, c AS (SELECT 1 AS v) SELECT v + k FROM c"
+    )
+    c = canon(out)
+    assert "WITHcAS(SELECT1ASv)" in c
+    assert "v+(3)" in c
+    # a function call with the alias name must NOT be substituted
+    out2 = transpile("WITH 3 AS f SELECT f(x), f FROM t")
+    assert "f(x)" in out2 and "(3)" in out2

@@ -66,3 +66,27 @@ def test_system_introspection(spark, sf_dir):
     assert opts["engine"] == "spark" and opts["spark.sql.session.timeZone"] == "UTC"
     tables = {r.name for r in eng.system_tables().collect()}
     assert {"lineitem", "events", "documents"} <= tables
+
+
+def test_system_introspection_via_sql_text(spark, sf_dir):
+    """CH text over system.* resolves through the engine-registered views:
+    system.columns rows match the real schemas; system.functions lists the
+    CH-name vocabulary; SAMPLE/system rewrites compose in one statement."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    cols = eng.sql(
+        "SELECT name, type FROM system.columns WHERE table = 'embeddings' ORDER BY position",
+        dialect="clickhouse",
+    ).collect()
+    assert [(r.name, r.type) for r in cols] == [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ]
+    fns = eng.sql(
+        "SELECT count() AS n FROM system.functions", dialect="clickhouse"
+    ).collect()[0].n
+    assert fns > 100
+    tbls = {r.name for r in eng.system_tables().collect()}
+    assert {"lineitem", "orders", "events"} <= tbls

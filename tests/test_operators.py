@@ -450,29 +450,74 @@ def test_quantile_dd_state_merge_properties(spark, sf_dir):
         assert abs(est / exact - 1.0) <= alpha, (q, est, exact)
 
 
-def test_quantile_dd_zero_and_empty(spark):
-    """Non-positive values land in the reserved first bucket (estimate 0.0 at
-    low ranks); NULLs are skipped, so a NULL-only group yields no state row."""
+def test_quantile_dd_zero_negative_and_empty(spark):
+    """Two-sided layout: negatives decode from the mirrored band (sign exact,
+    magnitude within alpha), zero from the reserved bucket between the bands;
+    NULLs are skipped, so a NULL-only group yields no state row."""
     from clickhouseocp_spark.operators.sketches import (
         quantile_dd_estimate,
         quantile_dd_partial,
     )
 
     df = spark.createDataFrame(
-        [("z", 0.0), ("z", -5.0), ("z", 10.0), ("e", None)], "k string, v double"
+        [("z", -5.0), ("z", 0.0), ("z", 10.0), ("e", None)], "k string, v double"
     )
     st = quantile_dd_partial(df, keys=("k",), col="v")
     rows = {
-        r.k: (r.lo, r.hi)
+        r.k: (r.lo, r.mid, r.hi)
         for r in st.select(
             "k",
-            quantile_dd_estimate(0.25).alias("lo"),
+            quantile_dd_estimate(0.30).alias("lo"),
+            quantile_dd_estimate(0.50).alias("mid"),
             quantile_dd_estimate(0.99).alias("hi"),
         ).collect()
     }
     assert "e" not in rows
-    assert rows["z"][0] == 0.0
-    assert abs(rows["z"][1] / 10.0 - 1.0) <= 0.01
+    lo, mid, hi = rows["z"]
+    assert abs(lo / -5.0 - 1.0) <= 0.01 and lo < 0
+    assert mid == 0.0
+    assert abs(hi / 10.0 - 1.0) <= 0.01
+
+
+def test_quantile_dd_negative_range_bound(spark):
+    """alpha relative-magnitude bound holds across a mixed-sign 6-decade
+    range: rank walking crosses the negative band, zero bucket, and positive
+    band in true value order."""
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_dd_estimate,
+        quantile_dd_partial,
+    )
+
+    alpha = 0.01
+    mixed = spark.range(4001).select(
+        F.lit("g").alias("g"),
+        (
+            F.when(F.col("id") == 2000, 0.0)
+            .when(
+                F.col("id") < 2000,
+                -F.exp((F.col("id") / 500.0 - 2.0) * F.lit(2.302585092994046)),
+            )
+            .otherwise(
+                F.exp(((F.col("id") - 2001) / 500.0 - 2.0) * F.lit(2.302585092994046))
+            )
+        ).alias("v"),
+    )
+    st = quantile_dd_partial(mixed, keys=("g",), col="v", alpha=alpha)
+    for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+        est = st.select(quantile_dd_estimate(q, alpha).alias("e")).collect()[0].e
+        exact = (
+            mixed.agg(
+                F.expr(
+                    f"sort_array(collect_list(v))[cast(ceil({q} * count(v)) as int) - 1]"
+                ).alias("x")
+            ).collect()[0].x
+        )
+        if exact == 0.0:
+            assert est == 0.0, (q, est)
+        else:
+            assert est * exact > 0 and abs(abs(est / exact) - 1.0) <= alpha, (
+                q, est, exact,
+            )
 
 
 def test_point_in_polygon_nonconvex(spark):
