@@ -80,6 +80,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _REGISTERED: dict[tuple[str, str, tuple[str, ...]], dict[str, DataFrame]] = {}
 
 
+def invalidate_cache() -> None:
+    """Drop the registration memo — the next ``register_tables`` re-reads the
+    parquet fixtures fresh.  Needed after ``ChSparkEngine.execute`` mutations
+    (which replace session views in place) when pristine fixtures are wanted
+    again, e.g. between tests."""
+    _REGISTERED.clear()
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

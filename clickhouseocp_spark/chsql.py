@@ -571,8 +571,70 @@ FUNC_RULES: dict[str, object] = {
     "generateUUIDv4": _rename("uuid"),
     "rand": _rename("rand"),
     "greatCircleDistance": None,  # functions/geo.py covers; no 1-line SQL
+    # table function: numbers(N) / numbers(offset, N) → range() subquery,
+    # column renamed to CH's `number`
+    "numbers": lambda args: (
+        f"(SELECT id AS number FROM range({args[0]}))"
+        if len(args) == 1
+        else f"(SELECT id AS number FROM range({args[0]}, ({args[0]}) + ({args[1]})))"
+    ),
+    # bitmap family over the array-state representation (operators/bitmap.py):
+    # groupBitmap returns the CARDINALITY (CH contract), -State the bitmap
+    "groupBitmap": lambda args: f"count(DISTINCT {args[0]})",
+    "groupBitmapState": lambda args: f"array_sort(collect_set({args[0]}))",
+    "bitmapBuild": lambda args: f"array_sort(array_distinct({args[0]}))",
+    "bitmapCardinality": lambda args: f"size({args[0]})",
+    "bitmapAnd": lambda args: f"array_sort(array_intersect({args[0]}, {args[1]}))",
+    "bitmapOr": lambda args: f"array_sort(array_union({args[0]}, {args[1]}))",
+    "bitmapAndnot": lambda args: f"array_sort(array_except({args[0]}, {args[1]}))",
+    "bitmapXor": lambda args: (
+        f"array_sort(array_except(array_union({args[0]}, {args[1]}),"
+        f" array_intersect({args[0]}, {args[1]})))"
+    ),
+    "bitmapHasAny": lambda args: f"arrays_overlap({args[0]}, {args[1]})",
+    "bitmapHasAll": lambda args: f"(size(array_except({args[1]}, {args[0]})) = 0)",
+    "bitmapContains": lambda args: f"array_contains({args[0]}, {args[1]})",
+    "bitmapMin": lambda args: f"array_min({args[0]})",
+    "bitmapMax": lambda args: f"array_max({args[0]})",
+    "bitmapToArray": lambda args: f"{args[0]}",
+    # dictionaries: dictGet over the catalog's declared dictionaries becomes
+    # a correlated scalar subquery (Catalyst rewrites it to a left join;
+    # operators/dictionary.dict_get stays the explicit-broadcast fast path)
+    "dictGet": lambda args: _dict_get(args[0], args[1], args[2]),
+    "dictGetOrDefault": lambda args: (
+        f"COALESCE({_dict_get(args[0], args[1], args[2])}, {args[3]})"
+    ),
+    "dictHas": lambda args: (
+        f"({_dict_get(args[0], None, args[1], count=True)} > 0)"
+    ),
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
+
+
+#: Declared dictionaries of the fixture catalog (CH configures dictionaries
+#: in DDL/XML — reference Dockerfile:222,231; this map is that declaration).
+#: name → (source table, key column).
+CH_DICTS = {
+    "nation_dict": ("nation", "n_nationkey"),
+    "region_dict": ("region", "r_regionkey"),
+}
+
+
+def _dict_get(dname: str, attr: str | None, key: str, count: bool = False) -> str:
+    """dictGet* → correlated scalar subquery against the declared dictionary
+    table.  The dictionary and attribute names must be string literals (the
+    CH calling convention)."""
+    if not (dname.startswith("'") and dname.endswith("'")):
+        raise ChSqlError(f"dictGet needs a dictionary name literal, got {dname!r}")
+    entry = CH_DICTS.get(dname[1:-1])
+    if entry is None:
+        raise ChSqlError(f"unknown dictionary {dname}; declared: {sorted(CH_DICTS)}")
+    tbl, keycol = entry
+    if count:
+        return f"(SELECT count(1) FROM {tbl} WHERE {keycol} = ({key}))"
+    if not (attr and attr.startswith("'") and attr.endswith("'")):
+        raise ChSqlError(f"dictGet needs an attribute name literal, got {attr!r}")
+    return f"(SELECT {attr[1:-1]} FROM {tbl} WHERE {keycol} = ({key}))"
 
 
 def _regex_quote(literal: str) -> str:
@@ -966,6 +1028,14 @@ def _rewrite_exprs(tokens: list[str]) -> str:
         out.append(t)
         i += 1
     return render(out)
+
+
+def transpile_expr(text: str) -> str:
+    """Expression-level-only rewrite (CH function names / literals / type
+    names) for fragments embedded in non-SELECT statements — the engine's
+    ALTER ... UPDATE/DELETE dispatcher feeds assignment and WHERE snippets
+    through this."""
+    return _rewrite_exprs(tokenize(text))
 
 
 def transpile(sql: str) -> str:

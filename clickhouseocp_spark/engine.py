@@ -22,6 +22,13 @@ from clickhouseocp_spark.functions import clickhouse_names as _ch
 from clickhouseocp_spark.session import get_spark
 
 
+def _split_assignments(text: str) -> list[str]:
+    """Split `a = e1, b = e2` on top-level commas (string/paren aware)."""
+    from clickhouseocp_spark.chsql import _split_top, render, tokenize
+
+    return [render(p) for p in _split_top(tokenize(text), ",") if p]
+
+
 class ChSparkEngine:
     """SQL + named-query engine over a fixture/data directory."""
 
@@ -42,6 +49,14 @@ class ChSparkEngine:
         planning; ``"spark"`` skips transpilation; ``"auto"`` (default) tries
         native Spark SQL first and falls back to the CH transpiler when
         parsing/analysis rejects the text."""
+        head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+        if head in ("ALTER", "OPTIMIZE", "TRUNCATE"):
+            return self.execute(query)
+        if head == "EXPLAIN":
+            plan = self.explain(query.lstrip()[7:].lstrip(), dialect=dialect)
+            return self.spark.createDataFrame(
+                [(line,) for line in plan.splitlines()], "plan string"
+            )
         if "system." in query.lower() or "system_" in query.lower():
             self._ensure_system_views()
         if dialect in ("clickhouse", "ch"):
@@ -59,6 +74,67 @@ class ChSparkEngine:
             if transpiled == query:
                 raise
             return self.spark.sql(transpiled)
+
+    def execute(self, statement: str) -> DataFrame:
+        """CH mutation/maintenance statements over the catalog views
+        (SURVEY §2.1 mutations; the reference accepts these over the same
+        SQL transport as SELECTs):
+
+        - ``ALTER TABLE t DELETE WHERE cond``
+        - ``ALTER TABLE t UPDATE col = expr[, ...] WHERE cond``
+        - ``OPTIMIZE TABLE t [FINAL]`` (no-op: every read is already the
+          merged view — FINAL semantics by construction)
+        - ``TRUNCATE TABLE t``
+
+        The mutated lineage replaces the session view (the parquet fixtures
+        are immutable; persist with sources/writers if needed) — CH's
+        mutations are likewise deferred rewrites, not in-place edits.
+        Expressions go through the CH-dialect rewriter (chsql.transpile_expr).
+        """
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        from clickhouseocp_spark.chsql import ChSqlError, transpile_expr
+        from clickhouseocp_spark.operators.mutations import delete_where, update_where
+
+        text = statement.strip().rstrip(";")
+        m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", text)
+        if m:
+            t, cond = m.group(1).lower(), transpile_expr(m.group(2))
+            out = delete_where(self._table(t), F.expr(cond))
+            return self._replace_view(t, out)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$", text
+        )
+        if m:
+            t, cond = m.group(1).lower(), transpile_expr(m.group(3))
+            assignments = {}
+            for part in _split_assignments(m.group(2)):
+                col, _, expr = part.partition("=")
+                if not _:
+                    raise ChSqlError(f"malformed UPDATE assignment: {part!r}")
+                assignments[col.strip()] = F.expr(transpile_expr(expr))
+            out = update_where(self._table(t), F.expr(cond), assignments)
+            return self._replace_view(t, out)
+        m = _re.match(r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?$", text)
+        if m:
+            return self._table(m.group(1).lower())
+        m = _re.match(r"(?is)^TRUNCATE\s+TABLE\s+(\w+)$", text)
+        if m:
+            t = m.group(1).lower()
+            return self._replace_view(t, self._table(t).limit(0))
+        raise ChSqlError(f"unsupported statement: {text[:80]!r}")
+
+    def _table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise KeyError(f"unknown table {name!r}; have {sorted(self.tables)}")
+        return self.tables[name]
+
+    def _replace_view(self, name: str, df: DataFrame) -> DataFrame:
+        df.createOrReplaceTempView(name)
+        self.tables[name] = df
+        return df
 
     def query(self, name: str) -> DataFrame:
         """Run a named operator from the registry (SURVEY §2 inventory)."""
@@ -131,13 +207,13 @@ class ChSparkEngine:
         rows = [(n, n.lower() in native) for n in names]
         return self.spark.createDataFrame(rows, "name string, spark_builtin boolean")
 
-    def explain(self, name_or_sql: str) -> str:
+    def explain(self, name_or_sql: str, dialect: str = "auto") -> str:
         """EXPLAIN analog returning the formatted physical plan."""
         from clickhouseocp_spark.plans.inspect import formatted_plan
         from clickhouseocp_spark.queries import all_queries
 
         if name_or_sql.lstrip().upper().startswith(("SELECT", "WITH")):
-            df = self.sql(name_or_sql)
+            df = self.sql(name_or_sql, dialect=dialect)
         else:
             df = all_queries()[name_or_sql].fn(self.spark, self.sf_dir)
         return formatted_plan(df)

@@ -567,3 +567,101 @@ def chsql_scalar_with(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM b GROUP BY p
         """,
     )
+
+
+# --- 18. dictGet / numbers / bitmap vocabulary ------------------------------
+
+
+@register(
+    "chsql_dictget",
+    oracle="""
+SELECT c_custkey,
+       (SELECT n_name FROM nation WHERE n_nationkey = c_nationkey) AS nation_name,
+       COALESCE((SELECT r_name FROM region
+                 WHERE r_regionkey = c_nationkey - 20), 'none') AS maybe_region,
+       (SELECT COUNT(1) FROM nation WHERE n_nationkey = c_nationkey) > 0 AS known
+FROM customer
+WHERE c_custkey <= 200
+""",
+    tags=("chsql", "dictionary"),
+)
+def chsql_dictget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dictGet / dictGetOrDefault / dictHas over the catalog's declared
+    dictionaries (chsql.CH_DICTS) — correlated scalar subqueries that
+    Catalyst rewrites into (broadcastable) left joins."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey,
+               dictGet('nation_dict', 'n_name', c_nationkey) AS nation_name,
+               dictGetOrDefault('region_dict', 'r_name', c_nationkey - 20, 'none') AS maybe_region,
+               dictHas('nation_dict', c_nationkey) AS known
+        FROM customer
+        WHERE c_custkey <= 200
+        """,
+    )
+
+
+@register(
+    "chsql_numbers",
+    oracle="""
+SELECT CAST(SUM(i) AS BIGINT) AS s,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN i % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS sevens
+FROM generate_series(0, 9999) t(i)
+""",
+    tags=("chsql", "table_function"),
+)
+def chsql_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numbers(N) table function in CH text → range() subquery with the
+    CH column name `number`."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT sum(number) AS s,
+               count() AS n,
+               countIf(number % 7 = 0) AS sevens
+        FROM numbers(10000)
+        """,
+    )
+
+
+@register(
+    "chsql_bitmap",
+    oracle="""
+WITH s AS (SELECT DISTINCT o_orderpriority AS p, o_custkey % 100 AS b FROM orders),
+a AS (SELECT list_sort(list(b)) AS bm FROM s WHERE p = '1-URGENT'),
+c AS (SELECT list_sort(list(b)) AS bm FROM s WHERE p = '5-LOW')
+SELECT CAST(len(a.bm) AS INTEGER) AS card_a,
+       CAST(len(list_intersect(a.bm, c.bm)) AS INTEGER) AS card_and,
+       CAST(len(list_distinct(list_concat(a.bm, c.bm))) AS INTEGER) AS card_or,
+       CAST(len(list_filter(a.bm, x -> NOT list_contains(c.bm, x))) AS INTEGER) AS card_andnot,
+       len(list_intersect(a.bm, c.bm)) > 0 AS any_common,
+       list_contains(a.bm, 7) AS has_7
+FROM a, c
+""",
+    tags=("chsql", "bitmap"),
+)
+def chsql_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitmap* function vocabulary in CH text over the array-state
+    representation (groupBitmapState → sorted distinct array; set algebra
+    via Catalyst array functions)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH a AS (SELECT groupBitmapState(o_custkey % 100) AS bm
+                   FROM orders WHERE o_orderpriority = '1-URGENT'),
+             c AS (SELECT groupBitmapState(o_custkey % 100) AS bm
+                   FROM orders WHERE o_orderpriority = '5-LOW')
+        SELECT bitmapCardinality(a.bm) AS card_a,
+               bitmapCardinality(bitmapAnd(a.bm, c.bm)) AS card_and,
+               bitmapCardinality(bitmapOr(a.bm, c.bm)) AS card_or,
+               bitmapCardinality(bitmapAndnot(a.bm, c.bm)) AS card_andnot,
+               bitmapHasAny(a.bm, c.bm) AS any_common,
+               bitmapContains(a.bm, 7) AS has_7
+        FROM a CROSS JOIN c
+        """,
+    )

@@ -231,3 +231,31 @@ def test_scalar_with_inlines_and_keeps_ctes():
     # a function call with the alias name must NOT be substituted
     out2 = transpile("WITH 3 AS f SELECT f(x), f FROM t")
     assert "f(x)" in out2 and "(3)" in out2
+
+
+# --- dictGet / numbers / bitmap rules ---------------------------------------
+
+
+def test_dictget_rewrites_and_errors():
+    out = transpile("SELECT dictGet('nation_dict', 'n_name', 3)")
+    assert canon(out) == "SELECT(SELECTn_nameFROMnationWHEREn_nationkey=(3))"
+    out = transpile("SELECT dictHas('region_dict', 9)")
+    assert "count(1)" in out and "> 0" in out
+    with pytest.raises(ChSqlError):
+        transpile("SELECT dictGet('no_such_dict', 'a', 1)")
+    with pytest.raises(ChSqlError):
+        transpile("SELECT dictGet(dname, 'a', 1)")  # non-literal dict name
+
+
+def test_numbers_table_function():
+    out = transpile("SELECT sum(number) FROM numbers(100)")
+    assert "range(100)" in out and "AS number" in out
+    out2 = transpile("SELECT number FROM numbers(10, 5)")
+    assert "range(10, (10) + (5))" in out2
+
+
+def test_bitmap_vocabulary():
+    out = transpile("SELECT bitmapCardinality(bitmapAnd(a, b))")
+    assert canon(out) == "SELECTsize(array_sort(array_intersect(a,b)))"
+    out = transpile("SELECT bitmapHasAll(a, b)")
+    assert canon(out) == "SELECT(size(array_except(b,a))=0)"

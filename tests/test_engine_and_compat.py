@@ -90,3 +90,40 @@ def test_system_introspection_via_sql_text(spark, sf_dir):
     assert fns > 100
     tbls = {r.name for r in eng.system_tables().collect()}
     assert {"lineitem", "orders", "events"} <= tbls
+
+
+def test_mutation_statements(spark, sf_dir):
+    """ALTER DELETE / ALTER UPDATE / TRUNCATE / OPTIMIZE over the session
+    views, with CH-dialect expressions in the WHERE/assignments; mutations
+    replace the view lineage (CH-style deferred rewrite), restorable via
+    catalog.invalidate_cache."""
+    from clickhouseocp_spark.catalog import invalidate_cache
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    try:
+        eng = ChSparkEngine(sf_dir, spark=spark)
+        n0 = eng.tables["nation"].count()
+        eng.sql("ALTER TABLE nation DELETE WHERE n_regionkey = 0")
+        kept = eng.sql("SELECT count() AS n FROM nation", dialect="ch").collect()[0].n
+        assert 0 < kept < n0
+        eng.sql(
+            "ALTER TABLE nation UPDATE n_name = concat(lowerUTF8(n_name), '!'), "
+            "n_nationkey = n_nationkey + 100 WHERE n_regionkey = 1"
+        )
+        rows = eng.sql(
+            "SELECT n_name, n_nationkey FROM nation WHERE n_regionkey = 1"
+        ).collect()
+        assert rows and all(r.n_name.endswith("!") and r.n_name[:-1].islower() for r in rows)
+        assert all(r.n_nationkey >= 100 for r in rows)
+        assert eng.sql("OPTIMIZE TABLE nation FINAL").count() == kept
+        eng.sql("TRUNCATE TABLE region")
+        assert eng.tables["region"].count() == 0
+        plan = eng.sql("EXPLAIN SELECT count() FROM nation PREWHERE n_regionkey = 2",
+                       dialect="clickhouse")
+        assert any("Physical Plan" in r.plan or "HashAggregate" in r.plan
+                   for r in plan.collect())
+    finally:
+        invalidate_cache()
+        from clickhouseocp_spark.catalog import register_tables
+
+        register_tables(spark, sf_dir)
