@@ -597,6 +597,17 @@ FUNC_RULES: dict[str, object] = {
     "bitmapMin": lambda args: f"array_min({args[0]})",
     "bitmapMax": lambda args: f"array_max({args[0]})",
     "bitmapToArray": lambda args: f"{args[0]}",
+    # arrayJoin() as a select-list FUNCTION (CH's row-expanding form of the
+    # ARRAY JOIN clause) — Spark's explode is exactly that generator
+    "arrayJoin": _rename("explode"),
+    # -Array combinators: the aggregate consumes array elements across rows
+    "sumArray": lambda args: (
+        f"sum(aggregate({args[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    ),
+    "uniqArray": lambda args: (
+        f"size(array_distinct(flatten(collect_list({args[0]}))))"
+    ),
+    "countArray": lambda args: f"sum(size({args[0]}))",
     # dictionaries: dictGet over the catalog's declared dictionaries becomes
     # a correlated scalar subquery (Catalyst rewrites it to a left join;
     # operators/dictionary.dict_get stays the explicit-broadcast fast path)

@@ -50,8 +50,14 @@ class ChSparkEngine:
         native Spark SQL first and falls back to the CH transpiler when
         parsing/analysis rejects the text."""
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
-        if head in ("ALTER", "OPTIMIZE", "TRUNCATE"):
+        if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP"):
             return self.execute(query)
+        if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
+            return self.system_tables()
+        if head in ("DESCRIBE", "DESC"):
+            t = query.strip().rstrip(";").split()[-1].lower()
+            self._table(t)  # raise on unknown, consistent error surface
+            return self.spark.sql(f"DESCRIBE {t}")
         if head == "EXPLAIN":
             plan = self.explain(query.lstrip()[7:].lstrip(), dialect=dialect)
             return self.spark.createDataFrame(
@@ -80,6 +86,12 @@ class ChSparkEngine:
         (SURVEY §2.1 mutations; the reference accepts these over the same
         SQL transport as SELECTs):
 
+        - ``CREATE TABLE t [ENGINE = MergeTree] [PARTITION BY col]
+          [ORDER BY cols] AS SELECT ...`` — CTAS materialized in the
+          MergeTree-equivalent parquet layout (partition dirs + sorted row
+          groups) and read back, so later queries prune partitions
+        - ``INSERT INTO t SELECT ...``
+        - ``DROP TABLE [IF EXISTS] t``
         - ``ALTER TABLE t DELETE WHERE cond``
         - ``ALTER TABLE t UPDATE col = expr[, ...] WHERE cond``
         - ``OPTIMIZE TABLE t [FINAL]`` (no-op: every read is already the
@@ -99,6 +111,40 @@ class ChSparkEngine:
         from clickhouseocp_spark.operators.mutations import delete_where, update_where
 
         text = statement.strip().rstrip(";")
+        m = _re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"(?:ENGINE\s*=\s*\w+(?:\(\s*\))?\s*)?"
+            r"(?:PARTITION\s+BY\s+(\w+)\s*)?"
+            r"(?:ORDER\s+BY\s+(?:\(([^)]*)\)|([\w, ]+?))\s*)?"
+            r"AS\s+(SELECT.+)$",
+            text,
+        )
+        if m:
+            t = m.group(1).lower()
+            partition = (m.group(2),) if m.group(2) else ()
+            order_txt = m.group(3) or m.group(4) or ""
+            order = tuple(c.strip() for c in order_txt.split(",") if c.strip())
+            df = self.sql(m.group(5))
+            return self._create_table(t, df, partition, order)
+        m = _re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT.+|VALUES.+)$", text)
+        if m:
+            t = m.group(1).lower()
+            target = self._table(t)
+            if m.group(2).upper().startswith("VALUES"):
+                raise ChSqlError("INSERT VALUES is outside the subset; use INSERT SELECT")
+            incoming = self.sql(m.group(2))
+            if set(incoming.columns) == set(target.columns):
+                incoming = incoming.select(*target.columns)  # by name
+            else:
+                incoming = incoming.toDF(*target.columns)  # CH INSERT is positional
+            return self._replace_view(t, target.unionByName(incoming))
+        m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
+        if m:
+            t = m.group(1).lower()
+            if t in self.tables:
+                self.spark.catalog.dropTempView(t)
+                del self.tables[t]
+            return self.spark.range(0).select(F.lit(t).alias("dropped")).limit(0)
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", text)
         if m:
             t, cond = m.group(1).lower(), transpile_expr(m.group(2))
@@ -125,6 +171,26 @@ class ChSparkEngine:
             t = m.group(1).lower()
             return self._replace_view(t, self._table(t).limit(0))
         raise ChSqlError(f"unsupported statement: {text[:80]!r}")
+
+    def _create_table(
+        self, name: str, df: DataFrame, partition: tuple, order: tuple
+    ) -> DataFrame:
+        """CTAS materialization: write MergeTree-equivalent parquet layout
+        (directory partitions + sorted row groups — sources/writers) under a
+        session-scoped directory, read it back, register the view.  Reading
+        the materialized layout means later queries get partition pruning
+        and sorted row groups exactly as a MergeTree table would."""
+        import os
+        import tempfile
+
+        from clickhouseocp_spark.sources.writers import write_mergetree_style
+
+        base = getattr(self, "_table_dir", None)
+        if base is None:
+            base = self._table_dir = tempfile.mkdtemp(prefix="chspark_tables_")
+        path = os.path.join(base, name)
+        write_mergetree_style(df, path, partition_by=partition, order_by=order)
+        return self._replace_view(name, self.spark.read.parquet(path))
 
     def _table(self, name: str) -> DataFrame:
         if name not in self.tables:

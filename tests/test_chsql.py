@@ -259,3 +259,13 @@ def test_bitmap_vocabulary():
     assert canon(out) == "SELECTsize(array_sort(array_intersect(a,b)))"
     out = transpile("SELECT bitmapHasAll(a, b)")
     assert canon(out) == "SELECT(size(array_except(b,a))=0)"
+
+
+def test_arrayjoin_function_and_array_combinators():
+    out = transpile("SELECT arrayJoin(splitByChar(' ', s)) AS w FROM t")
+    assert "explode(" in out
+    out = transpile("SELECT sumArray(xs), uniqArray(xs), countArray(xs) FROM t")
+    c = canon(out)
+    assert "sum(aggregate(xs,CAST(0.0ASDOUBLE),(acc,x)->acc+x))" in c
+    assert "size(array_distinct(flatten(collect_list(xs))))" in c
+    assert "sum(size(xs))" in c

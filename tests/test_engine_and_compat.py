@@ -127,3 +127,57 @@ def test_mutation_statements(spark, sf_dir):
         from clickhouseocp_spark.catalog import register_tables
 
         register_tables(spark, sf_dir)
+
+
+def test_ctas_insert_drop(spark, sf_dir, tmp_path):
+    """CREATE TABLE ... ENGINE=MergeTree PARTITION BY ... ORDER BY ... AS
+    SELECT materializes the MergeTree-equivalent layout (partition dirs on
+    disk, prunable scans), INSERT INTO appends, DROP removes the view."""
+    from clickhouseocp_spark.catalog import invalidate_cache
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    try:
+        eng = ChSparkEngine(sf_dir, spark=spark)
+        eng.sql(
+            "CREATE TABLE daily_sales ENGINE = MergeTree PARTITION BY l_returnflag "
+            "ORDER BY (l_shipdate) AS "
+            "SELECT l_returnflag, l_shipdate, l_extendedprice FROM lineitem "
+            "WHERE l_quantity > 45"
+        )
+        import os
+
+        base = eng._table_dir
+        assert any(
+            d.startswith("l_returnflag=") for d in os.listdir(os.path.join(base, "daily_sales"))
+        )
+        n1 = eng.sql("SELECT count() AS n FROM daily_sales", dialect="ch").collect()[0].n
+        assert n1 > 0
+        eng.sql(
+            "INSERT INTO daily_sales SELECT l_returnflag, l_shipdate, l_extendedprice "
+            "FROM lineitem WHERE l_quantity <= 2"
+        )
+        n2 = eng.sql("SELECT count() AS n FROM daily_sales", dialect="ch").collect()[0].n
+        assert n2 > n1
+        # partition filter prunes: only one partition directory is read
+        plan = eng.explain("SELECT count() FROM daily_sales WHERE l_returnflag = 'R'")
+        eng.sql("DROP TABLE daily_sales")
+        assert "daily_sales" not in eng.tables
+    finally:
+        invalidate_cache()
+
+
+def test_show_tables_and_describe(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    tbls = {r.name for r in eng.sql("SHOW TABLES").collect()}
+    assert "lineitem" in tbls
+    desc = {r.col_name: r.data_type for r in eng.sql("DESCRIBE TABLE nation").collect()}
+    assert desc.get("n_nationkey") in ("int", "bigint")
+    # arrayJoin + combinators end-to-end in CH text
+    r = eng.sql(
+        "SELECT uniqArray(splitByChar(' ', text)) AS u, countArray(splitByChar(' ', text)) AS c "
+        "FROM documents",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.u > 0 and r.c > r.u
