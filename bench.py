@@ -50,6 +50,10 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_ivf",
     "contamination_ngram_overlap",
+    # dedup_cluster_components is oracle-gated at sf0.01, not benched: its
+    # oracle-reproducible edge tier (exact Jaccard, lang-blocked) is
+    # quadratic per block by contract; the scale tier for pair generation
+    # is minhash_lsh (benched above) feeding the same CC operator.
     "quality_filter_gopher",
     # distinctive-operator regression tracking (round-2 verdict #9)
     "projection_rollup_answer",

@@ -659,3 +659,87 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_PHONE_RE)).alias("phones_found"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+#: shared corpus/edge SQL for the clustering oracle: originals ∪ drop-last-5
+#: (+1M) ∪ drop-last-10 (+2M); trigram-Jaccard ≥ 0.8 edges lang-blocked.
+#: Threshold non-transitivity makes real CHAINS: A~B and B~C pass while A~C
+#: falls below 0.8 on shorter docs — exactly why pair output needs CC.
+_CC_EDGES_SQL = """
+corpus AS (
+  SELECT doc_id, lang, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, lang,
+         array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[
+           1 : greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 5, 1)], ' ')
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, lang,
+         array_to_string(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')[
+           1 : greatest(len(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) - 10, 1)], ' ')
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(
+           range(1, greatest(len(string_split(text, ' ')) - 1, 1)),
+           i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+         )) AS s
+  FROM corpus
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.s) > 0 AND len(b.s) > 0
+    AND CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS d FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+)
+"""
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=f"""
+WITH RECURSIVE {_CC_EDGES_SQL},
+reach(id, r) AS (
+  SELECT doc_id, doc_id FROM corpus
+  UNION
+  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id
+)
+SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id
+""",
+    tags=("llm", "dedup", "graph"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERING (the step after pair generation): connected
+    components over trigram-Jaccard ≥ 0.8 pairs, each doc labeled with the
+    min reachable doc_id as its canonical representative (keep-one-per-
+    component retention).  The 3-tier planted corpus (original, −5 words at
+    +1M, −10 words at +2M) produces genuine CHAINS where A~B~C but A≁C —
+    threshold non-transitivity, the reason pair output alone can't dedup.
+
+    Spark side: iterative min-label propagation, one shuffle join per round,
+    rounds ≤ graph diameter (operators/graph.connected_components).  The
+    DuckDB oracle computes the same fixpoint with a recursive CTE — a full
+    value-hash match proves every component assignment."""
+    from clickhouseocp_spark.operators.graph import connected_components
+
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang"))
+    words = whitespace_tokens(F.col("text"))
+
+    def dropped(n: int, offset: int) -> DataFrame:
+        trunc = F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - n, F.lit(1))), " "
+        )
+        return d.select(
+            (F.col("doc_id") + offset).alias("doc_id"), trunc.alias("text"), "lang"
+        )
+
+    corpus = d.unionByName(dropped(5, 1_000_000)).unionByName(dropped(10, 2_000_000))
+    pairs = ngram_jaccard_pairs(
+        corpus, block_cols=["lang"], shingle_len=3, threshold=0.8
+    ).select("id_a", "id_b")
+    return connected_components(
+        corpus.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b"
+    )

@@ -612,3 +612,21 @@ def test_topk_state_truncation_keeps_heavy_hitter(spark):
     assert item == "hot"
     # exact hot count is 240; each of 4 partials drops only count-1 tail items
     assert 240 - 4 * 1 <= int(cnt) <= 240
+
+
+def test_connected_components_chain_and_singleton(spark):
+    """Label propagation crosses a 4-hop chain (diameter > 1 — the case a
+    single pair-join can't solve), leaves singletons self-labeled, and keeps
+    disjoint components separate."""
+    from clickhouseocp_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    # chain 5-4-3-2-1 (worst propagation direction), separate pair 6-7, singleton 8
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1), (6, 7)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.component
+        for r in connected_components(nodes, edges, id_col="id").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
