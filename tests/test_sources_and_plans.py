@@ -169,3 +169,36 @@ def test_projection_answers_without_fact_scan(spark, sf_dir, tmp_path):
     # a grouping not covered by the projection falls back to the fact table
     fallback = cat.aggregate(li, ("l_returnflag", "l_shipdate"), measures)
     assert "lineitem" in formatted_plan(fallback)
+
+
+def test_contamination_broadcasts_bench_grams(spark, sf_dir):
+    """Decontamination plan shape: the benchmark gram set rides a BROADCAST
+    join (bounded side by definition); the corpus side never self-joins and
+    the whole query stays within a small shuffle budget."""
+    from clickhouseocp_spark.plans.inspect import has_broadcast_join, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["contamination_ngram_overlap"].fn(spark, sf_dir)
+    assert has_broadcast_join(q)
+    # budget: the fan_out exchange appears once per union branch (3×: corpus
+    # remainder, planted copies, benchmark side) + gram distinct + doc_id agg
+    assert shuffle_count(q) <= 5, shuffle_count(q)
+
+
+def test_pii_scrub_no_shuffle(spark, sf_dir):
+    """PII scrubbing is pure map-side column work — zero exchanges."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["text_pii_scrub"].fn(spark, sf_dir)
+    assert shuffle_count(q) == 0, shuffle_count(q)
+
+
+def test_quality_filter_shuffles_keyed_on_doc(spark, sf_dir):
+    """Gopher gate: columnar signals + the top-token explode path — the agg
+    shuffles are keyed on doc_id and the budget stays small."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["quality_filter_gopher"].fn(spark, sf_dir)
+    assert shuffle_count(q) <= 4, shuffle_count(q)
