@@ -175,7 +175,10 @@ def _multi_step_events(
     arr = F.array(*[F.when(c, F.lit(i + 1)) for i, c in enumerate(step_conds)])
     return df.select(
         F.col(key).alias("__k"),
-        F.col(ts_col).alias("__ts"),
+        # cast: parquet TIMESTAMP_NTZ columns must become TIMESTAMP for
+        # unix_micros; session tz is pinned UTC (session.py) so the map is
+        # monotone and identical across the JVM and pandas implementations
+        F.col(ts_col).cast("timestamp").alias("__ts"),
         F.explode(F.array_compact(arr)).alias("__step"),
     )
 

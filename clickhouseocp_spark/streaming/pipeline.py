@@ -54,6 +54,10 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_type = {f.name: f.dataType.simpleString() for f in raw_schema.fields}.get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(div(ts, 1000))"))
+    elif ts_type == "timestamp_ntz":
+        # watermarks require TIMESTAMP; session tz is pinned UTC so the cast
+        # is the identity map on the wall-clock values
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
