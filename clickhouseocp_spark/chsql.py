@@ -251,6 +251,118 @@ def _rewrite_limit_by(tokens: list[str]) -> list[str]:
     return tokens[: sel[0]] + outer
 
 
+def _rewrite_limit_ties(tokens: list[str]) -> list[str]:
+    """``SELECT ... ORDER BY o LIMIT n WITH TIES`` → rank() window subquery
+    (``rank() OVER (ORDER BY o) <= n`` keeps every row tied at the boundary,
+    which is exactly the WITH TIES contract, SURVEY §2.6)."""
+    limits = _depth0_positions(tokens, lambda t, i: _KW(t) == "LIMIT")
+    lt = None
+    for i in limits:
+        if (
+            i + 3 < len(tokens)
+            and _KW(tokens[i + 2]) == "WITH"
+            and _KW(tokens[i + 3]) == "TIES"
+        ):
+            lt = i
+            break
+    if lt is None:
+        return tokens
+    n = tokens[lt + 1]
+    sel = _depth0_positions(tokens, lambda t, i: _KW(t) == "SELECT")
+    frm = _depth0_positions(tokens, lambda t, i: _KW(t) == "FROM")
+    order = _depth0_positions(tokens, lambda t, i: _KW(t) == "ORDER")
+    if not sel or not frm:
+        raise ChSqlError("LIMIT WITH TIES rewrite: SELECT/FROM not found at top level")
+    if not order or order[0] > lt:
+        raise ChSqlError("LIMIT n WITH TIES requires an explicit ORDER BY")
+    o = order[0]
+    order_by = tokens[o + 2 : lt]
+    select_items = _split_top(tokens[sel[0] + 1 : frm[0]], ",")
+    out_cols = [_select_item_name(it) for it in select_items]
+    inner = (
+        tokens[sel[0] : frm[0]]
+        + [",", "rank", "(", ")", "OVER", "(", "ORDER", "BY"]
+        + order_by
+        + [")", "AS", "__rk"]
+        + tokens[frm[0] : o]
+    )
+    outer = (
+        ["SELECT"]
+        + sum(([c, ","] for c in out_cols), [])[:-1]
+        + ["FROM", "("] + inner + [")", "__lt", "WHERE", "__rk", "<=", n]
+        + ["ORDER", "BY"] + order_by
+    )
+    return tokens[: sel[0]] + outer + tokens[lt + 4 :]
+
+
+#: keywords that terminate a WITH FILL FROM/TO/STEP operand
+_FILL_STOP = {
+    "FROM", "TO", "STEP", "INTERPOLATE", "LIMIT", "SETTINGS", "FORMAT",
+    "UNION", "INTERSECT", "EXCEPT",
+}
+
+
+def _extract_with_fill(tokens: list[str]):
+    """``ORDER BY col [ASC] WITH FILL [FROM a] [TO b] [STEP s]
+    [INTERPOLATE (col, ...)]`` → (tokens with the fill clause removed, spec).
+
+    The fill itself cannot be a pure text rewrite: generated rows need the
+    *result schema* (type defaults per column, CH semantics), so
+    ``ChSparkEngine.sql`` applies ``operators/fill.with_fill`` to the core
+    query's DataFrame using this spec.  Subset: one fill key, a simple
+    ascending column; INTERPOLATE columns are carry-forward (no AS expr)."""
+    pos = _depth0_positions(
+        tokens,
+        lambda t, i: _KW(t) == "FILL" and i >= 1 and _KW(tokens[i - 1]) == "WITH",
+    )
+    if not pos:
+        return tokens, None
+    if len(pos) > 1:
+        raise ChSqlError("WITH FILL on multiple ORDER BY keys is outside the subset")
+    i = pos[0]  # index of FILL; i-1 is WITH
+    j = i - 2
+    if j >= 0 and _KW(tokens[j]) == "DESC":
+        raise ChSqlError("WITH FILL subset is ascending only (drop DESC)")
+    if j >= 0 and _KW(tokens[j]) == "ASC":
+        j -= 1
+    if j < 0 or not _is_word(tokens[j]) or (j >= 1 and tokens[j - 1] == "."):
+        raise ChSqlError("WITH FILL subset requires a simple column-name ORDER BY key")
+    spec: dict = {"col": tokens[j], "from": None, "to": None, "step": None,
+                  "interpolate": []}
+    k = i + 1
+    keys = {"FROM": "from", "TO": "to", "STEP": "step"}
+    while k < len(tokens) and _KW(tokens[k]) in keys:
+        key = keys[_KW(tokens[k])]
+        k += 1
+        start, depth = k, 0
+        while k < len(tokens):
+            t = tokens[k]
+            if t in ("(", "["):
+                depth += 1
+            elif t in (")", "]"):
+                depth -= 1
+            elif depth == 0 and (_KW(t) in _FILL_STOP or t == ","):
+                break
+            k += 1
+        if k == start:
+            raise ChSqlError(f"WITH FILL {key.upper()} needs an operand")
+        spec[key] = tokens[start:k]
+    if k < len(tokens) and _KW(tokens[k]) == "INTERPOLATE":
+        if k + 1 >= len(tokens) or tokens[k + 1] != "(":
+            raise ChSqlError("INTERPOLATE expects a parenthesized column list")
+        close = _find_close(tokens, k + 1)
+        for it in _split_top(tokens[k + 2 : close], ","):
+            if len(it) != 1 or not _is_word(it[0]):
+                raise ChSqlError(
+                    "INTERPOLATE subset supports bare carry-forward columns "
+                    f"(no AS expr): {render(it)!r}"
+                )
+            spec["interpolate"].append(it[0])
+        k = close + 1
+    # keep 'col [ASC]' so the residual ORDER BY stays parseable
+    return tokens[: i - 1] + tokens[k:], spec
+
+
 def _rewrite_asof(tokens: list[str]) -> list[str]:
     """``A ASOF [LEFT] JOIN B b ON eqs AND ineq`` → ``[LEFT] JOIN LATERAL
     (SELECT * FROM B b WHERE eqs AND ineq ORDER BY <right side of ineq>
@@ -412,6 +524,10 @@ FUNC_RULES: dict[str, object] = {
     ),
     "ifNull": _rename("coalesce"),
     "nullIf": _rename("nullif"),
+    # window functions (CH *InFrame variants are the deterministic in-frame
+    # forms; Spark's lag/lead over an ORDER BY window match that contract)
+    "lagInFrame": _rename("lag"),
+    "leadInFrame": _rename("lead"),
     "assumeNotNull": lambda args: args[0],
     "toNullable": lambda args: args[0],
     # type conversion (CH camelCase; CAST with CH type names handled separately)
@@ -1049,17 +1165,39 @@ def transpile_expr(text: str) -> str:
     return _rewrite_exprs(tokenize(text))
 
 
-def transpile(sql: str) -> str:
-    """ClickHouse-dialect SQL text → Spark SQL text (subset; see module doc)."""
+def transpile_with_fill(sql: str) -> tuple[str, dict | None]:
+    """Like :func:`transpile`, but ``ORDER BY ... WITH FILL`` is *extracted*
+    rather than rejected: returns ``(spark_sql, fill_spec)`` where the spec's
+    from/to/step values are already-transpiled Spark SQL expression strings.
+    ``ChSparkEngine.sql`` runs the core text and applies
+    ``operators/fill.with_fill`` per the spec (the axis construction needs the
+    result schema, which no text-level rewrite has)."""
     tokens = tokenize(sql)
     tokens = _strip_tail(tokens)
     tokens = _drop_modifiers(tokens)
+    tokens, fill = _extract_with_fill(tokens)
     tokens = _merge_prewhere(tokens)
     tokens = _rewrite_asof(tokens)
+    tokens = _rewrite_limit_ties(tokens)
     tokens = _rewrite_limit_by(tokens)
     tokens = _rewrite_scalar_with(tokens)
     tokens = _rewrite_system_tables(tokens)
     tokens = _rewrite_sample(tokens)
     tokens = _rewrite_totals(tokens)
     tokens = _rewrite_array_join(tokens)
-    return _rewrite_exprs(tokens)
+    if fill:
+        for key in ("from", "to", "step"):
+            if fill[key] is not None:
+                fill[key] = _rewrite_exprs(fill[key])
+    return _rewrite_exprs(tokens), fill
+
+
+def transpile(sql: str) -> str:
+    """ClickHouse-dialect SQL text → Spark SQL text (subset; see module doc)."""
+    out, fill = transpile_with_fill(sql)
+    if fill is not None:
+        raise ChSqlError(
+            "ORDER BY ... WITH FILL needs the result schema: run it through "
+            "ChSparkEngine.sql(..., dialect='clickhouse') instead of transpile()"
+        )
+    return out

@@ -66,20 +66,60 @@ class ChSparkEngine:
         if "system." in query.lower() or "system_" in query.lower():
             self._ensure_system_views()
         if dialect in ("clickhouse", "ch"):
-            from clickhouseocp_spark.chsql import transpile
-
-            return self.spark.sql(transpile(query))
+            return self._run_ch(query)
         if dialect == "spark":
             return self.spark.sql(query)
         try:
             return self.spark.sql(query)
         except Exception:
-            from clickhouseocp_spark.chsql import transpile
-
-            transpiled = transpile(query)
-            if transpiled == query:
+            df = self._run_ch(query)
+            if df is None:
                 raise
-            return self.spark.sql(transpiled)
+            return df
+
+    def _run_ch(self, query: str) -> DataFrame | None:
+        """Transpile CH-dialect text and run it; an ``ORDER BY ... WITH FILL``
+        clause is extracted by the transpiler and applied here as the
+        operators/fill.with_fill post-pass (the generated rows need the result
+        schema for CH type-default zero fill).  Returns None from the auto
+        fallback when the transpiler was a no-op."""
+        from clickhouseocp_spark.chsql import transpile_with_fill
+
+        core, fill = transpile_with_fill(query)
+        if fill is None and core == query:
+            return None
+        df = self.spark.sql(core)
+        if fill is None:
+            return df
+        from pyspark.sql import functions as F
+
+        from clickhouseocp_spark.operators.fill import with_fill
+
+        col = fill["col"]
+        dtypes = dict(df.dtypes)
+        if col not in dtypes:
+            raise ValueError(f"WITH FILL column {col!r} not in result columns")
+        temporal = dtypes[col].startswith(("date", "timestamp"))
+        step = fill["step"] or ("INTERVAL 1 DAY" if temporal else "1")
+        # CH fills non-interpolated columns with type defaults
+        defaults = {"string": ""}
+        zero = {
+            c: defaults.get(t, 0)
+            for c, t in df.dtypes
+            if c != col
+            and c not in fill["interpolate"]
+            and (t in defaults or t in ("tinyint", "smallint", "int", "bigint")
+                 or t.startswith(("float", "double", "decimal")))
+        }
+        return with_fill(
+            df,
+            order_col=col,
+            step=step,
+            fill_from=F.expr(fill["from"]) if fill["from"] else None,
+            fill_to=F.expr(fill["to"]) if fill["to"] else None,
+            zero_fill=zero,
+            interpolate=tuple(fill["interpolate"]),
+        )
 
     def execute(self, statement: str) -> DataFrame:
         """CH mutation/maintenance statements over the catalog views

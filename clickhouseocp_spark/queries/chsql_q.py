@@ -665,3 +665,100 @@ def chsql_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM a CROSS JOIN c
         """,
     )
+
+
+# --- 23. ORDER BY ... WITH FILL (engine path: needs the result schema) ------
+
+CH_WITH_FILL = """
+SELECT toStartOfDay(ts) AS day, count() AS n,
+       CAST(sum(toDecimal64(value, 6)) AS Float64) AS s
+FROM events
+WHERE event_type = 'purchase' AND value > 180
+GROUP BY day
+ORDER BY day WITH FILL STEP INTERVAL 1 DAY
+"""
+
+
+@register(
+    "chsql_with_fill",
+    oracle="""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM events WHERE event_type = 'purchase' AND value > 180 GROUP BY 1
+), b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+axis AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM b)
+SELECT axis.day, COALESCE(d.n, 0) AS n, COALESCE(d.s, 0.0) AS s
+FROM axis LEFT JOIN d ON axis.day = d.day
+""",
+    tags=("chsql", "fill"),
+)
+def chsql_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY day WITH FILL STEP INTERVAL 1 DAY in CH TEXT: the transpiler
+    extracts the fill spec and ``ChSparkEngine.sql`` applies
+    operators/fill.with_fill on the core result (CH zero-fills generated rows
+    with column type defaults — derived from the result schema here)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(CH_WITH_FILL, dialect="clickhouse")
+
+
+# --- 24. LIMIT n WITH TIES --------------------------------------------------
+
+
+@register(
+    "chsql_limit_ties",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         rank() OVER (ORDER BY o_totalprice DESC) AS __rk
+  FROM orders
+) WHERE __rk <= 20
+""",
+    tags=("chsql", "sort"),
+)
+def chsql_limit_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT 20 WITH TIES in CH TEXT → rank() window subquery (boundary ties
+    all kept, SURVEY §2.6); per-row double compares are bitwise-identical
+    across engines, so the boundary is deterministic."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC
+        LIMIT 20 WITH TIES
+        """,
+    )
+
+
+# --- 25. window functions in CH text (OVER + lagInFrame vocabulary) ---------
+
+
+@register(
+    "chsql_window",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+       lag(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+FROM orders WHERE o_custkey % 100 = 0
+""",
+    tags=("chsql", "window"),
+)
+def chsql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions through the CH text surface: OVER clauses pass
+    through to Catalyst untouched; the CH-only ``lagInFrame`` vocabulary maps
+    to ``lag`` (SURVEY §2.5).  (o_orderdate, o_orderkey) is a unique sort key
+    per partition, so every rank/lag value is deterministic."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
+               lagInFrame(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+        FROM orders
+        WHERE o_custkey % 100 = 0
+        """,
+    )

@@ -743,3 +743,89 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(
         corpus.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-batch assembly: sequence packing + corpus mixing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences_greedy",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_chars,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT shard, doc_id, n_chars, rn, n_chars AS acc, 0 AS bin FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN w.acc + d.n_chars > 8192 THEN d.n_chars ELSE w.acc + d.n_chars END,
+         CASE WHEN w.acc + d.n_chars > 8192 THEN w.bin + 1 ELSE w.bin END
+  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+)
+SELECT doc_id, shard, CAST(bin AS INTEGER) AS bin,
+       CAST(row_number() OVER (PARTITION BY shard, bin ORDER BY doc_id) - 1 AS INTEGER) AS pos
+FROM walk
+""",
+    tags=("llm", "packing", "bench"),
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches: greedy contiguous fill of
+    8192-char budget bins, sharded by doc_id % 8 (the shard is the sequential
+    unit AND the parallelism unit — a hash bucket at scale).  The recursive-CTE
+    oracle replays the identical fold, so bin assignment is value-checked, not
+    just shape-checked."""
+    from clickhouseocp_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = docs.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+    packed = pack_sequences(
+        sharded, weight_col="n_chars", budget=8192,
+        shard_cols=["shard"], order_cols=["doc_id"],
+    )
+    return packed.select("doc_id", "shard", "bin", "pos")
+
+
+#: exact-binary-fraction weights (0.5/0.25 steps) so the frac(w) threshold
+#: compares identically in double (Spark) and decimal→double (DuckDB)
+MIX_WEIGHTS = {"src0": 0.5, "src1": 2.0, "src2": 1.25, "src3": 0.0}
+
+
+@register(
+    "corpus_mix_weighted",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 2.0
+                     WHEN 'src2' THEN 1.25 WHEN 'src3' THEN 0.0
+                     ELSE 1.0 END AS wt,
+         (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 AS u
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         CAST(FLOOR(wt) AS INTEGER)
+           + CASE WHEN u < wt - FLOOR(wt) THEN 1 ELSE 0 END AS n_copies
+  FROM w
+)
+SELECT source, CAST(SUM(n_copies) AS BIGINT) AS rows_out,
+       COUNT(*) FILTER (WHERE n_copies >= 1) AS docs_kept
+FROM c GROUP BY source HAVING SUM(n_copies) > 0
+""",
+    tags=("llm", "mixing"),
+)
+def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing with per-source sampling weights: src0 halved, src1
+    doubled, src2 upsampled 1.25x (integer copies + deterministic fractional
+    hash selection), src3 dropped, everything else passed through.  The oracle
+    recomputes the same integer-hash selection, so the exact kept/copied set
+    is value-checked."""
+    from clickhouseocp_spark.operators.packing import mix_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = mix_corpus(docs, MIX_WEIGHTS, source_col="source", id_col="doc_id")
+    return mixed.groupBy("source").agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.countDistinct("doc_id").alias("docs_kept"),
+    )

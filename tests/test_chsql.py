@@ -269,3 +269,49 @@ def test_arrayjoin_function_and_array_combinators():
     assert "sum(aggregate(xs,CAST(0.0ASDOUBLE),(acc,x)->acc+x))" in c
     assert "size(array_distinct(flatten(collect_list(xs))))" in c
     assert "sum(size(xs))" in c
+
+
+# --- LIMIT WITH TIES / WITH FILL / window vocabulary ------------------------
+
+
+def test_limit_with_ties_rewrites_to_rank():
+    out = transpile(
+        "SELECT a, b FROM t ORDER BY b DESC LIMIT 5 WITH TIES"
+    )
+    assert "rank()OVER(ORDERBYbDESC)" in canon(out)
+    assert "__rk<=5" in canon(out)
+    assert "TIES" not in out
+
+
+def test_limit_with_ties_requires_order_by():
+    with pytest.raises(ChSqlError, match="ORDER BY"):
+        transpile("SELECT a FROM t LIMIT 5 WITH TIES")
+
+
+def test_with_fill_extracted_as_spec():
+    from clickhouseocp_spark.chsql import transpile_with_fill
+
+    core, fill = transpile_with_fill(
+        "SELECT d, n FROM t ORDER BY d WITH FILL FROM toDate('2024-01-01') "
+        "TO toDate('2024-02-01') STEP INTERVAL 1 DAY INTERPOLATE ( n )"
+    )
+    assert fill == {
+        "col": "d",
+        "from": "to_date('2024-01-01')",
+        "to": "to_date('2024-02-01')",
+        "step": "INTERVAL 1 DAY",
+        "interpolate": ["n"],
+    }
+    assert "FILL" not in core and core.endswith("ORDER BY d")
+
+
+def test_with_fill_rejected_by_plain_transpile():
+    with pytest.raises(ChSqlError, match="WITH FILL"):
+        transpile("SELECT d FROM t ORDER BY d WITH FILL")
+    with pytest.raises(ChSqlError, match="ascending"):
+        transpile("SELECT d FROM t ORDER BY d DESC WITH FILL")
+
+
+def test_lag_in_frame_maps_to_lag():
+    out = transpile("SELECT lagInFrame(x, 1, 0.0) OVER (ORDER BY ts) FROM t")
+    assert "lag(x, 1, 0.0) OVER(ORDER BY ts)" in out
