@@ -61,6 +61,11 @@ HEADLINE = [
     "topk_state_merge",
     "quantile_dd_state_merge",
     "chsql_q1",
+    # round-2 additions: training-batch assembly + sessionization + dialect
+    "pack_sequences_greedy",
+    "corpus_mix_weighted",
+    "sessionize_events",
+    "chsql_window",
 ]
 
 

@@ -50,7 +50,8 @@ class ChSparkEngine:
         native Spark SQL first and falls back to the CH transpiler when
         parsing/analysis rejects the text."""
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
-        if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP"):
+        if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
+                    "RENAME", "EXCHANGE"):
             return self.execute(query)
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
             return self.system_tables()
@@ -206,6 +207,21 @@ class ChSparkEngine:
         m = _re.match(r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?$", text)
         if m:
             return self._table(m.group(1).lower())
+        m = _re.match(r"(?is)^RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)$", text)
+        if m:
+            old, new = m.group(1).lower(), m.group(2).lower()
+            df = self._table(old)
+            if new in self.tables:
+                raise ChSqlError(f"RENAME target already exists: {new}")
+            self.spark.catalog.dropTempView(old)
+            del self.tables[old]
+            return self._replace_view(new, df)
+        m = _re.match(r"(?is)^EXCHANGE\s+TABLES\s+(\w+)\s+AND\s+(\w+)$", text)
+        if m:
+            a, b = m.group(1).lower(), m.group(2).lower()
+            da, db = self._table(a), self._table(b)
+            self._replace_view(a, db)
+            return self._replace_view(b, da)
         m = _re.match(r"(?is)^TRUNCATE\s+TABLE\s+(\w+)$", text)
         if m:
             t = m.group(1).lower()

@@ -762,3 +762,69 @@ def chsql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_custkey % 100 = 0
         """,
     )
+
+
+# --- 26. set operations in CH text (pass-through surface) -------------------
+
+
+@register(
+    "chsql_setops",
+    oracle="""
+SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+INTERSECT
+SELECT s_nationkey AS k FROM supplier
+UNION
+SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+EXCEPT
+SELECT 99 AS k
+""",
+    tags=("chsql", "setops"),
+)
+def chsql_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION/INTERSECT/EXCEPT in CH TEXT (SURVEY §2.7): identical syntax in
+    Spark SQL, so the transpiler's job is only the function-name/type layer;
+    the pass-through is proven by the oracle hash match."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+        UNION
+        SELECT n_nationkey AS k FROM nation WHERE n_regionkey = 0
+        EXCEPT
+        SELECT 99 AS k
+        """,
+    )
+
+
+# --- 27. GROUP BY WITH ROLLUP + grouping() in CH text -----------------------
+
+
+@register(
+    "chsql_rollup",
+    oracle="""
+SELECT COALESCE(o_orderpriority, 'ALL') AS prio,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+    tags=("chsql", "rollup"),
+)
+def chsql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH ROLLUP in CH TEXT — identical Spark syntax
+    (SURVEY §2.4); subtotal rows surface as NULL keys, coalesced to 'ALL' so
+    the oracle compares label-stable values."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT ifNull(o_orderpriority, 'ALL') AS prio,
+               ifNull(o_orderstatus, 'ALL') AS status,
+               count() AS n
+        FROM orders
+        GROUP BY o_orderpriority, o_orderstatus WITH ROLLUP
+        """,
+    )

@@ -580,3 +580,307 @@ def system_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "tbl string, col string, position int, dtype string"
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregate vocabulary extras: avgWeighted / uniqUpTo / deltaSum /
+# anyHeavy / groupArrayMovingSum
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_vocab_extras",
+    oracle="""
+SELECT l_returnflag,
+       ROUND(CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE), 6) AS avg_weighted,
+       LEAST(COUNT(DISTINCT l_linenumber), 11) AS uniq_upto_10,
+       LEAST(COUNT(DISTINCT l_suppkey), 51) AS uniq_upto_50
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg",),
+)
+def agg_vocab_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avgWeighted(x, w) = Σxw/Σw (decimal-routed for order independence) and
+    uniqUpTo(N)(x) = min(exact distinct, N+1) — the CH contract is "exact up
+    to N, saturates at N+1" (SURVEY §2.4); linenumber stays under its cap,
+    suppkey saturates, so both branches are value-checked."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double"),
+            6,
+        ).alias("avg_weighted"),
+        F.least(F.countDistinct("l_linenumber"), F.lit(11)).cast("bigint").alias("uniq_upto_10"),
+        F.least(F.countDistinct("l_suppkey"), F.lit(51)).cast("bigint").alias("uniq_upto_50"),
+    )
+
+
+@register(
+    "agg_delta_sum",
+    oracle="""
+WITH s AS (
+  SELECT o_orderpriority, o_totalprice,
+         lag(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_orderdate, o_orderkey) AS prev
+  FROM orders
+)
+SELECT o_orderpriority,
+       CAST(SUM(CAST(GREATEST(o_totalprice - prev, 0) AS DECIMAL(38,6))) AS DOUBLE) AS delta_sum
+FROM s WHERE prev IS NOT NULL GROUP BY o_orderpriority
+""",
+    tags=("agg", "window"),
+)
+def agg_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deltaSum: sum of positive consecutive differences.  CH evaluates it in
+    block arrival order; the port makes the order explicit — (o_orderdate,
+    o_orderkey) is a unique sort key — so results are deterministic and
+    oracle-checkable (documented deviation from CH's order sensitivity)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("prev", F.lag("o_totalprice").over(w))
+        .filter(F.col("prev").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.greatest(F.col("o_totalprice") - F.col("prev"), F.lit(0)).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("delta_sum")
+        )
+    )
+
+
+@register(
+    "agg_mode_heavy",
+    oracle="""
+SELECT event_type, heavy_bucket, n FROM (
+  SELECT event_type, user_id % 10 AS heavy_bucket, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY COUNT(*) DESC, user_id % 10) AS rn
+  FROM events GROUP BY event_type, user_id % 10
+) WHERE rn = 1
+""",
+    tags=("agg",),
+)
+def agg_mode_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """anyHeavy analog: the heaviest value per group.  CH's anyHeavy is an
+    approximate single-pass heavy-hitter; the port returns the EXACT mode
+    (count-desc, value-asc tiebreak) — a deterministic superset of the
+    anyHeavy contract, same two-shuffle plan shape as topK."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "heavy_bucket", F.col("user_id") % 10
+    )
+    counts = ev.groupBy("event_type", "heavy_bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("heavy_bucket"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_type", "heavy_bucket", "n")
+    )
+
+
+@register(
+    "group_array_moving_sum",
+    oracle="""
+WITH m AS (
+  SELECT o_orderpriority, o_orderdate, o_orderkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+              OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov
+  FROM orders WHERE o_custkey % 200 = 0
+)
+SELECT o_orderpriority, list(mov ORDER BY o_orderdate, o_orderkey) AS moving_sums
+FROM m GROUP BY o_orderpriority
+""",
+    tags=("agg", "window"),
+)
+def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArrayMovingSum(3): per group, the array of 3-row moving sums in
+    explicit (o_orderdate, o_orderkey) order — window moving sum (decimal
+    routed) then an order-preserving collect (sort_array over keyed structs,
+    the same composition groupArraySorted uses)."""
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, 0)
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 200 == 0)
+    mov = orders.withColumn(
+        "mov", F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
+    )
+    return mov.groupBy("o_orderpriority").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.struct("o_orderdate", "o_orderkey", "mov"))
+            ),
+            lambda s: s["mov"],
+        ).alias("moving_sums")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+WITH s AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), t AS (
+  SELECT user_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM s
+), c AS (SELECT user_id, sid, COUNT(*) AS cnt FROM t GROUP BY user_id, sid)
+SELECT user_id, CAST(MAX(sid) AS BIGINT) AS n_sessions,
+       MAX(cnt) AS max_session_events
+FROM c GROUP BY user_id
+""",
+    tags=("window", "funnel"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (the batch twin of the streaming session window,
+    SURVEY §2.9): gap > 30 min starts a new session; session id is the
+    running sum of session starts over a unique (ts, event_id) order.  Two
+    window passes + one aggregate — all on the same user_id partitioning, so
+    Catalyst plans ONE shuffle for the whole chain."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__sec", F.unix_timestamp(F.col("ts").cast("timestamp"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    new_s = F.when(
+        F.lag("__sec").over(w).isNull()
+        | (F.col("__sec") - F.lag("__sec").over(w) > 1800),
+        1,
+    ).otherwise(0)
+    sid = ev.withColumn("__new", new_s).withColumn("sid", F.sum("__new").over(run))
+    counts = sid.groupBy("user_id", "sid").agg(F.count(F.lit(1)).alias("cnt"))
+    return counts.groupBy("user_id").agg(
+        F.max("sid").cast("bigint").alias("n_sessions"),
+        F.max("cnt").alias("max_session_events"),
+    )
+
+
+@register(
+    "agg_quantile_weighted",
+    oracle="""
+WITH per AS (
+  SELECT l_returnflag, l_discount,
+         SUM(CAST(l_quantity AS DECIMAL(38,6))) AS w
+  FROM lineitem GROUP BY l_returnflag, l_discount
+), c AS (
+  SELECT l_returnflag, l_discount, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY l_discount
+                      ROWS UNBOUNDED PRECEDING) AS cumw,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM per
+)
+SELECT l_returnflag, MIN(l_discount) AS weighted_median_discount
+FROM c WHERE 2 * cumw >= tot GROUP BY l_returnflag
+""",
+    tags=("agg", "quantile"),
+)
+def agg_quantile_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quantileExactWeighted(0.5)(x, w): weights merged per distinct value,
+    then the smallest value whose cumulative weight reaches half the total.
+    The ``2*cumw >= tot`` form keeps the whole computation in exact decimal
+    arithmetic — no fractional threshold to drift across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_returnflag", "l_discount").agg(
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias("w")
+    )
+    cum = Window.partitionBy("l_returnflag").orderBy("l_discount").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy("l_returnflag")
+    c = per.select(
+        "l_returnflag",
+        "l_discount",
+        F.sum("w").over(cum).alias("cumw"),
+        F.sum("w").over(tot).alias("tot"),
+    )
+    return (
+        c.filter(F.lit(2) * F.col("cumw") >= F.col("tot"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_discount").alias("weighted_median_discount"))
+    )
+
+
+@register(
+    "interval_length_sum",
+    oracle="""
+WITH iv AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT) AS e
+  FROM events WHERE event_type IN ('view', 'click')
+), m AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+  FROM iv
+), fl AS (
+  SELECT user_id, s, e,
+         CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END AS new_island
+  FROM m
+), isl AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM fl
+)
+SELECT user_id, CAST(SUM(len) AS BIGINT) AS covered_seconds,
+       CAST(COUNT(*) AS BIGINT) AS n_islands
+FROM (SELECT user_id, island, MAX(e) - MIN(s) AS len
+      FROM isl GROUP BY user_id, island)
+GROUP BY user_id
+""",
+    tags=("agg", "window"),
+)
+def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """intervalLengthSum (SURVEY §2.4): total length of the UNION of
+    per-user time intervals [ts, ts + floor(value) s] — classic
+    gaps-and-islands: running max of interval end marks island starts, a
+    running sum numbers islands, islands aggregate to max(end)-min(start).
+    Pure integer arithmetic; three windows + two aggs all partitioned on
+    user_id → Catalyst plans ONE shuffle for the whole chain."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    iv = ev.select(
+        "user_id",
+        sec.alias("s"),
+        (sec + F.floor("value").cast("bigint")).alias("e"),
+    )
+    w_prev = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_run = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = iv.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    lens = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("len")
+    )
+    return lens.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("covered_seconds"),
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+    )

@@ -829,3 +829,35 @@ def corpus_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("rows_out"),
         F.countDistinct("doc_id").alias("docs_kept"),
     )
+
+
+@register(
+    "corpus_split_stratified",
+    oracle="""
+WITH u AS (
+  SELECT source,
+         (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT source,
+       CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'valid' ELSE 'test' END AS split,
+       COUNT(*) AS n
+FROM u GROUP BY 1, 2
+""",
+    tags=("llm", "mixing"),
+)
+def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/valid/test split (80/10/10) on the same integer
+    document hash the mixing operator uses: membership is a pure function of
+    doc_id, so the split is reproducible across runs, engines, and cluster
+    sizes — no RNG state, no shuffle beyond the final count."""
+    from clickhouseocp_spark.operators.packing import mix_hash_uniform
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    u = mix_hash_uniform("doc_id")
+    split = (
+        F.when(u < 0.8, "train").when(u < 0.9, "valid").otherwise("test")
+    )
+    return docs.withColumn("split", split).groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )

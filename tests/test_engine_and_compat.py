@@ -181,3 +181,21 @@ def test_show_tables_and_describe(spark, sf_dir):
         dialect="clickhouse",
     ).collect()[0]
     assert r.u > 0 and r.c > r.u
+
+
+def test_rename_and_exchange_tables(spark, sf_dir):
+    """RENAME TABLE re-points the session view; EXCHANGE TABLES swaps two
+    views atomically from the caller's perspective (CH DDL surface)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n_nation = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+    n_region = eng.sql("SELECT count(*) AS n FROM region").collect()[0].n
+    eng.execute("RENAME TABLE nation TO nation_old")
+    assert eng.sql("SELECT count(*) AS n FROM nation_old").collect()[0].n == n_nation
+    eng.execute("RENAME TABLE nation_old TO nation")
+    eng.execute("EXCHANGE TABLES nation AND region")
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n_region
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n_nation
+    eng.execute("EXCHANGE TABLES nation AND region")
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n_nation

@@ -202,3 +202,65 @@ def test_quality_filter_shuffles_keyed_on_doc(spark, sf_dir):
 
     q = all_queries()["quality_filter_gopher"].fn(spark, sf_dir)
     assert shuffle_count(q) <= 4, shuffle_count(q)
+
+
+def test_pack_sequences_single_shard_shuffle(spark, sf_dir):
+    """Sequence packing = exactly one shuffle (hash-partition on the shard
+    key feeding the applyInPandas fold) plus invariants: bins respect the
+    budget (except single oversize rows) and positions are contiguous."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.packing import pack_sequences
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = docs.withColumn("shard", (F.col("doc_id") % 4).cast("int"))
+    packed = pack_sequences(
+        sharded, weight_col="n_chars", budget=4096,
+        shard_cols=["shard"], order_cols=["doc_id"],
+    )
+    assert shuffle_count(packed) == 1, shuffle_count(packed)
+    sums = (
+        packed.groupBy("shard", "bin")
+        .agg(F.sum("n_chars").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in sums:
+        assert r.tot <= 4096 or r.n == 1, (r.shard, r.bin, r.tot, r.n)
+    # every doc appears exactly once
+    assert packed.count() == docs.count()
+    assert packed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_pack_sequences_requires_shard(spark, sf_dir):
+    import pytest as _pytest
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents")
+    with _pytest.raises(ValueError, match="shard_cols"):
+        pack_sequences(docs, "n_chars", 4096, [], ["doc_id"])
+
+
+def test_mix_corpus_no_shuffle(spark, sf_dir):
+    """Corpus mixing is a pure columnar map+explode: zero shuffles, and the
+    copy counts follow the weight contract (floor(w) or floor(w)+1 copies)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.packing import mix_corpus
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mixed = mix_corpus(docs, {"src0": 0.5, "src1": 2.5}, default_weight=1.0)
+    assert shuffle_count(mixed) == 0, shuffle_count(mixed)
+    per_doc = mixed.groupBy("doc_id", "source").count().collect()
+    for r in per_doc:
+        if r.source == "src0":
+            assert r["count"] == 1  # kept half get exactly one copy
+        elif r.source == "src1":
+            assert r["count"] in (2, 3)
+        else:
+            assert r["count"] == 1
