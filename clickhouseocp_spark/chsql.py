@@ -575,6 +575,17 @@ FUNC_RULES: dict[str, object] = {
     "dateDiff": lambda args: f"timestampdiff({args[0].strip(chr(39)).upper()}, {args[1]}, {args[2]})",
     "toIntervalDay": lambda args: f"({args[0]} * INTERVAL 1 DAY)",
     "toIntervalHour": lambda args: f"({args[0]} * INTERVAL 1 HOUR)",
+    "formatDateTime": lambda args: _format_datetime(args),
+    "toStartOfInterval": lambda args: _to_start_of_interval(args),
+    "parseDateTimeBestEffort": lambda args: (
+        f"coalesce(try_to_timestamp({args[0]}), "
+        f"try_to_timestamp({args[0]}, 'yyyy/MM/dd HH:mm:ss'), "
+        f"try_to_timestamp({args[0]}, 'dd/MM/yyyy HH:mm:ss'), "
+        f"try_to_timestamp({args[0]}, 'yyyyMMddHHmmss'), "
+        f"try_to_timestamp({args[0]}, 'yyyy-MM-dd'))"
+    ),
+    "toMonday": lambda args: f"CAST(date_trunc('WEEK', {args[0]}) AS DATE)",
+    "toStartOfWeek": lambda args: _to_start_of_week(args),
     # strings
     "lengthUTF8": _rename("length"),
     "lowerUTF8": _rename("lower"), "upperUTF8": _rename("upper"),
@@ -745,6 +756,84 @@ CH_DICTS = {
     "nation_dict": ("nation", "n_nationkey"),
     "region_dict": ("region", "r_regionkey"),
 }
+
+
+#: CH formatDateTime %-codes → Spark DateTimeFormatter fields (unambiguous
+#: subset; CH follows the MySQL convention where %i is the minute)
+_CH_FMT_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
+    "H": "HH", "h": "hh", "i": "mm", "S": "ss", "s": "ss",
+    "j": "DDD", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(ts, '%Y-%m-%d ...') → date_format with the CH %-codes
+    translated to DateTimeFormatter fields; literal runs are quoted so
+    letters can't leak into the pattern."""
+    if len(args) < 2 or not (args[1].startswith("'") and args[1].endswith("'")):
+        raise ChSqlError("formatDateTime needs a literal format string")
+    fmt = args[1][1:-1]
+    java: list[str] = []
+    buf: list[str] = []
+
+    def flush() -> None:
+        if buf:
+            seg = "".join(buf)
+            java.append("'" + seg.replace("'", "''") + "'")
+            buf.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            c = fmt[i + 1]
+            if c == "%":
+                buf.append("%")
+            elif c in _CH_FMT_CODES:
+                flush()
+                java.append(_CH_FMT_CODES[c])
+            else:
+                raise ChSqlError(f"formatDateTime %{c} is outside the subset")
+            i += 2
+        else:
+            buf.append(fmt[i])
+            i += 1
+    flush()
+    pattern = "".join(java)
+    return f"date_format({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+_INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit): second/minute/hour/day buckets
+    floor the epoch (any n); calendar units (week/month/quarter/year) go
+    through date_trunc and support n=1."""
+    m = re.match(r"(?i)^INTERVAL\s+(\d+)\s+(\w+)$", args[1].strip())
+    if not m:
+        raise ChSqlError("toStartOfInterval expects INTERVAL n unit")
+    n, unit = int(m.group(1)), m.group(2).upper().rstrip("S")
+    if unit in _INTERVAL_SECONDS:
+        sec = n * _INTERVAL_SECONDS[unit]
+        return (
+            f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {sec}) "
+            f"AS BIGINT) * {sec})"
+        )
+    if n == 1 and unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
+        return f"date_trunc('{unit}', {args[0]})"
+    raise ChSqlError(
+        "toStartOfInterval subset: any n for second/minute/hour/day, n=1 for "
+        "week/month/quarter/year"
+    )
+
+
+def _to_start_of_week(args: list[str]) -> str:
+    """CH toStartOfWeek: mode 0 (default) weeks start Sunday; modes 1/3
+    start Monday (Spark's WEEK truncation)."""
+    if len(args) > 1 and args[1].strip() in ("1", "3"):
+        return f"CAST(date_trunc('WEEK', {args[0]}) AS DATE)"
+    return f"date_sub(CAST(date_trunc('WEEK', date_add({args[0]}, 1)) AS DATE), 1)"
 
 
 def _dict_get(dname: str, attr: str | None, key: str, count: bool = False) -> str:

@@ -828,3 +828,40 @@ def chsql_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority, o_orderstatus WITH ROLLUP
         """,
     )
+
+
+# --- 28. datetime porting vocabulary: formatDateTime / toStartOfInterval ----
+
+
+@register(
+    "chsql_datetime_fmt",
+    oracle="""
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+       CAST(floor(floor(epoch(ts)) / 900) * 900 AS BIGINT) AS bucket15,
+       CAST(date_trunc('week', ts) AS DATE) AS monday,
+       CAST(CAST(date_trunc('week', ts + INTERVAL 1 DAY) AS DATE) - INTERVAL 1 DAY AS DATE) AS sunday_week,
+       CAST(floor(epoch(TIMESTAMP '2024-03-05 10:20:30')) AS BIGINT) AS parsed_sec
+FROM events WHERE event_id % 17 = 0
+""",
+    tags=("chsql", "datetime"),
+)
+def chsql_datetime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The datetime-porting vocabulary a CH user needs most when moving SQL
+    text: formatDateTime (%-codes -> DateTimeFormatter with quoted literal
+    runs), toStartOfInterval (epoch floor for sub-day units), toMonday /
+    toStartOfWeek (mode 0 = Sunday start), parseDateTimeBestEffort
+    (try_to_timestamp cascade) — all value-checked against the oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id,
+               formatDateTime(ts, '%Y-%m-%d %H:%i') AS fmt,
+               toUnixTimestamp(toStartOfInterval(CAST(ts AS DateTime), INTERVAL 15 MINUTE)) AS bucket15,
+               toMonday(ts) AS monday,
+               toStartOfWeek(ts) AS sunday_week,
+               toUnixTimestamp(parseDateTimeBestEffort('2024-03-05 10:20:30')) AS parsed_sec
+        FROM events WHERE event_id % 17 = 0
+        """,
+    )

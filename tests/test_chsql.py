@@ -315,3 +315,30 @@ def test_with_fill_rejected_by_plain_transpile():
 def test_lag_in_frame_maps_to_lag():
     out = transpile("SELECT lagInFrame(x, 1, 0.0) OVER (ORDER BY ts) FROM t")
     assert "lag(x, 1, 0.0) OVER(ORDER BY ts)" in out
+
+
+def test_format_datetime_codes_and_literals():
+    out = transpile("SELECT formatDateTime(ts, '%Y-%m-%dT%H:%i:%S') FROM t")
+    # literal runs are Java-pattern-quoted; the quotes are doubled for the
+    # SQL string literal ('' inside '...')
+    assert "date_format(ts, 'yyyy''-''MM''-''dd''T''HH'':''mm'':''ss')" in out
+    with pytest.raises(ChSqlError, match="%Q"):
+        transpile("SELECT formatDateTime(ts, '%Q') FROM t")
+    with pytest.raises(ChSqlError, match="literal"):
+        transpile("SELECT formatDateTime(ts, fmt_col) FROM t")
+
+
+def test_to_start_of_interval_buckets():
+    out = transpile("SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) FROM t")
+    assert "floor(unix_timestamp(ts) / 900" in out
+    out = transpile("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t")
+    assert "date_trunc('MONTH', ts)" in out
+    with pytest.raises(ChSqlError, match="subset"):
+        transpile("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM t")
+
+
+def test_to_start_of_week_modes():
+    sunday = transpile("SELECT toStartOfWeek(d) FROM t")
+    assert "date_add(d, 1)" in sunday and "date_sub" in sunday
+    monday = transpile("SELECT toStartOfWeek(d, 1) FROM t")
+    assert "date_trunc('WEEK', d)" in monday and "date_sub" not in monday
