@@ -167,17 +167,47 @@ class ChSparkEngine:
             order = tuple(c.strip() for c in order_txt.split(",") if c.strip())
             df = self.sql(m.group(5))
             return self._create_table(t, df, partition, order)
-        m = _re.match(r"(?is)^INSERT\s+INTO\s+(\w+)\s+(SELECT.+|VALUES.+)$", text)
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?(SELECT.+|VALUES.+)$",
+            text,
+        )
         if m:
             t = m.group(1).lower()
             target = self._table(t)
-            if m.group(2).upper().startswith("VALUES"):
-                raise ChSqlError("INSERT VALUES is outside the subset; use INSERT SELECT")
-            incoming = self.sql(m.group(2))
-            if set(incoming.columns) == set(target.columns):
+            cols = (
+                [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
+            )
+            body = m.group(3)
+            if body.upper().startswith("VALUES"):
+                incoming = self.sql(self._values_to_select(body))
+            else:
+                incoming = self.sql(body)
+            if cols is None and set(incoming.columns) == set(target.columns):
                 incoming = incoming.select(*target.columns)  # by name
             else:
-                incoming = incoming.toDF(*target.columns)  # CH INSERT is positional
+                names = cols or (
+                    target.columns
+                    if len(incoming.columns) == len(target.columns)
+                    else None
+                )
+                if names is None:
+                    raise ChSqlError(
+                        f"INSERT arity mismatch: {len(incoming.columns)} values "
+                        f"for {len(target.columns)} columns"
+                    )
+                incoming = incoming.toDF(*names)  # CH INSERT is positional
+            if cols:  # explicit column list: absent columns get NULL defaults
+                for c in target.columns:
+                    if c not in cols:
+                        incoming = incoming.withColumn(
+                            c, F.lit(None).cast(dict(target.dtypes)[c])
+                        )
+            incoming = incoming.select(
+                *[
+                    F.col(c).cast(dict(target.dtypes)[c]).alias(c)
+                    for c in target.columns
+                ]
+            )
             return self._replace_view(t, target.unionByName(incoming))
         m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
         if m:
@@ -227,6 +257,41 @@ class ChSparkEngine:
             t = m.group(1).lower()
             return self._replace_view(t, self._table(t).limit(0))
         raise ChSqlError(f"unsupported statement: {text[:80]!r}")
+
+    @staticmethod
+    def _values_to_select(body: str) -> str:
+        """``VALUES (a, b), (c, d)`` → ``SELECT a, b UNION ALL SELECT c, d``
+        with every value expression run through the CH-dialect rewriter (CH
+        accepts function calls, not just literals, in VALUES)."""
+        from clickhouseocp_spark.chsql import (
+            ChSqlError,
+            _find_close,
+            _split_top,
+            render,
+            tokenize,
+            transpile_expr,
+        )
+
+        tokens = tokenize(body)
+        if not tokens or tokens[0].upper() != "VALUES":
+            raise ChSqlError("expected VALUES")
+        selects = []
+        i = 1
+        while i < len(tokens):
+            if tokens[i] != "(":
+                raise ChSqlError(f"VALUES: expected '(' at {render(tokens[i:i+3])!r}")
+            close = _find_close(tokens, i)
+            row = _split_top(tokens[i + 1 : close], ",")
+            exprs = [transpile_expr(render(cell)) for cell in row]
+            selects.append("SELECT " + ", ".join(exprs))
+            i = close + 1
+            if i < len(tokens):
+                if tokens[i] != ",":
+                    raise ChSqlError("VALUES: rows must be comma-separated")
+                i += 1
+        if not selects:
+            raise ChSqlError("VALUES: no rows")
+        return " UNION ALL ".join(selects)
 
     def _create_table(
         self, name: str, df: DataFrame, partition: tuple, order: tuple

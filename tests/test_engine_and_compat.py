@@ -199,3 +199,35 @@ def test_rename_and_exchange_tables(spark, sf_dir):
     assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n_nation
     eng.execute("EXCHANGE TABLES nation AND region")
     assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n_nation
+
+
+def test_insert_values(spark, sf_dir):
+    """INSERT INTO t VALUES (...): positional, CH-dialect expressions allowed
+    in cells, explicit column lists NULL-fill the rest, values cast to the
+    target column types."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n0 = eng.sql("SELECT count(*) AS n FROM region").collect()[0].n
+    eng.execute(
+        "INSERT INTO region VALUES (90, 'ATLANTIS'), "
+        "(91, upper(concat('m', 'u')))"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n0 + 2
+    row = eng.sql(
+        "SELECT r_name FROM region WHERE r_regionkey = 91"
+    ).collect()[0]
+    assert row.r_name == "MU"
+    # explicit column list: r_name absent -> NULL
+    eng.execute("INSERT INTO region (r_regionkey) VALUES (92)")
+    row = eng.sql(
+        "SELECT r_name FROM region WHERE r_regionkey = 92"
+    ).collect()[0]
+    assert row.r_name is None
+    # arity mismatch is a clear error
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+
+    with _pytest.raises(ChSqlError, match="arity"):
+        eng.execute("INSERT INTO region VALUES (1, 'x', 'y')")
