@@ -338,6 +338,7 @@ class ChSparkEngine:
         self.system_columns().createOrReplaceTempView("system_columns")
         self.system_functions().createOrReplaceTempView("system_functions")
         self.system_build_options().createOrReplaceTempView("system_build_options")
+        self.system_parts().createOrReplaceTempView("system_parts")
         self._system_views_done = True
 
     def system_build_options(self) -> DataFrame:
@@ -359,6 +360,58 @@ class ChSparkEngine:
             )
         ]
         return self.spark.createDataFrame(confs, "name string, value string")
+
+    def system_parts(self) -> DataFrame:
+        """``system.parts`` analog over CTAS-materialized MergeTree-layout
+        tables: one row per parquet data file with its partition value, row
+        count and bytes — read from parquet FOOTERS (pyarrow metadata), so no
+        data is scanned; cost is bounded by file count, exactly like CH's
+        parts metadata.  Fixture tables (plain parquet, no layout dirs)
+        report partition='' like CH's unpartitioned 'all' parts."""
+        import os
+
+        import pyarrow.parquet as pq
+
+        rows = []
+
+        def walk(table: str, root: str) -> None:
+            for dirpath, _dirs, files in os.walk(root):
+                rel = os.path.relpath(dirpath, root)
+                partition = "" if rel == "." else rel
+                for f in files:
+                    if not f.endswith(".parquet"):
+                        continue
+                    full = os.path.join(dirpath, f)
+                    meta = pq.ParquetFile(full).metadata
+                    rows.append(
+                        (
+                            table,
+                            partition,
+                            f,
+                            meta.num_rows,
+                            os.path.getsize(full),
+                            meta.num_row_groups,
+                            1,  # active: the layout holds only live parts
+                        )
+                    )
+
+        base = getattr(self, "_table_dir", None)
+        if base is not None and os.path.isdir(base):
+            for table in sorted(os.listdir(base)):
+                walk(table, os.path.join(base, table))
+        for table in sorted(self.tables):
+            fixture = os.path.join(self.sf_dir, f"{table}.parquet")
+            if os.path.isfile(fixture):
+                meta = pq.ParquetFile(fixture).metadata
+                rows.append(
+                    (table, "", f"{table}.parquet", meta.num_rows,
+                     os.path.getsize(fixture), meta.num_row_groups, 1)
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table string, partition string, name string, rows bigint, "
+            "bytes_on_disk bigint, row_groups int, active int",
+        )
 
     def system_tables(self) -> DataFrame:
         """`system.tables` analog via the session catalog."""

@@ -28,13 +28,17 @@ def with_fill(
     fill_to: Column | None = None,
     zero_fill: dict[str, object] | None = None,
     interpolate: Sequence[str] = (),
+    interpolate_linear: Sequence[str] = (),
 ) -> DataFrame:
     """Gap-fill ``df`` so ``order_col`` becomes dense from min (or
     ``fill_from``) to max (or ``fill_to``) in increments of ``step``.
 
     ``zero_fill`` maps column → literal used for generated rows (ClickHouse
     fills with type defaults); ``interpolate`` columns carry the last seen
-    value forward instead (INTERPOLATE clause analog).
+    value forward instead (INTERPOLATE clause analog);
+    ``interpolate_linear`` columns are linearly interpolated between the
+    surrounding observed points (the ``INTERPOLATE (c AS <expr of prev/next>)``
+    family), falling back to carry-forward/backward at the boundaries.
     """
     step_col = F.expr(step) if isinstance(step, str) else step
     pk = list(partition_by)
@@ -75,4 +79,40 @@ def with_fill(
         )
         for c in interpolate:
             out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    if interpolate_linear:
+        # numeric position of the axis (timestamps → epoch seconds) so the
+        # interpolation ratio is well-defined for any step
+        dtype = dict(out.dtypes)[order_col]
+        pos = (
+            F.unix_timestamp(F.col(order_col).cast("timestamp"))
+            if dtype.startswith(("timestamp", "date"))
+            else F.col(order_col).cast("double")
+        )
+        back = (
+            Window.partitionBy(*pk)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fwd = (
+            Window.partitionBy(*pk)
+            .orderBy(order_col)
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        out = out.withColumn("__pos", pos)
+        for c in interpolate_linear:
+            known_pos = F.when(F.col(c).isNotNull(), F.col("__pos"))
+            pv = F.last(c, ignorenulls=True).over(back)
+            pp = F.last(known_pos, ignorenulls=True).over(back)
+            nv = F.first(c, ignorenulls=True).over(fwd)
+            np_ = F.first(known_pos, ignorenulls=True).over(fwd)
+            ratio = (F.col("__pos") - pp) / (np_ - pp)
+            lerp = pv + (nv - pv) * ratio
+            out = out.withColumn(
+                c,
+                F.when(F.col(c).isNotNull(), F.col(c))
+                .when(pp.isNull(), nv)  # before the first observation
+                .when(np_.isNull(), pv)  # after the last observation
+                .otherwise(lerp),
+            )
+        out = out.drop("__pos")
     return out

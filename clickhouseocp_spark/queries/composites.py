@@ -154,6 +154,61 @@ def with_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("s", "carried_s")
 
 
+@register(
+    "with_fill_linear",
+    oracle=f"""
+WITH d AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n, {sql_fsum('value', 's')}
+  FROM events WHERE {_FILL_FILTER} GROUP BY 1
+), b AS (SELECT min(day) AS mn, max(day) AS mx FROM d),
+axis AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS day FROM b),
+j AS (
+  SELECT axis.day, d.s, CAST(floor(epoch(axis.day)) AS BIGINT) AS pos
+  FROM axis LEFT JOIN d ON axis.day = d.day
+), w AS (
+  SELECT day, s, pos,
+         last_value(s IGNORE NULLS) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         last_value(CASE WHEN s IS NOT NULL THEN pos END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+         first_value(s IGNORE NULLS) OVER (ORDER BY day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+         first_value(CASE WHEN s IS NOT NULL THEN pos END IGNORE NULLS)
+           OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+  FROM j
+)
+SELECT day,
+       ROUND(CASE WHEN s IS NOT NULL THEN s
+                  WHEN pp IS NULL THEN nv
+                  WHEN np IS NULL THEN pv
+                  ELSE pv + (nv - pv) * ((pos - pp) / CAST(np - pp AS DOUBLE)) END,
+             6) AS lerp_s
+FROM w
+""",
+    tags=("fill",),
+)
+def with_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL ... INTERPOLATE, linear variant: generated rows take the
+    straight line between the surrounding observed sums (carry at the
+    boundaries).  Same axis/join machinery as the other fills; the oracle
+    replays the identical prev/next-window formula, so every interpolated
+    value is hash-checked."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.expr(_FILL_FILTER))
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"), fsum("value", "s"))
+    )
+    filled = with_fill(
+        daily,
+        order_col="day",
+        step="INTERVAL 1 DAY",
+        interpolate_linear=("s",),
+    )
+    return filled.select("day", F.round("s", 6).alias("lerp_s"))
+
+
 # ---------------------------------------------------------------------------
 # LIMIT BY / topK / ANY JOIN / dedup / PASTE JOIN (SURVEY §2.3/§2.4/§2.6)
 # ---------------------------------------------------------------------------

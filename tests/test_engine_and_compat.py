@@ -231,3 +231,29 @@ def test_insert_values(spark, sf_dir):
 
     with _pytest.raises(ChSqlError, match="arity"):
         eng.execute("INSERT INTO region VALUES (1, 'x', 'y')")
+
+
+def test_system_parts(spark, sf_dir):
+    """system.parts over a CTAS MergeTree layout: one row per data file with
+    footer-derived row counts; partition directories surface as partition
+    values; fixtures appear as single unpartitioned parts."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.execute(
+        "CREATE TABLE parts_demo ENGINE = MergeTree PARTITION BY l_returnflag "
+        "ORDER BY (l_shipdate) AS SELECT * FROM lineitem"
+    )
+    parts = eng.sql(
+        "SELECT partition, rows FROM system.parts WHERE table = 'parts_demo'",
+        dialect="clickhouse",
+    ).collect()
+    assert len(parts) >= 3  # one partition dir per returnflag
+    assert {p.partition.split("=")[0] for p in parts} == {"l_returnflag"}
+    total = sum(p.rows for p in parts)
+    n = eng.sql("SELECT count(*) AS n FROM lineitem").collect()[0].n
+    assert total == n
+    fixture = eng.sql(
+        "SELECT rows FROM system.parts WHERE table = 'orders'", dialect="ch"
+    ).collect()
+    assert len(fixture) == 1 and fixture[0].rows > 0
