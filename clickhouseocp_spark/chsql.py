@@ -1254,6 +1254,39 @@ def transpile_expr(text: str) -> str:
     return _rewrite_exprs(tokenize(text))
 
 
+def _clause_pipeline(tokens: list[str]) -> list[str]:
+    """The clause-level rewrites that apply to one SELECT scope."""
+    tokens = _merge_prewhere(tokens)
+    tokens = _rewrite_asof(tokens)
+    tokens = _rewrite_limit_ties(tokens)
+    tokens = _rewrite_limit_by(tokens)
+    tokens = _rewrite_scalar_with(tokens)
+    tokens = _rewrite_sample(tokens)
+    tokens = _rewrite_totals(tokens)
+    tokens = _rewrite_array_join(tokens)
+    return tokens
+
+
+def _rewrite_subqueries(tokens: list[str]) -> list[str]:
+    """Bottom-up: run the clause pipeline inside every parenthesized SELECT
+    (subqueries, IN/EXISTS bodies, CTE definitions), so PREWHERE/LIMIT BY/
+    SAMPLE/TOTALS/ARRAY JOIN work at any nesting depth, not just top level."""
+    out: list[str] = []
+    i = 0
+    while i < len(tokens):
+        if tokens[i] == "(":
+            close = _find_close(tokens, i)
+            inner = _rewrite_subqueries(tokens[i + 1 : close])
+            if inner and _KW(inner[0]) == "SELECT":
+                inner = _clause_pipeline(inner)
+            out += ["("] + inner + [")"]
+            i = close + 1
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
 def transpile_with_fill(sql: str) -> tuple[str, dict | None]:
     """Like :func:`transpile`, but ``ORDER BY ... WITH FILL`` is *extracted*
     rather than rejected: returns ``(spark_sql, fill_spec)`` where the spec's
@@ -1265,15 +1298,9 @@ def transpile_with_fill(sql: str) -> tuple[str, dict | None]:
     tokens = _strip_tail(tokens)
     tokens = _drop_modifiers(tokens)
     tokens, fill = _extract_with_fill(tokens)
-    tokens = _merge_prewhere(tokens)
-    tokens = _rewrite_asof(tokens)
-    tokens = _rewrite_limit_ties(tokens)
-    tokens = _rewrite_limit_by(tokens)
-    tokens = _rewrite_scalar_with(tokens)
+    tokens = _rewrite_subqueries(tokens)
+    tokens = _clause_pipeline(tokens)
     tokens = _rewrite_system_tables(tokens)
-    tokens = _rewrite_sample(tokens)
-    tokens = _rewrite_totals(tokens)
-    tokens = _rewrite_array_join(tokens)
     if fill:
         for key in ("from", "to", "step"):
             if fill[key] is not None:

@@ -865,3 +865,52 @@ def chsql_datetime_fmt(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id % 17 = 0
         """,
     )
+
+
+# --- 29. CTE + nested clause rewrites ---------------------------------------
+
+
+@register(
+    "chsql_cte_nested",
+    oracle="""
+WITH flagged AS (
+  SELECT l_orderkey, l_returnflag, l_extendedprice
+  FROM lineitem WHERE l_quantity > 30 AND l_discount > 0.03
+), ranked AS (
+  SELECT l_returnflag, l_orderkey, l_extendedprice FROM (
+    SELECT l_returnflag, l_orderkey, l_extendedprice,
+           row_number() OVER (PARTITION BY l_returnflag
+                              ORDER BY CAST(l_extendedprice AS DECIMAL(18,2)) DESC,
+                                       l_orderkey) AS rn
+    FROM flagged
+  ) WHERE rn <= 5
+)
+SELECT l_returnflag, COUNT(*) AS n,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS top_sum
+FROM ranked GROUP BY l_returnflag
+""",
+    tags=("chsql", "cte"),
+)
+def chsql_cte_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTEs with CH-only clauses INSIDE them: PREWHERE and LIMIT BY are
+    rewritten at any nesting depth (the clause pipeline recurses bottom-up
+    through parenthesized SELECT scopes), so real ported query texts work
+    without manual flattening."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH flagged AS (
+          SELECT l_orderkey, l_returnflag, l_extendedprice
+          FROM lineitem PREWHERE l_quantity > 30 WHERE l_discount > 0.03
+        ), ranked AS (
+          SELECT l_returnflag, l_orderkey, l_extendedprice
+          FROM flagged
+          ORDER BY toDecimal64(l_extendedprice, 2) DESC, l_orderkey
+          LIMIT 5 BY l_returnflag
+        )
+        SELECT l_returnflag, count() AS n,
+               CAST(sum(toDecimal64(l_extendedprice, 6)) AS Float64) AS top_sum
+        FROM ranked GROUP BY l_returnflag
+        """,
+    )

@@ -342,3 +342,32 @@ def test_to_start_of_week_modes():
     assert "date_add(d, 1)" in sunday and "date_sub" in sunday
     monday = transpile("SELECT toStartOfWeek(d, 1) FROM t")
     assert "date_trunc('WEEK', d)" in monday and "date_sub" not in monday
+
+
+# --- nested-subquery clause rewrites ----------------------------------------
+
+
+def test_prewhere_inside_subquery():
+    out = canon(transpile(
+        "SELECT * FROM (SELECT a FROM t PREWHERE x > 1 WHERE y < 2) q"
+    ))
+    assert canon("WHERE (x > 1) AND (y < 2)") in out
+    assert "PREWHERE" not in out
+
+
+def test_limit_by_inside_cte():
+    out = canon(transpile(
+        "WITH top2 AS (SELECT g, v FROM t ORDER BY v DESC LIMIT 2 BY g) "
+        "SELECT count() FROM top2"
+    ))
+    assert canon("row_number() OVER (PARTITION BY g ORDER BY v DESC)") in out
+    assert canon("__rn <= 2") in out
+
+
+def test_sample_inside_in_subquery():
+    out = canon(transpile(
+        "SELECT count() FROM nation WHERE n_nationkey IN "
+        "(SELECT l_orderkey FROM lineitem SAMPLE 0.5)"
+    ))
+    assert "(l_orderkey%1000000)<500000" in out
+    assert "SAMPLE" not in out.upper()
