@@ -1238,6 +1238,15 @@ def _rewrite_exprs(tokens: list[str]) -> str:
                 out.append(FUNC_RULES[t](args))
                 i = close + 1
                 continue
+            # generic -If combinator: <agg>If(args..., cond) → the rewritten
+            # base aggregate with an ANSI FILTER clause (CH allows -If on any
+            # aggregate; the explicit sumIf/countIf-style rules above stay
+            # first for their special-cased forms)
+            if t.endswith("If") and len(t) > 2 and args and t[:-2] in FUNC_RULES:
+                inner = FUNC_RULES[t[:-2]](args[:-1])
+                out.append(f"{inner} FILTER (WHERE {args[-1]})")
+                i = close + 1
+                continue
             out.append(f"{t}({', '.join(args)})")
             i = close + 1
             continue

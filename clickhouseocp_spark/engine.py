@@ -153,6 +153,19 @@ class ChSparkEngine:
 
         text = statement.strip().rstrip(";")
         m = _re.match(
+            r"(?is)^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s+AS\s+(SELECT.+)$",
+            text,
+        )
+        if m:
+            name = m.group(2).lower()
+            df = self.sql(m.group(3))
+            if m.group(1):
+                # MATERIALIZED: compute once into the MergeTree layout and
+                # read it back (CH MVs store; plain views recompute per read)
+                return self._create_table(name, df, (), ())
+            return self._replace_view(name, df)
+        m = _re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"(?:ENGINE\s*=\s*\w+(?:\(\s*\))?\s*)?"
             r"(?:PARTITION\s+BY\s+(\w+)\s*)?"
@@ -209,7 +222,7 @@ class ChSparkEngine:
                 ]
             )
             return self._replace_view(t, target.unionByName(incoming))
-        m = _re.match(r"(?is)^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
+        m = _re.match(r"(?is)^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
         if m:
             t = m.group(1).lower()
             if t in self.tables:

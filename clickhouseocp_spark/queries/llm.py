@@ -10,7 +10,7 @@ correctness check rather than an empty result.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from clickhouseocp_spark.catalog import load_table
 from clickhouseocp_spark.functions.text import (
@@ -861,3 +861,29 @@ def corpus_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.withColumn("split", split).groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "corpus_vocabulary",
+    oracle="""
+SELECT w, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+WHERE w <> '' GROUP BY w
+ORDER BY n DESC, w LIMIT 100
+""",
+    tags=("llm", "text"),
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-100 with a
+    deterministic (count desc, token asc) tiebreak — the standard first look
+    at a new pre-training corpus.  Explode → two-level hash agg with map-side
+    combine; the heavy-hitter cut happens via TakeOrderedAndProject (heap,
+    no full sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(whitespace_tokens(F.col("text"))).alias("w")).filter(
+        F.col("w") != ""
+    )
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    # (count desc, token asc) is a total order -> limit is deterministic and
+    # plans as TakeOrderedAndProject (per-partition heaps, no global sort)
+    return counts.orderBy(F.col("n").desc(), F.col("w")).limit(100)

@@ -371,3 +371,14 @@ def test_sample_inside_in_subquery():
     ))
     assert "(l_orderkey%1000000)<500000" in out
     assert "SAMPLE" not in out.upper()
+
+
+def test_generic_if_combinator():
+    out = canon(transpile("SELECT argMaxIf(n, v, v > 0) FROM t"))
+    assert canon("max_by(n, v) FILTER (WHERE v > 0)") in out
+    out = canon(transpile("SELECT uniqExactIf(x, y = 1), anyIf(x, y = 2) FROM t"))
+    assert canon("count(DISTINCT x) FILTER (WHERE y = 1)") in out
+    assert canon("any_value(x) FILTER (WHERE y = 2)") in out
+    # unknown base names pass through untouched
+    out = transpile("SELECT mysteryIf(x, y) FROM t")
+    assert "mysteryIf(x, y)" in out

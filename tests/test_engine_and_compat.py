@@ -257,3 +257,29 @@ def test_system_parts(spark, sf_dir):
         "SELECT rows FROM system.parts WHERE table = 'orders'", dialect="ch"
     ).collect()
     assert len(fixture) == 1 and fixture[0].rows > 0
+
+
+def test_create_view_and_materialized_view(spark, sf_dir):
+    """CREATE VIEW recomputes per read (lineage view); CREATE MATERIALIZED
+    VIEW stores the result in the MergeTree layout (CH MVs store);
+    DROP VIEW removes either."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.execute(
+        "CREATE VIEW big_orders AS SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_totalprice > 100000"
+    )
+    n = eng.sql("SELECT count(*) AS n FROM big_orders").collect()[0].n
+    assert n > 0
+    eng.execute(
+        "CREATE MATERIALIZED VIEW prio_counts AS "
+        "SELECT o_orderpriority, count() AS n FROM orders GROUP BY o_orderpriority"
+    )
+    assert eng.sql("SELECT count(*) AS n FROM prio_counts").collect()[0].n == 5
+    import os
+
+    assert os.path.isdir(os.path.join(eng._table_dir, "prio_counts"))
+    eng.execute("DROP VIEW big_orders")
+    eng.execute("DROP TABLE prio_counts")
+    assert "big_orders" not in eng.tables and "prio_counts" not in eng.tables
