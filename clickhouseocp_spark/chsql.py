@@ -1263,8 +1263,51 @@ def transpile_expr(text: str) -> str:
     return _rewrite_exprs(tokenize(text))
 
 
+def _inline_named_windows(tokens: list[str]) -> list[str]:
+    """``WINDOW w AS (spec)[, w2 AS (spec2)]`` + ``fn() OVER w`` →
+    ``fn() OVER (spec)``: Spark SQL has no named-WINDOW clause, but inlining
+    is semantics-preserving (SURVEY §2.5 named WINDOW reuse)."""
+    wins = _depth0_positions(tokens, lambda t, i: _KW(t) == "WINDOW")
+    # the WINDOW clause sits between HAVING/GROUP BY and ORDER BY/LIMIT; an
+    # OVER immediately before is the window-function case, skip those
+    wpos = [i for i in wins if i == 0 or _KW(tokens[i - 1]) != "OVER"]
+    if not wpos:
+        return tokens
+    i = wpos[0]
+    defs: dict[str, list[str]] = {}
+    k = i + 1
+    while k + 2 < len(tokens) and _is_word(tokens[k]) and _KW(tokens[k + 1]) == "AS":
+        if tokens[k + 2] != "(":
+            raise ChSqlError("WINDOW definition expects a parenthesized spec")
+        close = _find_close(tokens, k + 2)
+        defs[tokens[k]] = tokens[k + 2 : close + 1]  # incl. parens
+        k = close + 1
+        if k < len(tokens) and tokens[k] == ",":
+            k += 1
+        else:
+            break
+    if not defs:
+        raise ChSqlError("WINDOW clause without definitions")
+    rest = tokens[:i] + tokens[k:]
+    out: list[str] = []
+    j = 0
+    while j < len(rest):
+        if (
+            _KW(rest[j]) == "OVER"
+            and j + 1 < len(rest)
+            and rest[j + 1] in defs
+        ):
+            out += ["OVER"] + defs[rest[j + 1]]
+            j += 2
+        else:
+            out.append(rest[j])
+            j += 1
+    return out
+
+
 def _clause_pipeline(tokens: list[str]) -> list[str]:
     """The clause-level rewrites that apply to one SELECT scope."""
+    tokens = _inline_named_windows(tokens)
     tokens = _merge_prewhere(tokens)
     tokens = _rewrite_asof(tokens)
     tokens = _rewrite_limit_ties(tokens)

@@ -747,19 +747,21 @@ FROM orders WHERE o_custkey % 100 = 0
     tags=("chsql", "window"),
 )
 def chsql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window functions through the CH text surface: OVER clauses pass
-    through to Catalyst untouched; the CH-only ``lagInFrame`` vocabulary maps
-    to ``lag`` (SURVEY §2.5).  (o_orderdate, o_orderkey) is a unique sort key
-    per partition, so every rank/lag value is deterministic."""
+    """Window functions through the CH text surface: the named WINDOW clause
+    is inlined into each OVER reference (Spark SQL has no WINDOW clause), and
+    the CH-only ``lagInFrame`` vocabulary maps to ``lag`` (SURVEY §2.5).
+    (o_orderdate, o_orderkey) is a unique sort key per partition, so every
+    rank/lag value is deterministic."""
     return _run(
         spark,
         sf_dir,
         """
         SELECT o_custkey, o_orderkey,
-               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn,
-               lagInFrame(o_totalprice, 1, 0.0) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price
+               row_number() OVER w AS rn,
+               lagInFrame(o_totalprice, 1, 0.0) OVER w AS prev_price
         FROM orders
         WHERE o_custkey % 100 = 0
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         """,
     )
 

@@ -382,3 +382,27 @@ def test_generic_if_combinator():
     # unknown base names pass through untouched
     out = transpile("SELECT mysteryIf(x, y) FROM t")
     assert "mysteryIf(x, y)" in out
+
+
+def test_named_window_inlined():
+    out = canon(transpile(
+        "SELECT row_number() OVER w AS rn, lagInFrame(v) OVER w AS pv "
+        "FROM t WINDOW w AS (PARTITION BY g ORDER BY ts) ORDER BY rn"
+    ))
+    assert "OVER(PARTITIONBYgORDERBYts)ASrn" in out
+    assert "lag(v)OVER(PARTITIONBYgORDERBYts)ASpv" in out
+    assert "WINDOW" not in out
+
+
+def test_named_window_multiple_defs():
+    out = canon(transpile(
+        "SELECT sum(v) OVER a AS s, rank() OVER b AS r FROM t "
+        "WINDOW a AS (PARTITION BY g), b AS (ORDER BY v DESC)"
+    ))
+    assert "sum(v)OVER(PARTITIONBYg)" in out
+    assert "rank()OVER(ORDERBYvDESC)" in out
+
+
+def test_group_by_all_passthrough():
+    out = transpile("SELECT g, count() AS n FROM t GROUP BY ALL")
+    assert "GROUP BY ALL" in out
