@@ -264,3 +264,18 @@ def test_mix_corpus_no_shuffle(spark, sf_dir):
             assert r["count"] in (2, 3)
         else:
             assert r["count"] == 1
+
+
+def test_window_chain_queries_single_shuffle(spark, sf_dir):
+    """The gaps-and-islands / window-chain queries keep every window and
+    aggregate on the same partitioning key, so Catalyst plans exactly ONE
+    exchange end-to-end (HashPartitioning(k) satisfies every downstream
+    ClusteredDistribution whose keys contain k)."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    for name in ("sessionize_events", "interval_length_sum", "agg_delta_sum",
+                 "group_array_moving_sum", "corpus_vocabulary"):
+        n = shuffle_count(qs[name].fn(spark, sf_dir))
+        assert n == 1, (name, n)
