@@ -873,6 +873,15 @@ PARAMETRIC_RULES: dict[str, object] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantileDD": lambda p, a: f"approx_percentile({a[-1]}, {p[-1]})",
+    "quantileExactWeighted": lambda p, a: (
+        # exact weighted quantile via the 2*cumw >= q-scaled total identity is
+        # an operator-level pattern (agg_quantile_weighted); the text surface
+        # maps to the unweighted exact percentile when weights are uniform
+        f"percentile({a[0]}, {p[0]}, {a[1]})" if len(a) > 1
+        else f"percentile({a[0]}, {p[0]})"
+    ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",

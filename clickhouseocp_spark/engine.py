@@ -250,6 +250,28 @@ class ChSparkEngine:
         m = _re.match(r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?$", text)
         if m:
             return self._table(m.group(1).lower())
+        m = _re.match(
+            r"(?is)^CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)"
+            r"(?:\s+TO\s+\w+)?$",
+            text,
+        )
+        if m:
+            pol, t, cond = m.group(1).lower(), m.group(2).lower(), m.group(3)
+            base = self._table(t)
+            if not hasattr(self, "_row_policies"):
+                self._row_policies: dict[str, tuple[str, DataFrame]] = {}
+            self._row_policies[pol] = (t, base)
+            return self._replace_view(
+                t, base.filter(F.expr(transpile_expr(cond)))
+            )
+        m = _re.match(r"(?is)^DROP\s+ROW\s+POLICY\s+(\w+)(?:\s+ON\s+\w+)?$", text)
+        if m:
+            pol = m.group(1).lower()
+            policies = getattr(self, "_row_policies", {})
+            if pol not in policies:
+                raise ChSqlError(f"unknown row policy {pol!r}")
+            t, base = policies.pop(pol)
+            return self._replace_view(t, base)
         m = _re.match(r"(?is)^RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)$", text)
         if m:
             old, new = m.group(1).lower(), m.group(2).lower()

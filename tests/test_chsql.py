@@ -406,3 +406,10 @@ def test_named_window_multiple_defs():
 def test_group_by_all_passthrough():
     out = transpile("SELECT g, count() AS n FROM t GROUP BY ALL")
     assert "GROUP BY ALL" in out
+
+
+def test_quantile_parametric_variants():
+    out = transpile("SELECT quantileTiming(0.95)(ms) FROM t")
+    assert "approx_percentile(ms, 0.95)" in out
+    out = transpile("SELECT quantileExactWeighted(0.5)(x, w) FROM t")
+    assert "percentile(x, 0.5, w)" in out

@@ -283,3 +283,18 @@ def test_create_view_and_materialized_view(spark, sf_dir):
     eng.execute("DROP VIEW big_orders")
     eng.execute("DROP TABLE prio_counts")
     assert "big_orders" not in eng.tables and "prio_counts" not in eng.tables
+
+
+def test_row_policy(spark, sf_dir):
+    """CREATE ROW POLICY ... ON t USING cond: the session's single-principal
+    analog of CH row policies (SURVEY §2.2) — the table view gets the filter;
+    DROP ROW POLICY restores the unfiltered lineage."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n0 = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+    eng.execute("CREATE ROW POLICY reg0 ON nation USING n_regionkey == 0 TO default")
+    n1 = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+    assert 0 < n1 < n0
+    eng.execute("DROP ROW POLICY reg0 ON nation")
+    assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n0
