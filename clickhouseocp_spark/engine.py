@@ -55,6 +55,11 @@ class ChSparkEngine:
             return self.execute(query)
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
             return self.system_tables()
+        if head == "SHOW" and query.strip().upper().rstrip(";").startswith(
+            "SHOW CREATE TABLE"
+        ):
+            t = query.strip().rstrip(";").split()[-1].lower()
+            return self.show_create_table(t)
         if head in ("DESCRIBE", "DESC"):
             t = query.strip().rstrip(";").split()[-1].lower()
             self._table(t)  # raise on unknown, consistent error surface
@@ -395,6 +400,48 @@ class ChSparkEngine:
             )
         ]
         return self.spark.createDataFrame(confs, "name string, value string")
+
+    #: Spark simple type names → the CH names SHOW CREATE TABLE renders
+    _CH_TYPE_NAMES = {
+        "tinyint": "Int8", "smallint": "Int16", "int": "Int32",
+        "bigint": "Int64", "float": "Float32", "double": "Float64",
+        "string": "String", "date": "Date", "timestamp": "DateTime64(6)",
+        "timestamp_ntz": "DateTime64(6)", "boolean": "Bool", "binary": "String",
+    }
+
+    def show_create_table(self, name: str) -> DataFrame:
+        """``SHOW CREATE TABLE t``: synthesize CH-style DDL from the live
+        schema + the table's physical layout (partition dirs of a CTAS
+        MergeTree materialization when present)."""
+        import os
+
+        df = self._table(name)
+
+        def ch_type(t: str) -> str:
+            if t.startswith("decimal"):
+                return "Decimal" + t[len("decimal"):]
+            if t.startswith("array<") and t.endswith(">"):
+                return f"Array({ch_type(t[6:-1])})"
+            return self._CH_TYPE_NAMES.get(t, t)
+
+        cols = ",\n    ".join(f"`{c}` {ch_type(t)}" for c, t in df.dtypes)
+        partition = ""
+        base = getattr(self, "_table_dir", None)
+        if base is not None:
+            root = os.path.join(base, name)
+            if os.path.isdir(root):
+                keys = {
+                    d.split("=")[0]
+                    for d in os.listdir(root)
+                    if "=" in d and os.path.isdir(os.path.join(root, d))
+                }
+                if keys:
+                    partition = f"\nPARTITION BY ({', '.join(sorted(keys))})"
+        ddl = (
+            f"CREATE TABLE {name}\n(\n    {cols}\n)\n"
+            f"ENGINE = MergeTree{partition}\nORDER BY tuple()"
+        )
+        return self.spark.createDataFrame([(ddl,)], "statement string")
 
     def system_parts(self) -> DataFrame:
         """``system.parts`` analog over CTAS-materialized MergeTree-layout

@@ -199,19 +199,24 @@ def ivf_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     exclude_self: bool = True,
+    refine_iters: int = 1,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer: assign
     every corpus vector to its nearest centroid cell, probe only the query's
     ``n_probe`` closest cells, exact cosine re-rank inside them.
 
-    Centroids are a deterministic hash-sample of the corpus (smallest
-    xxhash64(id) rows — no RNG state, stable across runs/executors); swap in
-    offline KMeans centroids for production recall.  Scale shape: one
-    streaming numpy pass assigns cells (no shuffle of the corpus), the probe
-    list is broadcast, and the cell equi-join prunes the candidate set to
-    ~n_probe/n_centroids of the corpus.  At 100 TB, write the corpus
-    partitioned by ``cell`` once and the probe join becomes partition
-    pruning.  Returns (query_id, neighbor_id, score, rank).
+    Centroids start as a deterministic hash-sample of the corpus (smallest
+    xxhash64(id) rows — no RNG state, stable across runs/executors) and are
+    refined with ``refine_iters`` Lloyd/KMeans rounds: assign cells, recompute
+    each cell's mean (decimal-routed per-dimension avg → order-independent,
+    so centroids are bitwise-reproducible), renormalize.  Each round is one
+    corpus pass + a (cell, dim)-keyed agg that map-side-combines down to
+    n_centroids x dim rows.  Scale shape: one streaming numpy pass assigns
+    cells (no shuffle of the corpus), the probe list is broadcast, and the
+    cell equi-join prunes the candidate set to ~n_probe/n_centroids of the
+    corpus.  At 100 TB, write the corpus partitioned by ``cell`` once and the
+    probe join becomes partition pruning.  Returns (query_id, neighbor_id,
+    score, rank).
     """
     import numpy as np
     import pandas as pd
@@ -225,21 +230,47 @@ def ivf_topk(
     cmat = np.array([r.v for r in cent_rows], dtype=np.float64)
     cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
     sc = corpus.sparkSession
-    bc = sc.sparkContext.broadcast(cmat)
 
     c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
-
-    def assign(batches):
-        cm = bc.value
-        for pdf in batches:
-            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-            vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-            pdf = pdf.assign(__cell=np.argmax(vn @ cm.T, axis=1).astype("int32"))
-            yield pdf
-
     vec_t = corpus.schema[corpus_vec].dataType.simpleString()
+
+    def make_assign(bc_local):
+        def assign(batches):
+            cm = bc_local.value
+            for pdf in batches:
+                vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                yield pdf.assign(__cell=np.argmax(vn @ cm.T, axis=1).astype("int32"))
+
+        return assign
+
+    bc = sc.sparkContext.broadcast(cmat)
+    for _ in range(refine_iters):
+        assigned_i = c.mapInPandas(
+            make_assign(bc), schema=f"neighbor_id long, __cv {vec_t}, __cell int"
+        )
+        means = (
+            assigned_i.select("__cell", F.posexplode("__cv").alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(
+                F.avg(F.col("__val").cast("decimal(38,12)")).cast("double").alias("m")
+            )
+            .collect()  # bounded: n_centroids x dim rows
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["m"]
+        new = cmat.copy()
+        for cell, d in by_cell.items():  # empty cells keep their seed centroid
+            vec = np.array([d[p] for p in sorted(d)], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cmat = new
+        bc = sc.sparkContext.broadcast(cmat)
+
     assigned = c.mapInPandas(
-        assign, schema=f"neighbor_id long, __cv {vec_t}, __cell int"
+        make_assign(bc), schema=f"neighbor_id long, __cv {vec_t}, __cell int"
     )
 
     qrows = queries.select(F.col(query_id).alias("id"), F.col(query_vec).alias("v")).collect()

@@ -298,3 +298,21 @@ def test_row_policy(spark, sf_dir):
     assert 0 < n1 < n0
     eng.execute("DROP ROW POLICY reg0 ON nation")
     assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n0
+
+
+def test_show_create_table(spark, sf_dir):
+    """SHOW CREATE TABLE renders CH-style DDL from the live schema, with the
+    partition key recovered from a CTAS MergeTree layout."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    ddl = eng.sql("SHOW CREATE TABLE orders").collect()[0].statement
+    assert ddl.startswith("CREATE TABLE orders")
+    assert "`o_orderkey` Int64" in ddl and "ENGINE = MergeTree" in ddl
+    eng.execute(
+        "CREATE TABLE sc_demo ENGINE = MergeTree PARTITION BY l_returnflag "
+        "ORDER BY (l_shipdate) AS SELECT l_returnflag, l_quantity FROM lineitem"
+    )
+    ddl = eng.sql("SHOW CREATE TABLE sc_demo").collect()[0].statement
+    assert "PARTITION BY (l_returnflag)" in ddl
+    eng.execute("DROP TABLE sc_demo")
