@@ -647,6 +647,7 @@ FUNC_RULES: dict[str, object] = {
     ),
     "arraySum": lambda args: f"aggregate({args[-1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + " + ("x" if len(args) == 1 else f"({args[0]})(x)") + ")",
     "arrayStringConcat": lambda args: f"array_join({args[0]}, " + (args[1] if len(args) > 1 else "''") + ")",
+    "arrayReduce": lambda args: _array_reduce(args),
     "range": lambda args: (
         f"sequence(0, ({args[0]}) - 1)" if len(args) == 1
         else f"sequence({args[0]}, ({args[1]}) - 1" + (f", {args[2]}" if len(args) > 2 else "") + ")"
@@ -756,6 +757,27 @@ CH_DICTS = {
     "nation_dict": ("nation", "n_nationkey"),
     "region_dict": ("region", "r_regionkey"),
 }
+
+
+#: arrayReduce('agg', arr) → the matching array fold
+_ARRAY_REDUCE = {
+    "sum": lambda a: f"aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "min": lambda a: f"array_min({a})",
+    "max": lambda a: f"array_max({a})",
+    "count": lambda a: f"size({a})",
+    "avg": lambda a: f"(aggregate({a}, CAST(0 AS DOUBLE), (acc, x) -> acc + x) / size({a}))",
+    "uniqexact": lambda a: f"size(array_distinct({a}))",
+    "any": lambda a: f"element_at({a}, 1)",
+}
+
+
+def _array_reduce(args: list[str]) -> str:
+    name = args[0].strip().strip("'").lower()
+    if name not in _ARRAY_REDUCE:
+        raise ChSqlError(
+            f"arrayReduce subset supports {sorted(_ARRAY_REDUCE)}, got {name!r}"
+        )
+    return _ARRAY_REDUCE[name](args[1])
 
 
 #: CH formatDateTime %-codes → Spark DateTimeFormatter fields (unambiguous

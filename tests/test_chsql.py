@@ -413,3 +413,10 @@ def test_quantile_parametric_variants():
     assert "approx_percentile(ms, 0.95)" in out
     out = transpile("SELECT quantileExactWeighted(0.5)(x, w) FROM t")
     assert "percentile(x, 0.5, w)" in out
+
+
+def test_array_reduce_rule():
+    out = transpile("SELECT arrayReduce('max', a), arrayReduce('uniqExact', a) FROM t")
+    assert "array_max(a)" in out and "size(array_distinct(a))" in out
+    with pytest.raises(ChSqlError, match="arrayReduce subset"):
+        transpile("SELECT arrayReduce('corr', a) FROM t")
