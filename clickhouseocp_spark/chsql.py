@@ -626,6 +626,8 @@ FUNC_RULES: dict[str, object] = {
     "skewPop": _rename("skewness"), "kurtPop": _rename("kurtosis"),
     # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
     "has": _rename("array_contains"),
+    "hasAny": _rename("arrays_overlap"),
+    "hasAll": lambda args: f"(size(array_except({args[1]}, {args[0]})) = 0)",
     "indexOf": _rename("array_position"),
     "arrayDistinct": _rename("array_distinct"),
     "arrayUniq": lambda args: f"size(array_distinct({args[0]}))",
@@ -908,6 +910,7 @@ PARAMETRIC_RULES: dict[str, object] = {
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
     "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
     "histogram": None,  # operators/sketches.py covers re-mergeable histograms
     "topK": None,       # operators/groupwise.top_k / sketches.topk_state cover
 }

@@ -916,3 +916,52 @@ def chsql_cte_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ranked GROUP BY l_returnflag
         """,
     )
+
+
+# --- 30. arrayReduce / set-membership vocabulary ----------------------------
+
+
+@register(
+    "chsql_array_reduce",
+    oracle="""
+WITH t AS (
+  SELECT o_orderpriority,
+         list(CAST(o_totalprice AS DOUBLE) ORDER BY o_totalprice) AS prices,
+         list(o_custkey % 10 ORDER BY o_custkey % 10) AS buckets
+  FROM orders WHERE o_custkey % 500 = 0 GROUP BY o_orderpriority
+)
+SELECT o_orderpriority,
+       ROUND(list_aggregate(prices, 'sum'), 6) AS total,
+       list_aggregate(prices, 'max') AS hi,
+       CAST(len(prices) AS BIGINT) AS n,
+       CAST(len(list_distinct(buckets)) AS BIGINT) AS uniq_buckets,
+       list_has_any(buckets, [0, 1]) AS has_low,
+       list_has_all(buckets, [0]) AS has_zero
+FROM t
+""",
+    tags=("chsql", "arrays"),
+)
+def chsql_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayReduce + hasAny/hasAll in CH TEXT: aggregate-over-array folds map
+    to Catalyst array functions (exact folds, so value-checkable); membership
+    vocabulary maps to arrays_overlap / array_except emptiness."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+          SELECT o_orderpriority,
+                 groupArraySorted(1000000)(CAST(o_totalprice AS Float64)) AS prices,
+                 groupArraySorted(1000000)(o_custkey % 10) AS buckets
+          FROM orders WHERE o_custkey % 500 = 0 GROUP BY o_orderpriority
+        )
+        SELECT o_orderpriority,
+               round(arrayReduce('sum', prices), 6) AS total,
+               arrayReduce('max', prices) AS hi,
+               arrayReduce('count', prices) AS n,
+               arrayReduce('uniqExact', buckets) AS uniq_buckets,
+               hasAny(buckets, [0, 1]) AS has_low,
+               hasAll(buckets, [0]) AS has_zero
+        FROM t
+        """,
+    )
