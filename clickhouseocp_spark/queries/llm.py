@@ -887,3 +887,133 @@ def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (count desc, token asc) is a total order -> limit is deterministic and
     # plans as TakeOrderedAndProject (per-partition heaps, no global sort)
     return counts.orderBy(F.col("n").desc(), F.col("w")).limit(100)
+
+
+@register(
+    "line_dedup_c4",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(words[1 : greatest(len(words) - 5, 1)], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+), ch AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[i*10+1 : i*10+10], ' ') AS chunk
+  FROM w, unnest(range(CAST(ceil(len(words)/10.0) AS BIGINT))) AS t(i)
+), freq AS (
+  SELECT chunk, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chunk
+), marked AS (
+  SELECT ch.doc_id, ch.pos, ch.chunk, freq.ndocs FROM ch JOIN freq USING (chunk)
+)
+SELECT doc_id,
+       COUNT(*) AS n_chunks,
+       COUNT(*) FILTER (WHERE ndocs >= 2) AS n_dropped,
+       COALESCE(string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE ndocs < 2), '')
+         AS kept_text
+FROM marked GROUP BY doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style cross-document line dedup: split every document
+    into 10-word pseudo-lines (the fixtures are flat word streams — real
+    corpora split on newline), drop every line whose exact text occurs in
+    >= 2 distinct documents, reassemble survivors in order.  Planted overlap
+    (each doc unioned with a tail-truncated copy at id+1M) guarantees the
+    drop path fires and is value-checked.
+
+    Scale shape: explode ships (doc_id, pos, line-hash) rows; the global
+    frequency agg map-side combines to distinct lines; the mark join is
+    line-keyed (no skew beyond genuinely viral lines — salt or count-min
+    those); reassembly is one doc-keyed agg."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = whitespace_tokens(F.col("text"))
+    truncated = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    corpus = d.unionByName(truncated)
+    cw = whitespace_tokens(F.col("text"))
+    nchunks = F.ceil(F.size(cw) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(cw, i * 10 + 1, 10), " "),
+    )
+    ex = corpus.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
+    freq = ex.groupBy("chunk").agg(F.countDistinct("doc_id").alias("ndocs"))
+    marked = ex.join(freq, "chunk")
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count_if(F.col("ndocs") >= 2).alias("n_dropped"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("ndocs") < 2,
+                                F.struct("pos", "chunk"),
+                            )
+                        )
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("kept_text"),
+    )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w
+), tot AS (SELECT SUM(cnt) AS total FROM vocab),
+scored AS (
+  SELECT toks.doc_id,
+         CAST(ROUND(ln(vocab.cnt / (SELECT total FROM tot)), 6)
+              AS DECIMAL(38,12)) AS logp
+  FROM toks JOIN vocab USING (w)
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: corpus-unigram average log-probability
+    per document (the KenLM-style filter signal, computed from the corpus
+    itself).  Two map-side-combinable aggs + one token-keyed join; per-token
+    log-probs are rounded then decimal-summed so the per-doc mean is
+    order-independent (libm round(6) parity discipline, as for the other
+    float scalar families)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select("doc_id", F.explode(whitespace_tokens(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "w")
+        .join(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("cnt") / F.col("total")), 6)
+            .cast("decimal(38,12)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )
