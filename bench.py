@@ -66,6 +66,9 @@ HEADLINE = [
     "corpus_mix_weighted",
     "sessionize_events",
     "chsql_window",
+    # heavyweight corpus passes (explode + global agg + reassembly)
+    "line_dedup_c4",
+    "substring_dup_spans",
 ]
 
 

@@ -1017,3 +1017,117 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
     )
+
+
+@register(
+    "substring_dup_spans",
+    oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000,
+         array_to_string(words[3 : len(words)], ' ')
+  FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+), w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM corpus
+), wins AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(words[i+1 : i+20], ' ')) AS h
+  FROM w, unnest(range(CAST(greatest(len(words) - 19, 1) AS BIGINT))) AS t(i)
+), freq AS (
+  SELECT h, COUNT(DISTINCT doc_id) AS ndocs FROM wins GROUP BY h
+)
+SELECT doc_id,
+       COUNT(*) AS n_windows,
+       COUNT(*) FILTER (WHERE ndocs >= 2) AS n_dup_windows,
+       ROUND(COUNT(*) FILTER (WHERE ndocs >= 2) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM wins JOIN freq USING (h)
+GROUP BY doc_id
+""",
+    tags=("llm", "dedup"),
+)
+def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication flagging (the suffix-array/exact-substring
+    dedup signal, RefinedWeb-style, approximated with SLIDING 20-word
+    windows): a window duplicated across >= 2 distinct documents marks its
+    span; per-doc duplicated-window fraction is the removal signal.  Planted
+    overlap: each doc unioned with a 2-word-shifted copy — shifted windows
+    still collide because sliding windows cover every offset (unlike the
+    non-overlapping line chunks of line_dedup_c4).
+
+    Scale: only (doc_id, pos, 16-byte window hash) rows are exploded — the
+    window TEXT never leaves the scan; freq agg map-side combines to
+    distinct hashes."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = whitespace_tokens(F.col("text"))
+    shifted = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.array_join(F.slice(words, 3, F.greatest(F.size(words), F.lit(3))), " ").alias(
+            "text"
+        ),
+    )
+    corpus = d.unionByName(shifted)
+    cw = whitespace_tokens(F.col("text"))
+    nwin = F.greatest(F.size(cw) - 19, F.lit(1))
+    wins = F.transform(
+        F.sequence(F.lit(0), nwin - 1),
+        lambda i: F.md5(F.array_join(F.slice(cw, i + 1, 20), " ")),
+    )
+    ex = corpus.select("doc_id", F.posexplode(wins).alias("pos", "h"))
+    freq = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    return (
+        ex.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count_if(F.col("ndocs") >= 2).alias("n_dup_windows"),
+            F.round(
+                F.count_if(F.col("ndocs") >= 2) / F.count(F.lit(1)), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+WITH e AS (
+  SELECT label, i AS pos,
+         CAST(ROUND(CAST(embedding[i+1] AS DOUBLE), 6) AS DECIMAL(38,12)) AS val
+  FROM embeddings, unnest(range(CAST(len(embedding) AS BIGINT))) AS t(i)
+), m AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS mean_val
+  FROM e GROUP BY label, pos
+)
+SELECT label, COUNT(*) AS dim,
+       list(mean_val ORDER BY pos) AS centroid
+FROM m GROUP BY label
+""",
+    tags=("llm", "similarity"),
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding centroids (class prototypes — the
+    building block for nearest-centroid classification and IVF seeding):
+    posexplode to (label, dim, value), decimal-routed mean per cell
+    (order-independent), ordered re-assembly into the centroid array.  One
+    (label, dim)-keyed agg, map-side combined — output cardinality
+    |labels| x dim regardless of corpus size."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "label", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(38,12)").alias("val"),
+    )
+    m = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 6).alias("mean_val")
+    )
+    return m.groupBy("label").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid"),
+    )
