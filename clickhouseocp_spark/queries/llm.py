@@ -1131,3 +1131,79 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: s["mean_val"],
         ).alias("centroid"),
     )
+
+
+@register(
+    "nearest_centroid_assign",
+    oracle="""
+WITH e AS (
+  SELECT label, i AS pos,
+         CAST(ROUND(CAST(embedding[i+1] AS DOUBLE), 6) AS DECIMAL(38,12)) AS val
+  FROM embeddings, unnest(range(CAST(len(embedding) AS BIGINT))) AS t(i)
+), m AS (
+  SELECT label, pos,
+         ROUND(CAST(SUM(val) AS DOUBLE) / COUNT(*), 6) AS mean_val
+  FROM e GROUP BY label, pos
+), cent AS (
+  SELECT label AS c_label, list(mean_val ORDER BY pos) AS centroid
+  FROM m GROUP BY label
+), scored AS (
+  SELECT vec_id, embeddings.label AS true_label, c_label,
+         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), centroid), 6) AS score
+  FROM embeddings CROSS JOIN cent
+), best AS (
+  SELECT vec_id, true_label, c_label,
+         row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, c_label) AS rn
+  FROM scored
+)
+SELECT true_label, c_label AS assigned_label, COUNT(*) AS n
+FROM best WHERE rn = 1 GROUP BY 1, 2
+""",
+    tags=("llm", "similarity"),
+)
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification: every embedding scored against the
+    per-label mean-pool prototypes (the embedding_centroids composition),
+    argmax cosine with a label tiebreak, output = the label confusion
+    matrix.  The centroid side is |labels| rows -> broadcast; the corpus
+    never shuffles; scores round(6) so the cross-engine argmax is stable."""
+    from clickhouseocp_spark.functions.vector import cosine_similarity
+
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode("embedding").alias("pos", "v")).select(
+        "label",
+        "pos",
+        F.round(F.col("v").cast("double"), 6).cast("decimal(38,12)").alias("val"),
+    )
+    m = ex.groupBy("label", "pos").agg(
+        F.round(F.sum("val").cast("double") / F.count(F.lit(1)), 6).alias("mean_val")
+    )
+    cent = m.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))),
+            lambda s: s["mean_val"],
+        ).alias("centroid")
+    )
+    scored = (
+        e.select("vec_id", F.col("label").alias("true_label"), "embedding")
+        .join(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "true_label",
+            "c_label",
+            F.round(
+                cosine_similarity(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    F.col("centroid"),
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("score").desc(), F.col("c_label"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("true_label", F.col("c_label").alias("assigned_label"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
