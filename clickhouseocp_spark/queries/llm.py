@@ -930,7 +930,7 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency agg map-side combines to distinct lines; the mark join is
     line-keyed (no skew beyond genuinely viral lines — salt or count-min
     those); reassembly is one doc-keyed agg."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     words = whitespace_tokens(F.col("text"))
     truncated = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
@@ -1057,8 +1057,11 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: only (doc_id, pos, 16-byte window hash) rows are exploded — the
     window TEXT never leaves the scan; freq agg map-side combines to
-    distinct hashes."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    distinct hashes.  The window build is per-row heavy compute, so the
+    corpus is fan_out'd across every core (no-op at production row-group
+    counts; an integer rolling-hash variant measured 3x SLOWER here because
+    20-step HOF folds run interpreted while md5-over-join is codegen'd)."""
+    d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     words = whitespace_tokens(F.col("text"))
     shifted = d.select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"),
