@@ -884,3 +884,31 @@ def interval_length_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("len").cast("bigint").alias("covered_seconds"),
         F.count(F.lit(1)).cast("bigint").alias("n_islands"),
     )
+
+
+@register(
+    "system_parts_inventory",
+    oracle="""
+SELECT 'customer' AS tbl, COUNT(*) AS n_rows FROM customer UNION ALL
+SELECT 'orders', COUNT(*) FROM orders UNION ALL
+SELECT 'lineitem', COUNT(*) FROM lineitem UNION ALL
+SELECT 'events', COUNT(*) FROM events UNION ALL
+SELECT 'documents', COUNT(*) FROM documents
+""",
+    tags=("system",),
+)
+def system_parts_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.parts integrity: per-table row counts summed from parquet
+    FOOTERS (no data scan) must equal the actual table counts — the oracle
+    recounts the data, so the parts metadata surface is value-checked."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    parts = eng.system_parts()
+    return (
+        parts.filter(
+            F.col("table").isin("customer", "orders", "lineitem", "events", "documents")
+        )
+        .groupBy(F.col("table").alias("tbl"))
+        .agg(F.sum("rows").cast("bigint").alias("n_rows"))
+    )

@@ -151,3 +151,36 @@ def stream_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("event_type").agg(
         F.max("n").alias("n"), F.max("total_cents").alias("total_cents")
     )
+
+
+@register(
+    "stream_windowed_topk",
+    oracle="""
+SELECT win_start, event_type, n FROM (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+         event_type, COUNT(*) AS n,
+         row_number() OVER (PARTITION BY CAST(date_trunc('day', ts) AS TIMESTAMP)
+                            ORDER BY COUNT(*) DESC, event_type) AS rn
+  FROM events GROUP BY 1, 2
+) WHERE rn <= 3
+""",
+    tags=("streaming", "top_k"),
+)
+def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window streaming top-k: the tumbling-window aggregate runs as a
+    real streaming query (watermark + availableNow); the top-3 cut ranks the
+    emitted window aggregates — the standard trending-items shape where the
+    stream maintains counts and the sink query selects leaders."""
+    from pyspark.sql import Window
+
+    agg = run_available_now(
+        tumbling_window_counts(events_stream(spark, sf_dir), "1 day", "1 hour")
+    )
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("win_start", "event_type", "n")
+    )
