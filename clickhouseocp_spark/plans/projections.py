@@ -208,3 +208,34 @@ def _merge_agg(kind: str, alias: str) -> F.Column:
             F.hll_union_agg(alias + _STATE["uniq"])
         ).alias(alias)
     raise ValueError(f"unknown measure kind {kind!r}")
+
+
+def merge_summaries(proj: Projection, *summaries: DataFrame) -> DataFrame:
+    """Incremental maintenance (AggregatingMergeTree's merge-on-compact): new
+    partitions contribute their OWN summaries; union + state re-merge at the
+    projection's full key grain yields the updated summary with no fact
+    rescan.  States merge exactly (decimal sums, count sums, min/max, HLL
+    union), so the merged summary answers queries identically to a full
+    rebuild — gated by test_projection_incremental_maintenance."""
+    base = summaries[0]
+    for s in summaries[1:]:
+        base = base.unionByName(s)
+    aggs: list[F.Column] = []
+    seen: set[str] = set()
+    for m, (kind, _col) in proj.measures.items():
+        for k in ("sum", "count") if kind == "avg" else (kind,):
+            state = m + _STATE[k]
+            if state in seen:
+                continue
+            seen.add(state)
+            if k in ("sum", "count"):
+                aggs.append(F.sum(state).alias(state))
+            elif k == "min":
+                aggs.append(F.min(state).alias(state))
+            elif k == "max":
+                aggs.append(F.max(state).alias(state))
+            elif k == "uniq":
+                aggs.append(F.hll_union_agg(state).alias(state))
+            else:
+                raise ValueError(f"unknown measure kind {k!r}")
+    return base.groupBy(*proj.keys).agg(*aggs)

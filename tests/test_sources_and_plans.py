@@ -304,3 +304,42 @@ def test_protobuf_gate_and_descriptor_bytes(spark):
     df = spark.range(3).selectExpr("id", "concat('v', cast(id as string)) s")
     back = protobuf_round_trip(df, "Event", {"id": "int64", "s": "string"})
     assert [(r.id, r.s) for r in back.collect()] == [(0, "v0"), (1, "v1"), (2, "v2")]
+
+
+def test_projection_incremental_maintenance(spark, sf_dir):
+    """plans/projections.merge_summaries: (old partition summary) merged with
+    (delta partition summary) answers every aggregate identically to a full
+    rebuild — the AggregatingMergeTree incremental-rollup contract, with no
+    fact rescan on update."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.plans.projections import (
+        ProjectionCatalog,
+        build_projection,
+        merge_summaries,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cutoff = "1997-01-01"
+    old = li.filter(F.col("l_shipdate") < cutoff)
+    delta = li.filter(F.col("l_shipdate") >= cutoff)
+    assert old.count() > 0 and delta.count() > 0
+    keys = ("l_returnflag", "l_linestatus")
+    measures = {
+        "qty_sum": ("sum", "l_quantity"),
+        "n": ("count", "l_quantity"),
+        "price_avg": ("avg", "l_extendedprice"),
+        "hi": ("max", "l_extendedprice"),
+    }
+    proj_full, summary_full = build_projection(li, "p_full", keys, measures)
+    proj_old, summary_old = build_projection(old, "p_old", keys, measures)
+    _, summary_delta = build_projection(delta, "p_delta", keys, measures)
+    merged = merge_summaries(proj_old, summary_old, summary_delta)
+
+    def answers(proj, summary):
+        cat = ProjectionCatalog(spark)
+        cat.register(proj, summary)
+        rows = cat.aggregate(None, ("l_returnflag",), measures).collect()
+        return {r.l_returnflag: (r.qty_sum, r.n, r.price_avg, r.hi) for r in rows}
+
+    assert answers(proj_old, merged) == answers(proj_full, summary_full)
