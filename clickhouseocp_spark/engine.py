@@ -186,6 +186,32 @@ class ChSparkEngine:
             df = self.sql(m.group(5))
             return self._create_table(t, df, partition, order)
         m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+JSONEachRow\s+(.+)$",
+            text,
+        )
+        if m:
+            # the reference's Kafka/HTTP ingestion format: one JSON object
+            # per line, fields matched by name, absent columns NULL-filled
+            t = m.group(1).lower()
+            target = self._table(t)
+            dt = dict(target.dtypes)
+            cols = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else target.columns
+            )
+            lines = [ln.strip() for ln in m.group(3).splitlines() if ln.strip()]
+            js = self.spark.createDataFrame([(ln,) for ln in lines], "js string")
+            schema = ", ".join(f"{c} {dt[c]}" for c in cols)
+            incoming = js.select(F.from_json("js", schema).alias("m")).select("m.*")
+            for c in target.columns:
+                if c not in cols:
+                    incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
+            return self._replace_view(
+                t, target.unionByName(incoming.select(*target.columns))
+            )
+        m = _re.match(
             r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?(SELECT.+|VALUES.+)$",
             text,
         )
@@ -234,6 +260,35 @@ class ChSparkEngine:
                 self.spark.catalog.dropTempView(t)
                 del self.tables[t]
             return self.spark.range(0).select(F.lit(t).alias("dropped")).limit(0)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s+([\w()0-9, ]+?)(?:\s+DEFAULT\s+(.+))?$",
+            text,
+        )
+        if m:
+            t, col, ch_type = m.group(1).lower(), m.group(2), m.group(3).strip()
+            from clickhouseocp_spark.chsql import _map_type
+
+            spark_type = _map_type(ch_type)
+            default = (
+                F.expr(transpile_expr(m.group(4))) if m.group(4) else F.lit(None)
+            )
+            out = self._table(t).withColumn(col, default.cast(spark_type))
+            return self._replace_view(t, out)
+        m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
+        if m:
+            t, col = m.group(1).lower(), m.group(2)
+            return self._replace_view(t, self._table(t).drop(col))
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()0-9, ]+)$",
+            text,
+        )
+        if m:
+            t, col, ch_type = m.group(1).lower(), m.group(2), m.group(3).strip()
+            from clickhouseocp_spark.chsql import _map_type
+
+            out = self._table(t).withColumn(col, F.col(col).cast(_map_type(ch_type)))
+            return self._replace_view(t, out)
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", text)
         if m:
             t, cond = m.group(1).lower(), transpile_expr(m.group(2))

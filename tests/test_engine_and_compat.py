@@ -316,3 +316,35 @@ def test_show_create_table(spark, sf_dir):
     ddl = eng.sql("SHOW CREATE TABLE sc_demo").collect()[0].statement
     assert "PARTITION BY (l_returnflag)" in ddl
     eng.execute("DROP TABLE sc_demo")
+
+
+def test_alter_add_drop_modify_column(spark, sf_dir):
+    """ALTER TABLE ADD/DROP/MODIFY COLUMN with CH type names and DEFAULT
+    expressions through the dialect rewriter."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.execute("ALTER TABLE region ADD COLUMN pop Int64 DEFAULT 100")
+    row = eng.sql("SELECT pop FROM region LIMIT 1").collect()[0]
+    assert row.pop == 100
+    eng.execute("ALTER TABLE region MODIFY COLUMN pop Float64")
+    assert dict(eng.tables["region"].dtypes)["pop"] == "double"
+    eng.execute("ALTER TABLE region DROP COLUMN pop")
+    assert "pop" not in eng.tables["region"].columns
+
+
+def test_insert_format_jsoneachrow(spark, sf_dir):
+    """INSERT INTO t FORMAT JSONEachRow: line-per-object ingestion, fields by
+    name, absent columns NULL-filled — the reference's Kafka/HTTP format."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n0 = eng.sql("SELECT count(*) AS n FROM region").collect()[0].n
+    eng.execute(
+        'INSERT INTO region FORMAT JSONEachRow {"r_regionkey": 77, "r_name": "JSONIA"}\n'
+        '{"r_regionkey": 78, "r_name": "LINIA"}'
+    )
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n0 + 2
+    eng.execute('INSERT INTO region (r_regionkey) FORMAT JSONEachRow {"r_regionkey": 79}')
+    row = eng.sql("SELECT r_name FROM region WHERE r_regionkey = 79").collect()[0]
+    assert row.r_name is None
