@@ -558,6 +558,15 @@ FUNC_RULES: dict[str, object] = {
     "toStartOfDay": _trunc_to("DAY"),
     "toStartOfHour": _trunc_to("HOUR"),
     "toStartOfMinute": _trunc_to("MINUTE"),
+    "toStartOfFiveMinutes": lambda args: _to_start_of_interval(
+        [args[0], "INTERVAL 5 MINUTE"]
+    ),
+    "toStartOfTenMinutes": lambda args: _to_start_of_interval(
+        [args[0], "INTERVAL 10 MINUTE"]
+    ),
+    "toStartOfFifteenMinutes": lambda args: _to_start_of_interval(
+        [args[0], "INTERVAL 15 MINUTE"]
+    ),
     "toYYYYMM": lambda args: f"CAST(date_format({args[0]}, 'yyyyMM') AS INT)",
     "toYYYYMMDD": lambda args: f"CAST(date_format({args[0]}, 'yyyyMMdd') AS INT)",
     "toUnixTimestamp": _rename("unix_timestamp"),

@@ -184,3 +184,31 @@ def stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("win_start", "event_type", "n")
     )
+
+
+@register(
+    "stream_static_enrich",
+    oracle=f"""
+SELECT n_name, COUNT(*) AS n, {sql_fsum('value', 'sum_value')}
+FROM events JOIN nation ON user_id % 25 = n_nationkey
+GROUP BY n_name
+""",
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment (the Kafka-engine + dictionary JOIN pattern,
+    SURVEY §2.9): the event stream joins a static dimension (broadcast — the
+    stream side never shuffles for the join) and aggregates per enriched key;
+    equals the batch join+agg on a bounded input."""
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.queries._util import fsum
+
+    stream = events_stream(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    enriched = stream.join(
+        F.broadcast(nation), stream.user_id % 25 == nation.n_nationkey
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"), fsum("value", "sum_value")
+    )
+    return run_available_now(agg, output_mode="complete")

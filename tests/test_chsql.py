@@ -420,3 +420,10 @@ def test_array_reduce_rule():
     assert "array_max(a)" in out and "size(array_distinct(a))" in out
     with pytest.raises(ChSqlError, match="arrayReduce subset"):
         transpile("SELECT arrayReduce('corr', a) FROM t")
+
+
+def test_fixed_minute_buckets():
+    out = transpile("SELECT toStartOfFiveMinutes(ts) FROM t")
+    assert "floor(unix_timestamp(ts) / 300" in out
+    out = transpile("SELECT toStartOfFifteenMinutes(ts) FROM t")
+    assert "/ 900" in out
