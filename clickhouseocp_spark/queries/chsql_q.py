@@ -965,3 +965,35 @@ def chsql_array_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t
         """,
     )
+
+
+# --- 31. JSON vocabulary in CH text -----------------------------------------
+
+
+@register(
+    "chsql_json",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       json_extract_string(props, '$.k') IS NOT NULL AS has_k,
+       json_extract_string(props, '$.missing') AS absent,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events WHERE event_id % 19 = 0
+""",
+    tags=("chsql", "json"),
+)
+def chsql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONExtract*/JSONHas vocabulary in CH TEXT → get_json_object paths
+    (SURVEY §2.8 JSON family through the text surface)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT event_id,
+               JSONExtractInt(props, 'k') AS k,
+               JSONHas(props, 'k') AS has_k,
+               JSONExtractString(props, 'missing') AS absent,
+               modulo(JSONExtractInt(props, 'k'), 10) AS k_mod
+        FROM events WHERE event_id % 19 = 0
+        """,
+    )
