@@ -51,7 +51,7 @@ class ChSparkEngine:
         parsing/analysis rejects the text."""
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
-                    "RENAME", "EXCHANGE"):
+                    "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL"):
             return self.execute(query)
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
             return self.system_tables()
@@ -289,6 +289,20 @@ class ChSparkEngine:
 
             out = self._table(t).withColumn(col, F.col(col).cast(_map_type(ch_type)))
             return self._replace_view(t, out)
+        m = _re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", text)
+        if m:
+            # lightweight-delete syntax (CH 22.8+): same deferred rewrite as
+            # ALTER TABLE ... DELETE
+            t, cond = m.group(1).lower(), transpile_expr(m.group(2))
+            return self._replace_view(
+                t, delete_where(self._table(t), F.expr(cond))
+            )
+        m = _re.match(r"(?is)^(?:SYSTEM|KILL)\s+\w+.*$", text)
+        if m:
+            # ops statements (SYSTEM FLUSH LOGS / RELOAD DICTIONARIES / KILL
+            # QUERY ...): session views have no daemon state — accepted no-ops
+            # so CH ops scripts run unmodified
+            return self.spark.range(0).select(F.lit(text.split()[0]).alias("ok")).limit(0)
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", text)
         if m:
             t, cond = m.group(1).lower(), transpile_expr(m.group(2))

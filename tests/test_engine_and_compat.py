@@ -348,3 +348,24 @@ def test_insert_format_jsoneachrow(spark, sf_dir):
     eng.execute('INSERT INTO region (r_regionkey) FORMAT JSONEachRow {"r_regionkey": 79}')
     row = eng.sql("SELECT r_name FROM region WHERE r_regionkey = 79").collect()[0]
     assert row.r_name is None
+
+
+def test_lightweight_delete_and_system_noops(spark, sf_dir):
+    """DELETE FROM t WHERE (CH 22.8+ lightweight-delete syntax) and
+    SYSTEM/KILL ops statements (accepted no-ops — no daemon state here)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    from clickhouseocp_spark.catalog import invalidate_cache, register_tables
+
+    try:
+        eng = ChSparkEngine(sf_dir, spark)
+        n0 = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+        eng.sql("DELETE FROM nation WHERE n_regionkey == 0")
+        n1 = eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n
+        assert 0 < n1 < n0
+        assert eng.sql("SYSTEM FLUSH LOGS").count() == 0
+        assert eng.sql("SYSTEM RELOAD DICTIONARIES").count() == 0
+        assert eng.sql("KILL QUERY WHERE query_id = 'x'").count() == 0
+    finally:
+        invalidate_cache()
+        register_tables(spark, sf_dir)
