@@ -1210,3 +1210,51 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_label", F.col("c_label").alias("assigned_label"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "pack_utilization",
+    oracle="""
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS shard, n_chars,
+         row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+), walk AS (
+  SELECT shard, doc_id, n_chars, rn, n_chars AS acc, 0 AS bin FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.shard, d.doc_id, d.n_chars, d.rn,
+         CASE WHEN w.acc + d.n_chars > 8192 THEN d.n_chars ELSE w.acc + d.n_chars END,
+         CASE WHEN w.acc + d.n_chars > 8192 THEN w.bin + 1 ELSE w.bin END
+  FROM walk w JOIN d ON d.shard = w.shard AND d.rn = w.rn + 1
+), bins AS (
+  SELECT shard, bin, SUM(n_chars) AS fill FROM walk GROUP BY shard, bin
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(fill) AS BIGINT) AS total_chars,
+       ROUND(SUM(fill) * 1.0 / (COUNT(*) * 8192), 6) AS utilization,
+       CAST(MAX(fill) AS BIGINT) AS max_bin_fill
+FROM bins GROUP BY shard
+""",
+    tags=("llm", "packing"),
+)
+def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing efficiency report: per shard, bin count, total payload, mean
+    bin utilization against the budget, and the fullest bin — the number a
+    training pipeline watches to tune budget/shard choices.  Composes the
+    pack_sequences operator; the recursive-CTE oracle replays the identical
+    fold so the utilization figures are value-checked."""
+    from clickhouseocp_spark.operators.packing import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    sharded = docs.withColumn("shard", (F.col("doc_id") % 8).cast("int"))
+    packed = pack_sequences(
+        sharded, weight_col="n_chars", budget=8192,
+        shard_cols=["shard"], order_cols=["doc_id"],
+    )
+    bins = packed.groupBy("shard", "bin").agg(F.sum("n_chars").alias("fill"))
+    return bins.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("fill").alias("total_chars"),
+        F.round(F.sum("fill") / (F.count(F.lit(1)) * 8192), 6).alias("utilization"),
+        F.max("fill").alias("max_bin_fill"),
+    )
