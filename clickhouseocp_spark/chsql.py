@@ -185,7 +185,7 @@ def _split_top(tokens: list[str], sep: str) -> list[list[str]]:
     return out
 
 
-def _select_item_name(item: list[str]) -> str:
+def _select_item_name(item: list[str], ctx: str = "LIMIT BY") -> str:
     """Output column name of a select item: explicit AS alias, or the final
     segment of a bare (possibly dotted) identifier."""
     for j in range(len(item) - 2, -1, -1):
@@ -194,8 +194,18 @@ def _select_item_name(item: list[str]) -> str:
     if all(_is_word(t) or t == "." for t in item):
         return item[-1]
     raise ChSqlError(
-        f"LIMIT BY rewrite needs an alias on select item: {render(item)!r}"
+        f"{ctx} rewrite needs an alias on select item: {render(item)!r}"
     )
+
+
+def _outer_select(select_items: list[list[str]], helper_col: str, ctx: str) -> list[str]:
+    """Outer SELECT list for the window-subquery rewrites: named columns when
+    every select item has a derivable name, else ``* EXCEPT (helper)`` (covers
+    ``SELECT *`` / ``t.*`` select lists)."""
+    if any("*" in it for it in select_items):
+        return ["SELECT", "*", "EXCEPT", "(", helper_col, ")"]
+    out_cols = [_select_item_name(it, ctx) for it in select_items]
+    return ["SELECT"] + sum(([c, ","] for c in out_cols), [])[:-1]
 
 
 def _rewrite_limit_by(tokens: list[str]) -> list[str]:
@@ -228,7 +238,6 @@ def _rewrite_limit_by(tokens: list[str]) -> list[str]:
     o = order[0]
     order_by = tokens[o + 2 : lb]  # skip ORDER BY
     select_items = _split_top(tokens[sel[0] + 1 : frm[0]], ",")
-    out_cols = [_select_item_name(it) for it in select_items]
 
     # splice the window column into the select list (before FROM); the inner
     # query keeps WHERE/GROUP/HAVING but drops ORDER BY (re-applied outside)
@@ -242,8 +251,7 @@ def _rewrite_limit_by(tokens: list[str]) -> list[str]:
         + tokens[frm[0] : o]
     )
     outer = (
-        ["SELECT"]
-        + sum(([c, ","] for c in out_cols), [])[:-1]
+        _outer_select(select_items, "__rn", "LIMIT BY")
         + ["FROM", "("] + inner + [")", "__lb", "WHERE", "__rn", "<=", n]
         + ["ORDER", "BY"] + order_by
         + outer_limit
@@ -265,6 +273,18 @@ def _rewrite_limit_ties(tokens: list[str]) -> list[str]:
         ):
             lt = i
             break
+        if (
+            i + 5 < len(tokens)
+            and tokens[i + 2] == ","
+            and _KW(tokens[i + 4]) == "WITH"
+            and _KW(tokens[i + 5]) == "TIES"
+        ):
+            raise ChSqlError(
+                "LIMIT <offset>, <n> WITH TIES is not supported: the offset "
+                "form has no well-defined tie boundary after the skip; "
+                "rewrite as a rank() window subquery with an explicit "
+                "rank range instead"
+            )
     if lt is None:
         return tokens
     n = tokens[lt + 1]
@@ -278,7 +298,6 @@ def _rewrite_limit_ties(tokens: list[str]) -> list[str]:
     o = order[0]
     order_by = tokens[o + 2 : lt]
     select_items = _split_top(tokens[sel[0] + 1 : frm[0]], ",")
-    out_cols = [_select_item_name(it) for it in select_items]
     inner = (
         tokens[sel[0] : frm[0]]
         + [",", "rank", "(", ")", "OVER", "(", "ORDER", "BY"]
@@ -287,8 +306,7 @@ def _rewrite_limit_ties(tokens: list[str]) -> list[str]:
         + tokens[frm[0] : o]
     )
     outer = (
-        ["SELECT"]
-        + sum(([c, ","] for c in out_cols), [])[:-1]
+        _outer_select(select_items, "__rk", "LIMIT WITH TIES")
         + ["FROM", "("] + inner + [")", "__lt", "WHERE", "__rk", "<=", n]
         + ["ORDER", "BY"] + order_by
     )
@@ -759,6 +777,20 @@ FUNC_RULES: dict[str, object] = {
     ),
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
+
+#: aggregate base names the generic -If combinator may attach a FILTER clause
+#: to (the aggregate subset of FUNC_RULES; scalars like absIf/roundIf must NOT
+#: produce "abs(x) FILTER (...)" — that is invalid SQL)
+_AGG_IF_BASES = {
+    name
+    for name in (
+        "any", "anyLast", "argMax", "argMin", "corr", "count", "covarPop",
+        "covarSamp", "groupArray", "groupBitmap", "groupUniqArray", "kurtPop",
+        "median", "skewPop", "stddevPop", "stddevSamp", "uniq", "uniqCombined",
+        "uniqExact", "uniqHLL12", "varPop", "varSamp",
+    )
+    if name in FUNC_RULES
+}
 
 
 #: Declared dictionaries of the fixture catalog (CH configures dictionaries
@@ -1282,10 +1314,11 @@ def _rewrite_exprs(tokens: list[str]) -> str:
                 i = close + 1
                 continue
             # generic -If combinator: <agg>If(args..., cond) → the rewritten
-            # base aggregate with an ANSI FILTER clause (CH allows -If on any
-            # aggregate; the explicit sumIf/countIf-style rules above stay
-            # first for their special-cased forms)
-            if t.endswith("If") and len(t) > 2 and args and t[:-2] in FUNC_RULES:
+            # base aggregate with an ANSI FILTER clause.  Restricted to known
+            # AGGREGATE base names — FILTER on a scalar (absIf, roundIf, ...)
+            # is invalid SQL and would surface as an opaque Spark parse error
+            # instead of a dialect diagnostic.
+            if t.endswith("If") and len(t) > 2 and args and t[:-2] in _AGG_IF_BASES:
                 inner = FUNC_RULES[t[:-2]](args[:-1])
                 out.append(f"{inner} FILTER (WHERE {args[-1]})")
                 i = close + 1

@@ -72,7 +72,14 @@ class ChSparkEngine:
         if "system." in query.lower() or "system_" in query.lower():
             self._ensure_system_views()
         if dialect in ("clickhouse", "ch"):
-            return self._run_ch(query)
+            df = self._run_ch(query)
+            if df is None:
+                # The transpiler was a no-op: the CH text is already valid
+                # Spark SQL (the dialects overlap on the ANSI core).  The
+                # explicit-dialect contract is "always execute"; the None
+                # return is reserved for the auto-fallback path.
+                return self.spark.sql(query)
+            return df
         if dialect == "spark":
             return self.spark.sql(query)
         try:
@@ -194,7 +201,7 @@ class ChSparkEngine:
             # the reference's Kafka/HTTP ingestion format: one JSON object
             # per line, fields matched by name, absent columns NULL-filled
             t = m.group(1).lower()
-            target = self._table(t)
+            target = self._base_table(t)
             dt = dict(target.dtypes)
             cols = (
                 [c.strip() for c in m.group(2).split(",")]
@@ -208,7 +215,7 @@ class ChSparkEngine:
             for c in target.columns:
                 if c not in cols:
                     incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
-            return self._replace_view(
+            return self._set_lineage(
                 t, target.unionByName(incoming.select(*target.columns))
             )
         m = _re.match(
@@ -217,7 +224,7 @@ class ChSparkEngine:
         )
         if m:
             t = m.group(1).lower()
-            target = self._table(t)
+            target = self._base_table(t)
             cols = (
                 [c.strip() for c in m.group(2).split(",")] if m.group(2) else None
             )
@@ -252,7 +259,7 @@ class ChSparkEngine:
                     for c in target.columns
                 ]
             )
-            return self._replace_view(t, target.unionByName(incoming))
+            return self._set_lineage(t, target.unionByName(incoming))
         m = _re.match(r"(?is)^DROP\s+(?:TABLE|VIEW)\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
         if m:
             t = m.group(1).lower()
@@ -273,12 +280,12 @@ class ChSparkEngine:
             default = (
                 F.expr(transpile_expr(m.group(4))) if m.group(4) else F.lit(None)
             )
-            out = self._table(t).withColumn(col, default.cast(spark_type))
-            return self._replace_view(t, out)
+            out = self._base_table(t).withColumn(col, default.cast(spark_type))
+            return self._set_lineage(t, out)
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
         if m:
             t, col = m.group(1).lower(), m.group(2)
-            return self._replace_view(t, self._table(t).drop(col))
+            return self._set_lineage(t, self._base_table(t).drop(col))
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()0-9, ]+)$",
             text,
@@ -287,15 +294,15 @@ class ChSparkEngine:
             t, col, ch_type = m.group(1).lower(), m.group(2), m.group(3).strip()
             from clickhouseocp_spark.chsql import _map_type
 
-            out = self._table(t).withColumn(col, F.col(col).cast(_map_type(ch_type)))
-            return self._replace_view(t, out)
+            out = self._base_table(t).withColumn(col, F.col(col).cast(_map_type(ch_type)))
+            return self._set_lineage(t, out)
         m = _re.match(r"(?is)^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", text)
         if m:
             # lightweight-delete syntax (CH 22.8+): same deferred rewrite as
             # ALTER TABLE ... DELETE
             t, cond = m.group(1).lower(), transpile_expr(m.group(2))
-            return self._replace_view(
-                t, delete_where(self._table(t), F.expr(cond))
+            return self._set_lineage(
+                t, delete_where(self._base_table(t), F.expr(cond))
             )
         m = _re.match(r"(?is)^(?:SYSTEM|KILL)\s+\w+.*$", text)
         if m:
@@ -306,8 +313,8 @@ class ChSparkEngine:
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", text)
         if m:
             t, cond = m.group(1).lower(), transpile_expr(m.group(2))
-            out = delete_where(self._table(t), F.expr(cond))
-            return self._replace_view(t, out)
+            out = delete_where(self._base_table(t), F.expr(cond))
+            return self._set_lineage(t, out)
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+?)\s+WHERE\s+(.+)$", text
         )
@@ -319,8 +326,8 @@ class ChSparkEngine:
                 if not _:
                     raise ChSqlError(f"malformed UPDATE assignment: {part!r}")
                 assignments[col.strip()] = F.expr(transpile_expr(expr))
-            out = update_where(self._table(t), F.expr(cond), assignments)
-            return self._replace_view(t, out)
+            out = update_where(self._base_table(t), F.expr(cond), assignments)
+            return self._set_lineage(t, out)
         m = _re.match(r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?$", text)
         if m:
             return self._table(m.group(1).lower())
@@ -331,21 +338,23 @@ class ChSparkEngine:
         )
         if m:
             pol, t, cond = m.group(1).lower(), m.group(2).lower(), m.group(3)
-            base = self._table(t)
+            base = self._base_table(t)
             if not hasattr(self, "_row_policies"):
-                self._row_policies: dict[str, tuple[str, DataFrame]] = {}
-            self._row_policies[pol] = (t, base)
-            return self._replace_view(
-                t, base.filter(F.expr(transpile_expr(cond)))
-            )
+                # predicate strings, not DataFrame snapshots: mutations made
+                # while a policy is active persist through its drop, and
+                # stacked policies compose/drop in any order
+                self._row_policies: dict[str, tuple[str, str]] = {}
+                self._policy_base: dict[str, DataFrame] = {}
+            self._row_policies[pol] = (t, transpile_expr(cond))
+            return self._set_lineage(t, base)
         m = _re.match(r"(?is)^DROP\s+ROW\s+POLICY\s+(\w+)(?:\s+ON\s+\w+)?$", text)
         if m:
             pol = m.group(1).lower()
             policies = getattr(self, "_row_policies", {})
             if pol not in policies:
                 raise ChSqlError(f"unknown row policy {pol!r}")
-            t, base = policies.pop(pol)
-            return self._replace_view(t, base)
+            t, _cond = policies.pop(pol)
+            return self._set_lineage(t, self._base_table(t))
         m = _re.match(r"(?is)^RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)$", text)
         if m:
             old, new = m.group(1).lower(), m.group(2).lower()
@@ -364,7 +373,7 @@ class ChSparkEngine:
         m = _re.match(r"(?is)^TRUNCATE\s+TABLE\s+(\w+)$", text)
         if m:
             t = m.group(1).lower()
-            return self._replace_view(t, self._table(t).limit(0))
+            return self._set_lineage(t, self._base_table(t).limit(0))
         raise ChSqlError(f"unsupported statement: {text[:80]!r}")
 
     @staticmethod
@@ -431,6 +440,34 @@ class ChSparkEngine:
         df.createOrReplaceTempView(name)
         self.tables[name] = df
         return df
+
+    def _base_table(self, name: str) -> DataFrame:
+        """Unfiltered lineage of *name* — the view beneath any active row
+        policies.  Mutations (INSERT/ALTER/DELETE/TRUNCATE) apply here: a
+        row policy is a read-time filter, not a fork of the data."""
+        base = getattr(self, "_policy_base", {}).get(name)
+        return base if base is not None else self._table(name)
+
+    def _set_lineage(self, name: str, df: DataFrame) -> DataFrame:
+        """Replace *name*'s lineage and re-derive the visible view through
+        whatever row policies are currently active (stored as predicate
+        strings, so mutations survive policy create/drop in any order)."""
+        from pyspark.sql import functions as F
+
+        preds = [
+            cond
+            for (t, cond) in getattr(self, "_row_policies", {}).values()
+            if t == name
+        ]
+        if not preds:
+            if hasattr(self, "_policy_base"):
+                self._policy_base.pop(name, None)
+            return self._replace_view(name, df)
+        self._policy_base[name] = df
+        view = df
+        for p in preds:
+            view = view.filter(F.expr(p))
+        return self._replace_view(name, view)
 
     def query(self, name: str) -> DataFrame:
         """Run a named operator from the registry (SURVEY §2 inventory)."""
@@ -547,10 +584,16 @@ class ChSparkEngine:
                     )
 
         base = getattr(self, "_table_dir", None)
+        materialized: set[str] = set()
         if base is not None and os.path.isdir(base):
             for table in sorted(os.listdir(base)):
+                materialized.add(table)
                 walk(table, os.path.join(base, table))
         for table in sorted(self.tables):
+            if table in materialized:
+                # a CTAS layout supersedes the same-named fixture: reporting
+                # both would double-count the table's rows/bytes
+                continue
             fixture = os.path.join(self.sf_dir, f"{table}.parquet")
             if os.path.isfile(fixture):
                 meta = pq.ParquetFile(fixture).metadata

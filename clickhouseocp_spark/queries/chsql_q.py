@@ -168,22 +168,27 @@ def chsql_limit_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_linestatus,
        ROUND(quantile_cont(l_quantity, 0.5), 6) AS q50,
-       [ROUND(quantile_cont(l_quantity, 0.25), 6),
-        ROUND(quantile_cont(l_quantity, 0.75), 6)] AS iqr
+       ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25,
+       ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75
 FROM lineitem GROUP BY l_linestatus
 """,
     tags=("chsql", "agg"),
 )
 def chsql_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CH parametric aggregate syntax — quantile(p)(x), quantiles(..)(x) with
-    an arrayMap lambda rounding the result array."""
+    an arrayMap lambda rounding the result array and 1-based arrayElement
+    extraction (scalar output columns, so driver-side canonicalization never
+    sees a list cell)."""
     return _run(
         spark,
         sf_dir,
         """
         SELECT l_linestatus,
                round(quantile(0.5)(l_quantity), 6) AS q50,
-               arrayMap(x -> round(x, 6), quantiles(0.25, 0.75)(l_quantity)) AS iqr
+               arrayElement(arrayMap(x -> round(x, 6),
+                            quantiles(0.25, 0.75)(l_quantity)), 1) AS q25,
+               arrayElement(arrayMap(x -> round(x, 6),
+                            quantiles(0.25, 0.75)(l_quantity)), 2) AS q75
         FROM lineitem GROUP BY l_linestatus
         """,
     )
@@ -386,15 +391,17 @@ WITH w AS (
 SELECT doc_id,
        len(list_distinct(words)) AS n_uniq,
        len(list_filter(words, x -> len(x) > 6)) AS n_long,
-       list_sort(list_distinct(words))[1:3] AS first3
+       array_to_string(list_sort(list_distinct(words))[1:3], ',') AS first3
 FROM w
 """,
     tags=("chsql", "array"),
 )
 def chsql_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """splitByChar / arrayUniq / arrayFilter / arraySort / arraySlice — array
-    higher-order lambdas in CH syntax (CH's `x -> e` lambda syntax is
-    Spark's, argument order swapped by the rules)."""
+    """splitByChar / arrayUniq / arrayFilter / arraySort / arraySlice /
+    arrayStringConcat — array higher-order lambdas in CH syntax (CH's
+    `x -> e` lambda syntax is Spark's, argument order swapped by the rules);
+    the slice is emitted as a ','-joined string so driver-side
+    canonicalization never sees a list cell."""
     return _run(
         spark,
         sf_dir,
@@ -402,7 +409,9 @@ def chsql_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                arrayUniq(splitByChar(' ', text)) AS n_uniq,
                arrayCount(x -> lengthUTF8(x) > 6, splitByChar(' ', text)) AS n_long,
-               arraySlice(arraySort(arrayDistinct(splitByChar(' ', text))), 1, 3) AS first3
+               arrayStringConcat(
+                 arraySlice(arraySort(arrayDistinct(splitByChar(' ', text))), 1, 3),
+                 ',') AS first3
         FROM documents
         """,
     )

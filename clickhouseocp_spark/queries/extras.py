@@ -206,13 +206,24 @@ def ch_function_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_state_merge", oracle=None, tags=("agg", "sketch", "mergetree"))
+@register(
+    "hll_state_merge",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_uniq,
+       TRUE AS hll_ok
+FROM events GROUP BY event_type
+""",
+    tags=("agg", "sketch", "mergetree"),
+)
 def hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """uniqState/uniqMerge (SURVEY §2.4 -State/-Merge, §7.2): daily HLL
     sketches of user_id materialized per (event_type, day), then merged per
     event_type without rescanning facts (operators/sketches.py).  Sketch
-    bytes are engine-specific → rows-only; pytest bounds the estimate error
-    against the exact count."""
+    bytes are engine-specific → the driver-checked output pairs the exact
+    companion count with the in-query accuracy contract: the merged estimate
+    must land within 5% of exact (the agg_approx_distinct pattern)."""
     from clickhouseocp_spark.operators.sketches import hll_merge, hll_partial
 
     ev = load_table(spark, sf_dir, "events")
@@ -223,7 +234,18 @@ def hll_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra_aggs=[F.count(F.lit(1)).alias("n")],
     )
     merged = hll_merge(partials, keys=("event_type",), extra_aggs=[F.sum("n").alias("n")])
-    return merged.select("event_type", "n", "uniq_estimate")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_uniq")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "n",
+        "exact_uniq",
+        (
+            F.abs(F.col("uniq_estimate").cast("double") / F.col("exact_uniq") - 1.0)
+            <= 0.05
+        ).alias("hll_ok"),
+    )
 
 
 @register(
@@ -696,16 +718,19 @@ WITH m AS (
                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov
   FROM orders WHERE o_custkey % 200 = 0
 )
-SELECT o_orderpriority, list(mov ORDER BY o_orderdate, o_orderkey) AS moving_sums
+SELECT o_orderpriority,
+       string_agg(printf('%.6f', mov), ',' ORDER BY o_orderdate, o_orderkey)
+         AS moving_sums
 FROM m GROUP BY o_orderpriority
 """,
     tags=("agg", "window"),
 )
 def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """groupArrayMovingSum(3): per group, the array of 3-row moving sums in
-    explicit (o_orderdate, o_orderkey) order — window moving sum (decimal
-    routed) then an order-preserving collect (sort_array over keyed structs,
-    the same composition groupArraySorted uses)."""
+    """groupArrayMovingSum(3): per group, the 3-row moving sums in explicit
+    (o_orderdate, o_orderkey) order — window moving sum (decimal routed) then
+    an order-preserving collect (sort_array over keyed structs, the same
+    composition groupArraySorted uses), emitted as a '%.6f'-joined canonical
+    string so driver-side pandas canonicalization never sees a list cell."""
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("o_orderdate", "o_orderkey")
@@ -716,11 +741,14 @@ def group_array_moving_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mov", F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w).cast("double")
     )
     return mov.groupBy("o_orderpriority").agg(
-        F.transform(
-            F.sort_array(
-                F.collect_list(F.struct("o_orderdate", "o_orderkey", "mov"))
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("o_orderdate", "o_orderkey", "mov"))
+                ),
+                lambda s: F.format_string("%.6f", s["mov"]),
             ),
-            lambda s: s["mov"],
         ).alias("moving_sums")
     )
 

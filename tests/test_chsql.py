@@ -288,6 +288,30 @@ def test_limit_with_ties_requires_order_by():
         transpile("SELECT a FROM t LIMIT 5 WITH TIES")
 
 
+def test_limit_with_ties_select_star():
+    """SELECT * works via the * EXCEPT (__rk) outer select (ADVICE r2 #3)."""
+    out = transpile("SELECT * FROM t ORDER BY b LIMIT 3 WITH TIES")
+    assert "*EXCEPT(__rk)" in canon(out)
+    assert "__rk<=3" in canon(out)
+
+
+def test_limit_with_ties_offset_form_rejected():
+    """CH 'LIMIT off, n WITH TIES' gets a dialect diagnostic, not an opaque
+    Spark parse error (ADVICE r2 #3)."""
+    with pytest.raises(ChSqlError, match="WITH TIES"):
+        transpile("SELECT a FROM t ORDER BY a LIMIT 2, 5 WITH TIES")
+
+
+def test_if_combinator_scalar_base_passthrough():
+    """The generic -If combinator only fires for aggregate bases; absIf is
+    left as an unknown function, not rewritten to invalid FILTER SQL
+    (ADVICE r2 #5)."""
+    out = transpile("SELECT absIf(x, c) FROM t")
+    assert "FILTER" not in out and "absIf" in out
+    out2 = transpile("SELECT varPopIf(x, c) FROM t")
+    assert "FILTER" in out2 and "var_pop" in out2
+
+
 def test_with_fill_extracted_as_spec():
     from clickhouseocp_spark.chsql import transpile_with_fill
 

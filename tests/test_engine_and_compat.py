@@ -300,6 +300,43 @@ def test_row_policy(spark, sf_dir):
     assert eng.sql("SELECT count(*) AS n FROM nation").collect()[0].n == n0
 
 
+def test_row_policy_mutation_and_stacking(spark, sf_dir):
+    """Policies are stored as predicates, not snapshots: a mutation made
+    while a policy is active survives its drop, and two stacked policies on
+    one table compose/drop in any order (ADVICE r2 #2)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n0 = eng.sql("SELECT count(*) AS n FROM region").collect()[0].n
+    eng.execute("CREATE ROW POLICY p1 ON region USING r_regionkey < 3")
+    eng.execute("CREATE ROW POLICY p2 ON region USING r_regionkey > 0")
+    # stacked: both filters visible
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == 2
+    # mutation while both policies active: applies to the BASE lineage
+    eng.execute("INSERT INTO region VALUES (9, 'NOVA')")
+    # the inserted row matches both predicates? 9 > 0 but not < 3 → hidden now
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == 2
+    # drop the first policy (out of creation order): second still applies
+    eng.execute("DROP ROW POLICY p1 ON region")
+    vis = {r.r_regionkey for r in eng.sql("SELECT r_regionkey FROM region").collect()}
+    assert 9 in vis and 0 not in vis
+    # drop the second: full base including the mid-policy insert
+    eng.execute("DROP ROW POLICY p2 ON region")
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n0 + 1
+    eng.execute("DELETE FROM region WHERE r_regionkey = 9")
+    assert eng.sql("SELECT count(*) AS n FROM region").collect()[0].n == n0
+
+
+def test_ch_dialect_noop_transpile_executes(spark, sf_dir):
+    """sql(..., dialect='clickhouse') must execute even when the CH text is
+    already valid Spark SQL (transpiler no-op) — ADVICE r2 #1 regression."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql("SELECT count(*) AS n FROM lineitem", dialect="clickhouse")
+    assert df is not None and df.collect()[0].n > 0
+
+
 def test_show_create_table(spark, sf_dir):
     """SHOW CREATE TABLE renders CH-style DDL from the live schema, with the
     partition key recovered from a CTAS MergeTree layout."""

@@ -40,19 +40,29 @@ def test_asof_pandas_matches_window_impl(spark, sf_dir):
 
 
 def test_minhash_lsh_finds_planted_near_dups(spark, sf_dir):
-    rows = QS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    from clickhouseocp_spark.queries.llm import dedup_minhash_lsh_pairs
+
+    rows = dedup_minhash_lsh_pairs(spark, sf_dir).collect()
     planted = {r.id_a for r in rows if r.id_b == r.id_a + 1_000_000}
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert len(planted) / n_docs > 0.8  # ~J>=0.5 pairs through 4x4 banding
     assert all(r.jaccard >= 0.5 for r in rows)
+    # the registered query distills the same protocol into driver-checkable booleans
+    summary = QS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()[0]
+    assert summary.planted_recall_ok and summary.threshold_ok
+    assert summary.n_docs == n_docs
 
 
 def test_simhash_planted_recall_and_threshold(spark, sf_dir):
-    rows = QS["dedup_simhash"].fn(spark, sf_dir).collect()
+    from clickhouseocp_spark.queries.llm import dedup_simhash_pairs
+
+    rows = dedup_simhash_pairs(spark, sf_dir).collect()
     assert all(r.hamming <= 8 for r in rows)
     planted = {r.id_a for r in rows if r.id_b == r.id_a + 1_000_000}
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert len(planted) / n_docs > 0.5
+    summary = QS["dedup_simhash"].fn(spark, sf_dir).collect()[0]
+    assert summary.planted_recall_ok and summary.hamming_ok
 
 
 def test_exact_dedup_collapses_planted_copies(spark, sf_dir):
@@ -64,9 +74,15 @@ def test_exact_dedup_collapses_planted_copies(spark, sf_dir):
 
 
 def test_srp_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from clickhouseocp_spark.queries.llm import similarity_topk_lsh_pairs
+
     bf = {(r.query_id, r.neighbor_id) for r in QS["similarity_topk"].fn(spark, sf_dir).collect()}
-    lsh = {(r.query_id, r.neighbor_id) for r in QS["similarity_topk_lsh"].fn(spark, sf_dir).collect()}
+    lsh = {(r.query_id, r.neighbor_id) for r in similarity_topk_lsh_pairs(spark, sf_dir).collect()}
     assert len(bf & lsh) / len(bf) > 0.3  # approximate tier, tuned 4 bits x 8 tables
+    # registered queries emit the same contract as driver-checkable booleans
+    for name in ("similarity_topk_lsh", "similarity_topk_ivf"):
+        summary = QS[name].fn(spark, sf_dir).collect()[0]
+        assert summary.recall_ok and summary.n_queries == 10, (name, summary)
 
 
 def test_cosine_topk_pandas_matches_hof_impl(spark, sf_dir):
@@ -91,11 +107,15 @@ def test_embedding_near_dup_lsh_planted_recall(spark, sf_dir):
     """SRP-bucket-blocked near-dup: planted x2-scaled copies share the exact
     direction, hence every LSH bucket → recall on them must be 1.0, with no
     all-pairs join anywhere (the operator never builds one by construction)."""
-    rows = QS["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()
+    from clickhouseocp_spark.queries.llm import embedding_near_dup_lsh_raw
+
+    rows = embedding_near_dup_lsh_raw(spark, sf_dir).collect()
     n = load_table(spark, sf_dir, "embeddings").count()
     planted = {r.id_a for r in rows if r.id_b == r.id_a + 1_000_000}
     assert len(planted) == n
     assert all(r.score >= 0.95 for r in rows)
+    summary = QS["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()[0]
+    assert summary.planted_recall_ok and summary.threshold_ok
 
 
 def test_near_dup_unblocked_defaults_refused(spark, sf_dir):
@@ -206,7 +226,8 @@ def test_hll_state_merge_accuracy(spark, sf_dir):
         .collect()
     }
     for t, n in exact.items():
-        assert abs(rows[t].uniq_estimate - n) / n < 0.05, (t, rows[t].uniq_estimate, n)
+        assert rows[t].exact_uniq == n
+        assert rows[t].hll_ok, (t, rows[t])
 
 
 def test_bucketed_tables_join_without_shuffle(spark, sf_dir):
