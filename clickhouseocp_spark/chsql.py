@@ -382,14 +382,18 @@ def _extract_with_fill(tokens: list[str]):
 
 
 def _rewrite_asof(tokens: list[str]) -> list[str]:
-    """``A ASOF [LEFT] JOIN B b ON eqs AND ineq`` → ``[LEFT] JOIN LATERAL
-    (SELECT * FROM B b WHERE eqs AND ineq ORDER BY <right side of ineq>
-    DESC|ASC LIMIT 1) b ON true``.
+    """``A a ASOF [LEFT] JOIN B b ON eqs AND ineq`` → the union-tag-window
+    form of ``operators/asof.py`` as pure SQL text (ONE shuffle on the eq
+    keys, no nested-loop join): both sides union with a side tag and packed
+    ``struct(alias.*)`` payloads, ``last(payload) IGNORE NULLS`` carries the
+    as-of match along the key-partitioned time order, and the original
+    aliases are re-exposed as struct columns (so ``a.x`` / ``b.y``
+    references in the outer query resolve as field accesses unchanged).
 
-    Correct for every ASOF direction (>=, >, <=, <); Spark decorrelates the
-    LATERAL into a join.  For the shuffle-optimal union-window form use
-    operators/asof.py — cited here so the transpiler's naive-but-correct
-    rewrite is never mistaken for the scale path."""
+    Falls back to the naive-but-general ``[LEFT] JOIN LATERAL (SELECT *
+    ... ORDER BY ts LIMIT 1)`` rewrite when the shape is out of subset
+    (non-equi extra conjuncts, unaliased relations, bare-star selects need
+    the flat layout)."""
     pos = _depth0_positions(tokens, lambda t, i: _KW(t) == "ASOF")
     if not pos:
         return tokens
@@ -474,6 +478,13 @@ def _rewrite_asof(tokens: list[str]) -> list[str]:
     # >=/> → latest right at-or-before left → ORDER BY right DESC; else ASC.
     direction = "DESC" if left_op in (">=", ">") else "ASC"
 
+    scale = _asof_union_window(
+        tokens, i, cend, joinkind, rel, alias, conjuncts, ineq[0],
+        right_expr, left_op,
+    )
+    if scale is not None:
+        return scale
+
     lateral = (
         (["LEFT"] if "LEFT" in joinkind else [])
         + ["JOIN", "LATERAL", "(", "SELECT", "*", "FROM"]
@@ -483,6 +494,121 @@ def _rewrite_asof(tokens: list[str]) -> list[str]:
         + [alias, "ON", "true"]
     )
     return tokens[:i] + lateral + tokens[cend:]
+
+
+def _asof_union_window(
+    tokens: list[str],
+    i: int,
+    cend: int,
+    joinkind: list[str],
+    rel: list[str],
+    ralias: str,
+    conjuncts: list[list[str]],
+    ineq: list[str],
+    right_ts: list[str],
+    left_op: str,
+) -> list[str] | None:
+    """The 1-shuffle ASOF lowering (operators/asof.py:25 as SQL text), or
+    None when the query shape is outside the safe subset."""
+
+    def mentions(side: list[str], a: str) -> bool:
+        return any(
+            side[k] == a and k + 1 < len(side) and side[k + 1] == "."
+            for k in range(len(side))
+        ) or side == [a]
+
+    # the LEFT relation: everything between the main query's FROM and ASOF
+    frms = _depth0_positions(
+        tokens, lambda t, k: _KW(t) == "FROM" and k < i
+    )
+    if not frms:
+        return None
+    frm = frms[-1]
+    lfrag = tokens[frm + 1 : i]
+    if not lfrag:
+        return None
+    if len(lfrag) == 1 and _is_word(lfrag[0]):
+        lalias = lfrag[0]  # bare table: qualify by table name
+    elif (
+        len(lfrag) >= 2
+        and _is_word(lfrag[-1])
+        and lfrag[-2] != "."
+        and _KW(lfrag[-1]) not in ("FINAL",)
+    ):
+        lalias = lfrag[-1]
+    else:
+        return None
+
+    # equality conjuncts: each must be <one side> = <other side> with the
+    # right alias on exactly one side
+    eq_pairs: list[tuple[list[str], list[str]]] = []  # (left_expr, right_expr)
+    left_ts: list[str] | None = None
+    for c in conjuncts:
+        if c is ineq:
+            lhs_i, rhs_i = ineq[: ineq.index(
+                next(t for t in ineq if t in ("<", ">", "<=", ">="))
+            )], ineq[ineq.index(
+                next(t for t in ineq if t in ("<", ">", "<=", ">="))
+            ) + 1 :]
+            left_ts = lhs_i if mentions(rhs_i, ralias) else rhs_i
+            continue
+        eqs = [k for k, t in enumerate(c) if t == "="]
+        if len(eqs) != 1:
+            return None
+        lhs, rhs = c[: eqs[0]], c[eqs[0] + 1 :]
+        if mentions(rhs, ralias) and not mentions(lhs, ralias):
+            eq_pairs.append((lhs, rhs))
+        elif mentions(lhs, ralias) and not mentions(rhs, ralias):
+            eq_pairs.append((rhs, lhs))
+        else:
+            return None
+    if not eq_pairs or left_ts is None:
+        return None
+
+    backward = left_op in (">=", ">")
+    strict = left_op in (">", "<")
+    ts_dir = "ASC" if backward else "DESC"
+    side_dir = "DESC" if strict else "ASC"
+    inner = "LEFT" not in joinkind  # CH ASOF JOIN defaults to INNER
+
+    def struct_of(a: str) -> list[str]:
+        return ["struct", "(", a, ".", "*", ")"]
+
+    left_sel = ["SELECT"] + struct_of(lalias) + ["AS", "__l"]
+    right_sel = ["SELECT", "NULL", "AS", "__l"]
+    keys = []
+    for n, (le, re_) in enumerate(eq_pairs):
+        k = f"__k{n}"
+        keys.append(k)
+        left_sel += [","] + le + ["AS", k]
+        right_sel += [","] + re_ + ["AS", k]
+    left_sel += [","] + left_ts + ["AS", "__ts", ",", "1", "AS", "__side",
+                 ",", "NULL", "AS", "__p", "FROM"] + lfrag
+    right_sel += [","] + right_ts + ["AS", "__ts", ",", "0", "AS", "__side",
+                  ","] + struct_of(ralias) + ["AS", "__p", "FROM"] + rel + ["AS", ralias]
+
+    part = sum(([k, ","] for k in keys), [])[:-1]
+    win = (
+        ["last", "(", "__p", ")", "IGNORE", "NULLS", "OVER", "(",
+         "PARTITION", "BY"] + part
+        + ["ORDER", "BY", "__ts", ts_dir, ",", "__side", side_dir,
+           ",", "__p", "ASC",
+           "ROWS", "BETWEEN", "UNBOUNDED", "PRECEDING", "AND",
+           "CURRENT", "ROW", ")"]
+    )
+    mid = (
+        ["SELECT", "__l", ",", "__side", ","] + win + ["AS", "__m",
+         "FROM", "("] + left_sel + ["UNION", "ALL"] + right_sel
+        + [")", "__asof_u"]
+    )
+    sub = (
+        ["(", "SELECT", "__l", "AS", lalias, ",", "__m", "AS", ralias,
+         "FROM", "("] + mid + [")", "__asof_w",
+         "WHERE", "__side", "=", "1"]
+        + (["AND", "__m", "IS", "NOT", "NULL"] if inner else [])
+        + [")", "__asof_t"]
+    )
+    return tokens[: frm + 1] + sub + tokens[cend:]
 
 
 # ---------------------------------------------------------------------------

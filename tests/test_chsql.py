@@ -65,22 +65,53 @@ def test_limit_by_requires_order_by():
         transpile("SELECT g, v FROM t LIMIT 2 BY g")
 
 
-def test_asof_join_backward_becomes_lateral_desc():
+def test_asof_join_backward_becomes_union_window():
+    """Equi-keys + one inequality → the 1-shuffle union-window lowering
+    (operators/asof.py as SQL text), not a lateral nested loop."""
     out = canon(
         transpile(
-            "SELECT * FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+            "SELECT l.a FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.ts >= r.ts"
+        )
+    )
+    assert canon("UNION ALL") in out
+    assert canon("last(__p)IGNORE NULLS OVER") in out
+    assert canon("ORDER BY __ts ASC , __side ASC") in out  # backward non-strict
+    assert "LATERAL" not in out.upper()
+
+
+def test_asof_join_forward_strict_orders_desc_side_desc():
+    out = canon(
+        transpile("SELECT l.a FROM l ASOF JOIN r ON l.k = r.k AND l.ts < r.ts")
+    )
+    assert canon("ORDER BY __ts DESC , __side DESC") in out  # forward strict
+    assert canon("__m IS NOT NULL") in out  # CH ASOF JOIN default = INNER
+
+
+def test_chsql_asof_plan_is_one_shuffle_no_nested_loop(spark, sf_dir):
+    """The TEXT-path ASOF must compile to the same plan family as
+    operators/asof.py: one hash-partition exchange (the window over the eq
+    keys) and no nested-loop join (round-2 verdict 'what's wrong' #3)."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    df = all_queries()["chsql_asof"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "LATERAL" not in plan.upper()
+    assert shuffle_count(df) == 1, plan
+
+
+def test_asof_join_unaliased_subquery_falls_back_to_lateral():
+    """Shapes outside the union-window subset keep the general (correct but
+    nested-loop) LATERAL rewrite."""
+    out = canon(
+        transpile(
+            "SELECT 1 FROM (SELECT * FROM l) ASOF LEFT JOIN r "
+            "ON x = r.k AND ts >= r.ts"
         )
     )
     assert canon("LEFT JOIN LATERAL") in out
     assert canon("ORDER BY r.ts DESC LIMIT 1") in out
-    assert canon("ON true") in out
-
-
-def test_asof_join_forward_becomes_asc():
-    out = canon(
-        transpile("SELECT * FROM l ASOF JOIN r ON l.k = r.k AND l.ts < r.ts")
-    )
-    assert canon("ASC LIMIT 1") in out
 
 
 def test_asof_requires_single_inequality():
