@@ -179,6 +179,15 @@ class ChSparkEngine:
             return self._replace_view(name, df)
         m = _re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
+            r"(?:\(([^)]*)\)\s*)?ENGINE\s*=\s*Kafka\b(.*)$",
+            text,
+        )
+        if m:
+            return self._create_kafka_table(
+                m.group(1).lower(), m.group(2) or "", m.group(3) or ""
+            )
+        m = _re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"(?:ENGINE\s*=\s*\w+(?:\(\s*\))?\s*)?"
             r"(?:PARTITION\s+BY\s+(\w+)\s*)?"
             r"(?:ORDER\s+BY\s+(?:\(([^)]*)\)|([\w, ]+?))\s*)?"
@@ -430,6 +439,57 @@ class ChSparkEngine:
         path = os.path.join(base, name)
         write_mergetree_style(df, path, partition_by=partition, order_by=order)
         return self._replace_view(name, self.spark.read.parquet(path))
+
+    def _create_kafka_table(self, name: str, cols: str, tail: str) -> DataFrame:
+        """``CREATE TABLE q (...) ENGINE = Kafka SETTINGS kafka_broker_list =
+        '...', kafka_topic_list = '...'`` — the reference's streaming-ingest
+        engine (SURVEY §2.1; typically paired with a materialized view).
+
+        With the spark-sql-kafka connector present this builds the streaming
+        DataFrame (CH virtual columns + the declared schema parsed from the
+        JSONEachRow payload) and registers it under ``self.streams[name]``.
+        Without the jars it raises the ACTIONABLE enable recipe — the exact
+        package coordinate and session config — instead of an opaque
+        DATA_SOURCE_NOT_FOUND at first read."""
+        import re as _re
+
+        from clickhouseocp_spark.streaming.pipeline import (
+            kafka_available,
+            kafka_events_stream,
+        )
+
+        settings = dict(
+            _re.findall(r"(?i)(\w+)\s*=\s*'([^']*)'", tail)
+        )
+        brokers = settings.get("kafka_broker_list", "localhost:9092")
+        topic = settings.get("kafka_topic_list", name)
+        if not kafka_available(self.spark):
+            import pyspark
+
+            pkg = f"org.apache.spark:spark-sql-kafka-0-10_2.13:{pyspark.__version__}"
+            raise RuntimeError(
+                f"ENGINE = Kafka needs the Kafka connector on the classpath. "
+                f"Enable it with: spark-submit --packages {pkg}  (or "
+                f'SparkSession.builder.config("spark.jars.packages", "{pkg}")), '
+                f"then re-run this DDL; see README 'Optional format jars'."
+            )
+        stream = kafka_events_stream(self.spark, brokers, topic)
+        if cols.strip():
+            from clickhouseocp_spark.chsql import _map_type
+            from pyspark.sql import functions as F
+
+            fields = []
+            for part in cols.split(","):
+                bits = part.strip().split()
+                if len(bits) >= 2:
+                    fields.append(f"{bits[0]} {_map_type(bits[1])}")
+            stream = stream.select(
+                "*", F.from_json("value", ", ".join(fields)).alias("__row")
+            ).select("_topic", "_partition", "_offset", "_timestamp", "__row.*")
+        if not hasattr(self, "streams"):
+            self.streams: dict[str, DataFrame] = {}
+        self.streams[name] = stream
+        return stream
 
     def _table(self, name: str) -> DataFrame:
         if name not in self.tables:

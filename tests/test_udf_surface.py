@@ -96,6 +96,81 @@ def test_avro_availability_gate(spark, sf_dir):
         pytest.skip("spark-avro module not bundled in this container (documented gap)")
 
 
+def test_avro_container_roundtrip_dependency_free(spark, sf_dir):
+    """The dependency-free Avro Object Container implementation (public
+    Avro 1.11 spec, sources/avro_io.py — protobuf_io's sibling): executor-
+    side per-partition writes, binaryFile+mapInPandas distributed read,
+    values round-trip exactly.  Runs in THIS container (no jars)."""
+    import json
+    import tempfile
+
+    from clickhouseocp_spark.sources.avro_io import (
+        avro_schema_json,
+        read_avro,
+        write_avro,
+    )
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .limit(500)
+        .repartition(4)
+    )
+    schema = json.loads(avro_schema_json(df))
+    assert [f["name"] for f in schema["fields"]] == df.columns
+    assert schema["fields"][0]["type"] == ["null", "long"]
+    with tempfile.TemporaryDirectory() as d:
+        n = write_avro(df, d + "/orders_avro")
+        assert n == 500
+        back = read_avro(spark, d + "/orders_avro")
+        a = {tuple(r) for r in df.collect()}
+        b = {tuple(r) for r in back.collect()}
+        assert a == b
+        # interop: when the native spark-avro module is present, the same
+        # files must read back through it unchanged (container format is
+        # the contract); gated exactly like the other external jars
+        from clickhouseocp_spark.sources.avro_io import avro_available
+
+        if avro_available(spark):
+            native = spark.read.format("avro").load(d + "/orders_avro")
+            assert {tuple(r) for r in native.collect()} == a
+
+
+def test_avro_rejects_nested_types(spark, sf_dir):
+    from clickhouseocp_spark.sources.avro_io import avro_schema_json
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("words")
+    )
+    with pytest.raises(ValueError, match="flat primitive"):
+        avro_schema_json(docs)
+
+
+def test_engine_kafka_ddl_actionable_error(spark, sf_dir):
+    """CREATE TABLE ... ENGINE = Kafka either builds the streaming frame
+    (jars present) or raises the enable RECIPE — exact package coordinate +
+    session config — never an opaque source-not-found at first read."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.streaming.pipeline import kafka_available
+
+    eng = ChSparkEngine(sf_dir, spark)
+    ddl = (
+        "CREATE TABLE kq (user_id Int64, value Float64) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'localhost:9092', "
+        "kafka_topic_list = 'events'"
+    )
+    if not kafka_available(spark):
+        with pytest.raises(RuntimeError) as e:
+            eng.execute(ddl)
+        msg = str(e.value)
+        assert "spark-sql-kafka-0-10" in msg and "spark.jars.packages" in msg
+        pytest.skip("kafka connector absent; actionable-error path verified")
+    stream = eng.execute(ddl)
+    assert stream.isStreaming
+    assert "user_id" in stream.columns and "_offset" in stream.columns
+
+
 def test_kafka_availability_gate(spark):
     """Kafka engine analog (SURVEY §2.1/§2.9): when the spark-sql-kafka jars
     are present the source must build a streaming DataFrame with the CH
