@@ -69,6 +69,11 @@ HEADLINE = [
     # heavyweight corpus passes (explode + global agg + reassembly)
     "line_dedup_c4",
     "substring_dup_spans",
+    # round-3 additions: TPC-H multi-join/scan classics + chunking/tf-idf
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "chunk_documents",
+    "tfidf_top_terms",
 ]
 
 

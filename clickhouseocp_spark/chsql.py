@@ -802,6 +802,22 @@ FUNC_RULES: dict[str, object] = {
     ),
     "arraySum": lambda args: f"aggregate({args[-1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + " + ("x" if len(args) == 1 else f"({args[0]})(x)") + ")",
     "arrayStringConcat": lambda args: f"array_join({args[0]}, " + (args[1] if len(args) > 1 else "''") + ")",
+    "arrayZip": _rename("arrays_zip"),
+    # consecutive-duplicate removal via the index-aware filter lambda
+    "arrayCompact": lambda args: (
+        f"filter({args[0]}, (x, i) -> i = 0 OR NOT (x <=> ({args[0]})[i - 1]))"
+    ),
+    # d[0] = a[0] - a[0] = 0 in the element type, d[i] = a[i] - a[i-1]
+    "arrayDifference": lambda args: (
+        f"transform({args[0]}, (x, i) -> if(i = 0, x - x, x - ({args[0]})[i - 1]))"
+    ),
+    # running sum with an array accumulator (integer arrays; wrap doubles
+    # with arrayMap(x -> toInt64(x), ...) or sum via arraySum)
+    "arrayCumSum": lambda args: (
+        f"aggregate({args[0]}, CAST(array() AS ARRAY<BIGINT>), "
+        f"(acc, x) -> concat(acc, array(coalesce(try_element_at(acc, -1), "
+        f"CAST(0 AS BIGINT)) + x)))"
+    ),
     "arrayReduce": lambda args: _array_reduce(args),
     "range": lambda args: (
         f"sequence(0, ({args[0]}) - 1)" if len(args) == 1

@@ -51,10 +51,24 @@ class ChSparkEngine:
         parsing/analysis rejects the text."""
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
-                    "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL"):
+                    "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
+                    "ATTACH", "DETACH"):
             return self.execute(query)
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
             return self.system_tables()
+        if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW DATABASES":
+            return self.spark.createDataFrame([("default",)], "name string")
+        if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW PROCESSLIST":
+            # session engine: no concurrent query daemon → always empty,
+            # with the CH column surface so ops scripts parse the result
+            return self.spark.createDataFrame(
+                [], "query_id string, user string, query string, elapsed double"
+            )
+        if head == "EXISTS":
+            t = query.strip().rstrip(";").split()[-1].lower()
+            return self.spark.createDataFrame(
+                [(1 if t in self.tables else 0,)], "result int"
+            )
         if head == "SHOW" and query.strip().upper().rstrip(";").startswith(
             "SHOW CREATE TABLE"
         ):
@@ -383,6 +397,25 @@ class ChSparkEngine:
         if m:
             t = m.group(1).lower()
             return self._set_lineage(t, self._base_table(t).limit(0))
+        m = _re.match(r"(?is)^DETACH\s+TABLE\s+(\w+)$", text)
+        if m:
+            # CH DETACH: table leaves the catalog but its data survives for a
+            # later ATTACH (session analog: park the lineage aside)
+            t = m.group(1).lower()
+            df = self._table(t)
+            if not hasattr(self, "_detached"):
+                self._detached: dict[str, DataFrame] = {}
+            self._detached[t] = df
+            self.spark.catalog.dropTempView(t)
+            del self.tables[t]
+            return self.spark.range(0).select(F.lit(t).alias("detached")).limit(0)
+        m = _re.match(r"(?is)^ATTACH\s+TABLE\s+(\w+)$", text)
+        if m:
+            t = m.group(1).lower()
+            parked = getattr(self, "_detached", {})
+            if t not in parked:
+                raise ChSqlError(f"ATTACH TABLE: no detached table {t!r}")
+            return self._replace_view(t, parked.pop(t))
         raise ChSqlError(f"unsupported statement: {text[:80]!r}")
 
     @staticmethod

@@ -1006,3 +1006,44 @@ def chsql_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id % 19 = 0
         """,
     )
+
+
+# --- array transform vocabulary (difference / cumsum / compact) -------------
+
+
+@register(
+    "chsql_array_transforms",
+    oracle="""
+WITH g AS (
+  SELECT l_orderkey, list_sort(list(l_linenumber)) AS ln,
+         list_sort(list(DISTINCT l_returnflag)) AS flags
+  FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       array_to_string(list_transform(range(1, len(ln) + 1),
+         i -> CAST(CASE WHEN i = 1 THEN 0 ELSE ln[i] - ln[i - 1] END AS VARCHAR)), ',') AS diffs,
+       array_to_string(list_transform(range(1, len(ln) + 1),
+         i -> CAST(list_sum(ln[1:i]) AS VARCHAR)), ',') AS cums,
+       array_to_string(flags, ',') AS flags
+FROM g
+""",
+    tags=("chsql", "array"),
+)
+def chsql_array_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayDifference / arrayCumSum / arrayCompact — CH's array-transform
+    vocabulary over per-order sorted linenumber arrays (arrayCompact over a
+    sorted array ≡ sorted distinct, which the oracle replays).  All results
+    ','-joined so no list cell reaches the driver comparator."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayDifference(arraySort(groupArray(l_linenumber)))), ',') AS diffs,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 arrayCumSum(arraySort(groupArray(l_linenumber)))), ',') AS cums,
+               arrayStringConcat(arrayCompact(arraySort(groupUniqArray(l_returnflag))), ',') AS flags
+        FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey
+        """,
+    )

@@ -1429,3 +1429,120 @@ def pack_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("fill") / (F.count(F.lit(1)) * 8192), 6).alias("utilization"),
         F.max("fill").alias("max_bin_fill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking + term weighting (RAG / pretraining context assembly)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+), st AS (
+  SELECT doc_id, words, unnest(range(0, greatest(len(words) - 16, 1), 48)) AS start_word
+  FROM w
+)
+SELECT doc_id,
+       CAST(start_word / 48 AS BIGINT) AS chunk_id,
+       CAST(start_word AS INTEGER) AS start_word,
+       CAST(least(64, len(words) - start_word) AS INTEGER) AS n_words,
+       array_to_string(words[start_word + 1 : start_word + 64], ' ') AS chunk_text
+FROM st
+""",
+    tags=("llm", "chunk"),
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (window 64 words, stride 48 → 16-word
+    overlap): the context-assembly step for RAG indexing and long-document
+    pretraining.  Pure columnar — split once, generate start offsets with
+    ``sequence``, slice per offset, one explode; no UDF, no shuffle (chunking
+    is embarrassingly parallel over the scan).  Chunks smaller than the
+    overlap are still emitted (tail retention), matching the oracle's
+    ``range(0, max(len-16, 1), 48)`` start grid."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size(words) - F.lit(16), F.lit(1)) - F.lit(1),
+        F.lit(48),
+    )
+    ex = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.explode(starts).alias("start_word"),
+    )
+    return ex.select(
+        "doc_id",
+        (F.col("start_word") / 48).cast("bigint").alias("chunk_id"),
+        F.col("start_word").cast("int").alias("start_word"),
+        F.least(F.lit(64), F.size("words") - F.col("start_word"))
+        .cast("int")
+        .alias("n_words"),
+        F.concat_ws(" ", F.slice("words", F.col("start_word") + 1, 64)).alias(
+            "chunk_text"
+        ),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE len(term) >= 3
+  GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+) WHERE rank <= 3
+""",
+    tags=("llm", "text"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by smoothed tf-idf (the classic relevance
+    weighting for corpus analysis / keyword extraction).  Shape: one token
+    explode → (doc, term) partial-agg tf → term-keyed df agg (broadcast back,
+    |vocab| rows) → windowed top-k per doc.  The document-frequency side is
+    vocabulary-sized, so at 100 TB the join is a broadcast, never a fact
+    shuffle; ln() is rounded(6) on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.length("term") >= 3)
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, term) rows are unique → a row count over the term window IS the
+    # document frequency; one pass, no tf self-join (which would recompute
+    # the token explode on both sides)
+    df_w = Window.partitionBy("term")
+    scored = (
+        tf.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )

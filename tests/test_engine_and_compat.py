@@ -337,6 +337,23 @@ def test_ch_dialect_noop_transpile_executes(spark, sf_dir):
     assert df is not None and df.collect()[0].n > 0
 
 
+def test_detach_attach_exists_processlist(spark, sf_dir):
+    """DETACH parks a table (data survives), ATTACH restores it, EXISTS
+    TABLE and SHOW DATABASES/PROCESSLIST answer the CH ops surface."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    n0 = eng.sql("SELECT count(*) AS n FROM part").collect()[0].n
+    assert eng.sql("EXISTS TABLE part").collect()[0].result == 1
+    eng.sql("DETACH TABLE part")
+    assert "part" not in eng.tables
+    assert eng.sql("EXISTS TABLE part").collect()[0].result == 0
+    eng.sql("ATTACH TABLE part")
+    assert eng.sql("SELECT count(*) AS n FROM part").collect()[0].n == n0
+    assert eng.sql("SHOW DATABASES").collect()[0].name == "default"
+    assert eng.sql("SHOW PROCESSLIST").count() == 0
+
+
 def test_show_create_table(spark, sf_dir):
     """SHOW CREATE TABLE renders CH-style DDL from the live schema, with the
     partition key recovered from a CTAS MergeTree layout."""
