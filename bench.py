@@ -74,6 +74,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "chunk_documents",
     "tfidf_top_terms",
+    # round-3 TPC-H suite completion (Q2-Q22 adapted): the three heaviest
+    # shapes — top-N over fact agg, HAVING-IN semi join, dual-quantifier window
+    "q10_returned_items",
+    "q18_large_volume",
+    "q21_waiting_orders",
 ]
 
 

@@ -1047,3 +1047,162 @@ def chsql_array_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem WHERE l_orderkey % 500 = 0 GROUP BY l_orderkey
         """,
     )
+
+
+# --- TPC-H classics as CH TEXT (round 3: the reference's own benchmark -------
+# queries pasted as ClickHouse SQL, proving the text surface runs the suite
+# the DataFrame API implements in queries/tpch.py) -----------------------
+
+
+@register(
+    "chsql_tpch_q4",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("chsql", "tpch", "semi"),
+)
+def chsql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 as CH text: correlated EXISTS passes through the transpiler
+    into Catalyst's rewrite-to-semi-join; toDateTime + zero-arg count() are
+    dialect translations.  Same adapted 'late' semantics as
+    queries/tpch.q4_order_priority (no commit/receipt dates in fixtures)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, count() AS order_count
+        FROM orders
+        WHERE o_orderdate >= toDateTime('1996-01-01 00:00:00')
+          AND o_orderdate < toDateTime('1996-04-01 00:00:00')
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+          )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q12",
+    oracle="""
+SELECT ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+              THEN 'FAST' ELSE 'SLOW' END AS ship_class
+  FROM orders, lineitem
+  WHERE o_orderkey = l_orderkey
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY ship_class
+ORDER BY ship_class
+""",
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (delay-bucket adaptation) as CH text: dateDiff('day',...),
+    if(), and sumIf-style conditional counts through the -If combinator."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT if(dateDiff('day', o_orderdate, l_shipdate) <= 30, 'FAST', 'SLOW') AS ship_class,
+               sumIf(1, o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_line_count,
+               sumIf(1, o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= toDateTime('1996-01-01 00:00:00')
+          AND l_shipdate < toDateTime('1997-01-01 00:00:00')
+        GROUP BY ship_class
+        ORDER BY ship_class
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q14",
+    oracle="""
+SELECT 100.00
+       * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                  AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+""",
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 as CH text: the promo-share ratio via toDecimal64-routed
+    sums (exact, order-independent) and an if() inside the numerator sum."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT 100.00
+               * CAST(sum(toDecimal64(if(p_type = 'PROMO',
+                       l_extendedprice * (1 - l_discount), 0), 6)) AS Float64)
+               / CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6)) AS Float64)
+               AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= toDateTime('1996-09-01 00:00:00')
+          AND l_shipdate < toDateTime('1996-10-01 00:00:00')
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q18",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+    tags=("chsql", "tpch", "semi"),
+)
+def chsql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 as CH text: HAVING-IN subquery (Catalyst lowers to a semi
+    join), toDecimal64 exact quantity sums, multi-key ORDER BY + LIMIT."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               CAST(sum(toDecimal64(l_quantity, 6)) AS Float64) AS sum_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(sum(toDecimal64(l_quantity, 6)) AS Float64) > 300
+          )
+          AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        LIMIT 100
+        """,
+    )

@@ -1,0 +1,1020 @@
+"""TPC-H classics Q2-Q22, adapted to the fixture schema — the multi-join /
+subquery / disjunctive-predicate shapes the reference engine's own benchmark
+suite exercises (ClickHouse ships TPC-H in its perf harness; the pin in
+/root/reference Dockerfile:102-104 runs these shapes daily).
+
+Fixture deviations from spec TPC-H (documented per query):
+- no ``partsupp`` table → supply facts are derived from distinct
+  (l_partkey, l_suppkey) pairs in ``lineitem``; unit cost = min observed
+  l_extendedprice/l_quantity for the pair (Q2/Q11/Q16/Q20);
+- no l_commitdate/l_receiptdate → "late" = shipped more than N days after
+  o_orderdate (Q4/Q12/Q21);
+- no l_shipmode/p_container/c_phone → nearest live column stands in
+  (delay-bucket for shipmode, p_type for container, nationkey mod for
+  phone country code).
+
+Scale notes (100 TB discipline): every query keeps the fact tables on the
+shuffle side keyed by their join keys, broadcasts bounded dims
+(nation/region/part-filtered subsets when selective), and routes double
+reductions through exact DECIMAL partials (``fsum``) so partial/final
+aggregation merges bit-identically at any partition count.  Scalar
+subqueries (Q11/Q14/Q15/Q17/Q22) are one-row broadcasts, not driver loops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.queries._util import fsum, sql_fsum
+
+
+def _ts(s: str) -> F.Column:
+    return F.lit(s + " 00:00:00").cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min over a derived supply relation)
+# ---------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+FROM (
+  SELECT eu.*, p_partkey, p_name, unit_cost,
+         MIN(unit_cost) OVER (PARTITION BY p_partkey) AS best
+  FROM part, supply, eu
+  WHERE p_partkey = supply.l_partkey AND eu.s_suppkey = supply.l_suppkey
+    AND p_size = 15 AND p_type = 'STANDARD'
+)
+WHERE unit_cost = best
+ORDER BY s_acctbal DESC, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "subquery"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (adapted: supply = distinct lineitem pairs, unit cost = min
+    observed price/qty — no partsupp in fixtures).  The correlated
+    'cost = min cost for this part in EUROPE' subquery lowers to a window
+    MIN over p_partkey — one shuffle on partkey answers both the supply agg
+    and the correlated min.  Part filter (size+type) broadcasts; per-row
+    double division is IEEE-identical across engines so MIN is exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nat.join(reg, F.col("n_regionkey") == F.col("r_regionkey")).select(
+                    "n_nationkey", "n_name"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        supply.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("best", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q4 — order priority checking (correlated EXISTS → semi join)
+# ---------------------------------------------------------------------------
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_order_priority", oracle=_Q4_ORACLE, tags=("join", "semi"))
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (adapted: "late" = shipped >30 days after order date — no
+    commit/receipt dates in fixtures).  The correlated EXISTS lowers to a
+    LEFT SEMI hash join on l_orderkey with the date inequality as a join
+    residual; the quarter filter prunes the orders scan first so the semi
+    join probes only 1/26th of the fact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by year
+# ---------------------------------------------------------------------------
+
+_Q7_ORACLE = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {sql_fsum('volume', 'revenue')}
+FROM (
+  SELECT r1.r_name AS supp_nation, r2.r_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier, lineitem, orders, customer,
+       nation n1, nation n2, region r1, region r2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+    AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+      OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@register("q7_volume_shipping", oracle=_Q7_ORACLE, tags=("join", "agg"))
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (adapted: the two trading parties are REGIONS, not nations
+    — fixture nations are too sparse at smoke scale to guarantee a
+    cross-pair).  Both geo lookups broadcast; the OR-of-pairs predicate is
+    applied after both joins (4 result groups max).  Facts shuffle once
+    each on their join keys; the date filter pushes to the lineitem scan."""
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name").isin("ASIA", "EUROPE")
+    )
+    geo = F.broadcast(
+        nat.join(reg, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1998-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = geo.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("r_name").alias("supp_nation")
+    )
+    n2 = geo.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("r_name").alias("cust_nation")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(
+            ((F.col("supp_nation") == "ASIA") & (F.col("cust_nation") == "EUROPE"))
+            | ((F.col("supp_nation") == "EUROPE") & (F.col("cust_nation") == "ASIA"))
+        )
+        .withColumn("l_year", F.year("l_shipdate"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(fsum("volume", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 — national market share within a region
+# ---------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT o_year,
+       CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END
+                AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(volume AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+    AND o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1998-01-01'
+    AND p_type = 'ECONOMY'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: NATION_3's share of AMERICA-customer ECONOMY-part revenue
+    per order year.  Part filter (selective, 1/6th) broadcasts into the
+    lineitem scan first to shrink the fact early; the share is a ratio of
+    two exact-decimal sums so the division is bit-identical regardless of
+    aggregation order."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1998-01-01"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    america = F.broadcast(
+        nat.join(reg, F.col("n_regionkey") == F.col("r_regionkey")).select(
+            F.col("n_nationkey").alias("am_key")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    dec = "decimal(38,6)"
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(america, F.col("c_nationkey") == F.col("am_key"), "left_semi")
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(n2, F.col("s_nationkey") == F.col("sn_key"))
+        .withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("volume", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+                    .otherwise(F.lit(0.0))
+                    .cast(dec)
+                ).cast("double")
+                / F.sum(F.col("volume").cast(dec)).cast("double")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 — product-type profit, by supplier nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation, o_year, {sql_fsum('amount', 'sum_profit')}
+FROM (
+  SELECT n_name, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.1 * p_retailprice * l_quantity AS amount
+  FROM part, supplier, lineitem, orders, nation
+  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+    AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+    AND p_name LIKE '%red%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "agg"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: supply cost proxied as 10% of p_retailprice — no
+    ps_supplycost in fixtures).  The LIKE filter on part broadcasts the
+    matching keys+prices into the fact scan; profit is computed per-row
+    (IEEE-identical) and summed through exact decimals."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_retailprice")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn(
+            "amount",
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.1 * F.col("p_retailprice") * F.col("l_quantity"),
+        )
+        .withColumn("o_year", F.year("o_orderdate"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_year"))
+        .agg(fsum("amount", "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 — returned-item reporting (top 20 customers by lost revenue)
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {sql_fsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       c_acctbal, n_name
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "bench"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a quarter.
+    Both fact filters (quarter, returnflag) push to the scans; the final
+    top-20 is a TakeOrderedAndProject over a |customers|-bounded agg."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-04-01"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — important stock identification (group agg vs global-share scalar)
+# ---------------------------------------------------------------------------
+
+_Q11_ORACLE = """
+WITH stock AS (
+  SELECT l_partkey AS ps_partkey,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS part_value
+  FROM lineitem, supplier, nation, region
+  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+  GROUP BY l_partkey
+)
+SELECT ps_partkey, part_value
+FROM stock
+WHERE part_value > (SELECT 0.001 * CAST(SUM(CAST(part_value AS DECIMAL(38,6))) AS DOUBLE) FROM stock)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@register("q11_important_stock", oracle=_Q11_ORACLE, tags=("agg", "subquery"))
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: stock value = ASIA-supplied lineitem extended
+    price — no partsupp availqty in fixtures).  The HAVING-vs-global-total
+    scalar subquery is a one-row broadcast cross join, not a driver
+    collect; the per-part agg shuffles once on partkey and the total is a
+    second exact-decimal reduce over the (already small) agg output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_supp = F.broadcast(
+        supp.join(
+            nat.join(reg, F.col("n_regionkey") == F.col("r_regionkey")).select(
+                "n_nationkey"
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    stock = (
+        li.join(asia_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(fsum("l_extendedprice", "part_value"))
+    )
+    total = stock.agg(
+        (0.001 * F.sum(F.col("part_value").cast("decimal(38,6)")).cast("double")).alias(
+            "threshold"
+        )
+    )
+    return (
+        stock.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.col("threshold"))
+        .select("ps_partkey", "part_value")
+        .orderBy(F.col("part_value").desc(), "ps_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping-delay classes vs order priority (conditional counts)
+# ---------------------------------------------------------------------------
+
+_Q12_ORACLE = """
+SELECT ship_class,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM (
+  SELECT o_orderpriority,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+              THEN 'FAST' ELSE 'SLOW' END AS ship_class
+  FROM orders, lineitem
+  WHERE o_orderkey = l_orderkey
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+)
+GROUP BY ship_class
+ORDER BY ship_class
+"""
+
+
+@register("q12_shipping_delay", oracle=_Q12_ORACLE, tags=("join", "agg"))
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: l_shipmode → delay buckets FAST/SLOW on
+    days-from-order-to-ship — no shipmode column).  One equi join + a
+    2-group conditional count; the year filter pushes to the lineitem
+    scan and the CASE counts combine map-side."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.select("l_orderkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "ship_class",
+            F.when(
+                F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) <= 30, "FAST"
+            ).otherwise("SLOW"),
+        )
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13 — customer order-count distribution (outer join + double group)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (adapted: the NOT LIKE comment filter → an order-priority
+    exclusion, same join-residual shape).  LEFT OUTER join keeps no-order
+    customers (c_count = 0); the second agg is over |distinct counts| rows
+    — trivially small at any scale."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    return (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "4-NOT SPECIFIED"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14 — promotion revenue share (conditional ratio, one month)
+# ---------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT 100.00
+       * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                  AS DECIMAL(38,6))) AS DOUBLE)
+       / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+       AS promo_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE, tags=("join", "agg"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: PROMO-part share of one month's revenue.  Part (2k rows,
+    key+type only) broadcasts; the month filter pushes down; both sums are
+    exact decimals so the final ratio is order-independent."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-09-01"))
+        & (F.col("l_shipdate") < _ts("1996-10-01"))
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    dec = "decimal(38,6)"
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(
+                    F.when(F.col("p_type") == "PROMO", vol).otherwise(F.lit(0.0)).cast(dec)
+                ).cast("double")
+                / F.sum(vol.cast(dec)).cast("double")
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 — top supplier (view + max scalar subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_ORACLE = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         {sql_fsum('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("agg", "subquery"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.  The
+    CREATE VIEW of the spec is the revenue CTE; the MAX scalar subquery is
+    a one-row broadcast.  Exact-decimal revenue makes the equality safe —
+    both sides produce the identical double."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1996-04-01"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    best = revenue.agg(F.max("total_revenue").alias("best_rev"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("best_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (NOT IN + count distinct)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs, part
+WHERE p_partkey = l_partkey
+  AND p_brand <> 'Brand#5'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_parts_suppliers", oracle=_Q16_ORACLE, tags=("join", "agg", "anti"))
+def q16_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: supply pairs from lineitem; the 'customer
+    complaints' NOT IN exclusion keyed on negative supplier balance — no
+    s_comment).  NOT IN lowers to a broadcast LEFT ANTI join (the excluded
+    set is bounded); distinct pairs + count distinct shuffle on partkey."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        pairs.join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated avg subquery)
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+       AS avg_yearly
+FROM lineitem, part
+WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*))
+    FROM lineitem WHERE l_partkey = p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE, tags=("join", "subquery"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (adapted: p_container → p_type).  The correlated per-part
+    AVG lowers to one grouped agg on partkey joined back to the filtered
+    fact — one shuffle, no per-row subquery execution.  The threshold
+    routes through an exact decimal sum / count so the `<` comparison is
+    engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#3") & (F.col("p_type") == "MEDIUM"))
+        .select("p_partkey")
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.2
+            * (
+                F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_threshold")
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).cast("double")
+                / 7.0
+            ).alias("avg_yearly")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18 — large-volume customers (HAVING-IN subquery)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {sql_fsum('l_quantity', 'sum_qty')}
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 300
+  )
+  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@register("q18_large_volume", oracle=_Q18_ORACLE, tags=("join", "agg", "semi"))
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds 300 (fixture max is
+    ~460).  The HAVING-IN subquery is a semi join against the grouped
+    orderkeys — lineitem shuffles ONCE on l_orderkey and both the
+    threshold agg and the final per-order agg reuse that partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("q"))
+        .filter(F.col("q") > 300)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, F.col("l_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(
+            orders.select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(fsum("l_quantity", "sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 — disjunctive brand/size/quantity predicates
+# ---------------------------------------------------------------------------
+
+_Q19_ORACLE = f"""
+SELECT {sql_fsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        AND l_quantity >= 1 AND l_quantity <= 11)
+    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        AND l_quantity >= 10 AND l_quantity <= 20)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+        AND l_quantity >= 20 AND l_quantity <= 30))
+"""
+
+
+@register("q19_disjunctive_filter", oracle=_Q19_ORACLE, tags=("join", "filter"))
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (adapted: p_container/shipmode legs dropped — the
+    disjunction-of-conjunctions join residual is the point).  Catalyst
+    extracts the common l_quantity bounds (1..30) as a pushable scan
+    filter; the brand/size legs evaluate post-join on the broadcast part
+    side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    )
+    q = F.col("l_quantity")
+    leg1 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11)
+    leg2 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20)
+    leg3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(leg1 | leg2 | leg3)
+        .agg(
+            fsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — dominant suppliers of promo parts (nested IN subqueries)
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+WITH ship AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  GROUP BY l_partkey, l_suppkey
+),
+tot AS (
+  SELECT l_partkey AS t_partkey,
+         CAST(SUM(CAST(supp_qty AS DECIMAL(38,6))) AS DOUBLE) AS part_qty
+  FROM ship GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, n_name
+FROM supplier, nation
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM ship, tot
+    WHERE l_partkey = t_partkey AND supp_qty > 0.5 * part_qty
+  )
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_dominant_suppliers", oracle=_Q20_ORACLE, tags=("join", "subquery", "semi"))
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: 'excess availability' = supplier shipped more
+    than half of a PROMO part's 1996 volume — availqty derived from
+    lineitem).  Nested INs lower to: part-filter semi join at the scan →
+    one shuffle on (partkey, suppkey) → per-part share compare via a
+    window SUM over partkey → semi join into supplier.  All dims
+    broadcast."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    )
+    ship = (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double").alias("supp_qty"))
+    )
+    # per-part total as a window over the (part, supp) agg — decimal-exact and
+    # one shuffle narrower than a partkey self-join
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        ship.withColumn(
+            "part_qty",
+            F.sum(F.col("supp_qty").cast("decimal(38,6)")).over(w).cast("double"),
+        )
+        .filter(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        supp.join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH lat AS (
+  SELECT l_orderkey AS ok, l_suppkey AS sk,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 45 DAY
+             THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+marked AS (
+  SELECT ok, sk, is_late,
+         COUNT(*) OVER (PARTITION BY ok) AS n_supp,
+         SUM(is_late) OVER (PARTITION BY ok) AS n_late
+  FROM lat
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM marked JOIN supplier ON s_suppkey = sk
+WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_waiting_orders", oracle=_Q21_ORACLE, tags=("join", "window", "anti"))
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: 'late' = shipped >45 days after order date — no
+    receipt/commit dates).  The spec's EXISTS(other supplier) + NOT
+    EXISTS(other LATE supplier) pair lowers to per-order window counts
+    over the (order, supplier, late?) relation: one shuffle on orderkey
+    answers both quantifiers, replacing two correlated scans of the fact."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lat = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn(
+            "late_line",
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"), 1
+            ).otherwise(0),
+        )
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
+        .agg(F.max("late_line").alias("is_late"))
+    )
+    w = Window.partitionBy("ok")
+    supp = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        lat.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter((F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(supp, F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 — global sales opportunity (anti join + scalar avg threshold)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = f"""
+SELECT cntrycode, COUNT(*) AS numcust, {sql_fsum('c_acctbal', 'totacctbal')}
+FROM (
+  SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+    AND c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+      FROM customer
+      WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9)
+    )
+) hot
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01'
+)
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@register("q22_sales_opportunity", oracle=_Q22_ORACLE, tags=("anti", "subquery", "agg"))
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (adapted: phone country code → c_nationkey mod 10;
+    'never ordered' → no orders since 1999 — every fixture customer has
+    some order).  Above-average balance is a one-row broadcast; the NOT
+    EXISTS is a LEFT ANTI join against date-pruned orders keyed on
+    custkey."""
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.col("c_nationkey") % 10
+    )
+    eligible = cust.filter(F.col("cntrycode").isin(1, 3, 5, 7, 9))
+    avg_bal = eligible.filter(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _ts("1999-01-01")
+    ).select("o_custkey")
+    return (
+        eligible.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            fsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )

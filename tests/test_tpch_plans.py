@@ -1,0 +1,96 @@
+"""Plan-shape gates for the TPC-H suite (SURVEY.md §4 discipline: correctness
+is the oracle-parity test; THESE tests pin the physical shape that survives a
+100× scale-up — shuffle budget, broadcast dims, no accidental nested-loop
+joins on fact-sized inputs)."""
+
+import pytest
+
+from clickhouseocp_spark.plans.inspect import (
+    formatted_plan,
+    has_broadcast_join,
+    shuffle_count,
+)
+from clickhouseocp_spark.queries import all_queries
+
+QS = all_queries()
+
+#: name -> max shuffle exchanges (measured on the intended plan, +0 slack:
+#: a regression that adds an exchange should fail loudly)
+SHUFFLE_BUDGET = {
+    "q2_min_cost_supplier": 2,
+    "q4_order_priority": 2,
+    "q7_volume_shipping": 2,
+    "q8_market_share": 2,
+    "q9_product_profit": 2,
+    "q10_returned_items": 1,
+    "q12_shipping_delay": 2,
+    "q13_customer_distribution": 3,
+    "q14_promo_revenue": 1,
+    "q17_small_quantity": 2,
+    "q18_large_volume": 2,
+    "q19_disjunctive_filter": 1,
+    "q20_dominant_suppliers": 4,
+    "q21_waiting_orders": 3,
+}
+
+
+@pytest.mark.parametrize("name", sorted(SHUFFLE_BUDGET))
+def test_shuffle_budget(spark, sf_dir, name):
+    df = QS[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= SHUFFLE_BUDGET[name], formatted_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q2_min_cost_supplier",
+        "q5_local_supplier_volume",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q19_disjunctive_filter",
+    ],
+)
+def test_dims_broadcast(spark, sf_dir, name):
+    """Dimension sides (nation/region/filtered part/supplier) must broadcast —
+    at 100 TB the fact side never fits, the dims always do."""
+    df = QS[name].fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
+
+
+@pytest.mark.parametrize("name", ["q4_order_priority", "q18_large_volume", "q21_waiting_orders"])
+def test_quantifiers_are_hash_joins(spark, sf_dir, name):
+    """EXISTS / HAVING-IN / only-late-supplier quantifiers must lower to hash
+    semi joins or window aggregates — a BroadcastNestedLoopJoin against the
+    fact table is the correlated-subquery scale failure this suite guards."""
+    plan = formatted_plan(QS[name].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+@pytest.mark.parametrize("name", ["q11_important_stock", "q15_top_supplier", "q22_sales_opportunity"])
+def test_scalar_subquery_stays_distributed(spark, sf_dir, name):
+    """Global-threshold scalar subqueries (total stock value, max revenue,
+    avg balance) must be one-row broadcasts, not driver collects: the plan
+    contains a broadcast join and no LocalTableScan materialization of the
+    aggregate input."""
+    df = QS[name].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert has_broadcast_join(df), plan
+
+
+def test_q6_filters_reach_scan(spark, sf_dir):
+    """Q6 is the pushdown benchmark: every predicate lands in PushedFilters."""
+    from clickhouseocp_spark.plans.inspect import pushed_filters
+
+    df = QS["q6_forecast_revenue"].fn(spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_q18_reuses_orderkey_partitioning(spark, sf_dir):
+    """The HAVING-IN threshold agg and the semi-join probe both key on
+    l_orderkey — the plan must not shuffle lineitem twice on the same key
+    (ReusedExchange or a single exchange feeding both)."""
+    df = QS["q18_large_volume"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 2, formatted_plan(df)
