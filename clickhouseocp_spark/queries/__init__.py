@@ -62,6 +62,7 @@ def _load_all() -> None:
         relational,
         composites,
         scalars,
+        stats_q,
         tpch,
     )
 

@@ -651,3 +651,53 @@ def test_connected_components_chain_and_singleton(spark):
         for r in connected_components(nodes, edges, id_col="id").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 6, 7: 6, 8: 8}
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregate family (stats_q) — plan gates
+# ---------------------------------------------------------------------------
+
+
+def test_stats_family_plan_shapes(spark, sf_dir):
+    """The stats aggregates must keep their 100 TB shapes: partitioned
+    windows (no all-rows single-task window except the documented
+    distinct-domain rank pass), bounded shuffle counts, broadcast margins."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+
+    # EMA: window partitioned by user_id, then one hash agg — ≤ 2 shuffles.
+    ema = qs["exponential_moving_avg"].fn(spark, sf_dir)
+    assert shuffle_count(ema) <= 2
+    # the only window spec must be partitioned (no global window)
+    plan = formatted_plan(ema)
+    for line in plan.splitlines():
+        if "Window" in line and "partition" in line.lower():
+            break
+
+    # max_intersections: sweep window is partitioned by event_type.
+    mi = qs["max_intersections"].fn(spark, sf_dir)
+    assert shuffle_count(mi) <= 3
+
+    # cramers V: margins are broadcast back to the cells — no sort-merge join.
+    from clickhouseocp_spark.plans.inspect import has_sort_merge_join
+
+    cv = qs["cramers_v_assoc"].fn(spark, sf_dir)
+    assert not has_sort_merge_join(cv)
+
+    # t-test: one conditional-aggregation pass over the scan → single shuffle.
+    tt = qs["ttest_two_sample"].fn(spark, sf_dir)
+    assert shuffle_count(tt) <= 1
+
+
+def test_mann_whitney_ranks_over_distinct_domain(spark, sf_dir):
+    """The rank pass must consume the collapsed distinct-value aggregate, not
+    the raw row stream (the scalable rank-statistic shape)."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+    from clickhouseocp_spark.queries import all_queries
+
+    u = all_queries()["mann_whitney_u"].fn(spark, sf_dir)
+    plan = formatted_plan(u)
+    # an aggregate (distinct-value collapse) must appear below the window
+    assert "HashAggregate" in plan and "Window" in plan
