@@ -756,6 +756,13 @@ FUNC_RULES: dict[str, object] = {
     "leftPad": _rename("lpad"), "rightPad": _rename("rpad"),
     "empty": lambda args: f"(length({args[0]}) = 0)",
     "notEmpty": lambda args: f"(length({args[0]}) > 0)",
+    "countSubstrings": lambda args: (
+        f"cast((length({args[0]}) - length(replace({args[0]}, {args[1]}, '')))"
+        f" / length({args[1]}) as bigint)"
+    ),
+    "monthName": lambda args: f"date_format({args[0]}, 'MMMM')",
+    "toLastDayOfMonth": lambda args: f"last_day({args[0]})",
+    "toStartOfWeek": lambda args: f"cast(date_trunc('week', {args[0]}) as date)",
     "caseWithExpression": None,
     # aggregates
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",

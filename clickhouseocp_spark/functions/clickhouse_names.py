@@ -648,6 +648,105 @@ def topK(a, k: int) -> Column:
     )
 
 
+# --- formatting / presentation vocabulary (round 3) -------------------------
+
+#: eighth-block characters for bar()'s fractional cell, index 0..7
+_EIGHTHS = ["", "▏", "▎", "▍", "▌", "▋", "▊", "▉"]
+
+
+def formatReadableSize(a) -> Column:
+    """CH formatReadableSize: bytes → '1.23 KiB' with 1024-steps and two
+    decimals.  The numeric part renders via DECIMAL(18,2)→string so both
+    engines print identical trailing zeros."""
+    x = _c(a).cast("double")
+    # floor(log2(x)/10) = power-of-1024 bucket
+    unit_idx = F.when(x < 1024, F.lit(0)).otherwise(
+        F.least(F.floor(F.log2(x) / 10).cast("int"), F.lit(8))
+    )
+    units = F.array(
+        *[F.lit(u) for u in ("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")]
+    )
+    scaled = x / F.pow(F.lit(2.0), unit_idx.cast("double") * 10)
+    num = F.round(scaled, 2).cast("decimal(18,2)").cast("string")
+    return F.concat(num, F.lit(" "), F.element_at(units, unit_idx + 1))
+
+
+def formatReadableQuantity(a) -> Column:
+    """CH formatReadableQuantity: 1234567 → '1.23 million' (thousand/million/
+    billion/trillion steps)."""
+    x = _c(a).cast("double")
+    unit_idx = F.when(x < 1000, F.lit(0)).otherwise(
+        F.least(F.floor(F.log10(x) / 3).cast("int"), F.lit(4))
+    )
+    units = F.array(*[F.lit(u) for u in ("", " thousand", " million", " billion", " trillion")])
+    scaled = x / F.pow(F.lit(10.0), unit_idx.cast("double") * 3)
+    num = F.round(scaled, 2).cast("decimal(18,2)").cast("string")
+    return F.concat(num, F.element_at(units, unit_idx + 1))
+
+
+def bar(x, min_v: float, max_v: float, width: float = 80) -> Column:
+    """CH bar(): unicode bar of ⌊(x-min)/(max-min)·width·8⌋ eighth-blocks —
+    full blocks plus one partial eighth-block character, exactly CH's glyph
+    choice."""
+    frac = (_c(x).cast("double") - F.lit(float(min_v))) / F.lit(float(max_v - min_v))
+    clamped = F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    eighths = F.floor(clamped * F.lit(float(width) * 8)).cast("int")
+    full = (eighths / 8).cast("int")
+    rem = eighths % 8
+    partial = F.element_at(F.array(*[F.lit(c) for c in _EIGHTHS]), rem + 1)
+    return F.concat(F.repeat(F.lit("█"), full), partial)
+
+
+def transform(source, from_vals: list, to_vals: list, default) -> Column:
+    """CH transform(x, [from...], [to...], default): array-pair lookup with
+    fallback — lowered to a map literal + element_at + coalesce (Catalyst
+    folds it to a static lookup; no join, no UDF)."""
+    pairs = []
+    for f_, t_ in zip(from_vals, to_vals):
+        pairs.extend([F.lit(f_), F.lit(t_)])
+    m = F.create_map(*pairs)
+    d = default if isinstance(default, Column) else F.lit(default)
+    return F.coalesce(F.element_at(m, _c(source)), d)
+
+
+def countSubstrings(haystack, needle: str) -> Column:
+    """CH countSubstrings: non-overlapping occurrence count via length
+    difference."""
+    h = _c(haystack)
+    return (
+        (F.length(h) - F.length(F.replace(h, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def positionCaseInsensitive(haystack, needle: str) -> Column:
+    return F.instr(F.lower(_c(haystack)), needle.lower())
+
+
+def monthName(a) -> Column:
+    """CH monthName: full English month name."""
+    return F.date_format(_c(a), "MMMM")
+
+
+def age(unit: str, start, end) -> Column:
+    """CH age(unit, s, e): whole elapsed units between two instants (day /
+    hour / minute / second lowered to exact integer arithmetic on the epoch
+    difference — month/year would need calendar logic; those route through
+    months_between upstream)."""
+    secs = F.unix_timestamp(_c(end)) - F.unix_timestamp(_c(start))
+    per = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}[unit]
+    return F.floor(secs / F.lit(per)).cast("bigint")
+
+
+def toStartOfWeek(a) -> Column:
+    """Monday-based week start (CH mode 1), DATE-typed."""
+    return F.date_trunc("week", _c(a)).cast("date")
+
+
+def toLastDayOfMonth(a) -> Column:
+    return F.last_day(_c(a))
+
+
 #: alias → note, for the parity inventory (names that clash with Python
 #: keywords/builtins carry a trailing underscore).
 MAPPING: dict[str, str] = {

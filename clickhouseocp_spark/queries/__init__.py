@@ -63,6 +63,7 @@ def _load_all() -> None:
         composites,
         scalars,
         stats_q,
+        vocab_q,
         tpch,
     )
 

@@ -1206,3 +1206,39 @@ def chsql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """,
     )
+
+
+# --- round 3: presentation/date vocabulary through the text path -----------
+
+CH_VOCAB_R3 = """
+SELECT monthName(o_orderdate) AS month_name,
+       toStartOfWeek(o_orderdate) AS week_start,
+       toLastDayOfMonth(o_orderdate) AS month_end,
+       countSubstrings(o_orderpriority, '-') AS n_dashes,
+       count() AS n
+FROM orders
+GROUP BY month_name, week_start, month_end, n_dashes
+"""
+
+
+@register(
+    "chsql_vocab_r3",
+    oracle="""
+SELECT monthname(o_orderdate) AS month_name,
+       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       last_day(o_orderdate) AS month_end,
+       CAST((length(o_orderpriority) - length(replace(o_orderpriority, '-', '')))
+            AS BIGINT) AS n_dashes,
+       COUNT(*) AS n
+FROM orders
+GROUP BY 1, 2, 3, 4
+""",
+    tags=("chsql", "scalar"),
+)
+def chsql_vocab_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 vocabulary additions (monthName / toStartOfWeek /
+    toLastDayOfMonth / countSubstrings) exercised through the CH TEXT path."""
+    df = _run(spark, sf_dir, CH_VOCAB_R3)
+    from pyspark.sql import functions as F
+
+    return df.withColumn("month_end", F.col("month_end").cast("date"))
