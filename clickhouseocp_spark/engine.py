@@ -79,7 +79,15 @@ class ChSparkEngine:
             self._table(t)  # raise on unknown, consistent error surface
             return self.spark.sql(f"DESCRIBE {t}")
         if head == "EXPLAIN":
-            plan = self.explain(query.lstrip()[7:].lstrip(), dialect=dialect)
+            rest = query.lstrip()[7:].lstrip().rstrip(";")
+            mode = "PIPELINE"
+            first = rest.split(None, 1)[0].upper() if rest else ""
+            if first in ("AST", "SYNTAX", "PLAN", "PIPELINE", "ESTIMATE"):
+                mode = first
+                rest = rest.split(None, 1)[1] if len(rest.split(None, 1)) > 1 else ""
+            if mode == "ESTIMATE":
+                return self.explain_estimate(rest)
+            plan = self.explain(rest, dialect=dialect, mode=mode)
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
@@ -734,13 +742,81 @@ class ChSparkEngine:
         rows = [(n, n.lower() in native) for n in names]
         return self.spark.createDataFrame(rows, "name string, spark_builtin boolean")
 
-    def explain(self, name_or_sql: str, dialect: str = "auto") -> str:
-        """EXPLAIN analog returning the formatted physical plan."""
+    def explain(self, name_or_sql: str, dialect: str = "auto", mode: str = "PIPELINE") -> str:
+        """EXPLAIN statement family (CH ships EXPLAIN AST / SYNTAX / PLAN /
+        PIPELINE / ESTIMATE):
+
+        - ``SYNTAX`` — what the CH text transpiles to (CH prints the
+          rewritten query after its syntax optimizations; here that is the
+          Spark SQL the dialect front end emits);
+        - ``AST`` — the token tree, one node per line indented by paren depth;
+        - ``PLAN`` — the optimized logical plan (Catalyst's analog of CH's
+          query plan steps);
+        - ``PIPELINE`` — the formatted physical plan (Catalyst's analog of
+          the execution-processor pipeline)."""
         from clickhouseocp_spark.plans.inspect import formatted_plan
         from clickhouseocp_spark.queries import all_queries
 
+        if mode == "SYNTAX":
+            from clickhouseocp_spark.chsql import transpile
+
+            return transpile(name_or_sql)
+        if mode == "AST":
+            from clickhouseocp_spark.chsql import tokenize
+
+            out, depth = [], 0
+            for tok in tokenize(name_or_sql):
+                if tok == ")":
+                    depth = max(0, depth - 1)
+                out.append("  " * depth + tok)
+                if tok == "(":
+                    depth += 1
+            return "\n".join(out)
         if name_or_sql.lstrip().upper().startswith(("SELECT", "WITH")):
             df = self.sql(name_or_sql, dialect=dialect)
         else:
             df = all_queries()[name_or_sql].fn(self.spark, self.sf_dir)
+        if mode == "PLAN":
+            return df._jdf.queryExecution().optimizedPlan().toString()
         return formatted_plan(df)
+
+    def explain_estimate(self, sql_text: str) -> DataFrame:
+        """``EXPLAIN ESTIMATE``: per-table parts/rows the query would read —
+        CH reads MergeTree part headers; the analog is parquet footer
+        metadata via :meth:`system_parts`, filtered to tables referenced in
+        the statement text."""
+        import re as _re
+
+        from pyspark.sql import functions as F
+
+        words = {w.lower() for w in _re.findall(r"[A-Za-z_][A-Za-z0-9_]*", sql_text)}
+        parts = self.system_parts()
+        referenced = [t for t in self.tables if t in words]
+        est = (
+            parts.where(parts.table.isin(referenced))
+            .groupBy("table")
+            .agg(
+                F.count(F.lit(1)).alias("parts"),
+                F.sum("rows").alias("rows"),
+                F.sum("row_groups").alias("marks"),
+            )
+        )
+        return est
+
+    def run(self, query: str, dialect: str = "clickhouse", max_rows: int = 10_000) -> str:
+        """``clickhouse-local -q`` parity: execute CH SQL text and return the
+        result rendered in its trailing ``FORMAT <name>`` clause (default
+        TabSeparated) — the stdout surface of the reference image
+        (Dockefile-ubuntu:52).  Driver-side and row-capped by design: bulk
+        exports go through sources/writers.py sinks, not a terminal format."""
+        import re as _re
+
+        from clickhouseocp_spark.formats import render
+
+        fmt = "TabSeparated"
+        head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+        m = _re.search(r"\bFORMAT\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
+        if m and head not in ("INSERT",):
+            fmt = m.group(1)
+        df = self.sql(query, dialect=dialect)
+        return render(df, fmt, max_rows)

@@ -1,0 +1,231 @@
+"""ClickHouse output FORMAT rendering (SURVEY §2.1 — the reference's
+`clickhouse-local -q '... FORMAT X'` prints results in any of ~70 output
+formats; the everyday interactive set is replicated here verbatim:
+TabSeparated(WithNames), CSV(WithNames), JSONEachRow, JSON, Values, Vertical,
+Pretty, PrettyCompact, Markdown).
+
+This is the INTERACTIVE surface: rendering collects to the driver exactly the
+way clickhouse-local streams to stdout, so ``max_rows`` caps the pull
+(ClickHouse's Pretty formats cap at 10 000 rows for the same reason).  Bulk
+exports stay distributed through ``sources/writers.py`` (parquet/orc/csv/json
+sinks) — never through this module.
+
+Escaping rules follow the ClickHouse format spec:
+- TabSeparated: ``\\N`` for NULL; tab/newline/backslash escaped in strings.
+- CSV: RFC 4180 double-quoting, ``\\N`` for NULL.
+- JSONEachRow: one compact JSON object per line.
+- Values: single-quoted strings, ``NULL`` literal, parenthesized tuples.
+- Vertical: ``Row N:`` stanzas, one ``column: value`` line each.
+- Pretty/PrettyCompact: the exact box-drawing glyph sets ClickHouse uses.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json as _json
+import math
+from decimal import Decimal
+
+from pyspark.sql import DataFrame
+
+#: formats accepted by render(); canonical names, matched case-insensitively
+FORMATS = (
+    "TabSeparated",
+    "TabSeparatedWithNames",
+    "TSV",
+    "TSVWithNames",
+    "CSV",
+    "CSVWithNames",
+    "JSONEachRow",
+    "JSON",
+    "Values",
+    "Vertical",
+    "Pretty",
+    "PrettyCompact",
+    "Markdown",
+)
+
+_CANON = {f.lower(): f for f in FORMATS}
+_CANON["tsv"] = "TabSeparated"
+_CANON["tsvwithnames"] = "TabSeparatedWithNames"
+
+
+def _txt(v, *, quote_strings: bool = False) -> str:
+    """CH text rendering of one value (TabSeparated/Values cell)."""
+    if v is None:
+        return "NULL" if quote_strings else "\\N"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
+        return repr(v)  # shortest round-trip repr, CH's float print style
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        inner = ",".join(_txt(x, quote_strings=True) for x in v)
+        return f"[{inner}]"
+    if isinstance(v, dict):
+        inner = ",".join(
+            f"{_txt(k, quote_strings=True)}:{_txt(x, quote_strings=True)}"
+            for k, x in v.items()
+        )
+        return f"{{{inner}}}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    s = str(v)
+    if quote_strings:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    return s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+
+
+def _csv_cell(v) -> str:
+    if v is None:
+        return "\\N"
+    s = _txt(v)
+    if any(c in s for c in (",", '"', "\n")):
+        return '"' + s.replace('"', '""') + '"'
+    return s
+
+
+def _json_cell(v):
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, float) and (math.isnan(v) or math.isinf(v)):
+        return None
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple)):
+        return [_json_cell(x) for x in v]
+    if isinstance(v, dict):
+        return {str(k): _json_cell(x) for k, x in v.items()}
+    return v
+
+
+#: spark simpleString → CH type name, for the JSON envelope's meta block
+_CH_TYPES = {
+    "bigint": "Int64",
+    "int": "Int32",
+    "smallint": "Int16",
+    "tinyint": "Int8",
+    "double": "Float64",
+    "float": "Float32",
+    "string": "String",
+    "boolean": "Bool",
+    "date": "Date",
+    "timestamp": "DateTime",
+    "timestamp_ntz": "DateTime",
+    "binary": "String",
+}
+
+
+def _ch_type(simple: str) -> str:
+    if simple.startswith("decimal"):
+        return "Decimal" + simple[len("decimal"):]
+    if simple.startswith("array<"):
+        return f"Array({_ch_type(simple[6:-1])})"
+    return _CH_TYPES.get(simple, simple)
+
+
+def _pretty(cols, rows, compact: bool) -> str:
+    cells = [[_txt(v) for v in r] for r in rows]
+    widths = [
+        max([len(c)] + [len(row[i]) for row in cells]) for i, c in enumerate(cols)
+    ]
+
+    def line(l, m, r, fill="─"):
+        return l + m.join(fill * (w + 2) for w in widths) + r
+
+    out = []
+    if compact:
+        # ┌─name─┬─name─┐ header embedded in the top border
+        head = "┌" + "┬".join(
+            ("─" + c + "─").ljust(w + 2, "─") for c, w in zip(cols, widths)
+        ) + "┐"
+        out.append(head)
+    else:
+        out.append(line("┏", "┳", "┓", "━"))
+        out.append(
+            "┃" + "┃".join(f" {c.ljust(w)} " for c, w in zip(cols, widths)) + "┃"
+        )
+        out.append(line("┡", "╇", "┩", "━"))
+    for r in cells:
+        out.append(
+            "│" + "│".join(f" {v.ljust(w)} " for v, w in zip(r, widths)) + "│"
+        )
+    out.append(line("└", "┴", "┘"))
+    return "\n".join(out)
+
+
+def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> str:
+    """Render a DataFrame as ClickHouse FORMAT text (driver-side, capped)."""
+    canon = _CANON.get(fmt.replace("_", "").lower())
+    if canon is None:
+        raise ValueError(
+            f"unsupported FORMAT {fmt!r}; supported: {', '.join(FORMATS)}"
+        )
+    rows = df.limit(max_rows).collect()
+    cols = df.columns
+
+    if canon in ("TabSeparated", "TabSeparatedWithNames"):
+        body = ["\t".join(_txt(v) for v in r) for r in rows]
+        if canon.endswith("WithNames"):
+            body.insert(0, "\t".join(cols))
+        return "\n".join(body) + ("\n" if body else "")
+    if canon in ("CSV", "CSVWithNames"):
+        body = [",".join(_csv_cell(v) for v in r) for r in rows]
+        if canon.endswith("WithNames"):
+            body.insert(0, ",".join(_csv_cell(c) for c in cols))
+        return "\n".join(body) + ("\n" if body else "")
+    if canon == "JSONEachRow":
+        return (
+            "\n".join(
+                _json.dumps(
+                    {c: _json_cell(v) for c, v in zip(cols, r)},
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+                for r in rows
+            )
+            + ("\n" if rows else "")
+        )
+    if canon == "JSON":
+        meta = [
+            {"name": f.name, "type": _ch_type(f.dataType.simpleString())}
+            for f in df.schema.fields
+        ]
+        doc = {
+            "meta": meta,
+            "data": [{c: _json_cell(v) for c, v in zip(cols, r)} for r in rows],
+            "rows": len(rows),
+        }
+        return _json.dumps(doc, indent=1, ensure_ascii=False) + "\n"
+    if canon == "Values":
+        return ",".join(
+            "(" + ",".join(_txt(v, quote_strings=True) for v in r) + ")" for r in rows
+        )
+    if canon == "Vertical":
+        w = max((len(c) for c in cols), default=0)
+        out = []
+        for i, r in enumerate(rows, 1):
+            out.append(f"Row {i}:")
+            out.append("─" * 6)
+            out.extend(f"{c.rjust(w)}: {_txt(v)}" for c, v in zip(cols, r))
+            out.append("")
+        return "\n".join(out)
+    if canon == "Markdown":
+        out = ["| " + " | ".join(cols) + " |"]
+        out.append("|" + "|".join(":---" for _ in cols) + "|")
+        out.extend("| " + " | ".join(_txt(v) for v in r) + " |" for r in rows)
+        return "\n".join(out) + "\n"
+    return _pretty(cols, rows, compact=(canon == "PrettyCompact"))

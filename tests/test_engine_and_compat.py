@@ -423,3 +423,100 @@ def test_lightweight_delete_and_system_noops(spark, sf_dir):
     finally:
         invalidate_cache()
         register_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# round 3: output FORMAT rendering + EXPLAIN statement family
+# ---------------------------------------------------------------------------
+
+
+def test_output_formats_render(spark, sf_dir):
+    """engine.run() = clickhouse-local -q stdout parity: the trailing FORMAT
+    clause picks the renderer; escaping/quoting follows the CH format spec."""
+    import json
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    q = (
+        "SELECT l_returnflag AS f, count() AS n FROM lineitem "
+        "GROUP BY f ORDER BY f LIMIT 2"
+    )
+
+    tsv = eng.run(q + " FORMAT TabSeparatedWithNames")
+    lines = tsv.strip().split("\n")
+    assert lines[0] == "f\tn"
+    assert len(lines) == 3 and "\t" in lines[1]
+
+    csv = eng.run(q + " FORMAT CSVWithNames")
+    assert csv.startswith("f,n\n")
+
+    jer = eng.run(q + " FORMAT JSONEachRow")
+    objs = [json.loads(l) for l in jer.strip().split("\n")]
+    assert len(objs) == 2 and set(objs[0]) == {"f", "n"}
+
+    env = json.loads(eng.run(q + " FORMAT JSON"))
+    assert env["rows"] == 2
+    assert {m["name"] for m in env["meta"]} == {"f", "n"}
+    assert env["meta"][1]["type"] == "Int64"
+
+    vals = eng.run(q + " FORMAT Values")
+    assert vals.startswith("(") and "),(" in vals
+
+    pretty = eng.run(q + " FORMAT PrettyCompact")
+    assert pretty.splitlines()[0].startswith("┌─") and "│" in pretty
+
+    vert = eng.run(q + " FORMAT Vertical")
+    assert vert.startswith("Row 1:")
+
+    # default format is TabSeparated (no header)
+    default = eng.run(q)
+    assert default.count("\n") == 2 and "\t" in default
+
+    # NULL renders as \N in TSV and CSV
+    nul = eng.run("SELECT NULL AS x FORMAT TabSeparated")
+    assert nul.strip() == "\\N"
+
+
+def test_format_escaping_and_cap(spark, sf_dir):
+    from clickhouseocp_spark.formats import render
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    df = spark.createDataFrame(
+        [("a\tb\nc", 1.5), ('say "hi", ok', float("nan"))], "s string, x double"
+    )
+    tsv = render(df, "TabSeparated")
+    assert "a\\tb\\nc" in tsv and "nan" in tsv
+    csv = render(df, "CSV")
+    assert '"say ""hi"", ok"' in csv
+    capped = render(eng.sql("SELECT * FROM lineitem"), "CSV", max_rows=5)
+    assert capped.count("\n") == 5
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported FORMAT"):
+        render(df, "NotAFormat")
+
+
+def test_explain_statement_family(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    q = "SELECT count() FROM lineitem PREWHERE l_quantity > 45"
+
+    syntax = eng.sql("EXPLAIN SYNTAX " + q).collect()
+    text = "\n".join(r.plan for r in syntax)
+    assert "count(*)" in text or "count(1)" in text  # transpiled Spark SQL
+
+    ast = eng.sql("EXPLAIN AST SELECT sum(x) FROM (SELECT 1 AS x)").collect()
+    toks = [r.plan for r in ast]
+    assert any(t.strip() == "sum" for t in toks)
+    assert any(t.startswith("  ") for t in toks)  # paren-depth indent
+
+    plan = eng.sql("EXPLAIN PLAN SELECT l_returnflag FROM lineitem WHERE l_quantity > 45")
+    ptext = "\n".join(r.plan for r in plan.collect())
+    assert "Filter" in ptext  # optimized logical plan
+
+    pipe = eng.sql("EXPLAIN PIPELINE SELECT l_returnflag FROM lineitem WHERE l_quantity > 45")
+    xtext = "\n".join(r.plan for r in pipe.collect())
+    assert "PushedFilters" in xtext  # physical scan detail
+
+    est = eng.sql("EXPLAIN ESTIMATE SELECT * FROM lineitem JOIN orders ON l_orderkey = o_orderkey")
+    rows = {r.table: r for r in est.collect()}
+    assert "lineitem" in rows and "orders" in rows
+    assert rows["lineitem"].rows > 0 and rows["lineitem"].parts >= 1
