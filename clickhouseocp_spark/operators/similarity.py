@@ -221,57 +221,16 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
-    cent_rows = (
-        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(n_centroids)
-        .collect()
+    assigned, cmat = kmeans_cells(
+        corpus,
+        n_centroids=n_centroids,
+        refine_iters=refine_iters,
+        id_col=corpus_id,
+        vec_col=corpus_vec,
+        id_alias="neighbor_id",
+        vec_alias="__cv",
     )
-    cmat = np.array([r.v for r in cent_rows], dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-    sc = corpus.sparkSession
-
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"))
     vec_t = corpus.schema[corpus_vec].dataType.simpleString()
-
-    def make_assign(bc_local):
-        def assign(batches):
-            cm = bc_local.value
-            for pdf in batches:
-                vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
-                yield pdf.assign(__cell=np.argmax(vn @ cm.T, axis=1).astype("int32"))
-
-        return assign
-
-    bc = sc.sparkContext.broadcast(cmat)
-    for _ in range(refine_iters):
-        assigned_i = c.mapInPandas(
-            make_assign(bc), schema=f"neighbor_id long, __cv {vec_t}, __cell int"
-        )
-        means = (
-            assigned_i.select("__cell", F.posexplode("__cv").alias("__pos", "__val"))
-            .groupBy("__cell", "__pos")
-            .agg(
-                F.avg(F.col("__val").cast("decimal(38,12)")).cast("double").alias("m")
-            )
-            .collect()  # bounded: n_centroids x dim rows
-        )
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["m"]
-        new = cmat.copy()
-        for cell, d in by_cell.items():  # empty cells keep their seed centroid
-            vec = np.array([d[p] for p in sorted(d)], dtype=np.float64)
-            n = np.linalg.norm(vec)
-            if n > 0:
-                new[cell] = vec / n
-        cmat = new
-        bc = sc.sparkContext.broadcast(cmat)
-
-    assigned = c.mapInPandas(
-        make_assign(bc), schema=f"neighbor_id long, __cv {vec_t}, __cell int"
-    )
 
     qrows = queries.select(F.col(query_id).alias("id"), F.col(query_vec).alias("v")).collect()
     qmat = np.array([r.v for r in qrows], dtype=np.float64)
@@ -388,3 +347,130 @@ def embedding_near_dup_lsh(
         "id_b",
         F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6).alias("score"),
     ).filter(F.col("score") >= threshold)
+
+
+def kmeans_cells(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_alias: str = "neighbor_id",
+    vec_alias: str = "__cv",
+):
+    """Deterministic KMeans coarse quantizer shared by :func:`ivf_topk` and
+    :func:`semantic_dedup`: centroids seed from a hash-sample of the corpus
+    (smallest xxhash64(id) rows — no RNG state, stable across runs and
+    executors) and refine with Lloyd rounds whose per-dimension means route
+    through DECIMAL (order-independent → bitwise-reproducible centroids).
+
+    Returns ``(assigned, cmat)``: the corpus with an ``__cell`` int column
+    (one streaming numpy pass, no shuffle of the corpus) and the final
+    L2-normalized centroid matrix.  Each refinement round costs one corpus
+    pass plus a (cell, dim)-keyed agg that map-side-combines down to
+    n_centroids × dim rows.  At 100 TB, persist the corpus partitioned by
+    ``__cell`` once and every downstream cell-local operation becomes
+    partition pruning."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    cmat = np.array([r.v for r in cent_rows], dtype=np.float64)
+    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+    sc = corpus.sparkSession
+
+    c = corpus.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
+    schema = f"{id_alias} long, {vec_alias} {vec_t}, __cell int"
+
+    def make_assign(bc_local):
+        def assign(batches):
+            cm = bc_local.value
+            for pdf in batches:
+                vm = np.array(pdf[vec_alias].tolist(), dtype=np.float64)
+                vn = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+                yield pdf.assign(__cell=np.argmax(vn @ cm.T, axis=1).astype("int32"))
+
+        return assign
+
+    bc = sc.sparkContext.broadcast(cmat)
+    for _ in range(refine_iters):
+        assigned_i = c.mapInPandas(make_assign(bc), schema=schema)
+        means = (
+            assigned_i.select("__cell", F.posexplode(vec_alias).alias("__pos", "__val"))
+            .groupBy("__cell", "__pos")
+            .agg(
+                F.avg(F.col("__val").cast("decimal(38,12)")).cast("double").alias("m")
+            )
+            .collect()  # bounded: n_centroids x dim rows
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["__cell"], {})[r["__pos"]] = r["m"]
+        new = cmat.copy()
+        for cell, d in by_cell.items():  # empty cells keep their seed centroid
+            vec = np.array([d[p] for p in sorted(d)], dtype=np.float64)
+            n = np.linalg.norm(vec)
+            if n > 0:
+                new[cell] = vec / n
+        cmat = new
+        bc = sc.sparkContext.broadcast(cmat)
+
+    assigned = c.mapInPandas(make_assign(bc), schema=schema)
+    return assigned, cmat
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    refine_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
+    by embedding — KMeans-cluster the corpus, compare pairs only WITHIN each
+    cluster, and drop every item that has a lower-id neighbor with cosine ≥
+    ``threshold`` (one survivor per epsilon-ball, lowest id wins, matching
+    the paper's keep-one policy with a deterministic representative).
+
+    Returns the corpus with ``__cell`` and a boolean ``kept`` column.
+
+    Scale shape: the cluster assignment is a streaming numpy pass (no corpus
+    shuffle); the within-cluster pair generation is an equi-self-join on
+    ``__cell`` — the quadratic term is bounded per cluster, and the paper's
+    own scaling rule applies: grow n_clusters ∝ corpus size so cluster
+    population stays constant.  No all-pairs path exists in the plan."""
+    assigned, _ = kmeans_cells(
+        corpus,
+        n_centroids=n_clusters,
+        refine_iters=refine_iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        id_alias="__id",
+        vec_alias="__v",
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.__cell") == F.col("b.__cell"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .filter(cosine_similarity(F.col("a.__v"), F.col("b.__v")) >= threshold)
+        .select(F.col("b.__id").alias("__id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dominated.withColumn("__dom", F.lit(True)), "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__v").alias(vec_col),
+            "__cell",
+            F.coalesce(~F.col("__dom"), F.lit(True)).alias("kept"),
+        )
+    )

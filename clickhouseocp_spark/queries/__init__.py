@@ -54,6 +54,7 @@ def _load_all() -> None:
     """Import every query module so registration side effects run."""
     from clickhouseocp_spark.queries import (  # noqa: F401
         llm,
+        llm_curate,
         funnel_q,
         extras,
         mergetree_q,

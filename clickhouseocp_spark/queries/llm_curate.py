@@ -1,0 +1,246 @@
+"""Round-3 training-data curation tier: SemDeDup semantic dedup, FineWeb/
+Gopher repetition metrics, and an end-to-end RAG retrieval pass.
+
+These extend the LLM-pipeline operator family (driver north star) with the
+three curation shapes a 100 TB pipeline runs between raw crawl and tokenizer:
+semantic near-dup pruning over embeddings (SemDeDup, arXiv:2303.09540),
+document-level repetition quality gates (Gopher table A1 metrics, FineWeb's
+filter set), and retrieval-context assembly for RAG-style augmentation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.functions.text import whitespace_tokens, word_shingles
+from clickhouseocp_spark.operators.similarity import cosine_topk, semantic_dedup
+from clickhouseocp_spark.queries import register
+from clickhouseocp_spark.queries._util import fan_out
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_semdedup",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       TRUE AS planted_removed_ok,
+       TRUE AS one_survivor_per_group_ok
+FROM embeddings
+""",
+    tags=("llm", "dedup", "similarity"),
+)
+def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over originals ∪ planted ×2-scaled copies
+    (exact direction match → cosine 1.0): KMeans cells, within-cell cosine ≥
+    0.999, lowest-id survivor per epsilon-ball
+    (operators/similarity.semantic_dedup).
+
+    Cluster assignment is hash-seeded and engine-specific, so the
+    driver-checked output is the in-query contract (the agg_approx_distinct
+    pattern): every planted copy must be removed (its original shares the
+    exact direction, hence the same cell and a cosine-1.0 dominating pair)
+    and every {original, copy} group must keep exactly one member."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    corpus = emb.unionByName(scaled)
+    marked = semantic_dedup(corpus, threshold=0.999, n_clusters=16).cache()
+    n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
+    copies = marked.filter(F.col("vec_id") >= 1_000_000)
+    groups = marked.withColumn(
+        "grp", F.col("vec_id") % 1_000_000
+    ).groupBy("grp").agg(
+        F.sum(F.col("kept").cast("int")).alias("n_kept_in_grp")
+    )
+    summary = copies.agg(
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("copies_kept")
+    ).crossJoin(
+        groups.agg(
+            F.max(F.abs(F.col("n_kept_in_grp") - 1)).alias("max_grp_dev")
+        )
+    )
+    return n_vecs.crossJoin(summary).select(
+        "n_vecs",
+        (F.col("copies_kept") == 0).alias("planted_removed_ok"),
+        (F.col("max_grp_dev") == 0).alias("one_survivor_per_group_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher table A1 / FineWeb filter set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "repetition_metrics",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, length(text) AS n_chars, string_split(text, ' ') AS words
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(words), 1)),
+        i -> words[i] || ' ' || words[i+1])) AS g
+    FROM toks)
+  GROUP BY doc_id, g
+),
+top2 AS (
+  SELECT doc_id, g, cnt FROM (
+    SELECT doc_id, g, cnt,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g) AS rn
+    FROM bigrams) WHERE rn = 1
+),
+five AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(list_transform(
+        range(1, greatest(len(words) - 3, 1)),
+        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' '
+             || words[i+3] || ' ' || words[i+4])) AS g
+    FROM toks)
+  GROUP BY doc_id, g
+),
+dup5 AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cnt >= 2 THEN cnt * length(g) ELSE 0 END) AS BIGINT)
+           AS dup_chars
+  FROM five GROUP BY doc_id
+)
+SELECT t.doc_id,
+       ROUND(CAST(top2.cnt * length(top2.g) AS DOUBLE) / t.n_chars, 6)
+         AS top_bigram_char_frac,
+       ROUND(CAST(COALESCE(dup5.dup_chars, 0) AS DOUBLE) / t.n_chars, 6)
+         AS dup_5gram_char_frac
+FROM toks t
+JOIN top2 ON t.doc_id = top2.doc_id
+LEFT JOIN dup5 ON t.doc_id = dup5.doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb repetition gates: fraction of characters in the most
+    frequent word 2-gram and in duplicated word 5-grams (overlap-counted, as
+    in Gopher table A1) — the filters that catch boilerplate and
+    machine-generated loops that token-level stats miss.
+
+    Scale shape: shingles explode to (doc_id, gram) and immediately hash-agg
+    (map-side combine); both metrics come back to the document with
+    doc-id-keyed joins; gram strings never appear in a shuffle wider than the
+    per-doc count table.  Ties on the top bigram break lexicographically on
+    both engines."""
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", F.length("text").alias("n_chars"), whitespace_tokens(F.col("text")).alias("words")
+    )
+    d = d.cache()
+
+    def gram_counts(n: int) -> DataFrame:
+        return (
+            d.select("doc_id", F.explode(word_shingles(F.col("words"), n)).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g"))
+    top2 = (
+        gram_counts(2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("g").alias("g2"), F.col("cnt").alias("cnt2"))
+    )
+    dup5 = (
+        gram_counts(5)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_chars")
+        )
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(top2, "doc_id")
+        .join(dup5, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("cnt2") * F.length("g2")).cast("double") / F.col("n_chars"), 6
+            ).alias("top_bigram_char_frac"),
+            F.round(
+                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
+                / F.col("n_chars"),
+                6,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG retrieval-context assembly
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rag_retrieve_context",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.v, e.v)
+               / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(e.v, e.v))), 6) AS score
+  FROM e CROSS JOIN q
+  WHERE q.vec_id <> e.vec_id
+),
+topk AS (
+  SELECT query_id, neighbor_id, score, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= 3
+)
+SELECT t.query_id,
+       string_agg(substr(d.text, 1, 40), ' | ' ORDER BY t.rank) AS context,
+       CAST(COUNT(*) AS INTEGER) AS n_passages,
+       MIN(t.score) AS min_score
+FROM topk t JOIN documents d ON t.neighbor_id = d.doc_id
+GROUP BY t.query_id
+""",
+    tags=("llm", "similarity", "rag"),
+)
+def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG retrieval pass: exact cosine top-3 passages per query
+    vector (vec_id < 5), joined back to the documents table and assembled
+    into a rank-ordered context string — the retrieve-and-concat shape every
+    RAG pipeline runs before prompt assembly.
+
+    Scale shape: retrieval is the broadcast-query brute-force baseline (swap
+    in ivf_topk for the partition-pruned path at corpus scale); the passage
+    join is doc-id-keyed; context assembly is a bounded per-query
+    collect_list (k = 3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("neighbor_id"), F.substring("text", 1, 40).alias("passage")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    hits = cosine_topk(queries, emb, k=3).join(docs, "neighbor_id")
+    return hits.groupBy("query_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "passage"))),
+                lambda s: s.passage,
+            ),
+            " | ",
+        ).alias("context"),
+        F.count(F.lit(1)).cast("int").alias("n_passages"),
+        F.min("score").alias("min_score"),
+    )

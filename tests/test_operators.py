@@ -701,3 +701,45 @@ def test_mann_whitney_ranks_over_distinct_domain(spark, sf_dir):
     plan = formatted_plan(u)
     # an aggregate (distinct-value collapse) must appear below the window
     assert "HashAggregate" in plan and "Window" in plan
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def test_semantic_dedup_removes_planted_copies(spark, sf_dir):
+    """Planted exact-direction copies land in the same KMeans cell and must
+    be dominated by their lower-id originals; unrelated vectors survive."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").limit(200)
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(3.0).cast("float")).alias("embedding"),
+    )
+    marked = semantic_dedup(emb.unionByName(scaled), threshold=0.999, n_clusters=8)
+    rows = {r.vec_id: r.kept for r in marked.collect()}
+    n = len(rows) // 2
+    copies_kept = sum(1 for vid, kept in rows.items() if vid >= 1_000_000 and kept)
+    originals_kept = sum(1 for vid, kept in rows.items() if vid < 1_000_000 and kept)
+    assert copies_kept == 0          # every planted copy removed
+    assert originals_kept == n       # every original survives at tau=0.999
+
+
+def test_semantic_dedup_plan_has_no_cross_join(spark, sf_dir):
+    """The within-cluster pair join must be an equi-join on __cell — the
+    all-pairs cartesian shape must not appear anywhere in the plan."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.similarity import semantic_dedup
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    plan = formatted_plan(semantic_dedup(emb, threshold=0.99, n_clusters=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
