@@ -79,6 +79,13 @@ HEADLINE = [
     "q10_returned_items",
     "q18_large_volume",
     "q21_waiting_orders",
+    # round-3 curation + statistics tier: semantic dedup (KMeans cells +
+    # within-cell pairs), repetition quality gates (two shingle explodes),
+    # RAG retrieve-and-assemble, and the interval-sweep aggregate
+    "semantic_dedup_semdedup",
+    "repetition_metrics",
+    "rag_retrieve_context",
+    "max_intersections",
 ]
 
 

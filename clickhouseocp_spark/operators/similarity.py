@@ -427,10 +427,11 @@ def kmeans_cells(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     refine_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    target_cell_size: int = 64,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication
     by embedding — KMeans-cluster the corpus, compare pairs only WITHIN each
@@ -442,9 +443,15 @@ def semantic_dedup(
 
     Scale shape: the cluster assignment is a streaming numpy pass (no corpus
     shuffle); the within-cluster pair generation is an equi-self-join on
-    ``__cell`` — the quadratic term is bounded per cluster, and the paper's
-    own scaling rule applies: grow n_clusters ∝ corpus size so cluster
-    population stays constant.  No all-pairs path exists in the plan."""
+    ``__cell`` — the quadratic term is bounded per cluster.  The paper's
+    scaling rule (n_clusters ∝ corpus size, constant cluster population) is
+    the DEFAULT here: when ``n_clusters`` is None it is derived as
+    n / ``target_cell_size`` (floor 16), so per-cell pair counts stay
+    ~target_cell_size² regardless of corpus size; a fixed small n_clusters
+    over a growing corpus would re-grow the quadratic.  No all-pairs path
+    exists in the plan."""
+    if n_clusters is None:
+        n_clusters = max(16, corpus.count() // target_cell_size)
     assigned, _ = kmeans_cells(
         corpus,
         n_centroids=n_clusters,

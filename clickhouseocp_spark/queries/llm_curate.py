@@ -53,7 +53,7 @@ def semantic_dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     corpus = emb.unionByName(scaled)
-    marked = semantic_dedup(corpus, threshold=0.999, n_clusters=16).cache()
+    marked = semantic_dedup(corpus, threshold=0.999).cache()
     n_vecs = emb.agg(F.count(F.lit(1)).alias("n_vecs"))
     copies = marked.filter(F.col("vec_id") >= 1_000_000)
     groups = marked.withColumn(
