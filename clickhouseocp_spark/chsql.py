@@ -762,7 +762,6 @@ FUNC_RULES: dict[str, object] = {
     ),
     "monthName": lambda args: f"date_format({args[0]}, 'MMMM')",
     "toLastDayOfMonth": lambda args: f"last_day({args[0]})",
-    "toStartOfWeek": lambda args: f"cast(date_trunc('week', {args[0]}) as date)",
     "caseWithExpression": None,
     # aggregates
     "count": lambda args: f"count({', '.join(args)})" if args else "count(*)",

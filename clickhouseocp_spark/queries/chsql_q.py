@@ -1225,7 +1225,7 @@ GROUP BY month_name, week_start, month_end, n_dashes
     "chsql_vocab_r3",
     oracle="""
 SELECT monthname(o_orderdate) AS month_name,
-       CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start,
+       CAST(date_trunc('week', CAST(o_orderdate AS DATE) + 1) AS DATE) - 1 AS week_start,
        last_day(o_orderdate) AS month_end,
        CAST((length(o_orderpriority) - length(replace(o_orderpriority, '-', '')))
             AS BIGINT) AS n_dashes,
