@@ -48,7 +48,60 @@ class ChSparkEngine:
         the `clickhouse-local -q` surface, Dockefile-ubuntu:52) before
         planning; ``"spark"`` skips transpilation; ``"auto"`` (default) tries
         native Spark SQL first and falls back to the CH transpiler when
-        parsing/analysis rejects the text."""
+        parsing/analysis rejects the text.
+
+        Every call is recorded in ``system.query_log`` (the reference image
+        configures a `system.query_log` MergeTree table, Dockerfile:225-230);
+        see :meth:`system_query_log` for the logged columns."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        ok = True
+        try:
+            return self._sql_impl(query, dialect)
+        except Exception:
+            ok = False
+            raise
+        finally:
+            self._log_query(query, dialect, (_time.perf_counter() - t0) * 1e3, ok)
+
+    def _log_query(
+        self, query: str, dialect: str, duration_ms: float, ok: bool
+    ) -> None:
+        import time as _time
+
+        log = getattr(self, "_query_log", None)
+        if log is None:
+            log = self._query_log = []
+        head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+        log.append(
+            (
+                len(log) + 1,
+                _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime()),
+                head or "EMPTY",
+                query,
+                dialect,
+                round(duration_ms, 3),
+                "QueryFinish" if ok else "ExceptionWhileProcessing",
+            )
+        )
+
+    def system_query_log(self) -> DataFrame:
+        """`system.query_log` analog (Dockerfile:225-230 creates it as a
+        MergeTree table partitioned by toYYYYMM(event_date)).  Spark execution
+        is lazy, so ``query_duration_ms`` covers dispatch + parse + plan (the
+        driver-side cost); job execution happens at the caller's action.
+        Columns follow the CH names: type, event_time, query_kind, query,
+        query_duration_ms plus the engine-specific dialect tag."""
+        rows = list(getattr(self, "_query_log", []))
+        return self.spark.createDataFrame(
+            rows,
+            "query_id bigint, event_time string, query_kind string, "
+            "query string, dialect string, query_duration_ms double, "
+            "type string",
+        )
+
+    def _sql_impl(self, query: str, dialect: str = "auto") -> DataFrame:
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
@@ -93,6 +146,8 @@ class ChSparkEngine:
             )
         if "system." in query.lower() or "system_" in query.lower():
             self._ensure_system_views()
+            # the log grows per call → re-register fresh on every read
+            self.system_query_log().createOrReplaceTempView("system_query_log")
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)
             if df is None:
@@ -592,12 +647,20 @@ class ChSparkEngine:
         """`SELECT * FROM system.build_options` analog — the reference's own
         smoke check (Dockefile-ubuntu:52).  Engine version + the perf-relevant
         session configuration as a queryable DataFrame."""
+        def _conf(k: str) -> str:
+            # conf.get(k, default) type-checks the default against the conf's
+            # declared type (boolean confs reject "unset") → probe via try
+            try:
+                return str(self.spark.conf.get(k))
+            except Exception:
+                return "unset"
+
         confs = [
             ("engine", "spark"),
             ("version", self.spark.version),
             ("master", self.spark.sparkContext.master),
         ] + [
-            (k, self.spark.conf.get(k, "unset"))
+            (k, _conf(k))
             for k in (
                 "spark.sql.session.timeZone",
                 "spark.sql.adaptive.enabled",

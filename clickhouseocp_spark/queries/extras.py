@@ -940,3 +940,38 @@ def system_parts_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("table").alias("tbl"))
         .agg(F.sum("rows").cast("bigint").alias("n_rows"))
     )
+
+
+@register(
+    "system_query_log_audit",
+    oracle="""
+SELECT * FROM (VALUES
+  ('SELECT', 'clickhouse', 'QueryFinish', CAST(1 AS BIGINT), true),
+  ('SELECT', 'spark', 'QueryFinish', CAST(1 AS BIGINT), true),
+  ('SELECT', 'spark', 'ExceptionWhileProcessing', CAST(1 AS BIGINT), true)
+) AS t(query_kind, dialect, type, n, all_timed)
+""",
+    tags=("system",),
+)
+def system_query_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """system.query_log analog (the reference image creates query_log as a
+    MergeTree table, Dockerfile:225-230): run a fixed statement mix — a
+    CH-dialect SELECT, a Spark SELECT, and a failing SELECT — then read the
+    log back THROUGH the CH text path (system.query_log → the engine's
+    system_query_log view).  The oracle pins the exact (kind, dialect,
+    outcome) rows, proving both the logging and the system.* read surface."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("SELECT count() AS n FROM region", dialect="clickhouse").collect()
+    eng.sql("SELECT 1 AS one", dialect="spark").collect()
+    try:
+        eng.sql("SELECT no_such_column_xyz FROM region", dialect="spark")
+    except Exception:
+        pass
+    return eng.sql(
+        "SELECT query_kind, dialect, type, count() AS n, "
+        "min(query_duration_ms) >= 0 AS all_timed "
+        "FROM system.query_log GROUP BY query_kind, dialect, type",
+        dialect="clickhouse",
+    )

@@ -520,3 +520,24 @@ def test_explain_statement_family(spark, sf_dir):
     rows = {r.table: r for r in est.collect()}
     assert "lineitem" in rows and "orders" in rows
     assert rows["lineitem"].rows > 0 and rows["lineitem"].parts >= 1
+
+
+def test_query_log_records_statements(spark, sf_dir):
+    """system.query_log analog (Dockerfile:225-230): every sql() call is
+    logged with kind/dialect/duration/outcome; failures log too."""
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("SELECT count() AS n FROM region", dialect="clickhouse").collect()
+    try:
+        eng.sql("SELECT nope_col FROM region", dialect="spark")
+    except Exception:
+        pass
+    rows = {(r.query_kind, r.dialect, r.type) for r in eng.system_query_log().collect()}
+    assert ("SELECT", "clickhouse", "QueryFinish") in rows
+    assert ("SELECT", "spark", "ExceptionWhileProcessing") in rows
+    assert all(r.query_duration_ms >= 0 for r in eng.system_query_log().collect())
+    # readable through the CH text surface, and the read itself logs afterward
+    n = eng.sql(
+        "SELECT count() AS n FROM system.query_log", dialect="clickhouse"
+    ).collect()[0].n
+    assert n == 2
+    assert eng.system_query_log().count() == 3
