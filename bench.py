@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_simhash",
     "similarity_topk",
     "similarity_topk_ivf",
+    "similarity_topk_pq",
     "contamination_ngram_overlap",
     # dedup_cluster_components is oracle-gated at sf0.01, not benched: its
     # oracle-reproducible edge tier (exact Jaccard, lang-blocked) is
@@ -115,12 +116,14 @@ def _bench_fns(registry):
         dedup_minhash_lsh_pairs,
         dedup_simhash_pairs,
         similarity_topk_ivf_pairs,
+        similarity_topk_pq_pairs,
     )
 
     overrides = {
         "dedup_minhash_lsh": dedup_minhash_lsh_pairs,
         "dedup_simhash": dedup_simhash_pairs,
         "similarity_topk_ivf": similarity_topk_ivf_pairs,
+        "similarity_topk_pq": similarity_topk_pq_pairs,
     }
     return {
         n: overrides.get(n, registry[n].fn) for n in HEADLINE if n in registry

@@ -35,6 +35,7 @@ from clickhouseocp_spark.operators.similarity import (
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     ivf_topk,
+    pq_topk,
     srp_lsh_topk,
 )
 from clickhouseocp_spark.queries import register
@@ -451,6 +452,34 @@ def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     bf = cosine_topk(queries, emb, k=5)
     return _ann_recall_summary(similarity_topk_ivf_pairs(spark, sf_dir), bf, 0.3)
+
+
+def similarity_topk_pq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw PQ approximate top-5 stream (pytest protocol + bench)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=5, m_subspaces=8, n_codes=16, rerank_factor=8)
+
+
+@register(
+    "similarity_topk_pq",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+    tags=("llm", "similarity"),
+)
+def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via product quantization (8 subspaces x 16 codes,
+    ADC lookup scan + exact rerank of the 4k survivors — the quantization
+    half of FAISS-style IVF-PQ; operators/similarity.pq_topk).  Codebook
+    training is sample-dependent → the driver-checked output is the in-query
+    recall contract vs the exact brute-force baseline (bound 0.3; the exact
+    rerank tier makes measured recall much higher)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(queries, emb, k=5)
+    return _ann_recall_summary(similarity_topk_pq_pairs(spark, sf_dir), bf, 0.3)
 
 
 @register(

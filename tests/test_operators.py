@@ -743,3 +743,43 @@ def test_semantic_dedup_plan_has_no_cross_join(spark, sf_dir):
     plan = formatted_plan(semantic_dedup(emb, threshold=0.99, n_clusters=8))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_planted_duplicates_recalled_at_rank1(spark, sf_dir):
+    from clickhouseocp_spark.operators.similarity import pq_topk
+
+    # PQ codes are computed on L2-normalized vectors → a same-direction
+    # scaled copy gets the identical code word in every subspace, so its
+    # ADC score ties the query's own and exact rerank puts it at rank 1
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = pq_topk(queries, corpus, k=3, m_subspaces=8, rerank_factor=8)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert top1 == {q: q + 1_000_000 for q in top1}
+    assert len(top1) == queries.count()
+
+
+def test_pq_scores_are_exact_cosine_and_recall_bound(spark, sf_dir):
+    from clickhouseocp_spark.operators.similarity import cosine_topk, pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id): r.score
+        for r in cosine_topk(queries, emb, k=10**6).collect()
+    }
+    pq = pq_topk(queries, emb, k=5, m_subspaces=8, rerank_factor=8).collect()
+    assert len(pq) > 0
+    for r in pq:  # survivors are re-ranked with the exact metric
+        assert exact[(r.query_id, r.neighbor_id)] == r.score
+    bf5 = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    hits = sum((r.query_id, r.neighbor_id) in bf5 for r in pq)
+    assert hits / len(bf5) > 0.3
