@@ -382,3 +382,111 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .withColumn("jaccard", F.round("jaccard", 6))
     )
+
+
+def _bloom_positions(fp: Column, m_bits: int, k_hashes: int) -> Column:
+    """k deterministic bit positions for a fingerprint: pmod(xxhash64(fp, i),
+    m).  Seeded JVM-side (no Python in the hot path) and identical on build
+    and probe by construction."""
+    return F.array(
+        *[
+            F.pmod(F.xxhash64(fp, F.lit(i)), F.lit(m_bits)).cast("long")
+            for i in range(k_hashes)
+        ]
+    )
+
+
+def bloom_filter_build(
+    seen: DataFrame,
+    text_col: str = "text",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+):
+    """Distributed Bloom-filter build over the seen-corpus fingerprints.
+
+    Scale shape: positions are exploded and DISTINCT-ed (map-side partial),
+    then packed into 64-bit words by a (pos/64)-keyed bit_or agg — the
+    shuffle carries at most m_bits/64 rows regardless of corpus size, and
+    the driver collects a bounded m_bits/8-byte array (128 KiB at the 1 Mi
+    default).  Returns a numpy uint64 word array of length m_bits/64."""
+    import numpy as np
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    words = (
+        seen.select(
+            F.explode(_bloom_positions(fp, m_bits, k_hashes)).alias("pos")
+        )
+        .distinct()
+        .groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word"))
+        .collect()
+    )
+    bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bitmap[r.word_idx] = np.uint64(r.word)
+    return bitmap
+
+
+def bloom_dedup_incremental(
+    incoming: DataFrame,
+    seen: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 7,
+) -> DataFrame:
+    """Incremental dedup of a new batch against an already-ingested corpus
+    via a broadcast Bloom filter (the CCNet/web-pipeline shape: the seen
+    corpus is 100 TB, the nightly batch is small — an exact join of batch x
+    corpus is the wrong cost).
+
+    Plan: (1) build the Bloom bitmap from the seen fingerprints (bounded
+    m_bits/8 bytes, broadcast); (2) one streaming pass flags each incoming
+    row probable/clean — no false negatives by Bloom construction, so clean
+    rows are exactly-new with NO join; (3) only the probable fraction (true
+    dups + ~fp_rate of the batch) is verified with an exact fingerprint
+    semi-join against the corpus.  Output = incoming columns + ``is_dup``
+    (exact: Bloom false positives are removed by the verify tier) +
+    ``bloom_probable`` (the pre-verify flag, for FP-rate accounting).
+    """
+    import numpy as np
+    import pandas as pd
+
+    bitmap = bloom_filter_build(seen, text_col, m_bits, k_hashes)
+    sc = incoming.sparkSession
+    bc = sc.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _might_contain(positions):
+        bm = bc.value
+        pos = np.array(positions.tolist(), dtype=np.int64)
+        words = bm[pos >> 6]
+        bits = (words >> (pos & 63).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    # real (non-string) annotations: the module's `from __future__ import
+    # annotations` would otherwise defeat pandas_udf signature inference
+    _might_contain.__annotations__ = {"positions": pd.Series, "return": pd.Series}
+    might_contain = pandas_udf(_might_contain, "boolean")
+
+    fp = F.md5(normalize_text(F.col(text_col)))
+    flagged = incoming.withColumn("__fp", fp).withColumn(
+        "bloom_probable",
+        might_contain(_bloom_positions(F.col("__fp"), m_bits, k_hashes)),
+    )
+    seen_fps = seen.select(F.md5(normalize_text(F.col(text_col))).alias("__fp")).distinct()
+    probable = flagged.filter(F.col("bloom_probable"))
+    verified = probable.join(seen_fps, "__fp", "left_semi").select(
+        F.col(id_col).alias("__dup_id")
+    )
+    out = flagged.join(
+        F.broadcast(verified),
+        flagged[id_col] == F.col("__dup_id"),
+        "left",
+    ).select(
+        *incoming.columns,
+        "bloom_probable",
+        F.col("__dup_id").isNotNull().alias("is_dup"),
+    )
+    return out

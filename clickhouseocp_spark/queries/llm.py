@@ -1575,3 +1575,33 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "term", "tfidf", "rank")
     )
+
+
+@register(
+    "dedup_bloom_incremental",
+    oracle=r"""
+SELECT d.doc_id,
+       EXISTS (
+         SELECT 1 FROM documents s
+         WHERE s.doc_id % 2 = 0
+           AND md5(trim(regexp_replace(lower(s.text), '\s+', ' ', 'g')))
+             = md5(trim(regexp_replace(lower(d.text), '\s+', ' ', 'g')))
+       ) AS is_dup
+FROM documents d WHERE d.doc_id % 2 = 1
+""",
+    tags=("llm", "dedup"),
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-corpus dedup through a broadcast Bloom filter
+    (operators/dedup_text.bloom_dedup_incremental): odd doc_ids arrive as the
+    new batch, even doc_ids are the already-ingested corpus.  The Bloom tier
+    has no false negatives and the exact verify tier removes its false
+    positives, so the emitted ``is_dup`` flags are exact — the oracle recomputes
+    them with a plain EXISTS join."""
+    from clickhouseocp_spark.operators.dedup_text import bloom_dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    out = bloom_dedup_incremental(incoming, seen)
+    return out.select("doc_id", "is_dup")

@@ -783,3 +783,28 @@ def test_pq_scores_are_exact_cosine_and_recall_bound(spark, sf_dir):
     }
     hits = sum((r.query_id, r.neighbor_id) in bf5 for r in pq)
     assert hits / len(bf5) > 0.3
+
+
+def test_bloom_dedup_no_false_negatives_and_bounded_fp(spark, sf_dir):
+    from clickhouseocp_spark.operators.dedup_text import bloom_dedup_incremental
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    # incoming = fresh odd docs ∪ planted re-ingests of seen docs (new ids)
+    planted = seen.filter(F.col("doc_id") < 40).select(
+        (F.col("doc_id") + 1_000_001).alias("doc_id"), "text"
+    )
+    incoming = docs.filter(F.col("doc_id") % 2 == 1).unionByName(planted)
+    out = bloom_dedup_incremental(incoming, seen).collect()
+    n = len(out)
+    assert n == incoming.count()
+    # every planted re-ingest is recovered, and as an exact (verified) dup
+    planted_ids = {r.doc_id for r in planted.collect()}
+    assert planted_ids == {r.doc_id for r in out if r.doc_id in planted_ids and r.is_dup}
+    # Bloom has no false negatives: every exact dup was flagged probable
+    assert all(r.bloom_probable for r in out if r.is_dup)
+    # FP rate of the probable tier: with m=1Mi bits, k=7, |seen| ~ hundreds,
+    # the theoretical fp is ~0; allow a generous 5% margin
+    fps = sum(1 for r in out if r.bloom_probable and not r.is_dup)
+    assert fps / n < 0.05
+    assert any(r.is_dup for r in out) and any(not r.is_dup for r in out)
