@@ -1242,3 +1242,87 @@ def chsql_vocab_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     return df.withColumn("month_end", F.col("month_end").cast("date"))
+
+
+# --- round 3: the hard TPC-H quantifier queries through the TEXT path ------
+
+
+def _tpch_oracle(name: str) -> str:
+    from clickhouseocp_spark.queries import tpch
+
+    return getattr(tpch, name)
+
+
+@register(
+    "chsql_tpch_q21",
+    oracle=_tpch_oracle("_Q21_ORACLE"),
+    tags=("chsql", "tpch", "window"),
+)
+def chsql_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 as CH text (same adapted 'late >45 days' semantics as
+    queries/tpch.q21_waiting_orders): the EXISTS / NOT EXISTS supplier
+    quantifiers are expressed as per-order window counts; the text path
+    exercises CH if() + count() + window functions through the transpiler
+    in one statement."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH lat AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 max(if(l_shipdate > o_orderdate + INTERVAL 45 DAY, 1, 0)) AS is_late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY l_orderkey, l_suppkey
+        ),
+        marked AS (
+          SELECT ok, sk, is_late,
+                 count() OVER (PARTITION BY ok) AS n_supp,
+                 sum(is_late) OVER (PARTITION BY ok) AS n_late
+          FROM lat
+        )
+        SELECT s_name, count() AS numwait
+        FROM marked JOIN supplier ON s_suppkey = sk
+        WHERE is_late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q22",
+    oracle=_tpch_oracle("_Q22_ORACLE"),
+    tags=("chsql", "tpch", "anti"),
+)
+def chsql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 as CH text (same adapted semantics as
+    queries/tpch.q22_sales_opportunity): scalar above-average subquery +
+    NOT EXISTS anti quantifier + toDecimal64-routed float determinism, all
+    through the transpiler."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT cntrycode, count() AS numcust,
+               CAST(sum(toDecimal64(c_acctbal, 6)) AS Float64) AS totacctbal
+        FROM (
+          SELECT c_nationkey % 10 AS cntrycode, c_acctbal, c_custkey
+          FROM customer
+          WHERE (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+            AND c_acctbal > (
+              SELECT CAST(sum(toDecimal64(c_acctbal, 6)) AS Float64) / count()
+              FROM customer
+              WHERE c_acctbal > 0.0 AND (c_nationkey % 10) IN (1, 3, 5, 7, 9)
+            )
+        ) AS hot
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders
+          WHERE o_custkey = c_custkey
+            AND o_orderdate >= toDateTime('1999-01-01 00:00:00')
+        )
+        GROUP BY cntrycode
+        ORDER BY cntrycode
+        """,
+    )
