@@ -148,6 +148,10 @@ class ChSparkEngine:
             self._ensure_system_views()
             # the log grows per call → re-register fresh on every read
             self.system_query_log().createOrReplaceTempView("system_query_log")
+        if dialect == "prql":
+            from clickhouseocp_spark.prql import transpile_prql
+
+            return self.spark.sql(transpile_prql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)
             if df is None:

@@ -1326,3 +1326,41 @@ def chsql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY cntrycode
         """,
     )
+
+
+# --- round 3: PRQL pipeline dialect (reference ships the PRQL parser, A16) --
+
+
+@register(
+    "prql_pipeline",
+    oracle="""
+SELECT o_orderpriority, n, max_price FROM (
+  SELECT o_orderpriority, COUNT(*) AS n, MAX(o_totalprice) AS max_price
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  GROUP BY o_orderpriority
+) WHERE n > 10
+ORDER BY n DESC, o_orderpriority
+LIMIT 5
+""",
+    tags=("prql",),
+)
+def prql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A PRQL pipeline through ``dialect='prql'`` (the reference's Rust
+    build compiles the upstream PRQL parser in, Dockerfile:90-94): filter →
+    group/aggregate → post-aggregation filter → sort → take, with PRQL
+    sugar (@date literal, ==, `count this`, aggregation juxtaposition)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+from orders
+filter o_orderdate >= @1996-01-01T00:00:00
+group {o_orderpriority} (aggregate {n = count this, max_price = max o_totalprice})
+filter n > 10
+sort {-n, o_orderpriority}
+take 5
+""",
+        dialect="prql",
+    )

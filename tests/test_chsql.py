@@ -565,3 +565,40 @@ def test_chsql_fuzz_predicates(spark, sf_dir):
         if n_spark != n_duck:
             mismatches.append((seed, ch_pred, n_spark, n_duck))
     assert not mismatches, mismatches[:3]
+
+
+# --- PRQL dialect subset ----------------------------------------------------
+
+
+def test_prql_transpile_shapes():
+    from clickhouseocp_spark.prql import PrqlError, transpile_prql
+
+    out = transpile_prql("from t\nfilter a == 1\nderive {b = a * 2}\ntake 3")
+    assert "WHERE a = 1" in out and "a * 2 AS b" in out and out.endswith("LIMIT 3")
+    out = transpile_prql("from t | sort {-x, y} | take 2")
+    assert out.endswith("ORDER BY x DESC, y LIMIT 2")  # one query level
+    out = transpile_prql(
+        "from t\ngroup {k} (aggregate {n = count this, s = sum v})"
+    )
+    assert "count(*) AS n" in out and "sum(v) AS s" in out and "GROUP BY k" in out
+    out = transpile_prql("from t\nfilter ts > @2024-01-31")
+    assert "DATE '2024-01-31'" in out
+    out = transpile_prql("from a\njoin side:left b (a.id == b.id)")
+    assert "LEFT JOIN b ON a.id = b.id" in out
+    import pytest as _pytest
+
+    with _pytest.raises(PrqlError, match="from"):
+        transpile_prql("filter x > 1")
+    with _pytest.raises(PrqlError, match="transform"):
+        transpile_prql("from t\nwindow rows:-2..0 (derive m = avg x)")
+
+
+def test_prql_engine_roundtrip(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    rows = eng.sql(
+        "from region | derive {ln = length(r_name)} | sort {r_name} | take 2",
+        dialect="prql",
+    ).collect()
+    assert len(rows) == 2 and rows[0].ln == len(rows[0].r_name)
