@@ -212,3 +212,27 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), fsum("value", "sum_value")
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND a.event_type = 'click' AND b.event_type = 'purchase'
+ AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+""",
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (purchase within 30 min of a click, same
+    user) with watermark-bounded join state on both sides; equals the batch
+    interval join on the bounded stream
+    (streaming/pipeline.stream_stream_interval_join)."""
+    from clickhouseocp_spark.streaming.pipeline import stream_stream_interval_join
+
+    return run_available_now(
+        stream_stream_interval_join(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
