@@ -825,6 +825,57 @@ FUNC_RULES: dict[str, object] = {
         f"CAST(0 AS BIGINT)) + x)))"
     ),
     "arrayReduce": lambda args: _array_reduce(args),
+    # CH arrayFold((acc, x) -> e, arr, init) ↔ Spark aggregate(arr, init, λ)
+    "arrayFold": lambda args: f"aggregate({args[1]}, {args[2]}, {args[0]})",
+    "arrayAvg": lambda args: (
+        f"(aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / size({args[0]}))"
+    ),
+    "arrayMin": lambda args: f"array_min({args[-1]})",
+    "arrayMax": lambda args: f"array_max({args[-1]})",
+    "arrayProduct": lambda args: (
+        f"aggregate({args[0]}, CAST(1 AS DOUBLE), (acc, x) -> acc * x)"
+    ),
+    "arrayFirst": lambda args: f"try_element_at(filter({args[1]}, {args[0]}), 1)",
+    "arrayLast": lambda args: f"try_element_at(filter({args[1]}, {args[0]}), -1)",
+    # CH returns 0 when no element matches — exactly array_position's miss value
+    "arrayFirstIndex": lambda args: f"array_position(transform({args[1]}, {args[0]}), true)",
+    "arrayPushBack": lambda args: f"array_append({args[0]}, {args[1]})",
+    "arrayPushFront": lambda args: f"array_prepend({args[0]}, {args[1]})",
+    "arrayPopBack": lambda args: f"slice({args[0]}, 1, greatest(size({args[0]}) - 1, 0))",
+    "arrayPopFront": lambda args: f"slice({args[0]}, 2, greatest(size({args[0]}) - 1, 0))",
+    "arrayIntersect": lambda args: _nest_binary("array_intersect", args),
+    "arrayDotProduct": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    ),
+    "L2Norm": lambda args: (
+        f"sqrt(aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+    ),
+    "L2Distance": lambda args: (
+        f"sqrt(aggregate(zip_with({args[0]}, {args[1]}, "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST(0 AS DOUBLE), (acc, v) -> acc + v))"
+    ),
+    "cosineDistance": lambda args: (
+        f"(1 - aggregate(zip_with({args[0]}, {args[1]}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+        f" / (sqrt(aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
+        f" * sqrt(aggregate({args[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))))"
+    ),
+    # -ForEach combinator: element-wise aggregation across rows of arrays —
+    # collect_list + a zip_with fold (ragged rows pad with 0, CH semantics)
+    "sumForEach": lambda args: (
+        f"aggregate(collect_list({args[0]}), CAST(NULL AS ARRAY<DOUBLE>), "
+        f"(__acc, __a) -> if(__acc IS NULL, "
+        f"transform(__a, __v -> CAST(__v AS DOUBLE)), "
+        f"zip_with(__acc, __a, (__p, __q) -> coalesce(__p, CAST(0 AS DOUBLE)) "
+        f"+ coalesce(CAST(__q AS DOUBLE), CAST(0 AS DOUBLE)))))"
+    ),
+    "mapKeys": _rename("map_keys"),
+    "mapValues": _rename("map_values"),
+    "mapContains": _rename("map_contains_key"),
+    "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",
     "range": lambda args: (
         f"sequence(0, ({args[0]}) - 1)" if len(args) == 1
         else f"sequence({args[0]}, ({args[1]}) - 1" + (f", {args[2]}" if len(args) > 2 else "") + ")"
@@ -960,6 +1011,14 @@ _ARRAY_REDUCE = {
     "uniqexact": lambda a: f"size(array_distinct({a}))",
     "any": lambda a: f"element_at({a}, 1)",
 }
+
+
+def _nest_binary(fn: str, args: list[str]) -> str:
+    """n-ary CH function ↔ nested binary Spark calls (arrayIntersect...)."""
+    out = args[0]
+    for a in args[1:]:
+        out = f"{fn}({out}, {a})"
+    return out
 
 
 def _array_reduce(args: list[str]) -> str:

@@ -1364,3 +1364,97 @@ take 5
 """,
         dialect="prql",
     )
+
+
+@register(
+    "chsql_array_vocab2",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), s -> CAST(length(s) AS BIGINT)) AS arr
+  FROM documents WHERE length(text) > 0 AND doc_id < 50
+)
+SELECT doc_id,
+       list_aggregate(arr, 'sum') AS fold_sum,
+       list_aggregate(arr, 'min') AS mn,
+       list_aggregate(arr, 'max') AS mx,
+       ROUND(CAST(list_aggregate(arr, 'sum') AS DOUBLE) / len(arr), 6) AS avg_len,
+       list_filter(arr, x -> x > 5)[1] AS first_gt5,
+       COALESCE(list_position(list_transform(arr, x -> x > 5), true), 0) AS first_gt5_idx,
+       ROUND(list_aggregate(list_transform(arr[1:3], x -> CAST(x AS DOUBLE)), 'product'), 6) AS prod3,
+       ROUND(list_dot_product(list_transform(arr, x -> CAST(x AS DOUBLE)),
+                              list_transform(arr, x -> CAST(x + 1 AS DOUBLE))), 6) AS dot_next,
+       ROUND(sqrt(list_aggregate(list_transform(arr, x -> CAST(x * x AS DOUBLE)), 'sum')), 6) AS l2
+FROM t
+""",
+    tags=("chsql", "array"),
+)
+def chsql_array_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-3 array vocabulary through the TEXT path: arrayFold, arrayMin /
+    arrayMax / arrayAvg, arrayFirst / arrayFirstIndex (CH 0-on-miss
+    semantics), arrayProduct, arrayDotProduct, L2Norm — each lowered to a
+    built-in higher-order Spark expression (no UDFs)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+          SELECT doc_id,
+                 arrayMap(s -> toInt64(length(s)), splitByChar(' ', text)) AS arr
+          FROM documents WHERE length(text) > 0 AND doc_id < 50
+        )
+        SELECT doc_id,
+               arrayFold((acc, x) -> acc + x, arr, toInt64(0)) AS fold_sum,
+               arrayMin(arr) AS mn,
+               arrayMax(arr) AS mx,
+               round(arrayAvg(arr), 6) AS avg_len,
+               arrayFirst(x -> x > 5, arr) AS first_gt5,
+               arrayFirstIndex(x -> x > 5, arr) AS first_gt5_idx,
+               round(arrayProduct(arraySlice(arr, 1, 3)), 6) AS prod3,
+               round(arrayDotProduct(arr, arrayMap(x -> x + 1, arr)), 6) AS dot_next,
+               round(L2Norm(arr), 6) AS l2
+        FROM t
+        """,
+    )
+
+
+@register(
+    "chsql_sum_foreach",
+    oracle="""
+WITH t AS (
+  SELECT lang,
+         list_transform(string_split(text, ' '),
+                        s -> CAST(length(s) AS BIGINT))[1:3] AS a3
+  FROM documents WHERE length(text) > 0
+)
+SELECT lang, array_to_string(list(s ORDER BY pos), ',') AS elementwise_sums
+FROM (
+  SELECT lang, pos, CAST(CAST(SUM(v) AS BIGINT) AS VARCHAR) AS s
+  FROM (
+    SELECT lang, unnest(a3) AS v, generate_subscripts(a3, 1) AS pos FROM t
+  ) GROUP BY lang, pos
+) GROUP BY lang
+""",
+    tags=("chsql", "agg", "array"),
+)
+def chsql_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The -ForEach combinator (sumForEach: element-wise sums across rows of
+    arrays) through the TEXT path — lowered to collect_list + a zip_with
+    fold, ragged rows padded with zero (CH semantics).  Output stringified
+    (driver canonicalizer contract: no array-typed top-level columns)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH t AS (
+          SELECT lang,
+                 arraySlice(arrayMap(s -> toInt64(length(s)),
+                            splitByChar(' ', text)), 1, 3) AS a3
+          FROM documents WHERE length(text) > 0
+        )
+        SELECT lang,
+               arrayStringConcat(arrayMap(x -> toString(toInt64(x)),
+                                 sumForEach(a3)), ',') AS elementwise_sums
+        FROM t GROUP BY lang
+        """,
+    )
