@@ -236,3 +236,29 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_stream_interval_join(events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+@register(
+    "stream_upsert_latest",
+    oracle="""
+SELECT user_id, event_id, event_type FROM (
+  SELECT user_id, event_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+    tags=("streaming", "mergetree"),
+)
+def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ReplacingMergeTree: foreachBatch merges each micro-batch
+    into a parquet target keeping the latest (ts, event_id) row per user —
+    the upserted table equals the batch latest-per-key query
+    (streaming/pipeline.foreach_batch_upsert)."""
+    import tempfile
+
+    from clickhouseocp_spark.streaming.pipeline import foreach_batch_upsert
+
+    target = tempfile.mkdtemp(prefix="upsert_tgt_") + "/t"
+    foreach_batch_upsert(events_stream(spark, sf_dir), target)
+    return spark.read.parquet(target).select("user_id", "event_id", "event_type")

@@ -306,3 +306,60 @@ def stream_stream_interval_join(
         F.col("l_id").alias("click_id"),
         F.col("r_id").alias("purchase_id"),
     )
+
+
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_dir: str,
+    key_col: str = "user_id",
+    version_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> str:
+    """ReplacingMergeTree as a streaming SINK: every micro-batch is merged
+    into a parquet target keeping the max-(version, tiebreak) row per key —
+    the ``foreachBatch`` upsert pattern (exactly-once per batch: the merge
+    is deterministic and idempotent, re-running a replayed batch converges
+    to the same table).
+
+    Merge = read current target ∪ batch → one max_by hash agg per key →
+    write to a fresh directory → atomic swap.  At scale the same shape runs
+    against a partitioned table with dynamic partition overwrite, merging
+    only the partitions the batch touches.  Returns ``target_dir``."""
+    import os
+    import shutil
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        cols = batch_df.columns
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            current = spark.read.parquet(target_dir)
+            unioned = current.unionByName(batch_df)
+        else:
+            unioned = batch_df
+        folded = (
+            unioned.groupBy(key_col)
+            .agg(
+                F.max_by(
+                    F.struct(*[c for c in cols if c != key_col]),
+                    F.struct(version_col, tiebreak_col),
+                ).alias("__row")
+            )
+            .select(
+                key_col,
+                *[F.col(f"__row.{c}").alias(c) for c in cols if c != key_col],
+            )
+        )
+        tmp = target_dir + f".batch{batch_id}"
+        folded.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(tmp, target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return target_dir
