@@ -1458,3 +1458,61 @@ def chsql_sum_foreach(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t GROUP BY lang
         """,
     )
+
+
+@register(
+    "chsql_tpch_q17",
+    oracle=_tpch_oracle("_Q17_ORACLE"),
+    tags=("chsql", "tpch", "subquery"),
+)
+def chsql_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 as CH text (same adapted semantics as
+    queries/tpch.q17_small_quantity): a correlated scalar AVG subquery —
+    Catalyst decorrelates it into the grouped-agg + join plan the DataFrame
+    version builds by hand; decimal-routed threshold for engine-independent
+    comparison."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(sum(toDecimal64(l_extendedprice, 6)) AS Float64) / 7.0
+               AS avg_yearly
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey AND p_brand = 'Brand#3' AND p_type = 'MEDIUM'
+          AND l_quantity < (
+            SELECT 0.2 * (CAST(sum(toDecimal64(l_quantity, 6)) AS Float64) / count())
+            FROM lineitem WHERE l_partkey = p_partkey
+          )
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q15",
+    oracle=_tpch_oracle("_Q15_ORACLE"),
+    tags=("chsql", "tpch", "subquery"),
+)
+def chsql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 as CH text (same adapted semantics as
+    queries/tpch.q15_top_supplier): the spec's CREATE VIEW as a CTE, a MAX
+    scalar subquery over it, exact-decimal revenue equality."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6))
+                      AS Float64) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= toDateTime('1996-01-01 00:00:00')
+            AND l_shipdate < toDateTime('1996-04-01 00:00:00')
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, revenue
+        WHERE s_suppkey = supplier_no
+          AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+        """,
+    )

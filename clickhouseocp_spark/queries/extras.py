@@ -975,3 +975,47 @@ def system_query_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM system.query_log GROUP BY query_kind, dialect, type",
         dialect="clickhouse",
     )
+
+
+@register(
+    "window_vocab_extras",
+    oracle="""
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       ROUND(percent_rank() OVER w, 6) AS pr,
+       ROUND(cume_dist() OVER w, 6) AS cd,
+       nth_value(o_orderkey, 2) OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice DESC, o_orderkey
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS second_key,
+       first_value(o_orderkey) OVER w AS top_key,
+       last_value(o_orderkey) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice DESC, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND UNBOUNDED FOLLOWING) AS bottom_key
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+""",
+    tags=("window",),
+)
+def window_vocab_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining ANSI window-function vocabulary (ClickHouse ships all of
+    these): ntile, percent_rank, cume_dist, nth_value, first/last_value with
+    an explicit full frame (the default frame ends at CURRENT ROW — the
+    classic last_value trap, pinned here on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_head = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 2).over(w_head).alias("second_key"),
+        F.first("o_orderkey").over(w).alias("top_key"),
+        F.last("o_orderkey").over(w_full).alias("bottom_key"),
+    )
