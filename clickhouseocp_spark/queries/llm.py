@@ -1605,3 +1605,30 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     out = bloom_dedup_incremental(incoming, seen)
     return out.select("doc_id", "is_dup")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT d.doc_id, gs.i AS frame_idx,
+       sha256(d.text || '#' || CAST(gs.i AS VARCHAR)) AS frame_sha
+FROM documents d,
+     LATERAL (
+       SELECT unnest(generate_series(0, octet_length(encode(d.text)) % 4)) AS i
+     ) gs
+WHERE d.doc_id < 100
+""",
+    tags=("llm", "multimodal"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out over binary payloads
+    (sources/multimodal.sample_media_frames): mapInPandas explodes each
+    payload to its sampled frames inside the scan partition — no shuffle.
+    The deterministic stand-in digests are replayed by the oracle in plain
+    SQL, so the driver fully value-checks the fan-out (row multiplicity,
+    indices, digests)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    payloads = attach_binary_payload(docs, "text", "doc_id", "video/fake")
+    from clickhouseocp_spark.sources.multimodal import sample_media_frames
+
+    return sample_media_frames(payloads)

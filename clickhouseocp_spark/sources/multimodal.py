@@ -81,3 +81,87 @@ def extract_media_meta(
             )
 
     return df.mapInPandas(meta, schema=schema)
+
+
+def sample_media_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_frames: int = 4,
+) -> DataFrame:
+    """Video frame-sampling plumbing: each binary payload fans out to its
+    sampled frames via ``mapInPandas`` — the iterator-of-batches seam a real
+    decoder (pyav/ffmpeg) plugs into.  The deterministic stand-in derives
+    ``1 + n_bytes % max_frames`` frames and a sha256 frame digest of
+    (payload ‖ '#' ‖ index) — stable across runs/executors AND replayable in
+    plain SQL, so the fan-out is fully oracle-checkable.
+
+    Scale shape: the fan-out happens inside the scan partition (no shuffle);
+    emitted rows carry only the digest, never the frame tensor — at 100 TB a
+    real pipeline would write frames columnar per partition the same way."""
+    import pandas as pd
+
+    schema = f"{id_col} long, frame_idx int, frame_sha string"
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, shas = [], [], []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                n = 1 + len(p) % max_frames
+                for j in range(n):
+                    ids.append(i)
+                    idxs.append(j)
+                    shas.append(
+                        hashlib.sha256(p + b"#" + str(j).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "frame_sha": shas}
+            )
+
+    return df.mapInPandas(frames, schema=schema)
+
+
+def resize_image(
+    payload: bytes, width: int, height: int, fake: bool = False
+) -> bytes:
+    """STUB: resize an image payload to (width, height).
+
+    Real resizing needs PIL/libvips (absent in this container).  With
+    ``fake=True`` the stand-in emits a deterministic pseudo-bitmap — a
+    sha256-keyed byte stream of exactly width*height bytes — so the batch
+    shapes, sizes, and downstream hashing are all real."""
+    if not fake:
+        raise NotImplementedError(
+            "image resizing requires PIL/libvips; run with fake=True for the "
+            "deterministic stand-in"
+        )
+    seed = hashlib.sha256(payload + b"@" + f"{width}x{height}".encode()).digest()
+    reps = (width * height) // len(seed) + 1
+    return (seed * reps)[: width * height]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch resize over binary payloads (mapInPandas, fake decoder): emits
+    (id, resized payload, n_bytes) with the real Arrow batch shape."""
+    import pandas as pd
+
+    schema = f"{id_col} long, resized binary, n_bytes long"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [resize_image(p, width, height, fake=True) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "resized": out,
+                    "n_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema)

@@ -808,3 +808,23 @@ def test_bloom_dedup_no_false_negatives_and_bounded_fp(spark, sf_dir):
     fps = sum(1 for r in out if r.bloom_probable and not r.is_dup)
     assert fps / n < 0.05
     assert any(r.is_dup for r in out) and any(not r.is_dup for r in out)
+
+
+def test_resize_images_deterministic_shape(spark, sf_dir):
+    from clickhouseocp_spark.sources.multimodal import (
+        attach_binary_payload,
+        resize_image,
+        resize_images,
+    )
+    import pytest as _pytest
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    payloads = attach_binary_payload(docs, "text", "doc_id")
+    out = resize_images(payloads, 32, 16).collect()
+    assert len(out) == docs.count()
+    assert all(r.n_bytes == 32 * 16 for r in out)
+    # deterministic across runs
+    again = {r.doc_id: bytes(r.resized) for r in resize_images(payloads, 32, 16).collect()}
+    assert all(bytes(r.resized) == again[r.doc_id] for r in out)
+    with _pytest.raises(NotImplementedError):
+        resize_image(b"xx", 4, 4)
