@@ -769,6 +769,20 @@ FUNC_RULES: dict[str, object] = {
     "anyLast": _rename("any_value"),
     "argMin": _rename("min_by"), "argMax": _rename("max_by"),
     "uniq": _rename("approx_count_distinct"),
+    "uniqTheta": _rename("approx_count_distinct"),
+    # -OrNull combinator: NULL on the empty set — Spark's agg default for
+    # sum/min/max/avg/any already IS null on empty; count needs nullif
+    "sumOrNull": _rename("sum"),
+    "minOrNull": _rename("min"),
+    "maxOrNull": _rename("max"),
+    "avgOrNull": _rename("avg"),
+    "anyOrNull": _rename("any_value"),
+    "countOrNull": lambda args: (
+        f"nullif(count({', '.join(args) if args else '*'}), 0)"
+    ),
+    # -Distinct combinator
+    "sumDistinct": lambda args: f"sum(DISTINCT {args[0]})",
+    "avgDistinct": lambda args: f"avg(DISTINCT {args[0]})",
     "uniqCombined": _rename("approx_count_distinct"),
     "uniqHLL12": _rename("approx_count_distinct"),
     "uniqExact": lambda args: f"count(DISTINCT {', '.join(args)})",

@@ -645,6 +645,10 @@ class ChSparkEngine:
         self.system_functions().createOrReplaceTempView("system_functions")
         self.system_build_options().createOrReplaceTempView("system_build_options")
         self.system_parts().createOrReplaceTempView("system_parts")
+        # system.one: the 1-row constant table CH uses for FROM-less probes
+        self.spark.createDataFrame(
+            [(0,)], "dummy tinyint"
+        ).createOrReplaceTempView("system_one")
         self._system_views_done = True
 
     def system_build_options(self) -> DataFrame:

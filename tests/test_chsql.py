@@ -602,3 +602,19 @@ def test_prql_engine_roundtrip(spark, sf_dir):
         dialect="prql",
     ).collect()
     assert len(rows) == 2 and rows[0].ln == len(rows[0].r_name)
+
+
+def test_ornull_distinct_theta_combinators():
+    from clickhouseocp_spark.chsql import transpile
+
+    out = transpile("SELECT sumOrNull(x), countOrNull(x), avgDistinct(x), uniqTheta(x) FROM t")
+    assert "sum(x)" in out and "nullif(count(x), 0)" in out
+    assert "avg(DISTINCT x)" in out and "approx_count_distinct(x)" in out
+
+
+def test_system_one_probe(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    rows = eng.sql("SELECT dummy FROM system.one", dialect="clickhouse").collect()
+    assert len(rows) == 1 and rows[0].dummy == 0
