@@ -101,12 +101,51 @@ class ChSparkEngine:
             "type string",
         )
 
+    #: CH session settings with a direct Spark-conf analog; everything else
+    #: is accepted and recorded (CH tolerates hundreds of settings — erroring
+    #: would break real ops scripts), queryable via getattr(eng, 'settings')
+    _SETTING_MAP = {
+        "max_threads": "spark.sql.shuffle.partitions",
+        "session_timezone": "spark.sql.session.timeZone",
+        "timezone": "spark.sql.session.timeZone",
+    }
+
+    def _set_statement(self, query: str) -> DataFrame:
+        """``SET name = value`` (the clickhouse-client session-settings
+        surface; the reference image's profiles set these same knobs,
+        Dockerfile:246-252).  ``SET dialect = 'prql'|'clickhouse'`` switches
+        the auto-path default, mirroring upstream's PRQL toggle."""
+        import re as _re
+
+        from clickhouseocp_spark.chsql import ChSqlError
+
+        m = _re.match(
+            r"(?is)^SET\s+(\w+)\s*=\s*('[^']*'|\S+?)\s*;?\s*$", query.strip()
+        )
+        if not m:
+            raise ChSqlError(f"cannot parse SET statement: {query!r}")
+        name, value = m.group(1).lower(), m.group(2).strip().strip("'")
+        if not hasattr(self, "settings"):
+            self.settings: dict[str, str] = {}
+        self.settings[name] = value
+        if name == "dialect":
+            self._default_dialect = value
+        elif name in self._SETTING_MAP:
+            self.spark.conf.set(self._SETTING_MAP[name], value)
+        return self.spark.createDataFrame(
+            [(name, value)], "setting string, value string"
+        ).limit(0)
+
     def _sql_impl(self, query: str, dialect: str = "auto") -> DataFrame:
+        if dialect == "auto" and getattr(self, "_default_dialect", None):
+            dialect = self._default_dialect  # SET dialect = '...'
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
                     "ATTACH", "DETACH"):
             return self.execute(query)
+        if head == "SET":
+            return self._set_statement(query)
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW TABLES":
             return self.system_tables()
         if head == "SHOW" and query.strip().upper().rstrip(";") == "SHOW DATABASES":

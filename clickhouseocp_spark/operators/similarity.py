@@ -461,6 +461,10 @@ def semantic_dedup(
         id_alias="__id",
         vec_alias="__v",
     )
+    # the assignment pass (mapInPandas over the corpus) feeds THREE branches
+    # (both self-join sides + the final left join) — persist it once instead
+    # of recomputing the Python kernel per branch
+    assigned = assigned.persist()
     a, b = assigned.alias("a"), assigned.alias("b")
     dominated = (
         a.join(

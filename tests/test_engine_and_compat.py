@@ -541,3 +541,21 @@ def test_query_log_records_statements(spark, sf_dir):
     ).collect()[0].n
     assert n == 2
     assert eng.system_query_log().count() == 3
+
+
+def test_set_statement_and_prql_dialect_toggle(spark, sf_dir):
+    """SET name = value (profiles surface, Dockerfile:246-252) + upstream's
+    `SET dialect = 'prql'` toggle routing the auto path."""
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("SET max_threads = 8")
+    assert eng.settings["max_threads"] == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    eng.sql("SET max_memory_usage = 10000000000")  # recorded, no conf analog
+    assert eng.settings["max_memory_usage"] == "10000000000"
+    eng.sql("SET dialect = 'prql'")
+    rows = eng.sql("from region | take 2").collect()  # auto → prql
+    assert len(rows) == 2
+    eng.sql("SET dialect = 'clickhouse'")
+    n = eng.sql("SELECT count() AS n FROM region").collect()[0].n
+    assert n == eng.sql("SELECT count(*) AS n FROM region", dialect="spark").collect()[0].n
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
