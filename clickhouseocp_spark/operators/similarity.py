@@ -487,6 +487,48 @@ def semantic_dedup(
     )
 
 
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    corpus_id: str,
+    corpus_vec: str,
+    m_subspaces: int,
+    n_codes: int,
+    train_sample: int,
+    lloyd_iters: int,
+):
+    """Train per-subspace PQ codebooks on a deterministic hash-sample of the
+    corpus (driver-side numpy on <= train_sample vectors — the standard
+    bounded-sample PQ training; no RNG state anywhere).  Returns
+    (codebooks[m, K, d_sub], d_sub)."""
+    import numpy as np
+
+    rows = (
+        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
+        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
+        .limit(train_sample)
+        .collect()
+    )
+    X = np.array([r.v for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    dim = X.shape[1]
+    if dim % m_subspaces:
+        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
+    d_sub = dim // m_subspaces
+    codebooks = np.zeros((m_subspaces, n_codes, d_sub))
+    for mi in range(m_subspaces):
+        sub = X[:, mi * d_sub : (mi + 1) * d_sub]
+        cb = sub[: n_codes].copy()  # hash-ordered sample = deterministic init
+        for _ in range(lloyd_iters):
+            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+            assign = d2.argmin(1)
+            for j in range(n_codes):
+                pts = sub[assign == j]
+                if len(pts):
+                    cb[j] = pts.mean(0)
+        codebooks[mi] = cb
+    return codebooks, d_sub
+
+
 def pq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -522,30 +564,9 @@ def pq_topk(
     import numpy as np
     import pandas as pd
 
-    rows = (
-        corpus.select(F.col(corpus_id).alias("id"), F.col(corpus_vec).alias("v"))
-        .orderBy(F.xxhash64(F.col("id")), F.col("id"))
-        .limit(train_sample)
-        .collect()
+    codebooks, d_sub = _train_pq_codebooks(
+        corpus, corpus_id, corpus_vec, m_subspaces, n_codes, train_sample, lloyd_iters
     )
-    X = np.array([r.v for r in rows], dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
-    dim = X.shape[1]
-    if dim % m_subspaces:
-        raise ValueError(f"dim {dim} not divisible by m_subspaces {m_subspaces}")
-    d_sub = dim // m_subspaces
-    codebooks = np.zeros((m_subspaces, n_codes, d_sub))
-    for mi in range(m_subspaces):
-        sub = X[:, mi * d_sub : (mi + 1) * d_sub]
-        cb = sub[: n_codes].copy()  # hash-ordered sample = deterministic init
-        for _ in range(lloyd_iters):
-            d2 = ((sub[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(1)
-            for j in range(n_codes):
-                pts = sub[assign == j]
-                if len(pts):
-                    cb[j] = pts.mean(0)
-        codebooks[mi] = cb
 
     sc = queries.sparkSession
     bc_cb = sc.sparkContext.broadcast(codebooks)
@@ -623,6 +644,133 @@ def pq_topk(
         schema=f"query_id long, __qv {vec_t}",
     )
     scored = survivors.join(F.broadcast(qdf), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    train_sample: int = 256,
+    lloyd_iters: int = 5,
+    rerank_factor: int = 8,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ: the full FAISS-style composition — an IVF coarse quantizer
+    prunes the corpus to the query's ``n_probe`` cells, a PQ/ADC scan ranks
+    the probed candidates with m table lookups per vector, and an exact
+    cosine rerank of the top ``k * rerank_factor`` survivors restores full
+    precision (Jegou et al. 2011 §IV; deviation: codes are built on the
+    normalized vectors, not residuals — documented, inner-product regime).
+
+    Scale shape: cell pruning = partition pruning when the corpus is laid
+    out by ``__cell``; the candidate join broadcasts only (query, cell,
+    LUT-id) probes; the ADC kernel touches m bytes per candidate; the only
+    full-dim dot products are the k * rerank_factor rerank rows per query.
+    Returns (query_id, neighbor_id, score, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    assigned, cmat = kmeans_cells(
+        corpus,
+        n_centroids=n_centroids,
+        refine_iters=1,
+        id_col=corpus_id,
+        vec_col=corpus_vec,
+        id_alias="neighbor_id",
+        vec_alias="__cv",
+    )
+    codebooks, d_sub = _train_pq_codebooks(
+        corpus, corpus_id, corpus_vec, m_subspaces, n_codes, train_sample, lloyd_iters
+    )
+    sc = queries.sparkSession
+    bc_cb = sc.sparkContext.broadcast(codebooks)
+
+    qrows = queries.select(
+        F.col(query_id).alias("id"), F.col(query_vec).alias("v")
+    ).collect()  # bounded by contract (same as ivf_topk / pq_topk)
+    qmat = np.array([r.v for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    luts = np.einsum(
+        "qmd,mjd->qmj", qmat.reshape(len(qrows), m_subspaces, d_sub), codebooks
+    )
+    bc_lut = sc.sparkContext.broadcast(luts)
+    probe_order = np.argsort(-(qmat @ cmat.T), axis=1)[:, :n_probe]
+    vec_t = corpus.schema[corpus_vec].dataType.simpleString()
+    probes = pd.DataFrame(
+        {
+            "query_id": [r.id for r in qrows for _ in range(n_probe)],
+            "__qi": [qi for qi in range(len(qrows)) for _ in range(n_probe)],
+            "__qv": [list(r.v) for r in qrows for _ in range(n_probe)],
+            "__cell": probe_order.astype("int32").ravel(),
+        }
+    )
+    qdf = sc.createDataFrame(
+        probes, schema=f"query_id long, __qi int, __qv {vec_t}, __cell int"
+    )
+    cand = assigned.join(F.broadcast(qdf), "__cell")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("neighbor_id"))
+
+    keep = k * rerank_factor
+    out_schema = (
+        f"query_id long, neighbor_id long, __approx double, __qv {vec_t}, __cv {vec_t}"
+    )
+
+    def adc(batches):
+        cb = bc_cb.value
+        lt = bc_lut.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vm = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sub = vm.reshape(len(vm), m_subspaces, d_sub)
+            codes = np.stack(
+                [
+                    ((sub[:, mi, None, :] - cb[mi][None, :, :]) ** 2)
+                    .sum(-1)
+                    .argmin(1)
+                    for mi in range(m_subspaces)
+                ],
+                axis=1,
+            )
+            qi = pdf["__qi"].to_numpy()
+            approx = np.zeros(len(pdf))
+            for mi in range(m_subspaces):
+                approx += lt[qi, mi, codes[:, mi]]
+            pdf = pdf.assign(__approx=approx)
+            # per-batch per-query pre-cut bounds what the window shuffle sees
+            pdf = (
+                pdf.sort_values(["query_id", "__approx"], ascending=[True, False])
+                .groupby("query_id", sort=False)
+                .head(keep)
+            )
+            yield pdf[["query_id", "neighbor_id", "__approx", "__qv", "__cv"]]
+
+    scored_cand = cand.mapInPandas(adc, schema=out_schema)
+    w_a = Window.partitionBy("query_id").orderBy(
+        F.col("__approx").desc(), F.col("neighbor_id").asc()
+    )
+    survivors = scored_cand.withColumn("__ar", F.row_number().over(w_a)).filter(
+        F.col("__ar") <= keep
+    )
+    scored = survivors.select(
         "query_id",
         "neighbor_id",
         F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("score"),

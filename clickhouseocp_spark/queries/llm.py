@@ -1632,3 +1632,34 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouseocp_spark.sources.multimodal import sample_media_frames
 
     return sample_media_frames(payloads)
+
+
+def similarity_topk_ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw IVF-PQ approximate top-5 stream (pytest protocol + bench)."""
+    from clickhouseocp_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_topk(
+        queries, emb, k=5, n_centroids=16, n_probe=6, m_subspaces=8, rerank_factor=8
+    )
+
+
+@register(
+    "similarity_topk_ivfpq",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+    tags=("llm", "similarity"),
+)
+def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via the full IVF-PQ composition (16-cell coarse
+    quantizer probe-6 + 8x16 PQ/ADC scan + exact rerank of the 8k
+    survivors — the FAISS index shape; operators/similarity.ivfpq_topk).
+    Training is sample-dependent → the driver-checked output is the in-query
+    recall contract vs the exact brute-force baseline (bound 0.3)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(queries, emb, k=5)
+    return _ann_recall_summary(similarity_topk_ivfpq_pairs(spark, sf_dir), bf, 0.3)

@@ -828,3 +828,22 @@ def test_resize_images_deterministic_shape(spark, sf_dir):
     assert all(bytes(r.resized) == again[r.doc_id] for r in out)
     with _pytest.raises(NotImplementedError):
         resize_image(b"xx", 4, 4)
+
+
+def test_ivfpq_planted_duplicates_recalled_at_rank1(spark, sf_dir):
+    from clickhouseocp_spark.operators.similarity import ivfpq_topk
+
+    # same-direction scaled copies: identical cell (scale-invariant coarse
+    # quantizer) AND identical PQ codes (built on normalized vectors) → the
+    # copy survives both tiers and exact rerank puts it at rank 1
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    scaled = emb.select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0).cast("float")).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ivfpq_topk(queries, corpus, k=3, n_centroids=8, n_probe=3, rerank_factor=8)
+    top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
+    assert top1 == {q: q + 1_000_000 for q in top1}
+    assert len(top1) == queries.count()
