@@ -307,6 +307,41 @@ class ChSparkEngine:
                 m.group(1).lower(), m.group(2) or "", m.group(3) or ""
             )
         m = _re.match(
+            r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*\(", text
+        )
+        if m:
+            # bare column-list DDL (no AS SELECT): balanced-paren scan (the
+            # column list nests parens: LowCardinality(String), Decimal(p,s))
+            start = m.end() - 1
+            depth, end = 0, -1
+            for i in range(start, len(text)):
+                if text[i] == "(":
+                    depth += 1
+                elif text[i] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        end = i
+                        break
+            tail = text[end + 1 :].strip() if end >= 0 else ""
+            if end >= 0 and _re.match(
+                r"(?is)^ENGINE\s*=\s*\w+(?:\([^)]*\))?"
+                r"(?:\s+PARTITION\s+BY\s+\w+)?(?:\s+ORDER\s+BY\s+[\w,() ]+)?"
+                r"\s*;?\s*$",
+                tail,
+            ) and not _re.match(r"(?is)^.*ENGINE\s*=\s*Kafka\b", tail):
+                t = m.group(1).lower()
+                fields = []
+                for coldef in _split_assignments(text[start + 1 : end]):
+                    parts = coldef.strip().split(None, 1)
+                    if len(parts) != 2:
+                        raise ChSqlError(f"malformed column definition: {coldef!r}")
+                    fields.append((parts[0], self._spark_type(parts[1].strip())))
+                schema = ", ".join(f"{n} {ty}" for n, ty in fields)
+                empty = self.spark.createDataFrame([], schema)
+                self.tables[t] = empty
+                empty.createOrReplaceTempView(t)
+                return self.spark.createDataFrame([(t,)], "created string").limit(0)
+        m = _re.match(
             r"(?is)^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*"
             r"(?:ENGINE\s*=\s*\w+(?:\(\s*\))?\s*)?"
             r"(?:PARTITION\s+BY\s+(\w+)\s*)?"
@@ -341,6 +376,35 @@ class ChSparkEngine:
             js = self.spark.createDataFrame([(ln,) for ln in lines], "js string")
             schema = ", ".join(f"{c} {dt[c]}" for c in cols)
             incoming = js.select(F.from_json("js", schema).alias("m")).select("m.*")
+            for c in target.columns:
+                if c not in cols:
+                    incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
+            return self._set_lineage(
+                t, target.unionByName(incoming.select(*target.columns))
+            )
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+(CSV|TSV|TabSeparated)\s+(.+)$",
+            text,
+        )
+        if m:
+            # positional delimited ingestion (clickhouse-client's default
+            # INSERT formats); columns map by position onto the column list
+            t = m.group(1).lower()
+            target = self._base_table(t)
+            dt = dict(target.dtypes)
+            cols = (
+                [c.strip() for c in m.group(2).split(",")]
+                if m.group(2)
+                else target.columns
+            )
+            sep = "," if m.group(3).upper() == "CSV" else "\t"
+            lines = [ln for ln in m.group(4).splitlines() if ln.strip()]
+            raw = self.spark.createDataFrame([(ln,) for ln in lines], "ln string")
+            schema = ", ".join(f"{c} {dt[c]}" for c in cols)
+            incoming = raw.select(
+                F.from_csv("ln", schema, {"sep": sep}).alias("m")
+            ).select("m.*")
             for c in target.columns:
                 if c not in cols:
                     incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
@@ -717,6 +781,38 @@ class ChSparkEngine:
             )
         ]
         return self.spark.createDataFrame(confs, "name string, value string")
+
+    def _spark_type(self, ch: str) -> str:
+        """CH column type name → Spark SQL type (inverse of _CH_TYPE_NAMES,
+        for bare CREATE TABLE DDL)."""
+        import re as _re
+
+        from clickhouseocp_spark.chsql import ChSqlError
+
+        t = ch.strip()
+        m = _re.match(r"(?is)^(?:Nullable|LowCardinality)\((.+)\)$", t)
+        if m:
+            return self._spark_type(m.group(1))
+        m = _re.match(r"(?is)^Array\((.+)\)$", t)
+        if m:
+            return f"array<{self._spark_type(m.group(1))}>"
+        m = _re.match(r"(?is)^Decimal\((\d+)\s*,\s*(\d+)\)$", t)
+        if m:
+            return f"decimal({m.group(1)},{m.group(2)})"
+        base = t.split("(")[0].strip().lower()
+        mapping = {
+            "int8": "tinyint", "int16": "smallint", "int32": "int",
+            "int64": "bigint", "uint8": "smallint", "uint16": "int",
+            "uint32": "bigint", "uint64": "bigint",
+            "float32": "float", "float64": "double",
+            "string": "string", "fixedstring": "string", "uuid": "string",
+            "date": "date", "date32": "date",
+            "datetime": "timestamp", "datetime64": "timestamp",
+            "bool": "boolean", "boolean": "boolean",
+        }
+        if base not in mapping:
+            raise ChSqlError(f"unsupported column type in DDL: {ch!r}")
+        return mapping[base]
 
     #: Spark simple type names → the CH names SHOW CREATE TABLE renders
     _CH_TYPE_NAMES = {

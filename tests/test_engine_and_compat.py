@@ -559,3 +559,31 @@ def test_set_statement_and_prql_dialect_toggle(spark, sf_dir):
     n = eng.sql("SELECT count() AS n FROM region").collect()[0].n
     assert n == eng.sql("SELECT count(*) AS n FROM region", dialect="spark").collect()[0].n
     spark.conf.set("spark.sql.shuffle.partitions", "32")
+
+
+def test_insert_format_csv_tsv(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("CREATE TABLE fmt_t (a Int64, b String, c Float64) ENGINE = Memory")
+    eng.sql("INSERT INTO fmt_t FORMAT CSV 1,x,1.5\n2,y,2.5")
+    eng.sql("INSERT INTO fmt_t (a, b) FORMAT TabSeparated 3\tz")
+    rows = {r.a: (r.b, r.c) for r in eng.sql("SELECT * FROM fmt_t", dialect="spark").collect()}
+    assert rows == {1: ("x", 1.5), 2: ("y", 2.5), 3: ("z", None)}
+
+
+def test_create_table_bare_ddl_types(spark, sf_dir):
+    """CREATE TABLE with a column list and CH types (no AS SELECT) makes an
+    empty typed table; nested Nullable/LowCardinality/Array/Decimal map."""
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ddl_t (i Int32, u UInt64, f Float32, s LowCardinality(String), "
+        "d Decimal(10, 2), a Array(Nullable(Int64)), ts DateTime64(3), dt Date) "
+        "ENGINE = MergeTree ORDER BY i"
+    )
+    dt = dict(eng.sql("SELECT * FROM ddl_t", dialect="spark").dtypes)
+    assert dt == {
+        "i": "int", "u": "bigint", "f": "float", "s": "string",
+        "d": "decimal(10,2)", "a": "array<bigint>", "ts": "timestamp", "dt": "date",
+    }
+    assert eng.sql("SELECT count() AS n FROM ddl_t").collect()[0].n == 0
+    eng.sql("INSERT INTO ddl_t (i, u) VALUES (1, 2)")
+    assert eng.sql("SELECT count() AS n FROM ddl_t").collect()[0].n == 1
