@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.types import IntegerType, StructField, StructType
 
 
@@ -128,4 +128,37 @@ def mix_corpus(
         .filter(F.col("__copies") >= 1)
         .withColumn(copy_col, F.explode(F.sequence(F.lit(1), F.col("__copies"))))
         .drop("__copies")
+    )
+
+
+def budget_sample(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-budget sampling per group: keep a deterministic pseudo-random
+    prefix of each group's documents until the group's token budget is
+    reached (the pretraining-mix primitive "take N tokens of domain X").
+
+    Priority = md5(id) — a portable hash both engines (and any re-run at any
+    cluster size) order identically, so the selected set is reproducible
+    without RNG state.  One window pass computes the running token total;
+    a document is kept iff it STARTS within budget (so the budget overshoots
+    by at most one document, the standard contract).  Scale: one shuffle on
+    the group key; the window is a running sum, no buffering beyond the
+    partition sort."""
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .withColumn("n_tokens", toks)
+        .withColumn("__cum", F.sum("n_tokens").over(w))
+        .withColumn("kept", (F.col("__cum") - F.col("n_tokens")) < budget_tokens)
+        .select(id_col, group_col, "n_tokens", "kept")
     )

@@ -1663,3 +1663,29 @@ def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     bf = cosine_topk(queries, emb, k=5)
     return _ann_recall_summary(similarity_topk_ivfpq_pairs(spark, sf_dir), bf, 0.3)
+
+
+@register(
+    "corpus_budget_sample",
+    oracle=r"""
+SELECT doc_id, source, n_tokens, (cum - n_tokens) < 2000 AS kept FROM (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source
+                             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM (
+    SELECT doc_id, source,
+           CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+    FROM documents WHERE length(trim(text)) > 0
+  )
+)
+""",
+    tags=("llm", "mixing"),
+)
+def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling: 2000 tokens per source, selected by a portable
+    md5 priority hash (reproducible across engines/runs/cluster sizes — the
+    oracle replays the identical selection).  One shuffle on the group key
+    (operators/packing.budget_sample)."""
+    from clickhouseocp_spark.operators.packing import budget_sample
+
+    return budget_sample(load_table(spark, sf_dir, "documents"), 2000)
