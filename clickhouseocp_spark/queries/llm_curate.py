@@ -244,3 +244,136 @@ def rag_retrieve_context(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("int").alias("n_passages"),
         F.min("score").alias("min_score"),
     )
+
+
+@register(
+    "curate_pipeline_e2e",
+    oracle=r"""
+WITH d AS (
+  SELECT doc_id, source, trim(text) AS t FROM documents
+  WHERE length(trim(text)) > 0
+),
+tok AS (
+  SELECT doc_id, source, t, regexp_split_to_array(t, '\s+') AS words FROM d
+),
+sig AS (
+  SELECT doc_id, source, t,
+         CAST(len(words) AS BIGINT) AS n_tokens,
+         CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum') AS DOUBLE)
+           / len(words) AS mwl,
+         CAST(len(list_filter(words, x -> x IN ('the','a','of','to','and','in'))) AS DOUBLE)
+           / len(words) AS sr
+  FROM tok
+),
+q AS (
+  SELECT * FROM sig
+  WHERE n_tokens >= 30 AND mwl >= 3 AND mwl <= 10 AND sr >= 0.02
+),
+u AS (
+  SELECT * FROM q WHERE doc_id IN (
+    SELECT MIN(doc_id) FROM q
+    GROUP BY md5(trim(regexp_replace(lower(t), '\s+', ' ', 'g')))
+  )
+),
+s AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS cum
+  FROM u
+)
+SELECT a.source, a.n_in,
+       COALESCE(b.n_quality, 0) AS n_quality,
+       COALESCE(c.n_unique, 0) AS n_unique,
+       COALESCE(e.n_sampled, 0) AS n_sampled,
+       COALESCE(e.tokens_sampled, 0) AS tokens_sampled
+FROM (SELECT source, COUNT(*) AS n_in FROM d GROUP BY source) a
+LEFT JOIN (SELECT source, COUNT(*) AS n_quality FROM q GROUP BY source) b USING (source)
+LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM u GROUP BY source) c USING (source)
+LEFT JOIN (
+  SELECT source,
+         COUNT(*) FILTER (WHERE cum - n_tokens < 2000) AS n_sampled,
+         COALESCE(SUM(n_tokens) FILTER (WHERE cum - n_tokens < 2000), 0) AS tokens_sampled
+  FROM s GROUP BY source
+) e USING (source)
+""",
+    tags=("llm", "pipeline"),
+)
+def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation funnel as ONE composed query — the shape a 100 TB
+    pretraining pipeline actually runs: columnar quality gate (Gopher word
+    count / mean word length / stopword ratio) → exact dedup (md5 of
+    normalized text, min-id survivor) → per-source token-budget sampling
+    (portable md5 priority).  Emits the per-source funnel (n_in → n_quality
+    → n_unique → n_sampled + sampled token mass); the oracle replays every
+    stage in SQL, so stage composition — not just each stage — is
+    value-checked.  Plan: two doc-keyed shuffles (dedup group, source
+    window) over scan-speed columnar signals; no Python on the data path."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.trim("text").alias("t"))
+        .filter(F.length("t") > 0)
+    )
+    words = F.split(F.col("t"), r"\s+")
+    stoplist = F.array(*[F.lit(w) for w in ("the", "a", "of", "to", "and", "in")])
+    sig = d.select(
+        "doc_id",
+        "source",
+        "t",
+        F.size(words).cast("bigint").alias("n_tokens"),
+        (
+            F.aggregate(
+                F.transform(words, F.length),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.size(words)
+        ).alias("mwl"),
+        (
+            F.size(F.filter(words, lambda x: F.array_contains(stoplist, x))).cast("double")
+            / F.size(words)
+        ).alias("sr"),
+    )
+    q = sig.filter(
+        (F.col("n_tokens") >= 30)
+        & (F.col("mwl") >= 3)
+        & (F.col("mwl") <= 10)
+        & (F.col("sr") >= 0.02)
+    )
+    from clickhouseocp_spark.functions.text import normalize_text
+
+    survivors = (
+        q.groupBy(F.md5(normalize_text(F.col("t"))).alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    u = q.join(survivors, "doc_id", "left_semi")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = u.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "picked", (F.col("cum") - F.col("n_tokens")) < 2000
+    )
+    a = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_in"))
+    b = q.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality"))
+    c = u.groupBy("source").agg(F.count(F.lit(1)).alias("n_unique"))
+    e = s.groupBy("source").agg(
+        F.count_if(F.col("picked")).alias("n_sampled"),
+        F.coalesce(
+            F.sum(F.when(F.col("picked"), F.col("n_tokens"))), F.lit(0)
+        ).alias("tokens_sampled"),
+    )
+    out = (
+        a.join(b, "source", "left")
+        .join(c, "source", "left")
+        .join(e, "source", "left")
+        .select(
+            "source",
+            "n_in",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+            F.coalesce("tokens_sampled", F.lit(0)).alias("tokens_sampled"),
+        )
+    )
+    return out
