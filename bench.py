@@ -87,6 +87,11 @@ HEADLINE = [
     "repetition_metrics",
     "rag_retrieve_context",
     "max_intersections",
+    # round-3 late additions: the composed curation funnel, the IVF-PQ ANN
+    # path, and the Bloom incremental-dedup tier
+    "curate_pipeline_e2e",
+    "similarity_topk_ivfpq",
+    "dedup_bloom_incremental",
 ]
 
 
@@ -116,6 +121,7 @@ def _bench_fns(registry):
         dedup_minhash_lsh_pairs,
         dedup_simhash_pairs,
         similarity_topk_ivf_pairs,
+        similarity_topk_ivfpq_pairs,
         similarity_topk_pq_pairs,
     )
 
@@ -124,6 +130,7 @@ def _bench_fns(registry):
         "dedup_simhash": dedup_simhash_pairs,
         "similarity_topk_ivf": similarity_topk_ivf_pairs,
         "similarity_topk_pq": similarity_topk_pq_pairs,
+        "similarity_topk_ivfpq": similarity_topk_ivfpq_pairs,
     }
     return {
         n: overrides.get(n, registry[n].fn) for n in HEADLINE if n in registry

@@ -1019,3 +1019,42 @@ def window_vocab_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("top_key"),
         F.last("o_orderkey").over(w_full).alias("bottom_key"),
     )
+
+
+@register(
+    "setops_all_variants",
+    oracle="""
+SELECT v, COUNT(*) AS n FROM (
+  SELECT l_returnflag AS v FROM lineitem WHERE l_quantity > 45
+  INTERSECT ALL
+  SELECT l_returnflag FROM lineitem WHERE l_discount > 0.08
+) GROUP BY v
+UNION ALL
+SELECT v, COUNT(*) FROM (
+  SELECT l_linestatus AS v FROM lineitem WHERE l_quantity > 48
+  EXCEPT ALL
+  SELECT l_linestatus FROM lineitem WHERE l_tax > 0.07 AND l_quantity > 48
+) GROUP BY v
+""",
+    tags=("setops",),
+)
+def setops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL (bag semantics — multiplicity min() and
+    difference, not the DISTINCT variants already covered): grouped counts
+    over both, so the multiset cardinalities are what the oracle matches."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT v, COUNT(*) AS n FROM (
+          SELECT l_returnflag AS v FROM lineitem WHERE l_quantity > 45
+          INTERSECT ALL
+          SELECT l_returnflag FROM lineitem WHERE l_discount > 0.08
+        ) GROUP BY v
+        UNION ALL
+        SELECT v, COUNT(*) FROM (
+          SELECT l_linestatus AS v FROM lineitem WHERE l_quantity > 48
+          EXCEPT ALL
+          SELECT l_linestatus FROM lineitem WHERE l_tax > 0.07 AND l_quantity > 48
+        ) GROUP BY v
+        """
+    )
