@@ -58,6 +58,22 @@ class ChSparkEngine:
         t0 = _time.perf_counter()
         ok = True
         try:
+            head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+            if (
+                getattr(self, "settings", {}).get("use_query_cache")
+                in ("1", "true", "True")
+                and head in ("SELECT", "WITH", "FROM")
+            ):
+                # query cache (CH `use_query_cache`, 23.x+): SELECT results
+                # keyed by whitespace-normalized text + dialect, persisted so
+                # repeat executions read the in-memory columnar copy
+                key = (dialect, " ".join(query.split()))
+                cache = getattr(self, "_query_cache", None)
+                if cache is None:
+                    cache = self._query_cache = {}
+                if key not in cache:
+                    cache[key] = self._sql_impl(query, dialect).persist()
+                return cache[key]
             return self._sql_impl(query, dialect)
         except Exception:
             ok = False
@@ -521,9 +537,16 @@ class ChSparkEngine:
                 assignments[col.strip()] = F.expr(transpile_expr(expr))
             out = update_where(self._base_table(t), F.expr(cond), assignments)
             return self._set_lineage(t, out)
-        m = _re.match(r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?$", text)
+        m = _re.match(
+            r"(?is)^OPTIMIZE\s+TABLE\s+(\w+)(\s+FINAL)?(\s+DEDUPLICATE)?$", text
+        )
         if m:
-            return self._table(m.group(1).lower())
+            t = m.group(1).lower()
+            if m.group(3):
+                # OPTIMIZE ... DEDUPLICATE: drop fully-identical rows (CH
+                # semantics: all columns equal), keeping one
+                return self._set_lineage(t, self._base_table(t).distinct())
+            return self._table(t)
         m = _re.match(
             r"(?is)^CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)"
             r"(?:\s+TO\s+\w+)?$",

@@ -587,3 +587,20 @@ def test_create_table_bare_ddl_types(spark, sf_dir):
     assert eng.sql("SELECT count() AS n FROM ddl_t").collect()[0].n == 0
     eng.sql("INSERT INTO ddl_t (i, u) VALUES (1, 2)")
     assert eng.sql("SELECT count() AS n FROM ddl_t").collect()[0].n == 1
+
+
+def test_optimize_deduplicate_and_query_cache(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("CREATE TABLE qc_t (a Int64, b String) ENGINE = Memory")
+    eng.sql("INSERT INTO qc_t VALUES (1, 'x'), (1, 'x'), (2, 'y')")
+    eng.sql("OPTIMIZE TABLE qc_t DEDUPLICATE")
+    assert eng.sql("SELECT count() AS n FROM qc_t").collect()[0].n == 2
+    # query cache: identical SELECT text returns the SAME persisted DataFrame
+    eng.sql("SET use_query_cache = 1")
+    d1 = eng.sql("SELECT count() AS n FROM region", dialect="clickhouse")
+    d2 = eng.sql("SELECT  count()  AS n  FROM region", dialect="clickhouse")
+    assert d1 is d2  # whitespace-normalized key hit
+    assert d1.storageLevel.useMemory  # persisted
+    eng.sql("SET use_query_cache = 0")
+    d3 = eng.sql("SELECT count() AS n FROM region", dialect="clickhouse")
+    assert d3 is not d1
