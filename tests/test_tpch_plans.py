@@ -31,6 +31,10 @@ SHUFFLE_BUDGET = {
     "q19_disjunctive_filter": 1,
     "q20_dominant_suppliers": 4,
     "q21_waiting_orders": 3,
+    # round-3 curation/dedup tier
+    "curate_pipeline_e2e": 6,
+    "dedup_bloom_incremental": 1,
+    "corpus_budget_sample": 1,
 }
 
 
