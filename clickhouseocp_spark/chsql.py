@@ -786,6 +786,7 @@ FUNC_RULES: dict[str, object] = {
     "uniqCombined": _rename("approx_count_distinct"),
     "uniqHLL12": _rename("approx_count_distinct"),
     "uniqExact": lambda args: f"count(DISTINCT {', '.join(args)})",
+    "countDistinct": lambda args: f"count(DISTINCT {', '.join(args)})",
     "median": lambda args: f"percentile({args[0]}, 0.5)",
     "groupArray": _rename("collect_list"),
     "groupUniqArray": _rename("collect_set"),
@@ -1000,7 +1001,7 @@ _AGG_IF_BASES = {
         "any", "anyLast", "argMax", "argMin", "corr", "count", "covarPop",
         "covarSamp", "groupArray", "groupBitmap", "groupUniqArray", "kurtPop",
         "median", "skewPop", "stddevPop", "stddevSamp", "uniq", "uniqCombined",
-        "uniqExact", "uniqHLL12", "varPop", "varSamp",
+        "uniqExact", "uniqHLL12", "varPop", "varSamp", "countDistinct",
     )
     if name in FUNC_RULES
 }
@@ -1171,10 +1172,28 @@ PARAMETRIC_RULES: dict[str, object] = {
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    # Greenwald-Khanna IS Spark's approx_percentile sketch; CH calling
+    # convention quantileGK(accuracy[, level])(expr)
+    "quantileGK": lambda p, a: (
+        f"approx_percentile({a[0]}, {p[1] if len(p) > 1 else '0.5'}, {p[0]})"
+    ),
+    # heavy hitters on the TEXT tier: an exact collect_list fold (quadratic
+    # in DISTINCT values per group — correctness tier; the scale path is
+    # operators/groupwise.top_k / sketches.topk_state)
+    "topK": lambda p, a: (
+        f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"__v -> struct(-size(filter(collect_list({a[0]}), __y -> __y = __v)) AS __negn, "
+        f"__v AS __val))), 1, {p[0]}), __s -> __s.__val)"
+    ),
+    "topKWeighted": lambda p, a: (
+        f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"__v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS x, {a[1]} AS w)), "
+        f"__p -> __p.x = __v), CAST(0 AS BIGINT), (__acc, __p) -> __acc + __p.w) AS __negn, "
+        f"__v AS __val))), 1, {p[0]}), __s -> __s.__val)"
+    ),
     "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
     "histogram": None,  # operators/sketches.py covers re-mergeable histograms
-    "topK": None,       # operators/groupwise.top_k / sketches.topk_state cover
 }
 PARAMETRIC_RULES = {k: v for k, v in PARAMETRIC_RULES.items() if v is not None}
 
@@ -1530,6 +1549,19 @@ def _rewrite_exprs(tokens: list[str]) -> str:
                 out.append(PARAMETRIC_RULES[t](args, args2))
                 i = close2 + 1
                 continue
+            if (
+                t not in PARAMETRIC_RULES
+                and close + 1 < len(tokens)
+                and tokens[close + 1] == "("
+                and re.match(r"^[A-Za-z_]\w*$", t)
+                and t.lower() not in ("if", "cast", "exists", "in")
+            ):
+                # fname(params)(args) is CH-only syntax — never valid Spark
+                # SQL; fail with a dialect diagnostic, not a parser error
+                raise ChSqlError(
+                    f"unsupported parametric aggregate {t!r}; supported: "
+                    f"{sorted(PARAMETRIC_RULES)}"
+                )
             if t in FUNC_RULES:
                 out.append(FUNC_RULES[t](args))
                 i = close + 1

@@ -1516,3 +1516,60 @@ def chsql_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """,
     )
+
+
+@register(
+    "chsql_topk_text",
+    oracle="""
+WITH f AS (
+  SELECT l_returnflag, l_quantity, l_linenumber FROM lineitem
+),
+freq AS (
+  SELECT l_returnflag, l_linenumber AS v, COUNT(*) AS n, SUM(CAST(l_quantity AS BIGINT)) AS wsum
+  FROM f GROUP BY l_returnflag, l_linenumber
+),
+rk AS (
+  SELECT l_returnflag, v,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, v) AS r_cnt,
+         row_number() OVER (PARTITION BY l_returnflag ORDER BY wsum DESC, v) AS r_w
+  FROM freq
+)
+SELECT a.l_returnflag,
+       a.top2 AS top2_frequent,
+       b.top2w AS top2_weighted,
+       c.nd AS distinct_high_qty,
+       ROUND(c.gk, 1) AS gk_med
+FROM (SELECT l_returnflag, array_to_string(list(CAST(v AS VARCHAR) ORDER BY r_cnt), ',') AS top2
+      FROM rk WHERE r_cnt <= 2 GROUP BY l_returnflag) a
+JOIN (SELECT l_returnflag, array_to_string(list(CAST(v AS VARCHAR) ORDER BY r_w), ',') AS top2w
+      FROM rk WHERE r_w <= 2 GROUP BY l_returnflag) b USING (l_returnflag)
+JOIN (SELECT l_returnflag,
+             COUNT(DISTINCT l_linenumber) FILTER (WHERE l_quantity > 40) AS nd,
+             ROUND(quantile_disc(l_linenumber, 0.5), 1) AS gk
+      FROM f GROUP BY l_returnflag) c USING (l_returnflag)
+""",
+    tags=("chsql", "agg"),
+)
+def chsql_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topK(n) / topKWeighted(n) / countDistinctIf / quantileGK through the
+    TEXT path.  topK lowers to an exact collect_list fold (correctness tier;
+    scale tier = operators/groupwise.top_k) — ties broken by value, matching
+    the oracle's (count DESC, value) ranking.  quantileGK maps to Spark's
+    approx_percentile (itself the Greenwald-Khanna sketch) with accuracy
+    10000 — exact on the fixture's integer domain, ROUND(…,1)-pinned.
+    Arrays stringified (driver canonicalizer contract)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               arrayStringConcat(arrayMap(x -> toString(x), topK(2)(l_linenumber)), ',')
+                 AS top2_frequent,
+               arrayStringConcat(arrayMap(x -> toString(x),
+                 topKWeighted(2)(l_linenumber, toInt64(l_quantity))), ',')
+                 AS top2_weighted,
+               countDistinctIf(l_linenumber, l_quantity > 40) AS distinct_high_qty,
+               round(quantileGK(10000, 0.5)(l_linenumber), 1) AS gk_med
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
