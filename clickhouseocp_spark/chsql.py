@@ -208,6 +208,32 @@ def _outer_select(select_items: list[list[str]], helper_col: str, ctx: str) -> l
     return ["SELECT"] + sum(([c, ","] for c in out_cols), [])[:-1]
 
 
+def _rewrite_distinct_on(tokens: list[str]) -> list[str]:
+    """``SELECT DISTINCT ON (cols) ...`` ≡ ``LIMIT 1 BY cols`` (the CH alias;
+    first row per group under the statement's ORDER BY) — lowered by
+    injecting the LIMIT BY clause and letting its row_number rewrite run."""
+    sel = _depth0_positions(tokens, lambda t, i: _KW(t) == "SELECT")
+    if not sel:
+        return tokens
+    i = sel[0]
+    if (
+        i + 3 >= len(tokens)
+        or _KW(tokens[i + 1]) != "DISTINCT"
+        or _KW(tokens[i + 2]) != "ON"
+        or tokens[i + 3] != "("
+    ):
+        return tokens
+    close = _find_close(tokens, i + 3)
+    cols = [t for t in tokens[i + 4 : close]]
+    rest = tokens[: i + 1] + tokens[close + 1 :]
+    limit_by = ["LIMIT", "1", "BY"] + cols
+    limits = _depth0_positions(rest, lambda t, j: _KW(t) == "LIMIT")
+    if limits:
+        p = limits[-1]
+        return rest[:p] + limit_by + rest[p:]
+    return rest + limit_by
+
+
 def _rewrite_limit_by(tokens: list[str]) -> list[str]:
     """``SELECT ... ORDER BY o LIMIT n BY e [LIMIT m]`` → row_number window
     subquery (the same plan operators/groupwise.limit_by builds)."""
@@ -1640,6 +1666,7 @@ def _clause_pipeline(tokens: list[str]) -> list[str]:
     tokens = _merge_prewhere(tokens)
     tokens = _rewrite_asof(tokens)
     tokens = _rewrite_limit_ties(tokens)
+    tokens = _rewrite_distinct_on(tokens)
     tokens = _rewrite_limit_by(tokens)
     tokens = _rewrite_scalar_with(tokens)
     tokens = _rewrite_sample(tokens)

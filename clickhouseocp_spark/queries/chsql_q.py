@@ -1573,3 +1573,31 @@ def chsql_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """,
     )
+
+
+@register(
+    "chsql_distinct_on",
+    oracle="""
+SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn = 1 ORDER BY o_orderpriority
+""",
+    tags=("chsql", "groupwise"),
+)
+def chsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``SELECT DISTINCT ON (g)`` — the CH alias for LIMIT 1 BY g — lowered
+    through the same row_number rewrite; highest-priced order per
+    priority."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT DISTINCT ON (o_orderpriority)
+               o_orderpriority, o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        """,
+    ).orderBy("o_orderpriority")
