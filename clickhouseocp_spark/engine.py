@@ -152,6 +152,34 @@ class ChSparkEngine:
             [(name, value)], "setting string, value string"
         ).limit(0)
 
+    def system_metrics(self) -> DataFrame:
+        """`system.metrics`-style counters derived from live session state
+        (the CH table is a point-in-time gauge set; ours is the subset a
+        library engine can honestly report)."""
+        log = getattr(self, "_query_log", [])
+        rows = [
+            ("Query", len(log), "statements dispatched through engine.sql"),
+            (
+                "FailedQuery",
+                sum(1 for r in log if r[6] == "ExceptionWhileProcessing"),
+                "statements that raised",
+            ),
+            ("TablesRegistered", len(self.tables), "tables in the session catalog"),
+            (
+                "QueryCacheEntries",
+                len(getattr(self, "_query_cache", {})),
+                "persisted SELECT results (use_query_cache)",
+            ),
+            (
+                "SettingsChanged",
+                len(getattr(self, "settings", {})),
+                "session settings applied via SET",
+            ),
+        ]
+        return self.spark.createDataFrame(
+            rows, "metric string, value bigint, description string"
+        )
+
     def _sql_impl(self, query: str, dialect: str = "auto") -> DataFrame:
         if dialect == "auto" and getattr(self, "_default_dialect", None):
             dialect = self._default_dialect  # SET dialect = '...'
@@ -201,8 +229,9 @@ class ChSparkEngine:
             )
         if "system." in query.lower() or "system_" in query.lower():
             self._ensure_system_views()
-            # the log grows per call → re-register fresh on every read
+            # the log/metrics grow per call → re-register fresh on every read
             self.system_query_log().createOrReplaceTempView("system_query_log")
+            self.system_metrics().createOrReplaceTempView("system_metrics")
         if dialect == "prql":
             from clickhouseocp_spark.prql import transpile_prql
 

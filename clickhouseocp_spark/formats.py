@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame
 
 #: formats accepted by render(); canonical names, matched case-insensitively
 FORMATS = (
+    "Null",
     "TabSeparated",
     "TabSeparatedWithNames",
     "TSV",
@@ -174,6 +175,10 @@ def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> 
         raise ValueError(
             f"unsupported FORMAT {fmt!r}; supported: {', '.join(FORMATS)}"
         )
+    if canon == "Null":
+        # clickhouse-client's benchmark format: execute fully, emit nothing
+        df.limit(max_rows).count()
+        return ""
     rows = df.limit(max_rows).collect()
     cols = df.columns
 

@@ -604,3 +604,19 @@ def test_optimize_deduplicate_and_query_cache(spark, sf_dir):
     eng.sql("SET use_query_cache = 0")
     d3 = eng.sql("SELECT count() AS n FROM region", dialect="clickhouse")
     assert d3 is not d1
+
+
+def test_system_metrics_and_format_null(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("SELECT count() AS n FROM region", dialect="clickhouse").collect()
+    try:
+        eng.sql("SELECT bogus_col FROM region", dialect="spark")
+    except Exception:
+        pass
+    m = {r.metric: r.value for r in eng.sql(
+        "SELECT metric, value FROM system.metrics", dialect="clickhouse"
+    ).collect()}
+    assert m["Query"] == 2 and m["FailedQuery"] == 1
+    assert m["TablesRegistered"] > 5
+    # FORMAT Null executes but renders nothing
+    assert eng.run("SELECT * FROM region FORMAT Null") == ""
