@@ -377,3 +377,111 @@ def curate_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+_NAV_WORDS = (
+    "home", "about", "contact", "login", "menu", "copyright",
+    "rights", "reserved", "privacy", "terms",
+)
+
+
+@register(
+    "boilerplate_line_filter",
+    oracle=r"""
+WITH corpus AS (
+  SELECT doc_id,
+         text || ' home about contact login menu copyright all rights reserved privacy'
+           AS text
+  FROM documents WHERE length(trim(text)) > 0
+),
+w AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+lines AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(words[(i*10+1):(i*10+10)], ' ') AS line
+  FROM w, LATERAL (
+    SELECT unnest(generate_series(0,
+      CAST(ceil(len(words) / 10.0) AS INT) - 1)) AS i
+  )
+),
+sig AS (
+  SELECT doc_id, pos, line,
+         len(string_split(line, ' ')) AS n_words,
+         CAST(len(list_filter(string_split(line, ' '),
+              x -> x IN ('home','about','contact','login','menu','copyright',
+                         'rights','reserved','privacy','terms'))) AS DOUBLE)
+           / len(string_split(line, ' ')) AS navfrac
+  FROM lines
+),
+kept AS (SELECT * FROM sig WHERE navfrac <= 0.5 AND n_words >= 3)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_lines_in,
+       CAST(COUNT(*) FILTER (WHERE s.navfrac <= 0.5 AND s.n_words >= 3) AS BIGINT)
+         AS n_lines_kept,
+       md5(COALESCE((SELECT array_to_string(list(k.line ORDER BY k.pos), ' ')
+            FROM kept k WHERE k.doc_id = s.doc_id), '')) AS cleaned_md5
+FROM sig s GROUP BY s.doc_id
+""",
+    tags=("llm", "quality"),
+)
+def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate/nav-chrome removal (jusText / RefinedWeb line pass): split
+    each document into 10-word pseudo-lines (fixtures are flat word streams),
+    score each line's nav-vocabulary fraction, drop chrome lines (navfrac >
+    0.5 or < 3 words), reassemble survivors in order.  Planted chrome (a nav
+    footer appended to every doc) guarantees the drop path fires; the oracle
+    replays the whole pass and the md5 of the reassembled text is
+    value-matched — reassembly ORDER included.  Scale: explode → columnar
+    signals → one doc-keyed agg; line text never joins anything."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(
+                    " home about contact login menu copyright all rights reserved privacy"
+                ),
+            ).alias("text"),
+        )
+    )
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(F.slice(words, i * 10 + 1, 10), " "),
+    )
+    ex = d.select("doc_id", F.posexplode(chunks).alias("pos", "line"))
+    lw = F.split(F.col("line"), " ")
+    nav = F.array(*[F.lit(x) for x in _NAV_WORDS])
+    sig = ex.select(
+        "doc_id",
+        "pos",
+        "line",
+        F.size(lw).alias("n_words"),
+        (
+            F.size(F.filter(lw, lambda x: F.array_contains(nav, x))).cast("double")
+            / F.size(lw)
+        ).alias("navfrac"),
+    )
+    keep = (F.col("navfrac") <= 0.5) & (F.col("n_words") >= 3)
+    return sig.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines_in"),
+        F.count_if(keep).alias("n_lines_kept"),
+        F.md5(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("pos", "line"))
+                            )
+                        ),
+                        lambda s: s.line,
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            )
+        ).alias("cleaned_md5"),
+    )
