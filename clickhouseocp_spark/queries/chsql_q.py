@@ -1601,3 +1601,133 @@ def chsql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_totalprice DESC, o_orderkey
         """,
     ).orderBy("o_orderpriority")
+
+
+@register(
+    "chsql_tpch_q8",
+    oracle=_tpch_oracle("_Q8_ORACLE"),
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 as CH text (same adapted semantics as
+    queries/tpch.q8_market_share): 8-table comma join, self-joined nation
+    aliases, toYear + if() through the transpiler, exact-decimal market
+    share ratio."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_year,
+               CAST(sum(toDecimal64(if(supp_nation = 'NATION_3', volume, 0), 6))
+                    AS Float64)
+               / CAST(sum(toDecimal64(volume, 6)) AS Float64) AS mkt_share
+        FROM (
+          SELECT toYear(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM part, supplier, lineitem, orders, customer,
+               nation AS n1, nation AS n2, region
+          WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+            AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+            AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+            AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+            AND o_orderdate >= toDateTime('1996-01-01 00:00:00')
+            AND o_orderdate < toDateTime('1998-01-01 00:00:00')
+            AND p_type = 'ECONOMY'
+        ) AS all_nations
+        GROUP BY o_year
+        ORDER BY o_year
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q13",
+    oracle=_tpch_oracle("_Q13_ORACLE"),
+    tags=("chsql", "tpch", "join"),
+)
+def chsql_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 as CH text: LEFT JOIN with a join-residual inequality,
+    count(col) null-skipping semantics, double aggregation."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_count, count() AS custdist
+        FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority != '4-NOT SPECIFIED'
+          GROUP BY c_custkey
+        ) AS per_cust
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q19",
+    oracle=_tpch_oracle("_Q19_ORACLE"),
+    tags=("chsql", "tpch", "filter"),
+)
+def chsql_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 as CH text: the disjunction-of-conjunctions join residual
+    (Catalyst extracts the common quantity bounds as a pushable scan
+    filter — same plan as the DataFrame version, gated there)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6))
+                    AS Float64) AS revenue,
+               count() AS n_lines
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                AND l_quantity >= 1 AND l_quantity <= 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                AND l_quantity >= 10 AND l_quantity <= 20)
+            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+                AND l_quantity >= 20 AND l_quantity <= 30))
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q20",
+    oracle=_tpch_oracle("_Q20_ORACLE"),
+    tags=("chsql", "tpch", "semi"),
+)
+def chsql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 as CH text (same adapted semantics as
+    queries/tpch.q20_dominant_suppliers): nested IN subqueries + CTE chain,
+    exact-decimal share threshold."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH ship AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(sum(toDecimal64(l_quantity, 6)) AS Float64) AS supp_qty
+          FROM lineitem
+          WHERE l_shipdate >= toDateTime('1996-01-01 00:00:00')
+            AND l_shipdate < toDateTime('1997-01-01 00:00:00')
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+          GROUP BY l_partkey, l_suppkey
+        ),
+        tot AS (
+          SELECT l_partkey AS t_partkey,
+                 CAST(sum(toDecimal64(supp_qty, 6)) AS Float64) AS part_qty
+          FROM ship GROUP BY l_partkey
+        )
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey
+          AND s_suppkey IN (
+            SELECT l_suppkey FROM ship, tot
+            WHERE l_partkey = t_partkey AND supp_qty > 0.5 * part_qty
+          )
+        ORDER BY s_suppkey
+        """,
+    )
