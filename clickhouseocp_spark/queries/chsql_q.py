@@ -1731,3 +1731,299 @@ def chsql_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY s_suppkey
         """,
     )
+
+
+@register(
+    "chsql_tpch_q2",
+    oracle=_tpch_oracle("_Q2_ORACLE"),
+    tags=("chsql", "tpch", "window"),
+)
+def chsql_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 as CH text (adapted semantics of tpch.q2_min_cost_supplier):
+    CTE chain + per-part MIN window answering the correlated min-cost
+    subquery in one pass."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH supply AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS unit_cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        eu AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier, nation, region
+          WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            AND r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM (
+          SELECT eu.*, p_partkey, p_name, unit_cost,
+                 min(unit_cost) OVER (PARTITION BY p_partkey) AS best
+          FROM part, supply, eu
+          WHERE p_partkey = supply.l_partkey AND eu.s_suppkey = supply.l_suppkey
+            AND p_size = 15 AND p_type = 'STANDARD'
+        ) AS ranked
+        WHERE unit_cost = best
+        ORDER BY s_acctbal DESC, s_name, p_partkey
+        LIMIT 100
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q3",
+    oracle=f"""
+SELECT l_orderkey,
+       {sql_fsum("l_extendedprice * (1 - l_discount)", "revenue")},
+       o_orderdate, o_orderpriority
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+""",
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 as CH text: toDate comparisons + decimal-routed revenue."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey,
+               CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6))
+                    AS Float64) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < toDateTime('1995-03-15 00:00:00')
+          AND l_shipdate > toDateTime('1995-03-15 00:00:00')
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q5",
+    oracle=f"""
+SELECT n_name,
+       {sql_fsum("l_extendedprice * (1 - l_discount)", "revenue")}
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01'
+  AND o_orderdate < TIMESTAMP '1996-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 as CH text: six-table comma join with the same-nation
+    customer⇄supplier constraint."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name,
+               CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6))
+                    AS Float64) AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= toDateTime('1995-01-01 00:00:00')
+          AND o_orderdate < toDateTime('1996-01-01 00:00:00')
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q6",
+    oracle=f"""
+SELECT {sql_fsum("l_extendedprice * l_discount", "revenue")},
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-06-01'
+  AND l_shipdate < TIMESTAMP '1996-06-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+    tags=("chsql", "tpch", "filter"),
+)
+def chsql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 as CH text: the pure scan-filter-aggregate — every
+    predicate reaches the parquet scan through the transpiled text."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT CAST(sum(toDecimal64(l_extendedprice * l_discount, 6))
+                    AS Float64) AS revenue,
+               count() AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= toDateTime('1995-06-01 00:00:00')
+          AND l_shipdate < toDateTime('1996-06-01 00:00:00')
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q7",
+    oracle=_tpch_oracle("_Q7_ORACLE"),
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 as CH text (adapted region-level trading parties): double
+    self-join of nation AND region, symmetric disjunction, toYear."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(sum(toDecimal64(volume, 6)) AS Float64) AS revenue
+        FROM (
+          SELECT r1.r_name AS supp_nation, r2.r_name AS cust_nation,
+                 toYear(l_shipdate) AS l_year,
+                 l_extendedprice * (1 - l_discount) AS volume
+          FROM supplier, lineitem, orders, customer,
+               nation AS n1, nation AS n2, region AS r1, region AS r2
+          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+            AND c_nationkey = n2.n_nationkey
+            AND n1.n_regionkey = r1.r_regionkey AND n2.n_regionkey = r2.r_regionkey
+            AND ((r1.r_name = 'ASIA' AND r2.r_name = 'EUROPE')
+              OR (r1.r_name = 'EUROPE' AND r2.r_name = 'ASIA'))
+            AND l_shipdate >= toDateTime('1996-01-01 00:00:00')
+            AND l_shipdate < toDateTime('1998-01-01 00:00:00')
+        ) AS shipping
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q9",
+    oracle=_tpch_oracle("_Q9_ORACLE"),
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 as CH text (adapted supply-cost proxy): LIKE filter +
+    per-row profit expression + toYear."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name AS nation, o_year,
+               CAST(sum(toDecimal64(amount, 6)) AS Float64) AS sum_profit
+        FROM (
+          SELECT n_name, toYear(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount)
+                   - 0.1 * p_retailprice * l_quantity AS amount
+          FROM part, supplier, lineitem, orders, nation
+          WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey
+            AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+            AND p_name LIKE '%red%'
+        ) AS profit
+        GROUP BY nation, o_year
+        ORDER BY nation, o_year DESC
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q10",
+    oracle=_tpch_oracle("_Q10_ORACLE"),
+    tags=("chsql", "tpch", "agg"),
+)
+def chsql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 as CH text: quarter + returnflag filters, four-table
+    join, top-20."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name,
+               CAST(sum(toDecimal64(l_extendedprice * (1 - l_discount), 6))
+                    AS Float64) AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= toDateTime('1996-01-01 00:00:00')
+          AND o_orderdate < toDateTime('1996-04-01 00:00:00')
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q11",
+    oracle=_tpch_oracle("_Q11_ORACLE"),
+    tags=("chsql", "tpch", "subquery"),
+)
+def chsql_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 as CH text (adapted stock value): CTE reused both as the
+    grouped relation AND inside the global-total scalar subquery."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        WITH stock AS (
+          SELECT l_partkey AS ps_partkey,
+                 CAST(sum(toDecimal64(l_extendedprice, 6)) AS Float64) AS part_value
+          FROM lineitem, supplier, nation, region
+          WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+            AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+          GROUP BY l_partkey
+        )
+        SELECT ps_partkey, part_value
+        FROM stock
+        WHERE part_value > (
+          SELECT 0.001 * CAST(sum(toDecimal64(part_value, 6)) AS Float64) FROM stock
+        )
+        ORDER BY part_value DESC, ps_partkey
+        """,
+    )
+
+
+@register(
+    "chsql_tpch_q16",
+    oracle=_tpch_oracle("_Q16_ORACLE"),
+    tags=("chsql", "tpch", "anti"),
+)
+def chsql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 as CH text (adapted exclusions): DISTINCT pair derivation,
+    NOT IN anti subquery, IN value list, countDistinct."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT p_brand, p_type, p_size,
+               uniqExact(l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) AS pairs, part
+        WHERE p_partkey = l_partkey
+          AND p_brand != 'Brand#5'
+          AND p_type != 'PROMO'
+          AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+    )
