@@ -1725,3 +1725,62 @@ def transpile(sql: str) -> str:
             "ChSparkEngine.sql(..., dialect='clickhouse') instead of transpile()"
         )
     return out
+
+
+#: clause keywords that start a new line in format_sql (clickhouse-format's
+#: one-clause-per-line layout, /root/reference Dockerfile:152-177 ships the
+#: tool as `clickhouse-format`)
+_FMT_BREAKS = {
+    "SELECT", "FROM", "WHERE", "PREWHERE", "GROUP", "HAVING", "ORDER",
+    "LIMIT", "UNION", "INTERSECT", "EXCEPT", "WITH", "SETTINGS", "FORMAT",
+    "WINDOW", "QUALIFY",
+}
+_FMT_JOIN = {"JOIN", "INNER", "LEFT", "RIGHT", "FULL", "CROSS", "ASOF", "PASTE", "ANY", "GLOBAL", "SEMI", "ANTI", "ARRAY"}
+
+
+def format_sql(sql: str) -> str:
+    """``clickhouse-format`` analog: canonical one-clause-per-line layout
+    with UPPERCASE keywords, built on the same tokenizer the transpiler
+    uses (so anything transpile accepts, format_sql formats)."""
+    kw = _FMT_BREAKS | _FMT_JOIN | {
+        "AS", "ON", "USING", "AND", "OR", "NOT", "IN", "EXISTS", "BETWEEN",
+        "CASE", "WHEN", "THEN", "ELSE", "END", "BY", "ASC", "DESC", "NULLS",
+        "FIRST", "LAST", "DISTINCT", "ALL", "OUTER", "IS", "NULL", "LIKE",
+        "ILIKE", "INTERVAL", "OVER", "PARTITION", "ROWS", "RANGE", "CURRENT",
+        "ROW", "UNBOUNDED", "PRECEDING", "FOLLOWING", "TOTALS", "ROLLUP",
+        "CUBE", "GROUPING", "SETS", "VALUES", "TIES", "OFFSET", "SAMPLE",
+        "FINAL", "TABLE", "VIEW", "IF",
+    }
+    toks = tokenize(sql)
+    out: list[str] = []
+    depth = 0
+    prev_break = False
+    for i, t in enumerate(toks):
+        u = t.upper()
+        word = u if u in kw and re.match(r"^[A-Za-z_]+$", t) else t
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        breaks = depth == 0 and u in _FMT_BREAKS and i > 0 and not (
+            u == "GROUP" and out and out[-1].endswith("WITHIN")
+        )
+        join_break = (
+            depth == 0
+            and u in _FMT_JOIN
+            and i > 0
+            and (u == "JOIN" or toks[min(i + 1, len(toks) - 1)].upper() in _FMT_JOIN | {"JOIN"})
+            and (not out or not out[-1].rstrip().upper().endswith(
+                ("LEFT", "RIGHT", "FULL", "CROSS", "INNER", "ASOF", "PASTE",
+                 "ANY", "GLOBAL", "SEMI", "ANTI", "ARRAY")
+            ))
+        )
+        if breaks or join_break:
+            out.append("\n" + word)
+            prev_break = True
+            continue
+        out.append(word)
+        prev_break = False
+    text = render([x for x in out])
+    lines = [ln.strip() for ln in text.split("\n")]
+    return "\n".join(ln for ln in lines if ln)

@@ -1078,3 +1078,39 @@ class ChSparkEngine:
             fmt = m.group(1)
         df = self.sql(query, dialect=dialect)
         return render(df, fmt, max_rows)
+
+
+    def format(self, sql: str) -> str:
+        """``clickhouse-format`` analog (the image symlinks the tool,
+        Dockerfile:152-177): canonical one-clause-per-line uppercase-keyword
+        layout via the dialect tokenizer."""
+        from clickhouseocp_spark.chsql import format_sql
+
+        return format_sql(sql)
+
+    def benchmark(self, query: str, iterations: int = 5, dialect: str = "auto"):
+        """``clickhouse-benchmark`` analog (Dockerfile:152-177): run a query
+        ``iterations`` times (after one warmup), return timing percentiles
+        the way the tool reports them.  Execution = full result count per
+        iteration (the library has no wire protocol to drain)."""
+        import time as _time
+
+        self.sql(query, dialect=dialect).count()  # warmup
+        times = []
+        for _ in range(iterations):
+            t0 = _time.perf_counter()
+            self.sql(query, dialect=dialect).count()
+            times.append(_time.perf_counter() - t0)
+        ts = sorted(times)
+
+        def pct(p: float) -> float:
+            return round(ts[min(int(p * len(ts)), len(ts) - 1)], 4)
+
+        return {
+            "iterations": iterations,
+            "qps": round(iterations / sum(ts), 3),
+            "min": round(ts[0], 4),
+            "p50": pct(0.5),
+            "p90": pct(0.9),
+            "max": round(ts[-1], 4),
+        }

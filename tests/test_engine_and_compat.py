@@ -620,3 +620,22 @@ def test_system_metrics_and_format_null(spark, sf_dir):
     assert m["TablesRegistered"] > 5
     # FORMAT Null executes but renders nothing
     assert eng.run("SELECT * FROM region FORMAT Null") == ""
+
+
+def test_format_and_benchmark_tools(spark, sf_dir):
+    """clickhouse-format / clickhouse-benchmark analogs (A3 tool surface)."""
+    eng = ChSparkEngine(sf_dir, spark)
+    out = eng.format(
+        "select r_name, count() as n from region group by r_name order by n desc"
+    )
+    assert out.splitlines() == [
+        "SELECT r_name, count() AS n",
+        "FROM region",
+        "GROUP BY r_name",
+        "ORDER BY n DESC",
+    ]
+    # formatted text still transpiles + runs
+    assert eng.sql(out, dialect="clickhouse").count() > 0
+    b = eng.benchmark("SELECT count() AS n FROM region", iterations=2)
+    assert b["iterations"] == 2 and b["min"] <= b["p50"] <= b["max"]
+    assert b["qps"] > 0
