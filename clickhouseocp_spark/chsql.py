@@ -917,6 +917,78 @@ FUNC_RULES: dict[str, object] = {
     "mapValues": _rename("map_values"),
     "mapContains": _rename("map_contains_key"),
     "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",
+    "mapFromArrays": _rename("map_from_arrays"),
+    # round-3 daily-vocabulary sweep (every rule exercised by the
+    # execute-probe in tests/test_chsql.py::test_daily_vocab_executes)
+    "toFixedString": lambda args: f"rpad({args[0]}, {args[1]}, ' ')",
+    "extract": lambda args: (
+        # CH extract(haystack, re) vs ANSI EXTRACT(field FROM ts): only the
+        # 2-arg regex-literal form is CH-specific
+        f"regexp_extract({args[0]}, {args[1]}, 0)"
+        if len(args) == 2 and args[1].strip().startswith("'")
+        else f"extract({', '.join(args)})"
+    ),
+    "dateSub": lambda args: f"dateadd({args[0]}, -({args[1]}), {args[2]})",
+    "timeSlot": lambda args: (
+        f"timestamp_seconds(floor(unix_timestamp({args[0]}) / 1800) * 1800)"
+    ),
+    "toTime": lambda args: (
+        # CH: time-of-day re-anchored on 1970-01-02
+        f"timestamp_seconds(86400 + (unix_timestamp({args[0]}) % 86400))"
+    ),
+    "notLike": lambda args: f"({args[0]} NOT LIKE {args[1]})",
+    "notILike": lambda args: f"(NOT ({args[0]} ILIKE {args[1]}))",
+    "isFinite": lambda args: (
+        f"((NOT isnan({args[0]})) AND abs({args[0]}) != double('Infinity'))"
+    ),
+    "isInfinite": lambda args: f"(abs({args[0]}) = double('Infinity'))",
+    "bitTest": lambda args: (
+        f"(shiftright({args[0]}, cast({args[1]} as int)) & 1)"
+    ),
+    "bitCount": _rename("bit_count"),
+    "reverseUTF8": _rename("reverse"),
+    "domainWithoutWWW": lambda args: (
+        f"regexp_replace(parse_url({args[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    "cutQueryString": lambda args: f"element_at(split({args[0]}, '\\\\?', 2), 1)",
+    "visitParamExtractString": lambda args: (
+        f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+    ),
+    "tupleElement": lambda args: (
+        f"{args[0]}.{args[1].strip()[1:-1]}"
+        if args[1].strip().startswith("'")
+        else f"{args[0]}.col{args[1].strip()}"
+    ),
+    "accurateCast": lambda args: (
+        f"CAST({args[0]} AS {_map_type(args[1].strip()[1:-1])})"
+    ),
+    "toInt64OrZero": lambda args: f"coalesce(try_cast({args[0]} AS BIGINT), 0)",
+    "toInt64OrNull": lambda args: f"try_cast({args[0]} AS BIGINT)",
+    "toInt32OrZero": lambda args: f"coalesce(try_cast({args[0]} AS INT), 0)",
+    "toInt32OrNull": lambda args: f"try_cast({args[0]} AS INT)",
+    "toFloat64OrZero": lambda args: f"coalesce(try_cast({args[0]} AS DOUBLE), 0.0)",
+    "toFloat64OrNull": lambda args: f"try_cast({args[0]} AS DOUBLE)",
+    "emptyArrayInt64": lambda args: "CAST(array() AS ARRAY<BIGINT>)",
+    "emptyArrayString": lambda args: "CAST(array() AS ARRAY<STRING>)",
+    "arrayWithConstant": lambda args: (
+        f"array_repeat({args[1]}, cast({args[0]} as int))"
+    ),
+    "byteSize": _rename("octet_length"),
+    "leftPadUTF8": _rename("lpad"),
+    "rightPadUTF8": _rename("rpad"),
+    "randCanonical": _rename("rand"),
+    "rand64": lambda args: (
+        "cast(floor(rand() * 9.223372036854776e18) as bigint)"
+    ),
+    "formatReadableSize": lambda args: (
+        f"CASE WHEN abs({args[0]}) >= 1073741824 "
+        f"THEN concat(format_number({args[0]} / 1073741824, 2), ' GiB') "
+        f"WHEN abs({args[0]}) >= 1048576 "
+        f"THEN concat(format_number({args[0]} / 1048576, 2), ' MiB') "
+        f"WHEN abs({args[0]}) >= 1024 "
+        f"THEN concat(format_number({args[0]} / 1024, 2), ' KiB') "
+        f"ELSE concat(format_number(cast({args[0]} as double), 2), ' B') END"
+    ),
     "range": lambda args: (
         f"sequence(0, ({args[0]}) - 1)" if len(args) == 1
         else f"sequence({args[0]}, ({args[1]}) - 1" + (f", {args[2]}" if len(args) > 2 else "") + ")"

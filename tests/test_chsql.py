@@ -618,3 +618,46 @@ def test_system_one_probe(spark, sf_dir):
     eng = ChSparkEngine(sf_dir, spark)
     rows = eng.sql("SELECT dummy FROM system.one", dialect="clickhouse").collect()
     assert len(rows) == 1 and rows[0].dummy == 0
+
+
+def test_daily_vocab_executes(spark):
+    """Round-3 vocabulary sweep: every rule must EXECUTE on Spark (transpile
+    alone can silently pass through unresolvable names)."""
+    from clickhouseocp_spark.chsql import transpile
+
+    spark.sql(
+        "SELECT 1 AS a, 2 AS b, CAST(1.5 AS DOUBLE) AS f, 'abc9' AS s, "
+        "TIMESTAMP '2024-01-02 03:04:05' AS ts, "
+        "named_struct('f1', 7, 'f2', 'z') AS tp, "
+        "ARRAY('k1','k2') AS ks, ARRAY(10,20) AS vs, "
+        "'{\"k\":\"v\"}' AS j, 'http://www.ex.com/p?q=1' AS u2"
+    ).createOrReplaceTempView("vt")
+    rows = spark.sql(
+        transpile(
+            """
+        SELECT toFixedString(s, 6) AS fx, extract(s, '[0-9]+') AS ex,
+               dateSub(DAY, 3, ts) AS ds, timeSlot(ts) AS tsl, toTime(ts) AS tt,
+               notLike(s, '%z%') AS nl, notILike(s, '%Z%') AS nil,
+               isFinite(f) AS fin, isInfinite(f) AS inf_,
+               bitTest(a, 0) AS bt, bitCount(b) AS bc,
+               reverseUTF8(s) AS rev, domainWithoutWWW(u2) AS dom,
+               cutQueryString(u2) AS cq, visitParamExtractString(j, 'k') AS vp,
+               tupleElement(tp, 'f1') AS te, mapFromArrays(ks, vs) AS mp,
+               accurateCast(a, 'Int64') AS ac, toInt64OrZero(s) AS i0,
+               toInt64OrNull('42') AS i1, emptyArrayInt64() AS ea,
+               arrayWithConstant(3, 7) AS awc, byteSize(s) AS bs,
+               leftPadUTF8(s, 6, '.') AS lp, rand64() AS r64,
+               formatReadableSize(1536) AS frs
+        FROM vt
+        """
+        )
+    ).collect()
+    r = rows[0]
+    assert r.ex == "9" and r.nl and r.nil and r.fin and not r.inf_
+    assert r.bt == 1 and r.bc == 1 and r.rev == "9cba"
+    assert r.dom == "ex.com" and r.cq == "http://www.ex.com/p"
+    assert r.vp == "v" and r.te == 7 and r.mp == {"k1": 10, "k2": 20}
+    assert r.ac == 1 and r.i0 == 0 and r.i1 == 42
+    assert list(r.ea) == [] and list(r.awc) == [7, 7, 7]
+    assert r.frs == "1.50 KiB" and r.lp == "..abc9"
+    assert r.tt.day == 2  # re-anchored on 1970-01-02
