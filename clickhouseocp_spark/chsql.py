@@ -763,7 +763,6 @@ FUNC_RULES: dict[str, object] = {
         f"try_to_timestamp({args[0]}, 'yyyyMMddHHmmss'), "
         f"try_to_timestamp({args[0]}, 'yyyy-MM-dd'))"
     ),
-    "toMonday": lambda args: f"CAST(date_trunc('WEEK', {args[0]}) AS DATE)",
     "toStartOfWeek": lambda args: _to_start_of_week(args),
     # strings
     "lengthUTF8": _rename("length"),
@@ -980,6 +979,68 @@ FUNC_RULES: dict[str, object] = {
     "rand64": lambda args: (
         "cast(floor(rand() * 9.223372036854776e18) as bigint)"
     ),
+    "toISOWeek": _rename("weekofyear"),
+    "toISOYear": lambda args: f"extract(YEAROFWEEK FROM {args[0]})",
+    # CH toWeek default mode 0 ~ ISO-adjacent; mapped to ISO weekofyear
+    # (documented deviation — the mode-3 behavior)
+    "toWeek": lambda args: f"weekofyear({args[0]})",
+    "toRelativeDayNum": lambda args: (
+        f"cast(floor(unix_timestamp({args[0]}) / 86400) as int)"
+    ),
+    "toRelativeHourNum": lambda args: (
+        f"cast(floor(unix_timestamp({args[0]}) / 3600) as int)"
+    ),
+    "makeDate": _rename("make_date"),
+    "makeDateTime": _rename("make_timestamp"),
+    "age": lambda args: (
+        f"timestampdiff({args[0].strip().strip(chr(39)).upper()}, {args[1]}, {args[2]})"
+    ),
+    "substringIndex": _rename("substring_index"),
+    "tryBase64Decode": lambda args: (
+        f"cast(try_to_binary({args[0]}, 'base64') as string)"
+    ),
+    "levenshteinDistance": _rename("levenshtein"),
+    "normalizeQuery": lambda args: (
+        f"regexp_replace(regexp_replace(regexp_replace({args[0]}, "
+        f"'/\\\\*.*?\\\\*/', ''), \"'[^']*'\", '?'), '\\\\b\\\\d+\\\\b', '?')"
+    ),
+    "normalizedQueryHash": lambda args: (
+        f"xxhash64(regexp_replace(regexp_replace(regexp_replace({args[0]}, "
+        f"'/\\\\*.*?\\\\*/', ''), \"'[^']*'\", '?'), '\\\\b\\\\d+\\\\b', '?'))"
+    ),
+    # CH arg order (lonA, latA, lonB, latB); haversine on the mean sphere
+    "greatCircleDistance": lambda args: (
+        f"(6372797.560856 * 2 * asin(sqrt("
+        f"pow(sin(radians({args[3]} - {args[1]}) / 2), 2)"
+        f" + cos(radians({args[1]})) * cos(radians({args[3]}))"
+        f" * pow(sin(radians({args[2]} - {args[0]}) / 2), 2))))"
+    ),
+    "divideDecimal": lambda args: f"({args[0]} / {args[1]})",
+    "multiplyDecimal": lambda args: f"({args[0]} * {args[1]})",
+    "toYYYYMMDDhhmmss": lambda args: (
+        f"cast(date_format({args[0]}, 'yyyyMMddHHmmss') as bigint)"
+    ),
+    "fromUnixTimestamp64Milli": _rename("timestamp_millis"),
+    "fromUnixTimestamp64Micro": _rename("timestamp_micros"),
+    "toUnixTimestamp64Milli": _rename("unix_millis"),
+    "toUnixTimestamp64Micro": _rename("unix_micros"),
+    "toModifiedJulianDay": lambda args: (
+        f"datediff(cast({args[0]} as date), DATE '1858-11-17')"
+    ),
+    "currentDatabase": lambda args: "'default'",
+    "currentUser": lambda args: "'default'",
+    "hostName": lambda args: "'localhost'",
+    "version": lambda args: "'25.7.4.11-compat-spark'",
+    "sleep": lambda args: "0",  # no blocking in a distributed plan; CH returns 0
+    # CH 3/4-arg lookup transform(x, from, to[, default]); 2-arg stays the
+    # higher-order transform passthrough
+    "transform": lambda args: (
+        f"coalesce(element_at(map_from_arrays({args[1]}, {args[2]}), {args[0]}), "
+        + (args[3] if len(args) > 3 else args[0])
+        + ")"
+        if len(args) >= 3
+        else f"transform({', '.join(args)})"
+    ),
     "formatReadableSize": lambda args: (
         f"CASE WHEN abs({args[0]}) >= 1073741824 "
         f"THEN concat(format_number({args[0]} / 1073741824, 2), ' GiB') "
@@ -1039,7 +1100,6 @@ FUNC_RULES: dict[str, object] = {
     "toTypeName": lambda args: f"typeof({args[0]})",
     "generateUUIDv4": _rename("uuid"),
     "rand": _rename("rand"),
-    "greatCircleDistance": None,  # functions/geo.py covers; no 1-line SQL
     # table function: numbers(N) / numbers(offset, N) → range() subquery,
     # column renamed to CH's `number`
     "numbers": lambda args: (
@@ -1066,9 +1126,6 @@ FUNC_RULES: dict[str, object] = {
     "bitmapMin": lambda args: f"array_min({args[0]})",
     "bitmapMax": lambda args: f"array_max({args[0]})",
     "bitmapToArray": lambda args: f"{args[0]}",
-    # arrayJoin() as a select-list FUNCTION (CH's row-expanding form of the
-    # ARRAY JOIN clause) — Spark's explode is exactly that generator
-    "arrayJoin": _rename("explode"),
     # -Array combinators: the aggregate consumes array elements across rows
     "sumArray": lambda args: (
         f"sum(aggregate({args[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"

@@ -661,3 +661,60 @@ def test_daily_vocab_executes(spark):
     assert list(r.ea) == [] and list(r.awc) == [7, 7, 7]
     assert r.frs == "1.50 KiB" and r.lp == "..abc9"
     assert r.tt.day == 2  # re-anchored on 1970-01-02
+
+
+def test_no_duplicate_rule_keys():
+    """A duplicate key inside FUNC_RULES/PARAMETRIC_RULES silently overrides
+    the earlier rule (the toStartOfWeek regression) — gate it structurally."""
+    import ast
+    import collections
+    import pathlib
+
+    import clickhouseocp_spark.chsql as chsql
+
+    tree = ast.parse(pathlib.Path(chsql.__file__).read_text())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Dict) and len(node.keys) > 20:
+            names = [
+                k.value for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            dupes = [n for n, c in collections.Counter(names).items() if c > 1]
+            assert not dupes, f"duplicate rule keys at line {node.lineno}: {dupes}"
+
+
+def test_daily_vocab_batch2_executes(spark):
+    from clickhouseocp_spark.chsql import transpile
+
+    spark.sql(
+        "SELECT 1 AS a, CAST(1.5 AS DOUBLE) AS f, 'abc' AS s, "
+        "TIMESTAMP '2024-01-02 03:04:05' AS ts, DATE '2024-01-02' AS d, "
+        "'x,y,z' AS csv3"
+    ).createOrReplaceTempView("vt2")
+    r = spark.sql(
+        transpile(
+            """
+        SELECT toISOWeek(ts) AS w, toISOYear(ts) AS yw, toWeek(ts) AS w2,
+               toRelativeDayNum(ts) AS rd,
+               makeDate(2024, 3, 5) AS md,
+               age('day', ts, ts + INTERVAL 3 DAY) AS ag,
+               substringIndex(csv3, ',', 2) AS si,
+               tryBase64Decode('!!b!!') AS tb,
+               levenshteinDistance(s, 'abd') AS lev,
+               round(greatCircleDistance(0.0, 0.0, 1.0, 1.0), -3) AS gcd,
+               toYYYYMMDD(ts) AS y8,
+               toUnixTimestamp64Milli(ts) AS tm,
+               toModifiedJulianDay('2024-01-02') AS mjd,
+               transform(a, [1, 2], ['one', 'two'], 'other') AS tr,
+               arrayMap(x -> x + 1, [1, 2]) AS am,
+               normalizeQuery('SELECT 42 /*c*/') AS nq
+        FROM vt2
+        """
+        )
+    ).collect()[0]
+    assert r.w == 1 and r.yw == 2024 and r.ag == 3
+    assert r.si == "x,y" and r.tb is None and r.lev == 1
+    assert abs(r.gcd - 157000) <= 1000  # ~157 km for 1 deg at the equator
+    assert r.y8 == 20240102 and str(r.md) == "2024-03-05"
+    assert r.mjd == 60311 and r.tr == "one" and list(r.am) == [2, 3]
+    assert r.nq.strip() == "SELECT ?"
