@@ -1099,7 +1099,9 @@ FUNC_RULES: dict[str, object] = {
     # misc
     "toTypeName": lambda args: f"typeof({args[0]})",
     "generateUUIDv4": _rename("uuid"),
-    "rand": _rename("rand"),
+    # CH rand() is a uniform UInt32 (users write rand() % N) — NOT a [0,1)
+    # double; randCanonical() is the [0,1) form
+    "rand": lambda args: "cast(floor(rand() * 4294967296) as bigint)",
     # table function: numbers(N) / numbers(offset, N) → range() subquery,
     # column renamed to CH's `number`
     "numbers": lambda args: (
