@@ -655,6 +655,64 @@ def _map_type(name: str) -> str:
     return _TYPE_MAP.get(name.lower(), name)
 
 
+# ---------------------------------------------------------------------------
+# Query parameters: SELECT ... WHERE k = {name:Type}
+# (clickhouse-client --param_name=v / HTTP param_name=v)
+# ---------------------------------------------------------------------------
+
+_PARAM_RE = re.compile(r"\{(\w+)\s*:\s*([A-Za-z0-9]+(?:\([^)]*\))?)\}")
+
+
+def _param_literal(value: object, ctype: str) -> str:
+    base = ctype.split("(")[0].strip().lower()
+    if base == "identifier":
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", str(value)):
+            raise ChSqlError(f"Identifier parameter {value!r} is not a valid name")
+        return str(value)
+    if base == "array":
+        inner = ctype[ctype.index("(") + 1 : ctype.rindex(")")]
+        if not isinstance(value, (list, tuple)):
+            raise ChSqlError(f"Array parameter needs a list, got {type(value).__name__}")
+        return "array(" + ", ".join(_param_literal(v, inner) for v in value) + ")"
+    if base in ("string", "fixedstring"):
+        return "'" + str(value).replace("'", "''") + "'"
+    if base == "date":
+        return f"DATE '{value}'"
+    if base in ("datetime", "datetime64"):
+        return f"TIMESTAMP '{value}'"
+    if base == "bool":
+        return "true" if value in (True, 1, "1", "true", "True") else "false"
+    # numeric types: validate the value is a number so a string can't
+    # smuggle SQL through the substitution
+    if not isinstance(value, (int, float)):
+        try:
+            value = float(value) if "." in str(value) else int(value)
+        except ValueError:
+            raise ChSqlError(
+                f"parameter of type {ctype} needs a numeric value, got {value!r}"
+            ) from None
+    spark_t = _map_type(base)
+    if spark_t != base:  # known CH numeric/typed name → explicit cast
+        return f"CAST({value} AS {spark_t})"
+    return str(value)
+
+
+def bind_params(query: str, params: dict) -> str:
+    """Substitute ``{name:Type}`` query parameters with typed literals —
+    the clickhouse-client ``--param_name`` surface.  Unbound parameters
+    raise (the CH contract: UNKNOWN_QUERY_PARAMETER)."""
+
+    def repl(m: re.Match) -> str:
+        name, ctype = m.group(1), m.group(2)
+        if name not in params:
+            raise ChSqlError(
+                f"query parameter {name!r} is not bound (have: {sorted(params)})"
+            )
+        return _param_literal(params[name], ctype)
+
+    return _PARAM_RE.sub(repl, query)
+
+
 def _filter_agg(fn: str):
     """CH -If combinator → ANSI aggregate FILTER clause (JVM-side, no UDF)."""
     def rule(args: list[str]) -> str:
@@ -1136,6 +1194,99 @@ FUNC_RULES: dict[str, object] = {
         f"size(array_distinct(flatten(collect_list({args[0]}))))"
     ),
     "countArray": lambda args: f"sum(size({args[0]}))",
+    # --- vocabulary sweep batch 3: search/split, arrays, dates, maps, rand --
+    "extractAll": lambda args: f"regexp_extract_all({args[0]}, {args[1]}, 0)",
+    "alphaTokens": lambda args: (
+        f"filter(split({args[0]}, '[^A-Za-z]+', -1), x -> x != '')"
+    ),
+    "splitByNonAlpha": lambda args: (
+        f"filter(split({args[0]}, '[^A-Za-z0-9]+', -1), x -> x != '')"
+    ),
+    "splitByWhitespace": lambda args: (
+        f"filter(split({args[0]}, '\\\\s+', -1), x -> x != '')"
+    ),
+    "tokens": lambda args: (
+        f"filter(split({args[0]}, '[^A-Za-z0-9]+', -1), x -> x != '')"
+    ),
+    # character n-grams: sequence is clamped to >= 1 element so it never
+    # flips descending; short tails are filtered by length
+    "ngrams": lambda args: (
+        f"filter(transform(sequence(1, greatest(length({args[0]}) - ({args[1]})"
+        f" + 1, 1)), i -> substring({args[0]}, i, {args[1]})),"
+        f" x -> length(x) = ({args[1]}))"
+    ),
+    "multiSearchAny": lambda args: (
+        f"exists({args[1]}, p -> locate(p, {args[0]}) > 0)"
+    ),
+    "multiSearchFirstIndex": lambda args: (
+        f"coalesce(array_position(transform({args[1]}, "
+        f"p -> locate(p, {args[0]}) > 0), true), 0)"
+    ),
+    "positionUTF8": lambda args: f"locate({args[1]}, {args[0]})",
+    "translateUTF8": _rename("translate"),
+    "initcapUTF8": _rename("initcap"),
+    # Spark strings are re-encoded valid UTF-8 on read → identity
+    "toValidUTF8": lambda args: args[0],
+    "arrayResize": lambda args: _array_resize(args),
+    "arrayEnumerateUniq": lambda args: (
+        f"transform({args[0]}, (x, i) -> "
+        f"size(filter(slice({args[0]}, 1, i + 1), y -> y = x)))"
+    ),
+    "countEqual": lambda args: f"size(filter({args[0]}, y -> y = {args[1]}))",
+    "arrayShuffle": _rename("shuffle"),
+    "arrayReverseSort": lambda args: _array_reverse_sort(args),
+    "arrayRotateLeft": lambda args: (
+        f"concat(slice({args[0]}, pmod({args[1]}, size({args[0]})) + 1, "
+        f"size({args[0]}) - pmod({args[1]}, size({args[0]}))), "
+        f"slice({args[0]}, 1, pmod({args[1]}, size({args[0]}))))"
+    ),
+    # dates: CH dateAdd/timestampAdd take (unit, n, d) with a bare or quoted
+    # unit keyword; Spark dateadd is the same shape with a bare unit
+    "dateAdd": lambda args: (
+        f"dateadd({args[0].strip(chr(39))}, {args[1]}, {args[2]})"
+    ),
+    "timestampAdd": lambda args: (
+        f"dateadd({args[0].strip(chr(39))}, {args[1]}, {args[2]})"
+    ),
+    "timestampSub": lambda args: (
+        f"dateadd({args[0].strip(chr(39))}, -({args[1]}), {args[2]})"
+    ),
+    "nowInBlock": lambda args: "current_timestamp()",
+    "fromModifiedJulianDay": lambda args: (
+        f"date_add(DATE '1858-11-17', CAST({args[0]} AS INT))"
+    ),
+    "toIntervalYear": lambda args: f"({args[0]} * INTERVAL 1 YEAR)",
+    "toIntervalMonth": lambda args: f"({args[0]} * INTERVAL 1 MONTH)",
+    "toIntervalWeek": lambda args: f"({args[0]} * INTERVAL 7 DAY)",
+    "toIntervalMinute": lambda args: f"({args[0]} * INTERVAL 1 MINUTE)",
+    "toIntervalSecond": lambda args: f"({args[0]} * INTERVAL 1 SECOND)",
+    "parseDateTime": lambda args: _parse_datetime(args),
+    "parseDateTime64BestEffort": lambda args: (
+        f"coalesce(try_to_timestamp({args[0]}), "
+        f"try_to_timestamp({args[0]}, 'yyyy/MM/dd HH:mm:ss'), "
+        f"try_to_timestamp({args[0]}, 'dd/MM/yyyy HH:mm:ss'), "
+        f"try_to_timestamp({args[0]}, 'yyyyMMddHHmmss'), "
+        f"try_to_timestamp({args[0]}, 'yyyy-MM-dd'))"
+    ),
+    "dateName": lambda args: _date_name(args),
+    # maps (value merge; CH mapAdd sums matching keys)
+    "mapAdd": lambda args: _nest_binary_map_add(args, "+"),
+    "mapSubtract": lambda args: _nest_binary_map_add(args, "-"),
+    "mapConcat": lambda args: _map_concat(args),
+    "tuple": lambda args: "struct(" + ", ".join(args) + ")",
+    # random distributions (CH 22.10 family); rand() itself is the UInt32 form
+    "randNormal": lambda args: f"(({args[0]}) + randn() * ({args[1]}))",
+    "randUniform": lambda args: (
+        f"(({args[0]}) + rand() * (({args[1]}) - ({args[0]})))"
+    ),
+    "randBernoulli": lambda args: f"CAST(rand() < ({args[0]}) AS INT)",
+    "randExponential": lambda args: f"(-ln(1.0 - rand()) / ({args[0]}))",
+    # no-op / planner-hint vocabulary: evaluate-and-discard semantics
+    "ignore": lambda args: "0",
+    "identity": lambda args: args[0],
+    "materialize": lambda args: args[0],
+    "indexHint": lambda args: "true",
+    "serverVersion": lambda args: "'25.7.4.11-compat-spark'",
     # dictionaries: dictGet over the catalog's declared dictionaries becomes
     # a correlated scalar subquery (Catalyst rewrites it to a left join;
     # operators/dictionary.dict_get stays the explicit-broadcast fast path)
@@ -1193,6 +1344,32 @@ def _nest_binary(fn: str, args: list[str]) -> str:
     return out
 
 
+def _nest_binary_map_add(args: list[str], op: str) -> str:
+    """mapAdd/mapSubtract over n maps → nested map_zip_with merges; absent
+    keys contribute the additive identity (CH sums matching keys)."""
+    out = args[0]
+    for m in args[1:]:
+        out = (
+            f"map_zip_with({out}, {m}, (k, v1, v2) -> "
+            f"coalesce(v1, 0) {op} coalesce(v2, 0))"
+        )
+    return out
+
+
+def _map_concat(args: list[str]) -> str:
+    """mapConcat: on key collision the FIRST occurrence wins (CH contract);
+    Spark's map_concat throws under the default EXCEPTION dedup policy, so
+    the merge goes through entry arrays instead."""
+    out = args[0]
+    for m in args[1:]:
+        out = (
+            f"map_from_entries(concat(map_entries({out}), "
+            f"filter(map_entries({m}), "
+            f"e -> NOT array_contains(map_keys({out}), e.key))))"
+        )
+    return out
+
+
 def _array_reduce(args: list[str]) -> str:
     name = args[0].strip().strip("'").lower()
     if name not in _ARRAY_REDUCE:
@@ -1211,13 +1388,9 @@ _CH_FMT_CODES = {
 }
 
 
-def _format_datetime(args: list[str]) -> str:
-    """formatDateTime(ts, '%Y-%m-%d ...') → date_format with the CH %-codes
-    translated to DateTimeFormatter fields; literal runs are quoted so
-    letters can't leak into the pattern."""
-    if len(args) < 2 or not (args[1].startswith("'") and args[1].endswith("'")):
-        raise ChSqlError("formatDateTime needs a literal format string")
-    fmt = args[1][1:-1]
+def _ch_java_pattern(fmt: str, fname: str) -> str:
+    """CH %-code format string → Spark DateTimeFormatter pattern; literal
+    runs are quoted so letters can't leak into the pattern."""
     java: list[str] = []
     buf: list[str] = []
 
@@ -1237,14 +1410,70 @@ def _format_datetime(args: list[str]) -> str:
                 flush()
                 java.append(_CH_FMT_CODES[c])
             else:
-                raise ChSqlError(f"formatDateTime %{c} is outside the subset")
+                raise ChSqlError(f"{fname} %{c} is outside the subset")
             i += 2
         else:
             buf.append(fmt[i])
             i += 1
     flush()
-    pattern = "".join(java)
+    return "".join(java)
+
+
+def _format_datetime(args: list[str]) -> str:
+    """formatDateTime(ts, '%Y-%m-%d ...') → date_format with the CH %-codes
+    translated to DateTimeFormatter fields."""
+    if len(args) < 2 or not (args[1].startswith("'") and args[1].endswith("'")):
+        raise ChSqlError("formatDateTime needs a literal format string")
+    pattern = _ch_java_pattern(args[1][1:-1], "formatDateTime")
     return f"date_format({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+def _parse_datetime(args: list[str]) -> str:
+    """parseDateTime(s, '%Y-%m-%d') — the MySQL-style inverse of
+    formatDateTime — shares the same %-code subset."""
+    if len(args) < 2 or not (args[1].startswith("'") and args[1].endswith("'")):
+        raise ChSqlError("parseDateTime needs a literal format string")
+    pattern = _ch_java_pattern(args[1][1:-1], "parseDateTime")
+    return f"to_timestamp({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+def _array_resize(args: list[str]) -> str:
+    """arrayResize(arr, n, ext): truncate or right-extend with ``ext``.  The
+    2-arg CH form extends with the type default — not knowable from text, so
+    it is rejected with an actionable message instead of guessing."""
+    if len(args) < 3:
+        raise ChSqlError(
+            "arrayResize without an extender is not supported: pass the fill "
+            "value explicitly, e.g. arrayResize(arr, n, 0)"
+        )
+    a, n, ext = args[0], args[1], args[2]
+    return (
+        f"CASE WHEN ({n}) <= size({a}) THEN slice({a}, 1, {n}) "
+        f"ELSE concat({a}, array_repeat({ext}, ({n}) - size({a}))) END"
+    )
+
+
+def _array_reverse_sort(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError(
+            "arrayReverseSort with a key lambda is not supported: "
+            "use arraySort(key, arr) wrapped in arrayReverse(...)"
+        )
+    return f"reverse(array_sort({args[0]}))"
+
+
+#: dateName parts → (DateTimeFormatter pattern) for the name-valued parts;
+#: numeric parts fall through to EXTRACT
+_DATE_NAME_PATTERNS = {"weekday": "EEEE", "month": "MMMM"}
+
+
+def _date_name(args: list[str]) -> str:
+    part = args[0].strip().strip("'").lower()
+    if part in _DATE_NAME_PATTERNS:
+        return f"date_format({args[1]}, '{_DATE_NAME_PATTERNS[part]}')"
+    if part in ("year", "quarter", "day", "hour", "minute", "second", "week"):
+        return f"CAST(extract({part.upper()} FROM {args[1]}) AS STRING)"
+    raise ChSqlError(f"dateName part {part!r} is outside the subset")
 
 
 _INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}

@@ -40,7 +40,9 @@ class ChSparkEngine:
         self.sf_dir = sf_dir
         self.tables = register_tables(self.spark, sf_dir)
 
-    def sql(self, query: str, dialect: str = "auto") -> DataFrame:
+    def sql(
+        self, query: str, dialect: str = "auto", params: dict | None = None
+    ) -> DataFrame:
         """SQL entry point (Catalyst = parser/analyzer/optimizer/executor,
         SURVEY §3.3).
 
@@ -50,11 +52,19 @@ class ChSparkEngine:
         native Spark SQL first and falls back to the CH transpiler when
         parsing/analysis rejects the text.
 
+        ``params`` binds ``{name:Type}`` query parameters (the
+        clickhouse-client ``--param_name`` surface) as typed literals before
+        dispatch, so the cache key and query log see the bound text.
+
         Every call is recorded in ``system.query_log`` (the reference image
         configures a `system.query_log` MergeTree table, Dockerfile:225-230);
         see :meth:`system_query_log` for the logged columns."""
         import time as _time
 
+        if params:
+            from clickhouseocp_spark.chsql import bind_params
+
+            query = bind_params(query, params)
         t0 = _time.perf_counter()
         ok = True
         try:

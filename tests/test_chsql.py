@@ -718,3 +718,76 @@ def test_daily_vocab_batch2_executes(spark):
     assert r.y8 == 20240102 and str(r.md) == "2024-03-05"
     assert r.mjd == 60311 and r.tr == "one" and list(r.am) == [2, 3]
     assert r.nq.strip() == "SELECT ?"
+
+
+def test_daily_vocab_batch3_executes(spark):
+    from clickhouseocp_spark.chsql import transpile
+
+    spark.sql(
+        "SELECT 'a1 b2,c3' AS s, TIMESTAMP '2024-01-02 03:04:05' AS ts, "
+        "ARRAY(3, 1, 2, 1) AS arr, MAP('a', 1, 'b', 2) AS m1, "
+        "MAP('b', 10, 'c', 20) AS m2"
+    ).createOrReplaceTempView("vt3")
+    r = spark.sql(
+        transpile(
+            """
+        SELECT extractAll(s, '[0-9]') AS ea,
+               alphaTokens(s) AS at, splitByNonAlpha(s) AS sna,
+               splitByWhitespace(s) AS sw, tokens(s) AS tk,
+               ngrams('Test', 2) AS ng,
+               multiSearchAny(s, ['zz', 'b2']) AS msa,
+               multiSearchFirstIndex(s, ['zz', 'c3']) AS msf,
+               positionUTF8(s, 'b2') AS pu,
+               arrayResize(arr, 2, 0) AS ar2, arrayResize(arr, 6, 9) AS ar6,
+               arrayEnumerateUniq(arr) AS aeu, countEqual(arr, 1) AS ce,
+               arrayReverseSort(arr) AS ars, arrayRotateLeft(arr, 1) AS arl,
+               dateAdd(DAY, 3, ts) AS da, timestampSub(HOUR, 2, ts) AS tsb,
+               fromModifiedJulianDay(60311) AS fmj,
+               parseDateTime('2024-01-02', '%Y-%m-%d') AS pd,
+               parseDateTime64BestEffort('2024/01/02 03:04:05') AS pdb,
+               dateName('weekday', ts) AS dn, dateName('year', ts) AS dny,
+               mapAdd(m1, m2) AS ma, mapConcat(m1, m2) AS mc,
+               tupleElement(tuple(7, 'z'), 1) AS te,
+               randBernoulli(1.0) AS rb,
+               ignore(s) AS ig, identity(42) AS idn, materialize(5) AS mat,
+               indexHint(s = 'x') AS ih
+        FROM vt3
+        """
+        )
+    ).collect()[0]
+    assert list(r.ea) == ["1", "2", "3"]
+    assert list(r.at) == ["a", "b", "c"]
+    assert list(r.sna) == ["a1", "b2", "c3"]
+    assert list(r.sw) == ["a1", "b2,c3"]
+    assert list(r.tk) == ["a1", "b2", "c3"]
+    assert list(r.ng) == ["Te", "es", "st"]
+    assert r.msa and r.msf == 2 and r.pu == 4
+    assert list(r.ar2) == [3, 1] and list(r.ar6) == [3, 1, 2, 1, 9, 9]
+    assert list(r.aeu) == [1, 1, 1, 2] and r.ce == 2
+    assert list(r.ars) == [3, 2, 1, 1] and list(r.arl) == [1, 2, 1, 3]
+    assert str(r.da).startswith("2024-01-05")
+    assert str(r.tsb).startswith("2024-01-02 01:04:05")
+    assert str(r.fmj) == "2024-01-02"
+    assert str(r.pd).startswith("2024-01-02") and r.pdb.hour == 3
+    assert r.dn == "Tuesday" and r.dny == "2024"
+    assert r.ma == {"a": 1, "b": 12, "c": 20}
+    assert r.mc == {"a": 1, "b": 10, "c": 20} or r.mc == {"a": 1, "b": 2, "c": 20}
+    assert r.te == 7 and r.rb == 1
+    assert r.ig == 0 and r.idn == 42 and r.mat == 5 and r.ih is True
+
+
+def test_vocab_batch3_diagnostics():
+    """The deliberately-rejected forms raise a dialect diagnostic, not an
+    opaque Spark parse error."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+
+    with pytest.raises(ChSqlError, match="arrayResize"):
+        transpile("SELECT arrayResize(arr, 5) FROM t")
+    with pytest.raises(ChSqlError, match="arrayReverseSort"):
+        transpile("SELECT arrayReverseSort(x -> -x, arr) FROM t")
+    with pytest.raises(ChSqlError, match="dateName part"):
+        transpile("SELECT dateName('fortnight', ts) FROM t")
+    with pytest.raises(ChSqlError, match="parseDateTime"):
+        transpile("SELECT parseDateTime(s, fmt_col) FROM t")

@@ -639,3 +639,37 @@ def test_format_and_benchmark_tools(spark, sf_dir):
     b = eng.benchmark("SELECT count() AS n FROM region", iterations=2)
     assert b["iterations"] == 2 and b["min"] <= b["p50"] <= b["max"]
     assert b["qps"] > 0
+
+
+def test_query_parameters(spark, sf_dir):
+    """{name:Type} query parameters (clickhouse-client --param_name / HTTP
+    param_name=v): typed-literal substitution before dispatch; unbound and
+    non-numeric-for-numeric-type raise dialect diagnostics."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, bind_params
+
+    eng = ChSparkEngine(sf_dir, spark)
+    rows = eng.sql(
+        "SELECT r_name FROM region WHERE r_regionkey = {rk:UInt32}",
+        dialect="clickhouse",
+        params={"rk": 1},
+    ).collect()
+    assert len(rows) == 1
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM {t:Identifier} "
+        "WHERE has({names:Array(String)}, r_name)",
+        dialect="clickhouse",
+        params={"t": "region", "names": ["ASIA", "EUROPE"]},
+    ).collect()
+    assert rows[0].n == 2
+    assert (
+        bind_params("SELECT {d:Date}, {s:String}", {"d": "2024-01-02", "s": "o'x"})
+        == "SELECT DATE '2024-01-02', 'o''x'"
+    )
+    with pytest.raises(ChSqlError, match="not bound"):
+        bind_params("SELECT {missing:UInt8}", {})
+    with pytest.raises(ChSqlError, match="numeric"):
+        bind_params("SELECT {n:UInt8}", {"n": "1; DROP TABLE x"})
+    with pytest.raises(ChSqlError, match="Identifier"):
+        bind_params("SELECT * FROM {t:Identifier}", {"t": "region; --"})
