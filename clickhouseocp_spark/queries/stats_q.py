@@ -529,3 +529,87 @@ def rank_corr_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("l_returnflag").agg(
         F.round(F.corr("rq", "rp"), 6).alias("rank_corr")
     )
+
+
+def _lttb_oracle(n_out: int = 12) -> str:
+    """DuckDB replay of operators/downsample.lttb: the n-2 greedy bucket
+    picks are UNROLLED into chained CTEs (s1..s{n-2}), each an argmax window
+    over one bucket given the previous selection; all products in HUGEINT so
+    the scores are exact integers, matching the kernel's Python ints."""
+    m = n_out - 2
+    steps = []
+    for k in range(m):
+        prev = f"s{k}"
+        steps.append(
+            f"""s{k + 1} AS (
+  SELECT event_type, i, x, y6, event_id, value FROM (
+    SELECT c.event_type, c.i, c.x, c.y6, c.event_id, c.value,
+           row_number() OVER (PARTITION BY c.event_type ORDER BY
+             abs((CAST(p.x AS HUGEINT) * a.cnt - a.sx) * (c.y6 - p.y6)
+               - CAST(p.x - c.x AS HUGEINT) * (a.sy - a.cnt * p.y6)) DESC,
+             c.i ASC) AS rn
+    FROM mid c
+    JOIN {prev} p USING (event_type)
+    JOIN anch a ON a.event_type = c.event_type AND a.k = {k}
+    WHERE c.k = {k}
+  ) WHERE rn = 1
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT event_type, CAST({k + 1} AS INTEGER) AS sel_seq, event_id, value FROM s{k + 1}"
+        for k in range(m)
+    )
+    return f"""
+WITH base AS (
+  SELECT event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1 AS i,
+         count(*) OVER (PARTITION BY event_type) AS N,
+         epoch_us(ts) AS x,
+         CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y6,
+         event_id, value
+  FROM events
+), mid AS (
+  SELECT *, CAST(((i - 1) * {m}) // (N - 2) AS INTEGER) AS k
+  FROM base WHERE i >= 1 AND i <= N - 2
+), anch AS (
+  SELECT event_type, k - 1 AS k, CAST(count(*) AS HUGEINT) AS cnt,
+         CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y6) AS HUGEINT) AS sy
+  FROM mid WHERE k >= 1 GROUP BY event_type, k
+  UNION ALL
+  SELECT event_type, {m - 1}, CAST(1 AS HUGEINT), CAST(x AS HUGEINT),
+         CAST(y6 AS HUGEINT)
+  FROM base WHERE i = N - 1
+), s0 AS (
+  SELECT event_type, i, x, y6, event_id, value FROM base WHERE i = 0
+), {",".join(steps)}
+SELECT event_type, CAST(0 AS INTEGER) AS sel_seq, event_id, value FROM s0
+UNION ALL {unions}
+UNION ALL SELECT event_type, CAST({m + 1} AS INTEGER) AS sel_seq, event_id, value
+FROM base WHERE i = N - 1
+"""
+
+
+@register(
+    "lttb_downsample",
+    oracle=_lttb_oracle(12),
+    tags=("agg", "stats", "timeseries"),
+)
+def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``largestTriangleThreeBuckets(12)(ts, value)`` per event_type
+    (CH 25.x time-series downsampling aggregate): endpoints kept, interior
+    split into 10 buckets, each contributing the point with the largest
+    triangle against the previous pick and the next bucket's average.  One
+    shuffle on the series key; the sequential pick runs inside a per-series
+    pandas kernel with exact integer scores (see operators/downsample.py),
+    so the oracle's unrolled HUGEINT replay selects the identical points."""
+    from clickhouseocp_spark.operators.downsample import lttb
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x_us"),
+        F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("y6"),
+    )
+    out = lttb(ev, "x_us", "y6", 12, by=["event_type"], keep=["event_id", "value"])
+    return out.select("event_type", "sel_seq", "event_id", "value")

@@ -847,3 +847,25 @@ def test_ivfpq_planted_duplicates_recalled_at_rank1(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in out.collect() if r.rank == 1}
     assert top1 == {q: q + 1_000_000 for q in top1}
     assert len(top1) == queries.count()
+
+
+def test_lttb_hand_computed_and_short_series(spark):
+    """LTTB picks the hand-computable max-triangle point; short series pass
+    through whole; endpoints always kept."""
+    from clickhouseocp_spark.operators.downsample import lttb
+
+    rows = [("a", i, x, y) for i, (x, y) in enumerate(
+        [(0, 0), (1, 10), (2, 0), (3, 0), (4, 0), (5, 10), (6, 0)]
+    )]
+    df = spark.createDataFrame(rows, "k string, id int, x long, y long")
+    # n_out=3 -> one interior bucket (i=1..5), prev=(0,0), anchor=last (6,0):
+    # score = |-6*y|, max at y=10, tie broken by position -> id=1
+    got = lttb(df, "x", "y", 3, by=["k"], keep=["id"]).orderBy("sel_seq").collect()
+    assert [(r.sel_seq, r.id) for r in got] == [(0, 0), (1, 1), (2, 6)]
+    # N <= n_out: all points kept in order
+    short = lttb(df, "x", "y", 12, by=["k"], keep=["id"]).orderBy("sel_seq").collect()
+    assert [r.id for r in short] == [0, 1, 2, 3, 4, 5, 6]
+    import pytest
+
+    with pytest.raises(ValueError, match="n_out"):
+        lttb(df, "x", "y", 2, by=["k"])
