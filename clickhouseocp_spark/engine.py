@@ -196,7 +196,7 @@ class ChSparkEngine:
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
-                    "ATTACH", "DETACH"):
+                    "ATTACH", "DETACH", "UNDROP"):
             return self.execute(query)
         if head == "SET":
             return self._set_statement(query)
@@ -512,9 +512,22 @@ class ChSparkEngine:
         if m:
             t = m.group(1).lower()
             if t in self.tables:
+                # CH keeps dropped tables recoverable until
+                # database_atomic_delay_before_drop_table_sec — park the
+                # lineage so UNDROP TABLE can restore it
+                if not hasattr(self, "_dropped"):
+                    self._dropped = {}
+                self._dropped[t] = self.tables[t]
                 self.spark.catalog.dropTempView(t)
                 del self.tables[t]
             return self.spark.range(0).select(F.lit(t).alias("dropped")).limit(0)
+        m = _re.match(r"(?is)^UNDROP\s+TABLE\s+(\w+)$", text)
+        if m:
+            t = m.group(1).lower()
+            parked = getattr(self, "_dropped", {}).pop(t, None)
+            if parked is None:
+                raise ChSqlError(f"UNDROP TABLE: no recoverable table {t!r}")
+            return self._set_lineage(t, parked)
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(\w+)\s+([\w()0-9, ]+?)(?:\s+DEFAULT\s+(.+))?$",

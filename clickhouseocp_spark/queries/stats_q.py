@@ -613,3 +613,88 @@ def lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = lttb(ev, "x_us", "y6", 12, by=["event_type"], keep=["event_id", "value"])
     return out.select("event_type", "sel_seq", "event_id", "value")
+
+
+_SPARKBAR_CHARS = "▁▂▃▄▅▆▇█"
+
+
+@register(
+    "sparkbar_daily",
+    oracle="""
+WITH e AS (
+  SELECT event_type, epoch_us(ts) // 86400000000 AS d FROM events
+), mm AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx FROM e GROUP BY event_type
+), bsum AS (
+  SELECT e.event_type, ((e.d - mm.mn) * 16) // (mm.mx - mm.mn + 1) AS b,
+         count(*) AS s
+  FROM e JOIN mm USING (event_type) GROUP BY e.event_type, b
+), mxs AS (
+  SELECT event_type, max(s) AS mxv FROM bsum GROUP BY event_type
+), grid AS (
+  SELECT m.event_type, g.b, COALESCE(bsum.s, 0) AS s, m.mxv
+  FROM mxs m CROSS JOIN (SELECT unnest(range(16)) AS b) g
+  LEFT JOIN bsum ON bsum.event_type = m.event_type AND bsum.b = g.b
+)
+SELECT event_type,
+       string_agg(
+         CASE WHEN s = 0 THEN ' '
+              ELSE (['▁','▂','▃','▄','▅','▆','▇','█'])[CAST((s * 8 - 1) // mxv AS INTEGER) + 1]
+         END, '' ORDER BY b) AS bar
+FROM grid GROUP BY event_type
+""",
+    tags=("agg", "stats", "presentation"),
+)
+def sparkbar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sparkbar(16)(toDate(ts), 1)`` analog: per event_type, daily event
+    counts folded into 16 x-buckets and rendered as a block-character bar.
+    Determinism: day number, bucket id and the 8-level height are all integer
+    arithmetic (``floor(a/b)`` over ints < 2^52 equals exact integer division
+    in IEEE double, so Spark's double floor-div and DuckDB's ``//`` agree
+    bit-for-bit); zero buckets render as a space.  Two map-side-combined
+    aggregations plus a 5-row broadcast join — output is |groups| rows."""
+    chars = F.array(*[F.lit(c) for c in _SPARKBAR_CHARS])
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86400000000)
+        ).alias("d"),
+    )
+    mm = ev.groupBy("event_type").agg(
+        F.min("d").alias("mn"), F.max("d").alias("mx")
+    )
+    bsum = (
+        ev.join(F.broadcast(mm), "event_type")
+        .select(
+            "event_type",
+            F.floor((F.col("d") - F.col("mn")) * 16 / (F.col("mx") - F.col("mn") + 1))
+            .alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("s"))
+    )
+    assembled = bsum.groupBy("event_type").agg(
+        F.map_from_entries(F.collect_list(F.struct("b", "s"))).alias("m"),
+        F.max("s").alias("mxv"),
+    )
+    level = lambda s, mxv: F.element_at(  # noqa: E731
+        chars, (F.floor((s * 8 - 1) / mxv) + 1).cast("int")
+    )
+    return assembled.select(
+        "event_type",
+        F.concat_ws(
+            "",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(15)),
+                lambda b: F.when(
+                    F.coalesce(
+                        F.element_at("m", b.cast("bigint")), F.lit(0)
+                    )
+                    == 0,
+                    F.lit(" "),
+                ).otherwise(
+                    level(F.element_at("m", b.cast("bigint")), F.col("mxv"))
+                ),
+            ),
+        ).alias("bar"),
+    )

@@ -673,3 +673,27 @@ def test_query_parameters(spark, sf_dir):
         bind_params("SELECT {n:UInt8}", {"n": "1; DROP TABLE x"})
     with pytest.raises(ChSqlError, match="Identifier"):
         bind_params("SELECT * FROM {t:Identifier}", {"t": "region; --"})
+
+
+def test_undrop_table(spark, sf_dir):
+    """DROP parks the lineage; UNDROP TABLE (CH 23.3+) restores it with any
+    pre-drop mutations intact; a second UNDROP raises."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql("CREATE TABLE udt AS SELECT r_regionkey, r_name FROM region")
+    eng.sql("ALTER TABLE udt DELETE WHERE r_regionkey = 0")
+    n_before = eng.sql("SELECT count(*) AS n FROM udt").collect()[0].n
+    eng.sql("DROP TABLE udt")
+    assert "udt" not in eng.tables
+    eng.sql("UNDROP TABLE udt")
+    assert eng.sql("SELECT count(*) AS n FROM udt").collect()[0].n == n_before
+    eng.sql("DROP TABLE udt")
+    eng.sql("UNDROP TABLE udt")
+    eng.sql("DROP TABLE udt")
+    eng.sql("UNDROP TABLE udt")
+    with pytest.raises(ChSqlError, match="UNDROP"):
+        eng.execute("UNDROP TABLE never_existed")
+    eng.sql("DROP TABLE udt")
