@@ -3,7 +3,7 @@ events-analytics aggregates, SURVEY.md §2.4 scope)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from clickhouseocp_spark.catalog import load_table
 from clickhouseocp_spark.operators.funnel import (
@@ -209,4 +209,45 @@ def sequence_count_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type") == "signup",
             F.col("event_type") == "click",
         ],
+    )
+
+
+@register(
+    "sequence_next_node",
+    oracle="""
+WITH o AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+)
+SELECT user_id,
+       CASE WHEN event_type = 'view' AND e2 = 'click' THEN nxt END AS next_node
+FROM o WHERE rn = 1
+""",
+    tags=("funnel", "agg"),
+)
+def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceNextNode('forward', 'head')(ts, event_type,
+    event_type = 'view', event_type = 'click')``: per user, if the FIRST two
+    events (by ts, id-tiebroken) match the chain view→click, emit the event
+    that follows — the "where do users go next" navigation aggregate.  One
+    window over the user partition, head row kept: a single shuffle on the
+    user key, no self-joins (the adjacency is expressed with lead())."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("nxt"),
+    )
+    return o.filter(F.col("rn") == 1).select(
+        "user_id",
+        F.when(
+            (F.col("event_type") == "view") & (F.col("e2") == "click"),
+            F.col("nxt"),
+        ).alias("next_node"),
     )

@@ -698,3 +698,108 @@ def sparkbar_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("bar"),
     )
+
+
+@register(
+    "anova_f_test",
+    oracle="""
+WITH g AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(ROUND(value, 8) AS DECIMAL(38,10))) AS DOUBLE) AS s,
+         CAST(SUM(CAST(ROUND(value * value, 8) AS DECIMAL(38,10))) AS DOUBLE) AS sq
+  FROM events GROUP BY event_type
+), tot AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS nn, COUNT(*) AS k,
+         CAST(SUM(CAST(s AS DECIMAL(38,10))) AS DOUBLE) AS ts
+  FROM g
+), parts AS (
+  SELECT CAST(SUM(CAST(ROUND(s * s / n, 8) AS DECIMAL(38,10))) AS DOUBLE) AS ssb_raw,
+         CAST(SUM(CAST(ROUND(sq - s * s / n, 8) AS DECIMAL(38,10))) AS DOUBLE) AS ssw
+  FROM g
+)
+SELECT CAST(k - 1 AS BIGINT) AS df_between, CAST(nn - k AS BIGINT) AS df_within,
+       ROUND(((ssb_raw - ts * ts / nn) / (k - 1)) / (ssw / (nn - k)), 6) AS f_stat
+FROM parts, tot
+""",
+    tags=("agg", "stats"),
+)
+def anova_f_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``analysisOfVariance(x, group)`` (CH 23.x): one-way ANOVA F-statistic
+    of `value` across event types.  Everything reduces to per-group
+    (n, Σx, Σx²) counting aggregates — one map-side-combined shuffle over a
+    5-key space; SSB/SSW are assembled from the 5-row summary via the
+    repo-wide round(8)→decimal-sum discipline, so the float path is
+    order-independent and oracle-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        _dsum(F.col("value"), "s"),
+        _dsum(F.col("value") * F.col("value"), "sq"),
+    )
+    parts = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("s").cast(_DEC)).cast("double").alias("ts"),
+        _dsum(F.col("s") * F.col("s") / F.col("n"), "ssb_raw"),
+        _dsum(F.col("sq") - F.col("s") * F.col("s") / F.col("n"), "ssw"),
+    )
+    return parts.select(
+        (F.col("k") - 1).cast("bigint").alias("df_between"),
+        (F.col("nn") - F.col("k")).cast("bigint").alias("df_within"),
+        F.round(
+            ((F.col("ssb_raw") - F.col("ts") * F.col("ts") / F.col("nn"))
+             / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nn") - F.col("k"))),
+            6,
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "bounding_ratio",
+    oracle="""
+WITH o AS (
+  SELECT event_type, epoch_us(ts) AS x, value AS y,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rd
+  FROM events
+)
+SELECT event_type,
+       ROUND((max(CASE WHEN rd = 1 THEN y END) - max(CASE WHEN ra = 1 THEN y END))
+             / (max(CASE WHEN rd = 1 THEN x END) - max(CASE WHEN ra = 1 THEN x END))
+             * 1000000, 6) AS slope_per_sec
+FROM o GROUP BY event_type
+""",
+    tags=("agg", "stats"),
+)
+def bounding_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``boundingRatio(x, y)``: slope between the first and last point of
+    each series — (y_last − y_first) / (x_last − x_first), scaled to
+    per-second.  Ties on the timestamp are broken by event_id on BOTH sides
+    (CH's own argMin/argMax tie behavior is 'any'; pinning the tiebreak is
+    what makes the value oracle-checkable).  One window + one group agg."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    wa = Window.partitionBy("event_type").orderBy("x", "event_id")
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("x").desc(), F.col("event_id").desc()
+    )
+    o = ev.select(
+        "event_type", "x", "y",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return o.groupBy("event_type").agg(
+        F.round(
+            (F.max(F.when(F.col("rd") == 1, F.col("y")))
+             - F.max(F.when(F.col("ra") == 1, F.col("y"))))
+            / (F.max(F.when(F.col("rd") == 1, F.col("x")))
+               - F.max(F.when(F.col("ra") == 1, F.col("x"))))
+            * 1e6,
+            6,
+        ).alias("slope_per_sec")
+    )
