@@ -697,6 +697,73 @@ def _param_literal(value: object, ctype: str) -> str:
     return str(value)
 
 
+def _split_args(text: str) -> list[str]:
+    """Split ``k1 = v1, k2 = v2`` on top-level commas (brackets may nest)."""
+    out, depth, buf = [], 0, []
+    for ch in text:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf and "".join(buf).strip():
+        out.append("".join(buf))
+    return out
+
+
+def bind_params_text(body: str, args: dict[str, str], ctx: str) -> str:
+    """Substitute ``{name:Type}`` with already-SQL argument TEXT (the
+    parameterized-view call site ``v(p = 5)`` passes literal fragments, not
+    Python values).  Typed params get an explicit cast; Identifier params
+    are validated; Array params pass through (use the CH dialect for ``[...]``
+    literals)."""
+
+    def repl(m: re.Match) -> str:
+        name, ctype = m.group(1), m.group(2)
+        if name not in args:
+            raise ChSqlError(
+                f"{ctx}: parameter {name!r} is not bound (have: {sorted(args)})"
+            )
+        txt = args[name].strip()
+        base = ctype.split("(")[0].strip().lower()
+        if base == "identifier":
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.]*", txt):
+                raise ChSqlError(f"{ctx}: Identifier argument {txt!r} is not a name")
+            return txt
+        if base == "array":
+            return txt
+        spark_t = _map_type(base)
+        return f"CAST({txt} AS {spark_t if spark_t != base else ctype})"
+
+    return _PARAM_RE.sub(repl, body)
+
+
+def expand_param_views(query: str, views: dict[str, str]) -> str:
+    """Rewrite ``FROM v(p = 5, q = 'x')`` table-function calls of
+    parameterized views (CH 23.1) into inline subqueries with the stored
+    view text bound at the call site."""
+    for name, body in views.items():
+        pat = re.compile(rf"(?is)\b{name}\s*\(([^()]*)\)")
+
+        def repl(m: re.Match, _body: str = body, _name: str = name) -> str:
+            args: dict[str, str] = {}
+            for part in _split_args(m.group(1)):
+                k, eq, v = part.partition("=")
+                if not eq:
+                    raise ChSqlError(
+                        f"parameterized view {_name}: arguments must be name = value"
+                    )
+                args[k.strip()] = v
+            return "(" + bind_params_text(_body, args, _name) + f") AS {_name}"
+
+        query = pat.sub(repl, query)
+    return query
+
+
 def bind_params(query: str, params: dict) -> str:
     """Substitute ``{name:Type}`` query parameters with typed literals —
     the clickhouse-client ``--param_name`` surface.  Unbound parameters

@@ -194,6 +194,11 @@ class ChSparkEngine:
         if dialect == "auto" and getattr(self, "_default_dialect", None):
             dialect = self._default_dialect  # SET dialect = '...'
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+        pviews = getattr(self, "_param_views", None)
+        if pviews and head in ("SELECT", "WITH", "FROM"):
+            from clickhouseocp_spark.chsql import expand_param_views
+
+            query = expand_param_views(query, pviews)
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
                     "ATTACH", "DETACH", "UNDROP"):
@@ -346,7 +351,18 @@ class ChSparkEngine:
         )
         if m:
             name = m.group(2).lower()
-            df = self.sql(m.group(3))
+            body = m.group(3)
+            from clickhouseocp_spark.chsql import _PARAM_RE
+
+            if not m.group(1) and _PARAM_RE.search(body):
+                # parameterized view (CH 23.1): the body keeps {p:Type}
+                # placeholders and is instantiated per call via
+                # SELECT ... FROM name(p = value)
+                if not hasattr(self, "_param_views"):
+                    self._param_views: dict[str, str] = {}
+                self._param_views[name] = body
+                return self.spark.range(0).select(F.lit(name).alias("view")).limit(0)
+            df = self.sql(body)
             if m.group(1):
                 # MATERIALIZED: compute once into the MergeTree layout and
                 # read it back (CH MVs store; plain views recompute per read)

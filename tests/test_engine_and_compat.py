@@ -697,3 +697,29 @@ def test_undrop_table(spark, sf_dir):
     with pytest.raises(ChSqlError, match="UNDROP"):
         eng.execute("UNDROP TABLE never_existed")
     eng.sql("DROP TABLE udt")
+
+
+def test_parameterized_view(spark, sf_dir):
+    """CREATE VIEW with {p:Type} placeholders (CH 23.1 parameterized views):
+    instantiated per call via FROM v(p = value); unbound params raise."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    eng.sql(
+        "CREATE VIEW region_by_key AS "
+        "SELECT r_regionkey, r_name FROM region WHERE r_regionkey = {rk:UInt32}"
+    )
+    rows = eng.sql("SELECT r_name FROM region_by_key(rk = 2)").collect()
+    assert len(rows) == 1
+    # composes with the CH dialect and other clauses
+    n = eng.sql(
+        "SELECT count() AS n FROM region_by_key(rk = 3) WHERE r_name != ''",
+        dialect="clickhouse",
+    ).collect()[0].n
+    assert n == 1
+    with pytest.raises(ChSqlError, match="not bound"):
+        eng.sql("SELECT * FROM region_by_key(wrong = 1)")
+    with pytest.raises(ChSqlError, match="name = value"):
+        eng.sql("SELECT * FROM region_by_key(5)")
