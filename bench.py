@@ -92,6 +92,8 @@ HEADLINE = [
     "curate_pipeline_e2e",
     "similarity_topk_ivfpq",
     "dedup_bloom_incremental",
+    # time-series downsampling (per-series pandas kernel, 1 shuffle)
+    "lttb_downsample",
 ]
 
 
