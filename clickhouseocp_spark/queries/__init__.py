@@ -64,6 +64,7 @@ def _load_all() -> None:
         composites,
         scalars,
         stats_q,
+        stats_q2,
         vocab_q,
         tpch,
     )
@@ -71,17 +72,75 @@ def _load_all() -> None:
 
 #: Registry ORDER is part of the driver contract: the driver's CORRECTNESS
 #: file records only the FIRST 50 registry entries per round, so this list
-#: front-loads what round 3 must get driver-recorded (the 62 names below the
-#: cut have a full local CHECKALL + judge re-run, but no driver row yet):
-#:   1-8   the round-2 red (embedding_centroids, array output fixed) and the
-#:         seven converted rows-only queries, now full oracle contracts;
-#:   9-50  never-driver-recorded families: the whole chsql dialect surface
-#:         (29), streaming (8), and 5 mergetree/engine queries.
-#: Still unrecorded after this window (leads round 4): scalar_* (9),
-#: numbers_table_function, geo_point_in_polygon, group_array_moving_sum,
-#: interval_length_sum, agg_mode_heavy, agg_quantile_weighted,
-#: agg_regression, sessionize_events, string_distances, with_fill_linear,
-#: system_parts_inventory.
+#: front-loads what round 4 must get driver-recorded.  Rounds 1+2 recorded
+#: 100 names; round 3's window (kept immediately after this one) covered 50
+#: more; the 50 below are drawn from the 105 never-driver-recorded names:
+#: the round-3 LLM-curation tier (12), the statistical-test aggregates (13),
+#: the scalar families (10), stream-stream join / upsert sink (2), and the
+#: TPC-H DataFrame-path suite (13 of 21).  Still unrecorded after this
+#: window (leads round 5): the chsql TPC-H text-path matrix (20), the
+#: remaining 8 TPC-H DataFrame queries, vocab/format extras, prql_pipeline.
+_DRIVER_WINDOW_R4 = [
+    # --- round-3 LLM-curation tier ---
+    "similarity_topk_pq",
+    "similarity_topk_ivfpq",
+    "chunk_documents",
+    "tfidf_top_terms",
+    "dedup_bloom_incremental",
+    "multimodal_frame_sample",
+    "corpus_budget_sample",
+    "semantic_dedup_semdedup",
+    "repetition_metrics",
+    "rag_retrieve_context",
+    "curate_pipeline_e2e",
+    "boilerplate_line_filter",
+    # --- statistical-test / analytics aggregates ---
+    "entropy_agg",
+    "cramers_v_assoc",
+    "theils_u_assoc",
+    "ttest_two_sample",
+    "mann_whitney_u",
+    "exponential_moving_avg",
+    "max_intersections",
+    "group_bit_agg",
+    "rank_corr_spearman",
+    "lttb_downsample",
+    "sparkbar_daily",
+    "anova_f_test",
+    "bounding_ratio",
+    # --- scalar function families ---
+    "scalar_math",
+    "scalar_conditional",
+    "scalar_hash",
+    "scalar_cast",
+    "scalar_array_higher_order",
+    "scalar_url",
+    "scalar_geo",
+    "scalar_tuple_map",
+    "scalar_interval",
+    "geo_point_in_polygon",
+    # --- streaming round-3 additions ---
+    "stream_stream_join",
+    "stream_upsert_latest",
+    # --- TPC-H DataFrame path (13 of 21; the rest + text path lead r5) ---
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q18_large_volume",
+    "q21_waiting_orders",
+    "q22_sales_opportunity",
+]
+
+#: round-3 window, kept next in order (driver-recorded in round 3 if that
+#: round's correctness pass ran; CORRECTNESS_r03.json never appeared in the
+#: repo, so these stay ahead of the already-recorded tail as insurance).
 _DRIVER_WINDOW_R3 = [
     "embedding_centroids",
     "dedup_minhash_lsh",
@@ -139,7 +198,7 @@ _DRIVER_WINDOW_R3 = [
 def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_WINDOW_R3:
+    for name in _DRIVER_WINDOW_R4 + _DRIVER_WINDOW_R3:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():

@@ -869,3 +869,99 @@ def test_lttb_hand_computed_and_short_series(spark):
 
     with pytest.raises(ValueError, match="n_out"):
         lttb(df, "x", "y", 2, by=["k"])
+
+
+# ---------------------------------------------------------------------------
+# statistical aggregate family, batch 2 (stats_q2)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_theta_merge_associativity():
+    """The KMV theta state (k smallest normalized hashes) merges by
+    union+truncate: merging per-partition states must equal the state built
+    from all rows at once — the AggregatingMergeTree contract the
+    uniq_theta_kmv query relies on."""
+    import random
+
+    rng = random.Random(7)
+    values = [rng.random() for _ in range(5000)]
+    k = 64
+
+    def state(vals):
+        return sorted(set(vals))[:k]
+
+    whole = state(values)
+    parts = [values[i::7] for i in range(7)]
+    merged = state([u for p in parts for u in state(p)])
+    assert merged == whole
+    # estimate from the merged state matches the whole-state estimate exactly
+    assert (k - 1) / merged[k - 1] == (k - 1) / whole[k - 1]
+
+
+def test_gd_regression_reduces_loss(spark, sf_dir):
+    """Full-batch GD (stochastic_linear_regression analog) must reduce the
+    quadratic loss vs the zero-weight start, and the returned slope must be
+    finite and reproducible across runs (decimal-summed gradients)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.queries import all_queries
+
+    q = all_queries()["stochastic_linear_regression"]
+    r1 = q.fn(spark, sf_dir).first()
+    r2 = q.fn(spark, sf_dir).first()
+    assert (r1.w, r1.b) == (r2.w, r2.b)  # bitwise reproducible
+
+    from clickhouseocp_spark.catalog import load_table
+
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "click")
+        .select(
+            ((F.col("user_id") % 10).cast("double") / 10.0).alias("x"),
+            (F.col("value") / 100.0).alias("y"),
+        )
+    )
+    loss0, loss1 = pts.agg(
+        F.avg(F.col("y") * F.col("y")),
+        F.avg(
+            (F.lit(r1.w) * F.col("x") + F.lit(r1.b) - F.col("y"))
+            * (F.lit(r1.w) * F.col("x") + F.lit(r1.b) - F.col("y"))
+        ),
+    ).first()
+    assert loss1 < loss0
+
+
+def test_group_array_insert_at_slots(spark, sf_dir):
+    """The 7 position-addressed slots must sum to the group's row count and
+    slot order must be stable (position-addressed, not arrival-ordered)."""
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.queries import all_queries
+
+    rows = all_queries()["group_array_insert_at"].fn(spark, sf_dir).collect()
+    counts = {
+        r.event_type: c
+        for r, c in zip(
+            rows,
+            [sum(int(x) for x in r.dow_counts.split("|")) for r in rows],
+        )
+    }
+    ev = load_table(spark, sf_dir, "events").groupBy("event_type").count()
+    expected = {r.event_type: r["count"] for r in ev.collect()}
+    assert counts == expected
+    assert all(len(r.dow_counts.split("|")) == 7 for r in rows)
+
+
+def test_stats2_plan_shapes(spark, sf_dir):
+    """100 TB shapes for the batch-2 stats aggregates: sum_kahan_count is one
+    hash agg (≤1 shuffle); delta_sum_timestamp's window is partitioned by
+    user_id; ks_test collapses to the distinct value domain before its
+    cumulative window (HashAggregate below Window)."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    assert shuffle_count(qs["sum_kahan_count"].fn(spark, sf_dir)) <= 2
+    plan = formatted_plan(qs["delta_sum_timestamp"].fn(spark, sf_dir))
+    assert "Window" in plan
+    ks = formatted_plan(qs["ks_test_two_sample"].fn(spark, sf_dir))
+    assert "HashAggregate" in ks and "Window" in ks
