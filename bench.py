@@ -50,6 +50,7 @@ HEADLINE = [
     "similarity_topk",
     "similarity_topk_ivf",
     "similarity_topk_pq",
+    "similarity_topk_nsw",
     "contamination_ngram_overlap",
     # dedup_cluster_components is oracle-gated at sf0.01, not benched: its
     # oracle-reproducible edge tier (exact Jaccard, lang-blocked) is
@@ -124,6 +125,7 @@ def _bench_fns(registry):
         dedup_simhash_pairs,
         similarity_topk_ivf_pairs,
         similarity_topk_ivfpq_pairs,
+        similarity_topk_nsw_pairs,
         similarity_topk_pq_pairs,
     )
 
@@ -133,6 +135,7 @@ def _bench_fns(registry):
         "similarity_topk_ivf": similarity_topk_ivf_pairs,
         "similarity_topk_pq": similarity_topk_pq_pairs,
         "similarity_topk_ivfpq": similarity_topk_ivfpq_pairs,
+        "similarity_topk_nsw": similarity_topk_nsw_pairs,
     }
     return {
         n: overrides.get(n, registry[n].fn) for n in HEADLINE if n in registry

@@ -1,7 +1,8 @@
 """Similarity search over embedding columns (driver north star; the analog of
 ClickHouse 25.x's experimental vector-similarity index, SURVEY.md §4 — we
-implement brute-force exact as the baseline and an LSH-bucketed approximate
-variant as the scale path; no HNSW in Spark, documented gap SURVEY §7.6).
+implement brute-force exact as the baseline, LSH/IVF/PQ bucketed variants as
+scale paths, and :func:`nsw_topk` as the graph-index (usearch/HNSW) analog:
+shard-local navigable-small-world graphs merged with an exact top-k window).
 
 - :func:`cosine_topk` — exact brute force: broadcast the (small) query set
   against the corpus, score JVM-side, per-query top-k via window.  At 100 TB
@@ -786,3 +787,126 @@ def ivfpq_topk(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# NSW graph ANN — the vector-similarity-index (usearch/HNSW, CH 25.x) analog
+# ---------------------------------------------------------------------------
+
+
+def _nsw_search(mat, adj, q, ef):
+    """Greedy best-first beam search over an NSW adjacency list: expand the
+    closest unexpanded candidate, keep the best ``ef`` results; stop when the
+    top candidate can no longer improve the result set.  Deterministic: ties
+    break on node index via the heap tuples."""
+    import heapq
+
+    start = 0
+    s0 = float(mat[start] @ q)
+    visited = {start}
+    cand = [(-s0, start)]  # max-heap on similarity
+    best = [(s0, start)]  # min-heap keeps the ef best
+    while cand:
+        csim, c = heapq.heappop(cand)
+        if -csim < best[0][0] and len(best) >= ef:
+            break
+        for nb in adj[c]:
+            if nb in visited:
+                continue
+            visited.add(nb)
+            s = float(mat[nb] @ q)
+            if len(best) < ef or s > best[0][0]:
+                heapq.heappush(cand, (-s, nb))
+                heapq.heappush(best, (s, nb))
+                if len(best) > ef:
+                    heapq.heappop(best)
+    return sorted(best, key=lambda t: (-t[0], t[1]))
+
+
+def nsw_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    m_links: int = 8,
+    ef_search: int = 48,
+    n_shards: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Graph-index ANN: the Spark-native analog of ClickHouse 25.x's
+    experimental vector-similarity index (usearch HNSW) — the one 25.x
+    feature previously documented as unreplicated (SURVEY §7.6).
+
+    Architecture = the standard DISTRIBUTED deployment of a graph index
+    (shard-local graphs + exact merge, as in Vespa/Milvus): the corpus is
+    hash-sharded; each shard builds a navigable-small-world graph (flat NSW —
+    Malkov et al. 2014, the single-layer core of HNSW) in ONE pandas kernel
+    and answers every query with a greedy beam search; the per-shard
+    candidate lists are then merged with an exact global top-k window.
+
+    Determinism: insertion order is ascending id, links are the beam-search
+    top-``m_links`` at insert time, no RNG anywhere — identical graphs and
+    results on every run and executor.
+
+    Scale shape: one shuffle on the shard key, graph build O(n·ef·deg) per
+    shard with the shard in executor memory (bounded: n_shards scales with
+    the corpus so shard size stays ~ partition size), queries broadcast, and
+    the merge window sees only |Q|·k·n_shards candidate rows.  The graph
+    never leaves the executor — only (query_id, neighbor_id, score) rows do."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    sc = corpus.sparkSession
+    bq = sc.sparkContext.broadcast((qids, qmat))
+    ef_c = max(ef_search, 2 * m_links)
+
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("v"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards)).alias("__shard"),
+    )
+
+    def shard_kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["neighbor_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["v"].iloc[order].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        n = mat.shape[0]
+        adj: list[list[int]] = [[] for _ in range(n)]
+        for i in range(1, n):
+            found = _nsw_search(mat, adj, mat[i], ef_c)
+            for _, j in found[:m_links]:
+                adj[i].append(j)
+                adj[j].append(i)
+        q_ids, q_mat = bq.value
+        out_q, out_n, out_s = [], [], []
+        keep = min(k + 1, n)
+        for qi in range(q_mat.shape[0]):
+            res = _nsw_search(mat, adj, q_mat[qi], max(ef_search, keep))
+            for s, j in res[:keep]:
+                out_q.append(q_ids[qi])
+                out_n.append(ids[j])
+                out_s.append(round(s, 6))
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        )
+
+    scored = c.groupBy("__shard").applyInPandas(
+        shard_kernel, schema="query_id long, neighbor_id long, score double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

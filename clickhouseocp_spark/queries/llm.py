@@ -35,6 +35,7 @@ from clickhouseocp_spark.operators.similarity import (
     embedding_near_dup_lsh,
     embedding_near_dup_pairs,
     ivf_topk,
+    nsw_topk,
     pq_topk,
     srp_lsh_topk,
 )
@@ -480,6 +481,37 @@ def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 10)
     bf = cosine_topk(queries, emb, k=5)
     return _ann_recall_summary(similarity_topk_pq_pairs(spark, sf_dir), bf, 0.3)
+
+
+def similarity_topk_nsw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw NSW graph-search top-5 stream (pytest protocol + bench)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return nsw_topk(queries, emb, k=5, m_links=8, ef_search=48, n_shards=4)
+
+
+@register(
+    "similarity_topk_nsw",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries, 5 AS k, TRUE AS recall_ok
+FROM embeddings WHERE vec_id < 10
+""",
+    tags=("llm", "similarity"),
+)
+def similarity_topk_nsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via shard-local navigable-small-world graphs + exact
+    merge (operators/similarity.nsw_topk) — the graph-index analog of CH
+    25.x's experimental vector-similarity index (usearch HNSW).  Graph
+    construction is insertion-order/beam-search dependent → the
+    driver-checked output is the in-query recall contract vs the exact
+    brute-force baseline (bound 0.6; shard-local graphs searched exhaustively
+    per shard put measured recall near 1.0); pytest asserts planted
+    same-direction duplicates are recalled at rank 1 and bitwise determinism
+    across runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    bf = cosine_topk(queries, emb, k=5)
+    return _ann_recall_summary(similarity_topk_nsw_pairs(spark, sf_dir), bf, 0.6)
 
 
 @register(

@@ -965,3 +965,55 @@ def test_stats2_plan_shapes(spark, sf_dir):
     assert "Window" in plan
     ks = formatted_plan(qs["ks_test_two_sample"].fn(spark, sf_dir))
     assert "HashAggregate" in ks and "Window" in ks
+
+
+# ---------------------------------------------------------------------------
+# NSW graph ANN (vector-similarity-index analog)
+# ---------------------------------------------------------------------------
+
+
+def test_nsw_recall_planted_and_deterministic(spark, sf_dir):
+    """Shard-local NSW graphs must (a) beat the 0.6 recall contract vs exact
+    brute force, (b) recall a planted same-direction duplicate at rank 1
+    (it lands in the same shard-agnostic candidate merge with cosine 1.0),
+    and (c) be bitwise deterministic across runs (no RNG in build/search)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.similarity import nsw_topk
+    from clickhouseocp_spark.queries.llm import similarity_topk_nsw_pairs
+
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in QS["similarity_topk"].fn(spark, sf_dir).collect()
+    }
+    nsw = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_nsw_pairs(spark, sf_dir).collect()
+    }
+    assert len(bf & nsw) / len(bf) > 0.6
+
+    # determinism: identical result set on a second run
+    nsw2 = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity_topk_nsw_pairs(spark, sf_dir).collect()
+    }
+    assert nsw == nsw2
+
+    # planted duplicate at rank 1: a x2-scaled copy of query 3 (same
+    # direction -> cosine 1.0) must surface as its top neighbor
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copy = emb.filter(F.col("vec_id") == 3).select(
+        F.lit(9_000_003).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0).cast("float")
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copy)
+    q = emb.filter(F.col("vec_id") == 3)
+    top = (
+        nsw_topk(q, corpus, k=3, n_shards=4)
+        .orderBy("rank")
+        .collect()
+    )
+    assert top[0].neighbor_id == 9_000_003 and top[0].score >= 0.999999
