@@ -935,6 +935,16 @@ FUNC_RULES: dict[str, object] = {
     "avgDistinct": lambda args: f"avg(DISTINCT {args[0]})",
     "uniqCombined": _rename("approx_count_distinct"),
     "uniqHLL12": _rename("approx_count_distinct"),
+    # sumKahan: compensated summation — the order-independent error-free
+    # Spark equivalent is an exact DECIMAL sum cast back to double
+    "sumKahan": lambda args: (
+        f"CAST(SUM(CAST({args[0]} AS DECIMAL(38,6))) AS DOUBLE)"
+    ),
+    # sumCount: CH returns the (sum, count) tuple in one state; field names
+    # follow the CH tuple convention col1/col2 so tupleElement(t, N) composes
+    "sumCount": lambda args: (
+        f"named_struct('col1', sum({args[0]}), 'col2', count({args[0]}))"
+    ),
     "uniqExact": lambda args: f"count(DISTINCT {', '.join(args)})",
     "countDistinct": lambda args: f"count(DISTINCT {', '.join(args)})",
     "median": lambda args: f"percentile({args[0]}, 0.5)",

@@ -823,6 +823,56 @@ def _nsw_search(mat, adj, q, ef):
     return sorted(best, key=lambda t: (-t[0], t[1]))
 
 
+def _nsw_build(mat, m_links: int, ef_construction: int):
+    """Deterministic flat-NSW construction: insert nodes in row order, link
+    each to its beam-search top-``m_links`` among already-inserted nodes
+    (bidirectional).  Returns the adjacency list."""
+    n = mat.shape[0]
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for i in range(1, n):
+        found = _nsw_search(mat, adj, mat[i], ef_construction)
+        for _, j in found[:m_links]:
+            adj[i].append(j)
+            adj[j].append(i)
+    return adj
+
+
+def _nsw_query_kernel(ids, mat, adj, bq, k, ef_search):
+    """Run every broadcast query through one shard's graph; returns the
+    per-shard candidate columns (query_id, neighbor_id, score)."""
+    q_ids, q_mat = bq.value
+    out_q, out_n, out_s = [], [], []
+    keep = min(k + 1, mat.shape[0])
+    for qi in range(q_mat.shape[0]):
+        res = _nsw_search(mat, adj, q_mat[qi], max(ef_search, keep))
+        for s, j in res[:keep]:
+            out_q.append(q_ids[qi])
+            out_n.append(ids[j])
+            out_s.append(round(s, 6))
+    return out_q, out_n, out_s
+
+
+def _broadcast_queries(queries: DataFrame, query_id: str, query_vec: str):
+    import numpy as np
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows])
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
+    return queries.sparkSession.sparkContext.broadcast((qids, qmat))
+
+
+def _merge_topk(scored: DataFrame, k: int, exclude_self: bool) -> DataFrame:
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def nsw_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -859,12 +909,7 @@ def nsw_topk(
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
-    qids = np.array([r[0] for r in qrows])
-    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
-    qmat /= np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-30)
-    sc = corpus.sparkSession
-    bq = sc.sparkContext.broadcast((qids, qmat))
+    bq = _broadcast_queries(queries, query_id, query_vec)
     ef_c = max(ef_search, 2 * m_links)
 
     c = corpus.select(
@@ -879,22 +924,8 @@ def nsw_topk(
         ids = ids[order]
         mat = np.array(pdf["v"].iloc[order].tolist(), dtype=np.float64)
         mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
-        n = mat.shape[0]
-        adj: list[list[int]] = [[] for _ in range(n)]
-        for i in range(1, n):
-            found = _nsw_search(mat, adj, mat[i], ef_c)
-            for _, j in found[:m_links]:
-                adj[i].append(j)
-                adj[j].append(i)
-        q_ids, q_mat = bq.value
-        out_q, out_n, out_s = [], [], []
-        keep = min(k + 1, n)
-        for qi in range(q_mat.shape[0]):
-            res = _nsw_search(mat, adj, q_mat[qi], max(ef_search, keep))
-            for s, j in res[:keep]:
-                out_q.append(q_ids[qi])
-                out_n.append(ids[j])
-                out_s.append(round(s, 6))
+        adj = _nsw_build(mat, m_links, ef_c)
+        out_q, out_n, out_s = _nsw_query_kernel(ids, mat, adj, bq, k, ef_search)
         return pd.DataFrame(
             {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
         )
@@ -902,11 +933,94 @@ def nsw_topk(
     scored = c.groupBy("__shard").applyInPandas(
         shard_kernel, schema="query_id long, neighbor_id long, score double"
     )
-    if exclude_self:
-        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc()
+    return _merge_topk(scored, k, exclude_self)
+
+
+def build_nsw_index(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    m_links: int = 8,
+    ef_construction: int = 48,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Materialize the shard-local NSW graphs as a TABLE — the analog of CH
+    25.x persisting its usearch index next to the data part.  One row per
+    node: (__shard, id, v, links) where ``links`` holds neighbor IDS (stable
+    across re-reads, unlike positions).  Write it with
+    ``df.write.partitionBy('__shard').parquet(path)`` and every later
+    :func:`nsw_topk_from_index` run skips graph construction entirely —
+    searching a 100 TB corpus becomes a scan of the index table with
+    partition pruning on ``__shard``."""
+    import numpy as np
+    import pandas as pd
+
+    vec_t = corpus.schema[corpus_vec].dataType.simpleString()
+    ef_c = max(ef_construction, 2 * m_links)
+    c = corpus.select(
+        F.col(corpus_id).alias("id"),
+        F.col(corpus_vec).alias("v"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(n_shards)).alias("__shard"),
     )
-    return scored.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= k
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        vecs = pdf["v"].iloc[order].tolist()
+        mat = np.array(vecs, dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        adj = _nsw_build(mat, m_links, ef_c)
+        return pd.DataFrame(
+            {
+                "__shard": pdf["__shard"].iloc[0],
+                "id": ids,
+                "v": vecs,
+                "links": [[int(ids[j]) for j in nbrs] for nbrs in adj],
+            }
+        )
+
+    return c.groupBy("__shard").applyInPandas(
+        build, schema=f"__shard int, id long, v {vec_t}, links array<bigint>"
     )
+
+
+def nsw_topk_from_index(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+    ef_search: int = 48,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search a persisted NSW index (:func:`build_nsw_index` output, read
+    back from parquet) without rebuilding the graphs: per shard, the kernel
+    rehydrates the adjacency from the stored neighbor ids and beam-searches
+    the broadcast queries.  Same results as :func:`nsw_topk` with the same
+    build parameters — pinned by pytest."""
+    import numpy as np
+    import pandas as pd
+
+    bq = _broadcast_queries(queries, query_id, query_vec)
+
+    def search(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["v"].iloc[order].tolist(), dtype=np.float64)
+        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+        pos = {int(v): i for i, v in enumerate(ids)}
+        adj = [
+            [pos[int(nb)] for nb in nbrs]
+            for nbrs in pdf["links"].iloc[order].tolist()
+        ]
+        out_q, out_n, out_s = _nsw_query_kernel(ids, mat, adj, bq, k, ef_search)
+        return pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+        )
+
+    scored = index.groupBy("__shard").applyInPandas(
+        search, schema="query_id long, neighbor_id long, score double"
+    )
+    return _merge_topk(scored, k, exclude_self)

@@ -2027,3 +2027,45 @@ def chsql_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
     )
+
+
+# --- round 4: stats-aggregate vocabulary through the text path -------------
+
+CH_STATS_VOCAB = """
+SELECT l_returnflag,
+       sumKahan(l_extendedprice) AS sum_price,
+       tupleElement(sumCount(l_quantity), 1) AS qty_sum,
+       tupleElement(sumCount(l_quantity), 2) AS qty_cnt,
+       uniqExact(l_suppkey) AS n_supp
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register(
+    "chsql_stats_vocab",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS qty_sum,
+       COUNT(l_quantity) AS qty_cnt,
+       COUNT(DISTINCT l_suppkey) AS n_supp
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("chsql", "agg", "stats"),
+)
+def chsql_stats_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 aggregate vocabulary through the CH TEXT path: ``sumKahan``
+    (compensated sum → exact decimal), ``sumCount`` (the (sum, count) tuple
+    state, unpacked with tupleElement), ``uniqExact``."""
+    from pyspark.sql import functions as F
+
+    df = _run(spark, sf_dir, CH_STATS_VOCAB)
+    return df.select(
+        "l_returnflag",
+        "sum_price",
+        F.col("qty_sum").cast("double").alias("qty_sum"),
+        "qty_cnt",
+        "n_supp",
+    )

@@ -1017,3 +1017,33 @@ def test_nsw_recall_planted_and_deterministic(spark, sf_dir):
         .collect()
     )
     assert top[0].neighbor_id == 9_000_003 and top[0].score >= 0.999999
+
+
+def test_nsw_persisted_index_round_trip(spark, sf_dir, tmp_path):
+    """build_nsw_index -> parquet -> nsw_topk_from_index must equal the
+    build-and-search-in-one-job nsw_topk (same build params), proving the
+    persisted graph is the whole index state (CH 25.x usearch-persistence
+    analog)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.similarity import (
+        build_nsw_index,
+        nsw_topk,
+        nsw_topk_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "nsw_index")
+    build_nsw_index(emb, n_shards=4).write.partitionBy("__shard").parquet(path)
+    idx = spark.read.parquet(path)
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in nsw_topk_from_index(q, idx, k=5).collect()
+    }
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in nsw_topk(q, emb, k=5, n_shards=4).collect()
+    }
+    assert got == want and len(want) == 25
