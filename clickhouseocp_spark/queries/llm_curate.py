@@ -485,3 +485,81 @@ def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cleaned_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 full-text retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (1, "fast table scan"),
+    (2, "window merge stream"),
+    (3, "customer query filter"),
+]
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM documents
+),
+doc_terms AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+doc_len AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT COUNT(*) AS n_docs,
+         CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM doc_len
+),
+df_t AS (SELECT term, COUNT(*) AS df FROM doc_terms GROUP BY term),
+q(query_id, qtext) AS (VALUES (1, 'fast table scan'),
+                              (2, 'window merge stream'),
+                              (3, 'customer query filter')),
+q_terms AS (
+  SELECT DISTINCT query_id, unnest(list_filter(
+           string_split_regex(lower(qtext), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM q
+),
+scored AS (
+  SELECT qt.query_id, dt.doc_id,
+         CAST(SUM(CAST(ROUND(
+           ln(1 + (s.n_docs - f.df + 0.5) / (f.df + 0.5))
+           * dt.tf * 2.2
+           / (dt.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 8)
+         AS DECIMAL(38,10))) AS DOUBLE) AS raw
+  FROM doc_terms dt
+  JOIN q_terms qt USING (term)
+  JOIN df_t f USING (term)
+  JOIN doc_len dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY qt.query_id, dt.doc_id
+)
+SELECT query_id, doc_id, ROUND(raw, 6) AS score, rank FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ROUND(raw, 6) DESC, doc_id) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@register(
+    "bm25_retrieve",
+    oracle=_BM25_ORACLE,
+    tags=("llm", "text", "rag"),
+)
+def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-5 documents for three bag-of-words queries
+    (operators/ranking.bm25_topk) — the lexical-retrieval tier next to the
+    embedding ANN tier; the scoring ClickHouse 25.x's experimental full-text
+    index computes at query time.  Exact tf/df/dl counting + decimal-summed
+    per-term contributions make the ranking bitwise across engines."""
+    from clickhouseocp_spark.operators.ranking import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id int, query_text string"
+    )
+    return bm25_topk(docs, queries, k=5)

@@ -1047,3 +1047,34 @@ def test_nsw_persisted_index_round_trip(spark, sf_dir, tmp_path):
         for r in nsw_topk(q, emb, k=5, n_shards=4).collect()
     }
     assert got == want and len(want) == 25
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-computed scores: the idf must
+    penalize the ubiquitous term, tf saturation must apply, and ranking must
+    prefer the document where the rare query term is dense."""
+    import math
+
+    from clickhouseocp_spark.operators.ranking import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana banana banana"),
+            (3, "apple cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(1, "apple")], "query_id int, query_text string")
+    got = {r.doc_id: (r.score, r.rank) for r in bm25_topk(docs, q, k=3).collect()}
+    # N=3, df(apple)=2 -> idf = ln(1 + 1.5/2.5); avgdl = 8/3
+    idf = math.log(1 + 1.5 / 2.5)
+
+    def s(tf, dl):
+        return round(
+            round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / (8 / 3))), 8), 6
+        )
+
+    assert set(got) == {1, 3}  # doc 2 has no query term
+    assert got[1] == (s(2, 3), 1)
+    assert got[3] == (s(1, 2), 2)
