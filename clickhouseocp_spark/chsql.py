@@ -1661,6 +1661,47 @@ PARAMETRIC_RULES: dict[str, object] = {
 PARAMETRIC_RULES = {k: v for k, v in PARAMETRIC_RULES.items() if v is not None}
 
 
+def _resample_rule(agg: str):
+    """-Resample combinator: ``aggResample(start, end, step)(args..., key)``
+    returns one agg value per [start+i·step, start+(i+1)·step) bucket of the
+    LAST argument (the resample key) as an array — unrolled to per-bucket
+    FILTER aggregates (params must be integer literals; CH requires literal
+    params too)."""
+
+    def rule(p, a):
+        try:
+            start, end, step = (int(float(x)) for x in p[:3])
+        except ValueError as exc:
+            raise ChSqlError(
+                f"{agg}Resample needs integer literal (start, end, step) "
+                f"params, got {p!r}"
+            ) from exc
+        if step <= 0 or end <= start:
+            raise ChSqlError(f"{agg}Resample: empty bucket range {p!r}")
+        n = -(-(end - start) // step)
+        if n > 64:
+            raise ChSqlError(
+                f"{agg}Resample: {n} buckets > 64 — the unrolled form is for "
+                "bounded bucket counts; use a GROUP BY on the bucket expr"
+            )
+        key = a[-1]
+        inner = ", ".join(a[:-1]) if len(a) > 1 else a[0]
+        parts = []
+        for i in range(n):
+            lo = start + i * step
+            hi = min(start + (i + 1) * step, end)
+            parts.append(
+                f"{agg}({inner}) FILTER (WHERE {key} >= {lo} AND {key} < {hi})"
+            )
+        return "array(" + ", ".join(parts) + ")"
+
+    return rule
+
+
+for _agg in ("sum", "count", "avg", "min", "max"):
+    PARAMETRIC_RULES[f"{_agg}Resample"] = _resample_rule(_agg)
+
+
 # ---------------------------------------------------------------------------
 # Recursive call rewriting
 # ---------------------------------------------------------------------------

@@ -1115,6 +1115,24 @@ class ChSparkEngine:
         m = _re.search(r"\bFORMAT\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
         if m and head not in ("INSERT",):
             fmt = m.group(1)
+        # SELECT ... INTO OUTFILE 'path' [FORMAT x]: clickhouse-local writes
+        # the rendered result to a driver-local file (CSV default per CH when
+        # the extension is .csv; TabSeparated otherwise) and reports the row
+        # count on stdout.  Driver-side by design — bulk exports go through
+        # sources/writers.py; this is the interactive-tool surface.
+        mo = _re.search(
+            r"\bINTO\s+OUTFILE\s+'([^']+)'", query, _re.IGNORECASE
+        )
+        if mo and head not in ("INSERT",):
+            path = mo.group(1)
+            query = query[: mo.start()] + query[mo.end():]
+            if not m:
+                fmt = "CSVWithNames" if path.endswith(".csv") else "TabSeparated"
+            df = self.sql(query, dialect=dialect)
+            text = render(df, fmt, max_rows)
+            with open(path, "w") as fh:
+                fh.write(text)
+            return f"{df.count()} rows written to {path}."
         df = self.sql(query, dialect=dialect)
         return render(df, fmt, max_rows)
 

@@ -2069,3 +2069,51 @@ def chsql_stats_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty_cnt",
         "n_supp",
     )
+
+
+# --- round 4: -Resample combinator through the text path -------------------
+
+CH_RESAMPLE = """
+SELECT l_returnflag,
+       sumResample(1, 8, 2)(toDecimal64(l_quantity, 2), l_linenumber) AS qsum,
+       countResample(1, 8, 2)(l_orderkey, l_linenumber) AS qcnt
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "chsql_resample",
+    oracle="""
+WITH b(bucket, lo, hi) AS (VALUES (0, 1, 3), (1, 3, 5), (2, 5, 7), (3, 7, 8))
+SELECT l.l_returnflag, b.bucket,
+       CAST(SUM(CASE WHEN l_linenumber >= b.lo AND l_linenumber < b.hi
+                THEN CAST(l_quantity AS DECIMAL(38,2)) END) AS DOUBLE) AS qsum,
+       COUNT(CASE WHEN l_linenumber >= b.lo AND l_linenumber < b.hi
+             THEN l_orderkey END) AS qcnt
+FROM lineitem l CROSS JOIN b
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    tags=("chsql", "agg"),
+)
+def chsql_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``-Resample`` combinator (CH: aggResample(start, end, step)(args, key))
+    through the TEXT path: per-linenumber-bucket sum/count arrays, unrolled
+    by the transpiler to per-bucket FILTER aggregates.  The arrays are
+    exploded to (group, bucket) rows for the driver's hash canonicalizer."""
+    from pyspark.sql import functions as F
+
+    df = _run(spark, sf_dir, CH_RESAMPLE)
+    return (
+        df.select(
+            "l_returnflag",
+            F.posexplode(F.arrays_zip("qsum", "qcnt")).alias("bucket", "z"),
+        )
+        .select(
+            "l_returnflag",
+            "bucket",
+            F.col("z.qsum").cast("double").alias("qsum"),
+            F.col("z.qcnt").alias("qcnt"),
+        )
+        .orderBy("l_returnflag", "bucket")
+    )

@@ -563,3 +563,82 @@ def bm25_retrieve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _BM25_QUERIES, "query_id int, query_text string"
     )
     return bm25_topk(docs, queries, k=5)
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier (the DCLM/FineWeb-Edu fasttext-classifier shape)
+# ---------------------------------------------------------------------------
+
+#: explicit term weights (a trained classifier would load these from a model
+#: table; the SHAPE — linear bag-of-words scoring, length-normalized, sigmoid
+#: squash, threshold gate — is exactly the DCLM fasttext quality filter)
+_QUALITY_WEIGHTS = {
+    "data": 1.2, "query": 1.0, "table": 0.8, "vector": 1.5, "stream": 0.6,
+    "window": 0.5, "merge": 0.4, "filter": 0.3, "group": 0.3, "scan": 0.2,
+    "slow": -0.8, "small": -0.5, "batch": -0.2, "the": -0.1, "a": -0.1,
+}
+_QUALITY_BIAS = -0.4
+
+
+def _quality_weight_sql(col: str) -> str:
+    cases = " ".join(
+        f"WHEN {col} = '{t}' THEN {w}" for t, w in _QUALITY_WEIGHTS.items()
+    )
+    return f"CASE {cases} ELSE 0.0 END"
+
+
+@register(
+    "quality_classifier_linear",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS term
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(ROUND({_quality_weight_sql('term')}, 8)
+              AS DECIMAL(38,10))) AS DOUBLE) AS wsum,
+         COUNT(*) AS dl
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(1.0 / (1.0 + exp(-({_QUALITY_BIAS} + wsum / dl))), 6) AS quality_p,
+       (1.0 / (1.0 + exp(-({_QUALITY_BIAS} + wsum / dl))) >= 0.5) AS keep
+FROM feats ORDER BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear bag-of-words quality classifier — the fasttext-classifier
+    shape of DCLM / FineWeb-Edu quality filtering: per-document
+    length-normalized weighted term sum, sigmoid squash, threshold gate.
+    Weights live in a broadcast lookup (a trained model swaps in the same
+    way); scoring is one explode + broadcast join + decimal-summed hash agg,
+    fully map-side combinable — no Python in the hot path."""
+    from clickhouseocp_spark.operators.ranking import tokenize_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokenize_terms(docs, "text")
+    weights = spark.createDataFrame(
+        list(_QUALITY_WEIGHTS.items()), "term string, w double"
+    )
+    feats = (
+        toks.join(F.broadcast(weights), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.round(F.coalesce(F.col("w"), F.lit(0.0)), 8)
+                .cast("decimal(38,10)")
+            ).cast("double").alias("wsum"),
+            F.count(F.lit(1)).alias("dl"),
+        )
+    )
+    logit = F.lit(_QUALITY_BIAS) + F.col("wsum") / F.col("dl")
+    p = 1.0 / (1.0 + F.exp(-logit))
+    return feats.select(
+        "doc_id",
+        F.round(p, 6).alias("quality_p"),
+        (p >= 0.5).alias("keep"),
+    ).orderBy("doc_id")

@@ -615,3 +615,66 @@ def stochastic_linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(w, 6), round(b, 6), _GD_ITERS)], "w double, b double, iters int"
     )
+
+
+# ---------------------------------------------------------------------------
+# exponentialTimeDecayedSum / -Count / -Avg
+# ---------------------------------------------------------------------------
+
+_DECAY_TAU = 30 * 86400  # 30-day time constant
+
+
+@register(
+    "exp_time_decayed_sum",
+    oracle=f"""
+WITH t AS (
+  SELECT user_id % 10 AS bucket, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT))
+           OVER (PARTITION BY user_id % 10) AS tmax
+  FROM events
+)
+SELECT bucket,
+       CAST(SUM(CAST(ROUND(value * exp((tsec - tmax) / {_DECAY_TAU}.0), 8)
+            AS DECIMAL(38,10))) AS DOUBLE) AS decayed_sum,
+       CAST(SUM(CAST(ROUND(exp((tsec - tmax) / {_DECAY_TAU}.0), 8)
+            AS DECIMAL(38,10))) AS DOUBLE) AS decayed_count,
+       ROUND(CAST(SUM(CAST(ROUND(value * exp((tsec - tmax) / {_DECAY_TAU}.0), 8)
+             AS DECIMAL(38,10))) AS DOUBLE)
+             / CAST(SUM(CAST(ROUND(exp((tsec - tmax) / {_DECAY_TAU}.0), 8)
+               AS DECIMAL(38,10))) AS DOUBLE), 6) AS decayed_avg
+FROM t GROUP BY bucket ORDER BY bucket
+""",
+    tags=("agg", "stats", "window"),
+)
+def exp_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``exponentialTimeDecayedSum/-Count/-Avg(tau)(v, t)``: exponentially
+    time-decayed aggregates evaluated at each group's most recent event —
+    the freshness-weighted rollup CH ships as window functions.
+
+    Numerics: decay is anchored at the group's MAX timestamp so every
+    exp((t - t_max)/tau) factor is ≤ 1 (terms stay at value magnitude,
+    round(8) is far above double ULP → cross-engine bitwise); the per-row
+    terms sum through DECIMAL, so the whole thing is one partitioned window
+    max + one map-side-combinable hash agg — no ordered scan at all."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.col("user_id") % 10)
+    tsec = F.unix_timestamp("ts")
+    t = ev.select(
+        (F.col("user_id") % 10).alias("bucket"),
+        "value",
+        tsec.alias("tsec"),
+        F.max(tsec).over(w).alias("tmax"),
+    )
+    decay = F.exp((F.col("tsec") - F.col("tmax")) / F.lit(float(_DECAY_TAU)))
+    agg = t.groupBy("bucket").agg(
+        _dsum(F.col("value") * decay, "decayed_sum"),
+        _dsum(decay, "decayed_count"),
+    )
+    return agg.select(
+        "bucket",
+        "decayed_sum",
+        "decayed_count",
+        F.round(F.col("decayed_sum") / F.col("decayed_count"), 6)
+        .alias("decayed_avg"),
+    ).orderBy("bucket")

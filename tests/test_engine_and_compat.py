@@ -723,3 +723,28 @@ def test_parameterized_view(spark, sf_dir):
         eng.sql("SELECT * FROM region_by_key(wrong = 1)")
     with pytest.raises(ChSqlError, match="name = value"):
         eng.sql("SELECT * FROM region_by_key(5)")
+
+
+def test_into_outfile_writes_and_reports(spark, sf_dir, tmp_path):
+    """SELECT ... INTO OUTFILE 'f.csv' writes the rendered result to a
+    driver-local file (CSV for .csv extension) and reports the row count —
+    the clickhouse-local export surface."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    out = tmp_path / "flags.csv"
+    msg = eng.run(
+        f"SELECT l_returnflag, count() AS n FROM lineitem "
+        f"GROUP BY l_returnflag ORDER BY l_returnflag INTO OUTFILE '{out}'"
+    )
+    assert msg == f"3 rows written to {out}."
+    lines = out.read_text().strip().splitlines()
+    assert lines[0].split(",")[0] == "l_returnflag" and len(lines) == 4
+
+    # explicit FORMAT wins over the extension default
+    out2 = tmp_path / "flags.txt"
+    eng.run(
+        f"SELECT l_returnflag FROM lineitem GROUP BY l_returnflag "
+        f"INTO OUTFILE '{out2}' FORMAT JSONEachRow"
+    )
+    assert out2.read_text().lstrip().startswith("{")
