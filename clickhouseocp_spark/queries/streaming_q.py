@@ -262,3 +262,72 @@ def stream_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = tempfile.mkdtemp(prefix="upsert_tgt_") + "/t"
     foreach_batch_upsert(events_stream(spark, sf_dir), target)
     return spark.read.parquet(target).select("user_id", "event_id", "event_type")
+
+
+@register(
+    "stream_sketch_rollup",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.50), 6) AS exact_q50,
+       ROUND(quantile_cont(value, 0.90), 6) AS exact_q90,
+       COUNT(*) AS n,
+       TRUE AS dd_ok
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("streaming", "sketch", "mergetree"),
+)
+def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AggregatingMergeTree: the events stream feeds a persistent
+    DDSketch STATE table via foreachBatch
+    (streaming/pipeline.foreach_batch_sketch_rollup); the query reads the
+    states back and pairs exact quantiles with the in-query ``dd_ok``
+    relative-error contract — the Kafka → MV → -State pipeline of the
+    reference, with estimates computed at read time and no event rescan."""
+    import tempfile
+
+    from clickhouseocp_spark.operators.sketches import quantile_dd_estimate
+    from clickhouseocp_spark.streaming.pipeline import (
+        foreach_batch_sketch_rollup,
+    )
+
+    alpha = 0.01
+    target = tempfile.mkdtemp(prefix="sketch_tgt_") + "/t"
+    foreach_batch_sketch_rollup(
+        events_stream(spark, sf_dir), target, alpha=alpha
+    )
+    ests = spark.read.parquet(target).select(
+        "event_type",
+        quantile_dd_estimate(0.50, alpha).alias("__e50"),
+        quantile_dd_estimate(0.90, alpha).alias("__e90"),
+    )
+    from clickhouseocp_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.50)"), 6).alias("exact_q50"),
+        F.round(F.expr("percentile(value, 0.90)"), 6).alias("exact_q90"),
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "sort_array(collect_list(value))"
+            "[cast(ceil(0.50 * count(value)) as int) - 1]"
+        ).alias("__o50"),
+        F.expr(
+            "sort_array(collect_list(value))"
+            "[cast(ceil(0.90 * count(value)) as int) - 1]"
+        ).alias("__o90"),
+    )
+    tol = alpha + 1e-12
+    return (
+        exact.join(F.broadcast(ests), "event_type")
+        .select(
+            "event_type",
+            "exact_q50",
+            "exact_q90",
+            "n",
+            (
+                (F.abs(F.col("__e50") / F.col("__o50") - 1.0) <= tol)
+                & (F.abs(F.col("__e90") / F.col("__o90") - 1.0) <= tol)
+            ).alias("dd_ok"),
+        )
+        .orderBy("event_type")
+    )

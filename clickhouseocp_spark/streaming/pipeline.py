@@ -363,3 +363,54 @@ def foreach_batch_upsert(
     )
     q.awaitTermination()
     return target_dir
+
+
+def foreach_batch_sketch_rollup(
+    stream: DataFrame,
+    target_dir: str,
+    keys: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    alpha: float = 0.01,
+) -> str:
+    """AggregatingMergeTree as a streaming MV (the reference's most
+    distinctive streaming pattern: Kafka → materialized view →
+    AggregatingMergeTree holding -State columns, estimates computed at read
+    time): every micro-batch computes DDSketch partial states
+    (operators/sketches.quantile_dd_partial) and merges them into a
+    persistent parquet STATE table.
+
+    The merge is exact and associative (bucket-wise count sums), so any
+    batch split — replays included — converges to the same state table as a
+    single batch over all rows; pytest pins that equality.  At scale the
+    state table is |keys| × occupied-buckets rows regardless of stream
+    volume, and the read-time estimate never rescans events."""
+    import os
+    import shutil
+
+    from clickhouseocp_spark.operators.sketches import (
+        quantile_dd_merge,
+        quantile_dd_partial,
+    )
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        partial = quantile_dd_partial(batch_df, list(keys), value_col, alpha)
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            unioned = spark.read.parquet(target_dir).unionByName(partial)
+        else:
+            unioned = partial
+        folded = quantile_dd_merge(unioned, list(keys))
+        tmp = target_dir + f".batch{batch_id}"
+        folded.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(tmp, target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return target_dir

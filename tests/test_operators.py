@@ -1078,3 +1078,30 @@ def test_bm25_hand_computed(spark):
     assert set(got) == {1, 3}  # doc 2 has no query term
     assert got[1] == (s(2, 3), 1)
     assert got[3] == (s(1, 2), 2)
+
+
+def test_stream_sketch_rollup_state_equals_batch_state(spark, sf_dir, tmp_path):
+    """The streamed DDSketch state table must EQUAL the batch-built state
+    (bucket-for-bucket), proving the foreachBatch merge is the exact
+    associative -State merge, not an approximation of it."""
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.sketches import quantile_dd_partial
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        foreach_batch_sketch_rollup,
+    )
+
+    target = str(tmp_path / "state")
+    foreach_batch_sketch_rollup(events_stream(spark, sf_dir), target, alpha=0.05)
+    streamed = {
+        r.event_type: dict(r.dd_state)
+        for r in spark.read.parquet(target).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r.event_type: dict(r.dd_state)
+        for r in quantile_dd_partial(
+            ev, ["event_type"], "value", alpha=0.05
+        ).collect()
+    }
+    assert streamed == batch
