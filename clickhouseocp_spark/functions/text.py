@@ -4,11 +4,15 @@ scoring ops the driver's north star requires: token counting, quality scoring,
 language ID, document fingerprinting).
 
 All JVM-side column expressions (split/HOF/regex) — no Python UDFs; these run
-inside whole-stage codegen and scale linearly with the scan.
+inside whole-stage codegen and scale linearly with the scan.  The one
+exception is the string-distance family 2 at the bottom (Damerau-Levenshtein
+/ Jaro / Jaro-Winkler): Spark has no built-ins, so those are Arrow-batched
+pandas UDFs in the fuzzy-matching tier.
 """
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, functions as F
 
 #: BPE-ish word/punct tokenizer: words, numbers, or single punctuation marks.
@@ -149,3 +153,144 @@ def fingerprint_rolling(text: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: F.xxhash64(acc, t),
     )
+
+
+# ---------------------------------------------------------------------------
+# string-distance family 2: damerauLevenshteinDistance / jaroSimilarity /
+# jaroWinklerSimilarity (CH 24.1+ scalar functions).  Spark has levenshtein
+# built-in but none of these three — they are Arrow-batched pandas UDFs
+# (pure-python per pair; the inputs are short strings by contract, and the
+# family sits in the fuzzy-matching tier, not the bulk scan path).
+# ---------------------------------------------------------------------------
+
+
+def _dl_distance_py(a: str, b: str) -> int:
+    """Full Damerau-Levenshtein (Lowrance-Wagner, unrestricted adjacent
+    transpositions — matches DuckDB's damerau_levenshtein: ('CA','ABC')=2)."""
+    da: dict[str, int] = {}
+    la, lb = len(a), len(b)
+    maxd = la + lb
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            k = da.get(b[j - 1], 0)
+            lpos = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][lpos] + (i - k - 1) + 1 + (j - lpos - 1),
+            )
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def _jaro_py(a: str, b: str) -> float:
+    """Jaro similarity; 0.0 when either side is empty (DuckDB convention)."""
+    la, lb = len(a), len(b)
+    if not la or not lb:
+        return 0.0
+    window = max(la, lb) // 2 - 1
+    ma = [False] * la
+    mb = [False] * lb
+    m = 0
+    for i in range(la):
+        lo, hi = max(0, i - window), min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not mb[j] and a[i] == b[j]:
+                ma[i] = mb[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    t = 0
+    j = 0
+    for i in range(la):
+        if ma[i]:
+            while not mb[j]:
+                j += 1
+            if a[i] != b[j]:
+                t += 1
+            j += 1
+    t //= 2
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def _jaro_winkler_py(a: str, b: str) -> float:
+    """Jaro-Winkler: prefix boost (l ≤ 4, p = 0.1) applied only when the
+    Jaro similarity exceeds the standard 0.7 threshold (DuckDB convention,
+    probed: jw('abcdef','abwxyz') == jaro)."""
+    j = _jaro_py(a, b)
+    if j <= 0.7:
+        return j
+    l = 0
+    for x, y in zip(a[:4], b[:4]):
+        if x != y:
+            break
+        l += 1
+    return j + l * 0.1 * (1.0 - j)
+
+
+def damerau_levenshtein(a: Column | str, b: Column | str) -> Column:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else _dl_distance_py(x, y)
+                for x, y in zip(sa, sb)
+            ],
+            dtype="Int32",
+        )
+
+    return _udf(F.col(a) if isinstance(a, str) else a,
+                F.col(b) if isinstance(b, str) else b)
+
+
+def jaro_similarity(a: Column | str, b: Column | str) -> Column:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else _jaro_py(x, y)
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return _udf(F.col(a) if isinstance(a, str) else a,
+                F.col(b) if isinstance(b, str) else b)
+
+
+def jaro_winkler_similarity(a: Column | str, b: Column | str) -> Column:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None else _jaro_winkler_py(x, y)
+                for x, y in zip(sa, sb)
+            ]
+        )
+
+    return _udf(F.col(a) if isinstance(a, str) else a,
+                F.col(b) if isinstance(b, str) else b)

@@ -210,3 +210,170 @@ def string_search_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.positionCaseInsensitive(F.col("text"), "lorem").alias("pos_lorem_ci"),
         ch.countSubstrings(F.col("text"), " ").alias("n_spaces"),
     )
+
+
+@register(
+    "string_distances2",
+    oracle="""
+SELECT a.doc_id,
+       damerau_levenshtein(substr(a.text, 1, 12), substr(b.text, 1, 12)) AS dl_dist,
+       ROUND(jaro_similarity(substr(a.text, 1, 12), substr(b.text, 1, 12)), 6) AS jaro,
+       ROUND(jaro_winkler_similarity(substr(a.text, 1, 12), substr(b.text, 1, 12)), 6) AS jw
+FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+WHERE a.doc_id < 40
+ORDER BY a.doc_id
+""",
+    tags=("scalar", "string"),
+)
+def string_distances2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-distance family 2 (CH 24.1 scalars:
+    ``damerauLevenshteinDistance``, ``jaroSimilarity``,
+    ``jaroWinklerSimilarity``) over neighbouring document snippets —
+    Arrow-batched pandas UDFs (functions/text.py) whose kernels are pinned
+    against the oracle's native implementations (full Lowrance-Wagner DL;
+    Jaro-Winkler boost above the 0.7 threshold)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.functions.text import (
+        damerau_levenshtein,
+        jaro_similarity,
+        jaro_winkler_similarity,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 12).alias("s")
+    )
+    a = d.filter(F.col("doc_id") < 40).alias("a")
+    b = d.alias("b")
+    pairs = a.join(
+        b, F.col("b.doc_id") == F.col("a.doc_id") + 1
+    ).select(
+        F.col("a.doc_id").alias("doc_id"),
+        F.col("a.s").alias("sa"),
+        F.col("b.s").alias("sb"),
+    )
+    return pairs.select(
+        "doc_id",
+        damerau_levenshtein("sa", "sb").alias("dl_dist"),
+        F.round(jaro_similarity("sa", "sb"), 6).alias("jaro"),
+        F.round(jaro_winkler_similarity("sa", "sb"), 6).alias("jw"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "non_negative_derivative",
+    oracle="""
+WITH d AS (
+  SELECT user_id % 10 AS bucket,
+         value - LAG(value) OVER w AS dv,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - LAG(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS dt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT bucket,
+       CAST(SUM(CASE WHEN dv > 0 AND dt > 0
+                THEN CAST(ROUND(dv / dt, 8) AS DECIMAL(38,10)) END)
+            AS DOUBLE) AS rate_sum,
+       CAST(SUM(CASE WHEN dv > 0 AND dt > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rising
+FROM d GROUP BY bucket ORDER BY bucket
+""",
+    tags=("window", "stats"),
+)
+def non_negative_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``nonNegativeDerivative(value, ts)`` (CH window function): per-second
+    rate of change between consecutive events in each user's stream, clamped
+    to rising segments, rolled up per user bucket.  The window partitions by
+    user (parallel, no global sort); the rollup is one bounded hash agg with
+    decimal-summed rounded rates."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.unix_timestamp("ts")
+    d = ev.select(
+        (F.col("user_id") % 10).alias("bucket"),
+        (F.col("value") - F.lag("value").over(w)).alias("dv"),
+        (tsec - F.lag(tsec).over(w)).alias("dt"),
+    )
+    rising = (F.col("dv") > 0) & (F.col("dt") > 0)
+    return (
+        d.groupBy("bucket")
+        .agg(
+            F.sum(
+                F.when(rising,
+                       F.round(F.col("dv") / F.col("dt"), 8)
+                       .cast("decimal(38,10)"))
+            ).cast("double").alias("rate_sum"),
+            F.sum(rising.cast("int")).cast("bigint").alias("n_rising"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "polygon_area_perimeter",
+    oracle="""
+WITH pts AS (
+  SELECT n_regionkey AS region, n_nationkey AS k,
+         CAST(n_nationkey % 7 AS DOUBLE) AS x,
+         CAST(n_nationkey % 5 AS DOUBLE) AS y
+  FROM nation
+),
+e AS (
+  SELECT region, x, y,
+         COALESCE(LEAD(x) OVER w, FIRST_VALUE(x) OVER w) AS xn,
+         COALESCE(LEAD(y) OVER w, FIRST_VALUE(y) OVER w) AS yn
+  FROM pts
+  WINDOW w AS (PARTITION BY region ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT region,
+       ROUND(ABS(SUM(x * yn - xn * y)) / 2, 6) AS area,
+       ROUND(CAST(SUM(CAST(ROUND(sqrt((xn-x)*(xn-x) + (yn-y)*(yn-y)), 8)
+             AS DECIMAL(38,10))) AS DOUBLE), 6) AS perimeter,
+       COUNT(*) AS n_vertices
+FROM e GROUP BY region ORDER BY region
+""",
+    tags=("scalar", "geo"),
+)
+def polygon_area_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``polygonAreaCartesian`` / ``polygonPerimeterCartesian`` (CH geo
+    functions): shoelace signed area and edge-length sum over a closed ring
+    — vertices derived deterministically from the nation table, one ring per
+    region.  Cross products are exact integer arithmetic; edge lengths go
+    through the round(8)+decimal sum discipline."""
+    nt = load_table(spark, sf_dir, "nation")
+    pts = nt.select(
+        F.col("n_regionkey").alias("region"),
+        F.col("n_nationkey").alias("k"),
+        (F.col("n_nationkey") % 7).cast("double").alias("x"),
+        (F.col("n_nationkey") % 5).cast("double").alias("y"),
+    )
+    wl = Window.partitionBy("region").orderBy("k")
+    wf = wl.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    e = pts.select(
+        "region",
+        "x",
+        "y",
+        F.coalesce(F.lead("x").over(wl), F.first("x").over(wf)).alias("xn"),
+        F.coalesce(F.lead("y").over(wl), F.first("y").over(wf)).alias("yn"),
+    )
+    edge = F.sqrt(
+        (F.col("xn") - F.col("x")) * (F.col("xn") - F.col("x"))
+        + (F.col("yn") - F.col("y")) * (F.col("yn") - F.col("y"))
+    )
+    return (
+        e.groupBy("region")
+        .agg(
+            F.round(
+                F.abs(F.sum(F.col("x") * F.col("yn") - F.col("xn") * F.col("y")))
+                / 2, 6
+            ).alias("area"),
+            F.round(
+                F.sum(F.round(edge, 8).cast("decimal(38,10)")).cast("double"), 6
+            ).alias("perimeter"),
+            F.count(F.lit(1)).alias("n_vertices"),
+        )
+        .orderBy("region")
+    )
