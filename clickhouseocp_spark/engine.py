@@ -39,6 +39,14 @@ class ChSparkEngine:
         self.spark = spark or get_spark("ChSparkEngine")
         self.sf_dir = sf_dir
         self.tables = register_tables(self.spark, sf_dir)
+        self._register_udfs()
+
+    def _register_udfs(self) -> None:
+        """CH scalar names with no Spark builtin, exposed to SQL TEXT as
+        registered pandas UDFs (idempotent; session-scoped)."""
+        from clickhouseocp_spark.functions.text import register_ch_udfs
+
+        register_ch_udfs(self.spark)
 
     def sql(
         self, query: str, dialect: str = "auto", params: dict | None = None
@@ -344,6 +352,35 @@ class ChSparkEngine:
         from clickhouseocp_spark.operators.mutations import delete_where, update_where
 
         text = statement.strip().rstrip(";")
+        m = _re.match(
+            r"(?is)^CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s+REFRESH\s+EVERY\s+(\d+)\s+(\w+)\s+AS\s+(SELECT.+)$",
+            text,
+        )
+        if m:
+            # refreshable MV (CH 23.12): full-recompute on schedule.  The
+            # session engine has no daemon, so the schedule is recorded and
+            # refresh runs on SYSTEM REFRESH VIEW <name> (the CH manual
+            # trigger) or engine.refresh_views() — each recompute replaces
+            # the stored table atomically, exactly CH's
+            # refresh-into-new-table-and-exchange semantics.
+            name, n, unit, body = (
+                m.group(1).lower(), int(m.group(2)), m.group(3), m.group(4)
+            )
+            if not hasattr(self, "_refreshable_views"):
+                self._refreshable_views: dict[str, tuple[str, str]] = {}
+            self._refreshable_views[name] = (f"{n} {unit.upper()}", body)
+            return self._create_table(name, self.sql(body), (), ())
+        m = _re.match(
+            r"(?is)^SYSTEM\s+REFRESH\s+VIEW\s+(\w+)$", text
+        )
+        if m:
+            name = m.group(1).lower()
+            views = getattr(self, "_refreshable_views", {})
+            if name not in views:
+                raise ChSqlError(f"SYSTEM REFRESH VIEW: {name!r} is not a "
+                                 "refreshable materialized view")
+            return self._create_table(name, self.sql(views[name][1]), (), ())
         m = _re.match(
             r"(?is)^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(\w+)\s+AS\s+(SELECT.+)$",
@@ -1136,6 +1173,15 @@ class ChSparkEngine:
         df = self.sql(query, dialect=dialect)
         return render(df, fmt, max_rows)
 
+
+    def refresh_views(self) -> list[str]:
+        """Recompute every refreshable materialized view (the scheduler-less
+        analog of CH's background refresh loop; call it from any external
+        scheduler at the recorded cadence)."""
+        names = list(getattr(self, "_refreshable_views", {}))
+        for name in names:
+            self.execute(f"SYSTEM REFRESH VIEW {name}")
+        return names
 
     def format(self, sql: str) -> str:
         """``clickhouse-format`` analog (the image symlinks the tool,

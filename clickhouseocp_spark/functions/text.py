@@ -294,3 +294,28 @@ def jaro_winkler_similarity(a: Column | str, b: Column | str) -> Column:
 
     return _udf(F.col(a) if isinstance(a, str) else a,
                 F.col(b) if isinstance(b, str) else b)
+
+
+def register_ch_udfs(spark) -> None:
+    """Register the pandas string-distance kernels as SQL functions under
+    their ClickHouse names so the TEXT path can call them directly
+    (idempotent; annotations resolve here where pandas is module-level)."""
+    from pyspark.sql.functions import pandas_udf
+
+    def wrap(fn, dtype):
+        @pandas_udf(dtype)
+        def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+            return pd.Series(
+                [
+                    None if x is None or y is None else fn(x, y)
+                    for x, y in zip(a, b)
+                ]
+            )
+
+        return _udf
+
+    spark.udf.register(
+        "damerauLevenshteinDistance", wrap(_dl_distance_py, "int")
+    )
+    spark.udf.register("jaroSimilarity", wrap(_jaro_py, "double"))
+    spark.udf.register("jaroWinklerSimilarity", wrap(_jaro_winkler_py, "double"))

@@ -748,3 +748,46 @@ def test_into_outfile_writes_and_reports(spark, sf_dir, tmp_path):
         f"INTO OUTFILE '{out2}' FORMAT JSONEachRow"
     )
     assert out2.read_text().lstrip().startswith("{")
+
+
+def test_refreshable_materialized_view(spark, sf_dir, tmp_path):
+    """CREATE MATERIALIZED VIEW ... REFRESH EVERY n unit AS SELECT stores the
+    definition, materializes immediately, and SYSTEM REFRESH VIEW recomputes
+    against current lineage (CH 23.12 refreshable MVs)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    eng.sql(
+        "CREATE MATERIALIZED VIEW flag_counts REFRESH EVERY 1 HOUR AS "
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    before = {r.l_returnflag: r.n for r in eng.sql("SELECT * FROM flag_counts").collect()}
+    assert len(before) == 3
+
+    # mutate the source, refresh, and the MV must follow
+    eng.sql("DELETE FROM lineitem WHERE l_returnflag = 'R'")
+    assert eng.refresh_views() == ["flag_counts"]
+    after = {r.l_returnflag: r.n for r in eng.sql("SELECT * FROM flag_counts").collect()}
+    assert "R" not in after and after["N"] == before["N"]
+
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+
+    with pytest.raises(ChSqlError, match="refreshable"):
+        eng.sql("SYSTEM REFRESH VIEW nope")
+
+
+def test_ch_named_udfs_on_text_path(spark, sf_dir):
+    """damerauLevenshteinDistance / jaroSimilarity / jaroWinklerSimilarity are
+    registered SQL functions under their CH names - callable from raw text."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    r = eng.sql(
+        "SELECT damerauLevenshteinDistance('CA', 'ABC') AS d, "
+        "round(jaroSimilarity('martha', 'marhta'), 6) AS j, "
+        "round(jaroWinklerSimilarity('dixon', 'dicksonx'), 6) AS jw",
+        dialect="clickhouse",
+    ).first()
+    assert (r.d, r.j, r.jw) == (2, 0.944444, 0.813333)
