@@ -1158,6 +1158,35 @@ FUNC_RULES: dict[str, object] = {
     "fromUnixTimestamp64Milli": _rename("timestamp_millis"),
     "fromUnixTimestamp64Micro": _rename("timestamp_micros"),
     "toUnixTimestamp64Milli": _rename("unix_millis"),
+    # Twitter-snowflake id <-> DateTime (CH epoch 1288834974657 ms)
+    "snowflakeToDateTime": lambda args: (
+        f"timestamp_millis(shiftright({args[0]}, 22) + 1288834974657)"
+    ),
+    "dateTimeToSnowflake": lambda args: (
+        f"shiftleft(unix_millis({args[0]}) - 1288834974657, 22)"
+    ),
+    # formatReadableTimeDelta(sec): largest-unit-first human rendering
+    # (days/hours/minutes/seconds, zero units skipped, '0 seconds' floor)
+    "formatReadableTimeDelta": lambda args: (
+        "coalesce(nullif(concat_ws(', ', "
+        f"CASE WHEN floor(({args[0]}) / 86400) > 0 THEN concat(CAST(floor(({args[0]}) / 86400) AS BIGINT), "
+        f"IF(floor(({args[0]}) / 86400) = 1, ' day', ' days')) END, "
+        f"CASE WHEN floor(({args[0]}) % 86400 / 3600) > 0 THEN concat(CAST(floor(({args[0]}) % 86400 / 3600) AS BIGINT), "
+        f"IF(floor(({args[0]}) % 86400 / 3600) = 1, ' hour', ' hours')) END, "
+        f"CASE WHEN floor(({args[0]}) % 3600 / 60) > 0 THEN concat(CAST(floor(({args[0]}) % 3600 / 60) AS BIGINT), "
+        f"IF(floor(({args[0]}) % 3600 / 60) = 1, ' minute', ' minutes')) END, "
+        f"CASE WHEN ({args[0]}) % 60 > 0 THEN concat(CAST(({args[0]}) % 60 AS BIGINT), "
+        f"IF(({args[0]}) % 60 = 1, ' second', ' seconds')) END"
+        "), ''), '0 seconds')"
+    ),
+    # timeSlots(start, duration[, size=1800]): slot starts covering the span
+    "timeSlots": lambda args: (
+        f"transform(sequence(0, CAST(floor((unix_timestamp({args[0]}) + {args[1]}) "
+        f"/ {args[2] if len(args) > 2 else 1800}) - floor(unix_timestamp({args[0]}) "
+        f"/ {args[2] if len(args) > 2 else 1800}) AS INT)), "
+        f"__i -> timestamp_seconds((floor(unix_timestamp({args[0]}) "
+        f"/ {args[2] if len(args) > 2 else 1800}) + __i) * {args[2] if len(args) > 2 else 1800}))"
+    ),
     "toUnixTimestamp64Micro": _rename("unix_micros"),
     "toModifiedJulianDay": lambda args: (
         f"datediff(cast({args[0]} as date), DATE '1858-11-17')"

@@ -2117,3 +2117,55 @@ def chsql_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "bucket")
     )
+
+
+# --- round 4: vocabulary batch (snowflake ids, readable deltas, slots) -----
+
+CH_VOCAB_R4 = """
+SELECT o_orderkey % 5 AS grp,
+       snowflakeToDateTime(dateTimeToSnowflake(toDateTime(o_orderdate))) AS rt_date,
+       formatReadableTimeDelta(o_orderkey % 90061) AS delta_text,
+       size(timeSlots(toDateTime(o_orderdate), 3600)) AS n_slots,
+       count() AS n
+FROM orders
+WHERE o_orderkey < 200
+GROUP BY grp, rt_date, delta_text, n_slots
+ORDER BY grp, rt_date, delta_text
+"""
+
+
+@register(
+    "chsql_vocab_r4",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey % 5 AS grp,
+         CAST(o_orderdate AS TIMESTAMP) AS rt_date,
+         o_orderkey % 90061 AS secs
+  FROM orders WHERE o_orderkey < 200
+),
+fmt AS (
+  SELECT grp, rt_date, secs,
+         COALESCE(NULLIF(concat_ws(', ',
+           CASE WHEN secs // 86400 > 0 THEN secs // 86400
+                || CASE WHEN secs // 86400 = 1 THEN ' day' ELSE ' days' END END,
+           CASE WHEN secs % 86400 // 3600 > 0 THEN secs % 86400 // 3600
+                || CASE WHEN secs % 86400 // 3600 = 1 THEN ' hour' ELSE ' hours' END END,
+           CASE WHEN secs % 3600 // 60 > 0 THEN secs % 3600 // 60
+                || CASE WHEN secs % 3600 // 60 = 1 THEN ' minute' ELSE ' minutes' END END,
+           CASE WHEN secs % 60 > 0 THEN secs % 60
+                || CASE WHEN secs % 60 = 1 THEN ' second' ELSE ' seconds' END END
+         ), ''), '0 seconds') AS delta_text
+  FROM base
+)
+SELECT grp, rt_date, delta_text, 3 AS n_slots, COUNT(*) AS n
+FROM fmt GROUP BY grp, rt_date, delta_text ORDER BY grp, rt_date, delta_text
+""",
+    tags=("chsql", "scalar"),
+)
+def chsql_vocab_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 vocabulary through the TEXT path: snowflake-id round trip
+    (snowflakeToDateTime ∘ dateTimeToSnowflake = identity on
+    millisecond-precision timestamps), formatReadableTimeDelta pluralized
+    unit rendering, timeSlots slot covering (midnight + 3600s duration =
+    3 half-hour slots)."""
+    return _run(spark, sf_dir, CH_VOCAB_R4)
