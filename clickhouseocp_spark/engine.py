@@ -259,6 +259,10 @@ class ChSparkEngine:
             from clickhouseocp_spark.prql import transpile_prql
 
             return self.spark.sql(transpile_prql(query))
+        if dialect == "kusto":
+            from clickhouseocp_spark.kql import transpile_kql
+
+            return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)
             if df is None:

@@ -1,0 +1,239 @@
+"""Kusto Query Language (KQL) pipeline dialect → Spark SQL (subset).
+
+ClickHouse ships an experimental Kusto dialect (``SET dialect = 'kusto'``,
+23.3+ — the same setting switch the reference image exposes for PRQL); this
+module provides that entry surface for the PySpark engine:
+``ChSparkEngine.sql(text, dialect="kusto")`` and ``SET dialect = 'kusto'``.
+
+Design mirrors prql.py: each tabular operator wraps the previous relation in
+one subquery — Catalyst collapses the nesting back into a single logical
+plan, so KQL's strict left-to-right pipe semantics come for free without any
+scope analysis here.
+
+Supported tabular operators (the core of the public KQL spec,
+learn.microsoft.com/kusto):
+
+- ``T``                      — bare source table starts the pipeline
+- ``| where <pred>``         — predicate sugar: ``==`` → ``=``, ``!=`` → ``<>``,
+  ``and/or/not`` pass through, ``contains``/``startswith``/``endswith`` →
+  LIKE forms, ``in (...)`` passes through
+- ``| project c1, c2=expr``  — select list (KQL alias ``name=expr`` →
+  ``expr AS name``)
+- ``| extend name=expr``     — SELECT *, expr AS name
+- ``| summarize [a1=agg(), ...] [by k1, ...]`` — GROUP BY (``count()`` →
+  ``count(*)``, ``dcount(x)`` → ``count(DISTINCT x)``, ``avg/sum/min/max``
+  pass through, ``make_list`` → collect_list)
+- ``| sort by c [asc|desc], ...`` / ``| order by`` — ORDER BY (KQL default
+  direction is DESC, applied when none given)
+- ``| top n by c [asc|desc]`` — ORDER BY + LIMIT (default DESC)
+- ``| take n`` / ``| limit n`` — LIMIT
+- ``| count``                — SELECT count(*) AS Count
+- ``| distinct c1, ...``     — SELECT DISTINCT
+- ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
+  equi-join (single key or ``$left.a == $right.b`` form)
+
+Everything inside scalar expressions passes through to Spark SQL verbatim
+(same policy as prql.py — KQL's scalar layer is close enough to SQL for the
+shared core: arithmetic, comparisons, function calls).
+"""
+
+from __future__ import annotations
+
+import re
+
+__all__ = ["transpile_kql", "KqlError"]
+
+
+class KqlError(ValueError):
+    """Raised when KQL text falls outside the supported subset."""
+
+
+def _expr(e: str) -> str:
+    """KQL scalar-expression sugar → Spark SQL."""
+    e = e.strip()
+    # string predicates first (word-boundary, case-insensitive keywords)
+    e = re.sub(
+        r"(\S+)\s+contains\s+'([^']*)'",
+        lambda m: f"{m.group(1)} ILIKE '%{m.group(2)}%'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+startswith\s+'([^']*)'",
+        lambda m: f"{m.group(1)} ILIKE '{m.group(2)}%'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"(\S+)\s+endswith\s+'([^']*)'",
+        lambda m: f"{m.group(1)} ILIKE '%{m.group(2)}'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(r"!=", "<>", e)
+    e = re.sub(r"==", "=", e)
+    # KQL datetime(...) literal → timestamp literal
+    e = re.sub(
+        r"\bdatetime\(([^)]+)\)",
+        lambda m: f"TIMESTAMP '{m.group(1).strip()}'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    return e
+
+
+def _agg_expr(e: str) -> str:
+    e = _expr(e)
+    e = re.sub(r"\bcount\(\s*\)", "count(*)", e, flags=re.IGNORECASE)
+    e = re.sub(
+        r"\bdcount\(([^)]+)\)",
+        lambda m: f"count(DISTINCT {m.group(1)})",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(r"\bmake_list\(", "collect_list(", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bmake_set\(", "collect_set(", e, flags=re.IGNORECASE)
+    return e
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on top-level separators (paren/quote aware)."""
+    out, depth, cur, q = [], 0, [], None
+    for ch in s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return [p for p in out if p]
+
+
+def _alias_item(item: str, agg: bool = False) -> str:
+    """KQL ``name = expr`` → ``expr AS name``; bare exprs pass through."""
+    m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?![=])(.+)$", item.strip())
+    conv = _agg_expr if agg else _expr
+    if m:
+        return f"{conv(m.group(2))} AS {m.group(1)}"
+    return conv(item)
+
+
+def _order_list(s: str, default_desc: bool = True) -> str:
+    parts = []
+    for item in _split_top(s):
+        if re.search(r"\b(asc|desc)\s*$", item, re.IGNORECASE):
+            parts.append(_expr(item))
+        else:
+            parts.append(_expr(item) + (" DESC" if default_desc else ""))
+    return ", ".join(parts)
+
+
+def transpile_kql(query: str) -> str:
+    """KQL pipeline text → one nested Spark SQL statement."""
+    stages = [s.strip() for s in _split_top(query.strip(), "|")]
+    if not stages or not stages[0]:
+        raise KqlError("empty KQL pipeline")
+    src = stages[0]
+    if not re.match(r"^[A-Za-z_]\w*$", src):
+        raise KqlError(
+            f"KQL pipeline must start with a bare table name, got {src!r}"
+        )
+    rel = src
+    for i, st in enumerate(stages[1:]):
+        sub = f"({rel}) __k{i}" if " " in rel or rel.startswith("(") else rel
+        kw = st.split(None, 1)
+        op = kw[0].lower()
+        rest = kw[1] if len(kw) > 1 else ""
+        if op == "where":
+            rel = f"SELECT * FROM {sub} WHERE {_expr(rest)}"
+        elif op == "project":
+            items = ", ".join(_alias_item(x) for x in _split_top(rest))
+            rel = f"SELECT {items} FROM {sub}"
+        elif op == "extend":
+            items = ", ".join(_alias_item(x) for x in _split_top(rest))
+            rel = f"SELECT *, {items} FROM {sub}"
+        elif op == "summarize":
+            m = re.search(r"\bby\b", rest, re.IGNORECASE)
+            if m:
+                aggs, keys = rest[: m.start()].strip(), rest[m.end():].strip()
+            else:
+                aggs, keys = rest.strip(), ""
+            agg_items = [_alias_item(x, agg=True) for x in _split_top(aggs)]
+            key_items = [_expr(x) for x in _split_top(keys)] if keys else []
+            if not agg_items and not key_items:
+                raise KqlError("summarize needs aggregates or by-keys")
+            sel = ", ".join(key_items + agg_items) or "*"
+            rel = f"SELECT {sel} FROM {sub}"
+            if key_items:
+                rel += f" GROUP BY {', '.join(key_items)}"
+        elif op in ("sort", "order"):
+            rest = re.sub(r"^by\s+", "", rest, flags=re.IGNORECASE)
+            rel = f"SELECT * FROM {sub} ORDER BY {_order_list(rest)}"
+        elif op == "top":
+            m = re.match(r"^(\d+)\s+by\s+(.+)$", rest, re.IGNORECASE)
+            if not m:
+                raise KqlError(f"top needs 'top N by expr', got {rest!r}")
+            rel = (
+                f"SELECT * FROM {sub} ORDER BY "
+                f"{_order_list(m.group(2))} LIMIT {m.group(1)}"
+            )
+        elif op in ("take", "limit"):
+            rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
+        elif op == "count":
+            rel = f"SELECT count(*) AS Count FROM {sub}"
+        elif op == "distinct":
+            items = ", ".join(_expr(x) for x in _split_top(rest))
+            rel = f"SELECT DISTINCT {items} FROM {sub}"
+        elif op == "join":
+            m = re.match(
+                r"^(?:kind\s*=\s*(\w+)\s+)?\(\s*([^)]+?)\s*\)\s+on\s+(.+)$",
+                rest,
+                re.IGNORECASE,
+            )
+            if not m:
+                raise KqlError(f"unsupported join form: {rest!r}")
+            kind = (m.group(1) or "inner").lower()
+            jmap = {
+                "inner": "JOIN",
+                "leftouter": "LEFT JOIN",
+                "rightouter": "RIGHT JOIN",
+                "fullouter": "FULL JOIN",
+            }
+            if kind not in jmap:
+                raise KqlError(f"unsupported join kind: {kind!r}")
+            right = m.group(2).strip()
+            cond = m.group(3).strip()
+            mc = re.match(
+                r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", cond
+            )
+            if mc:
+                on = f"__l.{mc.group(1)} = __r.{mc.group(2)}"
+            elif re.match(r"^\w+$", cond):
+                on = f"__l.{cond} = __r.{cond}"
+            else:
+                raise KqlError(f"unsupported join condition: {cond!r}")
+            rel = (
+                f"SELECT * FROM ({rel if ' ' in rel else f'SELECT * FROM {rel}'}) __l "
+                f"{jmap[kind]} (SELECT * FROM {right}) __r ON {on}"
+            )
+            continue
+        else:
+            raise KqlError(f"unsupported KQL operator: {op!r}")
+    if " " not in rel:
+        rel = f"SELECT * FROM {rel}"
+    return rel

@@ -2169,3 +2169,48 @@ def chsql_vocab_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit rendering, timeSlots slot covering (midnight + 3600s duration =
     3 half-hour slots)."""
     return _run(spark, sf_dir, CH_VOCAB_R4)
+
+
+@register(
+    "kql_pipeline",
+    oracle="""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       COUNT(DISTINCT user_id) AS users,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6) AS total
+FROM events
+WHERE value > 20 AND event_type <> 'view'
+GROUP BY event_type
+ORDER BY n DESC, event_type
+LIMIT 3
+""",
+    tags=("kusto",),
+)
+def kql_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A Kusto (KQL) pipeline through ``dialect='kusto'`` — CH ships the
+    experimental Kusto dialect behind the same ``SET dialect`` switch as
+    PRQL (23.3+): where → summarize by → sort → take, with KQL sugar
+    (==/!=, count(), dcount, name=expr aliases).  Ties on n break by
+    event_type via a second sort key, and the double sum routes through an
+    extend'd decimal cast so both engines sum exactly."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where value > 20 and event_type != 'view'
+| extend dv = cast(value as decimal(38,6))
+| summarize n = count(), users = dcount(user_id), total = sum(dv) by event_type
+| sort by n desc, event_type asc
+| take 3
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_type",
+        "n",
+        "users",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+    )

@@ -791,3 +791,47 @@ def test_vocab_batch3_diagnostics():
         transpile("SELECT dateName('fortnight', ts) FROM t")
     with pytest.raises(ChSqlError, match="parseDateTime"):
         transpile("SELECT parseDateTime(s, fmt_col) FROM t")
+
+
+# ---------------------------------------------------------------------------
+# KQL dialect
+# ---------------------------------------------------------------------------
+
+
+def test_kql_transpile_mechanics():
+    import pytest
+
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    sql = transpile_kql("t | where a == 1 | project b, c = a + 1 | take 2")
+    assert "WHERE a = 1" in sql and "a + 1 AS c" in sql and "LIMIT 2" in sql
+    # default sort direction is DESC (KQL convention)
+    assert "ORDER BY n DESC" in transpile_kql("t | summarize n=count() by k | sort by n")
+    # string predicate sugar
+    assert "ILIKE '%x%'" in transpile_kql("t | where s contains 'x'")
+    assert "ILIKE 'x%'" in transpile_kql("t | where s startswith 'x'")
+    # count operator
+    assert transpile_kql("t | count").startswith("SELECT count(*) AS Count")
+    # joins
+    j = transpile_kql("t | join kind=leftouter (u) on k")
+    assert "LEFT JOIN" in j and "__l.k = __r.k" in j
+    with pytest.raises(KqlError, match="unsupported KQL operator"):
+        transpile_kql("t | mv-expand x")
+    with pytest.raises(KqlError, match="bare table name"):
+        transpile_kql("select * from t | take 1")
+
+
+def test_kql_end_to_end(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rows = eng.sql(
+        "events | where event_type == 'click' | summarize n = count() "
+        "by user_id | top 3 by n",
+        dialect="kusto",
+    ).collect()
+    assert len(rows) == 3 and rows[0].n >= rows[-1].n
+    # SET dialect = 'kusto' switches the session default
+    eng.sql("SET dialect = 'kusto'")
+    assert eng.sql("events | count").first().Count == eng.spark.table("events").count()
+    eng.sql("SET dialect = 'auto'")
