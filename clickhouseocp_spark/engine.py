@@ -586,6 +586,21 @@ class ChSparkEngine:
                 raise ChSqlError(f"UNDROP TABLE: no recoverable table {t!r}")
             return self._set_lineage(t, parked)
         m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+"
+            r"('[^']*'|\S+)$",
+            text,
+        )
+        if m:
+            return self._alter_partition(
+                m.group(1).lower(), m.group(2).upper(), m.group(3).strip("'")
+            )
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+FREEZE(?:\s+WITH\s+NAME\s+'(\w+)')?$",
+            text,
+        )
+        if m:
+            return self._freeze_table(m.group(1).lower(), m.group(2) or "default")
+        m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+COLUMN\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(\w+)\s+([\w()0-9, ]+?)(?:\s+DEFAULT\s+(.+))?$",
             text,
@@ -773,7 +788,97 @@ class ChSparkEngine:
             base = self._table_dir = tempfile.mkdtemp(prefix="chspark_tables_")
         path = os.path.join(base, name)
         write_mergetree_style(df, path, partition_by=partition, order_by=order)
+        if not hasattr(self, "_table_partitions"):
+            self._table_partitions: dict[str, tuple] = {}
+        self._table_partitions[name] = tuple(partition)
         return self._replace_view(name, self.spark.read.parquet(path))
+
+    def _layout_path(self, name: str) -> str:
+        """Materialized layout directory for *name*; raises when the table
+        has no MergeTree layout (partition ops need real part directories)."""
+        import os
+
+        from clickhouseocp_spark.chsql import ChSqlError
+
+        base = getattr(self, "_table_dir", None)
+        path = os.path.join(base, name) if base else None
+        if not path or not os.path.isdir(path):
+            raise ChSqlError(
+                f"table {name!r} has no MergeTree layout — partition "
+                "operations need a CTAS-materialized PARTITION BY table"
+            )
+        return path
+
+    def _reread_layout(self, name: str) -> DataFrame:
+        """Re-register *name* from its (possibly mutated) layout directory,
+        busting Spark's file-listing cache first."""
+        import os
+
+        path = self._layout_path(name)
+        self.spark.catalog.refreshByPath(path)
+        has_files = any(
+            f.endswith(".parquet")
+            for _r, _d, fs in os.walk(path)
+            for f in fs
+        )
+        if not has_files:
+            return self._replace_view(name, self._table(name).limit(0))
+        return self._replace_view(name, self.spark.read.parquet(path))
+
+    def _alter_partition(self, name: str, action: str, value: str) -> DataFrame:
+        """``ALTER TABLE t DROP|DETACH|ATTACH PARTITION v`` over the layout's
+        partition directories — the MergeTree partition-lifecycle surface
+        (detached parts live next to the layout, exactly CH's detached/)."""
+        import os
+        import shutil
+
+        from clickhouseocp_spark.chsql import ChSqlError
+
+        path = self._layout_path(name)
+        parts = getattr(self, "_table_partitions", {}).get(name) or ()
+        if not parts:
+            raise ChSqlError(
+                f"table {name!r} was not created with PARTITION BY — "
+                "no partitions to alter"
+            )
+        pdir = os.path.join(path, f"{parts[0]}={value}")
+        ddir = os.path.join(
+            os.path.dirname(path), f"detached_{name}", f"{parts[0]}={value}"
+        )
+        if action == "DROP":
+            if not os.path.isdir(pdir):
+                raise ChSqlError(f"no partition {value!r} in table {name!r}")
+            shutil.rmtree(pdir)
+        elif action == "DETACH":
+            if not os.path.isdir(pdir):
+                raise ChSqlError(f"no partition {value!r} in table {name!r}")
+            os.makedirs(os.path.dirname(ddir), exist_ok=True)
+            shutil.move(pdir, ddir)
+        elif action == "ATTACH":
+            if not os.path.isdir(ddir):
+                raise ChSqlError(
+                    f"no detached partition {value!r} for table {name!r}"
+                )
+            shutil.move(ddir, pdir)
+        return self._reread_layout(name)
+
+    def _freeze_table(self, name: str, backup: str) -> DataFrame:
+        """``ALTER TABLE t FREEZE [WITH NAME 'x']``: hard-link-free snapshot
+        of the layout into shadow/<backup>/<table> (CH freezes parts into
+        shadow/); returns the backup path."""
+        import os
+        import shutil
+
+        from pyspark.sql import functions as F
+
+        path = self._layout_path(name)
+        shadow = os.path.join(os.path.dirname(path), "shadow", backup, name)
+        if os.path.isdir(shadow):
+            shutil.rmtree(shadow)
+        shutil.copytree(path, shadow)
+        return self.spark.range(1).select(
+            F.lit(shadow).alias("backup_path"), F.lit(name).alias("table")
+        )
 
     def _create_kafka_table(self, name: str, cols: str, tail: str) -> DataFrame:
         """``CREATE TABLE q (...) ENGINE = Kafka SETTINGS kafka_broker_list =

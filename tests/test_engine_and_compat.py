@@ -791,3 +791,53 @@ def test_ch_named_udfs_on_text_path(spark, sf_dir):
         dialect="clickhouse",
     ).first()
     assert (r.d, r.j, r.jw) == (2, 0.944444, 0.813333)
+
+
+def test_alter_partition_lifecycle(spark, sf_dir):
+    """DROP/DETACH/ATTACH PARTITION and FREEZE over a CTAS-materialized
+    PARTITION BY layout: directory-level part lifecycle, CH semantics."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    eng.sql(
+        "CREATE TABLE li_parts ENGINE = MergeTree PARTITION BY l_returnflag "
+        "ORDER BY l_orderkey AS SELECT * FROM lineitem"
+    )
+    total = eng.sql("SELECT count(*) AS n FROM li_parts").first().n
+    per_flag = {
+        r.l_returnflag: r.n
+        for r in eng.sql(
+            "SELECT l_returnflag, count(*) AS n FROM li_parts GROUP BY l_returnflag"
+        ).collect()
+    }
+
+    # FREEZE snapshots before mutation
+    snap = eng.sql("ALTER TABLE li_parts FREEZE WITH NAME 'b1'").first()
+    assert snap.table == "li_parts"
+    frozen = spark.read.parquet(snap.backup_path)
+
+    # DETACH removes the partition from reads, ATTACH restores it
+    eng.sql("ALTER TABLE li_parts DETACH PARTITION 'R'")
+    n_detached = eng.sql("SELECT count(*) AS n FROM li_parts").first().n
+    assert n_detached == total - per_flag["R"]
+    eng.sql("ALTER TABLE li_parts ATTACH PARTITION 'R'")
+    assert eng.sql("SELECT count(*) AS n FROM li_parts").first().n == total
+
+    # DROP removes it permanently
+    eng.sql("ALTER TABLE li_parts DROP PARTITION 'R'")
+    flags = {
+        r.l_returnflag
+        for r in eng.sql("SELECT DISTINCT l_returnflag FROM li_parts").collect()
+    }
+    assert "R" not in flags and flags == {"A", "N"}
+    # the frozen snapshot still holds every partition
+    assert frozen.count() == total
+
+    with pytest.raises(ChSqlError, match="no partition"):
+        eng.sql("ALTER TABLE li_parts DROP PARTITION 'Z'")
+    with pytest.raises(ChSqlError, match="PARTITION BY"):
+        eng.sql("CREATE TABLE li_flat ENGINE = MergeTree AS SELECT * FROM region")
+        eng.sql("ALTER TABLE li_flat DROP PARTITION 'x'")
