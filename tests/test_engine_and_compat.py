@@ -757,15 +757,18 @@ def test_refreshable_materialized_view(spark, sf_dir, tmp_path):
     from clickhouseocp_spark.engine import ChSparkEngine
 
     eng = ChSparkEngine(sf_dir, spark=spark)
+    # mutate a private CTAS copy, NOT the shared lineitem fixture view (the
+    # session-scoped spark fixture makes temp views global across tests)
+    eng.sql("CREATE TABLE li_refresh_src ENGINE = MergeTree AS SELECT * FROM lineitem")
     eng.sql(
         "CREATE MATERIALIZED VIEW flag_counts REFRESH EVERY 1 HOUR AS "
-        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+        "SELECT l_returnflag, count(*) AS n FROM li_refresh_src GROUP BY l_returnflag"
     )
     before = {r.l_returnflag: r.n for r in eng.sql("SELECT * FROM flag_counts").collect()}
     assert len(before) == 3
 
     # mutate the source, refresh, and the MV must follow
-    eng.sql("DELETE FROM lineitem WHERE l_returnflag = 'R'")
+    eng.sql("DELETE FROM li_refresh_src WHERE l_returnflag = 'R'")
     assert eng.refresh_views() == ["flag_counts"]
     after = {r.l_returnflag: r.n for r in eng.sql("SELECT * FROM flag_counts").collect()}
     assert "R" not in after and after["N"] == before["N"]
