@@ -678,3 +678,105 @@ def exp_time_decayed_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("decayed_sum") / F.col("decayed_count"), 6)
         .alias("decayed_avg"),
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# proportionsZTest — two-proportion z with p-value and CI
+# ---------------------------------------------------------------------------
+
+#: normal quantile for the 95% CI (CH passes confidence as a parameter)
+_Z95 = 1.9599639845400545
+
+#: Abramowitz & Stegun 7.1.26 erf approximation — written as the IDENTICAL
+#: formula on both engines so the p-value column value-matches (|err| < 1.5e-7,
+#: far inside the round-6 grid)
+_ERF_SQL = (
+    "(1.0 - (0.254829592 * (1.0/(1.0 + 0.3275911 * ({x})))"
+    " - 0.284496736 * power(1.0/(1.0 + 0.3275911 * ({x})), 2)"
+    " + 1.421413741 * power(1.0/(1.0 + 0.3275911 * ({x})), 3)"
+    " - 1.453152027 * power(1.0/(1.0 + 0.3275911 * ({x})), 4)"
+    " + 1.061405429 * power(1.0/(1.0 + 0.3275911 * ({x})), 5))"
+    " * exp(-(({x}) * ({x}))))"
+)
+
+
+def _phi_tail_sql(z_abs: str) -> str:
+    """2·(1 − Φ(|z|)) with Φ via the A&S erf: p = 1 − erf(|z|/√2)."""
+    return f"(1.0 - {_ERF_SQL.format(x=f'(({z_abs}) / sqrt(2.0))')})"
+
+
+@register(
+    "proportions_z_test",
+    oracle=f"""
+WITH g AS (
+  SELECT
+    CAST(SUM(CASE WHEN event_type = 'click' AND value > 50 THEN 1 ELSE 0 END) AS DOUBLE) AS x1,
+    CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS n1,
+    CAST(SUM(CASE WHEN event_type = 'view' AND value > 50 THEN 1 ELSE 0 END) AS DOUBLE) AS x2,
+    CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS n2
+  FROM events
+),
+s AS (
+  SELECT x1/n1 AS p1, x2/n2 AS p2, (x1+x2)/(n1+n2) AS pp, n1, n2 FROM g
+),
+z AS (
+  SELECT p1, p2, n1, n2,
+         (p1 - p2) / sqrt(pp * (1-pp) * (1/n1 + 1/n2)) AS z_stat,
+         sqrt(p1*(1-p1)/n1 + p2*(1-p2)/n2) AS se_unpooled
+  FROM s
+)
+SELECT ROUND(z_stat, 6) AS z_stat,
+       ROUND({_phi_tail_sql('abs(z_stat)')}, 6) AS p_value,
+       ROUND((p1 - p2) - {_Z95} * se_unpooled, 6) AS ci_low,
+       ROUND((p1 - p2) + {_Z95} * se_unpooled, 6) AS ci_high,
+       CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view
+FROM z
+""",
+    tags=("agg", "stats"),
+)
+def proportions_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    conf, 'pooled')``: two-proportion pooled z statistic, two-sided p-value,
+    and the unpooled 95% CI of the difference — CH's full return tuple as
+    named columns.  The p-value's normal CDF uses the Abramowitz-Stegun
+    7.1.26 erf approximation written as the IDENTICAL formula on both
+    engines, so even the transcendental column value-matches.  One
+    conditional counting pass; everything else is scalar math on the 1-row
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    g = ev.agg(
+        F.sum(F.when((F.col("event_type") == "click") & (F.col("value") > 50), 1)
+              .otherwise(0)).cast("double").alias("x1"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("double").alias("n1"),
+        F.sum(F.when((F.col("event_type") == "view") & (F.col("value") > 50), 1)
+              .otherwise(0)).cast("double").alias("x2"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("double").alias("n2"),
+    )
+    s = g.select(
+        (F.col("x1") / F.col("n1")).alias("p1"),
+        (F.col("x2") / F.col("n2")).alias("p2"),
+        ((F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))).alias("pp"),
+        "n1",
+        "n2",
+    )
+    z = s.select(
+        "p1", "p2", "n1", "n2",
+        ((F.col("p1") - F.col("p2"))
+         / F.sqrt(F.col("pp") * (1 - F.col("pp"))
+                  * (1 / F.col("n1") + 1 / F.col("n2")))).alias("z_stat"),
+        F.sqrt(F.col("p1") * (1 - F.col("p1")) / F.col("n1")
+               + F.col("p2") * (1 - F.col("p2")) / F.col("n2"))
+        .alias("se_unpooled"),
+    )
+    p_val = F.expr(_phi_tail_sql("abs(z_stat)"))
+    diff = F.col("p1") - F.col("p2")
+    return z.select(
+        F.round("z_stat", 6).alias("z_stat"),
+        F.round(p_val, 6).alias("p_value"),
+        F.round(diff - _Z95 * F.col("se_unpooled"), 6).alias("ci_low"),
+        F.round(diff + _Z95 * F.col("se_unpooled"), 6).alias("ci_high"),
+        F.col("n1").cast("bigint").alias("n_click"),
+        F.col("n2").cast("bigint").alias("n_view"),
+    )
