@@ -209,7 +209,7 @@ class ChSparkEngine:
             query = expand_param_views(query, pviews)
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
-                    "ATTACH", "DETACH", "UNDROP"):
+                    "ATTACH", "DETACH", "UNDROP", "BACKUP", "RESTORE"):
             return self.execute(query)
         if head == "SET":
             return self._set_statement(query)
@@ -578,6 +578,33 @@ class ChSparkEngine:
                 self.spark.catalog.dropTempView(t)
                 del self.tables[t]
             return self.spark.range(0).select(F.lit(t).alias("dropped")).limit(0)
+        m = _re.match(
+            r"(?is)^BACKUP\s+TABLE\s+(\w+)\s+TO\s+"
+            r"(?:File\s*\(\s*)?'([^']+)'\s*\)?$",
+            text,
+        )
+        if m:
+            # CH 23.x BACKUP TABLE t TO File('path'): a self-contained copy
+            # readable by any engine — here a parquet snapshot of the current
+            # lineage (policies and mutations included, like CH's data dump)
+            t, path = m.group(1).lower(), m.group(2)
+            self._table(t).write.mode("errorifexists").parquet(path)
+            return self.spark.createDataFrame(
+                [(t, path, "BACKUP_CREATED")],
+                "table string, path string, status string",
+            )
+        m = _re.match(
+            r"(?is)^RESTORE\s+TABLE\s+(\w+)\s+FROM\s+"
+            r"(?:File\s*\(\s*)?'([^']+)'\s*\)?$",
+            text,
+        )
+        if m:
+            t, path = m.group(1).lower(), m.group(2)
+            import os
+
+            if not os.path.isdir(path):
+                raise ChSqlError(f"RESTORE TABLE: no backup at {path!r}")
+            return self._set_lineage(t, self.spark.read.parquet(path))
         m = _re.match(r"(?is)^UNDROP\s+TABLE\s+(\w+)$", text)
         if m:
             t = m.group(1).lower()

@@ -844,3 +844,26 @@ def test_alter_partition_lifecycle(spark, sf_dir):
     with pytest.raises(ChSqlError, match="PARTITION BY"):
         eng.sql("CREATE TABLE li_flat ENGINE = MergeTree AS SELECT * FROM region")
         eng.sql("ALTER TABLE li_flat DROP PARTITION 'x'")
+
+
+def test_backup_restore_table(spark, sf_dir, tmp_path):
+    """BACKUP TABLE ... TO File('path') writes a self-contained parquet
+    snapshot; RESTORE TABLE ... FROM brings it back over current lineage."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    eng.sql("CREATE TABLE reg_bak ENGINE = MergeTree AS SELECT * FROM region")
+    path = str(tmp_path / "reg_backup")
+    st = eng.sql(f"BACKUP TABLE reg_bak TO File('{path}')").first()
+    assert st.status == "BACKUP_CREATED"
+
+    eng.sql("DELETE FROM reg_bak WHERE r_regionkey < 3")
+    assert eng.sql("SELECT count(*) AS n FROM reg_bak").first().n == 2
+    eng.sql(f"RESTORE TABLE reg_bak FROM File('{path}')")
+    assert eng.sql("SELECT count(*) AS n FROM reg_bak").first().n == 5
+
+    with pytest.raises(ChSqlError, match="no backup"):
+        eng.sql("RESTORE TABLE reg_bak FROM File('/nonexistent/backup')")
