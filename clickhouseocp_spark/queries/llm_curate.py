@@ -642,3 +642,58 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p, 6).alias("quality_p"),
         (p >= 0.5).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# BPE pair counting (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bpe_pair_counts",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> ''))
+         AS w
+  FROM documents
+),
+pairs AS (
+  SELECT substr(w, i, 1) || '+' || substr(w, i + 1, 1) AS pair
+  FROM toks, unnest(generate_series(1, length(w) - 1)) AS u(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+ORDER BY n DESC, pair LIMIT 20
+""",
+    tags=("llm", "text", "tokenizer"),
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE tokenizer-training step: global adjacent symbol-pair
+    frequencies over the corpus (the argmax pair becomes the first merge
+    rule).  One explode per character position inside each word + one global
+    hash agg — the map-side-combinable shape that lets BPE training run over
+    a 100 TB corpus (each merge iteration = one such pass; the pair
+    vocabulary, not the corpus, is what crosses the wire)."""
+    from clickhouseocp_spark.operators.ranking import tokenize_terms
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = tokenize_terms(docs, "text").select(F.col("term").alias("w"))
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.concat(
+                    F.col("w").substr(i, F.lit(1)),
+                    F.lit("+"),
+                    F.col("w").substr(i + 1, F.lit(1)),
+                ),
+            )
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(20)
+    )
