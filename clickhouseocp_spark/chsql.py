@@ -1684,6 +1684,21 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"__v AS __val))), 1, {p[0]}), __s -> __s.__val)"
     ),
     "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    # exact order-statistic quantile variants (CH: nearest-rank, not
+    # interpolated): Low = floor rank, High = ceil rank over the sorted set
+    "quantileExactLow": lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"greatest(1, CAST(floor({p[0]} * (size(collect_list({a[0]})) - 1)) AS INT) + 1))"
+    ),
+    "quantileExactHigh": lambda p, a: (
+        f"element_at(array_sort(collect_list({a[0]})), "
+        f"greatest(1, CAST(ceil({p[0]} * (size(collect_list({a[0]})) - 1)) AS INT) + 1))"
+    ),
+    # groupConcat(sep)(x) (CH 24.x; order undefined upstream too — pin it by
+    # sorting so results are deterministic across partitionings)
+    "groupConcat": lambda p, a: (
+        f"array_join(array_sort(collect_list({a[0]})), {p[0] if p else chr(39) + chr(39)})"
+    ),
     "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
     "histogram": None,  # operators/sketches.py covers re-mergeable histograms
 }

@@ -835,3 +835,36 @@ def test_kql_end_to_end(spark, sf_dir):
     eng.sql("SET dialect = 'kusto'")
     assert eng.sql("events | count").first().Count == eng.spark.table("events").count()
     eng.sql("SET dialect = 'auto'")
+
+
+def test_quantile_exact_variants_and_group_concat(spark, sf_dir):
+    """quantileExactLow/High nearest-rank semantics + groupConcat through the
+    text path (sorted for cross-partition determinism)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    r = eng.sql(
+        "SELECT quantileExactLow(0.5)(n_nationkey) AS lo, "
+        "quantileExactHigh(0.5)(n_nationkey) AS hi, "
+        "groupConcat(',')(n_name) AS names "
+        "FROM nation WHERE n_regionkey = 1",
+        dialect="clickhouse",
+    ).first()
+    # region 1 nations: keys sorted; 5 rows -> median rank exact
+    import duckdb
+
+    keys = [x[0] for x in duckdb.sql(
+        f"SELECT n_nationkey FROM read_parquet('{sf_dir}/nation.parquet') "
+        "WHERE n_regionkey = 1 ORDER BY 1"
+    ).fetchall()]
+    n = len(keys)
+    import math
+
+    assert r.lo == keys[math.floor(0.5 * (n - 1))]
+    assert r.hi == keys[math.ceil(0.5 * (n - 1))]
+    assert r.names == ",".join(sorted(
+        x[0] for x in duckdb.sql(
+            f"SELECT n_name FROM read_parquet('{sf_dir}/nation.parquet') "
+            "WHERE n_regionkey = 1"
+        ).fetchall()
+    ))

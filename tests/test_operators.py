@@ -1105,3 +1105,33 @@ def test_stream_sketch_rollup_state_equals_batch_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_round4_plan_shapes(spark, sf_dir):
+    """100 TB gates for the round-4 operators: BM25's query-term and df joins
+    broadcast (no sort-merge join anywhere in the plan); the NSW pipeline is
+    one shuffle on the shard key before the kernel; exp_time_decayed has no
+    global sort."""
+    from clickhouseocp_spark.plans.inspect import (
+        formatted_plan,
+        has_sort_merge_join,
+        shuffle_count,
+    )
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    bm25 = qs["bm25_retrieve"].fn(spark, sf_dir)
+    assert not has_sort_merge_join(bm25)
+
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.similarity import nsw_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nsw = nsw_topk(emb.filter(F.col("vec_id") < 3), emb, k=3, n_shards=4)
+    # shard exchange + final top-k window exchange — nothing else
+    assert shuffle_count(nsw) <= 2
+
+    etd = formatted_plan(qs["exp_time_decayed_sum"].fn(spark, sf_dir))
+    assert "Window" in etd  # partitioned max, no global Sort-only stage
