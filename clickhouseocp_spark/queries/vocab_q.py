@@ -377,3 +377,47 @@ def polygon_area_perimeter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+@register(
+    "fuzzy_join_entities",
+    oracle="""
+WITH lhs AS (
+  SELECT n_nationkey AS typo_key,
+         lower(substr(n_name, 1, 1) || substr(n_name, 3)) AS typo_name
+  FROM nation
+),
+rhs AS (SELECT n_nationkey, lower(n_name) AS name FROM nation),
+cand AS (
+  SELECT l.typo_key, l.typo_name, r.n_nationkey, r.name
+  FROM lhs l JOIN rhs r ON substr(l.typo_name, 1, 1) = substr(r.name, 1, 1)
+  WHERE abs(length(l.typo_name) - length(r.name)) <= 3
+)
+SELECT typo_key, n_nationkey AS match_key,
+       ROUND(jaro_winkler_similarity(typo_name, name), 6) AS match_score
+FROM cand
+WHERE jaro_winkler_similarity(typo_name, name) >= 0.85
+ORDER BY typo_key, match_key
+""",
+    tags=("join", "fuzzy", "llm"),
+)
+def fuzzy_join_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity-matching join (operators/ranking.fuzzy_join): nation
+    names with a planted second-character deletion matched back to the clean
+    list via first-letter blocking + Jaro-Winkler ≥ 0.85.  The distance
+    kernel is pinned to the oracle's native jaro_winkler_similarity, so the
+    full match set value-matches — blocking, banding, scores and all."""
+    from clickhouseocp_spark.operators.ranking import fuzzy_join
+
+    nt = load_table(spark, sf_dir, "nation")
+    lhs = nt.select(
+        F.col("n_nationkey").alias("typo_key"),
+        F.concat(
+            F.substring("n_name", 1, 1), F.expr("substr(n_name, 3)")
+        ).alias("typo_name"),
+    )
+    rhs = nt.select(F.col("n_nationkey").alias("match_key"), "n_name")
+    out = fuzzy_join(lhs, rhs, "typo_name", "n_name", threshold=0.85)
+    return out.select("typo_key", "match_key", "match_score").orderBy(
+        "typo_key", "match_key"
+    )
