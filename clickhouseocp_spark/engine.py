@@ -1300,8 +1300,22 @@ class ChSparkEngine:
             path = mo.group(1)
             query = query[: mo.start()] + query[mo.end():]
             if not m:
-                fmt = "CSVWithNames" if path.endswith(".csv") else "TabSeparated"
+                if path.endswith(".parquet"):
+                    fmt = "Parquet"
+                elif path.endswith(".csv"):
+                    fmt = "CSVWithNames"
+                else:
+                    fmt = "TabSeparated"
             df = self.sql(query, dialect=dialect)
+            # binary columnar formats go through the DISTRIBUTED writer (no
+            # driver materialization, unlike the text renderings below) —
+            # clickhouse-local supports FORMAT Parquet/ORC/Arrow the same way
+            binfmt = {"parquet": "parquet", "orc": "orc", "arrow": "parquet"}
+            if fmt.lower() in binfmt:
+                df.write.mode("errorifexists").format(
+                    binfmt[fmt.lower()]
+                ).save(path)
+                return f"{df.count()} rows written to {path}."
             text = render(df, fmt, max_rows)
             with open(path, "w") as fh:
                 fh.write(text)

@@ -867,3 +867,19 @@ def test_backup_restore_table(spark, sf_dir, tmp_path):
 
     with pytest.raises(ChSqlError, match="no backup"):
         eng.sql("RESTORE TABLE reg_bak FROM File('/nonexistent/backup')")
+
+
+def test_into_outfile_parquet(spark, sf_dir, tmp_path):
+    """FORMAT Parquet / .parquet extension routes INTO OUTFILE through the
+    distributed writer and the file round-trips."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    out = str(tmp_path / "flags.parquet")
+    msg = eng.run(
+        "SELECT l_returnflag, count() AS n FROM lineitem "
+        f"GROUP BY l_returnflag INTO OUTFILE '{out}'"
+    )
+    assert msg.startswith("3 rows written")
+    back = spark.read.parquet(out)
+    assert back.count() == 3 and set(back.columns) == {"l_returnflag", "n"}
