@@ -354,3 +354,71 @@ def sequence_count(
         )
         .withColumnRenamed("__k", key)
     )
+
+
+def window_funnel_strict_order(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+    window_seconds: int,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """windowFunnel(window, 'strict_order')(ts, cond1, ..., condN): CH's
+    strict_order mode — interleaving funnel events interrupt the chain
+    (A→B→D→C finds A→B and stops at D), so a level-L chain is L CONSECUTIVE
+    rows of the key's funnel-event stream matching cond1..condL with the
+    window bound on the span.
+
+    That consecutiveness makes the windows form simple: one row_number per
+    key stream + lead(condition, i) probes — one shuffle, one sort, no
+    Python.  ``tiebreak_col`` pins the stream order under equal timestamps
+    (pass the event id; required for deterministic results)."""
+    n = len(step_conds)
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    matched = df.select(
+        F.col(key).alias("__k"),
+        F.col(ts_col).alias("__ts"),
+        *([F.col(tiebreak_col).alias("__tb")] if tiebreak_col else []),
+        *[c.cast("boolean").alias(f"__m{i+1}") for i, c in enumerate(step_conds)],
+    ).where(F.greatest(*[F.col(f"__m{i+1}") for i in range(n)]))
+    w = Window.partitionBy("__k").orderBy(
+        "__ts", *(["__tb"] if tiebreak_col else [])
+    )
+    cur = matched.withColumn(
+        "__tus", F.unix_micros(F.col("__ts").cast("timestamp"))
+    )
+    win_us = int(window_seconds) * 1_000_000
+    per_row = cur.select(
+        "__k",
+        *[
+            (
+                F.when(
+                    F.col("__m1")
+                    & _strict_chain(w, s)
+                    & (
+                        (F.lead("__tus", s - 1).over(w) - F.col("__tus") <= win_us)
+                        if s > 1
+                        else F.lit(True)
+                    ),
+                    F.lit(s),
+                )
+            ).alias(f"__l{s}")
+            for s in range(1, n + 1)
+        ],
+    )
+    level = F.greatest(
+        F.lit(0), *[F.max(F.col(f"__l{s}")) for s in range(1, n + 1)]
+    )
+    return (
+        per_row.groupBy("__k").agg(level.alias("level"))
+        .withColumnRenamed("__k", key)
+    )
+
+
+def _strict_chain(w, s: int) -> Column:
+    """lead-probe conjunction: the (i)th following row matches cond i+1."""
+    chain = F.lit(True)
+    for i in range(1, s):
+        chain = chain & F.coalesce(F.lead(f"__m{i+1}", i).over(w), F.lit(False))
+    return chain

@@ -251,3 +251,57 @@ def sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nxt"),
         ).alias("next_node"),
     )
+
+
+@register(
+    "window_funnel_strict_order",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         event_type = 'signup' AS m1,
+         event_type = 'click' AS m2,
+         event_type = 'purchase' AS m3
+  FROM events WHERE event_type IN ('signup', 'click', 'purchase')
+),
+probes AS (
+  SELECT user_id,
+         m1,
+         COALESCE(LEAD(m2, 1) OVER w, FALSE) AS n2,
+         COALESCE(LEAD(m3, 2) OVER w, FALSE) AS n3,
+         epoch(ts) AS t0,
+         epoch(LEAD(ts, 1) OVER w) AS t1,
+         epoch(LEAD(ts, 2) OVER w) AS t2
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       CAST(COALESCE(MAX(CASE
+         WHEN m1 AND n2 AND n3 AND t2 - t0 <= {{w}} THEN 3
+         WHEN m1 AND n2 AND t1 - t0 <= {{w}} THEN 2
+         WHEN m1 THEN 1 END), 0) AS INTEGER) AS level
+FROM probes GROUP BY user_id
+""".format(w=7 * 86400),
+    tags=("funnel", "agg"),
+)
+def window_funnel_strict_order_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel(7 days, 'strict_order')(ts, signup, click, purchase):
+    interleaving funnel events interrupt the chain, so a level-L chain is L
+    CONSECUTIVE rows of the user's funnel stream
+    (operators/funnel.window_funnel_strict_order — lead-probe windows, one
+    shuffle).  The oracle states the same consecutive-run semantics with
+    DuckDB lead windows; by construction level_strict_order ≤ the default
+    mode's level."""
+    from clickhouseocp_spark.operators.funnel import window_funnel_strict_order
+
+    ev = load_table(spark, sf_dir, "events")
+    return window_funnel_strict_order(
+        ev.where(F.col("event_type").isin("signup", "click", "purchase")),
+        key="user_id",
+        ts_col="ts",
+        step_conds=[
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=7 * 86400,
+        tiebreak_col="event_id",
+    )
