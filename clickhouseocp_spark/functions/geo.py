@@ -8,6 +8,7 @@ results for cross-engine comparison, queries/_util.r6).
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at runtime
 from pyspark.sql import Column, functions as F
 
 #: mean Earth radius, meters (the WGS84 mean; CH's greatCircleDistance uses
@@ -66,3 +67,90 @@ def point_in_polygon(
         hit = F.when(straddles & (x < cross_x), 1).otherwise(0)
         crossings = hit if crossings is None else crossings + hit
     return (crossings % 2) == 1
+
+
+# ---------------------------------------------------------------------------
+# geohashEncode / geohashDecode (CH geo functions; public Niemeyer scheme)
+# ---------------------------------------------------------------------------
+
+_GH_BASE32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_encode_py(lon: float, lat: float, precision: int = 12) -> str:
+    """Standard geohash: interleave longitude/latitude interval-halving bits
+    (lon first), 5 bits per base32 character."""
+    lo_lat, hi_lat = -90.0, 90.0
+    lo_lon, hi_lon = -180.0, 180.0
+    out = []
+    bit = 0
+    ch = 0
+    even = True  # longitude turn
+    while len(out) < precision:
+        if even:
+            mid = (lo_lon + hi_lon) / 2
+            if lon >= mid:
+                ch = (ch << 1) | 1
+                lo_lon = mid
+            else:
+                ch <<= 1
+                hi_lon = mid
+        else:
+            mid = (lo_lat + hi_lat) / 2
+            if lat >= mid:
+                ch = (ch << 1) | 1
+                lo_lat = mid
+            else:
+                ch <<= 1
+                hi_lat = mid
+        even = not even
+        bit += 1
+        if bit == 5:
+            out.append(_GH_BASE32[ch])
+            bit = 0
+            ch = 0
+    return "".join(out)
+
+
+def geohash_decode_py(gh: str) -> tuple[float, float]:
+    """Inverse: (lon, lat) cell midpoint of the geohash."""
+    lo_lat, hi_lat = -90.0, 90.0
+    lo_lon, hi_lon = -180.0, 180.0
+    even = True
+    for c in gh:
+        v = _GH_BASE32.index(c)
+        for shift in range(4, -1, -1):
+            bit = (v >> shift) & 1
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if bit:
+                    lo_lon = mid
+                else:
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if bit:
+                    lo_lat = mid
+                else:
+                    hi_lat = mid
+            even = not even
+    return ((lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2)
+
+
+def geohash_encode(lon, lat, precision: int = 12):
+    """Column form (Arrow-batched pandas kernel; geo bucketing tier)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _udf(lo: pd.Series, la: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if x is None or y is None
+                else geohash_encode_py(float(x), float(y), precision)
+                for x, y in zip(lo, la)
+            ]
+        )
+
+    lon_c = F.col(lon) if isinstance(lon, str) else lon
+    lat_c = F.col(lat) if isinstance(lat, str) else lat
+    return _udf(lon_c, lat_c)

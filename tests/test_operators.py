@@ -1202,3 +1202,26 @@ def test_window_funnel_strict_order_semantics(spark):
     }
     assert so2[1] == 2 and default2[1] == 3  # interruption vs default
     assert so2[2] == 3 and default2[2] == 3
+
+
+def test_geohash_known_vectors_and_column_form(spark):
+    """geohashEncode/Decode against published test vectors, plus the
+    Arrow-batched column form and encode->decode round trip."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions.geo import (
+        geohash_decode_py,
+        geohash_encode,
+        geohash_encode_py,
+    )
+
+    assert geohash_encode_py(10.40744, 57.64911, 11) == "u4pruydqqvj"
+    assert geohash_encode_py(-5.6, 42.6, 5) == "ezs42"
+    lon, lat = geohash_decode_py("u4pruydqqvj")
+    assert abs(lon - 10.40744) < 1e-4 and abs(lat - 57.64911) < 1e-4
+
+    df = spark.createDataFrame(
+        [(10.40744, 57.64911), (-5.6, 42.6)], "lon double, lat double"
+    )
+    got = [r.gh for r in df.select(geohash_encode("lon", "lat", 5).alias("gh")).collect()]
+    assert got == ["u4pru", "ezs42"]
