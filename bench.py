@@ -188,7 +188,10 @@ def main() -> None:
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
 
     total = round(sum(timings.values()), 4)
-    line = {
+    # Full artifact (spread / protocol / vs_prev) goes to a committed file;
+    # stdout's LAST line stays compact so the driver's tail capture can parse
+    # it (BENCH_r04.json had parsed:null — the old line outgrew the capture).
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
@@ -202,15 +205,38 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if retried:
-        line["reran_on_outlier"] = retried
+        full["reran_on_outlier"] = retried
     if prev:
-        line["vs_prev"] = {
+        full["vs_prev"] = {
             "artifact": prev_name,
             "deltas": {
                 n: round(t - prev[n], 4) for n, t in timings.items() if n in prev
             },
         }
-    print(json.dumps(line))
+    local_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_LOCAL", os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
+    )
+    try:
+        with open(local_path, "w") as f:
+            json.dump(full, f, indent=1)
+        print(f"full artifact -> {local_path}")
+    except OSError:
+        pass
+    line = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "loadavg_1m": full["loadavg_1m"],
+        "sf": full["sf"],
+    }
+    out = json.dumps(line, separators=(",", ":"))
+    if len(out) > 1800:  # driver tail capture is 2000 chars — keep slowest only
+        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:24])
+        line["queries"] = slowest
+        line["queries_omitted"] = len(timings) - len(slowest)
+        out = json.dumps(line, separators=(",", ":"))
+    print(out)
 
 
 if __name__ == "__main__":

@@ -16,9 +16,11 @@ Supported surface (documented subset — unsupported constructs raise
 - clause level: ``PREWHERE`` (merged into WHERE — Spark pushes predicates to
   the scan automatically, SURVEY §2.2), ``LIMIT n BY cols`` (row_number
   window rewrite; requires an ORDER BY on base columns and aliased/simple
-  select items), ``ASOF [LEFT|INNER] JOIN ... ON eq AND ineq`` (LATERAL
-  ORDER-BY-LIMIT-1 rewrite; operators/asof.py remains the 1-shuffle scale
-  path), ``GROUP BY ... WITH TOTALS`` (GROUPING SETS rewrite; the totals row
+  select items), ``ASOF [LEFT|INNER] JOIN ... ON eq AND ineq`` (lowered to
+  the same 1-shuffle union-window form as operators/asof.py — see
+  ``_asof_union_window``; both sides union-tagged, one window over the merged
+  stream fills the last/next right row per key, then probe rows project),
+  ``GROUP BY ... WITH TOTALS`` (GROUPING SETS rewrite; the totals row
   carries NULL keys), ``[LEFT] ARRAY JOIN`` incl. parallel arrays
   (posexplode lateral view; companions subscripted by position), trailing
   ``FORMAT x`` / ``SETTINGS k=v`` stripped, ``FINAL`` and ``GLOBAL`` dropped

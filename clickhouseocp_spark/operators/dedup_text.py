@@ -423,7 +423,10 @@ def bloom_filter_build(
     )
     bitmap = np.zeros(m_bits // 64, dtype=np.uint64)
     for r in words:
-        bitmap[r.word_idx] = np.uint64(r.word)
+        # word arrives as a signed int64 (bit_or of shiftleft(1L, 63) goes
+        # negative); np.uint64(negative) is a hard error on numpy >= 2 —
+        # reinterpret the bits instead of converting the value.
+        bitmap[r.word_idx] = np.int64(r.word).view(np.uint64)
     return bitmap
 
 

@@ -425,6 +425,34 @@ def kmeans_cells(
     return assigned, cmat
 
 
+def _approx_row_count(df: DataFrame) -> int:
+    """Corpus-size estimate WITHOUT an extra Spark action where possible.
+
+    If the plan reads parquet files (``df.inputFiles()`` non-empty), sum the
+    footer ``num_rows`` — a bounded driver-side metadata read per file, no
+    job.  Upstream filters make this an overestimate, which only rounds a
+    *sizing heuristic* (cells get slightly smaller — harmless).  Falls back
+    to ``count()`` for non-file plans (in-memory fixtures, post-shuffle
+    inputs)."""
+    try:
+        files = [f for f in df.inputFiles() if f.endswith(".parquet")]
+    except Exception:  # noqa: BLE001 — e.g. streaming or local-relation plans
+        files = []
+    if files:
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for f in files:
+                path = f[7:] if f.startswith("file://") else f
+                total += pq.ParquetFile(path).metadata.num_rows
+            if total > 0:
+                return total
+        except Exception:  # noqa: BLE001 — unreadable footer → count() instead
+            pass
+    return df.count()
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
@@ -456,7 +484,10 @@ def semantic_dedup(
     import numpy as np
 
     if n_clusters is None:
-        n_clusters = max(16, corpus.count() // target_cell_size)
+        # sizing heuristic, not correctness: prefer parquet-footer row counts
+        # (driver-side metadata reads, same trick as system_parts) over a
+        # full count() action that would add a job to the dedup graph
+        n_clusters = max(16, _approx_row_count(corpus) // target_cell_size)
     assigned, _ = kmeans_cells(
         corpus,
         n_centroids=n_clusters,

@@ -71,8 +71,74 @@ def _load_all() -> None:
 
 
 #: Registry ORDER is part of the driver contract: the driver's CORRECTNESS
-#: file records only the FIRST 50 registry entries per round, so this list
-#: front-loads what round 4 must get driver-recorded.  Rounds 1+2 recorded
+#: file records only the FIRST 50 registry entries per round.
+#:
+#: Round 5 (verdict #2): positions 1-12 are every query whose LATEST driver
+#: record is red — the 3 round-4 type-drift fails (fixed this round) and the
+#: 9 round-2 fails fixed in round 3 that window rotation never re-recorded
+#: (CORRECTNESS_r03.json never appeared).  Positions 13-50 burn down the
+#: never-recorded backlog: the chsql TPC-H text matrix (21), the remaining 8
+#: TPC-H DataFrame queries, the dialect front ends (PRQL/KQL), and the
+#: round-4 flagship operators.
+_DRIVER_WINDOW_R5 = [
+    # --- latest driver record is red; all fixed — re-record ---
+    "scalar_math",
+    "scalar_cast",
+    "curate_pipeline_e2e",
+    "embedding_centroids",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "embedding_near_dup_lsh",
+    "multimodal_binary_meta",
+    "hll_state_merge",
+    "agg_approx_distinct",
+    # --- never recorded: chsql TPC-H text-path matrix (q1 = chsql_q1, r3) ---
+    "chsql_tpch_q2",
+    "chsql_tpch_q3",
+    "chsql_tpch_q4",
+    "chsql_tpch_q5",
+    "chsql_tpch_q6",
+    "chsql_tpch_q7",
+    "chsql_tpch_q8",
+    "chsql_tpch_q9",
+    "chsql_tpch_q10",
+    "chsql_tpch_q11",
+    "chsql_tpch_q12",
+    "chsql_tpch_q13",
+    "chsql_tpch_q14",
+    "chsql_tpch_q15",
+    "chsql_tpch_q16",
+    "chsql_tpch_q17",
+    "chsql_tpch_q18",
+    "chsql_tpch_q19",
+    "chsql_tpch_q20",
+    "chsql_tpch_q21",
+    "chsql_tpch_q22",
+    # --- never recorded: remaining TPC-H DataFrame path ---
+    "q4_order_priority",
+    "q8_market_share",
+    "q11_important_stock",
+    "q12_shipping_delay",
+    "q14_promo_revenue",
+    "q16_parts_suppliers",
+    "q19_disjunctive_filter",
+    "q20_dominant_suppliers",
+    # --- never recorded: dialect front ends + round-4 flagships ---
+    "prql_pipeline",
+    "kql_pipeline",
+    "similarity_topk_nsw",
+    "bm25_retrieve",
+    "quality_classifier_linear",
+    "bpe_pair_counts",
+    "fuzzy_join_entities",
+    "window_funnel_strict_order",
+    "uniq_theta_kmv",
+]
+
+#: round-4 window, kept next in order — this list front-loaded what round 4
+#: had to get driver-recorded.  Rounds 1+2 recorded
 #: 100 names; round 3's window (kept immediately after this one) covered 50
 #: more; the 50 below are drawn from the 105 never-driver-recorded names:
 #: the round-3 LLM-curation tier (12), the statistical-test aggregates (13),
@@ -198,7 +264,7 @@ _DRIVER_WINDOW_R3 = [
 def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_WINDOW_R4 + _DRIVER_WINDOW_R3:
+    for name in _DRIVER_WINDOW_R5 + _DRIVER_WINDOW_R4 + _DRIVER_WINDOW_R3:
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():

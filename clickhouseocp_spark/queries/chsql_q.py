@@ -1097,8 +1097,8 @@ def chsql_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     "chsql_tpch_q12",
     oracle="""
 SELECT ship_class,
-       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM (
   SELECT o_orderpriority,
          CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
@@ -1375,7 +1375,7 @@ WITH t AS (
   FROM documents WHERE length(text) > 0 AND doc_id < 50
 )
 SELECT doc_id,
-       list_aggregate(arr, 'sum') AS fold_sum,
+       CAST(list_aggregate(arr, 'sum') AS BIGINT) AS fold_sum,
        list_aggregate(arr, 'min') AS mn,
        list_aggregate(arr, 'max') AS mx,
        ROUND(CAST(list_aggregate(arr, 'sum') AS DOUBLE) / len(arr), 6) AS avg_len,
@@ -1569,7 +1569,7 @@ def chsql_topk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                  topKWeighted(2)(l_linenumber, toInt64(l_quantity))), ',')
                  AS top2_weighted,
                countDistinctIf(l_linenumber, l_quantity > 40) AS distinct_high_qty,
-               round(quantileGK(10000, 0.5)(l_linenumber), 1) AS gk_med
+               round(toFloat64(quantileGK(10000, 0.5)(l_linenumber)), 1) AS gk_med
         FROM lineitem GROUP BY l_returnflag
         """,
     )

@@ -1666,6 +1666,84 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_media_frames(payloads)
 
 
+@register(
+    "multimodal_image_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS w,
+         CAST(8 + doc_id % 16 AS BIGINT) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       'BMP' AS fmt,
+       CAST(54 + CAST(FLOOR((w * 3 + 3) / 4) AS BIGINT) * 4 * h AS BIGINT)
+         AS n_bytes
+FROM p
+""",
+    tags=("llm", "multimodal", "image"),
+)
+def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image tier end-to-end: per-doc 24-bit BMP bytes are synthesized
+    (sources/multimodal.synthesize_gradient_bmp), then DECODED BACK by the
+    pure-numpy BMP parser (sources/imagecodec.decode_bmp) inside
+    extract_media_meta.  Width/height/format and the exact on-disk size
+    (header + 4-byte-padded stride x height) are closed-form, so the oracle
+    replays the whole encode→decode path in SQL.  Plan: two chained
+    mapInPandas inside the scan partition — no shuffle; pixels never leave
+    the executor."""
+    from clickhouseocp_spark.sources.multimodal import (
+        extract_media_meta,
+        synthesize_gradient_bmp,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    meta = extract_media_meta(synthesize_gradient_bmp(docs))
+    return meta.select("doc_id", "width", "height", "fmt", "n_bytes")
+
+
+@register(
+    "multimodal_audio_meta",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(800 + (doc_id % 50) * 16 AS BIGINT) AS n_frames,
+         CAST(2 + doc_id % 7 AS BIGINT) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       n_frames,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       ROUND(n_frames / 8000.0, 6) AS duration_s,
+       CAST(0.5 AS DOUBLE) AS rms,
+       CAST(0.5 AS DOUBLE) AS peak,
+       ROUND(FLOOR((n_frames - 1) / h) / (n_frames - 1.0), 6) AS zcr
+FROM p
+""",
+    tags=("llm", "multimodal", "audio"),
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio tier end-to-end: per-doc RIFF/PCM WAV bytes are synthesized
+    (mono int16 square wave, ±half-full-scale — sources/multimodal.
+    synthesize_square_wav), then DECODED BACK by the pure-numpy RIFF parser
+    (sources/audiocodec.decode_wav) and reduced to curation features
+    (duration/RMS/peak/zero-crossing rate).  Square waves make every feature
+    closed-form, so the oracle replays the whole encode→decode→feature path
+    in plain SQL: rms = peak = 0.5 exactly, zcr = floor((n-1)/h)/(n-1).
+    Plan: two chained mapInPandas inside the scan partition — no shuffle;
+    only scalar features leave the executor, never sample blocks."""
+    from clickhouseocp_spark.sources.multimodal import (
+        extract_audio_meta,
+        synthesize_square_wav,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_audio_meta(synthesize_square_wav(docs))
+
+
 def similarity_topk_ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF-PQ approximate top-5 stream (pytest protocol + bench)."""
     from clickhouseocp_spark.operators.similarity import ivfpq_topk

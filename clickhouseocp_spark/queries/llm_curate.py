@@ -291,7 +291,8 @@ LEFT JOIN (SELECT source, COUNT(*) AS n_unique FROM u GROUP BY source) c USING (
 LEFT JOIN (
   SELECT source,
          COUNT(*) FILTER (WHERE cum - n_tokens < 2000) AS n_sampled,
-         COALESCE(SUM(n_tokens) FILTER (WHERE cum - n_tokens < 2000), 0) AS tokens_sampled
+         CAST(COALESCE(SUM(n_tokens) FILTER (WHERE cum - n_tokens < 2000), 0)
+              AS BIGINT) AS tokens_sampled
   FROM s GROUP BY source
 ) e USING (source)
 """,

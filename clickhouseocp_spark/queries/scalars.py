@@ -142,8 +142,8 @@ def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT p_partkey,
        abs(p_retailprice - 1000.0) AS abs_centered,
-       floor(p_retailprice) AS price_floor,
-       ceil(p_retailprice) AS price_ceil,
+       CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+       CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
        sqrt(p_retailprice) AS price_sqrt,
        ROUND(exp(p_retailprice / 1000.0), 6) AS e_scaled,
        ROUND(ln(p_retailprice), 6) AS price_ln,
@@ -152,7 +152,7 @@ SELECT p_partkey,
        ROUND(sin(p_size), 6) AS size_sin,
        ROUND(atan2(p_size, 10), 6) AS size_atan2,
        p_size % 5 AS size_mod,
-       sign(p_retailprice - 1000.0) AS centered_sign
+       CAST(sign(p_retailprice - 1000.0) AS DOUBLE) AS centered_sign
 FROM part WHERE p_partkey % 3 = 0
 """,
     tags=("scalar", "math"),
@@ -252,7 +252,7 @@ SELECT p_partkey,
        CAST(p_size AS DOUBLE) AS size_dbl,
        CAST(p_size AS VARCHAR) AS size_str,
        TRY_CAST('2024-06-15' AS DATE) AS fixed_date,
-       CAST(p_retailprice AS DECIMAL(12,2)) AS price_dec
+       CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec
 FROM part WHERE p_partkey % 4 = 1
 """,
     tags=("scalar", "cast"),
@@ -269,7 +269,10 @@ def scalar_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").cast("double").alias("size_dbl"),
         F.col("p_size").cast("string").alias("size_str"),
         F.lit("2024-06-15").try_cast("date").alias("fixed_date"),
-        F.col("p_retailprice").cast("decimal(12,2)").alias("price_dec"),
+        # DECIMAL stays an intermediate: DuckDB's pandas path renders DECIMAL
+        # as float64 while Spark collects Decimal objects → driver hash drift.
+        # Emit DOUBLE on both sides (CORRECTNESS_r04 `scalar_cast` root cause).
+        F.col("p_retailprice").cast("decimal(12,2)").cast("double").alias("price_dec"),
     )
 
 

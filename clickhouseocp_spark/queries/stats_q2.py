@@ -496,11 +496,12 @@ WITH base AS (
   FROM events GROUP BY event_type
 )
 SELECT event_type,
-       CEIL(ROUND(power({_Z_ALPHA} + {_Z_POWER}, 2)
+       CAST(CEIL(ROUND(power({_Z_ALPHA} + {_Z_POWER}, 2)
             * (p * (1 - p) + (p + 0.02) * (1 - p - 0.02)) / (0.02 * 0.02), 6))
-         AS n_conversion,
-       CEIL(ROUND(power({_Z_ALPHA} + {_Z_POWER}, 2)
-            * 2 * (m2 - mu * mu) / (0.05 * mu * 0.05 * mu), 6)) AS n_continuous
+         AS BIGINT) AS n_conversion,
+       CAST(CEIL(ROUND(power({_Z_ALPHA} + {_Z_POWER}, 2)
+            * 2 * (m2 - mu * mu) / (0.05 * mu * 0.05 * mu), 6)) AS BIGINT)
+         AS n_continuous
 FROM base ORDER BY event_type
 """,
     tags=("stats",),

@@ -4,11 +4,14 @@ star; the reference side analog is ClickHouse's String/binary columns +
 user_files staging, Dockerfile:180-190).
 
 The Spark-side plumbing is real — schema, partitioning, UDF signature, Arrow
-batch shape.  The actual media decoding is stubbed because no image/audio
-libraries ship in this container: :func:`decode_image` raises
-``NotImplementedError`` unless ``fake=True``, in which case a deterministic
-fake decoder derives pseudo dimensions from the payload hash (stable across
-runs/executors, good enough to exercise every seam).
+batch shape.  Decoding is REAL for uncompressed BMP and binary PPM/PGM
+payloads (``sources/imagecodec`` — pure-numpy codecs from the public specs;
+no media libraries needed), detected by strict magic-byte sniffing.  For
+every other payload (JPEG/PNG/audio/video need PIL/libvips/ffmpeg, absent in
+this container) :func:`decode_image` raises ``NotImplementedError`` unless
+``fake=True``, in which case a deterministic fake decoder derives pseudo
+dimensions from the payload hash (stable across runs/executors, good enough
+to exercise every seam).
 """
 
 from __future__ import annotations
@@ -32,16 +35,28 @@ def attach_binary_payload(
 
 
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
-    """STUB: decode an image payload → (width, height, format).
+    """Decode an image payload → (width, height, format).
 
-    Real decoding needs PIL/libvips, not available in this container.  With
-    ``fake=True`` a deterministic stand-in derives dimensions from the sha256
-    digest — stable everywhere, exercising the full Spark data path.
+    REAL for uncompressed BMP / binary PPM / PGM (pure-numpy codecs in
+    ``sources/imagecodec``); the strict magic sniff means prose bytes never
+    reach the real decoder.  Other formats (JPEG/PNG) need PIL/libvips —
+    absent here — so they raise unless ``fake=True``, where a deterministic
+    stand-in derives dimensions from the sha256 digest (stable everywhere,
+    exercising the full Spark data path).
     """
+    from clickhouseocp_spark.sources import imagecodec
+
+    payload = bytes(payload)
+    if imagecodec.sniff_format(payload) is not None:
+        try:
+            arr, fmt = imagecodec.decode_any(payload)
+            return arr.shape[1], arr.shape[0], fmt
+        except ValueError:
+            pass  # sniff false-positive (e.g. prose starting "P5 9 9 255 ")
     if not fake:
         raise NotImplementedError(
-            "image decoding requires PIL/libvips; run with fake=True for the "
-            "deterministic stand-in decoder"
+            "payload is not BMP/PPM/PGM; other formats require PIL/libvips — "
+            "run with fake=True for the deterministic stand-in decoder"
         )
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192  # 64..255 — plausible thumbnail dims
@@ -121,19 +136,137 @@ def sample_media_frames(
     return df.mapInPandas(frames, schema=schema)
 
 
+def synthesize_square_wav(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic WAV fixture generator (mapInPandas, no shuffle): per id,
+    a mono int16 square wave — amplitude ±16384 (= ±0.5 full-scale exactly),
+    half-period ``2 + id % 7`` frames, length ``800 + (id % 50) * 16`` frames
+    — encoded as real RIFF/PCM bytes (``sources/audiocodec``).  Square waves
+    make every downstream feature CLOSED-FORM (rms = peak = 0.5, zcr =
+    floor((n-1)/h)/(n-1)), so the full encode→decode→feature path is
+    replayable in plain SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.audiocodec import encode_wav
+
+    schema = f"{id_col} long, payload binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                n = 800 + (i % 50) * 16
+                h = 2 + i % 7
+                sign = 1 - 2 * ((np.arange(n) // h) % 2)
+                payloads.append(
+                    encode_wav((sign * 16384).astype(np.int16), sample_rate)
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": "audio/wav",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def synthesize_gradient_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic BMP fixture generator (mapInPandas, no shuffle): per id,
+    a real 24-bit BI_RGB bitmap (``sources/imagecodec.encode_bmp``) of
+    ``(16 + id % 32) x (8 + id % 16)`` gradient pixels.  Dimensions and the
+    exact file size (54 + padded-stride x height) are closed-form, so the
+    encode→decode path is replayable in plain SQL."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.imagecodec import encode_bmp
+
+    schema = f"{id_col} long, payload binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                w, h = 16 + i % 32, 8 + i % 16
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [(x * 7 + i) % 256, (y * 5) % 256, (x + y) % 256], axis=2
+                ).astype(np.uint8)
+                payloads.append(encode_bmp(img))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": "image/bmp",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def extract_audio_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Audio metadata/feature extraction over binary payloads via
+    mapInPandas: REAL for RIFF/PCM WAV (``sources/audiocodec`` — frames,
+    channels, rate, duration, RMS, peak, zero-crossing rate), raising for
+    compressed formats (no ffmpeg in this container).  Partitioning is
+    inherited from the scan — no shuffle; only scalar features leave the
+    executor, never the sample block."""
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.audiocodec import audio_features, decode_wav
+
+    schema = (
+        f"{id_col} long, n_frames long, n_channels long, sample_rate long, "
+        "duration_s double, rms double, peak double, zcr double"
+    )
+
+    def meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col].values, pdf[payload_col]):
+                samples, rate = decode_wav(bytes(p))
+                rows.append({id_col: i, **audio_features(samples, rate)})
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(meta, schema=schema)
+
+
 def resize_image(
     payload: bytes, width: int, height: int, fake: bool = False
 ) -> bytes:
-    """STUB: resize an image payload to (width, height).
+    """Resize an image payload to (width, height).
 
-    Real resizing needs PIL/libvips (absent in this container).  With
+    REAL for BMP/PPM/PGM payloads: decode (``sources/imagecodec``) →
+    nearest-neighbor index-map resize → re-encode in the same format, all
+    numpy.  Other formats need PIL/libvips (absent in this container); with
     ``fake=True`` the stand-in emits a deterministic pseudo-bitmap — a
     sha256-keyed byte stream of exactly width*height bytes — so the batch
     shapes, sizes, and downstream hashing are all real."""
+    from clickhouseocp_spark.sources import imagecodec
+
+    payload = bytes(payload)
+    fmt = imagecodec.sniff_format(payload)
+    if fmt is not None:
+        try:
+            arr, fmt = imagecodec.decode_any(payload)
+            resized = imagecodec.resize_nearest(arr, width, height)
+            if fmt == "BMP":
+                return imagecodec.encode_bmp(resized)
+            return imagecodec.encode_ppm(resized)
+        except ValueError:
+            pass  # sniff false-positive → treat as non-image below
     if not fake:
         raise NotImplementedError(
-            "image resizing requires PIL/libvips; run with fake=True for the "
-            "deterministic stand-in"
+            "payload is not BMP/PPM/PGM; other formats require PIL/libvips — "
+            "run with fake=True for the deterministic stand-in"
         )
     seed = hashlib.sha256(payload + b"@" + f"{width}x{height}".encode()).digest()
     reps = (width * height) // len(seed) + 1

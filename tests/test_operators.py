@@ -810,6 +810,26 @@ def test_bloom_dedup_no_false_negatives_and_bounded_fp(spark, sf_dir):
     assert any(r.is_dup for r in out) and any(not r.is_dup for r in out)
 
 
+def test_bloom_build_handles_bit63_words(spark, sf_dir):
+    """Regression: bit_or(shiftleft(1L, 63)) yields a NEGATIVE int64 word;
+    converting it with np.uint64(word) deprecation-errors on numpy >= 2.
+    A tiny filter (2 words, many docs) saturates both words, so bit 63 is
+    guaranteed set — the build must survive with warnings-as-errors."""
+    import warnings
+
+    import numpy as np
+
+    from clickhouseocp_spark.operators.dedup_text import bloom_filter_build
+
+    docs = load_table(spark, sf_dir, "documents").select("text").limit(200)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", DeprecationWarning)
+        bitmap = bloom_filter_build(docs, m_bits=128, k_hashes=7)
+    assert bitmap.dtype == np.uint64 and len(bitmap) == 2
+    top_bit = np.uint64(1) << np.uint64(63)
+    assert any(bool(w & top_bit) for w in bitmap)
+
+
 def test_resize_images_deterministic_shape(spark, sf_dir):
     from clickhouseocp_spark.sources.multimodal import (
         attach_binary_payload,
