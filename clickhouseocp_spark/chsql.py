@@ -343,8 +343,8 @@ def _rewrite_limit_ties(tokens: list[str]) -> list[str]:
 
 #: keywords that terminate a WITH FILL FROM/TO/STEP operand
 _FILL_STOP = {
-    "FROM", "TO", "STEP", "INTERPOLATE", "LIMIT", "SETTINGS", "FORMAT",
-    "UNION", "INTERSECT", "EXCEPT",
+    "FROM", "TO", "STEP", "STALENESS", "INTERPOLATE", "LIMIT", "SETTINGS",
+    "FORMAT", "UNION", "INTERSECT", "EXCEPT",
 }
 
 
@@ -374,9 +374,9 @@ def _extract_with_fill(tokens: list[str]):
     if j < 0 or not _is_word(tokens[j]) or (j >= 1 and tokens[j - 1] == "."):
         raise ChSqlError("WITH FILL subset requires a simple column-name ORDER BY key")
     spec: dict = {"col": tokens[j], "from": None, "to": None, "step": None,
-                  "interpolate": []}
+                  "staleness": None, "interpolate": []}
     k = i + 1
-    keys = {"FROM": "from", "TO": "to", "STEP": "step"}
+    keys = {"FROM": "from", "TO": "to", "STEP": "step", "STALENESS": "staleness"}
     while k < len(tokens) and _KW(tokens[k]) in keys:
         key = keys[_KW(tokens[k])]
         k += 1
@@ -1389,6 +1389,23 @@ FUNC_RULES: dict[str, object] = {
     ),
     "randBernoulli": lambda args: f"CAST(rand() < ({args[0]}) AS INT)",
     "randExponential": lambda args: f"(-ln(1.0 - rand()) / ({args[0]}))",
+    # --- vocabulary sweep batch 5: buckets, matches, bytes, year-zero ------
+    "widthBucket": lambda args: (
+        f"width_bucket({args[0]}, {args[1]}, {args[2]}, {args[3]})"
+    ),
+    "countMatches": lambda args: f"regexp_count({args[0]}, {args[1]})",
+    "toDaysSinceYearZero": lambda args: (
+        f"CAST(datediff({args[0]}, DATE '1970-01-01') + 719528 AS BIGINT)"
+    ),
+    # byteSwap on the unsigned-32 domain in BIGINT: pure shift/mask
+    "byteSwap": lambda args: (
+        f"(((({args[0]}) & 255) * 16777216) + "
+        f"((shiftright(({args[0]}), 8) & 255) * 65536) + "
+        f"((shiftright(({args[0]}), 16) & 255) * 256) + "
+        f"(shiftright(({args[0]}), 24) & 255))"
+    ),
+    # translate / initcap / soundex / regexp_count exist verbatim in Spark —
+    # they pass through with no rule needed.
     # no-op / planner-hint vocabulary: evaluate-and-discard semantics
     "ignore": lambda args: "0",
     "identity": lambda args: args[0],
@@ -2234,7 +2251,7 @@ def transpile_with_fill(sql: str) -> tuple[str, dict | None]:
     tokens = _clause_pipeline(tokens)
     tokens = _rewrite_system_tables(tokens)
     if fill:
-        for key in ("from", "to", "step"):
+        for key in ("from", "to", "step", "staleness"):
             if fill[key] is not None:
                 fill[key] = _rewrite_exprs(fill[key])
     return _rewrite_exprs(tokens), fill

@@ -324,6 +324,7 @@ class ChSparkEngine:
             fill_to=F.expr(fill["to"]) if fill["to"] else None,
             zero_fill=zero,
             interpolate=tuple(fill["interpolate"]),
+            staleness=fill.get("staleness") or None,
         )
 
     def execute(self, statement: str) -> DataFrame:

@@ -747,6 +747,142 @@ def toLastDayOfMonth(a) -> Column:
     return F.last_day(_c(a))
 
 
+# --- vocabulary sweep batch 5 (round 5) -------------------------------------
+
+def widthBucket(x, lo, hi, n: int) -> Column:
+    """CH/ANSI widthBucket(x, lo, hi, n): equi-width histogram bucket 1..n,
+    0 below, n+1 above — Spark's width_bucket is the same ANSI function."""
+    return F.width_bucket(_c(x), F.lit(lo), F.lit(hi), F.lit(n))
+
+
+def countMatches(h, pattern: str) -> Column:
+    """CH countMatches(h, pat): number of regexp matches (Spark regexp_count)."""
+    return F.regexp_count(_c(h), F.lit(pattern))
+
+
+def translate(a, from_chars: str, to_chars: str) -> Column:
+    """CH translate: per-character substitution (identical Spark builtin)."""
+    return F.translate(_c(a), from_chars, to_chars)
+
+
+def initcap(a) -> Column:
+    """CH initcap: first letter of each word upper, rest lower."""
+    return F.initcap(_c(a))
+
+
+def soundexCH(a) -> Column:
+    """CH soundex (25.x): classic 4-char American Soundex — Spark builtin."""
+    return F.soundex(_c(a))
+
+
+def byteSwap(a, bits: int = 32) -> Column:
+    """CH byteSwap: reverse the byte order of an integer (here on the
+    unsigned 32- or 64-bit domain carried in BIGINT — pure shift/mask
+    arithmetic, replayable verbatim in any SQL engine)."""
+    x = _c(a).cast("long")
+    if bits == 32:
+        x = x.bitwiseAND(F.lit(0xFFFFFFFF))
+        parts = [
+            (x.bitwiseAND(F.lit(0xFF))) * F.lit(1 << 24),
+            (F.shiftright(x, 8).bitwiseAND(F.lit(0xFF))) * F.lit(1 << 16),
+            (F.shiftright(x, 16).bitwiseAND(F.lit(0xFF))) * F.lit(1 << 8),
+            F.shiftright(x, 24).bitwiseAND(F.lit(0xFF)),
+        ]
+    elif bits == 64:
+        parts = [
+            F.shiftright(x, 8 * i).bitwiseAND(F.lit(0xFF)) * F.lit(1 << (56 - 8 * i))
+            for i in range(8)
+        ]
+    else:
+        raise ValueError("byteSwap supports bits in (32, 64)")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out
+
+
+def tupleHammingDistance(a, b, fields: tuple[str, ...] = ("c0", "c1")) -> Column:
+    """CH tupleHammingDistance: count of positions where two same-arity
+    tuples (structs) differ — NULL-safe inequality per field, summed.
+    ``fields`` names the struct fields to compare (CH tuples are positional;
+    Spark structs are named — callers build both with the same aliases)."""
+    sa, sb = _c(a), _c(b)
+    out: Column | None = None
+    for f in fields:
+        term = (~sa.getField(f).eqNullSafe(sb.getField(f))).cast("int")
+        out = term if out is None else out + term
+    assert out is not None
+    return out
+
+
+def toDaysSinceYearZero(d) -> Column:
+    """CH toDaysSinceYearZero: days since 0000-01-01 proleptic Gregorian
+    (epoch day + 719528, the documented CH offset)."""
+    return (F.datediff(_c(d), F.lit("1970-01-01").cast("date")) + F.lit(719528)).cast(
+        "long"
+    )
+
+
+_BASE58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _b58_encode_bytes(raw: bytes) -> str:
+    n = int.from_bytes(raw, "big")
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_BASE58_ALPHABET[r])
+    pad = 0
+    for byte in raw:
+        if byte == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def _b58_decode_str(s: str) -> bytes:
+    n = 0
+    for ch_ in s:
+        n = n * 58 + _BASE58_ALPHABET.index(ch_)
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = 0
+    for ch_ in s:
+        if ch_ == "1":
+            pad += 1
+        else:
+            break
+    return b"\x00" * pad + raw
+
+
+def base58Encode(a) -> Column:
+    """CH base58Encode: Bitcoin-alphabet base58 of the utf-8 bytes.  Big-int
+    radix conversion is inherently per-string → Arrow-batched pandas UDF
+    (never row-at-a-time Python)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        return s.map(lambda v: None if v is None else _b58_encode_bytes(v.encode()))
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")(_c(a))
+
+
+def base58Decode(a) -> Column:
+    """CH base58Decode: inverse of base58Encode (utf-8 text out)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        return s.map(
+            lambda v: None if v is None else _b58_decode_str(v).decode("utf-8")
+        )
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")(_c(a))
+
+
 #: alias → note, for the parity inventory (names that clash with Python
 #: keywords/builtins carry a trailing underscore).
 MAPPING: dict[str, str] = {

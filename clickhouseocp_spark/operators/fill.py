@@ -1,6 +1,8 @@
-"""ORDER BY ... WITH FILL [FROM|TO|STEP] [INTERPOLATE] — gap-filling an
-ordered axis (SURVEY.md §2.6, a ClickHouse signature op; ships via the
-reference engine pin Dockerfile:102-104).
+"""ORDER BY ... WITH FILL [FROM|TO|STEP|STALENESS] [INTERPOLATE] —
+gap-filling an ordered axis (SURVEY.md §2.6, a ClickHouse signature op;
+ships via the reference engine pin Dockerfile:102-104.  STALENESS is the
+CH 25.1 addition: fills extend at most ``staleness`` past the previous
+observed row instead of all the way to the next one).
 
 Composite strategy: derive (or accept) axis bounds per partition, generate the
 dense axis with ``sequence()`` + ``explode``, left-join the data back, then
@@ -29,6 +31,7 @@ def with_fill(
     zero_fill: dict[str, object] | None = None,
     interpolate: Sequence[str] = (),
     interpolate_linear: Sequence[str] = (),
+    staleness: Column | str | None = None,
 ) -> DataFrame:
     """Gap-fill ``df`` so ``order_col`` becomes dense from min (or
     ``fill_from``) to max (or ``fill_to``) in increments of ``step``.
@@ -39,9 +42,22 @@ def with_fill(
     ``interpolate_linear`` columns are linearly interpolated between the
     surrounding observed points (the ``INTERPOLATE (c AS <expr of prev/next>)``
     family), falling back to carry-forward/backward at the boundaries.
+
+    ``staleness`` (CH 25.1): a generated row survives only while
+    ``order_col - previous_observed < staleness`` — large gaps stay gaps.
+    Works for numeric axes (numeric staleness) and date/timestamp axes
+    (INTERVAL staleness); generated rows before the first observation are
+    dropped, matching the "measured from the previous row" definition.
+
+    Scale note: the global-fill shape evaluates ``df`` in several branches
+    (bounds, clamp, present-keys) and the DataFrame API has no CTE reuse —
+    pass a persisted ``df`` when the input is itself an expensive aggregate
+    so the branches share one materialization.
     """
     step_col = F.expr(step) if isinstance(step, str) else step
+    stale_col = F.expr(staleness) if isinstance(staleness, str) else staleness
     pk = list(partition_by)
+    df = df.withColumn("__orig", F.lit(True))
 
     bounds = df.groupBy(*pk).agg(
         (fill_from if fill_from is not None else F.min(order_col)).alias("__mn"),
@@ -68,6 +84,27 @@ def with_fill(
         out = bounded.unionByName(missing, allowMissingColumns=True)
     else:
         out = axis.join(df, pk + [order_col], "left")
+    if stale_col is not None:
+        w_prev = (
+            Window.partitionBy(*pk)
+            .orderBy(order_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        prev_obs = F.last(
+            F.when(F.col("__orig"), F.col(order_col)), ignorenulls=True
+        ).over(w_prev)
+        out = (
+            out.withColumn("__prev_obs", prev_obs)
+            .filter(
+                F.coalesce(F.col("__orig"), F.lit(False))
+                | (
+                    F.col("__prev_obs").isNotNull()
+                    & ((F.col(order_col) - F.col("__prev_obs")) < stale_col)
+                )
+            )
+            .drop("__prev_obs")
+        )
+    out = out.drop("__orig")
     if zero_fill:
         for c, default in zero_fill.items():
             out = out.withColumn(c, F.coalesce(F.col(c), F.lit(default)))

@@ -66,6 +66,7 @@ def _load_all() -> None:
         stats_q,
         stats_q2,
         vocab_q,
+        vocab_q5,
         tpch,
     )
 

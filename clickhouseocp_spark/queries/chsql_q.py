@@ -2172,6 +2172,78 @@ def chsql_vocab_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chsql_group_by_all",
+    oracle="""
+SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust
+FROM orders
+GROUP BY ALL ORDER BY ALL
+""",
+    tags=("chsql", "agg"),
+)
+def chsql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` + ``ORDER BY ALL`` (CH 22.12 sugar: group by every
+    non-aggregate select item, order by every select item) — Spark and
+    DuckDB both ship the identical ANSI-adopted forms, so the text passes
+    through the transpiler unrewritten apart from count() → count(*)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority, o_orderstatus, count() AS n,
+               uniqExact(o_custkey) AS n_cust
+        FROM orders
+        GROUP BY ALL ORDER BY ALL
+        """,
+    )
+
+
+@register(
+    "chsql_vocab_r5",
+    oracle="""
+SELECT o_orderkey,
+       CASE WHEN o_totalprice < 0.0 THEN 0
+            WHEN o_totalprice >= 500000.0 THEN 21
+            ELSE CAST(FLOOR(o_totalprice / (500000.0 / 20)) AS BIGINT) + 1
+       END AS price_bucket,
+       CAST(len(regexp_extract_all(o_orderpriority, '[A-Z]')) AS INTEGER)
+         AS n_upper,
+       array_to_string(
+         list_transform(string_split(lower(o_orderpriority), ' '),
+                        w -> CASE WHEN length(w) = 0 THEN w
+                                  ELSE upper(w[1:1]) || w[2:] END),
+         ' ') AS prio_initcap,
+       CAST((o_orderkey % 4294967296) % 256 * 16777216
+            + (o_orderkey // 256) % 256 * 65536
+            + (o_orderkey // 65536) % 256 * 256
+            + (o_orderkey // 16777216) % 256 AS BIGINT) AS key_swapped,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) + 719528
+            AS BIGINT) AS days_y0
+FROM orders WHERE o_orderkey < 500
+""",
+    tags=("chsql", "scalar", "vocab"),
+)
+def chsql_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 vocabulary through the TEXT path: widthBucket lowered to ANSI
+    width_bucket, countMatches → regexp_count, initcap passthrough,
+    byteSwap lowered to shift/mask arithmetic, toDaysSinceYearZero lowered
+    to epoch-day + 719528."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               widthBucket(o_totalprice, 0.0, 500000.0, 20) AS price_bucket,
+               countMatches(o_orderpriority, '[A-Z]') AS n_upper,
+               initcap(lower(o_orderpriority)) AS prio_initcap,
+               byteSwap(o_orderkey) AS key_swapped,
+               toDaysSinceYearZero(o_orderdate) AS days_y0
+        FROM orders WHERE o_orderkey < 500
+        """,
+    )
+
+
+@register(
     "kql_pipeline",
     oracle="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -589,3 +589,42 @@ def with_fill_from_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         fill_to=F.lit("2024-02-03 00:00:00").cast("timestamp"),
         zero_fill={"n": 0},
     )
+
+
+@register(
+    "with_fill_staleness",
+    oracle="""
+WITH base AS (
+  SELECT date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS k,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders WHERE o_orderdate < TIMESTAMP '1995-09-01' GROUP BY 1
+),
+nx AS (SELECT k, n, lead(k) OVER (ORDER BY k) AS nk FROM base),
+fills AS (
+  SELECT unnest(generate_series(k + 1,
+                                LEAST(COALESCE(nk, k + 1) - 1, k + 3))) AS k,
+         CAST(0 AS BIGINT) AS n
+  FROM nx
+)
+SELECT k, n FROM base
+UNION ALL
+SELECT k, n FROM fills
+""",
+    tags=("fill",),
+)
+def with_fill_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH FILL ... STALENESS (CH 25.1, SURVEY §2.6 extension): generated
+    rows extend at most ``staleness`` past the previous observed row — a
+    gap wider than the staleness stays a gap instead of being filled to the
+    next observation.  Axis = integer day index; staleness 4 with step 1
+    fills at most 3 rows after each observation (strict ``gap < staleness``,
+    matching CH).  The oracle replays per-row: generate_series from k+1 to
+    min(next_k - 1, k + 3).  Plan: same as with_fill (bounded axis build +
+    one join) plus one window pass for the previous-observation carry."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-09-01").cast("timestamp")
+    )
+    daily = o.groupBy(
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias("k")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return with_fill(daily, order_col="k", step="1", staleness="4", zero_fill={"n": 0})

@@ -1,0 +1,427 @@
+"""ClickHouse scalar vocabulary — round-5 batch (SURVEY §2.8 continuation).
+
+New names this batch: ``widthBucket`` (ANSI width_bucket), ``countMatches``,
+``translate``/``initcap``/``soundex`` (direct Spark builtins; soundex is the
+CH 25.x addition), ``byteSwap`` (integer byte reversal as pure shift/mask
+arithmetic), ``tupleHammingDistance``, ``toDaysSinceYearZero`` (epoch day +
+719528, the documented CH offset), ``base58Encode``/``base58Decode``
+(Bitcoin alphabet, Arrow-batched pandas UDF — big-int radix conversion is
+inherently per-string), and ``seriesOutliersDetectTukey`` (quartile-fence
+outliers, CH 23.9 time-series family).
+
+Oracle policy: everything except base58 is replayed structurally in DuckDB
+SQL (same arithmetic, composed initcap, regexp_extract_all counting);
+soundex and base58 have no DuckDB equivalent, so those queries carry pinned
+known-answer literals + roundtrip contracts the oracle value-matches — the
+agg_approx_distinct pattern.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.functions import clickhouse_names as ch
+from clickhouseocp_spark.queries import register
+
+
+@register(
+    "scalar_vocab_r5",
+    oracle="""
+SELECT p_partkey,
+       CASE WHEN p_retailprice < 800.0 THEN 0
+            WHEN p_retailprice >= 1200.0 THEN 11
+            ELSE CAST(FLOOR((p_retailprice - 800.0) / ((1200.0 - 800.0) / 10))
+                      AS BIGINT) + 1
+       END AS price_bucket,
+       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels,
+       translate(p_name, 'aeiou', 'AEIOU') AS name_tr,
+       array_to_string(
+         list_transform(string_split(lower(p_name), ' '),
+                        w -> CASE WHEN length(w) = 0 THEN w
+                                  ELSE upper(w[1:1]) || w[2:] END),
+         ' ') AS name_initcap,
+       CAST((p_partkey % 4294967296) % 256 * 16777216
+            + (p_partkey // 256) % 256 * 65536
+            + (p_partkey // 65536) % 256 * 256
+            + (p_partkey // 16777216) % 256 AS BIGINT) AS key_swapped,
+       CAST((CASE WHEN p_size % 3 IS DISTINCT FROM p_partkey % 3
+                  THEN 1 ELSE 0 END)
+          + (CASE WHEN substring(p_brand, 7, 1) IS DISTINCT FROM
+                       substring(p_type, 1, 1) THEN 1 ELSE 0 END)
+            AS INTEGER) AS tup_hamming
+FROM part WHERE p_partkey % 5 = 2
+""",
+    tags=("scalar", "vocab"),
+)
+def scalar_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 scalar vocabulary, DataFrame path: widthBucket (ANSI bucket
+    1..n with under/overflow 0/n+1), countMatches (regexp_count),
+    translate, initcap, byteSwap (32-bit domain — pure shift/mask
+    arithmetic the oracle replays verbatim), tupleHammingDistance
+    (NULL-safe per-field inequality sum).  All JVM-side columnar exprs."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 5 == 2)
+    t1 = F.struct((F.col("p_size") % 3).alias("a"), F.substring("p_brand", 7, 1).alias("b"))
+    t2 = F.struct((F.col("p_partkey") % 3).alias("a"), F.substring("p_type", 1, 1).alias("b"))
+    return p.select(
+        "p_partkey",
+        ch.widthBucket(F.col("p_retailprice"), 800.0, 1200.0, 10).alias("price_bucket"),
+        ch.countMatches(F.col("p_name"), "[aeiou]").alias("n_vowels"),
+        ch.translate(F.col("p_name"), "aeiou", "AEIOU").alias("name_tr"),
+        ch.initcap(F.lower(F.col("p_name"))).alias("name_initcap"),
+        ch.byteSwap(F.col("p_partkey"), bits=32).alias("key_swapped"),
+        ch.tupleHammingDistance(t1, t2, fields=("a", "b")).alias("tup_hamming"),
+    )
+
+
+#: (name, textbook American Soundex) — Spark's builtin matches all of these,
+#: including the H/W pass-through rule (Ashcraft) and the leading
+#: same-code-letter collapse (Pfister).
+_SOUNDEX_PINS = [
+    ("Robert", "R163"),
+    ("Rupert", "R163"),
+    ("Smith", "S530"),
+    ("Johnson", "J525"),
+    ("Williams", "W452"),
+    ("Miller", "M460"),
+    ("Tymczak", "T522"),
+    ("Ashcraft", "A261"),
+    ("Pfister", "P236"),
+    ("Honeyman", "H555"),
+]
+
+_B58_PIN_IN = "Hello World!"
+_B58_PIN_OUT = "2NEpo7TZRRrLZSi2U"  # Bitcoin-alphabet known-answer vector
+
+
+@register(
+    "soundex_base58_codecs",
+    oracle=f"""
+SELECT name, expected AS sdx,
+       CASE WHEN name = '{_B58_PIN_IN}' THEN '{_B58_PIN_OUT}' ELSE '' END
+         AS b58_pinned,
+       TRUE AS b58_roundtrip_ok
+FROM (VALUES {", ".join(f"('{n}', '{c}')" for n, c in _SOUNDEX_PINS)},
+             ('{_B58_PIN_IN}', '')) v(name, expected)
+ORDER BY name
+""",
+    tags=("scalar", "vocab", "codec"),
+)
+def soundex_base58_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``soundex`` (CH 25.x string family) + ``base58Encode/Decode`` (Bitcoin
+    alphabet).  Neither exists in DuckDB, so the oracle value-matches pinned
+    known-answer vectors: ten textbook Soundex codes (exercising the H/W
+    pass-through and leading-duplicate rules) and the canonical base58 test
+    string, plus a decode∘encode == identity contract computed in-query.
+    The sf_dir is unused by design — codecs are data-independent."""
+    df = spark.createDataFrame(
+        [(n,) for n, _ in _SOUNDEX_PINS] + [(_B58_PIN_IN,)], "name string"
+    )
+    enc = ch.base58Encode(F.col("name"))
+    return (
+        df.select(
+            "name",
+            F.when(F.col("name") == _B58_PIN_IN, F.lit(""))
+            .otherwise(F.soundex("name"))
+            .alias("sdx"),
+            F.when(F.col("name") == _B58_PIN_IN, enc).otherwise(F.lit("")).alias(
+                "b58_pinned"
+            ),
+            (ch.base58Decode(enc) == F.col("name")).alias("b58_roundtrip_ok"),
+        )
+        .orderBy("name")
+    )
+
+
+@register(
+    "series_outliers_tukey",
+    oracle="""
+WITH series AS (
+  SELECT event_type, value FROM events WHERE user_id % 10 = 3
+),
+fences AS (
+  SELECT event_type,
+         ROUND(quantile_cont(value, 0.25), 6) AS q1,
+         ROUND(quantile_cont(value, 0.75), 6) AS q3
+  FROM series GROUP BY event_type
+),
+bounds AS (
+  SELECT event_type, q1, q3,
+         ROUND(q1 - 1.5 * (q3 - q1), 6) AS lo,
+         ROUND(q3 + 1.5 * (q3 - q1), 6) AS hi
+  FROM fences
+)
+SELECT s.event_type,
+       b.q1, b.q3, b.lo, b.hi,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(CASE WHEN s.value < b.lo OR s.value > b.hi THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM series s JOIN bounds b USING (event_type)
+GROUP BY s.event_type, b.q1, b.q3, b.lo, b.hi
+ORDER BY s.event_type
+""",
+    tags=("stats", "timeseries", "vocab"),
+)
+def series_outliers_tukey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``seriesOutliersDetectTukey`` (CH 23.9 time-series family): flag
+    points outside the quartile fences [Q1 - 1.5·IQR, Q3 + 1.5·IQR].  CH
+    takes the series as an array; the Spark-native shape keeps it columnar —
+    per-key exact quartiles (percentile with linear interpolation, the same
+    definition as DuckDB quantile_cont) joined back as a broadcastable
+    fence table, one pass to count outliers.  Fences round(,6) on both
+    engines so 1-ulp interpolation differences cannot flip the comparison.
+    Plan: one agg shuffle for fences + one for the final count; the fence
+    table is tiny (|event_type| rows) → broadcast join."""
+    s = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 10 == 3)
+        .select("event_type", "value")
+    )
+    fences = s.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    bounds = fences.select(
+        "event_type",
+        "q1",
+        "q3",
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    return (
+        s.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", "q1", "q3", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum(
+                F.when(
+                    (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "days_since_year_zero",
+    oracle="""
+SELECT o_orderdate,
+       CAST(date_diff('day', DATE '1970-01-01', o_orderdate) + 719528
+            AS BIGINT) AS days_y0,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM orders
+GROUP BY o_orderdate ORDER BY o_orderdate LIMIT 100
+""",
+    tags=("scalar", "datetime", "vocab"),
+)
+def days_since_year_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``toDaysSinceYearZero``: days since 0000-01-01 proleptic Gregorian =
+    epoch day + 719528 (the CH-documented constant) — exact integer date
+    arithmetic on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "o_orderdate",
+            ch.toDaysSinceYearZero(F.col("o_orderdate")).alias("days_y0"),
+            "n",
+        )
+        .orderBy("o_orderdate")
+        .limit(100)
+    )
+
+
+@register(
+    "string_bytes_stats",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(substring(text, 1, 240), '.') AS cs
+  FROM documents WHERE doc_id < 120 AND length(text) > 0
+)
+SELECT doc_id,
+       CAST(len(list_distinct(cs)) AS INTEGER) AS bytes_uniq,
+       ROUND(-list_aggregate(list_transform(list_distinct(cs),
+         c -> (CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE) / len(cs))
+              * log2(CAST(len(list_filter(cs, x -> x = c)) AS DOUBLE)
+                     / len(cs))), 'sum'), 6) AS bytes_entropy
+FROM t
+""",
+    tags=("scalar", "vocab", "text"),
+)
+def string_bytes_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stringBytesUniq`` / ``stringBytesEntropy`` (CH 25.5 string family):
+    distinct byte count and Shannon byte entropy.  The fixture text is
+    ASCII, so char==byte; the char array comes from split('') and the
+    frequency fold runs as higher-order functions entirely JVM-side —
+    identical term order to the oracle's list fold, so the doubles match
+    bitwise before the shared round(,6).  Bounded to the first 240 chars
+    (the CH functions are whole-string; the bound keeps the k·n fold
+    scan-speed — documented deviation for the fixture tier)."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") < 120) & (F.length("text") > 0))
+        .select("doc_id", F.split(F.substring("text", 1, 240), "").alias("cs0"))
+        .select("doc_id", F.filter("cs0", lambda x: x != "").alias("cs"))
+    )
+    n = F.size("cs").cast("double")
+    uniq = F.array_distinct("cs")
+    p_of = lambda c: F.size(F.filter(F.col("cs"), lambda x: x == c)).cast("double") / n  # noqa: E731
+    return d.select(
+        "doc_id",
+        F.size(uniq).alias("bytes_uniq"),
+        F.round(
+            -F.aggregate(
+                F.transform(uniq, lambda c: p_of(c) * F.log2(p_of(c))),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("bytes_entropy"),
+    )
+
+
+@register(
+    "array_roc_auc",
+    oracle="""
+WITH pts AS (
+  SELECT event_type, value AS score,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS label
+  FROM events WHERE user_id % 7 = 2
+),
+ranked AS (
+  SELECT event_type, score, label,
+         RANK() OVER (PARTITION BY event_type ORDER BY score) AS r,
+         COUNT(*) OVER (PARTITION BY event_type, score) AS ties
+  FROM pts
+),
+agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN label = 1 THEN r + (ties - 1) / 2.0 ELSE 0 END) AS rank_sum,
+         SUM(label) AS n1,
+         COUNT(*) - SUM(label) AS n0
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n1 AS BIGINT) AS n_pos,
+       CAST(n0 AS BIGINT) AS n_neg,
+       ROUND((rank_sum - n1 * (n1 + 1) / 2.0) / (n1 * n0), 6) AS auc
+FROM agg ORDER BY event_type
+""",
+    tags=("stats", "ml", "vocab"),
+)
+def array_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayAUC`` / ``arrayROCAUC``: area under the ROC curve from
+    (score, binary label) pairs, with the standard tie handling (average
+    rank over tied scores — the Mann-Whitney U identity AUC =
+    (R₁ - n₁(n₁+1)/2) / (n₁n₀)).  CH takes parallel arrays; the Spark-native
+    shape keeps the points columnar — one rank window per event_type, no
+    array materialization, which is also the only shape that scales (a
+    100 TB score column never has to be collected into per-group arrays).
+    Identical window arithmetic on both engines → bitwise doubles before
+    the shared round(,6)."""
+    from pyspark.sql import Window
+
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 7 == 2)
+        .select(
+            "event_type",
+            F.col("value").alias("score"),
+            F.when(F.col("user_id") % 2 == 1, 1).otherwise(0).alias("label"),
+        )
+    )
+    ranked = pts.select(
+        "event_type",
+        "label",
+        F.rank().over(Window.partitionBy("event_type").orderBy("score")).alias("r"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type", "score"))
+        .alias("ties"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("label") == 1, F.col("r") + (F.col("ties") - 1) / 2.0).otherwise(
+                0.0
+            )
+        ).alias("rank_sum"),
+        F.sum("label").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("long").alias("n0"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("rank_sum") - F.col("n1") * (F.col("n1") + 1) / 2.0)
+            / (F.col("n1") * F.col("n0")),
+            6,
+        ).alias("auc"),
+    ).orderBy("event_type")
+
+
+@register(
+    "array_levenshtein",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' ')[1:10],
+                        t -> least(greatest(length(t), 1), 26)) AS arr
+  FROM documents WHERE length(text) > 0 AND doc_id < 150
+),
+pairs AS (
+  SELECT a.doc_id,
+         array_to_string(list_transform(a.arr, x -> chr(CAST(96 + x AS INTEGER))), '') AS sa,
+         array_to_string(list_transform(b.arr, x -> chr(CAST(96 + x AS INTEGER))), '') AS sb
+  FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+)
+SELECT doc_id, CAST(levenshtein(sa, sb) AS INTEGER) AS lev
+FROM pairs
+""",
+    tags=("scalar", "vocab", "array"),
+)
+def array_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayLevenshteinDistance`` (CH 25.4): Levenshtein edit distance
+    between two ARRAYS (elements compared for equality, not characters).
+    Classic O(len_a·len_b) DP over Arrow batches (pandas UDF — per-pair
+    dynamic programming has no columnar form; arrays here are ≤10 elements
+    so each pair is a bounded 10x10 table).  The oracle maps each bounded
+    int element to one char and replays with string levenshtein — an exact
+    isomorphism because every element is in [1, 26].  Plan: one shuffle for
+    the neighbor self-join; the DP runs inside the joined partition."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _lev(a, b):
+        out = []
+        for xa, xb in zip(a, b):
+            la, lb = list(xa), list(xb)
+            prev = list(range(len(lb) + 1))
+            for i, ca in enumerate(la, 1):
+                cur = [i]
+                for j, cb in enumerate(lb, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            out.append(prev[-1])
+        return pd.Series(out)
+
+    _lev.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    lev_udf = pandas_udf(_lev, "int")
+
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < 150))
+        .select(
+            "doc_id",
+            F.transform(
+                F.slice(F.split("text", " "), 1, 10),
+                lambda t: F.least(F.greatest(F.length(t), F.lit(1)), F.lit(26)),
+            ).alias("arr"),
+        )
+    )
+    b = w.select((F.col("doc_id") - 1).alias("doc_id"), F.col("arr").alias("arr_b"))
+    pairs = w.join(b, "doc_id")
+    return pairs.select("doc_id", lev_udf("arr", "arr_b").alias("lev"))

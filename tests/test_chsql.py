@@ -355,6 +355,7 @@ def test_with_fill_extracted_as_spec():
         "from": "to_date('2024-01-01')",
         "to": "to_date('2024-02-01')",
         "step": "INTERVAL 1 DAY",
+        "staleness": None,
         "interpolate": ["n"],
     }
     assert "FILL" not in core and core.endswith("ORDER BY d")

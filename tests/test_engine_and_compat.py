@@ -883,3 +883,57 @@ def test_into_outfile_parquet(spark, sf_dir, tmp_path):
     assert msg.startswith("3 rows written")
     back = spark.read.parquet(out)
     assert back.count() == 3 and set(back.columns) == {"l_returnflag", "n"}
+
+
+def test_vocab_r5_kernels(spark):
+    """Round-5 vocabulary kernels: base58 known-answer + leading-zero-byte
+    padding, byteSwap 32/64 hand values, widthBucket boundary semantics,
+    tupleHammingDistance NULL safety."""
+    from clickhouseocp_spark.functions.clickhouse_names import (
+        _b58_decode_str,
+        _b58_encode_bytes,
+    )
+
+    assert _b58_encode_bytes(b"Hello World!") == "2NEpo7TZRRrLZSi2U"
+    assert _b58_decode_str("2NEpo7TZRRrLZSi2U") == b"Hello World!"
+    # leading zero bytes map to leading '1's and survive the round trip
+    assert _b58_encode_bytes(b"\x00\x00abc").startswith("11")
+    assert _b58_decode_str(_b58_encode_bytes(b"\x00\x00abc")) == b"\x00\x00abc"
+
+    df = spark.range(1)
+    row = df.select(
+        ch.byteSwap(F.lit(0x12345678), bits=32).alias("b32"),
+        ch.byteSwap(F.lit(0x0102030405060708), bits=64).alias("b64"),
+        ch.widthBucket(F.lit(799.99), 800.0, 1200.0, 10).alias("under"),
+        ch.widthBucket(F.lit(1200.0), 800.0, 1200.0, 10).alias("over"),
+        ch.widthBucket(F.lit(800.0), 800.0, 1200.0, 10).alias("first"),
+        ch.tupleHammingDistance(
+            F.struct(F.lit(1).alias("a"), F.lit(None).cast("int").alias("b")),
+            F.struct(F.lit(1).alias("a"), F.lit(2).alias("b")),
+            fields=("a", "b"),
+        ).alias("ham"),
+    ).first()
+    assert row.b32 == 0x78563412
+    assert row.b64 == 0x0807060504030201
+    assert (row.under, row.over, row.first) == (0, 11, 1)
+    assert row.ham == 1  # NULL vs 2 differs; 1 vs 1 matches (NULL-safe)
+
+
+def test_with_fill_staleness_text_path(spark, sf_dir):
+    """ORDER BY ... WITH FILL STALENESS (CH 25.1) through the engine TEXT
+    path: fills extend at most staleness-1 steps past each observed row;
+    wider gaps stay gaps.  Hand-computed: keys {1, 2, 9, 20}, staleness 4 →
+    1,2 (+3,4,5 after 2), 9 (+10,11,12), 20 (nothing after the last key
+    without TO)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    out = eng.sql(
+        "SELECT toInt64(o_orderkey) AS k, count() AS n FROM orders "
+        "WHERE o_orderkey IN (1, 2, 9, 20) GROUP BY k "
+        "ORDER BY k WITH FILL STALENESS 4"
+    )
+    rows = {r.k: r.n for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 9, 10, 11, 12, 20}
+    assert rows[3] == 0 and rows[10] == 0  # generated rows take type defaults
+    assert rows[1] >= 1 and rows[9] >= 1

@@ -98,3 +98,28 @@ def test_q18_reuses_orderkey_partitioning(spark, sf_dir):
     (ReusedExchange or a single exchange feeding both)."""
     df = QS["q18_large_volume"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 2, formatted_plan(df)
+
+
+# --- round-5 tier: multimodal codec chains + Tukey fences -------------------
+
+@pytest.mark.parametrize(
+    ("name", "budget"),
+    [
+        ("multimodal_audio_meta", 0),   # two chained mapInPandas, scan-local
+        ("multimodal_image_decode", 0),  # encode→decode inside the partition
+        ("series_outliers_tukey", 3),    # fence agg + final agg + output sort
+        ("with_fill_staleness", 6),      # the global-fill branches re-evaluate
+        # the base agg (bounds/present/missing have no CTE reuse in the
+        # DataFrame API) — at scale callers persist the input; see with_fill doc
+    ],
+)
+def test_round5_shuffle_budget(spark, sf_dir, name, budget):
+    df = QS[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+def test_tukey_fences_broadcast(spark, sf_dir):
+    """The per-key fence table is |event_type| rows — it must broadcast;
+    shuffling the point stream against it would be a 100 TB regression."""
+    df = QS["series_outliers_tukey"].fn(spark, sf_dir)
+    assert has_broadcast_join(df), formatted_plan(df)
