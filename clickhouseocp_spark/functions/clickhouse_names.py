@@ -883,6 +883,89 @@ def base58Decode(a) -> Column:
     return pandas_udf(_dec, "string")(_c(a))
 
 
+# --- URL / JSON vocabulary (round 5 batch B) --------------------------------
+
+def netloc(url) -> Column:
+    """CH netloc: the authority component (user:pass@host:port) — text
+    between scheme:// and the first /?#."""
+    return F.regexp_extract(_c(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+
+
+def cutFragment(url) -> Column:
+    """CH cutFragment: URL with #fragment removed."""
+    return F.regexp_replace(_c(url), r"#.*$", "")
+
+
+def cutWWW(url) -> Column:
+    """CH cutWWW: URL with the leading www. of the host removed."""
+    return F.regexp_replace(_c(url), r"://www\.", "://")
+
+
+def queryStringAndFragment(url) -> Column:
+    """CH queryStringAndFragment: everything after ? (query + #fragment)."""
+    return F.regexp_extract(_c(url), r"\?(.*)$", 1)
+
+
+#: two-level public suffixes recognized by firstSignificantSubdomain.  CH
+#: embeds the full Mozilla public-suffix list; this documented subset covers
+#: the common ccTLD second-levels (same deviation class as the hash family).
+_TWO_LEVEL_TLDS = ("co.uk", "org.uk", "gov.uk", "ac.uk", "com.cn", "com.au",
+                   "co.jp", "com.br", "co.in")
+
+
+def firstSignificantSubdomain(url) -> Column:
+    """CH firstSignificantSubdomain: the registrable label of the host —
+    'example' for www.example.co.uk (public-suffix subset documented on
+    ``_TWO_LEVEL_TLDS``)."""
+    parts = F.split(netloc(url), r"\.")
+    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
+    return F.when(
+        last2.isin(*_TWO_LEVEL_TLDS), F.element_at(parts, -3)
+    ).otherwise(F.element_at(parts, -2))
+
+
+def encodeURLComponent(a) -> Column:
+    """CH encodeURLComponent analog via Spark url_encode.  Documented
+    deviation (SURVEY §7.4 class): Spark uses form-encoding — space → '+',
+    not %20 as CH emits; decodeURLComponent inverts it exactly."""
+    return F.url_encode(_c(a))
+
+
+def decodeURLComponent(a) -> Column:
+    """Inverse of :func:`encodeURLComponent` (Spark url_decode)."""
+    return F.url_decode(_c(a))
+
+
+def isValidJSON(a) -> Column:
+    """CH isValidJSON: whether the string parses as JSON (root extraction
+    returns NULL on malformed input)."""
+    return F.get_json_object(_c(a), "$").isNotNull()
+
+
+def JSONArrayLength(a) -> Column:
+    """CH JSONArrayLength (25.x name; alias jsonArrayLength)."""
+    return F.json_array_length(_c(a))
+
+
+def toJSONString(a) -> Column:
+    """CH toJSONString: serialize a struct/array column to compact JSON —
+    Spark to_json emits the same key order / no-spaces layout."""
+    return F.to_json(_c(a))
+
+
+def simpleJSONExtractString(j, field: str) -> Column:
+    """CH simpleJSONExtractString (visitParam family): fast-path string
+    field extraction — get_json_object on a top-level key."""
+    return F.get_json_object(_c(j), f"$.{field}")
+
+
+def arrayEnumerateDense(arr) -> Column:
+    """CH arrayEnumerateDense: per element, the 1-based index of its first
+    occurrence among the distinct values ([10,20,10,30] → [1,2,1,3])."""
+    a = _c(arr)
+    return F.transform(a, lambda x: F.array_position(F.array_distinct(a), x))
+
+
 #: alias → note, for the parity inventory (names that clash with Python
 #: keywords/builtins carry a trailing underscore).
 MAPPING: dict[str, str] = {

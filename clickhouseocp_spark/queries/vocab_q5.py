@@ -425,3 +425,154 @@ def array_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = w.select((F.col("doc_id") - 1).alias("doc_id"), F.col("arr").alias("arr_b"))
     pairs = w.join(b, "doc_id")
     return pairs.select("doc_id", lev_udf("arr", "arr_b").alias("lev"))
+
+
+@register(
+    "url_vocab_r5",
+    oracle="""
+WITH u AS (
+  SELECT s_suppkey,
+         'https://www.sup' || s_suppkey ||
+         CASE WHEN s_suppkey % 2 = 0 THEN '.co.uk' ELSE '.org' END ||
+         '/cat/item' || s_suppkey || '?q=' || s_nationkey || '&r=2#frag'
+           || s_suppkey AS url
+  FROM supplier
+),
+n AS (
+  SELECT s_suppkey, url,
+         regexp_extract(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)
+           AS host
+  FROM u
+),
+p AS (SELECT *, string_split(host, '.') AS parts FROM n)
+SELECT s_suppkey,
+       host AS netloc,
+       regexp_replace(url, '://www\\.', '://') AS no_www,
+       regexp_replace(url, '#.*$', '') AS no_fragment,
+       regexp_extract(url, '\\?(.*)$', 1) AS qs_fragment,
+       CASE WHEN parts[-2] || '.' || parts[-1] IN
+                 ('co.uk','org.uk','gov.uk','ac.uk','com.cn','com.au',
+                  'co.jp','com.br','co.in')
+            THEN parts[-3] ELSE parts[-2] END AS first_sig,
+       'a+b%26c%2Fd%3Fe%3Df' AS enc_pin,
+       TRUE AS enc_roundtrip_ok
+FROM p
+""",
+    tags=("scalar", "url", "vocab"),
+)
+def url_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family batch B: ``netloc``, ``cutWWW``, ``cutFragment``,
+    ``queryStringAndFragment``, ``firstSignificantSubdomain`` (public-suffix
+    subset; both the 2-level-ccTLD and plain-TLD branches exercised) — all
+    regexp-structural, replayed verbatim by the oracle — plus
+    ``encodeURLComponent``/``decodeURLComponent`` pinned (Spark url_encode
+    form-encoding: space → '+', documented deviation) with a
+    decode∘encode == identity contract."""
+    s = load_table(spark, sf_dir, "supplier")
+    url = F.concat(
+        F.lit("https://www.sup"),
+        F.col("s_suppkey").cast("string"),
+        F.when(F.col("s_suppkey") % 2 == 0, ".co.uk").otherwise(".org"),
+        F.lit("/cat/item"),
+        F.col("s_suppkey").cast("string"),
+        F.lit("?q="),
+        F.col("s_nationkey").cast("string"),
+        F.lit("&r=2#frag"),
+        F.col("s_suppkey").cast("string"),
+    )
+    d = s.select("s_suppkey", url.alias("url"))
+    raw = F.lit("a b&c/d?e=f")
+    return d.select(
+        "s_suppkey",
+        ch.netloc(F.col("url")).alias("netloc"),
+        ch.cutWWW(F.col("url")).alias("no_www"),
+        ch.cutFragment(F.col("url")).alias("no_fragment"),
+        ch.queryStringAndFragment(F.col("url")).alias("qs_fragment"),
+        ch.firstSignificantSubdomain(F.col("url")).alias("first_sig"),
+        ch.encodeURLComponent(raw).alias("enc_pin"),
+        (ch.decodeURLComponent(ch.encodeURLComponent(raw)) == raw).alias(
+            "enc_roundtrip_ok"
+        ),
+    )
+
+
+@register(
+    "json_vocab_r5",
+    oracle="""
+SELECT o_orderkey,
+       to_json({'k': o_orderkey, 'p': o_orderpriority}) AS doc,
+       json_valid(to_json({'k': o_orderkey, 'p': o_orderpriority})) AS doc_ok,
+       json_valid('{broken') AS broken_ok,
+       CAST(json_array_length(to_json([o_orderkey % 5, o_orderkey % 7,
+                                       o_orderkey % 5])) AS INTEGER) AS arr_len,
+       json_extract_string(to_json({'k': o_orderkey,
+                                    'p': o_orderpriority}), '$.p') AS p_str
+FROM orders WHERE o_orderkey % 9 = 4
+""",
+    tags=("scalar", "json", "vocab"),
+)
+def json_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family batch B: ``toJSONString`` (compact struct serialization —
+    Spark to_json and DuckDB to_json emit the identical byte layout, so the
+    doc itself is value-checked), ``isValidJSON`` on both a valid doc and a
+    malformed literal, ``JSONArrayLength``, ``simpleJSONExtractString``
+    (visitParam fast path)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 9 == 4)
+    doc = ch.toJSONString(
+        F.struct(F.col("o_orderkey").alias("k"), F.col("o_orderpriority").alias("p"))
+    )
+    arr = ch.toJSONString(
+        F.array(F.col("o_orderkey") % 5, F.col("o_orderkey") % 7, F.col("o_orderkey") % 5)
+    )
+    return o.select(
+        "o_orderkey",
+        doc.alias("doc"),
+        ch.isValidJSON(doc).alias("doc_ok"),
+        ch.isValidJSON(F.lit("{broken")).alias("broken_ok"),
+        ch.JSONArrayLength(arr).alias("arr_len"),
+        ch.simpleJSONExtractString(doc, "p").alias("p_str"),
+    )
+
+
+@register(
+    "agg_array_vocab_r5",
+    oracle="""
+WITH g AS (
+  SELECT l_returnflag,
+         list(l_linenumber ORDER BY l_orderkey, l_linenumber) AS l
+  FROM lineitem WHERE l_orderkey < 400 GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       array_to_string(l[greatest(len(l) - 2, 1):], ',') AS last3,
+       array_to_string(list_transform(l[1:8],
+         x -> len(list_distinct((l[1:8])[1:list_position(l[1:8], x)]))), ',')
+         AS dense8
+FROM g ORDER BY l_returnflag
+""",
+    tags=("agg", "array", "vocab"),
+)
+def agg_array_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``groupArrayLast(n)`` (last n elements in a deterministic insertion
+    order — CH 23.x agg) and ``arrayEnumerateDense`` (first-occurrence dense
+    index).  The insertion order is pinned by sorting the collected
+    (orderkey, linenumber) structs, so both engines build the identical
+    array; arrays stringified (driver canonicalizer contract)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 400)
+    g = li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("l_orderkey", "l_linenumber"))),
+            lambda s: s.l_linenumber,
+        ).alias("l")
+    )
+    last3 = F.slice(F.col("l"), F.greatest(F.size("l") - 2, F.lit(1)), 3)
+    first8 = F.slice(F.col("l"), 1, 8)
+    return g.select(
+        "l_returnflag",
+        F.array_join(F.transform(last3, lambda x: x.cast("string")), ",").alias("last3"),
+        F.array_join(
+            F.transform(
+                ch.arrayEnumerateDense(first8), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("dense8"),
+    ).orderBy("l_returnflag")

@@ -1,0 +1,100 @@
+"""HTTP interface analog (port 8123 surface): the CH request shapes served
+over the Spark engine — /ping, GET ?query=, POST body, FORMAT selection,
+INSERT-with-body ingestion, error signaling."""
+
+import json
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import pytest
+
+from clickhouseocp_spark.engine import ChSparkEngine
+from clickhouseocp_spark.server import ChHttpServer
+
+
+@pytest.fixture(scope="module")
+def http_engine(spark, sf_dir):
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    srv = ChHttpServer(eng, port=0).start()
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read().decode(), dict(r.headers)
+
+
+def _post(srv, path, body):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=body.encode(), method="POST"
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read().decode(), dict(r.headers)
+
+
+def test_ping(http_engine):
+    status, body, _ = _get(http_engine, "/ping")
+    assert (status, body) == (200, "Ok.\n")
+
+
+def test_get_query_tsv_default(http_engine):
+    q = urllib.parse.quote("SELECT count() AS n FROM region")
+    status, body, headers = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    assert body.strip() == "5"  # TabSeparated: bare value, CH's HTTP default
+    assert headers["Content-Type"].startswith("text/plain")
+
+
+def test_post_body_with_format_json(http_engine):
+    status, body, headers = _post(
+        http_engine,
+        "/",
+        "SELECT r_name FROM region ORDER BY r_regionkey LIMIT 2 FORMAT JSON",
+    )
+    assert status == 200
+    assert headers["Content-Type"].startswith("application/json")
+    doc = json.loads(body)
+    assert [r["r_name"] for r in doc["data"]] == ["AFRICA", "AMERICA"]
+
+
+def test_default_format_param(http_engine):
+    q = urllib.parse.quote("SELECT 1 AS one")
+    status, body, _ = _get(http_engine, f"/?query={q}&default_format=CSVWithNames")
+    assert status == 200
+    assert body.splitlines()[0].strip('"') == "one"
+
+
+def test_insert_with_data_body_round_trip(http_engine):
+    _post(http_engine, "/", "CREATE TABLE http_t (k Int64, v String) ENGINE = Memory")
+    q = urllib.parse.quote("INSERT INTO http_t FORMAT CSV")
+    status, _, _ = _post(http_engine, f"/?query={q}", "1,alpha\n2,beta")
+    assert status == 200
+    status, body, _ = _post(
+        http_engine, "/", "SELECT v FROM http_t ORDER BY k FORMAT TabSeparated"
+    )
+    assert status == 200 and body.split() == ["alpha", "beta"]
+
+
+def test_error_wire_shape(http_engine):
+    q = urllib.parse.quote("SELECT definitely_not_a_column FROM region")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        _get(http_engine, f"/?query={q}")
+    assert exc.value.code == 500
+    assert exc.value.headers["X-ClickHouse-Exception-Code"] == "1000"
+
+
+def test_concurrent_queries(http_engine):
+    """A13 shape: several in-flight queries interleave (ThreadingHTTPServer +
+    semaphore gate), all land correctly."""
+    import concurrent.futures as cf
+
+    def one(i):
+        q = urllib.parse.quote(f"SELECT count() + {i} AS n FROM nation")
+        _, body, _ = _get(http_engine, f"/?query={q}")
+        return int(body.strip())
+
+    with cf.ThreadPoolExecutor(8) as ex:
+        got = sorted(ex.map(one, range(8)))
+    assert got == [25 + i for i in range(8)]
