@@ -959,6 +959,36 @@ def simpleJSONExtractString(j, field: str) -> Column:
     return F.get_json_object(_c(j), f"$.{field}")
 
 
+def mapPopulateSeries(m, default=0.0) -> Column:
+    """CH mapPopulateSeries: fill integer-key gaps from min(key) to max(key)
+    with ``default`` — one sequence + one transform, all JVM-side."""
+    mm = _c(m)
+    keys = F.map_keys(mm)
+    seq = F.sequence(F.array_min(keys), F.array_max(keys))
+    return F.map_from_entries(
+        F.transform(
+            seq,
+            lambda k: F.struct(
+                k.alias("k"),
+                F.coalesce(F.element_at(mm, k), F.lit(default)).alias("v"),
+            ),
+        )
+    )
+
+
+def arrayShingles(arr, n: int) -> Column:
+    """CH arrayShingles (24.1): all contiguous windows of length n —
+    [1,2,3,4] with n=2 → [[1,2],[2,3],[3,4]].  The sequence upper bound is
+    clamped to ≥1 (Spark sequence(1,0) would run DESCENDING) and short
+    tails are filtered by length, same guard as the ngrams rule."""
+    a = _c(arr)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(a) - (n - 1), F.lit(1)))
+    return F.filter(
+        F.transform(idx, lambda i: F.slice(a, i, n)),
+        lambda s: F.size(s) == n,
+    )
+
+
 def arrayEnumerateDense(arr) -> Column:
     """CH arrayEnumerateDense: per element, the 1-based index of its first
     occurrence among the distinct values ([10,20,10,30] → [1,2,1,3])."""

@@ -576,3 +576,183 @@ def agg_array_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("dense8"),
     ).orderBy("l_returnflag")
+
+
+@register(
+    "numeric_indexed_vector",
+    oracle="""
+WITH per AS (
+  SELECT event_type, user_id % 8 AS k,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2
+),
+c AS (SELECT k, v FROM per WHERE event_type = 'click'),
+p AS (SELECT k, v FROM per WHERE event_type = 'purchase'),
+u AS (
+  SELECT COALESCE(c.k, p.k) AS k,
+         COALESCE(c.v, 0) + COALESCE(p.v, 0) AS av,
+         COALESCE(c.v, 0) * COALESCE(p.v, 0) AS mv
+  FROM c FULL OUTER JOIN p ON c.k = p.k
+)
+SELECT (SELECT CAST(COUNT(*) AS INTEGER) FROM c) AS card_click,
+       CAST(COUNT(*) AS INTEGER) AS card_add,
+       CAST(SUM(CASE WHEN mv != 0 THEN 1 ELSE 0 END) AS INTEGER) AS card_mult,
+       ROUND(list_aggregate(list(av ORDER BY k), 'sum'), 6) AS sum_add,
+       ROUND(COALESCE(MAX(CASE WHEN k = 0 THEN av END), 0), 6) AS add_at_0,
+       ROUND(COALESCE(MAX(CASE WHEN k = 3 THEN mv END), 0), 6) AS mult_at_3,
+       (SELECT string_agg(k || ':' ||
+                CAST(CAST(ROUND(v, 2) AS DECIMAL(18,2)) AS VARCHAR),
+                ',' ORDER BY k) FROM c) AS click_vec
+FROM u
+""",
+    tags=("agg", "vector", "vocab"),
+)
+def numeric_indexed_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``numericIndexedVector`` family (CH 25.7 — the reference pin's
+    headline experimental aggregate): sparse index→value vectors as
+    ``map<long,double>`` with pointwiseAdd (index union), pointwiseMultiply
+    (index intersection — sparse zero==absent), getValue, cardinality,
+    allValueSum, and a stable rendering (functions/indexed_vector.py).
+    Per-index sums route through DECIMAL and every fold runs in key order,
+    so both engines accumulate doubles identically before the shared
+    round(,6).  Plan: one (type,index)-keyed agg shuffle; the two one-row
+    vector frames cross-join trivially."""
+    from clickhouseocp_spark.functions import indexed_vector as iv
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    base = ev.groupBy("event_type", (F.col("user_id") % 8).alias("k")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("v")
+    )
+    mk = lambda t, name: (  # noqa: E731
+        base.filter(F.col("event_type") == t)
+        .agg(iv.build_entries(F.col("k"), F.col("v")).alias(name))
+    )
+    row = mk("click", "mc").crossJoin(mk("purchase", "mp"))
+    add = iv.pointwise_add(F.col("mc"), F.col("mp"))
+    mult = iv.pointwise_multiply(F.col("mc"), F.col("mp"))
+    return row.select(
+        iv.cardinality(F.col("mc")).alias("card_click"),
+        iv.cardinality(add).alias("card_add"),
+        iv.cardinality(mult).alias("card_mult"),
+        F.round(iv.all_value_sum(add), 6).alias("sum_add"),
+        F.round(iv.get_value(add, 0), 6).alias("add_at_0"),
+        F.round(iv.get_value(mult, 3), 6).alias("mult_at_3"),
+        iv.to_readable(F.col("mc")).alias("click_vec"),
+    )
+
+
+@register(
+    "array_shingles",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' ')[1:8],
+                        t -> least(greatest(length(t), 1), 26)) AS arr
+  FROM documents WHERE length(text) > 0 AND doc_id < 120
+),
+s AS (
+  SELECT doc_id, arr,
+         list_filter(
+           list_transform(range(1, greatest(len(arr) - 2, 1) + 1),
+                          i -> arr[i:i+2]),
+           x -> len(x) = 3) AS sh
+  FROM w
+)
+SELECT doc_id,
+       CAST(len(sh) AS INTEGER) AS n_shingles,
+       array_to_string(list_transform(sh, x -> array_to_string(x, '-')), ',')
+         AS shingles
+FROM s
+""",
+    tags=("scalar", "array", "vocab"),
+)
+def array_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayShingles`` (CH 24.1): contiguous windows of length 3 over
+    bounded word-length arrays — the n-gram/shingling primitive under the
+    MinHash dedup tier, here as the standalone CH-named function.  Pure
+    higher-order expressions on both engines; nested arrays stringified
+    (driver canonicalizer contract)."""
+    w = (
+        load_table(spark, sf_dir, "documents")
+        .filter((F.length("text") > 0) & (F.col("doc_id") < 120))
+        .select(
+            "doc_id",
+            F.transform(
+                F.slice(F.split("text", " "), 1, 8),
+                lambda t: F.least(F.greatest(F.length(t), F.lit(1)), F.lit(26)),
+            ).alias("arr"),
+        )
+    )
+    sh = ch.arrayShingles(F.col("arr"), 3)
+    return w.select(
+        "doc_id",
+        F.size(sh).alias("n_shingles"),
+        F.array_join(
+            F.transform(
+                sh, lambda x: F.array_join(F.transform(x, lambda e: e.cast("string")), "-")
+            ),
+            ",",
+        ).alias("shingles"),
+    )
+
+
+@register(
+    "map_populate_series",
+    oracle="""
+WITH g AS (
+  SELECT event_type, (user_id % 11) AS k,
+         CAST(COUNT(*) AS DOUBLE) AS v
+  FROM events WHERE user_id % 11 IN (1, 3, 4, 8) GROUP BY 1, 2
+),
+b AS (SELECT event_type, MIN(k) AS mn, MAX(k) AS mx FROM g GROUP BY 1),
+axis AS (
+  SELECT b.event_type, unnest(generate_series(b.mn, b.mx)) AS k FROM b
+),
+f AS (
+  SELECT axis.event_type, axis.k, COALESCE(g.v, 0.0) AS v
+  FROM axis LEFT JOIN g ON axis.event_type = g.event_type AND axis.k = g.k
+)
+SELECT event_type,
+       CAST(COUNT(*) AS INTEGER) AS n_keys,
+       string_agg(k || ':' ||
+         CAST(CAST(ROUND(v, 2) AS DECIMAL(18,2)) AS VARCHAR),
+         ',' ORDER BY k) AS series
+FROM f GROUP BY event_type ORDER BY event_type
+""",
+    tags=("map", "vocab"),
+)
+def map_populate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapPopulateSeries``: integer-key gap filling inside a map — build a
+    sparse per-type count map on keys {1,3,4,8}, populate the 1..8 series
+    with zero defaults (functions/clickhouse_names.mapPopulateSeries: one
+    sequence + transform, no extra shuffle), render key-sorted.  The oracle
+    replays with generate_series + left join."""
+    from clickhouseocp_spark.functions import indexed_vector as iv
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("user_id") % 11).isin(1, 3, 4, 8)
+    )
+    g = ev.groupBy("event_type", (F.col("user_id") % 11).alias("k")).agg(
+        F.count(F.lit(1)).cast("double").alias("v")
+    )
+    m = g.groupBy("event_type").agg(
+        iv.build_entries(F.col("k"), F.col("v")).alias("m")
+    )
+    filled = ch.mapPopulateSeries(F.col("m"))
+    return m.select(
+        "event_type",
+        F.size(filled).alias("n_keys"),
+        F.array_join(
+            F.transform(
+                F.map_entries(filled),
+                lambda e: F.concat(
+                    e.key.cast("string"),
+                    F.lit(":"),
+                    F.round(e.value, 2).cast("decimal(18,2)").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("series"),
+    ).orderBy("event_type")

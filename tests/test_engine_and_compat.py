@@ -937,3 +937,31 @@ def test_with_fill_staleness_text_path(spark, sf_dir):
     assert set(rows) == {1, 2, 3, 4, 5, 9, 10, 11, 12, 20}
     assert rows[3] == 0 and rows[10] == 0  # generated rows take type defaults
     assert rows[1] >= 1 and rows[9] >= 1
+
+
+def test_indexed_vector_and_shingles_edges(spark):
+    """numericIndexedVector ops + arrayShingles edge semantics: multiply is
+    an index intersection (sparse zero==absent), add is a union, shingles
+    of an array shorter than n are empty (no descending-sequence blowup),
+    mapPopulateSeries fills interior gaps only."""
+    from clickhouseocp_spark.functions import indexed_vector as iv
+
+    df = spark.createDataFrame(
+        [({0: 1.0, 2: 3.0}, {2: 10.0, 5: 4.0})], "a map<long,double>, b map<long,double>"
+    )
+    row = df.select(
+        iv.pointwise_add(F.col("a"), F.col("b")).alias("add"),
+        iv.pointwise_multiply(F.col("a"), F.col("b")).alias("mul"),
+        F.round(iv.all_value_sum(iv.pointwise_add(F.col("a"), F.col("b"))), 6).alias("s"),
+        iv.get_value(F.col("a"), 7).alias("missing"),
+        ch.mapPopulateSeries(F.col("a")).alias("filled"),
+    ).first()
+    assert dict(row.add) == {0: 1.0, 2: 13.0, 5: 4.0}
+    assert dict(row.mul) == {2: 30.0}  # intersection only
+    assert row.s == 18.0 and row.missing == 0.0
+    assert dict(row.filled) == {0: 1.0, 1: 0.0, 2: 3.0}
+
+    sh = spark.createDataFrame([([1, 2],), ([1, 2, 3, 4],)], "arr array<int>")
+    got = [r.s for r in sh.select(ch.arrayShingles(F.col("arr"), 3).alias("s")).collect()]
+    assert got[0] == []  # shorter than n -> empty, not descending windows
+    assert [list(x) for x in got[1]] == [[1, 2, 3], [2, 3, 4]]
