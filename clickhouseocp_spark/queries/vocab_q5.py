@@ -756,3 +756,119 @@ def map_populate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("series"),
     ).orderBy("event_type")
+
+
+@register(
+    "agg_vocab_r5b",
+    oracle="""
+WITH li AS (SELECT * FROM lineitem WHERE l_orderkey < 600),
+lvl1 AS (
+  SELECT l_linestatus, l_returnflag,
+         list_distinct(list(l_linenumber)) AS s
+  FROM li GROUP BY 1, 2
+),
+inter AS (
+  SELECT l_linestatus,
+         COALESCE(array_to_string(
+           list_sort(list_reduce(list(s), (a, b) -> list_intersect(a, b))),
+           ','), '') AS common_linenumbers
+  FROM lvl1 GROUP BY 1
+),
+mx AS (
+  SELECT l_linestatus, l_quantity,
+         MAX(l_extendedprice) OVER (PARTITION BY l_linestatus) AS mxp,
+         l_extendedprice
+  FROM li
+),
+agg AS (
+  SELECT l_linestatus,
+         LEAST(COUNT(DISTINCT l_linenumber), 6) AS uniq_upto_5,
+         CASE WHEN COUNT(DISTINCT l_returnflag) = 1
+              THEN MIN(l_returnflag) END AS single_flag
+  FROM li GROUP BY 1
+),
+sam AS (
+  SELECT l_linestatus,
+         ROUND(CAST(SUM(CASE WHEN l_extendedprice = mxp
+                        THEN CAST(l_quantity AS DECIMAL(38,6)) END)
+               AS DOUBLE), 6) AS sum_arg_max_qty
+  FROM mx GROUP BY 1
+)
+SELECT a.l_linestatus,
+       i.common_linenumbers,
+       CAST(a.uniq_upto_5 AS BIGINT) AS uniq_upto_5,
+       a.single_flag,
+       s.sum_arg_max_qty
+FROM agg a JOIN inter i USING (l_linestatus) JOIN sam s USING (l_linestatus)
+ORDER BY a.l_linestatus
+""",
+    tags=("agg", "vocab"),
+)
+def agg_vocab_r5b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate vocabulary batch: ``groupArrayIntersect`` (CH 24.4 —
+    elements present in EVERY per-returnflag set of the status group;
+    intersection is order-independent so the nondeterministic collect order
+    is harmless, output sorted), ``uniqUpTo(5)`` (exact up to N, N+1
+    beyond), ``singleValueOrNull`` (one group has a single return flag →
+    the value, the other has three → NULL — both branches exercised), and
+    the ``-ArgMax`` combinator (``sumArgMax(qty, price)`` = sum of qty over
+    the rows achieving the group-max price — one window + conditional
+    DECIMAL sum, the same formula the oracle replays).  Plan: two keyed
+    shuffles (per-flag sets, per-status fold) + one window."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 600)
+    lvl1 = li.groupBy("l_linestatus", "l_returnflag").agg(
+        F.collect_set("l_linenumber").alias("s")
+    )
+    inter = lvl1.groupBy("l_linestatus").agg(F.collect_list("s").alias("ls")).select(
+        "l_linestatus",
+        F.array_join(
+            F.transform(
+                F.sort_array(
+                    F.aggregate(
+                        F.slice(
+                            F.col("ls"), 2, F.greatest(F.size("ls") - 1, F.lit(0))
+                        ),
+                        F.element_at(F.col("ls"), 1),
+                        lambda acc, x: F.array_intersect(acc, x),
+                    )
+                ),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("common_linenumbers"),
+    )
+    w = Window.partitionBy("l_linestatus")
+    mx = li.withColumn("mxp", F.max("l_extendedprice").over(w))
+    sam = mx.groupBy("l_linestatus").agg(
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_extendedprice") == F.col("mxp"),
+                    F.col("l_quantity").cast("decimal(38,6)"),
+                )
+            ).cast("double"),
+            6,
+        ).alias("sum_arg_max_qty")
+    )
+    agg = li.groupBy("l_linestatus").agg(
+        F.least(F.countDistinct("l_linenumber"), F.lit(6)).cast("long").alias(
+            "uniq_upto_5"
+        ),
+        F.when(
+            F.countDistinct("l_returnflag") == 1, F.min("l_returnflag")
+        ).alias("single_flag"),
+    )
+    return (
+        agg.join(inter, "l_linestatus")
+        .join(sam, "l_linestatus")
+        .select(
+            "l_linestatus",
+            "common_linenumbers",
+            "uniq_upto_5",
+            "single_flag",
+            "sum_arg_max_qty",
+        )
+        .orderBy("l_linestatus")
+    )
