@@ -22,6 +22,21 @@ from clickhouseocp_spark.functions import clickhouse_names as _ch
 from clickhouseocp_spark.session import get_spark
 
 
+def detect_trailing_format(query: str) -> str | None:
+    """The trailing ``FORMAT <name>`` of a statement, or None when absent —
+    or when the statement is an INSERT (there the FORMAT names the INPUT
+    data format, not a rendering).  The single source of truth shared by
+    ``ChSparkEngine.run`` and the HTTP layer (``server.py``) so rendering
+    and Content-Type can never desynchronize."""
+    import re as _re
+
+    head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
+    if head == "INSERT":
+        return None
+    m = _re.search(r"\bFORMAT\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
+    return m.group(1) if m else None
+
+
 def _split_assignments(text: str) -> list[str]:
     """Split `a = e1, b = e2` on top-level commas (string/paren aware)."""
     from clickhouseocp_spark.chsql import _split_top, render, tokenize
@@ -1284,11 +1299,9 @@ class ChSparkEngine:
 
         from clickhouseocp_spark.formats import render
 
-        fmt = "TabSeparated"
         head = query.lstrip().split(None, 1)[0].upper() if query.strip() else ""
-        m = _re.search(r"\bFORMAT\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
-        if m and head not in ("INSERT",):
-            fmt = m.group(1)
+        m = detect_trailing_format(query)
+        fmt = m or "TabSeparated"
         # SELECT ... INTO OUTFILE 'path' [FORMAT x]: clickhouse-local writes
         # the rendered result to a driver-local file (CSV default per CH when
         # the extension is .csv; TabSeparated otherwise) and reports the row

@@ -776,28 +776,26 @@ def soundexCH(a) -> Column:
 
 
 def byteSwap(a, bits: int = 32) -> Column:
-    """CH byteSwap: reverse the byte order of an integer (here on the
-    unsigned 32- or 64-bit domain carried in BIGINT — pure shift/mask
-    arithmetic, replayable verbatim in any SQL engine)."""
+    """CH byteSwap: reverse the byte order of an integer (on the unsigned
+    32- or 64-bit domain carried in BIGINT).  Composed from shift + mask +
+    bitwise OR — never multiply/add, which would ARITHMETIC_OVERFLOW under
+    the session's pinned ANSI mode whenever the low byte lands in the sign
+    byte (any input with low byte ≥ 0x80 for bits=64); a swapped 64-bit
+    value with its top bit set correctly reinterprets as a negative
+    BIGINT."""
+    if bits not in (32, 64):
+        raise ValueError("byteSwap supports bits in (32, 64)")
     x = _c(a).cast("long")
     if bits == 32:
         x = x.bitwiseAND(F.lit(0xFFFFFFFF))
-        parts = [
-            (x.bitwiseAND(F.lit(0xFF))) * F.lit(1 << 24),
-            (F.shiftright(x, 8).bitwiseAND(F.lit(0xFF))) * F.lit(1 << 16),
-            (F.shiftright(x, 16).bitwiseAND(F.lit(0xFF))) * F.lit(1 << 8),
-            F.shiftright(x, 24).bitwiseAND(F.lit(0xFF)),
-        ]
-    elif bits == 64:
-        parts = [
-            F.shiftright(x, 8 * i).bitwiseAND(F.lit(0xFF)) * F.lit(1 << (56 - 8 * i))
-            for i in range(8)
-        ]
-    else:
-        raise ValueError("byteSwap supports bits in (32, 64)")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
+    nbytes = bits // 8
+    out: Column | None = None
+    for i in range(nbytes):
+        # arithmetic shiftright sign-extends; the & 255 mask lands after it
+        byte = F.shiftright(x, 8 * i).bitwiseAND(F.lit(0xFF))
+        part = F.shiftleft(byte, 8 * (nbytes - 1 - i))
+        out = part if out is None else out.bitwiseOR(part)
+    assert out is not None
     return out
 
 
@@ -916,8 +914,13 @@ _TWO_LEVEL_TLDS = ("co.uk", "org.uk", "gov.uk", "ac.uk", "com.cn", "com.au",
 def firstSignificantSubdomain(url) -> Column:
     """CH firstSignificantSubdomain: the registrable label of the host —
     'example' for www.example.co.uk (public-suffix subset documented on
-    ``_TWO_LEVEL_TLDS``)."""
-    parts = F.split(netloc(url), r"\.")
+    ``_TWO_LEVEL_TLDS``).  userinfo and :port are stripped from the
+    authority first, so 'https://u@www.example.co.uk:8443/x' still yields
+    'example'."""
+    host = F.regexp_replace(
+        F.regexp_replace(netloc(url), r"^[^@]*@", ""), r":\d*$", ""
+    )
+    parts = F.split(host, r"\.")
     last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
     return F.when(
         last2.isin(*_TWO_LEVEL_TLDS), F.element_at(parts, -3)
@@ -937,9 +940,11 @@ def decodeURLComponent(a) -> Column:
 
 
 def isValidJSON(a) -> Column:
-    """CH isValidJSON: whether the string parses as JSON (root extraction
-    returns NULL on malformed input)."""
-    return F.get_json_object(_c(a), "$").isNotNull()
+    """CH isValidJSON: whether the string parses as JSON.  Root extraction
+    returns NULL on malformed input — and ALSO on the valid scalar root
+    'null', which CH counts as valid JSON, so that case is special-cased."""
+    s = _c(a)
+    return F.get_json_object(s, "$").isNotNull() | (F.trim(s) == "null")
 
 
 def JSONArrayLength(a) -> Column:
@@ -961,11 +966,13 @@ def simpleJSONExtractString(j, field: str) -> Column:
 
 def mapPopulateSeries(m, default=0.0) -> Column:
     """CH mapPopulateSeries: fill integer-key gaps from min(key) to max(key)
-    with ``default`` — one sequence + one transform, all JVM-side."""
+    with ``default`` — one sequence + one transform, all JVM-side.  An empty
+    input map yields an empty map (CH behavior), not NULL (array_min/max of
+    an empty key array are NULL and would poison the sequence)."""
     mm = _c(m)
     keys = F.map_keys(mm)
     seq = F.sequence(F.array_min(keys), F.array_max(keys))
-    return F.map_from_entries(
+    filled = F.map_from_entries(
         F.transform(
             seq,
             lambda k: F.struct(
@@ -974,6 +981,8 @@ def mapPopulateSeries(m, default=0.0) -> Column:
             ),
         )
     )
+    # map_filter(mm, false) is an empty map of the INPUT's type
+    return F.when(F.size(keys) == 0, F.map_filter(mm, lambda _k, _v: F.lit(False))).otherwise(filled)
 
 
 def arrayShingles(arr, n: int) -> Column:

@@ -33,17 +33,29 @@ def build_entries(idx: Column, val: Column) -> Column:
     return F.map_from_entries(F.array_sort(F.collect_list(F.struct(idx.alias("k"), val.alias("v")))))
 
 
+def _key_sorted(m: Column) -> Column:
+    """Re-sort a map's entries by key.  map_zip_with appends b-only keys
+    AFTER a's keys, which would break the module's key-ordered-fold
+    contract (all_value_sum / to_readable must traverse ascending keys to
+    match the SQL oracle's ORDER BY k fold bitwise)."""
+    return F.map_from_entries(F.array_sort(F.map_entries(m)))
+
+
 def pointwise_add(a: Column, b: Column) -> Column:
     """numericIndexedVectorPointwiseAdd: union of indexes, missing = 0."""
-    return F.map_zip_with(
-        a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) + F.coalesce(y, F.lit(0.0))
+    return _key_sorted(
+        F.map_zip_with(
+            a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) + F.coalesce(y, F.lit(0.0))
+        )
     )
 
 
 def pointwise_subtract(a: Column, b: Column) -> Column:
     """numericIndexedVectorPointwiseSubtract: union of indexes, missing = 0."""
-    return F.map_zip_with(
-        a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) - F.coalesce(y, F.lit(0.0))
+    return _key_sorted(
+        F.map_zip_with(
+            a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) - F.coalesce(y, F.lit(0.0))
+        )
     )
 
 
@@ -53,7 +65,7 @@ def pointwise_multiply(a: Column, b: Column) -> Column:
     prod = F.map_zip_with(
         a, b, lambda _k, x, y: F.coalesce(x, F.lit(0.0)) * F.coalesce(y, F.lit(0.0))
     )
-    return F.map_filter(prod, lambda _k, v: v != 0.0)
+    return _key_sorted(F.map_filter(prod, lambda _k, v: v != 0.0))
 
 
 def get_value(m: Column, key) -> Column:

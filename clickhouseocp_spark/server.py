@@ -87,13 +87,13 @@ class ChHttpServer:
                 if not query.strip():
                     self._reply(400, "no query\n")
                     return
-                fmt = params.get("default_format")
-                import re as _re
+                from clickhouseocp_spark.engine import detect_trailing_format
 
-                m = _re.search(r"\bFORMAT\s+(\w+)\s*;?\s*$", query, _re.IGNORECASE)
+                fmt = params.get("default_format")
                 is_insert = query.lstrip().upper().startswith("INSERT")
-                if m and not is_insert:
-                    fmt = m.group(1)  # trailing FORMAT wins (drives Content-Type)
+                trailing = detect_trailing_format(query)
+                if trailing:
+                    fmt = trailing  # trailing FORMAT wins (drives Content-Type)
                 elif fmt and not is_insert:
                     query = query.rstrip().rstrip(";") + f" FORMAT {fmt}"
                 try:

@@ -138,6 +138,13 @@ def compare_query(
         return res
 
     con = duck_connection(sf_dir)
+    try:
+        return _compare_against_oracle(res, con, oracle, srows, scols)
+    finally:
+        con.close()
+
+
+def _compare_against_oracle(res, con, oracle, srows, scols) -> CompareResult:
     cur = con.execute(oracle)
     # Pandas path, NOT fetchall(): the driver reads the oracle through
     # pandas, which widens HUGEINT / DECIMAL / nullable-int to float64.
@@ -155,7 +162,6 @@ def compare_query(
         res.ok = False
         res.errors.append(f"row count differs: {len(srows)} vs {len(orows)}")
 
-    order = sorted(range(len(scols)), key=lambda i: scols[i])
     sidx = [scols.index(c) for c in sorted(scols)]
     oidx = [ocols.index(c) for c in sorted(ocols)]
 
@@ -182,8 +188,6 @@ def compare_query(
     if mismatches:
         res.ok = False
         res.errors.append(f"{mismatches} mismatched cells")
-    _ = order
-    con.close()
     return res
 
 

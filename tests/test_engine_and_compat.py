@@ -965,3 +965,39 @@ def test_indexed_vector_and_shingles_edges(spark):
     got = [r.s for r in sh.select(ch.arrayShingles(F.col("arr"), 3).alias("s")).collect()]
     assert got[0] == []  # shorter than n -> empty, not descending windows
     assert [list(x) for x in got[1]] == [[1, 2, 3], [2, 3, 4]]
+
+
+def test_review_fixes_round5(spark):
+    """Regression pins for the round-5 review findings: byteSwap(64) on a
+    sign-byte input under ANSI mode, firstSignificantSubdomain with
+    userinfo/port, mapPopulateSeries({}) == {}, isValidJSON('null'),
+    pointwise_add key ordering after a union of different key sets."""
+    from clickhouseocp_spark.functions import indexed_vector as iv
+
+    row = spark.range(1).select(
+        # low byte 0xC8 lands in the sign byte after the swap — must not
+        # ARITHMETIC_OVERFLOW under the session's ANSI pin
+        ch.byteSwap(F.lit(200), bits=64).alias("b64neg"),
+        ch.firstSignificantSubdomain(
+            F.lit("https://u:p@www.example.co.uk:8443/x")
+        ).alias("fsd"),
+        ch.mapPopulateSeries(
+            F.map_filter(
+                F.create_map(F.lit(1).cast("long"), F.lit(1.0)),
+                lambda k, v: F.lit(False),
+            )
+        ).alias("empty_filled"),
+        ch.isValidJSON(F.lit("null")).alias("null_ok"),
+        ch.isValidJSON(F.lit("{broken")).alias("broken_ok"),
+        iv.to_readable(
+            iv.pointwise_add(
+                F.create_map(F.lit(6).cast("long"), F.lit(1.0)),
+                F.create_map(F.lit(2).cast("long"), F.lit(2.0)),
+            )
+        ).alias("sorted_add"),
+    ).first()
+    assert row.b64neg == int.from_bytes(bytes([200] + [0] * 7), "big", signed=True)
+    assert row.fsd == "example"
+    assert dict(row.empty_filled) == {}
+    assert row.null_ok is True and row.broken_ok is False
+    assert row.sorted_add == "2:2.00,6:1.00"  # keys ascending, not zip order
