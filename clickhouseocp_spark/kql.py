@@ -29,6 +29,10 @@ learn.microsoft.com/kusto):
 - ``| take n`` / ``| limit n`` — LIMIT
 - ``| count``                — SELECT count(*) AS Count
 - ``| distinct c1, ...``     — SELECT DISTINCT
+- ``| mv-expand col``        — explode an array column in place (LATERAL
+  VIEW EXPLODE; the expanded column keeps its name)
+- ``| project-away c1, ...`` — drop columns (``SELECT * EXCEPT``)
+- ``| project-rename new=old, ...`` — rename columns in place
 - ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
   equi-join (single key or ``$left.a == $right.b`` form)
 
@@ -194,6 +198,31 @@ def transpile_kql(query: str) -> str:
             )
         elif op in ("take", "limit"):
             rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
+        elif op == "mv-expand":
+            col = rest.strip()
+            if not re.match(r"^[A-Za-z_]\w*$", col):
+                raise KqlError(f"mv-expand needs a bare column name, got {rest!r}")
+            rel = (
+                f"SELECT * EXCEPT ({col}, __mv), __mv AS {col} FROM {sub} "
+                f"LATERAL VIEW EXPLODE({col}) __mvt AS __mv"
+            )
+        elif op == "project-away":
+            cols = [c.strip() for c in _split_top(rest)]
+            if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+                raise KqlError(f"project-away needs bare column names, got {rest!r}")
+            rel = f"SELECT * EXCEPT ({', '.join(cols)}) FROM {sub}"
+        elif op == "project-rename":
+            pairs = []
+            for item in _split_top(rest):
+                m = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*$", item)
+                if not m:
+                    raise KqlError(
+                        f"project-rename needs new=old pairs, got {item!r}"
+                    )
+                pairs.append((m.group(1), m.group(2)))
+            olds = ", ".join(old for _n, old in pairs)
+            renames = ", ".join(f"{old} AS {new}" for new, old in pairs)
+            rel = f"SELECT * EXCEPT ({olds}), {renames} FROM {sub}"
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"
         elif op == "distinct":

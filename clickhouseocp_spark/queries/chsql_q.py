@@ -2244,6 +2244,45 @@ def chsql_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kql_mv_expand",
+    oracle="""
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS words
+  FROM documents WHERE doc_id < 60
+),
+f AS (
+  SELECT words, CAST(COUNT(*) AS BIGINT) AS c
+  FROM w WHERE length(words) > 5 GROUP BY 1
+)
+SELECT c, words AS token FROM f ORDER BY c DESC, words ASC LIMIT 5
+""",
+    tags=("kusto",),
+)
+def kql_mv_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL depth batch: ``mv-expand`` (in-place array explode — LATERAL
+    VIEW under the hood), ``project-rename``, plus the existing
+    extend/summarize/top stages, all through ``dialect='kusto'``.  The
+    pipeline tokenizes documents, explodes, filters, counts, and renames —
+    the oracle replays it with unnest + string_split."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| where doc_id < 60
+| extend words = split(text, ' ')
+| mv-expand words
+| where length(words) > 5
+| summarize c = count() by words
+| top 5 by c desc, words asc
+| project-rename token = words
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_pipeline",
     oracle="""
 SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,

@@ -816,8 +816,16 @@ def test_kql_transpile_mechanics():
     # joins
     j = transpile_kql("t | join kind=leftouter (u) on k")
     assert "LEFT JOIN" in j and "__l.k = __r.k" in j
+    # mv-expand / project-away / project-rename (round-5 additions)
+    mv = transpile_kql("t | mv-expand x")
+    assert "LATERAL VIEW EXPLODE(x)" in mv and "__mv AS x" in mv
+    assert "* EXCEPT (a, b)" in transpile_kql("t | project-away a, b")
+    rn = transpile_kql("t | project-rename n = o")
+    assert "* EXCEPT (o)" in rn and "o AS n" in rn
     with pytest.raises(KqlError, match="unsupported KQL operator"):
-        transpile_kql("t | mv-expand x")
+        transpile_kql("t | mv-apply x")
+    with pytest.raises(KqlError, match="bare column name"):
+        transpile_kql("t | mv-expand f(x)")
     with pytest.raises(KqlError, match="bare table name"):
         transpile_kql("select * from t | take 1")
 
