@@ -81,6 +81,133 @@ def _load_all() -> None:
 #: never-recorded backlog: the chsql TPC-H text matrix (21), the remaining 8
 #: TPC-H DataFrame queries, the dialect front ends (PRQL/KQL), and the
 #: round-4 flagship operators.
+#: Round 6 (verdict #1): zero red driver records exist anywhere — for the
+#: first time the whole window is free for coverage.  All 50 names below are
+#: never-driver-recorded (judge-green in the r5 parity run): the non-TPC-H
+#: chsql text batch (40 — the transpiler is the repo's most distinctive
+#: artifact and had near-zero driver coverage outside TPC-H), the streaming
+#: tier (9), and the KQL front end.  The remaining 55 never-recorded names
+#: are staged in _DRIVER_WINDOW_R7 immediately after — full-registry driver
+#: coverage lands in round 7.  New round-6 queries stay OUT of both windows.
+_DRIVER_WINDOW_R6 = [
+    # --- chsql text path: core relational / windows / fills ---
+    "chsql_q1",
+    "chsql_prewhere",
+    "chsql_asof",
+    "chsql_argminmax",
+    "chsql_window",
+    "chsql_with_fill",
+    "chsql_limit_by",
+    "chsql_limit_ties",
+    "chsql_sample",
+    "chsql_rollup",
+    "chsql_totals",
+    "chsql_setops",
+    "chsql_cte_nested",
+    "chsql_scalar_with",
+    "chsql_distinct_on",
+    "chsql_group_by_all",
+    # --- chsql text path: arrays / maps / json / strings / datetime ---
+    "chsql_array_hof",
+    "chsql_array_join",
+    "chsql_array_join_parallel",
+    "chsql_array_reduce",
+    "chsql_array_transforms",
+    "chsql_array_vocab2",
+    "chsql_json",
+    "chsql_strings",
+    "chsql_datetime",
+    "chsql_datetime_fmt",
+    "chsql_multiif",
+    "chsql_numbers",
+    "chsql_dictget",
+    # --- chsql text path: aggregate vocabulary / combinators ---
+    "chsql_quantiles",
+    "chsql_uniq",
+    "chsql_bitmap",
+    "chsql_combinators",
+    "chsql_sum_foreach",
+    "chsql_topk_text",
+    "chsql_stats_vocab",
+    "chsql_resample",
+    "chsql_vocab_r3",
+    "chsql_vocab_r4",
+    "chsql_vocab_r5",
+    # --- streaming tier (Structured Streaming analogs) ---
+    "stream_materialized_view",
+    "stream_tumbling_window",
+    "stream_hopping_window",
+    "stream_session_window",
+    "stream_stateful_totals",
+    "stream_windowed_topk",
+    "stream_dedup",
+    "stream_static_enrich",
+    "stream_sketch_rollup",
+    # --- dialect front end ---
+    "kql_mv_expand",
+]
+
+#: Round-7 window, staged now (verdict #2): the final 55 never-recorded
+#: names.  Swapping this list ahead of _DRIVER_WINDOW_R6 next round
+#: completes full-registry driver coverage.
+_DRIVER_WINDOW_R7 = [
+    "collapsing_merge_read",
+    "graphite_rollup_tiers",
+    "merge_engine_union",
+    "mutation_update_delete",
+    "obfuscate_table",
+    "multimodal_image_decode",
+    "multimodal_audio_meta",
+    "sequence_next_node",
+    "agg_mode_heavy",
+    "group_array_moving_sum",
+    "sessionize_events",
+    "agg_quantile_weighted",
+    "interval_length_sum",
+    "system_parts_inventory",
+    "system_query_log_audit",
+    "window_vocab_extras",
+    "setops_all_variants",
+    "agg_regression",
+    "string_distances",
+    "numbers_table_function",
+    "with_fill_linear",
+    "with_fill_staleness",
+    "ks_test_two_sample",
+    "mean_z_test",
+    "sum_kahan_count",
+    "delta_sum_timestamp",
+    "group_array_insert_at",
+    "categorical_iv",
+    "contingency_coef",
+    "ab_min_sample_size",
+    "stochastic_linear_regression",
+    "exp_time_decayed_sum",
+    "proportions_z_test",
+    "format_readable",
+    "transform_bar_render",
+    "running_difference_neighbor",
+    "date_name_vocab",
+    "string_search_vocab",
+    "string_distances2",
+    "non_negative_derivative",
+    "polygon_area_perimeter",
+    "scalar_vocab_r5",
+    "soundex_base58_codecs",
+    "series_outliers_tukey",
+    "days_since_year_zero",
+    "string_bytes_stats",
+    "array_roc_auc",
+    "array_levenshtein",
+    "url_vocab_r5",
+    "json_vocab_r5",
+    "agg_array_vocab_r5",
+    "numeric_indexed_vector",
+    "array_shingles",
+    "map_populate_series",
+    "agg_vocab_r5b",
+]
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -265,7 +392,13 @@ _DRIVER_WINDOW_R3 = [
 def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
-    for name in _DRIVER_WINDOW_R5 + _DRIVER_WINDOW_R4 + _DRIVER_WINDOW_R3:
+    for name in (
+        _DRIVER_WINDOW_R6
+        + _DRIVER_WINDOW_R7
+        + _DRIVER_WINDOW_R5
+        + _DRIVER_WINDOW_R4
+        + _DRIVER_WINDOW_R3
+    ):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]
     for name, q in REGISTRY.items():
