@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -99,16 +100,37 @@ HEADLINE = [
 
 
 def _prev_timings() -> tuple[str, dict[str, float]]:
-    """Per-query medians from the newest committed BENCH_r{N}.json (driver
-    artifact), so each round's line carries its deltas vs the round before."""
+    """Per-query medians from the NEWEST committed BENCH_r{N}.json (driver
+    artifact), so each round's line carries its deltas vs the round
+    immediately before.  When that artifact's ``parsed`` is null (the driver
+    failed to parse the stdout tail — happened in r04), the per-query pairs
+    are regex-recovered from the ``tail`` string instead of silently
+    reaching back to an older (possibly contaminated) round's artifact
+    (round-5 verdict "what's wrong" #1)."""
     here = os.path.dirname(os.path.abspath(__file__))
     arts = sorted(f for f in os.listdir(here) if f.startswith("BENCH_r") and f.endswith(".json"))
     for name in reversed(arts):
         try:
             with open(os.path.join(here, name)) as f:
-                parsed = json.load(f).get("parsed", {})
+                art = json.load(f)
+            parsed = art.get("parsed", {})
             if isinstance(parsed, dict) and parsed.get("queries"):
                 return name, parsed["queries"]
+            # The tail carries scalar medians ("q": 0.47) and/or [lo, hi]
+            # spread pairs ("q": [1.26, 1.28] — lo ~= the median of 3 under
+            # the bench's min-noise protocol); negative vs_prev deltas are
+            # excluded by the unsigned number pattern.
+            tail = art.get("tail") or ""
+            pairs = {
+                k: float(lo or v)
+                for k, lo, v in re.findall(
+                    r'"([a-z0-9_]+)":\s*(?:\[\s*([0-9.]+)\s*,\s*[0-9.]+\s*\]|([0-9.]+))',
+                    tail,
+                )
+                if k not in ("value", "sf", "cpus", "loadavg", "n", "rc")
+            }
+            if pairs:
+                return name, pairs
         except (OSError, ValueError):
             continue
     return "", {}

@@ -916,15 +916,23 @@ def firstSignificantSubdomain(url) -> Column:
     'example' for www.example.co.uk (public-suffix subset documented on
     ``_TWO_LEVEL_TLDS``).  userinfo and :port are stripped from the
     authority first, so 'https://u@www.example.co.uk:8443/x' still yields
-    'example'."""
+    'example'.  Hosts with fewer than two labels (localhost, scheme-less
+    input where netloc is empty) yield '' like CH, via try_element_at —
+    plain element_at would raise INVALID_ARRAY_INDEX under the session's
+    pinned ANSI mode."""
     host = F.regexp_replace(
         F.regexp_replace(netloc(url), r"^[^@]*@", ""), r":\d*$", ""
     )
     parts = F.split(host, r"\.")
-    last2 = F.concat_ws(".", F.element_at(parts, -2), F.element_at(parts, -1))
-    return F.when(
-        last2.isin(*_TWO_LEVEL_TLDS), F.element_at(parts, -3)
-    ).otherwise(F.element_at(parts, -2))
+    last2 = F.concat_ws(
+        ".", F.try_element_at(parts, F.lit(-2)), F.try_element_at(parts, F.lit(-1))
+    )
+    return F.coalesce(
+        F.when(
+            last2.isin(*_TWO_LEVEL_TLDS), F.try_element_at(parts, F.lit(-3))
+        ).otherwise(F.try_element_at(parts, F.lit(-2))),
+        F.lit(""),
+    )
 
 
 def encodeURLComponent(a) -> Column:
@@ -964,20 +972,32 @@ def simpleJSONExtractString(j, field: str) -> Column:
     return F.get_json_object(_c(j), f"$.{field}")
 
 
-def mapPopulateSeries(m, default=0.0) -> Column:
+def mapPopulateSeries(m, default=None) -> Column:
     """CH mapPopulateSeries: fill integer-key gaps from min(key) to max(key)
-    with ``default`` — one sequence + one transform, all JVM-side.  An empty
-    input map yields an empty map (CH behavior), not NULL (array_min/max of
-    an empty key array are NULL and would poison the sequence)."""
+    with the zero of the map's VALUE type (CH fills with the value type's
+    default and preserves it — a map<K,int> stays map<K,int>, no silent
+    widening to double).  ``default`` overrides the fill value; pass a typed
+    Column to control the result type exactly.  One sequence + one
+    transform, all JVM-side.  An empty input map yields an empty map (CH
+    behavior), not NULL (array_min/max of an empty key array are NULL and
+    would poison the sequence)."""
     mm = _c(m)
     keys = F.map_keys(mm)
+    if default is None:
+        # zero of the value type: any present value × 0 (CH restricts the
+        # function to numeric value types, so the product is well-defined)
+        fill = F.try_element_at(F.map_values(mm), F.lit(1)) * F.lit(0)
+    elif isinstance(default, Column):
+        fill = default
+    else:
+        fill = F.lit(default)
     seq = F.sequence(F.array_min(keys), F.array_max(keys))
     filled = F.map_from_entries(
         F.transform(
             seq,
             lambda k: F.struct(
                 k.alias("k"),
-                F.coalesce(F.element_at(mm, k), F.lit(default)).alias("v"),
+                F.coalesce(F.try_element_at(mm, k), fill).alias("v"),
             ),
         )
     )

@@ -29,10 +29,16 @@ learn.microsoft.com/kusto):
 - ``| take n`` / ``| limit n`` — LIMIT
 - ``| count``                — SELECT count(*) AS Count
 - ``| distinct c1, ...``     — SELECT DISTINCT
-- ``| mv-expand col``        — explode an array column in place (LATERAL
-  VIEW EXPLODE; the expanded column keeps its name)
+- ``| mv-expand col``        — explode an array column (LATERAL VIEW
+  EXPLODE; the expanded column keeps its name)
 - ``| project-away c1, ...`` — drop columns (``SELECT * EXCEPT``)
-- ``| project-rename new=old, ...`` — rename columns in place
+- ``| project-rename new=old, ...`` — rename columns
+
+Documented deviation from Kusto: ``mv-expand`` and ``project-rename`` emit
+the affected column at the END of the schema (the ``SELECT * EXCEPT (...),
+col`` rewrite — a text-level transpiler has no schema to reproject the
+original position).  Name-addressed consumers are unaffected; positional
+consumers of FORMAT output see the moved column.
 - ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
   equi-join (single key or ``$left.a == $right.b`` form)
 

@@ -56,12 +56,24 @@ def with_fill(
     """
     step_col = F.expr(step) if isinstance(step, str) else step
     stale_col = F.expr(staleness) if isinstance(staleness, str) else staleness
+    if stale_col is not None and fill_to is not None:
+        # ClickHouse rejects WITH FILL TO ... STALENESS (INVALID_WITH_FILL
+        #_EXPRESSION): staleness bounds fills relative to observed rows, TO
+        # bounds the axis absolutely — the combination is contradictory.
+        raise ValueError("WITH FILL cannot combine TO and STALENESS")
     pk = list(partition_by)
     df = df.withColumn("__orig", F.lit(True))
 
+    # STALENESS extends fills up to staleness-1 steps past EVERY observed row
+    # including the last one (CH docs: keys 0,5,10,15 STALENESS 3 emit
+    # 15,16,17), so the axis upper bound is max + staleness - step; the
+    # gap < staleness filter below trims interior overshoot correctly.
+    mx_expr = F.max(order_col)
+    if stale_col is not None:
+        mx_expr = mx_expr + stale_col - step_col
     bounds = df.groupBy(*pk).agg(
         (fill_from if fill_from is not None else F.min(order_col)).alias("__mn"),
-        (fill_to if fill_to is not None else F.max(order_col)).alias("__mx"),
+        (fill_to if fill_to is not None else mx_expr).alias("__mx"),
     )
     axis = bounds.select(
         *pk, F.explode(F.sequence(F.col("__mn"), F.col("__mx"), step_col)).alias(order_col)

@@ -429,21 +429,33 @@ def _approx_row_count(df: DataFrame) -> int:
     """Corpus-size estimate WITHOUT an extra Spark action where possible.
 
     If the plan reads parquet files of ONE table (``df.inputFiles()``
-    non-empty, all under a single directory), sum the footer ``num_rows`` —
-    a bounded driver-side metadata read per file, no job.  Upstream filters
-    make this an overestimate, which only rounds a *sizing heuristic*
-    (cells get slightly smaller — harmless).  Multi-table plans (joins /
-    unions over different tables) fall back to ``count()``: summing EVERY
-    scanned table's footers could inflate the estimate by the size of an
-    unrelated join side, which is unbounded, not slight.  "One table" ==
-    a single file, or one directory of Spark-written part files.  Non-file
-    plans (in-memory fixtures, post-shuffle inputs) also fall back."""
+    non-empty, all under a single directory) and applies NO row filter, sum
+    the footer ``num_rows`` — a bounded driver-side metadata read per file,
+    no job.  A filtered plan falls back to ``count()``: footer totals ignore
+    selectivity, so a 1% slice of a large table would inflate the cluster
+    count by 100× — orders of magnitude more centroids than
+    rows/target_cell_size, not a rounding error.  Multi-table plans (joins /
+    unions over different tables) also fall back: summing EVERY scanned
+    table's footers could inflate the estimate by the size of an unrelated
+    join side.  "One table" == a single file, or one directory of
+    Spark-written part files.  Non-file plans (in-memory fixtures,
+    post-shuffle inputs) also fall back."""
     import os as _os
 
     try:
         files = [f for f in df.inputFiles() if f.endswith(".parquet")]
     except Exception:  # noqa: BLE001 — e.g. streaming or local-relation plans
         files = []
+    if files:
+        try:
+            # Filter nodes survive into the optimized logical plan even when
+            # the predicate is also pushed to the scan — one string render,
+            # no job.
+            optimized = df._jdf.queryExecution().optimizedPlan().toString()
+            if "Filter " in optimized:
+                files = []
+        except Exception:  # noqa: BLE001 — can't inspect → be conservative
+            files = []
     if len(files) > 1 and not (
         len({_os.path.dirname(f) for f in files}) == 1
         and all(_os.path.basename(f).startswith("part-") for f in files)

@@ -602,7 +602,7 @@ WITH base AS (
 nx AS (SELECT k, n, lead(k) OVER (ORDER BY k) AS nk FROM base),
 fills AS (
   SELECT unnest(generate_series(k + 1,
-                                LEAST(COALESCE(nk, k + 1) - 1, k + 3))) AS k,
+                                LEAST(COALESCE(nk, k + 4) - 1, k + 3))) AS k,
          CAST(0 AS BIGINT) AS n
   FROM nx
 )
@@ -617,9 +617,11 @@ def with_fill_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows extend at most ``staleness`` past the previous observed row — a
     gap wider than the staleness stays a gap instead of being filled to the
     next observation.  Axis = integer day index; staleness 4 with step 1
-    fills at most 3 rows after each observation (strict ``gap < staleness``,
-    matching CH).  The oracle replays per-row: generate_series from k+1 to
-    min(next_k - 1, k + 3).  Plan: same as with_fill (bounded axis build +
+    fills at most 3 rows after each observation — INCLUDING trailing rows
+    past the last observation (strict ``gap < staleness``, matching CH docs:
+    keys 0,5,10,15 STALENESS 3 emit 15,16,17).  The oracle replays per-row:
+    generate_series from k+1 to min(next_k - 1, k + 3), with next_k
+    defaulting to k + staleness for the last row.  Plan: same as with_fill (bounded axis build +
     one join) plus one window pass for the previous-observation carry."""
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-09-01").cast("timestamp")

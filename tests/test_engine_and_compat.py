@@ -922,9 +922,10 @@ def test_vocab_r5_kernels(spark):
 def test_with_fill_staleness_text_path(spark, sf_dir):
     """ORDER BY ... WITH FILL STALENESS (CH 25.1) through the engine TEXT
     path: fills extend at most staleness-1 steps past each observed row;
-    wider gaps stay gaps.  Hand-computed: keys {1, 2, 9, 20}, staleness 4 →
-    1,2 (+3,4,5 after 2), 9 (+10,11,12), 20 (nothing after the last key
-    without TO)."""
+    wider gaps stay gaps, and fills trail past the LAST observed row too
+    (CH docs: keys 0,5,10,15 STALENESS 3 emit 15,16,17).  Hand-computed:
+    keys {1, 2, 9, 20}, staleness 4 → 1,2 (+3,4,5 after 2), 9 (+10,11,12),
+    20 (+21,22,23)."""
     from clickhouseocp_spark.engine import ChSparkEngine
 
     eng = ChSparkEngine(sf_dir, spark=spark)
@@ -934,8 +935,8 @@ def test_with_fill_staleness_text_path(spark, sf_dir):
         "ORDER BY k WITH FILL STALENESS 4"
     )
     rows = {r.k: r.n for r in out.collect()}
-    assert set(rows) == {1, 2, 3, 4, 5, 9, 10, 11, 12, 20}
-    assert rows[3] == 0 and rows[10] == 0  # generated rows take type defaults
+    assert set(rows) == {1, 2, 3, 4, 5, 9, 10, 11, 12, 20, 21, 22, 23}
+    assert rows[3] == 0 and rows[10] == 0 and rows[23] == 0
     assert rows[1] >= 1 and rows[9] >= 1
 
 
