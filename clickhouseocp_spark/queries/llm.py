@@ -1705,6 +1705,48 @@ def multimodal_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS w,
+         CAST(8 + doc_id % 16 AS BIGINT) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       'PNG' AS fmt,
+       CAST(3 * h * w * (w - 1) / 2 + 3 * w * h * (h - 1) / 2 + 3 * w * h
+            AS BIGINT) AS px_sum
+FROM p
+""",
+    tags=("llm", "multimodal", "image"),
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG tier end-to-end (round 6): per-doc RGB PNGs are synthesized
+    with the row filter cycling through ALL FIVE spec filter types
+    (sources/multimodal.synthesize_gradient_png — stdlib zlib deflate), then
+    DECODED BACK by the pure-stdlib PNG parser (sources/imagecodec.
+    decode_png: chunk walk, CRC verify, zlib inflate, per-row unfilter) and
+    reduced to the integer pixel sum.  ``pixel(x,y,c) = x+y+c`` stays below
+    256, so the sum is closed-form — ``3h·Σx + 3w·Σy + 3wh`` — and the
+    oracle value-checks the whole encode→deflate→inflate→unfilter→decode
+    path in plain SQL (the compressed size, unlike BMP's, is not
+    closed-form, so px_sum is the checkable reduction).  Plan: two chained
+    mapInPandas inside the scan partition — no shuffle; pixel tensors never
+    leave the executor."""
+    from clickhouseocp_spark.sources.multimodal import (
+        extract_image_pixels,
+        synthesize_gradient_png,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_image_pixels(synthesize_gradient_png(docs))
+
+
+@register(
     "multimodal_audio_meta",
     oracle="""
 WITH p AS (

@@ -11,8 +11,22 @@ with nothing beyond the stdlib http.server:
 - trailing ``FORMAT <name>`` in the query or ``?default_format=`` chooses
   the rendering (everything ``formats.render`` supports); default
   TabSeparated, matching CH's HTTP default
-- errors → 500 with ``X-ClickHouse-Exception-Code`` and the message in the
-  body, like the reference server
+- ``?session_id=`` scopes ``SET name = value`` statements to that HTTP
+  session (CH session semantics: settings persist across requests with the
+  same id; ``dialect`` and ``default_format`` take effect, everything else
+  is recorded — same tolerance policy as the engine's SET)
+- ``?query_id=`` (or a server-generated id) echoes back in
+  ``X-ClickHouse-Query-Id``; every success carries ``X-ClickHouse-Format``
+  and ``X-ClickHouse-Timezone``, like the reference server
+- gzip both ways: a request body with ``Content-Encoding: gzip`` is
+  inflated; responses are gzipped when the client sends
+  ``Accept-Encoding: gzip`` AND ``enable_http_compression=1`` (param or
+  session setting) — CH's exact opt-in rule
+- errors → 500 with the real ClickHouse exception code for the common
+  classes (60 UNKNOWN_TABLE, 62 SYNTAX_ERROR, 46 UNKNOWN_FUNCTION,
+  47 UNKNOWN_IDENTIFIER, 36 BAD_ARGUMENTS; 1000 otherwise) in
+  ``X-ClickHouse-Exception-Code`` and the message in the body — HTTP
+  drivers key retry/error handling off these codes
 
 Architecture note (SURVEY §7): the engine stays library-first — this is a
 thin adapter so HTTP-driver users can point at the Spark engine, not a
@@ -23,7 +37,10 @@ gates query execution; Spark's scheduler interleaves the jobs.
 
 from __future__ import annotations
 
+import gzip
+import re
 import threading
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -42,6 +59,43 @@ def _content_type(fmt: str) -> str:
     return "text/plain; charset=UTF-8"
 
 
+#: common ClickHouse exception codes (from the public ErrorCodes list) that
+#: HTTP drivers actually branch on
+_CODE_UNKNOWN_FUNCTION = 46
+_CODE_UNKNOWN_IDENTIFIER = 47
+_CODE_UNKNOWN_TABLE = 60
+_CODE_SYNTAX_ERROR = 62
+_CODE_BAD_ARGUMENTS = 36
+
+
+def exception_code(e: Exception) -> int:
+    """Map an engine/Spark exception to the ClickHouse exception code a real
+    server would send.  Classification is by exception type first, then by
+    the stable Spark error-class markers in the message; anything
+    unrecognized keeps CH's 1000 (POCO_EXCEPTION — the generic bucket)."""
+    name = type(e).__name__
+    msg = str(e)
+    if name in ("ChSqlError", "KqlError", "PrqlError"):
+        # transpiler-level parse/unsupported-construct failures
+        return _CODE_SYNTAX_ERROR
+    if name == "KeyError" and "unknown table" in msg:
+        return _CODE_UNKNOWN_TABLE
+    if "TABLE_OR_VIEW_NOT_FOUND" in msg or "UNKNOWN_TABLE" in msg:
+        return _CODE_UNKNOWN_TABLE
+    if "UNRESOLVED_ROUTINE" in msg or "UNKNOWN_FUNCTION" in msg:
+        return _CODE_UNKNOWN_FUNCTION
+    if "UNRESOLVED_COLUMN" in msg or "UNKNOWN_IDENTIFIER" in msg:
+        return _CODE_UNKNOWN_IDENTIFIER
+    if "PARSE_SYNTAX_ERROR" in msg:
+        return _CODE_SYNTAX_ERROR
+    if isinstance(e, (ValueError, TypeError)):
+        return _CODE_BAD_ARGUMENTS
+    return 1000
+
+
+_SET_RE = re.compile(r"(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|\S+?)\s*;?\s*$")
+
+
 class ChHttpServer:
     """Serve a :class:`~clickhouseocp_spark.engine.ChSparkEngine` over the
     CH HTTP request shapes.  ``start()`` binds a daemon thread (port 0 →
@@ -51,6 +105,10 @@ class ChHttpServer:
                  max_concurrent_queries: int = 100):
         self.engine = engine
         self._gate = threading.Semaphore(max_concurrent_queries)
+        #: session_id → {setting: value}; guarded by _sessions_lock (the
+        #: ThreadingHTTPServer handles each request on its own thread)
+        self._sessions: dict[str, dict[str, str]] = {}
+        self._sessions_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -60,10 +118,13 @@ class ChHttpServer:
                 pass
 
             def _reply(self, code: int, body: str, fmt: str = "TabSeparated",
-                       extra: dict | None = None) -> None:
+                       extra: dict | None = None, gzip_ok: bool = False) -> None:
                 data = body.encode("utf-8")
                 self.send_response(code)
                 self.send_header("Content-Type", _content_type(fmt))
+                if gzip_ok and code == 200:
+                    data = gzip.compress(data)
+                    self.send_header("Content-Encoding", "gzip")
                 self.send_header("Content-Length", str(len(data)))
                 self.send_header("X-ClickHouse-Server-Display-Name", "spark")
                 for k, v in (extra or {}).items():
@@ -77,6 +138,14 @@ class ChHttpServer:
                     self._reply(200, "Ok.\n")
                     return
                 params = {k: v[-1] for k, v in parse_qs(url.query).items()}
+                query_id = params.get("query_id") or str(uuid.uuid4())
+                hdrs = {"X-ClickHouse-Query-Id": query_id}
+                if (self.headers.get("Content-Encoding") or "").lower() == "gzip":
+                    try:
+                        body = gzip.decompress(body)
+                    except OSError:
+                        self._reply(400, "malformed gzip body\n", extra=hdrs)
+                        return
                 query = params.get("query", "")
                 text = body.decode("utf-8") if body else ""
                 if query and text:
@@ -85,30 +154,68 @@ class ChHttpServer:
                 elif not query:
                     query = text
                 if not query.strip():
-                    self._reply(400, "no query\n")
+                    self._reply(400, "no query\n", extra=hdrs)
                     return
+
+                session = outer._session(params.get("session_id"))
+                mset = _SET_RE.match(query)
+                if mset and session is not None:
+                    # session-scoped SET: persists for this session_id only,
+                    # does not leak into the shared engine (CH semantics)
+                    session[mset.group(1).lower()] = mset.group(2).strip().strip("'")
+                    self._reply(200, "", extra=hdrs)
+                    return
+
                 from clickhouseocp_spark.engine import detect_trailing_format
 
-                fmt = params.get("default_format")
+                fmt = params.get("default_format") or (
+                    session or {}
+                ).get("default_format")
+                dialect = (session or {}).get("dialect") or "clickhouse"
                 is_insert = query.lstrip().upper().startswith("INSERT")
                 trailing = detect_trailing_format(query)
                 if trailing:
                     fmt = trailing  # trailing FORMAT wins (drives Content-Type)
                 elif fmt and not is_insert:
                     query = query.rstrip().rstrip(";") + f" FORMAT {fmt}"
+                want_gzip = (
+                    "gzip" in (self.headers.get("Accept-Encoding") or "").lower()
+                    and (
+                        params.get("enable_http_compression")
+                        or (session or {}).get("enable_http_compression")
+                    )
+                    == "1"
+                )
                 try:
                     with outer._gate:
-                        out = outer.engine.run(query)
+                        out = outer.engine.run(query, dialect=dialect)
                 except Exception as e:  # noqa: BLE001 — wire errors like CH
                     self._reply(
                         500,
                         f"{type(e).__name__}: {e}\n",
-                        extra={"X-ClickHouse-Exception-Code": "1000"},
+                        extra={
+                            **hdrs,
+                            "X-ClickHouse-Exception-Code": str(exception_code(e)),
+                        },
                     )
                     return
                 if out and not out.endswith("\n"):
                     out += "\n"
-                self._reply(200, out, fmt=fmt or "TabSeparated")
+                fmt = fmt or "TabSeparated"
+                tz = outer.engine.spark.conf.get(
+                    "spark.sql.session.timeZone", "Etc/UTC"
+                )
+                self._reply(
+                    200,
+                    out,
+                    fmt=fmt,
+                    extra={
+                        **hdrs,
+                        "X-ClickHouse-Format": fmt,
+                        "X-ClickHouse-Timezone": tz or "Etc/UTC",
+                    },
+                    gzip_ok=want_gzip,
+                )
 
             def do_GET(self):  # noqa: N802 — http.server contract
                 self._handle(b"")
@@ -121,6 +228,14 @@ class ChHttpServer:
         self._httpd.daemon_threads = True
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    def _session(self, session_id: str | None) -> dict[str, str] | None:
+        """The settings dict for ``session_id`` (created on first use), or
+        None when the request carries no session."""
+        if not session_id:
+            return None
+        with self._sessions_lock:
+            return self._sessions.setdefault(session_id, {})
 
     def start(self) -> "ChHttpServer":
         self._thread = threading.Thread(

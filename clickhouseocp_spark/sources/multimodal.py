@@ -4,11 +4,12 @@ star; the reference side analog is ClickHouse's String/binary columns +
 user_files staging, Dockerfile:180-190).
 
 The Spark-side plumbing is real — schema, partitioning, UDF signature, Arrow
-batch shape.  Decoding is REAL for uncompressed BMP and binary PPM/PGM
-payloads (``sources/imagecodec`` — pure-numpy codecs from the public specs;
-no media libraries needed), detected by strict magic-byte sniffing.  For
-every other payload (JPEG/PNG/audio/video need PIL/libvips/ffmpeg, absent in
-this container) :func:`decode_image` raises ``NotImplementedError`` unless
+batch shape.  Decoding is REAL for PNG (stdlib zlib + numpy, all five row
+filters), uncompressed BMP, and binary PPM/PGM payloads
+(``sources/imagecodec`` — pure-stdlib codecs from the public specs; no media
+libraries needed), detected by strict magic-byte sniffing.  For every other
+payload (JPEG/video genuinely need libjpeg/ffmpeg, absent in this
+container) :func:`decode_image` raises ``NotImplementedError`` unless
 ``fake=True``, in which case a deterministic fake decoder derives pseudo
 dimensions from the payload hash (stable across runs/executors, good enough
 to exercise every seam).
@@ -37,11 +38,11 @@ def attach_binary_payload(
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
     """Decode an image payload → (width, height, format).
 
-    REAL for uncompressed BMP / binary PPM / PGM (pure-numpy codecs in
-    ``sources/imagecodec``); the strict magic sniff means prose bytes never
-    reach the real decoder.  Other formats (JPEG/PNG) need PIL/libvips —
-    absent here — so they raise unless ``fake=True``, where a deterministic
-    stand-in derives dimensions from the sha256 digest (stable everywhere,
+    REAL for PNG / uncompressed BMP / binary PPM / PGM (pure stdlib+numpy
+    codecs in ``sources/imagecodec``); the strict magic sniff means prose
+    bytes never reach the real decoder.  JPEG needs libjpeg — absent here —
+    so it raises unless ``fake=True``, where a deterministic stand-in
+    derives dimensions from the sha256 digest (stable everywhere,
     exercising the full Spark data path).
     """
     from clickhouseocp_spark.sources import imagecodec
@@ -55,8 +56,9 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
             pass  # sniff false-positive (e.g. prose starting "P5 9 9 255 ")
     if not fake:
         raise NotImplementedError(
-            "payload is not BMP/PPM/PGM; other formats require PIL/libvips — "
-            "run with fake=True for the deterministic stand-in decoder"
+            "payload is not PNG/BMP/PPM/PGM; JPEG and video formats require "
+            "libjpeg/ffmpeg — run with fake=True for the deterministic "
+            "stand-in decoder"
         )
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192  # 64..255 — plausible thumbnail dims
@@ -208,6 +210,88 @@ def synthesize_gradient_bmp(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def synthesize_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PNG fixture generator (mapInPandas, no shuffle): per id,
+    a real zlib-deflated RGB PNG (``sources/imagecodec.encode_png``) of
+    ``(16 + id % 32) x (8 + id % 16)`` pixels with ``pixel(x,y,c) =
+    x + y + c`` (max 47+23+2 < 256, so no wraparound) and the row filter
+    CYCLING through all five types (``y % 5``) — every unfilter path runs on
+    every image.  The pixel SUM is closed-form
+    (``3h·Σx + 3w·Σy + 3wh``), so the encode→decode path is value-checkable
+    in plain SQL even though the compressed byte size is not."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.imagecodec import encode_png
+
+    schema = f"{id_col} long, payload binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                w, h = 16 + i % 32, 8 + i % 16
+                y, x = np.mgrid[0:h, 0:w]
+                c = np.arange(3)
+                img = (x[:, :, None] + y[:, :, None] + c).astype(np.uint8)
+                payloads.append(
+                    encode_png(img, filters=[r % 5 for r in range(h)])
+                )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": "image/png",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def extract_image_pixels(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Full decode over binary image payloads via mapInPandas: dimensions,
+    format, channel count, and the integer pixel sum (the value-checkable
+    reduction of the decoded tensor).  Same no-shuffle scan-partition shape
+    as :func:`extract_media_meta`; pixels never leave the executor — only
+    scalar reductions do, which is the 100 TB contract for any decode →
+    feature-extract stage."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.imagecodec import decode_any
+
+    schema = (
+        f"{id_col} long, width int, height int, n_channels int, "
+        "fmt string, px_sum long"
+    )
+
+    def pixels(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col].values, pdf[payload_col]):
+                arr, fmt = decode_any(bytes(payload))
+                nch = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append(
+                    (
+                        int(i),
+                        arr.shape[1],
+                        arr.shape[0],
+                        nch,
+                        fmt,
+                        int(arr.astype(np.int64).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "width", "height", "n_channels", "fmt", "px_sum"],
+            )
+
+    return df.mapInPandas(pixels, schema=schema)
 
 
 def extract_audio_meta(

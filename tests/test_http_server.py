@@ -78,11 +78,83 @@ def test_insert_with_data_body_round_trip(http_engine):
 
 
 def test_error_wire_shape(http_engine):
-    q = urllib.parse.quote("SELECT definitely_not_a_column FROM region")
-    with pytest.raises(urllib.error.HTTPError) as exc:
-        _get(http_engine, f"/?query={q}")
-    assert exc.value.code == 500
-    assert exc.value.headers["X-ClickHouse-Exception-Code"] == "1000"
+    """Errors carry the REAL CH exception code (round 6 — drivers branch on
+    these): 47 unknown identifier, 60 unknown table, 62 syntax error."""
+    cases = [
+        ("SELECT definitely_not_a_column FROM region", "47"),
+        ("SELECT * FROM definitely_not_a_table", "60"),
+        ("SELECT count( FROM region WITH FILL GARBAGE !!", "62"),
+    ]
+    for sql, want in cases:
+        q = urllib.parse.quote(sql)
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            _get(http_engine, f"/?query={q}")
+        assert exc.value.code == 500
+        assert exc.value.headers["X-ClickHouse-Exception-Code"] == want, sql
+
+
+def test_session_set_persistence_and_headers(http_engine):
+    """?session_id scopes SET statements across requests (CH session
+    semantics): default_format persists for the session and never leaks to
+    session-less requests; successes carry X-ClickHouse-Format /
+    X-ClickHouse-Query-Id / X-ClickHouse-Timezone."""
+    sid = "wire-test-session"
+    q = urllib.parse.quote("SET default_format = 'CSVWithNames'")
+    status, body, _ = _get(http_engine, f"/?query={q}&session_id={sid}")
+    assert (status, body) == (200, "")
+
+    q = urllib.parse.quote("SELECT 1 AS one")
+    status, body, headers = _get(
+        http_engine, f"/?query={q}&session_id={sid}&query_id=qid-42"
+    )
+    assert status == 200
+    assert body.splitlines()[0].strip('"') == "one"  # CSV header row applied
+    assert headers["X-ClickHouse-Format"] == "CSVWithNames"
+    assert headers["X-ClickHouse-Query-Id"] == "qid-42"
+    assert headers["X-ClickHouse-Timezone"]
+
+    # no session → setting did not leak; TabSeparated default, generated id
+    status, body, headers = _get(http_engine, f"/?query={q}")
+    assert body.strip() == "1"
+    assert headers["X-ClickHouse-Format"] == "TabSeparated"
+    assert headers["X-ClickHouse-Query-Id"]
+
+
+def test_gzip_both_directions(http_engine):
+    """CH's opt-in response compression rule (Accept-Encoding: gzip AND
+    enable_http_compression=1) and transparent gzipped-request-body
+    inflation."""
+    import gzip as gz
+
+    q = urllib.parse.quote("SELECT r_name FROM region ORDER BY r_regionkey")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_engine.port}/?query={q}&enable_http_compression=1",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers["Content-Encoding"] == "gzip"
+        names = gz.decompress(r.read()).decode().split()
+    assert names[0] == "AFRICA"
+
+    # without the setting, Accept-Encoding alone does NOT compress (CH rule)
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_engine.port}/?query={q}",
+        headers={"Accept-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.headers.get("Content-Encoding") is None
+        assert r.read().decode().split()[0] == "AFRICA"
+
+    # gzipped POST body
+    body = gz.compress(b"SELECT count() AS n FROM region")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_engine.port}/",
+        data=body,
+        method="POST",
+        headers={"Content-Encoding": "gzip"},
+    )
+    with urllib.request.urlopen(req) as r:
+        assert r.read().decode().strip() == "5"
 
 
 def test_concurrent_queries(http_engine):

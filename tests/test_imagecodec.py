@@ -77,7 +77,12 @@ def test_ppm_pgm_round_trip_and_comment_header():
 def test_sniff_rejects_prose_and_truncation():
     assert sniff_format(b"BMW makes cars, not bitmaps, " + b"x" * 64) is None
     assert sniff_format(b"P6 is a chess engine designation " + b"x" * 16) is None
-    assert sniff_format(b"\x89PNG\r\n\x1a\n") is None
+    # a bare PNG signature sniffs as PNG (r6) but decode rejects it cleanly
+    assert sniff_format(b"\x89PNG\r\n\x1a\n") == "PNG"
+    from clickhouseocp_spark.sources.imagecodec import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n")
     # sniff-positive but truncated pixels → decode raises, never garbage
     img = _gradient(4, 4)
     with pytest.raises(ValueError):
@@ -130,3 +135,44 @@ def test_real_decode_through_spark_end_to_end(spark):
     # non-image payloads still refuse without the fake gate
     with pytest.raises(NotImplementedError):
         resize_image(b"just prose", 4, 4)
+
+
+def test_png_round_trip_all_filters_and_channels():
+    """PNG codec (round 6): encode/decode round-trips every color layout
+    (gray / gray+alpha / RGB / RGBA) under every row filter type 0-4 plus a
+    cycling per-row mix — each unfilter branch (None, Sub cumsum, Up,
+    Average, Paeth) reconstructs bit-exactly."""
+    from clickhouseocp_spark.sources.imagecodec import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    for shape in [(9, 13), (7, 5, 2), (16, 24, 3), (11, 6, 4)]:
+        arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        for filt in (0, 1, 2, 3, 4, [y % 5 for y in range(shape[0])]):
+            back = decode_png(encode_png(arr, filters=filt))
+            assert back.shape == arr.shape
+            assert np.array_equal(back, arr), (shape, filt)
+
+
+def test_png_sniff_crc_and_gate():
+    """PNG dispatch + integrity: sniff_format/decode_any route on the 8-byte
+    signature; a flipped IDAT byte fails the CRC check; the multimodal gate
+    now passes PNG through the REAL decoder (JPEG-only NotImplementedError)."""
+    from clickhouseocp_spark.sources.imagecodec import decode_png, encode_png
+    from clickhouseocp_spark.sources.multimodal import decode_image
+
+    arr = _gradient(6, 9)
+    data = encode_png(arr)
+    assert sniff_format(data) == "PNG"
+    out, fmt = decode_any(data)
+    assert fmt == "PNG" and np.array_equal(out, arr)
+    assert decode_image(data) == (9, 6, "PNG")  # no fake gate needed
+
+    corrupt = bytearray(data)
+    corrupt[45] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(corrupt))
+    # 16-bit depth / palette refused, not mis-decoded
+    bad_ihdr = bytearray(data)
+    bad_ihdr[24] = 16  # bit depth byte inside IHDR
+    with pytest.raises(ValueError):
+        decode_png(bytes(bad_ihdr))
