@@ -936,6 +936,7 @@ FUNC_RULES: dict[str, object] = {
     "sumDistinct": lambda args: f"sum(DISTINCT {args[0]})",
     "avgDistinct": lambda args: f"avg(DISTINCT {args[0]})",
     "uniqCombined": _rename("approx_count_distinct"),
+    "uniqCombined64": _rename("approx_count_distinct"),
     "uniqHLL12": _rename("approx_count_distinct"),
     # sumKahan: compensated summation — the order-independent error-free
     # Spark equivalent is an exact DECIMAL sum cast back to double
@@ -1343,11 +1344,12 @@ FUNC_RULES: dict[str, object] = {
     "countEqual": lambda args: f"size(filter({args[0]}, y -> y = {args[1]}))",
     "arrayShuffle": _rename("shuffle"),
     "arrayReverseSort": lambda args: _array_reverse_sort(args),
-    "arrayRotateLeft": lambda args: (
-        f"concat(slice({args[0]}, pmod({args[1]}, size({args[0]})) + 1, "
-        f"size({args[0]}) - pmod({args[1]}, size({args[0]}))), "
-        f"slice({args[0]}, 1, pmod({args[1]}, size({args[0]}))))"
-    ),
+    # array rotation/shift (23.8): slice/concat compositions — pmod
+    # normalizes any n sign/magnitude; CASE guards size<=1 (pmod by zero)
+    "arrayRotateLeft": lambda args: _array_rotate(args[0], args[1]),
+    "arrayRotateRight": lambda args: _array_rotate(args[0], f"-({args[1]})"),
+    "arrayShiftLeft": lambda args: _array_shift(args, right=False),
+    "arrayShiftRight": lambda args: _array_shift(args, right=True),
     # dates: CH dateAdd/timestampAdd take (unit, n, d) with a bare or quoted
     # unit keyword; Spark dateadd is the same shape with a bare unit
     "dateAdd": lambda args: (
@@ -1505,12 +1507,31 @@ def _array_reduce(args: list[str]) -> str:
 
 
 #: CH formatDateTime %-codes → Spark DateTimeFormatter fields (unambiguous
-#: subset; CH follows the MySQL convention where %i is the minute)
+#: subset; CH follows the MySQL convention where %i is the minute).  The
+#: week-based codes (%V %G %g %u) are excluded: Spark 3+ rejects all
+#: week-based DateTimeFormatter patterns (Y/w/W/e/c) — use toISOWeek and
+#: friends instead.
 _CH_FMT_CODES = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "e": "d",
     "H": "HH", "h": "hh", "i": "mm", "S": "ss", "s": "ss",
     "j": "DDD", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "R": "HH:mm",
+    # round-6 completion of the specifier set (full list in the public CH
+    # formatDateTime docs)
+    "a": "EEE",       # abbreviated weekday name
+    "W": "EEEE",      # full weekday name
+    "b": "MMM",       # abbreviated month name
+    "M": "MMMM",      # full month name (CH 23.x+ MySQL-compat meaning)
+    "c": "MM",        # month number, 2 digits
+    "D": "MM/dd/yy",  # American date
+    "f": "SSSSSS",    # fractional second, microseconds
+    "k": "HH",        # hour 0-23 (CH pads with space; Spark zero-pads —
+                      # documented deviation, value identical)
+    "l": "hh",        # hour 1-12
+    "p": "a",         # AM/PM
+    "Q": "q",         # quarter 1-4
 }
+#: %-codes that expand to literal characters, not formatter fields
+_CH_FMT_LITERALS = {"n": "\n", "t": "\t", "%": "%"}
 
 
 def _ch_java_pattern(fmt: str, fname: str) -> str:
@@ -1529,8 +1550,8 @@ def _ch_java_pattern(fmt: str, fname: str) -> str:
     while i < len(fmt):
         if fmt[i] == "%" and i + 1 < len(fmt):
             c = fmt[i + 1]
-            if c == "%":
-                buf.append("%")
+            if c in _CH_FMT_LITERALS:
+                buf.append(_CH_FMT_LITERALS[c])
             elif c in _CH_FMT_CODES:
                 flush()
                 java.append(_CH_FMT_CODES[c])
@@ -1560,6 +1581,40 @@ def _parse_datetime(args: list[str]) -> str:
         raise ChSqlError("parseDateTime needs a literal format string")
     pattern = _ch_java_pattern(args[1][1:-1], "parseDateTime")
     return f"to_timestamp({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+def _array_rotate(a: str, n: str) -> str:
+    """arrayRotateLeft(a, n) lowering (rotateRight negates n): pmod keeps
+    any n sign/magnitude in [0, size); size <= 1 is the identity (and guards
+    pmod-by-zero under ANSI)."""
+    k = f"pmod({n}, size({a}))"
+    return (
+        f"CASE WHEN size({a}) <= 1 THEN {a} ELSE "
+        f"concat(slice({a}, {k} + 1, size({a}) - {k}), "
+        f"slice({a}, 1, {k})) END"
+    )
+
+
+def _array_shift(args: list[str], right: bool) -> str:
+    """arrayShiftLeft/Right(a, n, fill) lowering: drop n, pad with fill.
+    The 2-arg CH form pads with the type default — not knowable from text
+    (same policy as arrayResize), so the fill is required."""
+    if len(args) < 3:
+        raise ChSqlError(
+            "arrayShiftLeft/Right without a fill value is not supported: "
+            "pass it explicitly, e.g. arrayShiftLeft(arr, n, 0)"
+        )
+    a, n, fill = args[0], args[1], args[2]
+    if right:
+        n = f"-({n})"
+    k = f"least(abs({n}), size({a}))"
+    pad = f"array_repeat({fill}, cast({k} as int))"
+    left = f"concat(slice({a}, {k} + 1, size({a}) - {k}), {pad})"
+    rgt = f"concat({pad}, slice({a}, 1, size({a}) - {k}))"
+    return (
+        f"CASE WHEN size({a}) = 0 THEN {a} "
+        f"WHEN ({n}) >= 0 THEN {left} ELSE {rgt} END"
+    )
 
 
 def _array_resize(args: list[str]) -> str:

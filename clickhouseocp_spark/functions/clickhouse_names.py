@@ -935,6 +935,43 @@ def firstSignificantSubdomain(url) -> Column:
     )
 
 
+def topLevelDomain(url) -> Column:
+    """CH topLevelDomain: the last label of the host — 'com' for
+    svn.www.example.com; '' when the host has no dot (CH returns '' for
+    invalid/dotless hosts, e.g. localhost or an IP-free bare word)."""
+    host = F.regexp_replace(
+        F.regexp_replace(netloc(url), r"^[^@]*@", ""), r":\d*$", ""
+    )
+    parts = F.split(host, r"\.")
+    return F.coalesce(
+        F.when(F.size(parts) >= 2, F.try_element_at(parts, F.lit(-1))),
+        F.lit(""),
+    )
+
+
+def cutToFirstSignificantSubdomain(url) -> Column:
+    """CH cutToFirstSignificantSubdomain: the host truncated to start at the
+    first significant subdomain — 'example.co.uk' for
+    https://u@www.example.co.uk:8443/x, 'example.org' for www.example.org
+    (same ``_TWO_LEVEL_TLDS`` public-suffix subset as
+    firstSignificantSubdomain); '' for hosts with fewer than two labels."""
+    host = F.regexp_replace(
+        F.regexp_replace(netloc(url), r"^[^@]*@", ""), r":\d*$", ""
+    )
+    parts = F.split(host, r"\.")
+    last2 = F.concat_ws(
+        ".", F.try_element_at(parts, F.lit(-2)), F.try_element_at(parts, F.lit(-1))
+    )
+    keep3 = F.concat_ws(".", F.try_element_at(parts, F.lit(-3)), last2)
+    return F.coalesce(
+        F.when(
+            last2.isin(*_TWO_LEVEL_TLDS),
+            F.when(F.size(parts) >= 3, keep3),
+        ).otherwise(F.when(F.size(parts) >= 2, last2)),
+        F.lit(""),
+    )
+
+
 def encodeURLComponent(a) -> Column:
     """CH encodeURLComponent analog via Spark url_encode.  Documented
     deviation (SURVEY §7.4 class): Spark uses form-encoding — space → '+',
@@ -1023,6 +1060,75 @@ def arrayEnumerateDense(arr) -> Column:
     occurrence among the distinct values ([10,20,10,30] → [1,2,1,3])."""
     a = _c(arr)
     return F.transform(a, lambda x: F.array_position(F.array_distinct(a), x))
+
+
+def arrayRotateLeft(arr, n) -> Column:
+    """CH arrayRotateLeft (23.8): rotate n positions left —
+    [1,2,3,4,5] rot 2 → [3,4,5,1,2].  Negative n rotates right (CH
+    semantics).  ``pmod`` normalizes n into [0, size) so any magnitude and
+    sign works; empty arrays pass through (pmod by 0 is NULL-guarded)."""
+    a = _c(arr)
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    k = F.pmod(nn, F.size(a))
+    rotated = F.concat(
+        F.slice(a, k + 1, F.size(a) - k), F.slice(a, F.lit(1), k)
+    )
+    return F.when(F.size(a) <= 1, a).otherwise(rotated)
+
+
+def arrayRotateRight(arr, n) -> Column:
+    """CH arrayRotateRight (23.8): rotate n positions right — the left
+    rotation by -n."""
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    return arrayRotateLeft(arr, -nn)
+
+
+def arrayShiftLeft(arr, n, fill) -> Column:
+    """CH arrayShiftLeft (23.8): drop the first n elements and pad the tail
+    with ``fill`` — [1,2,3,4,5] shift 2 fill 0 → [3,4,5,0,0].  Negative n
+    shifts right (CH semantics).  The fill literal must be compatible with
+    the element type (CH requires the same; Spark's concat enforces it)."""
+    a = _c(arr)
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    fl = _c(fill) if isinstance(fill, Column) else F.lit(fill)
+    k = F.least(F.abs(nn), F.size(a))
+    pad = F.array_repeat(fl, k.cast("int"))
+    left = F.concat(F.slice(a, k + 1, F.size(a) - k), pad)
+    right = F.concat(pad, F.slice(a, F.lit(1), F.size(a) - k))
+    return F.when(F.size(a) == 0, a).otherwise(
+        F.when(nn >= 0, left).otherwise(right)
+    )
+
+
+def arrayShiftRight(arr, n, fill) -> Column:
+    """CH arrayShiftRight (23.8): the left shift by -n."""
+    nn = _c(n) if isinstance(n, Column) else F.lit(n)
+    return arrayShiftLeft(arr, -nn, fill)
+
+
+def parseDateTimeBestEffort(a) -> Column:
+    """CH parseDateTimeBestEffort: tolerant multi-format timestamp parsing —
+    tries ISO (native cast), slash/compact/European layouts, bare date, and
+    unix-epoch digit strings, first hit wins; NULL when nothing matches
+    (the CH *OrNull variant's contract — the throwing variant's error
+    channel doesn't compose with columnar evaluation)."""
+    s = F.trim(_c(a))
+    return F.coalesce(
+        F.try_to_timestamp(s),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd/MM/yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyyMMddHHmmss")),
+        F.try_to_timestamp(s, F.lit("dd MMM yyyy HH:mm:ss")),
+        F.try_to_timestamp(s, F.lit("yyyy/MM/dd")),
+        F.try_to_timestamp(s, F.lit("dd.MM.yyyy")),
+        F.try_to_timestamp(s, F.lit("yyyy-MM-dd")),
+        # unix epoch seconds (CH treats 9-10 digit integers as epoch)
+        F.when(
+            s.rlike(r"^\d{9,10}$"),
+            F.timestamp_seconds(s.cast("long")),
+        ),
+    )
 
 
 #: alias → note, for the parity inventory (names that clash with Python

@@ -67,6 +67,7 @@ def _load_all() -> None:
         stats_q2,
         vocab_q,
         vocab_q5,
+        vocab_q6,
         tpch,
     )
 

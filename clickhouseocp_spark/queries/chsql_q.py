@@ -2325,3 +2325,85 @@ events
         "users",
         F.round(F.col("total").cast("double"), 6).alias("total"),
     )
+
+
+# --- round-6 vocabulary through the TEXT path --------------------------------
+
+
+@register(
+    "chsql_vocab_r6",
+    oracle="""
+SELECT o_orderkey,
+       strftime(o_orderdate, '%a %A %b %B') AS dt_names,
+       strftime(o_orderdate, '%m/%d/%y %I%p ') || CAST(quarter(o_orderdate)
+         AS VARCHAR) AS dt_nums,
+       array_to_string(
+         CASE WHEN 2 % 4 = 0 THEN [1, 2, 3, CAST(o_orderkey % 5 AS BIGINT)]
+              ELSE list_concat(
+                     ([1, 2, 3, CAST(o_orderkey % 5 AS BIGINT)])[(2 % 4) + 1 :],
+                     ([1, 2, 3, CAST(o_orderkey % 5 AS BIGINT)])[1 : 2 % 4])
+         END, ',') AS rot,
+       array_to_string(
+         [CAST(0 AS BIGINT)] ||
+           ([CAST(o_orderkey % 7 AS BIGINT), 4, 5])[1:2], ',') AS shifted
+FROM orders WHERE o_orderkey < 400
+""",
+    tags=("chsql", "scalar", "vocab"),
+)
+def chsql_vocab_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 vocabulary through the TEXT path: the completed
+    ``formatDateTime`` specifier set (weekday/month names, American date,
+    12-hour + AM/PM, quarter — the %-codes map to DateTimeFormatter fields;
+    week-based codes stay excluded per Spark 3's pattern policy) and the
+    CH 23.8 array motion ops lowered to slice/concat with pmod
+    normalization.  The oracle replays with strftime + DuckDB list
+    slicing."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               formatDateTime(o_orderdate, '%a %W %b %M') AS dt_names,
+               formatDateTime(o_orderdate, '%D %l%p %Q') AS dt_nums,
+               arrayStringConcat(
+                 arrayMap(x -> toString(x),
+                          arrayRotateLeft([1, 2, 3, o_orderkey % 5], 2)),
+                 ',') AS rot,
+               arrayStringConcat(
+                 arrayMap(x -> toString(x),
+                          arrayShiftRight([o_orderkey % 7, 4, 5], 1, 0)),
+                 ',') AS shifted
+        FROM orders WHERE o_orderkey < 400
+        """,
+    )
+
+
+@register(
+    "chsql_uniq64",
+    oracle="""
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey % 40) AS BIGINT) AS exact40,
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS u_status,
+       TRUE AS u64_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("chsql", "agg", "vocab"),
+)
+def chsql_uniq64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``uniqCombined64`` through the TEXT path → approx_count_distinct
+    (HLL++): the sketch estimate is engine-specific, so — the
+    agg_approx_distinct pattern — the query emits exact counts plus an
+    IN-QUERY 5%-relative-error contract (``u64_ok``) that the oracle
+    value-checks as TRUE."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderpriority,
+               uniqExact(o_custkey % 40) AS exact40,
+               uniqExact(o_orderstatus) AS u_status,
+               abs(toFloat64(uniqCombined64(o_custkey % 40))
+                   / uniqExact(o_custkey % 40) - 1.0) <= 0.05 AS u64_ok
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+    )

@@ -378,8 +378,11 @@ def test_format_datetime_codes_and_literals():
     # literal runs are Java-pattern-quoted; the quotes are doubled for the
     # SQL string literal ('' inside '...')
     assert "date_format(ts, 'yyyy''-''MM''-''dd''T''HH'':''mm'':''ss')" in out
-    with pytest.raises(ChSqlError, match="%Q"):
-        transpile("SELECT formatDateTime(ts, '%Q') FROM t")
+    # %Q (quarter) joined the subset in round 6; week-based codes stay out
+    # (Spark 3+ rejects all week-based DateTimeFormatter patterns)
+    assert "'q'" in transpile("SELECT formatDateTime(ts, '%Q') FROM t")
+    with pytest.raises(ChSqlError, match="%V"):
+        transpile("SELECT formatDateTime(ts, '%V') FROM t")
     with pytest.raises(ChSqlError, match="literal"):
         transpile("SELECT formatDateTime(ts, fmt_col) FROM t")
 

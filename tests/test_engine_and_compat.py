@@ -1002,3 +1002,36 @@ def test_review_fixes_round5(spark):
     assert dict(row.empty_filled) == {}
     assert row.null_ok is True and row.broken_ok is False
     assert row.sorted_add == "2:2.00,6:1.00"  # keys ascending, not zip order
+
+
+def test_vocab_r6_edges(spark):
+    """Round-6 vocabulary edge pins: array rotation identity on singletons,
+    over-length shifts padding fully, negative-n sign semantics,
+    formatDateTime literal codes (%n newline, %t tab, %%), topLevelDomain /
+    cutToFirstSignificantSubdomain on dotless hosts, and
+    parseDateTimeBestEffort rejecting garbage while accepting epoch digits."""
+    from clickhouseocp_spark.chsql import transpile
+
+    row = spark.sql(
+        transpile(
+            "SELECT arrayRotateLeft([1,2,3], -1) AS neg_rot, "
+            "arrayShiftLeft([1,2,3], -2, 0) AS neg_shift, "
+            "formatDateTime(TIMESTAMP '1995-03-07 14:30:05', '%H%t%i%n%S%%') AS lit"
+        )
+    ).first()
+    assert list(row.neg_rot) == [3, 1, 2]  # negative left = right rotation
+    assert list(row.neg_shift) == [0, 0, 1]  # negative left = right shift
+    assert row.lit == "14\t30\n05%"
+
+    row2 = spark.range(1).select(
+        ch.topLevelDomain(F.lit("https://svn.example.com/x")).alias("tld"),
+        ch.topLevelDomain(F.lit("http://localhost/x")).alias("tld_dotless"),
+        ch.cutToFirstSignificantSubdomain(
+            F.lit("https://u@a.b.example.co.uk:443/p")
+        ).alias("cut"),
+        ch.parseDateTimeBestEffort(F.lit("794500205")).alias("epoch"),
+        ch.parseDateTimeBestEffort(F.lit("garbage")).alias("bad"),
+    ).first()
+    assert row2.tld == "com" and row2.tld_dotless == ""
+    assert row2.cut == "example.co.uk"
+    assert row2.epoch is not None and row2.bad is None
