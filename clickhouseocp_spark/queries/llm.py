@@ -1747,6 +1747,42 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_jpeg_decode",
+    oracle="""
+SELECT doc_id,
+       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+       CAST(8 + doc_id % 16 AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       'JPEG' AS fmt,
+       TRUE AS bounded_ok
+FROM documents WHERE doc_id < 200
+""",
+    tags=("llm", "multimodal", "image"),
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG tier end-to-end (round 6 — the LAST still-image gate
+    closed): per-doc baseline JFIF JPEGs are synthesized at quality 95 with
+    4:2:0 chroma subsampling and 2-MCU restart intervals (sources/jpegcodec.
+    encode_jpeg — pure stdlib+numpy per ITU-T T.81: matrix DCT, Annex K
+    quant/Huffman, byte-stuffed entropy stream), then DECODED BACK
+    (decode_jpeg: marker walk, Huffman bit-serial decode, dequantize, IDCT,
+    chroma upsample, YCbCr→RGB) and verified against the recomputed source
+    gradient.  JPEG is lossy by design, so the driver-checkable reduction is
+    the BOUNDED-ERROR contract: max abs per-sample deviation ≤ 8 codes at
+    q95 on the smooth gradient (measured ≤ 4; the bound leaves headroom,
+    not slack in the semantics), which the oracle pins as TRUE alongside
+    exact dimensions.  Plan: two chained mapInPandas inside the scan
+    partition — no shuffle; pixel tensors never leave the executor."""
+    from clickhouseocp_spark.sources.multimodal import (
+        synthesize_gradient_jpeg,
+        verify_image_roundtrip,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return verify_image_roundtrip(synthesize_gradient_jpeg(docs))
+
+
+@register(
     "multimodal_audio_meta",
     oracle="""
 WITH p AS (
@@ -1841,3 +1877,52 @@ def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouseocp_spark.operators.packing import budget_sample
 
     return budget_sample(load_table(spark, sf_dir, "documents"), 2000)
+
+
+@register(
+    "fulltext_index_search",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                     t -> t <> '') AS tk
+  FROM documents
+),
+flags AS (
+  SELECT doc_id,
+         list_contains(tk, 'vector') AS has_vector,
+         list_contains(tk, 'stream') AS has_stream
+  FROM toks
+)
+SELECT doc_id,
+       (has_vector AND has_stream) AS has_all
+FROM flags
+WHERE has_vector OR has_stream
+""",
+    tags=("llm", "text", "index"),
+)
+def fulltext_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text (inverted) index — the CH 25.x experimental ``full_text``
+    skipping-index analog (operators/fulltext.py): build the postings table
+    (token_bucket, token, doc_id) from the documents corpus, then answer an
+    ANY-of and an ALL-of search for {vector, stream} FROM THE POSTINGS
+    ALONE — the document table is never rescanned; the two searches
+    semi-join on doc_id.  The bucket key makes a persisted index
+    partition-prunable (pytest pins the parquet round trip + pruned scan);
+    the oracle replays with per-document token membership — exactly the
+    scan the index avoids.  Plan: one explode + distinct builds the
+    postings; each search is one filtered aggregate over them."""
+    from clickhouseocp_spark.operators.fulltext import (
+        build_fulltext_index,
+        search_fulltext,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs)
+    any_hits = search_fulltext(idx, ["vector", "stream"], mode="any")
+    all_hits = search_fulltext(idx, ["vector", "stream"], mode="all").withColumn(
+        "has_all", F.lit(True)
+    )
+    return any_hits.join(all_hits, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("has_all"), F.lit(False)).alias("has_all")
+    )

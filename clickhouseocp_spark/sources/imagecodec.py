@@ -1,13 +1,14 @@
-"""Dependency-free image codec: PNG, uncompressed BMP, and binary PPM/PGM in
-pure stdlib+numpy (all from their public specs — PNG: RFC 2083 chunk layout,
-zlib-deflated scanlines with the five per-row filters; BMP:
-BITMAPINFOHEADER layout, bottom-up BGR rows padded to 4 bytes; PPM/PGM: the
-netpbm ``P6``/``P5`` binary headers).  No PIL/libvips in this container, but
-these formats need nothing beyond ``zlib`` and byte slicing, so the
-multimodal decode tier can be REAL for them — ``sources/multimodal.
-decode_image`` dispatches here on magic bytes and only falls back to the
-deterministic fake for payloads that are not actually images (JPEG is the
-one mainstream format that genuinely needs a library).
+"""Dependency-free image codec: PNG, JPEG, uncompressed BMP, and binary
+PPM/PGM in pure stdlib+numpy (all from their public specs — PNG: RFC 2083
+chunk layout, zlib-deflated scanlines with the five per-row filters; JPEG:
+ITU-T T.81 baseline sequential DCT in the sibling ``jpegcodec`` module;
+BMP: BITMAPINFOHEADER layout, bottom-up BGR rows padded to 4 bytes;
+PPM/PGM: the netpbm ``P6``/``P5`` binary headers).  No PIL/libvips in this
+container, but these formats need nothing beyond ``zlib`` and numpy, so the
+multimodal decode tier is REAL for every mainstream still-image format —
+``sources/multimodal.decode_image`` dispatches here on magic bytes and only
+falls back to the deterministic fake for payloads that are not actually
+images (video containers remain the one genuinely library-bound tier).
 
 Everything operates on ``uint8`` arrays shaped (height, width, 3) (RGB) or
 (height, width) (grayscale); decoding never copies more than the pixel
@@ -309,6 +310,8 @@ def sniff_format(data: bytes) -> str | None:
     None."""
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return "PNG"
+    if len(data) >= 4 and data[:2] == b"\xff\xd8" and data[2] == 0xFF:
+        return "JPEG"  # SOI + next marker prefix — prose cannot collide
     if len(data) >= 54 and data[:2] == b"BM":
         if struct.unpack_from("<I", data, 14)[0] in _DIB_SIZES:
             return "BMP"
@@ -322,16 +325,20 @@ def sniff_format(data: bytes) -> str | None:
 
 
 def decode_any(data: bytes) -> tuple[np.ndarray, str]:
-    """Decode a PNG/BMP/PPM/PGM payload → (pixel array, format name)."""
+    """Decode a PNG/JPEG/BMP/PPM/PGM payload → (pixel array, format name)."""
     fmt = sniff_format(data)
     if fmt == "PNG":
         return decode_png(data), fmt
+    if fmt == "JPEG":
+        from clickhouseocp_spark.sources.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data), fmt
     if fmt == "BMP":
         return decode_bmp(data), fmt
     if fmt in ("PPM", "PGM"):
         return decode_ppm(data), fmt
     raise ValueError(
-        "unrecognized image payload (supported: PNG, BMP, PPM, PGM)"
+        "unrecognized image payload (supported: PNG, JPEG, BMP, PPM, PGM)"
     )
 
 

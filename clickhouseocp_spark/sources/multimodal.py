@@ -4,15 +4,16 @@ star; the reference side analog is ClickHouse's String/binary columns +
 user_files staging, Dockerfile:180-190).
 
 The Spark-side plumbing is real — schema, partitioning, UDF signature, Arrow
-batch shape.  Decoding is REAL for PNG (stdlib zlib + numpy, all five row
-filters), uncompressed BMP, and binary PPM/PGM payloads
-(``sources/imagecodec`` — pure-stdlib codecs from the public specs; no media
-libraries needed), detected by strict magic-byte sniffing.  For every other
-payload (JPEG/video genuinely need libjpeg/ffmpeg, absent in this
-container) :func:`decode_image` raises ``NotImplementedError`` unless
-``fake=True``, in which case a deterministic fake decoder derives pseudo
-dimensions from the payload hash (stable across runs/executors, good enough
-to exercise every seam).
+batch shape.  Decoding is REAL for every mainstream still-image format: PNG
+(stdlib zlib + numpy, all five row filters), JPEG (baseline sequential DCT —
+``sources/jpegcodec``, 4:4:4/4:2:2/4:2:0 + restart intervals), uncompressed
+BMP, and binary PPM/PGM (``sources/imagecodec`` — pure-stdlib codecs from
+the public specs; no media libraries needed), detected by strict magic-byte
+sniffing.  For non-image payloads and video containers (the one tier that
+genuinely needs ffmpeg, absent in this container) :func:`decode_image`
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake decoder derives pseudo dimensions from the payload hash
+(stable across runs/executors, good enough to exercise every seam).
 """
 
 from __future__ import annotations
@@ -38,11 +39,11 @@ def attach_binary_payload(
 def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
     """Decode an image payload → (width, height, format).
 
-    REAL for PNG / uncompressed BMP / binary PPM / PGM (pure stdlib+numpy
-    codecs in ``sources/imagecodec``); the strict magic sniff means prose
-    bytes never reach the real decoder.  JPEG needs libjpeg — absent here —
-    so it raises unless ``fake=True``, where a deterministic stand-in
-    derives dimensions from the sha256 digest (stable everywhere,
+    REAL for PNG / JPEG / uncompressed BMP / binary PPM / PGM (pure
+    stdlib+numpy codecs in ``sources/imagecodec`` + ``jpegcodec``); the
+    strict magic sniff means prose bytes never reach the real decoders.
+    Non-image payloads raise unless ``fake=True``, where a deterministic
+    stand-in derives dimensions from the sha256 digest (stable everywhere,
     exercising the full Spark data path).
     """
     from clickhouseocp_spark.sources import imagecodec
@@ -56,9 +57,9 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
             pass  # sniff false-positive (e.g. prose starting "P5 9 9 255 ")
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/BMP/PPM/PGM; JPEG and video formats require "
-            "libjpeg/ffmpeg — run with fake=True for the deterministic "
-            "stand-in decoder"
+            "payload is not PNG/JPEG/BMP/PPM/PGM; video containers require "
+            "ffmpeg — run with fake=True for the deterministic stand-in "
+            "decoder"
         )
     digest = hashlib.sha256(payload).digest()
     width = 64 + digest[0] % 192  # 64..255 — plausible thumbnail dims
@@ -251,6 +252,100 @@ def synthesize_gradient_png(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema=schema)
 
 
+def _gradient_rgb(i: int):
+    """The shared deterministic per-id test image: (16 + i%32) × (8 + i%16)
+    RGB with pixel(x,y,c) = x + y + c (smooth — the shape JPEG quantization
+    preserves within a few codes at quality 95)."""
+    import numpy as np
+
+    w, h = 16 + i % 32, 8 + i % 16
+    y, x = np.mgrid[0:h, 0:w]
+    return (x[:, :, None] + y[:, :, None] + np.arange(3)).astype(np.uint8)
+
+
+def synthesize_gradient_jpeg(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic JPEG fixture generator (mapInPandas, no shuffle): per
+    id, a real baseline JFIF JPEG (``sources/jpegcodec.encode_jpeg``) of the
+    shared gradient image at quality 95 with 4:2:0 chroma subsampling and a
+    2-MCU restart interval — the realistic camera/web shape, exercising the
+    decoder's subsampled-MCU and RSTn paths on every payload."""
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.jpegcodec import encode_jpeg
+
+    schema = f"{id_col} long, payload binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                encode_jpeg(
+                    _gradient_rgb(int(i)),
+                    quality=95,
+                    subsampling="4:2:0",
+                    restart_interval=2,
+                )
+                for i in pdf[id_col].values
+            ]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": "image/jpeg",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
+def verify_image_roundtrip(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    max_abs_err: int = 8,
+) -> DataFrame:
+    """Decode binary image payloads and verify them against the shared
+    per-id gradient: dimensions, format, and a bounded-error contract
+    (``bounded_ok`` = max abs per-sample deviation ≤ ``max_abs_err``) — the
+    lossy-codec analog of the PNG tier's exact pixel sum, value-checkable by
+    a SQL oracle as a pinned TRUE.  Same scan-partition mapInPandas shape;
+    only scalars leave the executor."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.imagecodec import decode_any
+
+    schema = (
+        f"{id_col} long, width int, height int, n_channels int, "
+        "fmt string, bounded_ok boolean"
+    )
+
+    def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col].values, pdf[payload_col]):
+                arr, fmt = decode_any(bytes(payload))
+                want = _gradient_rgb(int(i))
+                ok = (
+                    arr.shape == want.shape
+                    and int(
+                        np.abs(arr.astype(np.int64) - want.astype(np.int64)).max()
+                    )
+                    <= max_abs_err
+                )
+                nch = 1 if arr.ndim == 2 else arr.shape[2]
+                rows.append(
+                    (int(i), arr.shape[1], arr.shape[0], nch, fmt, bool(ok))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height", "n_channels", "fmt", "bounded_ok",
+                ],
+            )
+
+    return df.mapInPandas(verify, schema=schema)
+
+
 def extract_image_pixels(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -328,12 +423,12 @@ def resize_image(
 ) -> bytes:
     """Resize an image payload to (width, height).
 
-    REAL for BMP/PPM/PGM payloads: decode (``sources/imagecodec``) →
-    nearest-neighbor index-map resize → re-encode in the same format, all
-    numpy.  Other formats need PIL/libvips (absent in this container); with
-    ``fake=True`` the stand-in emits a deterministic pseudo-bitmap — a
-    sha256-keyed byte stream of exactly width*height bytes — so the batch
-    shapes, sizes, and downstream hashing are all real."""
+    REAL for PNG/JPEG/BMP/PPM/PGM payloads: decode (``sources/imagecodec``)
+    → nearest-neighbor index-map resize → re-encode in the same format, all
+    stdlib+numpy.  Non-image payloads raise; with ``fake=True`` the
+    stand-in emits a deterministic pseudo-bitmap — a sha256-keyed byte
+    stream of exactly width*height bytes — so the batch shapes, sizes, and
+    downstream hashing are all real."""
     from clickhouseocp_spark.sources import imagecodec
 
     payload = bytes(payload)
@@ -342,6 +437,12 @@ def resize_image(
         try:
             arr, fmt = imagecodec.decode_any(payload)
             resized = imagecodec.resize_nearest(arr, width, height)
+            if fmt == "PNG":
+                return imagecodec.encode_png(resized)
+            if fmt == "JPEG":
+                from clickhouseocp_spark.sources.jpegcodec import encode_jpeg
+
+                return encode_jpeg(resized)
             if fmt == "BMP":
                 return imagecodec.encode_bmp(resized)
             return imagecodec.encode_ppm(resized)
@@ -349,8 +450,8 @@ def resize_image(
             pass  # sniff false-positive → treat as non-image below
     if not fake:
         raise NotImplementedError(
-            "payload is not BMP/PPM/PGM; other formats require PIL/libvips — "
-            "run with fake=True for the deterministic stand-in"
+            "payload is not PNG/JPEG/BMP/PPM/PGM; video containers require "
+            "ffmpeg — run with fake=True for the deterministic stand-in"
         )
     seed = hashlib.sha256(payload + b"@" + f"{width}x{height}".encode()).digest()
     reps = (width * height) // len(seed) + 1
