@@ -1327,6 +1327,16 @@ FUNC_RULES: dict[str, object] = {
     "multiSearchAny": lambda args: (
         f"exists({args[1]}, p -> locate(p, {args[0]}) > 0)"
     ),
+    # hasToken: exact token membership per the default tokenizer (split at
+    # non-alphanumeric runs) — what the full_text index accelerates
+    "hasToken": lambda args: (
+        f"array_contains(filter(split({args[0]}, '[^a-zA-Z0-9]+'), "
+        f"t -> t != ''), {args[1]})"
+    ),
+    "hasTokenCaseInsensitive": lambda args: (
+        f"array_contains(filter(split(lower({args[0]}), '[^a-zA-Z0-9]+'), "
+        f"t -> t != ''), lower({args[1]}))"
+    ),
     "multiSearchFirstIndex": lambda args: (
         f"coalesce(array_position(transform({args[1]}, "
         f"p -> locate(p, {args[0]}) > 0), true), 0)"

@@ -881,6 +881,157 @@ def base58Decode(a) -> Column:
     return pandas_udf(_dec, "string")(_c(a))
 
 
+# --- round-6 batch C: hierarchies, punycode/IDNA, consistent hashing --------
+
+
+def URLHierarchy(url) -> Column:
+    """CH URLHierarchy: the URL truncated at each path separator — e.g.
+    https://h/a/b?q → ['https://h/', 'https://h/a/', 'https://h/a/b?q'].
+    Intermediate elements keep the trailing '/', the final element is the
+    full URL.  Fragment-free URLs (the CH example scope); pure split/slice
+    expressions, oracle-replayable."""
+    u = _c(url)
+    root = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    rest = F.substring(u, F.length(root) + 1, F.lit(1 << 30))
+    path = F.split(rest, r"\?", 2)[0]
+    parts = F.split(path, "/")  # path starts '/' → parts[0] = ''
+    n = F.size(parts)
+    prefixes = F.transform(
+        F.sequence(F.lit(2), F.greatest(n - 1, F.lit(1))),
+        lambda i: F.concat(root, F.array_join(F.slice(parts, 1, i), "/"), F.lit("/")),
+    )
+    mids = F.when(n >= 3, prefixes).otherwise(F.array().cast("array<string>"))
+    full = F.when(
+        (F.length(rest) > 0) & ~u.endswith("/"), F.array(u)
+    ).otherwise(F.array().cast("array<string>"))
+    base = F.when(
+        F.length(rest) > 0, F.array(F.concat(root, F.lit("/")))
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(base, mids, full))
+
+
+def URLPathHierarchy(url) -> Column:
+    """CH URLPathHierarchy: like URLHierarchy but path-relative and WITHOUT
+    the bare '/' element (CH docs example) — https://h/a/b?q →
+    ['/a/', '/a/b?q']."""
+    u = _c(url)
+    root = F.regexp_extract(u, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    stripped = F.transform(
+        URLHierarchy(u), lambda p: F.substring(p, F.length(root) + 1, 1 << 30)
+    )
+    return F.filter(stripped, lambda p: p != "/")
+
+
+def punycodeEncode(a) -> Column:
+    """CH punycodeEncode (24.1): RFC 3492 punycode of the text — stdlib
+    ``punycode`` codec in an Arrow-batched pandas UDF (the bootstring
+    algorithm is per-string stateful)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        return s.map(
+            lambda v: None if v is None else v.encode("punycode").decode("ascii")
+        )
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")(_c(a))
+
+
+def punycodeDecode(a) -> Column:
+    """CH punycodeDecode: inverse of punycodeEncode."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        return s.map(
+            lambda v: None if v is None else v.encode("ascii").decode("punycode")
+        )
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")(_c(a))
+
+
+def idnaEncode(a) -> Column:
+    """CH idnaEncode (24.1): IDNA ASCII-compatible encoding of a hostname
+    (xn-- labels), stdlib ``idna`` codec; '' stays '' (the codec rejects
+    empty labels, CH returns empty)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        def one(v):
+            if v is None:
+                return None
+            if not v:
+                return ""
+            return v.encode("idna").decode("ascii")
+
+        return s.map(one)
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")(_c(a))
+
+
+def idnaDecode(a) -> Column:
+    """CH idnaDecode: inverse of idnaEncode (unicode hostname out)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        def one(v):
+            if v is None:
+                return None
+            if not v:
+                return ""
+            return v.encode("ascii").decode("idna")
+
+        return s.map(one)
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")(_c(a))
+
+
+def jumpConsistentHash(key, num_buckets: int) -> Column:
+    """CH jumpConsistentHash: the Lamping-Veach jump consistent hash
+    (arXiv:1406.2294 — the public algorithm CH wraps): maps a uint64 key to
+    a bucket in [0, num_buckets) such that bucket counts changing by one
+    moves only ~1/n of keys.  THE primitive for stable shard assignment at
+    100 TB (resharding moves the minimum).  Vectorized numpy kernel: the
+    loop iterates at most num_buckets times (j strictly grows), each pass
+    one LCG step + one double multiply over the still-active lanes.  The
+    uint64 LCG wraparound needs numpy (Spark has no unsigned 64-bit), so
+    this is an Arrow-batched pandas UDF; the oracle replays the identical
+    iteration in SQL with HUGEINT mod-2^64 arithmetic — IEEE doubles make
+    the trajectories bitwise-equal across engines."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    nb = int(num_buckets)
+
+    def _jump(s):
+        key_arr = s.to_numpy(dtype=np.int64).view(np.uint64).copy()
+        b = np.full(key_arr.shape, -1, dtype=np.int64)
+        j = np.zeros(key_arr.shape, dtype=np.int64)
+        mult = np.uint64(2862933555777941757)
+        one = np.uint64(1)
+        active = j < nb
+        with np.errstate(over="ignore"):
+            while active.any():
+                b[active] = j[active]
+                key_arr[active] = key_arr[active] * mult + one
+                rnd = ((key_arr[active] >> np.uint64(33)) + one).astype(np.float64)
+                j[active] = ((b[active] + 1) * (float(1 << 31) / rnd)).astype(
+                    np.int64
+                )
+                active = j < nb
+        return pd.Series(b)
+
+    _jump.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_jump, "long")(_c(key).cast("long"))
+
+
 # --- URL / JSON vocabulary (round 5 batch B) --------------------------------
 
 def netloc(url) -> Column:

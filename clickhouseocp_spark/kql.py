@@ -42,8 +42,13 @@ consumers of FORMAT output see the moved column.
 - ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
   equi-join (single key or ``$left.a == $right.b`` form)
 
-Everything inside scalar expressions passes through to Spark SQL verbatim
-(same policy as prql.py — KQL's scalar layer is close enough to SQL for the
+Scalar sugar: ``==``/``!=``, ``contains``/``startswith``/``endswith``,
+``datetime(...)`` literals, and ``bin(x, size)`` (numeric or
+30s/5m/1h/1d timespan — Kusto's bucketing scalar, lowered to floor
+arithmetic / epoch-floor).
+
+Everything else inside scalar expressions passes through to Spark SQL
+verbatim (same policy as prql.py — KQL's scalar layer is close enough to SQL for the
 shared core: arithmetic, comparisons, function calls).
 """
 
@@ -86,6 +91,28 @@ def _expr(e: str) -> str:
     e = re.sub(
         r"\bdatetime\(([^)]+)\)",
         lambda m: f"TIMESTAMP '{m.group(1).strip()}'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    # bin(x, size): Kusto's bucketing scalar.  Numeric size → floor
+    # arithmetic; timespan literal (30s/5m/1h/1d) → epoch-floor back to
+    # timestamp — both stay whole-stage-codegen expressions.
+    e = re.sub(
+        r"\bbin\(([^,]+),\s*([0-9.]+)(s|m|h|d)\s*\)",
+        lambda m: (
+            lambda secs: (
+                f"to_timestamp(floor(unix_timestamp({m.group(1).strip()}) "
+                f"/ {secs}) * {secs})"
+            )
+        )({"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(3)] * float(m.group(2))),
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"\bbin\(([^,]+),\s*([0-9.]+)\s*\)",
+        lambda m: (
+            f"(floor({m.group(1).strip()} / {m.group(2)}) * {m.group(2)})"
+        ),
         e,
         flags=re.IGNORECASE,
     )
@@ -184,13 +211,25 @@ def transpile_kql(query: str) -> str:
             else:
                 aggs, keys = rest.strip(), ""
             agg_items = [_alias_item(x, agg=True) for x in _split_top(aggs)]
-            key_items = [_expr(x) for x in _split_top(keys)] if keys else []
-            if not agg_items and not key_items:
+            key_sel, key_grp = [], []
+            for x in _split_top(keys) if keys else []:
+                # Kusto allows aliased by-keys: `by day = bin(ts, 1d)` —
+                # SELECT the aliased expr, GROUP BY the bare expr
+                m2 = re.match(r"^\s*([A-Za-z_]\w*)\s*=\s*(.+)$", x)
+                if m2 and not re.match(r"^\s*=", m2.group(2)):
+                    expr = _expr(m2.group(2))
+                    key_sel.append(f"{expr} AS {m2.group(1)}")
+                    key_grp.append(expr)
+                else:
+                    expr = _expr(x)
+                    key_sel.append(expr)
+                    key_grp.append(expr)
+            if not agg_items and not key_sel:
                 raise KqlError("summarize needs aggregates or by-keys")
-            sel = ", ".join(key_items + agg_items) or "*"
+            sel = ", ".join(key_sel + agg_items) or "*"
             rel = f"SELECT {sel} FROM {sub}"
-            if key_items:
-                rel += f" GROUP BY {', '.join(key_items)}"
+            if key_grp:
+                rel += f" GROUP BY {', '.join(key_grp)}"
         elif op in ("sort", "order"):
             rest = re.sub(r"^by\s+", "", rest, flags=re.IGNORECASE)
             rel = f"SELECT * FROM {sub} ORDER BY {_order_list(rest)}"

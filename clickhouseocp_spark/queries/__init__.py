@@ -68,6 +68,7 @@ def _load_all() -> None:
         vocab_q,
         vocab_q5,
         vocab_q6,
+        vocab_q7,
         tpch,
     )
 

