@@ -658,6 +658,47 @@ class ChSparkEngine:
             )
             out = self._base_table(t).withColumn(col, default.cast(spark_type))
             return self._set_lineage(t, out)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+ADD\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s*\(?\s*(\w+)\s*\)?\s+TYPE\s+(full_text|gin|inverted|tokenbf_v1)"
+            r".*$",
+            text,
+        )
+        if m:
+            # CH experimental full-text index (25.x `full_text`, ex-`inverted`;
+            # tokenbf_v1 is the bloom variant): the Spark-native index is a
+            # postings TABLE — build it now, register it as <table>__idx_<name>
+            # so text queries can consult it (SELECT doc ids FROM the postings
+            # WHERE token = ...), bucket-keyed for partition pruning when
+            # persisted (operators/fulltext.py).
+            from clickhouseocp_spark.operators.fulltext import build_fulltext_index
+
+            t, iname, col = m.group(1).lower(), m.group(2).lower(), m.group(3)
+            base = self._base_table(t)
+            if col not in base.columns:
+                raise ChSqlError(f"ADD INDEX: no column {col!r} in {t!r}")
+            id_col = base.columns[0]  # CH indexes rows; the first column keys
+            postings = build_fulltext_index(base, text_col=col, id_col=id_col)
+            if not hasattr(self, "_indexes"):
+                self._indexes: dict[str, tuple[str, str, str]] = {}
+            self._indexes[f"{t}.{iname}"] = (t, col, m.group(4).lower())
+            return self._replace_view(f"{t}__idx_{iname}", postings)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+(?:DROP|CLEAR)\s+INDEX\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)$",
+            text,
+        )
+        if m:
+            t, iname = m.group(1).lower(), m.group(2).lower()
+            getattr(self, "_indexes", {}).pop(f"{t}.{iname}", None)
+            self.tables.pop(f"{t}__idx_{iname}", None)
+            return self.spark.range(0).select(F.lit("ok").alias("ok")).limit(0)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+INDEX\s+(\w+)$", text
+        )
+        if m:
+            # session postings views are always current — accepted no-op
+            return self.spark.range(0).select(F.lit("ok").alias("ok")).limit(0)
         m = _re.match(r"(?is)^ALTER\s+TABLE\s+(\w+)\s+DROP\s+COLUMN\s+(?:IF\s+EXISTS\s+)?(\w+)$", text)
         if m:
             t, col = m.group(1).lower(), m.group(2)

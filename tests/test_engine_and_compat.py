@@ -1073,3 +1073,29 @@ def test_vocab_r6_batch_c(spark):
     moved = [r for r in rows if r.b10 != r.b11]
     assert all(r.b11 == 10 for r in moved)  # moves land ONLY in the new bucket
     assert 0 < len(moved) < 120  # ~1/11 of 500 ≈ 45, generous bounds
+
+
+def test_alter_add_fulltext_index(spark, sf_dir):
+    """ALTER TABLE ... ADD INDEX ... TYPE full_text (CH 25.x experimental
+    skipping index): builds the postings table as <table>__idx_<name>, the
+    index-path semi-join equals the hasToken scan, MATERIALIZE INDEX is an
+    accepted no-op, DROP INDEX removes the view."""
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    try:
+        eng.sql(
+            "ALTER TABLE documents ADD INDEX ft (text) TYPE full_text GRANULARITY 1"
+        )
+        assert "documents__idx_ft" in eng.tables
+        idx_n = eng.sql(
+            "SELECT count() AS n FROM documents WHERE doc_id IN "
+            "(SELECT doc_id FROM documents__idx_ft WHERE token = 'vector')"
+        ).collect()[0].n
+        scan_n = eng.sql(
+            "SELECT count() AS n FROM documents WHERE hasToken(text, 'vector')"
+        ).collect()[0].n
+        assert idx_n == scan_n > 0
+        eng.sql("ALTER TABLE documents MATERIALIZE INDEX ft")
+        eng.sql("ALTER TABLE documents DROP INDEX ft")
+        assert "documents__idx_ft" not in eng.tables
+    finally:
+        eng.tables.pop("documents__idx_ft", None)
