@@ -904,6 +904,14 @@ FUNC_RULES: dict[str, object] = {
     "concatWithSeparator": _rename("concat_ws"),
     "splitByChar": lambda args: f"split({args[1]}, {_regex_quote(args[0])}, -1)",
     "splitByString": lambda args: f"split({args[1]}, {_regex_quote(args[0])}, -1)",
+    "splitByRegexp": lambda args: f"split({args[1]}, {args[0]}, -1)",
+    # arrayPartialSort(limit, arr): CH leaves elements past `limit`
+    # unspecified — this engine pins the DETERMINISTIC superset (fully
+    # sorted), so the first `limit` elements match CH exactly
+    "arrayPartialSort": lambda args: f"array_sort({args[1]})",
+    "arrayPartialReverseSort": lambda args: (
+        f"reverse(array_sort({args[1]}))"
+    ),
     "trimBoth": _rename("trim"), "trimLeft": _rename("ltrim"), "trimRight": _rename("rtrim"),
     "leftPad": _rename("lpad"), "rightPad": _rename("rpad"),
     "empty": lambda args: f"(length({args[0]}) = 0)",
@@ -1130,6 +1138,13 @@ FUNC_RULES: dict[str, object] = {
     ),
     "makeDate": _rename("make_date"),
     "makeDateTime": _rename("make_timestamp"),
+    # changeX family (24.7): rebuild the timestamp with one field replaced
+    "changeYear": lambda args: _change_dt_field(args, "year"),
+    "changeMonth": lambda args: _change_dt_field(args, "month"),
+    "changeDay": lambda args: _change_dt_field(args, "day"),
+    "changeHour": lambda args: _change_dt_field(args, "hour"),
+    "changeMinute": lambda args: _change_dt_field(args, "minute"),
+    "changeSecond": lambda args: _change_dt_field(args, "second"),
     "age": lambda args: (
         f"timestampdiff({args[0].strip().strip(chr(39)).upper()}, {args[1]}, {args[2]})"
     ),
@@ -1138,6 +1153,28 @@ FUNC_RULES: dict[str, object] = {
         f"cast(try_to_binary({args[0]}, 'base64') as string)"
     ),
     "levenshteinDistance": _rename("levenshtein"),
+    "editDistance": _rename("levenshtein"),
+    # stringJaccardIndex (23.x): Jaccard over the character sets
+    "stringJaccardIndex": lambda args: (
+        f"cast(size(array_intersect(array_distinct(split({args[0]}, '')), "
+        f"array_distinct(split({args[1]}, '')))) as double) / "
+        f"size(array_union(array_distinct(split({args[0]}, '')), "
+        f"array_distinct(split({args[1]}, ''))))"
+    ),
+    # byteHammingDistance (23.x, alias mismatches): positionwise mismatches,
+    # the length difference counted as mismatches (zip_with null-pads)
+    "byteHammingDistance": lambda args: (
+        f"aggregate(zip_with(split({args[0]}, ''), split({args[1]}, ''), "
+        f"(x, y) -> case when x is null or y is null then 1 "
+        f"when x <> y then 1 else 0 end), 0, (acc, v) -> acc + v)"
+    ),
+    "mismatches": lambda args: (
+        f"aggregate(zip_with(split({args[0]}, ''), split({args[1]}, ''), "
+        f"(x, y) -> case when x is null or y is null then 1 "
+        f"when x <> y then 1 else 0 end), 0, (acc, v) -> acc + v)"
+    ),
+    "extractAllGroupsHorizontal": lambda args: _extract_all_groups(args, False),
+    "extractAllGroupsVertical": lambda args: _extract_all_groups(args, True),
     "normalizeQuery": lambda args: (
         f"regexp_replace(regexp_replace(regexp_replace({args[0]}, "
         f"'/\\\\*.*?\\\\*/', ''), \"'[^']*'\", '?'), '\\\\b\\\\d+\\\\b', '?')"
@@ -1591,6 +1628,64 @@ def _parse_datetime(args: list[str]) -> str:
         raise ChSqlError("parseDateTime needs a literal format string")
     pattern = _ch_java_pattern(args[1][1:-1], "parseDateTime")
     return f"to_timestamp({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+def _count_capture_groups(pat: str) -> int:
+    """Capture groups in a LITERAL regex: unescaped '(' not followed by '?'."""
+    n = 0
+    i = 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == "(" and pat[i + 1 : i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _extract_all_groups(args: list[str], vertical: bool) -> str:
+    """extractAllGroupsHorizontal/Vertical(s, 'pat'): per-group
+    regexp_extract_all.  Horizontal → [[all g1], [all g2], ...];
+    Vertical → [[g1, g2, ...] per match].  The group count comes from the
+    literal pattern (same literal-only policy as formatDateTime)."""
+    if len(args) < 2 or not (args[1].startswith("'") and args[1].endswith("'")):
+        raise ChSqlError("extractAllGroups* needs a literal pattern string")
+    ng = _count_capture_groups(args[1][1:-1])
+    if ng == 0:
+        raise ChSqlError("extractAllGroups*: pattern has no capture groups")
+    per_group = [
+        f"regexp_extract_all({args[0]}, {args[1]}, {i})" for i in range(1, ng + 1)
+    ]
+    if not vertical:
+        return f"array({', '.join(per_group)})"
+    inner = ", ".join(f"element_at({g}, cast(i as int))" for g in per_group)
+    # sequence(1, 0) runs DESCENDING in Spark — guard the no-match case
+    return (
+        f"case when size({per_group[0]}) = 0 then array() else "
+        f"transform(sequence(1, size({per_group[0]})), i -> array({inner})) end"
+    )
+
+
+def _change_dt_field(args: list[str], field: str) -> str:
+    """changeYear/...(ts, v) (CH 24.7): make_timestamp with one component
+    replaced — works for DATE and TIMESTAMP inputs (CH promotes DATE to
+    Date32/DateTime as needed; here everything lands in TIMESTAMP)."""
+    ts, v = args[0], args[1]
+    parts = {
+        "year": f"year({ts})",
+        "month": f"month({ts})",
+        "day": f"day({ts})",
+        "hour": f"hour({ts})",
+        "minute": f"minute({ts})",
+        "second": f"second({ts})",
+    }
+    parts[field] = f"({v})"
+    return (
+        f"make_timestamp({parts['year']}, {parts['month']}, {parts['day']}, "
+        f"{parts['hour']}, {parts['minute']}, {parts['second']})"
+    )
 
 
 def _array_rotate(a: str, n: str) -> str:

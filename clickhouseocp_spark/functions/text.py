@@ -319,3 +319,19 @@ def register_ch_udfs(spark) -> None:
     )
     spark.udf.register("jaroSimilarity", wrap(_jaro_py, "double"))
     spark.udf.register("jaroWinklerSimilarity", wrap(_jaro_winkler_py, "double"))
+
+    # Unicode normalization family (CH 21.11+): stdlib unicodedata in a
+    # vectorized pandas kernel — no dependency, exact NFC/NFD/NFKC/NFKD
+    import unicodedata
+
+    def norm(form):
+        @pandas_udf("string")
+        def _udf(a: pd.Series) -> pd.Series:
+            return a.map(
+                lambda v: None if v is None else unicodedata.normalize(form, v)
+            )
+
+        return _udf
+
+    for form in ("NFC", "NFD", "NFKC", "NFKD"):
+        spark.udf.register(f"normalizeUTF8{form}", norm(form))

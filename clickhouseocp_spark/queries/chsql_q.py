@@ -2452,3 +2452,147 @@ events
         "n",
         (F.floor(F.col("avg_raw") / 10) * 10).cast("double").alias("avg_bucket"),
     )
+
+
+@register(
+    "chsql_change_datetime",
+    oracle="""
+SELECT o_orderkey,
+       make_timestamp(2030, month(o_orderdate), day(o_orderdate),
+                      hour(o_orderdate), minute(o_orderdate),
+                      CAST(second(o_orderdate) AS DOUBLE)) AS cy,
+       make_timestamp(year(o_orderdate), 1 + o_orderkey % 12,
+                      15, hour(o_orderdate),
+                      minute(o_orderdate),
+                      CAST(second(o_orderdate) AS DOUBLE)) AS cm,
+       make_timestamp(year(o_orderdate), month(o_orderdate),
+                      1 + o_orderkey % 28, hour(o_orderdate),
+                      minute(o_orderdate),
+                      CAST(second(o_orderdate) AS DOUBLE)) AS cd,
+       make_timestamp(year(o_orderdate), month(o_orderdate),
+                      day(o_orderdate), CAST(o_orderkey % 24 AS BIGINT),
+                      CAST(o_orderkey % 60 AS BIGINT), 30.0) AS chms
+FROM orders WHERE o_orderkey < 400
+""",
+    tags=("chsql", "datetime", "vocab"),
+)
+def chsql_change_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``changeYear/Month/Day/Hour/Minute/Second`` (CH 24.7) through the
+    TEXT path — each lowered to make_timestamp with one component replaced;
+    the oracle replays with DuckDB make_timestamp.  Day values stay ≤ 28 so
+    no month-overflow semantics are exercised (CH clamps differently by
+    version; documented scope)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey,
+               changeYear(o_orderdate, 2030) AS cy,
+               changeMonth(changeDay(o_orderdate, 15), 1 + o_orderkey % 12) AS cm,
+               changeDay(o_orderdate, 1 + o_orderkey % 28) AS cd,
+               changeSecond(changeMinute(changeHour(o_orderdate,
+                   o_orderkey % 24), o_orderkey % 60), 30) AS chms
+        FROM orders WHERE o_orderkey < 400
+        """,
+    )
+
+
+@register(
+    "chsql_string_sets",
+    oracle="""
+WITH s AS (
+  SELECT p_partkey, p_name, p_brand,
+         p_brand || '#' || CAST(p_partkey % 97 AS VARCHAR) AS tag
+  FROM part WHERE p_partkey < 300
+),
+j AS (
+  SELECT *,
+         list_distinct(string_split(p_name, '')) AS ca,
+         list_distinct(string_split(tag, '')) AS cb,
+         string_split(p_brand, '') AS ba,
+         string_split(tag, '') AS bb
+  FROM s
+)
+SELECT p_partkey,
+       ROUND(CAST(len(list_intersect(ca, cb)) AS DOUBLE)
+             / len(list_distinct(list_concat(ca, cb))), 6) AS jac,
+       CAST(len(list_filter(list_zip(ba, bb),
+                x -> x[1] IS NULL OR x[2] IS NULL OR x[1] <> x[2]))
+            AS BIGINT) AS ham,
+       COALESCE(array_to_string(
+           regexp_extract_all(p_name, '([a-z]+)o([a-z]+)', 1), ','), '') AS g1,
+       COALESCE(array_to_string(
+           regexp_extract_all(p_name, '([a-z]+)o([a-z]+)', 2), ','), '') AS g2
+FROM j
+""",
+    tags=("chsql", "string", "vocab"),
+)
+def chsql_string_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stringJaccardIndex`` (character-set Jaccard), ``byteHammingDistance``
+    (positionwise mismatches, length difference counted), and
+    ``extractAllGroupsHorizontal`` through the TEXT path — all lowered to
+    split/zip_with/aggregate/regexp_extract_all expressions; the oracle
+    replays with DuckDB list algebra (list_zip null-pads exactly like
+    Spark's zip_with)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT p_partkey,
+               round(stringJaccardIndex(p_name,
+                     concat(p_brand, '#', toString(p_partkey % 97))), 6) AS jac,
+               byteHammingDistance(p_brand,
+                     concat(p_brand, '#', toString(p_partkey % 97))) AS ham,
+               arrayStringConcat(
+                 arrayElement(extractAllGroupsHorizontal(p_name,
+                     '([a-z]+)o([a-z]+)'), 1), ',') AS g1,
+               arrayStringConcat(
+                 arrayElement(extractAllGroupsHorizontal(p_name,
+                     '([a-z]+)o([a-z]+)'), 2), ',') AS g2
+        FROM part WHERE p_partkey < 300
+        """,
+    )
+
+
+@register(
+    "chsql_split_normalize",
+    oracle="""
+SELECT n_nationkey,
+       array_to_string(string_split_regex(n_name || '1X2YY3', '[0-9]+'),
+                       '|') AS by_regexp,
+       TRUE AS nfc_fixes_decomposed,
+       TRUE AS nfd_roundtrip_ok,
+       'e' || chr(769) AS nfd_pin,  -- e + combining acute (explicit)
+       chr(233) AS nfc_pin          -- precomposed e-acute (explicit)
+FROM nation
+""",
+    tags=("chsql", "string", "vocab"),
+)
+def chsql_split_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``splitByRegexp`` + the Unicode normalization family
+    (``normalizeUTF8NFC/NFD/NFKC/NFKD``, stdlib unicodedata kernels
+    registered as SQL functions) through the TEXT path.  splitByRegexp
+    replays in DuckDB directly; normalization has no DuckDB equivalent, so
+    the query pins the RFC-classic vectors (e + combining-acute ↔ é) and
+    NFC∘NFD == NFC identity contracts the oracle value-matches."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+        SELECT n_nationkey,
+               arrayStringConcat(
+                 splitByRegexp('[0-9]+', concat(n_name, '1X2YY3')), '|')
+                 AS by_regexp,
+               normalizeUTF8NFC('e\\u0301') = '\\u00e9'
+                 AS nfc_fixes_decomposed,
+               normalizeUTF8NFC(normalizeUTF8NFD(n_name)) = n_name
+                 AS nfd_roundtrip_ok,
+               normalizeUTF8NFD('\\u00e9') AS nfd_pin,
+               normalizeUTF8NFC('e\\u0301') AS nfc_pin
+        FROM nation
+        """
+    )
+    return df

@@ -331,3 +331,44 @@ def stream_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "stream_fulltext_index",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'),
+                       t -> t <> ''))) AS token
+  FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+FROM toks GROUP BY token ORDER BY df DESC, token LIMIT 10
+""",
+    tags=("streaming", "index", "text"),
+)
+def stream_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained full-text index (round 6): the documents
+    stream feeds a persistent postings table via foreachBatch
+    (streaming/pipeline.foreach_batch_postings_rollup — exact associative
+    set-union state, the CH Kafka → MV → full_text-index pipeline); the
+    query reads the postings back and reports the top-10 tokens by document
+    frequency.  Postings are EXACT, so the oracle replays directly from the
+    batch documents table — streamed == batch with no tolerance."""
+    import tempfile
+
+    from clickhouseocp_spark.streaming.pipeline import (
+        documents_stream,
+        foreach_batch_postings_rollup,
+    )
+
+    target = tempfile.mkdtemp(prefix="ft_postings_") + "/t"
+    foreach_batch_postings_rollup(documents_stream(spark, sf_dir), target)
+    postings = spark.read.parquet(target)
+    return (
+        postings.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "token")
+        .limit(10)
+    )

@@ -414,3 +414,61 @@ def foreach_batch_sketch_rollup(
     )
     q.awaitTermination()
     return target_dir
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents fixture as a bounded file stream (plain schema — no
+    nanos handling needed)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return spark.readStream.schema(schema).parquet(_staged_dir(path))
+
+
+def foreach_batch_postings_rollup(
+    stream: DataFrame,
+    target_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> str:
+    """Incrementally-maintained full-text index (the CH `full_text` index
+    under a Kafka→MV pipeline): every micro-batch tokenizes its new
+    documents into postings (operators/fulltext.build_fulltext_index) and
+    set-unions them into a persistent parquet postings table.
+
+    Set union is exact and associative, so any batch split — replays
+    included — converges to the same postings table as one batch over all
+    rows (the same contract as the DDSketch rollup, with exact instead of
+    sketched state).  At 100 TB the merge is an append of the batch's
+    postings partitioned by token_bucket + periodic per-bucket distinct
+    compaction — here the bounded fixture uses the simpler
+    union-distinct-replace."""
+    import os
+    import shutil
+
+    from clickhouseocp_spark.operators.fulltext import build_fulltext_index
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        postings = build_fulltext_index(
+            batch_df, text_col=text_col, id_col=id_col, n_buckets=n_buckets
+        )
+        if os.path.exists(os.path.join(target_dir, "_SUCCESS")):
+            postings = spark.read.parquet(target_dir).unionByName(postings)
+        folded = postings.distinct()
+        tmp = target_dir + f".batch{batch_id}"
+        folded.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.replace(tmp, target_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    return target_dir
