@@ -96,6 +96,10 @@ HEADLINE = [
     "dedup_bloom_incremental",
     # time-series downsampling (per-series pandas kernel, 1 shuffle)
     "lttb_downsample",
+    # round-6 additions: inverted-index build+search and the stdlib JPEG
+    # encode→decode tier (mapInPandas, no shuffle)
+    "fulltext_index_search",
+    "multimodal_jpeg_decode",
 ]
 
 

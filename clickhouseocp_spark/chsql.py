@@ -1154,6 +1154,25 @@ FUNC_RULES: dict[str, object] = {
     ),
     "levenshteinDistance": _rename("levenshtein"),
     "editDistance": _rename("levenshtein"),
+    "max2": _rename("greatest"),
+    "min2": _rename("least"),
+    "sigmoid": lambda args: f"(1.0 / (1.0 + exp(-({args[0]}))))",
+    # roundToExp2: largest power of two ≤ x; CH returns 0 for x < 1
+    "roundToExp2": lambda args: (
+        f"CASE WHEN ({args[0]}) < 1 THEN 0 "
+        f"ELSE cast(pow(2, floor(log2({args[0]}))) as bigint) END"
+    ),
+    "regexpQuoteMeta": lambda args: (
+        f"regexp_replace({args[0]}, "
+        "'([\\\\\\\\.^$|?*+()\\\\[\\\\]{}])', '\\\\\\\\$1')"
+    ),
+    # toYearWeek mode 3 (ISO year*100 + ISO week); other MySQL modes would
+    # need week-based patterns Spark 3 removed — rejected explicitly
+    "toYearWeek": lambda args: (
+        f"(extract(YEAROFWEEK FROM {args[0]}) * 100 + weekofyear({args[0]}))"
+        if len(args) > 1 and args[1].strip() == "3"
+        else (_raise(ChSqlError("toYearWeek: only ISO mode 3 is supported")))
+    ),
     # stringJaccardIndex (23.x): Jaccard over the character sets
     "stringJaccardIndex": lambda args: (
         f"cast(size(array_intersect(array_distinct(split({args[0]}, '')), "
@@ -1628,6 +1647,11 @@ def _parse_datetime(args: list[str]) -> str:
         raise ChSqlError("parseDateTime needs a literal format string")
     pattern = _ch_java_pattern(args[1][1:-1], "parseDateTime")
     return f"to_timestamp({args[0]}, '" + pattern.replace("'", "''") + "')"
+
+
+def _raise(exc: Exception):
+    """Expression-position raise (lambda-friendly)."""
+    raise exc
 
 
 def _count_capture_groups(pat: str) -> int:

@@ -335,3 +335,19 @@ def register_ch_udfs(spark) -> None:
 
     for form in ("NFC", "NFD", "NFKC", "NFKD"):
         spark.udf.register(f"normalizeUTF8{form}", norm(form))
+
+    # special-function family (CH math vocabulary): libm via the stdlib —
+    # exact IEEE results, vectorized pandas kernels
+    import math
+
+    def unary(fn):
+        @pandas_udf("double")
+        def _udf(a: pd.Series) -> pd.Series:
+            return a.map(lambda v: None if v is None else fn(float(v)))
+
+        return _udf
+
+    spark.udf.register("erf", unary(math.erf))
+    spark.udf.register("erfc", unary(math.erfc))
+    spark.udf.register("tgamma", unary(math.gamma))
+    spark.udf.register("lgamma", unary(math.lgamma))

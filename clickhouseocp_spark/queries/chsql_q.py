@@ -2596,3 +2596,57 @@ def chsql_split_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df
+
+
+@register(
+    "chsql_math_vocab_r6",
+    oracle="""
+SELECT o_orderkey,
+       CAST(GREATEST(o_totalprice, 100000.0) AS DOUBLE) AS mx,
+       CAST(LEAST(o_totalprice, 100000.0) AS DOUBLE) AS mn,
+       ROUND(1.0 / (1.0 + exp(-(o_totalprice / 100000.0))), 6) AS sig,
+       CAST(CASE WHEN o_orderkey < 1 THEN 0
+                 ELSE CAST(power(2, FLOOR(log2(o_orderkey))) AS BIGINT)
+            END AS BIGINT) AS exp2,
+       CAST(isoyear(o_orderdate) * 100 + weekofyear(o_orderdate)
+            AS BIGINT) AS yw,
+       ROUND(gamma(1 + o_orderkey % 6), 6) AS tg,
+       ROUND(lgamma(1 + o_orderkey % 20), 6) AS lg,
+       TRUE AS erf_odd_ok,
+       ROUND(0.8427007929497149, 6) AS erf1_pin
+FROM orders WHERE o_orderkey < 400
+""",
+    tags=("chsql", "math", "vocab"),
+)
+def chsql_math_vocab_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math vocabulary through the TEXT path: ``max2``/``min2`` →
+    greatest/least, ``sigmoid``, ``roundToExp2`` (largest power of two ≤ x,
+    0 below 1), ``toYearWeek(ts, 3)`` (ISO mode — year-of-week × 100 +
+    ISO week; other MySQL modes rejected, Spark 3 removed week-based
+    patterns), and the libm special functions ``tgamma``/``lgamma``/``erf``
+    (stdlib-math pandas kernels registered as SQL functions).  DuckDB
+    replays gamma/lgamma natively; it lacks erf, so the query carries the
+    odd-symmetry contract erf(-x) == -erf(x) plus the textbook erf(1) pin.
+    The ISO year-of-week replays as DuckDB isoyear()*100 + weekofyear()."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+        SELECT o_orderkey,
+               max2(o_totalprice, 100000.0) AS mx,
+               min2(o_totalprice, 100000.0) AS mn,
+               round(sigmoid(o_totalprice / 100000.0), 6) AS sig,
+               roundToExp2(o_orderkey) AS exp2,
+               toYearWeek(o_orderdate, 3) AS yw,
+               round(tgamma(1 + o_orderkey % 6), 6) AS tg,
+               round(lgamma(1 + o_orderkey % 20), 6) AS lg,
+               abs(erf(-(o_totalprice / 100000.0))
+                   + erf(o_totalprice / 100000.0)) < 1e-15 AS erf_odd_ok,
+               round(erf(1.0), 6) AS erf1_pin
+        FROM orders WHERE o_orderkey < 400
+        """
+    )
+    return df
