@@ -127,9 +127,14 @@ def _depth0_positions(tokens: list[str], pred) -> list[int]:
 
 
 def _strip_tail(tokens: list[str]) -> list[str]:
-    """Drop trailing FORMAT <name> and SETTINGS k = v [, ...] clauses."""
+    """Drop trailing FORMAT <name> and SETTINGS k = v [, ...] clauses.
+    ``system.settings`` must survive: a SETTINGS token preceded by '.' is
+    the introspection table name, not the clause keyword."""
     for kw in ("FORMAT", "SETTINGS"):
-        pos = _depth0_positions(tokens, lambda t, i: _KW(t) == kw)
+        pos = _depth0_positions(
+            tokens,
+            lambda t, i: _KW(t) == kw and (i == 0 or tokens[i - 1] != "."),
+        )
         if pos:
             tokens = tokens[: pos[0]]
     return tokens

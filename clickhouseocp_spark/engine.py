@@ -181,6 +181,9 @@ class ChSparkEngine:
             self._default_dialect = value
         elif name in self._SETTING_MAP:
             self.spark.conf.set(self._SETTING_MAP[name], value)
+        if getattr(self, "_system_views_done", False):
+            # keep the system.settings view current (changed-flag semantics)
+            self.system_settings().createOrReplaceTempView("system_settings")
         return self.spark.createDataFrame(
             [(name, value)], "setting string, value string"
         ).limit(0)
@@ -1073,7 +1076,33 @@ class ChSparkEngine:
         self.spark.createDataFrame(
             [(0,)], "dummy tinyint"
         ).createOrReplaceTempView("system_one")
+        self.system_settings().createOrReplaceTempView("system_settings")
         self._system_views_done = True
+
+    def system_settings(self) -> DataFrame:
+        """`system.settings` analog: the session settings applied via SET
+        (changed = 1, CH's changed-flag semantics) plus the engine's pinned
+        Spark-conf analogs (changed = 0).  Re-registered after every SET so
+        text queries always see the current state."""
+        def conf(key: str) -> str:
+            try:  # typed confs reject a ''-default (Spark 4 validates it)
+                return str(self.spark.conf.get(key))
+            except Exception:  # noqa: BLE001 — unset conf → blank
+                return ""
+
+        pinned = [
+            ("max_threads", conf("spark.sql.shuffle.partitions")),
+            ("session_timezone", conf("spark.sql.session.timeZone")),
+            ("ansi_mode", conf("spark.sql.ansi.enabled")),
+            ("adaptive_execution", conf("spark.sql.adaptive.enabled")),
+        ]
+        changed = getattr(self, "settings", {})
+        rows = [(k, str(v), 1) for k, v in sorted(changed.items())] + [
+            (k, str(v), 0) for k, v in pinned if k not in changed
+        ]
+        return self.spark.createDataFrame(
+            rows, "name string, value string, changed int"
+        )
 
     def system_build_options(self) -> DataFrame:
         """`SELECT * FROM system.build_options` analog — the reference's own

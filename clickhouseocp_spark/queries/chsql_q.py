@@ -2650,3 +2650,38 @@ def chsql_math_vocab_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return df
+
+
+@register(
+    "system_settings_probe",
+    oracle="""
+SELECT * FROM (VALUES
+  ('adaptive_execution', 'true', 0),
+  ('ansi_mode', 'true', 0),
+  ('max_threads', '8', 1),
+  ('send_logs_level', 'warning', 1),
+  ('session_timezone', 'UTC', 0)
+) t(name, value, changed)
+""",
+    tags=("chsql", "system", "introspection"),
+)
+def system_settings_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``system.settings`` (round 6): session settings applied via SET show
+    changed = 1 (CH's changed-flag semantics), the engine's pinned
+    Spark-conf analogs show changed = 0; the view refreshes after every SET
+    so text reads always see current state.  The oracle pins the exact
+    post-SET rows.  (`SETTINGS k = v` tail clauses still strip — a SETTINGS
+    token preceded by '.' is the table name, round-6 tokenizer fix.)"""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    eng.sql("SET max_threads = 8")
+    eng.sql("SET send_logs_level = 'warning'")
+    out = eng.sql(
+        "SELECT name, value, changed FROM system.settings ORDER BY name"
+    )
+    # the settings view snapshots literal rows — restore the shared
+    # session's shuffle conf so the probe leaves no side effect behind
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return out

@@ -1747,6 +1747,46 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_gif_decode",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+         CAST(16 + doc_id % 32 AS BIGINT) AS w,
+         CAST(8 + doc_id % 16 AS BIGINT) AS h
+  FROM documents WHERE doc_id < 200
+)
+SELECT doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS n_channels,
+       'GIF' AS fmt,
+       CAST(3 * (h * w * (w - 1) / 2 + 2 * w * h * (h - 1) / 2)
+            AS BIGINT) AS px_sum
+FROM p
+""",
+    tags=("llm", "multimodal", "image"),
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF tier end-to-end (round 6): per-doc LZW-compressed
+    grayscale-palette GIF89a payloads are synthesized
+    (sources/gifcodec.encode_gif — variable-width LZW with clear-code
+    resets, ≤255-byte sub-blocks per the public spec), then DECODED BACK
+    (decode_gif: block walk, LZW table-walk, palette resolve) and reduced
+    to the integer pixel sum.  ``pixel(x,y) = x + 2y`` stays below 256 and
+    grayscale palettes round-trip exactly, so the sum is closed-form —
+    ``3·(h·Σx + 2w·Σy)`` — and the oracle value-checks the whole
+    encode→LZW→decode path in plain SQL.  Plan: two chained mapInPandas
+    inside the scan partition — no shuffle."""
+    from clickhouseocp_spark.sources.multimodal import (
+        extract_image_pixels,
+        synthesize_gradient_gif,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return extract_image_pixels(synthesize_gradient_gif(docs))
+
+
+@register(
     "multimodal_jpeg_decode",
     oracle="""
 SELECT doc_id,

@@ -312,6 +312,8 @@ def sniff_format(data: bytes) -> str | None:
         return "PNG"
     if len(data) >= 4 and data[:2] == b"\xff\xd8" and data[2] == 0xFF:
         return "JPEG"  # SOI + next marker prefix — prose cannot collide
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "GIF"
     if len(data) >= 54 and data[:2] == b"BM":
         if struct.unpack_from("<I", data, 14)[0] in _DIB_SIZES:
             return "BMP"
@@ -333,12 +335,16 @@ def decode_any(data: bytes) -> tuple[np.ndarray, str]:
         from clickhouseocp_spark.sources.jpegcodec import decode_jpeg
 
         return decode_jpeg(data), fmt
+    if fmt == "GIF":
+        from clickhouseocp_spark.sources.gifcodec import decode_gif
+
+        return decode_gif(data), fmt
     if fmt == "BMP":
         return decode_bmp(data), fmt
     if fmt in ("PPM", "PGM"):
         return decode_ppm(data), fmt
     raise ValueError(
-        "unrecognized image payload (supported: PNG, JPEG, BMP, PPM, PGM)"
+        "unrecognized image payload (supported: PNG, JPEG, GIF, BMP, PPM, PGM)"
     )
 
 

@@ -57,7 +57,7 @@ def decode_image(payload: bytes, fake: bool = False) -> tuple[int, int, str]:
             pass  # sniff false-positive (e.g. prose starting "P5 9 9 255 ")
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/JPEG/BMP/PPM/PGM; video containers require "
+            "payload is not PNG/JPEG/GIF/BMP/PPM/PGM; video containers require "
             "ffmpeg — run with fake=True for the deterministic stand-in "
             "decoder"
         )
@@ -346,6 +346,39 @@ def verify_image_roundtrip(
     return df.mapInPandas(verify, schema=schema)
 
 
+def synthesize_gradient_gif(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic GIF fixture generator (mapInPandas, no shuffle): per
+    id, a real LZW-compressed grayscale-palette GIF89a
+    (``sources/gifcodec.encode_gif``) of ``(16 + id % 32) x (8 + id % 16)``
+    pixels with ``pixel(x,y) = x + 2y`` (max 93 < 256 — no wraparound).
+    Grayscale palettes round-trip exactly (v → rgb(v,v,v)), so the decoded
+    RGB pixel sum is closed-form: ``3·(h·Σx + 2w·Σy)``."""
+    import numpy as np
+    import pandas as pd
+
+    from clickhouseocp_spark.sources.gifcodec import encode_gif
+
+    schema = f"{id_col} long, payload binary, media_type string"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col].values:
+                i = int(i)
+                w, h = 16 + i % 32, 8 + i % 16
+                y, x = np.mgrid[0:h, 0:w]
+                payloads.append(encode_gif((x + 2 * y).astype(np.uint8)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].values,
+                    "payload": payloads,
+                    "media_type": "image/gif",
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema=schema)
+
+
 def extract_image_pixels(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -423,7 +456,7 @@ def resize_image(
 ) -> bytes:
     """Resize an image payload to (width, height).
 
-    REAL for PNG/JPEG/BMP/PPM/PGM payloads: decode (``sources/imagecodec``)
+    REAL for PNG/JPEG/GIF/BMP/PPM/PGM payloads: decode (``sources/imagecodec``)
     → nearest-neighbor index-map resize → re-encode in the same format, all
     stdlib+numpy.  Non-image payloads raise; with ``fake=True`` the
     stand-in emits a deterministic pseudo-bitmap — a sha256-keyed byte
@@ -443,6 +476,12 @@ def resize_image(
                 from clickhouseocp_spark.sources.jpegcodec import encode_jpeg
 
                 return encode_jpeg(resized)
+            if fmt == "GIF":
+                from clickhouseocp_spark.sources.gifcodec import encode_gif
+
+                # nearest-neighbor resize never invents colors → the
+                # palette stays within the GIF limit
+                return encode_gif(resized)
             if fmt == "BMP":
                 return imagecodec.encode_bmp(resized)
             return imagecodec.encode_ppm(resized)
@@ -450,7 +489,7 @@ def resize_image(
             pass  # sniff false-positive → treat as non-image below
     if not fake:
         raise NotImplementedError(
-            "payload is not PNG/JPEG/BMP/PPM/PGM; video containers require "
+            "payload is not PNG/JPEG/GIF/BMP/PPM/PGM; video containers require "
             "ffmpeg — run with fake=True for the deterministic stand-in"
         )
     seed = hashlib.sha256(payload + b"@" + f"{width}x{height}".encode()).digest()

@@ -176,3 +176,35 @@ def test_png_sniff_crc_and_gate():
     bad_ihdr[24] = 16  # bit depth byte inside IHDR
     with pytest.raises(ValueError):
         decode_png(bytes(bad_ihdr))
+
+
+def test_gif_round_trip_and_dispatch():
+    """GIF codec (round 6): LZW round trips — grayscale palette exact,
+    limited-palette RGB exact, >256 colors rejected (no silent
+    quantization), LZW table-reset path at >4096 codes, dispatch through
+    sniff/decode_any/resize (nearest-neighbor never invents colors, so GIF
+    re-encode always fits the palette)."""
+    from clickhouseocp_spark.sources.gifcodec import decode_gif, encode_gif
+    from clickhouseocp_spark.sources.multimodal import resize_image
+
+    rng = np.random.default_rng(5)
+    g = rng.integers(0, 256, size=(23, 37), dtype=np.uint8)
+    data = encode_gif(g)
+    assert sniff_format(data) == "GIF"
+    arr, fmt = decode_any(data)
+    assert fmt == "GIF" and np.array_equal(arr, np.stack([g] * 3, axis=2))
+
+    small = rng.integers(0, 6, size=(31, 29, 3), dtype=np.uint8) * 40
+    assert np.array_equal(decode_gif(encode_gif(small)), small)
+
+    with pytest.raises(ValueError, match="palette"):
+        encode_gif(rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8))
+
+    big = rng.integers(0, 256, size=(200, 300), dtype=np.uint8)
+    assert np.array_equal(
+        decode_gif(encode_gif(big)), np.stack([big] * 3, axis=2)
+    )
+
+    resized = resize_image(data, 9, 6)
+    a2, f2 = decode_any(resized)
+    assert f2 == "GIF" and a2.shape == (6, 9, 3)

@@ -123,3 +123,22 @@ def test_tukey_fences_broadcast(spark, sf_dir):
     shuffling the point stream against it would be a 100 TB regression."""
     df = QS["series_outliers_tukey"].fn(spark, sf_dir)
     assert has_broadcast_join(df), formatted_plan(df)
+
+
+# --- round-6 tier: codecs, inverted index, shard router ---------------------
+
+@pytest.mark.parametrize(
+    ("name", "budget"),
+    [
+        ("multimodal_png_decode", 0),    # two chained mapInPandas, scan-local
+        ("multimodal_jpeg_decode", 0),   # encode→decode inside the partition
+        ("jump_consistent_hash", 0),     # one pandas kernel over the scan
+        ("url_hierarchy", 0),            # pure expressions
+        ("fulltext_index_search", 4),    # postings agg + two search aggs +
+                                          # the any⟕all semi-join
+        ("group_array_moving_avg", 2),   # window + final collect agg
+    ],
+)
+def test_round6_shuffle_budget(spark, sf_dir, name, budget):
+    df = QS[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= budget, formatted_plan(df)
