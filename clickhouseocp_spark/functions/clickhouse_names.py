@@ -1282,6 +1282,119 @@ def parseDateTimeBestEffort(a) -> Column:
     )
 
 
+# --- vocabulary batch 7 (round 6) -------------------------------------------
+
+def YYYYMMDDToDate(n) -> Column:
+    """CH YYYYMMDDToDate(20240131) → Date.  Deviation: invalid encodings
+    (e.g. 20240230) yield NULL rather than CH's zero-date — the ANSI/NULL
+    channel this engine uses everywhere."""
+    return F.try_to_date(_c(n).cast("bigint").cast("string"), "yyyyMMdd")
+
+
+def YYYYMMDDhhmmssToDateTime(n) -> Column:
+    """CH YYYYMMDDhhmmssToDateTime(20240131235959) → DateTime (NULL on
+    invalid, same deviation as YYYYMMDDToDate)."""
+    return F.try_to_timestamp(
+        _c(n).cast("bigint").cast("string"), F.lit("yyyyMMddHHmmss")
+    )
+
+
+#: parseTimeDelta unit → seconds (CH constants: year = 365.25 d, month = 30 d)
+_TIMEDELTA_UNITS: list[tuple[tuple[str, ...], float]] = [
+    (("years", "year", "yr", "y"), 31557600.0),
+    (("months", "month", "mo"), 2592000.0),
+    (("weeks", "week", "w"), 604800.0),
+    (("days", "day", "d"), 86400.0),
+    (("hours", "hour", "hr", "h"), 3600.0),
+    (("minutes", "minute", "mins", "min", "m"), 60.0),
+    (("seconds", "second", "secs", "sec", "s"), 1.0),
+    (("milliseconds", "millisecond", "ms"), 0.001),
+    (("microseconds", "microsecond", "us"), 1e-6),
+    (("nanoseconds", "nanosecond", "ns"), 1e-9),
+]
+
+
+def parseTimeDelta(a) -> Column:
+    """CH parseTimeDelta('1 day 2 hours') → Float64 seconds.  Scans every
+    number+unit pair (separators ignored, per CH), maps units with CH's own
+    constants (year = 365.25 d, month = 30 d — the docs' 1yr2mo = 36741600
+    example), and sums — all JVM expressions (regexp_extract_all +
+    aggregate).  Deviation: an unknown unit makes the result NULL rather
+    than throwing (columnar error channel)."""
+    matches = F.regexp_extract_all(
+        _c(a), F.lit(r"([0-9]+(?:\.[0-9]+)?)\s*([a-zA-Z]+)"), F.lit(0)
+    )
+
+    def to_secs(m: Column) -> Column:
+        num = F.regexp_extract(m, r"([0-9]+(?:\.[0-9]+)?)", 1).cast("double")
+        unit = F.lower(F.regexp_extract(m, r"([a-zA-Z]+)\s*$", 1))
+        factor = None
+        for names, secs in _TIMEDELTA_UNITS:
+            cond = unit.isin(*names)
+            factor = (
+                F.when(cond, F.lit(secs))
+                if factor is None
+                else factor.when(cond, F.lit(secs))
+            )
+        return num * factor  # no otherwise → unknown unit = NULL, poisons sum
+
+    return F.aggregate(matches, F.lit(0.0), lambda acc, m: acc + to_secs(m))
+
+
+def bitTest(n, pos: int) -> Column:
+    """CH bitTest(n, pos) → the bit value (0/1, int)."""
+    return F.shiftright(_c(n), pos).bitwiseAND(F.lit(1))
+
+
+def bitTestAll(n, *positions: int) -> Column:
+    """CH bitTestAll: true iff every listed bit is set (CH returns UInt8;
+    boolean here, same 0/1 value space)."""
+    out: Column | None = None
+    for p in positions:
+        t = bitTest(n, p) == F.lit(1)
+        out = t if out is None else (out & t)
+    return out if out is not None else F.lit(True)
+
+
+def bitTestAny(n, *positions: int) -> Column:
+    """CH bitTestAny: true iff at least one listed bit is set."""
+    out: Column | None = None
+    for p in positions:
+        t = bitTest(n, p) == F.lit(1)
+        out = t if out is None else (out | t)
+    return out if out is not None else F.lit(False)
+
+
+def tupleNames(t) -> Column:
+    """CH tupleNames(tuple) → Array(String) of element names.  Lowered via
+    to_json → json_object_keys — stays JVM-side; named-tuple (struct) fields
+    round-trip their names through the JSON object form."""
+    return F.json_object_keys(F.to_json(_c(t)))
+
+
+def greatCircleAngle(lon1, lat1, lon2, lat2) -> Column:
+    """CH greatCircleAngle → central angle in degrees (functions/geo)."""
+    from clickhouseocp_spark.functions.geo import great_circle_angle
+
+    return great_circle_angle(_c(lon1), _c(lat1), _c(lon2), _c(lat2))
+
+
+def pointInEllipses(x, y, ellipses) -> Column:
+    """CH pointInEllipses(x, y, x0, y0, a, b, ...) — constant ellipse list
+    (functions/geo, unrolled codegen OR of quadratic tests)."""
+    from clickhouseocp_spark.functions.geo import point_in_ellipses
+
+    return point_in_ellipses(_c(x), _c(y), ellipses)
+
+
+def geohashesInBox(lon_min, lat_min, lon_max, lat_max, precision: int = 4) -> Column:
+    """CH geohashesInBox → array of geohash cells intersecting the box
+    (functions/geo pandas kernel, 100k-cell guard mirroring CH's 10M cap)."""
+    from clickhouseocp_spark.functions.geo import geohashes_in_box
+
+    return geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision)
+
+
 #: alias → note, for the parity inventory (names that clash with Python
 #: keywords/builtins carry a trailing underscore).
 MAPPING: dict[str, str] = {

@@ -136,6 +136,98 @@ def geohash_decode_py(gh: str) -> tuple[float, float]:
     return ((lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2)
 
 
+def great_circle_angle(
+    lon1: Column, lat1: Column, lon2: Column, lat2: Column
+) -> Column:
+    """greatCircleAngle(lon1, lat1, lon2, lat2) → central angle in DEGREES
+    (the haversine central angle, i.e. greatCircleDistance / R expressed
+    angularly — CH's own definition).  libm-backed: callers round for
+    cross-engine comparison."""
+    dlat = F.radians(lat2 - lat1)
+    dlon = F.radians(lon2 - lon1)
+    a = (
+        F.sin(dlat / 2) * F.sin(dlat / 2)
+        + F.cos(F.radians(lat1))
+        * F.cos(F.radians(lat2))
+        * F.sin(dlon / 2)
+        * F.sin(dlon / 2)
+    )
+    return F.degrees(F.lit(2.0) * F.asin(F.least(F.lit(1.0), F.sqrt(a))))
+
+
+def point_in_ellipses(
+    x: Column, y: Column, ellipses: "list[tuple[float, float, float, float]]"
+) -> Column:
+    """pointInEllipses(x, y, x0, y0, a, b, ...) — true iff the point lies in
+    at least one of the constant axis-aligned ellipses (CH requires the
+    ellipse parameters to be constants too).  Unrolls at plan time into a
+    codegen'd OR of quadratic tests — exact IEEE arithmetic, no rounding
+    needed for cross-engine parity."""
+    hit: Column | None = None
+    for x0, y0, a, b in ellipses:
+        t = (
+            ((x - F.lit(x0)) / F.lit(a)) * ((x - F.lit(x0)) / F.lit(a))
+            + ((y - F.lit(y0)) / F.lit(b)) * ((y - F.lit(y0)) / F.lit(b))
+        ) <= F.lit(1.0)
+        hit = t if hit is None else (hit | t)
+    if hit is None:
+        return F.lit(False)
+    return hit
+
+
+def geohashes_in_box_py(
+    lon_min: float, lat_min: float, lon_max: float, lat_max: float,
+    precision: int,
+) -> list[str]:
+    """All geohash cells of ``precision`` intersecting the closed box
+    (CH geohashesInBox).  Cell grid: precision*5 bits split lon-first —
+    ceil(5p/2) longitude bits, floor(5p/2) latitude bits; a cell is included
+    iff its index interval intersects [min, max].  Mirrors CH's 10M-cell
+    safety cap with a (much smaller) guard suited to a per-row kernel."""
+    lon_bits = (5 * precision + 1) // 2
+    lat_bits = (5 * precision) // 2
+    w = 360.0 / (1 << lon_bits)
+    h = 180.0 / (1 << lat_bits)
+    i0 = max(0, int((lon_min + 180.0) / w))
+    i1 = min((1 << lon_bits) - 1, int((lon_max + 180.0) / w))
+    j0 = max(0, int((lat_min + 90.0) / h))
+    j1 = min((1 << lat_bits) - 1, int((lat_max + 90.0) / h))
+    if (i1 - i0 + 1) * (j1 - j0 + 1) > 100_000:
+        raise ValueError("geohashesInBox: cell count exceeds 100000 cap")
+    out = []
+    for i in range(i0, i1 + 1):
+        for j in range(j0, j1 + 1):
+            lon = -180.0 + (i + 0.5) * w
+            lat = -90.0 + (j + 0.5) * h
+            out.append(geohash_encode_py(lon, lat, precision))
+    return out
+
+
+def geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision: int = 4):
+    """Column form of geohashesInBox (Arrow-batched pandas kernel, same tier
+    as geohash_encode).  Returns array<string>."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _udf(a: pd.Series, b: pd.Series, c: pd.Series, d: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None
+                if any(v is None for v in (p, q, r, s))
+                else geohashes_in_box_py(float(p), float(q), float(r), float(s),
+                                         precision)
+                for p, q, r, s in zip(a, b, c, d)
+            ]
+        )
+
+    cols = [
+        F.col(v) if isinstance(v, str) else v
+        for v in (lon_min, lat_min, lon_max, lat_max)
+    ]
+    return _udf(*cols)
+
+
 def geohash_encode(lon, lat, precision: int = 12):
     """Column form (Arrow-batched pandas kernel; geo bucketing tier)."""
     import pandas as pd

@@ -41,6 +41,12 @@ original position).  Name-addressed consumers are unaffected; positional
 consumers of FORMAT output see the moved column.
 - ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
   equi-join (single key or ``$left.a == $right.b`` form)
+- ``| make-series v=agg(x) [default=d] on ts from a to b step Nu [by k]`` —
+  the Kusto time-series operator: binned aggregation over a dense
+  default-filled axis (end-exclusive, start-aligned), one array row per
+  group.  Series values are DOUBLE (Kusto dynamic arrays are real-typed);
+  lowered to ONE grouped aggregation + a constant-folded axis transform
+  (see ``_make_series``)
 
 Scalar sugar: ``==``/``!=``, ``contains``/``startswith``/``endswith``,
 ``datetime(...)`` literals, and ``bin(x, size)`` (numeric or
@@ -180,6 +186,88 @@ def _order_list(s: str, default_desc: bool = True) -> str:
     return ", ".join(parts)
 
 
+def _make_series(sub: str, rest: str) -> str:
+    """Lower ``make-series`` (Kusto's signature time-series operator) to one
+    Spark SQL statement built entirely from JVM expressions.
+
+    Grammar subset::
+
+        make-series s1=agg(expr) [default = lit][, s2=...]
+                    on TsCol from <start> to <end> step <Ns|m|h|d>
+                    [by k1, k2]
+
+    Lowering: (1) bin rows to ``start``-aligned buckets and aggregate per
+    (keys, bin); (2) fold each group's bins into one ``map<bin, struct>``;
+    (3) project a constant-foldable axis ``sequence(0, n-1)`` →
+    ``to_timestamp`` and ``transform`` it, filling gaps with each series'
+    default via ``try_element_at`` (ANSI-safe missing-key lookup).  The gap
+    fill therefore never shuffles — one grouped aggregation total, and the
+    axis is folded by Catalyst when start/end/step are literals (the only
+    supported Kusto forms are literal anyway).
+    """
+    m = re.match(
+        r"^(.*?)\s+on\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"\s+step\s+([0-9.]+)(s|m|h|d)\s*(?:\bby\b\s+(.+))?$",
+        rest,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            "make-series needs 'aggs on col from a to b step Nu [by keys]', "
+            f"got {rest!r}"
+        )
+    aggs_txt, ts_col, frm, to, step_n, step_u, by = m.groups()
+    secs = {"s": 1, "m": 60, "h": 3600, "d": 86400}[step_u.lower()] * float(step_n)
+    secs = int(secs) if float(secs).is_integer() else secs
+    frm_sql, to_sql = _expr(frm), _expr(to)
+    series = []  # (name, agg_sql, default_sql)
+    for item in _split_top(aggs_txt):
+        ma = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+?)(?:\s+default\s*=\s*(\S+))?$",
+                      item.strip(), re.IGNORECASE)
+        if not ma:
+            raise KqlError(f"make-series series needs name=agg(expr), got {item!r}")
+        series.append((ma.group(1), _agg_expr(ma.group(2)),
+                       _expr(ma.group(3)) if ma.group(3) else "0"))
+    keys = [k.strip() for k in _split_top(by)] if by else []
+    f_ep = f"unix_timestamp({frm_sql})"
+    bin_expr = (
+        f"to_timestamp({f_ep} + CAST(floor((unix_timestamp({ts_col}) - {f_ep})"
+        f" / {secs}) AS BIGINT) * {secs})"
+    )
+    key_sel = "".join(f"{k}, " for k in keys)
+    v_sel = ", ".join(
+        f"CAST({agg} AS DOUBLE) AS __v{i}" for i, (_n, agg, _d) in enumerate(series)
+    )
+    inner = (
+        f"SELECT {key_sel}{bin_expr} AS __bin, {v_sel} FROM {sub} "
+        f"WHERE {ts_col} >= {frm_sql} AND {ts_col} < {to_sql} "
+        f"GROUP BY {key_sel}{bin_expr}"
+    )
+    v_struct = ", ".join(f"__v{i}" for i in range(len(series)))
+    mapped = (
+        f"SELECT {key_sel}map_from_entries(collect_list(struct(__bin, "
+        f"struct({v_struct})))) AS __m FROM ({inner}) __msi"
+    )
+    if keys:
+        mapped += f" GROUP BY {', '.join(keys)}"
+    n_bins = (
+        f"CAST(ceil((unix_timestamp({to_sql}) - {f_ep}) / {secs}) AS INT)"
+    )
+    axis = (
+        f"CASE WHEN {n_bins} > 0 THEN transform(sequence(0, {n_bins} - 1), "
+        f"__i -> to_timestamp({f_ep} + CAST(__i AS BIGINT) * {secs})) "
+        f"ELSE array() END"
+    )
+    fills = ", ".join(
+        f"transform({axis}, __t -> coalesce(try_element_at(__m, __t).__v{i}, "
+        f"CAST({d} AS DOUBLE))) AS {name}"
+        for i, (name, _a, d) in enumerate(series)
+    )
+    return (
+        f"SELECT {key_sel}{fills}, {axis} AS {ts_col} FROM ({mapped}) __mso"
+    )
+
+
 def transpile_kql(query: str) -> str:
     """KQL pipeline text → one nested Spark SQL statement."""
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
@@ -268,6 +356,8 @@ def transpile_kql(query: str) -> str:
             olds = ", ".join(old for _n, old in pairs)
             renames = ", ".join(f"{old} AS {new}" for new, old in pairs)
             rel = f"SELECT * EXCEPT ({olds}), {renames} FROM {sub}"
+        elif op == "make-series":
+            rel = _make_series(sub, rest)
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"
         elif op == "distinct":

@@ -2455,6 +2455,69 @@ events
 
 
 @register(
+    "kql_make_series",
+    oracle="""
+WITH axis AS (SELECT i, TIMESTAMP '2024-01-01' + CAST(i * 3 AS INTEGER) * INTERVAL 1 DAY AS t
+              FROM range(10) r(i)),
+binned AS (
+  SELECT event_type,
+         CAST(FLOOR((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 259200)
+              AS BIGINT) AS bin_i,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         AVG(value) AS avg_v
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+  GROUP BY 1, 2),
+keys AS (SELECT DISTINCT event_type FROM events
+         WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31')
+SELECT k.event_type,
+       list(COALESCE(b.n, 0.0) ORDER BY a.i) AS n,
+       list(ROUND(COALESCE(b.avg_v, 0.0), 6) ORDER BY a.i) AS avg_v,
+       list(CAST(epoch(a.t) AS BIGINT) ORDER BY a.i) AS ts_ep
+FROM keys k CROSS JOIN axis a
+LEFT JOIN binned b ON b.event_type = k.event_type AND b.bin_i = a.i
+GROUP BY k.event_type
+ORDER BY k.event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``make-series`` (round 6): the signature KQL time-series
+    operator — binned aggregation over a dense, default-filled axis, one
+    array row per group.  Lowered to a single grouped aggregation plus a
+    constant-folded axis ``transform`` (kql.py::_make_series); the gap fill
+    is a map lookup, not a join, so the whole operator costs ONE shuffle.
+    Two series (count with default 0, avg) per event_type over the events
+    month at 3d step.  The axis is re-emitted as epoch BIGINTs and the avg
+    series rounded in-array so the driver hash is float-stable; series
+    values are DOUBLE by the documented lowering contract (Kusto dynamic
+    arrays are real-typed)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0, avg_v = avg(value)
+              on ts from datetime(2024-01-01) to datetime(2024-01-31) step 3d
+              by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_type",
+        "n",
+        F.expr("transform(avg_v, __x -> round(__x, 6))").alias("avg_v"),
+        F.expr("transform(ts, __t -> CAST(unix_timestamp(__t) AS BIGINT))").alias(
+            "ts_ep"
+        ),
+    )
+
+
+@register(
     "chsql_change_datetime",
     oracle="""
 SELECT o_orderkey,

@@ -1966,3 +1966,57 @@ def fulltext_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return any_hits.join(all_hits, "doc_id", "left").select(
         "doc_id", F.coalesce(F.col("has_all"), F.lit(False)).alias("has_all")
     )
+
+
+@register(
+    "embedding_pca_project",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors, 4 AS k,
+       TRUE AS var_order_ok, TRUE AS ortho_ok, TRUE AS recon_ok
+FROM embeddings
+""",
+    tags=("llm", "similarity", "pca"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding column (operators/pca.py): one partial-Gram
+    mapInPandas pass (O(batches·d²) to the driver, data never leaves the
+    scan), d×d eigh, then a streaming BLAS projection.  Like the ANN
+    queries, the driver-checked output is an in-query CONTRACT, since
+    eigenvector values are solver-dependent: (a) eigenvalues descending,
+    (b) components orthonormal, and (c) the distributed mean reconstruction
+    residual with k=4 equals the tail eigenvalue mass Σ_{j>k} λ_j — the
+    Eckart-Young identity, which only holds if the fit AND the projection
+    are both correct.  The oracle pins n_vectors and asserts every
+    contract."""
+    import numpy as np
+
+    from clickhouseocp_spark.operators.pca import (
+        pca_fit,
+        pca_project,
+        reconstruction_residual_sq,
+    )
+
+    k = 4
+    emb = load_table(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k)
+    proj = pca_project(emb, "embedding", model, out_col="pca")
+    w = model.components  # (k, d)
+
+    stats = proj.agg(
+        F.count("*").alias("n_vectors"),
+        F.avg(reconstruction_residual_sq(model, "embedding", "pca")).alias(
+            "avg_resid"
+        ),
+    ).first()
+    ev = model.explained_variance
+    tail_mass = model.total_variance - float(ev.sum())
+    var_order_ok = bool(np.all(np.diff(ev) <= 1e-12))
+    ortho_ok = bool(np.max(np.abs(w @ w.T - np.eye(k))) < 1e-8)
+    recon_ok = bool(
+        abs(stats.avg_resid - tail_mass) <= 1e-6 * max(model.total_variance, 1e-30)
+    )
+    return spark.createDataFrame(
+        [(int(stats.n_vectors), k, var_order_ok, ortho_ok, recon_ok)],
+        "n_vectors bigint, k int, var_order_ok boolean, ortho_ok boolean, "
+        "recon_ok boolean",
+    )

@@ -239,3 +239,145 @@ def group_array_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("moving_avgs")
     )
+
+
+@register(
+    "scalar_vocab_r6b",
+    oracle="""
+SELECT o_orderkey,
+       (o_orderkey % 5) * 86400.0 + (o_custkey % 24) * 3600.0 + 0.25 AS td_secs,
+       CAST(o_orderdate AS DATE) AS d8,
+       CAST(o_orderdate AS DATE) + INTERVAL 12 HOUR
+         + CAST(o_orderkey % 60 AS INTEGER) * INTERVAL 1 SECOND AS dt14,
+       (o_orderkey >> 3) & 1 AS bt3,
+       ((o_orderkey >> 0) & 1 = 1) AND ((o_orderkey >> 2) & 1 = 1) AS bt_all,
+       ((o_orderkey >> 5) & 1 = 1) OR ((o_orderkey >> 7) & 1 = 1) AS bt_any,
+       LIST_VALUE('p', 't') AS tn
+FROM orders
+WHERE o_orderkey % 100 = 0
+""",
+    tags=("scalar", "vocab"),
+)
+def scalar_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 7 (round 6): parseTimeDelta (CH unit constants,
+    regexp_extract_all + aggregate — all JVM), YYYYMMDDToDate /
+    YYYYMMDDhhmmssToDateTime (numeric date encodings), bitTest/All/Any
+    (shift-and-mask), tupleNames (to_json → json_object_keys).  The
+    timedelta input strings are built per row so the oracle can compute the
+    expected seconds arithmetically — an independent formulation, not a
+    replay."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    td_str = F.concat(
+        (F.col("o_orderkey") % 5).cast("string"), F.lit(" days "),
+        (F.col("o_custkey") % 24).cast("string"), F.lit("h 250ms"),
+    )
+    ymd = (
+        F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    ymdhms = ymd.cast("bigint") * 1000000 + 120000 + (F.col("o_orderkey") % 60)
+    return o.select(
+        "o_orderkey",
+        ch.parseTimeDelta(td_str).alias("td_secs"),
+        ch.YYYYMMDDToDate(ymd).alias("d8"),
+        ch.YYYYMMDDhhmmssToDateTime(ymdhms).alias("dt14"),
+        ch.bitTest("o_orderkey", 3).alias("bt3"),
+        ch.bitTestAll("o_orderkey", 0, 2).alias("bt_all"),
+        ch.bitTestAny("o_orderkey", 5, 7).alias("bt_any"),
+        ch.tupleNames(
+            F.struct(F.col("o_orderpriority").alias("p"),
+                     F.col("o_totalprice").alias("t"))
+        ).alias("tn"),
+    )
+
+
+@register(
+    "geo_vocab_r6",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST(c_custkey % 97 - 48 AS DOUBLE) + 0.5 AS lat,
+         CAST(c_custkey % 113 - 56 AS DOUBLE) + 0.5 AS lon
+  FROM customer
+)
+SELECT c_custkey,
+       ROUND(DEGREES(2 * ASIN(LEAST(1.0, SQRT(
+         SIN(RADIANS(48.8 - lat) / 2) * SIN(RADIANS(48.8 - lat) / 2)
+         + COS(RADIANS(lat)) * COS(RADIANS(48.8))
+           * SIN(RADIANS(2.3 - lon) / 2) * SIN(RADIANS(2.3 - lon) / 2)
+       )))), 6) AS angle_deg,
+       (((lon - 0.0) / 30.0) * ((lon - 0.0) / 30.0)
+        + ((lat - 0.0) / 20.0) * ((lat - 0.0) / 20.0) <= 1.0)
+       OR (((lon - 40.0) / 15.0) * ((lon - 40.0) / 15.0)
+           + ((lat - 10.0) / 25.0) * ((lat - 10.0) / 25.0) <= 1.0) AS in_ell
+FROM pts
+""",
+    tags=("scalar", "geo", "vocab"),
+)
+def geo_vocab_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """greatCircleAngle (haversine central angle in degrees, rounded — libm)
+    and pointInEllipses (two constant ellipses, exact IEEE quadratics) over
+    the synthetic customer lon/lat plane.  The oracle spells out the same
+    haversine formula independently in DuckDB SQL."""
+    from clickhouseocp_spark.functions.geo import (
+        great_circle_angle,
+        point_in_ellipses,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    pts = cust.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 97 - 48).cast("double") + 0.5).alias("lat"),
+        ((F.col("c_custkey") % 113 - 56).cast("double") + 0.5).alias("lon"),
+    )
+    return pts.select(
+        "c_custkey",
+        F.round(
+            great_circle_angle(
+                F.col("lon"), F.col("lat"), F.lit(2.3), F.lit(48.8)
+            ),
+            6,
+        ).alias("angle_deg"),
+        point_in_ellipses(
+            F.col("lon"), F.col("lat"),
+            [(0.0, 0.0, 30.0, 20.0), (40.0, 10.0, 15.0, 25.0)],
+        ).alias("in_ell"),
+    )
+
+
+@register(
+    "geohash_cover_box",
+    oracle="""
+WITH xs AS (SELECT i FROM range(CAST(FLOOR((-10.3 + 180) / (360.0 / 1024)) AS BIGINT),
+                                CAST(FLOOR((  5.1 + 180) / (360.0 / 1024)) AS BIGINT) + 1) r(i)),
+     ys AS (SELECT j FROM range(CAST(FLOOR((40.2 + 90) / (180.0 / 1024)) AS BIGINT),
+                                CAST(FLOOR((50.9 + 90) / (180.0 / 1024)) AS BIGINT) + 1) r(j)),
+     enc AS (
+       SELECT list_sum(list_transform(range(10), k ->
+                (((i >> (9 - k)) & 1) << (19 - 2 * k))
+              + (((j >> (9 - k)) & 1) << (18 - 2 * k)))) AS v
+       FROM xs, ys)
+SELECT array_to_string(list_transform(range(4), t ->
+         substr('0123456789bcdefghjkmnpqrstuvwxyz',
+                CAST(((v >> (15 - 5 * t)) & 31) AS INTEGER) + 1, 1)), '') AS gh
+FROM enc
+""",
+    tags=("scalar", "geo", "vocab"),
+)
+def geohash_cover_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geohashesInBox (CH geo bucketing): every precision-4 geohash cell
+    intersecting a constant box, exploded to one row per cell.  The Spark
+    side encodes via interval-halving (functions/geo kernel); the oracle
+    re-derives each cell INDEPENDENTLY in DuckDB SQL by integer grid
+    arithmetic + explicit bit interleaving into base32 — two different
+    formulations of the Niemeyer scheme, so a hash match proves the encoding
+    itself, not a replay."""
+    from clickhouseocp_spark.functions.geo import geohashes_in_box
+
+    one = spark.range(1)
+    cover = one.select(
+        geohashes_in_box(
+            F.lit(-10.3), F.lit(40.2), F.lit(5.1), F.lit(50.9), 4
+        ).alias("cells")
+    )
+    return cover.select(F.explode("cells").alias("gh"))

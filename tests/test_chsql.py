@@ -9,6 +9,8 @@ rewrite *mechanics* and the documented error surface.
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from clickhouseocp_spark.chsql import ChSqlError, tokenize, transpile
 
 
@@ -847,6 +849,78 @@ def test_kql_end_to_end(spark, sf_dir):
     eng.sql("SET dialect = 'kusto'")
     assert eng.sql("events | count").first().Count == eng.spark.table("events").count()
     eng.sql("SET dialect = 'auto'")
+
+
+def test_kql_make_series(spark, sf_dir):
+    """make-series: dense default-filled axis, start-aligned bins,
+    end-exclusive; planted-value check on a tiny in-memory table."""
+    import pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    spark.createDataFrame(
+        [("a", "2024-01-01 00:30:00", 10.0),
+         ("a", "2024-01-03 12:00:00", 20.0),
+         ("b", "2024-01-09 23:59:59", 5.0),
+         ("b", "2024-01-10 00:00:00", 99.0)],  # == end → excluded
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v").createOrReplaceTempView(
+        "__mk"
+    )
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rows = {
+        r.k: r
+        for r in eng.sql(
+            "__mk | make-series s = sum(v) default = -1, n = count() on ts "
+            "from datetime(2024-01-01) to datetime(2024-01-10) step 3d by k",
+            dialect="kusto",
+        ).collect()
+    }
+    # axis: 3 bins (1..4, 4..7, 7..10), end-exclusive kills the 99.0 row
+    assert rows["a"].s == [30.0, -1.0, -1.0]  # both a-rows fall in bin 0
+    assert rows["a"].n == [2.0, 0.0, 0.0]  # count default is 0 (explicit)
+    assert rows["b"].s == [-1.0, -1.0, 5.0]
+    assert [t.isoformat() for t in rows["a"].ts] == [
+        "2024-01-01T00:00:00", "2024-01-04T00:00:00", "2024-01-07T00:00:00"
+    ]
+    with pytest.raises(KqlError, match="make-series"):
+        transpile_kql("t | make-series sum(v) on ts")  # missing from/to/step
+
+
+def test_vocab_r6b_functions(spark):
+    """Batch-7 scalar vocabulary edge cases not exercised by the registry
+    oracles: invalid YYYYMMDD → NULL, unknown timedelta unit → NULL, CH doc
+    example constants, geohashesInBox cell-count guard."""
+    import pytest
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+    from clickhouseocp_spark.functions.geo import geohashes_in_box_py
+
+    row = (
+        spark.range(1)
+        .select(
+            ch.YYYYMMDDToDate(F.lit(20240230)).alias("bad_date"),
+            ch.YYYYMMDDToDate(F.lit(20240229)).alias("leap"),
+            ch.parseTimeDelta(F.lit("11s+22min")).alias("doc1"),
+            ch.parseTimeDelta(F.lit("1yr2mo")).alias("doc2"),
+            ch.parseTimeDelta(F.lit("3 fortnights")).alias("bad_unit"),
+            ch.bitTest(F.lit(10), 1).alias("b1"),
+            ch.bitTestAll(F.lit(10), 1, 3).alias("ball"),
+            ch.bitTestAny(F.lit(10), 0, 2).alias("bany"),
+        )
+        .first()
+    )
+    assert row.bad_date is None and str(row.leap) == "2024-02-29"
+    assert row.doc1 == 1331.0  # CH docs example
+    assert row.doc2 == 36741600.0  # CH docs example (yr=365.25d, mo=30d)
+    assert row.bad_unit is None
+    assert row.b1 == 1 and row.ball is True and row.bany is False  # 10 = 0b1010
+    # geohashesInBox: a box inside one cell yields exactly that cell
+    cells = geohashes_in_box_py(2.0, 48.0, 2.01, 48.01, 4)
+    assert len(cells) == 1 and len(cells[0]) == 4
+    with pytest.raises(ValueError, match="cap"):
+        geohashes_in_box_py(-180.0, -90.0, 180.0, 90.0, 8)
 
 
 def test_quantile_exact_variants_and_group_concat(spark, sf_dir):

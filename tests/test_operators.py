@@ -1311,3 +1311,45 @@ def test_fulltext_index_persisted_and_pruned(spark, sf_dir, tmp_path):
         F.size(tokenize(F.lit("x,y;;z 9"))).alias("n"),
     ).first()
     assert row.sub is False and row.tok is True and row.n == 4
+
+
+def test_pca_fit_project_matches_numpy(spark, sf_dir):
+    """pca_fit's distributed partial-Gram path must agree with a direct
+    numpy PCA on the collected matrix; pca_project must equal (X - mu) @ W.T
+    and satisfy the Eckart-Young residual identity."""
+    import numpy as np
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.pca import pca_fit, pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    model = pca_fit(emb, "embedding", k)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    mu = x.mean(axis=0)
+    cov = ((x - mu).T @ (x - mu)) / x.shape[0]
+    evals = np.linalg.eigvalsh(cov)[::-1]
+
+    assert np.allclose(model.mean, mu, atol=1e-9)
+    assert np.allclose(model.explained_variance, evals[:k], rtol=1e-8, atol=1e-10)
+    # orthonormal, descending, ratio bounded
+    assert np.allclose(model.components @ model.components.T, np.eye(k), atol=1e-9)
+    assert np.all(np.diff(model.explained_variance) <= 1e-12)
+    assert 0 < model.explained_variance_ratio.sum() <= 1.0 + 1e-12
+
+    proj_rows = {
+        r.vec_id: np.asarray(r.pca)
+        for r in pca_project(emb, "embedding", model).select("vec_id", "pca").collect()
+    }
+    direct = (x - mu) @ model.components.T
+    for i, r in enumerate(rows):
+        assert np.allclose(proj_rows[r.vec_id], direct[i], atol=1e-9)
+    # Eckart-Young: mean residual == tail eigenvalue mass
+    resid = x - mu - direct @ model.components
+    assert np.isclose(
+        (resid * resid).sum(axis=1).mean(), evals[k:].sum(), rtol=1e-8
+    )
+    # k clamps to d
+    assert pca_fit(emb.limit(50), "embedding", 1000).components.shape[0] == 64
