@@ -2020,3 +2020,121 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors bigint, k int, var_order_ok boolean, ortho_ok boolean, "
         "recon_ok boolean",
     )
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle="""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(s.scale, 6) AS scale6,
+       list_transform(e.embedding,
+         x -> CAST(GREATEST(-127.0, LEAST(127.0,
+                FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5))) AS BIGINT)) AS q,
+       list_max(list_transform(e.embedding,
+         x -> abs(CAST(x AS DOUBLE)
+                  - GREATEST(-127.0, LEAST(127.0,
+                      FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5))) * s.scale)))
+         <= s.scale * 0.5000001 AS err_ok
+FROM embeddings e JOIN s USING (vec_id)
+""",
+    tags=("llm", "similarity", "quantize"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (functions/vector.int8_quantize)
+    — the storage tier a 100 TB ANN corpus keeps (4× smaller than float32).
+    The portable floor(x/scale + 0.5) rounding rule makes the CODES exact
+    across engines: the oracle re-derives every int8 code and the
+    scale/2 error bound independently.  All-JVM higher-order functions; no
+    shuffle."""
+    from clickhouseocp_spark.functions.vector import int8_dequantize, int8_quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.select("vec_id", "embedding", int8_quantize("embedding").alias("qs"))
+    deq = qs.withColumn("dq", int8_dequantize("qs"))
+    return deq.select(
+        "vec_id",
+        F.round(F.col("qs.scale"), 6).alias("scale6"),
+        F.col("qs.q").alias("q"),
+        (
+            F.aggregate(
+                F.zip_with(
+                    "embedding", "dq",
+                    lambda x, y: F.abs(x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, e: F.greatest(acc, e),
+            )
+            <= F.col("qs.scale") * 0.5000001
+        ).alias("err_ok"),
+    )
+
+
+@register(
+    "dsir_select_topk",
+    oracle="""
+WITH tok_r AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS t
+        FROM documents)
+),
+tok_t AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+  FROM (SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '')) AS t
+        FROM documents WHERE lang = 'en')
+),
+ct AS (SELECT b, COUNT(*) AS ct FROM tok_t GROUP BY b),
+cr AS (SELECT b, COUNT(*) AS cr FROM tok_r GROUP BY b),
+tot AS (SELECT (SELECT COUNT(*) FROM tok_r) AS nr,
+               (SELECT COUNT(*) FROM tok_t) AS nt),
+ratio AS (
+  SELECT cr.b,
+         CAST(ROUND(LN((COALESCE(ct.ct, 0) + 1.0) / (cr.cr + 1.0)), 6)
+              AS DECIMAL(18,6)) AS term
+  FROM cr LEFT JOIN ct ON cr.b = ct.b
+),
+c0 AS (SELECT CAST(ROUND(LN((nr + 1024.0) / (nt + 1024.0)), 6)
+               AS DECIMAL(18,6)) AS c0 FROM tot),
+doc AS (
+  SELECT tok_r.doc_id, COUNT(*) AS n_tokens, SUM(ratio.term) AS s
+  FROM tok_r JOIN ratio ON tok_r.b = ratio.b
+  GROUP BY tok_r.doc_id
+),
+scored AS (
+  SELECT doc_id, n_tokens,
+         CAST(s + n_tokens * (SELECT c0 FROM c0) AS DOUBLE) AS logw,
+         CAST(s + n_tokens * (SELECT c0 FROM c0)
+              + CAST(ROUND(-LN(-LN(
+                  (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 0.5) / 4294967296.0)), 6)
+                     AS DECIMAL(18,6)) AS DOUBLE) AS key
+  FROM doc
+)
+SELECT doc_id, n_tokens, logw, key FROM scored
+ORDER BY key DESC, doc_id LIMIT 50
+""",
+    tags=("llm", "selection"),
+)
+def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/dsir.py — Xie et al. 2023, hashed
+    unigram instance): fit target(lang='en')/raw bucket log-ratios, score
+    every document, Gumbel-top-50 resample.  Every stage is portable-exact
+    (md5-prefix feature hash, DECIMAL-summed rounded log terms,
+    md5-seeded Gumbel noise), so the oracle replays fit + scoring +
+    selection bit-for-bit.  Plan: two token hash-aggs, one 1024-row
+    broadcast, one doc-keyed agg, distributed TakeOrdered."""
+    from clickhouseocp_spark.operators.dsir import dsir_select
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=50)
