@@ -201,9 +201,10 @@ def _make_series(sub: str, rest: str) -> str:
     (3) project a constant-foldable axis ``sequence(0, n-1)`` →
     ``to_timestamp`` and ``transform`` it, filling gaps with each series'
     default via ``try_element_at`` (ANSI-safe missing-key lookup).  The gap
-    fill therefore never shuffles — one grouped aggregation total, and the
-    axis is folded by Catalyst when start/end/step are literals (the only
-    supported Kusto forms are literal anyway).
+    fill is a map lookup, not a join — the whole operator is two map-side-
+    combinable grouped aggregations ((keys, bin), then keys) and zero
+    joins; the axis is folded by Catalyst when start/end/step are literals
+    (the only supported Kusto forms are literal anyway).
     """
     m = re.match(
         r"^(.*?)\s+on\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)"

@@ -2486,7 +2486,8 @@ def kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator — binned aggregation over a dense, default-filled axis, one
     array row per group.  Lowered to a single grouped aggregation plus a
     constant-folded axis ``transform`` (kql.py::_make_series); the gap fill
-    is a map lookup, not a join, so the whole operator costs ONE shuffle.
+    is a map lookup, not a join — two map-side-combinable aggregations and
+    zero joins (plan-checked: no Join nodes).
     Two series (count with default 0, avg) per event_type over the events
     month at 3d step.  The axis is re-emitted as epoch BIGINTs and the avg
     series rounded in-array so the driver hash is float-stable; series
