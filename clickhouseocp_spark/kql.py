@@ -41,12 +41,17 @@ original position).  Name-addressed consumers are unaffected; positional
 consumers of FORMAT output see the moved column.
 - ``| join kind=inner|leftouter|rightouter|fullouter (T2) on key`` —
   equi-join (single key or ``$left.a == $right.b`` form)
+- ``| parse col with [*] 'lit' Name[:type] ...`` — log extraction (simple
+  mode) compiled to one anchored regex; extracted columns append at the END
+  of the schema (same positional deviation as mv-expand, documented above)
+- ``| render <chart> [with (...)]`` — no-op passthrough (charting is
+  client-side in Kusto)
 - ``| make-series v=agg(x) [default=d] on ts from a to b step Nu [by k]`` —
   the Kusto time-series operator: binned aggregation over a dense
   default-filled axis (end-exclusive, start-aligned), one array row per
   group.  Series values are DOUBLE (Kusto dynamic arrays are real-typed);
-  lowered to ONE grouped aggregation + a constant-folded axis transform
-  (see ``_make_series``)
+  lowered to two map-side-combinable grouped aggregations + a
+  constant-folded axis transform, zero joins (see ``_make_series``)
 
 Scalar sugar: ``==``/``!=``, ``contains``/``startswith``/``endswith``,
 ``datetime(...)`` literals, and ``bin(x, size)`` (numeric or
@@ -269,6 +274,66 @@ def _make_series(sub: str, rest: str) -> str:
     )
 
 
+#: parse column capture types → Spark cast targets
+_PARSE_TYPES = {"string": None, "long": "bigint", "int": "int",
+                "real": "double", "double": "double", "datetime": "timestamp",
+                "bool": "boolean"}
+
+
+def _parse_op(sub: str, rest: str) -> str:
+    """Lower ``parse <col> with [*] 'lit' Name[:type] 'lit' ...`` — Kusto's
+    log-extraction operator (simple mode).
+
+    Lowering: the literal/capture sequence compiles to ONE anchored regex
+    (literals escaped, captures non-greedy ``(.*?)``, a trailing capture
+    takes the rest of the string), evaluated once per extracted column via
+    ``regexp_extract`` — whole-stage-codegen expressions, no UDF.  A leading
+    ``*`` unanchors the start, matching Kusto.  Rows that don't match yield
+    empty strings / NULL casts (Kusto's simple-mode behavior for non-matching
+    rows is empty values too)."""
+    m = re.match(r"^(\S+)\s+with\s+(.*)$", rest.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KqlError(f"parse needs '<col> with <pattern>', got {rest!r}")
+    col, pat = m.group(1), m.group(2).strip()
+    toks = re.findall(
+        r"'(?:[^']*)'|\*|[A-Za-z_]\w*(?:\s*:\s*\w+)?", pat
+    )
+    if not toks or "".join(toks).strip() == "":
+        raise KqlError(f"parse pattern is empty: {pat!r}")
+    rx_parts, caps = ["^"], []  # caps: (name, cast_type)
+    if toks and toks[0] == "*":
+        rx_parts = ["^.*?"]
+        toks = toks[1:]
+    for i, t in enumerate(toks):
+        if t.startswith("'"):
+            rx_parts.append(re.escape(t[1:-1]))
+        elif t == "*":
+            rx_parts.append(".*?")
+        else:
+            mm = re.match(r"^([A-Za-z_]\w*)(?:\s*:\s*(\w+))?$", t)
+            name, typ = mm.group(1), (mm.group(2) or "string").lower()
+            if typ not in _PARSE_TYPES:
+                raise KqlError(f"parse: unsupported type {typ!r}")
+            last = i == len(toks) - 1
+            rx_parts.append("(.*)$" if last else "(.*?)")
+            caps.append((name, _PARSE_TYPES[typ]))
+    if not caps:
+        raise KqlError(f"parse pattern captures no columns: {pat!r}")
+    rx = "".join(rx_parts)
+    if not rx.endswith("$"):
+        rx += ".*$"
+    rx_sql = rx.replace("\\", "\\\\").replace("'", "''")
+    sels = []
+    for gi, (name, cast) in enumerate(caps, start=1):
+        e = f"regexp_extract({col}, '{rx_sql}', {gi})"
+        if cast == "timestamp":
+            e = f"try_to_timestamp({e})"
+        elif cast:
+            e = f"try_cast({e} AS {cast})"
+        sels.append(f"{e} AS {name}")
+    return f"SELECT *, {', '.join(sels)} FROM {sub}"
+
+
 def transpile_kql(query: str) -> str:
     """KQL pipeline text → one nested Spark SQL statement."""
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
@@ -359,6 +424,12 @@ def transpile_kql(query: str) -> str:
             rel = f"SELECT * EXCEPT ({olds}), {renames} FROM {sub}"
         elif op == "make-series":
             rel = _make_series(sub, rest)
+        elif op == "parse":
+            rel = _parse_op(sub, rest)
+        elif op == "render":
+            # charting is a client-side concern in Kusto — pass the relation
+            # through unchanged (same no-op contract as ADX's tabular engine)
+            rel = f"SELECT * FROM {sub}"
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"
         elif op == "distinct":

@@ -2519,6 +2519,41 @@ events
 
 
 @register(
+    "kql_parse_extract",
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(regexp_extract(props, '^\\{"k": (.*?)\\}.*$', 1)
+                     AS BIGINT)) AS BIGINT) AS s
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("kql", "dialect"),
+)
+def kql_parse_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``parse`` (round 6): simple-mode log extraction — the
+    literal/capture pattern compiles to ONE anchored regex evaluated via
+    regexp_extract (codegen, no UDF).  Pulls the numeric payload out of the
+    events JSON-ish props string, typed long via the ``:long`` capture, then
+    aggregates; ``render timechart`` at the end pins the no-op passthrough.
+    The oracle replays the identical regex in DuckDB."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| parse props with '{"k": ' kv:long '}'
+| summarize n = count(), s = sum(kv) by event_type
+| sort by event_type asc
+| render timechart
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "chsql_change_datetime",
     oracle="""
 SELECT o_orderkey,

@@ -923,6 +923,41 @@ def test_vocab_r6b_functions(spark):
         geohashes_in_box_py(-180.0, -90.0, 180.0, 90.0, 8)
 
 
+def test_kql_parse_and_render(spark):
+    """parse simple mode: literal/capture regex compilation, leading *,
+    trailing rest-capture, typed captures, non-matching rows → NULL casts;
+    render is a no-op."""
+    import pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    spark.createDataFrame(
+        [("dur=15ms status=OK tail",), ("dur=7ms status=ERR x",),
+         ("garbage line",)],
+        "msg string",
+    ).createOrReplaceTempView("__logs")
+    eng = ChSparkEngine.__new__(ChSparkEngine)  # avoid fixture table setup
+    eng.spark = spark
+    rows = spark.sql(
+        transpile_kql(
+            "__logs | parse msg with 'dur=' d:long 'ms status=' st ' ' rest"
+        )
+    ).collect()
+    by = {r.msg: r for r in rows}
+    r0 = by["dur=15ms status=OK tail"]
+    assert (r0.d, r0.st, r0.rest) == (15, "OK", "tail")
+    r2 = by["garbage line"]
+    assert r2.d is None and r2.st == "" and r2.rest == ""  # simple-mode empties
+    # leading * unanchors; render passes through
+    sql = transpile_kql("__logs | parse msg with * 'status=' st ' ' | render barchart")
+    assert spark.sql(sql).filter("st = 'ERR'").count() == 1
+    with pytest.raises(KqlError, match="captures no columns"):
+        transpile_kql("__logs | parse msg with 'a' 'b'")
+    with pytest.raises(KqlError, match="unsupported type"):
+        transpile_kql("__logs | parse msg with 'a' x:decimal 'b'")
+
+
 def test_quantile_exact_variants_and_group_concat(spark, sf_dir):
     """quantileExactLow/High nearest-rank semantics + groupConcat through the
     text path (sorted for cross-partition determinism)."""
