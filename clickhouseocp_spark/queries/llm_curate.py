@@ -698,3 +698,56 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(20)
     )
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle="""
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')) AS BIGINT) AS n_words,
+       TRUE AS roundtrip_ok, TRUE AS eow_count_ok, TRUE AS bounds_ok
+FROM documents
+""",
+    tags=("llm", "tokenizer"),
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training + encoding end-to-end (operators/bpe.py — completes the
+    tokenizer story begun by bpe_pair_counts): learn 8 merges from the
+    corpus word-frequency table, encode every document with the memoized
+    Arrow kernel.  Token VALUES depend on the learned merges, so the
+    driver-checked output is contracts the oracle can pin: (a) stripping
+    end-of-word markers and concatenating tokens reproduces the concatenated
+    normalized words (lossless round trip through training + encoding),
+    (b) exactly one EOW-bearing token per word, (c) token count within
+    [n_words, n_chars + n_words].  n_words anchors data-dependence on both
+    engines.  pytest pins the merge sequence itself against an independent
+    reference implementation."""
+    from clickhouseocp_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_learn,
+        word_frequency_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(word_frequency_table(docs, "text"), 8)
+    enc = bpe_encode(docs, "text", merges)
+    words = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    joined_words = F.array_join(words, "")
+    joined_toks = F.array_join(
+        F.transform("bpe", lambda t: F.replace(t, F.lit(EOW), F.lit(""))), ""
+    )
+    n_words = F.size(words).cast("bigint")
+    n_chars = F.length(joined_words)
+    return enc.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (joined_toks == joined_words).alias("roundtrip_ok"),
+        (
+            F.size(F.filter("bpe", lambda t: t.contains(EOW))) == n_words
+        ).alias("eow_count_ok"),
+        F.size("bpe").between(n_words, n_chars + n_words).alias("bounds_ok"),
+    )

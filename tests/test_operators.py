@@ -1404,3 +1404,64 @@ def test_int8_quantize_roundtrip(spark, sf_dir):
         .first()
     )
     assert z.qs.scale is None
+
+
+def test_bpe_learn_matches_reference(spark):
+    """bpe_learn's distributed merge sequence must equal an independent
+    in-memory reference (straightforward dict counting, same tiebreak), and
+    bpe_encode must apply merges in learned order."""
+    from clickhouseocp_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_learn,
+        word_frequency_table,
+    )
+
+    vocab = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+
+    def ref_learn(vocab, n):
+        syms = {w: list(w) + [EOW] for w in vocab}
+        merges = []
+        for _ in range(n):
+            counts = {}
+            for w, cnt in vocab.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + cnt
+            if not counts:
+                break
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            merges.append(best)
+            a, b = best
+            for w in syms:
+                s, out, i = syms[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                syms[w] = out
+        return merges
+
+    words = spark.createDataFrame(list(vocab.items()), "w string, cnt long")
+    got = bpe_learn(words, 6)
+    assert got == ref_learn(vocab, 6)
+
+    docs = spark.createDataFrame([(1, "newest low lowest")], "doc_id long, text string")
+    toks = bpe_encode(docs, "text", got).first().bpe
+    # round trip + one EOW token per word
+    assert "".join(t.replace(EOW, "") for t in toks) == "newestlowlowest"
+    assert sum(EOW in t for t in toks) == 3
+    # the corpus word-frequency path produces the same counts
+    wf = {
+        r.w: r.cnt
+        for r in word_frequency_table(
+            spark.createDataFrame(
+                [("low low, NEWEST!  widest low",)], "text string"
+            ),
+            "text",
+        ).collect()
+    }
+    assert wf == {"low": 3, "newest": 1, "widest": 1}
