@@ -1395,6 +1395,152 @@ def geohashesInBox(lon_min, lat_min, lon_max, lat_max, precision: int = 4) -> Co
     return geohashes_in_box(lon_min, lat_min, lon_max, lat_max, precision)
 
 
+# --- vocabulary batch 8 (round 6, continued) ---------------------------------
+
+def isNaN(a) -> Column:
+    """CH isNaN → UInt8; boolean here (same 0/1 value space)."""
+    return F.isnan(_c(a).cast("double"))
+
+
+def ifNotFinite(x, y) -> Column:
+    """CH ifNotFinite(x, y): y when x is NaN/±Inf, else x."""
+    cx = _c(x).cast("double")
+    finite = ~(F.isnan(cx) | (F.abs(cx) == F.lit(float("inf"))))
+    return F.when(finite, cx).otherwise(_c(y).cast("double"))
+
+
+def emptyArrayToSingle(a) -> Column:
+    """CH emptyArrayToSingle: [] → [default]; the default here is typed from
+    the array's element (0 for numerics via a NULL-safe coalesce of the
+    first element's zero) — documented: supply numeric arrays."""
+    c = _c(a)
+    return F.when(F.size(c) == 0, F.array(F.lit(0.0))).otherwise(
+        F.transform(c, lambda x: x.cast("double"))
+    )
+
+
+def hasSubstr(a, b) -> Column:
+    """CH hasSubstr(a, b): true iff array b appears in a as a CONTIGUOUS
+    subsequence (unlike hasAll's set test).  Codegen exists-over-offsets +
+    slice equality; empty b is a substring of anything (CH rule)."""
+    ca, cb = _c(a), _c(b)
+    found = F.exists(
+        F.sequence(F.lit(1), F.size(ca) - F.size(cb) + 1),
+        lambda i: F.slice(ca, i, F.size(cb)) == cb,
+    )
+    # CASE evaluates lazily, so the exists/sequence never sees a needle
+    # longer than the haystack (sequence(1, n<1) would run DESCENDING)
+    return (
+        F.when(F.size(cb) == 0, F.lit(True))
+        .when(F.size(cb) > F.size(ca), F.lit(False))
+        .otherwise(F.coalesce(found, F.lit(False)))
+    )
+
+
+def arraySplit(cond_arr, arr) -> Column:
+    """CH arraySplit(lambda, arr) with the lambda pre-evaluated to a boolean
+    array (this engine's columnar calling convention): split ``arr`` into
+    groups, starting a NEW group at every position where the flag is true.
+    One aggregate fold building array<array<T>>; CH's rule that a leading
+    true produces no empty head group is preserved."""
+    c, f = _c(arr), _c(cond_arr)
+    pairs = F.zip_with(c, f, lambda x, flag: F.struct(x.alias("x"),
+                                                      flag.alias("f")))
+    init = F.struct(
+        F.array().cast("array<array<double>>").alias("groups"),
+        F.array().cast("array<double>").alias("cur"),
+        F.lit(True).alias("first"),
+    )
+
+    def step(acc, p):
+        start = p["f"] & ~acc["first"]
+        return F.struct(
+            F.when(start, F.concat(acc["groups"], F.array(acc["cur"])))
+            .otherwise(acc["groups"]).alias("groups"),
+            F.when(start, F.array(p["x"].cast("double")))
+            .otherwise(F.concat(acc["cur"],
+                                F.array(p["x"].cast("double")))).alias("cur"),
+            F.lit(False).alias("first"),
+        )
+
+    return F.aggregate(
+        pairs, init, step,
+        lambda acc: F.when(F.size(acc["cur"]) > 0,
+                           F.concat(acc["groups"], F.array(acc["cur"])))
+        .otherwise(acc["groups"]),
+    )
+
+
+def bitRotateLeft(n, k: int) -> Column:
+    """CH bitRotateLeft on the 64-bit pattern: (n << k) | (n >>> (64-k)) —
+    pure bitwise ops, ANSI-safe."""
+    c = _c(n)
+    k = int(k) % 64
+    if k == 0:
+        return c
+    return F.shiftleft(c, k).bitwiseOR(F.shiftrightunsigned(c, 64 - k))
+
+
+def bitHammingDistance(a, b) -> Column:
+    """CH bitHammingDistance: popcount of XOR."""
+    return F.bit_count(_c(a).bitwiseXOR(_c(b)))
+
+
+def tupleNegate(t, fields: "tuple[str, ...]") -> Column:
+    """CH tupleNegate — field-wise negation; the field list is explicit
+    (this engine's struct calling convention, documented)."""
+    c = _c(t)
+    return F.struct(*[(-c[f]).alias(f) for f in fields])
+
+
+def tupleMultiply(t1, t2, fields: "tuple[str, ...]") -> Column:
+    """CH tupleMultiply — field-wise product of two same-shape tuples."""
+    c1, c2 = _c(t1), _c(t2)
+    return F.struct(*[(c1[f] * c2[f]).alias(f) for f in fields])
+
+
+def L1Norm(a) -> Column:
+    """CH L1Norm (functions/vector.l1_norm)."""
+    from clickhouseocp_spark.functions.vector import l1_norm
+
+    return l1_norm(_c(a))
+
+
+def L2Norm(a) -> Column:
+    """CH L2Norm (functions/vector.l2_norm)."""
+    from clickhouseocp_spark.functions.vector import l2_norm
+
+    return l2_norm(_c(a))
+
+
+def LinfNorm(a) -> Column:
+    """CH LinfNorm (functions/vector.linf_norm)."""
+    from clickhouseocp_spark.functions.vector import linf_norm
+
+    return linf_norm(_c(a))
+
+
+def LpNorm(a, p: float) -> Column:
+    """CH LpNorm (functions/vector.lp_norm)."""
+    from clickhouseocp_spark.functions.vector import lp_norm
+
+    return lp_norm(_c(a), p)
+
+
+def LpDistance(a, b, p: float) -> Column:
+    """CH LpDistance (functions/vector.lp_distance)."""
+    from clickhouseocp_spark.functions.vector import lp_distance
+
+    return lp_distance(_c(a), _c(b), p)
+
+
+def normalizeL2(a) -> Column:
+    """CH normalizeL2 (functions/vector.normalize_l2)."""
+    from clickhouseocp_spark.functions.vector import normalize_l2
+
+    return normalize_l2(_c(a))
+
+
 #: alias → note, for the parity inventory (names that clash with Python
 #: keywords/builtins carry a trailing underscore).
 MAPPING: dict[str, str] = {

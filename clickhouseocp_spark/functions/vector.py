@@ -91,3 +91,53 @@ def int8_dequantize(qs: Column | str) -> Column:
     array<double> (max abs error scale/2 by construction)."""
     c = F.col(qs) if isinstance(qs, str) else qs
     return F.transform(c["q"], lambda x: x.cast("double") * c["scale"])
+
+
+def l1_norm(a: Column | str) -> Column:
+    """L1Norm — fold of |x|."""
+    c = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(c, F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double")))
+
+
+def linf_norm(a: Column | str) -> Column:
+    """LinfNorm — max |x|."""
+    c = F.col(a) if isinstance(a, str) else a
+    return F.aggregate(
+        c, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+
+
+def lp_norm(a: Column | str, p: float) -> Column:
+    """LpNorm(p) — (Σ|x|^p)^(1/p); p is a constant, like CH requires."""
+    c = F.col(a) if isinstance(a, str) else a
+    s = F.aggregate(
+        c, F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.abs(x.cast("double")), F.lit(float(p))),
+    )
+    return F.pow(s, F.lit(1.0 / float(p)))
+
+
+def lp_distance(a: Column | str, b: Column | str, p: float) -> Column:
+    """LpDistance(p) — LpNorm of the elementwise difference."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    diff = F.zip_with(ca, cb, lambda x, y: x.cast("double") - y.cast("double"))
+    return lp_norm(diff, p)
+
+
+def linf_distance(a: Column | str, b: Column | str) -> Column:
+    """LinfDistance — max |x - y|."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return linf_norm(F.zip_with(ca, cb, lambda x, y: x.cast("double") - y.cast("double")))
+
+
+def normalize_l2(a: Column | str) -> Column:
+    """normalizeL2 — x / ||x||₂ (NULL-safe: zero vector passes through
+    unchanged, matching CH's divide-by-zero → inf avoidance here by
+    guarding)."""
+    c = F.col(a) if isinstance(a, str) else a
+    n = l2_norm(c)
+    return F.when(n > 0, F.transform(c, lambda x: x.cast("double") / n)).otherwise(
+        F.transform(c, lambda x: x.cast("double"))
+    )

@@ -381,3 +381,146 @@ def geohash_cover_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cells")
     )
     return cover.select(F.explode("cells").alias("gh"))
+
+
+@register(
+    "vector_norms_vocab",
+    oracle="""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))), 6) AS l1,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2,
+       ROUND(list_max(list_transform(embedding,
+                                     x -> abs(CAST(x AS DOUBLE)))), 6) AS linf,
+       ROUND(pow(list_sum(list_transform(embedding,
+                  x -> pow(abs(CAST(x AS DOUBLE)), 3.0))), 1.0/3.0), 6) AS lp3,
+       ROUND(pow(list_sum(list_transform(
+                  list_zip(embedding, list_reverse(embedding)),
+                  p -> pow(abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)),
+                           1.5))), 1.0/1.5), 6) AS lpd15,
+       ROUND(sqrt(list_sum(list_transform(embedding,
+         x -> (CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))
+              * (CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding,
+                y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))))))), 6)
+         AS unit_norm
+FROM embeddings
+WHERE vec_id < 200
+""",
+    tags=("scalar", "vector", "vocab"),
+)
+def vector_norms_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH Lp norm/distance family (L1Norm/L2Norm/LinfNorm/LpNorm/LpDistance/
+    normalizeL2 — functions/vector): all left-to-right JVM folds so the
+    summation order matches DuckDB's list_sum exactly; libm pow/sqrt rounded
+    on both sides.  unit_norm pins normalizeL2 (the L2 norm of the
+    normalized vector is 1)."""
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    return emb.select(
+        "vec_id",
+        F.round(ch.L1Norm("embedding"), 6).alias("l1"),
+        F.round(ch.L2Norm("embedding"), 6).alias("l2"),
+        F.round(ch.LinfNorm("embedding"), 6).alias("linf"),
+        F.round(ch.LpNorm("embedding", 3.0), 6).alias("lp3"),
+        F.round(
+            ch.LpDistance("embedding", F.reverse(F.col("embedding")), 1.5), 6
+        ).alias("lpd15"),
+        F.round(
+            ch.L2Norm(ch.normalizeL2("embedding")), 6
+        ).alias("unit_norm"),
+    )
+
+
+@register(
+    "scalar_vocab_r6c",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS price,
+         list_transform(range(1, 7 + CAST(o_orderkey % 3 AS INTEGER)),
+                        i -> CAST(i AS DOUBLE)) AS arr
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+flagged AS (
+  SELECT *, list_transform(arr, x -> x % 3 = 1.0) AS flags FROM src
+),
+split_info AS (
+  SELECT *,
+         COALESCE(list_position(list_slice(flags, 2, len(flags)), true), 0)
+           AS first_true
+  FROM flagged
+)
+SELECT o_orderkey,
+       isnan(CAST('NaN' AS DOUBLE) * price) AS is_nan_t,
+       isnan(price) AS is_nan_f,
+       CASE WHEN o_orderkey % 3 = 0 THEN -1.0 ELSE price END AS not_finite,
+       CASE WHEN o_orderkey % 4 = 0 THEN [0.0] ELSE [price] END AS single_arr,
+       (o_orderkey % 3 = 1) AS has_sub,
+       TRUE AS has_sub_empty,
+       CASE WHEN first_true = 0 THEN 1
+            ELSE len(list_filter(list_slice(flags, 2, len(flags)), f -> f)) + 1
+       END AS n_groups,
+       CASE WHEN first_true = 0 THEN arr
+            ELSE list_slice(arr, 1, first_true) END AS first_group,
+       (o_orderkey << 7) | (o_orderkey >> 57) AS rot7,
+       bit_count(xor(o_orderkey, o_custkey)) AS hamming,
+       -o_orderkey AS tn_x, -price AS tn_y,
+       o_orderkey * o_orderkey AS tm_x, price * price AS tm_y
+FROM split_info
+""",
+    tags=("scalar", "vocab"),
+)
+def scalar_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 8: isNaN / ifNotFinite (portable NaN/Inf literals),
+    emptyArrayToSingle, hasSubstr (contiguous-subsequence, incl. the
+    empty-needle rule), arraySplit (aggregate-fold grouping; leading-true
+    rule), bitRotateLeft / bitHammingDistance, tupleNegate / tupleMultiply.
+    The oracle recomputes every expected value by independent formulations
+    (e.g. has_sub from the arithmetic membership condition, n_groups /
+    first_group from flag positions — not from a replayed fold)."""
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    src = o.select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("double").alias("price"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(6) + (F.col("o_orderkey") % 3).cast("int")),
+            lambda i: i.cast("double"),
+        ).alias("arr"),
+    )
+    nan = F.expr("CAST('NaN' AS DOUBLE)")
+    inf = F.expr("CAST('Infinity' AS DOUBLE)")
+    maybe_inf = F.when(F.col("o_orderkey") % 3 == 0, inf).otherwise(F.col("price"))
+    needle = F.array(F.lit(2.0), F.lit(2.0) + (F.col("o_orderkey") % 3).cast("double"))
+    flags = F.transform(F.col("arr"), lambda x: x % 3 == 1.0)
+    split = ch.arraySplit(flags, F.col("arr"))
+    t = F.struct(F.col("o_orderkey").alias("x"), F.col("price").alias("y"))
+    tn = ch.tupleNegate(t, ("x", "y"))
+    tm = ch.tupleMultiply(t, t, ("x", "y"))
+    return src.select(
+        "o_orderkey",
+        ch.isNaN(nan * F.col("price")).alias("is_nan_t"),
+        ch.isNaN(F.col("price")).alias("is_nan_f"),
+        ch.ifNotFinite(maybe_inf, F.lit(-1.0)).alias("not_finite"),
+        ch.emptyArrayToSingle(
+            F.filter(F.array(F.col("price")),
+                     lambda _x: F.col("o_orderkey") % 4 != 0)
+        ).alias("single_arr"),
+        ch.hasSubstr(
+            F.transform(F.sequence(F.lit(1), F.lit(6)), lambda i: i.cast("double")),
+            needle,
+        ).alias("has_sub"),
+        ch.hasSubstr(F.col("arr"),
+                     F.filter(F.col("arr"), lambda _x: F.lit(False))).alias(
+            "has_sub_empty"
+        ),
+        F.size(split).alias("n_groups"),
+        F.element_at(split, 1).alias("first_group"),
+        ch.bitRotateLeft("o_orderkey", 7).alias("rot7"),
+        ch.bitHammingDistance("o_orderkey", "o_custkey").alias("hamming"),
+        tn["x"].alias("tn_x"), tn["y"].alias("tn_y"),
+        tm["x"].alias("tm_x"), tm["y"].alias("tm_y"),
+    )

@@ -989,3 +989,34 @@ def test_quantile_exact_variants_and_group_concat(spark, sf_dir):
             "WHERE n_regionkey = 1"
         ).fetchall()
     ))
+
+
+def test_vocab_r6c_edges(spark):
+    """Batch-8 edges the registry oracle doesn't reach: hasSubstr absent /
+    longer-than-haystack needles, arraySplit leading-true and all-false,
+    ifNotFinite NaN branch, bitRotateLeft wraparound on a high-bit value,
+    normalizeL2 zero vector."""
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+    from clickhouseocp_spark.functions.vector import normalize_l2
+
+    arr = F.array(*[F.lit(float(v)) for v in (1, 2, 3, 4)])
+    row = spark.range(1).select(
+        ch.hasSubstr(arr, F.array(F.lit(2.0), F.lit(4.0))).alias("absent"),
+        ch.hasSubstr(arr, F.array(*[F.lit(float(v)) for v in range(9)])).alias(
+            "too_long"
+        ),
+        ch.arraySplit(
+            F.array(F.lit(True), F.lit(False), F.lit(True), F.lit(False)), arr
+        ).alias("lead_true"),
+        ch.arraySplit(F.array(*[F.lit(False)] * 4), arr).alias("no_split"),
+        ch.ifNotFinite(F.expr("CAST('NaN' AS DOUBLE)"), F.lit(9.0)).alias("nanb"),
+        ch.bitRotateLeft(F.lit(-2).cast("bigint"), 1).alias("rot"),
+        normalize_l2(F.array(F.lit(0.0), F.lit(0.0))).alias("zvec"),
+    ).first()
+    assert row.absent is False and row.too_long is False
+    assert row.lead_true == [[1.0, 2.0], [3.0, 4.0]]  # leading true: no empty head
+    assert row.no_split == [[1.0, 2.0, 3.0, 4.0]]
+    assert row.nanb == 9.0
+    # -2 = 0xFFFF...FE; rotate-left 1 -> 0xFFFF...FD = -3
+    assert row.rot == -3
+    assert row.zvec == [0.0, 0.0]
