@@ -1495,6 +1495,66 @@ FUNC_RULES: dict[str, object] = {
     "dictHas": lambda args: (
         f"({_dict_get(args[0], None, args[1], count=True)} > 0)"
     ),
+    # --- vocabulary batches 7/8 (round 6) on the TEXT path ------------------
+    "isNaN": lambda args: f"isnan(CAST({args[0]} AS DOUBLE))",
+    "ifNotFinite": lambda args: (
+        f"(CASE WHEN isnan(CAST({args[0]} AS DOUBLE)) "
+        f"OR abs(CAST({args[0]} AS DOUBLE)) = double('Infinity') "
+        f"THEN CAST({args[1]} AS DOUBLE) ELSE CAST({args[0]} AS DOUBLE) END)"
+    ),
+    "bitTestAll": lambda args: "(" + " AND ".join(
+        f"((shiftright({args[0]}, cast({p} as int)) & 1) = 1)" for p in args[1:]
+    ) + ")",
+    "bitTestAny": lambda args: "(" + " OR ".join(
+        f"((shiftright({args[0]}, cast({p} as int)) & 1) = 1)" for p in args[1:]
+    ) + ")",
+    "bitRotateLeft": lambda args: (
+        f"(shiftleft({args[0]}, cast({args[1]} as int) % 64) | "
+        f"shiftrightunsigned({args[0]}, 64 - cast({args[1]} as int) % 64))"
+    ),
+    "bitHammingDistance": lambda args: f"bit_count(({args[0]}) ^ ({args[1]}))",
+    "tupleNames": lambda args: f"json_object_keys(to_json({args[0]}))",
+    "YYYYMMDDToDate": lambda args: (
+        f"try_to_date(CAST(CAST({args[0]} AS BIGINT) AS STRING), 'yyyyMMdd')"
+    ),
+    "YYYYMMDDhhmmssToDateTime": lambda args: (
+        f"try_to_timestamp(CAST(CAST({args[0]} AS BIGINT) AS STRING), "
+        f"'yyyyMMddHHmmss')"
+    ),
+    "hasSubstr": lambda args: (
+        f"(CASE WHEN size({args[1]}) = 0 THEN true "
+        f"WHEN size({args[1]}) > size({args[0]}) THEN false "
+        f"ELSE coalesce(exists(sequence(1, size({args[0]}) - size({args[1]}) + 1), "
+        f"__i -> slice({args[0]}, __i, size({args[1]})) = {args[1]}), false) END)"
+    ),
+    "L1Norm": lambda args: (
+        f"aggregate({args[0]}, 0.0D, (__a, __x) -> __a + abs(CAST(__x AS DOUBLE)))"
+    ),
+    "LinfNorm": lambda args: (
+        f"aggregate({args[0]}, 0.0D, (__a, __x) -> "
+        f"greatest(__a, abs(CAST(__x AS DOUBLE))))"
+    ),
+    "L1Distance": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (__x, __y) -> "
+        f"abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), 0.0D, "
+        f"(__a, __x) -> __a + __x)"
+    ),
+    "LinfDistance": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (__x, __y) -> "
+        f"abs(CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))), 0.0D, "
+        f"(__a, __x) -> greatest(__a, __x))"
+    ),
+    "normalizeL2": lambda args: (
+        f"transform({args[0]}, __x -> CAST(__x AS DOUBLE) / "
+        f"nullif(sqrt(aggregate({args[0]}, 0.0D, (__a, __y) -> "
+        f"__a + CAST(__y AS DOUBLE) * CAST(__y AS DOUBLE))), 0.0D))"
+    ),
+    "greatCircleAngle": lambda args: (
+        f"degrees(2 * asin(least(1.0D, sqrt("
+        f"pow(sin(radians(({args[3]}) - ({args[1]})) / 2), 2) + "
+        f"cos(radians({args[1]})) * cos(radians({args[3]})) * "
+        f"pow(sin(radians(({args[2]}) - ({args[0]})) / 2), 2)))))"
+    ),
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
 

@@ -2784,3 +2784,40 @@ def system_settings_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # session's shuffle conf so the probe leaves no side effect behind
     spark.conf.set("spark.sql.shuffle.partitions", prev)
     return out
+
+
+@register(
+    "chsql_vocab_r6b",
+    oracle="""
+SELECT s_suppkey,
+       isnan(CAST('NaN' AS DOUBLE) * s_acctbal) AS nan_t,
+       CASE WHEN s_suppkey % 3 = 0 THEN -5.0
+            ELSE CAST(s_acctbal AS DOUBLE) END AS fin,
+       ((s_suppkey >> 1) & 1 = 1) AND ((s_suppkey >> 2) & 1 = 1) AS bta,
+       ((s_suppkey >> 1) & 1 = 1) OR ((s_suppkey >> 2) & 1 = 1) AS bto,
+       (s_suppkey << 5) | (s_suppkey >> 59) AS rot5,
+       bit_count(xor(s_suppkey, s_nationkey)) AS hd
+FROM supplier
+""",
+    tags=("chsql", "dialect", "vocab"),
+)
+def chsql_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batches 7/8 through the TEXT path: isNaN, ifNotFinite, bitTestAll/
+    Any, bitRotateLeft, bitHammingDistance — a CH user's query text runs
+    verbatim.  The oracle recomputes everything from shift/mask arithmetic."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey,
+               isNaN(CAST('NaN' AS Float64) * s_acctbal) AS nan_t,
+               ifNotFinite(
+                   if(s_suppkey % 3 == 0, CAST('Infinity' AS Float64),
+                      toFloat64(s_acctbal)), -5.0) AS fin,
+               bitTestAll(s_suppkey, 1, 2) AS bta,
+               bitTestAny(s_suppkey, 1, 2) AS bto,
+               bitRotateLeft(s_suppkey, 5) AS rot5,
+               bitHammingDistance(s_suppkey, s_nationkey) AS hd
+        FROM supplier
+        """,
+    )
