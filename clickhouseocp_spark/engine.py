@@ -37,6 +37,17 @@ def detect_trailing_format(query: str) -> str | None:
     return m.group(1) if m else None
 
 
+def strip_trailing_format(query: str) -> str:
+    """The statement without its trailing ``FORMAT <name>`` clause (no-op
+    when absent / INSERT) — for callers that render out-of-band, e.g. the
+    HTTP layer's RowBinary path."""
+    import re as _re
+
+    if detect_trailing_format(query) is None:
+        return query
+    return _re.sub(r"\bFORMAT\s+\w+\s*;?\s*$", "", query, flags=_re.IGNORECASE)
+
+
 def _split_assignments(text: str) -> list[str]:
     """Split `a = e1, b = e2` on top-level commas (string/paren aware)."""
     from clickhouseocp_spark.chsql import _split_top, render, tokenize

@@ -43,6 +43,8 @@ FORMATS = (
     "Vertical",
     "Pretty",
     "PrettyCompact",
+    "RowBinary",
+    "RowBinaryWithNamesAndTypes",
     "Markdown",
 )
 
@@ -175,6 +177,11 @@ def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> 
         raise ValueError(
             f"unsupported FORMAT {fmt!r}; supported: {', '.join(FORMATS)}"
         )
+    if canon.startswith("RowBinary"):
+        raise ValueError(
+            "RowBinary is a binary format - use formats.render_rowbinary "
+            "(the HTTP layer routes it automatically)"
+        )
     if canon == "Null":
         # clickhouse-client's benchmark format: execute fully, emit nothing
         df.limit(max_rows).count()
@@ -234,3 +241,191 @@ def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> 
         out.extend("| " + " | ".join(_txt(v) for v in r) + " |" for r in rows)
         return "\n".join(out) + "\n"
     return _pretty(cols, rows, compact=(canon == "PrettyCompact"))
+
+
+# ---------------------------------------------------------------------------
+# RowBinary / RowBinaryWithNamesAndTypes (the CH binary wire format drivers
+# use for fast export/ingest; public spec: LEB128 varints, little-endian
+# fixed-width numerics, String = varint length + UTF-8 bytes, Nullable = flag
+# byte (1 = NULL, no value follows), Array = varint count + items, Date =
+# UInt16 days, DateTime = UInt32 unix seconds)
+# ---------------------------------------------------------------------------
+
+import struct as _struct
+
+_RB_PACK = {
+    "Int8": "<b", "Int16": "<h", "Int32": "<i", "Int64": "<q",
+    "UInt8": "<B", "UInt16": "<H", "UInt32": "<I", "UInt64": "<Q",
+    "Float32": "<f", "Float64": "<d", "Bool": "<B",
+}
+
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+def _leb128(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_leb128(data: bytes, pos: int) -> "tuple[int, int]":
+    shift = n = 0
+    while True:
+        b = data[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n, pos
+        shift += 7
+
+
+def _rb_spark_to_ch(simple: str, nullable: bool) -> str:
+    """Spark simpleString → the CH type this encoder emits (the subset with
+    a defined RowBinary layout; decimals widen to Float64, documented)."""
+    if simple.startswith("array<"):
+        inner = _rb_spark_to_ch(simple[6:-1], True)
+        base = f"Array({inner})"
+        return base
+    if simple.startswith("decimal"):
+        base = "Float64"
+    else:
+        base = _CH_TYPES.get(simple)
+    if base is None:
+        raise ValueError(f"RowBinary: unsupported Spark type {simple!r}")
+    if base == "DateTime64(9)":
+        base = "DateTime"
+    return f"Nullable({base})" if nullable and not simple.startswith("array<") else base
+
+
+def _rb_encode_value(ch_type: str, v, out: bytearray) -> None:
+    if ch_type.startswith("Nullable("):
+        if v is None:
+            out.append(1)
+            return
+        out.append(0)
+        ch_type = ch_type[9:-1]
+    if ch_type.startswith("Array("):
+        inner = ch_type[6:-1]
+        v = v if v is not None else []
+        out += _leb128(len(v))
+        for x in v:
+            _rb_encode_value(inner, x, out)
+        return
+    if ch_type == "String":
+        b = bytes(v) if isinstance(v, (bytes, bytearray)) else str(v).encode("utf-8")
+        out += _leb128(len(b))
+        out += b
+        return
+    if ch_type == "Date":
+        out += _struct.pack("<H", (v - _EPOCH_DATE).days)
+        return
+    if ch_type == "DateTime":
+        ts = int(v.replace(tzinfo=_dt.timezone.utc).timestamp()) \
+            if v.tzinfo is None else int(v.timestamp())
+        out += _struct.pack("<I", ts)
+        return
+    fmt = _RB_PACK.get(ch_type)
+    if fmt is None:
+        raise ValueError(f"RowBinary: unsupported CH type {ch_type!r}")
+    if ch_type == "Bool":
+        v = 1 if v else 0
+    if ch_type.startswith("Float"):
+        v = float(v)
+    else:
+        v = int(v)
+    out += _struct.pack(fmt, v)
+
+
+def render_rowbinary(
+    df: DataFrame, with_names_and_types: bool = False, max_rows: int = 10_000
+) -> bytes:
+    """Driver-side RowBinary export (row-capped like the text formats; bulk
+    exports go through the distributed writers).  Column types derive from
+    the Spark schema — nullable fields emit the Nullable flag byte, exactly
+    what a CH driver reading ``RowBinaryWithNamesAndTypes`` expects."""
+    fields = df.schema.fields
+    types = [_rb_spark_to_ch(f.dataType.simpleString(), f.nullable) for f in fields]
+    out = bytearray()
+    if with_names_and_types:
+        out += _leb128(len(fields))
+        for f in fields:
+            b = f.name.encode("utf-8")
+            out += _leb128(len(b))
+            out += b
+        for t in types:
+            b = t.encode("utf-8")
+            out += _leb128(len(b))
+            out += b
+    for row in df.limit(max_rows).collect():
+        for t, v in zip(types, row):
+            _rb_encode_value(t, v, out)
+    return bytes(out)
+
+
+def _rb_decode_value(ch_type: str, data: bytes, pos: int):
+    if ch_type.startswith("Nullable("):
+        flag = data[pos]
+        pos += 1
+        if flag:
+            return None, pos
+        return _rb_decode_value(ch_type[9:-1], data, pos)
+    if ch_type.startswith("Array("):
+        inner = ch_type[6:-1]
+        n, pos = _read_leb128(data, pos)
+        items = []
+        for _ in range(n):
+            v, pos = _rb_decode_value(inner, data, pos)
+            items.append(v)
+        return items, pos
+    if ch_type == "String":
+        n, pos = _read_leb128(data, pos)
+        return data[pos:pos + n].decode("utf-8"), pos + n
+    if ch_type == "Date":
+        (days,) = _struct.unpack_from("<H", data, pos)
+        return _EPOCH_DATE + _dt.timedelta(days=days), pos + 2
+    if ch_type == "DateTime":
+        (ts,) = _struct.unpack_from("<I", data, pos)
+        return _dt.datetime.utcfromtimestamp(ts), pos + 4
+    fmt = _RB_PACK[ch_type]
+    (v,) = _struct.unpack_from(fmt, data, pos)
+    if ch_type == "Bool":
+        v = bool(v)
+    return v, pos + _struct.calcsize(fmt)
+
+
+def parse_rowbinary(data: bytes, types: "list[str] | None" = None):
+    """Decode RowBinary bytes.  With ``types=None`` the payload must carry
+    the WithNamesAndTypes header; returns (names, types, rows).  With
+    explicit ``types``, returns rows only (plain RowBinary)."""
+    pos = 0
+    names = None
+    if types is None:
+        n, pos = _read_leb128(data, pos)
+        names, types = [], []
+        for _ in range(n):
+            ln, pos = _read_leb128(data, pos)
+            names.append(data[pos:pos + ln].decode("utf-8"))
+            pos += ln
+        for _ in range(n):
+            ln, pos = _read_leb128(data, pos)
+            types.append(data[pos:pos + ln].decode("utf-8"))
+            pos += ln
+        header = True
+    else:
+        header = False
+    rows = []
+    while pos < len(data):
+        row = []
+        for t in types:
+            v, pos = _rb_decode_value(t, data, pos)
+            row.append(v)
+        rows.append(tuple(row))
+    if header:
+        return names, types, rows
+    return rows

@@ -56,6 +56,8 @@ def _content_type(fmt: str) -> str:
         return _CONTENT_TYPES["json"]
     if f.startswith("csv"):
         return _CONTENT_TYPES["csv"]
+    if f.replace("_", "").startswith("rowbinary"):
+        return "application/octet-stream"
     return "text/plain; charset=UTF-8"
 
 
@@ -117,9 +119,9 @@ class ChHttpServer:
             def log_message(self, *a):  # quiet: the engine's query_log records
                 pass
 
-            def _reply(self, code: int, body: str, fmt: str = "TabSeparated",
+            def _reply(self, code: int, body, fmt: str = "TabSeparated",
                        extra: dict | None = None, gzip_ok: bool = False) -> None:
-                data = body.encode("utf-8")
+                data = body if isinstance(body, bytes) else body.encode("utf-8")
                 self.send_response(code)
                 self.send_header("Content-Type", _content_type(fmt))
                 if gzip_ok and code == 200:
@@ -188,7 +190,29 @@ class ChHttpServer:
                 )
                 try:
                     with outer._gate:
-                        out = outer.engine.run(query, dialect=dialect)
+                        if (fmt or "").replace("_", "").lower() in (
+                            "rowbinary", "rowbinarywithnamesandtypes"
+                        ):
+                            # binary wire format: bypass text rendering
+                            from clickhouseocp_spark.engine import (
+                                strip_trailing_format,
+                            )
+                            from clickhouseocp_spark.formats import (
+                                render_rowbinary,
+                            )
+
+                            df = outer.engine.sql(
+                                strip_trailing_format(query), dialect=dialect
+                            )
+                            out = render_rowbinary(
+                                df,
+                                with_names_and_types=(fmt or "")
+                                .replace("_", "")
+                                .lower()
+                                .endswith("withnamesandtypes"),
+                            )
+                        else:
+                            out = outer.engine.run(query, dialect=dialect)
                 except Exception as e:  # noqa: BLE001 — wire errors like CH
                     self._reply(
                         500,
@@ -199,7 +223,7 @@ class ChHttpServer:
                         },
                     )
                     return
-                if out and not out.endswith("\n"):
+                if out and isinstance(out, str) and not out.endswith("\n"):
                     out += "\n"
                 fmt = fmt or "TabSeparated"
                 tz = outer.engine.spark.conf.get(

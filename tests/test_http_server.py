@@ -170,3 +170,58 @@ def test_concurrent_queries(http_engine):
     with cf.ThreadPoolExecutor(8) as ex:
         got = sorted(ex.map(one, range(8)))
     assert got == [25 + i for i in range(8)]
+
+
+def _get_raw(srv, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}{path}") as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_rowbinary_roundtrip(spark):
+    """render_rowbinary → parse_rowbinary round trip over every supported
+    layout: Nullable flags, varint strings (incl. >127-byte lengths and
+    unicode), arrays, date/datetime, bool, floats."""
+    import datetime as dt
+
+    from clickhouseocp_spark.formats import parse_rowbinary, render_rowbinary
+
+    df = spark.createDataFrame(
+        [
+            (1, 2.5, "hello", True, dt.date(2024, 2, 29),
+             dt.datetime(2024, 1, 2, 3, 4, 5), [1, 2, 3], "x" * 300),
+            (None, None, None, None, None, None, None, None),
+        ],
+        "i bigint, f double, s string, b boolean, d date, ts timestamp, "
+        "a array<bigint>, big string",
+    )
+    blob = render_rowbinary(df, with_names_and_types=True)
+    names, types, rows = parse_rowbinary(blob)
+    assert names == ["i", "f", "s", "b", "d", "ts", "a", "big"]
+    assert types[0] == "Nullable(Int64)" and types[6] == "Array(Nullable(Int64))"
+    assert rows[0][:4] == (1, 2.5, "hello", True)
+    assert rows[0][4] == dt.date(2024, 2, 29)
+    assert rows[0][5] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert rows[0][6] == [1, 2, 3] and rows[0][7] == "x" * 300
+    # CH has no Nullable(Array): a NULL array column encodes as empty
+    assert rows[1] == (None, None, None, None, None, None, [], None)
+    # plain RowBinary (no header) with explicit types decodes identically
+    blob2 = render_rowbinary(df, with_names_and_types=False)
+    assert parse_rowbinary(blob2, types)[0][:3] == rows[0][:3]
+
+
+def test_http_rowbinary_wire(http_engine):
+    """FORMAT RowBinaryWithNamesAndTypes over HTTP: octet-stream content
+    type, decodable payload, values matching the text path."""
+    from clickhouseocp_spark.formats import parse_rowbinary
+
+    q = urllib.parse.quote(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey "
+        "FORMAT RowBinaryWithNamesAndTypes"
+    )
+    status, raw, headers = _get_raw(http_engine, f"/?query={q}")
+    assert status == 200
+    assert headers["Content-Type"] == "application/octet-stream"
+    assert headers["X-ClickHouse-Format"] == "RowBinaryWithNamesAndTypes"
+    names, types, rows = parse_rowbinary(raw)
+    assert names == ["r_regionkey", "r_name"]
+    assert rows[0][1] == "AFRICA" and len(rows) == 5
