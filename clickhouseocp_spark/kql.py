@@ -46,6 +46,9 @@ consumers of FORMAT output see the moved column.
   of the schema (same positional deviation as mv-expand, documented above)
 - ``| render <chart> [with (...)]`` — no-op passthrough (charting is
   client-side in Kusto)
+- ``| top-nested N1 of K1 by agg1, top-nested N2 of K2 by agg2, ...`` —
+  hierarchical top-k, arbitrary depth (per-level join-back + partitioned
+  row_number); ``with others`` not in the subset
 - ``| make-series v=agg(x) [default=d] on ts from a to b step Nu [by k]`` —
   the Kusto time-series operator: binned aggregation over a dense
   default-filled axis (end-exclusive, start-aligned), one array row per
@@ -334,6 +337,66 @@ def _parse_op(sub: str, rest: str) -> str:
     return f"SELECT *, {', '.join(sels)} FROM {sub}"
 
 
+def _top_nested(sub: str, rest: str) -> str:
+    """Lower ``top-nested N1 of K1 by [n1 =] agg1, top-nested N2 of K2 by
+    ... `` — Kusto's hierarchical top-k.  Arbitrary depth: level k joins the
+    source to the level-(k-1) winners on all prior keys, aggregates, and
+    keeps the per-partition top N via row_number (Spark lowers that to
+    per-partition heaps, no global sort).  ``with others`` is not in the
+    subset."""
+    specs = []
+    for item in _split_top(rest):
+        item = re.sub(r"^top-nested\s+", "", item.strip(), flags=re.IGNORECASE)
+        m = re.match(
+            r"^(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+"
+            r"(?:([A-Za-z_]\w*)\s*=\s*)?(.+)$",
+            item,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise KqlError(
+                f"top-nested needs 'N of col by [name=]agg', got {item!r}"
+            )
+        n, key, name, agg = m.groups()
+        specs.append((int(n), key, name or f"aggregated_{key}", _agg_expr(agg)))
+    if not specs:
+        raise KqlError("top-nested needs at least one spec")
+    rel = None
+    prior: list[tuple[str, str]] = []  # (key, value_alias) selected so far
+    for n, key, name, agg in specs:
+        if rel is None:
+            grouped = (
+                f"SELECT {key}, {agg} AS {name} FROM {sub} GROUP BY {key}"
+            )
+            ranked = (
+                f"SELECT *, row_number() OVER (ORDER BY {name} DESC, {key}) "
+                f"AS __rnk FROM ({grouped}) __g"
+            )
+        else:
+            join_on = " AND ".join(f"__t.{k} = __p.{k}" for k, _v in prior)
+            keep = ", ".join(
+                [f"__t.{k}" for k, _v in prior]
+                + [f"__p.{v}" for _k, v in prior]
+            )
+            grouped = (
+                f"SELECT {keep}, __t.{key} AS {key}, {agg} AS {name} "
+                f"FROM (SELECT * FROM {sub}) __t "
+                f"JOIN ({rel}) __p ON {join_on} "
+                f"GROUP BY {keep}, __t.{key}"
+            )
+            ranked = (
+                f"SELECT *, row_number() OVER (PARTITION BY "
+                f"{', '.join(k for k, _v in prior)} "
+                f"ORDER BY {name} DESC, {key}) AS __rnk FROM ({grouped}) __g"
+            )
+        sel = ", ".join(
+            [k for k, _v in prior] + [v for _k, v in prior] + [key, name]
+        )
+        rel = f"SELECT {sel} FROM ({ranked}) __r WHERE __rnk <= {n}"
+        prior.append((key, name))
+    return rel
+
+
 def transpile_kql(query: str) -> str:
     """KQL pipeline text → one nested Spark SQL statement."""
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
@@ -426,6 +489,8 @@ def transpile_kql(query: str) -> str:
             rel = _make_series(sub, rest)
         elif op == "parse":
             rel = _parse_op(sub, rest)
+        elif op == "top-nested":
+            rel = _top_nested(sub, rest)
         elif op == "render":
             # charting is a client-side concern in Kusto — pass the relation
             # through unchanged (same no-op contract as ADX's tabular engine)

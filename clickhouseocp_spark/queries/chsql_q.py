@@ -2554,6 +2554,45 @@ events
 
 
 @register(
+    "kql_top_nested",
+    oracle="""
+WITH l1 AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n1,
+         row_number() OVER (ORDER BY COUNT(*) DESC, event_type) AS r1
+  FROM events GROUP BY event_type
+),
+top1 AS (SELECT event_type, n1 FROM l1 WHERE r1 <= 2),
+l2 AS (
+  SELECT e.event_type, t.n1, e.user_id, CAST(COUNT(*) AS BIGINT) AS n2,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY COUNT(*) DESC, e.user_id) AS r2
+  FROM events e JOIN top1 t ON e.event_type = t.event_type
+  GROUP BY e.event_type, t.n1, e.user_id
+)
+SELECT event_type, n1, user_id, n2 FROM l2 WHERE r2 <= 3
+""",
+    tags=("kql", "dialect"),
+)
+def kql_top_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``top-nested`` (round 6): hierarchical top-k — the top-2 event
+    types by count, and within each its top-3 users.  Lowered per level to
+    join-back + aggregate + partitioned row_number (kql.py::_top_nested);
+    ranks tie-break on the key ascending in both engines.  The oracle
+    replays the hierarchy with DuckDB window SQL."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| top-nested 2 of event_type by n1 = count(),
+  top-nested 3 of user_id by n2 = count()
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "chsql_change_datetime",
     oracle="""
 SELECT o_orderkey,

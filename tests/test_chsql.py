@@ -1020,3 +1020,30 @@ def test_vocab_r6c_edges(spark):
     # -2 = 0xFFFF...FE; rotate-left 1 -> 0xFFFF...FD = -3
     assert row.rot == -3
     assert row.zvec == [0.0, 0.0]
+
+
+def test_kql_top_nested_mechanics(spark):
+    """top-nested: three levels chain, values flow outward, error surface."""
+    import pytest
+
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    spark.createDataFrame(
+        [("a", "x", 1, 10.0), ("a", "x", 2, 5.0), ("a", "y", 3, 1.0),
+         ("b", "x", 4, 2.0)],
+        "g string, h string, u long, v double",
+    ).createOrReplaceTempView("__tn")
+    rows = spark.sql(
+        transpile_kql(
+            "__tn | top-nested 1 of g by n1 = count(), "
+            "top-nested 1 of h by n2 = count(), "
+            "top-nested 1 of u by n3 = count()"
+        )
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # g='a' (3 rows) > 'b'; within a: h='x' (2) > 'y'; within a,x: u=1 ties u=2
+    # -> key-asc tiebreak picks u=1
+    assert (r.g, r.n1, r.h, r.n2, r.u, r.n3) == ("a", 3, "x", 2, 1, 1)
+    with pytest.raises(KqlError, match="top-nested"):
+        transpile_kql("__tn | top-nested g by count()")
