@@ -100,6 +100,13 @@ HEADLINE = [
     # encode→decode tier (mapInPandas, no shuffle)
     "fulltext_index_search",
     "multimodal_jpeg_decode",
+    # round-6b additions: DSIR selection (two token aggs + broadcast
+    # ratio), BPE train+encode (vocab-table iterations + Arrow kernel),
+    # PCA (partial-Gram + streaming projection), Kusto make-series
+    "dsir_select_topk",
+    "bpe_encode_tokens",
+    "embedding_pca_project",
+    "kql_make_series",
 ]
 
 

@@ -16,7 +16,10 @@ analysis here.
 
 Supported transforms (the stable core of the public PRQL spec, prql-lang.org):
 ``from``, ``filter``, ``derive``, ``select``, ``join [side:left|right|full]``,
-``group {keys} (aggregate {...})``, ``aggregate {...}``, ``sort``, ``take``.
+``group {keys} (aggregate {...})``, ``aggregate {...}``, ``sort``, ``take``
+(incl. ``take a..b`` ranges), and the relational set ops ``append`` /
+``remove`` / ``intersect`` (bag semantics — UNION/EXCEPT/INTERSECT ALL,
+prqlc's all-columns join lowering expressed as set ops).
 Expression sugar handled: ``==`` → ``=``, ``@2024-01-01`` date literals,
 aggregation by juxtaposition (``sum x`` → ``sum(x)``), ``count this`` →
 ``count(*)``, ``average`` → ``avg``.  Everything else passes through to Spark
@@ -204,14 +207,38 @@ def transpile_prql(text: str) -> str:
                 keys.append(f"{_expr(k[1:])} DESC" if k.startswith("-") else _expr(k))
             wrap("*", f" ORDER BY {', '.join(keys)}")
         elif head == "take":
-            if not re.match(r"^\d+$", rest):
-                raise PrqlError(f"take: only `take n` is supported, got {rest!r}")
+            mr = re.match(r"^(\d+)\.\.(\d+)$", rest)
+            if mr:  # take a..b — PRQL's 1-based inclusive row range
+                a, b = int(mr.group(1)), int(mr.group(2))
+                if b < a:
+                    raise PrqlError(f"take: empty range {rest!r}")
+                suffix = f" LIMIT {b - a + 1} OFFSET {a - 1}"
+            elif re.match(r"^\d+$", rest):
+                suffix = f" LIMIT {rest}"
+            else:
+                raise PrqlError(
+                    f"take: only `take n` / `take a..b` are supported, got {rest!r}"
+                )
             if re.search(r" ORDER BY [^)]*$", rel):
                 # keep sort+take in ONE query level: ORDER BY inside a
                 # subquery does not survive the outer SELECT
-                rel = f"{rel} LIMIT {rest}"
+                rel = f"{rel}{suffix}"
             else:
-                wrap("*", f" LIMIT {rest}")
+                wrap("*", suffix)
+        elif head in ("append", "remove", "intersect"):
+            # PRQL relational set ops (stable spec): append = bag union;
+            # remove/intersect = bag difference/intersection (prqlc's
+            # anti/semi-join-on-all-columns semantics expressed as the
+            # equivalent EXCEPT ALL / INTERSECT ALL)
+            if not re.match(r"^[A-Za-z_]\w*$", rest):
+                raise PrqlError(f"{head}: expected a table name, got {rest!r}")
+            op = {"append": "UNION ALL", "remove": "EXCEPT ALL",
+                  "intersect": "INTERSECT ALL"}[head]
+            alias_n += 1
+            rel = (
+                f"SELECT * FROM (({rel}) {op} "
+                f"(SELECT * FROM {rest})) AS _p{alias_n}"
+            )
         else:
             raise PrqlError(f"unsupported PRQL transform {head!r}")
     return rel

@@ -597,6 +597,16 @@ def test_prql_transpile_shapes():
         transpile_prql("filter x > 1")
     with _pytest.raises(PrqlError, match="transform"):
         transpile_prql("from t\nwindow rows:-2..0 (derive m = avg x)")
+    # round-6 extensions: take ranges + relational set ops (bag semantics)
+    out = transpile_prql("from t | sort {-v} | take 3..5")
+    assert out.endswith("ORDER BY v DESC LIMIT 3 OFFSET 2")
+    assert "UNION ALL" in transpile_prql("from t | append u")
+    assert "EXCEPT ALL" in transpile_prql("from t | remove u")
+    assert "INTERSECT ALL" in transpile_prql("from t | intersect u")
+    with _pytest.raises(PrqlError, match="empty range"):
+        transpile_prql("from t | take 5..3")
+    with _pytest.raises(PrqlError, match="table name"):
+        transpile_prql("from t | append (from u)")
 
 
 def test_prql_engine_roundtrip(spark, sf_dir):
