@@ -351,3 +351,159 @@ def register_ch_udfs(spark) -> None:
     spark.udf.register("erfc", unary(math.erfc))
     spark.udf.register("tgamma", unary(math.gamma))
     spark.udf.register("lgamma", unary(math.lgamma))
+
+
+# ---------------------------------------------------------------------------
+# stem('en', word) — CH's experimental NLP stemmer for English, implemented
+# as the published Porter algorithm (M.F. Porter, "An algorithm for suffix
+# stripping", Program 14(3) 1980 — public spec; original-paper variant).
+# ---------------------------------------------------------------------------
+
+def _porter_is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in "aeiou":
+        return False
+    if c == "y":
+        return i == 0 or not _porter_is_cons(w, i - 1)
+    return True
+
+
+def _porter_m(stem: str) -> int:
+    """The measure m of [C](VC){m}[V]."""
+    forms = ""
+    for i in range(len(stem)):
+        forms += "c" if _porter_is_cons(stem, i) else "v"
+    # collapse runs then count "vc" transitions
+    import re as _re
+
+    collapsed = _re.sub(r"(.)\1+", r"\1", forms)
+    return collapsed.count("vc")
+
+
+def _porter_has_vowel(stem: str) -> bool:
+    return any(not _porter_is_cons(stem, i) for i in range(len(stem)))
+
+
+def _porter_ends_cvc(stem: str) -> bool:
+    if len(stem) < 3:
+        return False
+    if (
+        _porter_is_cons(stem, len(stem) - 3)
+        and not _porter_is_cons(stem, len(stem) - 2)
+        and _porter_is_cons(stem, len(stem) - 1)
+    ):
+        return stem[-1] not in "wxy"
+    return False
+
+
+def _porter_double_cons(stem: str) -> bool:
+    return (
+        len(stem) >= 2
+        and stem[-1] == stem[-2]
+        and _porter_is_cons(stem, len(stem) - 1)
+    )
+
+
+_PORTER_STEP2 = [
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"), ("anci", "ance"),
+    ("izer", "ize"), ("abli", "able"), ("alli", "al"), ("entli", "ent"),
+    ("eli", "e"), ("ousli", "ous"), ("ization", "ize"), ("ation", "ate"),
+    ("ator", "ate"), ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+    ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"), ("biliti", "ble"),
+]
+
+_PORTER_STEP3 = [
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+]
+
+_PORTER_STEP4 = [
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+]
+
+
+def porter_stem_py(word: str) -> str:
+    """Porter 1980, original-paper rule set.  Lowercase ASCII words; inputs
+    of length <= 2 return unchanged (the paper's convention)."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _porter_m(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _porter_has_vowel(w[:-2]):
+        w = w[:-2]
+        flag = True
+    elif w.endswith("ing") and _porter_has_vowel(w[:-3]):
+        w = w[:-3]
+        flag = True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _porter_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _porter_m(w) == 1 and _porter_ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _porter_has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in _PORTER_STEP2:
+        if w.endswith(suf):
+            if _porter_m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in _PORTER_STEP3:
+        if w.endswith(suf):
+            if _porter_m(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in _PORTER_STEP4:
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if _porter_m(stem) > 1:
+                if suf == "ion" and not stem.endswith(("s", "t")):
+                    break
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _porter_m(w[:-1])
+        if m > 1 or (m == 1 and not _porter_ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _porter_m(w) > 1 and _porter_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+def stem(col, lang: str = "en"):
+    """CH ``stem(lang, word)`` analog (experimental NLP family): Porter for
+    'en'; other languages raise — the upstream function needs per-language
+    Snowball data this engine does not vendor."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    if lang != "en":
+        raise ValueError(f"stem: only lang='en' (Porter) is implemented, got {lang!r}")
+
+    @pandas_udf("string")
+    def _stem(words: pd.Series) -> pd.Series:
+        return pd.Series(
+            [None if v is None else porter_stem_py(v) for v in words]
+        )
+
+    return _stem(F.col(col) if isinstance(col, str) else col)

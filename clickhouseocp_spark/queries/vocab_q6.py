@@ -524,3 +524,55 @@ def scalar_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
         tn["x"].alias("tn_x"), tn["y"].alias("tn_y"),
         tm["x"].alias("tm_x"), tm["y"].alias("tm_y"),
     )
+
+
+#: Porter-1980 demo-vocabulary vectors (published expected outputs — the
+#: oracle side is the PAPER's answer, not a replay of the implementation)
+_PORTER_VECS = [
+    ("caresses", "caress"), ("ponies", "poni"), ("ties", "ti"),
+    ("cats", "cat"), ("feed", "feed"), ("agreed", "agre"),
+    ("plastered", "plaster"), ("motoring", "motor"), ("sing", "sing"),
+    ("happy", "happi"), ("sky", "sky"), ("relational", "relat"),
+    ("conditional", "condit"), ("rational", "ration"),
+    ("digitizer", "digit"), ("conformabli", "conform"),
+    ("radicalli", "radic"), ("differentli", "differ"),
+    ("analogousli", "analog"), ("vietnamization", "vietnam"),
+    ("predication", "predic"), ("operator", "oper"),
+    ("feudalism", "feudal"), ("decisiveness", "decis"),
+    ("hopefulness", "hope"), ("callousness", "callous"),
+    ("formaliti", "formal"), ("sensitiviti", "sensit"),
+    ("sensibiliti", "sensibl"), ("triplicate", "triplic"),
+    ("formative", "form"), ("formalize", "formal"),
+    ("electriciti", "electr"), ("electrical", "electr"),
+    ("hopeful", "hope"), ("goodness", "good"), ("revival", "reviv"),
+    ("allowance", "allow"), ("inference", "infer"), ("airliner", "airlin"),
+    ("gyroscopic", "gyroscop"), ("adjustable", "adjust"),
+    ("defensible", "defens"), ("irritant", "irrit"),
+    ("replacement", "replac"), ("adjustment", "adjust"),
+    ("dependent", "depend"), ("adoption", "adopt"),
+    ("communism", "commun"), ("activate", "activ"),
+    ("effective", "effect"), ("bowdlerize", "bowdler"),
+    ("probate", "probat"), ("rate", "rate"), ("controlling", "control"),
+]
+
+
+@register(
+    "text_stem_porter",
+    oracle="SELECT * FROM (VALUES "
+    + ", ".join(f"('{w}', '{s}')" for w, s in _PORTER_VECS)
+    + ") AS t(word, stemmed)",
+    tags=("text", "nlp", "vocab"),
+)
+def text_stem_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH ``stem('en', word)`` (experimental NLP family) as the published
+    Porter 1980 algorithm (functions/text.porter_stem_py, Arrow-batched
+    kernel).  The oracle pins the PAPER's demo-vocabulary expected outputs
+    as literals — known-answer vectors, the punycode/base58 pattern, so a
+    hash match certifies the algorithm against its publication, not against
+    this implementation."""
+    from clickhouseocp_spark.functions.text import stem
+
+    words = spark.createDataFrame(
+        [(w,) for w, _s in _PORTER_VECS], "word string"
+    )
+    return words.select("word", stem("word").alias("stemmed"))

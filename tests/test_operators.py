@@ -1465,3 +1465,22 @@ def test_bpe_learn_matches_reference(spark):
         ).collect()
     }
     assert wf == {"low": 3, "newest": 1, "widest": 1}
+
+
+def test_porter_stem_properties(spark):
+    """Porter edges beyond the pinned paper vectors: <=2-letter words pass
+    through, y-as-vowel handling, NULL propagation, non-English rejected."""
+    import pytest
+
+    from clickhouseocp_spark.functions.text import porter_stem_py, stem
+
+    assert porter_stem_py("be") == "be" and porter_stem_py("a") == "a"
+    assert porter_stem_py("sky") == "sky"  # y after consonant = vowel, m=0
+    assert porter_stem_py("feed") == "feed"  # eed with m=0 keeps the d
+    assert porter_stem_py("controll") == "control"  # 5b double-l
+    rows = spark.createDataFrame(
+        [("running",), (None,)], "w string"
+    ).select(stem("w").alias("s")).collect()
+    assert rows[0].s == "run" and rows[1].s is None
+    with pytest.raises(ValueError, match="en"):
+        stem("w", lang="fr")
