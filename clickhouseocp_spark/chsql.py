@@ -1337,6 +1337,25 @@ FUNC_RULES: dict[str, object] = {
         if len(args) == 1
         else f"(SELECT id AS number FROM range({args[0]}, ({args[0]}) + ({args[1]})))"
     ),
+    # generate_series / generateSeries (CH 24.x table function): INCLUSIVE
+    # upper bound (unlike numbers), optional step — range() subquery with
+    # CH's `generate_series` output column name
+    "generate_series": lambda args: (
+        f"(SELECT id AS generate_series FROM "
+        f"range({args[0]}, ({args[1]}) + 1"
+        + (f", {args[2]}" if len(args) > 2 else "")
+        + "))"
+    ),
+    "generateSeries": lambda args: (
+        f"(SELECT id AS generate_series FROM "
+        f"range({args[0]}, ({args[1]}) + 1"
+        + (f", {args[2]}" if len(args) > 2 else "")
+        + "))"
+    ),
+    # zeros(N): CH's constant-zero test table function
+    "zeros": lambda args: (
+        f"(SELECT CAST(0 AS TINYINT) AS zero FROM range({args[0]}))"
+    ),
     # bitmap family over the array-state representation (operators/bitmap.py):
     # groupBitmap returns the CARDINALITY (CH contract), -State the bitmap
     "groupBitmap": lambda args: f"count(DISTINCT {args[0]})",

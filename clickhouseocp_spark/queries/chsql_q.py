@@ -2593,6 +2593,30 @@ events
 
 
 @register(
+    "chsql_generate_series",
+    oracle="""
+SELECT CAST(g AS BIGINT) AS g, CAST(g * g AS BIGINT) AS sq
+FROM generate_series(2, 20, 3) t(g)
+""",
+    tags=("chsql", "dialect", "table-function"),
+)
+def chsql_generate_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH 24.x ``generate_series`` table function (INCLUSIVE upper bound,
+    optional step — unlike ``numbers``) plus the ``zeros`` test table,
+    both lowered to range() subqueries on the TEXT path.  DuckDB ships
+    generate_series natively with the same inclusive contract — a directly
+    comparable oracle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT generate_series AS g, generate_series * generate_series AS sq
+        FROM generate_series(2, 20, 3)
+        """,
+    )
+
+
+@register(
     "chsql_change_datetime",
     oracle="""
 SELECT o_orderkey,
