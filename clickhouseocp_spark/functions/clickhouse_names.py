@@ -1499,6 +1499,16 @@ def tupleMultiply(t1, t2, fields: "tuple[str, ...]") -> Column:
     return F.struct(*[(c1[f] * c2[f]).alias(f) for f in fields])
 
 
+def arrayJaccardIndex(a, b) -> Column:
+    """CH arrayJaccardIndex (23.7): |a ∩ b| / |a ∪ b| on distinct elements,
+    Float64.  0/0 (both empty) yields NaN like CH — expressed as a guarded
+    division so ANSI mode stays clean."""
+    ca, cb = _c(a), _c(b)
+    inter = F.size(F.array_intersect(ca, cb)).cast("double")
+    union = F.size(F.array_union(ca, cb)).cast("double")
+    return F.when(union == 0, F.lit(float("nan"))).otherwise(inter / union)
+
+
 def L1Norm(a) -> Column:
     """CH L1Norm (functions/vector.l1_norm)."""
     from clickhouseocp_spark.functions.vector import l1_norm

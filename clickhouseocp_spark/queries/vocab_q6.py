@@ -576,3 +576,161 @@ def text_stem_porter(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(w,) for w, _s in _PORTER_VECS], "word string"
     )
     return words.select("word", stem("word").alias("stemmed"))
+
+
+@register(
+    "stat_moments_vocab",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+         CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(38,6))) AS DOUBLE) AS s3,
+         CAST(SUM(CAST(l_quantity * l_quantity * l_quantity * l_quantity
+                       AS DECIMAL(38,6))) AS DOUBLE) AS s4,
+         ROUND(corr(l_quantity, l_extendedprice), 6) AS c_qp,
+         ROUND(corr(l_quantity, l_discount), 6) AS c_qd,
+         ROUND(corr(l_extendedprice, l_discount), 6) AS c_pd,
+         ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS v_qp,
+         ROUND(covar_pop(l_quantity, l_discount), 6) AS v_qd,
+         ROUND(covar_pop(l_extendedprice, l_discount), 6) AS v_pd
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+             / pow((s2 - n * pow(s1 / n, 2)) / (n - 1), 1.5), 6) AS skew_samp,
+       ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+              + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+             / pow((s2 - n * pow(s1 / n, 2)) / (n - 1), 2), 6) AS kurt_samp,
+       c_qp, c_qd, c_pd, v_qp, v_qd, v_pd
+FROM s ORDER BY l_returnflag
+""",
+    tags=("agg", "stats", "vocab"),
+)
+def stat_moments_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """skewSamp / kurtSamp (CH's definitions: biased central moments m3, m4
+    over the SAMPLE variance denominator — not the adjusted Fisher-Pearson
+    forms) and the corrMatrix / covarPopMatrix (24.1) content as flattened
+    pairwise cells over (quantity, extendedprice, discount).  Raw power
+    sums route through DECIMAL so both engines feed the moment formulas
+    bit-identical inputs; corr/covar round at 6."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+
+    def dsum(e):
+        return F.sum(e.cast("decimal(38,6)")).cast("double")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dsum(q).alias("s1"),
+        dsum(q * q).alias("s2"),
+        dsum(q * q * q).alias("s3"),
+        dsum(q * q * q * q).alias("s4"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("c_qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("c_qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("c_pd"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias("v_qp"),
+        F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("v_qd"),
+        F.round(F.covar_pop("l_extendedprice", "l_discount"), 6).alias("v_pd"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    svar = (s2 - n * mu * mu) / (n - 1)
+    m3 = s3 / n - 3 * mu * (s2 / n) + 2 * F.pow(mu, 3)
+    m4 = (
+        s4 / n - 4 * mu * (s3 / n) + 6 * F.pow(mu, 2) * (s2 / n)
+        - 3 * F.pow(mu, 4)
+    )
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(m3 / F.pow(svar, 1.5), 6).alias("skew_samp"),
+        F.round(m4 / F.pow(svar, 2), 6).alias("kurt_samp"),
+        "c_qp", "c_qd", "c_pd", "v_qp", "v_qd", "v_pd",
+    )
+
+
+@register(
+    "array_map_vocab_r9",
+    oracle="""
+WITH arrs AS (
+  SELECT o_orderkey,
+         list_transform(range(1, 2 + CAST(o_orderkey % 4 AS INTEGER)),
+                        i -> CAST(i AS BIGINT)) AS a,
+         list_transform(range(2, 3 + CAST(o_orderkey % 3 AS INTEGER)),
+                        i -> CAST(i AS BIGINT)) AS b
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey,
+       ROUND(CAST(len(list_intersect(a, b)) AS DOUBLE)
+             / len(list_distinct(list_concat(a, b))), 6) AS jacc,
+       1.0 AS jacc_self
+FROM arrs
+""",
+    tags=("scalar", "array", "vocab"),
+)
+def array_map_vocab_r9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """arrayJaccardIndex (23.7) — |∩|/|∪| on distinct elements, with the
+    self-similarity identity as an in-query anchor.  The oracle recomputes
+    via DuckDB's independent list_intersect / list_distinct(concat)
+    formulation."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    arrs = o.select(
+        "o_orderkey",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(1) + (F.col("o_orderkey") % 4).cast("int")),
+            lambda i: i.cast("bigint"),
+        ).alias("a"),
+        F.transform(
+            F.sequence(F.lit(2), F.lit(2) + (F.col("o_orderkey") % 3).cast("int")),
+            lambda i: i.cast("bigint"),
+        ).alias("b"),
+    )
+    return arrs.select(
+        "o_orderkey",
+        F.round(ch.arrayJaccardIndex("a", "b"), 6).alias("jacc"),
+        F.round(ch.arrayJaccardIndex("a", "a"), 6).alias("jacc_self"),
+    )
+
+
+@register(
+    "sum_map_filtered",
+    oracle="""
+WITH per AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY user_id, event_type
+)
+SELECT user_id,
+       string_agg(event_type || ':' || CAST(n AS VARCHAR),
+                  ',' ORDER BY event_type) AS type_counts
+FROM per GROUP BY user_id
+""",
+    tags=("agg", "map", "vocab"),
+)
+def sum_map_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sumMapFiltered(keys)(k, v): sumMap restricted to a constant key list
+    — the filter pushes into the scan (one IN predicate), so unlike a
+    post-hoc map cleanup no discarded keys ever shuffle.  Rendered sorted,
+    like the sum_map_agg precedent."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    per = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    rendered = F.array_join(
+        F.transform(
+            F.array_sort(F.map_keys("m")),
+            lambda k: F.concat(
+                k, F.lit(":"), F.element_at(F.col("m"), k).cast("string")
+            ),
+        ),
+        ",",
+    )
+    return maps.select("user_id", rendered.alias("type_counts"))
