@@ -1484,3 +1484,22 @@ def test_porter_stem_properties(spark):
     assert rows[0].s == "run" and rows[1].s is None
     with pytest.raises(ValueError, match="en"):
         stem("w", lang="fr")
+
+
+def test_round6_operator_plan_gates(spark, sf_dir):
+    """Plan shapes for the round-6 operators: DSIR must broadcast the
+    1024-row ratio table and select via distributed TakeOrdered (no global
+    sort, no sort-merge join); make-series must contain no Join at all
+    (the gap fill is a map lookup, not a calendar join)."""
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    dsir = qs["dsir_select_topk"].fn(spark, sf_dir)
+    plan = dsir._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+    mk = qs["kql_make_series"].fn(spark, sf_dir)
+    p2 = mk._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p2
