@@ -1419,6 +1419,55 @@ class ChSparkEngine:
         return render(df, fmt, max_rows)
 
 
+    def insert_rowbinary(self, statement: str, data: bytes) -> DataFrame:
+        """``INSERT INTO t [(cols)] FORMAT RowBinary`` with a binary data
+        body — the bulk-ingest shape CH drivers send over HTTP.  The body
+        decodes against the TARGET table's schema (plain RowBinary carries
+        no header; WithNamesAndTypes bodies carry their own and are
+        validated against it)."""
+        import re as _re
+
+        from clickhouseocp_spark.formats import _rb_spark_to_ch, parse_rowbinary
+
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+(RowBinary|RowBinaryWithNamesAndTypes)\s*$",
+            statement.strip(),
+        )
+        if not m:
+            raise ChSqlError(
+                f"not an INSERT ... FORMAT RowBinary statement: {statement!r}"
+            )
+        t = m.group(1).lower()
+        target = self._base_table(t)
+        cols = (
+            [c.strip() for c in m.group(2).split(",")]
+            if m.group(2)
+            else list(target.columns)
+        )
+        fields = {f.name: f for f in target.schema.fields}
+        if m.group(3).lower().endswith("withnamesandtypes"):
+            names, _types, rows = parse_rowbinary(data)
+            cols = names
+        else:
+            types = [
+                _rb_spark_to_ch(fields[c].dataType.simpleString(),
+                                fields[c].nullable)
+                for c in cols
+            ]
+            rows = parse_rowbinary(data, types)
+        from pyspark.sql.types import StructType
+
+        schema = StructType([fields[c] for c in cols])
+        incoming = self.spark.createDataFrame(rows, schema)
+        dt = dict(target.dtypes)
+        for c in target.columns:
+            if c not in cols:
+                incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
+        return self._set_lineage(
+            t, target.unionByName(incoming.select(*target.columns))
+        )
+
     def refresh_views(self) -> list[str]:
         """Recompute every refreshable materialized view (the scheduler-less
         analog of CH's background refresh loop; call it from any external

@@ -149,6 +149,28 @@ class ChHttpServer:
                         self._reply(400, "malformed gzip body\n", extra=hdrs)
                         return
                 query = params.get("query", "")
+                if body and re.search(
+                    r"(?is)FORMAT\s+RowBinary(WithNamesAndTypes)?\s*$",
+                    query or "",
+                ):
+                    # binary bulk-ingest: never decode the body as text
+                    try:
+                        with outer._gate:
+                            outer.engine.insert_rowbinary(query, body)
+                    except Exception as e:  # noqa: BLE001 — wire errors like CH
+                        self._reply(
+                            500,
+                            f"{type(e).__name__}: {e}\n",
+                            extra={
+                                **hdrs,
+                                "X-ClickHouse-Exception-Code": str(
+                                    exception_code(e)
+                                ),
+                            },
+                        )
+                        return
+                    self._reply(200, "", extra=hdrs)
+                    return
                 text = body.decode("utf-8") if body else ""
                 if query and text:
                     # CH ingestion shape: statement in ?query=, data in body

@@ -225,3 +225,31 @@ def test_http_rowbinary_wire(http_engine):
     names, types, rows = parse_rowbinary(raw)
     assert names == ["r_regionkey", "r_name"]
     assert rows[0][1] == "AFRICA" and len(rows) == 5
+
+
+def test_http_rowbinary_insert(spark, sf_dir):
+    """Bulk-ingest shape: INSERT ... FORMAT RowBinary with a binary body —
+    rows land in the table; body is never text-decoded."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import render_rowbinary
+    from clickhouseocp_spark.server import ChHttpServer
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    # binary body matching the region schema
+    payload_df = spark.createDataFrame(
+        [(91, "NEWLAND", "added via rowbinary")],
+        "r_regionkey bigint, r_name string, r_comment string",
+    )
+    body = render_rowbinary(payload_df)
+    srv = ChHttpServer(eng, port=0).start()
+    try:
+        q = urllib.parse.quote("INSERT INTO region FORMAT RowBinary")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={q}", data=body, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+        n = eng.sql("SELECT count() AS n FROM region WHERE r_regionkey = 91")
+        assert n.first().n == 1
+    finally:
+        srv.shutdown()
