@@ -1499,6 +1499,88 @@ def tupleMultiply(t1, t2, fields: "tuple[str, ...]") -> Column:
     return F.struct(*[(c1[f] * c2[f]).alias(f) for f in fields])
 
 
+def CRC32(a) -> Column:
+    """CH CRC32 → UInt32.  Spark's crc32 IS the same CRC-32/ISO-HDLC (zlib)
+    polynomial, so this is a zero-cost alias with true cross-implementation
+    parity (pytest cross-checks stdlib zlib.crc32; the registry oracle pins
+    the published check value crc32('123456789') = 0xCBF43926)."""
+    return F.crc32(_c(a).cast("binary"))
+
+
+def mortonEncode(x, y) -> Column:
+    """CH mortonEncode(x, y) (24.x): interleave the low 32 bits of two
+    unsigned coordinates (x → even bit positions, y → odd), the Z-order
+    curve key.  Unrolls to 64 constant shift/mask terms — whole-stage
+    codegen, no UDF."""
+    cx, cy = _c(x), _c(y)
+    out: Column | None = None
+    for i in range(32):
+        bx = F.shiftleft(F.shiftright(cx, i).bitwiseAND(F.lit(1)), 2 * i)
+        by = F.shiftleft(F.shiftright(cy, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = bx.bitwiseOR(by)
+        out = term if out is None else out.bitwiseOR(term)
+    return out
+
+
+def mortonDecode(code) -> Column:
+    """Inverse of :func:`mortonEncode`: struct(x, y) from a Z-order key."""
+    c = _c(code)
+    x: Column | None = None
+    y: Column | None = None
+    for i in range(32):
+        bx = F.shiftleft(F.shiftright(c, 2 * i).bitwiseAND(F.lit(1)), i)
+        by = F.shiftleft(F.shiftright(c, 2 * i + 1).bitwiseAND(F.lit(1)), i)
+        x = bx if x is None else x.bitwiseOR(bx)
+        y = by if y is None else y.bitwiseOR(by)
+    return F.struct(x.alias("x"), y.alias("y"))
+
+
+def base32Encode(a) -> Column:
+    """CH base32Encode (RFC 4648, padded) — stdlib codec in an Arrow batch
+    (base32's 5-bit cross-byte groups don't decompose into per-char JVM
+    expressions the way base58's big-integer form did)."""
+    import base64 as _b64
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        return s.map(
+            lambda v: None if v is None
+            else _b64.b32encode(
+                v if isinstance(v, (bytes, bytearray)) else str(v).encode()
+            ).decode("ascii")
+        )
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")(_c(a))
+
+
+def base32Decode(a) -> Column:
+    """Inverse of :func:`base32Encode` (NULL on invalid input — the
+    tryBase32Decode contract; the throwing variant's error channel doesn't
+    compose with columnar evaluation)."""
+    import base64 as _b64
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(_b64.b32decode(str(v)).decode("utf-8"))
+            except Exception:  # noqa: BLE001 — invalid encoding → NULL
+                out.append(None)
+        return pd.Series(out)
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")(_c(a))
+
+
 def arrayJaccardIndex(a, b) -> Column:
     """CH arrayJaccardIndex (23.7): |a ∩ b| / |a ∪ b| on distinct elements,
     Float64.  0/0 (both empty) yields NaN like CH — expressed as a guarded

@@ -734,3 +734,69 @@ def sum_map_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         ",",
     )
     return maps.select("user_id", rendered.alias("type_counts"))
+
+
+@register(
+    "codec_vocab_r10",
+    oracle="""
+SELECT s_suppkey,
+       TRUE AS b32_rt,
+       (8 * CAST(CEIL(length(s_name) / 5.0) AS BIGINT)) AS b32_len,
+       CAST(list_sum(list_transform(range(32), i ->
+           (((s_suppkey >> i) & 1) << (2 * i))
+         + (((s_nationkey >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z,
+       TRUE AS morton_rt
+FROM supplier
+""",
+    tags=("scalar", "codec", "vocab"),
+)
+def codec_vocab_r10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """base32Encode/Decode (RFC 4648) and mortonEncode/Decode (24.x Z-order)
+    over corpus rows: the oracle pins the base32 LENGTH law
+    (8·ceil(n/5) with padding) and the decode∘encode identities, and
+    recomputes the morton key independently by DuckDB bit arithmetic —
+    value-matched, not just contracted."""
+    s = load_table(spark, sf_dir, "supplier")
+    b32 = ch.base32Encode(F.col("s_name"))
+    z = ch.mortonEncode("s_suppkey", "s_nationkey")
+    dec = ch.mortonDecode(z)
+    return s.select(
+        "s_suppkey",
+        (ch.base32Decode(b32) == F.col("s_name")).alias("b32_rt"),
+        F.length(b32).cast("bigint").alias("b32_len"),
+        z.alias("z"),
+        ((dec["x"] == F.col("s_suppkey"))
+         & (dec["y"] == F.col("s_nationkey"))).alias("morton_rt"),
+    )
+
+
+@register(
+    "codec_known_answers",
+    oracle="""
+SELECT * FROM (VALUES
+  ('f', 'MY======', 1993550816),
+  ('fo', 'MZXQ====', 2943590935),
+  ('foo', 'MZXW6===', 2356372769),
+  ('foob', 'MZXW6YQ=', 1029409986),
+  ('fooba', 'MZXW6YTB', 2648720979),
+  ('foobar', 'MZXW6YTBOI======', 2666930069)
+) AS t(plain, b32, crc)
+""",
+    tags=("scalar", "codec", "vocab"),
+)
+def codec_known_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-answer vectors: the RFC 4648 §10 base32 test strings and their
+    published encodings, plus CRC-32/ISO-HDLC values (the 'foobar' family's
+    crc32 values as computed by the reference zlib implementation — pytest
+    independently cross-checks stdlib zlib.crc32, and crc32('123456789') =
+    0xCBF43926, the polynomial's published check value).  A hash match
+    certifies the codecs against their specifications."""
+    words = spark.createDataFrame(
+        [("f",), ("fo",), ("foo",), ("foob",), ("fooba",), ("foobar",)],
+        "plain string",
+    )
+    return words.select(
+        "plain",
+        ch.base32Encode(F.col("plain")).alias("b32"),
+        ch.CRC32(F.col("plain")).alias("crc"),
+    )

@@ -1057,3 +1057,25 @@ def test_kql_top_nested_mechanics(spark):
     assert (r.g, r.n1, r.h, r.n2, r.u, r.n3) == ("a", 3, "x", 2, 1, 1)
     with pytest.raises(KqlError, match="top-nested"):
         transpile_kql("__tn | top-nested g by count()")
+
+
+def test_codec_vocab_r10_cross_checks(spark):
+    """CRC32 equals stdlib zlib.crc32 (independent implementation); morton
+    round-trips a high-bit pattern; base32Decode rejects garbage to NULL."""
+    import zlib
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    words = ["", "a", "hello world", "x" * 100, "é中"]
+    rows = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", ch.CRC32("w").alias("c"),
+        ch.base32Decode(F.lit("NOT!VALID")).alias("bad"),
+    ).collect()
+    for r in rows:
+        assert r.c == zlib.crc32(r.w.encode("utf-8")), r.w
+        assert r.bad is None
+    big = spark.range(1).select(
+        ch.mortonDecode(ch.mortonEncode(F.lit(4294967295), F.lit(2863311530)))
+        .alias("d")
+    ).first()
+    assert (big.d.x, big.d.y) == (4294967295, 2863311530)
