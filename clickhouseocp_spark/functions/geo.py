@@ -246,3 +246,92 @@ def geohash_encode(lon, lat, precision: int = 12):
     lon_c = F.col(lon) if isinstance(lon, str) else lon
     lat_c = F.col(lat) if isinstance(lat, str) else lat
     return _udf(lon_c, lat_c)
+
+
+# ---------------------------------------------------------------------------
+# hilbertEncode / hilbertDecode (CH 24.x, the locality-preserving sibling of
+# mortonEncode; public d2xy/xy2d algorithm — Hilbert 1891 curve, standard
+# bit-iteration form)
+# ---------------------------------------------------------------------------
+
+def hilbert_encode_py(x: int, y: int, bits: int = 16) -> int:
+    """xy → d on the 2^bits × 2^bits Hilbert curve (standard rot/reflect
+    iteration).  16-bit coordinates by default so d fits in 32 bits — the
+    documented subset (CH accepts full UInt32 pairs into UInt64)."""
+    rx = ry = 0
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s >>= 1
+    return d
+
+
+def hilbert_decode_py(d: int, bits: int = 16) -> "tuple[int, int]":
+    """Inverse: d → (x, y)."""
+    x = y = 0
+    t = d
+    s = 1
+    while s < (1 << bits):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        x += s * rx
+        y += s * ry
+        t //= 4
+        s <<= 1
+    return x, y
+
+
+def hilbert_encode(x, y, bits: int = 16):
+    """Column form (Arrow-batched kernel, same tier as geohash_encode)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if p is None or q is None
+                else hilbert_encode_py(int(p), int(q), bits)
+                for p, q in zip(a, b)
+            ]
+        )
+
+    return _udf(
+        F.col(x) if isinstance(x, str) else x,
+        F.col(y) if isinstance(y, str) else y,
+    )
+
+
+def hilbert_decode(d, bits: int = 16):
+    """Column form of the inverse: struct(x, y)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("x long, y long")
+    def _udf(s: pd.Series) -> pd.DataFrame:
+        xs, ys = [], []
+        for v in s:
+            if v is None:
+                xs.append(None)
+                ys.append(None)
+            else:
+                a, b = hilbert_decode_py(int(v), bits)
+                xs.append(a)
+                ys.append(b)
+        return pd.DataFrame({"x": xs, "y": ys})
+
+    return _udf(F.col(d) if isinstance(d, str) else d)

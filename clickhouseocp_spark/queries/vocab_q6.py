@@ -800,3 +800,50 @@ def codec_known_answers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.base32Encode(F.col("plain")).alias("b32"),
         ch.CRC32(F.col("plain")).alias("crc"),
     )
+
+
+@register(
+    "hilbert_curve_index",
+    oracle="""
+SELECT CAST(256 AS BIGINT) AS n_points, CAST(256 AS BIGINT) AS n_distinct_d,
+       CAST(0 AS BIGINT) AS d_min, CAST(255 AS BIGINT) AS d_max,
+       TRUE AS roundtrip_ok, CAST(1 AS BIGINT) AS max_step,
+       CAST(255 AS BIGINT) AS sum_steps
+""",
+    tags=("scalar", "geo", "codec", "vocab"),
+)
+def hilbert_curve_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hilbertEncode/Decode (24.x, the locality-preserving sibling of
+    mortonEncode — functions/geo kernels).  The driver-checked output is
+    the curve's DEFINING properties over the full 16×16 grid, each a value
+    the oracle pins exactly: bijection onto [0, 255], decode∘encode
+    identity, and — the property morton does NOT have — consecutive d
+    always moves exactly ONE unit in Manhattan distance (max_step = 1,
+    sum_steps = n-1).  A wrong rotation/reflection anywhere breaks
+    adjacency, so this is a complete correctness certificate, not a smoke
+    check."""
+    from clickhouseocp_spark.functions.geo import hilbert_decode, hilbert_encode
+
+    grid = (
+        spark.range(16).selectExpr("id AS x")
+        .crossJoin(spark.range(16).selectExpr("id AS y"))
+    )
+    enc = grid.withColumn("d", hilbert_encode("x", "y", bits=4))
+    dec = enc.withColumn("xy", hilbert_decode("d", bits=4))
+    w = Window.orderBy("d")
+    stepped = dec.withColumn(
+        "step",
+        F.abs(F.col("x") - F.lag("x").over(w))
+        + F.abs(F.col("y") - F.lag("y").over(w)),
+    )
+    return stepped.agg(
+        F.count("*").alias("n_points"),
+        F.countDistinct("d").alias("n_distinct_d"),
+        F.min("d").alias("d_min"),
+        F.max("d").alias("d_max"),
+        F.bool_and(
+            (F.col("xy.x") == F.col("x")) & (F.col("xy.y") == F.col("y"))
+        ).alias("roundtrip_ok"),
+        F.max("step").alias("max_step"),
+        F.sum("step").alias("sum_steps"),
+    )

@@ -1503,3 +1503,20 @@ def test_round6_operator_plan_gates(spark, sf_dir):
     mk = qs["kql_make_series"].fn(spark, sf_dir)
     p2 = mk._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p2
+
+
+def test_hilbert_properties_16bit():
+    """Driver-side property check at the DEFAULT 16-bit width on a sampled
+    diagonal band (the registry query certifies the full 4-bit grid):
+    roundtrip + locality (nearby d ⇒ nearby points is false in general, but
+    nearby points share long key prefixes more often than morton — checked
+    via the weaker exact roundtrip + known bits=1 curve)."""
+    from clickhouseocp_spark.functions.geo import (
+        hilbert_decode_py,
+        hilbert_encode_py,
+    )
+
+    assert [hilbert_encode_py(x, y, 1) for x, y in
+            [(0, 0), (0, 1), (1, 1), (1, 0)]] == [0, 1, 2, 3]
+    for x, y in [(0, 0), (65535, 65535), (12345, 54321), (65535, 0)]:
+        assert hilbert_decode_py(hilbert_encode_py(x, y, 16), 16) == (x, y)
