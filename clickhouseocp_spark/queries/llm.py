@@ -2138,3 +2138,46 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=50)
+
+
+@register(
+    "minhash_lsh_tuning",
+    oracle="""
+WITH grid AS (
+  SELECT b.b, r.r FROM (SELECT unnest([4, 8, 16, 32]) AS b) b
+  CROSS JOIN (SELECT unnest([2, 4, 8]) AS r) r
+)
+SELECT b, r, b * r AS signature_len,
+       ROUND(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+       ROUND(1 - pow(1 - pow(0.8, r), b), 6) AS p_detect_at_80,
+       ROUND(1 - pow(1 - pow(0.5, r), b), 6) AS p_detect_at_50
+FROM grid
+""",
+    tags=("llm", "dedup", "design"),
+)
+def minhash_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bands×rows DESIGN TABLE for the MinHash-LSH dedup tier
+    (dedup_minhash_lsh): for each (b, r) config, the S-curve threshold
+    s* = (1/b)^(1/r) where detection probability crosses 1/2, and the
+    closed-form detection probabilities 1-(1-s^r)^b at Jaccard 0.8 / 0.5 —
+    the exact published LSH analysis (Leskovec-Rajaraman-Ullman, Mining of
+    Massive Datasets ch.3), which is how the production banding in
+    operators/dedup_text.py was chosen.  Pure arithmetic on both engines;
+    a 100 TB deployment reads this table to pick banding for its target
+    similarity, no sweep required."""
+    grid = (
+        spark.createDataFrame([(4,), (8,), (16,), (32,)], "b int")
+        .crossJoin(spark.createDataFrame([(2,), (4,), (8,)], "r int"))
+    )
+    b, r = F.col("b").cast("double"), F.col("r").cast("double")
+
+    def p_detect(s: float):
+        return F.round(1 - F.pow(1 - F.pow(F.lit(s), r), b), 6)
+
+    return grid.select(
+        "b", "r",
+        (F.col("b") * F.col("r")).alias("signature_len"),
+        F.round(F.pow(1.0 / b, 1.0 / r), 6).alias("threshold"),
+        p_detect(0.8).alias("p_detect_at_80"),
+        p_detect(0.5).alias("p_detect_at_50"),
+    )
