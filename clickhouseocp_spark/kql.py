@@ -49,6 +49,10 @@ consumers of FORMAT output see the moved column.
 - ``| top-nested N1 of K1 by agg1, top-nested N2 of K2 by agg2, ...`` —
   hierarchical top-k, arbitrary depth (per-level join-back + partitioned
   row_number); ``with others`` not in the subset
+- ``| mv-apply [v =] arr on (summarize n = agg(expr), ...)`` — the
+  single-summarize subset of the subquery-per-record operator, collapsed
+  to per-row array folds (sum/avg/max/min/count/make_list) — no explode,
+  no re-join; other subpipelines raise
 - ``| make-series v=agg(x) [default=d] on ts from a to b step Nu [by k]`` —
   the Kusto time-series operator: binned aggregation over a dense
   default-filled axis (end-exclusive, start-aligned), one array row per
@@ -337,6 +341,66 @@ def _parse_op(sub: str, rest: str) -> str:
     return f"SELECT *, {', '.join(sels)} FROM {sub}"
 
 
+#: mv-apply summarize aggregates → array-expression builders.  Each takes
+#: (col_sql, var, expr_sql) where expr is in terms of the element variable.
+_MV_APPLY_AGGS = {
+    "sum": lambda c, v, e: (
+        f"aggregate({c}, CAST(0 AS DOUBLE), (__acc, {v}) -> "
+        f"__acc + CAST({e} AS DOUBLE))"
+    ),
+    "avg": lambda c, v, e: (
+        f"(aggregate({c}, CAST(0 AS DOUBLE), (__acc, {v}) -> "
+        f"__acc + CAST({e} AS DOUBLE)) / nullif(size({c}), 0))"
+    ),
+    "max": lambda c, v, e: f"array_max(transform({c}, {v} -> {e}))",
+    "min": lambda c, v, e: f"array_min(transform({c}, {v} -> {e}))",
+    "count": lambda c, v, e: f"size({c})",
+    "make_list": lambda c, v, e: f"transform({c}, {v} -> {e})",
+}
+
+
+def _mv_apply(sub: str, rest: str) -> str:
+    """Lower ``mv-apply [v =] arr on ( summarize n = agg(expr), ... )`` —
+    the single-summarize subset of Kusto's subquery-per-record operator.
+
+    Because the subpipeline is one aggregation over the expanded elements,
+    the whole operator collapses to per-row ARRAY folds (aggregate /
+    transform / size) — no explode, no re-join, no shuffle; the general
+    arbitrary-subpipeline form stays outside the subset and raises."""
+    m = re.match(
+        r"^(?:([A-Za-z_]\w*)\s*=\s*)?([A-Za-z_]\w*)\s+on\s+"
+        r"\(\s*summarize\s+(.+?)\s*\)$",
+        rest.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            "mv-apply subset is '[v =] arr on (summarize n = agg(expr), ...)'"
+            f", got {rest!r}"
+        )
+    var = m.group(1) or m.group(2)
+    col = m.group(2)
+    sels = []
+    for item in _split_top(m.group(3)):
+        ma = re.match(
+            r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\((.*)\)$", item.strip(),
+            re.DOTALL,
+        )
+        if not ma:
+            raise KqlError(f"mv-apply summarize needs name = agg(expr), got {item!r}")
+        name, fn, arg = ma.group(1), ma.group(2).lower(), _expr(ma.group(3))
+        builder = _MV_APPLY_AGGS.get(fn)
+        if builder is None:
+            raise KqlError(
+                f"mv-apply: unsupported aggregate {fn!r} "
+                f"(subset: {', '.join(sorted(_MV_APPLY_AGGS))})"
+            )
+        if fn == "count" and arg.strip():
+            raise KqlError("mv-apply: count() takes no argument in the subset")
+        sels.append(f"{builder(col, var, arg or var)} AS {name}")
+    return f"SELECT *, {', '.join(sels)} FROM {sub}"
+
+
 def _top_nested(sub: str, rest: str) -> str:
     """Lower ``top-nested N1 of K1 by [n1 =] agg1, top-nested N2 of K2 by
     ... `` — Kusto's hierarchical top-k.  Arbitrary depth: level k joins the
@@ -491,6 +555,8 @@ def transpile_kql(query: str) -> str:
             rel = _parse_op(sub, rest)
         elif op == "top-nested":
             rel = _top_nested(sub, rest)
+        elif op == "mv-apply":
+            rel = _mv_apply(sub, rest)
         elif op == "render":
             # charting is a client-side concern in Kusto — pass the relation
             # through unchanged (same no-op contract as ADX's tabular engine)

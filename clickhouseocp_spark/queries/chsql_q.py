@@ -2884,3 +2884,42 @@ def chsql_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         """,
     )
+
+
+@register(
+    "kql_mv_apply",
+    oracle="""
+SELECT vec_id,
+       ROUND(list_sum(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE))), 6) AS s,
+       ROUND(list_max(list_transform(embedding,
+                                     x -> CAST(x AS DOUBLE) * 2)), 6) AS mx,
+       CAST(len(embedding) AS INTEGER) AS n
+FROM embeddings WHERE vec_id < 100
+""",
+    tags=("kql", "dialect"),
+)
+def kql_mv_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``mv-apply`` (single-summarize subset, round 6): per-row
+    subaggregation over the embedding array collapses to array folds — no
+    explode, no re-join (kql.py::_mv_apply).  Left-to-right fold order
+    matches DuckDB's list_sum, so sums agree after round(6)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+embeddings
+| where vec_id < 100
+| mv-apply x = embedding on (summarize s = sum(x), mx = max(x * 2), n = count())
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "vec_id",
+        F.round("s", 6).alias("s"),
+        F.round(F.col("mx").cast("double"), 6).alias("mx"),
+        "n",
+    )

@@ -837,8 +837,12 @@ def test_kql_transpile_mechanics():
     assert "* EXCEPT (a, b)" in transpile_kql("t | project-away a, b")
     rn = transpile_kql("t | project-rename n = o")
     assert "* EXCEPT (o)" in rn and "o AS n" in rn
-    with pytest.raises(KqlError, match="unsupported KQL operator"):
-        transpile_kql("t | mv-apply x")
+    with pytest.raises(KqlError, match="mv-apply subset"):
+        transpile_kql("t | mv-apply x")  # no subpipeline
+    with pytest.raises(KqlError, match="unsupported aggregate"):
+        transpile_kql("t | mv-apply x = a on (summarize p = percentile(x, 50))")
+    mva = transpile_kql("t | mv-apply x = a on (summarize s = sum(x), n = count())")
+    assert "aggregate(a, CAST(0 AS DOUBLE)" in mva and "size(a) AS n" in mva
     with pytest.raises(KqlError, match="bare column name"):
         transpile_kql("t | mv-expand f(x)")
     with pytest.raises(KqlError, match="bare table name"):
