@@ -1448,6 +1448,11 @@ class ChSparkEngine:
         fields = {f.name: f for f in target.schema.fields}
         if m.group(3).lower().endswith("withnamesandtypes"):
             names, _types, rows = parse_rowbinary(data)
+            unknown = [c for c in names if c not in fields]
+            if unknown:
+                raise ChSqlError(
+                    f"RowBinary header names {unknown} not in table {t!r}"
+                )
             cols = names
         else:
             types = [
