@@ -1866,10 +1866,20 @@ def similarity_topk_ivfpq_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Raw IVF-PQ approximate top-5 stream (pytest protocol + bench)."""
     from clickhouseocp_spark.operators.similarity import ivfpq_topk
 
+    import math
+
+    from clickhouseocp_spark.operators.similarity import _approx_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
+    # FAISS sizing rule: cells ~ sqrt(N) so cell purity tracks corpus growth
+    # (a FIXED 16 cells let recall sag as the corpus scales — caught by the
+    # sf0.1 parity sweep, round 6); probe a constant fraction of cells.
+    n = max(_approx_row_count(emb) or 500, 1)
+    n_centroids = min(256, max(16, int(math.sqrt(n))))
     return ivfpq_topk(
-        queries, emb, k=5, n_centroids=16, n_probe=6, m_subspaces=8, rerank_factor=8
+        queries, emb, k=5, n_centroids=n_centroids,
+        n_probe=max(6, n_centroids // 4), m_subspaces=8, rerank_factor=8,
     )
 
 
