@@ -149,9 +149,13 @@ _DRIVER_WINDOW_R6 = [
     "kql_mv_expand",
 ]
 
-#: Round-7 window, staged now (verdict #2): the final 55 never-recorded
-#: names.  Swapping this list ahead of _DRIVER_WINDOW_R6 next round
-#: completes full-registry driver coverage.
+#: Round-7 window, NOW LEADING the registry order (r6 verdict #1): exactly
+#: 50 never-driver-recorded names — the driver records only the first 50
+#: registry entries per round, so this list must be exactly the recording
+#: budget.  The 5 names that overflowed the original 55-name staging
+#: (agg_array_vocab_r5, numeric_indexed_vector, array_shingles,
+#: map_populate_series, agg_vocab_r5b) moved to the head of
+#: _DRIVER_WINDOW_R8 below.
 _DRIVER_WINDOW_R7 = [
     "collapsing_merge_read",
     "graphite_rollup_tiers",
@@ -203,12 +207,74 @@ _DRIVER_WINDOW_R7 = [
     "array_levenshtein",
     "url_vocab_r5",
     "json_vocab_r5",
+]
+
+#: Round-8 window, committed at round-7 start (r6 verdict top-next): the
+#: remaining 48 never-driver-recorded names — 5 overflow from the original
+#: R7 staging plus the 43 queries added in round 6 after the r6 window was
+#: frozen.  Recording this list in round 8 completes full-registry driver
+#: coverage.  Round-7-new queries go to _DRIVER_WINDOW_R9 at birth, never
+#: here (keeps the backlog strictly decreasing).
+_DRIVER_WINDOW_R8 = [
+    # --- overflow from the 55-name R7 staging ---
     "agg_array_vocab_r5",
     "numeric_indexed_vector",
     "array_shingles",
     "map_populate_series",
     "agg_vocab_r5b",
+    # --- round-6 flagship operators ---
+    "multimodal_png_decode",
+    "multimodal_jpeg_decode",
+    "multimodal_gif_decode",
+    "fulltext_index_search",
+    "stream_fulltext_index",
+    "embedding_pca_project",
+    "embedding_int8_quantize",
+    "dsir_select_topk",
+    "minhash_lsh_tuning",
+    "bpe_encode_tokens",
+    # --- round-6 KQL depth ---
+    "kql_summarize_bin",
+    "kql_make_series",
+    "kql_parse_extract",
+    "kql_top_nested",
+    "kql_mv_apply",
+    # --- round-6 chsql text-path batches ---
+    "chsql_vocab_r6",
+    "chsql_vocab_r6b",
+    "chsql_uniq64",
+    "chsql_generate_series",
+    "chsql_change_datetime",
+    "chsql_string_sets",
+    "chsql_split_normalize",
+    "chsql_math_vocab_r6",
+    # --- round-6 vocabulary / scalar batches ---
+    "system_settings_probe",
+    "url_vocab_r6",
+    "url_hierarchy",
+    "array_rotate_shift",
+    "array_map_vocab_r9",
+    "datetime_best_effort",
+    "group_array_moving_avg",
+    "scalar_vocab_r6b",
+    "scalar_vocab_r6c",
+    "geo_vocab_r6",
+    "geohash_cover_box",
+    "vector_norms_vocab",
+    "text_stem_porter",
+    "stat_moments_vocab",
+    "sum_map_filtered",
+    "codec_vocab_r10",
+    "codec_known_answers",
+    "hilbert_curve_index",
+    "punycode_idna",
+    "jump_consistent_hash",
 ]
+
+#: Round-9 window: every query ADDED during round 7 is appended here at
+#: birth (r6 verdict #2 — registry growth must stay inside a committed
+#: window so the never-recorded backlog strictly decreases).
+_DRIVER_WINDOW_R9: list[str] = []
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
@@ -395,8 +461,10 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        _DRIVER_WINDOW_R6
-        + _DRIVER_WINDOW_R7
+        _DRIVER_WINDOW_R7
+        + _DRIVER_WINDOW_R8
+        + _DRIVER_WINDOW_R9
+        + _DRIVER_WINDOW_R6
         + _DRIVER_WINDOW_R5
         + _DRIVER_WINDOW_R4
         + _DRIVER_WINDOW_R3
