@@ -49,16 +49,36 @@ consumers of FORMAT output see the moved column.
 - ``| top-nested N1 of K1 by agg1, top-nested N2 of K2 by agg2, ...`` —
   hierarchical top-k, arbitrary depth (per-level join-back + partitioned
   row_number); ``with others`` not in the subset
-- ``| mv-apply [v =] arr on (summarize n = agg(expr), ...)`` — the
-  single-summarize subset of the subquery-per-record operator, collapsed
-  to per-row array folds (sum/avg/max/min/count/make_list) — no explode,
-  no re-join; other subpipelines raise
-- ``| make-series v=agg(x) [default=d] on ts from a to b step Nu [by k]`` —
-  the Kusto time-series operator: binned aggregation over a dense
+- ``| mv-apply [v =] arr on ( <subpipeline> )`` — the subquery-per-record
+  operator.  The subpipeline may chain ``where`` / ``extend`` / ``take``
+  stages and (optionally, terminally) one ``summarize``; the WHOLE chain is
+  lowered to per-row array combinators (filter / transform / slice /
+  aggregate) with the transpiler tracking element fields through struct
+  promotion — no explode, no re-join, no shuffle, ever.  Without a terminal
+  summarize the transformed array is exploded in place (one output row per
+  surviving element, Kusto's row-expansion form)
+- ``| make-series v=agg(x) [default=d] on ts [from a] [to b] step Nu [by k]``
+  — the Kusto time-series operator: binned aggregation over a dense
   default-filled axis (end-exclusive, start-aligned), one array row per
   group.  Series values are DOUBLE (Kusto dynamic arrays are real-typed);
   lowered to two map-side-combinable grouped aggregations + a
-  constant-folded axis transform, zero joins (see ``_make_series``)
+  constant-folded axis transform, zero joins (see ``_make_series``).
+  ``from``/``to`` may each be omitted (Kusto auto-bounds): the axis then
+  snaps to the observed min/max bin via an empty-frame window over the
+  per-group rows — still join-free, and the window runs over #groups rows,
+  not the data.  Auto-``from`` aligns bins to the Unix-epoch grid
+  (documented deviation: Kusto aligns to 0001-01-01)
+- ``| join kind=leftanti|rightanti|leftsemi|rightsemi ...`` — semi/anti
+  join kinds (incl. the ``anti``/``leftantisemi``/``rightantisemi``
+  aliases); right-handed kinds swap operands onto Spark's LEFT SEMI/ANTI
+- ``| union [kind=outer] T2`` / ``| union ( <subpipeline> )`` — UNION ALL
+  (Kusto unions never dedup; ``distinct`` follows if needed).  Documented
+  deviation: operands must be positionally compatible (Spark SQL has no
+  by-name union); ``kind=inner``'s common-column projection is out of the
+  subset
+- ``range x from a to b step c`` — source operator (pipeline head):
+  inclusive arithmetic progression, numeric or datetime+timespan, lowered
+  to ``explode(sequence(...))``
 
 Scalar sugar: ``==``/``!=``, ``contains``/``startswith``/``endswith``,
 ``datetime(...)`` literals, and ``bin(x, size)`` (numeric or
@@ -137,6 +157,39 @@ def _expr(e: str) -> str:
     return e
 
 
+def _rewrite_call(e: str, name: str, build) -> str:
+    """Rewrite every ``name(arg1, arg2, ...)`` call in ``e`` via
+    ``build(args)`` — paren/quote aware (regex alone can't split nested
+    argument lists)."""
+    out, i, n = [], 0, len(e)
+    pat = re.compile(rf"\b{name}\s*\(", re.IGNORECASE)
+    while i < n:
+        m = pat.search(e, i)
+        if not m:
+            out.append(e[i:])
+            break
+        out.append(e[i : m.start()])
+        depth, j, q = 1, m.end(), None
+        while j < n and depth:
+            ch = e[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise KqlError(f"unbalanced parens in {name}() call: {e!r}")
+        args = _split_top(e[m.end() : j - 1])
+        out.append(build(args))
+        i = j
+    return "".join(out)
+
+
 def _agg_expr(e: str) -> str:
     e = _expr(e)
     e = re.sub(r"\bcount\(\s*\)", "count(*)", e, flags=re.IGNORECASE)
@@ -148,6 +201,37 @@ def _agg_expr(e: str) -> str:
     )
     e = re.sub(r"\bmake_list\(", "collect_list(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bmake_set\(", "collect_set(", e, flags=re.IGNORECASE)
+
+    # percentile(x, N) — N in percent points.  Documented deviation: Kusto's
+    # percentile is a nearest-rank T-digest approximation; the lowering is
+    # Spark's exact interpolated percentile (matches SQL PERCENTILE_CONT).
+    def _pct(args: list[str]) -> str:
+        if len(args) != 2:
+            raise KqlError(f"percentile(expr, N) takes 2 args, got {args!r}")
+        try:
+            frac = float(args[1]) / 100.0
+        except ValueError:
+            raise KqlError(f"percentile: N must be a numeric literal, got {args[1]!r}")
+        return f"percentile({args[0]}, {frac})"
+
+    e = _rewrite_call(e, "percentile", _pct)
+    e = _rewrite_call(
+        e,
+        "countif",
+        lambda a: f"count_if({a[0]})" if len(a) == 1
+        else (_ for _ in ()).throw(KqlError("countif(pred) takes 1 arg")),
+    )
+    for fn, sql in (("sumif", "sum"), ("avgif", "avg"),
+                    ("minif", "min"), ("maxif", "max")):
+        e = _rewrite_call(
+            e,
+            fn,
+            lambda a, sql=sql, fn=fn: (
+                f"{sql}(CASE WHEN {a[1]} THEN {a[0]} END)"
+                if len(a) == 2
+                else (_ for _ in ()).throw(KqlError(f"{fn}(expr, pred) takes 2 args"))
+            ),
+        )
     return e
 
 
@@ -219,20 +303,21 @@ def _make_series(sub: str, rest: str) -> str:
     (the only supported Kusto forms are literal anyway).
     """
     m = re.match(
-        r"^(.*?)\s+on\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)"
+        r"^(.*?)\s+on\s+([A-Za-z_]\w*)(?:\s+from\s+(.+?))?(?:\s+to\s+(.+?))?"
         r"\s+step\s+([0-9.]+)(s|m|h|d)\s*(?:\bby\b\s+(.+))?$",
         rest,
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise KqlError(
-            "make-series needs 'aggs on col from a to b step Nu [by keys]', "
+            "make-series needs 'aggs on col [from a] [to b] step Nu [by keys]', "
             f"got {rest!r}"
         )
     aggs_txt, ts_col, frm, to, step_n, step_u, by = m.groups()
     secs = {"s": 1, "m": 60, "h": 3600, "d": 86400}[step_u.lower()] * float(step_n)
     secs = int(secs) if float(secs).is_integer() else secs
-    frm_sql, to_sql = _expr(frm), _expr(to)
+    frm_sql = _expr(frm) if frm else None
+    to_sql = _expr(to) if to else None
     series = []  # (name, agg_sql, default_sql)
     for item in _split_top(aggs_txt):
         ma = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+?)(?:\s+default\s*=\s*(\S+))?$",
@@ -242,18 +327,32 @@ def _make_series(sub: str, rest: str) -> str:
         series.append((ma.group(1), _agg_expr(ma.group(2)),
                        _expr(ma.group(3)) if ma.group(3) else "0"))
     keys = [k.strip() for k in _split_top(by)] if by else []
-    f_ep = f"unix_timestamp({frm_sql})"
-    bin_expr = (
-        f"to_timestamp({f_ep} + CAST(floor((unix_timestamp({ts_col}) - {f_ep})"
-        f" / {secs}) AS BIGINT) * {secs})"
-    )
+    if frm_sql:
+        # explicit start: bins align to `from` (Kusto start-aligned grid)
+        f_ep = f"unix_timestamp({frm_sql})"
+        bin_expr = (
+            f"to_timestamp({f_ep} + CAST(floor((unix_timestamp({ts_col}) - {f_ep})"
+            f" / {secs}) AS BIGINT) * {secs})"
+        )
+    else:
+        # auto start: bins align to the Unix-epoch grid (documented
+        # deviation: Kusto's auto grid is anchored at 0001-01-01)
+        bin_expr = (
+            f"to_timestamp(CAST(floor(unix_timestamp({ts_col}) / {secs}) "
+            f"AS BIGINT) * {secs})"
+        )
     key_sel = "".join(f"{k}, " for k in keys)
     v_sel = ", ".join(
         f"CAST({agg} AS DOUBLE) AS __v{i}" for i, (_n, agg, _d) in enumerate(series)
     )
+    where = [f"{ts_col} IS NOT NULL"]
+    if frm_sql:
+        where.append(f"{ts_col} >= {frm_sql}")
+    if to_sql:
+        where.append(f"{ts_col} < {to_sql}")
     inner = (
         f"SELECT {key_sel}{bin_expr} AS __bin, {v_sel} FROM {sub} "
-        f"WHERE {ts_col} >= {frm_sql} AND {ts_col} < {to_sql} "
+        f"WHERE {' AND '.join(where)} "
         f"GROUP BY {key_sel}{bin_expr}"
     )
     v_struct = ", ".join(f"__v{i}" for i in range(len(series)))
@@ -263,12 +362,28 @@ def _make_series(sub: str, rest: str) -> str:
     )
     if keys:
         mapped += f" GROUP BY {', '.join(keys)}"
-    n_bins = (
-        f"CAST(ceil((unix_timestamp({to_sql}) - {f_ep}) / {secs}) AS INT)"
-    )
+    if frm_sql and to_sql:
+        # both bounds literal → the axis is constant-folded by Catalyst
+        f_expr, end_ep = f_ep, f"unix_timestamp({to_sql})"
+    else:
+        # auto bound(s): global min/max bin via an empty-frame window over
+        # the PER-GROUP rows (one row per group — the window sorts #groups
+        # rows, not the data; still zero joins and no second scan).  The
+        # axis stays end-exclusive: end = max bin + step.
+        mapped = (
+            f"SELECT *, min(array_min(map_keys(__m))) OVER () AS __fb, "
+            f"max(array_max(map_keys(__m))) OVER () AS __tb "
+            f"FROM ({mapped}) __msb"
+        )
+        f_expr = f"unix_timestamp({frm_sql})" if frm_sql else "unix_timestamp(__fb)"
+        end_ep = (
+            f"unix_timestamp({to_sql})" if to_sql
+            else f"(unix_timestamp(__tb) + {secs})"
+        )
+    n_bins = f"CAST(ceil(({end_ep} - {f_expr}) / {secs}) AS INT)"
     axis = (
         f"CASE WHEN {n_bins} > 0 THEN transform(sequence(0, {n_bins} - 1), "
-        f"__i -> to_timestamp({f_ep} + CAST(__i AS BIGINT) * {secs})) "
+        f"__i -> to_timestamp({f_expr} + CAST(__i AS BIGINT) * {secs})) "
         f"ELSE array() END"
     )
     fills = ", ".join(
@@ -359,46 +474,127 @@ _MV_APPLY_AGGS = {
 }
 
 
-def _mv_apply(sub: str, rest: str) -> str:
-    """Lower ``mv-apply [v =] arr on ( summarize n = agg(expr), ... )`` —
-    the single-summarize subset of Kusto's subquery-per-record operator.
+def _mv_field_ref(expr: str, fields: list[str]) -> str:
+    """Rewrite bare element-field names in ``expr`` to ``__e.<field>``
+    (struct-element lambda body).  Skips qualified refs (``x.f``) and
+    function-call positions (``f(``)."""
+    for f in fields:
+        expr = re.sub(rf"(?<![\w.']){re.escape(f)}(?![\w(])", f"__e.{f}", expr)
+    return expr
 
-    Because the subpipeline is one aggregation over the expanded elements,
-    the whole operator collapses to per-row ARRAY folds (aggregate /
-    transform / size) — no explode, no re-join, no shuffle; the general
-    arbitrary-subpipeline form stays outside the subset and raises."""
+
+def _mv_apply(sub: str, rest: str) -> str:
+    """Lower ``mv-apply [v =] arr on ( <subpipeline> )`` — Kusto's
+    subquery-per-record operator.
+
+    The subpipeline may chain ``where`` / ``extend`` / ``take`` stages and
+    end with an optional ``summarize``.  The WHOLE chain lowers to per-row
+    ARRAY combinators — ``filter`` for where, ``transform`` into
+    ``named_struct`` for extend (the transpiler tracks element fields
+    through struct promotion), ``slice`` for take, and folds
+    (aggregate/transform/size) for the terminal summarize — so there is no
+    explode, no re-join, and no shuffle at any scale: the operator stays
+    embarrassingly row-parallel where the textbook lowering
+    (posexplode → regroup on a synthetic row key) would shuffle the whole
+    table.  Without a terminal summarize the transformed array explodes in
+    place (Kusto's row-expansion form): struct elements expand to one
+    column per tracked field."""
     m = re.match(
-        r"^(?:([A-Za-z_]\w*)\s*=\s*)?([A-Za-z_]\w*)\s+on\s+"
-        r"\(\s*summarize\s+(.+?)\s*\)$",
+        r"^(?:([A-Za-z_]\w*)\s*=\s*)?([A-Za-z_]\w*)\s+on\s+\((.+)\)$",
         rest.strip(),
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise KqlError(
-            "mv-apply subset is '[v =] arr on (summarize n = agg(expr), ...)'"
-            f", got {rest!r}"
+            "mv-apply needs '[v =] arr on ( <subpipeline> )'" f", got {rest!r}"
         )
     var = m.group(1) or m.group(2)
     col = m.group(2)
-    sels = []
-    for item in _split_top(m.group(3)):
-        ma = re.match(
-            r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\((.*)\)$", item.strip(),
-            re.DOTALL,
-        )
-        if not ma:
-            raise KqlError(f"mv-apply summarize needs name = agg(expr), got {item!r}")
-        name, fn, arg = ma.group(1), ma.group(2).lower(), _expr(ma.group(3))
-        builder = _MV_APPLY_AGGS.get(fn)
-        if builder is None:
+    stages = [s.strip() for s in _split_top(m.group(3).strip(), "|")]
+    cur = col
+    fields: list[str] | None = None  # None → scalar elements addressed by var
+    sels: list[str] | None = None  # set by the terminal summarize
+    for si, st in enumerate(stages):
+        if not st:
+            raise KqlError("mv-apply: empty subpipeline stage")
+        kw = st.split(None, 1)
+        op = kw[0].lower()
+        arg = kw[1] if len(kw) > 1 else ""
+        if sels is not None:
+            raise KqlError("mv-apply: summarize must be the last stage")
+        if op == "where":
+            pred = _expr(arg)
+            if fields is None:
+                cur = f"filter({cur}, {var} -> {pred})"
+            else:
+                cur = f"filter({cur}, __e -> {_mv_field_ref(pred, fields)})"
+        elif op == "take":
+            cur = f"slice({cur}, 1, {int(arg)})"
+        elif op == "extend":
+            items = []
+            for it in _split_top(arg):
+                ma = re.match(r"^([A-Za-z_]\w*)\s*=\s*(.+)$", it.strip(), re.DOTALL)
+                if not ma:
+                    raise KqlError(f"mv-apply extend needs name = expr, got {it!r}")
+                items.append((ma.group(1), _expr(ma.group(2))))
+            if fields is None:
+                body = ", ".join(
+                    [f"'{var}', {var}"] + [f"'{n}', {e}" for n, e in items]
+                )
+                cur = f"transform({cur}, {var} -> named_struct({body}))"
+                fields = [var] + [n for n, _e in items]
+            else:
+                body = ", ".join(
+                    [f"'{f}', __e.{f}" for f in fields]
+                    + [f"'{n}', {_mv_field_ref(e, fields)}" for n, e in items]
+                )
+                cur = f"transform({cur}, __e -> named_struct({body}))"
+                fields = fields + [n for n, _e in items]
+        elif op == "summarize":
+            if si != len(stages) - 1:
+                raise KqlError("mv-apply: summarize must be the last stage")
+            sels = []
+            for item in _split_top(arg):
+                ma = re.match(
+                    r"^([A-Za-z_]\w*)\s*=\s*([A-Za-z_]\w*)\s*\((.*)\)$",
+                    item.strip(),
+                    re.DOTALL,
+                )
+                if not ma:
+                    raise KqlError(
+                        f"mv-apply summarize needs name = agg(expr), got {item!r}"
+                    )
+                name, fn, a = ma.group(1), ma.group(2).lower(), _expr(ma.group(3))
+                builder = _MV_APPLY_AGGS.get(fn)
+                if builder is None:
+                    raise KqlError(
+                        f"mv-apply: unsupported aggregate {fn!r} "
+                        f"(subset: {', '.join(sorted(_MV_APPLY_AGGS))})"
+                    )
+                if fn == "count" and a.strip():
+                    raise KqlError("mv-apply: count() takes no argument in the subset")
+                if fields is None:
+                    sels.append(f"{builder(cur, var, a or var)} AS {name}")
+                else:
+                    body = _mv_field_ref(a, fields) if a else f"__e.{var}"
+                    sels.append(f"{builder(cur, '__e', body)} AS {name}")
+        else:
             raise KqlError(
-                f"mv-apply: unsupported aggregate {fn!r} "
-                f"(subset: {', '.join(sorted(_MV_APPLY_AGGS))})"
+                f"mv-apply: unsupported subpipeline stage {op!r} "
+                "(subset: where, extend, take, summarize)"
             )
-        if fn == "count" and arg.strip():
-            raise KqlError("mv-apply: count() takes no argument in the subset")
-        sels.append(f"{builder(col, var, arg or var)} AS {name}")
-    return f"SELECT *, {', '.join(sels)} FROM {sub}"
+    if sels is not None:
+        return f"SELECT *, {', '.join(sels)} FROM {sub}"
+    # no terminal summarize → Kusto's row-expansion form: explode in place
+    if fields is None:
+        return (
+            f"SELECT * EXCEPT ({col}), __mv AS {var} FROM {sub} "
+            f"LATERAL VIEW EXPLODE({cur}) __mvt AS __mv"
+        )
+    return (
+        f"SELECT * EXCEPT ({col}), __mv.* FROM {sub} "
+        f"LATERAL VIEW EXPLODE({cur}) __mvt AS __mv"
+    )
 
 
 def _top_nested(sub: str, rest: str) -> str:
@@ -467,11 +663,37 @@ def transpile_kql(query: str) -> str:
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
     src = stages[0]
-    if not re.match(r"^[A-Za-z_]\w*$", src):
-        raise KqlError(
-            f"KQL pipeline must start with a bare table name, got {src!r}"
+    mrange = re.match(
+        r"^range\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)\s+step\s+(.+)$",
+        src,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mrange:
+        # Kusto's `range` source operator: inclusive arithmetic progression,
+        # numeric or datetime + timespan step → explode(sequence(...)).
+        # sequence() materializes per-row on an executor; Kusto's own range
+        # is bounded the same way (it is a test/axis generator, not a data
+        # source), so there is no distributed-generation tier here — use the
+        # numbers()/generate_series table functions for that.
+        name, frm, to, step = mrange.groups()
+        ms = re.match(r"^([0-9.]+)(s|m|h|d)$", step.strip(), re.IGNORECASE)
+        if ms:
+            secs = {"s": 1, "m": 60, "h": 3600, "d": 86400}[
+                ms.group(2).lower()
+            ] * float(ms.group(1))
+            step_sql = f"INTERVAL {int(secs)} SECOND"
+        else:
+            step_sql = _expr(step)
+        rel = (
+            f"SELECT explode(sequence({_expr(frm)}, {_expr(to)}, {step_sql})) "
+            f"AS {name}"
         )
-    rel = src
+    elif not re.match(r"^[A-Za-z_]\w*$", src):
+        raise KqlError(
+            f"KQL pipeline must start with a bare table name or range, got {src!r}"
+        )
+    else:
+        rel = src
     for i, st in enumerate(stages[1:]):
         sub = f"({rel}) __k{i}" if " " in rel or rel.startswith("(") else rel
         kw = st.split(None, 1)
@@ -568,9 +790,9 @@ def transpile_kql(query: str) -> str:
             rel = f"SELECT DISTINCT {items} FROM {sub}"
         elif op == "join":
             m = re.match(
-                r"^(?:kind\s*=\s*(\w+)\s+)?\(\s*([^)]+?)\s*\)\s+on\s+(.+)$",
+                r"^(?:kind\s*=\s*(\w+)\s+)?\(\s*(.+?)\s*\)\s+on\s+([^()]+)$",
                 rest,
-                re.IGNORECASE,
+                re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise KqlError(f"unsupported join form: {rest!r}")
@@ -580,24 +802,69 @@ def transpile_kql(query: str) -> str:
                 "leftouter": "LEFT JOIN",
                 "rightouter": "RIGHT JOIN",
                 "fullouter": "FULL JOIN",
+                # semi/anti kinds (Kusto aliases included); the right-handed
+                # forms swap operands onto Spark's LEFT SEMI / LEFT ANTI
+                "leftsemi": "LEFT SEMI JOIN",
+                "leftsemijoin": "LEFT SEMI JOIN",
+                "leftanti": "LEFT ANTI JOIN",
+                "anti": "LEFT ANTI JOIN",
+                "leftantisemi": "LEFT ANTI JOIN",
+                "rightsemi": "LEFT SEMI JOIN",
+                "rightanti": "LEFT ANTI JOIN",
+                "rightantisemi": "LEFT ANTI JOIN",
             }
             if kind not in jmap:
                 raise KqlError(f"unsupported join kind: {kind!r}")
+            swap = kind.startswith("right") and kind != "rightouter"
             right = m.group(2).strip()
             cond = m.group(3).strip()
             mc = re.match(
                 r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", cond
             )
-            if mc:
-                on = f"__l.{mc.group(1)} = __r.{mc.group(2)}"
-            elif re.match(r"^\w+$", cond):
-                on = f"__l.{cond} = __r.{cond}"
-            else:
-                raise KqlError(f"unsupported join condition: {cond!r}")
-            rel = (
-                f"SELECT * FROM ({rel if ' ' in rel else f'SELECT * FROM {rel}'}) __l "
-                f"{jmap[kind]} (SELECT * FROM {right}) __r ON {on}"
+            lk, rk = (mc.group(1), mc.group(2)) if mc else (None, None)
+            if not mc:
+                if not re.match(r"^\w+$", cond):
+                    raise KqlError(f"unsupported join condition: {cond!r}")
+                lk = rk = cond
+            left_rel = rel if " " in rel else f"SELECT * FROM {rel}"
+            # the right operand may be a bare table or a full subpipeline
+            right_rel = (
+                f"SELECT * FROM {right}"
+                if re.match(r"^[A-Za-z_]\w*$", right)
+                else transpile_kql(right)
             )
+            if swap:
+                # rightsemi/rightanti keep RIGHT-side rows → right becomes
+                # the preserved (left) operand of Spark's LEFT SEMI/ANTI
+                left_rel, right_rel, lk, rk = right_rel, left_rel, rk, lk
+            rel = (
+                f"SELECT * FROM ({left_rel}) __l "
+                f"{jmap[kind]} ({right_rel}) __r ON __l.{lk} = __r.{rk}"
+            )
+            continue
+        elif op == "union":
+            # Kusto union never dedups (append semantics).  kind=outer is
+            # the Kusto default; the operand must be positionally
+            # compatible (documented deviation — Spark SQL lacks a by-name
+            # union, and a text transpiler has no schema to align columns).
+            arg = re.sub(r"^kind\s*=\s*outer\s+", "", rest.strip(),
+                         flags=re.IGNORECASE)
+            if re.match(r"^kind\s*=", arg, re.IGNORECASE):
+                raise KqlError(
+                    "union subset supports kind=outer only (positional "
+                    f"UNION ALL), got {rest!r}"
+                )
+            mp = re.match(r"^\(\s*(.+?)\s*\)$", arg, re.DOTALL)
+            if mp:
+                other = transpile_kql(mp.group(1))
+            elif re.match(r"^[A-Za-z_]\w*$", arg):
+                other = f"SELECT * FROM {arg}"
+            else:
+                raise KqlError(
+                    f"union needs a table name or ( <subpipeline> ), got {rest!r}"
+                )
+            left_rel = rel if " " in rel else f"SELECT * FROM {rel}"
+            rel = f"SELECT * FROM ({left_rel} UNION ALL {other}) __u{i}"
             continue
         else:
             raise KqlError(f"unsupported KQL operator: {op!r}")

@@ -274,7 +274,14 @@ _DRIVER_WINDOW_R8 = [
 #: Round-9 window: every query ADDED during round 7 is appended here at
 #: birth (r6 verdict #2 — registry growth must stay inside a committed
 #: window so the never-recorded backlog strictly decreases).
-_DRIVER_WINDOW_R9: list[str] = []
+_DRIVER_WINDOW_R9: list[str] = [
+    # --- round-7 KQL depth ---
+    "kql_join_anti_semi",
+    "kql_union_range",
+    "kql_percentile_agg",
+    "kql_mv_apply_pipe",
+    "kql_make_series_auto",
+]
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---

@@ -2923,3 +2923,242 @@ embeddings
         F.round(F.col("mx").cast("double"), 6).alias("mx"),
         "n",
     )
+
+
+# --- round-7 KQL depth: join kinds / union / range / percentile /
+# --- general mv-apply subpipelines / make-series auto-bounds -----------------
+
+
+@register(
+    "kql_join_anti_semi",
+    oracle="""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+FROM customer c
+SEMI JOIN (SELECT * FROM nation WHERE n_regionkey < 2) nn
+  ON c.c_nationkey = nn.n_nationkey
+ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 100000) o
+  ON c.c_custkey = o.o_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+    tags=("kql", "dialect"),
+)
+def kql_join_anti_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``join kind=leftsemi|leftanti`` (round 7): customers in the
+    first two regions (semi) with no six-figure order (anti), per segment.
+    Both kinds lower to Spark's native LEFT SEMI / LEFT ANTI joins —
+    existence checks that never materialize right-side columns, so the
+    join build side ships keys only at any scale.  The right operand is a
+    full subpipeline (``(orders | where ...)``), transpiled recursively.
+    DuckDB replays with its native SEMI/ANTI JOIN."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+customer
+| join kind=leftsemi (nation | where n_regionkey < 2)
+    on $left.c_nationkey == $right.n_nationkey
+| join kind=leftanti (orders | where o_totalprice > 100000)
+    on $left.c_custkey == $right.o_custkey
+| summarize n = count(), mn = min(c_acctbal), mx = max(c_acctbal)
+    by c_mktsegment
+| sort by c_mktsegment asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_union_range",
+    oracle="""
+WITH lo AS (SELECT CAST(x AS INTEGER) AS x, 'lo' AS src
+            FROM generate_series(0, 9, 1) t(x)),
+hi AS (SELECT CAST(x AS INTEGER) AS x, 'hi' AS src
+       FROM generate_series(100, 140, 5) t(x)),
+u AS (SELECT * FROM lo UNION ALL SELECT * FROM hi)
+SELECT src, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS s
+FROM u GROUP BY src ORDER BY src
+""",
+    tags=("kql", "dialect", "table-function"),
+)
+def kql_union_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``range`` source + ``union`` (round 7): two arithmetic
+    progressions (``range`` lowers to ``explode(sequence(...))``, inclusive
+    bounds like Kusto) appended with ``union`` (UNION ALL — Kusto unions
+    never dedup; the right operand is a subpipeline transpiled
+    recursively), then aggregated per source tag."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+range x from 0 to 9 step 1
+| extend src = 'lo'
+| union (range x from 100 to 140 step 5 | extend src = 'hi')
+| summarize n = count(), s = sum(x) by src
+| sort by src asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_percentile_agg",
+    oracle="""
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       CAST(COUNT(*) FILTER (WHERE value > 100) AS BIGINT) AS c,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                  FILTER (WHERE value > 100) AS DOUBLE), 6) AS s,
+       MAX(value) FILTER (WHERE value < 50) AS mp
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect"),
+)
+def kql_percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``percentile()`` + conditional aggregates (round 7):
+    ``percentile(x, N)`` lowers to Spark's exact interpolated percentile
+    (documented deviation: Kusto's own is a T-digest approximation — the
+    exact form is deterministic and matches SQL PERCENTILE_CONT /
+    DuckDB quantile_cont); ``countif/sumif/maxif`` lower to
+    count_if / filtered CASE aggregates.  The double sum routes through an
+    extend'd DECIMAL cast so both engines sum exactly; percentiles round
+    to 6dp on both sides."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| extend dv = cast(value as decimal(38,6))
+| summarize p50 = percentile(value, 50), p95 = percentile(value, 95),
+            c = countif(value > 100), s = sumif(dv, value > 100),
+            mp = maxif(value, value < 50)
+    by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_type",
+        F.round("p50", 6).alias("p50"),
+        F.round("p95", 6).alias("p95"),
+        "c",
+        F.round(F.col("s").cast("double"), 6).alias("s"),
+        "mp",
+    )
+
+
+@register(
+    "kql_mv_apply_pipe",
+    oracle="""
+WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 80),
+w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM base),
+f AS (SELECT doc_id, length(t) AS l FROM w WHERE length(t) > 4),
+per AS (SELECT doc_id, SUM(l) AS s, COUNT(*) AS n, MAX(l) AS mx
+        FROM f GROUP BY doc_id)
+SELECT b.doc_id, CAST(COALESCE(p.s, 0) AS DOUBLE) AS s,
+       CAST(COALESCE(p.n, 0) AS BIGINT) AS n,
+       CAST(p.mx AS INTEGER) AS mx
+FROM base b LEFT JOIN per p ON b.doc_id = p.doc_id
+""",
+    tags=("kql", "dialect"),
+)
+def kql_mv_apply_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``mv-apply`` with a general subpipeline (round 7):
+    ``where | extend | summarize`` chained inside the per-record subquery.
+    The whole chain lowers to per-row array combinators — filter, a
+    named_struct transform (the transpiler tracks element fields through
+    struct promotion), then folds — so unlike the textbook lowering
+    (posexplode → regroup on a synthetic row key) there is NO shuffle at
+    any scale; the operator stays embarrassingly row-parallel.  Per-doc
+    token-length stats over a filtered token array; docs whose tokens all
+    fail the filter keep s=0 / n=0 / mx=NULL (fold-over-empty semantics),
+    which the oracle replays via LEFT JOIN + COALESCE."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+documents
+| where doc_id < 80
+| extend toks = split(text, ' ')
+| mv-apply t = toks on (where length(t) > 4
+                        | extend l = length(t)
+                        | summarize s = sum(l), n = count(), mx = max(l))
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "doc_id",
+        F.col("s").cast("double").alias("s"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("mx").cast("int").alias("mx"),
+    )
+
+
+@register(
+    "kql_make_series_auto",
+    oracle="""
+WITH src AS (SELECT event_type, ts, value FROM events
+             WHERE event_type <> 'view' AND ts IS NOT NULL),
+binned AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(CAST(value AS DECIMAL(38,6))) AS s
+  FROM src GROUP BY event_type, b),
+bounds AS (SELECT MIN(b) AS f, MAX(b) AS t FROM binned),
+axis AS (SELECT unnest(generate_series(bo.f, bo.t)) AS b FROM bounds bo),
+keys AS (SELECT DISTINCT event_type FROM src)
+SELECT k.event_type,
+       list(COALESCE(bn.n, 0.0) ORDER BY a.b) AS n,
+       list(ROUND(CAST(COALESCE(bn.s, 0) AS DOUBLE), 6) ORDER BY a.b) AS s,
+       list(CAST(a.b * 604800 AS BIGINT) ORDER BY a.b) AS ts_ep
+FROM keys k CROSS JOIN axis a
+LEFT JOIN binned bn ON bn.event_type = k.event_type AND bn.b = a.b
+GROUP BY k.event_type
+ORDER BY k.event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_make_series_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``make-series`` with auto bounds (round 7): ``from``/``to``
+    omitted — the axis snaps to the observed min/max bin.  The bounds ride
+    an empty-frame window over the PER-GROUP rows (one row per group after
+    the map fold), so the lowering stays join-free and scans the data
+    exactly once; the window sorts #groups rows, not the table.  Bins align
+    to the Unix-epoch grid when ``from`` is absent (documented deviation:
+    Kusto anchors its auto grid at 0001-01-01).  The double sum series
+    routes through a DECIMAL cast; both series round/emit as in
+    kql_make_series so the driver hash is float-stable."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where event_type != 'view'
+| make-series n = count() default = 0,
+              s = sum(cast(value as decimal(38,6))) default = 0
+              on ts step 7d by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_type",
+        "n",
+        F.expr("transform(s, __x -> round(__x, 6))").alias("s"),
+        F.expr("transform(ts, __t -> CAST(unix_timestamp(__t) AS BIGINT))").alias(
+            "ts_ep"
+        ),
+    )

@@ -837,7 +837,7 @@ def test_kql_transpile_mechanics():
     assert "* EXCEPT (a, b)" in transpile_kql("t | project-away a, b")
     rn = transpile_kql("t | project-rename n = o")
     assert "* EXCEPT (o)" in rn and "o AS n" in rn
-    with pytest.raises(KqlError, match="mv-apply subset"):
+    with pytest.raises(KqlError, match="mv-apply needs"):
         transpile_kql("t | mv-apply x")  # no subpipeline
     with pytest.raises(KqlError, match="unsupported aggregate"):
         transpile_kql("t | mv-apply x = a on (summarize p = percentile(x, 50))")
@@ -1083,3 +1083,165 @@ def test_codec_vocab_r10_cross_checks(spark):
         .alias("d")
     ).first()
     assert (big.d.x, big.d.y) == (4294967295, 2863311530)
+
+
+def test_kql_round7_mechanics():
+    """Round-7 KQL depth: join kinds, union, range source, percentile /
+    conditional-aggregate sugar, general mv-apply subpipelines,
+    make-series auto-bounds — transpile-level checks."""
+    import pytest
+
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    # semi/anti kinds map to Spark LEFT SEMI / LEFT ANTI; right-handed
+    # kinds swap operands
+    assert "LEFT ANTI JOIN" in transpile_kql("t | join kind=leftanti (u) on k")
+    assert "LEFT SEMI JOIN" in transpile_kql("t | join kind=leftsemi (u) on k")
+    assert "LEFT ANTI JOIN" in transpile_kql("t | join kind=anti (u) on k")
+    rs = transpile_kql("t | join kind=rightsemi (u) on $left.a == $right.b")
+    assert "LEFT SEMI JOIN" in rs
+    assert "FROM u) __l" in rs and "__l.b = __r.a" in rs  # operands swapped
+    # join right side may be a subpipeline
+    jp = transpile_kql("t | join kind=inner (u | where v > 1) on k")
+    assert "WHERE v > 1" in jp
+    with pytest.raises(KqlError, match="join kind"):
+        transpile_kql("t | join kind=bogus (u) on k")
+    # union: bare table and subpipeline operands, never dedups
+    un = transpile_kql("t | union u | count")
+    assert "UNION ALL" in un and "DISTINCT" not in un
+    up = transpile_kql("t | union (u | where v > 1)")
+    assert "UNION ALL" in up and "WHERE v > 1" in up
+    with pytest.raises(KqlError, match="kind=outer only"):
+        transpile_kql("t | union kind=inner u")
+    # range source: inclusive sequence; timespan step becomes an interval
+    rg = transpile_kql("range x from 1 to 10 step 3")
+    assert "explode(sequence(1, 10, 3)) AS x" in rg
+    rgd = transpile_kql(
+        "range d from datetime(2024-01-01) to datetime(2024-01-05) step 1d"
+    )
+    assert "INTERVAL 86400 SECOND" in rgd
+    # percentile / countif / sumif sugar in summarize
+    pc = transpile_kql(
+        "t | summarize p = percentile(v, 95), c = countif(v > 1), "
+        "s = sumif(v, v < 9) by k"
+    )
+    assert "percentile(v, 0.95)" in pc
+    assert "count_if(v > 1)" in pc
+    assert "sum(CASE WHEN v < 9 THEN v END)" in pc
+    with pytest.raises(KqlError, match="numeric literal"):
+        transpile_kql("t | summarize p = percentile(v, q) by k")
+    # general mv-apply subpipeline: filter → struct promotion → folds
+    mva = transpile_kql(
+        "t | mv-apply e = arr on (where e > 3 | extend l = e * e "
+        "| summarize s = sum(l), n = count())"
+    )
+    assert "filter(arr, e -> e > 3)" in mva
+    assert "named_struct('e', e, 'l', e * e)" in mva
+    assert "__e.l" in mva  # field-qualified ref inside the fold
+    # no terminal summarize → row expansion (explode in place)
+    mvx = transpile_kql("t | mv-apply e = arr on (where e > 3 | take 2)")
+    assert "LATERAL VIEW EXPLODE(slice(filter(arr, e -> e > 3), 1, 2))" in mvx
+    with pytest.raises(KqlError, match="last stage"):
+        transpile_kql("t | mv-apply e = arr on (summarize n = count() | where n > 1)")
+    with pytest.raises(KqlError, match="unsupported subpipeline stage"):
+        transpile_kql("t | mv-apply e = arr on (sort by e)")
+    # make-series auto-bounds: no from/to → window-derived bounds, no join
+    ms = transpile_kql("t | make-series n = count() on ts step 1d by k")
+    assert "OVER ()" in ms and "JOIN" not in ms.upper()
+    assert "floor(unix_timestamp(ts) / 86400)" in ms  # epoch-grid bins
+    # explicit from still constant-folds (no window)
+    msf = transpile_kql(
+        "t | make-series n = count() on ts from datetime(2024-01-01) "
+        "to datetime(2024-01-10) step 1d"
+    )
+    assert "OVER ()" not in msf
+
+
+def test_kql_round7_end_to_end(spark, sf_dir):
+    """Round-7 KQL depth executed on a tiny planted table: semi/anti join
+    row preservation, union append, range inclusivity, mv-apply
+    fold-over-empty semantics."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [5, 6]), (3, [1])],
+        "k int, arr array<int>",
+    ).createOrReplaceTempView("__r7t")
+    spark.createDataFrame([(1,), (3,)], "k int").createOrReplaceTempView("__r7u")
+    eng = ChSparkEngine(sf_dir, spark=spark)
+
+    anti = eng.sql(
+        "__r7t | join kind=leftanti (__r7u) on k | project k", dialect="kusto"
+    ).collect()
+    assert [r.k for r in anti] == [2]
+    semi = eng.sql(
+        "__r7t | join kind=rightsemi (__r7u) on k | summarize n = count()",
+        dialect="kusto",
+    ).collect()
+    assert semi[0].n == 2  # both u-rows have a match in t
+
+    un = eng.sql(
+        "__r7u | union (__r7t | project k) | summarize n = count(), s = sum(k)",
+        dialect="kusto",
+    ).collect()
+    assert (un[0].n, un[0].s) == (5, 10)  # 1+3 + 1+2+3, duplicates kept
+
+    rg = eng.sql(
+        "range x from 1 to 10 step 3 | summarize n = count(), s = sum(x)",
+        dialect="kusto",
+    ).collect()
+    assert (rg[0].n, rg[0].s) == (4, 22)  # 1,4,7,10 — inclusive upper bound
+
+    mva = {
+        r.k: r
+        for r in eng.sql(
+            "__r7t | mv-apply e = arr on (where e > 1 | extend sq = e * e "
+            "| summarize s = sum(sq), n = count(), mx = max(e))",
+            dialect="kusto",
+        ).collect()
+    }
+    assert (mva[1].s, mva[1].n, mva[1].mx) == (29.0, 3, 4)
+    assert (mva[2].s, mva[2].n, mva[2].mx) == (61.0, 2, 6)
+    # fold-over-empty: sum → 0, count → 0, max → NULL
+    assert (mva[3].s, mva[3].n, mva[3].mx) == (0.0, 0, None)
+
+    # row-expansion form: one output row per surviving element, struct
+    # elements expand to one column per tracked field
+    exp = eng.sql(
+        "__r7t | mv-apply e = arr on (extend sq = e * e | take 1) "
+        "| project k, e, sq",
+        dialect="kusto",
+    ).collect()
+    assert sorted((r.k, r.e, r.sq) for r in exp) == [(1, 1, 1), (2, 5, 25), (3, 1, 1)]
+
+
+def test_kql_make_series_auto_bounds(spark, sf_dir):
+    """make-series without from/to: axis snaps to observed min/max bin on
+    the epoch grid; end stays exclusive-of-(max+step); bounds are global
+    across groups (Kusto shares one axis)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    spark.createDataFrame(
+        [("a", "2024-01-01 06:00:00", 10.0),
+         ("a", "2024-01-04 01:00:00", 20.0),
+         ("b", "2024-01-02 12:00:00", 5.0)],
+        "k string, ts_s string, v double",
+    ).selectExpr("k", "CAST(ts_s AS TIMESTAMP) AS ts", "v").createOrReplaceTempView(
+        "__mkauto"
+    )
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rows = {
+        r.k: r
+        for r in eng.sql(
+            "__mkauto | make-series s = sum(v) default = -1 on ts step 1d by k",
+            dialect="kusto",
+        ).collect()
+    }
+    # global axis: 2024-01-01 .. 2024-01-04 inclusive (4 bins), even for b
+    assert [t.isoformat() for t in rows["a"].ts] == [
+        "2024-01-01T00:00:00", "2024-01-02T00:00:00",
+        "2024-01-03T00:00:00", "2024-01-04T00:00:00",
+    ]
+    assert rows["a"].s == [10.0, -1.0, -1.0, 20.0]
+    assert rows["b"].s == [-1.0, 5.0, -1.0, -1.0]
+    assert rows["b"].ts == rows["a"].ts
