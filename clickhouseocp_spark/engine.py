@@ -1370,12 +1370,20 @@ class ChSparkEngine:
         )
         return est
 
-    def run(self, query: str, dialect: str = "clickhouse", max_rows: int = 10_000) -> str:
+    def run(
+        self,
+        query: str,
+        dialect: str = "clickhouse",
+        max_rows: int = 10_000,
+        stats: dict | None = None,
+    ) -> str:
         """``clickhouse-local -q`` parity: execute CH SQL text and return the
         result rendered in its trailing ``FORMAT <name>`` clause (default
         TabSeparated) — the stdout surface of the reference image
         (Dockefile-ubuntu:52).  Driver-side and row-capped by design: bulk
-        exports go through sources/writers.py sinks, not a terminal format."""
+        exports go through sources/writers.py sinks, not a terminal format.
+        ``stats`` (optional out-param) receives ``result_rows`` /
+        ``written_rows`` for the HTTP summary headers."""
         import re as _re
 
         from clickhouseocp_spark.formats import render
@@ -1410,21 +1418,30 @@ class ChSparkEngine:
                 df.write.mode("errorifexists").format(
                     binfmt[fmt.lower()]
                 ).save(path)
-                return f"{df.count()} rows written to {path}."
+                n = df.count()
+                if stats is not None:
+                    stats["written_rows"] = n
+                return f"{n} rows written to {path}."
             text = render(df, fmt, max_rows)
             with open(path, "w") as fh:
                 fh.write(text)
-            return f"{df.count()} rows written to {path}."
+            n = df.count()
+            if stats is not None:
+                stats["written_rows"] = n
+            return f"{n} rows written to {path}."
         df = self.sql(query, dialect=dialect)
-        return render(df, fmt, max_rows)
+        return render(df, fmt, max_rows, stats=stats)
 
 
-    def insert_rowbinary(self, statement: str, data: bytes) -> DataFrame:
+    def insert_rowbinary(
+        self, statement: str, data: bytes, stats: dict | None = None
+    ) -> DataFrame:
         """``INSERT INTO t [(cols)] FORMAT RowBinary`` with a binary data
         body — the bulk-ingest shape CH drivers send over HTTP.  The body
         decodes against the TARGET table's schema (plain RowBinary carries
         no header; WithNamesAndTypes bodies carry their own and are
-        validated against it)."""
+        validated against it).  ``stats`` (optional out-param) receives
+        ``written_rows`` for the HTTP summary headers."""
         import re as _re
 
         from clickhouseocp_spark.formats import _rb_spark_to_ch, parse_rowbinary
@@ -1463,6 +1480,8 @@ class ChSparkEngine:
             rows = parse_rowbinary(data, types)
         from pyspark.sql.types import StructType
 
+        if stats is not None:
+            stats["written_rows"] = len(rows)
         schema = StructType([fields[c] for c in cols])
         incoming = self.spark.createDataFrame(rows, schema)
         dt = dict(target.dtypes)

@@ -170,8 +170,17 @@ def _pretty(cols, rows, compact: bool) -> str:
     return "\n".join(out)
 
 
-def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> str:
-    """Render a DataFrame as ClickHouse FORMAT text (driver-side, capped)."""
+def render(
+    df: DataFrame,
+    fmt: str = "TabSeparated",
+    max_rows: int = 10_000,
+    stats: dict | None = None,
+) -> str:
+    """Render a DataFrame as ClickHouse FORMAT text (driver-side, capped).
+
+    ``stats`` (optional out-param) receives ``result_rows`` — the row count
+    the render materialized — so the HTTP layer can emit
+    ``X-ClickHouse-Summary`` without a second job."""
     canon = _CANON.get(fmt.replace("_", "").lower())
     if canon is None:
         raise ValueError(
@@ -184,9 +193,13 @@ def render(df: DataFrame, fmt: str = "TabSeparated", max_rows: int = 10_000) -> 
         )
     if canon == "Null":
         # clickhouse-client's benchmark format: execute fully, emit nothing
-        df.limit(max_rows).count()
+        n = df.limit(max_rows).count()
+        if stats is not None:
+            stats["result_rows"] = n
         return ""
     rows = df.limit(max_rows).collect()
+    if stats is not None:
+        stats["result_rows"] = len(rows)
     cols = df.columns
 
     if canon in ("TabSeparated", "TabSeparatedWithNames"):
@@ -343,7 +356,10 @@ def _rb_encode_value(ch_type: str, v, out: bytearray) -> None:
 
 
 def render_rowbinary(
-    df: DataFrame, with_names_and_types: bool = False, max_rows: int = 10_000
+    df: DataFrame,
+    with_names_and_types: bool = False,
+    max_rows: int = 10_000,
+    stats: dict | None = None,
 ) -> bytes:
     """Driver-side RowBinary export (row-capped like the text formats; bulk
     exports go through the distributed writers).  Column types derive from
@@ -362,7 +378,10 @@ def render_rowbinary(
             b = t.encode("utf-8")
             out += _leb128(len(b))
             out += b
-    for row in df.limit(max_rows).collect():
+    rows = df.limit(max_rows).collect()
+    if stats is not None:
+        stats["result_rows"] = len(rows)
+    for row in rows:
         for t, v in zip(types, row):
             _rb_encode_value(t, v, out)
     return bytes(out)

@@ -27,6 +27,18 @@ with nothing beyond the stdlib http.server:
   47 UNKNOWN_IDENTIFIER, 36 BAD_ARGUMENTS; 1000 otherwise) in
   ``X-ClickHouse-Exception-Code`` and the message in the body — HTTP
   drivers key retry/error handling off these codes
+- every successful query response carries ``X-ClickHouse-Summary`` — the
+  CH JSON shape (string-valued ``read_rows``/``read_bytes``/
+  ``written_rows``/``written_bytes``/``total_rows_to_read``/
+  ``result_rows``/``result_bytes``/``elapsed_ns``); with
+  ``send_progress_in_http_headers=1`` (param or session setting) one final
+  cumulative ``X-ClickHouse-Progress`` header with the same shape is also
+  emitted (the buffered analog of CH's incremental progress stream).
+  Documented deviation: ``read_rows``/``read_bytes`` report the rows the
+  driver materialized into the result, not storage-scan counters — Spark's
+  per-scan metrics live in JVM SQL-metric objects the library deliberately
+  doesn't reach into; clients that sum Summary fields for progress bars
+  still converge because the final event equals the result totals
 
 Architecture note (SURVEY §7): the engine stays library-first — this is a
 thin adapter so HTTP-driver users can point at the Spark engine, not a
@@ -98,6 +110,32 @@ def exception_code(e: Exception) -> int:
 _SET_RE = re.compile(r"(?is)^\s*SET\s+(\w+)\s*=\s*('[^']*'|\S+?)\s*;?\s*$")
 
 
+def _summary_json(
+    result_rows: int = 0,
+    result_bytes: int = 0,
+    written_rows: int = 0,
+    elapsed_ns: int = 0,
+) -> str:
+    """The ``X-ClickHouse-Summary`` JSON — CH emits every numeric field as a
+    STRING (clickhouse-js et al. parse them with parseInt), in this key
+    order."""
+    import json as _json
+
+    return _json.dumps(
+        {
+            "read_rows": str(result_rows),
+            "read_bytes": str(result_bytes),
+            "written_rows": str(written_rows),
+            "written_bytes": "0",
+            "total_rows_to_read": str(result_rows),
+            "result_rows": str(result_rows),
+            "result_bytes": str(result_bytes),
+            "elapsed_ns": str(elapsed_ns),
+        },
+        separators=(",", ":"),
+    )
+
+
 class ChHttpServer:
     """Serve a :class:`~clickhouseocp_spark.engine.ChSparkEngine` over the
     CH HTTP request shapes.  ``start()`` binds a daemon thread (port 0 →
@@ -154,9 +192,13 @@ class ChHttpServer:
                     query or "",
                 ):
                     # binary bulk-ingest: never decode the body as text
+                    import time as _time
+
+                    stats: dict = {}
+                    t0 = _time.perf_counter_ns()
                     try:
                         with outer._gate:
-                            outer.engine.insert_rowbinary(query, body)
+                            outer.engine.insert_rowbinary(query, body, stats=stats)
                     except Exception as e:  # noqa: BLE001 — wire errors like CH
                         self._reply(
                             500,
@@ -169,7 +211,14 @@ class ChHttpServer:
                             },
                         )
                         return
-                    self._reply(200, "", extra=hdrs)
+                    summary = _summary_json(
+                        written_rows=stats.get("written_rows", 0),
+                        elapsed_ns=_time.perf_counter_ns() - t0,
+                    )
+                    extra = {**hdrs, "X-ClickHouse-Summary": summary}
+                    if params.get("send_progress_in_http_headers") == "1":
+                        extra["X-ClickHouse-Progress"] = summary
+                    self._reply(200, "", extra=extra)
                     return
                 text = body.decode("utf-8") if body else ""
                 if query and text:
@@ -210,6 +259,10 @@ class ChHttpServer:
                     )
                     == "1"
                 )
+                import time as _time
+
+                stats = {}
+                t0 = _time.perf_counter_ns()
                 try:
                     with outer._gate:
                         if (fmt or "").replace("_", "").lower() in (
@@ -232,9 +285,12 @@ class ChHttpServer:
                                 .replace("_", "")
                                 .lower()
                                 .endswith("withnamesandtypes"),
+                                stats=stats,
                             )
                         else:
-                            out = outer.engine.run(query, dialect=dialect)
+                            out = outer.engine.run(
+                                query, dialect=dialect, stats=stats
+                            )
                 except Exception as e:  # noqa: BLE001 — wire errors like CH
                     self._reply(
                         500,
@@ -251,15 +307,30 @@ class ChHttpServer:
                 tz = outer.engine.spark.conf.get(
                     "spark.sql.session.timeZone", "Etc/UTC"
                 )
+                out_bytes = out if isinstance(out, bytes) else out.encode("utf-8")
+                summary = _summary_json(
+                    result_rows=stats.get("result_rows", 0),
+                    result_bytes=len(out_bytes),
+                    written_rows=stats.get("written_rows", 0),
+                    elapsed_ns=_time.perf_counter_ns() - t0,
+                )
+                extra = {
+                    **hdrs,
+                    "X-ClickHouse-Format": fmt,
+                    "X-ClickHouse-Timezone": tz or "Etc/UTC",
+                    "X-ClickHouse-Summary": summary,
+                }
+                if (
+                    params.get("send_progress_in_http_headers")
+                    or (session or {}).get("send_progress_in_http_headers")
+                ) == "1":
+                    # buffered server → one final cumulative progress event
+                    extra["X-ClickHouse-Progress"] = summary
                 self._reply(
                     200,
                     out,
                     fmt=fmt,
-                    extra={
-                        **hdrs,
-                        "X-ClickHouse-Format": fmt,
-                        "X-ClickHouse-Timezone": tz or "Etc/UTC",
-                    },
+                    extra=extra,
                     gzip_ok=want_gzip,
                 )
 

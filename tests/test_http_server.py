@@ -235,10 +235,10 @@ def test_http_rowbinary_insert(spark, sf_dir):
     from clickhouseocp_spark.server import ChHttpServer
 
     eng = ChSparkEngine(sf_dir, spark=spark)
-    # binary body matching the region schema
+    # binary body matching the region schema (r_regionkey INT, r_name STRING)
     payload_df = spark.createDataFrame(
-        [(91, "NEWLAND", "added via rowbinary")],
-        "r_regionkey bigint, r_name string, r_comment string",
+        [(91, "NEWLAND")],
+        "r_regionkey int, r_name string",
     )
     body = render_rowbinary(payload_df)
     srv = ChHttpServer(eng, port=0).start()
@@ -251,5 +251,77 @@ def test_http_rowbinary_insert(spark, sf_dir):
             assert r.status == 200
         n = eng.sql("SELECT count() AS n FROM region WHERE r_regionkey = 91")
         assert n.first().n == 1
+    finally:
+        srv.shutdown()
+
+
+def test_summary_header_shape(http_engine):
+    """X-ClickHouse-Summary rides every successful query response: the CH
+    JSON shape with STRING-valued numeric fields in the canonical key
+    order, result_rows/result_bytes reflecting the rendered result."""
+    q = urllib.parse.quote(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 7"
+    )
+    status, body, headers = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    s = json.loads(headers["X-ClickHouse-Summary"])
+    assert list(s) == [
+        "read_rows", "read_bytes", "written_rows", "written_bytes",
+        "total_rows_to_read", "result_rows", "result_bytes", "elapsed_ns",
+    ]
+    assert all(isinstance(v, str) and v.isdigit() for v in s.values())
+    assert s["result_rows"] == "7"
+    assert int(s["result_bytes"]) == len(body.encode())
+    assert int(s["elapsed_ns"]) > 0
+    # progress headers are opt-in (CH: send_progress_in_http_headers=1)
+    assert "X-ClickHouse-Progress" not in headers
+
+
+def test_progress_header_opt_in(http_engine):
+    """send_progress_in_http_headers=1 (param or session setting) emits one
+    final cumulative X-ClickHouse-Progress with the Summary shape."""
+    q = urllib.parse.quote("SELECT count() AS n FROM nation")
+    _, _, headers = _get(
+        http_engine, f"/?query={q}&send_progress_in_http_headers=1"
+    )
+    p = json.loads(headers["X-ClickHouse-Progress"])
+    assert p == json.loads(headers["X-ClickHouse-Summary"])
+    assert p["result_rows"] == "1"
+    # session-scoped form
+    sid = "sumsess"
+    _get(http_engine, f"/?session_id={sid}&query=" + urllib.parse.quote(
+        "SET send_progress_in_http_headers = 1"
+    ))
+    _, _, h2 = _get(http_engine, f"/?session_id={sid}&query={q}")
+    assert "X-ClickHouse-Progress" in h2
+
+
+def test_summary_written_rows_on_rowbinary_insert(spark, sf_dir):
+    """The RowBinary bulk-ingest path reports written_rows in the Summary."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import render_rowbinary
+    from clickhouseocp_spark.server import ChHttpServer
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    payload_df = spark.createDataFrame(
+        [(95, "SUMLAND"), (96, "PROGLAND")],
+        "r_regionkey int, r_name string",
+    )
+    body = render_rowbinary(payload_df)
+    srv = ChHttpServer(eng, port=0).start()
+    try:
+        q = urllib.parse.quote("INSERT INTO region FORMAT RowBinary")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={q}"
+            "&send_progress_in_http_headers=1",
+            data=body,
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            s = json.loads(r.headers["X-ClickHouse-Summary"])
+            assert s["written_rows"] == "2"
+            assert s["result_rows"] == "0"
+            assert "X-ClickHouse-Progress" in r.headers
     finally:
         srv.shutdown()
