@@ -1000,6 +1000,7 @@ FUNC_RULES: dict[str, object] = {
     "arraySum": lambda args: f"aggregate({args[-1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + " + ("x" if len(args) == 1 else f"({args[0]})(x)") + ")",
     "arrayStringConcat": lambda args: f"array_join({args[0]}, " + (args[1] if len(args) > 1 else "''") + ")",
     "arrayZip": _rename("arrays_zip"),
+    "arrayZipUnaligned": _rename("arrays_zip"),  # arrays_zip pads with NULL
     # consecutive-duplicate removal via the index-aware filter lambda
     "arrayCompact": lambda args: (
         f"filter({args[0]}, (x, i) -> i = 0 OR NOT (x <=> ({args[0]})[i - 1]))"
@@ -1065,6 +1066,12 @@ FUNC_RULES: dict[str, object] = {
     ),
     "mapKeys": _rename("map_keys"),
     "mapValues": _rename("map_values"),
+    "mapSort": lambda args: (
+        f"map_from_entries(array_sort(map_entries({args[0]})))"
+    ),
+    "mapReverseSort": lambda args: (
+        f"map_from_entries(reverse(array_sort(map_entries({args[0]}))))"
+    ),
     "mapContains": _rename("map_contains_key"),
     "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",
     "mapFromArrays": _rename("map_from_arrays"),
@@ -1276,6 +1283,15 @@ FUNC_RULES: dict[str, object] = {
         f"THEN concat(format_number({args[0]} / 1048576, 2), ' MiB') "
         f"WHEN abs({args[0]}) >= 1024 "
         f"THEN concat(format_number({args[0]} / 1024, 2), ' KiB') "
+        f"ELSE concat(format_number(cast({args[0]} as double), 2), ' B') END"
+    ),
+    "formatReadableDecimalSize": lambda args: (
+        f"CASE WHEN abs({args[0]}) >= 1000000000 "
+        f"THEN concat(format_number({args[0]} / 1000000000, 2), ' GB') "
+        f"WHEN abs({args[0]}) >= 1000000 "
+        f"THEN concat(format_number({args[0]} / 1000000, 2), ' MB') "
+        f"WHEN abs({args[0]}) >= 1000 "
+        f"THEN concat(format_number({args[0]} / 1000, 2), ' KB') "
         f"ELSE concat(format_number(cast({args[0]} as double), 2), ' B') END"
     ),
     "range": lambda args: (
@@ -1873,18 +1889,31 @@ _INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
 def _to_start_of_interval(args: list[str]) -> str:
-    """toStartOfInterval(ts, INTERVAL n unit): second/minute/hour/day buckets
-    floor the epoch (any n); calendar units (week/month/quarter/year) go
-    through date_trunc and support n=1."""
+    """toStartOfInterval(ts, INTERVAL n unit[, origin]): second/minute/hour/
+    day buckets floor the epoch (any n); calendar units (week/month/quarter/
+    year) go through date_trunc and support n=1.  The 25.x third-argument
+    ``origin`` overload shifts the grid — origin + floor((ts-origin)/step)·
+    step — and supports the fixed-width units only."""
     m = re.match(r"(?i)^INTERVAL\s+(\d+)\s+(\w+)$", args[1].strip())
     if not m:
         raise ChSqlError("toStartOfInterval expects INTERVAL n unit")
     n, unit = int(m.group(1)), m.group(2).upper().rstrip("S")
     if unit in _INTERVAL_SECONDS:
         sec = n * _INTERVAL_SECONDS[unit]
+        if len(args) > 2:
+            o = f"unix_timestamp({args[2]})"
+            return (
+                f"timestamp_seconds({o} + CAST(floor((unix_timestamp({args[0]})"
+                f" - {o}) / {sec}) AS BIGINT) * {sec})"
+            )
         return (
             f"timestamp_seconds(CAST(floor(unix_timestamp({args[0]}) / {sec}) "
             f"AS BIGINT) * {sec})"
+        )
+    if len(args) > 2:
+        raise ChSqlError(
+            "toStartOfInterval origin overload supports fixed-width units "
+            "(second/minute/hour/day) only"
         )
     if n == 1 and unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
         return f"date_trunc('{unit}', {args[0]})"

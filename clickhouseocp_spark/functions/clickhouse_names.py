@@ -19,6 +19,8 @@ inventory.
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, functions as F
 
 
@@ -229,6 +231,32 @@ def toStartOfInterval(a, interval: str) -> Column:
     return F.window(_c(a), interval).getField("start")
 
 
+#: interval-unit → seconds, for the origin overload's epoch arithmetic
+_INTERVAL_SECS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def toStartOfIntervalOrigin(a, interval: str, origin) -> Column:
+    """toStartOfInterval(ts, INTERVAL n unit, origin) — the 25.x third-arg
+    overload: buckets align to ``origin``'s grid instead of the epoch/
+    calendar grid.  Subset: second/minute/hour/day units (the sub-month
+    units where a shifted grid is well-defined as fixed-width steps);
+    lowered to pure epoch arithmetic — origin + floor((ts-origin)/step)*step
+    — all whole-stage-codegen expressions."""
+    m = _re.match(r"^\s*(\d+)\s+(second|minute|hour|day)s?\s*$", interval,
+                  _re.IGNORECASE)
+    if not m:
+        raise ValueError(
+            "toStartOfIntervalOrigin subset: 'N second|minute|hour|day', "
+            f"got {interval!r}"
+        )
+    secs = int(m.group(1)) * _INTERVAL_SECS[m.group(2).lower()]
+    o_ep = F.unix_timestamp(_c(origin))
+    t_ep = F.unix_timestamp(_c(a))
+    return F.timestamp_seconds(
+        o_ep + F.floor((t_ep - o_ep) / secs).cast("bigint") * secs
+    )
+
+
 def toDayOfWeek(a) -> Column:
     """ISO: Monday=1 (CH default mode)."""
     return (F.weekday(_c(a)) + 1).cast("int")
@@ -367,6 +395,26 @@ def arraySlice(arr, offset: int, length: int) -> Column:
 
 def arrayZip(*arrs) -> Column:
     return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def arrayZipUnaligned(*arrs) -> Column:
+    """CH arrayZipUnaligned (24.8): zip arrays of DIFFERENT lengths, padding
+    the short ones with NULL — exactly Spark's arrays_zip contract (CH's
+    plain arrayZip throws on length mismatch; ours inherits the pad-NULL
+    behavior for both, a documented deviation on arrayZip only)."""
+    return F.arrays_zip(*[_c(a) for a in arrs])
+
+
+def mapSort(m) -> Column:
+    """CH mapSort(map): entries reordered by ascending key.  Lowered to
+    map_entries → array_sort → map_from_entries (array_sort on structs
+    orders by the first field = the key)."""
+    return F.map_from_entries(F.array_sort(F.map_entries(_c(m))))
+
+
+def mapReverseSort(m) -> Column:
+    """CH mapReverseSort(map): entries by descending key."""
+    return F.map_from_entries(F.reverse(F.array_sort(F.map_entries(_c(m)))))
 
 
 def arrayFlatten(arr) -> Column:
@@ -667,6 +715,23 @@ def formatReadableSize(a) -> Column:
         *[F.lit(u) for u in ("B", "KiB", "MiB", "GiB", "TiB", "PiB", "EiB", "ZiB", "YiB")]
     )
     scaled = x / F.pow(F.lit(2.0), unit_idx.cast("double") * 10)
+    num = F.round(scaled, 2).cast("decimal(18,2)").cast("string")
+    return F.concat(num, F.lit(" "), F.element_at(units, unit_idx + 1))
+
+
+def formatReadableDecimalSize(a) -> Column:
+    """CH formatReadableDecimalSize (22.x): bytes → '1.23 MB' with
+    1000-steps (decimal SI units, vs formatReadableSize's 1024/KiB) and two
+    decimals; DECIMAL(18,2)→string keeps trailing zeros identical across
+    engines."""
+    x = _c(a).cast("double")
+    unit_idx = F.when(x < 1000, F.lit(0)).otherwise(
+        F.least(F.floor(F.log10(x) / 3).cast("int"), F.lit(8))
+    )
+    units = F.array(
+        *[F.lit(u) for u in ("B", "KB", "MB", "GB", "TB", "PB", "EB", "ZB", "YB")]
+    )
+    scaled = x / F.pow(F.lit(10.0), unit_idx.cast("double") * 3)
     num = F.round(scaled, 2).cast("decimal(18,2)").cast("string")
     return F.concat(num, F.lit(" "), F.element_at(units, unit_idx + 1))
 

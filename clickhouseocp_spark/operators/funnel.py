@@ -422,3 +422,54 @@ def _strict_chain(w, s: int) -> Column:
     for i in range(1, s):
         chain = chain & F.coalesce(F.lead(f"__m{i+1}", i).over(w), F.lit(False))
     return chain
+
+
+def sequence_match_events(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_conds: Sequence[Column],
+) -> DataFrame:
+    """sequenceMatchEvents('(?1)(?2)...(?N)')(ts, cond1, ..., condN) — the
+    CH 24.x aggregate returning the TIMESTAMPS of the matched event chain,
+    not just a flag.  Subset: the pure-chain pattern (no ``(?t)`` time
+    constraints), returning the greedy-earliest chain — the first cond1
+    event, then the first cond2 event strictly after it, and so on.
+    Greedy-earliest is complete for subsequence existence (any later chain
+    start can be replaced by an earlier one), so ``events`` is non-NULL
+    exactly when :func:`sequence_match` matches.
+
+    Lowering: events are pruned to rows matching at least one condition
+    (shuffle ships only candidate rows), grouped into one sorted struct
+    array per key, then a single JVM ``aggregate`` fold appends an event's
+    timestamp when it satisfies the next needed condition strictly after
+    the last matched one.  One shuffle, no Python, state is the ≤N-element
+    timestamp array."""
+    n = len(step_conds)
+    if n < 1:
+        raise ValueError("sequence_match_events needs at least one condition")
+    flags = [c.cast("boolean").alias(f"__c{i + 1}") for i, c in enumerate(step_conds)]
+    ev = df.select(F.col(key).alias("__k"), F.col(ts_col).alias("__ts"), *flags)
+    any_cond = F.lit(False)
+    for i in range(n):
+        any_cond = any_cond | F.coalesce(F.col(f"__c{i + 1}"), F.lit(False))
+    ev = ev.where(any_cond)
+    grouped = ev.groupBy("__k").agg(
+        F.array_sort(
+            F.collect_list(F.struct("__ts", *[f"__c{i + 1}" for i in range(n)]))
+        ).alias("__evs")
+    )
+    branches = " ".join(
+        f"WHEN size(st) = {i} AND e.__c{i + 1} "
+        + ("" if i == 0 else "AND e.__ts > element_at(st, -1) ")
+        + "THEN array_append(st, e.__ts)"
+        for i in range(n)
+    )
+    fold = F.expr(
+        "aggregate(__evs, CAST(array() AS array<timestamp>), "
+        f"(st, e) -> CASE {branches} ELSE st END)"
+    )
+    return grouped.select(
+        F.col("__k").alias(key),
+        F.when(F.size(fold) == n, fold).alias("events"),
+    )

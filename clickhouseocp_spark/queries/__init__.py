@@ -69,6 +69,7 @@ def _load_all() -> None:
         vocab_q5,
         vocab_q6,
         vocab_q7,
+        vocab_q8,
         tpch,
     )
 
@@ -281,6 +282,12 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_percentile_agg",
     "kql_mv_apply_pipe",
     "kql_make_series_auto",
+    # --- round-7 vocabulary batch 11 ---
+    "format_readable_decimal_size",
+    "to_start_of_interval_origin",
+    "array_zip_map_sort",
+    "quantile_interpolated_weighted",
+    "sequence_match_events_ts",
 ]
 
 _DRIVER_WINDOW_R5 = [

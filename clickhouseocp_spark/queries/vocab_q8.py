@@ -1,0 +1,344 @@
+"""ClickHouse vocabulary — round-7 batch (SURVEY §2.8 continuation,
+"batch 11").
+
+New names: ``formatReadableDecimalSize`` (the 1000-step SI sibling of
+formatReadableSize), the 25.x ``toStartOfInterval(ts, INTERVAL, origin)``
+third-argument overload, ``arrayZipUnaligned`` (24.8), ``mapSort`` /
+``mapReverseSort``, ``sequenceMatchEvents`` (the timestamps-returning
+sequence matcher), and ``quantileInterpolatedWeighted``.
+
+Oracle policy: format/interval/zip/map replay structurally in DuckDB SQL;
+sequenceMatchEvents replays the greedy-earliest chain as chained
+min-after-previous CTEs; quantileInterpolatedWeighted is defined as the
+interpolated quantile of the weight-expanded multiset (PERCENTILE_CONT
+semantics over weights-as-repeat-counts), so the oracle is DuckDB's
+``quantile_cont`` over an unnest-expanded relation — bitwise-comparable
+after round(6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.catalog import load_table
+from clickhouseocp_spark.functions import clickhouse_names as ch
+from clickhouseocp_spark.queries import register
+
+
+@register(
+    "format_readable_decimal_size",
+    oracle="""
+WITH src AS (
+  SELECT DISTINCT n_chars,
+         CAST(n_chars AS DOUBLE) * 1000000 + 7 AS big
+  FROM documents
+),
+calc AS (
+  SELECT n_chars, big,
+         CASE WHEN n_chars < 1000 THEN 0
+              ELSE CAST(least(floor(log10(CAST(n_chars AS DOUBLE)) / 3), 8)
+                        AS INTEGER)
+         END AS ui,
+         CASE WHEN big < 1000 THEN 0
+              ELSE CAST(least(floor(log10(big) / 3), 8) AS INTEGER)
+         END AS bi
+  FROM src
+)
+SELECT n_chars,
+       CAST(CAST(ROUND(n_chars / power(10.0, ui * 3), 2) AS DECIMAL(18,2))
+            AS VARCHAR)
+         || ' ' || ['B','KB','MB','GB','TB','PB','EB','ZB','YB'][ui + 1]
+         AS readable_small,
+       CAST(CAST(ROUND(big / power(10.0, bi * 3), 2) AS DECIMAL(18,2))
+            AS VARCHAR)
+         || ' ' || ['B','KB','MB','GB','TB','PB','EB','ZB','YB'][bi + 1]
+         AS readable_big
+FROM calc
+""",
+    tags=("scalar", "format"),
+)
+def format_readable_decimal_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``formatReadableDecimalSize`` (22.x): decimal-SI byte rendering
+    ('1.23 MB', 1000-steps) completing the formatReadable* family
+    (Size/Quantity/TimeDelta already covered).  Pure per-row columnar
+    exprs; DECIMAL(18,2)→string pins trailing zeros on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select(
+        "n_chars",
+        (F.col("n_chars").cast("double") * 1_000_000 + 7).alias("big"),
+    ).distinct()
+    return src.select(
+        "n_chars",
+        ch.formatReadableDecimalSize(F.col("n_chars")).alias("readable_small"),
+        ch.formatReadableDecimalSize(F.col("big")).alias("readable_big"),
+    )
+
+
+@register(
+    "to_start_of_interval_origin",
+    oracle="""
+WITH b AS (
+  SELECT CAST(to_timestamp(epoch(TIMESTAMP '2024-01-01 00:17:00')
+           + CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01 00:17:00'))
+                        / 2700) AS BIGINT) * 2700) AS TIMESTAMP) AS bucket45,
+         CAST(to_timestamp(epoch(TIMESTAMP '2024-01-03 12:00:00')
+           + CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-03 12:00:00'))
+                        / 172800) AS BIGINT) * 172800) AS TIMESTAMP) AS bucket2d,
+         value
+  FROM events
+)
+SELECT bucket2d, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT bucket45) AS BIGINT) AS sub_buckets,
+       MIN(value) AS mn
+FROM b GROUP BY bucket2d ORDER BY bucket2d
+""",
+    tags=("scalar", "datetime"),
+)
+def to_start_of_interval_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``toStartOfInterval(ts, INTERVAL n unit, origin)`` — the 25.x
+    third-argument overload: buckets align to an arbitrary origin's grid
+    instead of the epoch/calendar grid (subset: fixed-width sub-month
+    units).  Lowered to pure epoch arithmetic (functions/
+    clickhouse_names.py::toStartOfIntervalOrigin) — negative offsets before
+    the origin floor correctly on both engines.  45-minute sub-buckets
+    counted inside 2-day origin-aligned buckets."""
+    ev = load_table(spark, sf_dir, "events")
+    o45 = F.lit("2024-01-01 00:17:00").cast("timestamp")
+    o2d = F.lit("2024-01-03 12:00:00").cast("timestamp")
+    b = ev.select(
+        ch.toStartOfIntervalOrigin(F.col("ts"), "45 minute", o45).alias("bucket45"),
+        ch.toStartOfIntervalOrigin(F.col("ts"), "2 day", o2d).alias("bucket2d"),
+        "value",
+    )
+    return (
+        b.groupBy("bucket2d")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("bucket45").alias("sub_buckets"),
+            F.min("value").alias("mn"),
+        )
+        .orderBy("bucket2d")
+    )
+
+
+@register(
+    "array_zip_map_sort",
+    oracle="""
+WITH src AS (
+  SELECT s_suppkey AS k,
+         [CAST(s_suppkey AS BIGINT), CAST(s_nationkey AS BIGINT),
+          CAST(s_suppkey % 7 AS BIGINT)] AS a1,
+         [CAST(s_nationkey * 2 AS BIGINT), CAST(s_suppkey + 1 AS BIGINT)] AS a2,
+         ['k' || (s_suppkey % 5), 'k' || ((s_suppkey + 2) % 5),
+          'k' || ((s_suppkey + 4) % 5)] AS mkeys
+  FROM supplier
+),
+z AS (
+  SELECT k,
+         list_transform(range(1, greatest(len(a1), len(a2)) + 1),
+           i -> COALESCE(CAST(a1[i] AS VARCHAR), 'null') || ':' ||
+                COALESCE(CAST(a2[i] AS VARCHAR), 'null')) AS pairs,
+         list_sort(mkeys) AS sorted_keys
+  FROM src
+)
+SELECT k,
+       array_to_string(pairs, ',') AS zipped,
+       sorted_keys,
+       list_transform(sorted_keys,
+                      x -> CAST(x[2:] AS BIGINT) * 10 + 1) AS sorted_vals,
+       list_reverse_sort(sorted_keys) AS rev_keys
+FROM z
+""",
+    tags=("scalar", "array", "map"),
+)
+def array_zip_map_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``arrayZipUnaligned`` (24.8: zip arrays of different lengths, short
+    ones padded with NULL — Spark's native arrays_zip contract) plus
+    ``mapSort`` / ``mapReverseSort`` (entry reorder by key, lowered to
+    map_entries → array_sort → map_from_entries).  The zip renders as a
+    'a:b' string list and the maps as key/value arrays so the driver hash
+    sees plain comparable columns."""
+    sup = load_table(spark, sf_dir, "supplier")
+    s = F.col("s_suppkey")
+    src = sup.select(
+        s.alias("k"),
+        F.array(
+            s.cast("bigint"),
+            F.col("s_nationkey").cast("bigint"),
+            (s % 7).cast("bigint"),
+        ).alias("a1"),
+        F.array(
+            (F.col("s_nationkey") * 2).cast("bigint"),
+            (s + 1).cast("bigint"),
+        ).alias("a2"),
+        F.array(
+            F.concat(F.lit("k"), (s % 5).cast("string")),
+            F.concat(F.lit("k"), ((s + 2) % 5).cast("string")),
+            F.concat(F.lit("k"), ((s + 4) % 5).cast("string")),
+        ).alias("mkeys"),
+    )
+    m = F.map_from_arrays(
+        F.col("mkeys"),
+        F.transform(
+            F.col("mkeys"),
+            lambda x: F.substring(x, 2, 10).cast("bigint") * 10 + 1,
+        ),
+    )
+    zipped = F.array_join(
+        F.transform(
+            ch.arrayZipUnaligned(F.col("a1"), F.col("a2")),
+            lambda p: F.concat(
+                F.coalesce(p["a1"].cast("string"), F.lit("null")),
+                F.lit(":"),
+                F.coalesce(p["a2"].cast("string"), F.lit("null")),
+            ),
+        ),
+        ",",
+    )
+    return src.select(
+        "k",
+        zipped.alias("zipped"),
+        F.map_keys(ch.mapSort(m)).alias("sorted_keys"),
+        F.map_values(ch.mapSort(m)).alias("sorted_vals"),
+        F.map_keys(ch.mapReverseSort(m)).alias("rev_keys"),
+    )
+
+
+def _qiw_expr(arr: str, p: str) -> str:
+    """Interpolated weighted quantile over a SORTED array<struct<x,w>> at
+    0-indexed expanded position ``p`` (a column name): one JVM aggregate
+    fold tracking (cumulative weight, bracketing values) — equivalent by
+    construction to PERCENTILE_CONT over the weight-expanded multiset,
+    without materializing the expansion."""
+    return (
+        f"aggregate({arr}, "
+        "named_struct('cum', CAST(0 AS DOUBLE), "
+        "'lo', CAST(NULL AS DOUBLE), 'hi', CAST(NULL AS DOUBLE)), "
+        "(st, e) -> named_struct("
+        "'cum', st.cum + e.w, "
+        f"'lo', CASE WHEN st.lo IS NULL AND st.cum + e.w > FLOOR({p}) "
+        "THEN e.x ELSE st.lo END, "
+        f"'hi', CASE WHEN st.hi IS NULL AND st.cum + e.w > CEIL({p}) "
+        "THEN e.x ELSE st.hi END), "
+        f"st -> st.lo + ({p} - FLOOR({p})) * (st.hi - st.lo))"
+    )
+
+
+@register(
+    "quantile_interpolated_weighted",
+    oracle="""
+WITH e AS (
+  SELECT l_returnflag, l_quantity AS x,
+         CAST(l_linenumber AS BIGINT) AS w
+  FROM lineitem WHERE l_orderkey % 97 = 0
+),
+expanded AS (
+  SELECT l_returnflag, x, unnest(generate_series(1, w)) AS rep FROM e
+)
+SELECT l_returnflag,
+       ROUND(quantile_cont(x, 0.5), 6) AS q50,
+       ROUND(quantile_cont(x, 0.9), 6) AS q90,
+       CAST(COUNT(*) AS BIGINT) AS expanded_n
+FROM expanded GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("aggregate", "quantile"),
+)
+def quantile_interpolated_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``quantileInterpolatedWeighted(q)(x, w)``: interpolated quantile with
+    weights as repeat counts — defined here (documented contract) as
+    PERCENTILE_CONT over the weight-expanded multiset, computed WITHOUT the
+    expansion via a cumulative-weight fold over the per-group sorted (x, w)
+    array (helper ``_qiw_expr``).  The exact-fold tier is for bounded
+    groups (state = the group's distinct (x,w) pairs); at 100 TB the
+    unbounded path is the expansion + percentile_approx, same shape as the
+    existing quantile family.  The oracle IS the expansion, so parity
+    proves the fold math."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 97 == 0)
+    grouped = li.groupBy("l_returnflag").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("l_quantity").cast("double").alias("x"),
+                    F.col("l_linenumber").cast("double").alias("w"),
+                )
+            )
+        ).alias("arr"),
+        F.sum(F.col("l_linenumber").cast("bigint")).alias("expanded_n"),
+    )
+    w_total = F.expr("aggregate(arr, CAST(0 AS DOUBLE), (a, e) -> a + e.w)")
+    out = (
+        grouped.withColumn("p50", (w_total - 1) * 0.5)
+        .withColumn("p90", (w_total - 1) * 0.9)
+        .select(
+            "l_returnflag",
+            F.round(F.expr(_qiw_expr("arr", "p50")), 6).alias("q50"),
+            F.round(F.expr(_qiw_expr("arr", "p90")), 6).alias("q90"),
+            "expanded_n",
+        )
+    )
+    return out.orderBy("l_returnflag")
+
+
+@register(
+    "sequence_match_events_ts",
+    oracle="""
+WITH e AS (
+  SELECT user_id, ts, event_type FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+),
+u AS (SELECT DISTINCT user_id FROM e),
+s1 AS (SELECT user_id, MIN(ts) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END AS matched,
+       CASE WHEN s3.t3 IS NOT NULL
+            THEN CAST(floor(epoch(s1.t1)) AS BIGINT) END AS t1,
+       CASE WHEN s3.t3 IS NOT NULL
+            THEN CAST(floor(epoch(s2.t2)) AS BIGINT) END AS t2,
+       CASE WHEN s3.t3 IS NOT NULL
+            THEN CAST(floor(epoch(s3.t3)) AS BIGINT) END AS t3
+FROM u
+LEFT JOIN s1 USING (user_id)
+LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
+""",
+    tags=("aggregate", "funnel"),
+)
+def sequence_match_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceMatchEvents('(?1)(?2)(?3)')(ts, ...)`` (24.x): the
+    timestamps of the matched signup→click→purchase chain per user, not
+    just a flag — the greedy-earliest chain (first signup, first click
+    strictly after it, first purchase after that), NULL when incomplete
+    (operators/funnel.py::sequence_match_events; greedy-earliest is
+    complete for subsequence existence, so ``matched`` agrees with
+    sequenceMatch).  One shuffle, JVM fold.  The oracle replays the greedy
+    chain as chained min-after-previous CTEs."""
+    ev = load_table(spark, sf_dir, "events")
+    from clickhouseocp_spark.operators.funnel import sequence_match_events
+
+    res = sequence_match_events(
+        ev,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+    ep = lambda i: F.unix_timestamp(F.element_at("events", i)).cast("bigint")  # noqa: E731
+    return res.select(
+        "user_id",
+        F.when(F.col("events").isNotNull(), F.lit(1)).otherwise(F.lit(0)).alias(
+            "matched"
+        ),
+        ep(1).alias("t1"),
+        ep(2).alias("t2"),
+        ep(3).alias("t3"),
+    )

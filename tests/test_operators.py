@@ -1520,3 +1520,79 @@ def test_hilbert_properties_16bit():
             [(0, 0), (0, 1), (1, 1), (1, 0)]] == [0, 1, 2, 3]
     for x, y in [(0, 0), (65535, 65535), (12345, 54321), (65535, 0)]:
         assert hilbert_decode_py(hilbert_encode_py(x, y, 16), 16) == (x, y)
+
+
+def test_sequence_match_events_greedy_chain(spark):
+    """sequenceMatchEvents subset: greedy-earliest chain timestamps, strict
+    ts increase between steps, NULL when no full chain."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.operators.funnel import sequence_match_events
+
+    df = spark.createDataFrame(
+        [
+            # u1: full chain; a second earlier B before A must be skipped
+            (1, "2024-01-01 00:00:00", "B"),
+            (1, "2024-01-01 00:01:00", "A"),
+            (1, "2024-01-01 00:02:00", "B"),
+            (1, "2024-01-01 00:03:00", "C"),
+            # u2: chain order broken (C before B)
+            (2, "2024-01-01 00:00:00", "A"),
+            (2, "2024-01-01 00:01:00", "C"),
+            # u3: simultaneous A and B → strict increase rejects the pair
+            (3, "2024-01-01 00:00:00", "A"),
+            (3, "2024-01-01 00:00:00", "B"),
+        ],
+        "u int, ts_s string, t string",
+    ).selectExpr("u", "CAST(ts_s AS TIMESTAMP) AS ts", "t")
+    out = {
+        r.u: r.events
+        for r in sequence_match_events(
+            df, "u", "ts",
+            [F.col("t") == "A", F.col("t") == "B", F.col("t") == "C"],
+        ).collect()
+    }
+    assert [x.isoformat() for x in out[1]] == [
+        "2024-01-01T00:01:00", "2024-01-01T00:02:00", "2024-01-01T00:03:00"
+    ]
+    assert out[2] is None
+    assert out[3] is None
+
+
+def test_batch11_scalar_functions(spark):
+    """formatReadableDecimalSize / toStartOfIntervalOrigin / mapSort /
+    arrayZipUnaligned planted-value checks."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    df = spark.createDataFrame([(1,)], "x int")
+    row = df.select(
+        ch.formatReadableDecimalSize(F.lit(1)).alias("b"),
+        ch.formatReadableDecimalSize(F.lit(1234)).alias("kb"),
+        ch.formatReadableDecimalSize(F.lit(1_230_000_000)).alias("gb"),
+        ch.toStartOfIntervalOrigin(
+            F.lit("2024-01-01 10:00:00").cast("timestamp"),
+            "45 minute",
+            F.lit("2024-01-01 00:17:00").cast("timestamp"),
+        ).alias("bkt"),
+        F.map_keys(
+            ch.mapSort(F.expr("map('b', 2, 'a', 1, 'c', 3)"))
+        ).alias("mk"),
+        F.map_keys(
+            ch.mapReverseSort(F.expr("map('b', 2, 'a', 1, 'c', 3)"))
+        ).alias("mrk"),
+        ch.arrayZipUnaligned(
+            F.expr("array(1, 2, 3)").alias("p"), F.expr("array(9)").alias("q")
+        ).alias("z"),
+    ).first()
+    assert row.b == "1.00 B"
+    assert row.kb == "1.23 KB"
+    assert row.gb == "1.23 GB"
+    # 00:17 origin grid: bucket containing 10:00 starts 09:17
+    assert row.bkt.isoformat() == "2024-01-01T09:17:00"
+    assert row.mk == ["a", "b", "c"] and row.mrk == ["c", "b", "a"]
+    assert [(p[0], p[1]) for p in row.z] == [(1, 9), (2, None), (3, None)]
+    with pytest.raises(ValueError, match="subset"):
+        ch.toStartOfIntervalOrigin(F.lit("x"), "1 month", F.lit("y"))
