@@ -401,22 +401,33 @@ def bloom_filter_build(
     text_col: str = "text",
     m_bits: int = 1 << 20,
     k_hashes: int = 7,
+    fingerprints: DataFrame | None = None,
 ):
     """Distributed Bloom-filter build over the seen-corpus fingerprints.
 
-    Scale shape: positions are exploded and DISTINCT-ed (map-side partial),
-    then packed into 64-bit words by a (pos/64)-keyed bit_or agg — the
-    shuffle carries at most m_bits/64 rows regardless of corpus size, and
-    the driver collects a bounded m_bits/8-byte array (128 KiB at the 1 Mi
-    default).  Returns a numpy uint64 word array of length m_bits/64."""
+    Scale shape: positions are exploded and packed into 64-bit words by a
+    (pos/64)-keyed bit_or agg in ONE shuffle — bit_or is idempotent, so
+    duplicate positions need no DISTINCT pre-pass (a prior version paid a
+    second full shuffle for one), the map-side partial aggregate already
+    collapses each partition to ≤ m_bits/64 rows, and the shuffle carries
+    at most m_bits/64 rows per partition regardless of corpus size.  The
+    driver collects a bounded m_bits/8-byte array (128 KiB at the 1 Mi
+    default).  Returns a numpy uint64 word array of length m_bits/64.
+
+    ``fingerprints`` (optional): a pre-computed single-column ``__fp``
+    relation — callers that also need the fingerprints for a verify join
+    pass it (persisted) so the normalize+md5 pass over the corpus text runs
+    once, not once per consumer."""
     import numpy as np
 
-    fp = F.md5(normalize_text(F.col(text_col)))
+    if fingerprints is not None:
+        src, fp = fingerprints, F.col("__fp")
+    else:
+        src, fp = seen, F.md5(normalize_text(F.col(text_col)))
     words = (
-        seen.select(
+        src.select(
             F.explode(_bloom_positions(fp, m_bits, k_hashes)).alias("pos")
         )
-        .distinct()
         .groupBy((F.col("pos") / 64).cast("long").alias("word_idx"))
         .agg(F.expr("bit_or(shiftleft(1L, cast(pos % 64 as int)))").alias("word"))
         .collect()
@@ -455,7 +466,17 @@ def bloom_dedup_incremental(
     import numpy as np
     import pandas as pd
 
-    bitmap = bloom_filter_build(seen, text_col, m_bits, k_hashes)
+    # fingerprint the corpus ONCE (normalize+md5 is the regex-heavy part of
+    # the whole operator): the persisted 16-byte-hash relation feeds both
+    # the bitmap build (which materializes it via its collect) and the
+    # exact-verify semi join — hashes-only leave the scan, so the cache is
+    # bounded at 16 B + overhead per corpus row
+    seen_fps = seen.select(
+        F.md5(normalize_text(F.col(text_col))).alias("__fp")
+    ).persist()
+    bitmap = bloom_filter_build(
+        seen, text_col, m_bits, k_hashes, fingerprints=seen_fps
+    )
     sc = incoming.sparkSession
     bc = sc.sparkContext.broadcast(bitmap)
 
@@ -473,12 +494,18 @@ def bloom_dedup_incremental(
     _might_contain.__annotations__ = {"positions": pd.Series, "return": pd.Series}
     might_contain = pandas_udf(_might_contain, "boolean")
 
+    # fingerprint + probe the batch ONCE too: flagged is consumed by two
+    # branches (the verify join's probable side and the final output join),
+    # and without the persist Spark would re-run the regex + the Arrow UDF
+    # probe over the batch for each.  Batch-sized cache — bounded by the
+    # operator's own contract (the nightly batch ≪ the corpus).
     fp = F.md5(normalize_text(F.col(text_col)))
     flagged = incoming.withColumn("__fp", fp).withColumn(
         "bloom_probable",
         might_contain(_bloom_positions(F.col("__fp"), m_bits, k_hashes)),
-    )
-    seen_fps = seen.select(F.md5(normalize_text(F.col(text_col))).alias("__fp")).distinct()
+    ).persist()
+    # no distinct on the semi-join build side: LEFT SEMI is set-semantics
+    # already, and the dedup would cost a full extra shuffle of the corpus
     probable = flagged.filter(F.col("bloom_probable"))
     verified = probable.join(seen_fps, "__fp", "left_semi").select(
         F.col(id_col).alias("__dup_id")
