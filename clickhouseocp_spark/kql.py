@@ -80,10 +80,29 @@ consumers of FORMAT output see the moved column.
   inclusive arithmetic progression, numeric or datetime+timespan, lowered
   to ``explode(sequence(...))``
 
+Statement-level forms:
+
+- ``let name = <pipeline or scalar>; ...; <pipeline>`` — Kusto's binding
+  statement.  Tabular lets transpile once and substitute wherever the name
+  is used as a source (pipeline head, join/union operand); scalar lets
+  substitute textually into expressions.
+- ``datatable(c1:type, c2:type, ...) [v, v, ...]`` — inline literal table
+  (source position), lowered to a ``VALUES`` relation with typed casts.
+- ``print name = expr, ...`` — the 1-row constant source.
+
 Scalar sugar: ``==``/``!=``, ``contains``/``startswith``/``endswith``,
-``datetime(...)`` literals, and ``bin(x, size)`` (numeric or
-30s/5m/1h/1d timespan — Kusto's bucketing scalar, lowered to floor
-arithmetic / epoch-floor).
+``datetime(...)`` literals, ``bin(x, size)`` / ``bin_at(x, size, origin)``
+(numeric or 30s/5m/1h/1d timespan — Kusto's bucketing scalars, lowered to
+floor arithmetic / epoch-floor), plus the common Kusto scalar-function
+vocabulary (``strcat``/``strcat_delim``, ``iff``/``iif``, ``case``,
+``isempty``/``isnotempty``/``isnull``/``isnotnull``, ``strlen``,
+``substring`` (0-based), ``indexof`` (0-based, -1 missing), ``countof``,
+``extract``, ``replace_string``/``replace_regex``, ``split`` (literal
+delimiter), ``tolower``/``toupper``, ``tostring``/``toint``/``tolong``/
+``todouble``/``toreal``/``tobool``, ``array_length``, ``dynamic([...])``
+literals, ``now``/``ago``, ``startofday/week/month/year``,
+``endofday``, ``datetime_add``/``datetime_diff``) — each lowered to the
+equivalent JVM expression.
 
 Everything else inside scalar expressions passes through to Spark SQL
 verbatim (same policy as prql.py — KQL's scalar layer is close enough to SQL for the
@@ -101,9 +120,159 @@ class KqlError(ValueError):
     """Raised when KQL text falls outside the supported subset."""
 
 
+def _ts_secs(lit: str) -> int | None:
+    """'30s'/'5m'/'1h'/'2d' timespan literal → seconds, else None."""
+    m = re.match(r"^\s*([0-9.]+)(s|m|h|d)\s*$", lit, re.IGNORECASE)
+    if not m:
+        return None
+    return int(
+        {"s": 1, "m": 60, "h": 3600, "d": 86400}[m.group(2).lower()]
+        * float(m.group(1))
+    )
+
+
+def _quoted(s: str) -> str | None:
+    """Unwrap a single-quoted literal, else None."""
+    s = s.strip()
+    if len(s) >= 2 and s[0] == "'" and s[-1] == "'":
+        return s[1:-1]
+    return None
+
+
+def _keep(name: str, args: list[str]) -> str:
+    """Reconstruct the original call (builder bail-out on arity mismatch —
+    e.g. SQL's ``extract(YEAR FROM ts)`` sharing a name with Kusto's
+    3-arg extract)."""
+    return f"{name}({', '.join(args)})"
+
+
+_TRUNC_UNITS = {"day", "week", "month", "year", "hour", "minute", "second"}
+
+
+def _kql_case(args: list[str]) -> str:
+    if len(args) < 3 or len(args) % 2 == 0:
+        raise KqlError("case(pred, val, ..., default) needs odd ≥3 args")
+    whens = " ".join(
+        f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+    )
+    return f"CASE {whens} ELSE {args[-1]} END"
+
+
+def _kql_bin_at(args: list[str]) -> str:
+    if len(args) != 3:
+        raise KqlError("bin_at(x, size, fixedPoint) takes 3 args")
+    x, size, origin = args
+    secs = _ts_secs(size)
+    if secs is not None:
+        o = f"unix_timestamp({origin})"
+        return (
+            f"to_timestamp({o} + CAST(floor((unix_timestamp({x}) - {o}) / "
+            f"{secs}) AS BIGINT) * {secs})"
+        )
+    return f"(({origin}) + floor((({x}) - ({origin})) / ({size})) * ({size}))"
+
+
+def _kql_dt_unit(lit: str, fn: str) -> str:
+    u = _quoted(lit)
+    if u is None or u.lower() not in _TRUNC_UNITS:
+        raise KqlError(f"{fn}: period must be a quoted unit literal, got {lit!r}")
+    return u.upper()
+
+
+#: Kusto scalar-function vocabulary → Spark SQL builders.  Each takes the
+#: split argument list; builders that share a name with a SQL form bail out
+#: (reconstruct the original) on arity mismatch.
+_KQL_SCALARS: dict = {
+    "strcat": lambda a: f"concat({', '.join(a)})",
+    "strcat_delim": lambda a: f"concat_ws({', '.join(a)})",
+    "iff": lambda a: f"if({', '.join(a)})",
+    "iif": lambda a: f"if({', '.join(a)})",
+    "case": _kql_case,
+    "isempty": lambda a: f"(coalesce(CAST({a[0]} AS STRING), '') = '')",
+    "isnotempty": lambda a: f"(coalesce(CAST({a[0]} AS STRING), '') <> '')",
+    "isnull": lambda a: f"(({a[0]}) IS NULL)",
+    "isnotnull": lambda a: f"(({a[0]}) IS NOT NULL)",
+    "strlen": lambda a: f"length({a[0]})",
+    "tolower": lambda a: f"lower({a[0]})",
+    "toupper": lambda a: f"upper({a[0]})",
+    # Kusto substring is 0-based; SQL substr is 1-based
+    "substring": lambda a: (
+        f"substr({a[0]}, ({a[1]}) + 1" + (f", {a[2]}" if len(a) > 2 else "") + ")"
+    ),
+    # 0-based, -1 when missing (locate is 1-based, 0 when missing)
+    "indexof": lambda a: f"(locate({a[1]}, {a[0]}) - 1)",
+    "countof": lambda a: (
+        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+        f"/ length({a[1]}) AS BIGINT)"
+    ),
+    # Kusto extract(regex, captureGroup, source); SQL extract(YEAR FROM x)
+    # passes through untouched via the arity bail-out
+    "extract": lambda a: (
+        f"regexp_extract({a[2]}, {a[0]}, {a[1]})" if len(a) == 3
+        else _keep("extract", a)
+    ),
+    "replace_string": lambda a: f"replace({a[0]}, {a[1]}, {a[2]})",
+    "replace_regex": lambda a: f"regexp_replace({a[0]}, {a[1]}, {a[2]})",
+    # Kusto split takes a LITERAL delimiter; Spark's is a regex — escape
+    # quoted literals so metacharacters split literally (backslashes doubled
+    # again for the SQL string-literal layer)
+    "split": lambda a: (
+        f"split({a[0]}, "
+        f"'{re.escape(_quoted(a[1])).replace(chr(92), chr(92) * 2)}')"
+        if len(a) == 2 and _quoted(a[1]) is not None
+        else _keep("split", a)
+    ),
+    "tostring": lambda a: f"CAST({a[0]} AS STRING)",
+    "toint": lambda a: f"try_cast({a[0]} AS INT)",
+    "tolong": lambda a: f"try_cast({a[0]} AS BIGINT)",
+    "todouble": lambda a: f"try_cast({a[0]} AS DOUBLE)",
+    "toreal": lambda a: f"try_cast({a[0]} AS DOUBLE)",
+    "tobool": lambda a: f"try_cast({a[0]} AS BOOLEAN)",
+    "array_length": lambda a: f"size({a[0]})",
+    # NB: args arrive re-split on the commas INSIDE the [...] (the splitter
+    # tracks parens, not brackets) — rejoin before unwrapping
+    "dynamic": lambda a: (
+        f"array({', '.join(a).strip()[1:-1]})"
+        if a and ", ".join(a).strip().startswith("[")
+        and ", ".join(a).strip().endswith("]")
+        else _keep("dynamic", a)
+    ),
+    "now": lambda a: "current_timestamp()",
+    "ago": lambda a: (
+        f"(current_timestamp() - INTERVAL {_ts_secs(a[0])} SECOND)"
+        if len(a) == 1 and _ts_secs(a[0]) is not None
+        else (_ for _ in ()).throw(KqlError("ago(timespan) needs Ns/m/h/d"))
+    ),
+    "startofday": lambda a: f"date_trunc('DAY', {a[0]})",
+    # Kusto weeks start Sunday; Spark's WEEK truncation starts Monday
+    "startofweek": lambda a: (
+        f"(date_trunc('WEEK', ({a[0]}) + INTERVAL 1 DAY) - INTERVAL 1 DAY)"
+    ),
+    "startofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
+    "startofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
+    # Kusto endofday = 23:59:59.9999999 (100ns ticks); microsecond precision
+    # here — documented deviation at the last decimal digit
+    "endofday": lambda a: (
+        f"(date_trunc('DAY', {a[0]}) + INTERVAL 1 DAY - INTERVAL 1 MICROSECOND)"
+    ),
+    "datetime_add": lambda a: (
+        f"timestampadd({_kql_dt_unit(a[0], 'datetime_add')}, {a[1]}, {a[2]})"
+    ),
+    # Kusto datetime_diff(period, d1, d2) = d1 - d2 in period units;
+    # timestampdiff(unit, start, end) = end - start → operands swap
+    "datetime_diff": lambda a: (
+        f"timestampdiff({_kql_dt_unit(a[0], 'datetime_diff')}, {a[2]}, {a[1]})"
+    ),
+    "bin_at": _kql_bin_at,
+}
+
+
 def _expr(e: str) -> str:
     """KQL scalar-expression sugar → Spark SQL."""
     e = e.strip()
+    for name, build in _KQL_SCALARS.items():
+        if re.search(rf"\b{name}\s*\(", e, re.IGNORECASE):
+            e = _rewrite_call(e, name, build)
     # string predicates first (word-boundary, case-insensitive keywords)
     e = re.sub(
         r"(\S+)\s+contains\s+'([^']*)'",
@@ -185,7 +354,10 @@ def _rewrite_call(e: str, name: str, build) -> str:
         if depth:
             raise KqlError(f"unbalanced parens in {name}() call: {e!r}")
         args = _split_top(e[m.end() : j - 1])
-        out.append(build(args))
+        try:
+            out.append(build(args))
+        except IndexError:
+            raise KqlError(f"{name}(): wrong argument count in {e!r}") from None
         i = j
     return "".join(out)
 
@@ -657,8 +829,93 @@ def _top_nested(sub: str, rest: str) -> str:
     return rel
 
 
+#: datatable column types → Spark cast targets
+_DT_TYPES = {"string": "STRING", "long": "BIGINT", "int": "INT",
+             "real": "DOUBLE", "double": "DOUBLE", "datetime": "TIMESTAMP",
+             "bool": "BOOLEAN", "boolean": "BOOLEAN"}
+
+
+def _datatable(src: str) -> str:
+    """``datatable(c1:t1, ...) [v, v, ...]`` → a typed VALUES relation.
+    Values are flat, row-major (the Kusto literal-table shape)."""
+    m = re.match(r"^datatable\s*\((.*?)\)\s*\[(.*)\]$", src.strip(),
+                 re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KqlError(f"datatable needs '(c:type, ...) [values]', got {src!r}")
+    cols = []
+    for item in _split_top(m.group(1)):
+        mc = re.match(r"^([A-Za-z_]\w*)\s*:\s*(\w+)$", item.strip())
+        if not mc or mc.group(2).lower() not in _DT_TYPES:
+            raise KqlError(f"datatable column needs name:type, got {item!r}")
+        cols.append((mc.group(1), _DT_TYPES[mc.group(2).lower()]))
+    vals = [_expr(v) for v in _split_top(m.group(2))]
+    if not cols or not vals or len(vals) % len(cols):
+        raise KqlError(
+            f"datatable values ({len(vals)}) must fill whole rows of "
+            f"{len(cols)} columns"
+        )
+    n = len(cols)
+    rows = ", ".join(
+        "(" + ", ".join(vals[r * n : r * n + n]) + ")"
+        for r in range(len(vals) // n)
+    )
+    sel = ", ".join(
+        f"CAST({name} AS {typ}) AS {name}" for name, typ in cols
+    )
+    names = ", ".join(name for name, _t in cols)
+    return f"SELECT {sel} FROM (VALUES {rows}) AS __dt({names})"
+
+
+def _print_source(src: str) -> str:
+    """``print [name =] expr, ...`` → a 1-row constant relation."""
+    items = _split_top(re.sub(r"(?i)^print\s+", "", src.strip()))
+    if not items:
+        raise KqlError("print needs at least one expression")
+    sels = []
+    for i, item in enumerate(items):
+        m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?![=])(.+)$", item.strip(), re.DOTALL)
+        if m:
+            sels.append(f"{_expr(m.group(2))} AS {m.group(1)}")
+        else:
+            sels.append(f"{_expr(item)} AS print_{i}")
+    return f"SELECT {', '.join(sels)}"
+
+
 def transpile_kql(query: str) -> str:
-    """KQL pipeline text → one nested Spark SQL statement."""
+    """KQL text → one nested Spark SQL statement.  Handles statement-level
+    ``let`` bindings (split on top-level ``;``), then the final pipeline."""
+    stmts = [s for s in _split_top(query.strip(), ";") if s.strip()]
+    if not stmts:
+        raise KqlError("empty KQL query")
+    lets: dict[str, str] = {}
+    for i in range(len(stmts) - 1):
+        st = stmts[i].strip()
+        m = re.match(r"^let\s+([A-Za-z_]\w*)\s*=\s*(.+)$", st,
+                     re.IGNORECASE | re.DOTALL)
+        if not m:
+            raise KqlError(f"expected 'let name = ...' statement, got {st!r}")
+        name, val = m.group(1), m.group(2).strip()
+        is_tabular = (
+            "|" in val
+            or re.match(r"^[A-Za-z_]\w*$", val)
+            or re.match(r"(?i)^(datatable|print|range)\b", val)
+        )
+        if is_tabular:
+            lets[name] = _transpile_pipeline(val, lets)
+        else:
+            # scalar let: textual macro substitution into every LATER
+            # statement (Kusto scalar-binding semantics)
+            repl = f"({_expr(val)})"
+            pat = re.compile(rf"(?<![\w.']){re.escape(name)}(?![\w(])")
+            for j in range(i + 1, len(stmts)):
+                stmts[j] = pat.sub(repl, stmts[j])
+    return _transpile_pipeline(stmts[-1], lets)
+
+
+def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
+    """One KQL pipeline → one nested Spark SQL statement.  ``lets`` maps
+    tabular binding names to their transpiled SQL."""
+    lets = lets or {}
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
@@ -688,10 +945,17 @@ def transpile_kql(query: str) -> str:
             f"SELECT explode(sequence({_expr(frm)}, {_expr(to)}, {step_sql})) "
             f"AS {name}"
         )
+    elif re.match(r"(?i)^datatable\b", src):
+        rel = _datatable(src)
+    elif re.match(r"(?i)^print\b", src):
+        rel = _print_source(src)
     elif not re.match(r"^[A-Za-z_]\w*$", src):
         raise KqlError(
-            f"KQL pipeline must start with a bare table name or range, got {src!r}"
+            "KQL pipeline must start with a table name, range, datatable, "
+            f"or print, got {src!r}"
         )
+    elif src in lets:
+        rel = lets[src]
     else:
         rel = src
     for i, st in enumerate(stages[1:]):
@@ -827,12 +1091,12 @@ def transpile_kql(query: str) -> str:
                     raise KqlError(f"unsupported join condition: {cond!r}")
                 lk = rk = cond
             left_rel = rel if " " in rel else f"SELECT * FROM {rel}"
-            # the right operand may be a bare table or a full subpipeline
-            right_rel = (
-                f"SELECT * FROM {right}"
-                if re.match(r"^[A-Za-z_]\w*$", right)
-                else transpile_kql(right)
-            )
+            # the right operand may be a bare table, a let binding, or a
+            # full subpipeline
+            if re.match(r"^[A-Za-z_]\w*$", right):
+                right_rel = lets.get(right) or f"SELECT * FROM {right}"
+            else:
+                right_rel = _transpile_pipeline(right, lets)
             if swap:
                 # rightsemi/rightanti keep RIGHT-side rows → right becomes
                 # the preserved (left) operand of Spark's LEFT SEMI/ANTI
@@ -856,9 +1120,9 @@ def transpile_kql(query: str) -> str:
                 )
             mp = re.match(r"^\(\s*(.+?)\s*\)$", arg, re.DOTALL)
             if mp:
-                other = transpile_kql(mp.group(1))
+                other = _transpile_pipeline(mp.group(1), lets)
             elif re.match(r"^[A-Za-z_]\w*$", arg):
-                other = f"SELECT * FROM {arg}"
+                other = lets.get(arg) or f"SELECT * FROM {arg}"
             else:
                 raise KqlError(
                     f"union needs a table name or ( <subpipeline> ), got {rest!r}"

@@ -288,6 +288,9 @@ _DRIVER_WINDOW_R9: list[str] = [
     "array_zip_map_sort",
     "quantile_interpolated_weighted",
     "sequence_match_events_ts",
+    # --- round-7 KQL scalar vocabulary / let / datatable ---
+    "kql_scalar_vocab",
+    "kql_let_datatable",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3162,3 +3162,85 @@ events
             "ts_ep"
         ),
     )
+
+
+@register(
+    "kql_scalar_vocab",
+    oracle="""
+SELECT doc_id,
+       text[1:12] AS s,
+       CAST(strpos(text, 'the') - 1 AS BIGINT) AS i,
+       CAST((length(text) - length(replace(text, 'e', '')))
+            / length('e') AS BIGINT) AS nl,
+       upper(lang) AS lang_up,
+       CASE WHEN n_chars > 500 THEN 'long'
+            WHEN n_chars > 100 THEN 'mid'
+            ELSE 'short' END AS cat,
+       lang || ':' || CAST(doc_id AS VARCHAR) AS head,
+       (COALESCE(CAST(source AS VARCHAR), '') = '') AS empty_src
+FROM documents WHERE doc_id < 200
+""",
+    tags=("kql", "dialect"),
+)
+def kql_scalar_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto scalar-function vocabulary (round 7): ``substring`` (0-based),
+    ``indexof`` (0-based, -1 missing), ``countof``, ``toupper``, ``case``,
+    ``strcat``, ``tostring``, ``isempty``, ``tolong`` — each lowered to the
+    equivalent JVM expression (kql.py::_KQL_SCALARS, a paren-aware call
+    rewriter, so nested arguments survive).  The oracle replays every
+    lowering in DuckDB string SQL."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| where doc_id < 200
+| extend s = substring(text, 0, 12), i = tolong(indexof(text, 'the')),
+         nl = countof(text, 'e'), lang_up = toupper(lang),
+         cat = case(n_chars > 500, 'long', n_chars > 100, 'mid', 'short'),
+         head = strcat(lang, ':', tostring(doc_id)),
+         empty_src = isempty(source)
+| project doc_id, s, i, nl, lang_up, cat, head, empty_src
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_let_datatable",
+    oracle="""
+WITH dim AS (
+  SELECT * FROM (VALUES ('click', 'Click!'), ('purchase', 'Buy'),
+                        ('view', 'View')) d(et, label)
+)
+SELECT d.label, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(e.value) FILTER (WHERE e.value < 200) AS mn
+FROM events e JOIN dim d ON e.event_type = d.et
+WHERE e.value > 150
+GROUP BY d.label ORDER BY d.label
+""",
+    tags=("kql", "dialect"),
+)
+def kql_let_datatable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``let`` statements + ``datatable`` literal source (round 7): a
+    scalar let substitutes as a macro, a tabular let binds an inline typed
+    VALUES relation that the join resolves by name — the Kusto idiom for
+    small dimension lookups (and exactly the broadcast-dim join shape at
+    scale: the datatable is driver-literal, so Spark broadcasts it)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let threshold = 150;
+let dim = datatable(et:string, label:string)[
+  'click', 'Click!', 'purchase', 'Buy', 'view', 'View'];
+events
+| where value > threshold
+| join kind=inner (dim) on $left.event_type == $right.et
+| summarize n = count(), mn = minif(value, value < 200) by label
+| sort by label asc
+""",
+        dialect="kusto",
+    )

@@ -845,7 +845,7 @@ def test_kql_transpile_mechanics():
     assert "aggregate(a, CAST(0 AS DOUBLE)" in mva and "size(a) AS n" in mva
     with pytest.raises(KqlError, match="bare column name"):
         transpile_kql("t | mv-expand f(x)")
-    with pytest.raises(KqlError, match="bare table name"):
+    with pytest.raises(KqlError, match="must start with a table name"):
         transpile_kql("select * from t | take 1")
 
 
@@ -1245,3 +1245,73 @@ def test_kql_make_series_auto_bounds(spark, sf_dir):
     assert rows["a"].s == [10.0, -1.0, -1.0, 20.0]
     assert rows["b"].s == [-1.0, 5.0, -1.0, -1.0]
     assert rows["b"].ts == rows["a"].ts
+
+
+def test_kql_scalar_vocab_mechanics():
+    """Kusto scalar-function vocabulary → JVM expressions (round 7)."""
+    import pytest
+
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    t = transpile_kql(
+        "t | extend a = strcat(x, 'y'), b = iff(v > 1, 'hi', 'lo'), "
+        "c = substring(x, 0, 3), d = indexof(x, 'q'), e = tostring(v), "
+        "f = isempty(x), g = case(v > 2, 'big', v > 1, 'mid', 'small'), "
+        "h = split(x, '.'), j = dynamic([1, 2]), k = datetime_diff('day', p, q)"
+    )
+    assert "concat(x, 'y')" in t
+    assert "if(v > 1, 'hi', 'lo')" in t
+    assert "substr(x, (0) + 1, 3)" in t  # Kusto substring is 0-based
+    assert "(locate('q', x) - 1)" in t  # 0-based indexof, -1 when missing
+    assert "CAST(v AS STRING)" in t
+    assert "coalesce(CAST(x AS STRING), '') = ''" in t
+    assert "CASE WHEN v > 2 THEN 'big' WHEN v > 1 THEN 'mid' ELSE 'small' END" in t
+    assert r"split(x, '\\.')" in t  # literal delimiter, regex-escaped
+    assert "array(1, 2)" in t
+    assert "timestampdiff(DAY, q, p)" in t  # Kusto d1-d2 → operand swap
+    # SQL's own extract(YEAR FROM ts) survives the Kusto 3-arg extract rule
+    assert "extract(YEAR FROM ts)" in transpile_kql("t | extend y = extract(YEAR FROM ts)")
+    with pytest.raises(KqlError, match="odd"):
+        transpile_kql("t | extend c = case(a, 1, b, 2)")  # missing default
+    with pytest.raises(KqlError, match="wrong argument count"):
+        transpile_kql("t | extend s = strlen()")
+
+
+def test_kql_let_datatable_print(spark, sf_dir):
+    """let bindings (scalar macro + tabular), datatable literal relations,
+    and the print source — executed end-to-end."""
+    import pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    r = eng.sql("print a = 1 + 1, b = strcat('x', 'y')", dialect="kusto").first()
+    assert (r.a, r.b) == (2, "xy")
+    rows = eng.sql(
+        """
+let cut = 2;
+let dim = datatable(k:long, name:string)[1, 'one', 2, 'two', 3, 'three'];
+dim
+| where k >= cut
+| extend tag = strcat(name, '-', tostring(k * cut))
+| sort by k asc
+""",
+        dialect="kusto",
+    ).collect()
+    assert [(r.k, r.tag) for r in rows] == [(2, "two-4"), (3, "three-6")]
+    # tabular let as a join operand
+    n = eng.sql(
+        """
+let dim = datatable(rk:long, tag:string)[0, 'zero', 1, 'one'];
+region
+| join kind=inner (dim) on $left.r_regionkey == $right.rk
+| summarize c = count()
+""",
+        dialect="kusto",
+    ).first()
+    assert n.c == 2
+    with pytest.raises(KqlError, match="whole rows"):
+        transpile_kql("datatable(a:int, b:int)[1, 2, 3] | count")
+    with pytest.raises(KqlError, match="let name"):
+        transpile_kql("set x = 1; t | count")
