@@ -507,3 +507,44 @@ def stem(col, lang: str = "en"):
         )
 
     return _stem(F.col(col) if isinstance(col, str) else col)
+
+
+#: query parameters dropped by URL canonicalization (tracking noise — the
+#: standard web-pipeline strip list)
+_TRACKING_PARAM_RE = r"^(utm_[^=]*|gclid|fbclid|ref|mc_cid|mc_eid)(=|$)"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Canonical URL for web-corpus dedup: lowercase scheme+host, strip
+    default ports (80/443), drop the fragment, remove tracking query
+    params (utm_*, gclid, fbclid, ref, mc_*), sort the surviving params,
+    and strip one trailing slash from the path.  All JVM expressions
+    (parse_url + array combinators) — no Python, no shuffle; feeding the
+    result into the exact-dedup hash agg is the standard first tier of a
+    web pipeline (URL-level dedup before any content hashing)."""
+    u = F.col(url) if isinstance(url, str) else url
+    proto = F.lower(F.parse_url(u, F.lit("PROTOCOL")))
+    host = F.lower(F.parse_url(u, F.lit("HOST")))
+    authority = F.parse_url(u, F.lit("AUTHORITY"))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.parse_url(u, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.coalesce(F.parse_url(u, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        proto,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )

@@ -291,6 +291,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     # --- round-7 KQL scalar vocabulary / let / datatable ---
     "kql_scalar_vocab",
     "kql_let_datatable",
+    # --- round-7 LLM-pipeline addition ---
+    "url_canonical_dedup",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -2191,3 +2191,62 @@ def minhash_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_detect(0.8).alias("p_detect_at_80"),
         p_detect(0.5).alias("p_detect_at_50"),
     )
+
+
+@register(
+    "url_canonical_dedup",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         'https://'
+           || CASE WHEN doc_id % 3 = 2 THEN 'blog.example.com'
+                   ELSE 'www.example.com' END
+           || '/Posts/' || CAST(doc_id % 40 AS VARCHAR)
+           || CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents WHERE doc_id < 400
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keeper
+FROM c GROUP BY canonical_url
+""",
+    tags=("llm", "dedup", "url"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the standard FIRST tier of a web
+    pipeline (before any content hashing): lowercase scheme+host, strip
+    default ports, drop fragments and tracking params (utm_*/gclid/fbclid/
+    ref), sort surviving params, trim the trailing slash
+    (functions/text.py::canonicalize_url — all parse_url + array
+    combinators, zero Python), then exact-dedup by the canonical string
+    with a min-id survivor.  One hash-agg shuffle on the canonical URL —
+    the same scale shape as dedup_exact.  The fixture plants URLs whose
+    case/port/params/slash/fragment variants must collapse; the oracle
+    states the expected canonical CLOSED-FORM from the generator
+    arithmetic, so any canonicalization slip breaks parity."""
+    from clickhouseocp_spark.functions.text import canonicalize_url
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("blog.example.com")),
+        F.lit(":443/Posts/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 5 == 1, F.lit("?a=1&b=2&fbclid=zzz"))
+        .when(d % 5 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )

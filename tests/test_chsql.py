@@ -1315,3 +1315,27 @@ region
         transpile_kql("datatable(a:int, b:int)[1, 2, 3] | count")
     with pytest.raises(KqlError, match="let name"):
         transpile_kql("set x = 1; t | count")
+
+
+def test_kql_round7_plan_shapes(spark, sf_dir):
+    """100 TB plan gates for the round-7 KQL queries: the datatable dim
+    join broadcasts, semi/anti joins lower to the native Spark join types,
+    auto-bounds make-series stays join-free, and the general mv-apply
+    subpipeline adds ZERO exchanges (pure per-row array combinators)."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    plan = formatted_plan(qs["kql_let_datatable"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+    plan = formatted_plan(qs["kql_join_anti_semi"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+
+    df = qs["kql_make_series_auto"].fn(spark, sf_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p
+
+    # mv-apply general subpipeline: scan → project folds, no shuffle at all
+    df = qs["kql_mv_apply_pipe"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0, formatted_plan(df)

@@ -1596,3 +1596,25 @@ def test_batch11_scalar_functions(spark):
     assert [(p[0], p[1]) for p in row.z] == [(1, 9), (2, None), (3, None)]
     with pytest.raises(ValueError, match="subset"):
         ch.toStartOfIntervalOrigin(F.lit("x"), "1 month", F.lit("y"))
+
+
+def test_canonicalize_url(spark):
+    """URL canonicalization: case, default ports, fragments, tracking
+    params, param order, trailing slash."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions.text import canonicalize_url
+
+    cases = [
+        (0, "https://WWW.Example.COM:443/Posts/7/?utm_source=x&b=2&a=1#f",
+         "https://www.example.com/Posts/7?a=1&b=2"),
+        (1, "https://www.example.com/Posts/7?a=1&b=2&fbclid=zzz",
+         "https://www.example.com/Posts/7?a=1&b=2"),
+        (2, "http://example.com:80/", "http://example.com"),
+        (3, "http://example.com:8080/x?ref=abc", "http://example.com:8080/x"),
+        (4, "HTTPS://h.io/a/b/", "https://h.io/a/b"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, u, _e in cases], "i int, url string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, _u, expected in cases:
+        assert got[i] == expected, (i, got[i], expected)
