@@ -79,11 +79,66 @@ def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
-def bpe_learn(words: DataFrame, n_merges: int) -> list[tuple[str, str]]:
+def _bpe_learn_driver(
+    rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """Driver-side merge loop over a collected (w, cnt) table — the EXACT
+    same semantics as the distributed loop (overlapping adjacent pairs
+    counted at every index, argmax ties break on (a, b) ascending, merges
+    apply left-to-right non-overlapping); pytest pins sequence equality.
+    ASCII/UTF-8 note: Python code-point ordering equals Spark's binary
+    string ordering for the symbols BPE produces (UTF-8 byte order is
+    code-point order)."""
+    syms: list[tuple[list[str], int]] = [
+        (list(w) + [EOW], cnt) for w, cnt in rows
+    ]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for s, cnt in syms:
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        a, b = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((a, b))
+        nxt: list[tuple[list[str], int]] = []
+        for s, cnt in syms:
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            nxt.append((out, cnt))
+        syms = nxt
+    return merges
+
+
+def bpe_learn(
+    words: DataFrame, n_merges: int, driver_max_vocab: int = 200_000
+) -> list[tuple[str, str]]:
     """Learn ``n_merges`` merge rules from a (w, cnt) table.  Deterministic:
-    argmax ties break on pair text ascending.  Each iteration is one
-    explode + hash agg + 1-row collect; the (bounded) word table is
-    localCheckpointed so the plan stays shallow across iterations."""
+    argmax ties break on pair text ascending.
+
+    Two tiers by vocabulary size (the merge SEQUENCE is identical —
+    pytest-pinned):
+
+    - ``≤ driver_max_vocab`` distinct words: collect the (w, cnt) table
+      once and run the merge loop driver-side — ONE Spark job total
+      instead of one per merge.  This is how practical BPE trainers run
+      (the word table, not the corpus, is the working set), and even at
+      100 TB the distinct-word table usually fits: the collect is bounded
+      by the probe ``limit(driver_max_vocab + 1)``, never the corpus.
+    - larger: the distributed loop — each iteration one explode + hash agg
+      + 1-row argmax collect over the localCheckpointed word table."""
+    probe = words.limit(driver_max_vocab + 1).collect()
+    if len(probe) <= driver_max_vocab:
+        return _bpe_learn_driver([(r.w, r.cnt) for r in probe], n_merges)
     syms = words.select(
         "cnt",
         F.concat(

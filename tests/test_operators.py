@@ -1618,3 +1618,16 @@ def test_canonicalize_url(spark):
     got = {r.i: r.c for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
     for i, _u, expected in cases:
         assert got[i] == expected, (i, got[i], expected)
+
+
+def test_bpe_learn_tiers_agree(spark):
+    """The driver-local tier (vocab fits) and the distributed loop must
+    produce the IDENTICAL merge sequence — the tier switch is a cost
+    decision, never a semantics change."""
+    from clickhouseocp_spark.operators.bpe import bpe_learn
+
+    vocab = {"aaab": 4, "abab": 3, "banana": 5, "bandana": 2, "naan": 7}
+    words = spark.createDataFrame(list(vocab.items()), "w string, cnt long")
+    local = bpe_learn(words, 7)  # vocab of 5 → driver tier
+    dist = bpe_learn(words, 7, driver_max_vocab=0)  # force distributed loop
+    assert local == dist and len(local) == 7
