@@ -1343,6 +1343,39 @@ FUNC_RULES: dict[str, object] = {
     # misc
     "toTypeName": lambda args: f"typeof({args[0]})",
     "generateUUIDv4": _rename("uuid"),
+    # IP / UUID / ULID conversion families (round 7; JVM lowerings shared
+    # with functions/clickhouse_names.py — regexes double-escaped through
+    # the SQL string-literal layer)
+    "IPv4NumToString": lambda args: (
+        f"concat_ws('.', CAST(CAST({args[0]} / 16777216 AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST({args[0]} / 65536 AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST({args[0]} / 256 AS BIGINT) % 256 AS STRING), "
+        f"CAST({args[0]} % 256 AS STRING))"
+    ),
+    "IPv4StringToNum": lambda args: (
+        f"(CAST(split({args[0]}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        f"CAST(split({args[0]}, '\\\\.')[1] AS BIGINT) * 65536 + "
+        f"CAST(split({args[0]}, '\\\\.')[2] AS BIGINT) * 256 + "
+        f"CAST(split({args[0]}, '\\\\.')[3] AS BIGINT))"
+    ),
+    "isIPv4String": lambda args: (
+        f"CAST({args[0]} RLIKE "
+        "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.){3}"
+        "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$' AS INT)"
+    ),
+    "UUIDStringToNum": lambda args: f"unhex(replace({args[0]}, '-', ''))",
+    "UUIDNumToString": lambda args: (
+        f"concat_ws('-', substring(lower(hex({args[0]})), 1, 8), "
+        f"substring(lower(hex({args[0]})), 9, 4), "
+        f"substring(lower(hex({args[0]})), 13, 4), "
+        f"substring(lower(hex({args[0]})), 17, 4), "
+        f"substring(lower(hex({args[0]})), 21, 12))"
+    ),
+    "toUUIDOrNull": lambda args: (
+        f"CASE WHEN {args[0]} RLIKE '^[0-9A-Fa-f]{{8}}-[0-9A-Fa-f]{{4}}-"
+        f"[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{12}}$' "
+        f"THEN lower({args[0]}) END"
+    ),
     # CH rand() is a uniform UInt32 (users write rand() % N) — NOT a [0,1)
     # double; randCanonical() is the [0,1) form
     "rand": lambda args: "cast(floor(rand() * 4294967296) as bigint)",

@@ -610,6 +610,120 @@ def IPv4StringToNum(a) -> Column:
     )
 
 
+#: dotted-quad with every octet 0-255 (anchored; no leading-zero rejection —
+#: CH accepts them too)
+_IPV4_RE = (
+    r"^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$"
+)
+#: RFC-4291 textual IPv6 (full, ::-compressed, and v4-mapped tails)
+_IPV6_RE = (
+    r"^(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,7}:"
+    r"|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,5}(:[0-9A-Fa-f]{1,4}){1,2}"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}(:[0-9A-Fa-f]{1,4}){1,3}"
+    r"|([0-9A-Fa-f]{1,4}:){1,3}(:[0-9A-Fa-f]{1,4}){1,4}"
+    r"|([0-9A-Fa-f]{1,4}:){1,2}(:[0-9A-Fa-f]{1,4}){1,5}"
+    r"|[0-9A-Fa-f]{1,4}:((:[0-9A-Fa-f]{1,4}){1,6})"
+    r"|:((:[0-9A-Fa-f]{1,4}){1,7}|:)"
+    r"|([0-9A-Fa-f]{1,4}:){1,4}:((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    r"|::([fF]{4}:)?((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9]))$"
+)
+
+
+def isIPv4String(a) -> Column:
+    """CH isIPv4String: 1/0 (UInt8 → int here) — anchored dotted-quad."""
+    return _c(a).rlike(_IPV4_RE).cast("int")
+
+
+def isIPv6String(a) -> Column:
+    """CH isIPv6String: 1/0 — RFC-4291 textual forms via one anchored
+    regex (full / ::-compressed / v4-mapped)."""
+    return _c(a).rlike(_IPV6_RE).cast("int")
+
+
+def toIPv4OrNull(a) -> Column:
+    """CH toIPv4OrNull, represented numerically (the engine's IPv4 is a
+    UInt32 under the hood): valid dotted quad → uint32 as BIGINT, else
+    NULL."""
+    c = _c(a)
+    return F.when(c.rlike(_IPV4_RE), IPv4StringToNum(c)).otherwise(
+        F.lit(None).cast("bigint")
+    )
+
+
+def IPv4CIDRToRange(a, prefix) -> Column:
+    """CH IPv4CIDRToRange(ip, prefix) → (lo, hi) of the CIDR block, as a
+    struct of dotted quads — pure shift/mask arithmetic."""
+    ip = _c(a).cast("long")
+    p = _c(prefix) if not isinstance(prefix, int) else F.lit(prefix)
+    host_bits = (F.lit(32) - p.cast("int")).cast("int")
+    block = F.pow(F.lit(2.0), host_bits.cast("double")).cast("long")
+    lo = (ip / block).cast("long") * block
+    hi = lo + block - 1
+    return F.struct(
+        IPv4NumToString(lo).alias("lo"), IPv4NumToString(hi).alias("hi")
+    )
+
+
+def UUIDStringToNum(a) -> Column:
+    """CH UUIDStringToNum: canonical UUID text → 16 raw bytes (FixedString
+    in CH; BINARY here) — unhex of the dash-stripped hex."""
+    return F.unhex(F.replace(_c(a), F.lit("-"), F.lit("")))
+
+
+def UUIDNumToString(a) -> Column:
+    """CH UUIDNumToString: 16 bytes → canonical dashed lowercase text."""
+    h = F.lower(F.hex(_c(a)))
+    return F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+
+
+_UUID_RE = (
+    r"^[0-9A-Fa-f]{8}-[0-9A-Fa-f]{4}-[0-9A-Fa-f]{4}-"
+    r"[0-9A-Fa-f]{4}-[0-9A-Fa-f]{12}$"
+)
+
+
+def toUUIDOrNull(a) -> Column:
+    """CH toUUIDOrNull: canonical-form text (lowercased) or NULL."""
+    c = _c(a)
+    return F.when(c.rlike(_UUID_RE), F.lower(c)).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
+#: Crockford base32 alphabet (ULID spec)
+_CROCKFORD = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+
+
+def ULIDStringToDateTime(a) -> Column:
+    """CH ULIDStringToDateTime: the first 10 Crockford-base32 chars of a
+    ULID encode milliseconds since epoch — decoded with a literal-map
+    alphabet lookup inside one fold, no UDF."""
+    lookup = F.create_map(
+        *[x for i, c in enumerate(_CROCKFORD) for x in (F.lit(c), F.lit(i))]
+    )
+    chars = F.filter(
+        F.split(F.substring(F.upper(_c(a)), 1, 10), ""), lambda ch: ch != ""
+    )
+    ms = F.aggregate(
+        chars,
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: acc * 32 + F.element_at(lookup, ch).cast("bigint"),
+    )
+    return F.timestamp_millis(ms)
+
+
 # --- type conversion --------------------------------------------------------
 
 def toInt64(a) -> Column:

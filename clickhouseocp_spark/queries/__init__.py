@@ -293,6 +293,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_let_datatable",
     # --- round-7 LLM-pipeline addition ---
     "url_canonical_dedup",
+    # --- round-7 vocabulary batch 12 ---
+    "ip_uuid_vocab_r12",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -342,3 +342,102 @@ def sequence_match_events_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ep(2).alias("t2"),
         ep(3).alias("t3"),
     )
+
+
+@register(
+    "ip_uuid_vocab_r12",
+    oracle="""
+WITH src AS (
+  SELECT s_suppkey AS k,
+         167772160 + (s_suppkey * 977) % 16777216 AS ip_num,
+         md5(CAST(s_suppkey AS VARCHAR)) AS h
+  FROM supplier
+),
+built AS (
+  SELECT k, ip_num, h,
+         CAST(ip_num // 16777216 AS VARCHAR) || '.' ||
+         CAST((ip_num // 65536) % 256 AS VARCHAR) || '.' ||
+         CAST((ip_num // 256) % 256 AS VARCHAR) || '.' ||
+         CAST(ip_num % 256 AS VARCHAR) AS ip_s,
+         (ip_num // 4096) * 4096 AS lo_n,
+         (ip_num // 4096) * 4096 + 4095 AS hi_n,
+         substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-' ||
+         substr(h, 13, 4) || '-' || substr(h, 17, 4) || '-' ||
+         substr(h, 21, 12) AS uuid_text
+  FROM src
+)
+SELECT k, ip_s,
+       CAST(1 AS INTEGER) AS valid4,
+       CAST(lo_n // 16777216 AS VARCHAR) || '.' ||
+       CAST((lo_n // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((lo_n // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(lo_n % 256 AS VARCHAR) AS lo,
+       CAST(hi_n // 16777216 AS VARCHAR) || '.' ||
+       CAST((hi_n // 65536) % 256 AS VARCHAR) || '.' ||
+       CAST((hi_n // 256) % 256 AS VARCHAR) || '.' ||
+       CAST(hi_n % 256 AS VARCHAR) AS hi,
+       CAST(CASE k % 3 WHEN 0 THEN 1 WHEN 1 THEN 0 ELSE 1 END
+            AS INTEGER) AS is6,
+       uuid_text AS uu_rt,
+       CASE WHEN k % 2 = 0 THEN uuid_text END AS uu_null,
+       CAST(CASE k % 2 WHEN 0 THEN 1465824320894
+            ELSE 1508808576371 END AS BIGINT) AS ulid_ms
+FROM built
+""",
+    tags=("scalar", "ip", "uuid"),
+)
+def ip_uuid_vocab_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 12: the IP/UUID/ULID conversion families —
+    ``isIPv4String``/``isIPv6String`` (anchored RFC regexes),
+    ``IPv4CIDRToRange`` (shift/mask arithmetic → dotted-quad lo/hi),
+    ``UUIDStringToNum``/``UUIDNumToString`` (16-byte pack/unpack, proven by
+    a text→bytes→text round trip), ``toUUIDOrNull``, and
+    ``ULIDStringToDateTime`` (Crockford-base32 timestamp decode via a
+    literal-map fold).  All JVM expressions, no UDFs.  The oracle replays
+    the arithmetic closed-form and pins the ULID epochs as known-answer
+    constants, so any alphabet/shift slip breaks parity."""
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    sup = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    ip_num = (F.lit(167772160) + (k.cast("bigint") * 977) % 16777216).alias(
+        "ip_num"
+    )
+    h = F.md5(k.cast("string"))
+    uuid_text = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    cand6 = (
+        F.when(k % 3 == 0, F.concat(F.lit("2001:db8::"), (k % 100).cast("string")))
+        .when(k % 3 == 1, F.concat(F.lit("2001:db8:::"), (k % 100).cast("string")))
+        .otherwise(F.concat(F.lit("::ffff:10.0.0."), (k % 256).cast("string")))
+    )
+    ulid = F.when(
+        k % 2 == 0, F.lit("01AN4Z07BY79KA1307SR9X4MV3")
+    ).otherwise(F.lit("01BX5ZZKBKACTAV9WEVGEMMVRZ"))
+    src = sup.select(k.alias("k"), ip_num, uuid_text.alias("uuid_text"),
+                     cand6.alias("cand6"), ulid.alias("ulid"))
+    ip_s = ch.IPv4NumToString(F.col("ip_num"))
+    rng = ch.IPv4CIDRToRange(F.col("ip_num"), 20)
+    return src.select(
+        "k",
+        ip_s.alias("ip_s"),
+        ch.isIPv4String(ip_s).alias("valid4"),
+        rng["lo"].alias("lo"),
+        rng["hi"].alias("hi"),
+        ch.isIPv6String(F.col("cand6")).alias("is6"),
+        ch.UUIDNumToString(
+            ch.UUIDStringToNum(F.col("uuid_text"))
+        ).alias("uu_rt"),
+        ch.toUUIDOrNull(
+            F.when(F.col("k") % 2 == 0, F.col("uuid_text")).otherwise(
+                F.lit("not-a-uuid")
+            )
+        ).alias("uu_null"),
+        F.unix_millis(ch.ULIDStringToDateTime(F.col("ulid"))).alias("ulid_ms"),
+    )

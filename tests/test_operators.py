@@ -1631,3 +1631,33 @@ def test_bpe_learn_tiers_agree(spark):
     local = bpe_learn(words, 7)  # vocab of 5 → driver tier
     dist = bpe_learn(words, 7, driver_max_vocab=0)  # force distributed loop
     assert local == dist and len(local) == 7
+
+
+def test_ip_uuid_ulid_functions(spark):
+    """Batch-12 conversion families: planted-value checks incl. the ULID
+    spec example timestamps and CIDR boundary math."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+
+    df = spark.createDataFrame([(1,)], "x int")
+    r = df.select(
+        ch.isIPv4String(F.lit("192.168.1.300")).alias("bad4"),
+        ch.isIPv6String(F.lit("2001:db8::1")).alias("ok6"),
+        ch.isIPv6String(F.lit("2001:db8:::1")).alias("bad6"),
+        ch.isIPv6String(F.lit("::ffff:192.0.2.1")).alias("v4map"),
+        ch.toIPv4OrNull(F.lit("1.2.3.4")).alias("num"),
+        ch.toIPv4OrNull(F.lit("1.2.3.400")).alias("numbad"),
+        ch.IPv4CIDRToRange(F.lit(3232235877), F.lit(24)).alias("rng"),
+        ch.UUIDNumToString(
+            ch.UUIDStringToNum(F.lit("01234567-89AB-CDEF-0123-456789abcdef"))
+        ).alias("uu"),
+        F.unix_millis(
+            ch.ULIDStringToDateTime(F.lit("01AN4Z07BY79KA1307SR9X4MV3"))
+        ).alias("ulid_ms"),
+    ).first()
+    assert (r.bad4, r.ok6, r.bad6, r.v4map) == (0, 1, 0, 1)
+    assert r.num == 16909060 and r.numbad is None
+    assert (r.rng.lo, r.rng.hi) == ("192.168.1.0", "192.168.1.255")
+    assert r.uu == "01234567-89ab-cdef-0123-456789abcdef"
+    assert r.ulid_ms == 1465824320894  # Crockford decode of the spec example
