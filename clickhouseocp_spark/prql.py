@@ -15,14 +15,20 @@ transform semantics (a ``filter`` after ``aggregate`` filters aggregated rows,
 analysis here.
 
 Supported transforms (the stable core of the public PRQL spec, prql-lang.org):
-``from``, ``filter``, ``derive``, ``select``, ``join [side:left|right|full]``,
+``from``, ``filter``, ``derive``, ``select`` (incl. ``select !{...}``
+exclusion → ``* EXCEPT``), ``join [side:left|right|full]``,
 ``group {keys} (aggregate {...})``, ``aggregate {...}``, ``sort``, ``take``
-(incl. ``take a..b`` ranges), and the relational set ops ``append`` /
-``remove`` / ``intersect`` (bag semantics — UNION/EXCEPT/INTERSECT ALL,
-prqlc's all-columns join lowering expressed as set ops).
+(incl. ``take a..b`` ranges), ``window rows:a..b (derive {...})`` (frame
+aggregations OVER the most recent ``sort`` order — ``rolling:n`` /
+``expanding:true`` shorthands included), and the relational set ops
+``append`` / ``remove`` / ``intersect`` (bag semantics —
+UNION/EXCEPT/INTERSECT ALL, prqlc's all-columns join lowering expressed as
+set ops).
 Expression sugar handled: ``==`` → ``=``, ``@2024-01-01`` date literals,
 aggregation by juxtaposition (``sum x`` → ``sum(x)``), ``count this`` →
-``count(*)``, ``average`` → ``avg``.  Everything else passes through to Spark
+``count(*)``, ``average`` → ``avg``, ``a ?? b`` → coalesce,
+``case [c => v, ..., true => d]`` → CASE WHEN, and f-strings
+(``f"{a}-{b}"`` → concat).  Everything else passes through to Spark
 SQL verbatim, which is what PRQL's own compiler does for unknown functions.
 """
 
@@ -52,6 +58,87 @@ _AGG_FUNCS = {
 _DATE_LIT = re.compile(r"@(\d{4}-\d{2}-\d{2})(?:T(\d{2}:\d{2}:\d{2}))?")
 
 
+def _split_on(s: str, sep: str) -> list[str]:
+    """Split on a top-level multi-char separator (paren/quote aware)."""
+    parts, depth, q, i, start = [], 0, None, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+        elif ch in "([{":
+            depth += 1
+        elif ch in ")]}":
+            depth -= 1
+        elif depth == 0 and s.startswith(sep, i):
+            parts.append(s[start:i])
+            i += len(sep)
+            start = i
+            continue
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+def _case_sugar(e: str) -> str:
+    """``case [c1 => v1, c2 => v2, true => d]`` → CASE WHEN (PRQL's case
+    expression; a ``true`` guard becomes the ELSE)."""
+    while True:
+        m = re.search(r"\bcase\s*\[", e)
+        if not m:
+            return e
+        depth, j = 1, m.end()
+        while j < len(e) and depth:
+            if e[j] == "[":
+                depth += 1
+            elif e[j] == "]":
+                depth -= 1
+            j += 1
+        if depth:
+            raise PrqlError(f"case: unterminated bracket in {e!r}")
+        arms = _split_items(e[m.end() : j - 1])
+        whens, default = [], "NULL"
+        for arm in arms:
+            parts = _split_on(arm, "=>")
+            if len(parts) != 2:
+                raise PrqlError(f"case arm needs `cond => value`, got {arm!r}")
+            cond, val = parts[0].strip(), parts[1].strip()
+            if cond == "true":
+                default = val
+            else:
+                whens.append(f"WHEN {cond} THEN {val}")
+        if not whens:
+            raise PrqlError("case needs at least one non-default arm")
+        e = e[: m.start()] + f"CASE {' '.join(whens)} ELSE {default} END" + e[j:]
+
+
+def _fstring_sugar(e: str) -> str:
+    """``f"a{x}b{y}"`` → concat('a', x, 'b', y)."""
+
+    def conv(m: re.Match) -> str:
+        body = m.group(1)
+        parts, buf, i = [], [], 0
+        while i < len(body):
+            ch = body[i]
+            if ch == "{":
+                j = body.index("}", i)
+                if buf:
+                    parts.append("'" + "".join(buf).replace("'", "''") + "'")
+                    buf = []
+                parts.append(body[i + 1 : j].strip())
+                i = j + 1
+            else:
+                buf.append(ch)
+                i += 1
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+        return f"concat({', '.join(parts)})" if parts else "''"
+
+    return re.sub(r'f"([^"]*)"', conv, e)
+
+
 def _expr(e: str) -> str:
     """PRQL expression → Spark SQL expression (textual sugar only)."""
     e = e.strip()
@@ -64,6 +151,13 @@ def _expr(e: str) -> str:
         e,
     )
     e = re.sub(r"(?<![=!<>])==(?!=)", "=", e)
+    e = _fstring_sugar(e)
+    e = _case_sugar(e)
+    # null-coalescing: a ?? b ?? c → coalesce(a, b, c)
+    if "??" in e:
+        parts = [p.strip() for p in _split_on(e, "??")]
+        if len(parts) > 1:
+            e = f"coalesce({', '.join(parts)})"
     return e
 
 
@@ -141,6 +235,57 @@ def _steps(text: str) -> list[str]:
     return steps
 
 
+def _window_items(
+    rest: str, last_sort: str | None, partition: list[str] | None
+) -> list[str]:
+    """Lower a ``window rows:a..b|rolling:n|expanding:true (derive {...})``
+    body to SELECT items with explicit OVER clauses; ``partition`` (group
+    keys) makes the window partition-parallel — the form to use at scale."""
+    m = re.match(
+        r"^(?:rows:(-?\d*)\.\.(-?\d*)|rolling:(\d+)|expanding:true)\s*"
+        r"\(\s*derive\s+(.+?)\s*\)$",
+        rest,
+        re.S,
+    )
+    if not m:
+        raise PrqlError(
+            "window: expected `window rows:a..b|rolling:n|"
+            f"expanding:true (derive {{...}})`, got {rest!r}"
+        )
+    if last_sort is None:
+        raise PrqlError("window requires a preceding `sort`")
+    if m.group(3):  # rolling:n = the n rows ending at the current one
+        lo, hi = str(1 - int(m.group(3))), "0"
+    elif m.group(1) is None and m.group(2) is None:
+        lo, hi = "", "0"  # expanding:true
+    else:
+        lo, hi = m.group(1), m.group(2)
+
+    def bound(v: str, default: str) -> str:
+        if v == "":
+            return default
+        n = int(v)
+        if n < 0:
+            return f"{-n} PRECEDING"
+        if n == 0:
+            return "CURRENT ROW"
+        return f"{n} FOLLOWING"
+
+    frame = (
+        f"ROWS BETWEEN {bound(lo, 'UNBOUNDED PRECEDING')} "
+        f"AND {bound(hi, 'UNBOUNDED FOLLOWING')}"
+    )
+    part = f"PARTITION BY {', '.join(partition)} " if partition else ""
+    over = f" OVER ({part}ORDER BY {last_sort} {frame})"
+    items = []
+    for it in _tuple_body(m.group(4), "window derive"):
+        ma = re.match(r"^([A-Za-z_]\w*)\s*=(?!=)\s*(.+)$", it, re.S)
+        if not ma:
+            raise PrqlError(f"window derive needs name = agg, got {it!r}")
+        items.append(f"{_agg_expr(ma.group(2))}{over} AS {ma.group(1)}")
+    return items
+
+
 def transpile_prql(text: str) -> str:
     """Compile a PRQL pipeline (subset, see module doc) to one Spark SQL
     statement of nested subqueries."""
@@ -149,6 +294,7 @@ def transpile_prql(text: str) -> str:
         raise PrqlError("PRQL pipeline must start with `from <table>`")
     rel = None
     alias_n = 0
+    last_sort: str | None = None
 
     def wrap(select: str, suffix: str = "") -> str:
         nonlocal alias_n, rel
@@ -170,8 +316,17 @@ def transpile_prql(text: str) -> str:
             items = _assignments(_tuple_body(rest, "derive"), agg=False)
             wrap("*, " + ", ".join(items))
         elif head == "select":
-            items = _assignments(_tuple_body(rest, "select"), agg=False)
-            wrap(", ".join(items))
+            if rest.startswith("!{") and rest.endswith("}"):
+                # select !{a, b} — exclusion form → SELECT * EXCEPT
+                cols = [c.strip() for c in _split_items(rest[2:-1])]
+                if not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+                    raise PrqlError(
+                        f"select !{{...}} needs bare column names, got {rest!r}"
+                    )
+                wrap(f"* EXCEPT ({', '.join(cols)})")
+            else:
+                items = _assignments(_tuple_body(rest, "select"), agg=False)
+                wrap(", ".join(items))
         elif head == "join":
             m = re.match(r"^(?:side:(\w+)\s+)?([A-Za-z_]\w*)\s*\((.+)\)$", rest, re.S)
             if not m:
@@ -186,10 +341,21 @@ def transpile_prql(text: str) -> str:
                 f" ON {_expr(m.group(3))}"
             )
         elif head == "group":
+            mw = re.match(
+                r"^(\{[^}]*\}|[A-Za-z_]\w*)\s*\(\s*(window\s+.+)\s*\)$", rest, re.S
+            )
+            if mw:
+                # group {keys} (window ... (derive {...})) — the PARTITIONED
+                # window form: per-key frames, partition-parallel at scale
+                keys = [_expr(k) for k in _tuple_body(mw.group(1), "group keys")]
+                body = mw.group(2).split(None, 1)[1]
+                wrap("*, " + ", ".join(_window_items(body, last_sort, keys)))
+                continue
             m = re.match(r"^(\{[^}]*\}|[A-Za-z_]\w*)\s*\(\s*aggregate\s+(.+?)\s*\)$", rest, re.S)
             if not m:
                 raise PrqlError(
-                    f"group: expected `group {{keys}} (aggregate {{...}})`, got {rest!r}"
+                    f"group: expected `group {{keys}} (aggregate {{...}})` or "
+                    f"`group {{keys}} (window ...)`, got {rest!r}"
                 )
             keys = [_expr(k) for k in _tuple_body(m.group(1), "group keys")]
             aggs = _assignments(_tuple_body(m.group(2), "aggregate"), agg=True)
@@ -205,7 +371,16 @@ def transpile_prql(text: str) -> str:
             for k in _tuple_body(rest, "sort"):
                 k = k.strip()
                 keys.append(f"{_expr(k[1:])} DESC" if k.startswith("-") else _expr(k))
-            wrap("*", f" ORDER BY {', '.join(keys)}")
+            last_sort = ", ".join(keys)
+            wrap("*", f" ORDER BY {last_sort}")
+        elif head == "window":
+            # window rows:a..b | rolling:n | expanding:true (derive {...})
+            # — frame aggregations OVER the most recent `sort` order.  The
+            # OVER clause re-states the sort keys explicitly, so the window
+            # is well-defined regardless of subquery order preservation.
+            # Unpartitioned (global) — prefer the `group {k} (window ...)`
+            # form at scale, which partitions by the group keys.
+            wrap("*, " + ", ".join(_window_items(rest, last_sort, None)))
         elif head == "take":
             mr = re.match(r"^(\d+)\.\.(\d+)$", rest)
             if mr:  # take a..b — PRQL's 1-based inclusive row range

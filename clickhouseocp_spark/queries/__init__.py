@@ -295,6 +295,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "url_canonical_dedup",
     # --- round-7 vocabulary batch 12 ---
     "ip_uuid_vocab_r12",
+    # --- round-7 PRQL extensions ---
+    "prql_window_case",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3244,3 +3244,56 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "prql_window_case",
+    oracle="""
+SELECT event_id, event_type,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 6) AS ma,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n3,
+       CASE WHEN value > 400 THEN 'hot' ELSE 'warm' END AS heat,
+       'e' || CAST(event_id AS VARCHAR) AS tag
+FROM events
+WHERE value > 100
+WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+    tags=("prql", "dialect", "window"),
+)
+def prql_window_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL round-7 extensions through ``dialect='prql'``: the PARTITIONED
+    window form ``group {keys} (window rolling:n (derive {...}))`` — per-key
+    frames over the most recent ``sort`` order, partition-parallel at scale
+    (the unpartitioned ``window`` form exists but moves data to one
+    partition; this is the shape to use) — plus ``case [cond => val, true =>
+    default]`` and f-string sugar.  The rolling mean is emitted as
+    decimal-exact frame sum ÷ frame count so both engines divide the same
+    exact numerator (frame order irrelevant)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+from events
+filter value > 100
+derive {dv = cast(value as decimal(38,6)),
+        heat = case [value > 400 => 'hot', true => 'warm'],
+        tag = f"e{event_id}"}
+sort {ts, event_id}
+group {event_type} (window rolling:3 (derive {sdv = sum dv, n3 = count this}))
+select {event_id, event_type, sdv, n3, heat, tag}
+""",
+        dialect="prql",
+    )
+    return df.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("sdv").cast("double") / F.col("n3"), 6).alias("ma"),
+        F.col("n3").cast("bigint").alias("n3"),
+        "heat",
+        "tag",
+    )

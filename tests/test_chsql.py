@@ -596,7 +596,7 @@ def test_prql_transpile_shapes():
     with _pytest.raises(PrqlError, match="from"):
         transpile_prql("filter x > 1")
     with _pytest.raises(PrqlError, match="transform"):
-        transpile_prql("from t\nwindow rows:-2..0 (derive m = avg x)")
+        transpile_prql("from t\nloop (derive m = m + 1)")  # still out of subset
     # round-6 extensions: take ranges + relational set ops (bag semantics)
     out = transpile_prql("from t | sort {-v} | take 3..5")
     assert out.endswith("ORDER BY v DESC LIMIT 3 OFFSET 2")
@@ -1339,3 +1339,49 @@ def test_kql_round7_plan_shapes(spark, sf_dir):
     # mv-apply general subpipeline: scan → project folds, no shuffle at all
     df = qs["kql_mv_apply_pipe"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0, formatted_plan(df)
+
+
+def test_prql_round7_extensions(spark):
+    """PRQL round-7: select !{...} exclusion, case/f-string/?? sugar,
+    window frames (rows/rolling/expanding), partitioned group-window."""
+    import pytest
+
+    from clickhouseocp_spark.prql import PrqlError, transpile_prql
+
+    assert "* EXCEPT (a, b)" in transpile_prql("from t\nselect !{a, b}")
+    e = transpile_prql(
+        "from t\nderive {c = case [x > 1 => 'hi', true => 'lo'], "
+        "d = y ?? 0, s = f\"{a}-{b}\"}"
+    )
+    assert "CASE WHEN x > 1 THEN 'hi' ELSE 'lo' END" in e
+    assert "coalesce(y, 0)" in e
+    assert "concat(a, '-', b)" in e
+    w = transpile_prql("from t\nsort {ts}\nwindow rows:-2..0 (derive {m = average v})")
+    assert "avg(v) OVER (ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)" in w
+    w2 = transpile_prql("from t\nsort {ts}\nwindow expanding:true (derive {s = sum v})")
+    assert "UNBOUNDED PRECEDING AND CURRENT ROW" in w2
+    w3 = transpile_prql(
+        "from t\nsort {ts}\ngroup {g} (window rolling:3 (derive {s = sum v}))"
+    )
+    assert "OVER (PARTITION BY g ORDER BY ts ROWS BETWEEN 2 PRECEDING" in w3
+    with pytest.raises(PrqlError, match="preceding"):
+        transpile_prql("from t\nwindow rows:-2..0 (derive {m = average v})")
+    with pytest.raises(PrqlError, match="case arm"):
+        transpile_prql("from t\nderive {c = case [x > 1, 2]}")
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW __prql7 AS SELECT * FROM VALUES "
+        "('a', 1, 10.0), ('a', 2, 20.0), ('a', 3, 30.0), ('b', 1, 5.0), "
+        "('b', 2, 15.0) AS t(g, i, v)"
+    )
+    rows = spark.sql(
+        transpile_prql(
+            "from __prql7\nsort {i}\n"
+            "group {g} (window rolling:2 (derive {s = sum v}))\n"
+            "select {g, i, s}\nsort {g, i}"
+        )
+    ).collect()
+    assert [(r.g, r.i, float(r.s)) for r in rows] == [
+        ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 50.0),
+        ("b", 1, 5.0), ("b", 2, 20.0),
+    ]
