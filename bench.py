@@ -107,6 +107,15 @@ HEADLINE = [
     "bpe_encode_tokens",
     "embedding_pca_project",
     "kql_make_series",
+    # round-7 additions: URL-canonical dedup tier, general mv-apply
+    # (zero-shuffle array combinators), auto-bounds make-series (window-
+    # derived axis), weighted interpolated quantile (bracket fold), and
+    # the chain-timestamps sequence matcher (sorted-array fold)
+    "url_canonical_dedup",
+    "kql_mv_apply_pipe",
+    "kql_make_series_auto",
+    "quantile_interpolated_weighted",
+    "sequence_match_events_ts",
 ]
 
 
