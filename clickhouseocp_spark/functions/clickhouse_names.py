@@ -833,6 +833,41 @@ def formatReadableSize(a) -> Column:
     return F.concat(num, F.lit(" "), F.element_at(units, unit_idx + 1))
 
 
+def ngramSimHash(a, n: int = 3) -> Column:
+    """CH ngramSimHash(s[, n]): char n-gram SimHash fingerprint — portable
+    md5-based definition (functions/text.py::simhash64; documented
+    deviation: CH's internal hash mix differs, near-dup semantics match)."""
+    from clickhouseocp_spark.functions.text import char_shingles, simhash64
+
+    return simhash64(char_shingles(_c(a), n))
+
+
+def wordShingleSimHash(a, n: int = 3) -> Column:
+    """CH wordShingleSimHash(s[, shinglesize]): word-shingle SimHash over
+    lowercase alnum tokens (same portable md5 definition)."""
+    from clickhouseocp_spark.functions.text import simhash64, word_shingles
+
+    toks = F.filter(F.split(F.lower(_c(a)), "[^a-z0-9]+"), lambda t: t != "")
+    return simhash64(word_shingles(toks, n))
+
+
+def ngramMinHash(a, n: int = 3) -> Column:
+    """CH ngramMinHash(s[, n]): the (min, max) tuple over the char n-gram
+    hash set (struct here)."""
+    from clickhouseocp_spark.functions.text import char_shingles, minhash_pair
+
+    return minhash_pair(char_shingles(_c(a), n))
+
+
+def wordShingleMinHash(a, n: int = 3) -> Column:
+    """CH wordShingleMinHash(s[, shinglesize]): (min, max) over word-shingle
+    hashes."""
+    from clickhouseocp_spark.functions.text import minhash_pair, word_shingles
+
+    toks = F.filter(F.split(F.lower(_c(a)), "[^a-z0-9]+"), lambda t: t != "")
+    return minhash_pair(word_shingles(toks, n))
+
+
 def formatReadableDecimalSize(a) -> Column:
     """CH formatReadableDecimalSize (22.x): bytes → '1.23 MB' with
     1000-steps (decimal SI units, vs formatReadableSize's 1024/KiB) and two

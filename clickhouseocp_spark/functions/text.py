@@ -548,3 +548,73 @@ def canonicalize_url(url: Column | str) -> Column:
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+def md5_hash64(g: Column) -> Column:
+    """Portable 64-bit hash: the first 16 hex chars of md5, as a
+    two's-complement BIGINT.  Both halves parse as 32-bit ints and combine
+    with an explicit sign fold, so the expression is ANSI-overflow-safe and
+    bit-identical on any engine that has md5 — the property the SimHash /
+    MinHash vocabulary needs for cross-engine parity (documented deviation:
+    ClickHouse's own ngramSimHash uses its internal CityHash-family mix;
+    ours is this portable md5 definition with the same near-dup
+    semantics)."""
+    h = F.md5(g)
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint")
+    signed_hi = F.when(hi >= 2147483648, hi - 4294967296).otherwise(hi)
+    return signed_hi * F.lit(4294967296).cast("bigint") + lo
+
+
+def simhash64(grams: Column) -> Column:
+    """SimHash over a gram array (CH ngramSimHash/wordShingleSimHash
+    semantics): per bit, the sign of the ±1-weighted sum over gram hashes —
+    one JVM fold carrying 64 counters, zero shuffle.  Empty gram set → 0."""
+    def bits_of(h: Column) -> Column:
+        # literal bit positions (shift counts must be Python ints)
+        return F.array(
+            *[
+                F.when(
+                    F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
+                ).otherwise(F.lit(-1))
+                for b in range(64)
+            ]
+        )
+
+    def finish(a: Column) -> Column:
+        # `a` is the fold's bound variable — referencing it 64 times is a
+        # variable read, not recomputation.  The bits are disjoint, so the
+        # value is a FLAT sum of 64 independent terms (a nested
+        # when(...).otherwise(prev) chain would double the expression tree
+        # per bit — 2^64 nodes)
+        terms = [
+            F.when(
+                F.element_at(a, b + 1) > 0,
+                F.shiftleft(F.lit(1).cast("bigint"), b),
+            ).otherwise(F.lit(0).cast("bigint"))
+            for b in range(64)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out
+
+    # hash once per gram (transform binds it to a variable) — the 64 shifts
+    # inside bits_of then read that variable, not re-run md5
+    hashes = F.transform(grams, md5_hash64)
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda a, h: F.zip_with(a, bits_of(h), lambda x, y: x + y),
+        finish,
+    )
+
+
+def minhash_pair(grams: Column) -> Column:
+    """CH ngramMinHash/wordShingleMinHash shape: the (min, max) of the gram
+    hash set as a struct — the two-sided sketch CH tuples up.  Empty gram
+    set → (NULL, NULL)."""
+    hashes = F.transform(grams, md5_hash64)
+    return F.struct(
+        F.array_min(hashes).alias("mn"), F.array_max(hashes).alias("mx")
+    )

@@ -297,6 +297,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "ip_uuid_vocab_r12",
     # --- round-7 PRQL extensions ---
     "prql_window_case",
+    # --- round-7 text-hash vocabulary ---
+    "text_simhash_vocab",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -441,3 +441,106 @@ def ip_uuid_vocab_r12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uu_null"),
         F.unix_millis(ch.ULIDStringToDateTime(F.col("ulid"))).alias("ulid_ms"),
     )
+
+
+@register(
+    "text_simhash_vocab",
+    oracle="""
+WITH src AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+g AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - 2, 0) + 1),
+                        i -> substr(text, CAST(i AS INTEGER), 3)) AS cgrams,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM src
+),
+w AS (
+  SELECT doc_id, cgrams,
+         list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                        i -> toks[CAST(i AS INTEGER)] || ' ' ||
+                             toks[CAST(i AS INTEGER) + 1]) AS wgrams
+  FROM g
+),
+h AS (
+  SELECT doc_id,
+         list_transform(cgrams, gg -> list_reduce(
+           list_transform(string_split_regex(substr(md5(gg), 1, 16), ''),
+                          c -> CAST(strpos('0123456789abcdef', c) - 1
+                                    AS HUGEINT)),
+           (a, b) -> a * 16 + b)) AS chs,
+         list_transform(wgrams, gg -> list_reduce(
+           list_transform(string_split_regex(substr(md5(gg), 1, 16), ''),
+                          c -> CAST(strpos('0123456789abcdef', c) - 1
+                                    AS HUGEINT)),
+           (a, b) -> a * 16 + b)) AS whs
+  FROM w
+),
+sim AS (
+  SELECT doc_id, whs,
+         list_transform(range(64), b -> CASE WHEN list_sum(
+           list_transform(chs, x -> CASE WHEN (x >> CAST(b AS INTEGER)) & 1 = 1
+                                    THEN 1 ELSE -1 END)) > 0
+           THEN 1 ELSE 0 END) AS cbits,
+         list_transform(range(64), b -> CASE WHEN list_sum(
+           list_transform(whs, x -> CASE WHEN (x >> CAST(b AS INTEGER)) & 1 = 1
+                                    THEN 1 ELSE -1 END)) > 0
+           THEN 1 ELSE 0 END) AS wbits
+  FROM h
+),
+v AS (
+  SELECT doc_id,
+         list_reduce(list_transform(list_reverse(cbits),
+                                    x -> CAST(x AS HUGEINT)),
+                     (a, b) -> a * 2 + b) AS cuv,
+         list_reduce(list_transform(list_reverse(wbits),
+                                    x -> CAST(x AS HUGEINT)),
+                     (a, b) -> a * 2 + b) AS wuv,
+         list_min(list_transform(whs, x -> CASE WHEN x >= 9223372036854775808
+           THEN x - 18446744073709551616 ELSE x END)) AS smn,
+         list_max(list_transform(whs, x -> CASE WHEN x >= 9223372036854775808
+           THEN x - 18446744073709551616 ELSE x END)) AS smx
+  FROM sim
+)
+SELECT doc_id,
+       CAST(CASE WHEN cuv >= 9223372036854775808
+            THEN cuv - 18446744073709551616 ELSE cuv END AS BIGINT) AS ng_sim,
+       CAST(CASE WHEN wuv >= 9223372036854775808
+            THEN wuv - 18446744073709551616 ELSE wuv END AS BIGINT) AS ws_sim,
+       CAST(smn AS BIGINT) AS mn, CAST(smx AS BIGINT) AS mx
+FROM v
+""",
+    tags=("scalar", "text-hash", "dedup"),
+)
+def text_simhash_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH text-hash near-dup vocabulary (batch 12): ``ngramSimHash`` (char
+    3-grams), ``wordShingleSimHash`` (word 2-shingles), and
+    ``wordShingleMinHash`` (the (min, max) tuple) — the scalar fingerprints
+    CH exposes for near-dup detection, as portable md5-based definitions
+    (functions/text.py::simhash64/minhash_pair; documented deviation: CH's
+    internal CityHash mix differs, the near-dup SEMANTICS are identical).
+    All JVM folds — 64 bit-counters carried through one ``aggregate`` per
+    hash, zero shuffle, zero Python.  The oracle recomputes every bit in
+    DuckDB HUGEINT arithmetic (hex fold → per-bit ±1 sums → bit repack →
+    two's-complement wrap), so the parity check covers the whole bit
+    pipeline."""
+    from clickhouseocp_spark.functions.text import (
+        char_shingles,
+        minhash_pair,
+        simhash64,
+        word_shingles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    wgrams = word_shingles(toks, 2)
+    mh = minhash_pair(wgrams)
+    return docs.select(
+        "doc_id",
+        simhash64(char_shingles("text", 3)).alias("ng_sim"),
+        simhash64(wgrams).alias("ws_sim"),
+        mh["mn"].alias("mn"),
+        mh["mx"].alias("mx"),
+    )

@@ -1661,3 +1661,66 @@ def test_ip_uuid_ulid_functions(spark):
     assert (r.rng.lo, r.rng.hi) == ("192.168.1.0", "192.168.1.255")
     assert r.uu == "01234567-89ab-cdef-0123-456789abcdef"
     assert r.ulid_ms == 1465824320894  # Crockford decode of the spec example
+
+
+def test_simhash_minhash_reference(spark):
+    """md5-based simhash64/minhash_pair match an independent in-memory
+    reference bit-for-bit, and near-identical texts land within a small
+    Hamming distance while unrelated texts don't."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions.text import (
+        char_shingles,
+        md5_hash64,
+        minhash_pair,
+        simhash64,
+    )
+
+    def py_h64(g):
+        v = int(hashlib.md5(g.encode()).hexdigest()[:16], 16)
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    def py_simhash(grams):
+        acc = [0] * 64
+        for g in grams:
+            h = py_h64(g) & ((1 << 64) - 1)
+            for b in range(64):
+                acc[b] += 1 if (h >> b) & 1 else -1
+        v = 0
+        for b in range(64):
+            if acc[b] > 0:
+                v |= 1 << b
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = t1.replace("lazy", "hazy")  # near-duplicate
+    t3 = "completely different content about databases and spark plans"
+    df = spark.createDataFrame([(1, t1), (2, t2), (3, t3)], "i int, t string")
+    rows = {
+        r.i: r
+        for r in df.select(
+            "i",
+            simhash64(char_shingles("t", 3)).alias("sh"),
+            minhash_pair(char_shingles("t", 3)).alias("mh"),
+            md5_hash64(F.col("t")).alias("h"),
+        ).collect()
+    }
+    grams1 = [t1[i : i + 3] for i in range(len(t1) - 2)]
+    assert rows[1].sh == py_simhash(grams1)
+    hs = [py_h64(g) for g in grams1]
+    assert (rows[1].mh.mn, rows[1].mh.mx) == (min(hs), max(hs))
+    assert rows[1].h == py_h64(t1)
+
+    def ham(a, b):
+        return bin((a & (1 << 64) - 1) ^ (b & (1 << 64) - 1)).count("1")
+
+    assert ham(rows[1].sh, rows[2].sh) <= 12  # near-dup: few bits flip
+    assert ham(rows[1].sh, rows[3].sh) >= 20  # unrelated: ~32 expected
+    # empty gram set → simhash 0, minhash NULLs
+    r0 = spark.createDataFrame([("ab",)], "t string").select(
+        simhash64(char_shingles("t", 3)).alias("sh"),
+        minhash_pair(char_shingles("t", 3)).alias("mh"),
+    ).first()
+    assert r0.sh == 0 and r0.mh.mn is None and r0.mh.mx is None
