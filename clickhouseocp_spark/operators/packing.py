@@ -162,3 +162,62 @@ def budget_sample(
         .withColumn("kept", (F.col("__cum") - F.col("n_tokens")) < budget_tokens)
         .select(id_col, group_col, "n_tokens", "kept")
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str,
+    id_col: str,
+    total_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-balanced sampling across clusters — the training-mix op
+    that keeps head clusters from swamping the corpus: cluster ``c`` gets
+    ``budget_c = min(n_c, max(1, floor(total_budget · n_c^α / Σ n^α)))``
+    (α<1 flattens the distribution; α=0 is uniform-per-cluster, α=1
+    proportional), and members are chosen as the ``budget_c``
+    smallest-md5(id) rows — deterministic, reproducible, no RNG state.
+
+    Scale shape: one count agg over clusters, the α-normalizer Σ n^α
+    computed by a SORTED-array fold over the (tiny) per-cluster counts so
+    the double sum has ONE canonical order (bitwise-reproducible across
+    engines and runs), broadcast back as a 1-row aggregate; selection is a
+    per-cluster row_number — one shuffle on the cluster key.  Output: the
+    selected rows with ``n_c``/``budget_c``/``rk`` attached."""
+    counts = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(cluster_col).alias("c"),
+                                        F.col("__n").alias("n")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + F.pow(e["n"].cast("double"), F.lit(alpha)),
+        ).alias("__s")
+    )
+    budgets = counts.crossJoin(F.broadcast(norm)).select(
+        cluster_col,
+        "__n",
+        F.least(
+            F.col("__n"),
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.floor(
+                    F.lit(float(total_budget))
+                    * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                    / F.col("__s")
+                ).cast("bigint"),
+            ),
+        ).alias("__budget"),
+    )
+    w = Window.partitionBy(cluster_col).orderBy(F.md5(F.col(id_col).cast("string")))
+    ranked = df.join(F.broadcast(budgets), cluster_col).withColumn(
+        "rk", F.row_number().over(w)
+    )
+    return ranked.where(F.col("rk") <= F.col("__budget")).select(
+        id_col,
+        cluster_col,
+        F.col("__n").alias("n_c"),
+        F.col("__budget").alias("budget_c"),
+        "rk",
+    )

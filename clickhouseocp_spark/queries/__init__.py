@@ -299,6 +299,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "prql_window_case",
     # --- round-7 text-hash vocabulary ---
     "text_simhash_vocab",
+    # --- round-7 corpus-mix operator ---
+    "cluster_balanced_sample",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -2250,3 +2250,56 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper"),
         )
     )
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle="""
+WITH counts AS (
+  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_c FROM embeddings GROUP BY label
+),
+norm AS (
+  SELECT list_reduce(
+           list_transform(list_sort(list({'c': label, 'n': n_c})),
+                          e -> sqrt(CAST(e.n AS DOUBLE))),
+           (a, b) -> a + b) AS s
+  FROM counts
+),
+budgets AS (
+  SELECT c.label, c.n_c,
+         least(c.n_c, greatest(1, CAST(floor(200.0 * sqrt(CAST(c.n_c AS DOUBLE))
+                                             / n.s) AS BIGINT))) AS budget_c
+  FROM counts c CROSS JOIN norm n
+),
+ranked AS (
+  SELECT e.vec_id, e.label, b.n_c, b.budget_c,
+         row_number() OVER (PARTITION BY e.label
+                            ORDER BY md5(CAST(e.vec_id AS VARCHAR))) AS rk
+  FROM embeddings e JOIN budgets b USING (label)
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, label, n_c, budget_c,
+       CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= budget_c
+""",
+    tags=("llm", "sampling", "mix"),
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced cluster sampling (α=0.5, budget 200 over the
+    embedding labels) — the corpus-mix op that flattens head clusters
+    (operators/packing.py::cluster_balanced_sample).  Deterministic
+    throughout: the α-normalizer folds per-cluster counts in SORTED order
+    (one canonical double-summation order, bitwise-identical across
+    engines), budgets floor the same IEEE quotient, and members are the
+    budget smallest-md5(id) rows.  One count shuffle + one per-cluster
+    window; the budget table broadcasts."""
+    from clickhouseocp_spark.operators.packing import cluster_balanced_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = cluster_balanced_sample(emb, "label", "vec_id", total_budget=200)
+    return out.select(
+        F.col("vec_id").cast("bigint").alias("vec_id"),
+        "label",
+        "n_c",
+        "budget_c",
+        F.col("rk").cast("int").alias("rk"),
+    )

@@ -1724,3 +1724,26 @@ def test_simhash_minhash_reference(spark):
         minhash_pair(char_shingles("t", 3)).alias("mh"),
     ).first()
     assert r0.sh == 0 and r0.mh.mn is None and r0.mh.mx is None
+
+
+def test_cluster_balanced_sample(spark):
+    """Temperature balancing: head cluster capped, tail cluster guaranteed
+    at least one row; selection deterministic across invocations."""
+    from clickhouseocp_spark.operators.packing import cluster_balanced_sample
+
+    rows = [(i, 0) for i in range(90)] + [(100 + i, 1) for i in range(9)] + [(200, 2)]
+    df = spark.createDataFrame(rows, "id int, c int")
+    out = cluster_balanced_sample(df, "c", "id", total_budget=20, alpha=0.5)
+    got = {r.c: r.budget_c for r in out.select("c", "budget_c").distinct().collect()}
+    # sqrt weights: 90→9.49, 9→3, 1→1 (S≈13.49); budgets ≈ 14, 4, 1
+    assert got[0] > got[1] > 0 and got[2] == 1
+    assert got[0] < 90  # head cluster flattened, not proportional
+    sel1 = sorted(r.id for r in out.collect())
+    sel2 = sorted(
+        r.id for r in cluster_balanced_sample(df, "c", "id", 20, 0.5).collect()
+    )
+    assert sel1 == sel2  # no RNG state — reproducible
+    # alpha=1 → proportional: head budget grows
+    prop = cluster_balanced_sample(df, "c", "id", 20, alpha=1.0)
+    got1 = {r.c: r.budget_c for r in prop.select("c", "budget_c").distinct().collect()}
+    assert got1[0] > got[0]
