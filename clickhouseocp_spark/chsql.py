@@ -2012,6 +2012,15 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesTiming": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesTDigest": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesGK": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
+    ),
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
     # Greenwald-Khanna IS Spark's approx_percentile sketch; CH calling
     # convention quantileGK(accuracy[, level])(expr)
@@ -2431,9 +2440,17 @@ def _rewrite_exprs(tokens: list[str]) -> str:
                     out.append(f"CAST({expr} AS {_map_type(ty)})")
                     i = close + 1
                     continue
-            # parametric: fname(params)(args)
+            # parametric: fname(params)(args) — including the -If combinator
+            # on any parametric base: fnameIf(params)(args..., cond) lowers
+            # to the base over CASE WHEN cond THEN arg END (aggregates skip
+            # NULLs, so the filter is exact)
+            base_if = (
+                t[:-2]
+                if t.endswith("If") and t[:-2] in PARAMETRIC_RULES
+                else None
+            )
             if (
-                t in PARAMETRIC_RULES
+                (t in PARAMETRIC_RULES or base_if)
                 and close + 1 < len(tokens)
                 and tokens[close + 1] == "("
             ):
@@ -2443,7 +2460,19 @@ def _rewrite_exprs(tokens: list[str]) -> str:
                     for s in _split_top(tokens[close + 2 : close2], ",")
                     if s
                 ]
-                out.append(PARAMETRIC_RULES[t](args, args2))
+                if base_if:
+                    if len(args2) < 2:
+                        raise ChSqlError(
+                            f"{t} needs (params)(args..., cond) — the last "
+                            "argument is the -If condition"
+                        )
+                    cond = args2[-1]
+                    args2 = [
+                        f"CASE WHEN {cond} THEN {x} END" for x in args2[:-1]
+                    ]
+                    out.append(PARAMETRIC_RULES[base_if](args, args2))
+                else:
+                    out.append(PARAMETRIC_RULES[t](args, args2))
                 i = close2 + 1
                 continue
             if (

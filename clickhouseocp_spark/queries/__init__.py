@@ -301,6 +301,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "text_simhash_vocab",
     # --- round-7 corpus-mix operator ---
     "cluster_balanced_sample",
+    # --- round-7 parametric -If combinators (text path) ---
+    "chsql_parametric_if",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3297,3 +3297,68 @@ select {event_id, event_type, sdv, n3, heat, tag}
         "heat",
         "tag",
     )
+
+
+@register(
+    "chsql_parametric_if",
+    oracle="""
+WITH base AS (
+  SELECT l_returnflag, l_linestatus, l_quantity, l_linenumber
+  FROM lineitem WHERE l_orderkey < 2000
+),
+agg AS (
+  SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.5)
+               FILTER (WHERE l_linenumber <= 3), 6) AS med_lo,
+         ROUND(quantile_cont(l_quantity, 0.5)
+               FILTER (WHERE l_linenumber > 3), 6) AS med_hi,
+         [ROUND(quantile_cont(l_quantity, 0.25), 6),
+          ROUND(quantile_cont(l_quantity, 0.75), 6)] AS iqr
+  FROM base GROUP BY l_returnflag
+),
+f AS (
+  SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+  FROM base WHERE l_quantity > 10 GROUP BY l_returnflag, l_linestatus
+),
+r AS (
+  SELECT l_returnflag, l_linestatus,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY n DESC, l_linestatus) AS rk
+  FROM f
+),
+t AS (
+  SELECT l_returnflag, list(l_linestatus ORDER BY rk) AS top_ls
+  FROM r WHERE rk <= 2 GROUP BY l_returnflag
+)
+SELECT a.l_returnflag, a.med_lo, a.med_hi, a.iqr,
+       COALESCE(t.top_ls, []) AS top_ls
+FROM agg a LEFT JOIN t USING (l_returnflag)
+ORDER BY a.l_returnflag
+""",
+    tags=("chsql", "dialect", "parametric"),
+)
+def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parametric aggregates × the -If combinator on the TEXT path (round
+    7): ``quantileIf(0.5)(x, cond)`` / ``quantileExactIf`` /
+    ``topKIf(k)(x, cond)`` lower to the base parametric rule over
+    ``CASE WHEN cond THEN x END`` (aggregates skip NULLs, so the filter is
+    exact), plus the ``quantiles(q...)(x)`` list form rounded in-array via
+    arrayMap.  The oracle replays with FILTER aggregates and a ranked
+    top-k subquery using the same (count desc, value asc) tie-break."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag,
+               round(quantileIf(0.5)(l_quantity, l_linenumber <= 3), 6)
+                 AS med_lo,
+               round(quantileExactIf(0.5)(l_quantity, l_linenumber > 3), 6)
+                 AS med_hi,
+               arrayMap(x -> round(x, 6),
+                        quantiles(0.25, 0.75)(l_quantity)) AS iqr,
+               topKIf(2)(l_linestatus, l_quantity > 10) AS top_ls
+        FROM lineitem WHERE l_orderkey < 2000
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+    )

@@ -1385,3 +1385,22 @@ def test_prql_round7_extensions(spark):
         ("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 50.0),
         ("b", 1, 5.0), ("b", 2, 20.0),
     ]
+
+
+def test_parametric_if_combinator(spark):
+    """-If composes with any parametric aggregate: the base rule applies
+    over CASE WHEN cond THEN arg END (aggregates skip NULLs)."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+
+    out = transpile("SELECT quantileIf(0.5)(v, k > 1) FROM t")
+    assert "percentile(CASE WHEN k > 1 THEN v END, 0.5)" in out
+    out = transpile("SELECT topKIf(2)(x, c) FROM t")
+    assert "CASE WHEN c THEN x END" in out
+    out = transpile("SELECT quantilesTiming(0.1, 0.9)(v) FROM t")
+    assert "approx_percentile(v, array(0.1, 0.9))" in out
+    out = transpile("SELECT quantilesGK(100, 0.5, 0.99)(v) FROM t")
+    assert "approx_percentile(v, array(0.5, 0.99), 100)" in out
+    with pytest.raises(ChSqlError, match="the last"):
+        transpile("SELECT quantileIf(0.5)(v) FROM t")  # missing condition
