@@ -71,6 +71,16 @@ consumers of FORMAT output see the moved column.
 - ``| join kind=leftanti|rightanti|leftsemi|rightsemi ...`` — semi/anti
   join kinds (incl. the ``anti``/``leftantisemi``/``rightantisemi``
   aliases); right-handed kinds swap operands onto Spark's LEFT SEMI/ANTI
+- ``| lookup (Dim) on key`` — the dimension-enrich sugar (Kusto's
+  broadcast-dim join): LEFT OUTER join on the key; like ``join``, the
+  operand may be a bare table, a let binding, or a subpipeline
+- ``| top-hitters N of col [by sumexpr]`` — frequency (or weighted) top-N.
+  Documented deviation: Kusto's top-hitters is streaming-approximate; the
+  lowering is the exact count/sum + TakeOrdered (ties break on the value
+  ascending), which dominates it at any scale Spark runs
+- ``| serialize [name = row_number()]`` — row numbering over the most
+  recent ``sort`` order (the OVER clause re-states the sort keys, so the
+  numbering is well-defined); requires a preceding sort in the subset
 - ``| union [kind=outer] T2`` / ``| union ( <subpipeline> )`` — UNION ALL
   (Kusto unions never dedup; ``distinct`` follows if needed).  Documented
   deviation: operands must be positionally compatible (Spark SQL has no
@@ -919,6 +929,7 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
+    last_order: str | None = None  # most recent sort keys (serialize uses it)
     src = stages[0]
     mrange = re.match(
         r"^range\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)\s+step\s+(.+)$",
@@ -999,14 +1010,87 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
                 rel += f" GROUP BY {', '.join(key_grp)}"
         elif op in ("sort", "order"):
             rest = re.sub(r"^by\s+", "", rest, flags=re.IGNORECASE)
-            rel = f"SELECT * FROM {sub} ORDER BY {_order_list(rest)}"
+            last_order = _order_list(rest)
+            rel = f"SELECT * FROM {sub} ORDER BY {last_order}"
         elif op == "top":
             m = re.match(r"^(\d+)\s+by\s+(.+)$", rest, re.IGNORECASE)
             if not m:
                 raise KqlError(f"top needs 'top N by expr', got {rest!r}")
+            last_order = _order_list(m.group(2))
             rel = (
                 f"SELECT * FROM {sub} ORDER BY "
-                f"{_order_list(m.group(2))} LIMIT {m.group(1)}"
+                f"{last_order} LIMIT {m.group(1)}"
+            )
+        elif op == "top-hitters":
+            m = re.match(
+                r"^(\d+)\s+of\s+([A-Za-z_]\w*)(?:\s+by\s+(.+))?$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise KqlError(
+                    f"top-hitters needs 'N of col [by sumexpr]', got {rest!r}"
+                )
+            n, col, by = m.groups()
+            # Kusto's output column names; exact agg instead of its
+            # streaming approximation (documented deviation — dominates it)
+            if by:
+                out_col = f"approximate_sum_{col}"
+                agg = f"sum({_expr(by)})"
+            else:
+                out_col = f"approximate_count_{col}"
+                agg = "count(*)"
+            rel = (
+                f"SELECT {col}, {agg} AS {out_col} FROM {sub} "
+                f"GROUP BY {col} ORDER BY {out_col} DESC, {col} LIMIT {n}"
+            )
+        elif op == "serialize":
+            if not rest.strip():
+                rel = f"SELECT * FROM {sub}"  # marker only
+            else:
+                if last_order is None:
+                    raise KqlError("serialize needs a preceding sort")
+                items = []
+                for it in _split_top(rest):
+                    ma = re.match(
+                        r"^([A-Za-z_]\w*)\s*=\s*row_number\(\s*\)$", it.strip(),
+                        re.IGNORECASE,
+                    )
+                    if not ma:
+                        raise KqlError(
+                            "serialize subset: name = row_number() items, "
+                            f"got {it!r}"
+                        )
+                    items.append(
+                        f"row_number() OVER (ORDER BY {last_order}) "
+                        f"AS {ma.group(1)}"
+                    )
+                rel = f"SELECT *, {', '.join(items)} FROM {sub}"
+        elif op == "lookup":
+            m = re.match(
+                r"^\(\s*(.+?)\s*\)\s+on\s+([^()]+)$", rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            mb = re.match(r"^([A-Za-z_]\w*)\s+on\s+([^()]+)$", rest,
+                          re.IGNORECASE)
+            if m:
+                right, cond = m.group(1).strip(), m.group(2).strip()
+            elif mb:
+                right, cond = mb.group(1).strip(), mb.group(2).strip()
+            else:
+                raise KqlError(f"lookup needs '(Dim) on key', got {rest!r}")
+            mc = re.match(r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", cond)
+            lk, rk = (mc.group(1), mc.group(2)) if mc else (cond, cond)
+            if not mc and not re.match(r"^\w+$", cond):
+                raise KqlError(f"unsupported lookup condition: {cond!r}")
+            left_rel = rel if " " in rel else f"SELECT * FROM {rel}"
+            if re.match(r"^[A-Za-z_]\w*$", right):
+                right_rel = lets.get(right) or f"SELECT * FROM {right}"
+            else:
+                right_rel = _transpile_pipeline(right, lets)
+            rel = (
+                f"SELECT * FROM ({left_rel}) __l "
+                f"LEFT JOIN ({right_rel}) __r ON __l.{lk} = __r.{rk}"
             )
         elif op in ("take", "limit"):
             rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"

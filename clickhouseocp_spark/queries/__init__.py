@@ -303,6 +303,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "cluster_balanced_sample",
     # --- round-7 parametric -If combinators (text path) ---
     "chsql_parametric_if",
+    # --- round-7 KQL batch 2 ---
+    "kql_lookup_tophitters",
 ]
 
 _DRIVER_WINDOW_R5 = [

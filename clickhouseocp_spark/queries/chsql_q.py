@@ -3362,3 +3362,55 @@ def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag
         """,
     )
+
+
+@register(
+    "kql_lookup_tophitters",
+    oracle="""
+WITH j AS (
+  SELECT c.c_acctbal, n.n_name
+  FROM customer c
+  LEFT JOIN (SELECT * FROM nation WHERE n_regionkey < 3) n
+    ON c.c_nationkey = n.n_nationkey
+),
+t AS (
+  SELECT n_name, SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS s0
+  FROM j GROUP BY n_name
+  ORDER BY s0 DESC, n_name LIMIT 5
+)
+SELECT n_name, ROUND(CAST(s0 AS DOUBLE), 6) AS s,
+       CAST(row_number() OVER (ORDER BY s0 DESC, n_name) AS INTEGER) AS rk
+FROM t
+""",
+    tags=("kql", "dialect"),
+)
+def kql_lookup_tophitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``lookup`` + ``top-hitters`` + ``serialize`` (round 7): the
+    dimension-enrich sugar (LEFT JOIN on the key, subpipeline operand),
+    weighted top-N with Kusto's ``approximate_sum_<col>`` output name
+    (exact aggregation — documented deviation from the streaming
+    approximation), and row numbering over the most recent sort.  The
+    weighted sum routes through a DECIMAL extend so both engines rank the
+    same exact totals."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+customer
+| lookup (nation | where n_regionkey < 3)
+    on $left.c_nationkey == $right.n_nationkey
+| extend dv = cast(c_acctbal as decimal(38,6))
+| top-hitters 5 of n_name by dv
+| sort by approximate_sum_n_name desc, n_name asc
+| serialize rk = row_number()
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "n_name",
+        F.round(F.col("approximate_sum_n_name").cast("double"), 6).alias("s"),
+        "rk",
+    )

@@ -1404,3 +1404,39 @@ def test_parametric_if_combinator(spark):
     assert "approx_percentile(v, array(0.5, 0.99), 100)" in out
     with pytest.raises(ChSqlError, match="the last"):
         transpile("SELECT quantileIf(0.5)(v) FROM t")  # missing condition
+
+
+def test_kql_lookup_tophitters_serialize(spark, sf_dir):
+    """lookup (LEFT JOIN sugar), top-hitters (exact count/sum top-N with
+    Kusto's output names), serialize row numbering."""
+    import pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    spark.createDataFrame(
+        [(1, "a"), (2, "b"), (2, "b"), (3, "c"), (3, "c"), (3, "c")],
+        "k int, s string",
+    ).createOrReplaceTempView("__lk_t")
+    spark.createDataFrame([(1, "one"), (2, "two")], "k int, name string"
+                          ).createOrReplaceTempView("__lk_d")
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    th = eng.sql("__lk_t | top-hitters 2 of s", dialect="kusto").collect()
+    assert [(r.s, r.approximate_count_s) for r in th] == [("c", 3), ("b", 2)]
+    thw = eng.sql("__lk_t | top-hitters 1 of s by k", dialect="kusto").collect()
+    assert [(r.s, r.approximate_sum_s) for r in thw] == [("c", 9)]
+    lk = eng.sql(
+        "__lk_t | lookup (__lk_d) on k | summarize matched = countif(isnotnull(name))",
+        dialect="kusto",
+    ).first()
+    assert lk.matched == 3
+    sz = eng.sql(
+        "__lk_t | sort by k asc, s asc | serialize rn = row_number() "
+        "| where rn <= 2 | project k, rn",
+        dialect="kusto",
+    ).collect()
+    assert [(r.k, r.rn) for r in sz] == [(1, 1), (2, 2)]
+    with pytest.raises(KqlError, match="preceding sort"):
+        transpile_kql("t | serialize rn = row_number()")
+    with pytest.raises(KqlError, match="top-hitters"):
+        transpile_kql("t | top-hitters of s")
