@@ -46,6 +46,12 @@ FORMATS = (
     "RowBinary",
     "RowBinaryWithNamesAndTypes",
     "Markdown",
+    "TabSeparatedWithNamesAndTypes",
+    "CSVWithNamesAndTypes",
+    "TSKV",
+    "JSONCompact",
+    "JSONCompactEachRow",
+    "SQLInsert",
 )
 
 _CANON = {f.lower(): f for f in FORMATS}
@@ -82,6 +88,8 @@ def _txt(v, *, quote_strings: bool = False) -> str:
         return f"{{{inner}}}"
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, int):  # ints never quote, even in quoted contexts
+        return str(v)
     s = str(v)
     if quote_strings:
         return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -202,16 +210,73 @@ def render(
         stats["result_rows"] = len(rows)
     cols = df.columns
 
-    if canon in ("TabSeparated", "TabSeparatedWithNames"):
+    if canon in (
+        "TabSeparated", "TabSeparatedWithNames", "TabSeparatedWithNamesAndTypes"
+    ):
         body = ["\t".join(_txt(v) for v in r) for r in rows]
-        if canon.endswith("WithNames"):
+        if canon.endswith("AndTypes"):
+            body.insert(
+                0,
+                "\t".join(
+                    _ch_type(f.dataType.simpleString()) for f in df.schema.fields
+                ),
+            )
+        if "WithNames" in canon:
             body.insert(0, "\t".join(cols))
         return "\n".join(body) + ("\n" if body else "")
-    if canon in ("CSV", "CSVWithNames"):
+    if canon in ("CSV", "CSVWithNames", "CSVWithNamesAndTypes"):
         body = [",".join(_csv_cell(v) for v in r) for r in rows]
-        if canon.endswith("WithNames"):
+        if canon.endswith("AndTypes"):
+            body.insert(
+                0,
+                ",".join(
+                    _csv_cell(_ch_type(f.dataType.simpleString()))
+                    for f in df.schema.fields
+                ),
+            )
+        if "WithNames" in canon:
             body.insert(0, ",".join(_csv_cell(c) for c in cols))
         return "\n".join(body) + ("\n" if body else "")
+    if canon == "TSKV":
+        # key=value pairs, tab-separated (CH's log-friendly format)
+        return (
+            "\n".join(
+                "\t".join(f"{c}={_txt(v)}" for c, v in zip(cols, r))
+                for r in rows
+            )
+            + ("\n" if rows else "")
+        )
+    if canon == "JSONCompactEachRow":
+        return (
+            "\n".join(
+                _json.dumps(
+                    [_json_cell(v) for v in r],
+                    separators=(",", ":"),
+                    ensure_ascii=False,
+                )
+                for r in rows
+            )
+            + ("\n" if rows else "")
+        )
+    if canon == "JSONCompact":
+        meta = [
+            {"name": f.name, "type": _ch_type(f.dataType.simpleString())}
+            for f in df.schema.fields
+        ]
+        doc = {
+            "meta": meta,
+            "data": [[_json_cell(v) for v in r] for r in rows],
+            "rows": len(rows),
+        }
+        return _json.dumps(doc, indent=1, ensure_ascii=False) + "\n"
+    if canon == "SQLInsert":
+        if not rows:
+            return ""
+        tuples = ", ".join(
+            "(" + ", ".join(_txt(v, quote_strings=True) for v in r) + ")"
+            for r in rows
+        )
+        return f"INSERT INTO table ({', '.join(cols)}) VALUES {tuples};\n"
     if canon == "JSONEachRow":
         return (
             "\n".join(

@@ -1099,3 +1099,25 @@ def test_alter_add_fulltext_index(spark, sf_dir):
         assert "documents__idx_ft" not in eng.tables
     finally:
         eng.tables.pop("documents__idx_ft", None)
+
+
+def test_round7_output_formats(spark):
+    """Round-7 format additions: WithNamesAndTypes headers, TSKV,
+    JSONCompact[EachRow], SQLInsert."""
+    import json as _json
+
+    from clickhouseocp_spark.formats import render
+
+    df = spark.createDataFrame([(1, "a'b"), (2, None)], "k int, s string").orderBy("k")
+    t = render(df, "TabSeparatedWithNamesAndTypes")
+    assert t.splitlines()[:2] == ["k\ts", "Int32\tString"]
+    c = render(df, "CSVWithNamesAndTypes")
+    assert c.splitlines()[1] == "Int32,String"
+    assert render(df, "TSKV").splitlines()[0] == "k=1\ts=a'b"
+    jc = render(df, "JSONCompactEachRow").splitlines()
+    assert _json.loads(jc[0]) == [1, "a'b"] and _json.loads(jc[1]) == [2, None]
+    doc = _json.loads(render(df, "JSONCompact"))
+    assert doc["rows"] == 2 and doc["data"][0] == [1, "a'b"]
+    assert doc["meta"][0] == {"name": "k", "type": "Int32"}
+    si = render(df, "SQLInsert")
+    assert si == "INSERT INTO table (k, s) VALUES (1, 'a\\'b'), (2, NULL);\n"
