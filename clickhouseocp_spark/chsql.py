@@ -49,6 +49,32 @@ class ChSqlError(ValueError):
     subset in a way the transpiler can detect."""
 
 
+def _extract_groups_rule(args: list[str]) -> str:
+    """extractGroups(s, 'regex'): array of the capture groups of the FIRST
+    match.  The group count must be knowable at transpile time, so the
+    pattern must be a string literal (CH requires a constant pattern too);
+    capture groups = '(' not followed by '?'."""
+    pat = args[1]
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise ChSqlError("extractGroups needs a constant string pattern")
+    inner = pat[1:-1]
+    n, i = 0, 0
+    while i < len(inner):
+        if inner[i] == "\\":
+            i += 2
+            continue
+        if inner[i] == "(" and not inner[i + 1 : i + 2] == "?":
+            n += 1
+        i += 1
+    if n == 0:
+        raise ChSqlError(f"extractGroups: pattern has no capture groups: {pat}")
+    parts = ", ".join(
+        f"regexp_extract({args[0]}, {pat}, {g})" for g in range(1, n + 1)
+    )
+    return f"array({parts})"
+
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer
 # ---------------------------------------------------------------------------
@@ -1535,6 +1561,26 @@ FUNC_RULES: dict[str, object] = {
         f"width_bucket({args[0]}, {args[1]}, {args[2]}, {args[3]})"
     ),
     "countMatches": lambda args: f"regexp_count({args[0]}, {args[1]})",
+    # multi-needle search family (round 7): the needle list is a CH array
+    # literal → already rewritten to array(...) by the bracket pass
+    "multiSearchAllPositions": lambda args: (
+        f"transform({args[1]}, __n -> CAST(locate(__n, {args[0]}) AS BIGINT))"
+    ),
+    "multiSearchAny": lambda args: (
+        f"CAST(exists({args[1]}, __n -> locate(__n, {args[0]}) > 0) AS INT)"
+    ),
+    "multiSearchFirstIndex": lambda args: (
+        f"coalesce(array_position(transform({args[1]}, "
+        f"__n -> locate(__n, {args[0]}) > 0), true), 0)"
+    ),
+    "multiMatchAny": lambda args: (
+        f"CAST(exists({args[1]}, __r -> {args[0]} RLIKE __r) AS INT)"
+    ),
+    "multiMatchAnyIndex": lambda args: (
+        f"coalesce(array_position(transform({args[1]}, "
+        f"__r -> {args[0]} RLIKE __r), true), 0)"
+    ),
+    "extractGroups": _extract_groups_rule,
     "toDaysSinceYearZero": lambda args: (
         f"CAST(datediff({args[0]}, DATE '1970-01-01') + 719528 AS BIGINT)"
     ),

@@ -305,6 +305,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "chsql_parametric_if",
     # --- round-7 KQL batch 2 ---
     "kql_lookup_tophitters",
+    # --- round-7 multi-needle search family ---
+    "chsql_multisearch",
 ]
 
 _DRIVER_WINDOW_R5 = [

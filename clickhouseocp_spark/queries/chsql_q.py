@@ -3414,3 +3414,46 @@ customer
         F.round(F.col("approximate_sum_n_name").cast("double"), 6).alias("s"),
         "rk",
     )
+
+
+@register(
+    "chsql_multisearch",
+    oracle=r"""
+SELECT doc_id,
+       [CAST(strpos(text, 'the') AS BIGINT),
+        CAST(strpos(text, 'data') AS BIGINT),
+        CAST(strpos(text, 'xyzq') AS BIGINT)] AS pos,
+       CAST(strpos(text, 'spark') > 0 OR strpos(text, 'data') > 0
+            AS INTEGER) AS any_hit,
+       CASE WHEN strpos(text, 'xyzq') > 0 THEN 1
+            WHEN strpos(text, 'the') > 0 THEN 2 ELSE 0 END AS fi,
+       CAST(regexp_matches(text, '^The') OR regexp_matches(text, '[0-9]{4}')
+            AS INTEGER) AS ma,
+       [regexp_extract(text, '(\w+) (\w+)', 1),
+        regexp_extract(text, '(\w+) (\w+)', 2)] AS first_two
+FROM documents WHERE doc_id < 120
+""",
+    tags=("chsql", "dialect", "string-search"),
+)
+def chsql_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-needle search family on the TEXT path (round 7):
+    ``multiSearchAllPositions`` (1-based positions, 0 when missing),
+    ``multiSearchAny``/``multiSearchFirstIndex``, ``multiMatchAny``/
+    ``multiMatchAnyIndex`` (regex OR via array exists — the vectorized-scan
+    analog of CH's hyperscan tier), and ``extractGroups`` (capture groups
+    of the first match; group count derived from the constant pattern at
+    transpile time).  All array-combinator JVM exprs; the oracle replays
+    with strpos/regexp per needle."""
+    return _run(
+        spark,
+        sf_dir,
+        r"""
+        SELECT doc_id,
+               multiSearchAllPositions(text, ['the', 'data', 'xyzq']) AS pos,
+               multiSearchAny(text, ['spark', 'data']) AS any_hit,
+               multiSearchFirstIndex(text, ['xyzq', 'the']) AS fi,
+               multiMatchAny(text, ['^The', '[0-9]{4}']) AS ma,
+               extractGroups(text, '(\\w+) (\\w+)') AS first_two
+        FROM documents WHERE doc_id < 120
+        """,
+    )
