@@ -1480,7 +1480,8 @@ FUNC_RULES: dict[str, object] = {
         f" x -> length(x) = ({args[1]}))"
     ),
     "multiSearchAny": lambda args: (
-        f"exists({args[1]}, p -> locate(p, {args[0]}) > 0)"
+        # CH returns UInt8 (0/1), not boolean
+        f"CAST(exists({args[1]}, p -> locate(p, {args[0]}) > 0) AS INT)"
     ),
     # hasToken: exact token membership per the default tokenizer (split at
     # non-alphanumeric runs) — what the full_text index accelerates
@@ -1565,13 +1566,6 @@ FUNC_RULES: dict[str, object] = {
     # literal → already rewritten to array(...) by the bracket pass
     "multiSearchAllPositions": lambda args: (
         f"transform({args[1]}, __n -> CAST(locate(__n, {args[0]}) AS BIGINT))"
-    ),
-    "multiSearchAny": lambda args: (
-        f"CAST(exists({args[1]}, __n -> locate(__n, {args[0]}) > 0) AS INT)"
-    ),
-    "multiSearchFirstIndex": lambda args: (
-        f"coalesce(array_position(transform({args[1]}, "
-        f"__n -> locate(__n, {args[0]}) > 0), true), 0)"
     ),
     "multiMatchAny": lambda args: (
         f"CAST(exists({args[1]}, __r -> {args[0]} RLIKE __r) AS INT)"
