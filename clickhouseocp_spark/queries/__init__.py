@@ -307,6 +307,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_lookup_tophitters",
     # --- round-7 multi-needle search family ---
     "chsql_multisearch",
+    # --- round-7 bigram LM quality tier ---
+    "text_bigram_logprob",
 ]
 
 _DRIVER_WINDOW_R5 = [

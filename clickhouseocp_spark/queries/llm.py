@@ -2303,3 +2303,87 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "budget_c",
         F.col("rk").cast("int").alias("rk"),
     )
+
+
+@register(
+    "text_bigram_logprob",
+    oracle="""
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(w) - 1, 0) + 1),
+                i -> {'p': w[CAST(i AS INTEGER)],
+                      'c': w[CAST(i AS INTEGER) + 1]})) AS b
+  FROM docs
+),
+c2 AS (SELECT b.p AS p, b.c AS c, COUNT(*) AS n2 FROM bg GROUP BY b.p, b.c),
+c1 AS (SELECT p, SUM(n2) AS n1 FROM c2 GROUP BY p),
+vv AS (SELECT COUNT(DISTINCT u) AS v
+       FROM (SELECT unnest(w) AS u FROM docs)),
+scored AS (
+  SELECT bg.doc_id,
+         CAST(ROUND(ln((c2.n2 + 1.0) / (c1.n1 + (SELECT v FROM vv))), 6)
+              AS DECIMAL(38,12)) AS logp
+  FROM bg JOIN c2 ON bg.b.p = c2.p AND bg.b.c = c2.c
+  JOIN c1 ON bg.b.p = c1.p
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+FROM scored GROUP BY doc_id
+""",
+    tags=("llm", "text", "quality"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity proxy with Laplace smoothing — the next tier
+    above text_unigram_logprob in the KenLM-style quality ladder:
+    P(w_i | w_{i-1}) = (c2+1) / (c1+V), scored as the per-doc mean log-prob
+    over bigram positions.  Bigram pairs come straight from the token
+    ARRAY (a transform over sequence) — no positional self-join; the model
+    is two map-side-combinable hash aggs (bigram and context counts, the
+    context table derived from the bigram table so the corpus is scanned
+    once) plus a 1-row broadcast vocab size; scoring is token-keyed joins.
+    Per-pair log-probs round(6) then decimal-sum so the per-doc mean is
+    order-independent (the unigram query's parity discipline)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = whitespace_tokens(F.col("text"))
+    bg = d.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(w) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(w) - 1, F.lit(1))),
+                    lambda i: F.struct(
+                        F.element_at(w, i).alias("p"),
+                        F.element_at(w, i + 1).alias("c"),
+                    ),
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<p:string,c:string>>"))
+        ).alias("b"),
+    ).select("doc_id", F.col("b.p").alias("p"), F.col("b.c").alias("c"))
+    c2 = bg.groupBy("p", "c").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("p").agg(F.sum("n2").alias("n1"))
+    vv = d.select(F.explode(w).alias("u")).agg(
+        F.countDistinct("u").alias("v")
+    )
+    scored = (
+        bg.join(c2, ["p", "c"])
+        .join(c1, "p")
+        .join(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))), 6
+            )
+            .cast("decimal(38,12)")
+            .alias("logp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_logp"
+        ),
+    )
