@@ -1747,3 +1747,23 @@ def test_cluster_balanced_sample(spark):
     prop = cluster_balanced_sample(df, "c", "id", 20, alpha=1.0)
     got1 = {r.c: r.budget_c for r in prop.select("c", "budget_c").distinct().collect()}
     assert got1[0] > got[0]
+
+
+def test_round7_pipeline_plan_shapes(spark, sf_dir):
+    """100 TB plan gates for the round-7 pipeline ops: the balanced
+    sampler's budget table broadcasts (no shuffle for the dim side), and
+    the bigram LM's vocab-size 1-row aggregate broadcasts."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+    from clickhouseocp_spark.queries import all_queries
+
+    qs = all_queries()
+    plan = formatted_plan(qs["cluster_balanced_sample"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    plan = formatted_plan(qs["text_bigram_logprob"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # URL-canonical dedup: one hash-agg exchange, no join at all
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+
+    df = qs["url_canonical_dedup"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1, formatted_plan(df)
+    assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
