@@ -309,6 +309,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "chsql_multisearch",
     # --- round-7 bigram LM quality tier ---
     "text_bigram_logprob",
+    # --- round-7 streaming ---
+    "stream_url_dedup",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -2193,6 +2193,26 @@ def minhash_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthetic_crawl_url(d):
+    """Planted crawl-URL generator shared by the batch and streaming URL
+    dedup queries: case/port/param-order/slash/fragment variants that the
+    canonicalizer must collapse, all pure functions of the id."""
+    return F.concat(
+        F.lit("https://"),
+        F.when(d % 3 == 0, F.lit("WWW.Example.COM"))
+        .when(d % 3 == 1, F.lit("www.example.com"))
+        .otherwise(F.lit("blog.example.com")),
+        F.lit(":443/Posts/"),
+        (d % 40).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
+        .when(d % 5 == 1, F.lit("?a=1&b=2&fbclid=zzz"))
+        .when(d % 5 == 2, F.lit("?b=2&a=1"))
+        .otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
 @register(
     "url_canonical_dedup",
     oracle="""
@@ -2227,21 +2247,7 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouseocp_spark.functions.text import canonicalize_url
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
-    d = F.col("doc_id")
-    url = F.concat(
-        F.lit("https://"),
-        F.when(d % 3 == 0, F.lit("WWW.Example.COM"))
-        .when(d % 3 == 1, F.lit("www.example.com"))
-        .otherwise(F.lit("blog.example.com")),
-        F.lit(":443/Posts/"),
-        (d % 40).cast("string"),
-        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
-        F.when(d % 5 == 0, F.lit("?utm_source=x&b=2&a=1"))
-        .when(d % 5 == 1, F.lit("?a=1&b=2&fbclid=zzz"))
-        .when(d % 5 == 2, F.lit("?b=2&a=1"))
-        .otherwise(F.lit("")),
-        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
-    )
+    url = synthetic_crawl_url(F.col("doc_id"))
     return (
         docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
         .groupBy("canonical_url")

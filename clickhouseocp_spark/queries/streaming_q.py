@@ -372,3 +372,50 @@ def stream_fulltext_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "token")
         .limit(10)
     )
+
+
+@register(
+    "stream_url_dedup",
+    oracle="""
+WITH c AS (
+  SELECT doc_id,
+         'https://'
+           || CASE WHEN doc_id % 3 = 2 THEN 'blog.example.com'
+                   ELSE 'www.example.com' END
+           || '/Posts/' || CAST(doc_id % 40 AS VARCHAR)
+           || CASE WHEN doc_id % 5 IN (0, 1, 2) THEN '?a=1&b=2' ELSE '' END
+           AS canonical_url
+  FROM documents WHERE doc_id < 400
+)
+SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_dups,
+       MIN(doc_id) AS keeper
+FROM c GROUP BY canonical_url
+""",
+    tags=("streaming", "dedup", "url"),
+)
+def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-canonical dedup rollup — the crawl-ingest shape:
+    each micro-batch canonicalizes its URLs (functions/text.py::
+    canonicalize_url, pure JVM exprs inside the stream) and a stateful
+    grouped aggregation maintains per-canonical counts + min-id keeper.
+    Hash-agg state is one row per distinct canonical URL (bounded by the
+    deduped corpus, not the stream); the drained stream equals the batch
+    url_canonical_dedup closed form."""
+    from clickhouseocp_spark.functions.text import canonicalize_url
+    from clickhouseocp_spark.queries.llm import synthetic_crawl_url
+    from clickhouseocp_spark.streaming.pipeline import (
+        documents_stream,
+        run_available_now,
+    )
+
+    stream = documents_stream(spark, sf_dir).where(F.col("doc_id") < 400)
+    canon = stream.select(
+        "doc_id",
+        canonicalize_url(synthetic_crawl_url(F.col("doc_id"))).alias(
+            "canonical_url"
+        ),
+    )
+    agg = canon.groupBy("canonical_url").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+    return run_available_now(agg)
