@@ -1,0 +1,103 @@
+"""Randomized KQL-pipeline fuzzing (the dialect analog of
+test_fuzz_predicates): hypothesis composes where-predicates and scalar-sugar
+extends from a small grammar, rendered BOTH as KQL (through the transpiler)
+and as DuckDB SQL; group counts and conditional counts must agree on the
+shared lineitem fixture.  This pins the `==`/`!=` rewrite, case()/iff()
+lowering, countif, and the summarize-by pipeline against an independent
+engine under random composition, not just hand-picked examples.
+"""
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+STR_COLS = ["l_returnflag", "l_linestatus"]
+STR_VALS = ["A", "N", "R", "O", "F"]
+
+
+@st.composite
+def leaf(draw):
+    kind = draw(st.sampled_from(["num", "str", "mod"]))
+    if kind == "num":
+        col = draw(st.sampled_from(NUM_COLS))
+        op = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
+        val = round(draw(st.floats(0, 100, allow_nan=False)) * 4) / 4 + 0.125
+        sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+        return (f"{col} {op} {val}", f"{col} {sql_op} {val}")
+    if kind == "str":
+        col = draw(st.sampled_from(STR_COLS))
+        val = draw(st.sampled_from(STR_VALS))
+        op = draw(st.sampled_from(["==", "!="]))
+        sql_op = "=" if op == "==" else "<>"
+        return (f"{col} {op} '{val}'", f"{col} {sql_op} '{val}'")
+    m = draw(st.integers(2, 13))
+    r = draw(st.integers(0, 1))
+    return (f"l_orderkey % {m} == {r}", f"l_orderkey % {m} = {r}")
+
+
+@st.composite
+def predicate(draw, depth=0):
+    if depth >= 2 or draw(st.booleans()):
+        return draw(leaf())
+    op = draw(st.sampled_from(["and", "or"]))
+    lk, ls = draw(predicate(depth + 1))
+    rk, rs = draw(predicate(depth + 1))
+    if draw(st.booleans()):
+        return (f"not(({lk}) {op} ({rk}))",
+                f"NOT (({ls}) {op.upper()} ({rs}))")
+    return (f"(({lk}) {op} ({rk}))", f"(({ls}) {op.upper()} ({rs}))")
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    return con
+
+
+@pytest.fixture(scope="module")
+def kql_engine(spark, sf_dir):
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark=spark)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pred=predicate(), t1=st.integers(20, 40), t2=st.integers(5, 19),
+       cval=st.sampled_from(STR_VALS))
+def test_random_kql_pipeline_agrees_with_oracle(
+    spark, sf_dir, duck, kql_engine, pred, t1, t2, cval
+):
+    kql_pred, sql_pred = pred
+    kql = f"""
+lineitem
+| where {kql_pred}
+| extend tag = case(l_quantity > {t1}, 'hi', l_quantity > {t2}, 'mid', 'lo'),
+         flag = iff(l_returnflag == '{cval}', 1, 0)
+| summarize n = count(), c = countif(flag == 1) by tag
+"""
+    rows = {
+        r.tag: (r.n, r.c)
+        for r in kql_engine.sql(kql, dialect="kusto").collect()
+    }
+    orc = duck.execute(
+        f"""
+WITH f AS (
+  SELECT CASE WHEN l_quantity > {t1} THEN 'hi'
+              WHEN l_quantity > {t2} THEN 'mid' ELSE 'lo' END AS tag,
+         CASE WHEN l_returnflag = '{cval}' THEN 1 ELSE 0 END AS flag
+  FROM lineitem WHERE {sql_pred}
+)
+SELECT tag, COUNT(*), COUNT(*) FILTER (WHERE flag = 1) FROM f GROUP BY tag
+"""
+    ).fetchall()
+    assert rows == {t: (n, c) for t, n, c in orc}, kql_pred
