@@ -1492,6 +1492,49 @@ class ChSparkEngine:
             t, target.unionByName(incoming.select(*target.columns))
         )
 
+    def insert_native(
+        self, statement: str, data: bytes, stats: dict | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(cols)] FORMAT Native`` with a binary
+        column-major block body (the most efficient CH ingest format).
+        Block column names validate against the target table; missing
+        columns default to NULL like the RowBinary path."""
+        import re as _re
+
+        from clickhouseocp_spark.formats import parse_native
+
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+Native\s*$",
+            statement.strip(),
+        )
+        if not m:
+            raise ChSqlError(
+                f"not an INSERT ... FORMAT Native statement: {statement!r}"
+            )
+        t = m.group(1).lower()
+        target = self._base_table(t)
+        fields = {f.name: f for f in target.schema.fields}
+        names, _types, rows = parse_native(data)
+        unknown = [c for c in names if c not in fields]
+        if unknown:
+            raise ChSqlError(
+                f"Native block column names {unknown} not in table {t!r}"
+            )
+        if stats is not None:
+            stats["written_rows"] = len(rows)
+        from pyspark.sql.types import StructType
+
+        schema = StructType([fields[c] for c in names])
+        incoming = self.spark.createDataFrame(rows, schema)
+        dt = dict(target.dtypes)
+        for c in target.columns:
+            if c not in names:
+                incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
+        return self._set_lineage(
+            t, target.unionByName(incoming.select(*target.columns))
+        )
+
     def refresh_views(self) -> list[str]:
         """Recompute every refreshable materialized view (the scheduler-less
         analog of CH's background refresh loop; call it from any external

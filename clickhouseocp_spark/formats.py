@@ -513,3 +513,133 @@ def parse_rowbinary(data: bytes, types: "list[str] | None" = None):
     if header:
         return names, types, rows
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Native — ClickHouse's column-major block format (the most efficient CH
+# interchange format; what clickhouse-local writes with FORMAT Native and
+# the native-protocol drivers speak).  Public wire layout: per block,
+# varint(n_columns) varint(n_rows), then per column name, type, and the
+# column data serialized COLUMN-major: Nullable = n_rows null-mask bytes
+# then nested data with defaults at null slots; Array = n_rows cumulative
+# UInt64 offsets then the flattened nested column; String = varint-length
+# values; fixed types = packed little-endian runs.
+# ---------------------------------------------------------------------------
+
+
+def _native_default(ch_type: str):
+    if ch_type.startswith("Array("):
+        return []
+    if ch_type == "String":
+        return ""
+    if ch_type == "Date":
+        return _EPOCH_DATE
+    if ch_type == "DateTime":
+        return _dt.datetime(1970, 1, 1)
+    return 0
+
+
+def _native_encode_column(ch_type: str, values: list, out: bytearray) -> None:
+    if ch_type.startswith("Nullable("):
+        inner = ch_type[9:-1]
+        out += bytes(1 if v is None else 0 for v in values)
+        _native_encode_column(
+            inner,
+            [(_native_default(inner) if v is None else v) for v in values],
+            out,
+        )
+        return
+    if ch_type.startswith("Array("):
+        inner = ch_type[6:-1]
+        flat: list = []
+        cum = 0
+        for v in values:
+            v = v if v is not None else []
+            cum += len(v)
+            out += _struct.pack("<Q", cum)
+            flat.extend(v)
+        _native_encode_column(inner, flat, out)
+        return
+    # scalar runs reuse the RowBinary value encoders (identical layouts)
+    for v in values:
+        _rb_encode_value(ch_type, v, out)
+
+
+def _native_decode_column(ch_type: str, n_rows: int, data: bytes, pos: int):
+    if ch_type.startswith("Nullable("):
+        inner = ch_type[9:-1]
+        mask = data[pos : pos + n_rows]
+        pos += n_rows
+        vals, pos = _native_decode_column(inner, n_rows, data, pos)
+        return [None if m else v for m, v in zip(mask, vals)], pos
+    if ch_type.startswith("Array("):
+        inner = ch_type[6:-1]
+        offsets = list(
+            _struct.unpack_from(f"<{n_rows}Q", data, pos)
+        ) if n_rows else []
+        pos += 8 * n_rows
+        total = offsets[-1] if offsets else 0
+        flat, pos = _native_decode_column(inner, total, data, pos)
+        out, prev = [], 0
+        for off in offsets:
+            out.append(flat[prev:off])
+            prev = off
+        return out, pos
+    vals = []
+    for _ in range(n_rows):
+        v, pos = _rb_decode_value(ch_type, data, pos)
+        vals.append(v)
+    return vals, pos
+
+
+def render_native(
+    df: DataFrame, max_rows: int = 10_000, stats: dict | None = None
+) -> bytes:
+    """Driver-side FORMAT Native export: one block, column-major (row-capped
+    like the other terminal renders; bulk exports go through the
+    distributed writers)."""
+    fields = df.schema.fields
+    types = [_rb_spark_to_ch(f.dataType.simpleString(), f.nullable) for f in fields]
+    rows = df.limit(max_rows).collect()
+    if stats is not None:
+        stats["result_rows"] = len(rows)
+    out = bytearray()
+    out += _leb128(len(fields))
+    out += _leb128(len(rows))
+    for i, (f, t) in enumerate(zip(fields, types)):
+        b = f.name.encode("utf-8")
+        out += _leb128(len(b))
+        out += b
+        tb = t.encode("utf-8")
+        out += _leb128(len(tb))
+        out += tb
+        _native_encode_column(t, [r[i] for r in rows], out)
+    return bytes(out)
+
+
+def parse_native(data: bytes):
+    """Decode FORMAT Native bytes (one or more concatenated blocks) →
+    (names, types, rows)."""
+    pos = 0
+    names: list[str] = []
+    types: list[str] = []
+    rows: list[tuple] = []
+    while pos < len(data):
+        n_cols, pos = _read_leb128(data, pos)
+        n_rows, pos = _read_leb128(data, pos)
+        cols = []
+        blk_names, blk_types = [], []
+        for _ in range(n_cols):
+            ln, pos = _read_leb128(data, pos)
+            blk_names.append(data[pos : pos + ln].decode("utf-8"))
+            pos += ln
+            ln, pos = _read_leb128(data, pos)
+            blk_types.append(data[pos : pos + ln].decode("utf-8"))
+            pos += ln
+            vals, pos = _native_decode_column(blk_types[-1], n_rows, data, pos)
+            cols.append(vals)
+        if names and blk_names != names:
+            raise ValueError("Native: block column names differ across blocks")
+        names, types = blk_names, blk_types
+        rows.extend(zip(*cols) if cols else [])
+    return names, types, rows

@@ -325,3 +325,65 @@ def test_summary_written_rows_on_rowbinary_insert(spark, sf_dir):
             assert "X-ClickHouse-Progress" in r.headers
     finally:
         srv.shutdown()
+
+
+def test_native_format_roundtrip(spark):
+    """FORMAT Native: column-major block round trip incl. Nullable masks
+    and Array offsets, plus a pinned byte-level header."""
+    from clickhouseocp_spark.formats import parse_native, render_native
+
+    df = spark.createDataFrame(
+        [(1, "a", [1.5, 2.5], None), (2, None, [], 3)],
+        "k int, s string, arr array<double>, n int",
+    ).orderBy("k")
+    b = render_native(df)
+    # header: 4 columns, 2 rows, first column name 'k' with its type
+    assert b[0] == 4 and b[1] == 2
+    assert b[2] == 1 and b[3:4] == b"k"
+    names, types, rows = parse_native(b)
+    assert names == ["k", "s", "arr", "n"]
+    assert types[0] == "Nullable(Int32)"
+    assert types[2] == "Array(Nullable(Float64))"
+    assert rows == [(1, "a", [1.5, 2.5], None), (2, None, [], 3)]
+
+
+def test_http_native_wire(spark, sf_dir):
+    """SELECT ... FORMAT Native over HTTP: octet-stream body that decodes
+    back to the query result; INSERT ... FORMAT Native ingests a binary
+    block and reports written_rows."""
+    import json as _json
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import parse_native, render_native
+    from clickhouseocp_spark.server import ChHttpServer
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    srv = ChHttpServer(eng, port=0).start()
+    try:
+        q = urllib.parse.quote(
+            "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey "
+            "LIMIT 3 FORMAT Native"
+        )
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/?query={q}") as r:
+            assert r.headers["Content-Type"] == "application/octet-stream"
+            names, _types, rows = parse_native(r.read())
+            s = _json.loads(r.headers["X-ClickHouse-Summary"])
+            assert s["result_rows"] == "3"
+        assert names == ["r_regionkey", "r_name"] and len(rows) == 3
+        assert rows[0][1] == "AFRICA"
+
+        payload = render_native(
+            spark.createDataFrame([(93, "NATLAND")], "r_regionkey int, r_name string")
+        )
+        iq = urllib.parse.quote("INSERT INTO region FORMAT Native")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={iq}", data=payload, method="POST"
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            s = _json.loads(r.headers["X-ClickHouse-Summary"])
+            assert s["written_rows"] == "1"
+        n = eng.sql("SELECT count() AS n FROM region WHERE r_regionkey = 93")
+        assert n.first().n == 1
+    finally:
+        srv.shutdown()
