@@ -1422,6 +1422,19 @@ class ChSparkEngine:
                 if stats is not None:
                     stats["written_rows"] = n
                 return f"{n} rows written to {path}."
+            if fmt.lower() == "native":
+                # CH block file (clickhouse-local interchange) — driver-side
+                # single block, row-capped like the text renders
+                from clickhouseocp_spark.formats import render_native
+
+                st: dict = {}
+                data = render_native(df, max_rows=max_rows, stats=st)
+                with open(path, "wb") as fh:
+                    fh.write(data)
+                n = st.get("result_rows", 0)
+                if stats is not None:
+                    stats["written_rows"] = n
+                return f"{n} rows written to {path}."
             text = render(df, fmt, max_rows)
             with open(path, "w") as fh:
                 fh.write(text)

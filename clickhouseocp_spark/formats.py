@@ -643,3 +643,31 @@ def parse_native(data: bytes):
         names, types = blk_names, blk_types
         rows.extend(zip(*cols) if cols else [])
     return names, types, rows
+
+
+#: CH type → Spark type, for reading Native/RowBinary headers back into
+#: DataFrames (the inverse of _rb_spark_to_ch's supported surface)
+_CH_TO_SPARK = {
+    "Int8": "ByteType", "Int16": "ShortType", "Int32": "IntegerType",
+    "Int64": "LongType", "UInt8": "IntegerType", "UInt16": "IntegerType",
+    "UInt32": "LongType", "UInt64": "LongType",
+    "Float32": "FloatType", "Float64": "DoubleType", "String": "StringType",
+    "Bool": "BooleanType", "Date": "DateType", "DateTime": "TimestampType",
+}
+
+
+def _rb_ch_to_spark_field(name: str, ch_type: str):
+    """CH type string → Spark StructField (Nullable/Array recurse)."""
+    from pyspark.sql import types as T
+
+    nullable = ch_type.startswith("Nullable(")
+    base = ch_type[9:-1] if nullable else ch_type
+    if base.startswith("Array("):
+        inner = _rb_ch_to_spark_field("x", base[6:-1])
+        return T.StructField(
+            name, T.ArrayType(inner.dataType, inner.nullable), nullable
+        )
+    cls = _CH_TO_SPARK.get(base)
+    if cls is None:
+        raise ValueError(f"unsupported CH type for Spark read-back: {ch_type!r}")
+    return T.StructField(name, getattr(T, cls)(), nullable)

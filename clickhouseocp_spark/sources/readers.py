@@ -18,14 +18,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "native")
 
 
 def read_any(
     spark: SparkSession, path: str, fmt: str, schema=None, **options
 ) -> DataFrame:
     """file()-style reader for any supported format.  CSV/JSON default to
-    header/schema handling that round-trips the fixture tables losslessly."""
+    header/schema handling that round-trips the fixture tables losslessly.
+    ``native`` reads a CH FORMAT Native block file (driver-side decode —
+    Native is the interchange surface with clickhouse-local, not a bulk
+    scan path; bulk stays on parquet/orc)."""
+    if fmt == "native":
+        from clickhouseocp_spark.formats import parse_native
+
+        with open(path, "rb") as fh:
+            names, types, rows = parse_native(fh.read())
+        from clickhouseocp_spark.formats import _rb_ch_to_spark_field
+
+        fields = [_rb_ch_to_spark_field(n, t) for n, t in zip(names, types)]
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(rows, StructType(fields))
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

@@ -343,3 +343,24 @@ def test_projection_incremental_maintenance(spark, sf_dir):
         return {r.l_returnflag: (r.qty_sum, r.n, r.price_avg, r.hi) for r in rows}
 
     assert answers(proj_old, merged) == answers(proj_full, summary_full)
+
+
+def test_native_file_interchange(spark, sf_dir, tmp_path):
+    """clickhouse-local interchange loop: INTO OUTFILE '<f>' FORMAT Native
+    writes a CH block file that read_any(..., 'native') loads back with the
+    schema intact."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.sources.readers import read_any
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    path = str(tmp_path / "regions.native")
+    msg = eng.run(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey "
+        f"INTO OUTFILE '{path}' FORMAT Native"
+    )
+    assert msg.startswith("5 rows written")
+    back = read_any(spark, path, "native")
+    assert back.columns == ["r_regionkey", "r_name"]
+    rows = back.orderBy("r_regionkey").collect()
+    assert len(rows) == 5 and rows[0].r_name == "AFRICA"
+    assert dict(back.dtypes)["r_regionkey"] == "int"
