@@ -1121,3 +1121,24 @@ def test_round7_output_formats(spark):
     assert doc["meta"][0] == {"name": "k", "type": "Int32"}
     si = render(df, "SQLInsert")
     assert si == "INSERT INTO table (k, s) VALUES (1, 'a\\'b'), (2, NULL);\n"
+
+
+def test_cli_main_entry(sf_dir):
+    """python -m clickhouseocp_spark -q ... — the clickhouse-local entry
+    surface (arg parsing + in-process main; no subprocess so the module
+    Spark session is reused)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from clickhouseocp_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main([
+            "-q", "SELECT count() AS n FROM region",
+            "-q", "SELECT 41 + 1 FORMAT CSV",
+            "--sf-dir", sf_dir,
+        ])
+    assert rc == 0
+    lines = [line for line in buf.getvalue().splitlines() if line.strip()]
+    assert lines[0] == "5" and lines[-1] == "42"
