@@ -311,6 +311,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "text_bigram_logprob",
     # --- round-7 streaming ---
     "stream_url_dedup",
+    # --- round-7 video container (MJPEG/AVI real decode) ---
+    "multimodal_video_frames",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -2393,3 +2393,41 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_logp"
         ),
     )
+
+
+@register(
+    "multimodal_video_frames",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS nf
+  FROM documents WHERE doc_id < 150
+)
+SELECT doc_id, CAST(f.i AS INTEGER) AS frame_idx,
+       CAST(16 + doc_id % 32 AS INTEGER) AS width,
+       CAST(8 + doc_id % 16 AS INTEGER) AS height,
+       nf AS n_frames, CAST(10.0 AS DOUBLE) AS fps,
+       TRUE AS bounded_ok
+FROM p, LATERAL (SELECT unnest(range(nf)) AS i) f
+""",
+    tags=("llm", "multimodal", "video"),
+)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container tier (round 7 — the former video gate, now
+    genuinely decoded for MJPEG/AVI): per-doc RIFF/AVI containers are
+    synthesized with 2 + id%3 real baseline-JPEG frames
+    (sources/avicodec.encode_avi_mjpeg — pure stdlib RIFF framing over the
+    repo's own T.81 JPEG codec), then DECODED BACK (decode_avi_mjpeg: RIFF
+    chunk walk, avih/strf header parse, per-'00dc' JPEG decode) and every
+    frame verified against the recomputed shifted gradient under the
+    bounded-error contract.  One row per frame; dims/counts/fps pinned by
+    the closed-form oracle.  Plan: two chained mapInPandas inside the scan
+    partition — no shuffle; frame tensors never leave the executor.  MP4/
+    MKV/WebM still need ffmpeg-class inter-frame decoders and keep the
+    deterministic-fake gate."""
+    from clickhouseocp_spark.sources.multimodal import (
+        synthesize_gradient_avi,
+        verify_video_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return verify_video_frames(synthesize_gradient_avi(docs))

@@ -208,3 +208,50 @@ def test_gif_round_trip_and_dispatch():
     resized = resize_image(data, 9, 6)
     a2, f2 = decode_any(resized)
     assert f2 == "GIF" and a2.shape == (6, 9, 3)
+
+
+def test_avi_mjpeg_roundtrip():
+    """AVI/MJPEG container codec: RIFF framing round trip, header-derived
+    dims/fps, per-frame JPEG decode within the lossy bound; non-AVI and
+    non-MJPEG inputs raise the right errors."""
+    import numpy as np
+    import pytest
+
+    from clickhouseocp_spark.sources.avicodec import (
+        decode_avi_mjpeg,
+        encode_avi_mjpeg,
+        sniff_avi,
+    )
+
+    def grad(w, h, shift):
+        y, x = np.mgrid[0:h, 0:w]
+        return (x[:, :, None] + y[:, :, None] + np.arange(3) + shift).astype(
+            np.uint8
+        )
+
+    frames = [grad(32, 16, s * 4) for s in range(3)]
+    avi = encode_avi_mjpeg(frames, fps=25)
+    assert sniff_avi(avi) and avi[:4] == b"RIFF" and avi[8:12] == b"AVI "
+    w, h, fps, out = decode_avi_mjpeg(avi)
+    assert (w, h, fps, len(out)) == (32, 16, 25.0, 3)
+    for got, want in zip(out, frames):
+        assert got.shape == want.shape
+        assert int(np.abs(got.astype(int) - want.astype(int)).max()) <= 8
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi_mjpeg(b"not an avi at all.............")
+    # a non-MJPEG compression fourcc must refuse, not mis-decode
+    bad = bytearray(avi)
+    idx = avi.index(b"MJPG", avi.index(b"strf"))
+    bad[idx : idx + 4] = b"H264"
+    with pytest.raises(NotImplementedError, match="ffmpeg"):
+        decode_avi_mjpeg(bytes(bad))
+
+
+def test_decode_image_recognizes_avi():
+    import numpy as np
+
+    from clickhouseocp_spark.sources.avicodec import encode_avi_mjpeg
+    from clickhouseocp_spark.sources.multimodal import decode_image
+
+    avi = encode_avi_mjpeg([np.zeros((8, 12, 3), dtype=np.uint8)])
+    assert decode_image(avi) == (12, 8, "AVI")
