@@ -247,6 +247,24 @@ _KQL_SCALARS: dict = {
         and ", ".join(a).strip().endswith("]")
         else _keep("dynamic", a)
     ),
+    # dynamic/array vocabulary
+    "pack_array": lambda a: f"array({', '.join(a)})",
+    "array_concat": lambda a: f"concat({', '.join(a)})",
+    "strcat_array": lambda a: f"array_join({a[0]}, {a[1]})",
+    "array_sort_asc": lambda a: f"array_sort({a[0]})",
+    "array_sort_desc": lambda a: f"reverse(array_sort({a[0]}))",
+    "set_union": lambda a: f"array_union({a[0]}, {a[1]})",
+    "set_intersect": lambda a: f"array_intersect({a[0]}, {a[1]})",
+    "set_difference": lambda a: f"array_except({a[0]}, {a[1]})",
+    # Kusto array_index_of is 0-based, -1 when missing
+    "array_index_of": lambda a: f"(array_position({a[0]}, {a[1]}) - 1)",
+    # Kusto array_slice(arr, start, end): 0-based INCLUSIVE bounds
+    "array_slice": lambda a: (
+        f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}) + 1)"
+    ),
+    "bag_pack": lambda a: f"map({', '.join(a)})",
+    "bag_keys": lambda a: f"map_keys({a[0]})",
+    "todatetime": lambda a: f"try_to_timestamp({a[0]})",
     "now": lambda a: "current_timestamp()",
     "ago": lambda a: (
         f"(current_timestamp() - INTERVAL {_ts_secs(a[0])} SECOND)"
@@ -446,8 +464,9 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _alias_item(item: str, agg: bool = False) -> str:
-    """KQL ``name = expr`` → ``expr AS name``; bare exprs pass through."""
-    m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?![=])(.+)$", item.strip())
+    """KQL ``name = expr`` → ``expr AS name``; bare exprs pass through.
+    DOTALL: assignments may span lines in formatted pipelines."""
+    m = re.match(r"^([A-Za-z_]\w*)\s*=\s*(?![=])(.+)$", item.strip(), re.DOTALL)
     conv = _agg_expr if agg else _expr
     if m:
         return f"{conv(m.group(2))} AS {m.group(1)}"

@@ -313,6 +313,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "stream_url_dedup",
     # --- round-7 video container (MJPEG/AVI real decode) ---
     "multimodal_video_frames",
+    # --- round-7 KQL dynamic vocabulary ---
+    "kql_dynamic_vocab",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3457,3 +3457,48 @@ def chsql_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id < 120
         """,
     )
+
+
+@register(
+    "kql_dynamic_vocab",
+    oracle="""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x <> '') AS toks
+  FROM documents WHERE doc_id < 80
+)
+SELECT doc_id,
+       array_to_string(list_sort(toks[1:3]), '|') AS head3,
+       CAST(len(list_distinct(list_cat(toks[1:2],
+                                       ['alpha', 'beta']))) AS INTEGER)
+         AS union_n,
+       CAST(list_position(toks, 'the') AS INTEGER) - 1 AS idx_the,
+       array_to_string(toks[2:3], '~') AS mid2
+FROM w
+""",
+    tags=("kql", "dialect"),
+)
+def kql_dynamic_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto dynamic/array vocabulary (round 7): pack/slice/sort/set-ops/
+    index-of lowered to Spark array combinators — ``array_slice`` keeps
+    Kusto's 0-based INCLUSIVE bounds, ``array_index_of`` its 0-based/-1
+    contract, ``set_union`` dedups like Kusto's set semantics.  The oracle
+    replays with DuckDB list functions (1-based slicing re-based)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| where doc_id < 80
+| extend toks = split(tolower(text), ' ')
+| project doc_id,
+          head3 = strcat_array(array_sort_asc(array_slice(toks, 0, 2)), '|'),
+          union_n = toint(array_length(set_union(array_slice(toks, 0, 1),
+                                                 pack_array('alpha', 'beta')))),
+          idx_the = toint(array_index_of(toks, 'the')),
+          mid2 = strcat_array(array_slice(toks, 1, 2), '~')
+""",
+        dialect="kusto",
+    )
