@@ -116,6 +116,11 @@ HEADLINE = [
     "kql_make_series_auto",
     "quantile_interpolated_weighted",
     "sequence_match_events_ts",
+    # round-7b additions: the bigram-LM corpus pass (two token hash aggs +
+    # keyed scoring joins) and the real MJPEG/AVI decode tier (RIFF walk +
+    # per-frame JPEG decode inside the scan partition)
+    "text_bigram_logprob",
+    "multimodal_video_frames",
 ]
 
 

@@ -2353,8 +2353,12 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-pair log-probs round(6) then decimal-sum so the per-doc mean is
     order-independent (the unigram query's parity discipline)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = whitespace_tokens(F.col("text"))
-    bg = d.select(
+    # bind the token array to a COLUMN before the per-element lambdas touch
+    # it: element_at over the raw split() expression re-evaluates the split
+    # per element (O(tokens²) regex work, measured 4× slower at sf0.1)
+    dw = d.withColumn("w", whitespace_tokens(F.col("text")))
+    w = F.col("w")
+    bg = dw.select(
         "doc_id",
         F.explode(
             F.when(
@@ -2369,17 +2373,29 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.expr("array()").cast("array<struct<p:string,c:string>>"))
         ).alias("b"),
     ).select("doc_id", F.col("b.p").alias("p"), F.col("b.c").alias("c"))
-    c2 = bg.groupBy("p", "c").agg(F.count(F.lit(1)).alias("n2"))
+    # pre-aggregate per (doc, bigram): repeated bigrams inside a doc collapse
+    # map-side BEFORE any join, and the scoring join ships one row per
+    # distinct (doc, bigram) instead of one per position.  Persisted: it
+    # feeds both the model derivation and the scoring join — without the
+    # persist Spark re-runs the corpus explode per consumer.
+    bgc = (
+        bg.groupBy("doc_id", "p", "c")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .persist()
+    )
+    c2 = bgc.groupBy("p", "c").agg(F.sum("k").alias("n2"))
     c1 = c2.groupBy("p").agg(F.sum("n2").alias("n1"))
-    vv = d.select(F.explode(w).alias("u")).agg(
+    vv = dw.select(F.explode(w).alias("u")).agg(
         F.countDistinct("u").alias("v")
     )
-    scored = (
-        bg.join(c2, ["p", "c"])
-        .join(c1, "p")
+    # score the MODEL table (bigram-vocab-sized), not the corpus — the
+    # corpus then needs exactly ONE scoring join
+    model = (
+        c2.join(c1, "p")
         .join(F.broadcast(vv))
         .select(
-            "doc_id",
+            "p",
+            "c",
             F.round(
                 F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("v"))), 6
             )
@@ -2387,11 +2403,14 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logp"),
         )
     )
+    scored = bgc.join(model, ["p", "c"]).select(
+        "doc_id", "k", (F.col("logp") * F.col("k")).alias("wlogp")
+    )
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.sum("logp").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_logp"
-        ),
+        F.sum("k").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum("wlogp").cast("double") / F.sum("k"), 6
+        ).alias("avg_logp"),
     )
 
 

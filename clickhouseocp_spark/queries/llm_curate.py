@@ -446,7 +446,10 @@ def boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    words = F.split(F.col("text"), " ")
+    # bind the split to a COLUMN before the per-chunk lambda slices it —
+    # slicing the raw split() expression re-runs the split per chunk
+    d = d.withColumn("__words", F.split(F.col("text"), " "))
+    words = F.col("__words")
     nchunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
