@@ -49,13 +49,24 @@ def token_count(text: Column | str) -> Column:
 def word_shingles(tokens: Column, n: int, sep: str = " ") -> Column:
     """ngrams(): sliding word n-grams over a token array, as joined strings.
     Empty result if the document has fewer than n tokens.  (Guarded: Spark's
-    sequence(1, 0) counts DOWN, so the too-short case must short-circuit.)"""
-    count = F.size(tokens) - n + 1
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: F.array_join(F.slice(tokens, i, n), sep),
-    )
-    return F.when(count >= 1, grams).otherwise(F.expr("array()").cast("array<string>"))
+    sequence(1, 0) counts DOWN, so the too-short case must short-circuit.)
+
+    The incoming ``tokens`` may be a raw split()/filter() EXPRESSION; the
+    per-position lambda would re-evaluate it per gram (O(tokens²) regex
+    work).  An expression-level let — transform over a 1-element array —
+    binds the evaluated token array to the lambda variable once."""
+
+    def build(t: Column) -> Column:
+        count = F.size(t) - n + 1
+        grams = F.transform(
+            F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+            lambda i: F.array_join(F.slice(t, i, n), sep),
+        )
+        return F.when(count >= 1, grams).otherwise(
+            F.expr("array()").cast("array<string>")
+        )
+
+    return F.element_at(F.transform(F.array(tokens), build), 1)
 
 
 def char_shingles(text: Column | str, n: int) -> Column:
