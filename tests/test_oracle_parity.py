@@ -36,3 +36,27 @@ def test_registry_contract():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
+
+
+def test_every_query_is_staged_in_a_driver_window():
+    """Registry-growth discipline (round-6 verdict: the never-recorded
+    backlog must strictly decrease): every registry query must either be in
+    a committed _DRIVER_WINDOW_* list or already carry a driver record in a
+    committed CORRECTNESS_r*.json — a new query that is staged nowhere
+    fails here at birth."""
+    import glob
+    import json
+    import os
+
+    from clickhouseocp_spark import queries as q
+
+    recorded = set()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        recorded |= set(json.load(open(f)).keys())
+    staged = set()
+    for name in dir(q):
+        if name.startswith("_DRIVER_WINDOW_"):
+            staged |= set(getattr(q, name))
+    missing = sorted(set(q.all_queries()) - staged - recorded)
+    assert not missing, f"queries staged in no driver window: {missing}"
