@@ -1000,6 +1000,33 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             rel = f"SELECT {items} FROM {sub}"
         elif op == "extend":
             items = ", ".join(_alias_item(x) for x in _split_top(rest))
+            if re.search(r"\b(prev|next|row_cumsum|row_number)\s*\(", items,
+                         re.IGNORECASE):
+                # Kusto's serialized-window functions: valid once row order
+                # is pinned (after sort/serialize); the OVER clause re-states
+                # the sort keys so numbering/lag/lead are well-defined
+                if last_order is None:
+                    raise KqlError(
+                        "prev()/next()/row_cumsum()/row_number() need a "
+                        "preceding sort (serialized row order)"
+                    )
+                over = f" OVER (ORDER BY {last_order})"
+                cum = (
+                    f" OVER (ORDER BY {last_order} ROWS BETWEEN UNBOUNDED "
+                    "PRECEDING AND CURRENT ROW)"
+                )
+                items = _rewrite_call(
+                    items, "prev", lambda a: f"lag({', '.join(a)}){over}"
+                )
+                items = _rewrite_call(
+                    items, "next", lambda a: f"lead({', '.join(a)}){over}"
+                )
+                items = _rewrite_call(
+                    items, "row_cumsum", lambda a: f"sum({a[0]}){cum}"
+                )
+                items = _rewrite_call(
+                    items, "row_number", lambda a: f"row_number(){over}"
+                )
             rel = f"SELECT *, {items} FROM {sub}"
         elif op == "summarize":
             m = re.search(r"\bby\b", rest, re.IGNORECASE)

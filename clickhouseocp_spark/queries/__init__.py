@@ -315,6 +315,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "multimodal_video_frames",
     # --- round-7 KQL dynamic vocabulary ---
     "kql_dynamic_vocab",
+    # --- round-7 KQL serialized-window functions ---
+    "kql_serialized_window",
 ]
 
 _DRIVER_WINDOW_R5 = [

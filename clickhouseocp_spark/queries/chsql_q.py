@@ -3502,3 +3502,53 @@ documents
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_serialized_window",
+    oracle="""
+WITH s AS (
+  SELECT event_id, value,
+         ROUND(value - lag(value) OVER w, 6) AS delta,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER
+               (ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+                CURRENT ROW) AS DOUBLE), 6) AS running,
+         CAST(row_number() OVER w AS INTEGER) AS rn
+  FROM events WHERE event_type = 'purchase' AND value > 300
+  WINDOW w AS (ORDER BY ts, event_id)
+)
+SELECT event_id, delta, running, rn FROM s WHERE rn <= 400
+""",
+    tags=("kql", "dialect", "window"),
+)
+def kql_serialized_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto serialized-window functions (round 7): after ``sort`` pins row
+    order, ``prev()``/``next()``/``row_cumsum()``/``row_number()`` lower to
+    lag/lead/running-sum/row_number with the sort keys re-stated in the
+    OVER clause.  The running sum routes through a DECIMAL extend so both
+    engines accumulate exactly; deltas are per-row IEEE (safe) rounded for
+    symmetry."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where event_type == 'purchase' and value > 300
+| extend dv = cast(value as decimal(38,6))
+| sort by ts asc, event_id asc
+| extend delta = value - prev(value), running = row_cumsum(dv),
+         rn = row_number()
+| where rn <= 400
+| project event_id, delta, running, rn
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_id",
+        F.round("delta", 6).alias("delta"),
+        F.round(F.col("running").cast("double"), 6).alias("running"),
+        "rn",
+    )
