@@ -2302,18 +2302,20 @@ def _rewrite_scalar_with(tokens: list[str]) -> list[str]:
 
 
 def _rewrite_system_tables(tokens: list[str]) -> list[str]:
-    """``system.X`` → ``system_X`` (the engine registers the introspection
-    surface under those view names — ChSparkEngine._ensure_system_views)."""
+    """``system.X`` → ``system_X`` and ``information_schema.X`` →
+    ``information_schema_X`` (the engine registers both introspection
+    surfaces under those view names — ChSparkEngine._ensure_system_views;
+    CH ships the information_schema compat layer for BI tools)."""
     out: list[str] = []
     i = 0
     while i < len(tokens):
         if (
-            _KW(tokens[i]) == "SYSTEM"
+            _KW(tokens[i]) in ("SYSTEM", "INFORMATION_SCHEMA")
             and i + 2 < len(tokens)
             and tokens[i + 1] == "."
             and _is_word(tokens[i + 2])
         ):
-            out.append(f"system_{tokens[i + 2]}")
+            out.append(f"{tokens[i].lower()}_{tokens[i + 2]}")
             i += 3
         else:
             out.append(tokens[i])

@@ -279,7 +279,10 @@ class ChSparkEngine:
             return self.spark.createDataFrame(
                 [(line,) for line in plan.splitlines()], "plan string"
             )
-        if "system." in query.lower() or "system_" in query.lower():
+        if any(
+            t in query.lower()
+            for t in ("system.", "system_", "information_schema")
+        ):
             self._ensure_system_views()
             # the log/metrics grow per call → re-register fresh on every read
             self.system_query_log().createOrReplaceTempView("system_query_log")
@@ -1088,6 +1091,23 @@ class ChSparkEngine:
             [(0,)], "dummy tinyint"
         ).createOrReplaceTempView("system_one")
         self.system_settings().createOrReplaceTempView("system_settings")
+        # information_schema compat layer (CH ships it for BI tools):
+        # SQL-standard column names projected from the system views
+        self.spark.sql(
+            "SELECT 'default' AS table_catalog, 'default' AS table_schema, "
+            "name AS table_name, "
+            "CASE WHEN lower(type) LIKE '%view%' THEN 'VIEW' "
+            "ELSE 'BASE TABLE' END AS table_type FROM system_tables"
+        ).createOrReplaceTempView("information_schema_tables")
+        self.spark.sql(
+            "SELECT 'default' AS table_catalog, 'default' AS table_schema, "
+            "table AS table_name, name AS column_name, "
+            "position AS ordinal_position, type AS data_type "
+            "FROM system_columns"
+        ).createOrReplaceTempView("information_schema_columns")
+        self.spark.createDataFrame(
+            [("default", "default")], "catalog_name string, schema_name string"
+        ).createOrReplaceTempView("information_schema_schemata")
         self._system_views_done = True
 
     def system_settings(self) -> DataFrame:

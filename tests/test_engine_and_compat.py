@@ -1142,3 +1142,27 @@ def test_cli_main_entry(sf_dir):
     assert rc == 0
     lines = [line for line in buf.getvalue().splitlines() if line.strip()]
     assert lines[0] == "5" and lines[-1] == "42"
+
+
+def test_information_schema_compat(spark, sf_dir):
+    """The information_schema compat layer (CH ships it for BI tools):
+    tables/columns/schemata with SQL-standard column names, reachable via
+    dotted names through the text path."""
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    tbls = {
+        r.table_name
+        for r in eng.sql(
+            "SELECT table_name FROM information_schema.tables"
+        ).collect()
+    }
+    assert {"region", "nation", "lineitem"} <= tbls
+    cols = eng.sql(
+        "SELECT column_name, data_type, ordinal_position "
+        "FROM information_schema.columns WHERE table_name = 'region' "
+        "ORDER BY ordinal_position"
+    ).collect()
+    assert [(c.column_name, c.ordinal_position) for c in cols] == [
+        ("r_regionkey", 1), ("r_name", 2),
+    ]
+    sch = eng.sql("SELECT * FROM information_schema.schemata").first()
+    assert sch.schema_name == "default"
