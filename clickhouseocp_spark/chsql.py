@@ -1192,6 +1192,7 @@ FUNC_RULES: dict[str, object] = {
     ),
     "levenshteinDistance": _rename("levenshtein"),
     "editDistance": _rename("levenshtein"),
+    "editDistanceUTF8": _rename("levenshtein"),  # Spark strings are UTF-8
     "max2": _rename("greatest"),
     "min2": _rename("least"),
     "sigmoid": lambda args: f"(1.0 / (1.0 + exp(-({args[0]}))))",
@@ -1348,6 +1349,18 @@ FUNC_RULES: dict[str, object] = {
     "MD5": _rename("md5"),
     "hex": _rename("hex"), "unhex": _rename("unhex"),
     "base64Encode": _rename("base64"), "base64Decode": _rename("unbase64"),
+    # RFC 4648 §5 url-safe alphabet, unpadded (CH 24.6 contract)
+    "base64URLEncode": lambda args: (
+        f"translate(rtrim('=', base64({args[0]})), '+/', '-_')"
+    ),
+    "base64URLDecode": lambda args: (
+        f"unbase64(concat(translate({args[0]}, '-_', '+/'), "
+        f"repeat('=', (4 - length({args[0]}) % 4) % 4)))"
+    ),
+    # toDecimalString(v, scale): fixed-scale decimal text (25.x)
+    "toDecimalString": lambda args: (
+        f"CAST(CAST({args[0]} AS DECIMAL(38, {args[1]})) AS STRING)"
+    ),
     "bitAnd": lambda args: f"({args[0]} & {args[1]})",
     "bitOr": lambda args: f"({args[0]} | {args[1]})",
     "bitXor": lambda args: f"({args[0]} ^ {args[1]})",

@@ -317,6 +317,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_dynamic_vocab",
     # --- round-7 KQL serialized-window functions ---
     "kql_serialized_window",
+    # --- round-7 vocabulary batch 14 (text path) ---
+    "chsql_vocab_r14",
 ]
 
 _DRIVER_WINDOW_R5 = [

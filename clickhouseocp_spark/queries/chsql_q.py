@@ -3552,3 +3552,34 @@ events
         F.round(F.col("running").cast("double"), 6).alias("running"),
         "rn",
     )
+
+
+@register(
+    "chsql_vocab_r14",
+    oracle="""
+SELECT s_suppkey,
+       translate(regexp_replace(to_base64(encode(s_name)), '=+$', ''),
+                 '+/', '-_') AS b64u,
+       levenshtein(s_name, reverse(s_name)) AS ed,
+       CAST(CAST(s_acctbal AS DECIMAL(38,2)) AS VARCHAR) AS dstr
+FROM supplier
+""",
+    tags=("chsql", "dialect", "vocab"),
+)
+def chsql_vocab_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 14 (TEXT path): ``base64URLEncode`` (RFC 4648 §5
+    url-safe alphabet, unpadded — CH 24.6), ``editDistanceUTF8`` (Spark
+    strings are UTF-8 already), ``toDecimalString`` (fixed-scale decimal
+    text).  DuckDB replays the url-safe transform with translate +
+    padding strip."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT s_suppkey,
+               base64URLEncode(s_name) AS b64u,
+               editDistanceUTF8(s_name, reverse(s_name)) AS ed,
+               toDecimalString(s_acctbal, 2) AS dstr
+        FROM supplier
+        """,
+    )
