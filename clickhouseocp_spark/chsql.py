@@ -49,6 +49,36 @@ class ChSqlError(ValueError):
     subset in a way the transpiler can detect."""
 
 
+#: file()/url() format name → Spark datasource (the direct-file SQL read)
+_FILE_FORMATS = {
+    "parquet": "parquet", "orc": "orc", "csv": "csv",
+    "csvwithnames": "csv", "jsoneachrow": "json", "json": "json",
+}
+
+
+def _file_table_function(args: list[str]) -> str:
+    """``file('/path'[, Format])`` → ``(SELECT * FROM <fmt>.`/path`)`` —
+    Spark's direct-file read; the format defaults from the extension."""
+    path = args[0].strip()
+    if not (path.startswith("'") and path.endswith("'")):
+        raise ChSqlError("file()/url() need a string-literal path")
+    inner = path[1:-1]
+    if len(args) > 1:
+        fmt_name = args[1].strip().strip("'").replace("_", "").lower()
+        fmt = _FILE_FORMATS.get(fmt_name)
+        if fmt is None:
+            raise ChSqlError(
+                f"file()/url(): unsupported format {args[1]!r} on the SQL "
+                f"path (supported: {sorted(set(_FILE_FORMATS))}); Native "
+                "reads through sources.readers.read_any"
+            )
+    else:
+        ext = inner.rsplit(".", 1)[-1].lower()
+        fmt = _FILE_FORMATS.get(ext, "parquet")
+    return f"(SELECT * FROM {fmt}.`{inner}`)"
+
+
+
 def _extract_groups_rule(args: list[str]) -> str:
     """extractGroups(s, 'regex'): array of the capture groups of the FIRST
     match.  The group count must be knowable at transpile time, so the
@@ -1444,6 +1474,11 @@ FUNC_RULES: dict[str, object] = {
     "zeros": lambda args: (
         f"(SELECT CAST(0 AS TINYINT) AS zero FROM range({args[0]}))"
     ),
+    # file('/path', Format) table function → Spark's direct-file read
+    # (`SELECT * FROM parquet.`/path``); the everyday formats map onto the
+    # datasource names, text formats get CH-matching options
+    "file": _file_table_function,
+    "url": _file_table_function,  # Hadoop-compatible URLs read the same way
     # bitmap family over the array-state representation (operators/bitmap.py):
     # groupBitmap returns the CARDINALITY (CH contract), -State the bitmap
     "groupBitmap": lambda args: f"count(DISTINCT {args[0]})",

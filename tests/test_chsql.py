@@ -1440,3 +1440,29 @@ def test_kql_lookup_tophitters_serialize(spark, sf_dir):
         transpile_kql("t | serialize rn = row_number()")
     with pytest.raises(KqlError, match="top-hitters"):
         transpile_kql("t | top-hitters of s")
+
+
+def test_file_table_function_text_path(spark, sf_dir):
+    """file('/path'[, Format]) on the TEXT path → Spark's direct-file read;
+    the format defaults from the extension, unsupported formats raise the
+    dialect error."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    n = eng.sql(
+        f"SELECT count() AS n FROM file('{sf_dir}/region.parquet', Parquet)"
+    ).first().n
+    assert n == 5
+    r = eng.sql(
+        f"SELECT r_name FROM file('{sf_dir}/region.parquet') "
+        "ORDER BY r_regionkey LIMIT 1"
+    ).first()
+    assert r.r_name == "AFRICA"
+    assert "parquet.`" in transpile("SELECT 1 FROM file('/x/y.parquet')")
+    with pytest.raises(ChSqlError, match="unsupported format"):
+        transpile("SELECT 1 FROM file('/x/y', Native)")
+    with pytest.raises(ChSqlError, match="string-literal"):
+        transpile("SELECT 1 FROM file(pathcol)")
