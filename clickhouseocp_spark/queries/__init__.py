@@ -319,6 +319,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_serialized_window",
     # --- round-7 vocabulary batch 14 (text path) ---
     "chsql_vocab_r14",
+    # --- round-7 file() table function (text path) ---
+    "chsql_file_read",
 ]
 
 _DRIVER_WINDOW_R5 = [

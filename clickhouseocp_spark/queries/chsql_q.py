@@ -3583,3 +3583,28 @@ def chsql_vocab_r14(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM supplier
         """,
     )
+
+
+@register(
+    "chsql_file_read",
+    oracle="""
+SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n
+FROM part GROUP BY p_brand ORDER BY p_brand
+""",
+    tags=("chsql", "dialect", "table-function"),
+)
+def chsql_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``file(path, Parquet)`` table function on the TEXT path (round 7):
+    rewrites to Spark's direct-file read (``FROM parquet.`path```) so the
+    scan gets normal pushdown/pruning — aggregated to prove the read is a
+    first-class relation, and the oracle reads the same parquet through
+    its pre-registered view."""
+    return _run(
+        spark,
+        sf_dir,
+        f"""
+        SELECT p_brand, count() AS n
+        FROM file('{sf_dir}/part.parquet', Parquet)
+        GROUP BY p_brand ORDER BY p_brand
+        """,
+    )
