@@ -177,6 +177,11 @@ class ChHttpServer:
                 if url.path == "/ping":
                     self._reply(200, "Ok.\n")
                     return
+                if url.path == "/replicas_status":
+                    # the LB health endpoint; no replication lag exists in
+                    # the shared-storage architecture, so always Ok
+                    self._reply(200, "Ok.\n")
+                    return
                 params = {k: v[-1] for k, v in parse_qs(url.query).items()}
                 query_id = params.get("query_id") or str(uuid.uuid4())
                 hdrs = {"X-ClickHouse-Query-Id": query_id}

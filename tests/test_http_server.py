@@ -387,3 +387,8 @@ def test_http_native_wire(spark, sf_dir):
         assert n.first().n == 1
     finally:
         srv.shutdown()
+
+
+def test_replicas_status(http_engine):
+    status, body, _ = _get(http_engine, "/replicas_status")
+    assert (status, body) == (200, "Ok.\n")
