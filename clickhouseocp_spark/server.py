@@ -80,6 +80,14 @@ _CODE_UNKNOWN_IDENTIFIER = 47
 _CODE_UNKNOWN_TABLE = 60
 _CODE_SYNTAX_ERROR = 62
 _CODE_BAD_ARGUMENTS = 36
+_CODE_READONLY = 164
+
+#: statement heads rejected under readonly=1 (CH's readonly=1 contract:
+#: reads and session SETs allowed, mutations/DDL refused with code 164)
+_WRITE_HEADS = (
+    "INSERT", "CREATE", "DROP", "ALTER", "TRUNCATE", "RENAME", "EXCHANGE",
+    "OPTIMIZE", "DELETE", "ATTACH", "DETACH", "UNDROP",
+)
 
 
 def exception_code(e: Exception) -> int:
@@ -268,6 +276,21 @@ class ChHttpServer:
                     return
 
                 session = outer._session(params.get("session_id"))
+                if (
+                    params.get("readonly")
+                    or (session or {}).get("readonly")
+                ) == "1" and query.lstrip().split(None, 1)[0].upper() in (
+                    _WRITE_HEADS
+                ):
+                    self._reply(
+                        500,
+                        "Cannot execute query in readonly mode\n",
+                        extra={
+                            **hdrs,
+                            "X-ClickHouse-Exception-Code": str(_CODE_READONLY),
+                        },
+                    )
+                    return
                 mset = _SET_RE.match(query)
                 if mset and session is not None:
                     # session-scoped SET: persists for this session_id only,

@@ -392,3 +392,21 @@ def test_http_native_wire(spark, sf_dir):
 def test_replicas_status(http_engine):
     status, body, _ = _get(http_engine, "/replicas_status")
     assert (status, body) == (200, "Ok.\n")
+
+
+def test_readonly_mode(http_engine):
+    """readonly=1 (param or session setting) rejects mutations/DDL with
+    CH's code 164 while reads keep working."""
+    q = urllib.parse.quote("INSERT INTO region FORMAT CSV")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_engine.port}/?query={q}&readonly=1",
+        data=b"99,X", method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 500
+    assert exc.value.headers["X-ClickHouse-Exception-Code"] == "164"
+    # reads still fine under readonly
+    rq = urllib.parse.quote("SELECT count() AS n FROM nation")
+    status, body, _ = _get(http_engine, f"/?query={rq}&readonly=1")
+    assert status == 200 and body.strip() == "25"
