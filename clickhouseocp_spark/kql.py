@@ -1173,6 +1173,27 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             rel = _top_nested(sub, rest)
         elif op == "mv-apply":
             rel = _mv_apply(sub, rest)
+        elif op == "evaluate":
+            # plugin operators; subset: pivot(col, agg(x), v1, v2, ...) —
+            # Kusto's pivot derives the output columns from the data, Spark
+            # SQL's PIVOT needs the IN list, so the values are explicit in
+            # the subset (documented).  Output columns are named by value,
+            # matching Kusto.
+            m = re.match(r"^pivot\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL)
+            if not m:
+                raise KqlError(
+                    f"evaluate subset: pivot(col, agg, values...), got {rest!r}"
+                )
+            pargs = _split_top(m.group(1))
+            if len(pargs) < 3:
+                raise KqlError(
+                    "evaluate pivot needs (col, agg(x), v1[, v2, ...]) — "
+                    "Spark's PIVOT requires the value list"
+                )
+            col = pargs[0].strip()
+            agg = _agg_expr(pargs[1])
+            vals = ", ".join(_expr(v) for v in pargs[2:])
+            rel = f"SELECT * FROM {sub} PIVOT ({agg} FOR {col} IN ({vals}))"
         elif op == "render":
             # charting is a client-side concern in Kusto — pass the relation
             # through unchanged (same no-op contract as ADX's tabular engine)

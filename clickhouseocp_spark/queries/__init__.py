@@ -321,6 +321,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "chsql_vocab_r14",
     # --- round-7 file() table function (text path) ---
     "chsql_file_read",
+    # --- round-7 KQL evaluate pivot ---
+    "kql_evaluate_pivot",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3608,3 +3608,47 @@ def chsql_file_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY p_brand ORDER BY p_brand
         """,
     )
+
+
+@register(
+    "kql_evaluate_pivot",
+    oracle="""
+SELECT user_id % 10 AS bucket,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchase,
+       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+FROM events
+GROUP BY bucket ORDER BY bucket
+""",
+    tags=("kql", "dialect"),
+)
+def kql_evaluate_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate pivot`` (round 7): lowered to Spark SQL's native
+    PIVOT — the columnar cross-tab stays one hash aggregation (PIVOT is a
+    grouped agg with per-value filters, no join, no transpose shuffle).
+    Subset: the value list is explicit (Spark's PIVOT requires IN values;
+    Kusto derives them from data — documented deviation).  NULL cells from
+    absent combinations coalesce to 0 to match the COUNT FILTER oracle."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| extend bucket = user_id % 10
+| project bucket, event_type
+| evaluate pivot(event_type, count(), 'click', 'purchase', 'view')
+| sort by bucket asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "bucket",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ("click", "purchase", "view")
+        ],
+    )
