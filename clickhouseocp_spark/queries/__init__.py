@@ -274,7 +274,10 @@ _DRIVER_WINDOW_R8 = [
 
 #: Round-9 window: every query ADDED during round 7 is appended here at
 #: birth (r6 verdict #2 — registry growth must stay inside a committed
-#: window so the never-recorded backlog strictly decreases).
+#: window so the never-recorded backlog strictly decreases; a pytest in
+#: test_oracle_parity.py enforces staging-at-birth mechanically).  Round-8
+#: records _DRIVER_WINDOW_R8 (48 names) + the first 2 of this list; the
+#: rest land in round 9 — keep this list ≤ ~50 so coverage completes there.
 _DRIVER_WINDOW_R9: list[str] = [
     # --- round-7 KQL depth ---
     "kql_join_anti_semi",
