@@ -401,6 +401,18 @@ def _agg_expr(e: str) -> str:
     )
     e = re.sub(r"\bmake_list\(", "collect_list(", e, flags=re.IGNORECASE)
     e = re.sub(r"\bmake_set\(", "collect_set(", e, flags=re.IGNORECASE)
+    # arg_max(maximize, return) → max_by(return, maximize) (args swap)
+    e = _rewrite_call(
+        e, "arg_max", lambda a: f"max_by({a[1]}, {a[0]})"
+    )
+    e = _rewrite_call(
+        e, "arg_min", lambda a: f"min_by({a[1]}, {a[0]})"
+    )
+    e = _rewrite_call(
+        e, "dcountif",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    e = _rewrite_call(e, "take_any", lambda a: f"any_value({a[0]})")
 
     # percentile(x, N) — N in percent points.  Documented deviation: Kusto's
     # percentile is a nearest-rank T-digest approximation; the lowering is

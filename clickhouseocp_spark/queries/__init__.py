@@ -326,6 +326,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "chsql_file_read",
     # --- round-7 KQL evaluate pivot ---
     "kql_evaluate_pivot",
+    # --- round-7 KQL arg_max family ---
+    "kql_argmax_vocab",
 ]
 
 _DRIVER_WINDOW_R5 = [

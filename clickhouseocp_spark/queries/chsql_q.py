@@ -3652,3 +3652,37 @@ events
             for c in ("click", "purchase", "view")
         ],
     )
+
+
+@register(
+    "kql_argmax_vocab",
+    oracle="""
+SELECT event_type,
+       max_by(event_id, value) AS top_ev,
+       min_by(event_id, value) AS low_ev,
+       CAST(COUNT(DISTINCT CASE WHEN value > 100 THEN user_id END)
+            AS BIGINT) AS dv
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect"),
+)
+def kql_argmax_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``arg_max``/``arg_min``/``dcountif`` (round 7): arg_* lower to
+    max_by/min_by with the argument order swapped (Kusto: maximize-expr
+    first, return-expr second), dcountif to a conditional DISTINCT count.
+    Event values are distinct-enough doubles that the argmax winner is
+    unique per group (no tie ambiguity in the fixture)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| summarize top_ev = arg_max(value, event_id),
+            low_ev = arg_min(value, event_id),
+            dv = dcountif(user_id, value > 100)
+    by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
