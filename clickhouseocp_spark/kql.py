@@ -303,20 +303,89 @@ def _expr(e: str) -> str:
             e = _rewrite_call(e, name, build)
     # string predicates first (word-boundary, case-insensitive keywords)
     e = re.sub(
-        r"(\S+)\s+contains\s+'([^']*)'",
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+contains\s+'([^']*)'",
         lambda m: f"{m.group(1)} ILIKE '%{m.group(2)}%'",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+startswith\s+'([^']*)'",
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+startswith\s+'([^']*)'",
         lambda m: f"{m.group(1)} ILIKE '{m.group(2)}%'",
         e,
         flags=re.IGNORECASE,
     )
     e = re.sub(
-        r"(\S+)\s+endswith\s+'([^']*)'",
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+endswith\s+'([^']*)'",
         lambda m: f"{m.group(1)} ILIKE '%{m.group(2)}'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    # whole-term match (case-insensitive token membership — Kusto `has`
+    # hits term boundaries, not substrings)
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+(!?)has\s+'([^']*)'",
+        lambda m: (
+            ("NOT " if m.group(2) else "")
+            + f"array_contains(split(lower({m.group(1)}), '[^a-z0-9]+'), "
+            + f"'{m.group(3).lower()}')"
+        ),
+        e,
+        flags=re.IGNORECASE,
+    )
+    # negated string predicates: !contains / !startswith / !endswith
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+!contains\s+'([^']*)'",
+        lambda m: f"{m.group(1)} NOT ILIKE '%{m.group(2)}%'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+!startswith\s+'([^']*)'",
+        lambda m: f"{m.group(1)} NOT ILIKE '{m.group(2)}%'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+!endswith\s+'([^']*)'",
+        lambda m: f"{m.group(1)} NOT ILIKE '%{m.group(2)}'",
+        e,
+        flags=re.IGNORECASE,
+    )
+    # case-insensitive equality: =~ / !~
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+=~\s+('[^']*'|\S+)",
+        lambda m: f"lower({m.group(1)}) = lower({m.group(2)})",
+        e,
+    )
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+!~\s+('[^']*'|\S+)",
+        lambda m: f"lower({m.group(1)}) <> lower({m.group(2)})",
+        e,
+    )
+    # matches regex 'r' → RLIKE
+    e = re.sub(
+        r"\bmatches\s+regex\s+", "RLIKE ", e, flags=re.IGNORECASE
+    )
+    # [!]between (a .. b) → [NOT] BETWEEN a AND b
+    e = re.sub(
+        r"(!?)between\s*\(\s*(.+?)\s*\.\.\s*(.+?)\s*\)",
+        lambda m: (
+            ("NOT " if m.group(1) else "")
+            + f"BETWEEN {m.group(2)} AND {m.group(3)}"
+        ),
+        e,
+        flags=re.IGNORECASE,
+    )
+    # in~ (case-insensitive IN over literals)
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+in~\s*\(([^()]*)\)",
+        lambda m: (
+            f"lower({m.group(1)}) IN ("
+            + ", ".join(
+                f"lower({v.strip()})" for v in m.group(2).split(",")
+            )
+            + ")"
+        ),
         e,
         flags=re.IGNORECASE,
     )

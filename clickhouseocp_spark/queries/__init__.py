@@ -328,6 +328,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_evaluate_pivot",
     # --- round-7 KQL arg_max family ---
     "kql_argmax_vocab",
+    # --- round-7 KQL string/range operators ---
+    "kql_string_ops",
 ]
 
 _DRIVER_WINDOW_R5 = [

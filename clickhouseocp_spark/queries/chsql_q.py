@@ -3686,3 +3686,48 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_string_ops",
+    oracle="""
+SELECT CAST(SUM(CASE WHEN list_contains(
+             list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x <> ''), 'the') THEN 1 ELSE 0 END)
+            AS BIGINT) AS has_the,
+       CAST(SUM(CASE WHEN lower(text) NOT LIKE '%the%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS not_contains,
+       CAST(SUM(CASE WHEN lower(lang) = 'en' THEN 1 ELSE 0 END)
+            AS BIGINT) AS ci_eq,
+       CAST(SUM(CASE WHEN n_chars BETWEEN 100 AND 300 THEN 1 ELSE 0 END)
+            AS BIGINT) AS in_range,
+       CAST(SUM(CASE WHEN regexp_matches(text, '^[A-Z]') THEN 1 ELSE 0 END)
+            AS BIGINT) AS caps,
+       CAST(SUM(CASE WHEN lower(lang) IN ('en', 'fr') THEN 1 ELSE 0 END)
+            AS BIGINT) AS langs
+FROM documents WHERE doc_id < 500
+""",
+    tags=("kql", "dialect", "string-ops"),
+)
+def kql_string_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto string/range operators (round 7): ``has`` (case-insensitive
+    WHOLE-TERM match — token membership, not substring), ``!contains``,
+    ``=~`` (case-insensitive equality), ``between (a .. b)``,
+    ``matches regex``, and ``in~`` — each lowered to the equivalent JVM
+    predicate and counted via countif so one row certifies all six."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| where doc_id < 500
+| summarize has_the = countif(text has 'the'),
+            not_contains = countif(text !contains 'the'),
+            ci_eq = countif(lang =~ 'EN'),
+            in_range = countif(n_chars between (100 .. 300)),
+            caps = countif(text matches regex '^[A-Z]'),
+            langs = countif(lang in~ ('EN', 'fr'))
+""",
+        dialect="kusto",
+    )

@@ -1466,3 +1466,36 @@ def test_file_table_function_text_path(spark, sf_dir):
         transpile("SELECT 1 FROM file('/x/y', Native)")
     with pytest.raises(ChSqlError, match="string-literal"):
         transpile("SELECT 1 FROM file(pathcol)")
+
+
+def test_kql_string_range_operators(spark, sf_dir):
+    """has (whole-term, case-insensitive), !contains/!startswith, =~/!~,
+    between (a .. b), matches regex, in~ — and the predicates compose
+    inside countif arguments (identifier-anchored LHS, not \\S+)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import transpile_kql
+
+    spark.createDataFrame(
+        [("The Quick Fox", 5), ("lazy dog here", 12), ("Foxtrot dance", 8)],
+        "s string, v int",
+    ).createOrReplaceTempView("__strops")
+    eng = ChSparkEngine(sf_dir, spark=spark)
+
+    def count(q):
+        return eng.sql(q, dialect="kusto").first().Count
+
+    assert count("__strops | where s has 'fox' | count") == 1  # not Foxtrot
+    assert count("__strops | where s !has 'fox' | count") == 2
+    assert count("__strops | where s =~ 'THE QUICK FOX' | count") == 1
+    assert count("__strops | where v between (5 .. 8) | count") == 2
+    assert count("__strops | where v !between (5 .. 8) | count") == 1
+    assert count("__strops | where s matches regex '^[A-Z]' | count") == 2
+    assert count("__strops | where s in~ ('the quick fox', 'X') | count") == 1
+    # predicates nested in aggregate args must not swallow the call syntax
+    r = eng.sql(
+        "__strops | summarize n = countif(s has 'fox'), "
+        "m = countif(s =~ 'foxtrot dance')",
+        dialect="kusto",
+    ).first()
+    assert (r.n, r.m) == (1, 1)
+    assert "BETWEEN 5 AND 8" in transpile_kql("t | where v between (5 .. 8)")
