@@ -1229,6 +1229,13 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
                 f"SELECT * EXCEPT ({col}, __mv), __mv AS {col} FROM {sub} "
                 f"LATERAL VIEW EXPLODE({col}) __mvt AS __mv"
             )
+        elif op == "project-keep":
+            cols = [c.strip() for c in _split_top(rest)]
+            if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+                raise KqlError(
+                    f"project-keep needs bare column names, got {rest!r}"
+                )
+            rel = f"SELECT {', '.join(cols)} FROM {sub}"
         elif op == "project-away":
             cols = [c.strip() for c in _split_top(rest)]
             if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
