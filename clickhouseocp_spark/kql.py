@@ -89,6 +89,25 @@ consumers of FORMAT output see the moved column.
 - ``range x from a to b step c`` — source operator (pipeline head):
   inclusive arithmetic progression, numeric or datetime+timespan, lowered
   to ``explode(sequence(...))``
+- ``| lookup (Dim) on key`` / ``| top-hitters N of col [by sum]`` /
+  ``| serialize [name = row_number()]`` / ``| project-keep`` — see their
+  handlers; top-hitters aggregates exactly under Kusto's
+  ``approximate_*`` output names (documented deviation)
+- ``| evaluate pivot(col, agg, v1, ...)`` — Spark SQL native PIVOT (one
+  hash agg); the value list is explicit in the subset
+- serialized-window functions in ``extend`` after a ``sort``:
+  ``prev``/``next``/``row_cumsum``/``row_number`` → lag/lead/running
+  sum/row_number OVER the re-stated sort keys
+- aggregates: ``count``/``dcount``/``dcountif``/``countif``/``sumif``/
+  ``avgif``/``minif``/``maxif``/``percentile`` (exact interpolated —
+  documented deviation from the T-digest)/``arg_max``/``arg_min``
+  (argument order swapped onto max_by/min_by)/``take_any``/``make_list``/
+  ``make_set``
+- string/range predicates: ``has``/``!has`` (whole-term, case-insensitive
+  token membership), ``[!]contains``/``[!]startswith``/``[!]endswith``,
+  ``=~``/``!~``, ``in~``, ``between (a .. b)``/``!between``,
+  ``matches regex`` — all anchored to identifier-like LHS so they compose
+  inside aggregate arguments
 
 Statement-level forms:
 
