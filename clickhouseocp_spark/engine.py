@@ -1568,6 +1568,48 @@ class ChSparkEngine:
             t, target.unionByName(incoming.select(*target.columns))
         )
 
+    def insert_arrow(
+        self, statement: str, data: bytes, stats: dict | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(cols)] FORMAT Arrow|ArrowStream`` with an IPC
+        body — column names validate against the target; missing columns
+        default to NULL (the RowBinary/Native ingest contract)."""
+        import re as _re
+
+        from clickhouseocp_spark.formats import parse_arrow
+
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+Arrow(Stream)?\s*$",
+            statement.strip(),
+        )
+        if not m:
+            raise ChSqlError(
+                f"not an INSERT ... FORMAT Arrow statement: {statement!r}"
+            )
+        t = m.group(1).lower()
+        target = self._base_table(t)
+        fields = {f.name: f for f in target.schema.fields}
+        names, rows = parse_arrow(data)
+        unknown = [c for c in names if c not in fields]
+        if unknown:
+            raise ChSqlError(
+                f"Arrow column names {unknown} not in table {t!r}"
+            )
+        if stats is not None:
+            stats["written_rows"] = len(rows)
+        from pyspark.sql.types import StructType
+
+        schema = StructType([fields[c] for c in names])
+        incoming = self.spark.createDataFrame(rows, schema)
+        dt = dict(target.dtypes)
+        for c in target.columns:
+            if c not in names:
+                incoming = incoming.withColumn(c, F.lit(None).cast(dt[c]))
+        return self._set_lineage(
+            t, target.unionByName(incoming.select(*target.columns))
+        )
+
     def refresh_views(self) -> list[str]:
         """Recompute every refreshable materialized view (the scheduler-less
         analog of CH's background refresh loop; call it from any external

@@ -671,3 +671,50 @@ def _rb_ch_to_spark_field(name: str, ch_type: str):
     if cls is None:
         raise ValueError(f"unsupported CH type for Spark read-back: {ch_type!r}")
     return T.StructField(name, getattr(T, cls)(), nullable)
+
+
+# ---------------------------------------------------------------------------
+# Arrow / ArrowStream — CH's Apache Arrow output/input formats, byte-exact
+# via pyarrow IPC (file format for Arrow, streaming format for ArrowStream).
+# The columnar hop uses Spark's own Arrow conversion (df.toArrow()), so no
+# per-value Python encoding happens at all.
+# ---------------------------------------------------------------------------
+
+
+def render_arrow(
+    df: DataFrame,
+    stream: bool = False,
+    max_rows: int = 10_000,
+    stats: dict | None = None,
+) -> bytes:
+    """FORMAT Arrow (IPC file) / ArrowStream (IPC stream) export — driver-
+    side row-capped like the other terminal formats."""
+    import io as _io
+
+    import pyarrow as pa
+
+    table = df.limit(max_rows).toArrow()
+    if stats is not None:
+        stats["result_rows"] = table.num_rows
+    sink = _io.BytesIO()
+    new = pa.ipc.new_stream if stream else pa.ipc.new_file
+    with new(sink, table.schema) as w:
+        w.write_table(table)
+    return sink.getvalue()
+
+
+def parse_arrow(data: bytes):
+    """Arrow IPC bytes (file or stream framing — sniffed) → (names, rows)."""
+    import io as _io
+
+    import pyarrow as pa
+
+    buf = _io.BytesIO(data)
+    try:
+        table = pa.ipc.open_file(buf).read_all()
+    except pa.ArrowInvalid:
+        buf.seek(0)
+        table = pa.ipc.open_stream(buf).read_all()
+    names = table.schema.names
+    rows = [tuple(d[n] for n in names) for d in table.to_pylist()]
+    return names, rows

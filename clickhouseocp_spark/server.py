@@ -68,7 +68,10 @@ def _content_type(fmt: str) -> str:
         return _CONTENT_TYPES["json"]
     if f.startswith("csv"):
         return _CONTENT_TYPES["csv"]
-    if f.replace("_", "").startswith("rowbinary") or f == "native":
+    if (
+        f.replace("_", "").startswith("rowbinary")
+        or f in ("native", "arrow", "arrowstream")
+    ):
         return "application/octet-stream"
     return "text/plain; charset=UTF-8"
 
@@ -201,6 +204,37 @@ class ChHttpServer:
                         return
                 query = params.get("query", "")
                 if body and re.search(
+                    r"(?is)FORMAT\s+Arrow(Stream)?\s*$", query or ""
+                ):
+                    import time as _time
+
+                    stats: dict = {}
+                    t0 = _time.perf_counter_ns()
+                    try:
+                        with outer._gate:
+                            outer.engine.insert_arrow(query, body, stats=stats)
+                    except Exception as e:  # noqa: BLE001 — wire errors like CH
+                        self._reply(
+                            500,
+                            f"{type(e).__name__}: {e}\n",
+                            extra={
+                                **hdrs,
+                                "X-ClickHouse-Exception-Code": str(
+                                    exception_code(e)
+                                ),
+                            },
+                        )
+                        return
+                    summary = _summary_json(
+                        written_rows=stats.get("written_rows", 0),
+                        elapsed_ns=_time.perf_counter_ns() - t0,
+                    )
+                    extra = {**hdrs, "X-ClickHouse-Summary": summary}
+                    if params.get("send_progress_in_http_headers") == "1":
+                        extra["X-ClickHouse-Progress"] = summary
+                    self._reply(200, "", extra=extra)
+                    return
+                if body and re.search(
                     r"(?is)FORMAT\s+Native\s*$", query or ""
                 ):
                     # binary column-major bulk-ingest
@@ -325,7 +359,21 @@ class ChHttpServer:
                 t0 = _time.perf_counter_ns()
                 try:
                     with outer._gate:
-                        if (fmt or "").lower() == "native":
+                        if (fmt or "").lower() in ("arrow", "arrowstream"):
+                            from clickhouseocp_spark.engine import (
+                                strip_trailing_format,
+                            )
+                            from clickhouseocp_spark.formats import render_arrow
+
+                            df = outer.engine.sql(
+                                strip_trailing_format(query), dialect=dialect
+                            )
+                            out = render_arrow(
+                                df,
+                                stream=(fmt or "").lower() == "arrowstream",
+                                stats=stats,
+                            )
+                        elif (fmt or "").lower() == "native":
                             from clickhouseocp_spark.engine import (
                                 strip_trailing_format,
                             )

@@ -410,3 +410,48 @@ def test_readonly_mode(http_engine):
     rq = urllib.parse.quote("SELECT count() AS n FROM nation")
     status, body, _ = _get(http_engine, f"/?query={rq}&readonly=1")
     assert status == 200 and body.strip() == "25"
+
+
+def test_arrow_format_wire(spark, sf_dir):
+    """FORMAT Arrow / ArrowStream: IPC bytes over HTTP both directions
+    (render via Spark's own Arrow conversion; INSERT ingest with name
+    validation and written_rows in the Summary)."""
+    import json as _json
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import parse_arrow, render_arrow
+    from clickhouseocp_spark.server import ChHttpServer
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    srv = ChHttpServer(eng, port=0).start()
+    try:
+        for fmt in ("Arrow", "ArrowStream"):
+            q = urllib.parse.quote(
+                "SELECT r_regionkey, r_name FROM region "
+                f"ORDER BY r_regionkey LIMIT 2 FORMAT {fmt}"
+            )
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/?query={q}"
+            ) as r:
+                assert r.headers["Content-Type"] == "application/octet-stream"
+                names, rows = parse_arrow(r.read())
+            assert names == ["r_regionkey", "r_name"]
+            assert rows[0] == (0, "AFRICA")
+
+        payload = render_arrow(
+            spark.createDataFrame([(97, "ARROWLAND")],
+                                  "r_regionkey int, r_name string")
+        )
+        iq = urllib.parse.quote("INSERT INTO region FORMAT Arrow")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={iq}", data=payload,
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            s = _json.loads(r.headers["X-ClickHouse-Summary"])
+            assert s["written_rows"] == "1"
+        n = eng.sql("SELECT count() AS n FROM region WHERE r_regionkey = 97")
+        assert n.first().n == 1
+    finally:
+        srv.shutdown()
