@@ -1241,11 +1241,24 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
         elif op in ("take", "limit"):
             rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
         elif op == "mv-expand":
-            col = rest.strip()
-            if not re.match(r"^[A-Za-z_]\w*$", col):
-                raise KqlError(f"mv-expand needs a bare column name, got {rest!r}")
+            mt = re.match(
+                r"^([A-Za-z_]\w*)(?:\s+to\s+typeof\s*\(\s*(\w+)\s*\))?\s*$",
+                rest.strip(),
+                re.IGNORECASE,
+            )
+            if not mt:
+                raise KqlError(
+                    f"mv-expand needs a bare column name [to typeof(T)], got {rest!r}"
+                )
+            col, typ = mt.group(1), mt.group(2)
+            out_expr = "__mv"
+            if typ:
+                spark_t = _DT_TYPES.get(typ.lower())
+                if spark_t is None:
+                    raise KqlError(f"mv-expand typeof: unsupported type {typ!r}")
+                out_expr = f"try_cast(__mv AS {spark_t})"
             rel = (
-                f"SELECT * EXCEPT ({col}, __mv), __mv AS {col} FROM {sub} "
+                f"SELECT * EXCEPT ({col}, __mv), {out_expr} AS {col} FROM {sub} "
                 f"LATERAL VIEW EXPLODE({col}) __mvt AS __mv"
             )
         elif op == "project-keep":
