@@ -1164,8 +1164,12 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(words, 1, F.greatest(F.size(words) - 5, F.lit(1))), " "
         ).alias("text"),
     )
-    corpus = d.unionByName(truncated)
-    cw = whitespace_tokens(F.col("text"))
+    # bind the split to a COLUMN before the per-chunk lambda (else the
+    # split re-runs per chunk — the round-7 O(tokens²) fix class)
+    corpus = d.unionByName(truncated).withColumn(
+        "__cw", whitespace_tokens(F.col("text"))
+    )
+    cw = F.col("__cw")
     nchunks = F.ceil(F.size(cw) / F.lit(10.0)).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
@@ -1295,8 +1299,12 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text"
         ),
     )
-    corpus = d.unionByName(shifted)
-    cw = whitespace_tokens(F.col("text"))
+    # bind the split to a COLUMN: slicing the raw split() expression inside
+    # the per-window lambda re-runs the split per window (O(tokens²))
+    corpus = d.unionByName(shifted).withColumn(
+        "__cw", whitespace_tokens(F.col("text"))
+    )
+    cw = F.col("__cw")
     nwin = F.greatest(F.size(cw) - 19, F.lit(1))
     wins = F.transform(
         F.sequence(F.lit(0), nwin - 1),
