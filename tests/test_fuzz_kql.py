@@ -19,7 +19,7 @@ STR_VALS = ["A", "N", "R", "O", "F"]
 
 @st.composite
 def leaf(draw):
-    kind = draw(st.sampled_from(["num", "str", "mod"]))
+    kind = draw(st.sampled_from(["num", "str", "mod", "between", "cieq", "cin"]))
     if kind == "num":
         col = draw(st.sampled_from(NUM_COLS))
         op = draw(st.sampled_from(["<", "<=", ">", ">=", "==", "!="]))
@@ -32,6 +32,27 @@ def leaf(draw):
         op = draw(st.sampled_from(["==", "!="]))
         sql_op = "=" if op == "==" else "<>"
         return (f"{col} {op} '{val}'", f"{col} {sql_op} '{val}'")
+    if kind == "between":
+        col = draw(st.sampled_from(NUM_COLS))
+        lo = round(draw(st.floats(0, 50, allow_nan=False)), 2) + 0.005
+        hi = lo + round(draw(st.floats(0, 50, allow_nan=False)), 2)
+        neg = draw(st.booleans())
+        bang = "!" if neg else ""
+        return (
+            f"{col} {bang}between ({lo} .. {hi})",
+            f"{col} {'NOT ' if neg else ''}BETWEEN {lo} AND {hi}",
+        )
+    if kind == "cieq":  # =~ case-insensitive equality
+        col = draw(st.sampled_from(STR_COLS))
+        val = draw(st.sampled_from(STR_VALS))
+        return (f"{col} =~ '{val.lower()}'",
+                f"lower({col}) = '{val.lower()}'")
+    if kind == "cin":  # in~ case-insensitive membership
+        col = draw(st.sampled_from(STR_COLS))
+        vals = draw(st.lists(st.sampled_from(STR_VALS), min_size=1, max_size=3))
+        kql_vals = ", ".join(f"'{v.lower()}'" for v in vals)
+        sql_vals = ", ".join(f"'{v.lower()}'" for v in vals)
+        return (f"{col} in~ ({kql_vals})", f"lower({col}) IN ({sql_vals})")
     m = draw(st.integers(2, 13))
     r = draw(st.integers(0, 1))
     return (f"l_orderkey % {m} == {r}", f"l_orderkey % {m} = {r}")
