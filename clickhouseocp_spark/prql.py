@@ -287,9 +287,46 @@ def _window_items(
 
 
 def transpile_prql(text: str) -> str:
-    """Compile a PRQL pipeline (subset, see module doc) to one Spark SQL
-    statement of nested subqueries."""
-    steps = _steps(text)
+    """Compile a PRQL query (subset, see module doc) to one Spark SQL
+    statement of nested subqueries.  Leading ``let`` statements bind
+    either a tabular sub-pipeline (``let x = (from t | ...)`` — resolved
+    where ``from``/``append``/``remove``/``intersect`` name it) or a
+    scalar constant (textual macro substitution, PRQL's own semantics for
+    simple let bindings)."""
+    lets: dict[str, str] = {}
+    lines = text.strip()
+    while True:
+        m = re.match(r"^\s*let\s+([A-Za-z_]\w*)\s*=\s*", lines)
+        if not m:
+            break
+        rest = lines[m.end():]
+        if rest.startswith("("):
+            depth, j = 1, 1
+            while j < len(rest) and depth:
+                if rest[j] == "(":
+                    depth += 1
+                elif rest[j] == ")":
+                    depth -= 1
+                j += 1
+            if depth:
+                raise PrqlError(f"let {m.group(1)}: unterminated (...)")
+            lets[m.group(1)] = _transpile_steps(
+                _steps(rest[1 : j - 1]), lets
+            )
+            lines = rest[j:]
+        else:
+            nl = rest.find("\n")
+            val = rest if nl < 0 else rest[:nl]
+            repl = f"({_expr(val.strip())})"
+            pat = re.compile(
+                rf"(?<![\w.']){re.escape(m.group(1))}(?![\w(])"
+            )
+            lines = pat.sub(repl, rest[nl:] if nl >= 0 else "")
+    return _transpile_steps(_steps(lines), lets)
+
+
+def _transpile_steps(steps: list[str], lets: dict[str, str] | None = None) -> str:
+    lets = lets or {}
     if not steps or not steps[0].split(None, 1)[0] == "from":
         raise PrqlError("PRQL pipeline must start with `from <table>`")
     rel = None
@@ -309,7 +346,7 @@ def transpile_prql(text: str) -> str:
                 raise PrqlError("`from` must be the first transform")
             if not re.match(r"^[A-Za-z_]\w*$", rest):
                 raise PrqlError(f"from: expected a table name, got {rest!r}")
-            rel = f"SELECT * FROM {rest}"
+            rel = lets[rest] if rest in lets else f"SELECT * FROM {rest}"
         elif head == "filter":
             wrap("*", f" WHERE {_expr(rest)}")
         elif head == "derive":
@@ -409,10 +446,11 @@ def transpile_prql(text: str) -> str:
                 raise PrqlError(f"{head}: expected a table name, got {rest!r}")
             op = {"append": "UNION ALL", "remove": "EXCEPT ALL",
                   "intersect": "INTERSECT ALL"}[head]
+            other = lets.get(rest) or f"SELECT * FROM {rest}"
             alias_n += 1
             rel = (
                 f"SELECT * FROM (({rel}) {op} "
-                f"(SELECT * FROM {rest})) AS _p{alias_n}"
+                f"({other})) AS _p{alias_n}"
             )
         else:
             raise PrqlError(f"unsupported PRQL transform {head!r}")

@@ -330,6 +330,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_argmax_vocab",
     # --- round-7 KQL string/range operators ---
     "kql_string_ops",
+    # --- round-7 PRQL let bindings ---
+    "prql_let_bindings",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3731,3 +3731,43 @@ documents
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "prql_let_bindings",
+    oracle="""
+WITH hi AS (
+  SELECT * FROM orders WHERE o_totalprice > 150000
+)
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS total
+FROM hi GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+    tags=("prql", "dialect"),
+)
+def prql_let_bindings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL ``let`` statements (round 7): a scalar let substitutes as a
+    macro, a tabular let (``let x = (from t | ...)``) binds a named
+    relation that ``from``/set-ops resolve — mirroring the KQL statement
+    support.  The double sum routes through a DECIMAL derive so both
+    engines total exactly."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """let floor_price = 150000
+let hi = (from orders | filter o_totalprice > floor_price)
+from hi
+derive dv = cast(o_totalprice as decimal(38,6))
+group {o_orderpriority} (aggregate {n = count this, total = sum dv})
+sort {o_orderpriority}""",
+        dialect="prql",
+    )
+    return df.select(
+        "o_orderpriority",
+        "n",
+        F.round(F.col("total").cast("double"), 6).alias("total"),
+    )

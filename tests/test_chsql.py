@@ -1499,3 +1499,29 @@ def test_kql_string_range_operators(spark, sf_dir):
     ).first()
     assert (r.n, r.m) == (1, 1)
     assert "BETWEEN 5 AND 8" in transpile_kql("t | where v between (5 .. 8)")
+
+
+def test_prql_let_bindings(spark):
+    """PRQL let: scalar macro substitution + tabular named relations
+    resolved at from/append."""
+    import pytest
+
+    from clickhouseocp_spark.prql import PrqlError, transpile_prql
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW __plet AS SELECT * FROM VALUES "
+        "(1, 10.0), (2, 20.0), (3, 30.0) AS t(k, v)"
+    )
+    q = (
+        "let cut = 15\n"
+        "let big = (from __plet | filter v > cut)\n"
+        "from big\naggregate {n = count this}"
+    )
+    assert spark.sql(transpile_prql(q)).first().n == 2
+    q2 = (
+        "let extra = (from __plet | filter k == 1)\n"
+        "from __plet\nappend extra\naggregate {n = count this}"
+    )
+    assert spark.sql(transpile_prql(q2)).first().n == 4
+    with pytest.raises(PrqlError, match="unterminated"):
+        transpile_prql("let x = (from t | take 1\nfrom t")
