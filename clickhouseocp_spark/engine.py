@@ -1534,6 +1534,7 @@ class ChSparkEngine:
         columns default to NULL like the RowBinary path."""
         import re as _re
 
+        from clickhouseocp_spark.chsql import ChSqlError
         from clickhouseocp_spark.formats import parse_native
 
         m = _re.match(
@@ -1576,6 +1577,7 @@ class ChSparkEngine:
         default to NULL (the RowBinary/Native ingest contract)."""
         import re as _re
 
+        from clickhouseocp_spark.chsql import ChSqlError
         from clickhouseocp_spark.formats import parse_arrow
 
         m = _re.match(

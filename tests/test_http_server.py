@@ -455,3 +455,24 @@ def test_arrow_format_wire(spark, sf_dir):
         assert n.first().n == 1
     finally:
         srv.shutdown()
+
+
+def test_binary_ingest_error_paths(spark, sf_dir):
+    """Native/Arrow ingest must refuse unknown column names with a
+    ChSqlError (code 62 on the wire) instead of mis-decoding."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import render_arrow, render_native
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    bad = spark.createDataFrame([(1, "x")], "nope int, r_name string")
+    with _pytest.raises(ChSqlError, match="not in table"):
+        eng.insert_native("INSERT INTO region FORMAT Native",
+                          render_native(bad))
+    with _pytest.raises(ChSqlError, match="not in table"):
+        eng.insert_arrow("INSERT INTO region FORMAT Arrow",
+                         render_arrow(bad))
+    with _pytest.raises(ChSqlError, match="not an INSERT"):
+        eng.insert_arrow("SELECT 1", b"")
