@@ -1477,6 +1477,7 @@ class ChSparkEngine:
         ``written_rows`` for the HTTP summary headers."""
         import re as _re
 
+        from clickhouseocp_spark.chsql import ChSqlError
         from clickhouseocp_spark.formats import _rb_spark_to_ch, parse_rowbinary
 
         m = _re.match(

@@ -476,3 +476,16 @@ def test_binary_ingest_error_paths(spark, sf_dir):
                          render_arrow(bad))
     with _pytest.raises(ChSqlError, match="not an INSERT"):
         eng.insert_arrow("SELECT 1", b"")
+
+
+def test_rowbinary_ingest_error_path(spark, sf_dir):
+    """insert_rowbinary's malformed-statement path raises the wire-mapped
+    ChSqlError (was a NameError — same latent bug class as Native/Arrow)."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    with _pytest.raises(ChSqlError, match="not an INSERT"):
+        eng.insert_rowbinary("SELECT 1", b"")
