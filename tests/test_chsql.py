@@ -1525,3 +1525,23 @@ def test_prql_let_bindings(spark):
     assert spark.sql(transpile_prql(q2)).first().n == 4
     with pytest.raises(PrqlError, match="unterminated"):
         transpile_prql("let x = (from t | take 1\nfrom t")
+
+
+def test_file_table_function_pushdown(spark, sf_dir):
+    """The file() direct-read is a first-class scan: filters push to the
+    parquet reader and the projection prunes columns."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.plans.inspect import (
+        pushed_filters,
+        scan_read_schemas,
+    )
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    df = eng.sql(
+        f"SELECT p_partkey FROM file('{sf_dir}/part.parquet') "
+        "WHERE p_partkey < 100"
+    )
+    pf = pushed_filters(df)
+    assert pf and "p_partkey" in pf[0], pf
+    schemas = scan_read_schemas(df)
+    assert schemas and "p_retailprice" not in schemas[0], schemas
