@@ -489,3 +489,21 @@ def test_rowbinary_ingest_error_path(spark, sf_dir):
     eng = ChSparkEngine(sf_dir, spark=spark)
     with _pytest.raises(ChSqlError, match="not an INSERT"):
         eng.insert_rowbinary("SELECT 1", b"")
+
+
+def test_native_multiblock_parse(spark):
+    """parse_native concatenates multiple blocks (CH writes one block per
+    squash window) and refuses blocks with mismatched column names."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.formats import parse_native, render_native
+
+    a = render_native(spark.createDataFrame([(1, "a")], "k int, s string"))
+    b = render_native(spark.createDataFrame([(2, "b"), (3, "c")],
+                                            "k int, s string"))
+    names, types, rows = parse_native(a + b)
+    assert names == ["k", "s"] and len(rows) == 3
+    assert rows[2] == (3, "c")
+    other = render_native(spark.createDataFrame([(9,)], "z int"))
+    with _pytest.raises(ValueError, match="differ across blocks"):
+        parse_native(a + other)
