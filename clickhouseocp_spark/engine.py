@@ -292,8 +292,41 @@ class ChSparkEngine:
 
             return self.spark.sql(transpile_prql(query))
         if dialect == "kusto":
+            import re as _re
+
             from clickhouseocp_spark.kql import transpile_kql
 
+            # `| getschema` needs the resolved schema, so it lives at the
+            # ENGINE level: transpile the prefix pipeline, analyze (no
+            # execution — schema comes from the logical plan), and emit
+            # Kusto's introspection shape
+            mgs = _re.match(r"(?s)^(.*?)\|\s*getschema\s*$", query.strip())
+            if mgs:
+                df = self.spark.sql(transpile_kql(mgs.group(1)))
+                kusto_types = {
+                    "bigint": "long", "int": "int", "smallint": "int",
+                    "tinyint": "int", "double": "real", "float": "real",
+                    "string": "string", "boolean": "bool",
+                    "timestamp": "datetime", "timestamp_ntz": "datetime",
+                    "date": "datetime", "binary": "dynamic",
+                }
+                rows = []
+                for i, f in enumerate(df.schema.fields):
+                    simple = f.dataType.simpleString()
+                    kt = kusto_types.get(
+                        simple,
+                        "dynamic" if simple.startswith(
+                            ("array", "map", "struct")
+                        ) else "string",
+                    )
+                    rows.append(
+                        (f.name, i, f"System.{kt.capitalize()}", kt)
+                    )
+                return self.spark.createDataFrame(
+                    rows,
+                    "ColumnName string, ColumnOrdinal int, "
+                    "DataType string, ColumnType string",
+                )
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)

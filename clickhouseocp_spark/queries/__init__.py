@@ -332,6 +332,8 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_string_ops",
     # --- round-7 PRQL let bindings ---
     "prql_let_bindings",
+    # --- round-7 KQL getschema ---
+    "kql_getschema",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3771,3 +3771,39 @@ sort {o_orderpriority}""",
         "n",
         F.round(F.col("total").cast("double"), 6).alias("total"),
     )
+
+
+@register(
+    "kql_getschema",
+    oracle="""
+SELECT * FROM (VALUES
+  ('event_id', 0, 'System.Long', 'long'),
+  ('ts', 1, 'System.Datetime', 'datetime'),
+  ('event_type', 2, 'System.String', 'string'),
+  ('value', 3, 'System.Real', 'real'),
+  ('dv', 4, 'System.Real', 'real'),
+  ('tags', 5, 'System.Dynamic', 'dynamic')
+) t(ColumnName, ColumnOrdinal, DataType, ColumnType)
+""",
+    tags=("kql", "dialect", "introspection"),
+)
+def kql_getschema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``getschema`` (round 7): schema introspection mid-pipeline.
+    It needs the resolved schema, so it lives at the ENGINE level — the
+    prefix pipeline is transpiled and ANALYZED (never executed; the schema
+    comes from the logical plan) and the Kusto introspection shape
+    (ColumnName/ColumnOrdinal/DataType/ColumnType) is emitted.  The oracle
+    pins the expected rows closed-form, covering the long/datetime/string/
+    real/dynamic type mappings."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| project event_id, ts, event_type, value
+| extend dv = todouble(value), tags = pack_array('a', 'b')
+| getschema
+""",
+        dialect="kusto",
+    )
