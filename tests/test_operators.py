@@ -1767,3 +1767,31 @@ def test_round7_pipeline_plan_shapes(spark, sf_dir):
     df = qs["url_canonical_dedup"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1, formatted_plan(df)
     assert "Join" not in df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_round7_edge_cases(spark):
+    """Round-7 edges: lowercase ULIDs decode identically (Crockford is
+    case-insensitive), canonicalize_url propagates NULL, and the AVI
+    decoder handles a single-frame container."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions import clickhouse_names as ch
+    from clickhouseocp_spark.functions.text import canonicalize_url
+    from clickhouseocp_spark.sources.avicodec import decode_avi_mjpeg, encode_avi_mjpeg
+
+    r = spark.createDataFrame([(1,)], "x int").select(
+        F.unix_millis(
+            ch.ULIDStringToDateTime(F.lit("01an4z07by79ka1307sr9x4mv3"))
+        ).alias("lo"),
+        F.unix_millis(
+            ch.ULIDStringToDateTime(F.lit("01AN4Z07BY79KA1307SR9X4MV3"))
+        ).alias("up"),
+        canonicalize_url(F.lit(None).cast("string")).alias("cn"),
+    ).first()
+    assert r.lo == r.up == 1465824320894
+    assert r.cn is None
+    w, h, fps, frames = decode_avi_mjpeg(
+        encode_avi_mjpeg([np.zeros((8, 12, 3), dtype=np.uint8)], fps=1)
+    )
+    assert (w, h, fps, len(frames)) == (12, 8, 1.0, 1)
