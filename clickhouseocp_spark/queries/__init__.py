@@ -336,6 +336,14 @@ _DRIVER_WINDOW_R9: list[str] = [
     "kql_getschema",
 ]
 
+#: Round-10 window: every query ADDED during round 8 is appended here at
+#: birth (same staging-at-birth contract as _DRIVER_WINDOW_R9, enforced by
+#: the registry-hygiene pytest).  Round-8 records _DRIVER_WINDOW_R8 (48) +
+#: the first 2 of _DRIVER_WINDOW_R9; round 9 records the remaining 30 of R9
+#: plus the head of this list — keep this list ≤ 20 so full-registry driver
+#: coverage completes in round 9.
+_DRIVER_WINDOW_R10: list[str] = []
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -521,9 +529,10 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        _DRIVER_WINDOW_R7
-        + _DRIVER_WINDOW_R8
+        _DRIVER_WINDOW_R8
         + _DRIVER_WINDOW_R9
+        + _DRIVER_WINDOW_R10
+        + _DRIVER_WINDOW_R7
         + _DRIVER_WINDOW_R6
         + _DRIVER_WINDOW_R5
         + _DRIVER_WINDOW_R4
