@@ -88,12 +88,18 @@ def _extract_groups_rule(args: list[str]) -> str:
     if not (pat.startswith("'") and pat.endswith("'")):
         raise ChSqlError("extractGroups needs a constant string pattern")
     inner = pat[1:-1]
-    n, i = 0, 0
+    n, i, in_class = 0, 0, False
     while i < len(inner):
         if inner[i] == "\\":
             i += 2
             continue
-        if inner[i] == "(" and not inner[i + 1 : i + 2] == "?":
+        if in_class:
+            if inner[i] == "]":
+                in_class = False
+        elif inner[i] == "[":
+            # '(' inside a bracket expression is a literal, not a group
+            in_class = True
+        elif inner[i] == "(" and not inner[i + 1 : i + 2] == "?":
             n += 1
         i += 1
     if n == 0:

@@ -310,6 +310,16 @@ class ChSparkEngine:
                     "timestamp": "datetime", "timestamp_ntz": "datetime",
                     "date": "datetime", "binary": "dynamic",
                 }
+                # Kusto's getschema DataType column carries CLR type names,
+                # not capitalized kusto names (clients key off these)
+                clr_names = {
+                    "long": "System.Int64", "int": "System.Int32",
+                    "real": "System.Double", "string": "System.String",
+                    "bool": "System.SByte", "datetime": "System.DateTime",
+                    "dynamic": "System.Object",
+                    "decimal": "System.Data.SqlTypes.SqlDecimal",
+                    "timespan": "System.TimeSpan", "guid": "System.Guid",
+                }
                 rows = []
                 for i, f in enumerate(df.schema.fields):
                     simple = f.dataType.simpleString()
@@ -319,9 +329,7 @@ class ChSparkEngine:
                             ("array", "map", "struct")
                         ) else "string",
                     )
-                    rows.append(
-                        (f.name, i, f"System.{kt.capitalize()}", kt)
-                    )
+                    rows.append((f.name, i, clr_names[kt], kt))
                 return self.spark.createDataFrame(
                     rows,
                     "ColumnName string, ColumnOrdinal int, "

@@ -401,7 +401,9 @@ def _expr(e: str) -> str:
         lambda m: (
             f"lower({m.group(1)}) IN ("
             + ", ".join(
-                f"lower({v.strip()})" for v in m.group(2).split(",")
+                # quote-aware split: a comma inside a quoted literal
+                # (e.g. 'a,b') must not be split mid-literal
+                f"lower({v.strip()})" for v in _split_top(m.group(2))
             )
             + ")"
         ),

@@ -3777,12 +3777,12 @@ sort {o_orderpriority}""",
     "kql_getschema",
     oracle="""
 SELECT * FROM (VALUES
-  ('event_id', 0, 'System.Long', 'long'),
-  ('ts', 1, 'System.Datetime', 'datetime'),
+  ('event_id', 0, 'System.Int64', 'long'),
+  ('ts', 1, 'System.DateTime', 'datetime'),
   ('event_type', 2, 'System.String', 'string'),
-  ('value', 3, 'System.Real', 'real'),
-  ('dv', 4, 'System.Real', 'real'),
-  ('tags', 5, 'System.Dynamic', 'dynamic')
+  ('value', 3, 'System.Double', 'real'),
+  ('dv', 4, 'System.Double', 'real'),
+  ('tags', 5, 'System.Object', 'dynamic')
 ) t(ColumnName, ColumnOrdinal, DataType, ColumnType)
 """,
     tags=("kql", "dialect", "introspection"),

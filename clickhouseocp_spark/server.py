@@ -203,6 +203,35 @@ class ChHttpServer:
                         self._reply(400, "malformed gzip body\n", extra=hdrs)
                         return
                 query = params.get("query", "")
+                session = outer._session(params.get("session_id"))
+                # readonly is sticky: "1" from EITHER the query param or the
+                # session setting enforces it; an explicit readonly=0 param
+                # cannot override a session-level readonly=1 (CH forbids
+                # decreasing readonly once set).
+                readonly = "1" in (
+                    params.get("readonly"),
+                    (session or {}).get("readonly"),
+                )
+                if (
+                    readonly
+                    and body
+                    and re.search(
+                        r"(?is)FORMAT\s+(Arrow(Stream)?|Native"
+                        r"|RowBinary(WithNamesAndTypes)?)\s*$",
+                        query or "",
+                    )
+                ):
+                    # binary bulk-ingest is a mutation: refuse BEFORE
+                    # dispatching to the Arrow/Native/RowBinary handlers
+                    self._reply(
+                        500,
+                        "Cannot execute query in readonly mode\n",
+                        extra={
+                            **hdrs,
+                            "X-ClickHouse-Exception-Code": str(_CODE_READONLY),
+                        },
+                    )
+                    return
                 if body and re.search(
                     r"(?is)FORMAT\s+Arrow(Stream)?\s*$", query or ""
                 ):
@@ -309,11 +338,7 @@ class ChHttpServer:
                     self._reply(400, "no query\n", extra=hdrs)
                     return
 
-                session = outer._session(params.get("session_id"))
-                if (
-                    params.get("readonly")
-                    or (session or {}).get("readonly")
-                ) == "1" and query.lstrip().split(None, 1)[0].upper() in (
+                if readonly and query.lstrip().split(None, 1)[0].upper() in (
                     _WRITE_HEADS
                 ):
                     self._reply(
@@ -326,6 +351,22 @@ class ChHttpServer:
                     )
                     return
                 mset = _SET_RE.match(query)
+                if (
+                    mset
+                    and readonly
+                    and mset.group(1).lower() == "readonly"
+                    and mset.group(2).strip().strip("'") != "1"
+                ):
+                    # readonly can never be decreased once set (CH semantics)
+                    self._reply(
+                        500,
+                        "Cannot modify 'readonly' setting in readonly mode\n",
+                        extra={
+                            **hdrs,
+                            "X-ClickHouse-Exception-Code": str(_CODE_READONLY),
+                        },
+                    )
+                    return
                 if mset and session is not None:
                     # session-scoped SET: persists for this session_id only,
                     # does not leak into the shared engine (CH semantics)

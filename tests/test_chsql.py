@@ -847,6 +847,9 @@ def test_kql_transpile_mechanics():
         transpile_kql("t | mv-expand f(x)")
     with pytest.raises(KqlError, match="must start with a table name"):
         transpile_kql("select * from t | take 1")
+    # in~ splits quote-aware: a comma INSIDE a quoted literal stays intact
+    s = transpile_kql("t | where lang in~ ('a,b', 'c')")
+    assert "lower(lang) IN (lower('a,b'), lower('c'))" in s
 
 
 def test_kql_end_to_end(spark, sf_dir):

@@ -412,6 +412,79 @@ def test_readonly_mode(http_engine):
     assert status == 200 and body.strip() == "25"
 
 
+def test_readonly_blocks_binary_ingest(http_engine, spark):
+    """readonly=1 must refuse the binary bulk-ingest paths (RowBinary /
+    Native / Arrow POST bodies) with code 164 BEFORE dispatch — they are
+    mutations even though their dispatch precedes the text-path gate."""
+    from clickhouseocp_spark.formats import render_native, render_rowbinary
+
+    payload_df = spark.createDataFrame(
+        [(92, "NOLAND")], "r_regionkey int, r_name string"
+    )
+    for fmt, body in (
+        ("RowBinary", render_rowbinary(payload_df)),
+        ("Native", render_native(payload_df)),
+    ):
+        q = urllib.parse.quote(f"INSERT INTO region FORMAT {fmt}")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{http_engine.port}/?query={q}&readonly=1",
+            data=body,
+            method="POST",
+        )
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req)
+        assert exc.value.code == 500, fmt
+        assert exc.value.headers["X-ClickHouse-Exception-Code"] == "164", fmt
+    # nothing landed
+    n = _get(
+        http_engine,
+        "/?query="
+        + urllib.parse.quote(
+            "SELECT count() AS n FROM region WHERE r_regionkey = 92"
+        ),
+    )[1]
+    assert n.strip() == "0"
+
+
+def test_readonly_is_sticky(http_engine):
+    """A session-level readonly=1 cannot be lowered: an explicit
+    readonly=0 query param does not override it, and `SET readonly=0`
+    inside the session is refused with code 164 (CH forbids decreasing
+    readonly once set)."""
+    sid = "readonly-sticky-session"
+    q = urllib.parse.quote("SET readonly = '1'")
+    status, _, _ = _get(http_engine, f"/?query={q}&session_id={sid}")
+    assert status == 200
+
+    # param readonly=0 does not override the session setting
+    ins = urllib.parse.quote("INSERT INTO region FORMAT CSV")
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_engine.port}/?query={ins}"
+        f"&session_id={sid}&readonly=0",
+        data=b"99,X",
+        method="POST",
+    )
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(req)
+    assert exc.value.code == 500
+    assert exc.value.headers["X-ClickHouse-Exception-Code"] == "164"
+
+    # SET readonly=0 refused while the session is readonly
+    low = urllib.parse.quote("SET readonly = '0'")
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(
+            f"http://127.0.0.1:{http_engine.port}/?query={low}"
+            f"&session_id={sid}"
+        )
+    assert exc.value.code == 500
+    assert exc.value.headers["X-ClickHouse-Exception-Code"] == "164"
+
+    # reads keep working in the readonly session
+    rq = urllib.parse.quote("SELECT count() AS n FROM nation")
+    status, body, _ = _get(http_engine, f"/?query={rq}&session_id={sid}")
+    assert status == 200 and body.strip() == "25"
+
+
 def test_arrow_format_wire(spark, sf_dir):
     """FORMAT Arrow / ArrowStream: IPC bytes over HTTP both directions
     (render via Spark's own Arrow conversion; INSERT ingest with name
