@@ -219,6 +219,16 @@ def main() -> None:
     spread: dict[str, list[float]] = {}
     retried: list[str] = []
     for name, fn in fns.items():
+        # Cache-lifecycle pin (round-8, r7 verdict wrong #1): operators
+        # persist shared relations (IVF assignments, postings, fingerprints)
+        # and the suite never unpersisted them, so block-manager occupancy
+        # grew across ~60 queries and eviction interplay made late-suite
+        # numbers drift on UNTOUCHED code (ivfpq 1.26->1.57s r6->r7;
+        # standalone A/B at idle: 1.96s alone vs 1.57 in-suite — suite
+        # cache state, not a plan change).  Clearing between queries makes
+        # each number self-contained: the warmup run below re-populates
+        # exactly the caches the query itself builds.
+        spark.catalog.clearCache()
         fn(spark, sf_dir).count()  # per-plan warmup (codegen compile)
         runs = _time_query(fn, spark, sf_dir)
         med = sorted(runs)[1]
