@@ -900,6 +900,249 @@ def _mv_apply(sub: str, rest: str) -> str:
     )
 
 
+#: SQL keywords that must never be qualified as row-field references when
+#: rewriting a scan-step predicate into a lambda body.
+_SCAN_KEYWORDS = frozenset(
+    "and or not true false null case when then else end in like rlike ilike "
+    "is between distinct cast as interval timestamp date array struct map "
+    "double bigint int smallint tinyint string boolean float decimal "
+    "current_timestamp current_date asc desc".split()
+)
+
+
+def _qualify_idents(expr: str, prefix: str) -> str:
+    """Rewrite bare column identifiers in a SQL expression to
+    ``<prefix><name>`` (lambda-variable field refs), leaving string
+    literals, function calls, keywords, and already-qualified refs alone.
+    String literals are masked first so words inside them never match."""
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, expr)
+
+    def _sub(m: "re.Match[str]") -> str:
+        w = m.group(0)
+        return w if w.lower() in _SCAN_KEYWORDS else prefix + w
+
+    masked = re.sub(
+        r"(?<![\w.\x00])[A-Za-z_]\w*(?!\s*\()(?![\w.])", _sub, masked
+    )
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
+
+
+def _scan(
+    sub: str, rest: str, last_order: str | None, keys: list[str] | None = None
+) -> str:
+    """Lower Kusto's ``scan`` operator — the stateful row machine — in its
+    common LINEAR-pattern subset: ``scan [with_match_id=m] with (step s1:
+    pred1; step s2: pred2; ...)`` (no ``declare`` state variables, no
+    ``=>`` assignments, no branching).
+
+    Semantics of the subset (greedy single machine, the sessionize/
+    windowFunnel lowering): rows are consumed in the serialized order
+    pinned by the REQUIRED preceding ``sort by``; a row that satisfies the
+    next-needed step's predicate is emitted and advances the machine;
+    completing the last step closes the match (match_id increments) and the
+    machine resets; other rows pass through unmatched (not emitted).  Full
+    Kusto additionally spawns concurrent machines on every step-1 match
+    (documented deviation).
+
+    Bare ``scan`` runs ONE machine over the whole serialized stream —
+    faithful to Kusto, but single-partition (the bounded tier).  The
+    scalable form is ``partition by k ( sort by ... | scan ... )``, which
+    passes ``keys`` here and runs one machine per key.
+
+    Plan shape (keyed form): ONE shuffle — the row_number window on the
+    keys; the groupBy that follows reuses the window's hash partitioning,
+    the fold is a single JVM ``aggregate`` over the per-key sorted row
+    array, and the matches explode in place (zero joins; the typed
+    empty-array init is derived from the data via ``transform(slice(rows,
+    1, 0), ...)`` so no schema knowledge is needed at transpile time).
+    Pytest gates the single exchange."""
+    if last_order is None:
+        raise KqlError(
+            "scan needs a preceding sort (serialized row order)"
+        )
+    keys = keys or []
+    m = re.match(
+        r"^(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?with\s*\((.+)\)\s*$",
+        rest.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            f"scan subset: '[with_match_id=m] with (step name: pred; ...)', "
+            f"got {rest!r}"
+        )
+    match_id, steps_txt = m.group(1), m.group(2)
+    steps: list[tuple[str, str]] = []
+    for item in _split_top(steps_txt, ";"):
+        if not item.strip():
+            continue
+        ms = re.match(
+            r"^step\s+([A-Za-z_]\w*)\s*:\s*(.+)$", item.strip(),
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not ms:
+            raise KqlError(f"scan: each step is 'step name: pred', got {item!r}")
+        if re.search(r"=>", ms.group(2)):
+            raise KqlError(
+                "scan subset: step assignments (=>) are not supported "
+                "(no declare state variables)"
+            )
+        steps.append((ms.group(1), _qualify_idents(_expr(ms.group(2)), "__r.__row.")))
+    if not steps:
+        raise KqlError("scan needs at least one step")
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    grp = f" GROUP BY {', '.join('__row.' + k for k in keys)}" if keys else ""
+    n = len(steps)
+    whens = []
+    for i, (sname, pred) in enumerate(steps):
+        last = i == n - 1
+        nxt = 0 if last else i + 1
+        mid = "a.mid + CAST(1 AS BIGINT)" if last else "a.mid"
+        whens.append(
+            f"WHEN a.cur = {i} AND ({pred}) THEN named_struct("
+            f"'cur', {nxt}, 'mid', {mid}, 'out', a.out || array("
+            f"named_struct('__row', __r.__row, '__step', '{sname}', "
+            f"'__mid', a.mid)))"
+        )
+    fold = "CASE\n      " + "\n      ".join(whens) + "\n      ELSE a END"
+    out_cols = "__m.__row.*"
+    if match_id:
+        out_cols += f", __m.__mid AS {match_id}"
+    return f"""SELECT {out_cols} FROM (
+  SELECT aggregate(
+    __rows,
+    named_struct('cur', 0, 'mid', CAST(0 AS BIGINT), 'out',
+      transform(slice(__rows, 1, 0), __r -> named_struct('__row', __r.__row,
+        '__step', '', '__mid', CAST(0 AS BIGINT)))),
+    (a, __r) -> {fold},
+    a -> a.out) AS __ms
+  FROM (
+    SELECT sort_array(collect_list(struct(__rn, __row))) AS __rows FROM (
+      SELECT __rn, struct(* EXCEPT (__rn)) AS __row FROM (
+        SELECT *, row_number() OVER ({part}ORDER BY {last_order}) AS __rn
+        FROM {sub}
+      ) __sc0
+    ) __sc1{grp}
+  ) __sc2
+) __sc3 LATERAL VIEW explode(__ms) __sct AS __m"""
+
+
+def _partition(sub: str, rest: str) -> str:
+    """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
+    apply.  The subquery runs logically per key value and results union;
+    the subset lowers every stage to key-aware relational forms so the
+    whole thing costs NO shuffle beyond the partition key itself:
+
+    - ``where`` / ``extend``: key-independent, pass through unchanged
+    - ``sort by``: records the per-key serialization order (no global sort
+      is emitted — ordering inside a partition only matters to the stages
+      below)
+    - ``top N by X``: per-key row_number window over X
+    - ``take N``: per-key row_number window over the recorded sort
+    - ``summarize aggs [by cols]``: GROUP BY (Key + cols) — the partition
+      key joins the group keys, exactly Kusto's output shape
+    - ``scan ...``: the stateful row machine with one machine PER KEY (the
+      scalable form; see :func:`_scan`)
+
+    Every lowered form shuffles on (or subsumes) the partition key once;
+    pytest gates the scan form's single exchange."""
+    m = re.match(
+        r"^by\s+([A-Za-z_]\w*)\s*\((.+)\)\s*$", rest.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            f"partition needs 'by Key ( <subpipeline> )', got {rest!r}"
+        )
+    key, pipe = m.group(1), m.group(2).strip()
+    rel = f"SELECT * FROM {sub}"
+    sub_order: str | None = None
+    for i, st in enumerate(s.strip() for s in _split_top(pipe, "|")):
+        if not st:
+            raise KqlError("partition: empty subpipeline stage")
+        wrap = f"({rel}) __p{i}"
+        kw = st.split(None, 1)
+        op = kw[0].lower()
+        arg = kw[1] if len(kw) > 1 else ""
+        if op == "where":
+            rel = f"SELECT * FROM {wrap} WHERE {_expr(arg)}"
+        elif op == "extend":
+            items = ", ".join(_alias_item(x) for x in _split_top(arg))
+            rel = f"SELECT *, {items} FROM {wrap}"
+        elif op in ("sort", "order"):
+            sub_order = _order_list(
+                re.sub(r"^by\s+", "", arg, flags=re.IGNORECASE)
+            )
+        elif op == "top":
+            mt = re.match(r"^(\d+)\s+by\s+(.+)$", arg, re.IGNORECASE | re.DOTALL)
+            if not mt:
+                raise KqlError(f"partition top needs 'top N by expr', got {arg!r}")
+            sub_order = _order_list(mt.group(2))
+            rel = (
+                f"SELECT * EXCEPT (__pr) FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {key} ORDER BY {sub_order}) AS __pr "
+                f"FROM {wrap}) __pt{i} WHERE __pr <= {mt.group(1)}"
+            )
+        elif op in ("take", "limit"):
+            if sub_order is None:
+                raise KqlError(
+                    "partition take needs a preceding sort (per-key order)"
+                )
+            rel = (
+                f"SELECT * EXCEPT (__pr) FROM (SELECT *, row_number() OVER "
+                f"(PARTITION BY {key} ORDER BY {sub_order}) AS __pr "
+                f"FROM {wrap}) __pt{i} WHERE __pr <= {int(arg)}"
+            )
+        elif op == "summarize":
+            mb = re.search(r"\bby\b", arg, re.IGNORECASE)
+            if mb:
+                aggs_txt = arg[: mb.start()].strip()
+                keys_txt = arg[mb.end():].strip()
+            else:
+                aggs_txt, keys_txt = arg.strip(), ""
+            agg_items = [
+                _alias_item(x, agg=True) for x in _split_top(aggs_txt)
+            ]
+            extra = [_expr(x) for x in _split_top(keys_txt)] if keys_txt else []
+            grp = ", ".join([key] + extra)
+            sel = ", ".join([key] + extra + agg_items)
+            rel = f"SELECT {sel} FROM {wrap} GROUP BY {grp}"
+        elif op == "scan":
+            rel = _scan(wrap, arg, sub_order, keys=[key])
+        else:
+            raise KqlError(
+                f"partition: unsupported subpipeline stage {op!r} (subset: "
+                "where, extend, sort, top, take, summarize, scan)"
+            )
+    return rel
+
+
+def _facet(sub: str, rest: str) -> str:
+    """Lower ``facet by c1, c2, ...`` — Kusto returns one value-count table
+    per column; the single-DataFrame model encodes that union-style as
+    (facet, value, count_) rows (documented deviation — the per-column
+    tables are the ``facet = 'c'`` slices)."""
+    m = re.match(r"^by\s+(.+)$", rest.strip(), re.IGNORECASE | re.DOTALL)
+    if not m:
+        raise KqlError(f"facet needs 'by col[, col...]', got {rest!r}")
+    parts = []
+    for c in _split_top(m.group(1)):
+        if not re.match(r"^[A-Za-z_]\w*$", c.strip()):
+            raise KqlError(f"facet subset: plain column names only, got {c!r}")
+        c = c.strip()
+        parts.append(
+            f"SELECT '{c}' AS facet, CAST({c} AS STRING) AS value, "
+            f"count(*) AS count_ FROM {sub} GROUP BY {c}"
+        )
+    return " UNION ALL ".join(parts)
+
+
 def _top_nested(sub: str, rest: str) -> str:
     """Lower ``top-nested N1 of K1 by [n1 =] agg1, top-nested N2 of K2 by
     ... `` — Kusto's hierarchical top-k.  Arbitrary depth: level k joins the
@@ -1192,6 +1435,20 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
                 f"SELECT {col}, {agg} AS {out_col} FROM {sub} "
                 f"GROUP BY {col} ORDER BY {out_col} DESC, {col} LIMIT {n}"
             )
+        elif op == "scan":
+            # the preceding sort exists only to serialize rows for the scan;
+            # the lowering re-states it inside the per-key window, so strip
+            # the trailing ORDER BY — otherwise the plan pays a redundant
+            # global range exchange below the window's hash exchange
+            base = rel
+            if last_order and base.endswith(f" ORDER BY {last_order}"):
+                base = base[: -len(f" ORDER BY {last_order}")]
+            sub = f"({base}) __k{i}" if " " in base or base.startswith("(") else base
+            rel = _scan(sub, rest, last_order)
+        elif op == "partition":
+            rel = _partition(sub, rest)
+        elif op == "facet":
+            rel = _facet(sub, rest)
         elif op == "serialize":
             if not rest.strip():
                 rel = f"SELECT * FROM {sub}"  # marker only

@@ -342,7 +342,11 @@ _DRIVER_WINDOW_R9: list[str] = [
 #: the first 2 of _DRIVER_WINDOW_R9; round 9 records the remaining 30 of R9
 #: plus the head of this list — keep this list ≤ 20 so full-registry driver
 #: coverage completes in round 9.
-_DRIVER_WINDOW_R10: list[str] = []
+_DRIVER_WINDOW_R10: list[str] = [
+    # --- round-8 KQL scan / partition / facet operators ---
+    "kql_scan_steps",
+    "kql_partition_facet",
+]
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---

@@ -3807,3 +3807,131 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_scan_steps",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn, 0 AS cur, CAST(0 AS BIGINT) AS mid,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+         FALSE AS emitted, CAST(0 AS BIGINT) AS emit_mid
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT b.user_id, b.rn,
+    CASE WHEN m.cur = 0 AND b.event_type = 'signup' THEN 1
+         WHEN m.cur = 1 AND b.event_type = 'click' THEN 2
+         WHEN m.cur = 2 AND b.event_type = 'purchase' THEN 0
+         ELSE m.cur END,
+    CASE WHEN m.cur = 2 AND b.event_type = 'purchase' THEN m.mid + 1
+         ELSE m.mid END,
+    b.ts, b.event_type,
+    (m.cur = 0 AND b.event_type = 'signup')
+      OR (m.cur = 1 AND b.event_type = 'click')
+      OR (m.cur = 2 AND b.event_type = 'purchase'),
+    m.mid
+  FROM m JOIN base b ON b.user_id = m.user_id AND b.rn = m.rn + 1
+)
+SELECT user_id, ts, event_type, emit_mid AS m
+FROM m WHERE emitted ORDER BY user_id, ts
+""",
+    tags=("kql", "dialect", "scan", "funnel"),
+)
+def kql_scan_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``scan`` (round 8) — the stateful row machine, linear-pattern
+    subset, in its scalable per-key form via ``partition by``: one greedy
+    machine per user walks signup→click→purchase; each matched row is
+    emitted with its match ordinal (``with_match_id``).  Lowering: the
+    subpipeline's sort serializes rows inside a per-key window, the machine
+    is ONE JVM ``aggregate`` fold over the sorted row array, and matches
+    explode in place — a single exchange total (pytest plan-gated; the
+    driver-level alternative would collect per key).  The oracle replays
+    the identical machine as a DuckDB recursive CTE stepping one row rank
+    at a time, so greedy-advance semantics are pinned exactly, not
+    approximated."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| partition by user_id (
+    sort by ts asc, event_id asc
+    | scan with_match_id=m with (
+        step s1: event_type == 'signup';
+        step s2: event_type == 'click';
+        step s3: event_type == 'purchase'))
+| project user_id, ts, event_type, m
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_partition_facet",
+    oracle="""
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events
+),
+top2 AS (SELECT user_id, event_type, value FROM ranked WHERE rn <= 2),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE), 6)
+           AS total_top2
+  FROM top2
+),
+facets AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_facets,
+         CAST(SUM(count_) AS BIGINT) AS facet_mass
+  FROM (
+    SELECT 'event_type' AS facet, CAST(event_type AS VARCHAR) AS value,
+           COUNT(*) AS count_ FROM events GROUP BY event_type
+    UNION ALL
+    SELECT 'user_id', CAST(user_id AS VARCHAR), COUNT(*)
+    FROM events GROUP BY user_id
+  )
+)
+SELECT agg.n_rows, agg.total_top2, facets.n_facets, facets.facet_mass
+FROM agg, facets
+""",
+    tags=("kql", "dialect", "partition", "facet"),
+)
+def kql_partition_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``partition by`` (groupwise apply) + ``facet by`` (round 8).
+    ``partition by user_id (top 2 by value desc)`` lowers to a per-key
+    row_number window — no shuffle beyond the key; ``facet by a, b``
+    returns Kusto's one-table-per-column as a single (facet, value,
+    count_) union (documented deviation).  Both sides reduce to one
+    certifying row: top-2 row count + decimal total, facet row count +
+    mass (= 2x the table).  The top-2 tie on value is broken by event_id
+    on both engines."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    top2 = eng.sql(
+        "events | partition by user_id (sort by value desc, event_id asc "
+        "| take 2)",
+        dialect="kusto",
+    )
+    facets = eng.sql("events | facet by event_type, user_id", dialect="kusto")
+    a = top2.agg(
+        F.count("*").alias("n_rows"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double"), 6
+        ).alias("total_top2"),
+    )
+    b = facets.agg(
+        F.count("*").alias("n_facets"),
+        F.sum("count_").alias("facet_mass"),
+    )
+    return a.crossJoin(b)

@@ -1548,3 +1548,89 @@ def test_file_table_function_pushdown(spark, sf_dir):
     assert pf and "p_partkey" in pf[0], pf
     schemas = scan_read_schemas(df)
     assert schemas and "p_retailprice" not in schemas[0], schemas
+
+
+def test_kql_scan_partition_facet_mechanics():
+    """Round-8 KQL: scan (stateful row machine, linear subset), partition
+    (groupwise apply), facet — transpile-level checks."""
+    import pytest
+
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    s = transpile_kql(
+        "t | sort by ts asc | scan with_match_id=m with "
+        "(step a: x == 1; step b: x == 2)"
+    )
+    # fold machinery + match-id output + sort internalized into the window
+    assert "aggregate(" in s and "__mid AS m" in s
+    assert "row_number() OVER (ORDER BY ts asc)" in s
+    assert s.count("ORDER BY ts asc") == 1  # input ORDER BY stripped
+    # string literals in predicates are never qualified as field refs
+    s2 = transpile_kql(
+        "t | sort by ts asc | scan with (step a: et == 'x and y')"
+    )
+    assert "__r.__row.et = 'x and y'" in s2
+    with pytest.raises(KqlError, match="preceding sort"):
+        transpile_kql("t | scan with (step a: x == 1)")
+    with pytest.raises(KqlError, match="=>"):
+        transpile_kql("t | sort by ts asc | scan with (step a: x == 1 => y = 2)")
+    with pytest.raises(KqlError, match="at least one step"):
+        transpile_kql("t | sort by ts asc | scan with ( )")
+
+    # partition: scan gets the key (one machine per key); take needs sort
+    p = transpile_kql(
+        "t | partition by k (sort by ts asc | scan with (step a: x == 1))"
+    )
+    assert "PARTITION BY k ORDER BY ts asc" in p
+    p2 = transpile_kql("t | partition by k (sort by v desc | take 3)")
+    assert "row_number() OVER (PARTITION BY k ORDER BY v desc" in p2
+    with pytest.raises(KqlError, match="preceding sort"):
+        transpile_kql("t | partition by k (take 3)")
+    p3 = transpile_kql("t | partition by k (summarize n = count() by g)")
+    assert "GROUP BY k, g" in p3
+    with pytest.raises(KqlError, match="unsupported subpipeline"):
+        transpile_kql("t | partition by k (mv-expand x)")
+
+    f = transpile_kql("t | facet by a, b")
+    assert f.count("UNION ALL") == 1 and "'a' AS facet" in f
+    with pytest.raises(KqlError, match="plain column"):
+        transpile_kql("t | facet by f(x)")
+
+
+def test_kql_scan_single_exchange_and_values(spark, sf_dir):
+    """The keyed scan plan pays exactly ONE exchange (the per-key window;
+    the groupBy reuses its hash partitioning, matches explode in place) and
+    the greedy machine emits the right rows."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| partition by user_id (
+    sort by ts asc, event_id asc
+    | scan with_match_id=m with (
+        step s1: event_type == 'signup';
+        step s2: event_type == 'purchase'))
+| project user_id, ts, event_type, m
+""",
+        dialect="kusto",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+    rows = df.orderBy("user_id", "ts").collect()
+    assert rows, "scan found no signup->purchase sequences"
+    # per user: step alternation signup,purchase,... and match ids 0,1,2...
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for seq in by_user.values():
+        for i, r in enumerate(seq):
+            assert r.event_type == ("signup" if i % 2 == 0 else "purchase")
+            assert r.m == i // 2
