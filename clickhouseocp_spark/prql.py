@@ -373,9 +373,17 @@ def _transpile_steps(steps: list[str], lets: dict[str, str] | None = None) -> st
             if side is None:
                 raise PrqlError(f"join: unknown side {m.group(1)!r}")
             alias_n += 1
+            cond = m.group(3).strip()
+            ms = re.match(r"^==\s*([A-Za-z_]\w*)$", cond)
+            if ms:
+                # PRQL's `(==col)` self-equality shorthand: equi-join on the
+                # same-named column of both sides
+                on = f"_p{alias_n}.{ms.group(1)} = {m.group(2)}.{ms.group(1)}"
+            else:
+                on = _expr(cond)
             rel = (
                 f"SELECT * FROM ({rel}) AS _p{alias_n} {side} {m.group(2)}"
-                f" ON {_expr(m.group(3))}"
+                f" ON {on}"
             )
         elif head == "group":
             mw = re.match(
@@ -388,11 +396,37 @@ def _transpile_steps(steps: list[str], lets: dict[str, str] | None = None) -> st
                 body = mw.group(2).split(None, 1)[1]
                 wrap("*, " + ", ".join(_window_items(body, last_sort, keys)))
                 continue
+            mt = re.match(
+                r"^(\{[^}]*\}|[A-Za-z_]\w*)\s*\(\s*sort\s+(\{[^}]*\}|\S+)"
+                r"\s*\|\s*take\s+(\d+)\s*\)$",
+                rest,
+                re.S,
+            )
+            if mt:
+                # group {keys} (sort {...} | take n) — top-n per group,
+                # lowered to a per-key row_number window (per-partition
+                # heaps at scale, never a global sort)
+                keys = [_expr(k) for k in _tuple_body(mt.group(1), "group keys")]
+                order = []
+                for k in _tuple_body(mt.group(2), "group sort"):
+                    k = k.strip()
+                    order.append(
+                        f"{_expr(k[1:])} DESC" if k.startswith("-") else _expr(k)
+                    )
+                alias_n += 1
+                rel = (
+                    f"SELECT * EXCEPT (__gr) FROM (SELECT *, row_number() "
+                    f"OVER (PARTITION BY {', '.join(keys)} ORDER BY "
+                    f"{', '.join(order)}) AS __gr FROM ({rel}) AS _p{alias_n}) "
+                    f"AS _pt{alias_n} WHERE __gr <= {int(mt.group(3))}"
+                )
+                continue
             m = re.match(r"^(\{[^}]*\}|[A-Za-z_]\w*)\s*\(\s*aggregate\s+(.+?)\s*\)$", rest, re.S)
             if not m:
                 raise PrqlError(
-                    f"group: expected `group {{keys}} (aggregate {{...}})` or "
-                    f"`group {{keys}} (window ...)`, got {rest!r}"
+                    f"group: expected `group {{keys}} (aggregate {{...}})`, "
+                    f"`group {{keys}} (window ...)`, or `group {{keys}} "
+                    f"(sort {{...}} | take n)`, got {rest!r}"
                 )
             keys = [_expr(k) for k in _tuple_body(m.group(1), "group keys")]
             aggs = _assignments(_tuple_body(m.group(2), "aggregate"), agg=True)

@@ -346,6 +346,9 @@ _DRIVER_WINDOW_R10: list[str] = [
     # --- round-8 KQL scan / partition / facet operators ---
     "kql_scan_steps",
     "kql_partition_facet",
+    # --- round-8 PRQL completion: sided joins + top-n per group ---
+    "prql_join_sides",
+    "prql_group_topn",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -3935,3 +3935,79 @@ def kql_partition_facet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("count_").alias("facet_mass"),
     )
     return a.crossJoin(b)
+
+
+@register(
+    "prql_join_sides",
+    oracle="""
+WITH l AS (
+  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_mktsegment
+),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS full_n
+  FROM customer FULL JOIN orders ON c_custkey = o_custkey
+)
+SELECT l.c_mktsegment, l.n, l.n_orders, f.full_n
+FROM l, f ORDER BY l.c_mktsegment
+""",
+    tags=("prql", "dialect", "join"),
+)
+def prql_join_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL ``join side:left`` / ``side:full`` (round 8): the sided joins
+    compile to LEFT/FULL JOIN subqueries; customers without orders survive
+    the left join (n counts them, n_orders does not), and the full-join
+    row count rides along as a second certifying figure.  The ``(==col)``
+    self-equality shorthand is transpile-tested (TPC-H columns are
+    prefix-named, so no cross-table pair shares a name to demo it on)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    left = eng.sql(
+        """from customer
+| join side:left orders (c_custkey == o_custkey)
+| group {c_mktsegment} (aggregate {n = count this, n_orders = count o_orderkey})""",
+        dialect="prql",
+    )
+    full = eng.sql(
+        """from customer
+| join side:full orders (c_custkey == o_custkey)
+| aggregate {full_n = count this}""",
+        dialect="prql",
+    )
+    return left.crossJoin(full).select(
+        "c_mktsegment", "n", "n_orders", "full_n"
+    )
+
+
+@register(
+    "prql_group_topn",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem
+) t WHERE rn <= 2 ORDER BY l_orderkey, l_linenumber
+""",
+    tags=("prql", "dialect", "window"),
+)
+def prql_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL ``group {keys} (sort {...} | take n)`` (round 8) — top-n per
+    group, the most-used PRQL form after aggregate.  Lowers to a per-key
+    row_number window (per-partition heaps at scale — never a global
+    sort); the descending price tie breaks on l_linenumber so both engines
+    select identical rows."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """from lineitem
+| group {l_orderkey} (sort {-l_extendedprice, l_linenumber} | take 2)
+| select {l_orderkey, l_linenumber, l_extendedprice}""",
+        dialect="prql",
+    )

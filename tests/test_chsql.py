@@ -1634,3 +1634,24 @@ events
         for i, r in enumerate(seq):
             assert r.event_type == ("signup" if i % 2 == 0 else "purchase")
             assert r.m == i // 2
+
+
+def test_prql_round8_join_group_forms():
+    """Round-8 PRQL: the (==col) join shorthand qualifies both sides, and
+    group {k} (sort | take n) lowers to a per-key row_number window."""
+    import pytest
+
+    from clickhouseocp_spark.prql import PrqlError, transpile_prql
+
+    s = transpile_prql("from orders | join customer (==o_custkey)")
+    assert "ON _p1.o_custkey = customer.o_custkey" in s
+    t = transpile_prql(
+        "from lineitem | group {l_orderkey} (sort {-l_extendedprice} | take 2)"
+    )
+    assert (
+        "row_number() OVER (PARTITION BY l_orderkey "
+        "ORDER BY l_extendedprice DESC" in t
+    )
+    assert "__gr <= 2" in t and "* EXCEPT (__gr)" in t
+    with pytest.raises(PrqlError, match="group"):
+        transpile_prql("from t | group {k} (take 2)")  # take needs sort
