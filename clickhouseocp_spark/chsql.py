@@ -1210,6 +1210,19 @@ FUNC_RULES: dict[str, object] = {
     "toRelativeHourNum": lambda args: (
         f"cast(floor(unix_timestamp({args[0]}) / 3600) as int)"
     ),
+    # vocabulary batch 15 (round 8): relative month/quarter/week ordinals.
+    # Week ordinal counts Monday-aligned weeks since epoch (1970-01-01 was
+    # a Thursday, hence the +4-day shift before dividing).
+    "toRelativeMonthNum": lambda args: (
+        f"(year({args[0]}) * 12 + month({args[0]}) - 1)"
+    ),
+    "toRelativeQuarterNum": lambda args: (
+        f"(year({args[0]}) * 4 + quarter({args[0]}) - 1)"
+    ),
+    "toRelativeWeekNum": lambda args: (
+        f"cast(floor((floor(unix_timestamp({args[0]}) / 86400) + 4) / 7) "
+        "as int)"
+    ),
     "makeDate": _rename("make_date"),
     "makeDateTime": _rename("make_timestamp"),
     # changeX family (24.7): rebuild the timestamp with one field replaced
@@ -1225,6 +1238,47 @@ FUNC_RULES: dict[str, object] = {
     "substringIndex": _rename("substring_index"),
     "tryBase64Decode": lambda args: (
         f"cast(try_to_binary({args[0]}, 'base64') as string)"
+    ),
+    # vocabulary batch 15 (round 8): set-similarity, clamped running sums,
+    # subsequence / case-insensitive search, capped uniq
+    "arrayJaccardIndex": lambda args: (
+        f"(CAST(size(array_intersect({args[0]}, {args[1]})) AS DOUBLE) / "
+        f"size(array_union({args[0]}, {args[1]})))"
+    ),
+    # running sum that clamps at zero (CH semantics: a negative running
+    # total resets to 0 before the next element is added)
+    "arrayCumSumNonNegative": lambda args: (
+        f"aggregate({args[0]}, named_struct('run', CAST(0 AS BIGINT), "
+        f"'out', CAST(array() AS ARRAY<BIGINT>)), (a, x) -> "
+        f"named_struct('run', greatest(CAST(0 AS BIGINT), a.run + x), "
+        f"'out', a.out || array(greatest(CAST(0 AS BIGINT), a.run + x))), "
+        f"a -> a.out)"
+    ),
+    # subsequence test: one fold over the haystack chars advancing a
+    # pointer into the needle — O(|h|), no regex
+    "hasSubsequence": lambda args: (
+        f"CAST(aggregate(split({args[0]}, ''), 0, (acc, c) -> "
+        f"IF(acc < length({args[1]}) AND c = substring({args[1]}, acc + 1, 1), "
+        f"acc + 1, acc)) = length({args[1]}) AS INT)"
+    ),
+    "hasSubsequenceCaseInsensitive": lambda args: (
+        f"CAST(aggregate(split(lower({args[0]}), ''), 0, (acc, c) -> "
+        f"IF(acc < length({args[1]}) AND c = substring(lower({args[1]}), "
+        f"acc + 1, 1), acc + 1, acc)) = length({args[1]}) AS INT)"
+    ),
+    "countSubstringsCaseInsensitive": lambda args: (
+        f"CAST((length({args[0]}) - length(replace(lower({args[0]}), "
+        f"lower({args[1]}), ''))) / length({args[1]}) AS BIGINT)"
+    ),
+    "positionCaseInsensitive": lambda args: (
+        f"locate(lower({args[1]}), lower({args[0]})"
+        + (f", {args[2]}" if len(args) > 2 else "")
+        + ")"
+    ),
+    "positionCaseInsensitiveUTF8": lambda args: (
+        f"locate(lower({args[1]}), lower({args[0]})"
+        + (f", {args[2]}" if len(args) > 2 else "")
+        + ")"
     ),
     "levenshteinDistance": _rename("levenshtein"),
     "editDistance": _rename("levenshtein"),
@@ -2136,6 +2190,12 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"__v AS __val))), 1, {p[0]}), __s -> __s.__val)"
     ),
     "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    # uniqUpTo(N)(x): exact distinct count while <= N, else N+1 (CH's
+    # bounded-memory contract; exact count is cheap on Spark so the cap is
+    # applied on top of the exact value — a dominating implementation)
+    "uniqUpTo": lambda p, a: (
+        f"least(count(DISTINCT {', '.join(a)}), CAST({p[0]} AS BIGINT) + 1)"
+    ),
     # exact order-statistic quantile variants (CH: nearest-rank, not
     # interpolated): Low = floor rank, High = ceil rank over the sorted set
     "quantileExactLow": lambda p, a: (

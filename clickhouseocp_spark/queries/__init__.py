@@ -349,6 +349,9 @@ _DRIVER_WINDOW_R10: list[str] = [
     # --- round-8 PRQL completion: sided joins + top-n per group ---
     "prql_join_sides",
     "prql_group_topn",
+    # --- round-8 vocabulary batch 15 ---
+    "chsql_vocab_r15",
+    "chsql_uniq_upto",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4011,3 +4011,92 @@ def prql_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 | select {l_orderkey, l_linenumber, l_extendedprice}""",
         dialect="prql",
     )
+
+
+CH_VOCAB_R15 = """
+SELECT event_id,
+       toRelativeMonthNum(ts) AS rel_month,
+       toRelativeQuarterNum(ts) AS rel_quarter,
+       toRelativeWeekNum(ts) AS rel_week,
+       arrayJaccardIndex([toInt64(event_id % 5), 2, 3], [2, 3, 4]) AS jac,
+       arrayCumSumNonNegative([toInt64(value) - 50, 30, toInt64(value) - 80])
+         AS cums,
+       hasSubsequence(event_type, 'cik') AS subseq,
+       hasSubsequenceCaseInsensitive(event_type, 'CIK') AS subseq_ci,
+       countSubstringsCaseInsensitive(event_type, 'C') AS n_c,
+       positionCaseInsensitive(event_type, 'URCH') AS pos_ci
+FROM events WHERE event_id < 200 ORDER BY event_id
+"""
+
+
+@register(
+    "chsql_vocab_r15",
+    oracle="""
+WITH per_row AS (
+  SELECT event_id,
+         (year(ts) * 12 + month(ts) - 1) AS rel_month,
+         (year(ts) * 4 + quarter(ts) - 1) AS rel_quarter,
+         CAST(floor((floor(epoch(ts) / 86400) + 4) / 7) AS INT) AS rel_week,
+         CAST(len(list_intersect([event_id % 5, 2, 3], [2, 3, 4])) AS DOUBLE)
+           / len(list_distinct([event_id % 5, 2, 3] || [2, 3, 4])) AS jac,
+         greatest(0, CAST(floor(value) AS BIGINT) - 50) AS s1,
+         CAST(floor(value) AS BIGINT) AS v,
+         CAST(regexp_matches(event_type, 'c.*i.*k') AS INT) AS subseq,
+         CAST(regexp_matches(lower(event_type), 'c.*i.*k') AS INT)
+           AS subseq_ci,
+         CAST(length(event_type)
+              - length(replace(lower(event_type), 'c', '')) AS BIGINT) AS n_c,
+         strpos(lower(event_type), 'urch') AS pos_ci
+  FROM events WHERE event_id < 200
+)
+SELECT event_id, rel_month, rel_quarter, rel_week, jac,
+       [s1, greatest(0, s1 + 30),
+        greatest(0, greatest(0, s1 + 30) + v - 80)] AS cums,
+       subseq, subseq_ci, n_c, pos_ci
+FROM per_row ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 15 (round 8): relative month/quarter/week ordinals
+    (week counts Monday-aligned weeks since epoch), arrayJaccardIndex,
+    arrayCumSumNonNegative (running sum clamped at zero — one fold, no
+    UDF), hasSubsequence[CaseInsensitive] (a single O(|h|) fold advancing
+    a needle pointer — no backtracking regex), case-insensitive substring
+    count/position.  The oracle replays the clamped cumsum closed-form
+    (the literal array has three elements) and the subsequence test as a
+    DuckDB regex."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(CH_VOCAB_R15, dialect="clickhouse")
+
+
+@register(
+    "chsql_uniq_upto",
+    oracle="""
+SELECT user_id,
+       least(COUNT(DISTINCT event_type), 3 + 1) AS u3,
+       least(COUNT(DISTINCT event_type), 10 + 1) AS u10,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    tags=("chsql", "dialect", "vocabulary", "aggregate"),
+)
+def chsql_uniq_upto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``uniqUpTo(N)(x)`` (round 8): exact distinct count while <= N, else
+    N+1 — CH's bounded-memory cardinality contract.  Exact distinct is
+    cheap on Spark, so the cap applies on top of the exact value (a
+    dominating implementation; same map-side-combinable hash agg as
+    count(DISTINCT))."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT user_id,
+       uniqUpTo(3)(event_type) AS u3,
+       uniqUpTo(10)(event_type) AS u10,
+       count() AS n
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        dialect="clickhouse",
+    )
