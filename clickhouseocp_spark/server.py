@@ -31,9 +31,12 @@ with nothing beyond the stdlib http.server:
   CH JSON shape (string-valued ``read_rows``/``read_bytes``/
   ``written_rows``/``written_bytes``/``total_rows_to_read``/
   ``result_rows``/``result_bytes``/``elapsed_ns``); with
-  ``send_progress_in_http_headers=1`` (param or session setting) one final
-  cumulative ``X-ClickHouse-Progress`` header with the same shape is also
-  emitted (the buffered analog of CH's incremental progress stream).
+  ``send_progress_in_http_headers=1`` (param or session setting) the
+  response streams CH's incremental progress shape: repeated
+  ``X-ClickHouse-Progress`` header fields flushed while the query executes
+  (one per ``http_headers_progress_interval_ms``, default 100 ms, plus the
+  final cumulative event — always ≥2), with a buffered single-event
+  fallback for gzip responses and INSERTs.
   Documented deviation: ``read_rows``/``read_bytes`` report the rows the
   driver materialized into the result, not storage-scan counters — Spark's
   per-scan metrics live in JVM SQL-metric objects the library deliberately
@@ -180,6 +183,117 @@ class ChHttpServer:
                 self.send_header("X-ClickHouse-Server-Display-Name", "spark")
                 for k, v in (extra or {}).items():
                     self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(data)
+
+            def _progress_event(self, t0: int) -> str:
+                """One progress JSON in the CH header shape; task counts
+                from the Spark status tracker stand in for row counters."""
+                import json as _json
+                import time as _time
+
+                done = total = 0
+                try:
+                    tr = outer.engine.spark.sparkContext.statusTracker()
+                    for jid in tr.getActiveJobsIds():
+                        ji = tr.getJobInfo(jid)
+                        for sid in ji.stageIds if ji else ():
+                            si = tr.getStageInfo(sid)
+                            if si:
+                                done += si.numCompletedTasks
+                                total += si.numTasks
+                except Exception:  # noqa: BLE001 — progress is best-effort
+                    pass
+                return _json.dumps(
+                    {
+                        "read_rows": str(done),
+                        "read_bytes": "0",
+                        "written_rows": "0",
+                        "written_bytes": "0",
+                        "total_rows_to_read": str(total),
+                        "elapsed_ns": str(_time.perf_counter_ns() - t0),
+                    },
+                    separators=(",", ":"),
+                )
+
+            def _stream_with_progress(
+                self, execute, params, hdrs, t0, fmt, stats
+            ) -> None:
+                """Incremental X-ClickHouse-Progress: the status line and
+                base headers flush immediately, one additional Progress
+                header field flushes per interval while the query runs on a
+                worker thread, and the final Progress + Summary + body
+                close the response.  ≥2 progress events for any query (one
+                in-flight minimum + the final cumulative one) — CH's
+                chunked-progress contract.  An error after the 200 status
+                line has streamed surfaces as the exception-code header +
+                message body, exactly CH's mid-stream behavior."""
+                import time as _time
+
+                interval = (
+                    float(
+                        params.get("http_headers_progress_interval_ms") or 100
+                    )
+                    / 1000.0
+                )
+                res: dict = {}
+
+                def _work():
+                    try:
+                        res["out"] = execute()
+                    except Exception as e:  # noqa: BLE001 — wire it below
+                        res["err"] = e
+
+                th = threading.Thread(target=_work, daemon=True)
+                self.send_response(200)
+                self.send_header(
+                    "X-ClickHouse-Server-Display-Name", "spark"
+                )
+                for k, v in hdrs.items():
+                    self.send_header(k, v)
+                self.flush_headers()
+                th.start()
+                while True:
+                    th.join(interval)
+                    alive = th.is_alive()
+                    self.send_header(
+                        "X-ClickHouse-Progress", self._progress_event(t0)
+                    )
+                    self.flush_headers()
+                    if not alive:
+                        break
+                err = res.get("err")
+                if err is not None:
+                    msg = f"{type(err).__name__}: {err}\n".encode()
+                    self.send_header(
+                        "X-ClickHouse-Exception-Code",
+                        str(exception_code(err)),
+                    )
+                    self.send_header("Content-Type", _content_type("TabSeparated"))
+                    self.send_header("Content-Length", str(len(msg)))
+                    self.end_headers()
+                    self.wfile.write(msg)
+                    return
+                out = res.get("out") or ""
+                if out and isinstance(out, str) and not out.endswith("\n"):
+                    out += "\n"
+                data = out if isinstance(out, bytes) else out.encode("utf-8")
+                fmt = fmt or "TabSeparated"
+                tz = outer.engine.spark.conf.get(
+                    "spark.sql.session.timeZone", "Etc/UTC"
+                )
+                summary = _summary_json(
+                    result_rows=stats.get("result_rows", 0),
+                    result_bytes=len(data),
+                    written_rows=stats.get("written_rows", 0),
+                    elapsed_ns=_time.perf_counter_ns() - t0,
+                )
+                self.send_header("X-ClickHouse-Progress", summary)
+                self.send_header("X-ClickHouse-Summary", summary)
+                self.send_header("X-ClickHouse-Format", fmt)
+                self.send_header("X-ClickHouse-Timezone", tz or "Etc/UTC")
+                self.send_header("Content-Type", _content_type(fmt))
+                self.send_header("Content-Length", str(len(data)))
                 self.end_headers()
                 self.wfile.write(data)
 
@@ -398,7 +512,8 @@ class ChHttpServer:
 
                 stats = {}
                 t0 = _time.perf_counter_ns()
-                try:
+
+                def _execute():
                     with outer._gate:
                         if (fmt or "").lower() in ("arrow", "arrowstream"):
                             from clickhouseocp_spark.engine import (
@@ -450,6 +565,30 @@ class ChHttpServer:
                             out = outer.engine.run(
                                 query, dialect=dialect, stats=stats
                             )
+                    return out
+
+                progress_on = (
+                    params.get("send_progress_in_http_headers")
+                    or (session or {}).get("send_progress_in_http_headers")
+                ) == "1"
+                if progress_on and not want_gzip and not is_insert:
+                    # CH's incremental progress wire shape: repeated
+                    # X-ClickHouse-Progress header FIELDS streamed while the
+                    # query executes, then the final headers + body.  The
+                    # query runs on a worker thread; each interval the
+                    # handler flushes one more progress header (elapsed_ns
+                    # real; read_rows/total_rows_to_read are the Spark
+                    # status tracker's completed/total task counts — the
+                    # per-row scan counters live in JVM task metrics the
+                    # library deliberately doesn't reach into).  gzip is
+                    # buffered-only (the compressed length must be known
+                    # before headers close), matching the _reply path.
+                    self._stream_with_progress(
+                        _execute, params, hdrs, t0, fmt, stats
+                    )
+                    return
+                try:
+                    out = _execute()
                 except Exception as e:  # noqa: BLE001 — wire errors like CH
                     self._reply(
                         500,
@@ -479,11 +618,9 @@ class ChHttpServer:
                     "X-ClickHouse-Timezone": tz or "Etc/UTC",
                     "X-ClickHouse-Summary": summary,
                 }
-                if (
-                    params.get("send_progress_in_http_headers")
-                    or (session or {}).get("send_progress_in_http_headers")
-                ) == "1":
-                    # buffered server → one final cumulative progress event
+                if progress_on:
+                    # buffered fallback (gzip / INSERT) → one final
+                    # cumulative progress event
                     extra["X-ClickHouse-Progress"] = summary
                 self._reply(
                     200,

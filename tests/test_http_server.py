@@ -278,14 +278,22 @@ def test_summary_header_shape(http_engine):
 
 
 def test_progress_header_opt_in(http_engine):
-    """send_progress_in_http_headers=1 (param or session setting) emits one
-    final cumulative X-ClickHouse-Progress with the Summary shape."""
+    """send_progress_in_http_headers=1 (param or session setting) streams
+    progress events; the FINAL cumulative one equals the Summary (round 8:
+    incremental streaming replaced the single buffered event, so dict()'s
+    first-occurrence view shows an in-flight event — read them all)."""
+    import urllib.request as _rq
+
     q = urllib.parse.quote("SELECT count() AS n FROM nation")
-    _, _, headers = _get(
-        http_engine, f"/?query={q}&send_progress_in_http_headers=1"
-    )
-    p = json.loads(headers["X-ClickHouse-Progress"])
-    assert p == json.loads(headers["X-ClickHouse-Summary"])
+    with _rq.urlopen(
+        f"http://127.0.0.1:{http_engine.port}/?query={q}"
+        "&send_progress_in_http_headers=1"
+    ) as r:
+        events = r.headers.get_all("X-ClickHouse-Progress")
+        summary = r.headers["X-ClickHouse-Summary"]
+    assert len(events) >= 2
+    p = json.loads(events[-1])
+    assert p == json.loads(summary)
     assert p["result_rows"] == "1"
     # session-scoped form
     sid = "sumsess"
@@ -580,3 +588,50 @@ def test_native_multiblock_parse(spark):
     other = render_native(spark.createDataFrame([(9,)], "z int"))
     with _pytest.raises(ValueError, match="differ across blocks"):
         parse_native(a + other)
+
+
+def test_progress_streams_incrementally(http_engine):
+    """send_progress_in_http_headers=1 streams REPEATED
+    X-ClickHouse-Progress header fields (>= 2: in-flight events plus the
+    final cumulative one) with monotonically increasing elapsed_ns."""
+    import http.client
+    import json as _json
+
+    conn = http.client.HTTPConnection("127.0.0.1", http_engine.port)
+    q = urllib.parse.quote(
+        "SELECT count() AS n FROM lineitem l1 JOIN lineitem l2 "
+        "ON l1.l_orderkey = l2.l_orderkey"
+    )
+    conn.request(
+        "GET",
+        f"/?query={q}&send_progress_in_http_headers=1"
+        "&http_headers_progress_interval_ms=50",
+    )
+    r = conn.getresponse()
+    body = r.read()
+    events = r.headers.get_all("X-ClickHouse-Progress")
+    assert r.status == 200 and body.strip().isdigit()
+    assert len(events) >= 2, events
+    elapsed = [int(_json.loads(e)["elapsed_ns"]) for e in events]
+    assert elapsed == sorted(elapsed) and elapsed[-1] > elapsed[0]
+    # the final event equals the Summary (cumulative convergence)
+    assert events[-1] == r.headers["X-ClickHouse-Summary"]
+    conn.close()
+
+
+def test_progress_stream_error_after_headers(http_engine):
+    """A mid-stream failure still carries the CH exception code header
+    (the 200 status line has already been flushed — CH's documented
+    mid-stream behavior)."""
+    import http.client
+
+    conn = http.client.HTTPConnection("127.0.0.1", http_engine.port)
+    q = urllib.parse.quote("SELECT * FROM no_such_table_xyz")
+    conn.request(
+        "GET", f"/?query={q}&send_progress_in_http_headers=1"
+    )
+    r = conn.getresponse()
+    body = r.read().decode()
+    assert r.headers["X-ClickHouse-Exception-Code"] == "60"
+    assert "no_such_table_xyz" in body
+    conn.close()
