@@ -910,11 +910,15 @@ _SCAN_KEYWORDS = frozenset(
 )
 
 
-def _qualify_idents(expr: str, prefix: str) -> str:
+def _qualify_idents(
+    expr: str, prefix: str, overrides: dict[str, str] | None = None
+) -> str:
     """Rewrite bare column identifiers in a SQL expression to
     ``<prefix><name>`` (lambda-variable field refs), leaving string
     literals, function calls, keywords, and already-qualified refs alone.
-    String literals are masked first so words inside them never match."""
+    ``overrides`` maps specific identifiers to full replacements (scan's
+    declared state variables → accumulator field refs).  String literals
+    are masked first so words inside them never match."""
     lits: list[str] = []
 
     def _mask(m: "re.Match[str]") -> str:
@@ -925,6 +929,8 @@ def _qualify_idents(expr: str, prefix: str) -> str:
 
     def _sub(m: "re.Match[str]") -> str:
         w = m.group(0)
+        if overrides and w in overrides:
+            return overrides[w]
         return w if w.lower() in _SCAN_KEYWORDS else prefix + w
 
     masked = re.sub(
@@ -933,13 +939,28 @@ def _qualify_idents(expr: str, prefix: str) -> str:
     return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
 
 
+#: scan declare types → (Spark SQL type, default init literal)
+_SCAN_DECL_TYPES = {
+    "long": ("BIGINT", "0"),
+    "int": ("INT", "0"),
+    "real": ("DOUBLE", "0.0"),
+    "string": ("STRING", "''"),
+    "bool": ("BOOLEAN", "false"),
+    "datetime": ("TIMESTAMP", "NULL"),
+}
+
+
 def _scan(
     sub: str, rest: str, last_order: str | None, keys: list[str] | None = None
 ) -> str:
     """Lower Kusto's ``scan`` operator — the stateful row machine — in its
-    common LINEAR-pattern subset: ``scan [with_match_id=m] with (step s1:
-    pred1; step s2: pred2; ...)`` (no ``declare`` state variables, no
-    ``=>`` assignments, no branching).
+    LINEAR-pattern subset: ``scan [with_match_id=m] [declare (v: type =
+    init, ...)] with (step s1: pred1 [=> v = expr, ...]; ...)`` (no
+    branching).  Declared variables are per-sequence state: step
+    predicates and assignment expressions may read them (pre-row values —
+    simultaneous-assignment semantics), matched rows carry their
+    post-assignment values as output columns, and completing the last
+    step resets them for the next sequence.
 
     Semantics of the subset (greedy single machine, the sessionize/
     windowFunnel lowering): rows are consumed in the serialized order
@@ -967,19 +988,69 @@ def _scan(
             "scan needs a preceding sort (serialized row order)"
         )
     keys = keys or []
-    m = re.match(
-        r"^(?:with_match_id\s*=\s*([A-Za-z_]\w*)\s+)?with\s*\((.+)\)\s*$",
-        rest.strip(),
+    txt = rest.strip()
+    mm = re.match(
+        r"^with_match_id\s*=\s*([A-Za-z_]\w*)\s+(.*)$", txt,
         re.IGNORECASE | re.DOTALL,
     )
-    if not m:
+    match_id = mm.group(1) if mm else None
+    if mm:
+        txt = mm.group(2).strip()
+    # declare (name: type [= init], ...) — per-sequence state variables
+    decls: list[tuple[str, str, str]] = []  # (name, spark_type, init_sql)
+    md = re.match(r"^declare\s*\(", txt, re.IGNORECASE)
+    if md:
+        depth, j, q = 1, md.end(), None
+        while j < len(txt) and depth:
+            ch = txt[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise KqlError("scan declare: unterminated (...)")
+        for item in _split_top(txt[md.end() : j - 1]):
+            mv = re.match(
+                r"^([A-Za-z_]\w*)\s*:\s*(\w+)\s*(?:=\s*(.+))?$",
+                item.strip(),
+                re.DOTALL,
+            )
+            if not mv:
+                raise KqlError(
+                    f"scan declare: each item is 'name: type [= init]', "
+                    f"got {item!r}"
+                )
+            tinfo = _SCAN_DECL_TYPES.get(mv.group(2).lower())
+            if tinfo is None:
+                raise KqlError(
+                    f"scan declare: unsupported type {mv.group(2)!r} "
+                    f"(subset: {', '.join(sorted(_SCAN_DECL_TYPES))})"
+                )
+            init = _expr(mv.group(3)) if mv.group(3) else tinfo[1]
+            decls.append((mv.group(1), tinfo[0], f"CAST({init} AS {tinfo[0]})"))
+        txt = txt[j:].strip()
+    mw = re.match(r"^with\s*\((.+)\)\s*$", txt, re.IGNORECASE | re.DOTALL)
+    if not mw:
         raise KqlError(
-            f"scan subset: '[with_match_id=m] with (step name: pred; ...)', "
-            f"got {rest!r}"
+            "scan subset: '[with_match_id=m] [declare (v: type = init, ...)] "
+            f"with (step name: pred [=> v = expr, ...]; ...)', got {rest!r}"
         )
-    match_id, steps_txt = m.group(1), m.group(2)
-    steps: list[tuple[str, str]] = []
-    for item in _split_top(steps_txt, ";"):
+    var_refs = {name: f"a.__v_{name}" for name, _t, _i in decls}
+    var_names = [name for name, _t, _i in decls]
+
+    def _sx(e: str) -> str:
+        # declared vars read the PRE-row accumulator state; everything else
+        # is a row-field ref (simultaneous-assignment semantics, documented)
+        return _qualify_idents(_expr(e), "__r.__row.", var_refs)
+
+    steps: list[tuple[str, str, dict[str, str]]] = []
+    for item in _split_top(mw.group(1), ";"):
         if not item.strip():
             continue
         ms = re.match(
@@ -988,38 +1059,73 @@ def _scan(
         )
         if not ms:
             raise KqlError(f"scan: each step is 'step name: pred', got {item!r}")
-        if re.search(r"=>", ms.group(2)):
-            raise KqlError(
-                "scan subset: step assignments (=>) are not supported "
-                "(no declare state variables)"
-            )
-        steps.append((ms.group(1), _qualify_idents(_expr(ms.group(2)), "__r.__row.")))
+        body = ms.group(2)
+        assigns: dict[str, str] = {}
+        if "=>" in body:
+            pred_txt, assign_txt = body.split("=>", 1)
+            if not decls:
+                raise KqlError(
+                    "scan: step assignments (=>) need declare'd variables"
+                )
+            for a_item in _split_top(assign_txt):
+                ma = re.match(
+                    r"^([A-Za-z_]\w*)\s*=\s*(.+)$", a_item.strip(), re.DOTALL
+                )
+                if not ma or ma.group(1) not in var_names:
+                    raise KqlError(
+                        f"scan: assignment must target a declared variable, "
+                        f"got {a_item!r}"
+                    )
+                assigns[ma.group(1)] = _sx(ma.group(2))
+        else:
+            pred_txt = body
+        steps.append((ms.group(1), _sx(pred_txt), assigns))
     if not steps:
         raise KqlError("scan needs at least one step")
     part = f"PARTITION BY {', '.join(keys)} " if keys else ""
     grp = f" GROUP BY {', '.join('__row.' + k for k in keys)}" if keys else ""
     n = len(steps)
+    init_vars = "".join(
+        f", '__v_{name}', {init}" for name, _t, init in decls
+    )
     whens = []
-    for i, (sname, pred) in enumerate(steps):
+    for i, (sname, pred, assigns) in enumerate(steps):
         last = i == n - 1
         nxt = 0 if last else i + 1
         mid = "a.mid + CAST(1 AS BIGINT)" if last else "a.mid"
+        post = {
+            name: assigns.get(name, f"a.__v_{name}") for name in var_names
+        }
+        # emitted element carries POST-assignment values; completing the
+        # last step resets the state vars to their inits for the next
+        # sequence (Kusto's per-sequence state contract)
+        state_vars = "".join(
+            f", '__v_{name}', {init if last else post[name]}"
+            for name, _t, init in decls
+        )
+        emit_vars = "".join(
+            f", '__v_{name}', {post[name]}" for name in var_names
+        )
         whens.append(
             f"WHEN a.cur = {i} AND ({pred}) THEN named_struct("
-            f"'cur', {nxt}, 'mid', {mid}, 'out', a.out || array("
+            f"'cur', {nxt}, 'mid', {mid}{state_vars}, 'out', a.out || array("
             f"named_struct('__row', __r.__row, '__step', '{sname}', "
-            f"'__mid', a.mid)))"
+            f"'__mid', a.mid{emit_vars})))"
         )
     fold = "CASE\n      " + "\n      ".join(whens) + "\n      ELSE a END"
     out_cols = "__m.__row.*"
+    out_cols += "".join(f", __m.__v_{name} AS {name}" for name in var_names)
     if match_id:
         out_cols += f", __m.__mid AS {match_id}"
+    empty_vars = "".join(
+        f", '__v_{name}', {init}" for name, _t, init in decls
+    )
     return f"""SELECT {out_cols} FROM (
   SELECT aggregate(
     __rows,
-    named_struct('cur', 0, 'mid', CAST(0 AS BIGINT), 'out',
+    named_struct('cur', 0, 'mid', CAST(0 AS BIGINT){init_vars}, 'out',
       transform(slice(__rows, 1, 0), __r -> named_struct('__row', __r.__row,
-        '__step', '', '__mid', CAST(0 AS BIGINT)))),
+        '__step', '', '__mid', CAST(0 AS BIGINT){empty_vars}))),
     (a, __r) -> {fold},
     a -> a.out) AS __ms
   FROM (

@@ -352,6 +352,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     # --- round-8 vocabulary batch 15 ---
     "chsql_vocab_r15",
     "chsql_uniq_upto",
+    # --- round-8 scan declare (stateful variables) ---
+    "kql_scan_declare",
 ]
 
 _DRIVER_WINDOW_R5 = [

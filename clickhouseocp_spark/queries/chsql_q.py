@@ -4100,3 +4100,73 @@ FROM events GROUP BY user_id ORDER BY user_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_scan_declare",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn, 0 AS cur, CAST(0 AS BIGINT) AS mid,
+         CAST(0 AS DOUBLE) AS tot, CAST(0 AS BIGINT) AS n_acc,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+         FALSE AS emitted, CAST(0 AS DOUBLE) AS emit_tot,
+         CAST(0 AS BIGINT) AS emit_n, CAST(0 AS BIGINT) AS emit_mid
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT b.user_id, b.rn,
+    CASE WHEN m.cur = 0 AND b.event_type = 'signup' THEN 1
+         WHEN m.cur = 1 AND b.event_type = 'purchase' THEN 0
+         ELSE m.cur END,
+    CASE WHEN m.cur = 1 AND b.event_type = 'purchase' THEN m.mid + 1
+         ELSE m.mid END,
+    CASE WHEN m.cur = 0 AND b.event_type = 'signup' THEN m.tot + b.value
+         WHEN m.cur = 1 AND b.event_type = 'purchase' THEN CAST(0 AS DOUBLE)
+         ELSE m.tot END,
+    CASE WHEN m.cur = 0 AND b.event_type = 'signup' THEN m.n_acc + 1
+         WHEN m.cur = 1 AND b.event_type = 'purchase' THEN CAST(0 AS BIGINT)
+         ELSE m.n_acc END,
+    b.ts, b.event_type,
+    (m.cur = 0 AND b.event_type = 'signup')
+      OR (m.cur = 1 AND b.event_type = 'purchase'),
+    m.tot + b.value,
+    m.n_acc + 1,
+    m.mid
+  FROM m JOIN base b ON b.user_id = m.user_id AND b.rn = m.rn + 1
+)
+SELECT user_id, ts, event_type, emit_tot AS tot, emit_n AS n,
+       emit_mid AS m
+FROM m WHERE emitted ORDER BY user_id, ts
+""",
+    tags=("kql", "dialect", "scan", "funnel"),
+)
+def kql_scan_declare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``scan`` with ``declare``d state variables (round 8): per-
+    sequence accumulators ride the fold state — each matched row updates
+    them via ``=>`` assignments (pre-row values, simultaneous-assignment
+    semantics), emits the post-assignment values as output columns, and
+    completing the last step resets them for the next sequence.  Here a
+    running value total and step count accumulate across each
+    signup→purchase pair per user.  Same single-exchange plan as
+    kql_scan_steps; the oracle replays the identical machine INCLUDING the
+    state algebra as a DuckDB recursive CTE (the two-term float sums are
+    order-pinned by the machine, so parity is exact, not rounded)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| partition by user_id (
+    sort by ts asc, event_id asc
+    | scan with_match_id=m declare (tot: real = 0.0, n: long) with (
+        step s1: event_type == 'signup' => tot = tot + value, n = n + 1;
+        step s2: event_type == 'purchase' => tot = tot + value, n = n + 1))
+| project user_id, ts, event_type, tot, n, m
+""",
+        dialect="kusto",
+    )

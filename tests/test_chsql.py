@@ -1572,10 +1572,28 @@ def test_kql_scan_partition_facet_mechanics():
     assert "__r.__row.et = 'x and y'" in s2
     with pytest.raises(KqlError, match="preceding sort"):
         transpile_kql("t | scan with (step a: x == 1)")
-    with pytest.raises(KqlError, match="=>"):
+    with pytest.raises(KqlError, match="declare"):
         transpile_kql("t | sort by ts asc | scan with (step a: x == 1 => y = 2)")
     with pytest.raises(KqlError, match="at least one step"):
         transpile_kql("t | sort by ts asc | scan with ( )")
+    # declare'd state: pre-row reads in pred/assignments, post values in the
+    # emitted element, reset-on-completion in the state branch
+    d = transpile_kql(
+        "t | sort by ts asc | scan declare (tot: real = 0.0) with "
+        "(step a: x == 1 => tot = tot + v)"
+    )
+    assert "a.__v_tot + __r.__row.v" in d        # pre-row read
+    assert "'__v_tot', CAST(0.0 AS DOUBLE)" in d  # init + reset (last step)
+    assert "__m.__v_tot AS tot" in d              # output column
+    with pytest.raises(KqlError, match="declared variable"):
+        transpile_kql(
+            "t | sort by ts asc | scan declare (tot: real) with "
+            "(step a: x == 1 => other = 2)"
+        )
+    with pytest.raises(KqlError, match="unsupported type"):
+        transpile_kql(
+            "t | sort by ts asc | scan declare (tot: guid) with (step a: x == 1)"
+        )
 
     # partition: scan gets the key (one machine per key); take needs sort
     p = transpile_kql(
