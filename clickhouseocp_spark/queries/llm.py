@@ -2446,11 +2446,14 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo's own T.81 JPEG codec), then DECODED BACK (decode_avi_mjpeg: RIFF
     chunk walk, avih/strf header parse, per-'00dc' JPEG decode) and every
     frame verified against the recomputed shifted gradient under the
-    bounded-error contract.  One row per frame; dims/counts/fps pinned by
-    the closed-form oracle.  Plan: two chained mapInPandas inside the scan
-    partition — no shuffle; frame tensors never leave the executor.  MP4/
-    MKV/WebM still need ffmpeg-class inter-frame decoders and keep the
-    deterministic-fake gate."""
+    bounded-error contract.  Round 8: odd ids carry uncompressed BI_RGB
+    DIB containers instead (encode_avi_dib — bottom-up BGR '00db' frames,
+    bit-exact through the same RIFF walk), so both intra-frame payload
+    tiers exercise in one query.  One row per frame; dims/counts/fps
+    pinned by the closed-form oracle.  Plan: two chained mapInPandas
+    inside the scan partition — no shuffle; frame tensors never leave the
+    executor.  MP4/MKV/WebM still need ffmpeg-class inter-frame decoders
+    and keep the deterministic-fake gate."""
     from clickhouseocp_spark.sources.multimodal import (
         synthesize_gradient_avi,
         verify_video_frames,

@@ -108,11 +108,76 @@ def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _dib_row_stride(width: int) -> int:
+    return ((width * 3 + 3) // 4) * 4
+
+
+def encode_avi_dib(frames: list[np.ndarray], fps: int = 10) -> bytes:
+    """RGB uint8 frames → an UNCOMPRESSED AVI (biCompression = BI_RGB).
+    DIB frames store bottom-up BGR rows padded to 4-byte boundaries in
+    '00db' chunks — the other AVI payload that needs no inter-frame
+    decoder."""
+    if not frames:
+        raise ValueError("encode_avi_dib: need at least one frame")
+    h, w = frames[0].shape[:2]
+    if any(f.shape[:2] != (h, w) for f in frames):
+        raise ValueError("encode_avi_dib: frames must share dimensions")
+    stride = _dib_row_stride(w)
+    dibs = []
+    for f in frames:
+        bgr = f[::-1, :, ::-1]  # bottom-up rows, RGB→BGR
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dibs.append(rows.tobytes())
+    frame_bytes = stride * h
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+        len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids"
+        + b"DIB "
+        + struct.pack(
+            "<IHHIIIIIIII",
+            0, 0, 0, 0, 1, fps, 0, len(frames), frame_bytes, 0xFFFFFFFF, 0,
+        )
+        + struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, w, h, 1, 24,
+        b"\x00\x00\x00\x00",  # biCompression = BI_RGB (uncompressed)
+        frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih)
+        + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+    movi = _list(b"movi", b"".join(_chunk(b"00db", d) for d in dibs))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_dib_frame(buf: bytes, width: int, height: int) -> np.ndarray:
+    stride = _dib_row_stride(width)
+    if len(buf) < stride * height:
+        raise ValueError("AVI DIB frame shorter than stride*height")
+    rows = np.frombuffer(buf[: stride * height], dtype=np.uint8).reshape(
+        height, stride
+    )
+    bgr = rows[:, : width * 3].reshape(height, width, 3)
+    return bgr[::-1, :, ::-1].copy()  # bottom-up → top-down, BGR → RGB
+
+
 def decode_avi_mjpeg(data: bytes):
-    """MJPEG AVI bytes → (width, height, fps, frames) with ``frames`` a list
-    of decoded RGB uint8 arrays (``jpegcodec.decode_jpeg`` per '00dc'/'00db'
-    chunk).  Walks the RIFF tree without requiring an idx1 index; raises
-    ValueError on non-AVI input and NotImplementedError for non-MJPEG video
+    """AVI bytes → (width, height, fps, frames) with ``frames`` a list of
+    decoded RGB uint8 arrays — ``jpegcodec.decode_jpeg`` per MJPG chunk, or
+    the bottom-up BGR DIB decode for uncompressed BI_RGB streams (round 8).
+    Walks the RIFF tree without requiring an idx1 index; raises ValueError
+    on non-AVI input and NotImplementedError for inter-frame-coded video
     streams (those need ffmpeg-class decoders)."""
     from clickhouseocp_spark.sources.jpegcodec import decode_jpeg
 
@@ -146,19 +211,25 @@ def decode_avi_mjpeg(data: bytes):
             elif fourcc[2:4] in (b"dc", b"db"):
                 # hdrl precedes movi in the RIFF layout, so the stream's
                 # compression is known before the first frame — refuse
-                # non-MJPEG BEFORE handing bytes to the JPEG decoder
-                if compression not in (b"MJPG", b"mjpg", None):
+                # non-MJPEG/non-BI_RGB BEFORE handing bytes to a decoder
+                if compression == b"\x00\x00\x00\x00":
+                    # biCompression = BI_RGB: uncompressed bottom-up BGR DIB
+                    frames.append(
+                        _decode_dib_frame(buf[body_start:body_end], width, height)
+                    )
+                elif compression in (b"MJPG", b"mjpg", None):
+                    frames.append(decode_jpeg(buf[body_start:body_end]))
+                else:
                     raise NotImplementedError(
                         f"AVI video stream compression {compression!r} needs "
-                        "ffmpeg; only MJPG decodes here"
+                        "ffmpeg; only MJPG and uncompressed BI_RGB decode here"
                     )
-                frames.append(decode_jpeg(buf[body_start:body_end]))
             pos = body_end + (body_end % 2)  # chunks are even-aligned
 
     walk(data, 12, 8 + struct.unpack_from("<I", data, 4)[0])
-    if compression not in (b"MJPG", b"mjpg", None):
+    if compression not in (b"MJPG", b"mjpg", b"\x00\x00\x00\x00", None):
         raise NotImplementedError(
             f"AVI video stream compression {compression!r} needs ffmpeg; "
-            "only MJPG decodes here"
+            "only MJPG and uncompressed BI_RGB decode here"
         )
     return width, height, fps, frames

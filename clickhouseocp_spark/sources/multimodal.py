@@ -546,29 +546,38 @@ def _gradient_frame(i: int, f: int):
 
 
 def synthesize_gradient_avi(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Deterministic MJPEG-AVI fixture generator (mapInPandas, no shuffle):
-    per id, a real RIFF/AVI container (``sources/avicodec.encode_avi_mjpeg``)
-    holding 2 + id%3 baseline-JPEG frames of the shifted gradient."""
+    """Deterministic AVI fixture generator (mapInPandas, no shuffle): per
+    id, a real RIFF/AVI container holding 2 + id%3 frames of the shifted
+    gradient — MJPEG (``encode_avi_mjpeg``, baseline-JPEG frames) for even
+    ids, uncompressed BI_RGB DIB (``encode_avi_dib``, round 8) for odd
+    ids, so both intra-frame payload tiers decode through the same RIFF
+    walk."""
     import pandas as pd
 
-    from clickhouseocp_spark.sources.avicodec import encode_avi_mjpeg
+    from clickhouseocp_spark.sources.avicodec import (
+        encode_avi_dib,
+        encode_avi_mjpeg,
+    )
 
     schema = f"{id_col} long, payload binary, media_type string"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [
-                encode_avi_mjpeg(
-                    [_gradient_frame(int(i), f) for f in range(2 + int(i) % 3)],
-                    fps=10,
+            payloads, types = [], []
+            for i in pdf[id_col].values:
+                frames = [
+                    _gradient_frame(int(i), f) for f in range(2 + int(i) % 3)
+                ]
+                enc = encode_avi_mjpeg if int(i) % 2 == 0 else encode_avi_dib
+                payloads.append(enc(frames, fps=10))
+                types.append(
+                    "video/avi" if int(i) % 2 == 0 else "video/avi; codec=rgb"
                 )
-                for i in pdf[id_col].values
-            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col].values,
                     "payload": payloads,
-                    "media_type": "video/avi",
+                    "media_type": types,
                 }
             )
 

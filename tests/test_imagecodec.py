@@ -247,6 +247,31 @@ def test_avi_mjpeg_roundtrip():
         decode_avi_mjpeg(bytes(bad))
 
 
+def test_avi_dib_roundtrip():
+    """Uncompressed BI_RGB AVI (round 8): '00db' DIB frames — bottom-up BGR
+    rows, 4-byte row padding — round-trip EXACTLY (no lossy codec in the
+    path); odd widths exercise the stride padding."""
+    import numpy as np
+
+    from clickhouseocp_spark.sources.avicodec import (
+        decode_avi_mjpeg,
+        encode_avi_dib,
+        sniff_avi,
+    )
+
+    rng = np.random.default_rng(42)
+    frames = [
+        rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        for _ in range(4)
+    ]  # width 13 → stride 40 ≠ 39: padding is real
+    avi = encode_avi_dib(frames, fps=5)
+    assert sniff_avi(avi)
+    w, h, fps, out = decode_avi_mjpeg(avi)
+    assert (w, h, fps, len(out)) == (13, 9, 5.0, 4)
+    for got, want in zip(out, frames):
+        assert np.array_equal(got, want)  # bit-exact: uncompressed path
+
+
 def test_decode_image_recognizes_avi():
     import numpy as np
 
