@@ -121,6 +121,10 @@ HEADLINE = [
     # per-frame JPEG decode inside the scan partition)
     "text_bigram_logprob",
     "multimodal_video_frames",
+    # round-8 additions: the stateful row machine (per-key sorted-array
+    # fold, single exchange) and the schema-aware cross-column search
+    "kql_scan_steps",
+    "kql_search_term",
 ]
 
 

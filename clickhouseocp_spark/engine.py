@@ -335,6 +335,39 @@ class ChSparkEngine:
                     "ColumnName string, ColumnOrdinal int, "
                     "DataType string, ColumnType string",
                 )
+            # `| search "term"` needs the resolved schema (it matches across
+            # ALL string columns), so it lives at the ENGINE level too:
+            # transpile the prefix, read string columns off the logical
+            # plan, and filter on an OR of per-column contains predicates
+            # (case-insensitive by default, Kusto's `kind=default`).
+            msr = _re.match(
+                r"(?s)^(.*?)\|\s*search\s+"
+                r"(?:kind\s*=\s*(case_sensitive|case_insensitive)\s+)?"
+                r"['\"](.*?)['\"]\s*$",
+                query.strip(),
+            )
+            if msr:
+                from pyspark.sql import functions as F
+
+                df = self.spark.sql(transpile_kql(msr.group(1)))
+                cs = msr.group(2) == "case_sensitive"
+                term = msr.group(3)
+                scols = [
+                    f.name
+                    for f in df.schema.fields
+                    if f.dataType.simpleString() == "string"
+                ]
+                if not scols:
+                    return df.filter(F.lit(False))
+                cond = None
+                for c in scols:
+                    e = (
+                        F.col(c).contains(term)
+                        if cs
+                        else F.lower(F.col(c)).contains(term.lower())
+                    )
+                    cond = e if cond is None else (cond | e)
+                return df.filter(F.coalesce(cond, F.lit(False)))
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)

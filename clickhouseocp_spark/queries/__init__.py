@@ -354,6 +354,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "chsql_uniq_upto",
     # --- round-8 scan declare (stateful variables) ---
     "kql_scan_declare",
+    # --- round-8 KQL search operator (schema-aware cross-column match) ---
+    "kql_search_term",
 ]
 
 _DRIVER_WINDOW_R5 = [

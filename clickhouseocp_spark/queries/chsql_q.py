@@ -4170,3 +4170,31 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_search_term",
+    oracle="""
+SELECT doc_id, lang, source FROM documents
+WHERE contains(lower(text), 'vector') OR contains(lower(lang), 'vector')
+   OR contains(lower(source), 'vector')
+ORDER BY doc_id
+""",
+    tags=("kql", "dialect", "search"),
+)
+def kql_search_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``search`` (round 8): case-insensitive term match across ALL
+    string columns of the input — it needs the resolved schema, so it
+    lives at the ENGINE level (the prefix transpiles, string columns come
+    off the logical plan, and the filter is an OR of per-column contains
+    predicates — scan-speed JVM expressions, no regex).  At scale this is
+    exactly the full-text fallback tier: a single predicate-pushdown scan;
+    the indexed path is operators/fulltext."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    hits = eng.sql(
+        'documents | project doc_id, lang, source, text | search "VECTOR"',
+        dialect="kusto",
+    )
+    return hits.select("doc_id", "lang", "source").orderBy("doc_id")

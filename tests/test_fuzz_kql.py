@@ -122,3 +122,55 @@ SELECT tag, COUNT(*), COUNT(*) FILTER (WHERE flag = 1) FROM f GROUP BY tag
 """
     ).fetchall()
     assert rows == {t: (n, c) for t, n, c in orc}, kql_pred
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=leaf(), p2=leaf())
+def test_random_kql_scan_agrees_with_oracle(
+    spark, sf_dir, duck, kql_engine, p1, p2
+):
+    """Round-8 scan fuzz: random two-step machines per l_orderkey, replayed
+    row-rank-by-row-rank as a DuckDB recursive CTE — pins the greedy
+    advance/reset semantics under random predicates, not just the
+    hand-picked registry steps."""
+    k1, s1 = p1
+    k2, s2 = p2
+    kql = (
+        "lineitem | partition by l_orderkey (sort by l_linenumber asc "
+        f"| scan with_match_id=m with (step a: {k1}; step b: {k2})) "
+        "| project l_orderkey, l_linenumber, m"
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.m)
+        for r in kql_engine.sql(kql, dialect="kusto").collect()
+    )
+    orc = duck.execute(
+        f"""
+WITH RECURSIVE base AS (
+  SELECT l_orderkey, l_linenumber, ({s1}) AS p1, ({s2}) AS p2,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber) AS rn
+  FROM lineitem
+),
+m AS (
+  SELECT l_orderkey, 0 AS rn, 0 AS cur, CAST(0 AS BIGINT) AS mid,
+         0 AS l_linenumber, FALSE AS emitted, CAST(0 AS BIGINT) AS emit_mid
+  FROM (SELECT DISTINCT l_orderkey FROM base)
+  UNION ALL
+  SELECT b.l_orderkey, b.rn,
+    CASE WHEN m.cur = 0 AND b.p1 THEN 1
+         WHEN m.cur = 1 AND b.p2 THEN 0 ELSE m.cur END,
+    CASE WHEN m.cur = 1 AND b.p2 THEN m.mid + 1 ELSE m.mid END,
+    b.l_linenumber,
+    (m.cur = 0 AND b.p1) OR (m.cur = 1 AND b.p2),
+    m.mid
+  FROM m JOIN base b ON b.l_orderkey = m.l_orderkey AND b.rn = m.rn + 1
+)
+SELECT l_orderkey, l_linenumber, emit_mid FROM m WHERE emitted
+"""
+    ).fetchall()
+    assert got == sorted(orc), (k1, k2)
