@@ -356,6 +356,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_scan_declare",
     # --- round-8 KQL search operator (schema-aware cross-column match) ---
     "kql_search_term",
+    # --- round-8 LLM quality tier: lexical-diversity signal bundle ---
+    "quality_signals_bundle",
 ]
 
 _DRIVER_WINDOW_R5 = [

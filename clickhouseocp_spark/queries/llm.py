@@ -2461,3 +2461,121 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return verify_video_frames(synthesize_gradient_avi(docs))
+
+
+@register(
+    "quality_signals_bundle",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, w, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(
+             string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS w
+    FROM documents WHERE doc_id < 400
+  ) t GROUP BY doc_id, w
+),
+wstats AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_words,
+         CAST(COUNT(*) AS BIGINT) AS n_unique,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+         MAX(c) AS top_c,
+         SUM(length(w) * c) AS sum_len,
+         CAST(SUM(CAST(ROUND(c * ln(c), 8) AS DECIMAL(38,10))) AS DOUBLE)
+           AS s_clnc
+  FROM words GROUP BY doc_id
+),
+chars AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS DOUBLE) AS c
+  FROM (
+    SELECT doc_id, unnest(list_filter(
+             string_split_regex(text, ''), x -> x <> '')) AS ch
+    FROM documents WHERE doc_id < 400
+  ) t GROUP BY doc_id, ch
+),
+cstats AS (
+  SELECT doc_id,
+         SUM(c) AS n_chars,
+         CAST(SUM(CAST(ROUND(c * ln(c), 8) AS DECIMAL(38,10))) AS DOUBLE)
+           AS s_clnc
+  FROM chars GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_words, w.n_unique,
+       ROUND(w.n_unique / w.n_words, 6) AS ttr,
+       ROUND(w.hapax / w.n_words, 6) AS hapax_frac,
+       ROUND(w.top_c / w.n_words, 6) AS top_word_frac,
+       ROUND(w.sum_len / w.n_words, 6) AS mean_word_len,
+       ROUND(ln(w.n_words) - w.s_clnc / w.n_words, 6) AS word_entropy,
+       ROUND(ln(c.n_chars) - c.s_clnc / c.n_chars, 6) AS char_entropy
+FROM wstats w JOIN cstats c USING (doc_id)
+ORDER BY w.doc_id
+""",
+    tags=("llm", "quality", "text"),
+)
+def quality_signals_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signals (round 8) — the RedPajama-V2-style
+    per-document signal bundle a curation pipeline thresholds on:
+    type-token ratio, hapax fraction, most-common-word mass, mean word
+    length, and word/char Shannon entropies.  Plan: two token-keyed hash
+    aggs (explode → (doc, token) count, map-side combinable — the same
+    shape as tf-idf/BPE, no per-doc quadratic array work) re-aggregated to
+    one row per doc.  Entropy uses the ln(n) - Σc·ln(c)/n identity so the
+    per-term sum is decimal-routed (round-8 terms, exact merge) —
+    partition-order-independent and bit-equal to the oracle's replay."""
+    from clickhouseocp_spark.queries.stats_q import _dsum
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.col("text")), r"\s+"), lambda x: x != ""
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    wstats = words.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("hapax"),
+        F.max("c").alias("top_c"),
+        F.sum(F.length("w") * F.col("c")).alias("sum_len"),
+        _dsum(F.col("c") * F.log(F.col("c")), "s_clnc"),
+    )
+    chars = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+            ).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    cstats = chars.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chars"),
+        _dsum(F.col("c") * F.log(F.col("c")), "s_clnc2"),
+    )
+    nw = F.col("n_words").cast("double")
+    return (
+        wstats.join(cstats, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            "n_unique",
+            F.round(F.col("n_unique") / nw, 6).alias("ttr"),
+            F.round(F.col("hapax") / nw, 6).alias("hapax_frac"),
+            F.round(F.col("top_c") / nw, 6).alias("top_word_frac"),
+            F.round(F.col("sum_len") / nw, 6).alias("mean_word_len"),
+            F.round(F.log(nw) - F.col("s_clnc") / nw, 6).alias("word_entropy"),
+            F.round(
+                F.log(F.col("n_chars")) - F.col("s_clnc2") / F.col("n_chars"), 6
+            ).alias("char_entropy"),
+        )
+        .orderBy("doc_id")
+    )
