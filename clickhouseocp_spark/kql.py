@@ -705,9 +705,12 @@ _PARSE_TYPES = {"string": None, "long": "bigint", "int": "int",
                 "bool": "boolean"}
 
 
-def _parse_op(sub: str, rest: str) -> str:
+def _parse_op(sub: str, rest: str, where: bool = False) -> str:
     """Lower ``parse <col> with [*] 'lit' Name[:type] 'lit' ...`` — Kusto's
-    log-extraction operator (simple mode).
+    log-extraction operator (simple mode) — and ``parse-where`` (round 8:
+    identical extraction, but rows whose ``col`` does NOT match the
+    compiled pattern are dropped via one RLIKE predicate instead of
+    yielding empty values).
 
     Lowering: the literal/capture sequence compiles to ONE anchored regex
     (literals escaped, captures non-greedy ``(.*?)``, a trailing capture
@@ -756,7 +759,8 @@ def _parse_op(sub: str, rest: str) -> str:
         elif cast:
             e = f"try_cast({e} AS {cast})"
         sels.append(f"{e} AS {name}")
-    return f"SELECT *, {', '.join(sels)} FROM {sub}"
+    tail = f" WHERE {col} RLIKE '{rx_sql}'" if where else ""
+    return f"SELECT *, {', '.join(sels)} FROM {sub}{tail}"
 
 
 #: mv-apply summarize aggregates → array-expression builders.  Each takes
@@ -1607,25 +1611,36 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
         elif op == "mv-expand":
             mt = re.match(
-                r"^([A-Za-z_]\w*)(?:\s+to\s+typeof\s*\(\s*(\w+)\s*\))?\s*$",
+                r"^(?:with_itemindex\s*=\s*([A-Za-z_]\w*)\s+)?"
+                r"([A-Za-z_]\w*)(?:\s+to\s+typeof\s*\(\s*(\w+)\s*\))?\s*$",
                 rest.strip(),
                 re.IGNORECASE,
             )
             if not mt:
                 raise KqlError(
-                    f"mv-expand needs a bare column name [to typeof(T)], got {rest!r}"
+                    f"mv-expand needs '[with_itemindex=i] col [to typeof(T)]', "
+                    f"got {rest!r}"
                 )
-            col, typ = mt.group(1), mt.group(2)
+            idx, col, typ = mt.group(1), mt.group(2), mt.group(3)
             out_expr = "__mv"
             if typ:
                 spark_t = _DT_TYPES.get(typ.lower())
                 if spark_t is None:
                     raise KqlError(f"mv-expand typeof: unsupported type {typ!r}")
                 out_expr = f"try_cast(__mv AS {spark_t})"
-            rel = (
-                f"SELECT * EXCEPT ({col}, __mv), {out_expr} AS {col} FROM {sub} "
-                f"LATERAL VIEW EXPLODE({col}) __mvt AS __mv"
-            )
+            if idx:
+                # with_itemindex → POSEXPLODE (0-based, matching Kusto)
+                rel = (
+                    f"SELECT * EXCEPT ({col}, __mvi, __mv), __mvi AS {idx}, "
+                    f"{out_expr} AS {col} FROM {sub} "
+                    f"LATERAL VIEW POSEXPLODE({col}) __mvt AS __mvi, __mv"
+                )
+            else:
+                rel = (
+                    f"SELECT * EXCEPT ({col}, __mv), {out_expr} AS {col} "
+                    f"FROM {sub} "
+                    f"LATERAL VIEW EXPLODE({col}) __mvt AS __mv"
+                )
         elif op == "project-keep":
             cols = [c.strip() for c in _split_top(rest)]
             if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
@@ -1654,6 +1669,22 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             rel = _make_series(sub, rest)
         elif op == "parse":
             rel = _parse_op(sub, rest)
+        elif op == "parse-where":
+            rel = _parse_op(sub, rest, where=True)
+        elif op == "as":
+            # `| as Name` binds the pipeline-so-far for later reference
+            # (lets-resolved by from/join/lookup/union); passthrough here
+            ma = re.match(
+                r"^(?:hint\.materialized\s*=\s*\w+\s+)?([A-Za-z_]\w*)\s*$",
+                rest.strip(),
+                re.IGNORECASE,
+            )
+            if not ma:
+                raise KqlError(f"as needs a bare name, got {rest!r}")
+            lets[ma.group(1)] = (
+                rel if " " in rel else f"SELECT * FROM {rel}"
+            )
+            rel = f"SELECT * FROM {sub}"
         elif op == "top-nested":
             rel = _top_nested(sub, rest)
         elif op == "mv-apply":

@@ -358,6 +358,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_search_term",
     # --- round-8 LLM quality tier: lexical-diversity signal bundle ---
     "quality_signals_bundle",
+    # --- round-8 KQL conveniences: parse-where / with_itemindex / as ---
+    "kql_parse_where_itemindex",
 ]
 
 _DRIVER_WINDOW_R5 = [

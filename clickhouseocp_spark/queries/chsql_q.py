@@ -4198,3 +4198,42 @@ def kql_search_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         dialect="kusto",
     )
     return hits.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+@register(
+    "kql_parse_where_itemindex",
+    oracle="""
+WITH en AS (
+  SELECT doc_id, lang, source FROM documents
+  WHERE doc_id < 300 AND lang = 'en'
+)
+SELECT doc_id, CAST(doc_id AS BIGINT) AS pid, i,
+       CASE WHEN i = 0 THEN lang ELSE source END AS parts
+FROM en, (SELECT unnest([0, 1]) AS i) ix
+ORDER BY doc_id, i
+""",
+    tags=("kql", "dialect", "parse"),
+)
+def kql_parse_where_itemindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``parse-where`` + ``mv-expand with_itemindex`` (round 8):
+    parse-where compiles the literal/capture pattern to ONE anchored regex
+    and additionally DROPS non-matching rows via a single RLIKE predicate
+    (vs parse's empty-value fill) — here the synthesized tag only matches
+    for lang=en, so the filter and the extraction certify together;
+    with_itemindex lowers to POSEXPLODE (0-based, matching Kusto)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| where doc_id < 300
+| extend tag = strcat('id=', tostring(doc_id), ';lang=', lang)
+| parse-where tag with 'id=' pid:long ';lang=en'
+| extend parts = pack_array(lang, source)
+| mv-expand with_itemindex=i parts
+| project doc_id, pid, i, parts
+| sort by doc_id asc, i asc
+""",
+        dialect="kusto",
+    )

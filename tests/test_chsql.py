@@ -1673,3 +1673,16 @@ def test_prql_round8_join_group_forms():
     assert "__gr <= 2" in t and "* EXCEPT (__gr)" in t
     with pytest.raises(PrqlError, match="group"):
         transpile_prql("from t | group {k} (take 2)")  # take needs sort
+
+
+def test_kql_round8_conveniences():
+    """parse-where (matching-rows filter), mv-expand with_itemindex
+    (posexplode, 0-based), and `as` name binding — transpile checks."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    pw = transpile_kql("t | parse-where msg with 'id=' pid:long ';'")
+    assert "RLIKE" in pw and "regexp_extract" in pw
+    mi = transpile_kql("t | mv-expand with_itemindex=i arr")
+    assert "POSEXPLODE(arr)" in mi and "__mvi AS i" in mi
+    a = transpile_kql("t | where x == 1 | as Hot | union (Hot) | count")
+    assert a.count("WHERE x = 1") == 2  # binding re-expanded in the union
