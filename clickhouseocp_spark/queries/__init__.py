@@ -360,6 +360,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "quality_signals_bundle",
     # --- round-8 KQL conveniences: parse-where / with_itemindex / as ---
     "kql_parse_where_itemindex",
+    # --- round-8 streaming scan machine (stateful funnel on a stream) ---
+    "stream_scan_machine",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -419,3 +419,55 @@ def stream_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper")
     )
     return run_available_now(agg)
+
+
+@register(
+    "stream_scan_machine",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn, 0 AS cur, CAST(0 AS BIGINT) AS mid,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+         FALSE AS emitted, CAST(0 AS BIGINT) AS emit_mid
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT b.user_id, b.rn,
+    CASE WHEN m.cur = 0 AND b.event_type = 'signup' THEN 1
+         WHEN m.cur = 1 AND b.event_type = 'click' THEN 2
+         WHEN m.cur = 2 AND b.event_type = 'purchase' THEN 0
+         ELSE m.cur END,
+    CASE WHEN m.cur = 2 AND b.event_type = 'purchase' THEN m.mid + 1
+         ELSE m.mid END,
+    b.ts, b.event_type,
+    (m.cur = 0 AND b.event_type = 'signup')
+      OR (m.cur = 1 AND b.event_type = 'click')
+      OR (m.cur = 2 AND b.event_type = 'purchase'),
+    m.mid
+  FROM m JOIN base b ON b.user_id = m.user_id AND b.rn = m.rn + 1
+)
+SELECT user_id, ts, event_type, emit_mid AS m
+FROM m WHERE emitted ORDER BY user_id, ts
+""",
+    tags=("streaming", "stateful", "scan"),
+)
+def stream_scan_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KQL ``scan`` machine on a STREAM (round 8): greedy
+    signup→click→purchase matching per user via applyInPandasWithState —
+    state = (step, match_id) per key, O(1) regardless of stream length.
+    The bounded drain equals the batch scan, so the oracle is the same
+    recursive-CTE machine replay as kql_scan_steps; cross-micro-batch
+    state is pinned by a two-batch pytest in tests/test_operators.py."""
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        streaming_scan_machine,
+    )
+
+    return run_available_now(
+        streaming_scan_machine(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )

@@ -472,3 +472,68 @@ def foreach_batch_postings_rollup(
     )
     q.awaitTermination()
     return target_dir
+
+
+def streaming_scan_machine(
+    stream: DataFrame,
+    steps: tuple[str, ...] = ("signup", "click", "purchase"),
+    key: str = "user_id",
+) -> DataFrame:
+    """The KQL ``scan`` row machine on UNBOUNDED input (round 8): a greedy
+    linear step machine per key carried across micro-batches via
+    ``applyInPandasWithState`` — the streaming analog of the batch
+    ``partition by k (... | scan ...)`` lowering, and the operator tier a
+    real-time funnel pipeline runs on.
+
+    State per key = (current_step, match_id) — O(1) regardless of stream
+    length, no row buffering.  Each batch's rows for a key are processed in
+    (ts, event_id) order; a row matching the next-needed step is emitted
+    with its match ordinal, completing the last step resets the machine.
+
+    Correctness contract (documented): rows must arrive in event order per
+    key ACROSS micro-batches (in-order source, or an upstream
+    watermark-buffered reorder); within a batch the kernel sorts.  The
+    bounded-input drain equals the batch scan exactly — pinned by the
+    registry oracle — and cross-batch state is pinned by a two-batch
+    pytest."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    steps_l = list(steps)
+
+    def update(key_t, pdfs, state: GroupState):
+        import pandas as pd
+
+        cur, mid = state.get if state.exists else (0, 0)
+        out_ts, out_et, out_mid = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                if et == steps_l[cur]:
+                    out_ts.append(ts)
+                    out_et.append(et)
+                    out_mid.append(mid)
+                    cur += 1
+                    if cur == len(steps_l):
+                        cur, mid = 0, mid + 1
+        state.update((int(cur), int(mid)))
+        yield pd.DataFrame(
+            {
+                key: [key_t[0]] * len(out_ts),
+                "ts": out_ts,
+                "event_type": out_et,
+                "m": out_mid,
+            }
+        )
+
+    return (
+        stream.select(key, "ts", "event_id", "event_type")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key} bigint, ts timestamp, "
+            "event_type string, m bigint",
+            stateStructType="cur int, mid bigint",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

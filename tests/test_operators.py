@@ -1795,3 +1795,52 @@ def test_round7_edge_cases(spark):
         encode_avi_mjpeg([np.zeros((8, 12, 3), dtype=np.uint8)], fps=1)
     )
     assert (w, h, fps, len(frames)) == (12, 8, 1.0, 1)
+
+
+def test_stream_scan_machine_two_batches_equals_batch(spark, sf_dir, tmp_path):
+    """Cross-micro-batch state of the streaming scan machine: the fixture
+    split into two files at the global median ts (per-key order preserved
+    across batches), drained with maxFilesPerTrigger=1 → TWO micro-batches.
+    The union of emissions must equal the single-batch drain exactly —
+    proving (step, match_id) state survives the batch boundary."""
+    import os
+    import time
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_scan_machine,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    mid_ts = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev.filter(F.col("event_id") <= mid_ts).coalesce(1).write.parquet(
+        src + "/part1"
+    )
+    time.sleep(1.1)  # file-stream orders by modification time
+    ev.filter(F.col("event_id") > mid_ts).coalesce(1).write.parquet(
+        src + "/part2"
+    )
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/part*")
+    )
+    two = run_available_now(
+        streaming_scan_machine(stream), output_mode="append"
+    )
+    one = run_available_now(
+        streaming_scan_machine(
+            spark.readStream.schema(schema).parquet(src + "/part*")
+        ),
+        output_mode="append",
+    )
+    key = lambda r: (r.user_id, r.ts, r.event_type, r.m)  # noqa: E731
+    got, want = sorted(map(key, two.collect())), sorted(map(key, one.collect()))
+    assert got == want and len(got) > 0
