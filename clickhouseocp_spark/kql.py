@@ -1261,8 +1261,15 @@ def _top_nested(sub: str, rest: str) -> str:
     per-partition heaps, no global sort).  ``with others`` is not in the
     subset."""
     specs = []
+    others_label = None
     for item in _split_top(rest):
         item = re.sub(r"^top-nested\s+", "", item.strip(), flags=re.IGNORECASE)
+        mo = re.search(
+            r"\s+with\s+others\s*=\s*'([^']*)'\s*$", item, re.IGNORECASE
+        )
+        if mo:
+            others_label = mo.group(1)
+            item = item[: mo.start()]
         m = re.match(
             r"^(\d+)\s+of\s+([A-Za-z_]\w*)\s+by\s+"
             r"(?:([A-Za-z_]\w*)\s*=\s*)?(.+)$",
@@ -1277,6 +1284,32 @@ def _top_nested(sub: str, rest: str) -> str:
         specs.append((int(n), key, name or f"aggregated_{key}", _agg_expr(agg)))
     if not specs:
         raise KqlError("top-nested needs at least one spec")
+    if others_label is not None and len(specs) > 1:
+        raise KqlError(
+            "top-nested subset: 'with others' is single-level only"
+        )
+    if others_label is not None:
+        # one extra row aggregating everything OUTSIDE the top-N — computed
+        # by RE-AGGREGATING the excluded rows (correct for any aggregate,
+        # not just subtractable ones); the top-N keys anti-join is a
+        # broadcast of N values.  Key column casts to string to carry the
+        # label (Kusto widens to dynamic the same way).
+        n, key, name, agg = specs[0]
+        grouped = f"SELECT {key}, {agg} AS {name} FROM {sub} GROUP BY {key}"
+        ranked = (
+            f"SELECT *, row_number() OVER (ORDER BY {name} DESC, {key}) "
+            f"AS __rnk FROM ({grouped}) __g"
+        )
+        top = (
+            f"SELECT CAST({key} AS STRING) AS {key}, {name} "
+            f"FROM ({ranked}) __r WHERE __rnk <= {n}"
+        )
+        others = (
+            f"SELECT '{others_label}' AS {key}, {agg} AS {name} "
+            f"FROM {sub} WHERE {key} NOT IN ("
+            f"SELECT {key} FROM ({ranked}) __rx WHERE __rnk <= {n})"
+        )
+        return f"{top} UNION ALL {others}"
     rel = None
     prior: list[tuple[str, str]] = []  # (key, value_alias) selected so far
     for n, key, name, agg in specs:

@@ -362,6 +362,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_parse_where_itemindex",
     # --- round-8 streaming scan machine (stateful funnel on a stream) ---
     "stream_scan_machine",
+    # --- round-8 top-nested with others ---
+    "kql_top_nested_others",
 ]
 
 _DRIVER_WINDOW_R5 = [

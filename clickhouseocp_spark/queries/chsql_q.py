@@ -4237,3 +4237,38 @@ documents
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_top_nested_others",
+    oracle="""
+WITH g AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+  GROUP BY event_type
+),
+r AS (
+  SELECT event_type, n,
+         row_number() OVER (ORDER BY n DESC, event_type) AS rnk
+  FROM g
+)
+SELECT event_type, n FROM r WHERE rnk <= 2
+UNION ALL
+SELECT 'other' AS event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE event_type NOT IN (SELECT event_type FROM r WHERE rnk <= 2)
+ORDER BY event_type
+""",
+    tags=("kql", "dialect", "top_k"),
+)
+def kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``top-nested N of K by agg with others = 'label'`` (round 8): the
+    remainder row RE-AGGREGATES the excluded rows (correct for any
+    aggregate, not just subtractable ones) via a NOT IN against the top-N
+    keys — a broadcast of N values, never a second wide shuffle."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        "events | top-nested 2 of event_type by n = count() "
+        "with others = 'other' | sort by event_type asc",
+        dialect="kusto",
+    )
