@@ -79,6 +79,29 @@ def _file_table_function(args: list[str]) -> str:
 
 
 
+def _ngram_search(args: list[str], ci: bool) -> str:
+    """ngramSearch(haystack, needle): the fraction of the needle's DISTINCT
+    trigrams present in the haystack (0..1) — the containment analog of
+    ngramDistance (CH's hyperscan tier computes the same quantity over
+    4-gram hashes; distinct-trigram containment is the documented
+    deviation).  Pure array combinators: one trigram expansion per side,
+    no regex, no UDF."""
+    h, n = args[0], args[1]
+    if ci:
+        h, n = f"lower({h})", f"lower({n})"
+
+    def tg(s: str) -> str:
+        return (
+            f"array_distinct(transform(sequence(1, greatest(length({s}) - 2, "
+            f"1)), __i -> substring({s}, __i, 3)))"
+        )
+
+    return (
+        f"(CAST(size(array_intersect({tg(n)}, {tg(h)})) AS DOUBLE) / "
+        f"size({tg(n)}))"
+    )
+
+
 def _extract_groups_rule(args: list[str]) -> str:
     """extractGroups(s, 'regex'): array of the capture groups of the FIRST
     match.  The group count must be knowable at transpile time, so the
@@ -1239,6 +1262,55 @@ FUNC_RULES: dict[str, object] = {
     "tryBase64Decode": lambda args: (
         f"cast(try_to_binary({args[0]}, 'base64') as string)"
     ),
+    # vocabulary batch 16 (round 8): trigram containment search, duration
+    # parsing, array enumeration, datetime completions
+    "ngramSearch": lambda args: _ngram_search(args, ci=False),
+    "ngramSearchCaseInsensitive": lambda args: _ngram_search(args, ci=True),
+    # parseTimeDelta('1h 30m'): sum of (number, unit) pairs → seconds
+    "parseTimeDelta": lambda args: (
+        f"aggregate(regexp_extract_all({args[0]}, "
+        f"'([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([a-zA-Z]+)', 0), "
+        f"CAST(0 AS DOUBLE), (acc, p) -> acc + "
+        f"CAST(regexp_extract(p, '([0-9]+(?:\\\\.[0-9]+)?)', 1) AS DOUBLE) * "
+        f"CASE lower(regexp_extract(p, '[0-9\\\\s.]*([a-zA-Z]+)', 1)) "
+        f"WHEN 'y' THEN 31536000 WHEN 'years' THEN 31536000 "
+        f"WHEN 'year' THEN 31536000 "
+        f"WHEN 'w' THEN 604800 WHEN 'weeks' THEN 604800 WHEN 'week' THEN 604800 "
+        f"WHEN 'd' THEN 86400 WHEN 'days' THEN 86400 WHEN 'day' THEN 86400 "
+        f"WHEN 'h' THEN 3600 WHEN 'hours' THEN 3600 WHEN 'hour' THEN 3600 "
+        f"WHEN 'm' THEN 60 WHEN 'minutes' THEN 60 WHEN 'minute' THEN 60 "
+        f"WHEN 'min' THEN 60 "
+        f"WHEN 's' THEN 1 WHEN 'seconds' THEN 1 WHEN 'second' THEN 1 "
+        f"ELSE 0 END)"
+    ),
+    # first-occurrence rank per element ([10,20,10] → [1,2,1]); Spark's
+    # array_distinct preserves first-occurrence order
+    "arrayEnumerateDense": lambda args: (
+        f"transform({args[0]}, x -> array_position(array_distinct({args[0]}), x))"
+    ),
+    # running occurrence counter per value ([10,20,10] → [1,1,2]); row-local
+    # O(n²) by construction (scalar tier — arrays never leave the row)
+    "arrayEnumerateUniq": lambda args: (
+        f"transform(sequence(1, size({args[0]})), i -> "
+        f"size(filter(slice({args[0]}, 1, i), y -> y = element_at({args[0]}, i))))"
+    ),
+    "toStartOfSecond": lambda args: f"date_trunc('SECOND', {args[0]})",
+    "timeDiff": lambda args: (
+        f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"
+    ),
+    "dateTrunc": lambda args: (
+        f"date_trunc({args[0]}, {args[1]})"
+    ),
+    # inverse of toDaysSinceYearZero (same 719528-day epoch offset)
+    "fromDaysSinceYearZero": lambda args: (
+        f"date_add(DATE '1970-01-01', CAST({args[0]} AS INT) - 719528)"
+    ),
+    "toUnixTimestamp64Nano": lambda args: (
+        # CAST: unix_micros rejects TIMESTAMP_NTZ; session tz is pinned UTC
+        # so the cast is the identity on wall-clock values
+        f"(unix_micros(CAST({args[0]} AS TIMESTAMP)) * CAST(1000 AS BIGINT))"
+    ),
+    "UTCTimestamp": lambda args: "current_timestamp()",
     # vocabulary batch 15 (round 8): set-similarity, clamped running sums,
     # subsequence / case-insensitive search, capped uniq
     "arrayJaccardIndex": lambda args: (

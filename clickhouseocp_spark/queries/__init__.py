@@ -364,6 +364,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "stream_scan_machine",
     # --- round-8 top-nested with others ---
     "kql_top_nested_others",
+    # --- round-8 vocabulary batch 16 ---
+    "chsql_vocab_r16",
 ]
 
 _DRIVER_WINDOW_R5 = [

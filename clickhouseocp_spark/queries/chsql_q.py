@@ -4272,3 +4272,70 @@ def kql_top_nested_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with others = 'other' | sort by event_type asc",
         dialect="kusto",
     )
+
+
+CH_VOCAB_R16 = """
+SELECT event_id,
+       ngramSearch(event_type, 'sign') AS ngs,
+       ngramSearchCaseInsensitive(event_type, 'SIGN') AS ngs_ci,
+       parseTimeDelta(concat(toString(event_id % 5), 'h ',
+                             toString(event_id % 7), 'm')) AS delta_s,
+       arrayEnumerateDense([toInt64(event_id % 3), 7,
+                            toInt64(event_id % 3)]) AS dense,
+       arrayEnumerateUniq([toInt64(event_id % 3), 7,
+                           toInt64(event_id % 3)]) AS uniq_rank,
+       toStartOfSecond(ts) AS sec_ts,
+       timeDiff(toStartOfDay(ts), ts) AS day_secs,
+       dateTrunc('hour', ts) AS hr_ts,
+       fromDaysSinceYearZero(739000 + event_id % 100) AS some_date,
+       toUnixTimestamp64Nano(ts) AS ns
+FROM events WHERE event_id < 200 ORDER BY event_id
+"""
+
+
+@register(
+    "chsql_vocab_r16",
+    oracle="""
+SELECT event_id,
+       CAST(len(list_intersect(
+         list_distinct(list_transform(range(1, greatest(length('sign') - 2, 1) + 1),
+                       i -> substring('sign', i, 3))),
+         list_distinct(list_transform(range(1, greatest(length(event_type) - 2, 1) + 1),
+                       i -> substring(event_type, i, 3))))) AS DOUBLE)
+         / len(list_distinct(list_transform(range(1, greatest(length('sign') - 2, 1) + 1),
+                             i -> substring('sign', i, 3)))) AS ngs,
+       CAST(len(list_intersect(
+         list_distinct(list_transform(range(1, greatest(length('sign') - 2, 1) + 1),
+                       i -> substring('sign', i, 3))),
+         list_distinct(list_transform(range(1, greatest(length(event_type) - 2, 1) + 1),
+                       i -> substring(event_type, i, 3))))) AS DOUBLE)
+         / len(list_distinct(list_transform(range(1, greatest(length('sign') - 2, 1) + 1),
+                             i -> substring('sign', i, 3)))) AS ngs_ci,
+       (event_id % 5) * CAST(3600 AS DOUBLE)
+         + (event_id % 7) * CAST(60 AS DOUBLE) AS delta_s,
+       [CAST(1 AS BIGINT), 2, 1] AS dense,
+       [1, 1, 2] AS uniq_rank,
+       date_trunc('second', ts) AS sec_ts,
+       CAST(floor(epoch(ts)) AS BIGINT)
+         - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_secs,
+       date_trunc('hour', ts) AS hr_ts,
+       DATE '1970-01-01' + CAST(739000 + event_id % 100 - 719528 AS INTEGER)
+         AS some_date,
+       CAST(epoch_us(ts) AS BIGINT) * 1000 AS ns
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 16 (round 8): ngramSearch[CaseInsensitive]
+    (distinct-trigram containment via array combinators — no regex, no
+    UDF), parseTimeDelta (unit-pair fold), arrayEnumerateDense /
+    arrayEnumerateUniq (first-occurrence rank / running occurrence
+    counter), toStartOfSecond, timeDiff, dateTrunc, fromDaysSinceYearZero
+    (inverse of the 719528-offset epoch), toUnixTimestamp64Nano.  The
+    oracle replays the trigram containment and closed-forms the rest
+    (event_type never collides with the literal 7, so the enumerate
+    vectors are constants)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(CH_VOCAB_R16, dialect="clickhouse")
