@@ -364,3 +364,20 @@ def test_native_file_interchange(spark, sf_dir, tmp_path):
     rows = back.orderBy("r_regionkey").collect()
     assert len(rows) == 5 and rows[0].r_name == "AFRICA"
     assert dict(back.dtypes)["r_regionkey"] == "int"
+
+
+def test_round8_plan_shapes(spark, sf_dir):
+    """100 TB gates for the round-8 operators: the keyed scan machine pays
+    ONE exchange (window; the groupBy reuses its partitioning, matches
+    explode in place); PRQL top-n-per-group is one window exchange; search
+    is a single filtered scan plus the presentational sort; the quality
+    bundle stays within its budget of 2 token-keyed aggs + 2 doc re-aggs +
+    the output sort (join reuses the doc partitioning — no 6th)."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    reg = all_queries()
+    assert shuffle_count(reg["kql_scan_declare"].fn(spark, sf_dir)) == 1
+    assert shuffle_count(reg["prql_group_topn"].fn(spark, sf_dir)) == 1
+    assert shuffle_count(reg["kql_search_term"].fn(spark, sf_dir)) == 1
+    assert shuffle_count(reg["quality_signals_bundle"].fn(spark, sf_dir)) <= 5
