@@ -297,6 +297,36 @@ _KQL_SCALARS: dict = {
     ),
     "startofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
     "startofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
+    # round-8 datetime vocabulary completions
+    "endofmonth": lambda a: (
+        f"(date_trunc('MONTH', {a[0]}) + INTERVAL 1 MONTH "
+        "- INTERVAL 1 MICROSECOND)"
+    ),
+    "endofyear": lambda a: (
+        f"(date_trunc('YEAR', {a[0]}) + INTERVAL 1 YEAR "
+        "- INTERVAL 1 MICROSECOND)"
+    ),
+    "getyear": lambda a: f"year({a[0]})",
+    "getmonth": lambda a: f"month({a[0]})",
+    "monthofyear": lambda a: f"month({a[0]})",
+    "dayofmonth": lambda a: f"day({a[0]})",
+    "dayofyear": lambda a: f"dayofyear({a[0]})",
+    "hourofday": lambda a: f"hour({a[0]})",
+    "week_of_year": lambda a: f"weekofyear({a[0]})",
+    "make_datetime": lambda a: f"make_timestamp({', '.join(a)})",
+    # format_datetime: the Kusto pattern subset maps glyph-for-glyph onto
+    # Java DateTimeFormatter for yyyy/MM/dd/HH/mm/ss (the common patterns)
+    "format_datetime": lambda a: f"date_format({a[0]}, {a[1]})",
+    # totimespan('01:02:03') / totimespan(1h) → seconds (DOUBLE); the
+    # timespan-literal form is normalized by the literal rewrite below
+    "totimespan": lambda a: (
+        f"(CAST(split({a[0]}, ':')[0] AS DOUBLE) * 3600 "
+        f"+ CAST(split({a[0]}, ':')[1] AS DOUBLE) * 60 "
+        f"+ CAST(split({a[0]}, ':')[2] AS DOUBLE))"
+    ),
+    "datetime_part": lambda a: (
+        f"extract({a[0].strip().strip(chr(39)).upper()} FROM {a[1]})"
+    ),
     # Kusto endofday = 23:59:59.9999999 (100ns ticks); microsecond precision
     # here — documented deviation at the last decimal digit
     "endofday": lambda a: (

@@ -366,6 +366,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_top_nested_others",
     # --- round-8 vocabulary batch 16 ---
     "chsql_vocab_r16",
+    # --- round-8 KQL datetime vocabulary completions ---
+    "kql_datetime_vocab",
 ]
 
 _DRIVER_WINDOW_R5 = [

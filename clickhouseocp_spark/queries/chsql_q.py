@@ -4339,3 +4339,44 @@ def chsql_vocab_r16(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouseocp_spark.engine import ChSparkEngine
 
     return ChSparkEngine(sf_dir, spark).sql(CH_VOCAB_R16, dialect="clickhouse")
+
+
+@register(
+    "kql_datetime_vocab",
+    oracle="""
+SELECT event_id,
+       year(ts) AS y, month(ts) AS mo, day(ts) AS d,
+       dayofyear(ts) AS doy, hour(ts) AS hod, weekofyear(ts) AS woy,
+       date_trunc('month', ts) + INTERVAL 1 MONTH - INTERVAL 1 MICROSECOND
+         AS eom,
+       strftime(ts, '%Y-%m-%d %H:%M') AS fmt,
+       3600.0 + 2 * 60 + 3 AS span_s,
+       extract(hour FROM ts) AS part_h
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "datetime"),
+)
+def kql_datetime_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto datetime vocabulary completions (round 8): getyear/getmonth/
+    dayofmonth/dayofyear/hourofday/week_of_year, endofmonth (last tick at
+    microsecond precision — documented 100 ns deviation), format_datetime
+    (glyph-compatible subset onto date_format), totimespan('HH:MM:SS'),
+    datetime_part.  DuckDB replays eom via interval arithmetic and fmt via
+    strftime; weekofyear is ISO on both engines."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 200
+| project event_id, y = getyear(ts), mo = getmonth(ts), d = dayofmonth(ts),
+          doy = dayofyear(ts), hod = hourofday(ts), woy = week_of_year(ts),
+          eom = endofmonth(ts),
+          fmt = format_datetime(ts, 'yyyy-MM-dd HH:mm'),
+          span_s = totimespan('01:02:03'),
+          part_h = datetime_part('hour', ts)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
