@@ -388,6 +388,44 @@ class ChSparkEngine:
                 raise
             return df
 
+    def _expand_columns_matcher(self, query: str) -> str:
+        """CH's dynamic column selector ``COLUMNS('re') [APPLY fn]``: expand
+        to an explicit column list BEFORE transpilation (it needs the
+        schema, so it lives at the engine level like getschema/search).
+        The table is resolved from the statement's first ``FROM <name>``;
+        ``APPLY fn`` wraps each matched column, producing CH's
+        ``fn(col)``-style output names.  Chained APPLY and EXCEPT after
+        COLUMNS are out of the subset (documented)."""
+        import re as _re
+
+        if not _re.search(r"(?i)\bCOLUMNS\s*\(", query):
+            return query
+        mt = _re.search(r"(?is)\bFROM\s+([A-Za-z_]\w*)", query)
+        if not mt:
+            return query
+        try:
+            fields = [f.name for f in self.spark.table(mt.group(1)).schema.fields]
+        except Exception:  # noqa: BLE001 — unknown table errors surface later
+            return query
+
+        def _expand(m: "_re.Match[str]") -> str:
+            rx, fn = m.group(1), m.group(2)
+            cols = [c for c in fields if _re.search(rx, c)]
+            if not cols:
+                raise ChSqlError(
+                    f"COLUMNS({rx!r}) matched no columns of {mt.group(1)}"
+                )
+            if fn:
+                return ", ".join(f"{fn}({c}) AS `{fn}({c})`" for c in cols)
+            return ", ".join(cols)
+
+        return _re.sub(
+            r"(?is)\bCOLUMNS\s*\(\s*'([^']+)'\s*\)"
+            r"(?:\s+APPLY\s*\(?\s*([A-Za-z_]\w*)\s*\)?)?",
+            _expand,
+            query,
+        )
+
     def _run_ch(self, query: str) -> DataFrame | None:
         """Transpile CH-dialect text and run it; an ``ORDER BY ... WITH FILL``
         clause is extracted by the transpiler and applied here as the
@@ -396,6 +434,7 @@ class ChSparkEngine:
         fallback when the transpiler was a no-op."""
         from clickhouseocp_spark.chsql import transpile_with_fill
 
+        query = self._expand_columns_matcher(query)
         core, fill = transpile_with_fill(query)
         if fill is None and core == query:
             return None

@@ -368,6 +368,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "chsql_vocab_r16",
     # --- round-8 KQL datetime vocabulary completions ---
     "kql_datetime_vocab",
+    # --- round-8 COLUMNS('re') APPLY dynamic selector ---
+    "chsql_columns_matcher",
 ]
 
 _DRIVER_WINDOW_R5 = [

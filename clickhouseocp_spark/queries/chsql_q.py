@@ -4380,3 +4380,30 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_columns_matcher",
+    oracle="""
+SELECT MAX(l_extendedprice) AS "max(l_extendedprice)",
+       MAX(l_discount) AS "max(l_discount)",
+       MAX(l_tax) AS "max(l_tax)"
+FROM lineitem
+""",
+    tags=("chsql", "dialect", "projection"),
+)
+def chsql_columns_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH's dynamic column selector ``COLUMNS('re') APPLY fn`` (round 8):
+    the regex expands against the resolved table schema at the ENGINE
+    level (like getschema/search) into an explicit column list, APPLY
+    wrapping each match with CH's ``fn(col)`` output naming.  Here the
+    three ``l_.*(price|discount|tax)`` measures reduce through one
+    selector (max — order-independent, so doubles compare exactly)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        "SELECT COLUMNS('^l_(extendedprice|discount|tax)$') APPLY max "
+        "FROM lineitem",
+        dialect="clickhouse",
+    )
