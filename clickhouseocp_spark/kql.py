@@ -1672,6 +1672,32 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             )
         elif op in ("take", "limit"):
             rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
+        elif op == "sample":
+            # Kusto sample N returns N pseudo-random rows; the lowering
+            # selects by md5-rank over the whole row — reproducible across
+            # runs/engines/cluster sizes (same policy as corpus_budget_
+            # sample), a documented determinism upgrade over Kusto's RNG.
+            # TakeOrderedAndProject keeps it a per-partition heap.
+            rel = (
+                f"SELECT * EXCEPT (__smp) FROM (SELECT *, "
+                f"md5(to_json(struct(*))) AS __smp FROM {sub}) __sm "
+                f"ORDER BY __smp LIMIT {int(rest)}"
+            )
+        elif op == "sample-distinct":
+            ms = re.match(
+                r"^(\d+)\s+of\s+([A-Za-z_]\w*)$", rest.strip(), re.IGNORECASE
+            )
+            if not ms:
+                raise KqlError(
+                    f"sample-distinct needs 'N of col', got {rest!r}"
+                )
+            n, col = ms.groups()
+            # N distinct values of col, md5-rank-selected (single-column
+            # output, matching Kusto's shape)
+            rel = (
+                f"SELECT {col} FROM (SELECT DISTINCT {col} FROM {sub}) __sd "
+                f"ORDER BY md5(CAST({col} AS STRING)) LIMIT {int(n)}"
+            )
         elif op == "mv-expand":
             mt = re.match(
                 r"^(?:with_itemindex\s*=\s*([A-Za-z_]\w*)\s+)?"

@@ -370,6 +370,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_datetime_vocab",
     # --- round-8 COLUMNS('re') APPLY dynamic selector ---
     "chsql_columns_matcher",
+    # --- round-8 KQL sampling operators ---
+    "kql_sample_distinct",
 ]
 
 _DRIVER_WINDOW_R5 = [

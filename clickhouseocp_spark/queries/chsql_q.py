@@ -4407,3 +4407,32 @@ def chsql_columns_matcher(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM lineitem",
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_sample_distinct",
+    oracle="""
+WITH s AS (
+  SELECT doc_id FROM (
+    SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200
+  ) d ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 20
+)
+SELECT doc_id FROM s ORDER BY doc_id
+""",
+    tags=("kql", "dialect", "sampling"),
+)
+def kql_sample_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``sample-distinct N of col`` (round 8): N distinct values
+    selected by md5 rank — reproducible across runs/engines/cluster sizes
+    (the same portable-hash selection policy as corpus_budget_sample; a
+    documented determinism upgrade over Kusto's RNG).  The plain ``sample
+    N`` operator uses the same md5-rank over the whole row and lowers to
+    TakeOrderedAndProject (per-partition heaps)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        "documents | where doc_id < 200 | sample-distinct 20 of doc_id",
+        dialect="kusto",
+    )
+    return df.orderBy("doc_id")
