@@ -1382,6 +1382,45 @@ _DT_TYPES = {"string": "STRING", "long": "BIGINT", "int": "INT",
              "bool": "BOOLEAN", "boolean": "BOOLEAN"}
 
 
+def _externaldata(src: str) -> str:
+    """``externaldata (c1:t1, ...) ['path'] [with (format='csv')]`` —
+    Kusto's typed external source.  Local-file subset (no cloud URIs in
+    this environment): parquet reads project+cast the declared columns by
+    NAME; headerless csv binds the declared schema POSITIONALLY (_c0..)
+    per Kusto's contract.  Lowering is a Spark direct-file relation, so
+    format pushdown/pruning apply as with the CH ``file()`` table
+    function."""
+    m = re.match(
+        r"(?is)^externaldata\s*\((.*?)\)\s*\[\s*'([^']+)'\s*\]"
+        r"(?:\s*with\s*\(\s*format\s*=\s*'(\w+)'\s*\))?\s*$",
+        src.strip(),
+    )
+    if not m:
+        raise KqlError(
+            "externaldata needs \"(name:type, ...) ['path'] "
+            f"[with (format='fmt')]\", got {src!r}"
+        )
+    cols_txt, path, fmt = m.groups()
+    fmt = (fmt or ("csv" if path.lower().endswith(".csv") else "parquet")).lower()
+    if fmt not in ("csv", "parquet", "json"):
+        raise KqlError(f"externaldata: unsupported format {fmt!r}")
+    cols: list[tuple[str, str]] = []
+    for item in _split_top(cols_txt):
+        mc = re.match(r"^([A-Za-z_]\w*)\s*:\s*(\w+)$", item.strip())
+        if not mc or mc.group(2).lower() not in _DT_TYPES:
+            raise KqlError(f"externaldata: bad column spec {item!r}")
+        cols.append((mc.group(1), _DT_TYPES[mc.group(2).lower()]))
+    if not cols:
+        raise KqlError("externaldata needs at least one column")
+    if fmt == "csv":
+        sels = ", ".join(
+            f"CAST(_c{i} AS {t}) AS {n}" for i, (n, t) in enumerate(cols)
+        )
+    else:
+        sels = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+    return f"SELECT {sels} FROM {fmt}.`{path}`"
+
+
 def _datatable(src: str) -> str:
     """``datatable(c1:t1, ...) [v, v, ...]`` → a typed VALUES relation.
     Values are flat, row-major (the Kusto literal-table shape)."""
@@ -1493,6 +1532,8 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
             f"SELECT explode(sequence({_expr(frm)}, {_expr(to)}, {step_sql})) "
             f"AS {name}"
         )
+    elif re.match(r"(?i)^externaldata\b", src):
+        rel = _externaldata(src)
     elif re.match(r"(?i)^datatable\b", src):
         rel = _datatable(src)
     elif re.match(r"(?i)^print\b", src):

@@ -372,6 +372,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "chsql_columns_matcher",
     # --- round-8 KQL sampling operators ---
     "kql_sample_distinct",
+    # --- round-8 KQL externaldata source ---
+    "kql_externaldata",
 ]
 
 _DRIVER_WINDOW_R5 = [

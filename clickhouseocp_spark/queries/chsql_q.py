@@ -4436,3 +4436,29 @@ def kql_sample_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         dialect="kusto",
     )
     return df.orderBy("doc_id")
+
+
+@register(
+    "kql_externaldata",
+    oracle="""
+SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey
+""",
+    tags=("kql", "dialect", "source"),
+)
+def kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``externaldata`` (round 8): the typed external source, local-
+    file subset — the declared schema projects+casts by name over a Spark
+    direct-file parquet relation (pushdown/pruning apply, same path as the
+    CH ``file()`` table function).  Headerless CSV binds positionally per
+    Kusto's contract (transpile-tested)."""
+    import os
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    path = os.path.join(sf_dir, "region.parquet")
+    return eng.sql(
+        f"externaldata (r_regionkey: long, r_name: string) ['{path}'] "
+        "with (format='parquet') | sort by r_regionkey asc",
+        dialect="kusto",
+    )
