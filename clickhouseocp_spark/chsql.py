@@ -986,7 +986,8 @@ FUNC_RULES: dict[str, object] = {
     "lowerUTF8": _rename("lower"), "upperUTF8": _rename("upper"),
     "substringUTF8": _rename("substring"), "mid": _rename("substring"),
     "position": lambda args: f"locate({args[1]}, {args[0]}" + (f", {args[2]}" if len(args) > 2 else "") + ")",
-    "positionCaseInsensitive": lambda args: f"locate(lower({args[1]}), lower({args[0]}))",
+    # (positionCaseInsensitive lives in the batch-15 section with the
+    # optional start-position argument)
     "startsWith": _rename("startswith"), "endsWith": _rename("endswith"),
     "match": _rename("regexp_like"),
     "replaceAll": _rename("replace"),
@@ -1288,12 +1289,8 @@ FUNC_RULES: dict[str, object] = {
     "arrayEnumerateDense": lambda args: (
         f"transform({args[0]}, x -> array_position(array_distinct({args[0]}), x))"
     ),
-    # running occurrence counter per value ([10,20,10] → [1,1,2]); row-local
-    # O(n²) by construction (scalar tier — arrays never leave the row)
-    "arrayEnumerateUniq": lambda args: (
-        f"transform(sequence(1, size({args[0]})), i -> "
-        f"size(filter(slice({args[0]}, 1, i), y -> y = element_at({args[0]}, i))))"
-    ),
+    # (arrayEnumerateUniq — the running occurrence counter — already lives
+    # in the string/array section below via the two-arg transform lambda)
     "toStartOfSecond": lambda args: f"date_trunc('SECOND', {args[0]})",
     "timeDiff": lambda args: (
         f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"

@@ -843,7 +843,7 @@ def test_kql_transpile_mechanics():
         transpile_kql("t | mv-apply x = a on (summarize p = percentile(x, 50))")
     mva = transpile_kql("t | mv-apply x = a on (summarize s = sum(x), n = count())")
     assert "aggregate(a, CAST(0 AS DOUBLE)" in mva and "size(a) AS n" in mva
-    with pytest.raises(KqlError, match="bare column name"):
+    with pytest.raises(KqlError, match="mv-expand needs"):
         transpile_kql("t | mv-expand f(x)")
     with pytest.raises(KqlError, match="must start with a table name"):
         transpile_kql("select * from t | take 1")
