@@ -102,6 +102,40 @@ def _ngram_search(args: list[str], ci: bool) -> str:
     )
 
 
+def _arg_minmax_comb(fn: str, which: str, args: list[str]) -> str:
+    """fArgMin/fArgMax(x, y): apply f to x over the rows whose y equals the
+    group's min/max of y (CH 24.x combinator semantics — ALL extreme rows
+    participate, unlike argMin/argMax which picks one)."""
+    x, y = args[0], args[1]
+    lst = f"collect_list(struct({y} AS k, {x} AS v))"
+    # expression-level LET (transform over a 1-element array) binds the
+    # collected list and then the group extreme ONCE — putting the
+    # array_min/max inside the filter lambda would re-evaluate it per
+    # element: O(n²) per group, the round-7 anti-pattern class (measured
+    # minutes-vs-seconds at sf0.01 group sizes)
+    flt = "filter(__l, s -> s.k = __bk)"
+    if fn == "sum":
+        body = f"aggregate({flt}, CAST(0 AS DOUBLE), (a, s) -> a + s.v)"
+    elif fn == "count":
+        body = f"size({flt})"
+    elif fn == "avg":
+        body = (
+            f"(aggregate({flt}, CAST(0 AS DOUBLE), (a, s) -> a + s.v) "
+            f"/ size({flt}))"
+        )
+    elif fn == "min":
+        body = f"array_min(transform({flt}, s -> s.v))"
+    elif fn == "max":
+        body = f"array_max(transform({flt}, s -> s.v))"
+    else:  # any
+        body = f"element_at(transform({flt}, s -> s.v), 1)"
+    return (
+        f"element_at(transform(array({lst}), __l -> "
+        f"element_at(transform(array(array_{which}(transform(__l, t -> t.k))), "
+        f"__bk -> {body}), 1)), 1)"
+    )
+
+
 def _extract_groups_rule(args: list[str]) -> str:
     """extractGroups(s, 'regex'): array of the capture groups of the FIRST
     match.  The group count must be knowable at transpile time, so the
@@ -1031,6 +1065,21 @@ FUNC_RULES: dict[str, object] = {
     "countOrNull": lambda args: (
         f"nullif(count({', '.join(args) if args else '*'}), 0)"
     ),
+    # -ArgMin / -ArgMax combinators (CH 24.x): f(x) restricted to the rows
+    # whose y equals the group extreme.  TEXT-tier lowering collects
+    # (k, v) structs once (Catalyst dedups the identical agg expression)
+    # and folds the filtered subset — the same exact-collect policy as the
+    # topK text tier; the scale path is a window rank filter.
+    "sumArgMin": lambda a: _arg_minmax_comb("sum", "min", a),
+    "sumArgMax": lambda a: _arg_minmax_comb("sum", "max", a),
+    "countArgMin": lambda a: _arg_minmax_comb("count", "min", a),
+    "countArgMax": lambda a: _arg_minmax_comb("count", "max", a),
+    "avgArgMin": lambda a: _arg_minmax_comb("avg", "min", a),
+    "avgArgMax": lambda a: _arg_minmax_comb("avg", "max", a),
+    "minArgMax": lambda a: _arg_minmax_comb("min", "max", a),
+    "maxArgMin": lambda a: _arg_minmax_comb("max", "min", a),
+    "anyArgMin": lambda a: _arg_minmax_comb("any", "min", a),
+    "anyArgMax": lambda a: _arg_minmax_comb("any", "max", a),
     # -Distinct combinator
     "sumDistinct": lambda args: f"sum(DISTINCT {args[0]})",
     "avgDistinct": lambda args: f"avg(DISTINCT {args[0]})",

@@ -374,6 +374,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_sample_distinct",
     # --- round-8 KQL externaldata source ---
     "kql_externaldata",
+    # --- round-8 -ArgMin/-ArgMax combinators ---
+    "chsql_argminmax_combinators",
 ]
 
 _DRIVER_WINDOW_R5 = [

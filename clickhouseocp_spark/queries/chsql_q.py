@@ -4462,3 +4462,47 @@ def kql_externaldata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "with (format='parquet') | sort by r_regionkey asc",
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_argminmax_combinators",
+    oracle="""
+WITH r AS (
+  SELECT l_returnflag, l_quantity, l_linenumber,
+         MIN(l_linenumber) OVER (PARTITION BY l_returnflag) AS mn,
+         MAX(l_linenumber) OVER (PARTITION BY l_returnflag) AS mx
+  FROM lineitem
+)
+SELECT l_returnflag,
+       SUM(CASE WHEN l_linenumber = mn THEN l_quantity END) AS qty_at_min,
+       CAST(COUNT(CASE WHEN l_linenumber = mx THEN 1 END) AS INTEGER)
+         AS n_at_max,
+       MAX(CASE WHEN l_linenumber = mn THEN l_quantity END) AS maxq_at_min,
+       ROUND(SUM(CASE WHEN l_linenumber = mx THEN l_quantity END)
+             / COUNT(CASE WHEN l_linenumber = mx THEN 1 END), 6)
+         AS avgq_at_max
+FROM r GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    tags=("chsql", "dialect", "combinators"),
+)
+def chsql_argminmax_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """-ArgMin / -ArgMax combinators (CH 24.x, round 8): f(x) over the rows
+    whose y equals the group extreme — ALL extreme rows participate
+    (unlike argMin/argMax, which picks one).  l_quantity is an integral
+    double, so the sums are exact regardless of accumulation order; avg
+    rounds to 6 on both sides.  TEXT-tier collect lowering (the topK
+    policy); the scale path is a window rank filter — exactly the
+    oracle's own shape."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT l_returnflag,
+       sumArgMin(l_quantity, l_linenumber) AS qty_at_min,
+       countArgMax(l_quantity, l_linenumber) AS n_at_max,
+       maxArgMin(l_quantity, l_linenumber) AS maxq_at_min,
+       round(avgArgMax(l_quantity, l_linenumber), 6) AS avgq_at_max
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        dialect="clickhouse",
+    )
