@@ -1686,3 +1686,69 @@ def test_kql_round8_conveniences():
     assert "POSEXPLODE(arr)" in mi and "__mvi AS i" in mi
     a = transpile_kql("t | where x == 1 | as Hot | union (Hot) | count")
     assert a.count("WHERE x = 1") == 2  # binding re-expanded in the union
+
+
+def test_kql_round8_edge_cases(spark):
+    """Edge sweep for the round-8 operators: empty-input scan (the typed
+    empty-array init derived from data), single-row match, desc scan order,
+    facet NULL grouping, md5-rank sample determinism, csv-positional
+    externaldata binding."""
+    import os
+    import tempfile
+
+    from clickhouseocp_spark.kql import transpile_kql
+
+    spark.createDataFrame([], "k int, ts int, et string").createOrReplaceTempView(
+        "kql_edge_t0"
+    )
+    assert (
+        spark.sql(
+            transpile_kql("kql_edge_t0 | sort by ts asc | scan with (step a: et == 'a')")
+        ).count()
+        == 0
+    )
+    spark.createDataFrame(
+        [(1, 5, "a")], "k int, ts int, et string"
+    ).createOrReplaceTempView("kql_edge_t1")
+    row = spark.sql(
+        transpile_kql(
+            "kql_edge_t1 | sort by ts asc | scan with_match_id=m "
+            "with (step a: et == 'a')"
+        )
+    ).collect()
+    assert [(r.k, r.ts, r.m) for r in row] == [(1, 5, 0)]
+    # desc order: the machine walks ts descending (a@2 then b@1)
+    spark.createDataFrame(
+        [(1, 1, "b"), (1, 2, "a")], "k int, ts int, et string"
+    ).createOrReplaceTempView("kql_edge_t2")
+    seq = spark.sql(
+        transpile_kql(
+            "kql_edge_t2 | sort by ts desc | scan "
+            "with (step a: et == 'a'; step b: et == 'b')"
+        )
+    ).collect()
+    assert [r.et for r in seq] == ["a", "b"]
+    # facet groups NULLs like GROUP BY (one NULL-valued row)
+    spark.createDataFrame([(None,), ("x",)], "c string").createOrReplaceTempView(
+        "kql_edge_t3"
+    )
+    fac = {(r.value, r.count_) for r in spark.sql(
+        transpile_kql("kql_edge_t3 | facet by c")
+    ).collect()}
+    assert fac == {(None, 1), ("x", 1)}
+    # sample: md5-rank selection is deterministic across runs
+    s1 = spark.sql(transpile_kql("kql_edge_t2 | sample 1")).collect()
+    s2 = spark.sql(transpile_kql("kql_edge_t2 | sample 1")).collect()
+    assert s1 == s2 and len(s1) == 1
+    # externaldata csv binds the declared schema positionally (headerless)
+    d = tempfile.mkdtemp(prefix="kql_ext_")
+    p = os.path.join(d, "rows.csv")
+    with open(p, "w") as f:
+        f.write("1,alpha\n2,beta\n")
+    got = spark.sql(
+        transpile_kql(
+            f"externaldata (ident: long, label: string) ['{p}'] "
+            "with (format='csv') | sort by ident asc"
+        )
+    ).collect()
+    assert [(r.ident, r.label) for r in got] == [(1, "alpha"), (2, "beta")]
