@@ -2505,6 +2505,16 @@ def _rewrite_scalar_with(tokens: list[str]) -> list[str]:
             and item[2] == "("
         ):
             ctes.append(item)
+        elif (
+            # WITH RECURSIVE name AS (...) — the recursive-CTE form (CH
+            # 24.4+, Spark 4 UnionLoop): a standard CTE, pass through
+            len(item) >= 4
+            and _KW(item[0]) == "RECURSIVE"
+            and _is_word(item[1])
+            and _KW(item[2]) == "AS"
+            and item[3] == "("
+        ):
+            ctes.append(item)
         elif len(item) >= 3 and _KW(item[-2]) == "AS" and _is_word(item[-1]):
             scalars.append((item[-1], item[:-2]))
         else:

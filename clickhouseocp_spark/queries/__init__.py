@@ -376,6 +376,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_externaldata",
     # --- round-8 -ArgMin/-ArgMax combinators ---
     "chsql_argminmax_combinators",
+    # --- round-8 recursive CTE (CH 24.4+ / Spark 4 UnionLoop) ---
+    "chsql_recursive_cte",
 ]
 
 _DRIVER_WINDOW_R5 = [

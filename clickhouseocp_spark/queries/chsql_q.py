@@ -4506,3 +4506,46 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """,
         dialect="clickhouse",
     )
+
+
+CH_RECURSIVE_CTE = """
+WITH RECURSIVE days AS (
+  SELECT DATE '2024-01-01' AS d
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM days
+  WHERE d < DATE '2024-01-31'
+)
+SELECT d, count(e.event_id) AS n
+FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+GROUP BY d ORDER BY d
+"""
+
+
+@register(
+    "chsql_recursive_cte",
+    oracle="""
+WITH RECURSIVE days AS (
+  SELECT DATE '2024-01-01' AS d
+  UNION ALL
+  SELECT CAST(d + INTERVAL 1 DAY AS DATE) AS d FROM days
+  WHERE d < DATE '2024-01-31'
+)
+SELECT d, count(e.event_id) AS n
+FROM days LEFT JOIN events e ON CAST(e.ts AS DATE) = d
+GROUP BY d ORDER BY d
+""",
+    tags=("chsql", "dialect", "cte"),
+)
+def chsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` (CH 24.4+, round 8): the recursive-CTE surface —
+    here a 31-day calendar generated by the recursion and left-joined to
+    per-day event counts (gap days survive with n=0).  Catalyst executes
+    the recursion natively (Spark 4's UnionLoop — iterations stop on the
+    empty increment); the axis is tiny, so the join broadcasts it.  The
+    oracle runs the IDENTICAL text on DuckDB — the recursive form is ANSI
+    on all three engines."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        CH_RECURSIVE_CTE, dialect="clickhouse"
+    )
