@@ -1474,6 +1474,7 @@ def transpile_kql(query: str) -> str:
     if not stmts:
         raise KqlError("empty KQL query")
     lets: dict[str, str] = {}
+    funcs: dict[str, tuple[str, str]] = {}
     for i in range(len(stmts) - 1):
         st = stmts[i].strip()
         m = re.match(r"^let\s+([A-Za-z_]\w*)\s*=\s*(.+)$", st,
@@ -1481,6 +1482,18 @@ def transpile_kql(query: str) -> str:
         if not m:
             raise KqlError(f"expected 'let name = ...' statement, got {st!r}")
         name, val = m.group(1), m.group(2).strip()
+        mfun = re.match(
+            r"^\(\s*([A-Za-z_]\w*)\s*:\s*\(\s*\*\s*\)\s*\)\s*"
+            r"\{(.*)\}$",
+            val,
+            re.DOTALL,
+        )
+        if mfun:
+            # tabular lambda: let f = (T:(*)) { T | ... } — stored for
+            # `| invoke f()` (the body re-transpiles at the call site with
+            # the parameter bound to the pipeline-so-far)
+            funcs[name] = (mfun.group(1), mfun.group(2).strip())
+            continue
         is_tabular = (
             "|" in val
             or re.match(r"^[A-Za-z_]\w*$", val)
@@ -1495,13 +1508,18 @@ def transpile_kql(query: str) -> str:
             pat = re.compile(rf"(?<![\w.']){re.escape(name)}(?![\w(])")
             for j in range(i + 1, len(stmts)):
                 stmts[j] = pat.sub(repl, stmts[j])
-    return _transpile_pipeline(stmts[-1], lets)
+    return _transpile_pipeline(stmts[-1], lets, funcs)
 
 
-def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
+def _transpile_pipeline(
+    query: str,
+    lets: dict[str, str] | None = None,
+    funcs: dict[str, tuple[str, str]] | None = None,
+) -> str:
     """One KQL pipeline → one nested Spark SQL statement.  ``lets`` maps
     tabular binding names to their transpiled SQL."""
     lets = lets or {}
+    funcs = funcs or {}
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
@@ -1659,6 +1677,16 @@ def _transpile_pipeline(query: str, lets: dict[str, str] | None = None) -> str:
                 base = base[: -len(f" ORDER BY {last_order}")]
             sub = f"({base}) __k{i}" if " " in base or base.startswith("(") else base
             rel = _scan(sub, rest, last_order)
+        elif op == "invoke":
+            mi = re.match(r"^([A-Za-z_]\w*)\s*\(\s*\)\s*$", rest.strip())
+            if not mi or mi.group(1) not in funcs:
+                raise KqlError(
+                    f"invoke needs a let-bound tabular function f(), got {rest!r}"
+                )
+            param, fbody = funcs[mi.group(1)]
+            sub_lets = dict(lets)
+            sub_lets[param] = rel if " " in rel else f"SELECT * FROM {rel}"
+            rel = _transpile_pipeline(fbody, sub_lets, funcs)
         elif op == "partition":
             rel = _partition(sub, rest)
         elif op == "facet":

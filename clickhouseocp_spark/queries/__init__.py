@@ -378,6 +378,8 @@ _DRIVER_WINDOW_R10: list[str] = [
     "chsql_argminmax_combinators",
     # --- round-8 recursive CTE (CH 24.4+ / Spark 4 UnionLoop) ---
     "chsql_recursive_cte",
+    # --- round-8 KQL invoke (tabular lambda lets) ---
+    "kql_invoke_lambda",
 ]
 
 _DRIVER_WINDOW_R5 = [

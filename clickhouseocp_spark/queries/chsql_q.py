@@ -4549,3 +4549,34 @@ def chsql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ChSparkEngine(sf_dir, spark).sql(
         CH_RECURSIVE_CTE, dialect="clickhouse"
     )
+
+
+@register(
+    "kql_invoke_lambda",
+    oracle="""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+WHERE value > 10 AND event_type = 'click'
+GROUP BY user_id ORDER BY n DESC, user_id LIMIT 3
+""",
+    tags=("kql", "dialect", "functions"),
+)
+def kql_invoke_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``invoke`` with a let-bound tabular lambda (round 8):
+    ``let f = (T:(*)) { <pipeline> }`` stores the body, and ``| invoke
+    f()`` re-transpiles it at the call site with the parameter bound to
+    the pipeline-so-far — Kusto's stored-function idiom, zero runtime
+    machinery (pure call-site inlining, so Catalyst optimizes the spliced
+    plan as one tree)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let top_clicks = (T:(*)) {
+    T | where event_type == 'click'
+      | summarize n = count() by user_id
+      | sort by n desc, user_id asc | take 3 };
+events | where value > 10 | invoke top_clicks()
+""",
+        dialect="kusto",
+    )
