@@ -959,7 +959,11 @@ def _qualify_idents(
         lits.append(m.group(0))
         return f"\x00{len(lits) - 1}\x00"
 
-    masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, expr)
+    # mask BOTH quote forms — KQL string literals may be single- or
+    # double-quoted, and either reaches this rewriter verbatim
+    masked = re.sub(
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _mask, expr
+    )
 
     def _sub(m: "re.Match[str]") -> str:
         w = m.group(0)

@@ -1752,3 +1752,16 @@ def test_kql_round8_edge_cases(spark):
         )
     ).collect()
     assert [(r.ident, r.label) for r in got] == [(1, "alpha"), (2, "beta")]
+
+
+def test_kql_scan_double_quoted_literal():
+    """Double-quoted KQL string literals inside scan predicates are masked
+    during identifier qualification — words inside them must never become
+    field refs (round-8 fix)."""
+    import re
+
+    from clickhouseocp_spark.kql import transpile_kql
+
+    s = transpile_kql('t | sort by ts asc | scan with (step a: et == "x and y")')
+    m = re.search(r"a\.cur = 0 AND \(([^)]*)\)", s)
+    assert m and m.group(1) == '__r.__row.et = "x and y"'
