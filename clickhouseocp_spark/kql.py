@@ -813,11 +813,22 @@ _MV_APPLY_AGGS = {
 
 def _mv_field_ref(expr: str, fields: list[str]) -> str:
     """Rewrite bare element-field names in ``expr`` to ``__e.<field>``
-    (struct-element lambda body).  Skips qualified refs (``x.f``) and
-    function-call positions (``f(``)."""
+    (struct-element lambda body).  Skips qualified refs (``x.f``),
+    function-call positions (``f(``), and words inside string literals of
+    EITHER quote form (masked first — same hardening as
+    :func:`_qualify_idents`)."""
+    lits: list[str] = []
+
+    def _mask(m: "re.Match[str]") -> str:
+        lits.append(m.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", _mask, expr)
     for f in fields:
-        expr = re.sub(rf"(?<![\w.']){re.escape(f)}(?![\w(])", f"__e.{f}", expr)
-    return expr
+        masked = re.sub(
+            rf"(?<![\w.\x00]){re.escape(f)}(?![\w(])", f"__e.{f}", masked
+        )
+    return re.sub(r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked)
 
 
 def _mv_apply(sub: str, rest: str) -> str:
@@ -1197,12 +1208,16 @@ def _partition(sub: str, rest: str) -> str:
     Every lowered form shuffles on (or subsumes) the partition key once;
     pytest gates the scan form's single exchange."""
     m = re.match(
-        r"^by\s+([A-Za-z_]\w*)\s*\((.+)\)\s*$", rest.strip(),
+        # hint.strategy=shuffle etc. are execution hints in Kusto — the
+        # Catalyst lowering already shuffles on the key, so they parse and
+        # drop (Kusto's own docs describe them as non-semantic)
+        r"^(?:hint\.\w+\s*=\s*\w+\s+)*by\s+([A-Za-z_]\w*)\s*\((.+)\)\s*$",
+        rest.strip(),
         re.IGNORECASE | re.DOTALL,
     )
     if not m:
         raise KqlError(
-            f"partition needs 'by Key ( <subpipeline> )', got {rest!r}"
+            f"partition needs '[hint...] by Key ( <subpipeline> )', got {rest!r}"
         )
     key, pipe = m.group(1), m.group(2).strip()
     rel = f"SELECT * FROM {sub}"
