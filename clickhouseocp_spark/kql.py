@@ -1522,11 +1522,27 @@ def transpile_kql(query: str) -> str:
             lets[name] = _transpile_pipeline(val, lets)
         else:
             # scalar let: textual macro substitution into every LATER
-            # statement (Kusto scalar-binding semantics)
+            # statement (Kusto scalar-binding semantics); string literals
+            # of either quote form are masked so a binding name inside a
+            # literal never substitutes
             repl = f"({_expr(val)})"
-            pat = re.compile(rf"(?<![\w.']){re.escape(name)}(?![\w(])")
+            pat = re.compile(rf"(?<![\w.\x00]){re.escape(name)}(?![\w(])")
             for j in range(i + 1, len(stmts)):
-                stmts[j] = pat.sub(repl, stmts[j])
+                lits: list[str] = []
+
+                def _mask(m: "re.Match[str]") -> str:
+                    lits.append(m.group(0))
+                    return f"\x00{len(lits) - 1}\x00"
+
+                masked = re.sub(
+                    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+                    _mask,
+                    stmts[j],
+                )
+                masked = pat.sub(repl, masked)
+                stmts[j] = re.sub(
+                    r"\x00(\d+)\x00", lambda m: lits[int(m.group(1))], masked
+                )
     return _transpile_pipeline(stmts[-1], lets, funcs)
 
 
@@ -1759,7 +1775,8 @@ def _transpile_pipeline(
                 f"LEFT JOIN ({right_rel}) __r ON __l.{lk} = __r.{rk}"
             )
         elif op in ("take", "limit"):
-            rel = f"SELECT * FROM {sub} LIMIT {int(rest)}"
+            # scalar lets substitute as parenthesized literals: take (5)
+            rel = f"SELECT * FROM {sub} LIMIT {int(rest.strip().strip('()'))}"
         elif op == "sample":
             # Kusto sample N returns N pseudo-random rows; the lowering
             # selects by md5-rank over the whole row — reproducible across
@@ -1769,7 +1786,7 @@ def _transpile_pipeline(
             rel = (
                 f"SELECT * EXCEPT (__smp) FROM (SELECT *, "
                 f"md5(to_json(struct(*))) AS __smp FROM {sub}) __sm "
-                f"ORDER BY __smp LIMIT {int(rest)}"
+                f"ORDER BY __smp LIMIT {int(rest.strip().strip('()'))}"
             )
         elif op == "sample-distinct":
             ms = re.match(

@@ -1765,3 +1765,17 @@ def test_kql_scan_double_quoted_literal():
     s = transpile_kql('t | sort by ts asc | scan with (step a: et == "x and y")')
     m = re.search(r"a\.cur = 0 AND \(([^)]*)\)", s)
     assert m and m.group(1) == '__r.__row.et = "x and y"'
+
+
+def test_kql_scalar_let_masking_and_take():
+    """Scalar lets substitute into later statements WITHOUT touching string
+    literals of either quote form, and the substituted (N) parenthesized
+    literal works in take/limit/sample (round-8 hardening)."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    s = transpile_kql(
+        "let lim = 5; t | where x > lim and et == 'lim stays' | take lim"
+    )
+    assert "x > (5)" in s and "'lim stays'" in s and "LIMIT 5" in s
+    d = transpile_kql('let v = 2; t | where et == "v inside" | sample v')
+    assert '"v inside"' in d and "LIMIT 2" in d
