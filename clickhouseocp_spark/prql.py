@@ -319,9 +319,28 @@ def transpile_prql(text: str) -> str:
             val = rest if nl < 0 else rest[:nl]
             repl = f"({_expr(val.strip())})"
             pat = re.compile(
-                rf"(?<![\w.']){re.escape(m.group(1))}(?![\w(])"
+                rf"(?<![\w.\x00]){re.escape(m.group(1))}(?![\w(])"
             )
-            lines = pat.sub(repl, rest[nl:] if nl >= 0 else "")
+            # mask PLAIN string literals so a binding name inside one never
+            # substitutes (same hardening class as the KQL lets); f-strings
+            # stay unmasked — their {interpolations} legitimately reference
+            # let bindings
+            body = rest[nl:] if nl >= 0 else ""
+            lits: list[str] = []
+
+            def _mask(mm: "re.Match[str]") -> str:
+                lits.append(mm.group(0))
+                return f"\x00{len(lits) - 1}\x00"
+
+            masked = re.sub(
+                r"(?<!f)'(?:[^'\\]|\\.)*'|(?<!f)\"(?:[^\"\\]|\\.)*\"",
+                _mask,
+                body,
+            )
+            masked = pat.sub(repl, masked)
+            lines = re.sub(
+                r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], masked
+            )
     return _transpile_steps(_steps(lines), lets)
 
 
