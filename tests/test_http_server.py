@@ -635,3 +635,15 @@ def test_progress_stream_error_after_headers(http_engine):
     assert r.headers["X-ClickHouse-Exception-Code"] == "60"
     assert "no_such_table_xyz" in body
     conn.close()
+
+
+def test_recursive_cte_over_http(http_engine):
+    """WITH RECURSIVE runs through the HTTP surface (transpiler passes the
+    RECURSIVE CTE item through; Spark 4 UnionLoop executes it)."""
+    q = urllib.parse.quote(
+        "WITH RECURSIVE t AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 AS n FROM t WHERE n < 10) "
+        "SELECT sum(n) AS s FROM t"
+    )
+    status, body, _ = _get(http_engine, f"/?query={q}")
+    assert status == 200 and body.strip() == "55"
