@@ -102,6 +102,58 @@ def _ngram_search(args: list[str], ci: bool) -> str:
     )
 
 
+def _ngram_distance(args: list[str], ci: bool) -> str:
+    """ngramDistance(a, b): symmetric trigram distance in [0,1] — here the
+    Jaccard distance over DISTINCT trigrams (1 - |A∩B| / |A∪B|), the same
+    distinct-trigram deviation documented for ngramSearch (CH hashes 4-gram
+    multisets).  Empty∪empty → distance 0 (identical empties)."""
+    a, b = args[0], args[1]
+    if ci:
+        a, b = f"lower({a})", f"lower({b})"
+
+    def tg(s: str) -> str:
+        return (
+            f"array_distinct(transform(sequence(1, greatest(length({s}) - 2, "
+            f"1)), __i -> substring({s}, __i, 3)))"
+        )
+
+    return (
+        f"(1.0D - CAST(size(array_intersect({tg(a)}, {tg(b)})) AS DOUBLE) / "
+        f"greatest(size(array_union({tg(a)}, {tg(b)})), 1))"
+    )
+
+
+def _map_apply(args: list[str]) -> str:
+    """mapApply((k, v) -> (ke, ve), m): rebuild every entry through the
+    tuple-returning lambda (CH 22.3+).  Spark's transform_keys /
+    transform_values each rewrite one side only, so the pair form lowers to
+    an entries round-trip: map_entries → transform(struct) →
+    map_from_entries.  Supported lambda shape: ``(k, v) -> (kexpr, vexpr)``
+    with simple parameter names (the CH-docs form)."""
+    m = re.match(r"^\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.*)\)\s*$",
+                 args[0].strip(), re.DOTALL)
+    if not m:
+        raise ChSqlError(
+            f"mapApply needs '(k, v) -> (kexpr, vexpr)', got {args[0]!r}"
+        )
+    k, v, body = m.group(1), m.group(2), m.group(3)
+    parts = _split_args(body)
+    if len(parts) != 2:
+        raise ChSqlError(
+            f"mapApply lambda must return a 2-tuple, got {body!r}"
+        )
+    ke, ve = (
+        re.sub(
+            rf"\b{v}\b", "__e.value", re.sub(rf"\b{k}\b", "__e.key", p)
+        ).strip()
+        for p in parts
+    )
+    return (
+        f"map_from_entries(transform(map_entries({args[1]}), "
+        f"__e -> struct({ke} AS key, {ve} AS value)))"
+    )
+
+
 def _arg_minmax_comb(fn: str, which: str, args: list[str]) -> str:
     """fArgMin/fArgMax(x, y): apply f to x over the rows whose y equals the
     group's min/max of y (CH 24.x combinator semantics — ALL extreme rows
@@ -1210,6 +1262,20 @@ FUNC_RULES: dict[str, object] = {
     "mapContains": _rename("map_contains_key"),
     "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",
     "mapFromArrays": _rename("map_from_arrays"),
+    # round-8 map vocabulary (batch 17)
+    "mapApply": lambda args: _map_apply(args),
+    "mapUpdate": lambda args: (
+        # values from the SECOND map win on key collision (CH contract);
+        # map_zip_with visits the key union, so new keys survive too
+        f"map_zip_with({args[0]}, {args[1]}, "
+        f"(__k, __v1, __v2) -> coalesce(__v2, __v1))"
+    ),
+    "mapContainsKeyLike": lambda args: (
+        f"exists(map_keys({args[0]}), __k -> __k LIKE {args[1]})"
+    ),
+    "mapExtractKeyLike": lambda args: (
+        f"map_filter({args[0]}, (__k, __v) -> __k LIKE {args[1]})"
+    ),
     # round-3 daily-vocabulary sweep (every rule exercised by the
     # execute-probe in tests/test_chsql.py::test_daily_vocab_executes)
     "toFixedString": lambda args: f"rpad({args[0]}, {args[1]}, ' ')",
@@ -1315,6 +1381,10 @@ FUNC_RULES: dict[str, object] = {
     # vocabulary batch 16 (round 8): trigram containment search, duration
     # parsing, array enumeration, datetime completions
     "ngramSearch": lambda args: _ngram_search(args, ci=False),
+    # ngramDistance (batch 17): Jaccard DISTANCE over distinct trigrams —
+    # same distinct-trigram deviation as ngramSearch, symmetric as in CH
+    "ngramDistance": lambda args: _ngram_distance(args, ci=False),
+    "ngramDistanceCaseInsensitive": lambda args: _ngram_distance(args, ci=True),
     "ngramSearchCaseInsensitive": lambda args: _ngram_search(args, ci=True),
     # parseTimeDelta('1h 30m'): sum of (number, unit) pairs → seconds
     "parseTimeDelta": lambda args: (

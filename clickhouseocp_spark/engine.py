@@ -368,6 +368,60 @@ class ChSparkEngine:
                     )
                     cond = e if cond is None else (cond | e)
                 return df.filter(F.coalesce(cond, F.lit(False)))
+            # `| evaluate bag_unpack(col[, 'prefix'])` widens a property-bag
+            # (MAP) column into one column per distinct key IN THE DATA, so
+            # it needs a key scan and lives at the ENGINE level: one
+            # distinct-keys aggregate (rows = bag width — the output schema
+            # a user expects to read, bounded by construction), then a pure
+            # projection.  Keys emit in sorted order (Kusto sorts unpacked
+            # columns by name).
+            mbu = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+bag_unpack\s*\(\s*"
+                r"([A-Za-z_]\w*)\s*(?:,\s*'([^']*)')?\s*\)\s*"
+                r"(\|\s*sort\s+by\s+.*)?$",
+                query.strip(),
+            )
+            if mbu:
+                from pyspark.sql import functions as F
+
+                df = self.spark.sql(transpile_kql(mbu.group(1)))
+                bag, prefix = mbu.group(2), mbu.group(3) or ""
+                field = {f.name: f for f in df.schema.fields}.get(bag)
+                if field is None or not field.dataType.typeName() == "map":
+                    from clickhouseocp_spark.chsql import ChSqlError
+
+                    raise ChSqlError(
+                        f"evaluate bag_unpack: {bag!r} is not a map column"
+                    )
+                keys = sorted(
+                    r[0]
+                    for r in df.select(
+                        F.explode(F.map_keys(F.col(bag))).alias("k")
+                    ).distinct().collect()
+                    if r[0] is not None
+                )
+                others = [c for c in df.columns if c != bag]
+                out = df.select(
+                    *others,
+                    *[
+                        F.element_at(F.col(bag), F.lit(k)).alias(prefix + k)
+                        for k in keys
+                    ],
+                )
+                trail = mbu.group(4)
+                if trail:
+                    items = _re.sub(
+                        r"(?s)^\|\s*sort\s+by\s+", "", trail.strip()
+                    )
+                    order = []
+                    for it in items.split(","):
+                        toks = it.split()
+                        c = F.col(toks[0])
+                        # Kusto sort defaults to DESC
+                        asc = len(toks) > 1 and toks[1].lower() == "asc"
+                        order.append(c.asc() if asc else c.desc())
+                    out = out.orderBy(*order)
+                return out
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)

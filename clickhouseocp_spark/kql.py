@@ -133,6 +133,16 @@ literals, ``now``/``ago``, ``startofday/week/month/year``,
 ``endofday``, ``datetime_add``/``datetime_diff``) — each lowered to the
 equivalent JVM expression.
 
+``series_*`` time-series vocabulary (round 8) — the make-series companion
+family: element-wise ``series_add/subtract/multiply/divide`` (scalar
+broadcast), comparisons, ``series_abs/sign/exp/log/sqrt/pow``, reductions
+``series_sum/avg/min/max``, ``series_stats_dynamic``, gap fills
+``series_fill_const/forward/backward/linear`` (linear = two (value,index)
+struct scans + one zip, O(bins)), ``series_fit_line`` (closed-form least
+squares bound once through singleton-array transforms) and
+``series_pearson_correlation`` — all lowered to per-row array combinators,
+zero exchanges beyond the make-series aggregate itself.
+
 Everything else inside scalar expressions passes through to Spark SQL
 verbatim (same policy as prql.py — KQL's scalar layer is close enough to SQL for the
 shared core: arithmetic, comparisons, function calls).
@@ -206,6 +216,215 @@ def _kql_dt_unit(lit: str, fn: str) -> str:
     if u is None or u.lower() not in _TRUNC_UNITS:
         raise KqlError(f"{fn}: period must be a quoted unit literal, got {lit!r}")
     return u.upper()
+
+
+# --- Kusto series_* time-series vocabulary (round 8) -----------------------
+# The companion family to make-series: every function lowers to per-row
+# array combinators (transform/zip_with/aggregate) — ZERO extra exchanges;
+# the series length is the make-series axis (bounded by range/step), so all
+# scans stay linear in the array size.  Elements are cast to DOUBLE (Kusto
+# series arithmetic promotes to real).
+
+_SER_NULL_NUM = re.compile(r"^-?\d+(\.\d+)?$")
+
+
+def _series_binop(op: str):
+    """Element-wise arithmetic/comparison over two series; the second
+    operand may be a numeric scalar (Kusto broadcasts it)."""
+
+    def build(a: list[str]) -> str:
+        x, y = a[0], a[1]
+        if _SER_NULL_NUM.match(y.strip()):
+            body = f"CAST(__x AS DOUBLE) {op} CAST({y.strip()} AS DOUBLE)"
+            return f"transform({x}, __x -> {body})"
+        return (
+            f"zip_with({x}, {y}, (__x, __y) -> "
+            f"CAST(__x AS DOUBLE) {op} CAST(__y AS DOUBLE))"
+        )
+
+    return build
+
+
+def _series_map(fn_tpl: str):
+    """Element-wise unary map: fn_tpl formats the casted element."""
+    return lambda a: (
+        f"transform({a[0]}, __x -> {fn_tpl.format(x='CAST(__x AS DOUBLE)')})"
+    )
+
+
+def _ser_sum(x: str) -> str:
+    # null elements are skipped (Kusto series aggregation ignores nulls)
+    return (
+        f"aggregate({x}, 0.0D, (__a, __x) -> "
+        f"__a + coalesce(CAST(__x AS DOUBLE), 0.0D))"
+    )
+
+
+def _ser_nnz(x: str) -> str:
+    return f"size(filter({x}, __x -> __x IS NOT NULL))"
+
+
+def _ser_ffill(a: str) -> str:
+    """Forward fill: each null takes the last non-null value before it
+    (leading nulls stay null) — one linear aggregate scan."""
+    return (
+        f"aggregate({a}, CAST(array() AS ARRAY<DOUBLE>), (__acc, __x) -> "
+        f"array_append(__acc, coalesce(CAST(__x AS DOUBLE), "
+        f"if(size(__acc) = 0, CAST(NULL AS DOUBLE), __acc[size(__acc) - 1]))))"
+    )
+
+
+_SER_VI = "STRUCT<v: DOUBLE, i: INT>"
+
+
+def _ser_scan_structs(a: str, rev: bool) -> str:
+    """Linear scan carrying (value, index) of the nearest non-null element
+    at-or-before each position (rev=True: at-or-after, via reversal)."""
+    src = f"reverse({a})" if rev else a
+    idx = f"size({a}) - 1 - size(__acc)" if rev else "size(__acc)"
+    agg = (
+        f"aggregate({src}, CAST(array() AS ARRAY<{_SER_VI}>), "
+        f"(__acc, __x) -> array_append(__acc, if(__x IS NOT NULL, "
+        f"named_struct('v', CAST(__x AS DOUBLE), 'i', {idx}), "
+        f"if(size(__acc) = 0, CAST(NULL AS {_SER_VI}), "
+        f"__acc[size(__acc) - 1]))))"
+    )
+    return f"reverse({agg})" if rev else agg
+
+
+def _kql_fill_linear(a: list[str]) -> str:
+    """series_fill_linear: interior nulls are linearly interpolated between
+    the nearest non-null neighbors; edge nulls take the nearest non-null
+    value (Kusto's edge rule).  Two linear struct scans + one zip — O(n)."""
+    y = a[0]
+    pos = (
+        f"zip_with({y}, sequence(0, size({y}) - 1), "
+        f"(__x, __i) -> named_struct('x', CAST(__x AS DOUBLE), 'i', __i))"
+    )
+    fb = (
+        f"zip_with({_ser_scan_structs(y, False)}, {_ser_scan_structs(y, True)}, "
+        f"(__f, __b) -> named_struct('f', __f, 'b', __b))"
+    )
+    return (
+        f"zip_with({pos}, {fb}, (__p, __q) -> coalesce(__p.x, "
+        f"CASE WHEN __q.f IS NULL THEN __q.b.v "
+        f"WHEN __q.b IS NULL THEN __q.f.v "
+        f"WHEN __q.b.i = __q.f.i THEN __q.f.v "
+        f"ELSE __q.f.v + (__q.b.v - __q.f.v) * "
+        f"CAST(__p.i - __q.f.i AS DOUBLE) / CAST(__q.b.i - __q.f.i AS DOUBLE) "
+        f"END))"
+    )
+
+
+def _kql_series_stats(a: list[str]) -> str:
+    """series_stats_dynamic: {min, min_idx, max, max_idx, avg, stdev,
+    variance, sum, len} — variance is the sample variance (n-1), stdev its
+    root (matches var_samp/stddev_samp on the oracle side)."""
+    y = a[0]
+    lvl1 = (
+        f"named_struct('s', {_ser_sum(y)}, "
+        f"'ss', aggregate({y}, 0.0D, (__a, __x) -> __a + "
+        f"coalesce(CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE), 0.0D)), "
+        f"'n', CAST({_ser_nnz(y)} AS DOUBLE), "
+        f"'mn', CAST(array_min({y}) AS DOUBLE), "
+        f"'mx', CAST(array_max({y}) AS DOUBLE), "
+        f"'len', size({y}))"
+    )
+    yd = f"transform({y}, __e -> CAST(__e AS DOUBLE))"
+    return (
+        f"transform(array({lvl1}), __t -> named_struct("
+        f"'min', __t.mn, "
+        f"'min_idx', array_position({yd}, __t.mn) - 1, "
+        f"'max', __t.mx, "
+        f"'max_idx', array_position({yd}, __t.mx) - 1, "
+        f"'avg', __t.s / __t.n, "
+        f"'stdev', sqrt((__t.ss - __t.s * __t.s / __t.n) / (__t.n - 1)), "
+        f"'variance', (__t.ss - __t.s * __t.s / __t.n) / (__t.n - 1), "
+        f"'sum', __t.s, "
+        f"'len', __t.len))[0]"
+    )
+
+
+def _kql_fit_line(a: list[str]) -> str:
+    """series_fit_line → STRUCT(rsquare, slope, variance, rvariance,
+    interception, line_fit) via closed-form least squares on x = 0..n-1.
+    Intermediate sums bind once through singleton-array transforms (a
+    let-expression in disguise) so nothing is recomputed; variance uses the
+    n-1 denominator to match var_samp on the oracle side.  Deviation: Kusto
+    returns a tuple for multi-assignment — here a STRUCT (project fields)."""
+    y = a[0]
+    sxy = (
+        f"aggregate(zip_with({y}, sequence(0, size({y}) - 1), "
+        f"(__v, __i) -> CAST(__v AS DOUBLE) * CAST(__i AS DOUBLE)), "
+        f"0.0D, (__a, __x) -> __a + __x)"
+    )
+    syy = (
+        f"aggregate({y}, 0.0D, (__a, __x) -> __a + "
+        f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))"
+    )
+    lvl1 = (
+        f"named_struct('n', CAST(size({y}) AS DOUBLE), 'sy', {_ser_sum(y)}, "
+        f"'syy', {syy}, 'sxy', {sxy})"
+    )
+    # sx = Σx = n(n-1)/2, sxx = Σx² = (n-1)n(2n-1)/6 — constant-folded grids
+    lvl2 = (
+        f"transform(array({lvl1}), __t -> named_struct("
+        f"'n', __t.n, 'sy', __t.sy, 'syy', __t.syy, 'sxy', __t.sxy, "
+        f"'sx', __t.n * (__t.n - 1) / 2, "
+        f"'sxx', (__t.n - 1) * __t.n * (2 * __t.n - 1) / 6))[0]"
+    )
+    lvl3 = (
+        f"transform(array({lvl2}), __u -> named_struct("
+        f"'n', __u.n, 'sy', __u.sy, 'syy', __u.syy, "
+        f"'slope', (__u.n * __u.sxy - __u.sx * __u.sy) / "
+        f"(__u.n * __u.sxx - __u.sx * __u.sx), "
+        f"'sx', __u.sx, 'sxx', __u.sxx, 'sxy', __u.sxy))[0]"
+    )
+    lvl4 = (
+        f"transform(array({lvl3}), __w -> named_struct("
+        f"'slope', __w.slope, "
+        f"'interception', (__w.sy - __w.slope * __w.sx) / __w.n, "
+        f"'sstot', __w.syy - __w.sy * __w.sy / __w.n, "
+        f"'ssres', __w.syy - 2 * ((__w.sy - __w.slope * __w.sx) / __w.n) * __w.sy "
+        f"- 2 * __w.slope * __w.sxy "
+        f"+ __w.n * power((__w.sy - __w.slope * __w.sx) / __w.n, 2) "
+        f"+ 2 * ((__w.sy - __w.slope * __w.sx) / __w.n) * __w.slope * __w.sx "
+        f"+ __w.slope * __w.slope * __w.sxx, "
+        f"'n', __w.n))[0]"
+    )
+    return (
+        f"transform(array({lvl4}), __z -> named_struct("
+        f"'rsquare', CASE WHEN __z.sstot = 0 THEN 1.0D "
+        f"ELSE 1.0D - __z.ssres / __z.sstot END, "
+        f"'slope', __z.slope, "
+        f"'variance', __z.sstot / (__z.n - 1), "
+        f"'rvariance', __z.ssres / (__z.n - 1), "
+        f"'interception', __z.interception, "
+        f"'line_fit', transform(sequence(0, CAST(__z.n AS INT) - 1), "
+        f"__k -> __z.interception + __z.slope * CAST(__k AS DOUBLE))))[0]"
+    )
+
+
+def _kql_pearson(a: list[str]) -> str:
+    """series_pearson_correlation(x, y) — closed form over the zipped pair."""
+    x, y = a[0], a[1]
+    sxy = (
+        f"aggregate(zip_with({x}, {y}, (__u, __v) -> "
+        f"CAST(__u AS DOUBLE) * CAST(__v AS DOUBLE)), "
+        f"0.0D, (__a, __e) -> __a + __e)"
+    )
+    sq = "aggregate({s}, 0.0D, (__a, __x) -> __a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))"
+    lvl1 = (
+        f"named_struct('n', CAST(size({x}) AS DOUBLE), "
+        f"'sx', {_ser_sum(x)}, 'sy', {_ser_sum(y)}, "
+        f"'sxx', {sq.format(s=x)}, 'syy', {sq.format(s=y)}, 'sxy', {sxy})"
+    )
+    return (
+        f"transform(array({lvl1}), __t -> "
+        f"(__t.n * __t.sxy - __t.sx * __t.sy) / "
+        f"(sqrt(__t.n * __t.sxx - __t.sx * __t.sx) * "
+        f"sqrt(__t.n * __t.syy - __t.sy * __t.sy)))[0]"
+    )
 
 
 #: Kusto scalar-function vocabulary → Spark SQL builders.  Each takes the
@@ -341,6 +560,49 @@ _KQL_SCALARS: dict = {
         f"timestampdiff({_kql_dt_unit(a[0], 'datetime_diff')}, {a[2]}, {a[1]})"
     ),
     "bin_at": _kql_bin_at,
+    # typed literals: real(null) / long(null) / real(4.5) — the Kusto
+    # typed-null and typed-number forms
+    "real": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "long": lambda a: f"CAST({a[0]} AS BIGINT)",
+    # --- series_* time-series vocabulary (round 8) — all zero-shuffle
+    # array combinators over make-series outputs ---
+    "series_add": _series_binop("+"),
+    "series_subtract": _series_binop("-"),
+    "series_multiply": _series_binop("*"),
+    "series_divide": _series_binop("/"),
+    "series_greater": _series_binop(">"),
+    "series_greater_equals": _series_binop(">="),
+    "series_less": _series_binop("<"),
+    "series_less_equals": _series_binop("<="),
+    "series_equals": _series_binop("="),
+    "series_not_equals": _series_binop("<>"),
+    "series_abs": _series_map("abs({x})"),
+    "series_sign": _series_map("CAST(sign({x}) AS DOUBLE)"),
+    "series_exp": _series_map("exp({x})"),
+    "series_log": _series_map("ln({x})"),
+    "series_sqrt": _series_map("sqrt({x})"),
+    "series_pow": lambda a: (
+        f"transform({a[0]}, __x -> power(CAST(__x AS DOUBLE), {a[1]}))"
+    ),
+    "series_sum": lambda a: _ser_sum(a[0]),
+    "series_avg": lambda a: (
+        f"({_ser_sum(a[0])} / CAST({_ser_nnz(a[0])} AS DOUBLE))"
+    ),
+    "series_min": lambda a: f"CAST(array_min({a[0]}) AS DOUBLE)",
+    "series_max": lambda a: f"CAST(array_max({a[0]}) AS DOUBLE)",
+    "series_stats_dynamic": _kql_series_stats,
+    "series_fill_const": lambda a: (
+        f"transform({a[0]}, __x -> coalesce(CAST(__x AS DOUBLE), "
+        f"CAST({a[1]} AS DOUBLE)))"
+    ),
+    "series_fill_forward": lambda a: _ser_ffill(a[0]),
+    "series_fill_backward": lambda a: (
+        f"reverse({_ser_ffill(f'reverse({a[0]})')})"
+    ),
+    "series_fill_linear": _kql_fill_linear,
+    "series_fit_line_dynamic": _kql_fit_line,
+    "series_fit_line": _kql_fit_line,
+    "series_pearson_correlation": _kql_pearson,
 }
 
 
@@ -1398,7 +1660,10 @@ def _top_nested(sub: str, rest: str) -> str:
 #: datatable column types → Spark cast targets
 _DT_TYPES = {"string": "STRING", "long": "BIGINT", "int": "INT",
              "real": "DOUBLE", "double": "DOUBLE", "datetime": "TIMESTAMP",
-             "bool": "BOOLEAN", "boolean": "BOOLEAN"}
+             "bool": "BOOLEAN", "boolean": "BOOLEAN",
+             # dynamic datatable cells hold array literals (the make-series
+             # element shape); no cast — the VALUES row fixes the type
+             "dynamic": None}
 
 
 def _externaldata(src: str) -> str:
@@ -1465,7 +1730,8 @@ def _datatable(src: str) -> str:
         for r in range(len(vals) // n)
     )
     sel = ", ".join(
-        f"CAST({name} AS {typ}) AS {name}" for name, typ in cols
+        f"CAST({name} AS {typ}) AS {name}" if typ else name
+        for name, typ in cols
     )
     names = ", ".join(name for name, _t in cols)
     return f"SELECT {sel} FROM (VALUES {rows}) AS __dt({names})"

@@ -70,6 +70,7 @@ def _load_all() -> None:
         vocab_q6,
         vocab_q7,
         vocab_q8,
+        kql_series_q,
         tpch,
     )
 
@@ -382,6 +383,23 @@ _DRIVER_WINDOW_R10: list[str] = [
     "kql_invoke_lambda",
 ]
 
+#: Round-11 window: queries ADDED late in round 8 (after _DRIVER_WINDOW_R10
+#: froze at the 20-name round-9 slack) are appended here at birth — same
+#: staging-at-birth contract, enforced by the registry-hygiene pytest.
+#: Round 9 records the 30 R9-leftovers + the 20 R10 names; round 10 records
+#: the rest of R10's slack plus this list.  Keep it ≤ ~30 so full-registry
+#: driver coverage completes in round 10.
+_DRIVER_WINDOW_R11: list[str] = [
+    # --- round-8 KQL series_* time-series vocabulary ---
+    "kql_series_arith",
+    "kql_series_fill",
+    "kql_series_fit",
+    # --- round-8 vocabulary batch 17 (map functions + ngramDistance) ---
+    "chsql_vocab_r17",
+    # --- round-8 KQL evaluate bag_unpack (data-driven widening) ---
+    "kql_bag_unpack",
+]
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -570,6 +588,7 @@ def all_queries() -> dict[str, Query]:
         _DRIVER_WINDOW_R8
         + _DRIVER_WINDOW_R9
         + _DRIVER_WINDOW_R10
+        + _DRIVER_WINDOW_R11
         + _DRIVER_WINDOW_R7
         + _DRIVER_WINDOW_R6
         + _DRIVER_WINDOW_R5

@@ -4580,3 +4580,107 @@ events | where value > 10 | invoke top_clicks()
 """,
         dialect="kusto",
     )
+
+
+CH_VOCAB_R17 = """
+SELECT event_id,
+       mapContainsKeyLike(map(event_type, 1, 'zz', 2), 's%') AS has_s,
+       mapValues(mapExtractKeyLike(
+         map('alpha', event_id % 5, 'beta', event_id % 7,
+             'gamma', event_id % 3), 'al%')) AS sub_vals,
+       mapKeys(mapApply((k, v) -> (concat(k, '!'), v * 2),
+                        map('x', event_id % 9, 'y', event_id % 4)))
+         AS applied_keys,
+       mapValues(mapApply((k, v) -> (concat(k, '!'), v * 2),
+                          map('x', event_id % 9, 'y', event_id % 4)))
+         AS applied_vals,
+       mapKeys(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
+                         map('b', event_id % 5, 'c', toInt64(9))))
+         AS upd_keys,
+       mapValues(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
+                           map('b', event_id % 5, 'c', toInt64(9))))
+         AS upd_vals,
+       ngramDistance(event_type, 'signup') AS ngd,
+       ngramDistanceCaseInsensitive(event_type, 'SIGNUP') AS ngd_ci
+FROM events WHERE event_id < 150 ORDER BY event_id
+"""
+
+
+@register(
+    "chsql_vocab_r17",
+    oracle="""
+WITH tg AS (
+  SELECT event_id, event_type,
+    list_distinct(list_transform(
+      range(1, greatest(length(event_type) - 2, 1) + 1),
+      i -> substring(event_type, i, 3))) AS t_et,
+    list_distinct(list_transform(
+      range(1, greatest(length('signup') - 2, 1) + 1),
+      i -> substring('signup', i, 3))) AS t_lit
+  FROM events WHERE event_id < 150)
+SELECT event_id,
+  event_type LIKE 's%' AS has_s,
+  [event_id % 5] AS sub_vals,
+  ['x!', 'y!'] AS applied_keys,
+  [(event_id % 9) * 2, (event_id % 4) * 2] AS applied_vals,
+  ['a', 'b', 'c'] AS upd_keys,
+  [CAST(1 AS BIGINT), event_id % 5, 9] AS upd_vals,
+  1.0 - CAST(len(list_intersect(t_et, t_lit)) AS DOUBLE)
+      / greatest(len(list_distinct(list_concat(t_et, t_lit))), 1) AS ngd,
+  1.0 - CAST(len(list_intersect(t_et, t_lit)) AS DOUBLE)
+      / greatest(len(list_distinct(list_concat(t_et, t_lit))), 1) AS ngd_ci
+FROM tg ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 17 (round 8): the CH map-function completions —
+    mapApply (tuple-returning lambda via an entries round-trip),
+    mapUpdate (second map wins on collision, key union preserved),
+    mapContainsKeyLike / mapExtractKeyLike (LIKE over keys), plus
+    ngramDistance[CaseInsensitive] (symmetric Jaccard distance over
+    distinct trigrams — the distance twin of batch 16's ngramSearch).
+    Everything stays in per-row map/array combinators; the oracle
+    closed-forms the map results (constant key sets) and replays the
+    trigram distance with DuckDB list functions (event_type values are
+    all-lowercase, so the CI variant collapses to the same expression)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(CH_VOCAB_R17, dialect="clickhouse")
+
+
+@register(
+    "kql_bag_unpack",
+    oracle="""
+SELECT event_id,
+       CASE WHEN event_type = 'click' THEN value END AS click,
+       CASE WHEN event_type = 'error' THEN value END AS error,
+       CASE WHEN event_type = 'purchase' THEN value END AS purchase,
+       CASE WHEN event_type = 'signup' THEN value END AS signup,
+       CASE WHEN event_type = 'view' THEN value END AS view
+FROM events WHERE event_id < 500 ORDER BY event_id
+""",
+    tags=("kql", "dialect"),
+)
+def kql_bag_unpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate bag_unpack``: widen a dynamic property bag into one
+    column per distinct key FOUND IN THE DATA — the schema is data-driven,
+    so the operator lives at the engine level: one distinct-keys aggregate
+    (rows = bag width, the output schema itself — bounded by construction,
+    never the table), then a pure projection via element_at.  Keys here are
+    the event_type values, so the unpacked width is the type vocabulary;
+    the oracle replays the widening as CASE pivots."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 500
+| extend b = bag_pack(event_type, value)
+| project event_id, b
+| evaluate bag_unpack(b)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )

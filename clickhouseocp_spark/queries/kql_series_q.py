@@ -1,0 +1,262 @@
+"""KQL ``series_*`` time-series vocabulary — registry queries (round 8).
+
+Kusto pairs ``make-series`` with a family of series scalar functions
+(element-wise arithmetic, gap fills, least-squares fit); the reference
+exposes the same analytics workflow via its Kusto-dialect surface
+(`SET dialect='kusto'`).  Every function lowers to per-row array
+combinators (``transform``/``zip_with``/``aggregate``) — ZERO exchanges
+beyond the one make-series hash aggregate, so the plan shape is identical
+to the plain make-series query no matter how many series functions stack
+on top.  Series length = the axis bin count (bounded by range/step), so
+per-row work is linear in bins, never in events.
+
+Determinism: bin sums route through DECIMAL(38,6) (exact) and counts are
+integer-exact in DOUBLE, so every derived element is the same IEEE double
+on both engines; the oracles REPLAY the closed-form formulas textually
+(never regr_*/stddev built-ins) so arithmetic matches bitwise, with
+round(6) as belt-and-braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from clickhouseocp_spark.queries import register
+
+#: shared oracle prelude: replay make-series daily binning with auto bounds
+#: (epoch-aligned grid, global min/max bin, axis end-exclusive)
+_BIN_PRELUDE = """
+WITH src AS (SELECT event_type, ts, value FROM events WHERE ts IS NOT NULL{extra_filter}),
+binned AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS b,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s
+  FROM src GROUP BY event_type, b),
+bounds AS (SELECT MIN(b) AS f, MAX(b) AS t FROM binned),
+axis AS (SELECT unnest(generate_series(bo.f, bo.t)) AS b FROM bounds bo),
+keys AS (SELECT DISTINCT event_type FROM src),
+cells AS (
+  SELECT k.event_type, a.b,
+         bn.n AS n_raw, bn.s AS s_raw,
+         ROW_NUMBER() OVER (PARTITION BY k.event_type ORDER BY a.b) - 1 AS i
+  FROM keys k CROSS JOIN axis a
+  LEFT JOIN binned bn ON bn.event_type = k.event_type AND bn.b = a.b)
+"""
+
+
+@register(
+    "kql_series_arith",
+    oracle=_BIN_PRELUDE.format(extra_filter="") + """,
+ser AS (
+  SELECT event_type,
+         list(COALESCE(n_raw, 0.0) ORDER BY i) AS n,
+         list(COALESCE(s_raw, 0.0) ORDER BY i) AS s
+  FROM cells GROUP BY event_type),
+st AS (
+  SELECT event_type, n, s,
+         CAST(len(n) AS DOUBLE) AS cnt,
+         list_sum(n) AS nsum,
+         list_sum(list_transform(n, x -> x * x)) AS nss
+  FROM ser)
+SELECT event_type,
+  list_transform(list_zip(s, n), z -> round(z[1] + z[2], 6)) AS ssum,
+  list_transform(list_zip(s, n), z -> round(z[1] - z[2], 6)) AS sdif,
+  list_transform(n, x -> round(x * x, 6)) AS sprod,
+  list_transform(list_zip(s, n), z -> round(z[1] / (z[2] + 1.0), 6)) AS srat,
+  list_transform(s, x -> x > 100.0) AS sgt,
+  list_transform(n, x -> round(abs(x - 70.0), 6)) AS sab,
+  round(list_sum(s), 6) AS tot,
+  list_max(n) AS mxn,
+  list_min(n) AS mnn,
+  round(list_sum(s) / CAST(len(s) AS DOUBLE), 6) AS avgs,
+  list_min(n) AS st_min,
+  list_position(n, list_min(n)) - 1 AS st_min_idx,
+  list_max(n) AS st_max,
+  list_position(n, list_max(n)) - 1 AS st_max_idx,
+  round(nsum / cnt, 6) AS st_avg,
+  round(sqrt((nss - nsum * nsum / cnt) / (cnt - 1)), 6) AS st_stdev,
+  round(nsum, 6) AS st_sum,
+  len(n) AS st_len
+FROM st ORDER BY event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto series element-wise arithmetic + reductions + stats bundle:
+    ``series_add/subtract/multiply/divide`` (scalar broadcast on the
+    second operand), ``series_greater``, ``series_abs``, ``series_sum/
+    avg/min/max``, ``series_stats_dynamic``.  One hash-agg shuffle (the
+    make-series fold); everything above it is per-row array math inside
+    the same stage.  Count series are integer-exact doubles and the value
+    series routes through DECIMAL, so both engines see bitwise-identical
+    elements; the oracle replays each formula textually."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0,
+              s = sum(cast(value as decimal(38,6))) default = 0
+              on ts step 1d by event_type
+| extend ssum = series_add(s, n), sdif = series_subtract(s, n),
+         sprod = series_multiply(n, n),
+         srat = series_divide(s, series_add(n, 1)),
+         sgt = series_greater(s, 100),
+         sab = series_abs(series_subtract(n, 70)),
+         tot = series_sum(s), mxn = series_max(n), mnn = series_min(n),
+         avgs = series_avg(s), st = series_stats_dynamic(n)
+| project event_type, ssum, sdif, sprod, srat, sgt, sab,
+          tot = round(tot, 6), mxn, mnn, avgs = round(avgs, 6),
+          st_min = st.min, st_min_idx = st.min_idx,
+          st_max = st.max, st_max_idx = st.max_idx,
+          st_avg = round(st.avg, 6), st_stdev = round(st.stdev, 6),
+          st_sum = round(st.sum, 6), st_len = st.len
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
+    return df.select(
+        "event_type", rnd("ssum"), rnd("sdif"), rnd("sprod"), rnd("srat"),
+        "sgt", rnd("sab"), "tot", "mxn", "mnn", "avgs",
+        "st_min", "st_min_idx", "st_max", "st_max_idx",
+        "st_avg", "st_stdev", "st_sum", "st_len",
+    )
+
+
+@register(
+    "kql_series_fill",
+    oracle=_BIN_PRELUDE.format(
+        extra_filter=" AND value > 300"
+    ) + """,
+w AS (
+  SELECT event_type, i, s_raw AS v,
+    last_value(s_raw IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY i) AS pv,
+    max(CASE WHEN s_raw IS NOT NULL THEN i END)
+      OVER (PARTITION BY event_type ORDER BY i) AS pi,
+    first_value(s_raw IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    min(CASE WHEN s_raw IS NOT NULL THEN i END)
+      OVER (PARTITION BY event_type ORDER BY i
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+  FROM cells)
+SELECT event_type,
+  list(round(v, 6) ORDER BY i) AS v_r,
+  list(round(pv, 6) ORDER BY i) AS ff,
+  list(round(nv, 6) ORDER BY i) AS bf,
+  list(round(COALESCE(v, 0.0), 6) ORDER BY i) AS cf,
+  list(round(COALESCE(v,
+    CASE WHEN pv IS NULL THEN nv
+         WHEN nv IS NULL THEN pv
+         WHEN ni = pi THEN pv
+         ELSE pv + (nv - pv) * CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)
+    END), 6) ORDER BY i) AS lin
+FROM w GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto gap-fill vocabulary over a sparse series (``default = null``
+    leaves real holes): ``series_fill_forward`` / ``_backward`` /
+    ``_const`` / ``_linear``.  The fills are single linear ``aggregate``
+    scans per row (forward fill carries the last non-null; linear fill
+    runs two (value, index) struct scans + one zip — O(bins), never
+    O(bins²)); edge nulls take the nearest non-null (Kusto's edge rule).
+    The oracle replays the fills with IGNORE-NULLS window functions over
+    the unnested axis and re-aggregates with ``list(... ORDER BY i)``."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where value > 300
+| make-series v = sum(cast(value as decimal(38,6))) default = null
+              on ts step 1d by event_type
+| extend ff = series_fill_forward(v), bf = series_fill_backward(v),
+         cf = series_fill_const(v, 0), lin = series_fill_linear(v)
+| project event_type, v, ff, bf, cf, lin
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    rnd = lambda c, a: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(a)  # noqa: E731
+    return df.select(
+        "event_type", rnd("v", "v_r"), rnd("ff", "ff"), rnd("bf", "bf"),
+        rnd("cf", "cf"), rnd("lin", "lin"),
+    )
+
+
+@register(
+    "kql_series_fit",
+    oracle=_BIN_PRELUDE.format(extra_filter="") + """,
+sums AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(COALESCE(n_raw, 0.0)) AS sy,
+         SUM(COALESCE(n_raw, 0.0) * COALESCE(n_raw, 0.0)) AS syy,
+         SUM(COALESCE(n_raw, 0.0) * CAST(i AS DOUBLE)) AS sxy,
+         SUM(COALESCE(n_raw, 0.0) * COALESCE(n_raw, 0.0)
+             * COALESCE(n_raw, 0.0)) AS sab,
+         SUM(COALESCE(n_raw, 0.0) * COALESCE(n_raw, 0.0)
+             * COALESCE(n_raw, 0.0) * COALESCE(n_raw, 0.0)) AS sbb
+  FROM cells GROUP BY event_type),
+l2 AS (SELECT *, n * (n - 1) / 2 AS sx, (n - 1) * n * (2 * n - 1) / 6 AS sxx
+       FROM sums),
+l3 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM l2),
+l4 AS (SELECT *, (sy - slope * sx) / n AS icpt,
+              syy - sy * sy / n AS sstot,
+              syy - 2 * ((sy - slope * sx) / n) * sy - 2 * slope * sxy
+              + n * pow((sy - slope * sx) / n, 2)
+              + 2 * ((sy - slope * sx) / n) * slope * sx
+              + slope * slope * sxx AS ssres
+       FROM l3)
+SELECT event_type,
+  round(slope, 6) AS slope,
+  round(icpt, 6) AS interception,
+  round(CASE WHEN sstot = 0 THEN 1.0 ELSE 1.0 - ssres / sstot END, 6)
+    AS rsquare,
+  round(sstot / (n - 1), 6) AS variance,
+  round(ssres / (n - 1), 6) AS rvariance,
+  list_transform(generate_series(0, CAST(n AS INT) - 1),
+                 k -> round(icpt + slope * CAST(k AS DOUBLE), 6)) AS line_fit,
+  round((n * sab - sy * syy) /
+        (sqrt(n * syy - sy * sy) * sqrt(n * sbb - syy * syy)), 6) AS pc
+FROM l4 ORDER BY event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fit_line`` (closed-form least squares on x = 0..n-1 →
+    rsquare/slope/variance/rvariance/interception/line_fit, bound once
+    through singleton-array transforms — a let-expression chain, nothing
+    recomputed) + ``series_pearson_correlation``.  Sums over integer-exact
+    count series stay exact in DOUBLE, and the oracle replays the SAME
+    closed-form expressions (never regr_* built-ins), so the division
+    operands match bitwise.  Deviation: Kusto returns a tuple for
+    multi-assignment; here a STRUCT whose fields the query projects."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0 on ts step 1d by event_type
+| extend fit = series_fit_line(n),
+         pc = series_pearson_correlation(n, series_multiply(n, n))
+| project event_type,
+          slope = round(fit.slope, 6),
+          interception = round(fit.interception, 6),
+          rsquare = round(fit.rsquare, 6),
+          variance = round(fit.variance, 6),
+          rvariance = round(fit.rvariance, 6),
+          line_fit = transform(fit.line_fit, __x -> round(__x, 6)),
+          pc = round(pc, 6)
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    return df

@@ -91,6 +91,14 @@ def _canon_cell(v):
         return ("d", v.isoformat())
     if isinstance(v, (bytes, bytearray)):
         return ("y", bytes(v).hex())
+    if isinstance(v, np.ndarray) and v.ndim == 0:
+        # DuckDB's pandas path renders a NULL-bearing list as a numpy MASKED
+        # array (observed: list(round(x,6)) with interior NULLs): masked
+        # elements iterate as 0-d masked scalars whose raw data is the fill
+        # value (0.0) — NULL, not zero.  Unmasked 0-d cells unwrap normally.
+        if np.ma.is_masked(v):
+            return ("z",)
+        return _canon_cell(v.item())
     if isinstance(v, (list, tuple, np.ndarray)):
         return ("l", tuple(_canon_cell(x) for x in v))
     if isinstance(v, dict):

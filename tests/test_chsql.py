@@ -1779,3 +1779,117 @@ def test_kql_scalar_let_masking_and_take():
     assert "x > (5)" in s and "'lim stays'" in s and "LIMIT 5" in s
     d = transpile_kql('let v = 2; t | where et == "v inside" | sample v')
     assert '"v inside"' in d and "LIMIT 2" in d
+
+
+def test_kql_series_functions_values(spark):
+    """series_* vocabulary (round 8): element-wise arithmetic with scalar
+    broadcast, fills (forward/backward/const/linear incl. the Kusto edge
+    rule), stats, closed-form fit — value-pinned on a literal datatable."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic) ['a', dynamic([1.0, 2.0, 4.0, 8.0])]"
+            " | extend s = series_add(v, v), p = series_pow(v, 2),"
+            "   d = series_divide(v, 2), g = series_greater_equals(v, 4),"
+            "   st = series_stats_dynamic(v), fit = series_fit_line(v),"
+            "   pc = series_pearson_correlation(v, series_multiply(v, 2))"
+            " | project s, p, d, g, mn = st.min, mni = st.min_idx,"
+            "   mx = st.max, mxi = st.max_idx, av = st.avg, tot = st.sum,"
+            "   ln = st.len, slope = fit.slope, icpt = fit.interception,"
+            "   r2 = fit.rsquare, lf = fit.line_fit, pc"
+        )
+    ).collect()[0]
+    assert r.s == [2.0, 4.0, 8.0, 16.0]
+    assert r.p == [1.0, 4.0, 16.0, 64.0]
+    assert r.d == [0.5, 1.0, 2.0, 4.0]
+    assert r.g == [False, False, True, True]
+    assert (r.mn, r.mni, r.mx, r.mxi) == (1.0, 0, 8.0, 3)
+    assert (r.av, r.tot, r.ln) == (3.75, 15.0, 4)
+    # least squares on x=0..3, y=[1,2,4,8]: slope 2.3, intercept 0.3
+    assert abs(r.slope - 2.3) < 1e-12 and abs(r.icpt - 0.3) < 1e-12
+    assert 0.9 < r.r2 < 0.93
+    assert abs(r.lf[1] - 2.6) < 1e-12
+    # y = 2x is a perfect linear correlate
+    assert abs(r.pc - 1.0) < 1e-12
+
+
+def test_kql_series_fills(spark):
+    """Gap fills: forward carries last non-null (leading stay null),
+    backward mirrors, const replaces, linear interpolates interiors and
+    clamps edges to the nearest non-null."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic) "
+            "['a', dynamic([real(null), 1.0, real(null), real(null), 4.0,"
+            " real(null), 10.0, real(null)])]"
+            " | extend f = series_fill_forward(v), b = series_fill_backward(v),"
+            "   c = series_fill_const(v, -1), lin = series_fill_linear(v)"
+            " | project f, b, c, lin"
+        )
+    ).collect()[0]
+    assert r.f == [None, 1.0, 1.0, 1.0, 4.0, 4.0, 10.0, 10.0]
+    assert r.b == [1.0, 1.0, 4.0, 4.0, 4.0, 10.0, 10.0, None]
+    assert r.c == [-1.0, 1.0, -1.0, -1.0, 4.0, -1.0, 10.0, -1.0]
+    assert r.lin == [1.0, 1.0, 2.0, 3.0, 4.0, 7.0, 10.0, 10.0]
+
+
+def test_map_vocabulary_batch17(spark):
+    """mapApply/mapUpdate/mapContainsKeyLike/mapExtractKeyLike mechanics
+    (round 8) — value-pinned on literals through the CH text path."""
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT "
+            "mapValues(mapApply((k, v) -> (upper(k), v + 10), map('a', 1, 'b', 2))) AS av, "
+            "mapKeys(mapApply((k, v) -> (concat(k, k), v), map('a', 1))) AS ak, "
+            "mapValues(mapUpdate(map('a', 1, 'b', 2), map('b', 20, 'c', 30))) AS uv, "
+            "mapContainsKeyLike(map('alpha', 1, 'beta', 2), 'be%') AS has_be, "
+            "mapContainsKeyLike(map('alpha', 1), 'z%') AS has_z, "
+            "mapKeys(mapExtractKeyLike(map('alpha', 1, 'beta', 2), 'al%')) AS ek, "
+            "round(ngramDistance('signup', 'signup'), 6) AS d0, "
+            "round(ngramDistance('abcdef', 'xyzuvw'), 6) AS d1"
+        )
+    ).collect()[0]
+    assert r.av == [11, 12] and r.ak == ["aa"]
+    assert r.uv == [1, 20, 30]
+    assert r.has_be is True and r.has_z is False
+    assert r.ek == ["alpha"]
+    assert r.d0 == 0.0 and r.d1 == 1.0
+    # unsupported lambda shape is a clear error, not silent garbage
+    import pytest as _pytest
+
+    with _pytest.raises(ChSqlError):
+        transpile("SELECT mapApply(v -> v, map('a', 1)) AS bad")
+
+
+def test_kql_bag_unpack_mechanics(spark):
+    """bag_unpack widens by the keys present in the DATA (union across
+    rows, sorted), supports a column prefix, and rejects non-map inputs."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    got = eng.sql(
+        "datatable(rid: long, tag: string) [1, 'x', 2, 'y']"
+        " | extend b = iff(rid == 1, bag_pack('p', rid * 10, 'q', rid),"
+        "                  bag_pack('q', rid, 'r', rid * 100))"
+        " | project rid, b"
+        " | evaluate bag_unpack(b, 'u_')"
+        " | sort by rid asc",
+        dialect="kusto",
+    )
+    assert got.columns == ["rid", "u_p", "u_q", "u_r"]
+    rows = [tuple(r) for r in got.collect()]
+    assert rows == [(1, 10, 1, None), (2, None, 2, 200)]
+    with _pytest.raises(ChSqlError):
+        eng.sql(
+            "datatable(rid: long, s: string) [1, 'x']"
+            " | evaluate bag_unpack(s)",
+            dialect="kusto",
+        )
