@@ -123,6 +123,96 @@ def _ngram_distance(args: list[str], ci: bool) -> str:
     )
 
 
+# --- H3 index math (round 8) ------------------------------------------------
+# The H3 cell index is pure bit layout (public spec, h3geo.org/docs/core-library/h3Indexing):
+# bit63 reserved(0) | bits59-62 mode(1=cell) | bits56-58 reserved(0) |
+# bits52-55 resolution | bits45-51 base cell | digits 1..15 at 3 bits each
+# (digit i at bits 45-3i..47-3i), unused digits = 7.  Everything below is
+# closed-form integer arithmetic — no geometry library; the geometry tier
+# (geoToH3/h3ToGeo/h3HexAreaM2) legitimately needs the H3 planar math and
+# stays out (documented gate, like ffmpeg for inter-frame video).
+
+_H3_PENTAGONS = "(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)"
+
+
+def _h3_res(x: str) -> str:
+    return f"(shiftright({x}, 52) & 15)"
+
+
+def _h3_digit(x: str, i: str) -> str:
+    return f"(shiftright({x}, 45 - 3 * ({i})) & 7)"
+
+
+def _h3_is_valid(args: list[str]) -> str:
+    """h3IsValid: mode 1, reserved bits clear, base cell < 122, used digits
+    < 7, unused digits = 7, and for pentagon base cells the leading
+    non-zero digit is never 1 (the deleted K-axis subsequence)."""
+    x = f"({args[0]})"
+    res = _h3_res(x)
+    digit_ok = (
+        f"forall(sequence(1, 15), __i -> if(__i <= {res}, "
+        f"{_h3_digit(x, '__i')} <> 7, {_h3_digit(x, '__i')} = 7))"
+    )
+    first_nz = (
+        f"element_at(concat(filter(transform(sequence(1, 15), __i -> "
+        f"if(__i <= {res}, {_h3_digit(x, '__i')}, 0L)), __d -> __d <> 0), "
+        f"array(0L)), 1)"
+    )
+    return (
+        f"(shiftright({x}, 63) = 0 AND (shiftright({x}, 59) & 15) = 1 "
+        f"AND (shiftright({x}, 56) & 7) = 0 "
+        f"AND (shiftright({x}, 45) & 127) < 122 AND {digit_ok} "
+        f"AND NOT ((shiftright({x}, 45) & 127) IN {_H3_PENTAGONS} "
+        f"AND {first_nz} = 1))"
+    )
+
+
+def _h3_to_parent(args: list[str]) -> str:
+    """h3ToParent(idx, parentRes): rewrite the res field and 7-fill every
+    digit finer than the parent resolution."""
+    x, pr = f"({args[0]})", f"({args[1]})"
+    return (
+        f"(({x} & ~shiftleft(15L, 52)) | shiftleft(CAST({pr} AS BIGINT), 52) "
+        f"| (shiftleft(1L, 45 - 3 * {pr}) - 1))"
+    )
+
+
+def _h3_center_child(args: list[str]) -> str:
+    """h3ToCenterChild(idx, childRes): res field → childRes, new digits 0,
+    remaining fill 7s."""
+    x, cr = f"({args[0]})", f"({args[1]})"
+    res = _h3_res(x)
+    return (
+        f"(((({x} & ~shiftleft(15L, 52)) | shiftleft(CAST({cr} AS BIGINT), 52))"
+        f" & ~(shiftleft(1L, 45 - 3 * {res}) - 1))"
+        f" | (shiftleft(1L, 45 - 3 * {cr}) - 1))"
+    )
+
+
+def _h3_children(args: list[str]) -> str:
+    """h3ToChildren(idx, childRes): enumerate all 7^(childRes-res) children
+    by assigning every digit combination to the new positions (deviation:
+    pentagon parents also emit the deleted K-subsequence children — the 12
+    pentagon base cells are the documented gap)."""
+    x, cr = f"({args[0]})", f"({args[1]})"
+    res = _h3_res(x)
+    base = (
+        f"(((({x} & ~shiftleft(15L, 52)) | shiftleft(CAST({cr} AS BIGINT), 52))"
+        f" & ~(shiftleft(1L, 45 - 3 * {res}) - 1))"
+        f" | (shiftleft(1L, 45 - 3 * {cr}) - 1))"
+    )
+    diff = f"({cr} - {res})"
+    digits = (
+        f"aggregate(sequence(1, {diff}), 0L, (__acc, __k) -> __acc + "
+        f"shiftleft(CAST(floor(__i / power(7, {diff} - __k)) AS BIGINT) % 7, "
+        f"45 - 3 * ({res} + __k)))"
+    )
+    return (
+        f"transform(sequence(0, CAST(power(7, {diff}) AS INT) - 1), "
+        f"__i -> {base} + {digits})"
+    )
+
+
 def _map_apply(args: list[str]) -> str:
     """mapApply((k, v) -> (ke, ve), m): rebuild every entry through the
     tuple-returning lambda (CH 22.3+).  Spark's transform_keys /
@@ -1528,6 +1618,32 @@ FUNC_RULES: dict[str, object] = {
     ),
     "divideDecimal": lambda args: f"({args[0]} / {args[1]})",
     "multiplyDecimal": lambda args: f"({args[0]} * {args[1]})",
+    # H3 index math (round 8): pure bit-layout arithmetic per the public H3
+    # spec — the geometry tier (geoToH3/h3ToGeo) stays behind the
+    # documented library gate
+    "h3GetResolution": lambda args: _h3_res(f"({args[0]})"),
+    "h3GetBaseCell": lambda args: f"(shiftright(({args[0]}), 45) & 127)",
+    "h3IsValid": _h3_is_valid,
+    "h3ToParent": _h3_to_parent,
+    "h3ToCenterChild": _h3_center_child,
+    "h3ToChildren": _h3_children,
+    "h3IsResClassIII": lambda args: f"(({_h3_res(f'({args[0]})')}) % 2 = 1)",
+    "h3IsPentagon": lambda args: (
+        f"((shiftright(({args[0]}), 45) & 127) IN {_H3_PENTAGONS} AND "
+        f"forall(sequence(1, 15), __i -> "
+        f"if(__i <= {_h3_res(f'({args[0]})')}, "
+        f"{_h3_digit(f'({args[0]})', '__i')} = 0, true)))"
+    ),
+    "h3ToString": lambda args: f"lower(hex({args[0]}))",
+    "stringToH3": lambda args: f"CAST(conv({args[0]}, 16, 10) AS BIGINT)",
+    # unique cell count at a resolution: 2 poles + 120 * 7^res
+    # (h3NumHexagons is the v3 lib name, h3GetNumCells the v4 one)
+    "h3NumHexagons": lambda args: (
+        f"(2L + 120L * CAST(power(7, {args[0]}) AS BIGINT))"
+    ),
+    "h3GetNumCells": lambda args: (
+        f"(2L + 120L * CAST(power(7, {args[0]}) AS BIGINT))"
+    ),
     "toYYYYMMDDhhmmss": lambda args: (
         f"cast(date_format({args[0]}, 'yyyyMMddHHmmss') as bigint)"
     ),

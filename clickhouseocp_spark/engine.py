@@ -635,13 +635,20 @@ class ChSparkEngine:
                         end = i
                         break
             tail = text[end + 1 :].strip() if end >= 0 else ""
-            if end >= 0 and _re.match(
+            mtail = _re.match(
                 r"(?is)^ENGINE\s*=\s*\w+(?:\([^)]*\))?"
-                r"(?:\s+PARTITION\s+BY\s+\w+)?(?:\s+ORDER\s+BY\s+[\w,() ]+)?"
+                r"(?:\s+PARTITION\s+BY\s+\w+)?(?:\s+ORDER\s+BY\s+[\w,() ]+?)?"
+                r"(?:\s+TTL\s+(.+?))?"
                 r"\s*;?\s*$",
                 tail,
-            ) and not _re.match(r"(?is)^.*ENGINE\s*=\s*Kafka\b", tail):
+            )
+            if end >= 0 and mtail and not _re.match(
+                r"(?is)^.*ENGINE\s*=\s*Kafka\b", tail
+            ):
                 t = m.group(1).lower()
+                if mtail.group(1):
+                    self._ttl_exprs = getattr(self, "_ttl_exprs", {})
+                    self._ttl_exprs[t] = transpile_expr(mtail.group(1).strip())
                 fields = []
                 for coldef in _split_assignments(text[start + 1 : end]):
                     parts = coldef.strip().split(None, 1)
@@ -658,6 +665,7 @@ class ChSparkEngine:
             r"(?:ENGINE\s*=\s*\w+(?:\(\s*\))?\s*)?"
             r"(?:PARTITION\s+BY\s+(\w+)\s*)?"
             r"(?:ORDER\s+BY\s+(?:\(([^)]*)\)|([\w, ]+?))\s*)?"
+            r"(?:TTL\s+(.+?)\s+)?"
             r"AS\s+(SELECT.+)$",
             text,
         )
@@ -666,7 +674,13 @@ class ChSparkEngine:
             partition = (m.group(2),) if m.group(2) else ()
             order_txt = m.group(3) or m.group(4) or ""
             order = tuple(c.strip() for c in order_txt.split(",") if c.strip())
-            df = self.sql(m.group(5))
+            if m.group(5):
+                # MergeTree row TTL: stored at DDL time, applied when parts
+                # merge — here at OPTIMIZE (CH's own semantics are lazy: the
+                # expired rows remain readable until a merge runs)
+                self._ttl_exprs = getattr(self, "_ttl_exprs", {})
+                self._ttl_exprs[t] = transpile_expr(m.group(5).strip())
+            df = self.sql(m.group(6))
             return self._create_table(t, df, partition, order)
         m = _re.match(
             r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
@@ -938,6 +952,17 @@ class ChSparkEngine:
                 # OPTIMIZE ... DEDUPLICATE: drop fully-identical rows (CH
                 # semantics: all columns equal), keeping one
                 return self._set_lineage(t, self._base_table(t).distinct())
+            ttl = getattr(self, "_ttl_exprs", {}).get(t)
+            if ttl:
+                # merges apply row TTL: keep rows whose TTL timestamp is
+                # still in the future (expired rows were readable until now
+                # — CH's lazy TTL contract)
+                return self._set_lineage(
+                    t,
+                    self._base_table(t).where(
+                        F.expr(ttl) > F.current_timestamp()
+                    ),
+                )
             return self._table(t)
         m = _re.match(
             r"(?is)^CREATE\s+ROW\s+POLICY\s+(\w+)\s+ON\s+(\w+)\s+USING\s+(.+?)"

@@ -405,6 +405,131 @@ def _kql_fit_line(a: list[str]) -> str:
     )
 
 
+def _ser_decomp_core(y: str, period: str) -> str:
+    """Shared decomposition pipeline for series_decompose[_anomalies]:
+    returns a singleton-struct expression with fields
+    (x, n, seas, trend, baseline, resid) — additive decomposition with an
+    explicit positive period: seasonal = per-phase mean minus the overall
+    mean (zero-sum convention), trend = least-squares line on the
+    deseasonalized series, residual = the rest.  Documented deviations from
+    Kusto: the seasonal extractor is the per-phase MEAN (Kusto's is
+    median-based) and the period must be explicit (auto-detect lives in
+    seriesPeriodDetectFFT's kernel, a different tier).  Every stage is an
+    array combinator bound once through singleton-array transforms —
+    O(bins·period) per row, zero exchanges."""
+    xd = f"transform({y}, __e -> CAST(__e AS DOUBLE))"
+    # L1: doubles + sizes + overall mean
+    l1 = (
+        f"named_struct('x', {xd}, 'n', size({y}), "
+        f"'p', CAST({period} AS INT), "
+        f"'mu', {_ser_sum(y)} / CAST(size({y}) AS DOUBLE))"
+    )
+    # L2: per-phase means (length p), then the zero-sum seasonal extended
+    # over the full axis
+    phase_means = (
+        "transform(sequence(0, __t.p - 1), __ph -> "
+        "aggregate(zip_with(__t.x, sequence(0, __t.n - 1), (__v, __i) -> "
+        "named_struct('s', if(__i % __t.p = __ph, __v, 0.0D), "
+        "'c', if(__i % __t.p = __ph, 1, 0))), "
+        "named_struct('s', CAST(0.0 AS DOUBLE), 'c', 0), "
+        "(__a, __e) -> named_struct('s', __a.s + __e.s, 'c', __a.c + __e.c), "
+        "__a -> __a.s / CAST(__a.c AS DOUBLE)))"
+    )
+    # bind the phase-mean vector ONCE (inlining it inside the axis
+    # transform would re-evaluate the O(n) fold per element — O(n²))
+    l2a = (
+        f"transform(array({l1}), __t -> named_struct("
+        f"'x', __t.x, 'n', __t.n, 'p', __t.p, 'mu', __t.mu, "
+        f"'pm', {phase_means}))[0]"
+    )
+    l2 = (
+        f"transform(array({l2a}), __t -> named_struct("
+        f"'x', __t.x, 'n', __t.n, 'p', __t.p, "
+        f"'seas', transform(sequence(0, __t.n - 1), __i2 -> "
+        f"element_at(__t.pm, (__i2 % __t.p) + 1) - __t.mu)))[0]"
+    )
+    # L3: deseasonalize, fit the trend line (closed form, x = 0..n-1)
+    l3 = (
+        f"transform(array({l2}), __u -> named_struct("
+        f"'x', __u.x, 'n', __u.n, 'seas', __u.seas, "
+        f"'ds', zip_with(__u.x, __u.seas, (__v, __s) -> __v - __s)))[0]"
+    )
+    l4 = (
+        f"transform(array({l3}), __w -> named_struct("
+        f"'x', __w.x, 'n', __w.n, 'seas', __w.seas, 'ds', __w.ds, "
+        f"'nn', CAST(__w.n AS DOUBLE), "
+        f"'sy', aggregate(__w.ds, 0.0D, (__a, __v) -> __a + __v), "
+        f"'sxy', aggregate(zip_with(__w.ds, sequence(0, __w.n - 1), "
+        f"(__v, __i) -> __v * CAST(__i AS DOUBLE)), 0.0D, "
+        f"(__a, __v) -> __a + __v)))[0]"
+    )
+    l5 = (
+        f"transform(array({l4}), __z -> named_struct("
+        f"'x', __z.x, 'n', __z.n, 'seas', __z.seas, "
+        f"'slope', (__z.nn * __z.sxy - (__z.nn * (__z.nn - 1) / 2) * __z.sy)"
+        f" / (__z.nn * ((__z.nn - 1) * __z.nn * (2 * __z.nn - 1) / 6)"
+        f" - (__z.nn * (__z.nn - 1) / 2) * (__z.nn * (__z.nn - 1) / 2)), "
+        f"'sy', __z.sy, 'nn', __z.nn))[0]"
+    )
+    l6 = (
+        f"transform(array({l5}), __q -> named_struct("
+        f"'x', __q.x, 'seas', __q.seas, "
+        f"'trend', transform(sequence(0, __q.n - 1), __k -> "
+        f"(__q.sy - __q.slope * (__q.nn * (__q.nn - 1) / 2)) / __q.nn"
+        f" + __q.slope * CAST(__k AS DOUBLE))))[0]"
+    )
+    return (
+        f"transform(array({l6}), __f -> named_struct("
+        f"'x', __f.x, 'seas', __f.seas, 'trend', __f.trend, "
+        f"'baseline', zip_with(__f.seas, __f.trend, (__s, __t2) -> __s + __t2), "
+        f"'resid', zip_with(__f.x, zip_with(__f.seas, __f.trend, "
+        f"(__s, __t2) -> __s + __t2), (__v, __b) -> __v - __b)))[0]"
+    )
+
+
+def _kql_series_decompose(a: list[str]) -> str:
+    """series_decompose(series, period) → STRUCT(baseline, seasonal,
+    trend, residual) — Kusto returns a tuple for multi-assignment; here a
+    STRUCT whose fields the query projects (the series_fit_line precedent)."""
+    core = _ser_decomp_core(a[0], a[1])
+    return (
+        f"transform(array({core}), __d -> named_struct("
+        f"'baseline', __d.baseline, 'seasonal', __d.seas, "
+        f"'trend', __d.trend, 'residual', __d.resid))[0]"
+    )
+
+
+def _kql_series_anomalies(a: list[str]) -> str:
+    """series_decompose_anomalies(series, threshold, period) →
+    STRUCT(ad_flag, ad_score, baseline): score = the residual's sample
+    z-score (documented deviation: Kusto scores residuals with a Tukey
+    fence), flag = sign(score) where |score| exceeds the threshold."""
+    th = a[1] if len(a) > 1 else "1.5"
+    period = a[2] if len(a) > 2 else "1"
+    core = _ser_decomp_core(a[0], period)
+    stats = (
+        f"transform(array({core}), __d -> named_struct("
+        f"'baseline', __d.baseline, 'resid', __d.resid, "
+        f"'m', aggregate(__d.resid, 0.0D, (__a, __v) -> __a + __v)"
+        f" / CAST(size(__d.resid) AS DOUBLE), "
+        f"'ss', aggregate(__d.resid, 0.0D, (__a, __v) -> __a + __v * __v), "
+        f"'nn', CAST(size(__d.resid) AS DOUBLE)))[0]"
+    )
+    scored = (
+        f"transform(array({stats}), __s -> named_struct("
+        f"'baseline', __s.baseline, "
+        f"'score', transform(__s.resid, __r -> (__r - __s.m) / "
+        f"sqrt((__s.ss - __s.nn * __s.m * __s.m) / (__s.nn - 1)))))[0]"
+    )
+    return (
+        f"transform(array({scored}), __o -> named_struct("
+        f"'ad_flag', transform(__o.score, __z -> "
+        f"CASE WHEN __z > ({th}) THEN 1 WHEN __z < -({th}) THEN -1 "
+        f"ELSE 0 END), "
+        f"'ad_score', __o.score, 'baseline', __o.baseline))[0]"
+    )
+
+
 def _kql_pearson(a: list[str]) -> str:
     """series_pearson_correlation(x, y) — closed form over the zipped pair."""
     x, y = a[0], a[1]
@@ -2180,14 +2305,34 @@ def _transpile_pipeline(
             items = ", ".join(_expr(x) for x in _split_top(rest))
             rel = f"SELECT DISTINCT {items} FROM {sub}"
         elif op == "join":
+            # leading kind=/hint.* tokens in any order (Kusto accepts both
+            # orders); hints are EXECUTION advice and lower to Spark join
+            # strategy hints: strategy=broadcast → BROADCAST(kusto-left),
+            # strategy=shuffle / shufflekey=k → SHUFFLE_HASH (both sides
+            # repartition on the join key — Spark's shuffled hash join is
+            # exactly Kusto's shuffle strategy); num_partitions is accepted
+            # and ignored (AQE owns partition counts).
+            kind, hints, toks = "inner", {}, rest.strip()
+            while True:
+                mk = re.match(r"^kind\s*=\s*(\w+)\s+", toks, re.IGNORECASE)
+                mh = re.match(
+                    r"^hint\.(\w+)\s*=\s*([\w.]+)\s+", toks, re.IGNORECASE
+                )
+                if mk:
+                    kind = mk.group(1).lower()
+                    toks = toks[mk.end():]
+                elif mh:
+                    hints[mh.group(1).lower()] = mh.group(2).lower()
+                    toks = toks[mh.end():]
+                else:
+                    break
             m = re.match(
-                r"^(?:kind\s*=\s*(\w+)\s+)?\(\s*(.+?)\s*\)\s+on\s+([^()]+)$",
-                rest,
+                r"^\(\s*(.+?)\s*\)\s+on\s+([^()]+)$",
+                toks,
                 re.IGNORECASE | re.DOTALL,
             )
             if not m:
                 raise KqlError(f"unsupported join form: {rest!r}")
-            kind = (m.group(1) or "inner").lower()
             jmap = {
                 "inner": "JOIN",
                 "leftouter": "LEFT JOIN",
@@ -2207,8 +2352,8 @@ def _transpile_pipeline(
             if kind not in jmap:
                 raise KqlError(f"unsupported join kind: {kind!r}")
             swap = kind.startswith("right") and kind != "rightouter"
-            right = m.group(2).strip()
-            cond = m.group(3).strip()
+            right = m.group(1).strip()
+            cond = m.group(2).strip()
             mc = re.match(
                 r"^\$left\.(\w+)\s*==\s*\$right\.(\w+)$", cond
             )
@@ -2224,12 +2369,23 @@ def _transpile_pipeline(
                 right_rel = lets.get(right) or f"SELECT * FROM {right}"
             else:
                 right_rel = _transpile_pipeline(right, lets)
+            kusto_left = "__l"
             if swap:
                 # rightsemi/rightanti keep RIGHT-side rows → right becomes
                 # the preserved (left) operand of Spark's LEFT SEMI/ANTI
                 left_rel, right_rel, lk, rk = right_rel, left_rel, rk, lk
+                kusto_left = "__r"
+            strategy = hints.get("strategy")
+            if strategy == "broadcast":
+                # Kusto broadcasts the LEFT data source; Spark ignores the
+                # hint where the build side is illegal for the join type
+                hint_sql = f"/*+ BROADCAST({kusto_left}) */ "
+            elif strategy == "shuffle" or "shufflekey" in hints:
+                hint_sql = "/*+ SHUFFLE_HASH(__l, __r) */ "
+            else:
+                hint_sql = ""
             rel = (
-                f"SELECT * FROM ({left_rel}) __l "
+                f"SELECT {hint_sql}* FROM ({left_rel}) __l "
                 f"{jmap[kind]} ({right_rel}) __r ON __l.{lk} = __r.{rk}"
             )
             continue

@@ -383,6 +383,24 @@ def _transpile_steps(steps: list[str], lets: dict[str, str] | None = None) -> st
             else:
                 items = _assignments(_tuple_body(rest, "select"), agg=False)
                 wrap(", ".join(items))
+        elif head == "loop":
+            # PRQL `loop (pipeline)`: apply the pipeline to the previous
+            # iteration until it yields no rows; the output is the union of
+            # every iteration including the seed — exactly SQL's recursive
+            # CTE, so it lowers to WITH RECURSIVE on Spark 4's UnionLoop
+            # (iteration depth governed by spark.sql.cteRecursionLevelLimit,
+            # default 100 — same guard class as Kusto's scan row limits).
+            if not (rest.startswith("(") and rest.endswith(")")):
+                raise PrqlError(f"loop: expected `loop (pipeline)`, got {rest!r}")
+            body = _steps(rest[1:-1])
+            if not body:
+                raise PrqlError("loop: empty pipeline")
+            step_rel = _transpile_steps(["from __prql_loop"] + body, lets)
+            alias_n += 1
+            rel = (
+                f"WITH RECURSIVE __prql_loop AS (({rel}) UNION ALL "
+                f"({step_rel})) SELECT * FROM __prql_loop"
+            )
         elif head == "join":
             m = re.match(r"^(?:side:(\w+)\s+)?([A-Za-z_]\w*)\s*\((.+)\)$", rest, re.S)
             if not m:

@@ -398,6 +398,16 @@ _DRIVER_WINDOW_R11: list[str] = [
     "chsql_vocab_r17",
     # --- round-8 KQL evaluate bag_unpack (data-driven widening) ---
     "kql_bag_unpack",
+    # --- round-8 H3 index-math family (bit-layout tier) ---
+    "h3_index_bits",
+    # --- round-8 KQL join execution hints (broadcast/shuffle) ---
+    "kql_join_hint_broadcast",
+    # --- round-8 PRQL loop (fixpoint iteration via WITH RECURSIVE) ---
+    "prql_loop",
+    # --- round-8 FFT period detection (Arrow numpy kernel) ---
+    "series_period_detect_fft",
+    # --- round-8 MergeTree row TTL (lazy expiry at OPTIMIZE) ---
+    "mergetree_ttl_expiry",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4684,3 +4684,241 @@ events
 """,
         dialect="kusto",
     )
+
+
+#: synthetic-but-valid H3 cell construction from event_id: res 1..3, any of
+#: the 122 base cells, digits (event_id + i) % 7, unused digits 7-filled —
+#: plain integer arithmetic both engines can replay exactly
+_H3_IDX_SRC = """
+SELECT event_id,
+       576460752303423488
+       + (1 + event_id % 3) * 4503599627370496
+       + (event_id % 122) * 35184372088832
+       + ((event_id + 1) % 7) * 4398046511104
+       + (CASE WHEN 1 + event_id % 3 >= 2
+               THEN ((event_id + 2) % 7) * 549755813888 ELSE 0 END)
+       + (CASE WHEN 1 + event_id % 3 >= 3
+               THEN ((event_id + 3) % 7) * 68719476736 ELSE 0 END)
+       + (CASE 1 + event_id % 3 WHEN 1 THEN 4398046511103
+              WHEN 2 THEN 549755813887 ELSE 68719476735 END) AS idx
+FROM events WHERE event_id < 300
+"""
+
+
+@register(
+    "h3_index_bits",
+    oracle="""
+WITH src AS (""" + _H3_IDX_SRC + """),
+d AS (
+  SELECT event_id, idx,
+         CAST(((idx >> 52) & 15) AS BIGINT) AS res,
+         CAST(((idx >> 45) & 127) AS BIGINT) AS bc
+  FROM src)
+SELECT event_id, idx, res, bc,
+  (((idx >> 63) & 1) = 0 AND ((idx >> 59) & 15) = 1
+   AND ((idx >> 56) & 7) = 0 AND bc < 122
+   AND len(list_filter(generate_series(1, 15), i ->
+         CASE WHEN i <= res THEN ((idx >> (45 - 3 * i)) & 7) = 7
+              ELSE ((idx >> (45 - 3 * i)) & 7) <> 7 END)) = 0
+   AND NOT (bc IN (4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+            AND COALESCE(list_filter(list_transform(generate_series(1, 15),
+                  i -> CASE WHEN i <= res
+                            THEN ((idx >> (45 - 3 * i)) & 7) ELSE 0 END),
+                  v -> v <> 0)[1], 0) = 1)) AS valid,
+  (res % 2 = 1) AS cls3,
+  ((idx & ~(CAST(15 AS BIGINT) << 52)) | (CAST(1 AS BIGINT) << 52)
+   | ((CAST(1 AS BIGINT) << 42) - 1)) AS parent1,
+  ((((idx & ~(CAST(15 AS BIGINT) << 52))
+     | (CAST(res + 1 AS BIGINT) << 52))
+    & ~((CAST(1 AS BIGINT) << (45 - 3 * CAST(res AS INT))) - 1))
+   | ((CAST(1 AS BIGINT) << (42 - 3 * CAST(res AS INT))) - 1)) AS cc,
+  list_transform(generate_series(0, 6), k ->
+    (((((idx & ~(CAST(15 AS BIGINT) << 52))
+        | (CAST(res + 1 AS BIGINT) << 52))
+       & ~((CAST(1 AS BIGINT) << (45 - 3 * CAST(res AS INT))) - 1))
+      | ((CAST(1 AS BIGINT) << (42 - 3 * CAST(res AS INT))) - 1))
+     + (k << (42 - 3 * CAST(res AS INT))))) AS kids,
+  lower(hex(idx)) AS hexs,
+  (2 + 120 * CAST(power(7, res) AS BIGINT)) AS ncells
+FROM d ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "geo"),
+)
+def h3_index_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CH H3 index-math family (round 8): h3GetResolution / h3GetBaseCell /
+    h3IsValid (incl. the pentagon deleted-K-subsequence rule) /
+    h3IsResClassIII / h3ToParent / h3ToCenterChild / h3ToChildren /
+    h3ToString / stringToH3 / h3NumHexagons — all closed-form 64-bit
+    arithmetic per the public H3 bit layout, zero shuffles, zero Python
+    (the geometry tier geoToH3/h3ToGeo needs the H3 planar math library
+    and stays behind a documented gate).  Indexes are synthesized from
+    event_id across res 1-3 and all 122 base cells (pentagons included,
+    so `valid` genuinely varies); the oracle replays every formula with
+    DuckDB bit operators."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        "SELECT event_id, idx,"
+        " h3GetResolution(idx) AS res,"
+        " h3GetBaseCell(idx) AS bc,"
+        " h3IsValid(idx) AS valid,"
+        " h3IsResClassIII(idx) AS cls3,"
+        " h3ToParent(idx, 1) AS parent1,"
+        " h3ToCenterChild(idx, h3GetResolution(idx) + 1) AS cc,"
+        " h3ToChildren(idx, h3GetResolution(idx) + 1) AS kids,"
+        " h3ToString(idx) AS hexs,"
+        " h3NumHexagons(h3GetResolution(idx)) AS ncells"
+        " FROM (" + _H3_IDX_SRC + ") ORDER BY event_id",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "kql_join_hint_broadcast",
+    oracle="""
+WITH dim(et, score) AS (VALUES ('click', 1), ('error', 5), ('signup', 3))
+SELECT e.event_type, d.score, COUNT(*) AS n,
+       CAST(SUM(CAST(e.value AS DECIMAL(38,6))) AS DOUBLE) AS tot
+FROM events e JOIN dim d ON e.event_type = d.et
+GROUP BY e.event_type, d.score ORDER BY e.event_type
+""",
+    tags=("kql", "dialect", "join"),
+)
+def kql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto join execution hints: ``hint.strategy=broadcast`` lowers to a
+    Spark BROADCAST hint on the Kusto-left side (the small data source by
+    Kusto convention) — at 100 TB this is the dim-enrichment shape: the
+    fact table never shuffles, the 3-row dim ships to every executor.
+    ``hint.strategy=shuffle``/``hint.shufflekey`` map to SHUFFLE_HASH and
+    ``hint.num_partitions`` is accepted-and-ignored (AQE owns partition
+    counts); the broadcast plan shape is pytest-gated
+    (tests/test_chsql.py::test_kql_join_hints)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let dim = datatable(et: string, score: long)
+  ['click', 1, 'error', 5, 'signup', 3];
+dim
+| join hint.strategy=broadcast kind=inner (events)
+  on $left.et == $right.event_type
+| summarize n = count(), tot = sum(cast(value as decimal(38,6)))
+  by event_type, score
+| project event_type, score, n, tot = round(todouble(tot), 6)
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "prql_loop",
+    oracle="""
+WITH RECURSIVE l AS (
+  SELECT r_regionkey FROM region
+  UNION ALL
+  SELECT r_regionkey + 5 AS r_regionkey FROM l WHERE r_regionkey + 5 < 20)
+SELECT r_regionkey FROM l ORDER BY r_regionkey
+""",
+    tags=("prql", "dialect"),
+)
+def prql_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRQL ``loop``: apply a sub-pipeline to the previous iteration until
+    it yields no rows, unioning every iteration — lowered to WITH RECURSIVE
+    on Spark 4's UnionLoop (the same fixpoint operator behind
+    chsql_recursive_cte; iteration depth capped by
+    spark.sql.cteRecursionLevelLimit).  The oracle runs DuckDB's own
+    recursive CTE on the identical step."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+from region
+select {r_regionkey}
+loop (
+  derive nxt = r_regionkey + 5
+  filter nxt < 20
+  select {r_regionkey = nxt}
+)
+sort r_regionkey
+""",
+        dialect="prql",
+    )
+
+
+@register(
+    "series_period_detect_fft",
+    oracle="""
+SELECT event_type,
+       CAST([4, 8, 16][1 + length(event_type) % 3] AS DOUBLE) AS period,
+       CAST([4, 8, 16][1 + length(event_type) % 3] AS DOUBLE) AS detected
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type
+""",
+    tags=("chsql", "timeseries", "udf"),
+)
+def series_period_detect_fft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """seriesPeriodDetectFFT (CH 25.x time-series tier): dominant period
+    via the FFT magnitude argmax — an Arrow pandas_udf kernel
+    (functions/series_fft.py), the numpy-where-Catalyst-has-no-primitive
+    pattern.  The planted signal is a pure sinusoid whose period divides
+    the window (64), so the spectral peak is exact and the detector must
+    return the planted period bit-for-bit; the text path calls the
+    registered UDF by its ClickHouse name through the transpiler's
+    verbatim pass-through."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.series_fft import register_series_udfs
+
+    register_series_udfs(spark)
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+SELECT event_type,
+       CAST(element_at(array(4, 8, 16), 1 + length(event_type) % 3)
+            AS DOUBLE) AS period,
+       seriesPeriodDetectFFT(
+         transform(sequence(0, 63), __i -> sin(2 * pi() * __i /
+           element_at(array(4, 8, 16), 1 + length(event_type) % 3))))
+         AS detected
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "mergetree_ttl_expiry",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events WHERE event_type <> 'error'
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("chsql", "mergetree", "ddl"),
+)
+def mergetree_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeTree row TTL (round 8): ``CREATE TABLE ... TTL <expr> AS
+    SELECT`` stores the expiry expression; expired rows stay readable
+    until a merge applies the TTL — ``OPTIMIZE TABLE t FINAL`` here, CH's
+    own lazy contract.  The TTL horizon is data-relative (errors expire at
+    their event time, everything else a century later), so the outcome is
+    deterministic: after OPTIMIZE the error rows are gone.  The whole
+    lifecycle is lineage-only — no data is rewritten until the view is
+    read, and at scale the filter is a partition-prunable predicate."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ttl_events ENGINE = MergeTree ORDER BY event_id "
+        "TTL if(event_type = 'error', ts, ts + INTERVAL 100 YEAR) "
+        "AS SELECT * FROM events",
+        dialect="clickhouse",
+    )
+    eng.sql("OPTIMIZE TABLE ttl_events FINAL", dialect="clickhouse")
+    return eng.sql(
+        "SELECT event_type, count() AS n FROM ttl_events "
+        "GROUP BY event_type ORDER BY event_type",
+        dialect="clickhouse",
+    )

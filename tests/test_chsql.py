@@ -1893,3 +1893,102 @@ def test_kql_bag_unpack_mechanics(spark):
             " | evaluate bag_unpack(s)",
             dialect="kusto",
         )
+
+
+def test_h3_index_math(spark):
+    """H3 index-math tier (round 8): bit-layout arithmetic pinned on the
+    canonical public example cell 8928308280fffff (res 9): parent at res 8
+    is 8828308281fffff (digit 9 refills to 7, res field decrements), base
+    cell 20, class-III (odd res), not a pentagon, hex round trip, center
+    child/children integrity (every child's parent is the original)."""
+    from clickhouseocp_spark.chsql import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT stringToH3('8928308280fffff') AS idx,"
+            " h3GetResolution(stringToH3('8928308280fffff')) AS res,"
+            " h3GetBaseCell(stringToH3('8928308280fffff')) AS bc,"
+            " h3IsValid(stringToH3('8928308280fffff')) AS valid,"
+            " h3IsValid(42) AS invalid,"
+            " h3ToString(h3ToParent(stringToH3('8928308280fffff'), 8)) AS parent,"
+            " h3IsResClassIII(stringToH3('8928308280fffff')) AS c3,"
+            " h3IsPentagon(stringToH3('8928308280fffff')) AS pent,"
+            " h3NumHexagons(2) AS n2,"
+            " h3ToCenterChild(stringToH3('8928308280fffff'), 10) AS cc,"
+            " h3ToChildren(stringToH3('8928308280fffff'), 10) AS kids"
+        )
+    ).collect()[0]
+    assert r.idx == 0x8928308280FFFFF
+    assert r.res == 9 and r.bc == 20
+    assert r.valid is True and r.invalid is False
+    assert r.parent == "8828308281fffff"
+    assert r.c3 is True and r.pent is False
+    assert r.n2 == 2 + 120 * 49
+    # children: 7 of them, center child among them, each parents back
+    assert len(r.kids) == 7 and r.cc in r.kids and len(set(r.kids)) == 7
+    back = spark.sql(
+        transpile(
+            "SELECT h3GetResolution({0}) AS cres,"
+            " h3ToParent({0}, 9) AS cpar,"
+            " transform(h3ToChildren(stringToH3('8928308280fffff'), 10),"
+            "   __c -> h3ToParent(__c, 9)) AS pars".format(r.cc)
+        )
+    ).collect()[0]
+    assert back.cres == 10 and back.cpar == r.idx
+    assert all(p == r.idx for p in back.pars)
+
+
+def test_kql_join_hints(spark):
+    """Kusto join execution hints (round 8): hint.strategy=broadcast forces
+    a BroadcastHashJoin on the Kusto-left side even below no-stats defaults;
+    hint.strategy=shuffle / hint.shufflekey force a shuffled hash join;
+    hint tokens compose with kind= in either order and never change rows."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        base = (
+            "datatable(k: long, v: string) [1, 'a', 2, 'b'] "
+            "| join {h} kind=inner "
+            "(datatable(rk: long, w: long) [1, 10, 2, 20, 3, 30]) "
+            "on $left.k == $right.rk "
+            "| project k, v, w | sort by k asc"
+        )
+        sql_b = transpile_kql(base.format(h="hint.strategy=broadcast"))
+        assert "/*+ BROADCAST(__l) */" in sql_b
+        dfb = spark.sql(sql_b)
+        assert "BroadcastHashJoin" in dfb._jdf.queryExecution().executedPlan().toString()
+        assert [tuple(r) for r in dfb.collect()] == [(1, "a", 10), (2, "b", 20)]
+        sql_s = transpile_kql(base.format(h="hint.strategy=shuffle"))
+        assert "/*+ SHUFFLE_HASH(__l, __r) */" in sql_s
+        dfs = spark.sql(sql_s)
+        assert "ShuffledHashJoin" in dfs._jdf.queryExecution().executedPlan().toString()
+        assert [tuple(r) for r in dfs.collect()] == [(1, "a", 10), (2, "b", 20)]
+        # hints before kind, shufflekey form, num_partitions ignored
+        sql_k = transpile_kql(
+            "datatable(k: long) [1] | join hint.shufflekey=k "
+            "hint.num_partitions=8 kind=inner "
+            "(datatable(rk: long) [1]) on $left.k == $right.rk"
+        )
+        assert "SHUFFLE_HASH" in sql_k
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_prql_loop_mechanics():
+    """PRQL loop lowers to WITH RECURSIVE (anchor = pipeline-so-far, step =
+    the loop body over the previous iteration) and rejects malformed forms."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.prql import PrqlError, transpile_prql
+
+    s = transpile_prql(
+        "from t\nselect {k}\nloop (derive k2 = k + 1 | filter k2 < 9 "
+        "| select {k = k2})"
+    )
+    assert "WITH RECURSIVE __prql_loop" in s and "UNION ALL" in s
+    with _pytest.raises(PrqlError):
+        transpile_prql("from t\nloop derive x = 1")
+    with _pytest.raises(PrqlError):
+        transpile_prql("from t\nloop ()")

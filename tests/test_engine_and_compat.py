@@ -1166,3 +1166,46 @@ def test_information_schema_compat(spark, sf_dir):
     ]
     sch = eng.sql("SELECT * FROM information_schema.schemata").first()
     assert sch.schema_name == "default"
+
+
+def test_mergetree_ttl_lifecycle(spark, sf_dir):
+    """Row TTL: stored at DDL (bare column-list and CTAS forms), expired
+    rows stay readable until OPTIMIZE applies the merge (CH's lazy TTL),
+    a future-horizon TTL deletes nothing."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ttl_t ENGINE = MergeTree ORDER BY event_id "
+        "TTL if(event_type = 'click', ts, ts + INTERVAL 100 YEAR) "
+        "AS SELECT * FROM events",
+        dialect="clickhouse",
+    )
+    before = {
+        r.event_type
+        for r in eng.sql(
+            "SELECT DISTINCT event_type FROM ttl_t", dialect="ch"
+        ).collect()
+    }
+    assert "click" in before  # lazy: expired rows visible pre-merge
+    eng.sql("OPTIMIZE TABLE ttl_t FINAL", dialect="clickhouse")
+    after = {
+        r.event_type
+        for r in eng.sql(
+            "SELECT DISTINCT event_type FROM ttl_t", dialect="ch"
+        ).collect()
+    }
+    assert "click" not in after and after == before - {"click"}
+    # bare-DDL form parses TTL too; future horizon deletes nothing
+    eng.sql(
+        "CREATE TABLE ttl_b (event_id Int64, ts DateTime) "
+        "ENGINE = MergeTree ORDER BY event_id TTL ts + INTERVAL 100 YEAR",
+        dialect="clickhouse",
+    )
+    eng.sql(
+        "INSERT INTO ttl_b SELECT event_id, ts FROM events LIMIT 10",
+        dialect="clickhouse",
+    )
+    eng.sql("OPTIMIZE TABLE ttl_b FINAL", dialect="clickhouse")
+    n = eng.sql("SELECT count() AS n FROM ttl_b", dialect="ch").collect()[0].n
+    assert n == 10

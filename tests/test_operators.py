@@ -1844,3 +1844,29 @@ def test_stream_scan_machine_two_batches_equals_batch(spark, sf_dir, tmp_path):
     key = lambda r: (r.user_id, r.ts, r.event_type, r.m)  # noqa: E731
     got, want = sorted(map(key, two.collect())), sorted(map(key, one.collect()))
     assert got == want and len(got) > 0
+
+
+def test_series_period_fft_kernel(spark):
+    """FFT period detector: exact on planted sinusoids whose period divides
+    the window; NaN on short/flat input (the CH seriesPeriodDetectFFT
+    contract); stays an Arrow pandas_udf (UDF-surface gate covers this)."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions.series_fft import series_period_fft
+
+    df = spark.range(1).select(
+        series_period_fft(
+            F.expr("transform(sequence(0, 47), i -> sin(2 * pi() * i / 8))")
+        ).alias("p8"),
+        series_period_fft(
+            F.expr("transform(sequence(0, 63), i -> sin(2 * pi() * i / 16))")
+        ).alias("p16"),
+        series_period_fft(F.expr("array(1.0D, 2.0D)")).alias("short"),
+        series_period_fft(
+            F.expr("transform(sequence(0, 31), i -> 5.0D)")
+        ).alias("flat"),
+    )
+    r = df.collect()[0]
+    assert r.p8 == 8.0 and r.p16 == 16.0
+    # NaN crosses Arrow back as NULL — Spark's rendering of CH's NaN
+    assert r.short is None and r.flat is None
