@@ -125,6 +125,12 @@ HEADLINE = [
     # fold, single exchange) and the schema-aware cross-column search
     "kql_scan_steps",
     "kql_search_term",
+    # round-8 late additions: the series_* analytics stack (decompose is
+    # the deepest single-expression combinator tower — its cost proves the
+    # zero-exchange claim), the FFT Arrow kernel, and the H3 bit tier
+    "kql_series_decompose",
+    "series_period_detect_fft",
+    "h3_index_bits",
 ]
 
 

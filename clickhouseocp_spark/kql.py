@@ -139,9 +139,17 @@ broadcast), comparisons, ``series_abs/sign/exp/log/sqrt/pow``, reductions
 ``series_sum/avg/min/max``, ``series_stats_dynamic``, gap fills
 ``series_fill_const/forward/backward/linear`` (linear = two (value,index)
 struct scans + one zip, O(bins)), ``series_fit_line`` (closed-form least
-squares bound once through singleton-array transforms) and
-``series_pearson_correlation`` — all lowered to per-row array combinators,
+squares bound once through singleton-array transforms),
+``series_pearson_correlation``, and ``series_decompose[_anomalies]``
+(additive per-phase-mean seasonal + line-fit trend + z-scored residual
+anomalies, explicit period) — all lowered to per-row array combinators,
 zero exchanges beyond the make-series aggregate itself.
+
+Join execution hints: ``hint.strategy=broadcast`` → BROADCAST(kusto-left),
+``hint.strategy=shuffle`` / ``hint.shufflekey`` → SHUFFLE_HASH,
+``hint.num_partitions`` accepted-and-ignored (AQE owns partition counts).
+``| evaluate bag_unpack(col[, 'prefix'])`` lives at the ENGINE level —
+data-driven widening needs a key scan (engine.py).
 
 Everything else inside scalar expressions passes through to Spark SQL
 verbatim (same policy as prql.py — KQL's scalar layer is close enough to SQL for the
@@ -728,6 +736,8 @@ _KQL_SCALARS: dict = {
     "series_fit_line_dynamic": _kql_fit_line,
     "series_fit_line": _kql_fit_line,
     "series_pearson_correlation": _kql_pearson,
+    "series_decompose_anomalies": _kql_series_anomalies,
+    "series_decompose": _kql_series_decompose,
 }
 
 

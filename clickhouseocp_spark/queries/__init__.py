@@ -408,6 +408,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "series_period_detect_fft",
     # --- round-8 MergeTree row TTL (lazy expiry at OPTIMIZE) ---
     "mergetree_ttl_expiry",
+    # --- round-8 KQL series decomposition + anomaly scoring ---
+    "kql_series_decompose",
 ]
 
 _DRIVER_WINDOW_R5 = [

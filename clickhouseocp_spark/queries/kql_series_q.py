@@ -260,3 +260,91 @@ events
         dialect="kusto",
     )
     return df
+
+
+@register(
+    "kql_series_decompose",
+    oracle=_BIN_PRELUDE.format(extra_filter="") + """,
+ph AS (
+  SELECT event_type, i, COALESCE(n_raw, 0.0) AS v,
+    SUM(COALESCE(n_raw, 0.0)) OVER (PARTITION BY event_type, i % 7)
+      / COUNT(*) OVER (PARTITION BY event_type, i % 7)
+    - SUM(COALESCE(n_raw, 0.0)) OVER (PARTITION BY event_type)
+      / COUNT(*) OVER (PARTITION BY event_type) AS seas
+  FROM cells),
+ds AS (SELECT event_type, i, v, seas, v - seas AS d FROM ph),
+sums AS (
+  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nn,
+         SUM(d) AS sy, SUM(d * CAST(i AS DOUBLE)) AS sxy
+  FROM ds GROUP BY event_type),
+fit AS (
+  SELECT event_type, nn, sy,
+         (nn * sxy - (nn * (nn - 1) / 2) * sy)
+         / (nn * ((nn - 1) * nn * (2 * nn - 1) / 6)
+            - (nn * (nn - 1) / 2) * (nn * (nn - 1) / 2)) AS slope
+  FROM sums),
+tl AS (
+  SELECT d.event_type, d.i, d.v, d.seas,
+         (f.sy - f.slope * (f.nn * (f.nn - 1) / 2)) / f.nn
+           + f.slope * CAST(d.i AS DOUBLE) AS trend
+  FROM ds d JOIN fit f ON d.event_type = f.event_type),
+rs AS (
+  SELECT event_type, i, v, seas, trend,
+         v - (seas + trend) AS resid
+  FROM tl),
+rstat AS (
+  SELECT event_type,
+         SUM(resid) / CAST(COUNT(*) AS DOUBLE) AS m,
+         SUM(resid * resid) AS ss, CAST(COUNT(*) AS DOUBLE) AS nn
+  FROM rs GROUP BY event_type)
+SELECT r.event_type,
+  list(round(r.seas, 6) ORDER BY r.i) AS seas,
+  list(round(r.trend, 6) ORDER BY r.i) AS trend,
+  list(round(r.seas + r.trend, 6) ORDER BY r.i) AS baseline,
+  list(round(r.resid, 6) ORDER BY r.i) AS resid,
+  list(round((r.resid - t.m) / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)), 6)
+       ORDER BY r.i) AS score,
+  list(CASE WHEN (r.resid - t.m)
+                 / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)) > 1.5 THEN 1
+            WHEN (r.resid - t.m)
+                 / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)) < -1.5 THEN -1
+            ELSE 0 END ORDER BY r.i) AS flags
+FROM rs r JOIN rstat t ON r.event_type = t.event_type
+GROUP BY r.event_type ORDER BY r.event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_decompose`` + ``series_decompose_anomalies`` (round 8):
+    additive decomposition with an explicit period — seasonal = zero-sum
+    per-phase means, trend = least-squares line on the deseasonalized
+    series, residual = the rest; anomaly score = the residual's sample
+    z-score, flags at ±threshold.  Documented deviations: Kusto's seasonal
+    extractor is median-based and its scorer a Tukey fence; period
+    auto-detection lives in seriesPeriodDetectFFT's kernel.  Every stage
+    is an array combinator bound once through singleton-array transforms
+    (O(bins·period) per row, zero exchanges — the phase-mean vector binds
+    ONCE; inlining it would be O(bins²)).  Per-element values are
+    bitwise-mirrored (integer-exact phase sums); only the fit reductions
+    are order-sensitive, handled by round(6) on both sides."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0 on ts step 1d by event_type
+| extend d = series_decompose(n, 7),
+         an = series_decompose_anomalies(n, 1.5, 7)
+| project event_type, seas = d.seasonal, trend = d.trend,
+          baseline = d.baseline, resid = d.residual,
+          score = an.ad_score, flags = an.ad_flag
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
+    return df.select(
+        "event_type", rnd("seas"), rnd("trend"), rnd("baseline"),
+        rnd("resid"), rnd("score"), "flags",
+    )

@@ -595,8 +595,8 @@ def test_prql_transpile_shapes():
 
     with _pytest.raises(PrqlError, match="from"):
         transpile_prql("filter x > 1")
-    with _pytest.raises(PrqlError, match="transform"):
-        transpile_prql("from t\nloop (derive m = m + 1)")  # still out of subset
+    # round-8: loop is IN the subset now (WITH RECURSIVE lowering)
+    assert "WITH RECURSIVE" in transpile_prql("from t\nloop (derive m = m + 1)")
     # round-6 extensions: take ranges + relational set ops (bag semantics)
     out = transpile_prql("from t | sort {-v} | take 3..5")
     assert out.endswith("ORDER BY v DESC LIMIT 3 OFFSET 2")
@@ -1992,3 +1992,41 @@ def test_prql_loop_mechanics():
         transpile_prql("from t\nloop derive x = 1")
     with _pytest.raises(PrqlError):
         transpile_prql("from t\nloop ()")
+
+
+def test_kql_series_decompose_planted(spark):
+    """series_decompose on a planted seasonal+trend signal: the additive
+    reconstruction is exact (seasonal + trend + residual == x bitwise),
+    per-phase means recover the seasonal shape, and a planted spike is the
+    only anomaly flagged."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic) ['a', dynamic("
+            "[10.0, 0.0, 5.0, 1.0, 11.0, 1.0, 6.0, 2.0,"
+            " 12.0, 2.0, 7.0, 3.0, 13.0, 3.0, 8.0, 4.0])]"
+            " | extend d = series_decompose(v, 4)"
+            " | project seas = d.seasonal, tr = d.trend,"
+            "   res = d.residual, base = d.baseline"
+        )
+    ).collect()[0]
+    x = [10.0, 0.0, 5.0, 1.0, 11.0, 1.0, 6.0, 2.0,
+         12.0, 2.0, 7.0, 3.0, 13.0, 3.0, 8.0, 4.0]
+    # phase means 11.5/1.5/6.5/2.5 − overall 5.5 → zero-sum seasonal
+    assert r.seas[:4] == [6.0, -4.0, 1.0, -3.0]
+    assert all(s + t + e == xi for s, t, e, xi in zip(r.seas, r.tr, r.res, x))
+    assert all(b == s + t for b, s, t in zip(r.base, r.seas, r.tr))
+    # anomalies: same signal with one spiked element → exactly that flag
+    spiked = x[:]
+    spiked[9] = 60.0
+    lit = ", ".join(str(v) for v in spiked)
+    a = spark.sql(
+        transpile_kql(
+            f"datatable(k: string, v: dynamic) ['a', dynamic([{lit}])]"
+            " | extend an = series_decompose_anomalies(v, 2.5, 4)"
+            " | project flags = an.ad_flag, score = an.ad_score"
+        )
+    ).collect()[0]
+    assert a.flags[9] == 1 and sum(abs(f) for f in a.flags) == 1
+    assert a.score[9] > 2.5
