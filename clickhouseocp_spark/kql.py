@@ -538,6 +538,50 @@ def _kql_series_anomalies(a: list[str]) -> str:
     )
 
 
+def _kql_series_outliers(a: list[str]) -> str:
+    """series_outliers(series[, k]) — Tukey-fence anomaly scores: 0 inside
+    [q25 − k·IQR, q75 + k·IQR], else the signed distance beyond the
+    nearest quartile in IQR units minus k (Kusto's documented shape;
+    k defaults to 1.5).  Quartiles are the linearly-interpolated
+    percentiles over the sorted series (Kusto's percentile definition),
+    computed once through a singleton-struct bind — O(n log n) per row for
+    the sort, zero exchanges."""
+    y = a[0]
+    k = a[1] if len(a) > 1 else "1.5D"
+    srt = f"array_sort(transform({y}, __e -> CAST(__e AS DOUBLE)))"
+
+    def q(frac: str) -> str:
+        # type-7 linear interpolation at rank frac*(n-1), 0-based
+        return (
+            f"element_at(__t.s, CAST(floor(({frac}) * (__t.n - 1)) AS INT) + 1)"
+            f" + (({frac}) * (__t.n - 1) "
+            f"- floor(({frac}) * (__t.n - 1)))"
+            f" * (element_at(__t.s, least(CAST(floor(({frac}) * (__t.n - 1)) "
+            f"AS INT) + 2, __t.n)) "
+            f"- element_at(__t.s, CAST(floor(({frac}) * (__t.n - 1)) AS INT)"
+            f" + 1))"
+        )
+
+    l1 = f"named_struct('s', {srt}, 'n', size({y}))"
+    l2 = (
+        f"transform(array({l1}), __t -> named_struct("
+        f"'q1', {q('0.25D')}, 'q3', {q('0.75D')}))[0]"
+    )
+    l3 = (
+        f"transform(array({l2}), __u -> named_struct("
+        f"'q1', __u.q1, 'q3', __u.q3, 'iqr', __u.q3 - __u.q1))[0]"
+    )
+    return (
+        f"transform(array({l3}), __w -> transform({y}, __e -> CASE "
+        f"WHEN __w.iqr = 0 THEN 0.0D "
+        f"WHEN CAST(__e AS DOUBLE) > __w.q3 + ({k}) * __w.iqr "
+        f"THEN (CAST(__e AS DOUBLE) - __w.q3) / __w.iqr - ({k}) "
+        f"WHEN CAST(__e AS DOUBLE) < __w.q1 - ({k}) * __w.iqr "
+        f"THEN (CAST(__e AS DOUBLE) - __w.q1) / __w.iqr + ({k}) "
+        f"ELSE 0.0D END))[0]"
+    )
+
+
 def _kql_pearson(a: list[str]) -> str:
     """series_pearson_correlation(x, y) — closed form over the zipped pair."""
     x, y = a[0], a[1]
@@ -738,6 +782,7 @@ _KQL_SCALARS: dict = {
     "series_pearson_correlation": _kql_pearson,
     "series_decompose_anomalies": _kql_series_anomalies,
     "series_decompose": _kql_series_decompose,
+    "series_outliers": _kql_series_outliers,
 }
 
 

@@ -410,6 +410,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "mergetree_ttl_expiry",
     # --- round-8 KQL series decomposition + anomaly scoring ---
     "kql_series_decompose",
+    # --- round-8 KQL series_outliers (Tukey fences) ---
+    "kql_series_outliers",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -348,3 +348,80 @@ events
         "event_type", rnd("seas"), rnd("trend"), rnd("baseline"),
         rnd("resid"), rnd("score"), "flags",
     )
+
+
+@register(
+    "kql_series_outliers",
+    oracle=_BIN_PRELUDE.format(extra_filter="") + """,
+ser AS (
+  SELECT event_type,
+         list(COALESCE(n_raw, 0.0) ORDER BY i) AS v,
+         list_sort(list(COALESCE(n_raw, 0.0))) AS s,
+         CAST(len(list(n_raw)) AS INT) AS n
+  FROM cells GROUP BY event_type),
+qs AS (
+  SELECT event_type, v,
+    s[CAST(floor(0.25 * (n - 1)) AS INT) + 1]
+      + (0.25 * (n - 1) - floor(0.25 * (n - 1)))
+        * (s[least(CAST(floor(0.25 * (n - 1)) AS INT) + 2, n)]
+           - s[CAST(floor(0.25 * (n - 1)) AS INT) + 1]) AS q1,
+    s[CAST(floor(0.75 * (n - 1)) AS INT) + 1]
+      + (0.75 * (n - 1) - floor(0.75 * (n - 1)))
+        * (s[least(CAST(floor(0.75 * (n - 1)) AS INT) + 2, n)]
+           - s[CAST(floor(0.75 * (n - 1)) AS INT) + 1]) AS q3
+  FROM ser)
+SELECT event_type,
+  round(q1, 6) AS q1, round(q3, 6) AS q3,
+  list_transform(v, e -> round(CASE
+    WHEN q3 - q1 = 0 THEN 0.0
+    WHEN e > q3 + 1.5 * (q3 - q1) THEN (e - q3) / (q3 - q1) - 1.5
+    WHEN e < q1 - 1.5 * (q3 - q1) THEN (e - q1) / (q3 - q1) + 1.5
+    ELSE 0.0 END, 6)) AS scores
+FROM qs ORDER BY event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_outliers`` (round 8): Tukey-fence anomaly scores — 0
+    inside [q25 − k·IQR, q75 + k·IQR], else the signed distance beyond
+    the nearest quartile in IQR units minus k.  Quartiles are the
+    linearly-interpolated percentiles of the sorted series, bound ONCE
+    through a singleton-struct transform (O(bins log bins) per row, zero
+    exchanges).  The oracle mirrors the interpolation index arithmetic on
+    DuckDB's sorted lists, so the fence comparisons see identical doubles."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0 on ts step 1d by event_type
+| extend o = series_outliers(n)
+| project event_type, n
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    # recompute quartiles visibly so the projection carries them too
+    srt = "array_sort(transform(n, __e -> CAST(__e AS DOUBLE)))"
+
+    def q(frac: str) -> str:
+        return (
+            f"element_at({srt}, CAST(floor({frac} * (size(n) - 1)) AS INT)"
+            f" + 1) + ({frac} * (size(n) - 1) - floor({frac} * (size(n) - 1)))"
+            f" * (element_at({srt}, least(CAST(floor({frac} * (size(n) - 1))"
+            f" AS INT) + 2, size(n)))"
+            f" - element_at({srt}, CAST(floor({frac} * (size(n) - 1)) AS INT)"
+            f" + 1))"
+        )
+
+    from clickhouseocp_spark.kql import _kql_series_outliers
+
+    return df.select(
+        "event_type",
+        F.expr(f"round({q('0.25D')}, 6)").alias("q1"),
+        F.expr(f"round({q('0.75D')}, 6)").alias("q3"),
+        F.expr(
+            f"transform({_kql_series_outliers(['n'])}, __x -> round(__x, 6))"
+        ).alias("scores"),
+    )

@@ -2030,3 +2030,23 @@ def test_kql_series_decompose_planted(spark):
     ).collect()[0]
     assert a.flags[9] == 1 and sum(abs(f) for f in a.flags) == 1
     assert a.score[9] > 2.5
+
+
+def test_kql_series_outliers_values(spark):
+    """series_outliers: planted spikes are the only nonzero scores, the k
+    parameter shifts scores by (k − 1.5), a constant series scores all 0."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic) ['a', dynamic("
+            "[1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 100.0, -50.0])]"
+            " | extend o = series_outliers(v), o3 = series_outliers(v, 3.0),"
+            "   flat = series_outliers(pack_array(5.0, 5.0, 5.0, 5.0))"
+            " | project o, o3, flat"
+        )
+    ).collect()[0]
+    assert all(x == 0.0 for x in r.o[:8])
+    assert r.o[8] > 0 and r.o[9] < 0
+    assert abs((r.o[8] - r.o3[8]) - 1.5) < 1e-12
+    assert r.flat == [0.0, 0.0, 0.0, 0.0]
