@@ -1932,6 +1932,63 @@ def _print_source(src: str) -> str:
     return f"SELECT {', '.join(sels)}"
 
 
+_TS_RE = re.compile(r"\b(toscalar|materialize)\s*\(", re.IGNORECASE)
+
+
+def _extract_toscalar(
+    query: str,
+    lets: dict[str, str],
+    funcs: dict[str, tuple[str, str]],
+) -> tuple[str, dict[str, str]]:
+    """Pre-pass for the two tabular-expression wrappers:
+
+    - ``toscalar(<pipeline>)`` — transpile the inner pipeline now and park
+      the scalar subquery behind a placeholder tag so its SQL never rides
+      through the stage splitter or the scalar-sugar rewrites (a
+      double-rewrite of e.g. ``substring`` would shift offsets twice); the
+      tags restore at the very end of _transpile_pipeline.
+    - ``materialize(<pipeline>)`` — caching advice: Catalyst already reuses
+      repeated subplans, so the wrapper is stripped and the inner KQL
+      splices back for normal transpilation.
+
+    Quote-aware balanced-paren scan, recursion handled by the inner
+    transpile call running this same pass."""
+    subs: dict[str, str] = {}
+    out: list[str] = []
+    i, n = 0, len(query)
+    while True:
+        m = _TS_RE.search(query, i)
+        if not m:
+            out.append(query[i:])
+            break
+        out.append(query[i : m.start()])
+        depth, j, q = 1, m.end(), None
+        while j < n and depth:
+            ch = query[j]
+            if q:
+                if ch == q:
+                    q = None
+            elif ch in "'\"":
+                q = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise KqlError(f"unbalanced parens in {m.group(1)}(): {query!r}")
+        inner = query[m.end() : j - 1].strip()
+        if m.group(1).lower() == "materialize":
+            out.append(inner)
+        else:
+            sql = _transpile_pipeline(inner, lets, funcs)
+            tag = f"__toscalar_{len(subs)}__"
+            subs[tag] = f"(SELECT * FROM ({sql}) __ts{len(subs)} LIMIT 1)"
+            out.append(tag)
+        i = j
+    return "".join(out), subs
+
+
 def transpile_kql(query: str) -> str:
     """KQL text → one nested Spark SQL statement.  Handles statement-level
     ``let`` bindings (split on top-level ``;``), then the final pipeline."""
@@ -2001,6 +2058,7 @@ def _transpile_pipeline(
     tabular binding names to their transpiled SQL."""
     lets = lets or {}
     funcs = funcs or {}
+    query, ts_subs = _extract_toscalar(query, lets, funcs)
     stages = [s.strip() for s in _split_top(query.strip(), "|")]
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
@@ -2472,4 +2530,6 @@ def _transpile_pipeline(
             raise KqlError(f"unsupported KQL operator: {op!r}")
     if " " not in rel:
         rel = f"SELECT * FROM {rel}"
+    for tag, sub in ts_subs.items():
+        rel = rel.replace(tag, sub)
     return rel

@@ -412,6 +412,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "kql_series_decompose",
     # --- round-8 KQL series_outliers (Tukey fences) ---
     "kql_series_outliers",
+    # --- round-8 KQL toscalar()/materialize() wrappers ---
+    "kql_toscalar_threshold",
 ]
 
 _DRIVER_WINDOW_R5 = [

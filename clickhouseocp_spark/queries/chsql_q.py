@@ -4922,3 +4922,37 @@ def mergetree_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY event_type ORDER BY event_type",
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_toscalar_threshold",
+    oracle="""
+SELECT event_type, COUNT(*) AS n
+FROM events
+WHERE value > (SELECT SUM(CAST(value AS DECIMAL(38,6))) / COUNT(*)
+               FROM events)
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect"),
+)
+def kql_toscalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``toscalar()`` (round 8): the inner pipeline transpiles to a
+    scalar subquery parked behind a placeholder so its SQL never re-enters
+    the scalar-sugar rewrites; ``materialize()`` strips to its argument
+    (Catalyst owns subplan reuse).  The threshold routes through DECIMAL
+    so the global mean is exact on both engines.  At scale the scalar
+    subquery is one reduction Spark broadcasts into the filter — the
+    classic above-average-filter shape with zero driver round trips."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where value > toscalar(materialize(events)
+    | summarize t = sum(cast(value as decimal(38,6))) / count())
+| summarize n = count() by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )

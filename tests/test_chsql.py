@@ -2050,3 +2050,28 @@ def test_kql_series_outliers_values(spark):
     assert r.o[8] > 0 and r.o[9] < 0
     assert abs((r.o[8] - r.o3[8]) - 1.5) < 1e-12
     assert r.flat == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_kql_toscalar_materialize(spark):
+    """toscalar: scalar-subquery lowering behind a placeholder (inner SQL
+    never re-enters scalar rewrites — a substring inside survives single
+    rewriting); materialize strips to its argument; string literals with
+    pipes inside toscalar stay intact."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    sql = transpile_kql(
+        "datatable(k: long, s: string) [1, 'abc', 2, 'a|b']"
+        " | where k == toscalar(datatable(q: long, s2: string) [5, 'xyz']"
+        "     | where s2 == 'x|yz' | count)"
+        "   or strlen(substring(s, 1)) >= 1"
+        " | summarize n = count()"
+    )
+    # the inner pipeline's count lowered once; outer substring rule fired
+    # once (0-based +1), not twice
+    assert "substr(s, (1) + 1)" in sql and sql.count("'x|yz'") == 1
+    r = spark.sql(sql).collect()[0]
+    assert r.n == 2
+    m = transpile_kql(
+        "let t = materialize(datatable(k: long) [1, 2] | where k > 1); t | count"
+    )
+    assert "materialize" not in m.lower()

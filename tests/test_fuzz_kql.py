@@ -174,3 +174,85 @@ SELECT l_orderkey, l_linenumber, emit_mid FROM m WHERE emitted
 """
     ).fetchall()
     assert got == sorted(orc), (k1, k2)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.one_of(
+            st.none(),
+            st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_series_fill_properties(spark, vals):
+    """Gap-fill invariants on random null-bearing series (round 8):
+    forward/backward fills only ever copy EXISTING values rightward/
+    leftward, linear fill is bounded by the neighboring non-nulls, all
+    three are the identity on null-free series, and every non-null input
+    position is preserved verbatim by every fill."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    lit = ", ".join("real(null)" if v is None else repr(v) for v in vals)
+    r = spark.sql(
+        transpile_kql(
+            f"datatable(k: string, v: dynamic) ['a', dynamic([{lit}])]"
+            " | extend f = series_fill_forward(v), b = series_fill_backward(v),"
+            "   lin = series_fill_linear(v)"
+            " | project f, b, lin"
+        )
+    ).collect()[0]
+    n = len(vals)
+    assert len(r.f) == len(r.b) == len(r.lin) == n
+    nonnull = [v for v in vals if v is not None]
+    for i, v in enumerate(vals):
+        if v is not None:
+            assert r.f[i] == v and r.b[i] == v and r.lin[i] == v
+        else:
+            # forward: last non-null before i (or null); backward: mirror
+            prevs = [x for x in vals[:i] if x is not None]
+            nexts = [x for x in vals[i + 1:] if x is not None]
+            assert r.f[i] == (prevs[-1] if prevs else None)
+            assert r.b[i] == (nexts[0] if nexts else None)
+            if nonnull:
+                lo, hi = min(nonnull), max(nonnull)
+                assert r.lin[i] is not None and lo - 1e-9 <= r.lin[i] <= hi + 1e-9
+            else:
+                assert r.lin[i] is None
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    slope=st.floats(-50, 50, allow_nan=False),
+    icpt=st.floats(-100, 100, allow_nan=False),
+    n=st.integers(3, 20),
+)
+def test_series_fit_recovers_exact_line(spark, slope, icpt, n):
+    """series_fit_line on an exactly-linear series recovers the slope and
+    intercept (closed form is algebraically exact; tolerance covers IEEE
+    rounding of the Σ formulas) with rsquare 1 and ~zero residual variance."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    lit = ", ".join(repr(icpt + slope * i) for i in range(n))
+    r = spark.sql(
+        transpile_kql(
+            f"datatable(k: string, v: dynamic) ['a', dynamic([{lit}])]"
+            " | extend f = series_fit_line(v)"
+            " | project s = f.slope, c = f.interception, r2 = f.rsquare,"
+            "   rv = f.rvariance"
+        )
+    ).collect()[0]
+    scale = max(1.0, abs(slope), abs(icpt))
+    assert abs(r.s - slope) < 1e-6 * scale
+    assert abs(r.c - icpt) < 1e-6 * scale
+    assert r.rv == 0 or abs(r.rv) < 1e-6 * scale * scale
