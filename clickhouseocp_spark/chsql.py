@@ -232,12 +232,23 @@ def _map_apply(args: list[str]) -> str:
         raise ChSqlError(
             f"mapApply lambda must return a 2-tuple, got {body!r}"
         )
-    ke, ve = (
-        re.sub(
-            rf"\b{v}\b", "__e.value", re.sub(rf"\b{k}\b", "__e.key", p)
+    def _subst(p: str) -> str:
+        # parameter names inside STRING literals stay literal (concat(k, 'k')
+        # must not rewrite the quoted k) — mask, substitute, restore
+        lits: list[str] = []
+
+        def _mask(mm: "re.Match[str]") -> str:
+            lits.append(mm.group(0))
+            return f"\x00{len(lits) - 1}\x00"
+
+        masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, p)
+        masked = re.sub(rf"\b{k}\b", "__e.key", masked)
+        masked = re.sub(rf"\b{v}\b", "__e.value", masked)
+        return re.sub(
+            r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], masked
         ).strip()
-        for p in parts
-    )
+
+    ke, ve = (_subst(p) for p in parts)
     return (
         f"map_from_entries(transform(map_entries({args[1]}), "
         f"__e -> struct({ke} AS key, {ve} AS value)))"

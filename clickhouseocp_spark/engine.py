@@ -409,7 +409,7 @@ class ChSparkEngine:
                     ],
                 )
                 trail = mbu.group(4)
-                if trail:
+                if trail is not None:
                     items = _re.sub(
                         r"(?s)^\|\s*sort\s+by\s+", "", trail.strip()
                     )
@@ -421,6 +421,42 @@ class ChSparkEngine:
                         asc = len(toks) > 1 and toks[1].lower() == "asc"
                         order.append(c.asc() if asc else c.desc())
                     out = out.orderBy(*order)
+                return out
+            # `| evaluate narrow()` — transpose wide rows into
+            # (Row, Column, Value) triples: needs the resolved schema, so
+            # engine level; lowers to one stack() (CROSS-free lateral
+            # expansion inside the scan stage, |cols| values per row).
+            mnr = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+narrow\s*\(\s*\)\s*(\|.*)?$",
+                query.strip(),
+            )
+            if mnr:
+                from pyspark.sql import functions as F
+
+                df = self.spark.sql(transpile_kql(mnr.group(1)))
+                pairs = ", ".join(
+                    f"'{c}', CAST({c} AS STRING)" for c in df.columns
+                )
+                # Row is UNIQUE per source row but not dense (Kusto's dense
+                # ordinal assumes serialized input; a global row_number
+                # would single-partition the world — pipe `serialize`
+                # upstream when a dense ordinal matters)
+                out = df.withColumn(
+                    "Row", F.monotonically_increasing_id()
+                ).select(
+                    "Row",
+                    F.expr(
+                        f"stack({len(df.columns)}, {pairs}) "
+                        "AS (Column, Value)"
+                    ),
+                )
+                if mnr.group(2):
+                    # trailing stages resume normal transpilation over the
+                    # narrowed relation (registered as a session view)
+                    out.createOrReplaceTempView("__kql_narrow")
+                    return self.spark.sql(
+                        transpile_kql("__kql_narrow " + mnr.group(2))
+                    )
                 return out
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
@@ -901,6 +937,48 @@ class ChSparkEngine:
         if m:
             t, col = m.group(1).lower(), m.group(2)
             return self._set_lineage(t, self._base_table(t).drop(col))
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+RENAME\s+COLUMN\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)\s+TO\s+(\w+)$",
+            text,
+        )
+        if m:
+            t, old, new = m.group(1).lower(), m.group(2), m.group(3)
+            return self._set_lineage(
+                t, self._base_table(t).withColumnRenamed(old, new)
+            )
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+CLEAR\s+COLUMN\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)(?:\s+IN\s+PARTITION\s+\S+)?$",
+            text,
+        )
+        if m:
+            # CH resets the column to its type default; a partition clause
+            # narrows to one partition — the session view has no per-part
+            # files, so the reset applies table-wide (documented deviation)
+            t, col = m.group(1).lower(), m.group(2)
+            base = self._base_table(t)
+            dt = dict(base.dtypes).get(col)
+            if dt is None:
+                raise ChSqlError(f"CLEAR COLUMN: no column {col!r} on {t!r}")
+            defaults = {"string": F.lit("")}
+            zero = defaults.get(
+                dt,
+                F.lit(0) if not dt.startswith(("timestamp", "date", "array",
+                                               "map", "struct", "binary"))
+                else F.lit(None),
+            )
+            return self._set_lineage(t, base.withColumn(col, zero.cast(dt)))
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+COMMENT\s+COLUMN\s+"
+            r"(?:IF\s+EXISTS\s+)?(\w+)\s+'[^']*'$",
+            text,
+        )
+        if m:
+            # metadata-only in CH; the session catalog keeps no comments —
+            # accepted no-op so migration scripts run unmodified
+            self._table(m.group(1).lower())  # raise on unknown table
+            return self.spark.range(0).select(F.lit("ok").alias("ok")).limit(0)
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()0-9, ]+)$",
             text,
@@ -1782,14 +1860,53 @@ class ChSparkEngine:
             raise ChSqlError(
                 f"not an INSERT ... FORMAT Arrow statement: {statement!r}"
             )
-        t = m.group(1).lower()
+        return self._ingest_columnar(
+            m.group(1).lower(), *parse_arrow(data), stats=stats, fmt="Arrow"
+        )
+
+    def insert_parquet(
+        self, statement: str, data: bytes, stats: dict | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(cols)] FORMAT Parquet`` with a parquet-file
+        body (round 8) — the bulk format pandas/polars clients emit;
+        same name-validated NULL-defaulting contract as Arrow/Native."""
+        import re as _re
+
+        from clickhouseocp_spark.chsql import ChSqlError
+        from clickhouseocp_spark.formats import parse_parquet
+
+        m = _re.match(
+            r"(?is)^INSERT\s+INTO\s+(\w+)\s*(?:\(([\w\s,]+)\)\s*)?"
+            r"FORMAT\s+Parquet\s*$",
+            statement.strip(),
+        )
+        if not m:
+            raise ChSqlError(
+                f"not an INSERT ... FORMAT Parquet statement: {statement!r}"
+            )
+        return self._ingest_columnar(
+            m.group(1).lower(), *parse_parquet(data), stats=stats,
+            fmt="Parquet",
+        )
+
+    def _ingest_columnar(
+        self,
+        t: str,
+        names: list[str],
+        rows: list[tuple],
+        stats: dict | None = None,
+        fmt: str = "Arrow",
+    ) -> DataFrame:
+        """Shared tail of the columnar bulk-ingest paths: validate names
+        against the target, NULL-default absent columns, append by union."""
+        from clickhouseocp_spark.chsql import ChSqlError
+
         target = self._base_table(t)
         fields = {f.name: f for f in target.schema.fields}
-        names, rows = parse_arrow(data)
         unknown = [c for c in names if c not in fields]
         if unknown:
             raise ChSqlError(
-                f"Arrow column names {unknown} not in table {t!r}"
+                f"{fmt} column names {unknown} not in table {t!r}"
             )
         if stats is not None:
             stats["written_rows"] = len(rows)

@@ -2,7 +2,8 @@
 `clickhouse-local -q '... FORMAT X'` prints results in any of ~70 output
 formats; the everyday interactive set is replicated here verbatim:
 TabSeparated(WithNames), CSV(WithNames), JSONEachRow, JSON, Values, Vertical,
-Pretty, PrettyCompact, Markdown).
+Pretty, PrettyCompact, Markdown; binary: RowBinary, Native, Arrow(Stream),
+Parquet — each render + parse).
 
 This is the INTERACTIVE surface: rendering collects to the driver exactly the
 way clickhouse-local streams to stdout, so ``max_rows`` caps the pull
@@ -701,6 +702,37 @@ def render_arrow(
     with new(sink, table.schema) as w:
         w.write_table(table)
     return sink.getvalue()
+
+
+def render_parquet(
+    df: DataFrame, max_rows: int = 10_000, stats: dict | None = None
+) -> bytes:
+    """FORMAT Parquet export (round 8): one parquet file in the response
+    body — the format pandas/polars/duckdb clients read natively.  Driver-
+    side row-capped like the other terminal formats (bulk stays on the
+    distributed writers)."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    table = df.limit(max_rows).toArrow()
+    if stats is not None:
+        stats["result_rows"] = table.num_rows
+    sink = _io.BytesIO()
+    pq.write_table(table, sink)
+    return sink.getvalue()
+
+
+def parse_parquet(data: bytes):
+    """Parquet bytes → (names, rows) for the HTTP bulk-ingest path."""
+    import io as _io
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(_io.BytesIO(data))
+    names = table.schema.names
+    rows = [tuple(d[n] for n in names) for d in table.to_pylist()]
+    return names, rows
 
 
 def parse_arrow(data: bytes):

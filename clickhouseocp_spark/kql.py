@@ -1956,8 +1956,16 @@ def _extract_toscalar(
     subs: dict[str, str] = {}
     out: list[str] = []
     i, n = 0, len(query)
+    # same-length literal mask: wrapper names INSIDE string literals must
+    # never trigger extraction (the masked copy shares every index with the
+    # original, so splice offsets stay valid)
+    masked = re.sub(
+        r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"",
+        lambda mm: "\x01" * len(mm.group(0)),
+        query,
+    )
     while True:
-        m = _TS_RE.search(query, i)
+        m = _TS_RE.search(masked, i)
         if not m:
             out.append(query[i:])
             break

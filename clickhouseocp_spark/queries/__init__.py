@@ -414,6 +414,10 @@ _DRIVER_WINDOW_R11: list[str] = [
     "kql_series_outliers",
     # --- round-8 KQL toscalar()/materialize() wrappers ---
     "kql_toscalar_threshold",
+    # --- round-8 column-level ALTER completion ---
+    "alter_column_lifecycle",
+    # --- round-8 KQL evaluate narrow (wide-to-long transpose) ---
+    "kql_evaluate_narrow",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4956,3 +4956,82 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "alter_column_lifecycle",
+    oracle="""
+SELECT event_id, event_type AS kind, CAST(0.0 AS DOUBLE) AS boosted,
+       CAST(CAST(value * 2 AS DECIMAL(12,2)) AS DOUBLE) AS doubled
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    tags=("chsql", "mergetree", "ddl"),
+)
+def alter_column_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level ALTER lifecycle (round 8 completes the family):
+    ADD COLUMN with a DEFAULT expression referencing existing columns,
+    RENAME COLUMN, MODIFY COLUMN type cast, CLEAR COLUMN (reset to type
+    default), DROP COLUMN, COMMENT COLUMN (metadata no-op) — each a pure
+    lineage rewrite over the session view, zero data movement until read
+    (CH's own mutations are likewise deferred rewrites)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ev_ddl ENGINE = MergeTree ORDER BY event_id AS "
+        "SELECT event_id, event_type, value FROM events WHERE event_id < 200",
+        dialect="ch",
+    )
+    for stmt in (
+        "ALTER TABLE ev_ddl ADD COLUMN boosted Float64 DEFAULT value * 10",
+        "ALTER TABLE ev_ddl ADD COLUMN doubled Float64 DEFAULT value * 2",
+        "ALTER TABLE ev_ddl RENAME COLUMN event_type TO kind",
+        "ALTER TABLE ev_ddl MODIFY COLUMN doubled Decimal(12, 2)",
+        "ALTER TABLE ev_ddl CLEAR COLUMN boosted",
+        "ALTER TABLE ev_ddl COMMENT COLUMN kind 'renamed event_type'",
+        "ALTER TABLE ev_ddl DROP COLUMN value",
+    ):
+        eng.sql(stmt, dialect="ch")
+    return eng.sql(
+        # the driver's pandas path widens oracle DECIMALs to float64, so
+        # the projection casts the decimal back to Float64 for the hash
+        "SELECT event_id, kind, boosted, toFloat64(doubled) AS doubled "
+        "FROM ev_ddl ORDER BY event_id",
+        dialect="ch",
+    )
+
+
+@register(
+    "kql_evaluate_narrow",
+    oracle="""
+WITH src AS (SELECT event_id, event_type FROM events WHERE event_id < 300),
+un AS (
+  SELECT 'event_id' AS "Column", CAST(event_id AS VARCHAR) AS "Value" FROM src
+  UNION ALL
+  SELECT 'event_type', event_type FROM src)
+SELECT "Column", COUNT(*) AS n, COUNT(DISTINCT "Value") AS nd
+FROM un GROUP BY "Column" ORDER BY "Column"
+""",
+    tags=("kql", "dialect"),
+)
+def kql_evaluate_narrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate narrow()``: transpose wide rows into
+    (Row, Column, Value) triples — one ``stack()`` inside the scan stage
+    (|cols| values per row, zero exchanges).  Row is unique per source
+    row but not dense (a dense ordinal would single-partition the world;
+    pipe ``serialize`` when it matters), so the query aggregates over
+    Column/Value where the result is order-free and exact."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 300
+| project event_id, event_type
+| evaluate narrow()
+| summarize n = count(), nd = dcount(Value) by Column
+| sort by Column asc
+""",
+        dialect="kusto",
+    )

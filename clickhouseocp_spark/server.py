@@ -330,7 +330,7 @@ class ChHttpServer:
                     readonly
                     and body
                     and re.search(
-                        r"(?is)FORMAT\s+(Arrow(Stream)?|Native"
+                        r"(?is)FORMAT\s+(Arrow(Stream)?|Native|Parquet"
                         r"|RowBinary(WithNamesAndTypes)?)\s*$",
                         query or "",
                     )
@@ -356,6 +356,39 @@ class ChHttpServer:
                     try:
                         with outer._gate:
                             outer.engine.insert_arrow(query, body, stats=stats)
+                    except Exception as e:  # noqa: BLE001 — wire errors like CH
+                        self._reply(
+                            500,
+                            f"{type(e).__name__}: {e}\n",
+                            extra={
+                                **hdrs,
+                                "X-ClickHouse-Exception-Code": str(
+                                    exception_code(e)
+                                ),
+                            },
+                        )
+                        return
+                    summary = _summary_json(
+                        written_rows=stats.get("written_rows", 0),
+                        elapsed_ns=_time.perf_counter_ns() - t0,
+                    )
+                    extra = {**hdrs, "X-ClickHouse-Summary": summary}
+                    if params.get("send_progress_in_http_headers") == "1":
+                        extra["X-ClickHouse-Progress"] = summary
+                    self._reply(200, "", extra=extra)
+                    return
+                if body and re.search(
+                    r"(?is)FORMAT\s+Parquet\s*$", query or ""
+                ):
+                    import time as _time
+
+                    stats: dict = {}
+                    t0 = _time.perf_counter_ns()
+                    try:
+                        with outer._gate:
+                            outer.engine.insert_parquet(
+                                query, body, stats=stats
+                            )
                     except Exception as e:  # noqa: BLE001 — wire errors like CH
                         self._reply(
                             500,
@@ -529,6 +562,18 @@ class ChHttpServer:
                                 stream=(fmt or "").lower() == "arrowstream",
                                 stats=stats,
                             )
+                        elif (fmt or "").lower() == "parquet":
+                            from clickhouseocp_spark.engine import (
+                                strip_trailing_format,
+                            )
+                            from clickhouseocp_spark.formats import (
+                                render_parquet,
+                            )
+
+                            df = outer.engine.sql(
+                                strip_trailing_format(query), dialect=dialect
+                            )
+                            out = render_parquet(df, stats=stats)
                         elif (fmt or "").lower() == "native":
                             from clickhouseocp_spark.engine import (
                                 strip_trailing_format,

@@ -2075,3 +2075,25 @@ def test_kql_toscalar_materialize(spark):
         "let t = materialize(datatable(k: long) [1, 2] | where k > 1); t | count"
     )
     assert "materialize" not in m.lower()
+
+
+def test_round8_literal_masking_hardening(spark):
+    """Wrapper/parameter names inside string literals never trigger
+    rewrites: toscalar(/materialize( in a literal stay text; mapApply
+    lambda parameter names quoted in the body stay literal."""
+    from clickhouseocp_spark.chsql import transpile
+    from clickhouseocp_spark.kql import transpile_kql
+
+    s = transpile_kql(
+        "datatable(s: string) ['use toscalar(x) here']"
+        " | where s != 'materialize(y)' | count"
+    )
+    assert "toscalar(x)" in s and "materialize(y)" in s
+    assert spark.sql(s).collect()[0][0] == 1
+    r = spark.sql(
+        transpile(
+            "SELECT mapKeys(mapApply((k, v) -> (concat(k, 'k'), v),"
+            " map('a', 1))) AS ks"
+        )
+    ).collect()[0]
+    assert r.ks == ["ak"]

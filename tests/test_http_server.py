@@ -647,3 +647,67 @@ def test_recursive_cte_over_http(http_engine):
     )
     status, body, _ = _get(http_engine, f"/?query={q}")
     assert status == 200 and body.strip() == "55"
+
+
+def test_parquet_format_wire(spark, sf_dir):
+    """FORMAT Parquet (round 8): a parquet file over HTTP both directions —
+    the bulk format pandas/polars/duckdb clients speak natively; ingest
+    validates names and reports written_rows; readonly=1 refuses it like
+    the other binary mutations (code 164)."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.formats import parse_parquet, render_parquet
+    from clickhouseocp_spark.server import ChHttpServer
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    srv = ChHttpServer(eng, port=0).start()
+    try:
+        q = urllib.parse.quote(
+            "SELECT r_regionkey, r_name FROM region "
+            "ORDER BY r_regionkey LIMIT 2 FORMAT Parquet"
+        )
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/?query={q}"
+        ) as r:
+            names, rows = parse_parquet(r.read())
+        assert names == ["r_regionkey", "r_name"]
+        assert rows[0] == (0, "AFRICA")
+
+        payload = render_parquet(
+            spark.createDataFrame(
+                [(98, "PARQUETIA")], "r_regionkey int, r_name string"
+            )
+        )
+        iq = urllib.parse.quote("INSERT INTO region FORMAT Parquet")
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={iq}", data=payload,
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            s = _json.loads(r.headers["X-ClickHouse-Summary"])
+            assert s["written_rows"] == "1"
+        n = eng.sql("SELECT count() AS n FROM region WHERE r_regionkey = 98")
+        assert n.first().n == 1
+        # readonly gate covers the parquet ingest branch too
+        req_ro = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/?query={iq}&readonly=1",
+            data=payload, method="POST",
+        )
+        try:
+            urllib.request.urlopen(req_ro)
+            raise AssertionError("readonly parquet ingest must refuse")
+        except urllib.error.HTTPError as e:
+            assert e.headers["X-ClickHouse-Exception-Code"] == "164"
+        # unknown column names refuse before decode side effects
+        bad = render_parquet(
+            spark.createDataFrame([(1, "x")], "nope int, r_name string")
+        )
+        with _pytest.raises(ChSqlError, match="not in table"):
+            eng.insert_parquet("INSERT INTO region FORMAT Parquet", bad)
+    finally:
+        srv.shutdown()
