@@ -58,12 +58,23 @@ def dsir_weights(
 ) -> DataFrame:
     """(id_col, n_tokens, logw): per-document log importance weight of the
     hashed-unigram target/raw model.  Docs with zero tokens drop out."""
-    tok_r = _tokens(raw, text_col, id_col)
-    tok_t = _tokens(target, text_col, id_col)
-    ct = tok_t.groupBy("b").agg(F.count("*").alias("ct"))
-    cr = tok_r.groupBy("b").agg(F.count("*").alias("cr"))
+    # per-(doc,bucket) PRE-AGG feeds BOTH the model fit and the scoring
+    # join (the bigram-LM shape, SCALE.md): the corpus tokenizes ONCE —
+    # without it the explode branch re-executes for each consumer — and
+    # the broadcast join ships (doc,bucket,count) rows, not token
+    # instances (≥10× fewer for natural text)
+    db_r = (
+        _tokens(raw, text_col, id_col)
+        .groupBy(id_col, "b")
+        .agg(F.count("*").alias("c"))
+        .persist()
+    )
+    ct = _tokens(target, text_col, id_col).groupBy("b").agg(
+        F.count("*").alias("ct")
+    )
+    cr = db_r.groupBy("b").agg(F.sum("c").alias("cr"))
     totals = cr.agg(F.sum("cr").alias("nr")).crossJoin(
-        tok_t.agg(F.count("*").alias("nt"))
+        ct.agg(F.sum("ct").alias("nt"))
     )
     ratio = (
         cr.join(ct, "b", "left")
@@ -77,9 +88,12 @@ def dsir_weights(
         )
     )
     scored = (
-        tok_r.join(F.broadcast(ratio), "b")
+        db_r.join(F.broadcast(ratio), "b")
         .groupBy(id_col)
-        .agg(F.count("*").alias("n_tokens"), F.sum("term").alias("s"))
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("term") * F.col("c")).alias("s"),
+        )
         .crossJoin(
             F.broadcast(
                 totals.select(
