@@ -140,10 +140,12 @@ broadcast), comparisons, ``series_abs/sign/exp/log/sqrt/pow``, reductions
 ``series_fill_const/forward/backward/linear`` (linear = two (value,index)
 struct scans + one zip, O(bins)), ``series_fit_line`` (closed-form least
 squares bound once through singleton-array transforms),
-``series_pearson_correlation``, and ``series_decompose[_anomalies]``
-(additive per-phase-mean seasonal + line-fit trend + z-scored residual
-anomalies, explicit period) — all lowered to per-row array combinators,
-zero exchanges beyond the make-series aggregate itself.
+``series_pearson_correlation``, ``series_outliers`` (Tukey fences),
+``series_decompose[_anomalies]`` (additive per-phase-mean seasonal +
+line-fit trend + z-scored residual anomalies, explicit period), and the
+DSP pair ``series_fir``/``series_iir`` (zero-padded moving filter /
+recursive filter, one linear fold) — all lowered to per-row array
+combinators, zero exchanges beyond the make-series aggregate itself.
 
 Join execution hints: ``hint.strategy=broadcast`` → BROADCAST(kusto-left),
 ``hint.strategy=shuffle`` / ``hint.shufflekey`` → SHUFFLE_HASH,
@@ -582,6 +584,70 @@ def _kql_series_outliers(a: list[str]) -> str:
     )
 
 
+def _kql_series_fir(a: list[str]) -> str:
+    """series_fir(x, filter[, normalize[, center]]) — finite impulse
+    response: y[i] = Σⱼ f'[j]·x[i−j+shift], zero-padded at the edges;
+    f' = f/Σf when normalize (default true — the moving-average idiom),
+    shift = ⌊(k−1)/2⌋ when center else 0 (causal).  Filter + its sum bind
+    once; O(bins·k) per row, zero exchanges."""
+    x = a[0]
+    filt = a[1]
+    normalize = (a[2].strip().lower() if len(a) > 2 else "true")
+    center = (a[3].strip().lower() if len(a) > 3 else "false")
+    xd = f"transform({x}, __e -> CAST(__e AS DOUBLE))"
+    fd = f"transform({filt}, __e -> CAST(__e AS DOUBLE))"
+    l1 = (
+        f"named_struct('x', {xd}, 'n', size({x}), 'f', {fd}, "
+        f"'k', size({filt}), "
+        f"'s', aggregate({fd}, 0.0D, (__a, __v) -> __a + __v))"
+    )
+    l2 = (
+        f"transform(array({l1}), __t -> named_struct("
+        f"'x', __t.x, 'n', __t.n, 'k', __t.k, "
+        f"'fn', if({normalize} AND __t.s <> 0, "
+        f"transform(__t.f, __v -> __v / __t.s), __t.f), "
+        f"'sh', if({center}, CAST(floor((__t.k - 1) / 2) AS INT), 0)))[0]"
+    )
+    return (
+        f"transform(array({l2}), __w -> "
+        f"transform(sequence(0, __w.n - 1), __i -> "
+        f"aggregate(sequence(0, __w.k - 1), 0.0D, (__acc, __j) -> "
+        f"__acc + element_at(__w.fn, __j + 1) * "
+        f"if(__i - __j + __w.sh >= 0 AND __i - __j + __w.sh < __w.n, "
+        f"__w.x[__i - __j + __w.sh], 0.0D))))[0]"
+    )
+
+
+def _kql_series_iir(a: list[str]) -> str:
+    """series_iir(x, b, a) — infinite impulse response:
+    y[i] = (Σⱼ b[j]·x[i−j] − Σⱼ≥1 a[j]·y[i−j]) / a[0], zero-padded —
+    one linear fold carrying the output history (O(bins·k), zero
+    exchanges; the Kusto exponential-smoothing/EMA idiom)."""
+    x, bco, aco = a[0], a[1], a[2]
+    xd = f"transform({x}, __e -> CAST(__e AS DOUBLE))"
+    bd = f"transform({bco}, __e -> CAST(__e AS DOUBLE))"
+    ad = f"transform({aco}, __e -> CAST(__e AS DOUBLE))"
+    l1 = (
+        f"named_struct('x', {xd}, 'n', size({x}), 'b', {bd}, "
+        f"'kb', size({bco}), 'a', {ad}, 'ka', size({aco}))"
+    )
+    step = (
+        "(aggregate(sequence(0, __t.kb - 1), 0.0D, (__s1, __j) -> "
+        "__s1 + element_at(__t.b, __j + 1) * "
+        "if(size(__y) - __j >= 0 AND size(__y) - __j < __t.n, "
+        "__t.x[size(__y) - __j], 0.0D)) "
+        "- if(__t.ka > 1, aggregate(sequence(1, __t.ka - 1), 0.0D, "
+        "(__s2, __j2) -> __s2 + element_at(__t.a, __j2 + 1) * "
+        "if(size(__y) - __j2 >= 0, __y[size(__y) - __j2], 0.0D)), 0.0D)"
+        ") / element_at(__t.a, 1)"
+    )
+    return (
+        f"transform(array({l1}), __t -> "
+        f"aggregate(sequence(0, __t.n - 1), CAST(array() AS ARRAY<DOUBLE>), "
+        f"(__y, __i) -> array_append(__y, {step})))[0]"
+    )
+
+
 def _kql_pearson(a: list[str]) -> str:
     """series_pearson_correlation(x, y) — closed form over the zipped pair."""
     x, y = a[0], a[1]
@@ -783,6 +849,8 @@ _KQL_SCALARS: dict = {
     "series_decompose_anomalies": _kql_series_anomalies,
     "series_decompose": _kql_series_decompose,
     "series_outliers": _kql_series_outliers,
+    "series_fir": _kql_series_fir,
+    "series_iir": _kql_series_iir,
 }
 
 

@@ -418,6 +418,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "alter_column_lifecycle",
     # --- round-8 KQL evaluate narrow (wide-to-long transpose) ---
     "kql_evaluate_narrow",
+    # --- round-8 KQL series_fir / series_iir (the DSP pair) ---
+    "kql_series_fir_iir",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -425,3 +425,60 @@ events
             f"transform({_kql_series_outliers(['n'])}, __x -> round(__x, 6))"
         ).alias("scores"),
     )
+
+
+@register(
+    "kql_series_fir_iir",
+    oracle=_BIN_PRELUDE.format(extra_filter="") + """,
+w AS (
+  SELECT event_type, i, COALESCE(n_raw, 0.0) AS v,
+         COALESCE(lag(n_raw, 1) OVER (PARTITION BY event_type ORDER BY i),
+                  0.0) AS v1,
+         COALESCE(lag(n_raw, 2) OVER (PARTITION BY event_type ORDER BY i),
+                  0.0) AS v2
+  FROM cells),
+fir AS (
+  SELECT event_type, i, v,
+         ((0.0 + (1.0 / 3.0) * v) + (1.0 / 3.0) * v1) + (1.0 / 3.0) * v2
+           AS ma
+  FROM w),
+iir AS (
+  WITH RECURSIVE r(event_type, i, yi) AS (
+    SELECT event_type, i, (0.5 * v - (-0.5) * 0.0) / 1.0
+    FROM fir WHERE i = 0
+    UNION ALL
+    SELECT f.event_type, f.i, (0.5 * f.v - (-0.5) * r.yi) / 1.0
+    FROM r JOIN fir f ON f.event_type = r.event_type AND f.i = r.i + 1)
+  SELECT * FROM r)
+SELECT f.event_type,
+  list(round(f.ma, 6) ORDER BY f.i) AS ma,
+  list(round(x.yi, 6) ORDER BY x.i) AS ema
+FROM fir f JOIN iir x ON f.event_type = x.event_type AND f.i = x.i
+GROUP BY f.event_type ORDER BY f.event_type
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_fir_iir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_fir`` / ``series_iir`` (round 8) — the Kusto DSP pair:
+    FIR = zero-padded moving filter (normalized 3-tap average here),
+    IIR = recursive filter carried through ONE linear fold
+    (y = 0.5·x + 0.5·y₋₁, the EMA idiom).  O(bins·k) per row, zero
+    exchanges.  The oracle mirrors the j-ascending FIR accumulation
+    textually and replays the IIR recursion with a per-key recursive CTE,
+    so every float op matches bitwise before the belt-and-braces round."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| make-series n = count() default = 0 on ts step 1d by event_type
+| extend ma = series_fir(n, dynamic([1, 1, 1])),
+         ema = series_iir(n, dynamic([0.5]), dynamic([1, -0.5]))
+| project event_type, ma, ema
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
+    return df.select("event_type", rnd("ma"), rnd("ema"))

@@ -2097,3 +2097,25 @@ def test_round8_literal_masking_hardening(spark):
         )
     ).collect()[0]
     assert r.ks == ["ak"]
+
+
+def test_kql_series_fir_iir_values(spark):
+    """FIR: causal zero-padded normalized average, raw (normalize=false),
+    centered alignment; IIR: the EMA recursion — value-pinned."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic)"
+            " ['a', dynamic([1.0, 2.0, 3.0, 4.0, 5.0])]"
+            " | extend ma = series_fir(v, dynamic([1, 1, 1])),"
+            "   raw = series_fir(v, dynamic([1, 1]), false),"
+            "   ctr = series_fir(v, dynamic([1, 1, 1]), true, true),"
+            "   ema = series_iir(v, dynamic([0.5]), dynamic([1, -0.5]))"
+            " | project ma, raw, ctr, ema"
+        )
+    ).collect()[0]
+    assert [round(x, 4) for x in r.ma] == [0.3333, 1.0, 2.0, 3.0, 4.0]
+    assert r.raw == [1.0, 3.0, 5.0, 7.0, 9.0]
+    assert [round(x, 4) for x in r.ctr] == [1.0, 2.0, 3.0, 4.0, 3.0]
+    assert r.ema == [0.5, 1.25, 2.125, 3.0625, 4.03125]
