@@ -1388,6 +1388,18 @@ FUNC_RULES: dict[str, object] = {
         else f"extract({', '.join(args)})"
     ),
     "dateSub": lambda args: f"dateadd({args[0]}, -({args[1]}), {args[2]})",
+    # batch 18 (round 8): interval-form add/sub, CH 23.8 timezone
+    # conversions (Spark's to/from_utc_timestamp are the same contract),
+    # clamp (24.5)
+    "addDate": lambda args: f"({args[0]} + {args[1]})",
+    "subDate": lambda args: f"({args[0]} - {args[1]})",
+    "toUTCTimestamp": lambda args: f"to_utc_timestamp({args[0]}, {args[1]})",
+    "fromUTCTimestamp": lambda args: (
+        f"from_utc_timestamp({args[0]}, {args[1]})"
+    ),
+    "clamp": lambda args: (
+        f"least(greatest({args[0]}, {args[1]}), {args[2]})"
+    ),
     "timeSlot": lambda args: (
         f"timestamp_seconds(floor(unix_timestamp({args[0]}) / 1800) * 1800)"
     ),

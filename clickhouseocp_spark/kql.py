@@ -834,6 +834,9 @@ _KQL_SCALARS: dict = {
     "series_min": lambda a: f"CAST(array_min({a[0]}) AS DOUBLE)",
     "series_max": lambda a: f"CAST(array_max({a[0]}) AS DOUBLE)",
     "series_stats_dynamic": _kql_series_stats,
+    # series_stats returns a tuple for multi-assignment in Kusto; here the
+    # same STRUCT as the _dynamic form (project fields — the fit_line rule)
+    "series_stats": _kql_series_stats,
     "series_fill_const": lambda a: (
         f"transform({a[0]}, __x -> coalesce(CAST(__x AS DOUBLE), "
         f"CAST({a[1]} AS DOUBLE)))"

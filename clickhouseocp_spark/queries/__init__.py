@@ -420,6 +420,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "kql_evaluate_narrow",
     # --- round-8 KQL series_fir / series_iir (the DSP pair) ---
     "kql_series_fir_iir",
+    # --- round-8 vocabulary batch 18 (tz conversions, clamp, addDate) ---
+    "chsql_vocab_r18",
 ]
 
 _DRIVER_WINDOW_R5 = [

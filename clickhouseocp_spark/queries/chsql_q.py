@@ -5035,3 +5035,38 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_vocab_r18",
+    oracle="""
+SELECT event_id,
+       ts + INTERVAL 3 DAY AS d_add,
+       ts - INTERVAL 2 HOUR AS d_sub,
+       timezone('America/New_York', ts) AS utc_ny,
+       timezone('America/New_York', timezone('UTC', ts)) AS ny_local,
+       least(greatest(value, 50.0), 200.0) AS clamped
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 18 (round 8): addDate/subDate (interval forms),
+    toUTCTimestamp/fromUTCTimestamp (CH 23.8 timezone conversions —
+    Spark's to/from_utc_timestamp carry the identical wall-clock contract,
+    and DuckDB's ICU timezone() replays both directions), clamp (24.5).
+    All whole-stage-codegen JVM expressions."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+       addDate(ts, INTERVAL 3 DAY) AS d_add,
+       subDate(ts, INTERVAL 2 HOUR) AS d_sub,
+       toUTCTimestamp(ts, 'America/New_York') AS utc_ny,
+       fromUTCTimestamp(ts, 'America/New_York') AS ny_local,
+       clamp(value, 50.0, 200.0) AS clamped
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
