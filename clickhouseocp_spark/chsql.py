@@ -213,6 +213,55 @@ def _h3_children(args: list[str]) -> str:
     )
 
 
+def _norm_lambda(lam: str) -> str:
+    """``(x) -> e`` → ``x -> e``: Spark's parser accepts parens only on
+    MULTI-arg lambdas; CH accepts both forms on one arg."""
+    return re.sub(r"^\(\s*(\w+)\s*\)\s*->", r"\1 ->", lam.strip())
+
+
+def _array_fill(args: list[str], rev: bool) -> str:
+    """arrayFill/arrayReverseFill(cond, arr): scan (reversed for the
+    Reverse form) replacing each element where cond is false with the
+    nearest previous element where it held (the first element stays —
+    CH's contract).  One linear fold; the init is ``slice(arr, 1, 0)``
+    (an empty array OF THE INPUT'S TYPE, so the rule needs no schema)."""
+    lam, arr = _norm_lambda(args[0]), args[1]
+    src = f"reverse({arr})" if rev else f"({arr})"
+    cond = f"transform({src}, {lam})"
+    folded = (
+        f"aggregate(zip_with({src}, {cond}, "
+        f"(__x, __c) -> named_struct('x', __x, 'c', __c)), "
+        f"slice({arr}, 1, 0), "
+        f"(__acc, __e) -> array_append(__acc, "
+        f"if(__e.c OR size(__acc) = 0, __e.x, __acc[size(__acc) - 1])))"
+    )
+    return f"reverse({folded})" if rev else folded
+
+
+def _array_split(args: list[str], rev: bool) -> str:
+    """arraySplit/arrayReverseSplit(cond, arr) → array of arrays: cut
+    before each element (after, for the Reverse form) where cond holds;
+    no empty leading/trailing group (CH's contract).  One linear fold;
+    per-element group rebuild is O(groups) — fine for the per-row array
+    sizes this tier serves (CH evaluates the same shape per block)."""
+    lam, arr = _norm_lambda(args[0]), args[1]
+    src = f"reverse({arr})" if rev else f"({arr})"
+    cond = f"transform({src}, {lam})"
+    folded = (
+        f"aggregate(zip_with({src}, {cond}, "
+        f"(__x, __c) -> named_struct('x', __x, 'c', __c)), "
+        f"array(slice({arr}, 1, 0)), "
+        f"(__acc, __e) -> if(__e.c AND size(element_at(__acc, -1)) > 0, "
+        f"array_append(__acc, array(__e.x)), "
+        f"array_append(slice(__acc, 1, size(__acc) - 1), "
+        f"array_append(element_at(__acc, -1), __e.x))))"
+    )
+    if rev:
+        # un-reverse both group order and the elements within each group
+        return f"reverse(transform({folded}, __g -> reverse(__g)))"
+    return folded
+
+
 def _map_apply(args: list[str]) -> str:
     """mapApply((k, v) -> (ke, ve), m): rebuild every entry through the
     tuple-returning lambda (CH 22.3+).  Spark's transform_keys /
@@ -1318,6 +1367,20 @@ FUNC_RULES: dict[str, object] = {
     ),
     "arrayFirst": lambda args: f"try_element_at(filter({args[1]}, {args[0]}), 1)",
     "arrayLast": lambda args: f"try_element_at(filter({args[1]}, {args[0]}), -1)",
+    # batch 18b (round 8): the conditional-fill/split family + OrNull access
+    "arrayFill": lambda args: _array_fill(args, rev=False),
+    "arrayReverseFill": lambda args: _array_fill(args, rev=True),
+    "arraySplit": lambda args: _array_split(args, rev=False),
+    "arrayReverseSplit": lambda args: _array_split(args, rev=True),
+    "arrayElementOrNull": lambda args: (
+        f"try_element_at({args[0]}, {args[1]})"
+    ),
+    "arrayFirstOrNull": lambda args: (
+        f"try_element_at(filter({args[1]}, {args[0]}), 1)"
+    ),
+    "arrayLastOrNull": lambda args: (
+        f"try_element_at(filter({args[1]}, {args[0]}), -1)"
+    ),
     # CH returns 0 when no element matches — exactly array_position's miss value
     "arrayFirstIndex": lambda args: f"array_position(transform({args[1]}, {args[0]}), true)",
     "arrayPushBack": lambda args: f"array_append({args[0]}, {args[1]})",

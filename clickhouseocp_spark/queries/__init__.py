@@ -422,6 +422,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "kql_series_fir_iir",
     # --- round-8 vocabulary batch 18 (tz conversions, clamp, addDate) ---
     "chsql_vocab_r18",
+    # --- round-8 batch 18b: conditional array fill/split family ---
+    "chsql_array_fill_split",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5070,3 +5070,57 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_array_fill_split",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+         CAST(event_id % 3 AS BIGINT) AS a,
+         CAST(event_id % 5 AS BIGINT) AS b
+  FROM events WHERE event_id < 300)
+SELECT event_id,
+  [a, a, CASE WHEN b <> 0 THEN b ELSE a END,
+   CASE WHEN b <> 0 THEN b ELSE a END, CAST(7 AS BIGINT)] AS filled,
+  CASE WHEN b <> 0
+       THEN [[a], [CAST(0 AS BIGINT), b],
+             [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]]
+       ELSE [[a], [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)],
+             [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]] END AS groups,
+  CAST(NULL AS BIGINT) AS oob,
+  CAST(0 AS BIGINT) AS from_end,
+  CASE WHEN b >= 4 THEN b ELSE CAST(7 AS BIGINT) END AS first_ge4
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_array_fill_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch 18b (round 8): the conditional fill/split array family —
+    arrayFill (carry the nearest previous element where the predicate
+    held; first element always stays), arraySplit (cut before predicate
+    hits, never an empty leading group), arrayElementOrNull (OOB/negative
+    indexing), arrayFirstOrNull — all single linear folds whose init is
+    ``slice(arr, 1, 0)`` (an empty array of the INPUT's type, so the
+    rules need no schema).  The oracle closed-forms the expected arrays
+    from the same residues."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  arrayFill(x -> x != 0,
+            [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
+             toInt64(0), toInt64(7)]) AS filled,
+  arraySplit(x -> x = 0,
+             [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
+              toInt64(0), toInt64(7)]) AS groups,
+  arrayElementOrNull([toInt64(event_id % 3)], 7) AS oob,
+  arrayElementOrNull([toInt64(event_id % 3), toInt64(0), toInt64(1)], -2)
+    AS from_end,
+  arrayFirstOrNull(x -> x >= 4,
+                   [toInt64(event_id % 5), toInt64(7)]) AS first_ge4
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

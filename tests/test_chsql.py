@@ -2119,3 +2119,32 @@ def test_kql_series_fir_iir_values(spark):
     assert r.raw == [1.0, 3.0, 5.0, 7.0, 9.0]
     assert [round(x, 4) for x in r.ctr] == [1.0, 2.0, 3.0, 4.0, 3.0]
     assert r.ema == [0.5, 1.25, 2.125, 3.0625, 4.03125]
+
+
+def test_array_fill_split_family(spark):
+    """arrayFill/arrayReverseFill (conditional carries, first/last element
+    stays), arraySplit/arrayReverseSplit (cut before/after predicate hits,
+    no empty edge groups), OrNull element access — value-pinned, incl. the
+    single-arg parenthesized lambda form CH accepts."""
+    from clickhouseocp_spark.chsql import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT arrayFill(x -> x > 0, [1, 0, 0, 5, 0]) AS f,"
+            " arrayReverseFill(x -> x > 0, [0, 0, 3, 0, 7, 0]) AS rf,"
+            " arraySplit((x) -> x = 0, [1, 2, 0, 3, 0, 4]) AS sp,"
+            " arraySplit(x -> x > 0, [1, 2, 3]) AS sp_lead,"
+            " arrayReverseSplit(x -> x = 0, [1, 2, 0, 3]) AS rsp,"
+            " arrayElementOrNull([10, 20], 5) AS oob,"
+            " arrayElementOrNull([10, 20], -1) AS neg,"
+            " arrayFirstOrNull(x -> x > 100, [1, 2]) AS nfirst,"
+            " arrayLastOrNull(x -> x < 100, [1, 2]) AS nlast"
+        )
+    ).collect()[0]
+    assert r.f == [1, 1, 1, 5, 5]
+    assert r.rf == [3, 3, 3, 7, 7, 0]
+    assert r.sp == [[1, 2], [0, 3], [0, 4]]
+    assert r.sp_lead == [[1], [2], [3]]
+    assert r.rsp == [[1, 2, 0], [3]]
+    assert r.oob is None and r.neg == 20
+    assert r.nfirst is None and r.nlast == 2
