@@ -213,6 +213,47 @@ def _h3_children(args: list[str]) -> str:
     )
 
 
+def _tuple_arith(args: list[str], op: str) -> str:
+    """tuplePlus/Minus/Multiply on LITERAL tuple operands: ``(a, b)`` ±
+    ``(c, d)`` → named_struct of element-wise results (any arity).
+    Column-typed tuples need the schema and stay out of the rule subset
+    (documented) — CH's own use of these is overwhelmingly literal vector
+    math."""
+    ts = []
+    for a in args:
+        a = a.strip()
+        if not (a.startswith("(") and a.endswith(")")):
+            raise ChSqlError(
+                f"tuple arithmetic needs literal (a, b, ...) operands, got {a!r}"
+            )
+        ts.append(_split_args(a[1:-1]))
+    if len(ts) != 2 or len(ts[0]) != len(ts[1]):
+        raise ChSqlError("tuple arithmetic needs two equal-arity tuples")
+    fields = ", ".join(
+        f"'col{i + 1}', ({x}) {op} ({y})"
+        for i, (x, y) in enumerate(zip(ts[0], ts[1]))
+    )
+    return f"named_struct({fields})"
+
+
+def _json_type(args: list[str]) -> str:
+    """JSONType(json): the root value's JSON type name from its first
+    significant byte (Object/Array/String/Bool/Null/Int64/Float64 — the
+    numeric split keys off '.', 'e', 'E'); deviation: CH inspects parsed
+    values, this inspects syntax — identical on valid JSON."""
+    j = f"trim({args[0]})"
+    return (
+        f"CASE WHEN {j} IS NULL OR {j} = '' THEN 'Null' "
+        f"WHEN startswith({j}, '{{') THEN 'Object' "
+        f"WHEN startswith({j}, '[') THEN 'Array' "
+        f"WHEN startswith({j}, '\"') THEN 'String' "
+        f"WHEN {j} IN ('true', 'false') THEN 'Bool' "
+        f"WHEN {j} = 'null' THEN 'Null' "
+        f"WHEN {j} RLIKE '^-?[0-9]+$' THEN 'Int64' "
+        f"ELSE 'Float64' END"
+    )
+
+
 def _norm_lambda(lam: str) -> str:
     """``(x) -> e`` → ``x -> e``: Spark's parser accepts parens only on
     MULTI-arg lambdas; CH accepts both forms on one arg."""
@@ -1422,6 +1463,21 @@ FUNC_RULES: dict[str, object] = {
     ),
     "mapReverseSort": lambda args: (
         f"map_from_entries(reverse(array_sort(map_entries({args[0]}))))"
+    ),
+    # batch 19 (round 8): tuple literal arithmetic, JSON introspection
+    "tuplePlus": lambda args: _tuple_arith(args, "+"),
+    "tupleMinus": lambda args: _tuple_arith(args, "-"),
+    "tupleMultiply": lambda args: _tuple_arith(args, "*"),
+    "dotProduct": lambda args: (
+        # the array form (CH also accepts tuples — literal tuples only here)
+        f"aggregate(zip_with({args[0]}, {args[1]}, "
+        f"(__x, __y) -> CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), "
+        f"0.0D, (__a, __v) -> __a + __v)"
+    ),
+    "JSONType": _json_type,
+    "JSONExtractKeysAndValues": lambda args: (
+        # 2-arg form with 'String' value type → Array(Tuple(key, value))
+        f"map_entries(from_json({args[0]}, 'map<string,string>'))"
     ),
     "mapContains": _rename("map_contains_key"),
     "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",

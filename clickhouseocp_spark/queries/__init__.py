@@ -424,6 +424,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "chsql_vocab_r18",
     # --- round-8 batch 18b: conditional array fill/split family ---
     "chsql_array_fill_split",
+    # --- round-8 batch 19: tuple arithmetic + JSON introspection ---
+    "chsql_vocab_r19",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5124,3 +5124,51 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r19",
+    oracle="""
+SELECT event_id,
+       CAST(event_id % 7 + 3 AS BIGINT) AS tp1,
+       CAST((event_id % 7) * 2 AS BIGINT) AS tm2,
+       'Object' AS jt_props,
+       'Int64' AS jt_num,
+       'Array' AS jt_arr,
+       'String' AS jt_str,
+       'Float64' AS jt_flt,
+       [{'key': 'k', 'value': CAST(json_extract_string(props, '$.k')
+                                   AS VARCHAR)}] AS kvs,
+       CAST((event_id % 5) * 1.0 + (event_id % 3) * 2.0 AS DOUBLE) AS dp
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 19 (round 8): tuplePlus/tupleMinus/tupleMultiply
+    (literal element-wise vector math → named_struct), dotProduct (array
+    form), JSONType (root-type introspection from the first significant
+    byte), JSONExtractKeysAndValues (top-level object → Array(Tuple)).
+    The oracle closed-forms the tuple fields and replays the key/value
+    extraction with DuckDB's json_extract."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  tupleElement(tuplePlus((toInt64(event_id % 7), toInt64(1)),
+                         (toInt64(3), toInt64(4))), 1) AS tp1,
+  tupleElement(tupleMultiply((toInt64(event_id % 7), toInt64(5)),
+                             (toInt64(2), toInt64(0))), 1) AS tm2,
+  JSONType(props) AS jt_props,
+  JSONType('42') AS jt_num,
+  JSONType('[1, 2]') AS jt_arr,
+  JSONType('"x"') AS jt_str,
+  JSONType('-2.5e3') AS jt_flt,
+  JSONExtractKeysAndValues(props, 'String') AS kvs,
+  dotProduct([toFloat64(event_id % 5), toFloat64(event_id % 3)],
+             [1.0, 2.0]) AS dp
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
