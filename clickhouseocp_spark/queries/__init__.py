@@ -277,8 +277,14 @@ _DRIVER_WINDOW_R8 = [
 #: birth (r6 verdict #2 — registry growth must stay inside a committed
 #: window so the never-recorded backlog strictly decreases; a pytest in
 #: test_oracle_parity.py enforces staging-at-birth mechanically).  Round-8
-#: records _DRIVER_WINDOW_R8 (48 names) + the first 2 of this list; the
-#: rest land in round 9 — keep this list ≤ ~50 so coverage completes there.
+#: records _DRIVER_WINDOW_R8 (48 names) + the first 2 of this list.
+#:
+#: ROUND-9 START TASK (do this FIRST, the same rotation round 8 performed):
+#: once CORRECTNESS_r08.json exists, reorder all_queries() to
+#:   R9[2:] (30) + R10 (20)  [= this round's 50]
+#: ahead of everything else, leaving R11 (round-8-late, 20) next in line
+#: for round 10.  Do NOT rotate before the round-8 record lands — the
+#: driver reads the first 50 of the committed ordering.
 _DRIVER_WINDOW_R9: list[str] = [
     # --- round-7 KQL depth ---
     "kql_join_anti_semi",
