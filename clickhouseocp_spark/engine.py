@@ -378,7 +378,7 @@ class ChSparkEngine:
             mbu = _re.match(
                 r"(?s)^(.*?)\|\s*evaluate\s+bag_unpack\s*\(\s*"
                 r"([A-Za-z_]\w*)\s*(?:,\s*'([^']*)')?\s*\)\s*"
-                r"(\|\s*sort\s+by\s+.*)?$",
+                r"(\|.*)?$",
                 query.strip(),
             )
             if mbu:
@@ -409,18 +409,13 @@ class ChSparkEngine:
                     ],
                 )
                 trail = mbu.group(4)
-                if trail is not None:
-                    items = _re.sub(
-                        r"(?s)^\|\s*sort\s+by\s+", "", trail.strip()
+                if trail:
+                    # trailing stages resume normal transpilation over the
+                    # widened relation (same pattern as evaluate narrow)
+                    out.createOrReplaceTempView("__kql_bag_unpack")
+                    return self.spark.sql(
+                        transpile_kql("__kql_bag_unpack " + trail)
                     )
-                    order = []
-                    for it in items.split(","):
-                        toks = it.split()
-                        c = F.col(toks[0])
-                        # Kusto sort defaults to DESC
-                        asc = len(toks) > 1 and toks[1].lower() == "asc"
-                        order.append(c.asc() if asc else c.desc())
-                    out = out.orderBy(*order)
                 return out
             # `| evaluate narrow()` — transpose wide rows into
             # (Row, Column, Value) triples: needs the resolved schema, so
