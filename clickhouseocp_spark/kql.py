@@ -1046,6 +1046,22 @@ def _agg_expr(e: str) -> str:
         lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
     )
     e = _rewrite_call(e, "take_any", lambda a: f"any_value({a[0]})")
+    # make_bag: union the group's property bags into one map.  Duplicate
+    # keys keep the first seen (entry fold — Kusto's pick between
+    # duplicates is likewise arrival-order-dependent); O(k²) in the BAG
+    # size per group, never in rows.
+    e = _rewrite_call(
+        e, "make_bag",
+        lambda a: (
+            # init derives its type from the SAME aggregate expression
+            # (Catalyst dedups it) — a bare column ref would not be grouped
+            f"map_from_entries(aggregate("
+            f"flatten(collect_list(map_entries({a[0]}))), "
+            f"slice(flatten(collect_list(map_entries({a[0]}))), 1, 0), "
+            f"(__acc, __e) -> if(exists(__acc, __p -> __p.key = __e.key), "
+            f"__acc, array_append(__acc, __e))))"
+        ),
+    )
 
     # percentile(x, N) — N in percent points.  Documented deviation: Kusto's
     # percentile is a nearest-rank T-digest approximation; the lowering is

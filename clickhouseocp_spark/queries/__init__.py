@@ -432,6 +432,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "chsql_array_fill_split",
     # --- round-8 batch 19: tuple arithmetic + JSON introspection ---
     "chsql_vocab_r19",
+    # --- round-8 KQL make_bag (property-bag union aggregate) ---
+    "kql_make_bag",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5172,3 +5172,40 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_make_bag",
+    oracle="""
+SELECT event_type,
+       list({'key': CAST(event_id AS VARCHAR), 'value': value}
+            ORDER BY CAST(event_id AS VARCHAR)) AS entries
+FROM events WHERE event_id < 60
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect", "aggregate"),
+)
+def kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``make_bag``: union the group's property bags into one map —
+    an entry fold over the collected bags (first occurrence wins on key
+    collision; Kusto's pick is likewise arrival-order-dependent, so the
+    query uses per-group-unique keys for determinism).  O(bag²) in the
+    BAG size, never in rows — the contract is small bags (here ≤60 keys);
+    the oracle rebuilds the same entries sorted (DuckDB's pandas path
+    renders MAP columns as key/value column dicts, so both sides emit the
+    bag as a key-sorted entry array)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where event_id < 60
+| extend bag = bag_pack(tostring(event_id), value)
+| summarize merged = make_bag(bag) by event_type
+| project event_type, entries = array_sort(map_entries(merged))
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+    return df

@@ -2148,3 +2148,22 @@ def test_array_fill_split_family(spark):
     assert r.rsp == [[1, 2, 0], [3]]
     assert r.oob is None and r.neg == 20
     assert r.nfirst is None and r.nlast == 2
+
+
+def test_kql_make_bag_mechanics(spark):
+    """make_bag unions the group's bags; duplicate keys keep the first
+    seen (entry fold)."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(g: long, k: string, v: long)"
+            " [1, 'a', 10, 1, 'b', 20, 2, 'c', 30]"
+            " | extend bag = bag_pack(k, v)"
+            " | summarize merged = make_bag(bag) by g | sort by g asc"
+        )
+    ).collect()
+    assert [(row.g, dict(row.merged)) for row in r] == [
+        (1, {"a": 10, "b": 20}),
+        (2, {"c": 30}),
+    ]
