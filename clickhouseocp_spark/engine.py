@@ -296,6 +296,94 @@ class ChSparkEngine:
 
             from clickhouseocp_spark.kql import transpile_kql
 
+            # `| evaluate bag_unpack(col[, 'prefix'])` widens a property-bag
+            # (MAP) column into one column per distinct key IN THE DATA, so
+            # it needs a key scan and lives at the ENGINE level: one
+            # distinct-keys aggregate (rows = bag width — the output schema
+            # a user expects to read, bounded by construction), then a pure
+            # projection.  Keys emit in sorted order (Kusto sorts unpacked
+            # columns by name).
+            mbu = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+bag_unpack\s*\(\s*"
+                r"([A-Za-z_]\w*)\s*(?:,\s*'([^']*)')?\s*\)\s*"
+                r"(\|.*)?$",
+                query.strip(),
+            )
+            if mbu:
+                from pyspark.sql import functions as F
+
+                df = self.spark.sql(transpile_kql(mbu.group(1)))
+                bag, prefix = mbu.group(2), mbu.group(3) or ""
+                field = {f.name: f for f in df.schema.fields}.get(bag)
+                if field is None or not field.dataType.typeName() == "map":
+                    from clickhouseocp_spark.chsql import ChSqlError
+
+                    raise ChSqlError(
+                        f"evaluate bag_unpack: {bag!r} is not a map column"
+                    )
+                keys = sorted(
+                    r[0]
+                    for r in df.select(
+                        F.explode(F.map_keys(F.col(bag))).alias("k")
+                    ).distinct().collect()
+                    if r[0] is not None
+                )
+                others = [c for c in df.columns if c != bag]
+                out = df.select(
+                    *others,
+                    *[
+                        F.element_at(F.col(bag), F.lit(k)).alias(prefix + k)
+                        for k in keys
+                    ],
+                )
+                trail = mbu.group(4)
+                if trail:
+                    # trailing stages re-enter the ENGINE path over the
+                    # widened relation, so chained engine-level operators
+                    # (getschema / search / narrow / another bag_unpack)
+                    # keep working (same pattern as evaluate narrow)
+                    out.createOrReplaceTempView("__kql_bag_unpack")
+                    return self.sql(
+                        "__kql_bag_unpack " + trail, dialect="kusto"
+                    )
+                return out
+            # `| evaluate narrow()` — transpose wide rows into
+            # (Row, Column, Value) triples: needs the resolved schema, so
+            # engine level; lowers to one stack() (CROSS-free lateral
+            # expansion inside the scan stage, |cols| values per row).
+            mnr = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+narrow\s*\(\s*\)\s*(\|.*)?$",
+                query.strip(),
+            )
+            if mnr:
+                from pyspark.sql import functions as F
+
+                df = self.spark.sql(transpile_kql(mnr.group(1)))
+                pairs = ", ".join(
+                    f"'{c}', CAST({c} AS STRING)" for c in df.columns
+                )
+                # Row is UNIQUE per source row but not dense (Kusto's dense
+                # ordinal assumes serialized input; a global row_number
+                # would single-partition the world — pipe `serialize`
+                # upstream when a dense ordinal matters)
+                out = df.withColumn(
+                    "Row", F.monotonically_increasing_id()
+                ).select(
+                    "Row",
+                    F.expr(
+                        f"stack({len(df.columns)}, {pairs}) "
+                        "AS (Column, Value)"
+                    ),
+                )
+                if mnr.group(2):
+                    # trailing stages re-enter the ENGINE path over the
+                    # narrowed relation (registered as a session view), so
+                    # chained engine-level operators keep working
+                    out.createOrReplaceTempView("__kql_narrow")
+                    return self.sql(
+                        "__kql_narrow " + mnr.group(2), dialect="kusto"
+                    )
+                return out
             # `| getschema` needs the resolved schema, so it lives at the
             # ENGINE level: transpile the prefix pipeline, analyze (no
             # execution — schema comes from the logical plan), and emit
@@ -368,91 +456,6 @@ class ChSparkEngine:
                     )
                     cond = e if cond is None else (cond | e)
                 return df.filter(F.coalesce(cond, F.lit(False)))
-            # `| evaluate bag_unpack(col[, 'prefix'])` widens a property-bag
-            # (MAP) column into one column per distinct key IN THE DATA, so
-            # it needs a key scan and lives at the ENGINE level: one
-            # distinct-keys aggregate (rows = bag width — the output schema
-            # a user expects to read, bounded by construction), then a pure
-            # projection.  Keys emit in sorted order (Kusto sorts unpacked
-            # columns by name).
-            mbu = _re.match(
-                r"(?s)^(.*?)\|\s*evaluate\s+bag_unpack\s*\(\s*"
-                r"([A-Za-z_]\w*)\s*(?:,\s*'([^']*)')?\s*\)\s*"
-                r"(\|.*)?$",
-                query.strip(),
-            )
-            if mbu:
-                from pyspark.sql import functions as F
-
-                df = self.spark.sql(transpile_kql(mbu.group(1)))
-                bag, prefix = mbu.group(2), mbu.group(3) or ""
-                field = {f.name: f for f in df.schema.fields}.get(bag)
-                if field is None or not field.dataType.typeName() == "map":
-                    from clickhouseocp_spark.chsql import ChSqlError
-
-                    raise ChSqlError(
-                        f"evaluate bag_unpack: {bag!r} is not a map column"
-                    )
-                keys = sorted(
-                    r[0]
-                    for r in df.select(
-                        F.explode(F.map_keys(F.col(bag))).alias("k")
-                    ).distinct().collect()
-                    if r[0] is not None
-                )
-                others = [c for c in df.columns if c != bag]
-                out = df.select(
-                    *others,
-                    *[
-                        F.element_at(F.col(bag), F.lit(k)).alias(prefix + k)
-                        for k in keys
-                    ],
-                )
-                trail = mbu.group(4)
-                if trail:
-                    # trailing stages resume normal transpilation over the
-                    # widened relation (same pattern as evaluate narrow)
-                    out.createOrReplaceTempView("__kql_bag_unpack")
-                    return self.spark.sql(
-                        transpile_kql("__kql_bag_unpack " + trail)
-                    )
-                return out
-            # `| evaluate narrow()` — transpose wide rows into
-            # (Row, Column, Value) triples: needs the resolved schema, so
-            # engine level; lowers to one stack() (CROSS-free lateral
-            # expansion inside the scan stage, |cols| values per row).
-            mnr = _re.match(
-                r"(?s)^(.*?)\|\s*evaluate\s+narrow\s*\(\s*\)\s*(\|.*)?$",
-                query.strip(),
-            )
-            if mnr:
-                from pyspark.sql import functions as F
-
-                df = self.spark.sql(transpile_kql(mnr.group(1)))
-                pairs = ", ".join(
-                    f"'{c}', CAST({c} AS STRING)" for c in df.columns
-                )
-                # Row is UNIQUE per source row but not dense (Kusto's dense
-                # ordinal assumes serialized input; a global row_number
-                # would single-partition the world — pipe `serialize`
-                # upstream when a dense ordinal matters)
-                out = df.withColumn(
-                    "Row", F.monotonically_increasing_id()
-                ).select(
-                    "Row",
-                    F.expr(
-                        f"stack({len(df.columns)}, {pairs}) "
-                        "AS (Column, Value)"
-                    ),
-                )
-                if mnr.group(2):
-                    # trailing stages resume normal transpilation over the
-                    # narrowed relation (registered as a session view)
-                    out.createOrReplaceTempView("__kql_narrow")
-                    return self.spark.sql(
-                        transpile_kql("__kql_narrow " + mnr.group(2))
-                    )
-                return out
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)

@@ -2167,3 +2167,25 @@ def test_kql_make_bag_mechanics(spark):
         (1, {"a": 10, "b": 20}),
         (2, {"c": 30}),
     ]
+
+
+def test_kql_engine_ops_chain(spark):
+    """Engine-level KQL operators chain: evaluate narrow/bag_unpack resume
+    through the ENGINE path, so a following getschema/search still works
+    (round-8 ordering: widening ops match before the end-anchored ops)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        "datatable(rid: long, s: string) [1, 'x'] | evaluate narrow() "
+        "| getschema",
+        dialect="kusto",
+    ).collect()
+    assert [r.ColumnName for r in rows] == ["Row", "Column", "Value"]
+    n = eng.sql(
+        "datatable(rid: long, tag: string) [1, 'alpha', 2, 'beta']"
+        " | extend b = bag_pack('k', tag) | project rid, b"
+        " | evaluate bag_unpack(b) | search 'alph'",
+        dialect="kusto",
+    ).count()
+    assert n == 1
