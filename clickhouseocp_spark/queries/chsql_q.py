@@ -5137,8 +5137,8 @@ SELECT event_id,
        'Array' AS jt_arr,
        'String' AS jt_str,
        'Float64' AS jt_flt,
-       [{'key': 'k', 'value': CAST(json_extract_string(props, '$.k')
-                                   AS VARCHAR)}] AS kvs,
+       ['k'] AS kv_keys,
+       [CAST(json_extract_string(props, '$.k') AS VARCHAR)] AS kv_vals,
        CAST((event_id % 5) * 1.0 + (event_id % 3) * 2.0 AS DOUBLE) AS dp
 FROM events WHERE event_id < 300 ORDER BY event_id
 """,
@@ -5165,7 +5165,8 @@ SELECT event_id,
   JSONType('[1, 2]') AS jt_arr,
   JSONType('"x"') AS jt_str,
   JSONType('-2.5e3') AS jt_flt,
-  JSONExtractKeysAndValues(props, 'String') AS kvs,
+  arrayMap(e -> e.key, JSONExtractKeysAndValues(props, 'String')) AS kv_keys,
+  arrayMap(e -> e.value, JSONExtractKeysAndValues(props, 'String')) AS kv_vals,
   dotProduct([toFloat64(event_id % 5), toFloat64(event_id % 3)],
              [1.0, 2.0]) AS dp
 FROM events WHERE event_id < 300 ORDER BY event_id
@@ -5178,8 +5179,9 @@ FROM events WHERE event_id < 300 ORDER BY event_id
     "kql_make_bag",
     oracle="""
 SELECT event_type,
-       list({'key': CAST(event_id AS VARCHAR), 'value': value}
-            ORDER BY CAST(event_id AS VARCHAR)) AS entries
+       list(CAST(event_id AS VARCHAR)
+            ORDER BY CAST(event_id AS VARCHAR)) AS bag_keys,
+       list(value ORDER BY CAST(event_id AS VARCHAR)) AS bag_vals
 FROM events WHERE event_id < 60
 GROUP BY event_type ORDER BY event_type
 """,
@@ -5191,9 +5193,9 @@ def kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision; Kusto's pick is likewise arrival-order-dependent, so the
     query uses per-group-unique keys for determinism).  O(bag²) in the
     BAG size, never in rows — the contract is small bags (here ≤60 keys);
-    the oracle rebuilds the same entries sorted (DuckDB's pandas path
-    renders MAP columns as key/value column dicts, so both sides emit the
-    bag as a key-sorted entry array)."""
+    the oracle rebuilds the same bag as parallel key-sorted key/value
+    arrays (MAP and struct-in-array cells render differently across the
+    pandas paths, so the projection avoids both)."""
     from clickhouseocp_spark.engine import ChSparkEngine
 
     eng = ChSparkEngine(sf_dir, spark)
@@ -5203,7 +5205,9 @@ events
 | where event_id < 60
 | extend bag = bag_pack(tostring(event_id), value)
 | summarize merged = make_bag(bag) by event_type
-| project event_type, entries = array_sort(map_entries(merged))
+| project event_type,
+          bag_keys = array_sort(map_keys(merged)),
+          bag_vals = transform(array_sort(map_entries(merged)), e -> e.value)
 | sort by event_type asc
 """,
         dialect="kusto",
