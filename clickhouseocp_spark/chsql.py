@@ -2004,6 +2004,28 @@ FUNC_RULES: dict[str, object] = {
     "bitmapMin": lambda args: f"array_min({args[0]})",
     "bitmapMax": lambda args: f"array_max({args[0]})",
     "bitmapToArray": lambda args: f"{args[0]}",
+    # groupBitmapAnd/Or/Xor (batch 19b): fold the GROUP's bitmap states
+    # with the set op and return the CARDINALITY (CH contract).  Init =
+    # the first collected state (slice trick for the rest) — one fold over
+    # #rows-in-group states; And/Or/Xor are associative+commutative, so
+    # the collect order never changes the result.
+    "groupBitmapAnd": lambda args: (
+        f"size(aggregate(slice(collect_list({args[0]}), 2, "
+        f"size(collect_list({args[0]})) - 1), "
+        f"element_at(collect_list({args[0]}), 1), "
+        f"(__acc, __b) -> array_intersect(__acc, __b)))"
+    ),
+    "groupBitmapOr": lambda args: (
+        f"size(aggregate(collect_list({args[0]}), "
+        f"slice(element_at(collect_list({args[0]}), 1), 1, 0), "
+        f"(__acc, __b) -> array_union(__acc, __b)))"
+    ),
+    "groupBitmapXor": lambda args: (
+        f"size(aggregate(collect_list({args[0]}), "
+        f"slice(element_at(collect_list({args[0]}), 1), 1, 0), "
+        f"(__acc, __b) -> array_except(array_union(__acc, __b), "
+        f"array_intersect(__acc, __b))))"
+    ),
     # -Array combinators: the aggregate consumes array elements across rows
     "sumArray": lambda args: (
         f"sum(aggregate({args[0]}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"

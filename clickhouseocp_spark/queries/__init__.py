@@ -434,6 +434,8 @@ _DRIVER_WINDOW_R11: list[str] = [
     "chsql_vocab_r19",
     # --- round-8 KQL make_bag (property-bag union aggregate) ---
     "kql_make_bag",
+    # --- round-8 groupBitmapAnd/Or/Xor (bitmap reduction aggregates) ---
+    "group_bitmap_ops",
 ]
 
 _DRIVER_WINDOW_R5 = [

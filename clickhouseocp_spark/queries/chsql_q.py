@@ -5213,3 +5213,51 @@ events
         dialect="kusto",
     )
     return df
+
+
+@register(
+    "group_bitmap_ops",
+    oracle="""
+WITH du AS (
+  SELECT DISTINCT event_type,
+         CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS d,
+         user_id % 50 AS u
+  FROM events WHERE ts IS NOT NULL),
+days AS (SELECT event_type, COUNT(DISTINCT d) AS nd FROM du GROUP BY 1),
+per_user AS (
+  SELECT event_type, u, COUNT(DISTINCT d) AS cd FROM du GROUP BY 1, 2)
+SELECT p.event_type,
+  CAST(SUM(CASE WHEN p.cd = dy.nd THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+  CAST(COUNT(*) AS BIGINT) AS ob,
+  CAST(SUM(CASE WHEN p.cd % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS xb
+FROM per_user p JOIN days dy ON p.event_type = dy.event_type
+GROUP BY p.event_type ORDER BY p.event_type
+""",
+    tags=("chsql", "bitmap", "aggregate"),
+)
+def group_bitmap_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBitmapAnd/Or/Xor (round 8): fold the group's bitmap states
+    with the set operation and return the cardinality (CH contract) — one
+    JVM fold over the collected per-day states, associative+commutative
+    so collect order never matters.  Daily user bitmaps per event type:
+    AND = users active EVERY day, OR = distinct users, XOR = users active
+    an odd number of days — which the oracle counts directly from the
+    (type, day, user) distinct set."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_type,
+       groupBitmapAnd(bm) AS ab,
+       groupBitmapOr(bm) AS ob,
+       groupBitmapXor(bm) AS xb
+FROM (
+  SELECT event_type,
+         toInt64(floor(toUnixTimestamp(ts) / 86400)) AS d,
+         bitmapBuild(groupArray(toInt64(user_id % 50))) AS bm
+  FROM events WHERE ts IS NOT NULL
+  GROUP BY event_type, d)
+GROUP BY event_type ORDER BY event_type
+""",
+        dialect="clickhouse",
+    )
