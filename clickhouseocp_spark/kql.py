@@ -443,7 +443,9 @@ def _ser_decomp_core(y: str, period: str) -> str:
         "'c', if(__i % __t.p = __ph, 1, 0))), "
         "named_struct('s', CAST(0.0 AS DOUBLE), 'c', 0), "
         "(__a, __e) -> named_struct('s', __a.s + __e.s, 'c', __a.c + __e.c), "
-        "__a -> __a.s / CAST(__a.c AS DOUBLE)))"
+        # a phase with no members (period > bins) has an undefined mean;
+        # 0.0 keeps the unused slot harmless under ANSI division
+        "__a -> if(__a.c = 0, 0.0D, __a.s / CAST(__a.c AS DOUBLE))))"
     )
     # bind the phase-mean vector ONCE (inlining it inside the axis
     # transform would re-evaluate the O(n) fold per element — O(n²))

@@ -2189,3 +2189,84 @@ def test_kql_engine_ops_chain(spark):
         dialect="kusto",
     ).count()
     assert n == 1
+
+
+def test_round8_series_edges(spark):
+    """Edge behavior of the round-8 series tier: decompose with a period
+    longer than the series (every phase = its own mean → residual 0 after
+    trend), FIR filter longer than the input, outliers on a 2-element
+    series, fills on an all-null series."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    r = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic) ['a', dynamic([5.0, 9.0])]"
+            " | extend d = series_decompose(v, 4),"
+            "   f = series_fir(v, dynamic([1, 1, 1, 1, 1])),"
+            "   o = series_outliers(v)"
+            " | project res = d.residual, f, o"
+        )
+    ).collect()[0]
+    assert all(abs(x) < 1e-9 for x in r.res)
+    assert len(r.f) == 2 and r.o == [0.0, 0.0]
+    n = spark.sql(
+        transpile_kql(
+            "datatable(k: string, v: dynamic)"
+            " ['a', dynamic([real(null), real(null)])]"
+            " | extend f = series_fill_forward(v), b = series_fill_backward(v),"
+            "   lin = series_fill_linear(v)"
+            " | project f, b, lin"
+        )
+    ).collect()[0]
+    assert n.f == [None, None] and n.b == [None, None]
+    assert n.lin == [None, None]
+
+
+def test_h3_children_two_levels(spark):
+    """h3ToChildren across a 2-resolution jump: 49 children, all distinct,
+    every one parents back to the original at both intermediate levels."""
+    from clickhouseocp_spark.chsql import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT h3ToChildren(stringToH3('8928308280fffff'), 11) AS kids,"
+            " stringToH3('8928308280fffff') AS idx"
+        )
+    ).collect()[0]
+    assert len(r.kids) == 49 and len(set(r.kids)) == 49
+    back = spark.sql(
+        transpile(
+            "SELECT transform({0}, __c -> h3ToParent(__c, 9)) AS p9,"
+            " transform({0}, __c -> h3GetResolution(__c)) AS res".format(
+                "array(" + ", ".join(str(k) for k in r.kids) + ")"
+            )
+        )
+    ).collect()[0]
+    assert all(p == r.idx for p in back.p9)
+    assert all(x == 11 for x in back.res)
+
+
+def test_ttl_insert_interplay(spark, sf_dir):
+    """Rows inserted AFTER the TTL is stored still expire at the next
+    OPTIMIZE (the TTL belongs to the table, not the creating statement)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ttl_i ENGINE = MergeTree ORDER BY event_id "
+        "TTL if(event_type = 'late', ts, ts + INTERVAL 100 YEAR) "
+        "AS SELECT event_id, event_type, ts FROM events LIMIT 5",
+        dialect="ch",
+    )
+    eng.sql(
+        "INSERT INTO ttl_i SELECT event_id + 1000000, 'late', ts "
+        "FROM events LIMIT 3",
+        dialect="ch",
+    )
+    eng.sql("OPTIMIZE TABLE ttl_i FINAL", dialect="ch")
+    rows = eng.sql(
+        "SELECT count() AS n, countIf(event_type = 'late') AS late "
+        "FROM ttl_i",
+        dialect="ch",
+    ).collect()[0]
+    assert rows.n == 5 and rows.late == 0
