@@ -2270,3 +2270,20 @@ def test_ttl_insert_interplay(spark, sf_dir):
         dialect="ch",
     ).collect()[0]
     assert rows.n == 5 and rows.late == 0
+
+
+def test_kql_join_hint_on_semi_anti(spark):
+    """Join hints compose with semi/anti kinds and never change rows —
+    Spark ignores an illegal build-side broadcast rather than erroring,
+    which is the contract hints promise."""
+    from clickhouseocp_spark.kql import transpile_kql
+
+    base = (
+        "datatable(k: long) [1, 2, 3] "
+        "| join {h} kind=leftanti "
+        "(datatable(rk: long) [2]) on $left.k == $right.rk "
+        "| sort by k asc"
+    )
+    for h in ("hint.strategy=broadcast", "hint.strategy=shuffle"):
+        got = [r.k for r in spark.sql(transpile_kql(base.format(h=h))).collect()]
+        assert got == [1, 3], h
