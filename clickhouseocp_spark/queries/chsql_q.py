@@ -2471,9 +2471,12 @@ binned AS (
 keys AS (SELECT DISTINCT event_type FROM events
          WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31')
 SELECT k.event_type,
-       list(COALESCE(b.n, 0.0) ORDER BY a.i) AS n,
-       list(ROUND(COALESCE(b.avg_v, 0.0), 6) ORDER BY a.i) AS avg_v,
-       list(CAST(epoch(a.t) AS BIGINT) ORDER BY a.i) AS ts_ep
+       string_agg(CAST(CAST(COALESCE(b.n, 0.0) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY a.i) AS n,
+       string_agg(printf('%.6f', ROUND(COALESCE(b.avg_v, 0.0), 6)),
+                  ',' ORDER BY a.i) AS avg_v,
+       string_agg(CAST(CAST(epoch(a.t) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY a.i) AS ts_ep
 FROM keys k CROSS JOIN axis a
 LEFT JOIN binned b ON b.event_type = k.event_type AND b.bin_i = a.i
 GROUP BY k.event_type
@@ -2492,7 +2495,9 @@ def kql_make_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     month at 3d step.  The axis is re-emitted as epoch BIGINTs and the avg
     series rounded in-array so the driver hash is float-stable; series
     values are DOUBLE by the documented lowering contract (Kusto dynamic
-    arrays are real-typed)."""
+    arrays are real-typed).  Every series is emitted comma-joined — the
+    repo's driver-output-shape convention (list cells never reach the
+    driver hash)."""
     from pyspark.sql import functions as F
 
     from clickhouseocp_spark.engine import ChSparkEngine
@@ -2510,11 +2515,17 @@ events
     )
     return df.select(
         "event_type",
-        "n",
-        F.expr("transform(avg_v, __x -> round(__x, 6))").alias("avg_v"),
-        F.expr("transform(ts, __t -> CAST(unix_timestamp(__t) AS BIGINT))").alias(
-            "ts_ep"
-        ),
+        F.expr(
+            "array_join(transform(n, __x -> CAST(CAST(__x AS BIGINT) AS STRING)), ',')"
+        ).alias("n"),
+        F.expr(
+            "array_join(transform(avg_v,"
+            " __x -> format_string('%.6f', round(__x, 6))), ',')"
+        ).alias("avg_v"),
+        F.expr(
+            "array_join(transform(ts,"
+            " __t -> CAST(CAST(unix_timestamp(__t) AS BIGINT) AS STRING)), ',')"
+        ).alias("ts_ep"),
     )
 
 

@@ -2051,9 +2051,10 @@ WITH s AS (
 )
 SELECT e.vec_id,
        ROUND(s.scale, 6) AS scale6,
-       list_transform(e.embedding,
-         x -> CAST(GREATEST(-127.0, LEAST(127.0,
-                FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5))) AS BIGINT)) AS q,
+       array_to_string(list_transform(e.embedding,
+         x -> CAST(CAST(GREATEST(-127.0, LEAST(127.0,
+                FLOOR(CAST(x AS DOUBLE) / s.scale + 0.5))) AS BIGINT)
+              AS VARCHAR)), ',') AS q,
        list_max(list_transform(e.embedding,
          x -> abs(CAST(x AS DOUBLE)
                   - GREATEST(-127.0, LEAST(127.0,
@@ -2069,7 +2070,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     The portable floor(x/scale + 0.5) rounding rule makes the CODES exact
     across engines: the oracle re-derives every int8 code and the
     scale/2 error bound independently.  All-JVM higher-order functions; no
-    shuffle."""
+    shuffle.  Codes are emitted comma-joined (the repo's
+    driver-output-shape convention: list cells never reach the driver
+    hash)."""
     from clickhouseocp_spark.functions.vector import int8_dequantize, int8_quantize
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -2078,7 +2081,9 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deq.select(
         "vec_id",
         F.round(F.col("qs.scale"), 6).alias("scale6"),
-        F.col("qs.q").alias("q"),
+        F.array_join(
+            F.transform(F.col("qs.q"), lambda x: x.cast("string")), ","
+        ).alias("q"),
         (
             F.aggregate(
                 F.zip_with(

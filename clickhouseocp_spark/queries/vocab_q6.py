@@ -252,7 +252,7 @@ SELECT o_orderkey,
        (o_orderkey >> 3) & 1 AS bt3,
        ((o_orderkey >> 0) & 1 = 1) AND ((o_orderkey >> 2) & 1 = 1) AS bt_all,
        ((o_orderkey >> 5) & 1 = 1) OR ((o_orderkey >> 7) & 1 = 1) AS bt_any,
-       LIST_VALUE('p', 't') AS tn
+       'p,t' AS tn
 FROM orders
 WHERE o_orderkey % 100 = 0
 """,
@@ -262,7 +262,8 @@ def scalar_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary batch 7 (round 6): parseTimeDelta (CH unit constants,
     regexp_extract_all + aggregate — all JVM), YYYYMMDDToDate /
     YYYYMMDDhhmmssToDateTime (numeric date encodings), bitTest/All/Any
-    (shift-and-mask), tupleNames (to_json → json_object_keys).  The
+    (shift-and-mask), tupleNames (to_json → json_object_keys; emitted
+    comma-joined — list cells never reach the driver hash).  The
     timedelta input strings are built per row so the oracle can compute the
     expected seconds arithmetically — an independent formulation, not a
     replay."""
@@ -284,9 +285,12 @@ def scalar_vocab_r6b(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.bitTest("o_orderkey", 3).alias("bt3"),
         ch.bitTestAll("o_orderkey", 0, 2).alias("bt_all"),
         ch.bitTestAny("o_orderkey", 5, 7).alias("bt_any"),
-        ch.tupleNames(
-            F.struct(F.col("o_orderpriority").alias("p"),
-                     F.col("o_totalprice").alias("t"))
+        F.array_join(
+            ch.tupleNames(
+                F.struct(F.col("o_orderpriority").alias("p"),
+                         F.col("o_totalprice").alias("t"))
+            ),
+            ",",
         ).alias("tn"),
     )
 
@@ -456,14 +460,18 @@ SELECT o_orderkey,
        isnan(CAST('NaN' AS DOUBLE) * price) AS is_nan_t,
        isnan(price) AS is_nan_f,
        CASE WHEN o_orderkey % 3 = 0 THEN -1.0 ELSE price END AS not_finite,
-       CASE WHEN o_orderkey % 4 = 0 THEN [0.0] ELSE [price] END AS single_arr,
+       array_to_string(list_transform(
+         CASE WHEN o_orderkey % 4 = 0 THEN [0.0] ELSE [price] END,
+         x -> printf('%.2f', x)), ',') AS single_arr,
        (o_orderkey % 3 = 1) AS has_sub,
        TRUE AS has_sub_empty,
        CASE WHEN first_true = 0 THEN 1
             ELSE len(list_filter(list_slice(flags, 2, len(flags)), f -> f)) + 1
        END AS n_groups,
-       CASE WHEN first_true = 0 THEN arr
-            ELSE list_slice(arr, 1, first_true) END AS first_group,
+       array_to_string(list_transform(
+         CASE WHEN first_true = 0 THEN arr
+              ELSE list_slice(arr, 1, first_true) END,
+         x -> printf('%.1f', x)), ',') AS first_group,
        (o_orderkey << 7) | (o_orderkey >> 57) AS rot7,
        bit_count(xor(o_orderkey, o_custkey)) AS hamming,
        -o_orderkey AS tn_x, -price AS tn_y,
@@ -479,7 +487,9 @@ def scalar_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule), bitRotateLeft / bitHammingDistance, tupleNegate / tupleMultiply.
     The oracle recomputes every expected value by independent formulations
     (e.g. has_sub from the arithmetic membership condition, n_groups /
-    first_group from flag positions — not from a replayed fold)."""
+    first_group from flag positions — not from a replayed fold).  Array
+    outputs (single_arr, first_group) are emitted comma-joined with fixed
+    printf formats — list cells never reach the driver hash."""
     from clickhouseocp_spark.functions import clickhouse_names as ch
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
@@ -505,9 +515,15 @@ def scalar_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
         ch.isNaN(nan * F.col("price")).alias("is_nan_t"),
         ch.isNaN(F.col("price")).alias("is_nan_f"),
         ch.ifNotFinite(maybe_inf, F.lit(-1.0)).alias("not_finite"),
-        ch.emptyArrayToSingle(
-            F.filter(F.array(F.col("price")),
-                     lambda _x: F.col("o_orderkey") % 4 != 0)
+        F.array_join(
+            F.transform(
+                ch.emptyArrayToSingle(
+                    F.filter(F.array(F.col("price")),
+                             lambda _x: F.col("o_orderkey") % 4 != 0)
+                ),
+                lambda x: F.format_string("%.2f", x),
+            ),
+            ",",
         ).alias("single_arr"),
         ch.hasSubstr(
             F.transform(F.sequence(F.lit(1), F.lit(6)), lambda i: i.cast("double")),
@@ -518,7 +534,12 @@ def scalar_vocab_r6c(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_sub_empty"
         ),
         F.size(split).alias("n_groups"),
-        F.element_at(split, 1).alias("first_group"),
+        F.array_join(
+            F.transform(
+                F.element_at(split, 1), lambda x: F.format_string("%.1f", x)
+            ),
+            ",",
+        ).alias("first_group"),
         ch.bitRotateLeft("o_orderkey", 7).alias("rot7"),
         ch.bitHammingDistance("o_orderkey", "o_custkey").alias("hamming"),
         tn["x"].alias("tn_x"), tn["y"].alias("tn_y"),

@@ -125,11 +125,41 @@ class CompareResult:
         return msg
 
 
+#: Driver-output-shape gate (round 9, from the round-8 verdict): the driver
+#: canonicalizes collected frames via ``pandas.sort_values`` over ALL columns,
+#: which hard-crashes on unhashable cells (``TypeError: unhashable type:
+#: 'list'``) — exactly what turned 4 round-8 queries red despite correct
+#: values.  This comparator was MORE lenient (``_canon_cell`` tuples lists),
+#: so CHECKALL could not catch the class.  Any registry query whose TOP-LEVEL
+#: output schema contains Array/Map/Struct must stringify it (the
+#: ``array_join(transform(cast))`` convention) before returning.
+_DRIVER_UNSAFE_TYPES = ("ArrayType", "MapType", "StructType")
+
+
+def driver_unsafe_columns(sdf) -> list[str]:
+    """Top-level columns whose Spark type would crash the driver's
+    pandas-sort canonicalizer (list/dict cells are unhashable)."""
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if type(f.dataType).__name__ in _DRIVER_UNSAFE_TYPES
+    ]
+
+
 def compare_query(
     spark: SparkSession, name: str, fn, oracle: str | None, sf_dir: str
 ) -> CompareResult:
     res = CompareResult(name=name, ok=True)
     sdf = fn(spark, sf_dir)
+    bad = driver_unsafe_columns(sdf)
+    if bad:
+        res.ok = False
+        res.errors.append(
+            "driver-unsafe output schema (pandas.sort_values crashes on "
+            f"unhashable cells): columns {bad} are Array/Map/Struct — "
+            "stringify via array_join(transform(cast)) on BOTH sides"
+        )
+        return res
     # Pandas on the SPARK side too: the driver collects both engines through
     # pandas, so a nullable BIGINT column widens to float64 on BOTH sides and
     # hashes equal (observed: join_full_outer/any_left_join driver-green in
