@@ -273,18 +273,29 @@ _DRIVER_WINDOW_R8 = [
     "jump_consistent_hash",
 ]
 
+#: Round-9 re-records (r8 verdict #1): the 4 queries whose round-8 driver
+#: record went red on the pandas-canonicalizer crash (raw array output
+#: columns).  Output shapes fixed (comma-joined) this round; these lead the
+#: round-9 window so the red records flip green.
+_R9_RERECORDS = [
+    "embedding_int8_quantize",
+    "kql_make_series",
+    "scalar_vocab_r6b",
+    "scalar_vocab_r6c",
+]
+
 #: Round-9 window: every query ADDED during round 7 is appended here at
 #: birth (r6 verdict #2 — registry growth must stay inside a committed
 #: window so the never-recorded backlog strictly decreases; a pytest in
 #: test_oracle_parity.py enforces staging-at-birth mechanically).  Round-8
-#: records _DRIVER_WINDOW_R8 (48 names) + the first 2 of this list.
+#: recorded _DRIVER_WINDOW_R8 (48 names) + the first 2 of this list.
 #:
-#: ROUND-9 START TASK (do this FIRST, the same rotation round 8 performed):
-#: once CORRECTNESS_r08.json exists, reorder all_queries() to
-#:   R9[2:] (30) + R10 (20)  [= this round's 50]
-#: ahead of everything else, leaving R11 (round-8-late, 20) next in line
-#: for round 10.  Do NOT rotate before the round-8 record lands — the
-#: driver reads the first 50 of the committed ordering.
+#: ROUND-9 ROTATION (r8 verdict #2, EXECUTED): the round-9 leading 50 =
+#: _R9_RERECORDS (4) + this list minus its first 2 (30) +
+#: _DRIVER_WINDOW_R10[:16]; _DRIVER_WINDOW_R10[16:] (4) moves to the front
+#: of the round-10 line with _DRIVER_WINDOW_R11 (21) — full-registry driver
+#: coverage completes in round 10 with a 25-name window.  Round-9-new
+#: queries go to _DRIVER_WINDOW_R12 at birth.
 _DRIVER_WINDOW_R9: list[str] = [
     # --- round-7 KQL depth ---
     "kql_join_anti_semi",
@@ -437,6 +448,14 @@ _DRIVER_WINDOW_R11: list[str] = [
     # --- round-8 groupBitmapAnd/Or/Xor (bitmap reduction aggregates) ---
     "group_bitmap_ops",
 ]
+
+#: Round-12 window: queries ADDED during round 9 are appended here at birth
+#: (same staging-at-birth contract, enforced by the registry-hygiene
+#: pytest).  Round 10 records _DRIVER_WINDOW_R10[16:] + _DRIVER_WINDOW_R11
+#: (25 names) — completing full-registry driver coverage — plus the head of
+#: this list; keep it ≤ 25 so round 10's window stays within the 50-name
+#: recording budget.
+_DRIVER_WINDOW_R12: list[str] = []
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
@@ -623,10 +642,19 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        _DRIVER_WINDOW_R8
-        + _DRIVER_WINDOW_R9
-        + _DRIVER_WINDOW_R10
+        # round-9 recording window (exactly 50): 4 red re-records +
+        # the 30 unrecorded R9 names + the first 16 of R10
+        _R9_RERECORDS
+        + _DRIVER_WINDOW_R9[2:]
+        + _DRIVER_WINDOW_R10[:16]
+        # round-10 line (25): R10 overflow + the round-8-late window
+        + _DRIVER_WINDOW_R10[16:]
         + _DRIVER_WINDOW_R11
+        # round-9 births (recorded after full coverage lands in round 10)
+        + _DRIVER_WINDOW_R12
+        # already driver-recorded tail, in historic order
+        + _DRIVER_WINDOW_R9[:2]
+        + _DRIVER_WINDOW_R8
         + _DRIVER_WINDOW_R7
         + _DRIVER_WINDOW_R6
         + _DRIVER_WINDOW_R5

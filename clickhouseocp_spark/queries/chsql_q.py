@@ -3129,9 +3129,12 @@ bounds AS (SELECT MIN(b) AS f, MAX(b) AS t FROM binned),
 axis AS (SELECT unnest(generate_series(bo.f, bo.t)) AS b FROM bounds bo),
 keys AS (SELECT DISTINCT event_type FROM src)
 SELECT k.event_type,
-       list(COALESCE(bn.n, 0.0) ORDER BY a.b) AS n,
-       list(ROUND(CAST(COALESCE(bn.s, 0) AS DOUBLE), 6) ORDER BY a.b) AS s,
-       list(CAST(a.b * 604800 AS BIGINT) ORDER BY a.b) AS ts_ep
+       string_agg(CAST(CAST(COALESCE(bn.n, 0.0) AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY a.b) AS n,
+       string_agg(printf('%.6f', ROUND(CAST(COALESCE(bn.s, 0) AS DOUBLE), 6)),
+                  ',' ORDER BY a.b) AS s,
+       string_agg(CAST(CAST(a.b * 604800 AS BIGINT) AS VARCHAR),
+                  ',' ORDER BY a.b) AS ts_ep
 FROM keys k CROSS JOIN axis a
 LEFT JOIN binned bn ON bn.event_type = k.event_type AND bn.b = a.b
 GROUP BY k.event_type
@@ -3167,11 +3170,17 @@ events
     )
     return df.select(
         "event_type",
-        "n",
-        F.expr("transform(s, __x -> round(__x, 6))").alias("s"),
-        F.expr("transform(ts, __t -> CAST(unix_timestamp(__t) AS BIGINT))").alias(
-            "ts_ep"
-        ),
+        F.expr(
+            "array_join(transform(n, __x -> CAST(CAST(__x AS BIGINT) AS STRING)), ',')"
+        ).alias("n"),
+        F.expr(
+            "array_join(transform(s,"
+            " __x -> format_string('%.6f', round(__x, 6))), ',')"
+        ).alias("s"),
+        F.expr(
+            "array_join(transform(ts,"
+            " __t -> CAST(CAST(unix_timestamp(__t) AS BIGINT) AS STRING)), ',')"
+        ).alias("ts_ep"),
     )
 
 
@@ -3323,8 +3332,10 @@ agg AS (
                FILTER (WHERE l_linenumber <= 3), 6) AS med_lo,
          ROUND(quantile_cont(l_quantity, 0.5)
                FILTER (WHERE l_linenumber > 3), 6) AS med_hi,
-         [ROUND(quantile_cont(l_quantity, 0.25), 6),
-          ROUND(quantile_cont(l_quantity, 0.75), 6)] AS iqr
+         array_to_string(list_transform(
+           [ROUND(quantile_cont(l_quantity, 0.25), 6),
+            ROUND(quantile_cont(l_quantity, 0.75), 6)],
+           x -> printf('%.6f', x)), ',') AS iqr
   FROM base GROUP BY l_returnflag
 ),
 f AS (
@@ -3342,7 +3353,7 @@ t AS (
   FROM r WHERE rk <= 2 GROUP BY l_returnflag
 )
 SELECT a.l_returnflag, a.med_lo, a.med_hi, a.iqr,
-       COALESCE(t.top_ls, []) AS top_ls
+       array_to_string(COALESCE(t.top_ls, []), ',') AS top_ls
 FROM agg a LEFT JOIN t USING (l_returnflag)
 ORDER BY a.l_returnflag
 """,
@@ -3355,8 +3366,12 @@ def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``CASE WHEN cond THEN x END`` (aggregates skip NULLs, so the filter is
     exact), plus the ``quantiles(q...)(x)`` list form rounded in-array via
     arrayMap.  The oracle replays with FILTER aggregates and a ranked
-    top-k subquery using the same (count desc, value asc) tie-break."""
-    return _run(
+    top-k subquery using the same (count desc, value asc) tie-break.
+    Array outputs (iqr, top_ls) are emitted comma-joined — list cells
+    never reach the driver hash."""
+    from pyspark.sql import functions as F
+
+    df = _run(
         spark,
         sf_dir,
         """
@@ -3372,6 +3387,14 @@ def chsql_parametric_if(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         ORDER BY l_returnflag
         """,
+    )
+    return df.select(
+        "l_returnflag", "med_lo", "med_hi",
+        F.expr(
+            "array_join(transform(iqr,"
+            " __x -> format_string('%.6f', __x)), ',')"
+        ).alias("iqr"),
+        F.expr("array_join(top_ls, ',')").alias("top_ls"),
     )
 
 
@@ -3431,17 +3454,20 @@ customer
     "chsql_multisearch",
     oracle=r"""
 SELECT doc_id,
-       [CAST(strpos(text, 'the') AS BIGINT),
-        CAST(strpos(text, 'data') AS BIGINT),
-        CAST(strpos(text, 'xyzq') AS BIGINT)] AS pos,
+       array_to_string(list_transform(
+         [CAST(strpos(text, 'the') AS BIGINT),
+          CAST(strpos(text, 'data') AS BIGINT),
+          CAST(strpos(text, 'xyzq') AS BIGINT)],
+         x -> CAST(x AS VARCHAR)), ',') AS pos,
        CAST(strpos(text, 'spark') > 0 OR strpos(text, 'data') > 0
             AS INTEGER) AS any_hit,
        CASE WHEN strpos(text, 'xyzq') > 0 THEN 1
             WHEN strpos(text, 'the') > 0 THEN 2 ELSE 0 END AS fi,
        CAST(regexp_matches(text, '^The') OR regexp_matches(text, '[0-9]{4}')
             AS INTEGER) AS ma,
-       [regexp_extract(text, '(\w+) (\w+)', 1),
-        regexp_extract(text, '(\w+) (\w+)', 2)] AS first_two
+       array_to_string([regexp_extract(text, '(\w+) (\w+)', 1),
+                        regexp_extract(text, '(\w+) (\w+)', 2)], ',')
+         AS first_two
 FROM documents WHERE doc_id < 120
 """,
     tags=("chsql", "dialect", "string-search"),
@@ -3454,8 +3480,11 @@ def chsql_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog of CH's hyperscan tier), and ``extractGroups`` (capture groups
     of the first match; group count derived from the constant pattern at
     transpile time).  All array-combinator JVM exprs; the oracle replays
-    with strpos/regexp per needle."""
-    return _run(
+    with strpos/regexp per needle.  Array outputs (pos, first_two) are
+    emitted comma-joined — list cells never reach the driver hash."""
+    from pyspark.sql import functions as F
+
+    df = _run(
         spark,
         sf_dir,
         r"""
@@ -3467,6 +3496,14 @@ def chsql_multisearch(spark: SparkSession, sf_dir: str) -> DataFrame:
                extractGroups(text, '(\\w+) (\\w+)') AS first_two
         FROM documents WHERE doc_id < 120
         """,
+    )
+    return df.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(pos, __x -> cast(__x as string)), ',')"
+        ).alias("pos"),
+        "any_hit", "fi", "ma",
+        F.expr("array_join(first_two, ',')").alias("first_two"),
     )
 
 
@@ -4030,8 +4067,9 @@ SELECT event_id,
        toRelativeQuarterNum(ts) AS rel_quarter,
        toRelativeWeekNum(ts) AS rel_week,
        arrayJaccardIndex([toInt64(event_id % 5), 2, 3], [2, 3, 4]) AS jac,
-       arrayCumSumNonNegative([toInt64(value) - 50, 30, toInt64(value) - 80])
-         AS cums,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         arrayCumSumNonNegative([toInt64(value) - 50, 30,
+                                 toInt64(value) - 80])), ',') AS cums,
        hasSubsequence(event_type, 'cik') AS subseq,
        hasSubsequenceCaseInsensitive(event_type, 'CIK') AS subseq_ci,
        countSubstringsCaseInsensitive(event_type, 'C') AS n_c,
@@ -4061,8 +4099,10 @@ WITH per_row AS (
   FROM events WHERE event_id < 200
 )
 SELECT event_id, rel_month, rel_quarter, rel_week, jac,
-       [s1, greatest(0, s1 + 30),
-        greatest(0, greatest(0, s1 + 30) + v - 80)] AS cums,
+       array_to_string(list_transform(
+         [s1, greatest(0, s1 + 30),
+          greatest(0, greatest(0, s1 + 30) + v - 80)],
+         x -> CAST(x AS VARCHAR)), ',') AS cums,
        subseq, subseq_ci, n_c, pos_ci
 FROM per_row ORDER BY event_id
 """,
@@ -4291,10 +4331,12 @@ SELECT event_id,
        ngramSearchCaseInsensitive(event_type, 'SIGN') AS ngs_ci,
        parseTimeDelta(concat(toString(event_id % 5), 'h ',
                              toString(event_id % 7), 'm')) AS delta_s,
-       arrayEnumerateDense([toInt64(event_id % 3), 7,
-                            toInt64(event_id % 3)]) AS dense,
-       arrayEnumerateUniq([toInt64(event_id % 3), 7,
-                           toInt64(event_id % 3)]) AS uniq_rank,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         arrayEnumerateDense([toInt64(event_id % 3), 7,
+                              toInt64(event_id % 3)])), ',') AS dense,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         arrayEnumerateUniq([toInt64(event_id % 3), 7,
+                             toInt64(event_id % 3)])), ',') AS uniq_rank,
        toStartOfSecond(ts) AS sec_ts,
        timeDiff(toStartOfDay(ts), ts) AS day_secs,
        dateTrunc('hour', ts) AS hr_ts,
@@ -4324,8 +4366,8 @@ SELECT event_id,
                              i -> substring('sign', i, 3)))) AS ngs_ci,
        (event_id % 5) * CAST(3600 AS DOUBLE)
          + (event_id % 7) * CAST(60 AS DOUBLE) AS delta_s,
-       [CAST(1 AS BIGINT), 2, 1] AS dense,
-       [1, 1, 2] AS uniq_rank,
+       '1,2,1' AS dense,
+       '1,1,2' AS uniq_rank,
        date_trunc('second', ts) AS sec_ts,
        CAST(floor(epoch(ts)) AS BIGINT)
          - CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_secs,
@@ -4596,20 +4638,23 @@ events | where value > 10 | invoke top_clicks()
 CH_VOCAB_R17 = """
 SELECT event_id,
        mapContainsKeyLike(map(event_type, 1, 'zz', 2), 's%') AS has_s,
-       mapValues(mapExtractKeyLike(
-         map('alpha', event_id % 5, 'beta', event_id % 7,
-             'gamma', event_id % 3), 'al%')) AS sub_vals,
-       mapKeys(mapApply((k, v) -> (concat(k, '!'), v * 2),
-                        map('x', event_id % 9, 'y', event_id % 4)))
+       arrayStringConcat(arrayMap(x -> toString(x),
+         mapValues(mapExtractKeyLike(
+           map('alpha', event_id % 5, 'beta', event_id % 7,
+               'gamma', event_id % 3), 'al%'))), ',') AS sub_vals,
+       arrayStringConcat(mapKeys(mapApply((k, v) -> (concat(k, '!'), v * 2),
+                        map('x', event_id % 9, 'y', event_id % 4))), ',')
          AS applied_keys,
-       mapValues(mapApply((k, v) -> (concat(k, '!'), v * 2),
-                          map('x', event_id % 9, 'y', event_id % 4)))
+       arrayStringConcat(arrayMap(x -> toString(x),
+         mapValues(mapApply((k, v) -> (concat(k, '!'), v * 2),
+                            map('x', event_id % 9, 'y', event_id % 4)))), ',')
          AS applied_vals,
-       mapKeys(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
-                         map('b', event_id % 5, 'c', toInt64(9))))
+       arrayStringConcat(mapKeys(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
+                         map('b', event_id % 5, 'c', toInt64(9)))), ',')
          AS upd_keys,
-       mapValues(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
-                           map('b', event_id % 5, 'c', toInt64(9))))
+       arrayStringConcat(arrayMap(x -> toString(x),
+         mapValues(mapUpdate(map('a', toInt64(1), 'b', toInt64(2)),
+                             map('b', event_id % 5, 'c', toInt64(9))))), ',')
          AS upd_vals,
        ngramDistance(event_type, 'signup') AS ngd,
        ngramDistanceCaseInsensitive(event_type, 'SIGNUP') AS ngd_ci
@@ -4631,11 +4676,12 @@ WITH tg AS (
   FROM events WHERE event_id < 150)
 SELECT event_id,
   event_type LIKE 's%' AS has_s,
-  [event_id % 5] AS sub_vals,
-  ['x!', 'y!'] AS applied_keys,
-  [(event_id % 9) * 2, (event_id % 4) * 2] AS applied_vals,
-  ['a', 'b', 'c'] AS upd_keys,
-  [CAST(1 AS BIGINT), event_id % 5, 9] AS upd_vals,
+  CAST(event_id % 5 AS VARCHAR) AS sub_vals,
+  'x!,y!' AS applied_keys,
+  CAST((event_id % 9) * 2 AS VARCHAR) || ','
+    || CAST((event_id % 4) * 2 AS VARCHAR) AS applied_vals,
+  'a,b,c' AS upd_keys,
+  '1,' || CAST(event_id % 5 AS VARCHAR) || ',9' AS upd_vals,
   1.0 - CAST(len(list_intersect(t_et, t_lit)) AS DOUBLE)
       / greatest(len(list_distinct(list_concat(t_et, t_lit))), 1) AS ngd,
   1.0 - CAST(len(list_intersect(t_et, t_lit)) AS DOUBLE)
@@ -4743,12 +4789,12 @@ SELECT event_id, idx, res, bc,
      | (CAST(res + 1 AS BIGINT) << 52))
     & ~((CAST(1 AS BIGINT) << (45 - 3 * CAST(res AS INT))) - 1))
    | ((CAST(1 AS BIGINT) << (42 - 3 * CAST(res AS INT))) - 1)) AS cc,
-  list_transform(generate_series(0, 6), k ->
-    (((((idx & ~(CAST(15 AS BIGINT) << 52))
+  array_to_string(list_transform(generate_series(0, 6), k ->
+    CAST((((((idx & ~(CAST(15 AS BIGINT) << 52))
         | (CAST(res + 1 AS BIGINT) << 52))
        & ~((CAST(1 AS BIGINT) << (45 - 3 * CAST(res AS INT))) - 1))
       | ((CAST(1 AS BIGINT) << (42 - 3 * CAST(res AS INT))) - 1))
-     + (k << (42 - 3 * CAST(res AS INT))))) AS kids,
+     + (k << (42 - 3 * CAST(res AS INT)))) AS VARCHAR)), ',') AS kids,
   lower(hex(idx)) AS hexs,
   (2 + 120 * CAST(power(7, res) AS BIGINT)) AS ncells
 FROM d ORDER BY event_id
@@ -4776,7 +4822,8 @@ def h3_index_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         " h3IsResClassIII(idx) AS cls3,"
         " h3ToParent(idx, 1) AS parent1,"
         " h3ToCenterChild(idx, h3GetResolution(idx) + 1) AS cc,"
-        " h3ToChildren(idx, h3GetResolution(idx) + 1) AS kids,"
+        " arrayStringConcat(arrayMap(x -> toString(x),"
+        " h3ToChildren(idx, h3GetResolution(idx) + 1)), ',') AS kids,"
         " h3ToString(idx) AS hexs,"
         " h3NumHexagons(h3GetResolution(idx)) AS ncells"
         " FROM (" + _H3_IDX_SRC + ") ORDER BY event_id",
@@ -5092,13 +5139,18 @@ WITH src AS (
          CAST(event_id % 5 AS BIGINT) AS b
   FROM events WHERE event_id < 300)
 SELECT event_id,
-  [a, a, CASE WHEN b <> 0 THEN b ELSE a END,
-   CASE WHEN b <> 0 THEN b ELSE a END, CAST(7 AS BIGINT)] AS filled,
-  CASE WHEN b <> 0
-       THEN [[a], [CAST(0 AS BIGINT), b],
-             [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]]
-       ELSE [[a], [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)],
-             [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]] END AS groups,
+  array_to_string(list_transform(
+    [a, a, CASE WHEN b <> 0 THEN b ELSE a END,
+     CASE WHEN b <> 0 THEN b ELSE a END, CAST(7 AS BIGINT)],
+    x -> CAST(x AS VARCHAR)), ',') AS filled,
+  array_to_string(list_transform(
+    CASE WHEN b <> 0
+         THEN [[a], [CAST(0 AS BIGINT), b],
+               [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]]
+         ELSE [[a], [CAST(0 AS BIGINT)], [CAST(0 AS BIGINT)],
+               [CAST(0 AS BIGINT), CAST(7 AS BIGINT)]] END,
+    g -> array_to_string(list_transform(g, x -> CAST(x AS VARCHAR)), ',')),
+    ';') AS groups,
   CAST(NULL AS BIGINT) AS oob,
   CAST(0 AS BIGINT) AS from_end,
   CASE WHEN b >= 4 THEN b ELSE CAST(7 AS BIGINT) END AS first_ge4
@@ -5120,12 +5172,15 @@ def chsql_array_fill_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ChSparkEngine(sf_dir, spark).sql(
         """
 SELECT event_id,
-  arrayFill(x -> x != 0,
-            [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
-             toInt64(0), toInt64(7)]) AS filled,
-  arraySplit(x -> x = 0,
-             [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
-              toInt64(0), toInt64(7)]) AS groups,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayFill(x -> x != 0,
+              [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
+               toInt64(0), toInt64(7)])), ',') AS filled,
+  arrayStringConcat(arrayMap(g -> arrayStringConcat(
+      arrayMap(x -> toString(x), g), ','),
+    arraySplit(x -> x = 0,
+               [toInt64(event_id % 3), toInt64(0), toInt64(event_id % 5),
+                toInt64(0), toInt64(7)])), ';') AS groups,
   arrayElementOrNull([toInt64(event_id % 3)], 7) AS oob,
   arrayElementOrNull([toInt64(event_id % 3), toInt64(0), toInt64(1)], -2)
     AS from_end,
@@ -5148,8 +5203,8 @@ SELECT event_id,
        'Array' AS jt_arr,
        'String' AS jt_str,
        'Float64' AS jt_flt,
-       ['k'] AS kv_keys,
-       [CAST(json_extract_string(props, '$.k') AS VARCHAR)] AS kv_vals,
+       'k' AS kv_keys,
+       CAST(json_extract_string(props, '$.k') AS VARCHAR) AS kv_vals,
        CAST((event_id % 5) * 1.0 + (event_id % 3) * 2.0 AS DOUBLE) AS dp
 FROM events WHERE event_id < 300 ORDER BY event_id
 """,
@@ -5176,8 +5231,10 @@ SELECT event_id,
   JSONType('[1, 2]') AS jt_arr,
   JSONType('"x"') AS jt_str,
   JSONType('-2.5e3') AS jt_flt,
-  arrayMap(e -> e.key, JSONExtractKeysAndValues(props, 'String')) AS kv_keys,
-  arrayMap(e -> e.value, JSONExtractKeysAndValues(props, 'String')) AS kv_vals,
+  arrayStringConcat(arrayMap(e -> e.key,
+    JSONExtractKeysAndValues(props, 'String')), ',') AS kv_keys,
+  arrayStringConcat(arrayMap(e -> e.value,
+    JSONExtractKeysAndValues(props, 'String')), ',') AS kv_vals,
   dotProduct([toFloat64(event_id % 5), toFloat64(event_id % 3)],
              [1.0, 2.0]) AS dp
 FROM events WHERE event_id < 300 ORDER BY event_id
@@ -5190,9 +5247,10 @@ FROM events WHERE event_id < 300 ORDER BY event_id
     "kql_make_bag",
     oracle="""
 SELECT event_type,
-       list(CAST(event_id AS VARCHAR)
-            ORDER BY CAST(event_id AS VARCHAR)) AS bag_keys,
-       list(value ORDER BY CAST(event_id AS VARCHAR)) AS bag_vals
+       string_agg(CAST(event_id AS VARCHAR),
+                  ',' ORDER BY CAST(event_id AS VARCHAR)) AS bag_keys,
+       string_agg(printf('%.6f', value),
+                  ',' ORDER BY CAST(event_id AS VARCHAR)) AS bag_vals
 FROM events WHERE event_id < 60
 GROUP BY event_type ORDER BY event_type
 """,
@@ -5204,9 +5262,12 @@ def kql_make_bag(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision; Kusto's pick is likewise arrival-order-dependent, so the
     query uses per-group-unique keys for determinism).  O(bag²) in the
     BAG size, never in rows — the contract is small bags (here ≤60 keys);
-    the oracle rebuilds the same bag as parallel key-sorted key/value
-    arrays (MAP and struct-in-array cells render differently across the
-    pandas paths, so the projection avoids both)."""
+    the oracle rebuilds the same bag as parallel key-sorted comma-joined
+    key/value strings (MAP, struct-in-array, and plain list cells all
+    break the driver's pandas canonicalizer, so the projection emits
+    scalars only)."""
+    from pyspark.sql import functions as F
+
     from clickhouseocp_spark.engine import ChSparkEngine
 
     eng = ChSparkEngine(sf_dir, spark)
@@ -5223,7 +5284,14 @@ events
 """,
         dialect="kusto",
     )
-    return df
+    return df.select(
+        "event_type",
+        F.expr("array_join(bag_keys, ',')").alias("bag_keys"),
+        F.expr(
+            "array_join(transform(bag_vals,"
+            " __x -> format_string('%.6f', __x)), ',')"
+        ).alias("bag_vals"),
+    )
 
 
 @register(

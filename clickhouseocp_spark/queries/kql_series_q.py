@@ -15,6 +15,12 @@ integer-exact in DOUBLE, so every derived element is the same IEEE double
 on both engines; the oracles REPLAY the closed-form formulas textually
 (never regr_*/stddev built-ins) so arithmetic matches bitwise, with
 round(6) as belt-and-braces.
+
+Output shape (round 9): every series is emitted COMMA-JOINED — the driver
+canonicalizes collected frames via pandas.sort_values, which crashes on
+unhashable list cells, so list cells never reach the driver hash.  Doubles
+render through a fixed printf format on both engines; NULL elements render
+as the literal 'NULL'.
 """
 
 from __future__ import annotations
@@ -22,6 +28,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from clickhouseocp_spark.queries import register
+
+
+def _sj(col: str, alias: str | None = None) -> F.Column:
+    """Comma-join a double series: round(6) + printf('%.6f') per element
+    (NULL → 'NULL'), so the rendered digits are deterministic given
+    bitwise-equal rounded doubles on both engines."""
+    # NB: format_string renders a NULL argument as the literal 'null'
+    # (Java Formatter), so the NULL branch must be explicit.
+    return F.expr(
+        f"array_join(transform({col}, __x -> if(isnull(__x),"
+        " 'NULL', format_string('%.6f', round(__x, 6)))), ',')"
+    ).alias(alias or col)
+
+
+def _sj_raw(col: str, alias: str | None = None) -> F.Column:
+    """Comma-join an int/bool series via plain CAST AS STRING."""
+    return F.expr(
+        f"array_join(transform({col}, __x -> if(isnull(__x),"
+        " 'NULL', cast(__x as string))), ',')"
+    ).alias(alias or col)
 
 #: shared oracle prelude: replay make-series daily binning with auto bounds
 #: (epoch-aligned grid, global min/max bin, axis end-exclusive)
@@ -59,12 +85,18 @@ st AS (
          list_sum(list_transform(n, x -> x * x)) AS nss
   FROM ser)
 SELECT event_type,
-  list_transform(list_zip(s, n), z -> round(z[1] + z[2], 6)) AS ssum,
-  list_transform(list_zip(s, n), z -> round(z[1] - z[2], 6)) AS sdif,
-  list_transform(n, x -> round(x * x, 6)) AS sprod,
-  list_transform(list_zip(s, n), z -> round(z[1] / (z[2] + 1.0), 6)) AS srat,
-  list_transform(s, x -> x > 100.0) AS sgt,
-  list_transform(n, x -> round(abs(x - 70.0), 6)) AS sab,
+  array_to_string(list_transform(list_zip(s, n),
+    z -> printf('%.6f', round(z[1] + z[2], 6))), ',') AS ssum,
+  array_to_string(list_transform(list_zip(s, n),
+    z -> printf('%.6f', round(z[1] - z[2], 6))), ',') AS sdif,
+  array_to_string(list_transform(n,
+    x -> printf('%.6f', round(x * x, 6))), ',') AS sprod,
+  array_to_string(list_transform(list_zip(s, n),
+    z -> printf('%.6f', round(z[1] / (z[2] + 1.0), 6))), ',') AS srat,
+  array_to_string(list_transform(s,
+    x -> CAST(x > 100.0 AS VARCHAR)), ',') AS sgt,
+  array_to_string(list_transform(n,
+    x -> printf('%.6f', round(abs(x - 70.0), 6))), ',') AS sab,
   round(list_sum(s), 6) AS tot,
   list_max(n) AS mxn,
   list_min(n) AS mnn,
@@ -116,10 +148,9 @@ events
 """,
         dialect="kusto",
     )
-    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
     return df.select(
-        "event_type", rnd("ssum"), rnd("sdif"), rnd("sprod"), rnd("srat"),
-        "sgt", rnd("sab"), "tot", "mxn", "mnn", "avgs",
+        "event_type", _sj("ssum"), _sj("sdif"), _sj("sprod"), _sj("srat"),
+        _sj_raw("sgt"), _sj("sab"), "tot", "mxn", "mnn", "avgs",
         "st_min", "st_min_idx", "st_max", "st_max_idx",
         "st_avg", "st_stdev", "st_sum", "st_len",
     )
@@ -144,16 +175,20 @@ w AS (
             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
   FROM cells)
 SELECT event_type,
-  list(round(v, 6) ORDER BY i) AS v_r,
-  list(round(pv, 6) ORDER BY i) AS ff,
-  list(round(nv, 6) ORDER BY i) AS bf,
-  list(round(COALESCE(v, 0.0), 6) ORDER BY i) AS cf,
-  list(round(COALESCE(v,
+  string_agg(COALESCE(printf('%.6f', round(v, 6)), 'NULL'),
+             ',' ORDER BY i) AS v_r,
+  string_agg(COALESCE(printf('%.6f', round(pv, 6)), 'NULL'),
+             ',' ORDER BY i) AS ff,
+  string_agg(COALESCE(printf('%.6f', round(nv, 6)), 'NULL'),
+             ',' ORDER BY i) AS bf,
+  string_agg(printf('%.6f', round(COALESCE(v, 0.0), 6)),
+             ',' ORDER BY i) AS cf,
+  string_agg(printf('%.6f', round(COALESCE(v,
     CASE WHEN pv IS NULL THEN nv
          WHEN nv IS NULL THEN pv
          WHEN ni = pi THEN pv
          ELSE pv + (nv - pv) * CAST(i - pi AS DOUBLE) / CAST(ni - pi AS DOUBLE)
-    END), 6) ORDER BY i) AS lin
+    END), 6)), ',' ORDER BY i) AS lin
 FROM w GROUP BY event_type ORDER BY event_type
 """,
     tags=("kql", "dialect", "timeseries"),
@@ -183,10 +218,9 @@ events
 """,
         dialect="kusto",
     )
-    rnd = lambda c, a: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(a)  # noqa: E731
     return df.select(
-        "event_type", rnd("v", "v_r"), rnd("ff", "ff"), rnd("bf", "bf"),
-        rnd("cf", "cf"), rnd("lin", "lin"),
+        "event_type", _sj("v", "v_r"), _sj("ff"), _sj("bf"),
+        _sj("cf"), _sj("lin"),
     )
 
 
@@ -221,8 +255,9 @@ SELECT event_type,
     AS rsquare,
   round(sstot / (n - 1), 6) AS variance,
   round(ssres / (n - 1), 6) AS rvariance,
-  list_transform(generate_series(0, CAST(n AS INT) - 1),
-                 k -> round(icpt + slope * CAST(k AS DOUBLE), 6)) AS line_fit,
+  array_to_string(list_transform(generate_series(0, CAST(n AS INT) - 1),
+    k -> printf('%.6f', round(icpt + slope * CAST(k AS DOUBLE), 6))), ',')
+    AS line_fit,
   round((n * sab - sy * syy) /
         (sqrt(n * syy - sy * sy) * sqrt(n * sbb - syy * syy)), 6) AS pc
 FROM l4 ORDER BY event_type
@@ -259,7 +294,10 @@ events
 """,
         dialect="kusto",
     )
-    return df
+    return df.select(
+        "event_type", "slope", "interception", "rsquare", "variance",
+        "rvariance", _sj("line_fit"), "pc",
+    )
 
 
 @register(
@@ -298,17 +336,19 @@ rstat AS (
          SUM(resid * resid) AS ss, CAST(COUNT(*) AS DOUBLE) AS nn
   FROM rs GROUP BY event_type)
 SELECT r.event_type,
-  list(round(r.seas, 6) ORDER BY r.i) AS seas,
-  list(round(r.trend, 6) ORDER BY r.i) AS trend,
-  list(round(r.seas + r.trend, 6) ORDER BY r.i) AS baseline,
-  list(round(r.resid, 6) ORDER BY r.i) AS resid,
-  list(round((r.resid - t.m) / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)), 6)
-       ORDER BY r.i) AS score,
-  list(CASE WHEN (r.resid - t.m)
+  string_agg(printf('%.6f', round(r.seas, 6)), ',' ORDER BY r.i) AS seas,
+  string_agg(printf('%.6f', round(r.trend, 6)), ',' ORDER BY r.i) AS trend,
+  string_agg(printf('%.6f', round(r.seas + r.trend, 6)), ',' ORDER BY r.i)
+    AS baseline,
+  string_agg(printf('%.6f', round(r.resid, 6)), ',' ORDER BY r.i) AS resid,
+  string_agg(printf('%.6f', round(
+      (r.resid - t.m) / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)), 6)),
+    ',' ORDER BY r.i) AS score,
+  string_agg(CAST(CASE WHEN (r.resid - t.m)
                  / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)) > 1.5 THEN 1
             WHEN (r.resid - t.m)
                  / sqrt((t.ss - t.nn * t.m * t.m) / (t.nn - 1)) < -1.5 THEN -1
-            ELSE 0 END ORDER BY r.i) AS flags
+            ELSE 0 END AS VARCHAR), ',' ORDER BY r.i) AS flags
 FROM rs r JOIN rstat t ON r.event_type = t.event_type
 GROUP BY r.event_type ORDER BY r.event_type
 """,
@@ -343,10 +383,9 @@ events
 """,
         dialect="kusto",
     )
-    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
     return df.select(
-        "event_type", rnd("seas"), rnd("trend"), rnd("baseline"),
-        rnd("resid"), rnd("score"), "flags",
+        "event_type", _sj("seas"), _sj("trend"), _sj("baseline"),
+        _sj("resid"), _sj("score"), _sj_raw("flags"),
     )
 
 
@@ -372,11 +411,11 @@ qs AS (
   FROM ser)
 SELECT event_type,
   round(q1, 6) AS q1, round(q3, 6) AS q3,
-  list_transform(v, e -> round(CASE
+  array_to_string(list_transform(v, e -> printf('%.6f', round(CASE
     WHEN q3 - q1 = 0 THEN 0.0
     WHEN e > q3 + 1.5 * (q3 - q1) THEN (e - q3) / (q3 - q1) - 1.5
     WHEN e < q1 - 1.5 * (q3 - q1) THEN (e - q1) / (q3 - q1) + 1.5
-    ELSE 0.0 END, 6)) AS scores
+    ELSE 0.0 END, 6))), ',') AS scores
 FROM qs ORDER BY event_type
 """,
     tags=("kql", "dialect", "timeseries"),
@@ -422,7 +461,9 @@ events
         F.expr(f"round({q('0.25D')}, 6)").alias("q1"),
         F.expr(f"round({q('0.75D')}, 6)").alias("q3"),
         F.expr(
-            f"transform({_kql_series_outliers(['n'])}, __x -> round(__x, 6))"
+            f"array_join(transform({_kql_series_outliers(['n'])},"
+            " __x -> if(isnull(__x),"
+            " 'NULL', format_string('%.6f', round(__x, 6)))), ',')"
         ).alias("scores"),
     )
 
@@ -451,8 +492,8 @@ iir AS (
     FROM r JOIN fir f ON f.event_type = r.event_type AND f.i = r.i + 1)
   SELECT * FROM r)
 SELECT f.event_type,
-  list(round(f.ma, 6) ORDER BY f.i) AS ma,
-  list(round(x.yi, 6) ORDER BY x.i) AS ema
+  string_agg(printf('%.6f', round(f.ma, 6)), ',' ORDER BY f.i) AS ma,
+  string_agg(printf('%.6f', round(x.yi, 6)), ',' ORDER BY x.i) AS ema
 FROM fir f JOIN iir x ON f.event_type = x.event_type AND f.i = x.i
 GROUP BY f.event_type ORDER BY f.event_type
 """,
@@ -480,5 +521,4 @@ events
 """,
         dialect="kusto",
     )
-    rnd = lambda c: F.expr(f"transform({c}, __x -> round(__x, 6))").alias(c)  # noqa: E731
-    return df.select("event_type", rnd("ma"), rnd("ema"))
+    return df.select("event_type", _sj("ma"), _sj("ema"))

@@ -143,10 +143,11 @@ z AS (
 )
 SELECT k,
        array_to_string(pairs, ',') AS zipped,
-       sorted_keys,
-       list_transform(sorted_keys,
-                      x -> CAST(x[2:] AS BIGINT) * 10 + 1) AS sorted_vals,
-       list_reverse_sort(sorted_keys) AS rev_keys
+       array_to_string(sorted_keys, ',') AS sorted_keys,
+       array_to_string(list_transform(sorted_keys,
+         x -> CAST(CAST(x[2:] AS BIGINT) * 10 + 1 AS VARCHAR)), ',')
+         AS sorted_vals,
+       array_to_string(list_reverse_sort(sorted_keys), ',') AS rev_keys
 FROM z
 """,
     tags=("scalar", "array", "map"),
@@ -156,8 +157,8 @@ def array_zip_map_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ones padded with NULL — Spark's native arrays_zip contract) plus
     ``mapSort`` / ``mapReverseSort`` (entry reorder by key, lowered to
     map_entries → array_sort → map_from_entries).  The zip renders as a
-    'a:b' string list and the maps as key/value arrays so the driver hash
-    sees plain comparable columns."""
+    comma-joined 'a:b' string and the maps as comma-joined key/value
+    strings so the driver hash sees plain comparable columns."""
     sup = load_table(spark, sf_dir, "supplier")
     s = F.col("s_suppkey")
     src = sup.select(
@@ -198,9 +199,14 @@ def array_zip_map_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     return src.select(
         "k",
         zipped.alias("zipped"),
-        F.map_keys(ch.mapSort(m)).alias("sorted_keys"),
-        F.map_values(ch.mapSort(m)).alias("sorted_vals"),
-        F.map_keys(ch.mapReverseSort(m)).alias("rev_keys"),
+        F.array_join(F.map_keys(ch.mapSort(m)), ",").alias("sorted_keys"),
+        F.array_join(
+            F.transform(
+                F.map_values(ch.mapSort(m)), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("sorted_vals"),
+        F.array_join(F.map_keys(ch.mapReverseSort(m)), ",").alias("rev_keys"),
     )
 
 

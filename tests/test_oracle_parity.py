@@ -19,6 +19,24 @@ def test_query_matches_oracle(spark, sf_dir, name):
         assert res.spark_rows == res.oracle_rows
 
 
+def test_no_driver_unsafe_output_schemas(spark, sf_dir):
+    """Driver-output-shape hygiene gate (round-8 verdict #3): the driver
+    canonicalizes collected frames via pandas.sort_values over all columns,
+    which crashes on unhashable cells — so no registry query may emit a
+    top-level Array/Map/Struct column.  Arrays must render comma-joined
+    (array_join(transform(cast))); maps as parallel key/value strings.
+    compare_query enforces the same gate per-query; this test gives one
+    whole-registry failure message."""
+    from clickhouseocp_spark.testing import driver_unsafe_columns
+
+    bad = {}
+    for name, q in QUERIES.items():
+        cols = driver_unsafe_columns(q.fn(spark, sf_dir))
+        if cols:
+            bad[name] = cols
+    assert not bad, f"driver-unsafe output schemas: {bad}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as entry_mod
 
