@@ -237,10 +237,12 @@ def _tuple_arith(args: list[str], op: str) -> str:
 
 
 def _json_type(args: list[str]) -> str:
-    """JSONType(json): the root value's JSON type name from its first
-    significant byte (Object/Array/String/Bool/Null/Int64/Float64 — the
-    numeric split keys off '.', 'e', 'E'); deviation: CH inspects parsed
-    values, this inspects syntax — identical on valid JSON."""
+    """JSONType(json): the root value's JSON type name, matching CH's
+    simdjson element names — floats are 'Double' (not 'Float64'), integers
+    beyond int64 parse as 'UInt64' when non-negative and fall back to
+    'Double' when negative (simdjson's own overflow rule); deviation: CH
+    inspects parsed values, this inspects syntax — identical on valid
+    JSON."""
     j = f"trim({args[0]})"
     return (
         f"CASE WHEN {j} IS NULL OR {j} = '' THEN 'Null' "
@@ -249,8 +251,11 @@ def _json_type(args: list[str]) -> str:
         f"WHEN startswith({j}, '\"') THEN 'String' "
         f"WHEN {j} IN ('true', 'false') THEN 'Bool' "
         f"WHEN {j} = 'null' THEN 'Null' "
-        f"WHEN {j} RLIKE '^-?[0-9]+$' THEN 'Int64' "
-        f"ELSE 'Float64' END"
+        f"WHEN {j} RLIKE '^-?[0-9]+$' THEN "
+        f"CASE WHEN try_cast({j} AS BIGINT) IS NOT NULL THEN 'Int64' "
+        f"WHEN NOT startswith({j}, '-') THEN 'UInt64' "
+        f"ELSE 'Double' END "
+        f"ELSE 'Double' END"
     )
 
 
@@ -317,6 +322,8 @@ def _map_apply(args: list[str]) -> str:
             f"mapApply needs '(k, v) -> (kexpr, vexpr)', got {args[0]!r}"
         )
     k, v, body = m.group(1), m.group(2), m.group(3)
+    if k == v:
+        raise ChSqlError(f"mapApply lambda parameters must differ, got {k!r}")
     parts = _split_args(body)
     if len(parts) != 2:
         raise ChSqlError(
@@ -332,8 +339,13 @@ def _map_apply(args: list[str]) -> str:
             return f"\x00{len(lits) - 1}\x00"
 
         masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, p)
-        masked = re.sub(rf"\b{k}\b", "__e.key", masked)
-        masked = re.sub(rf"\b{v}\b", "__e.value", masked)
+        # single-pass alternation: substituting sequentially would let a
+        # param named 'key'/'value' corrupt the already-injected __e.key
+        masked = re.sub(
+            rf"\b(?:{re.escape(k)}|{re.escape(v)})\b",
+            lambda mm: "__e.key" if mm.group(0) == k else "__e.value",
+            masked,
+        )
         return re.sub(
             r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], masked
         ).strip()
@@ -1485,10 +1497,13 @@ FUNC_RULES: dict[str, object] = {
     # round-8 map vocabulary (batch 17)
     "mapApply": lambda args: _map_apply(args),
     "mapUpdate": lambda args: (
-        # values from the SECOND map win on key collision (CH contract);
-        # map_zip_with visits the key union, so new keys survive too
-        f"map_zip_with({args[0]}, {args[1]}, "
-        f"(__k, __v1, __v2) -> coalesce(__v2, __v1))"
+        # entries from the SECOND map win on KEY PRESENCE (CH contract) —
+        # an entry fold, not coalesce-by-value, so a key explicitly mapped
+        # to NULL in the second map still replaces the first map's value
+        f"map_from_entries(concat("
+        f"filter(map_entries({args[0]}), "
+        f"__e -> NOT array_contains(map_keys({args[1]}), __e.key)), "
+        f"map_entries({args[1]})))"
     ),
     "mapContainsKeyLike": lambda args: (
         f"exists(map_keys({args[0]}), __k -> __k LIKE {args[1]})"

@@ -683,6 +683,10 @@ class ChSparkEngine:
                 if mtail.group(1):
                     self._ttl_exprs = getattr(self, "_ttl_exprs", {})
                     self._ttl_exprs[t] = transpile_expr(mtail.group(1).strip())
+                else:
+                    # re-CREATE without TTL must not inherit a prior
+                    # same-named table's TTL expression
+                    getattr(self, "_ttl_exprs", {}).pop(t, None)
                 fields = []
                 for coldef in _split_assignments(text[start + 1 : end]):
                     parts = coldef.strip().split(None, 1)
@@ -714,6 +718,8 @@ class ChSparkEngine:
                 # expired rows remain readable until a merge runs)
                 self._ttl_exprs = getattr(self, "_ttl_exprs", {})
                 self._ttl_exprs[t] = transpile_expr(m.group(5).strip())
+            else:
+                getattr(self, "_ttl_exprs", {}).pop(t, None)
             df = self.sql(m.group(6))
             return self._create_table(t, df, partition, order)
         m = _re.match(
@@ -825,6 +831,14 @@ class ChSparkEngine:
                 self._dropped[t] = self.tables[t]
                 self.spark.catalog.dropTempView(t)
                 del self.tables[t]
+                # TTL is table metadata: it must not survive the drop and
+                # silently apply to a later same-named table — park it
+                # alongside the lineage so UNDROP restores it too
+                ttl = getattr(self, "_ttl_exprs", {}).pop(t, None)
+                if ttl is not None:
+                    if not hasattr(self, "_dropped_ttl"):
+                        self._dropped_ttl = {}
+                    self._dropped_ttl[t] = ttl
             return self.spark.range(0).select(F.lit(t).alias("dropped")).limit(0)
         m = _re.match(
             r"(?is)^BACKUP\s+TABLE\s+(\w+)\s+TO\s+"
@@ -859,6 +873,10 @@ class ChSparkEngine:
             parked = getattr(self, "_dropped", {}).pop(t, None)
             if parked is None:
                 raise ChSqlError(f"UNDROP TABLE: no recoverable table {t!r}")
+            ttl = getattr(self, "_dropped_ttl", {}).pop(t, None)
+            if ttl is not None:
+                self._ttl_exprs = getattr(self, "_ttl_exprs", {})
+                self._ttl_exprs[t] = ttl
             return self._set_lineage(t, parked)
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+(DROP|DETACH|ATTACH)\s+PARTITION\s+"
@@ -959,13 +977,23 @@ class ChSparkEngine:
             dt = dict(base.dtypes).get(col)
             if dt is None:
                 raise ChSqlError(f"CLEAR COLUMN: no column {col!r} on {t!r}")
-            defaults = {"string": F.lit("")}
-            zero = defaults.get(
-                dt,
-                F.lit(0) if not dt.startswith(("timestamp", "date", "array",
-                                               "map", "struct", "binary"))
-                else F.lit(None),
-            )
+            # CH type defaults: epoch date/timestamp, empty string/array/
+            # map/binary, zero numerics; structs (CH tuples) default
+            # field-wise — approximated as NULL (documented deviation)
+            if dt == "string":
+                zero = F.lit("")
+            elif dt == "binary":
+                zero = F.lit(b"")
+            elif dt.startswith(("timestamp", "date")):
+                zero = F.lit("1970-01-01 00:00:00")
+            elif dt.startswith("array"):
+                zero = F.expr(f"CAST(array() AS {dt})")
+            elif dt.startswith("map"):
+                zero = F.expr(f"CAST(map() AS {dt})")
+            elif dt.startswith("struct"):
+                zero = F.lit(None)
+            else:
+                zero = F.lit(0)
             return self._set_lineage(t, base.withColumn(col, zero.cast(dt)))
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+COMMENT\s+COLUMN\s+"
@@ -1024,11 +1052,15 @@ class ChSparkEngine:
         )
         if m:
             t = m.group(1).lower()
+            ttl = getattr(self, "_ttl_exprs", {}).get(t)
             if m.group(3):
                 # OPTIMIZE ... DEDUPLICATE: drop fully-identical rows (CH
-                # semantics: all columns equal), keeping one
-                return self._set_lineage(t, self._base_table(t).distinct())
-            ttl = getattr(self, "_ttl_exprs", {}).get(t)
+                # semantics: all columns equal), keeping one.  Merges always
+                # apply row TTL, deduplicating merges included.
+                out = self._base_table(t)
+                if ttl:
+                    out = out.where(F.expr(ttl) > F.current_timestamp())
+                return self._set_lineage(t, out.distinct())
             if ttl:
                 # merges apply row TTL: keep rows whose TTL timestamp is
                 # still in the future (expired rows were readable until now

@@ -5200,9 +5200,10 @@ SELECT event_id,
        CAST((event_id % 7) * 2 AS BIGINT) AS tm2,
        'Object' AS jt_props,
        'Int64' AS jt_num,
+       'UInt64' AS jt_big,
        'Array' AS jt_arr,
        'String' AS jt_str,
-       'Float64' AS jt_flt,
+       'Double' AS jt_flt,
        'k' AS kv_keys,
        CAST(json_extract_string(props, '$.k') AS VARCHAR) AS kv_vals,
        CAST((event_id % 5) * 1.0 + (event_id % 3) * 2.0 AS DOUBLE) AS dp
@@ -5228,6 +5229,7 @@ SELECT event_id,
                              (toInt64(2), toInt64(0))), 1) AS tm2,
   JSONType(props) AS jt_props,
   JSONType('42') AS jt_num,
+  JSONType('18446744073709551615') AS jt_big,
   JSONType('[1, 2]') AS jt_arr,
   JSONType('"x"') AS jt_str,
   JSONType('-2.5e3') AS jt_flt,

@@ -1859,11 +1859,51 @@ def test_map_vocabulary_batch17(spark):
     assert r.has_be is True and r.has_z is False
     assert r.ek == ["alpha"]
     assert r.d0 == 0.0 and r.d1 == 1.0
+    # round-9 advisory fixes:
+    # mapUpdate — a key explicitly mapped to NULL in the second map WINS
+    # (key presence, not value coalescing)
+    r2 = spark.sql(
+        transpile(
+            "SELECT mapValues(mapUpdate(map('a', 1, 'b', 2), "
+            "map_from_arrays(array('b'), array(CAST(NULL AS INT))))) AS uv2"
+        )
+    ).collect()[0]
+    assert r2.uv2 == [1, None]
+    # mapApply — a value parameter named 'key' must not corrupt the
+    # injected __e.key reference (single-pass substitution)
+    r3 = spark.sql(
+        transpile(
+            "SELECT mapValues(mapApply((k, key) -> (k, key + 1), "
+            "map('a', 5))) AS av3"
+        )
+    ).collect()[0]
+    assert r3.av3 == [6]
     # unsupported lambda shape is a clear error, not silent garbage
     import pytest as _pytest
 
     with _pytest.raises(ChSqlError):
         transpile("SELECT mapApply(v -> v, map('a', 1)) AS bad")
+    with _pytest.raises(ChSqlError):
+        transpile("SELECT mapApply((x, x) -> (x, x), map('a', 1)) AS bad2")
+
+
+def test_json_type_simdjson_names(spark):
+    """JSONType matches CH's simdjson element names (round-9 advisory fix):
+    floats are 'Double', integers beyond int64 are 'UInt64' when
+    non-negative and 'Double' when negative."""
+    from clickhouseocp_spark.chsql import transpile
+
+    r = spark.sql(
+        transpile(
+            "SELECT JSONType('1.5') AS f, JSONType('-2.5e3') AS fe, "
+            "JSONType('42') AS i, JSONType('-42') AS ni, "
+            "JSONType('18446744073709551615') AS u, "
+            "JSONType('-18446744073709551615') AS nu"
+        )
+    ).collect()[0]
+    assert r.f == "Double" and r.fe == "Double"
+    assert r.i == "Int64" and r.ni == "Int64"
+    assert r.u == "UInt64" and r.nu == "Double"
 
 
 def test_kql_bag_unpack_mechanics(spark):

@@ -1209,3 +1209,84 @@ def test_mergetree_ttl_lifecycle(spark, sf_dir):
     eng.sql("OPTIMIZE TABLE ttl_b FINAL", dialect="clickhouse")
     n = eng.sql("SELECT count() AS n FROM ttl_b", dialect="ch").collect()[0].n
     assert n == 10
+
+
+def test_ttl_metadata_lifecycle(spark, sf_dir):
+    """TTL is table metadata (round-9 advisory fix): DROP TABLE clears it,
+    re-CREATE without a TTL clause does not inherit the old expression,
+    UNDROP restores it, and OPTIMIZE ... DEDUPLICATE applies TTL too (CH
+    merges always apply TTL, deduplicating merges included)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE ttl_m ENGINE = MergeTree ORDER BY event_id "
+        "TTL if(event_type = 'click', ts, ts + INTERVAL 100 YEAR) "
+        "AS SELECT * FROM events",
+        dialect="clickhouse",
+    )
+    total = eng.sql("SELECT count() AS n FROM ttl_m", dialect="ch").first().n
+    # DEDUPLICATE merge applies the TTL as well (rows are already unique,
+    # so any row loss is the TTL filter, not the dedup)
+    eng.sql("OPTIMIZE TABLE ttl_m FINAL DEDUPLICATE", dialect="clickhouse")
+    kept = eng.sql("SELECT count() AS n FROM ttl_m", dialect="ch").first().n
+    assert kept < total
+    types = {
+        r.event_type
+        for r in eng.sql(
+            "SELECT DISTINCT event_type FROM ttl_m", dialect="ch"
+        ).collect()
+    }
+    assert "click" not in types
+    # DROP parks the TTL; a re-created same-named table without TTL must
+    # not inherit it — OPTIMIZE deletes nothing
+    eng.sql("DROP TABLE ttl_m", dialect="clickhouse")
+    eng.sql(
+        "CREATE TABLE ttl_m ENGINE = MergeTree ORDER BY event_id "
+        "AS SELECT * FROM events",
+        dialect="clickhouse",
+    )
+    eng.sql("OPTIMIZE TABLE ttl_m FINAL", dialect="clickhouse")
+    n2 = eng.sql("SELECT count() AS n FROM ttl_m", dialect="ch").first().n
+    assert n2 == total
+    # UNDROP restores the parked TTL alongside the lineage
+    eng.sql("DROP TABLE ttl_m", dialect="clickhouse")
+    eng.sql(
+        "CREATE TABLE ttl_u ENGINE = MergeTree ORDER BY event_id "
+        "TTL if(event_type = 'click', ts, ts + INTERVAL 100 YEAR) "
+        "AS SELECT * FROM events",
+        dialect="clickhouse",
+    )
+    eng.sql("DROP TABLE ttl_u", dialect="clickhouse")
+    eng.sql("UNDROP TABLE ttl_u", dialect="clickhouse")
+    eng.sql("OPTIMIZE TABLE ttl_u FINAL", dialect="clickhouse")
+    types_u = {
+        r.event_type
+        for r in eng.sql(
+            "SELECT DISTINCT event_type FROM ttl_u", dialect="ch"
+        ).collect()
+    }
+    assert "click" not in types_u
+
+
+def test_clear_column_type_defaults(spark, sf_dir):
+    """ALTER TABLE ... CLEAR COLUMN resets to the CH TYPE DEFAULT (round-9
+    advisory fix): epoch timestamp for DateTime, empty array — not NULL."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    eng.sql(
+        "CREATE TABLE cc_t ENGINE = Memory AS "
+        "SELECT event_id, ts, event_type, array(event_id, 1) AS arr "
+        "FROM events LIMIT 5",
+        dialect="clickhouse",
+    )
+    eng.sql("ALTER TABLE cc_t CLEAR COLUMN ts", dialect="clickhouse")
+    eng.sql("ALTER TABLE cc_t CLEAR COLUMN arr", dialect="clickhouse")
+    eng.sql("ALTER TABLE cc_t CLEAR COLUMN event_type", dialect="clickhouse")
+    rows = eng.sql(
+        "SELECT ts, arr, event_type FROM cc_t", dialect="ch"
+    ).collect()
+    assert all(r.ts is not None and r.ts.year == 1970 for r in rows)
+    assert all(r.arr == [] for r in rows)
+    assert all(r.event_type == "" for r in rows)
