@@ -1569,6 +1569,18 @@ def _scan(
         )
     keys = keys or []
     txt = rest.strip()
+    # kind=concurrent selects the Kusto-FAITHFUL machine set (one active
+    # sequence per step, promotion/absorption per record, sequences never
+    # retire) — see _scan_concurrent.  Bare scan keeps the greedy
+    # single-machine linear subset for the windowFunnel/sessionize shape
+    # (documented deviation; the flag itself is a repo extension — Kusto
+    # needs none because concurrent IS its only mode).
+    mk = re.match(
+        r"^kind\s*=\s*concurrent\s+(.*)$", txt, re.IGNORECASE | re.DOTALL
+    )
+    concurrent = bool(mk)
+    if mk:
+        txt = mk.group(1).strip()
     mm = re.match(
         r"^with_match_id\s*=\s*([A-Za-z_]\w*)\s+(.*)$", txt,
         re.IGNORECASE | re.DOTALL,
@@ -1629,18 +1641,26 @@ def _scan(
         # is a row-field ref (simultaneous-assignment semantics, documented)
         return _qualify_idents(_expr(e), "__r.__row.", var_refs)
 
-    steps: list[tuple[str, str, dict[str, str]]] = []
+    steps: list[tuple[str, str, dict[str, str], str]] = []
+    raw_steps: list[tuple[str, str, dict[str, str], str]] = []
     for item in _split_top(mw.group(1), ";"):
         if not item.strip():
             continue
         ms = re.match(
-            r"^step\s+([A-Za-z_]\w*)\s*:\s*(.+)$", item.strip(),
+            r"^step\s+([A-Za-z_]\w*)\s*"
+            r"(?:output\s*=\s*(all|none)\s*)?:\s*(.+)$",
+            item.strip(),
             re.IGNORECASE | re.DOTALL,
         )
         if not ms:
-            raise KqlError(f"scan: each step is 'step name: pred', got {item!r}")
-        body = ms.group(2)
+            raise KqlError(
+                f"scan: each step is 'step name [output=all|none]: pred', "
+                f"got {item!r}"
+            )
+        out_mode = (ms.group(2) or "all").lower()
+        body = ms.group(3)
         assigns: dict[str, str] = {}
+        raw_assigns: dict[str, str] = {}
         if "=>" in body:
             pred_txt, assign_txt = body.split("=>", 1)
             if not decls:
@@ -1657,11 +1677,17 @@ def _scan(
                         f"got {a_item!r}"
                     )
                 assigns[ma.group(1)] = _sx(ma.group(2))
+                raw_assigns[ma.group(1)] = ma.group(2)
         else:
             pred_txt = body
-        steps.append((ms.group(1), _sx(pred_txt), assigns))
+        steps.append((ms.group(1), _sx(pred_txt), assigns, out_mode))
+        raw_steps.append((ms.group(1), pred_txt, raw_assigns, out_mode))
     if not steps:
         raise KqlError("scan needs at least one step")
+    if concurrent:
+        return _scan_concurrent(
+            sub, last_order, keys, decls, raw_steps, match_id
+        )
     part = f"PARTITION BY {', '.join(keys)} " if keys else ""
     grp = f" GROUP BY {', '.join('__row.' + k for k in keys)}" if keys else ""
     n = len(steps)
@@ -1669,7 +1695,7 @@ def _scan(
         f", '__v_{name}', {init}" for name, _t, init in decls
     )
     whens = []
-    for i, (sname, pred, assigns) in enumerate(steps):
+    for i, (sname, pred, assigns, out_mode) in enumerate(steps):
         last = i == n - 1
         nxt = 0 if last else i + 1
         mid = "a.mid + CAST(1 AS BIGINT)" if last else "a.mid"
@@ -1686,11 +1712,18 @@ def _scan(
         emit_vars = "".join(
             f", '__v_{name}', {post[name]}" for name in var_names
         )
+        out_expr = (
+            "a.out"
+            if out_mode == "none"
+            else (
+                f"a.out || array("
+                f"named_struct('__row', __r.__row, '__step', '{sname}', "
+                f"'__mid', a.mid{emit_vars}))"
+            )
+        )
         whens.append(
             f"WHEN a.cur = {i} AND ({pred}) THEN named_struct("
-            f"'cur', {nxt}, 'mid', {mid}{state_vars}, 'out', a.out || array("
-            f"named_struct('__row', __r.__row, '__step', '{sname}', "
-            f"'__mid', a.mid{emit_vars})))"
+            f"'cur', {nxt}, 'mid', {mid}{state_vars}, 'out', {out_expr})"
         )
     fold = "CASE\n      " + "\n      ".join(whens) + "\n      ELSE a END"
     out_cols = "__m.__row.*"
@@ -1704,6 +1737,175 @@ def _scan(
   SELECT aggregate(
     __rows,
     named_struct('cur', 0, 'mid', CAST(0 AS BIGINT){init_vars}, 'out',
+      transform(slice(__rows, 1, 0), __r -> named_struct('__row', __r.__row,
+        '__step', '', '__mid', CAST(0 AS BIGINT){empty_vars}))),
+    (a, __r) -> {fold},
+    a -> a.out) AS __ms
+  FROM (
+    SELECT sort_array(collect_list(struct(__rn, __row))) AS __rows FROM (
+      SELECT __rn, struct(* EXCEPT (__rn)) AS __row FROM (
+        SELECT *, row_number() OVER ({part}ORDER BY {last_order}) AS __rn
+        FROM {sub}
+      ) __sc0
+    ) __sc1{grp}
+  ) __sc2
+) __sc3 LATERAL VIEW explode(__ms) __sct AS __m"""
+
+
+def _scan_concurrent(
+    sub: str,
+    last_order: str,
+    keys: list[str],
+    decls: list[tuple[str, str, str]],
+    raw_steps: list[tuple[str, str, dict[str, str], str]],
+    match_id: str | None,
+) -> str:
+    """The Kusto-FAITHFUL ``scan`` machine set (``scan kind=concurrent``):
+
+    - At most ONE active sequence per step; sequences at different steps
+      run concurrently.
+    - Per record, steps evaluate against the PRE-record machine set
+      (last→first in Kusto; equivalent here because every decision reads
+      the old state): a record satisfying step k's predicate with the
+      step-(k-1) sequence's variables PROMOTES that sequence to step k,
+      replacing any sequence already there; a record satisfying step k
+      with the step-k sequence's own variables (and no promotion passing
+      through) is ABSORBED into it (this is how Kusto's single-step
+      running-total idiom accumulates); a record satisfying step 1 with
+      the INITIAL variable values starts a new sequence when slot 1 is
+      empty or was just vacated by promotion.
+    - Sequences never retire: the step-n sequence keeps absorbing
+      step-n records (Kusto's contract — ``with_match_id`` is unique per
+      sequence, assigned at creation, NOT a completion counter).
+    - ``step name output=none`` advances state without emitting (Kusto's
+      per-step output mode); default ``all`` emits every matched record
+      with its sequence's post-assignment variables.
+
+    Plan shape: identical to the greedy machine — ONE shuffle in the
+    keyed ``partition by`` form (row_number window; groupBy reuses the
+    partitioning; the whole machine set is a single JVM ``aggregate``
+    fold whose state is n nullable slot structs — O(n) per record, n =
+    step count)."""
+    n = len(raw_steps)
+    var_names = [name for name, _t, _i in decls]
+    slot_fields = "".join(f", `__v_{nm}`: {t}" for nm, t, _i in decls)
+    slot_type = f"STRUCT<`mid`: BIGINT{slot_fields}>"
+    null_slot = f"CAST(NULL AS {slot_type})"
+    init_refs = {nm: init for nm, _t, init in decls}
+
+    def refs(slot: str) -> dict[str, str]:
+        return {nm: f"{slot}.__v_{nm}" for nm in var_names}
+
+    def sx(e: str, ctx: dict[str, str]) -> str:
+        return _qualify_idents(_expr(e), "__r.__row.", ctx)
+
+    def pred(i: int, ctx: dict[str, str]) -> str:
+        return sx(raw_steps[i][1], ctx)
+
+    def mk_slot(mid: str, i: int, ctx: dict[str, str]) -> str:
+        assigns = raw_steps[i][2]
+        vars_sql = "".join(
+            f", '__v_{nm}', CAST({sx(assigns[nm], ctx)} AS {t})"
+            if nm in assigns
+            else f", '__v_{nm}', {ctx[nm]}"
+            for nm, t, _i in decls
+        )
+        return f"named_struct('mid', {mid}{vars_sql})"
+
+    def mk_emit(sname: str, mid: str, i: int, ctx: dict[str, str]) -> str:
+        assigns = raw_steps[i][2]
+        vars_sql = "".join(
+            f", '__v_{nm}', CAST({sx(assigns[nm], ctx)} AS {t})"
+            if nm in assigns
+            else f", '__v_{nm}', {ctx[nm]}"
+            for nm, t, _i in decls
+        )
+        return (
+            f"named_struct('__row', __r.__row, '__step', '{sname}', "
+            f"'__mid', {mid}{vars_sql})"
+        )
+
+    # promotion tests read the OLD machine set (simultaneous semantics)
+    promo = ["false"]  # promo[0] unused; promo[k-1] would be creation
+    for k in range(2, n + 1):
+        prev = f"a.s{k - 1}"
+        promo.append(
+            f"({prev} IS NOT NULL AND ({pred(k - 1, refs(prev))}))"
+        )
+    promo.append("false")  # promo[n+1]: nothing vacates the last slot
+    create = (
+        f"((a.s1 IS NULL OR {promo[1] if n > 1 else 'false'}) "
+        f"AND ({pred(0, init_refs)}))"
+    )
+
+    new_slots, emits = [], []
+    for k in range(1, n + 1):
+        cur = f"a.s{k}"
+        vacated = promo[k] if k < n else "false"  # promo INTO k+1 is promo[k]
+        absorb = (
+            f"({cur} IS NOT NULL AND NOT {vacated} "
+            f"AND ({pred(k - 1, refs(cur))}))"
+        )
+        sname = raw_steps[k - 1][0]
+        if k == 1:
+            slot = (
+                f"CASE WHEN {absorb} THEN "
+                f"{mk_slot(f'{cur}.mid', 0, refs(cur))} "
+                f"WHEN {cur} IS NOT NULL AND NOT {vacated} THEN {cur} "
+                f"WHEN {create} THEN {mk_slot('a.seq', 0, init_refs)} "
+                f"ELSE {null_slot} END"
+            )
+            emit = (
+                f"CASE WHEN {absorb} THEN "
+                f"{mk_emit(sname, f'{cur}.mid', 0, refs(cur))} "
+                f"WHEN {create} THEN {mk_emit(sname, 'a.seq', 0, init_refs)} "
+                f"ELSE NULL END"
+            )
+        else:
+            prev = f"a.s{k - 1}"
+            slot = (
+                f"CASE WHEN {promo[k - 1]} THEN "
+                f"{mk_slot(f'{prev}.mid', k - 1, refs(prev))} "
+                f"WHEN {absorb} THEN "
+                f"{mk_slot(f'{cur}.mid', k - 1, refs(cur))} "
+                f"WHEN {cur} IS NOT NULL AND NOT {vacated} THEN {cur} "
+                f"ELSE {null_slot} END"
+            )
+            emit = (
+                f"CASE WHEN {promo[k - 1]} THEN "
+                f"{mk_emit(sname, f'{prev}.mid', k - 1, refs(prev))} "
+                f"WHEN {absorb} THEN "
+                f"{mk_emit(sname, f'{cur}.mid', k - 1, refs(cur))} "
+                f"ELSE NULL END"
+            )
+        new_slots.append(f"'s{k}', {slot}")
+        if raw_steps[k - 1][3] != "none":
+            emits.append(emit)
+    out_append = (
+        f"a.out || filter(array({', '.join(emits)}), __e -> __e IS NOT NULL)"
+        if emits
+        else "a.out"
+    )
+    fold = (
+        f"named_struct('seq', a.seq + IF({create}, CAST(1 AS BIGINT), "
+        f"CAST(0 AS BIGINT)), "
+        + ", ".join(new_slots)
+        + f", 'out', {out_append})"
+    )
+    empty_vars = "".join(
+        f", '__v_{nm}', {init}" for nm, _t, init in decls
+    )
+    init_slots = ", ".join(f"'s{k}', {null_slot}" for k in range(1, n + 1))
+    out_cols = "__m.__row.*"
+    out_cols += "".join(f", __m.__v_{nm} AS {nm}" for nm in var_names)
+    if match_id:
+        out_cols += f", __m.__mid AS {match_id}"
+    part = f"PARTITION BY {', '.join(keys)} " if keys else ""
+    grp = f" GROUP BY {', '.join('__row.' + k for k in keys)}" if keys else ""
+    return f"""SELECT {out_cols} FROM (
+  SELECT aggregate(
+    __rows,
+    named_struct('seq', CAST(0 AS BIGINT), {init_slots}, 'out',
       transform(slice(__rows, 1, 0), __r -> named_struct('__row', __r.__row,
         '__step', '', '__mid', CAST(0 AS BIGINT){empty_vars}))),
     (a, __r) -> {fold},

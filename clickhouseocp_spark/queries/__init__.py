@@ -455,7 +455,11 @@ _DRIVER_WINDOW_R11: list[str] = [
 #: (25 names) — completing full-registry driver coverage — plus the head of
 #: this list; keep it ≤ 25 so round 10's window stays within the 50-name
 #: recording budget.
-_DRIVER_WINDOW_R12: list[str] = []
+_DRIVER_WINDOW_R12: list[str] = [
+    # --- round-9 KQL scan completion: the Kusto-faithful concurrent
+    #     machine set (promotion/absorption/replacement + output modes) ---
+    "kql_scan_concurrent",
+]
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---

@@ -3921,6 +3921,97 @@ events
 
 
 @register(
+    "kql_scan_concurrent",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS s1_mid,
+         CAST(NULL AS BIGINT) AS s2_mid, CAST(0 AS BIGINT) AS s2_cnt,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS VARCHAR) AS estep,
+         CAST(0 AS BIGINT) AS emid, CAST(0 AS BIGINT) AS ecnt
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT b.user_id, b.rn,
+    m.seq + CASE WHEN (m.s1_mid IS NULL
+                       OR (m.s1_mid IS NOT NULL
+                           AND b.event_type IN ('click', 'purchase')))
+                      AND b.event_type = 'signup' THEN 1 ELSE 0 END,
+    CASE WHEN m.s1_mid IS NOT NULL
+              AND NOT (b.event_type IN ('click', 'purchase'))
+         THEN m.s1_mid
+         WHEN b.event_type = 'signup' THEN m.seq
+         ELSE NULL END,
+    CASE WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s1_mid
+         ELSE m.s2_mid END,
+    CASE WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN 1
+         WHEN m.s2_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s2_cnt + 1
+         ELSE m.s2_cnt END,
+    b.ts, b.event_type,
+    CASE WHEN b.event_type = 'signup' THEN 'start'
+         WHEN (m.s1_mid IS NOT NULL OR m.s2_mid IS NOT NULL)
+              AND b.event_type IN ('click', 'purchase') THEN 'act'
+         ELSE NULL END,
+    CASE WHEN b.event_type = 'signup'
+              AND m.s1_mid IS NOT NULL THEN m.s1_mid
+         WHEN b.event_type = 'signup' THEN m.seq
+         WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s1_mid
+         WHEN m.s2_mid IS NOT NULL THEN m.s2_mid
+         ELSE 0 END,
+    CASE WHEN b.event_type = 'signup' THEN 0
+         WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN 1
+         WHEN m.s2_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s2_cnt + 1
+         ELSE 0 END
+  FROM m JOIN base b ON b.user_id = m.user_id AND b.rn = m.rn + 1
+)
+SELECT user_id, ts, event_type, emid AS m, ecnt AS cnt
+FROM m WHERE estep IS NOT NULL ORDER BY user_id, ts
+""",
+    tags=("kql", "dialect", "scan", "funnel"),
+)
+def kql_scan_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``scan kind=concurrent`` (round 9) — the Kusto-FAITHFUL machine set
+    (the bare-scan greedy machine remains the documented linear subset):
+    at most one active sequence per step; a signup starts a new sequence
+    only when slot 1 is free (otherwise it's absorbed); a click/purchase
+    PROMOTES the slot-1 sequence — replacing whatever sequence already sat
+    at slot 2 — or is absorbed into the slot-2 sequence, accumulating the
+    declared counter; sequences never retire, and match_id is unique per
+    sequence (assigned at creation).  Same plan shape as the greedy scan:
+    ONE exchange (the per-key window; the machine set is a single JVM
+    aggregate fold).  The oracle replays the full promotion/absorption/
+    replacement rule set as a DuckDB recursive CTE stepping one row rank
+    at a time."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| partition by user_id (
+    sort by ts asc, event_id asc
+    | scan kind=concurrent with_match_id=m declare (cnt: long = 0) with (
+        step start: event_type == 'signup';
+        step act: event_type == 'click' or event_type == 'purchase'
+          => cnt = cnt + 1))
+| project user_id, ts, event_type, m, cnt
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (

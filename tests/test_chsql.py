@@ -2327,3 +2327,85 @@ def test_kql_join_hint_on_semi_anti(spark):
     for h in ("hint.strategy=broadcast", "hint.strategy=shuffle"):
         got = [r.k for r in spark.sql(transpile_kql(base.format(h=h))).collect()]
         assert got == [1, 3], h
+
+
+def test_kql_scan_concurrent_mechanics(spark):
+    """scan kind=concurrent (round 9) — the Kusto-faithful machine set:
+    one active sequence per step, promotion replaces the target slot,
+    absorption accumulates within a step (the running-total idiom),
+    sequences never retire, match_id is unique per sequence, and
+    step output=none advances state silently."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        """
+let t = datatable(k: string, i: long, et: string, v: long)
+  ['u', 1, 'signup', 10,
+   'u', 2, 'click', 5,
+   'u', 3, 'signup', 20,
+   'u', 4, 'click', 7,
+   'u', 5, 'purchase', 9];
+t
+| partition by k (
+    sort by i asc
+    | scan kind=concurrent with_match_id=m declare (cnt: long = 0) with (
+        step start: et == 'signup';
+        step act: et == 'click' or et == 'purchase' => cnt = cnt + 1))
+| project i, m, cnt
+""",
+        dialect="kusto",
+    ).orderBy("i").collect()
+    # signup@3 starts sequence 1 while sequence 0 sits at step 2; click@4
+    # promotes it, REPLACING sequence 0 (at most one sequence per step);
+    # purchase@5 is absorbed into the step-2 sequence (cnt accumulates)
+    assert [(r.i, r.m, r.cnt) for r in rows] == [
+        (1, 0, 0), (2, 0, 1), (3, 1, 0), (4, 1, 1), (5, 1, 2)
+    ]
+    # single-step running total: every record absorbs into ONE sequence
+    tot = eng.sql(
+        """
+let t = datatable(k: string, i: long, v: long)
+  ['u', 1, 10, 'u', 2, 5, 'u', 3, 7];
+t
+| partition by k (
+    sort by i asc
+    | scan kind=concurrent with_match_id=m declare (total: long = 0) with (
+        step s: true => total = total + v))
+| project i, m, total
+""",
+        dialect="kusto",
+    ).orderBy("i").collect()
+    assert [(r.i, r.m, r.total) for r in tot] == [(1, 0, 10), (2, 0, 15), (3, 0, 22)]
+    # output=none: the start step advances state but emits nothing
+    quiet = eng.sql(
+        """
+let t = datatable(k: string, i: long, et: string)
+  ['u', 1, 'signup', 'u', 2, 'click', 'u', 3, 'click'];
+t
+| partition by k (
+    sort by i asc
+    | scan kind=concurrent with_match_id=m with (
+        step start output=none: et == 'signup';
+        step act: et == 'click'))
+| project i, m
+""",
+        dialect="kusto",
+    ).orderBy("i").collect()
+    assert [(r.i, r.m) for r in quiet] == [(2, 0), (3, 0)]
+    # greedy machine honors output=none too
+    g = eng.sql(
+        """
+let t = datatable(k: string, i: long, et: string)
+  ['u', 1, 'signup', 'u', 2, 'click'];
+t
+| partition by k (
+    sort by i asc
+    | scan with_match_id=m with (
+        step start output=none: et == 'signup';
+        step act: et == 'click'))
+| project i, m
+""",
+        dialect="kusto",
+    ).collect()
+    assert [(r.i, r.m) for r in g] == [(2, 0)]

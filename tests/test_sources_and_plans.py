@@ -381,3 +381,15 @@ def test_round8_plan_shapes(spark, sf_dir):
     assert shuffle_count(reg["prql_group_topn"].fn(spark, sf_dir)) == 1
     assert shuffle_count(reg["kql_search_term"].fn(spark, sf_dir)) == 1
     assert shuffle_count(reg["quality_signals_bundle"].fn(spark, sf_dir)) <= 5
+
+
+def test_round9_plan_shapes(spark, sf_dir):
+    """100 TB gate for the round-9 concurrent scan: identical plan to the
+    greedy machine — the Kusto-faithful machine set folds inside ONE JVM
+    aggregate over the per-key sorted row array, so the extra semantics
+    (n nullable slot structs) cost zero additional exchanges."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    reg = all_queries()
+    assert shuffle_count(reg["kql_scan_concurrent"].fn(spark, sf_dir)) == 1
