@@ -70,9 +70,13 @@ class ChSparkEngine:
     def _register_udfs(self) -> None:
         """CH scalar names with no Spark builtin, exposed to SQL TEXT as
         registered pandas UDFs (idempotent; session-scoped)."""
+        from clickhouseocp_spark.functions.series_fft import register_series_udfs
         from clickhouseocp_spark.functions.text import register_ch_udfs
 
         register_ch_udfs(self.spark)
+        # the FFT period kernel backs both the CH name and the KQL
+        # series_periods_detect subset lowering
+        register_series_udfs(self.spark)
 
     def sql(
         self, query: str, dialect: str = "auto", params: dict | None = None

@@ -856,6 +856,10 @@ _KQL_SCALARS: dict = {
     "series_outliers": _kql_series_outliers,
     "series_fir": _kql_series_fir,
     "series_iir": _kql_series_iir,
+    # subset: the dominant period only (Kusto returns (periods, scores)
+    # dynamic arrays); lowers to the Arrow FFT kernel registered by the
+    # engine under its ClickHouse name (functions/series_fft.py)
+    "series_periods_detect": lambda a: f"seriesPeriodDetectFFT({a[0]})",
 }
 
 
@@ -1322,6 +1326,76 @@ def _parse_op(sub: str, rest: str, where: bool = False) -> str:
         sels.append(f"{e} AS {name}")
     tail = f" WHERE {col} RLIKE '{rx_sql}'" if where else ""
     return f"SELECT *, {', '.join(sels)} FROM {sub}{tail}"
+
+
+def _parse_kv(sub: str, rest: str) -> str:
+    """Kusto ``parse-kv Expr as (k1: t1, k2: t2, ...) with
+    (pair_delimiter='…', kv_delimiter='…')`` — the log-analytics
+    key-value extraction operator.
+
+    Lowering: ONE ``str_to_map`` over the source expression (both
+    delimiters regex-escaped — Spark treats them as regexes), then one
+    typed ``element_at`` per declared key — whole-stage-codegen
+    expressions, no UDF, no per-key rescan of the string.  Subset: the
+    delimited mode with explicit delimiters (defaults ``' '``/``'='``,
+    the Kusto defaults); Kusto's regex/quoting modes are out (documented).
+    Keys absent from a row yield NULL (string keys yield NULL too —
+    matching Kusto's empty-value contract for missing keys under
+    ``try_cast``)."""
+    m = re.match(
+        r"^(.+?)\s+as\s*\((.+?)\)\s*(?:with\s*\((.+)\))?\s*$",
+        rest.strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            f"parse-kv needs 'Expr as (k: type, ...) [with (...)]', got {rest!r}"
+        )
+    expr = _expr(m.group(1))
+    pair_d, kv_d = " ", "="
+    if m.group(3):
+        for item in _split_top(m.group(3)):
+            mp = re.match(
+                r"^\s*(pair_delimiter|kv_delimiter)\s*=\s*'([^']*)'\s*$",
+                item,
+                re.IGNORECASE,
+            )
+            if not mp:
+                raise KqlError(
+                    f"parse-kv subset: pair_delimiter/kv_delimiter "
+                    f"string properties, got {item!r}"
+                )
+            if mp.group(1).lower() == "pair_delimiter":
+                pair_d = mp.group(2)
+            else:
+                kv_d = mp.group(2)
+
+    def _rx_lit(s: str) -> str:
+        # str_to_map delimiters are Java regexes — escape metacharacters,
+        # then SQL-escape (backslashes doubled, quotes doubled)
+        rx = re.sub(r"([^A-Za-z0-9])", r"\\\1", s)
+        return rx.replace("\\", "\\\\").replace("'", "''")
+
+    map_sql = f"str_to_map({expr}, '{_rx_lit(pair_d)}', '{_rx_lit(kv_d)}')"
+    sels = []
+    for item in _split_top(m.group(2)):
+        md = re.match(r"^\s*([A-Za-z_]\w*)\s*(?::\s*(\w+))?\s*$", item)
+        if not md:
+            raise KqlError(f"parse-kv: each key is 'name[: type]', got {item!r}")
+        name, typ = md.group(1), (md.group(2) or "string").lower()
+        if typ not in _PARSE_TYPES:
+            raise KqlError(f"parse-kv: unsupported type {typ!r}")
+        cast = _PARSE_TYPES[typ]
+        e = f"element_at(__kvm, '{name}')"
+        if cast == "timestamp":
+            e = f"try_to_timestamp({e})"
+        elif cast:
+            e = f"try_cast({e} AS {cast})"
+        sels.append(f"{e} AS {name}")
+    return (
+        f"SELECT * EXCEPT (__kvm), {', '.join(sels)} FROM "
+        f"(SELECT *, {map_sql} AS __kvm FROM {sub}) __pkv"
+    )
 
 
 #: mv-apply summarize aggregates → array-expression builders.  Each takes
@@ -2668,6 +2742,8 @@ def _transpile_pipeline(
             rel = _parse_op(sub, rest)
         elif op == "parse-where":
             rel = _parse_op(sub, rest, where=True)
+        elif op == "parse-kv":
+            rel = _parse_kv(sub, rest)
         elif op == "as":
             # `| as Name` binds the pipeline-so-far for later reference
             # (lets-resolved by from/join/lookup/union); passthrough here

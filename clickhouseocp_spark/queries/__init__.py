@@ -459,6 +459,9 @@ _DRIVER_WINDOW_R12: list[str] = [
     # --- round-9 KQL scan completion: the Kusto-faithful concurrent
     #     machine set (promotion/absorption/replacement + output modes) ---
     "kql_scan_concurrent",
+    # --- round-9 KQL log-analytics completions ---
+    "kql_parse_kv",
+    "kql_series_periods",
 ]
 
 _DRIVER_WINDOW_R5 = [

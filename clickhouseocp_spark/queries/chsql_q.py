@@ -4012,6 +4012,76 @@ events
 
 
 @register(
+    "kql_parse_kv",
+    oracle="""
+SELECT event_id, event_type AS type, value AS val, event_id AS id,
+       CAST(NULL AS BIGINT) AS missing
+FROM events WHERE event_id < 500 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "parse"),
+)
+def kql_parse_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``parse-kv`` (round 9) — the log-analytics key-value
+    extraction operator in its delimited mode: ONE str_to_map over the
+    source string (delimiters regex-escaped), one typed element_at per
+    declared key — whole-stage codegen, no per-key rescans, no UDF.  The
+    kv string is rendered from the row's own columns, so parsing it back
+    is the identity and the oracle pins the source values directly (the
+    datetime_best_effort round-trip pattern); a declared key absent from
+    the string yields NULL."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 500
+| extend kv = strcat('type=', event_type, ' val=', tostring(value),
+                     ' id=', tostring(event_id))
+| parse-kv kv as (type: string, val: real, id: long, missing: long)
+| project event_id, type, val, id, missing
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_series_periods",
+    oracle="""
+SELECT event_type,
+       CAST([4, 8, 16][1 + length(event_type) % 3] AS DOUBLE) AS period,
+       CAST([4, 8, 16][1 + length(event_type) % 3] AS DOUBLE) AS detected
+FROM (SELECT DISTINCT event_type FROM events)
+ORDER BY event_type
+""",
+    tags=("kql", "dialect", "timeseries", "udf"),
+)
+def kql_series_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``series_periods_detect`` on the KQL surface (round 9): lowers to
+    the same Arrow FFT kernel as CH's seriesPeriodDetectFFT (dominant
+    spectral period; subset — Kusto returns (periods, scores) arrays).
+    The planted sinusoid's period divides the 64-sample window, so the
+    spectral peak is exact and the oracle closed-forms it."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| distinct event_type
+| extend period = todouble(element_at(array(4, 8, 16),
+                                      1 + strlen(event_type) % 3))
+| extend detected = series_periods_detect(
+    transform(sequence(0, 63), __i -> sin(2 * pi() * __i / period)))
+| project event_type, period, detected
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (

@@ -2409,3 +2409,30 @@ t
         dialect="kusto",
     ).collect()
     assert [(r.i, r.m) for r in g] == [(2, 0)]
+
+
+def test_kql_parse_kv_mechanics(spark):
+    """parse-kv: custom delimiters (regex metacharacters escaped), typed
+    casts, missing keys NULL, and the clear-error contract."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+let t = datatable(s: string)
+  ['a:1|b:2.5|c:x'];
+t
+| parse-kv s as (a: long, b: real, c: string, d: long)
+    with (pair_delimiter='|', kv_delimiter=':')
+| project a, b, c, d
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert (r.a, r.b, r.c, r.d) == (1, 2.5, "x", None)
+    import pytest as _pytest
+
+    with _pytest.raises(KqlError):
+        eng.sql(
+            "events | parse-kv props as (k: blob)", dialect="kusto"
+        )
