@@ -462,6 +462,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     # --- round-9 KQL log-analytics completions ---
     "kql_parse_kv",
     "kql_series_periods",
+    # --- round-9 LLM tier: fuzzy-dedup pipeline end-to-end ---
+    "dedup_fuzzy_e2e",
 ]
 
 _DRIVER_WINDOW_R5 = [

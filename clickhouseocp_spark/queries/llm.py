@@ -971,6 +971,107 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_fuzzy_e2e",
+    oracle="""
+SELECT CAST(3 * COUNT(*) AS BIGINT) AS n_docs,
+       TRUE AS chain_recall_ok,
+       TRUE AS one_survivor_per_component,
+       TRUE AS survivor_is_min_member
+FROM documents
+""",
+    tags=("llm", "dedup", "graph", "bench"),
+)
+def dedup_fuzzy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The standard production fuzzy-dedup pipeline END-TO-END in one query
+    (round 9): MinHash(16)+LSH(4 bands) candidate pairs verified by exact
+    Jaccard ≥ 0.5 → connected components (min-label propagation) →
+    canonical-survivor election (keep the smallest doc_id per component —
+    with min-label CC the component label IS the survivor, so election is
+    the predicate ``doc_id = component``, zero extra shuffles).
+
+    Corpus: the planted 3 tiers (original, −5 words at +1M, −10 words at
+    +2M) — genuine A~B~C chains where A≁C, the non-transitivity that makes
+    pair output alone insufficient.  The LSH banding hashes are
+    engine-specific, so the driver-checked output is the accuracy CONTRACT
+    computed in-query (the dedup_minhash_lsh pattern): ≥80% of originals
+    must end in the same component as BOTH planted copies (banding recall
+    through the chain), each component elects exactly one survivor, and
+    every survivor is its component's smallest member (hence an original
+    whenever the component contains one).
+
+    100 TB shape: LSH bands ship ids only; the verifier is block-scoped;
+    CC rounds ≤ cluster diameter (tiny for dedup graphs); election is
+    free.  Cites reference Dockerfile:102-104 (the pinned ClickHouse
+    serves the same corpus-dedup workloads via groupBy/argMin)."""
+    from clickhouseocp_spark.operators.dedup_text import minhash_lsh_pairs
+    from clickhouseocp_spark.operators.graph import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    words = whitespace_tokens(F.col("text"))
+
+    def dropped(n: int, offset: int) -> DataFrame:
+        trunc = F.array_join(
+            F.slice(words, 1, F.greatest(F.size(words) - n, F.lit(1))), " "
+        )
+        return d.select(
+            (F.col("doc_id") + offset).alias("doc_id"), trunc.alias("text"), "lang"
+        )
+
+    corpus = d.unionByName(dropped(5, 1_000_000)).unionByName(
+        dropped(10, 2_000_000)
+    )
+    pairs = minhash_lsh_pairs(
+        corpus, num_hashes=16, bands=4, shingle_len=3, threshold=0.5
+    ).select("id_a", "id_b")
+    comp = connected_components(
+        corpus.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b"
+    ).persist()
+    orig = comp.filter(F.col("doc_id") < 1_000_000).select(
+        F.col("doc_id").alias("o"), F.col("component").alias("c0")
+    )
+    c1 = comp.select((F.col("doc_id") - 1_000_000).alias("o"),
+                     F.col("component").alias("c1"))
+    c2 = comp.select((F.col("doc_id") - 2_000_000).alias("o"),
+                     F.col("component").alias("c2"))
+    chains = orig.join(c1, "o").join(c2, "o")
+    recall = chains.agg(
+        (
+            F.sum(
+                F.when(
+                    (F.col("c0") == F.col("c1")) & (F.col("c0") == F.col("c2")),
+                    1,
+                ).otherwise(0)
+            )
+            / F.count(F.lit(1))
+            > 0.8
+        ).alias("chain_recall_ok")
+    )
+    survivors = comp.groupBy("component").agg(
+        F.sum((F.col("doc_id") == F.col("component")).cast("int")).alias("ns"),
+        F.count(F.lit(1)).alias("sz"),
+        F.min("doc_id").alias("mn"),
+    )
+    consistency = survivors.agg(
+        (F.sum(F.when(F.col("ns") == 1, 0).otherwise(1)) == 0).alias(
+            "one_survivor_per_component"
+        ),
+        (F.sum(F.when(F.col("component") == F.col("mn"), 0).otherwise(1)) == 0)
+        .alias("survivor_is_min_member"),
+    )
+    n = comp.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n.crossJoin(recall)
+        .crossJoin(consistency)
+        .select(
+            "n_docs",
+            "chain_recall_ok",
+            "one_survivor_per_component",
+            "survivor_is_min_member",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-batch assembly: sequence packing + corpus mixing
 # ---------------------------------------------------------------------------

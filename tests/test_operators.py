@@ -1870,3 +1870,17 @@ def test_series_period_fft_kernel(spark):
     assert r.p8 == 8.0 and r.p16 == 16.0
     # NaN crosses Arrow back as NULL — Spark's rendering of CH's NaN
     assert r.short is None and r.flat is None
+
+
+def test_dedup_fuzzy_e2e_planted_signal(spark, sf_dir):
+    """The end-to-end fuzzy-dedup pipeline (LSH pairs → components →
+    survivor election) on the 3-tier planted corpus: every contract bit
+    holds and the planted chains genuinely collapse (retention well below
+    the no-dedup 3N)."""
+    from clickhouseocp_spark.queries import all_queries
+
+    r = all_queries()["dedup_fuzzy_e2e"].fn(spark, sf_dir).collect()[0]
+    assert r.chain_recall_ok is True
+    assert r.one_survivor_per_component is True
+    assert r.survivor_is_min_member is True
+    assert r.n_docs % 3 == 0 and r.n_docs > 0
