@@ -1658,6 +1658,19 @@ FUNC_RULES: dict[str, object] = {
     # (arrayEnumerateUniq — the running occurrence counter — already lives
     # in the string/array section below via the two-arg transform lambda)
     "toStartOfSecond": lambda args: f"date_trunc('SECOND', {args[0]})",
+    # sub-second truncation family (CH 22.6): Spark timestamps carry
+    # MICROsecond precision, so Millisecond truncates the micros and
+    # Micro/Nanosecond are the identity at this precision (documented —
+    # CH DateTime64(9) carries nanos; ingest paths here cap at micros)
+    # the TIMESTAMP round trip keeps TIMESTAMP_NTZ inputs working
+    # (unix_micros rejects NTZ); ms truncation commutes with the session-tz
+    # offset because offsets are whole seconds
+    "toStartOfMillisecond": lambda args: (
+        f"CAST(timestamp_micros(CAST(floor(unix_micros(CAST({args[0]} "
+        f"AS TIMESTAMP)) / 1000) * 1000 AS BIGINT)) AS TIMESTAMP_NTZ)"
+    ),
+    "toStartOfMicrosecond": lambda args: f"({args[0]})",
+    "toStartOfNanosecond": lambda args: f"({args[0]})",
     "timeDiff": lambda args: (
         f"(unix_timestamp({args[1]}) - unix_timestamp({args[0]}))"
     ),
@@ -2688,6 +2701,17 @@ PARAMETRIC_RULES: dict[str, object] = {
     "quantileExactHigh": lambda p, a: (
         f"element_at(array_sort(collect_list({a[0]})), "
         f"greatest(1, CAST(ceil({p[0]} * (size(collect_list({a[0]})) - 1)) AS INT) + 1))"
+    ),
+    # quantileBFloat16(p)(x) (CH 21.12): values convert to bfloat16 (8-bit
+    # mantissa) before the quantile.  The conversion here is the pure-SQL
+    # TRUNCATION closed form sign·2^(e-8)·⌊|x|/2^(e-8)⌋ (CH rounds to
+    # nearest even — documented deviation ≤ 1 ulp), so oracles replay the
+    # identical expression
+    "quantileBFloat16": lambda p, a: (
+        f"percentile(CASE WHEN {a[0]} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+        f"sign({a[0]}) * pow(2, floor(log2(abs({a[0]}))) - 8) "
+        f"* floor(abs({a[0]}) / pow(2, floor(log2(abs({a[0]}))) - 8)) END, "
+        f"{p[0] if p else '0.5'})"
     ),
     # groupConcat(sep)(x) (CH 24.x; order undefined upstream too — pin it by
     # sorting so results are deterministic across partitionings)

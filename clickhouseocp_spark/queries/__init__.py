@@ -464,6 +464,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_series_periods",
     # --- round-9 LLM tier: fuzzy-dedup pipeline end-to-end ---
     "dedup_fuzzy_e2e",
+    # --- round-9 vocabulary batch 20 ---
+    "chsql_vocab_r20",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5407,6 +5407,89 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 
 
 @register(
+    "chsql_vocab_r20",
+    oracle="""
+WITH g AS (
+  SELECT event_type,
+    string_agg(CAST(event_id % 10 AS VARCHAR), '|'
+               ORDER BY CAST(event_id % 10 AS VARCHAR)) AS gc,
+    round(quantile_cont(CASE WHEN value = 0 THEN 0.0 ELSE
+      sign(value) * pow(2, floor(log2(abs(value))) - 8)
+      * floor(abs(value) / pow(2, floor(log2(abs(value))) - 8)) END,
+      0.5), 6) AS qbf,
+    array_to_string(list_transform(list_sort(list(event_id % 7)),
+      x -> CAST(x AS VARCHAR)), ',') AS ps,
+    array_to_string(list_transform(list_reverse_sort(list(event_id % 7)),
+      x -> CAST(x AS VARCHAR)), ',') AS prs,
+    max(event_id) * 61 + 1 AS m,
+    make_timestamp(CAST(floor(epoch_us(max(ts)) / 1000) * 1000 AS BIGINT))
+      AS ms_ts,
+    max(ts) AS us_ts,
+    CAST(epoch_us(max(ts)) AS BIGINT) AS ns_us
+  FROM events WHERE event_id < 300
+  GROUP BY event_type)
+SELECT event_type, gc, qbf, ps, prs,
+  coalesce(nullif(concat_ws(', ',
+    CASE WHEN floor(m / 86400) > 0
+         THEN CAST(CAST(floor(m / 86400) AS BIGINT) AS VARCHAR)
+              || CASE WHEN floor(m / 86400) = 1
+                      THEN ' day' ELSE ' days' END END,
+    CASE WHEN floor(m % 86400 / 3600) > 0
+         THEN CAST(CAST(floor(m % 86400 / 3600) AS BIGINT) AS VARCHAR)
+              || CASE WHEN floor(m % 86400 / 3600) = 1
+                      THEN ' hour' ELSE ' hours' END END,
+    CASE WHEN floor(m % 3600 / 60) > 0
+         THEN CAST(CAST(floor(m % 3600 / 60) AS BIGINT) AS VARCHAR)
+              || CASE WHEN floor(m % 3600 / 60) = 1
+                      THEN ' minute' ELSE ' minutes' END END,
+    CASE WHEN m % 60 > 0
+         THEN CAST(CAST(m % 60 AS BIGINT) AS VARCHAR)
+              || CASE WHEN m % 60 = 1
+                      THEN ' second' ELSE ' seconds' END END
+  ), ''), '0 seconds') AS td,
+  ms_ts, us_ts, ns_us
+FROM g ORDER BY event_type
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 20 (round 9, the r8 verdict's high-traffic list):
+    ``groupConcat(sep)(x)`` (24.7 — sorted for determinism, order is
+    undefined upstream too), ``quantileBFloat16`` (values truncate to an
+    8-bit mantissa via the pure-SQL closed form sign·2^(e-8)·⌊|x|/2^(e-8)⌋
+    before the interpolated quantile; CH rounds to nearest even —
+    documented ≤1-ulp deviation), ``arrayPartialSort`` /
+    ``arrayPartialReverseSort`` (deterministic fully-sorted superset),
+    ``formatReadableTimeDelta`` (largest-unit-first rendering, replayed
+    textually by the oracle), and the ``toStartOfMillisecond /
+    Microsecond / Nanosecond`` family (Spark timestamps carry µs —
+    Millisecond truncates, the finer two are the identity, documented).
+    Arrays emit comma-joined per the driver-output-shape convention."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_type,
+  groupConcat('|')(toString(event_id % 10)) AS gc,
+  round(quantileBFloat16(0.5)(value), 6) AS qbf,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPartialSort(3, groupArray(toInt64(event_id % 7)))), ',') AS ps,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPartialReverseSort(2, groupArray(toInt64(event_id % 7)))), ',')
+    AS prs,
+  formatReadableTimeDelta(max(event_id) * 61 + 1) AS td,
+  max(toStartOfMillisecond(ts)) AS ms_ts,
+  max(toStartOfMicrosecond(ts)) AS us_ts,
+  toUnixTimestamp64Micro(CAST(max(toStartOfNanosecond(ts)) AS TIMESTAMP))
+    AS ns_us
+FROM events WHERE event_id < 300
+GROUP BY event_type ORDER BY event_type
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
