@@ -711,3 +711,32 @@ def test_parquet_format_wire(spark, sf_dir):
             eng.insert_parquet("INSERT INTO region FORMAT Parquet", bad)
     finally:
         srv.shutdown()
+
+
+def test_explain_over_http(http_engine):
+    """EXPLAIN AST/SYNTAX/PLAN/PIPELINE served over the HTTP surface
+    (analysis-only, like DESCRIBE): SYNTAX returns the transpiled Spark
+    SQL, PIPELINE the formatted physical plan, AST the token tree —
+    one plan line per TSV row, the CH wire shape."""
+    q = urllib.parse.quote(
+        "EXPLAIN SYNTAX SELECT toInt64(r_regionkey) AS k FROM region"
+    )
+    status, body, _ = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    assert "CAST(" in body and "region" in body
+    q = urllib.parse.quote(
+        "EXPLAIN PIPELINE SELECT count() AS n FROM region"
+    )
+    status, body, _ = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    assert "HashAggregate" in body or "Physical Plan" in body
+    q = urllib.parse.quote("EXPLAIN AST SELECT count() FROM region")
+    status, body, _ = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    assert "SELECT" in body.upper() and "count" in body
+    q = urllib.parse.quote(
+        "EXPLAIN PLAN SELECT r_name FROM region WHERE r_regionkey = 1"
+    )
+    status, body, _ = _get(http_engine, f"/?query={q}")
+    assert status == 200
+    assert "Filter" in body or "Relation" in body
