@@ -131,6 +131,13 @@ HEADLINE = [
     "kql_series_decompose",
     "series_period_detect_fft",
     "h3_index_bits",
+    # round-9 additions: the Kusto-faithful concurrent machine set (n slot
+    # structs through the same single-exchange fold), the str_to_map
+    # key-value extraction scan, and the full fuzzy-dedup chain (LSH pairs
+    # → connected components → survivor election)
+    "kql_scan_concurrent",
+    "kql_parse_kv",
+    "dedup_fuzzy_e2e",
 ]
 
 

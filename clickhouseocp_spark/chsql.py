@@ -1850,6 +1850,61 @@ FUNC_RULES: dict[str, object] = {
         f"/ {args[2] if len(args) > 2 else 1800}) + __i) * {args[2] if len(args) > 2 else 1800}))"
     ),
     "toUnixTimestamp64Micro": _rename("unix_micros"),
+    # formatReadableQuantity(x): thousand/million/billion/trillion rendering
+    # with two decimals (CH prints plain '%.2f' below a thousand)
+    "formatReadableQuantity": lambda args: (
+        f"CASE WHEN abs({args[0]}) >= 1e12 THEN "
+        f"concat(format_string('%.2f', ({args[0]}) / 1e12), ' trillion') "
+        f"WHEN abs({args[0]}) >= 1e9 THEN "
+        f"concat(format_string('%.2f', ({args[0]}) / 1e9), ' billion') "
+        f"WHEN abs({args[0]}) >= 1e6 THEN "
+        f"concat(format_string('%.2f', ({args[0]}) / 1e6), ' million') "
+        f"WHEN abs({args[0]}) >= 1e3 THEN "
+        f"concat(format_string('%.2f', ({args[0]}) / 1e3), ' thousand') "
+        f"ELSE format_string('%.2f', CAST({args[0]} AS DOUBLE)) END"
+    ),
+    # fromUnixTimestamp64Milli/Micro/Nano (tz argument out of subset —
+    # DateTime64 here is naive TIMESTAMP_NTZ, the repo's table convention)
+    "fromUnixTimestamp64Milli": lambda args: (
+        f"CAST(timestamp_micros(CAST(({args[0]}) * 1000 AS BIGINT)) "
+        f"AS TIMESTAMP_NTZ)"
+    ),
+    "fromUnixTimestamp64Micro": lambda args: (
+        f"CAST(timestamp_micros(CAST({args[0]} AS BIGINT)) AS TIMESTAMP_NTZ)"
+    ),
+    "fromUnixTimestamp64Nano": lambda args: (
+        # integer `div`, not `/`: nanosecond epochs exceed 2^53 and lose
+        # microseconds through a double division
+        f"CAST(timestamp_micros(CAST(({args[0]}) div 1000 AS BIGINT)) "
+        f"AS TIMESTAMP_NTZ)"
+    ),
+    # Snowflake-ID epoch arithmetic (CH 24.6 *ToSnowflakeID family): the
+    # Twitter epoch 1288834974657 ms, timestamp in the top 42 bits
+    "snowflakeIDToDateTime": lambda args: (
+        f"CAST(timestamp_micros((shiftright({args[0]}, 22) "
+        f"+ CAST(1288834974657 AS BIGINT)) * 1000) AS TIMESTAMP_NTZ)"
+    ),
+    "snowflakeIDToDateTime64": lambda args: (
+        f"CAST(timestamp_micros((shiftright({args[0]}, 22) "
+        f"+ CAST(1288834974657 AS BIGINT)) * 1000) AS TIMESTAMP_NTZ)"
+    ),
+    "dateTime64ToSnowflakeID": lambda args: (
+        f"shiftleft(CAST(floor(unix_micros(CAST({args[0]} AS TIMESTAMP)) "
+        f"/ 1000) AS BIGINT) - CAST(1288834974657 AS BIGINT), 22)"
+    ),
+    "dateTimeToSnowflakeID": lambda args: (
+        f"shiftleft(CAST(floor(unix_micros(CAST({args[0]} AS TIMESTAMP)) "
+        f"/ 1000) AS BIGINT) - CAST(1288834974657 AS BIGINT), 22)"
+    ),
+    # ULIDStringToDateTime: the first 10 Crockford-base32 chars carry the
+    # millisecond timestamp — one positional fold, no UDF
+    "ULIDStringToDateTime": lambda args: (
+        f"CAST(timestamp_micros(aggregate(sequence(1, 10), "
+        f"CAST(0 AS BIGINT), (__a, __i) -> __a * 32 + "
+        f"CAST(instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ', "
+        f"upper(substring({args[0]}, __i, 1))) - 1 AS BIGINT)) * 1000) "
+        f"AS TIMESTAMP_NTZ)"
+    ),
     "toModifiedJulianDay": lambda args: (
         f"datediff(cast({args[0]} as date), DATE '1858-11-17')"
     ),

@@ -464,8 +464,9 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_series_periods",
     # --- round-9 LLM tier: fuzzy-dedup pipeline end-to-end ---
     "dedup_fuzzy_e2e",
-    # --- round-9 vocabulary batch 20 ---
+    # --- round-9 vocabulary batches 20-21 ---
     "chsql_vocab_r20",
+    "chsql_vocab_r21",
 ]
 
 _DRIVER_WINDOW_R5 = [

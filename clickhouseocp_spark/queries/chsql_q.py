@@ -5490,6 +5490,84 @@ GROUP BY event_type ORDER BY event_type
 
 
 @register(
+    "chsql_vocab_r21",
+    oracle="""
+SELECT event_id,
+  CASE WHEN abs(value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+                          1000000000000.0][1 + CAST(event_id % 5 AS INT)]))
+            >= 1e12
+       THEN printf('%.2f', value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+            1000000000000.0][1 + CAST(event_id % 5 AS INT)]) / 1e12)
+            || ' trillion'
+       WHEN abs(value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+                          1000000000000.0][1 + CAST(event_id % 5 AS INT)]))
+            >= 1e9
+       THEN printf('%.2f', value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+            1000000000000.0][1 + CAST(event_id % 5 AS INT)]) / 1e9)
+            || ' billion'
+       WHEN abs(value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+                          1000000000000.0][1 + CAST(event_id % 5 AS INT)]))
+            >= 1e6
+       THEN printf('%.2f', value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+            1000000000000.0][1 + CAST(event_id % 5 AS INT)]) / 1e6)
+            || ' million'
+       WHEN abs(value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+                          1000000000000.0][1 + CAST(event_id % 5 AS INT)]))
+            >= 1e3
+       THEN printf('%.2f', value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+            1000000000000.0][1 + CAST(event_id % 5 AS INT)]) / 1e3)
+            || ' thousand'
+       ELSE printf('%.2f', value * ([1.0, 1000.0, 1000000.0, 1000000000.0,
+            1000000000000.0][1 + CAST(event_id % 5 AS INT)])) END AS frq,
+  make_timestamp(CAST(floor(epoch_us(ts) / 1000) * 1000 AS BIGINT))
+    AS snow_rt,
+  (CAST(floor(epoch_us(ts) / 1000) AS BIGINT) - 1288834974657) * 4194304
+    AS snow_id,
+  make_timestamp((1700000000000 + event_id) * 1000) AS ts_ms,
+  make_timestamp(1700000000000000 + event_id) AS ts_us,
+  make_timestamp(1700000000000000 + event_id) AS ts_ns,
+  make_timestamp((1700000000000 + event_id * 7) * 1000) AS ulid_ts,
+  damerau_levenshtein(event_type, 'singup') AS dl
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 21 (round 9): ``formatReadableQuantity``
+    (thousand→trillion rendering, '%.2f' floor), the
+    ``fromUnixTimestamp64Milli/Micro/Nano`` constructors, the Snowflake-ID
+    epoch family (``dateTime64ToSnowflakeID`` / ``snowflakeIDToDateTime``
+    round-trips to the millisecond truncation — pure 64-bit shifts),
+    ``ULIDStringToDateTime`` (Crockford-base32 positional fold over the
+    10 timestamp chars; the ULID is ENCODED in-query from a known
+    millisecond value so the decode is oracle-pinned), and
+    ``damerauLevenshteinDistance`` (the OSA pandas kernel vs DuckDB's
+    native damerau_levenshtein)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  formatReadableQuantity(value * arrayElement(
+    [1.0, 1000.0, 1000000.0, 1000000000.0, 1000000000000.0],
+    1 + toInt32(event_id % 5))) AS frq,
+  snowflakeIDToDateTime(dateTime64ToSnowflakeID(ts)) AS snow_rt,
+  dateTime64ToSnowflakeID(ts) AS snow_id,
+  fromUnixTimestamp64Milli(1700000000000 + event_id) AS ts_ms,
+  fromUnixTimestamp64Micro(1700000000000000 + event_id) AS ts_us,
+  fromUnixTimestamp64Nano((1700000000000000 + event_id) * 1000) AS ts_ns,
+  ULIDStringToDateTime(concat_ws('', transform(sequence(9, 0, -1),
+    __i -> substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ',
+      CAST(CAST(floor((1700000000000 + event_id * 7) / pow(32, __i))
+           AS BIGINT) % 32 + 1 AS INT), 1)))) AS ulid_ts,
+  damerauLevenshteinDistance(event_type, 'singup') AS dl
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
