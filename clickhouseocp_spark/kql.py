@@ -511,6 +511,16 @@ def _kql_series_decompose(a: list[str]) -> str:
     )
 
 
+def _kql_series_seasonal(a: list[str]) -> str:
+    """series_seasonal(series, period) — just the seasonal component of
+    the additive decomposition (zero-sum per-phase means; Kusto's
+    extractor is median-based, same documented deviation as
+    series_decompose).  Negative/omitted period (Kusto's auto-detect
+    sentinel) is out of subset — the explicit-period form only."""
+    core = _ser_decomp_core(a[0], a[1])
+    return f"transform(array({core}), __d -> __d.seas)[0]"
+
+
 def _kql_series_anomalies(a: list[str]) -> str:
     """series_decompose_anomalies(series, threshold, period) →
     STRUCT(ad_flag, ad_score, baseline): score = the residual's sample
@@ -853,6 +863,7 @@ _KQL_SCALARS: dict = {
     "series_pearson_correlation": _kql_pearson,
     "series_decompose_anomalies": _kql_series_anomalies,
     "series_decompose": _kql_series_decompose,
+    "series_seasonal": _kql_series_seasonal,
     "series_outliers": _kql_series_outliers,
     "series_fir": _kql_series_fir,
     "series_iir": _kql_series_iir,

@@ -2436,3 +2436,21 @@ t
         eng.sql(
             "events | parse-kv props as (k: blob)", dialect="kusto"
         )
+
+
+def test_kql_series_seasonal(spark):
+    """series_seasonal: the seasonal component alone — zero-sum per-phase
+    means on a planted period-2 signal."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+let t = datatable(k: string) ['a'];
+t
+| extend s = series_seasonal(dynamic([1, 3, 1, 3, 1, 3]), 2)
+| project out = strcat_array(s, ',')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.out in ("-1.0,1.0,-1.0,1.0,-1.0,1.0", "-1,1,-1,1,-1,1")
