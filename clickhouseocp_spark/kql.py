@@ -521,6 +521,30 @@ def _kql_series_seasonal(a: list[str]) -> str:
     return f"transform(array({core}), __d -> __d.seas)[0]"
 
 
+def _kql_series_forecast(a: list[str]) -> str:
+    """series_decompose_forecast(series, points, period) — extend the
+    additive model past the observed window: element n+k forecasts as
+    trend(n+k) + seasonal[(n+k) mod period].  Returns the n+points-long
+    baseline (Kusto's contract: the fitted baseline followed by the
+    forecast horizon).  Subset: explicit period (same deviation family as
+    series_decompose); the trend line extrapolates the closed-form fit.
+
+    Cost: the same zero-exchange combinator tower as series_decompose
+    plus an O(points) tail transform."""
+    points, period = a[1], a[2]
+    core = _ser_decomp_core(a[0], period)
+    # rebuild trend params from the fitted trend array: slope = t[1]-t[0],
+    # intercept = t[0] (exact — the fitted line is affine in the index)
+    return (
+        f"transform(array({core}), __d -> "
+        f"transform(sequence(0, size(__d.x) + CAST({points} AS INT) - 1), "
+        f"__k -> element_at(__d.trend, 1) "
+        f"+ (element_at(__d.trend, 2) - element_at(__d.trend, 1)) "
+        f"* CAST(__k AS DOUBLE) "
+        f"+ element_at(__d.seas, (__k % CAST({period} AS INT)) + 1)))[0]"
+    )
+
+
 def _kql_series_anomalies(a: list[str]) -> str:
     """series_decompose_anomalies(series, threshold, period) →
     STRUCT(ad_flag, ad_score, baseline): score = the residual's sample
@@ -862,6 +886,7 @@ _KQL_SCALARS: dict = {
     "series_fit_line": _kql_fit_line,
     "series_pearson_correlation": _kql_pearson,
     "series_decompose_anomalies": _kql_series_anomalies,
+    "series_decompose_forecast": _kql_series_forecast,
     "series_decompose": _kql_series_decompose,
     "series_seasonal": _kql_series_seasonal,
     "series_outliers": _kql_series_outliers,

@@ -2454,3 +2454,25 @@ t
         dialect="kusto",
     ).collect()[0]
     assert r.out in ("-1.0,1.0,-1.0,1.0,-1.0,1.0", "-1,1,-1,1,-1,1")
+
+
+def test_kql_series_decompose_forecast(spark):
+    """series_decompose_forecast: on a pure period-2 signal with zero
+    trend, the forecast horizon repeats the seasonal pattern around the
+    mean exactly."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+let t = datatable(k: string) ['a'];
+t
+| extend f = series_decompose_forecast(dynamic([1, 3, 1, 3, 1, 3]), 4, 2)
+| project n = array_length(f),
+          out = strcat_array(transform(f, __x -> round(__x, 6)), ',')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.n == 10
+    vals = [float(x) for x in r.out.split(",")]
+    assert all(abs(v - e) < 1e-9 for v, e in zip(vals, [1.0, 3.0] * 5))
