@@ -256,3 +256,60 @@ def test_series_fit_recovers_exact_line(spark, slope, icpt, n):
     assert abs(r.s - slope) < 1e-6 * scale
     assert abs(r.c - icpt) < 1e-6 * scale
     assert r.rv == 0 or abs(r.rv) < 1e-6 * scale * scale
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(p1=leaf(), p2=leaf())
+def test_random_kql_scan_concurrent_agrees_with_simulator(
+    spark, sf_dir, duck, kql_engine, p1, p2
+):
+    """Round-9 concurrent-scan fuzz: random two-step machines under
+    kind=concurrent, replayed by a direct Python implementation of the
+    documented rule set (promotion replaces the target slot, absorption
+    within a step, creation only into an empty/vacated slot 1, sequences
+    never retire, match_id per creation) — pins the machine-set semantics
+    under random predicates, independent of the SQL lowering."""
+    k1, s1 = p1
+    k2, s2 = p2
+    kql = (
+        "lineitem | partition by l_orderkey (sort by l_linenumber asc "
+        f"| scan kind=concurrent with_match_id=m with "
+        f"(step a: {k1}; step b: {k2})) "
+        "| project l_orderkey, l_linenumber, m"
+    )
+    got = sorted(
+        (r.l_orderkey, r.l_linenumber, r.m)
+        for r in kql_engine.sql(kql, dialect="kusto").collect()
+    )
+    rows = duck.execute(
+        f"SELECT l_orderkey, l_linenumber, ({s1}), ({s2}) FROM lineitem "
+        f"ORDER BY l_orderkey, l_linenumber"
+    ).fetchall()
+    expect = []
+    state = {}  # key -> [seq, s1_mid, s2_mid]
+    for key, ln, q1, q2 in rows:
+        seq, sl1, sl2 = state.get(key, (0, None, None))
+        promo2 = sl1 is not None and bool(q2)
+        # slot 2: promotion wins, else absorb, else unchanged
+        if promo2:
+            expect.append((key, ln, sl1))
+            sl2 = sl1
+        elif sl2 is not None and bool(q2):
+            expect.append((key, ln, sl2))
+        # slot 1: absorb if occupied and not vacated, else create
+        if sl1 is not None and not promo2:
+            if bool(q1):
+                expect.append((key, ln, sl1))
+        else:
+            if bool(q1):
+                expect.append((key, ln, seq))
+                sl1 = seq
+                seq += 1
+            elif promo2:
+                sl1 = None
+        state[key] = (seq, sl1, sl2)
+    assert got == sorted(expect), (k1, k2)
