@@ -1491,6 +1491,23 @@ FUNC_RULES: dict[str, object] = {
         # 2-arg form with 'String' value type → Array(Tuple(key, value))
         f"map_entries(from_json({args[0]}, 'map<string,string>'))"
     ),
+    # arrayAUCPR(scores, labels): average precision — descending-score
+    # walk, AP = Σ_{positives} (tp_i / i) / total_pos (per-element steps;
+    # deviation: CH groups tied scores — callers pin tie-free scores).
+    # One sort + one linear fold per row, no UDF.
+    "arrayAUCPR": lambda args: (
+        f"aggregate(array_sort(zip_with({args[0]}, {args[1]}, "
+        f"(__x, __y) -> named_struct('sc', CAST(__x AS DOUBLE), "
+        f"'lb', CAST(__y AS INT))), "
+        f"(__a, __b) -> CASE WHEN __a.sc > __b.sc THEN -1 "
+        f"WHEN __a.sc < __b.sc THEN 1 ELSE 0 END), "
+        f"named_struct('i', 0, 'tp', 0, 's', CAST(0 AS DOUBLE)), "
+        f"(__acc, __e) -> named_struct('i', __acc.i + 1, "
+        f"'tp', __acc.tp + __e.lb, "
+        f"'s', __acc.s + IF(__e.lb = 1, "
+        f"CAST(__acc.tp + 1 AS DOUBLE) / (__acc.i + 1), 0.0D)), "
+        f"__acc -> IF(__acc.tp = 0, 0.0D, __acc.s / __acc.tp))"
+    ),
     "mapContains": _rename("map_contains_key"),
     "mapFilter": lambda args: f"map_filter({args[1]}, {args[0]})",
     "mapFromArrays": _rename("map_from_arrays"),

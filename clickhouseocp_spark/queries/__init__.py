@@ -464,9 +464,10 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_series_periods",
     # --- round-9 LLM tier: fuzzy-dedup pipeline end-to-end ---
     "dedup_fuzzy_e2e",
-    # --- round-9 vocabulary batches 20-21 ---
+    # --- round-9 vocabulary batches 20-22 ---
     "chsql_vocab_r20",
     "chsql_vocab_r21",
+    "chsql_vocab_r22",
 ]
 
 _DRIVER_WINDOW_R5 = [

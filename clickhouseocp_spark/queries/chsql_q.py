@@ -5568,6 +5568,59 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 
 
 @register(
+    "chsql_vocab_r22",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+         list_transform(range(1, 7),
+           i -> (event_id % (i + 3)) + i / 10.0) AS s,
+         list_transform(range(1, 7),
+           i -> CAST((event_id + i) % 2 AS INT)) AS l
+  FROM events WHERE event_id < 300),
+e AS (SELECT event_id, unnest(s) AS sc, unnest(l) AS lb FROM src),
+r AS (
+  SELECT event_id, lb,
+         row_number() OVER (PARTITION BY event_id ORDER BY sc DESC) AS rn,
+         SUM(lb) OVER (PARTITION BY event_id ORDER BY sc DESC
+                       ROWS UNBOUNDED PRECEDING) AS tp
+  FROM e)
+SELECT event_id,
+       round(CASE WHEN SUM(lb) = 0 THEN 0.0
+                  ELSE SUM(CASE WHEN lb = 1
+                                THEN CAST(tp AS DOUBLE) / rn END)
+                       / SUM(lb) END, 6) AS aucpr,
+       CAST(strpos('abcabc', 'bc') AS BIGINT) AS loc1,
+       CAST(3 + strpos(substring('abcabc', 4), 'bc') AS BIGINT) AS loc2
+FROM r GROUP BY event_id ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 22 (round 9): ``arrayAUCPR`` (average precision —
+    one comparator sort + one linear fold per row, per-element steps;
+    scores are tie-free by construction, the documented deviation from
+    CH's tie grouping) and MySQL-style ``locate(needle, haystack[, pos])``
+    (Spark's builtin matches CH 24.x's MySQL-compatible argument order —
+    verbatim passthrough).  The oracle replays AP with window cumulative
+    true-positive counts over the unnested pairs — an independent
+    formulation, not a fold replay."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  round(arrayAUCPR(
+    arrayMap(i -> (event_id % (i + 3)) + i / 10.0, range(1, 7)),
+    arrayMap(i -> toInt32((event_id + i) % 2), range(1, 7))), 6) AS aucpr,
+  toInt64(locate('bc', 'abcabc')) AS loc1,
+  toInt64(locate('bc', 'abcabc', 4)) AS loc2
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
