@@ -684,6 +684,124 @@ def _kql_series_iir(a: list[str]) -> str:
     )
 
 
+def _kql_format_bytes(a: list[str]) -> str:
+    """format_bytes(size[, precision]) — Bytes/KB/MB/GB/TB/PB rendering
+    with a literal decimal precision (default 0, the Kusto default)."""
+    p = (a[1] if len(a) > 1 else "0").strip()
+    if not re.match(r"^\d+$", p):
+        raise KqlError(
+            "format_bytes subset: precision must be an integer literal"
+        )
+    f = f"%.{int(p)}f"
+    x = a[0]
+    tiers = [
+        (1125899906842624, "PB"), (1099511627776, "TB"),
+        (1073741824, "GB"), (1048576, "MB"), (1024, "KB"),
+    ]
+    whens = " ".join(
+        f"WHEN abs({x}) >= {n} THEN "
+        f"concat(format_string('{f}', CAST(({x}) / {n}.0 AS DOUBLE)), ' {u}')"
+        for n, u in tiers
+    )
+    return (
+        f"CASE {whens} ELSE "
+        f"concat(format_string('{f}', CAST({x} AS DOUBLE)), ' Bytes') END"
+    )
+
+
+def _kql_parse_version(a: list[str]) -> str:
+    """parse_version(v) — each of up to 4 dotted components zero-padded to
+    8 digits and concatenated: a fixed-width STRING whose lexicographic
+    order equals the numeric version order (deviation: Kusto returns a
+    decimal; the 10^24 magnitudes don't survive the double-widening
+    comparison path, the padded form compares identically)."""
+    return (
+        f"concat_ws('', transform(sequence(1, 4), __i -> "
+        f"lpad(coalesce(nullif(try_element_at(split({a[0]}, '\\\\.'), __i), "
+        f"''), '0'), 8, '0')))"
+    )
+
+
+def _ipv4_num(ip: str) -> str:
+    return (
+        f"aggregate(transform(split({ip}, '\\\\.'), "
+        f"__o -> CAST(__o AS BIGINT)), CAST(0 AS BIGINT), "
+        f"(__a, __o) -> __a * 256 + __o)"
+    )
+
+
+def _kql_ipv4_is_private(a: list[str]) -> str:
+    """ipv4_is_private: RFC-1918 blocks 10/8, 172.16/12, 192.168/16."""
+    return (
+        f"transform(array({_ipv4_num(a[0])}), __n -> "
+        "(__n >= 167772160 AND __n <= 184549375) OR "
+        "(__n >= 2886729728 AND __n <= 2887778303) OR "
+        "(__n >= 3232235520 AND __n <= 3232301055))[0]"
+    )
+
+
+def _kql_ipv4_in_range(a: list[str]) -> str:
+    """ipv4_is_in_range(ip, 'base/mask') — prefix equality after shifting
+    out the host bits (mask omitted → /32)."""
+    base = _ipv4_num(f"element_at(split({a[1]}, '/'), 1)")
+    return (
+        f"transform(array(named_struct('n', {_ipv4_num(a[0])}, "
+        f"'b', {base}, "
+        f"'m', coalesce(try_cast(try_element_at(split({a[1]}, '/'), 2) "
+        f"AS INT), 32))), "
+        "__t -> shiftright(__t.n, 32 - __t.m) = "
+        "shiftright(__t.b, 32 - __t.m))[0]"
+    )
+
+
+def _kql_geo_distance(a: list[str]) -> str:
+    """geo_distance_2points(lon1, lat1, lon2, lat2) — haversine meters on
+    the R=6371 km sphere (deviation: Kusto computes WGS84 geodesics —
+    ≤0.5% apart; the spherical form is the engine-portable closed form)."""
+    lon1, lat1, lon2, lat2 = a
+    return (
+        f"(2 * 6371000.0D * asin(least(1.0D, sqrt("
+        f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) "
+        f"+ cos(radians({lat1})) * cos(radians({lat2})) "
+        f"* pow(sin(radians(({lon2}) - ({lon1})) / 2), 2)))))"
+    )
+
+
+def _kql_parse_url(a: list[str]) -> str:
+    """parse_url(u) → STRUCT(Scheme, Host, Port, Path, Username, Password,
+    Fragment) via Spark's parse_url parts (subset: the 'Query Parameters'
+    bag is omitted — use extract/parse-kv on the query string)."""
+    u = a[0]
+    return (
+        "named_struct("
+        f"'Scheme', coalesce(parse_url({u}, 'PROTOCOL'), ''), "
+        f"'Host', coalesce(parse_url({u}, 'HOST'), ''), "
+        f"'Port', regexp_extract(coalesce(parse_url({u}, 'AUTHORITY'), ''), "
+        f"':([0-9]+)$', 1), "
+        f"'Path', coalesce(parse_url({u}, 'PATH'), ''), "
+        f"'Username', coalesce(split_part(parse_url({u}, 'USERINFO'), "
+        f"':', 1), ''), "
+        f"'Password', coalesce(split_part(parse_url({u}, 'USERINFO'), "
+        f"':', 2), ''), "
+        f"'Fragment', coalesce(parse_url({u}, 'REF'), ''))"
+    )
+
+
+def _kql_parse_path(a: list[str]) -> str:
+    """parse_path(p) → STRUCT(DirectoryPath, Filename, Extension) — the
+    portable subset of Kusto's fields ('/' and '\\\\' separators both)."""
+    fn = f"element_at(split({a[0]}, '[/\\\\\\\\]'), -1)"
+    return (
+        f"transform(array(named_struct('p', {a[0]}, 'fn', {fn})), "
+        "__t -> named_struct("
+        "'DirectoryPath', substring(__t.p, 1, "
+        "greatest(length(__t.p) - length(__t.fn) - 1, 0)), "
+        "'Filename', __t.fn, "
+        "'Extension', if(instr(__t.fn, '.') > 0, "
+        "element_at(split(__t.fn, '\\\\.'), -1), '')))[0]"
+    )
+
+
 def _kql_pearson(a: list[str]) -> str:
     """series_pearson_correlation(x, y) — closed form over the zipped pair."""
     x, y = a[0], a[1]
@@ -896,6 +1014,20 @@ _KQL_SCALARS: dict = {
     # dynamic arrays); lowers to the Arrow FFT kernel registered by the
     # engine under its ClickHouse name (functions/series_fft.py)
     "series_periods_detect": lambda a: f"seriesPeriodDetectFFT({a[0]})",
+    # round-9 log-analytics scalar batch
+    "format_bytes": _kql_format_bytes,
+    "parse_version": _kql_parse_version,
+    "trim_start": lambda a: (
+        f"regexp_replace({a[1]}, concat('^', {a[0]}), '')"
+    ),
+    "trim_end": lambda a: (
+        f"regexp_replace({a[1]}, concat({a[0]}, '$'), '')"
+    ),
+    "ipv4_is_private": _kql_ipv4_is_private,
+    "ipv4_is_in_range": _kql_ipv4_in_range,
+    "geo_distance_2points": _kql_geo_distance,
+    "parse_url": _kql_parse_url,
+    "parse_path": _kql_parse_path,
 }
 
 

@@ -468,6 +468,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_vocab_r20",
     "chsql_vocab_r21",
     "chsql_vocab_r22",
+    # --- round-9 Kusto log-analytics scalar batch 2 ---
+    "kql_scalar_vocab2",
 ]
 
 _DRIVER_WINDOW_R5 = [

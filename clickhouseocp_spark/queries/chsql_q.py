@@ -4082,6 +4082,81 @@ events
 
 
 @register(
+    "kql_scalar_vocab2",
+    oracle="""
+SELECT event_id,
+  CASE WHEN abs(event_id * 1536) >= 1048576
+       THEN printf('%.2f', (event_id * 1536) / 1048576.0) || ' MB'
+       WHEN abs(event_id * 1536) >= 1024
+       THEN printf('%.2f', (event_id * 1536) / 1024.0) || ' KB'
+       ELSE printf('%.2f', CAST(event_id * 1536 AS DOUBLE)) || ' Bytes'
+       END AS fb,
+  '00000001' || lpad(CAST(event_id % 20 AS VARCHAR), 8, '0')
+    || '0000000300000000' AS pv,
+  'cab' AS ts_res,
+  'abc' AS te_res,
+  TRUE AS priv, FALSE AS pub, TRUE AS inr, TRUE AS inr2,
+  round(2 * 6371000.0 * asin(least(1.0, sqrt(
+    pow(sin(radians(10.0 - 48.8) / 2), 2)
+    + cos(radians(48.8)) * cos(radians(10.0))
+    * pow(sin(radians(CAST(event_id % 90 AS DOUBLE) - 2.3) / 2), 2)
+  ))), 3) AS gd,
+  'ex' || CAST(event_id % 5 AS VARCHAR) || '.org' AS host,
+  '84' || CAST(event_id % 10 AS VARCHAR) AS port,
+  'user' AS uname, 'frag' AS frag,
+  'file' || CAST(event_id % 7 AS VARCHAR) || '.txt' AS fn,
+  'txt' AS ext,
+  '/a/b/file' || CAST(event_id % 7 AS VARCHAR) || '.txt' AS upath
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto scalar batch 2 (round 9, the log-analytics tier):
+    ``format_bytes`` (literal precision), ``parse_version`` (zero-padded
+    comparable string — documented deviation from Kusto's decimal),
+    ``trim_start``/``trim_end`` (anchored regexp_replace),
+    ``ipv4_is_private`` (RFC-1918) / ``ipv4_is_in_range`` (prefix shift
+    compare), ``geo_distance_2points`` (spherical haversine meters —
+    Kusto's WGS84 geodesic deviates ≤0.5%, documented), ``parse_url`` /
+    ``parse_path`` (struct subsets over Spark's parse_url / split
+    arithmetic).  Every value is re-derived in the oracle from the same
+    rendered inputs — closed forms, not replays of the lowering."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 300
+| extend url = strcat('https://user:pw@ex', tostring(event_id % 5), '.org:84',
+                      tostring(event_id % 10), '/a/b/file',
+                      tostring(event_id % 7), '.txt?q=1#frag')
+| extend pu = parse_url(url),
+         pp = parse_path(strcat('/a/b/file', tostring(event_id % 7), '.txt')),
+         ip = strcat('10.', tostring(event_id % 256), '.0.1'),
+         ip2 = strcat('11.', tostring(event_id % 256), '.0.1')
+| project event_id,
+    fb = format_bytes(event_id * 1536, 2),
+    pv = parse_version(strcat('1.', tostring(event_id % 20), '.3')),
+    ts_res = trim_start('ab+', 'abbbcab'),
+    te_res = trim_end('b+c', 'abcbbc'),
+    priv = ipv4_is_private(ip),
+    pub = ipv4_is_private(ip2),
+    inr = ipv4_is_in_range(ip, '10.0.0.0/8'),
+    inr2 = ipv4_is_in_range(ip2, strcat('11.', tostring(event_id % 256),
+                                        '.0.0/16')),
+    gd = round(geo_distance_2points(2.3, 48.8,
+                                    todouble(event_id % 90), 10.0), 3),
+    host = pu.Host, port = pu.Port, uname = pu.Username, frag = pu.Fragment,
+    fn = pp.Filename, ext = pp.Extension, upath = pu.Path
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
