@@ -2163,6 +2163,44 @@ def _scan_concurrent(
 ) __sc3 LATERAL VIEW explode(__ms) __sct AS __m"""
 
 
+def _sliding_window_counts(sub: str, argstr: str) -> str:
+    """``evaluate sliding_window_counts(Id, Timeline, Lookback, Bin)`` —
+    per bin-aligned window ending at each bin: Count = rows whose
+    timestamp falls in (bin − lookback, bin], Dcount = distinct ids there.
+
+    Lowering — the scalable shape, NOT a range join: each row explodes
+    into the lookback/bin bins it covers (bounded fan-out = the window
+    ratio), then ONE hash aggregate per bin; phantom bins past the last
+    observed one are cut by a 1-row max subquery.  Subset: lookback must
+    be a multiple of bin (Kusto requires the same), no extra dims."""
+    args = _split_top(argstr)
+    if len(args) != 4:
+        raise KqlError(
+            "sliding_window_counts subset: (IdColumn, TimelineColumn, "
+            f"Lookback, Bin), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    lb, bn = _ts_secs(args[2]), _ts_secs(args[3])
+    if not lb or not bn or lb % bn != 0:
+        raise KqlError(
+            "sliding_window_counts: Lookback/Bin must be timespan literals "
+            f"with Lookback a multiple of Bin, got {args[2]!r}/{args[3]!r}"
+        )
+    b0 = (
+        f"CAST(floor(unix_timestamp({ts_col}) / {bn}) AS BIGINT) * {bn}"
+    )
+    return f"""SELECT timestamp_seconds(__b) AS {ts_col},
+       CAST(count(*) AS BIGINT) AS Count,
+       CAST(count(DISTINCT __id) AS BIGINT) AS Dcount
+FROM (
+  SELECT __id, explode(sequence(__b0, __b0 + {lb - bn}, {bn})) AS __b
+  FROM (SELECT {id_col} AS __id, {b0} AS __b0 FROM {sub}) __sw0
+) __sw1
+CROSS JOIN (SELECT max({b0}) AS __mx FROM {sub}) __swm
+WHERE __b <= __mx
+GROUP BY __b"""
+
+
 def _partition(sub: str, rest: str) -> str:
     """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
     apply.  The subquery runs logically per key value and results union;
@@ -2931,6 +2969,14 @@ def _transpile_pipeline(
         elif op == "mv-apply":
             rel = _mv_apply(sub, rest)
         elif op == "evaluate":
+            msw = re.match(
+                r"^sliding_window_counts\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if msw:
+                rel = _sliding_window_counts(sub, msw.group(1))
+                continue
             # plugin operators; subset: pivot(col, agg(x), v1, v2, ...) —
             # Kusto's pivot derives the output columns from the data, Spark
             # SQL's PIVOT needs the IN list, so the values are explicit in

@@ -470,6 +470,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_vocab_r22",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
+    # --- round-9 Kusto activity plugin: sliding window counts ---
+    "kql_sliding_window",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4157,6 +4157,44 @@ events
 
 
 @register(
+    "kql_sliding_window",
+    oracle="""
+WITH b0 AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b0
+  FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT max(b0) AS m FROM b0),
+e AS (
+  SELECT user_id, unnest(generate_series(b0, b0 + 2 * 86400, 86400)) AS b
+  FROM b0)
+SELECT make_timestamp(b * 1000000) AS ts,
+       CAST(COUNT(*) AS BIGINT) AS Count,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS Dcount
+FROM e, mx WHERE b <= m GROUP BY b ORDER BY ts
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate sliding_window_counts`` (round 9): rows and distinct
+    users per 1d bin over a trailing 3d window — the Kusto activity
+    plugin.  Lowered to bounded fan-out (each row explodes into the
+    lookback/bin = 3 bins it covers) + ONE hash aggregate, never a range
+    join; phantom tail bins cut by a 1-row max subquery.  The oracle
+    replays the identical bin cover with generate_series."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| evaluate sliding_window_counts(user_id, ts, 3d, 1d)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
