@@ -2201,6 +2201,47 @@ WHERE __b <= __mx
 GROUP BY __b"""
 
 
+def _activity_counts_metrics(sub: str, argstr: str) -> str:
+    """``evaluate activity_counts_metrics(Id, Timeline, Bin)`` — per bin:
+    ``count`` (rows), ``dcount`` (distinct ids), ``new_dcount`` (ids whose
+    FIRST appearance is this bin), ``aggregated_dcount`` (cumulative
+    distinct ids through this bin).
+
+    Lowering: one (bin, id) pre-agg carrying each id's global first bin
+    (a window min, no second scan), then one bin aggregate; the
+    cumulative distinct is the running sum of new_dcount — an O(#bins)
+    window, never a rescan.  Subset: bounds derive from the data (no
+    Start/End operands)."""
+    args = _split_top(argstr)
+    if len(args) != 3:
+        raise KqlError(
+            "activity_counts_metrics subset: (IdColumn, TimelineColumn, "
+            f"Bin), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    bn = _ts_secs(args[2])
+    if not bn:
+        raise KqlError(
+            f"activity_counts_metrics: Bin must be a timespan literal, "
+            f"got {args[2]!r}"
+        )
+    b = f"CAST(floor(unix_timestamp({ts_col}) / {bn}) AS BIGINT) * {bn}"
+    return f"""SELECT timestamp_seconds(__b) AS {ts_col},
+       CAST(sum(__n) AS BIGINT) AS count,
+       CAST(count(*) AS BIGINT) AS dcount,
+       CAST(sum(IF(__fb = __b, 1, 0)) AS BIGINT) AS new_dcount,
+       CAST(sum(sum(IF(__fb = __b, 1, 0)))
+            OVER (ORDER BY __b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS aggregated_dcount
+FROM (
+  SELECT __b, __id, count(*) AS __n,
+         min(min(__b)) OVER (PARTITION BY __id) AS __fb
+  FROM (SELECT {id_col} AS __id, {b} AS __b FROM {sub}) __ac0
+  GROUP BY __b, __id
+) __ac1
+GROUP BY __b"""
+
+
 def _partition(sub: str, rest: str) -> str:
     """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
     apply.  The subquery runs logically per key value and results union;
@@ -2976,6 +3017,14 @@ def _transpile_pipeline(
             )
             if msw:
                 rel = _sliding_window_counts(sub, msw.group(1))
+                continue
+            mac = re.match(
+                r"^activity_counts_metrics\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mac:
+                rel = _activity_counts_metrics(sub, mac.group(1))
                 continue
             # plugin operators; subset: pivot(col, agg(x), v1, v2, ...) —
             # Kusto's pivot derives the output columns from the data, Spark

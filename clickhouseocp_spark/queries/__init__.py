@@ -470,8 +470,9 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_vocab_r22",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
-    # --- round-9 Kusto activity plugin: sliding window counts ---
+    # --- round-9 Kusto activity plugins ---
     "kql_sliding_window",
+    "kql_activity_metrics",
 ]
 
 _DRIVER_WINDOW_R5 = [

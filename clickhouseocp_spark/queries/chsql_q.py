@@ -4195,6 +4195,49 @@ events
 
 
 @register(
+    "kql_activity_metrics",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS b
+  FROM events WHERE ts IS NOT NULL),
+g AS (SELECT b, user_id, COUNT(*) AS n FROM e GROUP BY b, user_id),
+f AS (SELECT *, min(b) OVER (PARTITION BY user_id) AS fb FROM g),
+a AS (SELECT b, SUM(n) AS cnt, COUNT(*) AS dc,
+             SUM(CASE WHEN fb = b THEN 1 ELSE 0 END) AS nd
+      FROM f GROUP BY b)
+SELECT make_timestamp(b * 1000000) AS ts,
+       CAST(cnt AS BIGINT) AS count,
+       CAST(dc AS BIGINT) AS dcount,
+       CAST(nd AS BIGINT) AS new_dcount,
+       CAST(SUM(nd) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         AS aggregated_dcount
+FROM a ORDER BY ts
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_activity_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_counts_metrics`` (round 9): per 7d bin — row
+    count, distinct users, first-seen users, cumulative distinct users.
+    One (bin, id) pre-agg carrying each id's first bin via a window min,
+    one bin aggregate, and the cumulative distinct as a running sum of
+    new_dcount over the #bins rows (never a rescan — the growth-analytics
+    shape at any corpus size).  The oracle replays the identical
+    formulation."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| evaluate activity_counts_metrics(user_id, ts, 7d)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
