@@ -3026,6 +3026,35 @@ def _transpile_pipeline(
             if mac:
                 rel = _activity_counts_metrics(sub, mac.group(1))
                 continue
+            mrn = re.match(
+                r"^rows_near\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if mrn:
+                # rows_near(Condition, NumRows[, NumRowsAfter]): keep rows
+                # within the distance envelope of any matching row — ONE
+                # max window over the match flag in the serialized order
+                # (global frame: the investigate-around-an-error tier;
+                # bounded like bare scan, use partition by for scale)
+                rn_args = _split_top(mrn.group(1))
+                if last_order is None:
+                    raise KqlError(
+                        "rows_near needs a preceding sort (serialized order)"
+                    )
+                if len(rn_args) not in (2, 3):
+                    raise KqlError(
+                        "rows_near needs (Condition, NumRows[, NumRowsAfter])"
+                    )
+                rn_cond = _expr(rn_args[0])
+                nb = int(rn_args[1])
+                na = int(rn_args[2]) if len(rn_args) == 3 else nb
+                rel = (
+                    f"SELECT * EXCEPT (__rn_flag) FROM (SELECT *, "
+                    f"max(CASE WHEN {rn_cond} THEN 1 ELSE 0 END) OVER "
+                    f"(ORDER BY {last_order} ROWS BETWEEN {na} PRECEDING "
+                    f"AND {nb} FOLLOWING) AS __rn_flag FROM {sub}) __rnq "
+                    f"WHERE __rn_flag = 1"
+                )
+                continue
             # plugin operators; subset: pivot(col, agg(x), v1, v2, ...) —
             # Kusto's pivot derives the output columns from the data, Spark
             # SQL's PIVOT needs the IN list, so the values are explicit in

@@ -2476,3 +2476,24 @@ t
     assert r.n == 10
     vals = [float(x) for x in r.out.split(",")]
     assert all(abs(v - e) < 1e-9 for v, e in zip(vals, [1.0, 3.0] * 5))
+
+
+def test_kql_rows_near(spark):
+    """evaluate rows_near: rows within the distance envelope of a match in
+    serialized order; asymmetric before/after honored."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        """
+let t = datatable(i: long, et: string)
+  [1, 'a', 2, 'a', 3, 'err', 4, 'a', 5, 'a', 6, 'a', 7, 'a'];
+t
+| sort by i asc
+| evaluate rows_near(et == 'err', 1, 2)
+| project i
+""",
+        dialect="kusto",
+    ).collect()
+    # match at i=3: keep 1 before (i=2), the match, 2 after (i=4, 5)
+    assert sorted(r.i for r in rows) == [2, 3, 4, 5]
