@@ -2242,6 +2242,50 @@ FROM (
 GROUP BY __b"""
 
 
+def _new_activity_metrics(sub: str, argstr: str) -> str:
+    """``evaluate new_activity_metrics(Id, Timeline, Bin)`` — cohort
+    retention, the subset emitting one row per (cohort bin, activity bin)
+    pair with the cohort size, retained distinct ids, and the retention
+    rate (Kusto's full plugin adds churn and window variants — documented
+    subset).
+
+    Lowering: one (bin, id) distinct pre-agg carrying the id's cohort
+    (first bin, a window min — no second scan), one (cohort, bin)
+    aggregate, and a broadcast-sized cohort-size join (#cohorts rows)."""
+    args = _split_top(argstr)
+    if len(args) != 3:
+        raise KqlError(
+            "new_activity_metrics subset: (IdColumn, TimelineColumn, Bin), "
+            f"got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    bn = _ts_secs(args[2])
+    if not bn:
+        raise KqlError(
+            f"new_activity_metrics: Bin must be a timespan literal, "
+            f"got {args[2]!r}"
+        )
+    b = f"CAST(floor(unix_timestamp({ts_col}) / {bn}) AS BIGINT) * {bn}"
+    return f"""SELECT timestamp_seconds(__c) AS from_{ts_col},
+       timestamp_seconds(__b) AS to_{ts_col},
+       CAST(__cs AS BIGINT) AS cohort_size,
+       CAST(count(*) AS BIGINT) AS dcount_retained,
+       round(count(*) / CAST(__cs AS DOUBLE), 6) AS retention_rate
+FROM (
+  SELECT DISTINCT __b, __id,
+         min(__b) OVER (PARTITION BY __id) AS __c
+  FROM (SELECT {id_col} AS __id, {b} AS __b FROM {sub}) __na0
+) __na1
+JOIN (
+  SELECT __c2, count(*) AS __cs FROM (
+    SELECT __id2, min(__b2) AS __c2 FROM (
+      SELECT {id_col} AS __id2, {b} AS __b2 FROM {sub}
+    ) __na2 GROUP BY __id2
+  ) __na3 GROUP BY __c2
+) __na4 ON __c = __c2
+GROUP BY __c, __b, __cs"""
+
+
 def _partition(sub: str, rest: str) -> str:
     """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
     apply.  The subquery runs logically per key value and results union;
@@ -3025,6 +3069,14 @@ def _transpile_pipeline(
             )
             if mac:
                 rel = _activity_counts_metrics(sub, mac.group(1))
+                continue
+            mna = re.match(
+                r"^new_activity_metrics\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mna:
+                rel = _new_activity_metrics(sub, mna.group(1))
                 continue
             mrn = re.match(
                 r"^rows_near\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL

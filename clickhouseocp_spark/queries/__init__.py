@@ -473,6 +473,7 @@ _DRIVER_WINDOW_R12: list[str] = [
     # --- round-9 Kusto activity plugins ---
     "kql_sliding_window",
     "kql_activity_metrics",
+    "kql_retention_cohort",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4238,6 +4238,47 @@ events
 
 
 @register(
+    "kql_retention_cohort",
+    oracle="""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts) / 604800) AS BIGINT) * 604800 AS b
+  FROM events WHERE ts IS NOT NULL),
+d AS (SELECT DISTINCT user_id, b FROM e),
+c AS (SELECT user_id, min(b) AS c0 FROM d GROUP BY user_id),
+cs AS (SELECT c0, COUNT(*) AS n FROM c GROUP BY c0)
+SELECT make_timestamp(c.c0 * 1000000) AS from_ts,
+       make_timestamp(d.b * 1000000) AS to_ts,
+       CAST(cs.n AS BIGINT) AS cohort_size,
+       CAST(COUNT(*) AS BIGINT) AS dcount_retained,
+       round(COUNT(*) / CAST(cs.n AS DOUBLE), 6) AS retention_rate
+FROM d JOIN c USING (user_id) JOIN cs ON c.c0 = cs.c0
+GROUP BY c.c0, d.b, cs.n
+ORDER BY from_ts, to_ts
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate new_activity_metrics`` subset (round 9): cohort
+    retention — per (first-seen bin, activity bin): cohort size, retained
+    distinct users, retention rate.  One (bin, id) distinct pre-agg with
+    a window-min cohort, one (cohort, bin) aggregate, a #cohorts-row
+    cohort-size join — the product-analytics retention matrix at any
+    scale.  The oracle replays the identical formulation."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| evaluate new_activity_metrics(user_id, ts, 7d)
+| sort by from_ts asc, to_ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
