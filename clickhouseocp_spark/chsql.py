@@ -1867,6 +1867,32 @@ FUNC_RULES: dict[str, object] = {
         f"/ {args[2] if len(args) > 2 else 1800}) + __i) * {args[2] if len(args) > 2 else 1800}))"
     ),
     "toUnixTimestamp64Micro": _rename("unix_micros"),
+    # batch 23 (round 9)
+    "firstLine": lambda args: (
+        f"element_at(split(replace({args[0]}, '\\r\\n', '\\n'), '\\n'), 1)"
+    ),
+    "positiveModulo": lambda args: f"pmod({args[0]}, {args[1]})",
+    "pmod": lambda args: f"pmod({args[0]}, {args[1]})",
+    # exact integer 10^n via a fold (pow() doubles lose exactness past
+    # 1e15); n <= 0 guarded — sequence(1, 0) would count DOWN
+    "intExp10": lambda args: (
+        f"IF(CAST({args[0]} AS INT) <= 0, CAST(1 AS BIGINT), "
+        f"aggregate(sequence(1, CAST({args[0]} AS INT)), "
+        f"CAST(1 AS BIGINT), (__a, __x) -> __a * 10))"
+    ),
+    "toRelativeMinuteNum": lambda args: (
+        f"CAST(floor(unix_timestamp({args[0]}) / 60) AS BIGINT)"
+    ),
+    "toRelativeSecondNum": lambda args: (
+        f"CAST(unix_timestamp({args[0]}) AS BIGINT)"
+    ),
+    # UUIDv7: the first 48 bits (12 hex digits across the 8-4 groups)
+    # carry the Unix millisecond timestamp
+    "UUIDv7ToDateTime": lambda args: (
+        f"CAST(timestamp_micros(CAST(conv(concat("
+        f"substring({args[0]}, 1, 8), substring({args[0]}, 10, 4)), 16, 10) "
+        f"AS BIGINT) * 1000) AS TIMESTAMP_NTZ)"
+    ),
     # formatReadableQuantity(x): thousand/million/billion/trillion rendering
     # with two decimals (CH prints plain '%.2f' below a thousand)
     "formatReadableQuantity": lambda args: (

@@ -5818,6 +5818,49 @@ FROM events WHERE event_id < 300 ORDER BY event_id
 
 
 @register(
+    "chsql_vocab_r23",
+    oracle="""
+SELECT event_id,
+  'alpha line' AS fl,
+  ((event_id - 7) % 5 + 5) % 5 AS pm,
+  CAST(power(10, CAST(event_id % 13 AS INT)) AS BIGINT) AS e10,
+  CAST(floor(epoch(ts) / 60) AS BIGINT) AS rel_min,
+  CAST(floor(epoch(ts)) AS BIGINT) AS rel_sec,
+  make_timestamp((1700000000000 + event_id * 13) * 1000) AS u7
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 23 (round 9): ``firstLine`` (text before the first
+    newline, CRLF-normalized), ``positiveModulo``, ``intExp10`` (exact
+    64-bit 10^n via a multiply fold — pow() doubles lose exactness past
+    1e15), ``toRelativeMinute/SecondNum``, ``UUIDv7ToDateTime`` (the
+    millisecond timestamp in the first 48 UUID bits; the v7 string is
+    ENCODED in-query from a known millisecond so the decode is
+    oracle-pinned — the ULID test-construction pattern)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  firstLine(concat('alpha line', '\\n', 'beta')) AS fl,
+  positiveModulo(event_id - 7, 5) AS pm,
+  intExp10(event_id % 13) AS e10,
+  toRelativeMinuteNum(ts) AS rel_min,
+  toRelativeSecondNum(ts) AS rel_sec,
+  UUIDv7ToDateTime(concat(
+    substring(lpad(lower(hex(1700000000000 + event_id * 13)), 12, '0'), 1, 8),
+    '-',
+    substring(lpad(lower(hex(1700000000000 + event_id * 13)), 12, '0'), 9, 4),
+    '-7000-8000-000000000000')) AS u7
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
