@@ -2286,6 +2286,54 @@ JOIN (
 GROUP BY __c, __b, __cs"""
 
 
+def _funnel_sequence(sub: str, argstr: str, last_order: str | None = None) -> str:
+    """``evaluate funnel_sequence(Id, Timeline, State, dynamic([s1, s2,
+    ...]))`` — for every per-id CONSECUTIVE occurrence of the state
+    sequence (serialized by the timeline), tally the states immediately
+    before and after it: output (prev, next, dcount) with NULL prev/next
+    at sequence boundaries.  Subset: literal state sequences; the
+    windowed Start/End/MaxWindow operands are out (apply a where first).
+
+    Lowering: ONE per-id window pass (lag 1 + lead k via the same sort),
+    then a (prev, next) hash aggregate — no joins, no explode.  A
+    preceding ``sort by`` refines the serialized order (tie-breaks)."""
+    args = _split_top(argstr)
+    if len(args) != 4:
+        raise KqlError(
+            "funnel_sequence subset: (IdColumn, TimelineColumn, "
+            f"StateColumn, dynamic([...])), got {argstr!r}"
+        )
+    id_col, ts_col, state = (a.strip() for a in args[:3])
+    md = re.match(
+        r"^dynamic\s*\(\s*\[(.*)\]\s*\)\s*$", args[3].strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not md:
+        raise KqlError(
+            f"funnel_sequence: Sequence must be dynamic([...]), got {args[3]!r}"
+        )
+    seq = [_expr(s) for s in _split_top(md.group(1))]
+    if len(seq) < 1:
+        raise KqlError("funnel_sequence: empty sequence")
+    k = len(seq)
+    order_by = last_order or ts_col
+    match = " AND ".join(
+        f"lead({state}, {i}) OVER __w = {s}" if i else f"{state} = {s}"
+        for i, s in enumerate(seq)
+    )
+    return f"""SELECT __prev AS prev, __next AS next,
+       CAST(count(DISTINCT __id) AS BIGINT) AS dcount
+FROM (
+  SELECT {id_col} AS __id,
+         lag({state}, 1) OVER __w AS __prev,
+         lead({state}, {k}) OVER __w AS __next,
+         ({match}) AS __hit
+  FROM {sub}
+  WINDOW __w AS (PARTITION BY {id_col} ORDER BY {order_by})
+) __fs WHERE __hit
+GROUP BY __prev, __next"""
+
+
 def _partition(sub: str, rest: str) -> str:
     """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
     apply.  The subquery runs logically per key value and results union;
@@ -3077,6 +3125,14 @@ def _transpile_pipeline(
             )
             if mna:
                 rel = _new_activity_metrics(sub, mna.group(1))
+                continue
+            mfs = re.match(
+                r"^funnel_sequence\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mfs:
+                rel = _funnel_sequence(sub, mfs.group(1), last_order)
                 continue
             mrn = re.match(
                 r"^rows_near\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL

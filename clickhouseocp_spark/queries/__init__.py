@@ -475,6 +475,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_sliding_window",
     "kql_activity_metrics",
     "kql_retention_cohort",
+    # --- round-9 Kusto sequence-analytics plugin ---
+    "kql_funnel_sequence",
 ]
 
 _DRIVER_WINDOW_R5 = [

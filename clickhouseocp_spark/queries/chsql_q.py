@@ -4279,6 +4279,46 @@ events
 
 
 @register(
+    "kql_funnel_sequence",
+    oracle="""
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER w AS prev,
+         lead(event_type, 2) OVER w AS next,
+         lead(event_type, 1) OVER w AS n1
+  FROM events WHERE ts IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT prev, next, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount
+FROM s WHERE event_type = 'signup' AND n1 = 'click'
+GROUP BY prev, next ORDER BY prev, next
+""",
+    tags=("kql", "dialect", "funnel"),
+)
+def kql_funnel_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate funnel_sequence`` (round 9): for every consecutive
+    signup→click occurrence per user (serialized by ts), the distribution
+    of states immediately before and after — ONE per-id window pass (lag
+    1 + lead k share the sort) and a (prev, next) hash aggregate; no
+    joins, no explode.  The oracle replays the identical window
+    formulation."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where isnotnull(ts)
+| sort by ts asc, event_id asc
+| evaluate funnel_sequence(user_id, ts, event_type,
+                           dynamic(['signup', 'click']))
+| sort by prev asc, next asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
