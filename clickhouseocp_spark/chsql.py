@@ -1834,8 +1834,9 @@ FUNC_RULES: dict[str, object] = {
     "toYYYYMMDDhhmmss": lambda args: (
         f"cast(date_format({args[0]}, 'yyyyMMddHHmmss') as bigint)"
     ),
-    "fromUnixTimestamp64Milli": _rename("timestamp_millis"),
-    "fromUnixTimestamp64Micro": _rename("timestamp_micros"),
+    # fromUnixTimestamp64Milli/Micro moved to the batch-21 block below
+    # (TIMESTAMP_NTZ output — the repo's DateTime convention — and the
+    # integer-div Nano variant live together there)
     "toUnixTimestamp64Milli": _rename("unix_millis"),
     # Twitter-snowflake id <-> DateTime (CH epoch 1288834974657 ms)
     "snowflakeToDateTime": lambda args: (
