@@ -1364,6 +1364,28 @@ FUNC_RULES: dict[str, object] = {
     "covarPop": _rename("covar_pop"), "covarSamp": _rename("covar_samp"),
     "corr": _rename("corr"),
     "skewPop": _rename("skewness"), "kurtPop": _rename("kurtosis"),
+    # batch 24 (round 9): aggregate-expression composites
+    # avgWeighted(x, w): DECIMAL-routed sums so partial-merge order can't
+    # perturb the double result (the fsum convention)
+    "avgWeighted": lambda args: (
+        f"(CAST(sum(CAST(({args[0]}) * ({args[1]}) AS DECIMAL(38,6))) "
+        f"AS DOUBLE) / CAST(sum(CAST({args[1]} AS DECIMAL(38,6))) AS DOUBLE))"
+    ),
+    # CH sample moments relate to Spark's population forms by
+    # ((n-1)/n)^k — skewSamp = μ3/σ_samp³, kurtSamp = μ4/σ_samp⁴ (CH's
+    # kurtosis family is Pearson, not excess: +3 off Spark's kurtosis)
+    "skewSamp": lambda args: (
+        f"(skewness({args[0]}) * pow((count({args[0]}) - 1) "
+        f"/ CAST(count({args[0]}) AS DOUBLE), 1.5))"
+    ),
+    "kurtSamp": lambda args: (
+        f"((kurtosis({args[0]}) + 3) * pow((count({args[0]}) - 1) "
+        f"/ CAST(count({args[0]}) AS DOUBLE), 2))"
+    ),
+    "boundingRatio": lambda args: (
+        f"((max({args[1]}) - min({args[1]})) "
+        f"/ CAST(max({args[0]}) - min({args[0]}) AS DOUBLE))"
+    ),
     # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
     "has": _rename("array_contains"),
     "hasAny": _rename("arrays_overlap"),

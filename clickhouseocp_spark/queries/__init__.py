@@ -470,11 +470,12 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_series_periods",
     # --- round-9 LLM tier: fuzzy-dedup pipeline end-to-end ---
     "dedup_fuzzy_e2e",
-    # --- round-9 vocabulary batches 20-23 ---
+    # --- round-9 vocabulary batches 20-24 ---
     "chsql_vocab_r20",
     "chsql_vocab_r21",
     "chsql_vocab_r22",
     "chsql_vocab_r23",
+    "chsql_vocab_r24",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
     # --- round-9 Kusto activity plugins ---
