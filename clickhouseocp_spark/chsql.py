@@ -236,6 +236,25 @@ def _tuple_arith(args: list[str], op: str) -> str:
     return f"named_struct({fields})"
 
 
+def _ttest_expr(args: list[str], welch: bool) -> str:
+    """Two-sample t statistic as ONE aggregate expression (conditional
+    aggregates over the index split — map-side combinable like any
+    GROUP BY expression)."""
+    x, idx = args[0], args[1]
+    x0 = f"CASE WHEN ({idx}) = 0 THEN CAST({x} AS DOUBLE) END"
+    x1 = f"CASE WHEN ({idx}) = 1 THEN CAST({x} AS DOUBLE) END"
+    n0, n1 = f"count({x0})", f"count({x1})"
+    if welch:
+        denom = f"sqrt(var_samp({x0}) / {n0} + var_samp({x1}) / {n1})"
+    else:
+        denom = (
+            f"sqrt((var_samp({x0}) * ({n0} - 1) "
+            f"+ var_samp({x1}) * ({n1} - 1)) / ({n0} + {n1} - 2) "
+            f"* (1.0 / {n0} + 1.0 / {n1}))"
+        )
+    return f"((avg({x0}) - avg({x1})) / {denom})"
+
+
 def _json_type(args: list[str]) -> str:
     """JSONType(json): the root value's JSON type name, matching CH's
     simdjson element names — floats are 'Double' (not 'Float64'), integers
@@ -1386,6 +1405,12 @@ FUNC_RULES: dict[str, object] = {
         f"((max({args[1]}) - min({args[1]})) "
         f"/ CAST(max({args[0]}) - min({args[0]}) AS DOUBLE))"
     ),
+    # studentTTest/welchTTest(sample, index): the t statistic between the
+    # index-0 and index-1 samples (CH returns (t, p); the scalar subset
+    # matches the DataFrame tier's documented deviation — p-values need
+    # the t CDF, out of pure-SQL scope)
+    "studentTTest": lambda args: _ttest_expr(args, welch=False),
+    "welchTTest": lambda args: _ttest_expr(args, welch=True),
     # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
     "has": _rename("array_contains"),
     "hasAny": _rename("arrays_overlap"),

@@ -5954,6 +5954,47 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 @register(
+    "chsql_ttest_text",
+    oracle="""
+WITH s AS (
+  SELECT CASE WHEN l_orderkey % 2 = 0 THEN CAST(l_quantity AS DOUBLE) END
+           AS x0,
+         CASE WHEN l_orderkey % 2 = 1 THEN CAST(l_quantity AS DOUBLE) END
+           AS x1
+  FROM lineitem WHERE l_orderkey < 5000)
+SELECT
+  round((avg(x0) - avg(x1))
+        / sqrt((var_samp(x0) * (count(x0) - 1)
+                + var_samp(x1) * (count(x1) - 1))
+               / (count(x0) + count(x1) - 2)
+               * (1.0 / count(x0) + 1.0 / count(x1))), 6) AS st,
+  round((avg(x0) - avg(x1))
+        / sqrt(var_samp(x0) / count(x0) + var_samp(x1) / count(x1)), 6)
+    AS wt
+FROM s
+""",
+    tags=("chsql", "dialect", "statistics"),
+)
+def chsql_ttest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``studentTTest``/``welchTTest`` on the TEXT path (round 9): the
+    two-sample t statistics as ONE aggregate expression each (conditional
+    aggregates over the index split — map-side combinable; the (t, p)
+    tuple narrows to t, the DataFrame tier's documented deviation).  The
+    oracle replays the identical conditional-aggregate formulation."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT
+  round(studentTTest(toFloat64(l_quantity), l_orderkey % 2), 6) AS st,
+  round(welchTTest(toFloat64(l_quantity), l_orderkey % 2), 6) AS wt
+FROM lineitem WHERE l_orderkey < 5000
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
