@@ -478,6 +478,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_vocab_r24",
     # --- round-9 text-path t-test statistics ---
     "chsql_ttest_text",
+    # --- round-9 streaming concurrent scan machine set ---
+    "stream_scan_concurrent",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
     # --- round-9 Kusto activity plugins ---

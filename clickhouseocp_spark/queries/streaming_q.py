@@ -471,3 +471,75 @@ def stream_scan_machine(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_scan_machine(events_stream(spark, sf_dir)),
         output_mode="append",
     )
+
+
+def _stream_scan_concurrent_impl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+        streaming_scan_concurrent,
+    )
+
+    return run_available_now(
+        streaming_scan_concurrent(events_stream(spark, sf_dir)),
+        output_mode="append",
+    )
+
+
+@register(
+    "stream_scan_concurrent",
+    oracle="""
+WITH RECURSIVE base AS (
+  SELECT user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+m AS (
+  SELECT user_id, 0 AS rn, CAST(0 AS BIGINT) AS seq,
+         CAST(NULL AS BIGINT) AS s1_mid, CAST(NULL AS BIGINT) AS s2_mid,
+         CAST(NULL AS TIMESTAMP) AS ts, CAST(NULL AS VARCHAR) AS event_type,
+         CAST(NULL AS VARCHAR) AS estep, CAST(0 AS BIGINT) AS emid
+  FROM (SELECT DISTINCT user_id FROM base)
+  UNION ALL
+  SELECT b.user_id, b.rn,
+    m.seq + CASE WHEN (m.s1_mid IS NULL
+                       OR (m.s1_mid IS NOT NULL
+                           AND b.event_type IN ('click', 'purchase')))
+                      AND b.event_type = 'signup' THEN 1 ELSE 0 END,
+    CASE WHEN m.s1_mid IS NOT NULL
+              AND NOT (b.event_type IN ('click', 'purchase'))
+         THEN m.s1_mid
+         WHEN b.event_type = 'signup' THEN m.seq
+         ELSE NULL END,
+    CASE WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s1_mid
+         ELSE m.s2_mid END,
+    b.ts, b.event_type,
+    CASE WHEN b.event_type = 'signup' THEN 'start'
+         WHEN (m.s1_mid IS NOT NULL OR m.s2_mid IS NOT NULL)
+              AND b.event_type IN ('click', 'purchase') THEN 'act'
+         ELSE NULL END,
+    CASE WHEN b.event_type = 'signup'
+              AND m.s1_mid IS NOT NULL THEN m.s1_mid
+         WHEN b.event_type = 'signup' THEN m.seq
+         WHEN m.s1_mid IS NOT NULL
+              AND b.event_type IN ('click', 'purchase') THEN m.s1_mid
+         WHEN m.s2_mid IS NOT NULL THEN m.s2_mid
+         ELSE 0 END
+  FROM m JOIN base b ON b.user_id = m.user_id AND b.rn = m.rn + 1
+)
+SELECT user_id, ts, event_type, emid AS m
+FROM m WHERE estep IS NOT NULL ORDER BY user_id, ts
+""",
+    tags=("streaming", "kql", "scan", "funnel"),
+)
+def stream_scan_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The concurrent scan machine set on a STREAM (round 9): the same
+    promotion/absorption/replacement rule set as ``scan kind=concurrent``
+    (signup starts/absorbs, click/purchase promotes — replacing any
+    slot-2 sequence — or absorbs), carried across micro-batches with
+    state = (seq counter, one mid per slot) per key.  The bounded drain
+    equals the batch machine exactly, so the oracle is the identical
+    recursive-CTE rule-set replay (minus the declared counter, which the
+    stream tier omits)."""
+    return _stream_scan_concurrent_impl(spark, sf_dir)

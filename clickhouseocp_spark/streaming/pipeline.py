@@ -537,3 +537,99 @@ def streaming_scan_machine(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_scan_concurrent(
+    stream: DataFrame,
+    step_sets: tuple[tuple[str, ...], ...] = (
+        ("signup",),
+        ("click", "purchase"),
+    ),
+    key: str = "user_id",
+) -> DataFrame:
+    """The Kusto-FAITHFUL concurrent ``scan`` machine set on UNBOUNDED
+    input (round 9) — the streaming twin of ``scan kind=concurrent``:
+    at most one active sequence per step; per row, promotion (the
+    step-(k−1) sequence matching step k's predicate) replaces whatever
+    sequence sat at slot k, absorption keeps a sequence accumulating
+    within its step, and step 1 starts a new sequence only into an
+    empty/vacated slot; sequences never retire; match_id is unique per
+    sequence, assigned at creation.
+
+    State per key = (seq counter, one mid per slot; −1 = empty) —
+    O(steps) regardless of stream length, carried across micro-batches
+    by ``applyInPandasWithState``.  Same in-order-per-key arrival
+    contract as the greedy streaming machine."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    sets = [frozenset(s) for s in step_sets]
+    n = len(sets)
+
+    def update(key_t, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            st = state.get
+            seq, slots = st[0], list(st[1])
+        else:
+            seq, slots = 0, [-1] * n
+        out_ts, out_et, out_mid = [], [], []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, et in zip(pdf["ts"], pdf["event_type"]):
+                hit = [et in s for s in sets]
+                promo = [
+                    k >= 1 and slots[k - 1] != -1 and hit[k]
+                    for k in range(n)
+                ]
+                new_slots = list(slots)
+                # slots last→first so promotions read pre-row state
+                for k in range(n - 1, 0, -1):
+                    vacated = k + 1 < n and promo[k + 1]
+                    if promo[k]:
+                        out_ts.append(ts)
+                        out_et.append(et)
+                        out_mid.append(slots[k - 1])
+                        new_slots[k] = slots[k - 1]
+                    elif slots[k] != -1 and not vacated and hit[k]:
+                        out_ts.append(ts)
+                        out_et.append(et)
+                        out_mid.append(slots[k])
+                vacated1 = n > 1 and promo[1]
+                if slots[0] != -1 and not vacated1:
+                    if hit[0]:
+                        out_ts.append(ts)
+                        out_et.append(et)
+                        out_mid.append(slots[0])
+                else:
+                    if hit[0]:
+                        out_ts.append(ts)
+                        out_et.append(et)
+                        out_mid.append(seq)
+                        new_slots[0] = seq
+                        seq += 1
+                    elif vacated1:
+                        new_slots[0] = -1
+                slots = new_slots
+        state.update((int(seq), [int(s) for s in slots]))
+        yield pd.DataFrame(
+            {
+                key: [key_t[0]] * len(out_ts),
+                "ts": out_ts,
+                "event_type": out_et,
+                "m": out_mid,
+            }
+        )
+
+    return (
+        stream.select(key, "ts", "event_id", "event_type")
+        .groupBy(key)
+        .applyInPandasWithState(
+            update,
+            outputStructType=f"{key} bigint, ts timestamp, "
+            "event_type string, m bigint",
+            stateStructType="seq bigint, slots array<bigint>",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1884,3 +1884,46 @@ def test_dedup_fuzzy_e2e_planted_signal(spark, sf_dir):
     assert r.one_survivor_per_component is True
     assert r.survivor_is_min_member is True
     assert r.n_docs % 3 == 0 and r.n_docs > 0
+
+
+def test_stream_scan_concurrent_two_batches_equals_batch(spark, sf_dir, tmp_path):
+    """Cross-micro-batch state of the CONCURRENT streaming machine set: the
+    (seq, slot mids) state must survive the batch boundary — same two-file
+    split protocol as the greedy machine's test."""
+    import os
+    import time
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_scan_concurrent,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    mid = ev.approxQuantile("event_id", [0.5], 0.0)[0]
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    ev.filter(F.col("event_id") <= mid).coalesce(1).write.parquet(src + "/p1")
+    time.sleep(1.1)
+    ev.filter(F.col("event_id") > mid).coalesce(1).write.parquet(src + "/p2")
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(src + "/p*")
+    )
+    two = run_available_now(
+        streaming_scan_concurrent(stream), output_mode="append"
+    )
+    one = run_available_now(
+        streaming_scan_concurrent(
+            spark.readStream.schema(schema).parquet(src + "/p*")
+        ),
+        output_mode="append",
+    )
+    key = lambda r: (r.user_id, r.ts, r.event_type, r.m)  # noqa: E731
+    got, want = sorted(map(key, two.collect())), sorted(map(key, one.collect()))
+    assert got == want and len(got) > 0
