@@ -1095,6 +1095,43 @@ def base58Decode(a) -> Column:
     return pandas_udf(_dec, "string")(_c(a))
 
 
+def base32Encode(a) -> Column:
+    """CH base32Encode (24.x): RFC-4648 base32 of the utf-8 bytes —
+    stdlib codec in an Arrow-batched pandas UDF."""
+    import base64
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _enc(s):
+        return s.map(
+            lambda v: None if v is None
+            else base64.b32encode(v.encode()).decode("ascii")
+        )
+
+    _enc.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_enc, "string")(_c(a))
+
+
+def base32Decode(a) -> Column:
+    """CH base32Decode: inverse of base32Encode (utf-8 text out; invalid
+    input raises, matching CH — use tryBase32Decode semantics upstream if
+    NULL-on-error is wanted)."""
+    import base64
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _dec(s):
+        return s.map(
+            lambda v: None if v is None
+            else base64.b32decode(v).decode("utf-8")
+        )
+
+    _dec.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_dec, "string")(_c(a))
+
+
 # --- round-6 batch C: hierarchies, punycode/IDNA, consistent hashing --------
 
 

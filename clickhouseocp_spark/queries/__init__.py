@@ -480,6 +480,8 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_ttest_text",
     # --- round-9 streaming concurrent scan machine set ---
     "stream_scan_concurrent",
+    # --- round-9 codec batch 25 ---
+    "codec_base32_strings",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
     # --- round-9 Kusto activity plugins ---

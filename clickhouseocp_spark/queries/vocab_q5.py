@@ -134,6 +134,49 @@ def soundex_base58_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "codec_base32_strings",
+    oracle="""
+SELECT event_id AS i,
+  CASE CAST(event_id % 7 AS INT)
+    WHEN 0 THEN '' WHEN 1 THEN 'MY======' WHEN 2 THEN 'MZXQ===='
+    WHEN 3 THEN 'MZXW6===' WHEN 4 THEN 'MZXW6YQ=' WHEN 5 THEN 'MZXW6YTB'
+    ELSE 'MZXW6YTBOI======' END AS b32,
+  TRUE AS rt_ok,
+  'Spark_SQL' AS ov,
+  repeat('ab', CAST(event_id % 4 AS INT)) AS rep,
+  '[' || repeat(' ', CAST(event_id % 3 AS INT)) || ']' AS sp,
+  ascii(substring('ABC', CAST(event_id % 3 AS INT) + 1, 1)) AS asc_c,
+  chr(65 + CAST(event_id % 26 AS INT)) AS chr_c
+FROM events WHERE event_id < 100 ORDER BY event_id
+""",
+    tags=("scalar", "vocab", "codec"),
+)
+def codec_base32_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``base32Encode/Decode`` (RFC 4648 — the full test-vector ladder
+    'f'..'foobar' incl. every padding length, plus decode∘encode identity)
+    and the string builtins CH shares with Spark verbatim —
+    ``overlay ... PLACING``, ``repeat``, ``space``, ``ascii``, ``char`` —
+    value-pinned against DuckDB closed forms."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    s = F.expr("substring('foobar', 1, CAST(event_id % 7 AS INT))")
+    enc = ch.base32Encode(s)
+    return ev.select(
+        F.col("event_id").alias("i"),
+        enc.alias("b32"),
+        (ch.base32Decode(enc) == s).alias("rt_ok"),
+        F.expr("overlay('Spark SQL' PLACING '_' FROM 6)").alias("ov"),
+        F.expr("repeat('ab', CAST(event_id % 4 AS INT))").alias("rep"),
+        F.expr(
+            "concat('[', space(CAST(event_id % 3 AS INT)), ']')"
+        ).alias("sp"),
+        F.expr(
+            "ascii(substring('ABC', CAST(event_id % 3 AS INT) + 1, 1))"
+        ).alias("asc_c"),
+        F.expr("char(65 + event_id % 26)").alias("chr_c"),
+    ).orderBy("i")
+
+
+@register(
     "series_outliers_tukey",
     oracle="""
 WITH series AS (
