@@ -1383,6 +1383,10 @@ FUNC_RULES: dict[str, object] = {
     "covarPop": _rename("covar_pop"), "covarSamp": _rename("covar_samp"),
     "corr": _rename("corr"),
     "skewPop": _rename("skewness"), "kurtPop": _rename("kurtosis"),
+    # C-style %, zero divisor → 0 (Spark's % matches CH's sign rule)
+    "moduloOrZero": lambda args: (
+        f"IF(({args[1]}) = 0, 0, ({args[0]}) % ({args[1]}))"
+    ),
     # batch 24 (round 9): aggregate-expression composites
     # avgWeighted(x, w): DECIMAL-routed sums so partial-merge order can't
     # perturb the double result (the fsum convention)

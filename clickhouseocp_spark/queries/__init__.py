@@ -480,8 +480,9 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_ttest_text",
     # --- round-9 streaming concurrent scan machine set ---
     "stream_scan_concurrent",
-    # --- round-9 codec batch 25 ---
+    # --- round-9 codec batch 25 + math pins ---
     "codec_base32_strings",
+    "chsql_math_vocab_r9b",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
     # --- round-9 Kusto activity plugins ---

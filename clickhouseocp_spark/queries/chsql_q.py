@@ -5995,6 +5995,66 @@ FROM lineitem WHERE l_orderkey < 5000
 
 
 @register(
+    "chsql_math_vocab_r9b",
+    oracle="""
+WITH s AS (SELECT event_id, value / 100.0 AS x,
+                  CAST(event_id % 11 - 5 AS DOUBLE) AS y
+           FROM events WHERE event_id < 300)
+SELECT event_id,
+  round((exp(x) - exp(-x)) / 2, 6) AS v_sinh,
+  round((exp(x) + exp(-x)) / 2, 6) AS v_cosh,
+  round((exp(2 * x) - 1) / (exp(2 * x) + 1), 6) AS v_tanh,
+  round(ln(y + sqrt(y * y + 1)), 6) AS v_asinh,
+  round(atan2(y, x + 1.0), 6) AS v_atan2,
+  round(CASE WHEN x >= 0 THEN pow(x, 1.0 / 3.0)
+             ELSE -pow(-x, 1.0 / 3.0) END, 6) AS v_cbrt,
+  round(degrees(x), 6) AS v_deg, round(radians(y), 6) AS v_rad,
+  CAST(sign(y) AS BIGINT) AS v_sign,
+  CAST([1, 1, 2, 6, 24, 120, 720, 5040][1 + CAST(event_id % 8 AS INT)]
+       AS BIGINT) AS v_fact,
+  round(sqrt(x * x + y * y), 6) AS v_hypot,
+  round(ln(1.0 + x), 6) AS v_log1p, round(exp(x) - 1.0, 6) AS v_expm1,
+  CASE WHEN event_id % 5 = 0 THEN 0
+       ELSE CAST(event_id % 17 - 8 AS BIGINT)
+            % CAST(event_id % 5 AS BIGINT) END AS v_modz
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary", "math"),
+)
+def chsql_math_vocab_r9b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math vocabulary pins (round 9): the libm family CH shares with
+    Spark VERBATIM — sinh/cosh/tanh/asinh/atan2/cbrt/degrees/radians/
+    sign/factorial/hypot/log1p/expm1 — value-pinned against DuckDB
+    closed forms (hypot/log1p/expm1 replayed as their defining
+    expressions; round(6) absorbs last-ulp libm spread), plus
+    ``moduloOrZero`` (C-style %, zero divisor → 0)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  round(sinh(value / 100.0), 6) AS v_sinh,
+  round(cosh(value / 100.0), 6) AS v_cosh,
+  round(tanh(value / 100.0), 6) AS v_tanh,
+  round(asinh(toFloat64(event_id % 11 - 5)), 6) AS v_asinh,
+  round(atan2(toFloat64(event_id % 11 - 5), value / 100.0 + 1.0), 6)
+    AS v_atan2,
+  round(cbrt(value / 100.0), 6) AS v_cbrt,
+  round(degrees(value / 100.0), 6) AS v_deg,
+  round(radians(toFloat64(event_id % 11 - 5)), 6) AS v_rad,
+  toInt64(sign(toFloat64(event_id % 11 - 5))) AS v_sign,
+  factorial(toInt32(event_id % 8)) AS v_fact,
+  round(hypot(value / 100.0, toFloat64(event_id % 11 - 5)), 6) AS v_hypot,
+  round(log1p(value / 100.0), 6) AS v_log1p,
+  round(expm1(value / 100.0), 6) AS v_expm1,
+  moduloOrZero(toInt64(event_id % 17 - 8), toInt64(event_id % 5)) AS v_modz
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_make_bag",
     oracle="""
 SELECT event_type,
