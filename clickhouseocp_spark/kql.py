@@ -1056,6 +1056,30 @@ def _expr(e: str) -> str:
         e,
         flags=re.IGNORECASE,
     )
+    # has_any / has_all: whole-term match over a literal term list
+    # (OR / AND of the single-term rule) — MUST rewrite before bare `has`
+    def _has_multi(m: "re.Match[str]") -> str:
+        col = m.group(1)
+        op = " OR " if m.group(2).lower() == "any" else " AND "
+        terms = re.findall(r"'([^']*)'", m.group(3))
+        if not terms:
+            raise KqlError(f"has_{m.group(2)} needs string literals")
+        return (
+            "("
+            + op.join(
+                f"array_contains(split(lower({col}), '[^a-z0-9]+'), "
+                f"'{t.lower()}')"
+                for t in terms
+            )
+            + ")"
+        )
+
+    e = re.sub(
+        r"([A-Za-z_][\w.]*(?:\[[^\]]*\])?)\s+has_(any|all)\s*\(([^)]*)\)",
+        _has_multi,
+        e,
+        flags=re.IGNORECASE,
+    )
     # whole-term match (case-insensitive token membership — Kusto `has`
     # hits term boundaries, not substrings)
     e = re.sub(

@@ -2497,3 +2497,27 @@ t
     ).collect()
     # match at i=3: keep 1 before (i=2), the match, 2 after (i=4, 5)
     assert sorted(r.i for r in rows) == [2, 3, 4, 5]
+
+
+def test_kql_has_any_all(spark):
+    """has_any / has_all: whole-term membership over literal term lists."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        """
+let t = datatable(i: long, s: string)
+  [1, 'alpha beta gamma', 2, 'alpha only', 3, 'delta'];
+t
+| extend a = s has_any ('beta', 'delta'),
+         b = s has_all ('alpha', 'beta'),
+         c = s has_any ('alphabet')
+| project i, a, b, c
+""",
+        dialect="kusto",
+    ).orderBy("i").collect()
+    assert [(r.i, r.a, r.b, r.c) for r in rows] == [
+        (1, True, True, False),   # whole terms, not substrings
+        (2, False, False, False),
+        (3, True, False, False),
+    ]
