@@ -1267,12 +1267,33 @@ def _agg_expr(e: str) -> str:
     def _pct(args: list[str]) -> str:
         if len(args) != 2:
             raise KqlError(f"percentile(expr, N) takes 2 args, got {args!r}")
+        if args[1].strip().startswith("array("):
+            # already-lowered percentiles_array output re-entering the
+            # bare-percentile rewrite on the second pass — leave intact
+            return f"percentile({args[0]}, {args[1]})"
         try:
             frac = float(args[1]) / 100.0
         except ValueError:
             raise KqlError(f"percentile: N must be a numeric literal, got {args[1]!r}")
         return f"percentile({args[0]}, {frac})"
 
+    def _pcts_array(args: list[str]) -> str:
+        # percentiles_array(x, p1, p2, ...) → Spark's array-percentile form
+        # (same exact-interpolation deviation as percentile); REWRITTEN
+        # BEFORE bare percentile so the prefix never half-matches
+        if len(args) < 2:
+            raise KqlError(
+                f"percentiles_array(expr, N...) needs >= 2 args, got {args!r}"
+            )
+        try:
+            fracs = ", ".join(str(float(p) / 100.0) for p in args[1:])
+        except ValueError:
+            raise KqlError(
+                f"percentiles_array: N must be numeric literals, got {args!r}"
+            )
+        return f"percentile({args[0]}, array({fracs}))"
+
+    e = _rewrite_call(e, "percentiles_array", _pcts_array)
     e = _rewrite_call(e, "percentile", _pct)
     e = _rewrite_call(
         e,

@@ -2521,3 +2521,21 @@ t
         (2, False, False, False),
         (3, True, False, False),
     ]
+
+
+def test_kql_percentiles_array(spark):
+    """percentiles_array: the multi-quantile form of percentile — Spark's
+    array percentile, comma-joinable for driver-safe output."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+let t = datatable(v: long) [1, 2, 3, 4, 5];
+t
+| summarize p = percentiles_array(v, 25, 50, 75)
+| project out = strcat_array(p, ',')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.out in ("2.0,3.0,4.0", "2,3,4")
