@@ -456,10 +456,10 @@ _DRIVER_WINDOW_R11: list[str] = [
 #: ROUND-10 START TASK (the same rotation this round performed — do it
 #: FIRST, after CORRECTNESS_r09.json lands): reorder all_queries() to
 #:   _DRIVER_WINDOW_R10[16:] (4) + _DRIVER_WINDOW_R11 (21) + this list
-#: ahead of everything else.  At this list's final size (17) that is 42
+#: ahead of everything else.  At this list's final size (18) that is 43
 #: names — full-registry driver coverage INCLUDING the round-9 additions
-#: completes in round 10 with 8 slots to spare; stage round-10-new
-#: queries in a fresh _DRIVER_WINDOW_R13 at birth and pull ≤8 of them
+#: completes in round 10 with 7 slots to spare; stage round-10-new
+#: queries in a fresh _DRIVER_WINDOW_R13 at birth and pull ≤7 of them
 #: into the window only if they exist by recording time.
 _DRIVER_WINDOW_R12: list[str] = [
     # --- round-9 KQL scan completion: the Kusto-faithful concurrent
