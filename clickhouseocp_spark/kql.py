@@ -1014,6 +1014,66 @@ _KQL_SCALARS: dict = {
     # dynamic arrays); lowers to the Arrow FFT kernel registered by the
     # engine under its ClickHouse name (functions/series_fft.py)
     "series_periods_detect": lambda a: f"seriesPeriodDetectFFT({a[0]})",
+    # round-9 series vector math (all zero-exchange array folds)
+    "series_dot_product": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v)"
+    ),
+    "series_magnitude": lambda a: (
+        f"sqrt(aggregate(transform({a[0]}, __x -> "
+        f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v))"
+    ),
+    # cosine over the zipped pair; either zero magnitude → 0 (Kusto)
+    "series_cosine_similarity": lambda a: (
+        f"transform(array(named_struct("
+        f"'d', aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v), "
+        f"'m1', sqrt(aggregate(transform({a[0]}, __x -> "
+        f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v)), "
+        f"'m2', sqrt(aggregate(transform({a[1]}, __x -> "
+        f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v)))), "
+        f"__t -> IF(__t.m1 = 0 OR __t.m2 = 0, 0.0D, "
+        f"__t.d / (__t.m1 * __t.m2)))[0]"
+    ),
+    "series_floor": lambda a: (
+        f"transform({a[0]}, __x -> floor(CAST(__x AS DOUBLE)))"
+    ),
+    "series_ceiling": lambda a: (
+        f"transform({a[0]}, __x -> ceiling(CAST(__x AS DOUBLE)))"
+    ),
+    "array_sum": lambda a: (
+        f"aggregate({a[0]}, 0.0D, (__s, __v) -> __s + CAST(__v AS DOUBLE))"
+    ),
+    "array_avg": lambda a: (
+        f"(aggregate({a[0]}, 0.0D, (__s, __v) -> __s + CAST(__v AS DOUBLE)) "
+        f"/ nullif(size({a[0]}), 0))"
+    ),
+    "array_rotate_left": lambda a: (
+        f"concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1, "
+        f"size({a[0]}) - pmod({a[1]}, size({a[0]}))), "
+        f"slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
+    ),
+    # shift left by a non-negative count (subset); dropped tail fills with
+    # typed NULLs (or the optional fill value)
+    "array_shift_left": lambda a: (
+        f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})), "
+        f"transform(slice({a[0]}, 1, {a[1]}), __x -> "
+        + (f"IF(1 = 0, __x, {a[2]})" if len(a) > 2 else "IF(1 = 0, __x, NULL)")
+        + "))"
+    ),
+    "jaccard_index": lambda a: (
+        f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
+        f"/ nullif(size(array_union({a[0]}, {a[1]})), 0))"
+    ),
+    # zip: Kusto emits an array of 2-element arrays — the same-type subset
+    "zip": lambda a: (
+        f"zip_with({a[0]}, {a[1]}, (__x, __y) -> array(__x, __y))"
+    ),
     # round-9 log-analytics scalar batch
     "format_bytes": _kql_format_bytes,
     "parse_version": _kql_parse_version,
@@ -1300,6 +1360,17 @@ def _agg_expr(e: str) -> str:
         "countif",
         lambda a: f"count_if({a[0]})" if len(a) == 1
         else (_ for _ in ()).throw(KqlError("countif(pred) takes 1 arg")),
+    )
+    e = _rewrite_call(
+        e,
+        "take_anyif",
+        lambda a: (
+            f"first(CASE WHEN {a[1]} THEN {a[0]} END, true)"
+            if len(a) == 2
+            else (_ for _ in ()).throw(
+                KqlError("take_anyif(expr, pred) takes 2 args")
+            )
+        ),
     )
     for fn, sql in (("sumif", "sum"), ("avgif", "avg"),
                     ("minif", "min"), ("maxif", "max")):

@@ -2539,3 +2539,49 @@ t
         dialect="kusto",
     ).collect()[0]
     assert r.out in ("2.0,3.0,4.0", "2,3,4")
+
+
+def test_kql_series_vector_and_array_vocab(spark):
+    """Round-9 series vector math + array vocabulary: dot/magnitude/cosine,
+    floor/ceiling, array_sum/avg, rotate/shift, jaccard_index, zip,
+    take_anyif — value-pinned on literals."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+let t = datatable(k: long) [1];
+t
+| extend d = series_dot_product(dynamic([1, 2, 3]), dynamic([4, 5, 6])),
+         m = series_magnitude(dynamic([3, 4])),
+         c = round(series_cosine_similarity(dynamic([1, 0]), dynamic([1, 0])), 6),
+         cz = series_cosine_similarity(dynamic([0, 0]), dynamic([1, 0])),
+         fl = strcat_array(series_floor(dynamic([1.7, -1.2])), ','),
+         ce = strcat_array(series_ceiling(dynamic([1.2, -1.7])), ','),
+         s = array_sum(dynamic([1, 2, 3.5])),
+         av = array_avg(dynamic([2, 4])),
+         rl = strcat_array(array_rotate_left(dynamic([1, 2, 3, 4]), 1), ','),
+         sl = strcat_array(array_shift_left(dynamic([1, 2, 3]), 1, 0), ','),
+         j = jaccard_index(dynamic([1, 2, 3]), dynamic([2, 3, 4])),
+         zp = zip(dynamic([1, 2]), dynamic([3, 4]))
+| extend z0 = strcat_array(zp[0], ':'), z1 = strcat_array(zp[1], ':')
+| project d, m, c, cz, fl, ce, s, av, rl, sl, j, z0, z1
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.d == 32.0 and r.m == 5.0
+    assert r.c == 1.0 and r.cz == 0.0
+    assert r.fl.startswith("1") and r.ce.startswith("2")
+    assert r.s == 6.5 and r.av == 3.0
+    assert r.rl in ("2,3,4,1", "2.0,3.0,4.0,1.0")
+    assert r.sl in ("2,3,0", "2.0,3.0,0.0")
+    assert abs(r.j - 0.5) < 1e-12
+    assert r.z0 in ("1:3", "1.0:3.0") and r.z1 in ("2:4", "2.0:4.0")
+    agg = eng.sql(
+        """
+let t = datatable(v: long, f: bool) [5, false, 7, true, 9, true];
+t | summarize a = take_anyif(v, f == true)
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert agg.a in (7, 9)
