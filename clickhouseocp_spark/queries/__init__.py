@@ -456,10 +456,10 @@ _DRIVER_WINDOW_R11: list[str] = [
 #: ROUND-10 START TASK (the same rotation this round performed — do it
 #: FIRST, after CORRECTNESS_r09.json lands): reorder all_queries() to
 #:   _DRIVER_WINDOW_R10[16:] (4) + _DRIVER_WINDOW_R11 (21) + this list
-#: ahead of everything else.  At this list's final size (18) that is 43
+#: ahead of everything else.  At this list's final size (19) that is 44
 #: names — full-registry driver coverage INCLUDING the round-9 additions
-#: completes in round 10 with 7 slots to spare; stage round-10-new
-#: queries in a fresh _DRIVER_WINDOW_R13 at birth and pull ≤7 of them
+#: completes in round 10 with 6 slots to spare; stage round-10-new
+#: queries in a fresh _DRIVER_WINDOW_R13 at birth and pull ≤6 of them
 #: into the window only if they exist by recording time.
 _DRIVER_WINDOW_R12: list[str] = [
     # --- round-9 KQL scan completion: the Kusto-faithful concurrent
@@ -480,9 +480,10 @@ _DRIVER_WINDOW_R12: list[str] = [
     "chsql_ttest_text",
     # --- round-9 streaming concurrent scan machine set ---
     "stream_scan_concurrent",
-    # --- round-9 codec batch 25 + math pins ---
+    # --- round-9 codec batch 25 + math pins + series vector math ---
     "codec_base32_strings",
     "chsql_math_vocab_r9b",
+    "kql_series_vector",
     # --- round-9 Kusto log-analytics scalar batch 2 ---
     "kql_scalar_vocab2",
     # --- round-9 Kusto activity plugins ---

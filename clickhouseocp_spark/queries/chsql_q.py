@@ -4319,6 +4319,66 @@ events
 
 
 @register(
+    "kql_series_vector",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    list_transform(range(1, 5),
+      i -> CAST(event_id % (i + 2) + i AS DOUBLE)) AS a,
+    list_transform(range(1, 5),
+      i -> CAST((event_id + i) % 5 + 1 AS DOUBLE)) AS b,
+    list_transform(range(1, 5),
+      i -> CAST(event_id % (i + 2) + i AS BIGINT)) AS ai,
+    list_transform(range(1, 5),
+      i -> CAST((event_id + i) % 5 + 1 AS BIGINT)) AS bi
+  FROM events WHERE event_id < 100)
+SELECT event_id,
+  round(list_sum(list_transform(range(1, 5), i -> a[i] * b[i])), 6) AS d,
+  round(sqrt(list_sum(list_transform(a, x -> x * x))), 6) AS m,
+  round(list_sum(list_transform(range(1, 5), i -> a[i] * b[i]))
+        / (sqrt(list_sum(list_transform(a, x -> x * x)))
+           * sqrt(list_sum(list_transform(b, x -> x * x)))), 6) AS cs,
+  round(list_sum(a), 6) AS s,
+  round(list_sum(b) / 4, 6) AS av,
+  round(CAST(len(list_intersect(list_distinct(ai), list_distinct(bi)))
+             AS DOUBLE)
+        / len(list_distinct(list_concat(ai, bi))), 6) AS j
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "timeseries", "vector"),
+)
+def kql_series_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto series vector math (round 9): ``series_dot_product`` /
+    ``series_magnitude`` / ``series_cosine_similarity`` plus
+    ``array_sum``/``array_avg``/``jaccard_index`` — all zero-exchange
+    array folds over per-row synthetic vectors (elements ≥ 1, so the
+    cosine's zero-magnitude branch never masks the math).  The oracle
+    replays each fold with DuckDB list functions."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 100
+| extend a = transform(sequence(1, 4), __i -> todouble(event_id % (__i + 2) + __i)),
+         b = transform(sequence(1, 4), __i -> todouble((event_id + __i) % 5 + 1)),
+         ai = transform(sequence(1, 4), __i -> tolong(event_id % (__i + 2) + __i)),
+         bi = transform(sequence(1, 4), __i -> tolong((event_id + __i) % 5 + 1))
+| project event_id,
+    d = round(series_dot_product(a, b), 6),
+    m = round(series_magnitude(a), 6),
+    cs = round(series_cosine_similarity(a, b), 6),
+    s = round(array_sum(a), 6),
+    av = round(array_avg(b), 6),
+    j = round(jaccard_index(ai, bi), 6)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_partition_facet",
     oracle="""
 WITH ranked AS (
