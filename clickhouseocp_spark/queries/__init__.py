@@ -494,6 +494,14 @@ _DRIVER_WINDOW_R12: list[str] = [
     "kql_funnel_sequence",
 ]
 
+#: Round-13 window: queries ADDED during round 10 are appended here at
+#: birth (same staging-at-birth contract, enforced by the registry-hygiene
+#: pytest).  The round-10 recording window is the 44 never-recorded names
+#: (_DRIVER_WINDOW_R10[16:] 4 + _DRIVER_WINDOW_R11 21 + _DRIVER_WINDOW_R12
+#: 19) + the first 6 of this list — full-registry driver coverage lands in
+#: round 10; round 11 records this list's overflow.
+_DRIVER_WINDOW_R13: list[str] = []
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -679,18 +687,19 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        # round-9 recording window (exactly 50): 4 red re-records +
-        # the 30 unrecorded R9 names + the first 16 of R10
-        _R9_RERECORDS
-        + _DRIVER_WINDOW_R9[2:]
-        + _DRIVER_WINDOW_R10[:16]
-        # round-10 line (25): R10 overflow + the round-8-late window
-        + _DRIVER_WINDOW_R10[16:]
+        # round-10 recording window (exactly 50): the 44 never-recorded
+        # names (R10 overflow 4 + R11 21 + R12 19) + the first 6 round-10
+        # births — full-registry driver coverage completes here
+        _DRIVER_WINDOW_R10[16:]
         + _DRIVER_WINDOW_R11
-        # round-9 births (recorded after full coverage lands in round 10)
         + _DRIVER_WINDOW_R12
+        + _DRIVER_WINDOW_R13[:6]
+        # round-11 line: round-10 birth overflow
+        + _DRIVER_WINDOW_R13[6:]
         # already driver-recorded tail, in historic order
-        + _DRIVER_WINDOW_R9[:2]
+        + _R9_RERECORDS
+        + _DRIVER_WINDOW_R9
+        + _DRIVER_WINDOW_R10[:16]
         + _DRIVER_WINDOW_R8
         + _DRIVER_WINDOW_R7
         + _DRIVER_WINDOW_R6
