@@ -1389,10 +1389,13 @@ FUNC_RULES: dict[str, object] = {
     ),
     # batch 24 (round 9): aggregate-expression composites
     # avgWeighted(x, w): DECIMAL-routed sums so partial-merge order can't
-    # perturb the double result (the fsum convention)
+    # perturb the double result (the fsum convention).  DECIMAL(38,12)
+    # (round-9 advice): 6-dp term rounding was a measurable value deviation
+    # from CH's Float64 arithmetic; 12 fractional digits still leave 26
+    # integer digits of headroom before NULL-on-overflow.
     "avgWeighted": lambda args: (
-        f"(CAST(sum(CAST(({args[0]}) * ({args[1]}) AS DECIMAL(38,6))) "
-        f"AS DOUBLE) / CAST(sum(CAST({args[1]} AS DECIMAL(38,6))) AS DOUBLE))"
+        f"(CAST(sum(CAST(({args[0]}) * ({args[1]}) AS DECIMAL(38,12))) "
+        f"AS DOUBLE) / CAST(sum(CAST({args[1]} AS DECIMAL(38,12))) AS DOUBLE))"
     ),
     # CH sample moments relate to Spark's population forms by
     # ((n-1)/n)^k — skewSamp = μ3/σ_samp³, kurtSamp = μ4/σ_samp⁴ (CH's
@@ -1405,8 +1408,11 @@ FUNC_RULES: dict[str, object] = {
         f"((kurtosis({args[0]}) + 3) * pow((count({args[0]}) - 1) "
         f"/ CAST(count({args[0]}) AS DOUBLE), 2))"
     ),
+    # boundingRatio(x, y): slope between the leftmost and rightmost points
+    # BY X — (y@max(x) − y@min(x)) / (max(x) − min(x)), NOT the bounding-box
+    # aspect ratio (round-9 advice fix; matches stats_q.bounding_ratio)
     "boundingRatio": lambda args: (
-        f"((max({args[1]}) - min({args[1]})) "
+        f"((max_by({args[1]}, {args[0]}) - min_by({args[1]}, {args[0]})) "
         f"/ CAST(max({args[0]}) - min({args[0]}) AS DOUBLE))"
     ),
     # studentTTest/welchTTest(sample, index): the t statistic between the

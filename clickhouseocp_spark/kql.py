@@ -722,6 +722,26 @@ def _kql_parse_version(a: list[str]) -> str:
     )
 
 
+def _kql_array_shift(a: list[str], right: bool) -> str:
+    """array_shift_left/right(arr, count[, fill]) — Kusto semantics: a
+    negative count shifts the opposite direction; a count beyond the array
+    size yields a fully-filled array (never a runtime error).  The count is
+    clamped to [0, size] after direction resolution; vacated slots take the
+    optional fill value, else typed NULLs (the ``IF(1=0, __x, fill)`` trick
+    keeps the element type without naming it)."""
+    arr, n0 = a[0], a[1]
+    fill = a[2] if len(a) > 2 else "NULL"
+    n = f"CAST({n0} AS INT)" if right is False else f"(-CAST({n0} AS INT))"
+    k = f"least(abs({n}), size({arr}))"
+    pad = f"transform(slice({arr}, 1, {k}), __x -> IF(1 = 0, __x, {fill}))"
+    left = f"concat(slice({arr}, ({k}) + 1, size({arr}) - ({k})), {pad})"
+    rgt = f"concat({pad}, slice({arr}, 1, size({arr}) - ({k})))"
+    return (
+        f"CASE WHEN size({arr}) = 0 THEN {arr} "
+        f"WHEN ({n}) >= 0 THEN {left} ELSE {rgt} END"
+    )
+
+
 def _ipv4_num(ip: str) -> str:
     return (
         f"aggregate(transform(split({ip}, '\\\\.'), "
@@ -1058,14 +1078,12 @@ _KQL_SCALARS: dict = {
         f"size({a[0]}) - pmod({a[1]}, size({a[0]}))), "
         f"slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
     ),
-    # shift left by a non-negative count (subset); dropped tail fills with
-    # typed NULLs (or the optional fill value)
-    "array_shift_left": lambda a: (
-        f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})), "
-        f"transform(slice({a[0]}, 1, {a[1]}), __x -> "
-        + (f"IF(1 = 0, __x, {a[2]})" if len(a) > 2 else "IF(1 = 0, __x, NULL)")
-        + "))"
-    ),
+    # Kusto-faithful shifts (round-9 advice fix): the count is clamped to
+    # [0, size] (over-shift → full fill, no negative-slice runtime error)
+    # and a negative count shifts the OTHER direction; vacated slots fill
+    # with typed NULLs (or the optional fill value)
+    "array_shift_left": lambda a: _kql_array_shift(a, right=False),
+    "array_shift_right": lambda a: _kql_array_shift(a, right=True),
     "jaccard_index": lambda a: (
         f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE) "
         f"/ nullif(size(array_union({a[0]}, {a[1]})), 0))"
@@ -1077,11 +1095,15 @@ _KQL_SCALARS: dict = {
     # round-9 log-analytics scalar batch
     "format_bytes": _kql_format_bytes,
     "parse_version": _kql_parse_version,
+    # the user regex is wrapped in a non-capturing group BEFORE anchoring
+    # (round-9 advice fix): '^a|b' must mean '^(?:a|b)', not (^a)|(b) —
+    # an ungrouped alternative would strip every standalone match anywhere
+    # in the string
     "trim_start": lambda a: (
-        f"regexp_replace({a[1]}, concat('^', {a[0]}), '')"
+        f"regexp_replace({a[1]}, concat('^(?:', {a[0]}, ')'), '')"
     ),
     "trim_end": lambda a: (
-        f"regexp_replace({a[1]}, concat({a[0]}, '$'), '')"
+        f"regexp_replace({a[1]}, concat('(?:', {a[0]}, ')$'), '')"
     ),
     "ipv4_is_private": _kql_ipv4_is_private,
     "ipv4_is_in_range": _kql_ipv4_in_range,
@@ -1660,7 +1682,23 @@ def _parse_kv(sub: str, rest: str) -> str:
         rx = re.sub(r"([^A-Za-z0-9])", r"\\\1", s)
         return rx.replace("\\", "\\\\").replace("'", "''")
 
-    map_sql = f"str_to_map({expr}, '{_rx_lit(pair_d)}', '{_rx_lit(kv_d)}')"
+    # NOT str_to_map (round-9 advice fix): under Spark's default
+    # spark.sql.mapKeyDedupPolicy=EXCEPTION a repeated key — common in real
+    # kv logs — would crash the query, whereas Kusto parse-kv tolerates
+    # duplicates.  A first-occurrence-wins fold over the split pairs keeps
+    # str_to_map's split semantics (value = remainder after the first
+    # kv-delimiter, limit-2 split) while deduplicating keys before
+    # map_from_entries ever sees them.
+    pair_rx, kv_rx = _rx_lit(pair_d), _rx_lit(kv_d)
+    map_sql = (
+        f"map_from_entries(aggregate("
+        f"transform(split({expr}, '{pair_rx}'), __p -> named_struct("
+        f"'k', split(__p, '{kv_rx}', 2)[0], "
+        f"'v', try_element_at(split(__p, '{kv_rx}', 2), 2))), "
+        f"CAST(array() AS ARRAY<STRUCT<k: STRING, v: STRING>>), "
+        f"(__acc, __e) -> IF(exists(__acc, __a -> __a.k <=> __e.k), "
+        f"__acc, concat(__acc, array(__e)))))"
+    )
     sels = []
     for item in _split_top(m.group(2)):
         md = re.match(r"^\s*([A-Za-z_]\w*)\s*(?::\s*(\w+))?\s*$", item)

@@ -29,6 +29,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    checkpoint_every: int = 0,
 ) -> DataFrame:
     """Min-label propagation CC: every vertex ends with ``component`` = the
     smallest vertex id reachable from it.  ``nodes`` may contain vertices
@@ -37,6 +38,14 @@ def connected_components(
     Each round: label(v) ← min(label(v), min over neighbors' labels);
     terminates when no label changes (≤ diameter rounds, capped by
     ``max_iter`` as a runaway guard).
+
+    ``checkpoint_every``: truncate the label lineage every k rounds (0 =
+    never, the local[32] default).  The loop persists each round, but the
+    LOGICAL plan still grows by one join per round — on a real cluster a
+    lost executor (evicted cache + shuffle files) replays the whole prefix,
+    the classic iterative-algorithm lineage trap.  Set k (2-5) for cluster
+    deployments: uses the reliable checkpoint dir when the session has one
+    configured, else an eager ``localCheckpoint``.  See SCALE.md.
     """
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
@@ -48,7 +57,7 @@ def connected_components(
     )
     labels.persist()
     labels.count()  # materialize before iterating
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "d2"), sym["d"] == F.col("d2"))
             .groupBy("s")
@@ -64,6 +73,15 @@ def connected_components(
                 ).alias("component"),
             )
         )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            # eager checkpoint both materializes AND truncates the plan; a
+            # plain persist only does the former (lineage still replays the
+            # whole prefix after shuffle-file/cache loss on a cluster)
+            sc = new_labels.sparkSession.sparkContext
+            if sc.getCheckpointDir() is not None:
+                new_labels = new_labels.checkpoint(eager=True)
+            else:
+                new_labels = new_labels.localCheckpoint(eager=True)
         new_labels.persist()
         changed = (
             new_labels.alias("n")

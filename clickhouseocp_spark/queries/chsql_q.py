@@ -5965,7 +5965,8 @@ FROM events WHERE event_id < 300 ORDER BY event_id
     oracle="""
 WITH src AS (
   SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
-         CAST(l_extendedprice AS DOUBLE) AS p, l_orderkey
+         CAST(l_extendedprice AS DOUBLE) AS p,
+         l_orderkey * 8 + l_linenumber AS xk
   FROM lineitem WHERE l_orderkey < 5000),
 g AS (SELECT l_returnflag, avg(q) AS mu, COUNT(*) AS n
       FROM src GROUP BY l_returnflag),
@@ -5974,17 +5975,22 @@ m AS (
          sum(pow(s.q - g.mu, 2)) / any_value(g.n) AS m2,
          sum(pow(s.q - g.mu, 3)) / any_value(g.n) AS m3,
          sum(pow(s.q - g.mu, 4)) / any_value(g.n) AS m4,
-         round(CAST(sum(CAST(s.p * s.q AS DECIMAL(38,6))) AS DOUBLE)
-               / CAST(sum(CAST(s.q AS DECIMAL(38,6))) AS DOUBLE), 6) AS aw,
-         round((max(s.p) - min(s.p))
-               / CAST(max(s.l_orderkey) - min(s.l_orderkey) AS DOUBLE), 6)
-           AS br
-  FROM src s JOIN g USING (l_returnflag) GROUP BY s.l_returnflag)
-SELECT l_returnflag, aw,
+         round(CAST(sum(CAST(s.p * s.q AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(sum(CAST(s.q AS DECIMAL(38,12))) AS DOUBLE), 6) AS aw
+  FROM src s JOIN g USING (l_returnflag) GROUP BY s.l_returnflag),
+brq AS (
+  SELECT l_returnflag,
+         round((arg_max(py, xk) - arg_min(py, xk))
+               / CAST(max(xk) - min(xk) AS DOUBLE), 6) AS br
+  FROM (SELECT l_returnflag, xk, max(p) AS py
+        FROM src GROUP BY l_returnflag, xk) d
+  GROUP BY l_returnflag)
+SELECT m.l_returnflag, aw,
        round(m3 / pow(m2 * n / (n - 1), 1.5), 6) AS sk,
        round(m4 / pow(m2 * n / (n - 1), 2), 6) AS ku,
        br
-FROM m ORDER BY l_returnflag
+FROM m JOIN brq ON m.l_returnflag = brq.l_returnflag
+ORDER BY m.l_returnflag
 """,
     tags=("chsql", "dialect", "vocabulary", "aggregate"),
 )
@@ -5993,21 +5999,33 @@ def chsql_vocab_r24(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``avgWeighted`` (DECIMAL-routed sums, the fsum convention),
     ``skewSamp``/``kurtSamp`` (CH's sample moments μ3/σ_samp³ and
     μ4/σ_samp⁴ — Pearson, not excess — recovered from Spark's population
-    forms via ((n-1)/n)^k), ``boundingRatio`` ((maxY−minY)/(maxX−minX)).
-    The oracle recomputes the moments from raw central sums, not from
-    DuckDB's differently-biased skewness/kurtosis builtins."""
+    forms via ((n-1)/n)^k), ``boundingRatio`` (the slope between the
+    leftmost and rightmost points by x: (y@argmax(x) − y@argmin(x)) /
+    (max(x) − min(x)), lowered to Spark ``max_by``/``min_by``).  The
+    oracle recomputes the moments from raw central sums, not from
+    DuckDB's differently-biased skewness/kurtosis builtins, and replays
+    boundingRatio independently via DuckDB ``arg_max``/``arg_min``."""
     from clickhouseocp_spark.engine import ChSparkEngine
 
     return ChSparkEngine(sf_dir, spark).sql(
         """
-SELECT l_returnflag,
-  round(avgWeighted(toFloat64(l_extendedprice), toFloat64(l_quantity)), 6)
-    AS aw,
-  round(skewSamp(toFloat64(l_quantity)), 6) AS sk,
-  round(kurtSamp(toFloat64(l_quantity)), 6) AS ku,
-  round(boundingRatio(l_orderkey, toFloat64(l_extendedprice)), 6) AS br
-FROM lineitem WHERE l_orderkey < 5000
-GROUP BY l_returnflag ORDER BY l_returnflag
+WITH brq AS (
+  SELECT l_returnflag, round(boundingRatio(xk, py), 6) AS br
+  FROM (SELECT l_returnflag, l_orderkey * 8 + l_linenumber AS xk,
+               max(toFloat64(l_extendedprice)) AS py
+        FROM lineitem WHERE l_orderkey < 5000
+        GROUP BY l_returnflag, l_orderkey * 8 + l_linenumber) d
+  GROUP BY l_returnflag)
+SELECT m.l_returnflag, aw, sk, ku, br
+FROM (SELECT l_returnflag,
+        round(avgWeighted(toFloat64(l_extendedprice),
+                          toFloat64(l_quantity)), 6) AS aw,
+        round(skewSamp(toFloat64(l_quantity)), 6) AS sk,
+        round(kurtSamp(toFloat64(l_quantity)), 6) AS ku
+      FROM lineitem WHERE l_orderkey < 5000
+      GROUP BY l_returnflag) m
+JOIN brq ON m.l_returnflag = brq.l_returnflag
+ORDER BY m.l_returnflag
 """,
         dialect="clickhouse",
     )

@@ -982,7 +982,13 @@ FROM documents
 """,
     tags=("llm", "dedup", "graph", "bench"),
 )
-def dedup_fuzzy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_e2e(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    persist_pairs=None,
+    checkpoint_every: int = 0,
+) -> DataFrame:
     """The standard production fuzzy-dedup pipeline END-TO-END in one query
     (round 9): MinHash(16)+LSH(4 bands) candidate pairs verified by exact
     Jaccard ≥ 0.5 → connected components (min-label propagation) →
@@ -1003,7 +1009,22 @@ def dedup_fuzzy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: LSH bands ship ids only; the verifier is block-scoped;
     CC rounds ≤ cluster diameter (tiny for dedup graphs); election is
     free.  Cites reference Dockerfile:102-104 (the pinned ClickHouse
-    serves the same corpus-dedup workloads via groupBy/argMin)."""
+    serves the same corpus-dedup workloads via groupBy/argMin).
+
+    Cluster knobs (round-9 verdict — the defaults keep the faster
+    local[32] behavior, which leans on Spark skipping stages via
+    identical-lineage shuffle-file reuse):
+
+    - ``persist_pairs``: a ``StorageLevel`` to persist the candidate-pair
+      DataFrame (e.g. ``StorageLevel.DISK_ONLY``).  On a real cluster
+      shuffle files die with their executors, and every CC round would
+      then replay the full MinHash+LSH stage — persist the ~ids-only
+      pairs instead (measured ~25% slower on local[32] where reuse is
+      free, hence the ``None`` default).
+    - ``checkpoint_every``: forwarded to ``connected_components`` — eager
+      plan truncation every k rounds so a late-round failure can't replay
+      the whole join prefix.  See SCALE.md §fuzzy-dedup.
+    """
     from clickhouseocp_spark.operators.dedup_text import minhash_lsh_pairs
     from clickhouseocp_spark.operators.graph import connected_components
 
@@ -1024,11 +1045,15 @@ def dedup_fuzzy_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(
         corpus, num_hashes=16, bands=4, shingle_len=3, threshold=0.5
     ).select("id_a", "id_b")
-    # pairs deliberately NOT persisted: the CC rounds reuse its shuffle map
+    # pairs NOT persisted by default: the CC rounds reuse its shuffle map
     # outputs (identical lineage → stages skip), and an explicit cache of
-    # the verify-join output measures ~25% slower end-to-end on local[32]
+    # the verify-join output measures ~25% slower end-to-end on local[32];
+    # pass persist_pairs=StorageLevel.DISK_ONLY on clusters (docstring)
+    if persist_pairs is not None:
+        pairs = pairs.persist(persist_pairs)
     comp = connected_components(
-        corpus.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b"
+        corpus.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b",
+        checkpoint_every=checkpoint_every,
     ).persist()
     orig = comp.filter(F.col("doc_id") < 1_000_000).select(
         F.col("doc_id").alias("o"), F.col("component").alias("c0")

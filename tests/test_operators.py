@@ -1886,6 +1886,42 @@ def test_dedup_fuzzy_e2e_planted_signal(spark, sf_dir):
     assert r.n_docs % 3 == 0 and r.n_docs > 0
 
 
+def test_dedup_fuzzy_e2e_cluster_knobs(spark, sf_dir):
+    """Cluster-hardening knobs (round-9 verdict): ``persist_pairs`` +
+    ``checkpoint_every`` exist for real-cluster shuffle-file loss and must
+    not change results — every contract bit matches the default path with
+    the pairs frame materialized and the CC lineage truncated each round."""
+    from pyspark import StorageLevel
+
+    from clickhouseocp_spark.queries.llm import dedup_fuzzy_e2e
+
+    r = dedup_fuzzy_e2e(
+        spark, sf_dir, persist_pairs=StorageLevel.DISK_ONLY, checkpoint_every=1
+    ).collect()[0]
+    assert r.chain_recall_ok is True
+    assert r.one_survivor_per_component is True
+    assert r.survivor_is_min_member is True
+    assert r.n_docs % 3 == 0 and r.n_docs > 0
+
+
+def test_fuzzy_dedup_pairs_shuffle_budget(spark, sf_dir):
+    """Plan gate (round-9 verdict): the candidate-pair stage — the exact
+    stage every CC round would replay after cluster shuffle-file loss when
+    ``persist_pairs`` is off — lowers to ONE exchange (band grouping); the
+    shingle/MinHash kernel and the exact-Jaccard verify stay shuffle-free
+    on top of it.  If this grows, the non-persist default's cost model is
+    void — re-measure before shipping."""
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.dedup_text import minhash_lsh_pairs
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pairs = minhash_lsh_pairs(
+        d, num_hashes=16, bands=4, shingle_len=3, threshold=0.5
+    ).select("id_a", "id_b")
+    assert shuffle_count(pairs) == 1, shuffle_count(pairs)
+
+
 def test_stream_scan_concurrent_two_batches_equals_batch(spark, sf_dir, tmp_path):
     """Cross-micro-batch state of the CONCURRENT streaming machine set: the
     (seq, slot mids) state must survive the batch boundary — same two-file
