@@ -500,7 +500,13 @@ _DRIVER_WINDOW_R12: list[str] = [
 #: (_DRIVER_WINDOW_R10[16:] 4 + _DRIVER_WINDOW_R11 21 + _DRIVER_WINDOW_R12
 #: 19) + the first 6 of this list — full-registry driver coverage lands in
 #: round 10; round 11 records this list's overflow.
-_DRIVER_WINDOW_R13: list[str] = []
+_DRIVER_WINDOW_R13: list[str] = [
+    # --- round-10 KQL: rows_near oracle registration (r9 verdict #3) ---
+    "kql_rows_near",
+    # --- round-10 lowered-but-unregistered sweep (r9 verdict #3) ---
+    "kql_scalar_vocab3",
+    "kql_series_compare",
+]
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---

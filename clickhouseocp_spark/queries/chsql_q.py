@@ -4319,6 +4319,118 @@ events
 
 
 @register(
+    "kql_rows_near",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type,
+         row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE event_id < 2000)
+SELECT event_id, event_type
+FROM s
+WHERE EXISTS (SELECT 1 FROM s m
+              WHERE m.event_type = 'error'
+                AND s.rn BETWEEN m.rn - 2 AND m.rn + 1)
+ORDER BY event_id
+""",
+    tags=("kql", "dialect", "log-analytics"),
+)
+def kql_rows_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate rows_near`` (round 10, lowered round 9 at kql.py): the
+    investigate-around-an-error tier — keep every row within 2 before /
+    1 after any ``error`` in serialized order.  Lowers to ONE max window
+    over the match flag (no self-join); the oracle is the independent
+    correlated-EXISTS formulation over row_number."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 2000
+| sort by event_id asc
+| evaluate rows_near(event_type == 'error', 2, 1)
+| project event_id, event_type
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_scalar_vocab3",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         TIMESTAMP '2024-03-05 10:20:30'
+           + (event_id % 48) * INTERVAL 1 HOUR AS td
+  FROM events WHERE event_id < 300)
+SELECT event_id,
+  'a-' || CAST(event_id % 7 AS VARCHAR) || '-z' AS sd,
+  FALSE AS ne1, TRUE AS ne2,
+  'bANANa' AS rs,
+  'id#x#' AS rr,
+  CAST(event_id % 5 AS DOUBLE) + 0.25 AS tr,
+  TRUE AS tb, CAST(NULL AS BOOLEAN) AS tbn,
+  td,
+  make_timestamp(2024, 3, event_id % 27 + 1, 6, 30, 15) AS md,
+  TIMESTAMP '2024-01-01 00:00:00' + (event_id % 10) * INTERVAL 1 DAY AS da,
+  3.0 + floor((CAST(event_id AS DOUBLE) - 3.0) / 7.0) * 7.0 AS ba,
+  CAST(month(td) AS BIGINT) AS my,
+  CAST(date_trunc('day', td) AS TIMESTAMP) AS sod,
+  CAST(date_trunc('week', td + INTERVAL 1 DAY) AS TIMESTAMP)
+    - INTERVAL 1 DAY AS sow,
+  CAST(date_trunc('month', td) AS TIMESTAMP) AS som,
+  CAST(date_trunc('year', td) AS TIMESTAMP) AS soy,
+  CAST(date_trunc('day', td) AS TIMESTAMP) + INTERVAL 1 DAY
+    - INTERVAL 1 MICROSECOND AS eod,
+  CAST(date_trunc('year', td) AS TIMESTAMP) + INTERVAL 1 YEAR
+    - INTERVAL 1 MICROSECOND AS eoy
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto scalar batch 3 (round 10 — the lowered-but-unregistered sweep):
+    ``strcat_delim``, ``isnotempty``, ``replace_string``/``replace_regex``,
+    ``toreal``/``tobool`` (try-cast: malformed → NULL, never an error),
+    ``todatetime``/``make_datetime``/``datetime_add``, numeric ``bin_at``
+    (origin-anchored binning), ``monthofyear``, and the day/week/month/year
+    start-end family (Kusto weeks start SUNDAY — the +1d/−1d trick around
+    Spark's Monday truncation).  All whole-stage-codegen scalar exprs, zero
+    exchanges beyond the scan; the oracle re-derives every value in closed
+    form."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 300
+| extend td = datetime_add('hour', event_id % 48,
+                           todatetime('2024-03-05 10:20:30'))
+| project event_id,
+    sd = strcat_delim('-', 'a', tostring(event_id % 7), 'z'),
+    ne1 = isnotempty(''), ne2 = isnotempty(tostring(event_id)),
+    rs = replace_string('banana', 'an', 'AN'),
+    rr = replace_regex(strcat('id', tostring(event_id % 10), 'x9'),
+                       '[0-9]+', '#'),
+    tr = toreal(strcat(tostring(event_id % 5), '.25')),
+    tb = tobool('true'), tbn = tobool('nope'),
+    td,
+    md = make_datetime(2024, 3, event_id % 27 + 1, 6, 30, 15),
+    da = datetime_add('day', event_id % 10,
+                      todatetime('2024-01-01 00:00:00')),
+    ba = todouble(bin_at(toreal(event_id), 7.0, 3.0)),
+    my = tolong(monthofyear(td)),
+    sod = startofday(td), sow = startofweek(td), som = startofmonth(td),
+    soy = startofyear(td), eod = endofday(td), eoy = endofyear(td)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (

@@ -522,3 +522,105 @@ events
         dialect="kusto",
     )
     return df.select("event_type", _sj("ma"), _sj("ema"))
+
+
+@register(
+    "kql_series_compare",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    list_transform(range(1, 5),
+      i -> CAST(event_id % (i + 2) + i AS DOUBLE)) AS a,
+    list_transform(range(1, 5),
+      i -> CAST((event_id + i) % 5 + 1 AS DOUBLE)) AS b,
+    list_transform(range(1, 5),
+      i -> CAST(event_id % (i + 2) AS BIGINT)) AS ai,
+    list_transform(range(1, 5),
+      i -> CAST((event_id + i) % 4 AS BIGINT)) AS bi
+  FROM events WHERE event_id < 100)
+SELECT event_id,
+  array_to_string(list_transform(list_zip(a, b),
+    z -> CAST(z[1] < z[2] AS VARCHAR)), ',') AS lt,
+  array_to_string(list_transform(list_zip(a, b),
+    z -> CAST(z[1] <= z[2] AS VARCHAR)), ',') AS le,
+  array_to_string(list_transform(list_zip(a, b),
+    z -> CAST(z[1] = z[2] AS VARCHAR)), ',') AS eq,
+  array_to_string(list_transform(list_zip(a, b),
+    z -> CAST(z[1] <> z[2] AS VARCHAR)), ',') AS ne,
+  array_to_string(list_transform(list_zip(a, b),
+    z -> printf('%.6f', round(CAST(sign(z[1] - z[2]) AS DOUBLE), 6))),
+    ',') AS sg,
+  array_to_string(list_transform(a,
+    x -> printf('%.6f', round(exp(x / 10.0), 6))), ',') AS ex,
+  array_to_string(list_transform(a,
+    x -> printf('%.6f', round(ln(x), 6))), ',') AS lg,
+  array_to_string(list_transform(a,
+    x -> printf('%.6f', round(sqrt(x), 6))), ',') AS sq,
+  array_to_string(list_transform(list_concat(ai, bi),
+    x -> CAST(x AS VARCHAR)), ',') AS cc,
+  array_to_string(list_transform(list_reverse_sort(a),
+    x -> printf('%.6f', round(x, 6))), ',') AS sd,
+  coalesce(array_to_string(list_transform(
+    list_sort(list_distinct(list_filter(ai, x -> list_contains(bi, x)))),
+    x -> CAST(x AS VARCHAR)), ','), '') AS si,
+  coalesce(array_to_string(list_transform(
+    list_sort(list_distinct(
+      list_filter(ai, x -> NOT list_contains(bi, x)))),
+    x -> CAST(x AS VARCHAR)), ','), '') AS sdf,
+  array_to_string(list_transform(
+    list_concat([0.0], a[1:3]),
+    x -> printf('%.6f', round(x, 6))), ',') AS shr,
+  array_to_string(list_transform(
+    list_concat([0.0], a[1:3]),
+    x -> printf('%.6f', round(x, 6))), ',') AS shn,
+  'NULL,NULL,NULL,NULL' AS sho
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "timeseries", "vector"),
+)
+def kql_series_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto series comparison + unary-math + set vocabulary (round 10 —
+    the lowered-but-unregistered sweep): ``series_less/less_equals/equals/
+    not_equals`` (element-wise boolean series), ``series_sign/exp/log/
+    sqrt``, ``array_concat``, ``array_sort_desc``, ``set_intersect``/
+    ``set_difference`` (sorted before rendering — Spark and DuckDB differ
+    on set-result order), and the Kusto-faithful shifts: ``array_shift_
+    right(a, 1, 0)``, the NEGATIVE-count left shift (≡ right shift), and
+    the OVER-shift (count > size → full fill, no runtime error — the
+    round-9 advice fix).  All zero-exchange per-row array folds; the
+    oracle re-derives each element with DuckDB list functions."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| where event_id < 100
+| extend a = transform(sequence(1, 4), __i -> todouble(event_id % (__i + 2) + __i)),
+         b = transform(sequence(1, 4), __i -> todouble((event_id + __i) % 5 + 1)),
+         ai = transform(sequence(1, 4), __i -> tolong(event_id % (__i + 2))),
+         bi = transform(sequence(1, 4), __i -> tolong((event_id + __i) % 4))
+| extend lt = series_less(a, b), le = series_less_equals(a, b),
+         eq = series_equals(a, b), ne = series_not_equals(a, b),
+         sg = series_sign(series_subtract(a, b)),
+         ex = series_exp(series_divide(a, 10)),
+         lg = series_log(a), sq = series_sqrt(a),
+         cc = array_concat(ai, bi),
+         sd = array_sort_desc(a),
+         si = array_sort_asc(set_intersect(ai, bi)),
+         sdf = array_sort_asc(set_difference(ai, bi)),
+         shr = array_shift_right(a, 1, 0.0),
+         shn = array_shift_left(a, -1, 0.0),
+         sho = array_shift_left(a, 9)
+| project event_id, lt, le, eq, ne, sg, ex, lg, sq, cc, sd, si, sdf,
+          shr, shn, sho
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "event_id", _sj_raw("lt"), _sj_raw("le"), _sj_raw("eq"),
+        _sj_raw("ne"), _sj("sg"), _sj("ex"), _sj("lg"), _sj("sq"),
+        _sj_raw("cc"), _sj("sd"), _sj_raw("si"), _sj_raw("sdf"),
+        _sj("shr"), _sj("shn"), _sj("sho"),
+    )
