@@ -255,6 +255,61 @@ def _ttest_expr(args: list[str], welch: bool) -> str:
     return f"((avg({x0}) - avg({x1})) / {denom})"
 
 
+#: two-sided alpha=0.05 / power=0.8 normal quantiles — the standard A/B
+#: defaults (the DataFrame tier pins the same constants, stats_q2.py)
+_MSS_Z_ALPHA = 1.9599639845400545
+_MSS_Z_POWER = 0.8416212335729143
+
+
+def _mss_gate(args: list[str], fn: str, n: int) -> None:
+    if len(args) != n:
+        raise ChSqlError(f"{fn} takes exactly {n} arguments")
+    power, alpha = args[-2].strip(), args[-1].strip()
+    if power != "0.8" or alpha != "0.05":
+        raise ChSqlError(
+            f"{fn} subset: power/alpha must be the literals 0.8 / 0.05 — "
+            "arbitrary levels need the inverse normal CDF (out of pure-SQL "
+            "scope); the pinned z-quantiles cover the standard A/B defaults"
+        )
+
+
+def _min_sample_size_conversion(args: list[str]) -> str:
+    """minSampleSizeConversion(baseline, mde, power, alpha): per-arm sample
+    size for a proportion uplift + the detectable range, as CH's 3-tuple
+    (index access via tupleElement(t, 1..3) → .col1/.col2/.col3).  round(6)
+    before ceil so double noise can't flip the integer (the stats_q2
+    convention)."""
+    _mss_gate(args, "minSampleSizeConversion", 4)
+    p, mde = args[0], args[1]
+    z2 = (_MSS_Z_ALPHA + _MSS_Z_POWER) ** 2
+    n = (
+        f"ceil(round({z2!r} * (({p}) * (1 - ({p})) + (({p}) + ({mde})) "
+        f"* (1 - ({p}) - ({mde}))) / (({mde}) * ({mde})), 6))"
+    )
+    return (
+        f"named_struct('col1', {n}, 'col2', ({p}) - ({mde}), "
+        f"'col3', ({p}) + ({mde}))"
+    )
+
+
+def _min_sample_size_continuous(args: list[str]) -> str:
+    """minSampleSizeContinous(baseline, sigma², mde, power, alpha): per-arm
+    sample size for a RELATIVE mean lift of mde·baseline (CH's own arg
+    order and its upstream 'Continous' spelling, aliased to the correct
+    one)."""
+    _mss_gate(args, "minSampleSizeContinous", 5)
+    mu, s2, mde = args[0], args[1], args[2]
+    z2 = (_MSS_Z_ALPHA + _MSS_Z_POWER) ** 2
+    n = (
+        f"ceil(round(2.0 * {z2!r} * ({s2}) "
+        f"/ (({mde}) * ({mu}) * ({mde}) * ({mu})), 6))"
+    )
+    return (
+        f"named_struct('col1', {n}, 'col2', ({mu}) * (1 - ({mde})), "
+        f"'col3', ({mu}) * (1 + ({mde})))"
+    )
+
+
 def _json_type(args: list[str]) -> str:
     """JSONType(json): the root value's JSON type name, matching CH's
     simdjson element names — floats are 'Double' (not 'Float64'), integers
@@ -1421,6 +1476,10 @@ FUNC_RULES: dict[str, object] = {
     # the t CDF, out of pure-SQL scope)
     "studentTTest": lambda args: _ttest_expr(args, welch=False),
     "welchTTest": lambda args: _ttest_expr(args, welch=True),
+    # batch 26 (round 10): A/B planning scalars — 3-tuples like CH
+    "minSampleSizeConversion": _min_sample_size_conversion,
+    "minSampleSizeContinous": _min_sample_size_continuous,
+    "minSampleSizeContinuous": _min_sample_size_continuous,
     # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
     "has": _rename("array_contains"),
     "hasAny": _rename("arrays_overlap"),
@@ -2796,8 +2855,94 @@ def _json_path(fn: str, args: list[str]) -> str:
     return f"{fn}({args[0]}, concat('$.', {key}))"
 
 
+_SPARKBAR_CHARS_SQL = (
+    "array('▁','▂','▃','▄','▅','▆',"
+    "'▇','█')"
+)
+
+
+def _sparkbar_rule(p: list[str], a: list[str]) -> str:
+    """sparkbar(width)(x[, y]) — CH's presentation aggregate: y-mass over
+    ``width`` equal x-buckets rendered as 8-level block characters (empty
+    bucket → space).  ONE aggregate expression: a group-local collect_list
+    fold (CH's agg state buffers the pairs too — same memory contract),
+    then pure array math — bucket id and level arithmetic are integer-
+    exact in DOUBLE, the same convention as the DataFrame tier
+    (stats_q.sparkbar_daily), so oracles replay it bit-for-bit."""
+    try:
+        width = int(p[0])
+    except (ValueError, IndexError) as exc:
+        raise ChSqlError("sparkbar(width) needs an integer literal") from exc
+    if not 1 <= width <= 1024:
+        raise ChSqlError("sparkbar width must be in [1, 1024]")
+    x = a[0]
+    y = a[1] if len(a) > 1 else "1"
+    pairs = (
+        f"collect_list(named_struct('x', CAST({x} AS DOUBLE), "
+        f"'y', CAST({y} AS DOUBLE)))"
+    )
+    return (
+        f"transform(array({pairs}), __ps -> "
+        f"transform(array(named_struct("
+        f"'mn', array_min(transform(__ps, __p -> __p.x)), "
+        f"'mx', array_max(transform(__ps, __p -> __p.x)))), __m -> "
+        f"transform(array(transform(sequence(0, {width - 1}), __i -> "
+        f"aggregate(filter(__ps, __p -> CAST(floor((__p.x - __m.mn) "
+        f"* {width} / (__m.mx - __m.mn + 1)) AS INT) = __i), "
+        f"0.0D, (__s2, __p) -> __s2 + __p.y))), __hs -> "
+        f"concat_ws('', transform(__hs, __h -> "
+        f"CASE WHEN __h <= 0 THEN ' ' ELSE element_at({_SPARKBAR_CHARS_SQL}, "
+        f"CAST(floor((__h * 8 - 1) / array_max(__hs)) AS INT) + 1) "
+        f"END)))[0])[0])[0]"
+    )
+
+
+def _sequence_next_node_rule(p: list[str], a: list[str]) -> str:
+    """sequenceNextNode(direction, base)(ts, value, base_cond, ev1, ...,
+    evK): the "where do users go next" navigation aggregate — if the
+    first (head) / last (tail) K events of the group match the chain,
+    return the value of the event just past it.  Subset: ('forward',
+    'head') and ('backward', 'tail') — the forms whose anchor is a group
+    boundary; ONE aggregate expression over a sorted group-local collect
+    (ties broken by (ts, value) — CH's order within equal timestamps is
+    unspecified, this pins it deterministically)."""
+    if len(p) != 2:
+        raise ChSqlError("sequenceNextNode takes (direction, base) params")
+    dirn = p[0].strip().strip("'").lower()
+    base = p[1].strip().strip("'").lower()
+    if (dirn, base) not in {("forward", "head"), ("backward", "tail")}:
+        raise ChSqlError(
+            "sequenceNextNode subset: ('forward','head') or "
+            f"('backward','tail'), got ({dirn!r}, {base!r})"
+        )
+    if len(a) < 4:
+        raise ChSqlError(
+            "sequenceNextNode needs (ts, value, base_cond, event1[, ...])"
+        )
+    ts, val = a[0], a[1]
+    conds = a[2:]
+    k = len(conds) - 1  # chain length (conds[0] is the base condition)
+    fields = ", ".join(
+        [f"'t', {ts}", f"'v', CAST({val} AS STRING)"]
+        + [f"'c{i}', ({c})" for i, c in enumerate(conds)]
+    )
+    arr = f"array_sort(collect_list(named_struct({fields})))"
+    if dirn == "backward":
+        arr = f"reverse({arr})"
+    checks = ["element_at(__es, 1).c0"] + [
+        f"element_at(__es, {i}).c{i}" for i in range(1, len(conds))
+    ]
+    return (
+        f"transform(array({arr}), __es -> CASE WHEN size(__es) > {k} "
+        f"AND {' AND '.join(checks)} THEN element_at(__es, {k + 1}).v "
+        f"END)[0]"
+    )
+
+
 #: CH parametric aggregate syntax fname(params)(args)
 PARAMETRIC_RULES: dict[str, object] = {
+    "sparkbar": _sparkbar_rule,
+    "sequenceNextNode": _sequence_next_node_rule,
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",

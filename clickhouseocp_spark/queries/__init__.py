@@ -506,6 +506,9 @@ _DRIVER_WINDOW_R13: list[str] = [
     # --- round-10 lowered-but-unregistered sweep (r9 verdict #3) ---
     "kql_scalar_vocab3",
     "kql_series_compare",
+    # --- round-10 vocabulary batch 26 (r9 verdict #4) ---
+    "chsql_vocab_r26",
+    "chsql_sequence_next_node",
 ]
 
 _DRIVER_WINDOW_R5 = [

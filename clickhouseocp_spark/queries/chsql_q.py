@@ -4431,6 +4431,149 @@ events
 
 
 @register(
+    "chsql_vocab_r26",
+    oracle="""
+WITH e AS (
+  SELECT event_type, CAST(FLOOR(epoch(ts) / 86400) AS DOUBLE) AS d,
+         value, event_id
+  FROM events
+), mm AS (
+  SELECT event_type, min(d) AS mn, max(d) AS mx,
+         CAST(SUM(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS DOUBLE)
+           / COUNT(*) AS p,
+         CAST(COUNT(*) % 500 AS DOUBLE) + 100.0 AS s2g
+  FROM e GROUP BY event_type
+), bsum AS (
+  SELECT e.event_type,
+         CAST(FLOOR((e.d - mm.mn) * 16 / (mm.mx - mm.mn + 1)) AS INTEGER)
+           AS b,
+         CAST(COUNT(*) AS DOUBLE) AS s
+  FROM e JOIN mm USING (event_type) GROUP BY e.event_type, b
+), mxs AS (
+  SELECT event_type, max(s) AS mxv FROM bsum GROUP BY event_type
+), grid AS (
+  SELECT m.event_type, g.b, COALESCE(bsum.s, 0.0) AS s, m.mxv
+  FROM mxs m CROSS JOIN (SELECT unnest(range(16)) AS b) g
+  LEFT JOIN bsum ON bsum.event_type = m.event_type AND bsum.b = g.b
+), bars AS (
+  SELECT event_type,
+         string_agg(
+           CASE WHEN s <= 0 THEN ' '
+                ELSE (['▁','▂','▃','▄','▅','▆','▇','█'])[
+                  CAST(FLOOR((s * 8 - 1) / mxv) AS INTEGER) + 1]
+           END, '' ORDER BY b) AS bar
+  FROM grid GROUP BY event_type
+)
+SELECT mm.event_type, bars.bar,
+  CAST(ceil(round(7.848879734349091
+       * (p * (1 - p) + (p + 0.02) * (1 - p - 0.02)) / (0.02 * 0.02), 6))
+    AS BIGINT) AS cn,
+  round(p - 0.02, 6) AS clo, round(p + 0.02, 6) AS chi,
+  CAST(ceil(round(2.0 * 7.848879734349091 * s2g
+       / (0.05 * 120.0 * 0.05 * 120.0), 6)) AS BIGINT) AS kn,
+  round(120.0 * 0.95, 6) AS klo, round(120.0 * 1.05, 6) AS khi
+FROM mm JOIN bars ON mm.event_type = bars.event_type
+ORDER BY mm.event_type
+""",
+    tags=("chsql", "dialect", "vocabulary", "aggregate", "presentation"),
+)
+def chsql_vocab_r26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 26 (round 10): ``sparkbar(16)(day, 1)`` — the
+    presentation aggregate as ONE group-local collect fold (empty bucket →
+    space, 8-level blocks — the stats_q.sparkbar_daily arithmetic, so both
+    tiers agree bit-for-bit), and the A/B planning scalars
+    ``minSampleSizeConversion`` / ``minSampleSizeContinous`` returning
+    CH's 3-tuples (accessed with ``tupleElement``).  Deterministic inputs:
+    the conversion baseline is an exact rational (count ratio) and the
+    continuous variance an exact small double, so ceil can't sit on a
+    noise boundary (belt-and-braces round(6) inside the lowering too)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_type,
+  sparkbar(16)(toRelativeDayNum(ts), 1) AS bar,
+  toInt64(tupleElement(minSampleSizeConversion(
+    countIf(value > 50) / toFloat64(count()), 0.02, 0.8, 0.05), 1)) AS cn,
+  round(tupleElement(minSampleSizeConversion(
+    countIf(value > 50) / toFloat64(count()), 0.02, 0.8, 0.05), 2), 6)
+    AS clo,
+  round(tupleElement(minSampleSizeConversion(
+    countIf(value > 50) / toFloat64(count()), 0.02, 0.8, 0.05), 3), 6)
+    AS chi,
+  toInt64(tupleElement(minSampleSizeContinous(
+    toFloat64(120), toFloat64(count() % 500) + 100.0, 0.05, 0.8, 0.05), 1))
+    AS kn,
+  round(tupleElement(minSampleSizeContinous(
+    toFloat64(120), toFloat64(count() % 500) + 100.0, 0.05, 0.8, 0.05), 2), 6)
+    AS klo,
+  round(tupleElement(minSampleSizeContinous(
+    toFloat64(120), toFloat64(count() % 500) + 100.0, 0.05, 0.8, 0.05), 3), 6)
+    AS khi
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_sequence_next_node",
+    oracle="""
+WITH f AS (
+  SELECT user_id, event_type,
+         row_number() OVER w AS rn,
+         lead(event_type, 1) OVER w AS e2,
+         lead(event_type, 2) OVER w AS nxt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+), fw AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'view' AND e2 = 'click' THEN nxt END AS fnx
+  FROM f WHERE rn = 1
+), b AS (
+  SELECT user_id, event_type,
+         row_number() OVER w2 AS rn2,
+         lead(event_type, 1) OVER w2 AS b2,
+         lead(event_type, 2) OVER w2 AS bnxt
+  FROM events
+  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts DESC, event_type DESC)
+), bw AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'click' AND b2 = 'view' THEN bnxt END AS bnx
+  FROM b WHERE rn2 = 1
+)
+SELECT fw.user_id, fnx, bnx
+FROM fw JOIN bw ON fw.user_id = bw.user_id
+ORDER BY fw.user_id
+""",
+    tags=("chsql", "dialect", "funnel", "aggregate"),
+)
+def chsql_sequence_next_node(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``sequenceNextNode`` on the TEXT path (batch 26): forward/head —
+    if a user's first two events (ts-ordered, value-tiebroken) are
+    view→click, the third event's type; backward/tail — if the LAST event
+    is click preceded by view, the one before that.  Each is ONE aggregate
+    expression over a sorted group-local collect (no self-joins, one
+    shuffle on the group key); the oracle replays both with row_number/
+    lead windows in opposite directions."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT user_id,
+  sequenceNextNode('forward', 'head')(ts, event_type,
+    event_type = 'view', event_type = 'view', event_type = 'click')
+    AS fnx,
+  sequenceNextNode('backward', 'tail')(ts, event_type,
+    event_type = 'click', event_type = 'click', event_type = 'view')
+    AS bnx
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (
