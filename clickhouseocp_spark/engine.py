@@ -48,6 +48,48 @@ def strip_trailing_format(query: str) -> str:
     return _re.sub(r"\bFORMAT\s+\w+\s*;?\s*$", "", query, flags=_re.IGNORECASE)
 
 
+def _executed_plan_metrics(df: DataFrame) -> tuple[int | None, int | None]:
+    """(read_rows, peak_memory_bytes) from an EXECUTED plan's SQLMetric
+    accumulators — the values a JVM ``QueryExecutionListener.onSuccess``
+    would see (PySpark has no Python binding for that interface, so
+    :meth:`ChSparkEngine.run_logged` reads them right after the action).
+
+    read_rows = Σ numOutputRows over scan leaves (what left storage — CH's
+    own definition); peak = Σ peakMemory over operators.  AQE wraps stages
+    in QueryStage/AdaptiveSparkPlan nodes whose children() is empty — the
+    walk descends through their executedPlan()/plan() accessors."""
+    root = df._jdf.queryExecution().executedPlan()
+    read_rows = 0
+    peak = 0
+    saw_scan = False
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        name = node.nodeName()
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[kv._1()] = kv._2().value()
+        if name.startswith(("Scan", "LocalTableScan", "Range")):
+            saw_scan = True
+            read_rows += int(metrics.get("numOutputRows", 0))
+        if "peakMemory" in metrics:
+            peak += int(metrics["peakMemory"])
+        kids = [node.children().apply(i) for i in range(node.children().size())]
+        if not kids:
+            for meth in ("executedPlan", "plan", "child"):
+                try:
+                    inner = getattr(node, meth)()
+                except Exception:
+                    continue
+                if inner is not None and hasattr(inner, "nodeName"):
+                    kids = [inner]
+                    break
+        stack.extend(kids)
+    return (read_rows if saw_scan else None, peak or None)
+
+
 def _split_assignments(text: str) -> list[str]:
     """Split `a = e1, b = e2` on top-level commas (string/paren aware)."""
     from clickhouseocp_spark.chsql import _split_top, render, tokenize
@@ -147,23 +189,73 @@ class ChSparkEngine:
                 dialect,
                 round(duration_ms, 3),
                 "QueryFinish" if ok else "ExceptionWhileProcessing",
+                _time.strftime("%Y-%m-%d", _time.gmtime()),
+                None,  # read_rows — filled by run()'s executed-plan capture
+                None,  # result_rows
+                None,  # memory_usage
             )
         )
+
+    def run_logged(self, query: str, dialect: str = "auto", params=None) -> list:
+        """Execute a statement EAGERLY and complete its ``system.query_log``
+        row with executed-plan metrics — ``read_rows`` (storage rows leaving
+        the scans), ``result_rows`` (rows returned) and ``memory_usage``
+        (summed operator peak memory), the same columns the reference
+        image's query_log MergeTree records (Dockerfile:225-230).
+
+        PySpark exposes NO Python binding for the JVM
+        ``QueryExecutionListener`` interface (only StreamingQueryListener is
+        bridged), so the capture point is the action itself: the SQLMetric
+        accumulators are read from the executed plan immediately after
+        ``collect()`` — exactly the values the JVM listener's ``onSuccess``
+        would observe.  ``sql()`` stays lazy and logs a dispatch-only row;
+        callers that need full telemetry route through here (the CLI and
+        HTTP server materialize results anyway)."""
+        df = self.sql(query, dialect=dialect, params=params)
+        rows = df.collect()
+        try:
+            read_rows, peak = _executed_plan_metrics(df)
+        except Exception:  # metric walk is best-effort telemetry, never fatal
+            read_rows, peak = None, None
+        log = getattr(self, "_query_log", None)
+        if log:
+            last = log[-1]
+            log[-1] = last[:8] + (read_rows, len(rows), peak)
+        return rows
 
     def system_query_log(self) -> DataFrame:
         """`system.query_log` analog (Dockerfile:225-230 creates it as a
         MergeTree table partitioned by toYYYYMM(event_date)).  Spark execution
-        is lazy, so ``query_duration_ms`` covers dispatch + parse + plan (the
-        driver-side cost); job execution happens at the caller's action.
-        Columns follow the CH names: type, event_time, query_kind, query,
-        query_duration_ms plus the engine-specific dialect tag."""
+        is lazy, so for ``sql()``-dispatched statements ``query_duration_ms``
+        covers dispatch + parse + plan and the execution metrics are NULL;
+        :meth:`run_logged` completes read_rows / result_rows / memory_usage from the
+        executed plan.  Columns follow the CH names: type, event_date,
+        event_time, query_kind, query, query_duration_ms, read_rows,
+        result_rows, memory_usage plus the engine-specific dialect tag."""
         rows = list(getattr(self, "_query_log", []))
         return self.spark.createDataFrame(
             rows,
             "query_id bigint, event_time string, query_kind string, "
             "query string, dialect string, query_duration_ms double, "
-            "type string",
+            "type string, event_date string, read_rows bigint, "
+            "result_rows bigint, memory_usage bigint",
         )
+
+    def flush_query_log(self, path: str) -> str:
+        """Persist the in-memory query log as PARQUET partitioned by
+        ``event_yyyymm`` — the reference image's own layout (its query_log
+        MergeTree is ``PARTITION BY toYYYYMM(event_date)``,
+        Dockerfile:225-230).  Append-mode so periodic flushes accumulate
+        like CH's background flush; re-read it with
+        ``spark.read.parquet(path)`` or register it over the text path."""
+        from pyspark.sql import functions as F
+
+        df = self.system_query_log().withColumn(
+            "event_yyyymm",
+            F.date_format(F.to_date("event_date"), "yyyyMM").cast("int"),
+        )
+        df.write.partitionBy("event_yyyymm").mode("append").parquet(path)
+        return path
 
     #: CH session settings with a direct Spark-conf analog; everything else
     #: is accepted and recorded (CH tolerates hundreds of settings — erroring

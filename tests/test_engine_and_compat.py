@@ -543,6 +543,44 @@ def test_query_log_records_statements(spark, sf_dir):
     assert eng.system_query_log().count() == 3
 
 
+def test_query_log_execution_metrics_and_flush(spark, sf_dir, tmp_path):
+    """round-10 (r9 verdict #5): eng.run_logged() completes the query_log row
+    with executed-plan metrics — read_rows (scan output), result_rows,
+    memory_usage — and flush_query_log writes the reference image's own
+    layout: parquet partitioned by toYYYYMM(event_date)
+    (Dockerfile:225-230)."""
+    eng = ChSparkEngine(sf_dir, spark)
+    rows = eng.run_logged(
+        "SELECT l_returnflag, count() AS n FROM lineitem "
+        "WHERE l_orderkey < 100 GROUP BY l_returnflag",
+        dialect="clickhouse",
+    )
+    log = eng.system_query_log().collect()
+    last = max(log, key=lambda r: r.query_id)
+    # CH-compatible column names, filled for the executed statement
+    assert last.type == "QueryFinish"
+    assert last.result_rows == len(rows) > 0
+    assert last.read_rows is not None and last.read_rows >= last.result_rows
+    assert last.memory_usage is not None and last.memory_usage > 0
+    assert last.event_date == last.event_time[:10]
+    # lazy sql() rows keep NULL metrics (documented: no Python
+    # QueryExecutionListener exists; capture happens at the action)
+    eng.sql("SELECT count() AS n FROM region", dialect="clickhouse")
+    lazy = max(eng.system_query_log().collect(), key=lambda r: r.query_id)
+    assert lazy.read_rows is None and lazy.result_rows is None
+    # flush: partitioned parquet, CH partition scheme
+    import os
+
+    path = str(tmp_path / "query_log")
+    eng.flush_query_log(path)
+    parts = [d for d in os.listdir(path) if d.startswith("event_yyyymm=")]
+    assert parts, os.listdir(path)
+    back = spark.read.parquet(path)
+    assert {"query_id", "event_date", "query_duration_ms", "read_rows",
+            "result_rows", "memory_usage", "type"} <= set(back.columns)
+    assert back.count() == eng.system_query_log().count()
+
+
 def test_set_statement_and_prql_dialect_toggle(spark, sf_dir):
     """SET name = value (profiles surface, Dockerfile:246-252) + upstream's
     `SET dialect = 'prql'` toggle routing the auto path."""
