@@ -509,6 +509,11 @@ _DRIVER_WINDOW_R13: list[str] = [
     # --- round-10 vocabulary batch 26 (r9 verdict #4) ---
     "chsql_vocab_r26",
     "chsql_sequence_next_node",
+    # --- round-10 FUNC-table coverage sweep, batches 27-29 (r27 fills the
+    #     6th round-10 window slot; r28/r29 record in round 11) ---
+    "chsql_vocab_r27",
+    "chsql_vocab_r28",
+    "chsql_vocab_r29",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -4517,6 +4517,290 @@ FROM events GROUP BY event_type ORDER BY event_type
 
 
 @register(
+    "chsql_vocab_r27",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    TIMESTAMP '2024-03-05 10:20:30'
+      + (event_id * 977 % 40000) * INTERVAL 1 SECOND AS td,
+    TIMESTAMP '2024-03-05 10:20:30'
+      + (event_id % 400) * INTERVAL 1 DAY AS td2
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  CAST(month(td2) AS BIGINT) AS mo,
+  CAST(hour(td) AS BIGINT) AS hr,
+  CAST(second(td) AS BIGINT) AS se,
+  CAST(dayofyear(td2) AS BIGINT) AS dy,
+  CAST(date_trunc('year', td2) AS DATE) AS soy,
+  CAST(date_trunc('quarter', td2) AS DATE) AS soq,
+  CAST(date_trunc('hour', td) AS TIMESTAMP) AS soh,
+  CAST(date_trunc('hour', td) AS TIMESTAMP)
+    + (minute(td) // 10 * 10) * INTERVAL 1 MINUTE AS stm,
+  CAST(date_trunc('minute', td) AS TIMESTAMP) AS smn,
+  td2 + (1 + event_id % 3) * INTERVAL 1 YEAR AS ay,
+  td2 + (event_id % 7) * INTERVAL 1 WEEK AS aw,
+  td + (event_id % 23) * INTERVAL 1 HOUR AS ah,
+  td + (event_id % 55) * INTERVAL 1 SECOND AS asx,
+  td2 - (event_id % 2) * INTERVAL 1 YEAR AS sy,
+  td2 - (event_id % 9) * INTERVAL 1 DAY AS sd,
+  td - (event_id % 50) * INTERVAL 1 MINUTE AS sm2,
+  CAST(strftime(td, '%Y%m%d%H%M%S') AS BIGINT) AS ymd,
+  make_timestamp(2024, 3, event_id % 27 + 1, 5, 6, 7) AS mdt,
+  td + (event_id % 3) * INTERVAL 1 DAY
+     + (event_id % 5) * INTERVAL 1 HOUR AS iv,
+  CAST(event_id % 90 - 45 AS BIGINT) AS i8c,
+  CAST(event_id % 200 AS BIGINT) AS u8c,
+  CAST(event_id * 3 AS BIGINT) AS u32c,
+  round(CAST(event_id AS DOUBLE) / 8, 6) AS f32r,
+  CAST(CAST(CAST(event_id AS DOUBLE) + 0.125 AS DECIMAL(9,3)) AS VARCHAR)
+    AS dec3,
+  CAST(CAST(CAST(event_id AS DOUBLE) / 8 AS DECIMAL(38,4)) AS VARCHAR)
+    AS dec4,
+  0 AS oz,
+  CAST(NULL AS INTEGER) AS onl,
+  1.5 AS fz,
+  CAST(NULL AS DOUBLE) AS fnl,
+  CAST(event_id AS BIGINT) AS an,
+  CAST(event_id % 5 AS BIGINT) AS tn
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 27 (round 10 — the FUNC-table coverage sweep):
+    datetime extraction (``toMonth/toHour/toSecond/toDayOfYear``), the
+    truncation family (``toStartOfYear/Quarter/Hour/Minute/TenMinutes`` —
+    Year/Quarter return DATE like CH), add/subtract arithmetic
+    (``addYears/Weeks/Hours/Seconds``, ``subtractYears/Days/Minutes``),
+    interval constructors (``toIntervalDay/Hour``), ``toYYYYMMDDhhmmss``,
+    ``makeDateTime``, and the conversion tier: sized ints (normalized to
+    Int64 for the driver hash), ``toFloat32``, ``toDecimal32/128``
+    (rendered as strings at binary-exact scales), OrZero/OrNull try-casts,
+    ``assumeNotNull``/``toNullable`` (identity lowerings — Spark columns
+    are already nullable).  All whole-stage-codegen scalars; oracle in
+    closed form."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH addSeconds(toDateTime('2024-03-05 10:20:30'),
+                event_id * 977 % 40000) AS td,
+     addDays(toDateTime('2024-03-05 10:20:30'), event_id % 400) AS td2
+SELECT event_id,
+  toInt64(toMonth(td2)) AS mo,
+  toInt64(toHour(td)) AS hr,
+  toInt64(toSecond(td)) AS se,
+  toInt64(toDayOfYear(td2)) AS dy,
+  toStartOfYear(td2) AS soy,
+  toStartOfQuarter(td2) AS soq,
+  toStartOfHour(td) AS soh,
+  toStartOfTenMinutes(td) AS stm,
+  toStartOfMinute(td) AS smn,
+  addYears(td2, 1 + event_id % 3) AS ay,
+  addWeeks(td2, event_id % 7) AS aw,
+  addHours(td, event_id % 23) AS ah,
+  addSeconds(td, event_id % 55) AS asx,
+  subtractYears(td2, event_id % 2) AS sy,
+  subtractDays(td2, event_id % 9) AS sd,
+  subtractMinutes(td, event_id % 50) AS sm2,
+  toYYYYMMDDhhmmss(td) AS ymd,
+  makeDateTime(2024, 3, event_id % 27 + 1, 5, 6, 7) AS mdt,
+  td + toIntervalDay(event_id % 3) + toIntervalHour(event_id % 5) AS iv,
+  toInt64(toInt8(event_id % 90 - 45)) AS i8c,
+  toInt64(toUInt8(event_id % 200)) AS u8c,
+  toInt64(toUInt32(event_id * 3)) AS u32c,
+  round(toFloat64(toFloat32(event_id)) / 8, 6) AS f32r,
+  toString(toDecimal32(toFloat64(event_id) + 0.125, 3)) AS dec3,
+  toString(toDecimal128(toFloat64(event_id) / 8, 4)) AS dec4,
+  toInt32OrZero(concat('x', toString(event_id))) AS oz,
+  toInt32OrNull('12x') AS onl,
+  toFloat64OrZero('1.5') AS fz,
+  toFloat64OrNull('abc') AS fnl,
+  toInt64(assumeNotNull(nullIf(event_id, -1))) AS an,
+  toInt64(toNullable(event_id % 5)) AS tn
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r28",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    [CAST(event_id % 5 + 1 AS DOUBLE), 3.0, 7.0] AS a,
+    [2.0, 1.0, 5.0] AS b
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  'bcd' AS sub,
+  CAST(7 AS BIGINT) AS pci,
+  'a\\.b\\*c\\?' AS rq,
+  'pad' AS tb,
+  'ab***' AS rp,
+  'xbyd' AS tr,
+  'Hello Spark World' AS ic,
+  'plain' AS tv,
+  'a,b,c' AS sbs,
+  a[1] > 0 AND a[2] > 0 AND a[3] > 0 AS aa,
+  '1,2,3' AS af,
+  '1,2,9' AS pb,
+  '0,1,2' AS pf,
+  '1,2' AS ppb,
+  '2,3' AS ppf,
+  '3,7' AS ai,
+  CAST(2 AS BIGINT) AS io,
+  CAST(0 AS BIGINT) AS ea,
+  '1,100' AS cc,
+  CAST(event_id AS DOUBLE) + CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END
+    AS rb,
+  CASE WHEN event_id % 5 = 0 THEN 0
+       ELSE CAST(event_id // (event_id % 5) AS BIGINT) END AS idz,
+  round(pow(10.0, event_id % 3), 6) AS e10,
+  CAST(pow(2, event_id % 10) AS BIGINT) AS ie2,
+  -(CAST(event_id AS BIGINT) + 1) AS bn,
+  round((CAST(event_id AS DOUBLE) + 0.5) / 2.0, 6) AS dd,
+  round(abs(a[1] - 2.0) + abs(3.0 - 1.0) + abs(7.0 - 5.0), 6) AS l1,
+  round(sqrt(pow(a[1] - 2.0, 2) + pow(3.0 - 1.0, 2) + pow(7.0 - 5.0, 2)),
+        6) AS l2,
+  round(greatest(abs(a[1] - 2.0), 2.0, 2.0), 6) AS li,
+  round(1 - (a[1] * 2.0 + 3.0 * 1.0 + 7.0 * 5.0)
+        / (sqrt(a[1] * a[1] + 9.0 + 49.0) * sqrt(4.0 + 1.0 + 25.0)), 6)
+    AS cd
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 28 (round 10 — FUNC-table sweep, part 2): UTF8
+    string tier (``substringUTF8``, ``positionCaseInsensitiveUTF8``,
+    ``regexpQuoteMeta``, ``trimBoth``, ``rightPadUTF8``, ``translateUTF8``,
+    ``initcapUTF8``, ``toValidUTF8``, ``splitByString``), array editing
+    (``arrayAll/Flatten/PushBack/PushFront/PopBack/PopFront/Intersect/
+    Concat``, ``indexOf``, ``emptyArrayString`` — arrays rendered
+    comma-joined per the driver-shape convention), math (``roundBankers``
+    half-even, ``intDivOrZero``, ``exp10``, ``intExp2``, ``bitNot``,
+    ``divideDecimal`` compared numerically), and the vector-distance
+    family ``L1/L2/Linf/cosineDistance``.  Oracle re-derives every value
+    in closed form."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH array(toFloat64(event_id % 5 + 1), 3.0, 7.0) AS a,
+     array(2.0, 1.0, 5.0) AS b
+SELECT event_id,
+  substringUTF8('abcdef', 2, 3) AS sub,
+  toInt64(positionCaseInsensitiveUTF8('Hello World', 'WORLD')) AS pci,
+  regexpQuoteMeta('a.b*c?') AS rq,
+  trimBoth('  pad  ') AS tb,
+  rightPadUTF8('ab', 5, '*') AS rp,
+  translateUTF8('abcd', 'ac', 'xy') AS tr,
+  initcapUTF8('hello spark world') AS ic,
+  toValidUTF8('plain') AS tv,
+  arrayStringConcat(splitByString('--', 'a--b--c'), ',') AS sbs,
+  arrayAll(x -> x > 0, a) AS aa,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayFlatten([[1, 2], [3]])), ',') AS af,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPushBack([1, 2], 9)), ',') AS pb,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPushFront([1, 2], 0)), ',') AS pf,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPopBack([1, 2, 3])), ',') AS ppb,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayPopFront([1, 2, 3])), ',') AS ppf,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arraySort(arrayIntersect([1, 3, 7], [3, 7, 9]))), ',') AS ai,
+  toInt64(indexOf([1, 3, 7], 3)) AS io,
+  toInt64(size(emptyArrayString())) AS ea,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arrayConcat([1], [100])), ',') AS cc,
+  roundBankers(toFloat64(event_id) + 0.5) AS rb,
+  intDivOrZero(toInt64(event_id), toInt64(event_id % 5)) AS idz,
+  round(exp10(toFloat64(event_id % 3)), 6) AS e10,
+  intExp2(event_id % 10) AS ie2,
+  bitNot(toInt64(event_id)) AS bn,
+  round(toFloat64(divideDecimal(
+    toDecimal64(toFloat64(event_id) + 0.5, 1), toDecimal64(2.0, 1))), 6)
+    AS dd,
+  round(L1Distance(a, b), 6) AS l1,
+  round(L2Distance(a, b), 6) AS l2,
+  round(LinfDistance(a, b), 6) AS li,
+  round(cosineDistance(a, b), 6) AS cd
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r29",
+    oracle="""
+WITH src AS (
+  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS q,
+         CAST(l_extendedprice AS DOUBLE) AS p, l_linenumber
+  FROM lineitem WHERE l_orderkey < 5000),
+g AS (SELECT l_returnflag, avg(q) AS mu, COUNT(*) AS n,
+             min(l_linenumber) AS mnl, max(l_linenumber) AS mxl
+      FROM src GROUP BY l_returnflag)
+SELECT s.l_returnflag,
+  any_value(s.l_returnflag) AS al,
+  min(s.q) AS mn, max(s.q) AS mx,
+  round(avg(s.q), 6) AS av,
+  any_value(s.l_returnflag) AS ao,
+  CAST(sum(DISTINCT CAST(s.q AS BIGINT)) AS BIGINT) AS sdst,
+  round(sqrt(sum(pow(s.q - g.mu, 2)) / any_value(g.n)), 6) AS sp,
+  round((sum(pow(s.q - g.mu, 3)) / any_value(g.n))
+        / pow(sum(pow(s.q - g.mu, 2)) / any_value(g.n), 1.5), 6) AS sk,
+  CAST(count(CASE WHEN s.l_linenumber = g.mnl THEN 1 END)
+    AS BIGINT) AS cam,
+  round(avg(CASE WHEN s.l_linenumber = g.mnl THEN s.p END), 6) AS aam,
+  min(CASE WHEN s.l_linenumber = g.mxl THEN s.p END) AS mam,
+  any_value(s.l_returnflag) AS anm,
+  any_value(s.l_returnflag) AS anx
+FROM src s JOIN g USING (l_returnflag)
+GROUP BY s.l_returnflag ORDER BY s.l_returnflag
+""",
+    tags=("chsql", "dialect", "vocabulary", "aggregate"),
+)
+def chsql_vocab_r29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 29 (round 10 — FUNC-table sweep, aggregates):
+    ``anyLast``/``anyOrNull`` (pinned to the group key so both engines see
+    one value), ``minOrNull/maxOrNull/avgOrNull`` (Spark aggregates are
+    already NULL-on-empty), ``sumDistinct``, ``stddevPop``, ``skewPop``
+    (oracle recomputes the population moments from raw central sums —
+    DuckDB's built-in skewness is the differently-biased SAMPLE form),
+    and the -ArgMin/-ArgMax combinators ``countArgMin``, ``avgArgMin``,
+    ``minArgMax``, ``anyArgMin``, ``anyArgMax`` (aggregate over the rows
+    where the key attains its group extreme — replayed in the oracle as
+    conditional aggregates against the per-group extreme)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT l_returnflag,
+  anyLast(l_returnflag) AS al,
+  minOrNull(toFloat64(l_quantity)) AS mn,
+  maxOrNull(toFloat64(l_quantity)) AS mx,
+  round(avgOrNull(toFloat64(l_quantity)), 6) AS av,
+  anyOrNull(l_returnflag) AS ao,
+  toInt64(sumDistinct(toInt64(l_quantity))) AS sdst,
+  round(stddevPop(toFloat64(l_quantity)), 6) AS sp,
+  round(skewPop(toFloat64(l_quantity)), 6) AS sk,
+  toInt64(countArgMin(l_quantity, l_linenumber)) AS cam,
+  round(avgArgMin(toFloat64(l_extendedprice), l_linenumber), 6) AS aam,
+  minArgMax(toFloat64(l_extendedprice), l_linenumber) AS mam,
+  anyArgMin(l_returnflag, l_linenumber) AS anm,
+  anyArgMax(l_returnflag, l_linenumber) AS anx
+FROM lineitem WHERE l_orderkey < 5000
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
