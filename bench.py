@@ -138,6 +138,10 @@ HEADLINE = [
     "kql_scan_concurrent",
     "kql_parse_kv",
     "dedup_fuzzy_e2e",
+    # round-10 additions: the rows_near match-envelope window and the
+    # sequenceNextNode sorted-collect navigation aggregate
+    "kql_rows_near",
+    "chsql_sequence_next_node",
 ]
 
 
