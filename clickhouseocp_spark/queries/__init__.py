@@ -514,6 +514,10 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_vocab_r27",
     "chsql_vocab_r28",
     "chsql_vocab_r29",
+    # --- round-10 FUNC-table sweep, part 3 + the nondeterministic-contract
+    #     tier (record in round 11) ---
+    "chsql_vocab_r30",
+    "chsql_vocab_r31",
 ]
 
 _DRIVER_WINDOW_R5 = [

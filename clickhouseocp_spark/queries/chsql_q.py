@@ -4801,6 +4801,132 @@ GROUP BY l_returnflag ORDER BY l_returnflag
 
 
 @register(
+    "chsql_vocab_r30",
+    oracle="""
+SELECT event_id,
+  CAST(event_id % 9 AS DOUBLE) + 0.25 AS jfv,
+  TRUE AS jb,
+  CAST(3 AS BIGINT) AS jl,
+  'bigint' AS tt,
+  CAST(55 AS BIGINT) AS gs,
+  '1,4' AS bx,
+  CAST(1 AS BIGINT) AS bmn, CAST(7 AS BIGINT) AS bmx,
+  '2,5' AS bta,
+  TRUE AS htc,
+  CAST(3 + event_id % 3 AS BIGINT) AS msv,
+  'a:1;b:2' AS eag,
+  'SELECT ? + ?  FROM t' AS nq,
+  'hello' AS b64u,
+  CAST(2 + 120 * CAST(pow(7, event_id % 5) AS BIGINT) AS BIGINT) AS h3n,
+  CAST((1709634030000 - 1288834974657) * 4194304 AS BIGINT) AS sfid,
+  TIMESTAMP '2024-03-05 10:20:30' AS sfts
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 30 (round 10 — FUNC-table sweep, part 3): JSON
+    extraction (``JSONExtractFloat/Bool``, ``JSONLength``),
+    ``toTypeName``, the ``generateSeries`` table function (scalar-subquery
+    form), the plain-array bitmap tier (``bitmapXor/Min/Max/ToArray``),
+    ``hasTokenCaseInsensitive``, ``mapSubtract`` (element access, no map
+    in the output), ``extractAllGroupsVertical``, ``normalizeQuery``
+    (comment/string/number fingerprinting), ``base64URLDecode``,
+    ``h3GetNumCells``, and the Snowflake-ID pair ``dateTimeToSnowflakeID``
+    / ``snowflakeIDToDateTime64`` (closed-form epoch arithmetic both
+    ways).  Oracle re-derives every value."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  JSONExtractFloat(concat('{"v": ', toString(event_id % 9), '.25}'), 'v')
+    AS jfv,
+  JSONExtractBool('{"b": true}', 'b') AS jb,
+  toInt64(JSONLength(concat('[1,2,', toString(event_id % 4), ']'))) AS jl,
+  toTypeName(toInt64(event_id)) AS tt,
+  toInt64((SELECT sum(generate_series) FROM generateSeries(1, 10))) AS gs,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    bitmapXor([1, 2, 3], [2, 3, 4])), ',') AS bx,
+  toInt64(bitmapMin([3, 1, 7])) AS bmn,
+  toInt64(bitmapMax([3, 1, 7])) AS bmx,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arraySort(bitmapToArray([5, 2]))), ',') AS bta,
+  hasTokenCaseInsensitive('Hello World Foo', 'WORLD') AS htc,
+  toInt64(arrayElement(mapSubtract(
+    map('a', toInt64(5 + event_id % 3)), map('a', toInt64(2))), 'a'))
+    AS msv,
+  arrayStringConcat(arrayMap(g -> concat(arrayElement(g, 1), ':', arrayElement(g, 2)),
+    extractAllGroupsVertical('a=1, b=2', '(\\\\w)=(\\\\d)')), ';') AS eag,
+  normalizeQuery('SELECT 12 + 3 /* note */ FROM t') AS nq,
+  toString(base64URLDecode('aGVsbG8')) AS b64u,
+  toInt64(h3GetNumCells(event_id % 5)) AS h3n,
+  dateTimeToSnowflakeID(toDateTime('2024-03-05 10:20:30')) AS sfid,
+  snowflakeIDToDateTime64(
+    dateTimeToSnowflakeID(toDateTime('2024-03-05 10:20:30'))) AS sfts
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r31",
+    oracle="""
+SELECT TRUE AS rc_ok, TRUE AS rn_ok, TRUE AS ru_ok, TRUE AS re_ok,
+       TRUE AS shuf_ok, TRUE AS uuid_ok, TRUE AS today_ok,
+       TRUE AS env_ok, TRUE AS hash_ok
+""",
+    tags=("chsql", "dialect", "vocabulary", "contract"),
+)
+def chsql_vocab_r31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 31 (round 10): the NONDETERMINISTIC function tier
+    under in-query accuracy contracts (the rows-only-to-contract pattern
+    from round 2): ``randCanonical/randNormal/randUniform/randExponential``
+    (moment bounds many σ wide at the smallest fixture), ``arrayShuffle``
+    (multiset invariance), ``generateUUIDv4`` (v4 format + per-row
+    uniqueness), ``today/yesterday/nowInBlock`` (calendar identities
+    against now()), the environment constants
+    ``currentDatabase/currentUser/hostName/version``, and
+    ``sipHash64``/``farmHash64`` determinism + discrimination (values are
+    engine-specific by documented deviation — the CONTRACT is checked, so
+    the driver hash still gates it)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH s AS (
+  SELECT event_id,
+         randCanonical() AS rc,
+         randNormal(10.0, 2.0) AS rn,
+         randUniform(5.0, 9.0) AS ru,
+         randExponential(2.0) AS re,
+         arrayShuffle([3, 1, 2]) AS sh,
+         toString(generateUUIDv4()) AS u
+  FROM events)
+SELECT
+  min(rc) >= 0 AND max(rc) < 1 AND avg(rc) BETWEEN 0.42 AND 0.58 AS rc_ok,
+  abs(avg(rn) - 10.0) < 0.5 AND stddevPop(rn) BETWEEN 1.6 AND 2.4 AS rn_ok,
+  min(ru) >= 5 AND max(ru) < 9 AND abs(avg(ru) - 7.0) < 0.4 AS ru_ok,
+  abs(avg(re) - 0.5) < 0.15 AND min(re) >= 0 AS re_ok,
+  min(IF(arraySort(sh) = [1, 2, 3], 1, 0)) = 1 AS shuf_ok,
+  count(DISTINCT u) = count()
+    AND min(IF(match(u, '^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-[89ab]'
+                      || '[0-9a-f]{3}-[0-9a-f]{12}$'), 1, 0)) = 1 AS uuid_ok,
+  yesterday() = today() - 1 AND today() = toDate(now())
+    AND abs(dateDiff('second', nowInBlock(), now())) < 300 AS today_ok,
+  currentDatabase() = 'default' AND currentUser() = 'default'
+    AND hostName() != '' AND version() LIKE '25.7%' AS env_ok,
+  sipHash64('abc') = sipHash64('abc')
+    AND sipHash64('abc') != sipHash64('abd')
+    AND farmHash64('xy') = farmHash64('xy') AS hash_ok
+FROM s
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
