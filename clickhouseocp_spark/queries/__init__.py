@@ -518,6 +518,7 @@ _DRIVER_WINDOW_R13: list[str] = [
     #     tier (record in round 11) ---
     "chsql_vocab_r30",
     "chsql_vocab_r31",
+    "chsql_vocab_r32",
 ]
 
 _DRIVER_WINDOW_R5 = [

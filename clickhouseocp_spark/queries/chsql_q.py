@@ -4927,6 +4927,64 @@ FROM s
 
 
 @register(
+    "chsql_vocab_r32",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    TIMESTAMP '2024-03-05 10:20:30'
+      + (event_id % 100) * INTERVAL 1 MINUTE AS td
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  td + INTERVAL 1 YEAR AS ty,
+  td + 2 * INTERVAL 1 MONTH AS tmo,
+  td + (event_id % 3) * INTERVAL 1 WEEK AS tw,
+  td + 30 * INTERVAL 1 MINUTE AS tmi,
+  td + 45 * INTERVAL 1 SECOND AS tsec,
+  CAST(FLOOR(epoch(td) / 3600) AS BIGINT) AS trh,
+  round(1.5 * 2.5, 6) AS md2,
+  td + 3 * INTERVAL 1 HOUR AS ta,
+  TRUE AS uh_ok,
+  '25.7.4.11-compat-spark' AS sv
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 32 (round 10 — FUNC-table sweep, closing the
+    tail): the remaining interval constructors ``toIntervalYear/Month/
+    Week/Minute/Second``, ``toRelativeHourNum``, ``multiplyDecimal``
+    (numeric compare), ``timestampAdd`` (unit-literal form),
+    ``uniqHLL12`` under a ±5% accuracy contract over numbers(), and
+    ``serverVersion``.  With this batch every deterministic FUNC-table
+    lowering carries an oracle-backed registry query (leftovers are
+    intentional: caseWithExpression is unsupported-by-design,
+    normalizedQueryHash's value is engine-specific with normalizeQuery
+    oracle-covered, minSampleSizeContinuous is a spelling alias)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH addMinutes(toDateTime('2024-03-05 10:20:30'), event_id % 100) AS td
+SELECT event_id,
+  td + toIntervalYear(1) AS ty,
+  td + toIntervalMonth(2) AS tmo,
+  td + toIntervalWeek(event_id % 3) AS tw,
+  td + toIntervalMinute(30) AS tmi,
+  td + toIntervalSecond(45) AS tsec,
+  toInt64(toRelativeHourNum(td)) AS trh,
+  round(toFloat64(multiplyDecimal(toDecimal64(1.5, 1),
+                                  toDecimal64(2.5, 1))), 6) AS md2,
+  timestampAdd('HOUR', 3, td) AS ta,
+  abs(toInt64((SELECT uniqHLL12(number) FROM numbers(1000)))
+      - 1000) <= 50 AS uh_ok,
+  serverVersion() AS sv
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
