@@ -2855,6 +2855,92 @@ def _extract_toscalar(
     return "".join(out), subs
 
 
+def _graph_match(spec: tuple, rest: str) -> str:
+    """``graph-match (a)-[e1]->(b)[-[e2]->(c)...] [where <cond>]
+    project <items>`` — the Kusto graph pattern operator (ADX 2023+)
+    lowered to equi-joins: each hop is ONE shuffle join of the edge
+    relation against the previous node's id, each distinct node variable
+    one join of the nodes relation; a REPEATED node variable (a cycle,
+    e.g. ``(a)-[e1]->(b)-[e2]->(a)``) adds an equality predicate instead
+    of a new join.  Fixed-length patterns only — Kusto's variable-length
+    ``-[e*1..3]->`` would lower to a union of the unrolled lengths and is
+    out of the subset (raise, never silently truncate).
+
+    100 TB shape: hop joins are plain key shuffles Catalyst can reorder;
+    the nodes relation is a broadcast candidate when it is a dimension.
+    Variable references ``v.prop`` rewrite to the join aliases before the
+    standard scalar lowering runs."""
+    edges_rel, src_col, dst_col, nodes_rel, id_col = spec
+    m = re.match(
+        r"^\s*\(\s*(\w+)\s*\)((?:\s*-\[\s*\w+\s*\]->\s*\(\s*\w+\s*\))+)"
+        r"\s*(.*)$",
+        rest,
+        re.DOTALL,
+    )
+    if not m:
+        if re.search(r"\*", rest):
+            raise KqlError(
+                "graph-match subset: variable-length edges (-[e*1..3]->) "
+                "are not supported — unroll the lengths explicitly"
+            )
+        raise KqlError(
+            "graph-match subset: (a)-[e]->(b)[-[f]->(c)...] "
+            f"[where ...] project ..., got {rest!r}"
+        )
+    first, hops_txt, tail = m.groups()
+    hops = re.findall(r"-\[\s*(\w+)\s*\]->\s*\(\s*(\w+)\s*\)", hops_txt)
+    eb = f"({edges_rel})" if " " in edges_rel else edges_rel
+    nb = f"({nodes_rel})" if " " in nodes_rel else nodes_rel
+    node_alias: dict[str, str] = {first: f"__gn_{first}"}
+    edge_alias: dict[str, str] = {}
+    parts = [f"{nb} AS __gn_{first}"]
+    extra: list[str] = []
+    prev = first
+    for e, v in hops:
+        if e in edge_alias or e == first or v in edge_alias:
+            raise KqlError(f"graph-match: duplicate edge variable {e!r}")
+        ea = f"__ge_{e}"
+        edge_alias[e] = ea
+        parts.append(
+            f"JOIN {eb} AS {ea} "
+            f"ON {ea}.{src_col} = {node_alias[prev]}.{id_col}"
+        )
+        if v in node_alias:  # cycle: same node again — constrain, don't join
+            extra.append(f"{node_alias[v]}.{id_col} = {ea}.{dst_col}")
+        else:
+            va = f"__gn_{v}"
+            node_alias[v] = va
+            parts.append(
+                f"JOIN {nb} AS {va} ON {va}.{id_col} = {ea}.{dst_col}"
+            )
+        prev = v
+    mt = re.match(
+        r"(?is)^(?:where\s+(.*?)\s+)?project\s+(.+)$", tail.strip(), re.DOTALL
+    )
+    if not mt:
+        raise KqlError(
+            "graph-match needs a trailing `project <items>` "
+            f"(optionally preceded by `where <cond>`), got {tail!r}"
+        )
+    where_txt, project_txt = mt.group(1), mt.group(2)
+
+    def rewrite(txt: str) -> str:
+        for v, a in {**node_alias, **edge_alias}.items():
+            txt = re.sub(rf"\b{v}\.", f"{a}.", txt)
+        return txt
+
+    conds = list(extra)
+    if where_txt:
+        conds.append(_expr(rewrite(where_txt)))
+    items = ", ".join(
+        _alias_item(x) for x in _split_top(rewrite(project_txt))
+    )
+    sql = f"SELECT {items} FROM {' '.join(parts)}"
+    if conds:
+        sql += " WHERE " + " AND ".join(f"({c})" for c in conds)
+    return sql
+
+
 def transpile_kql(query: str) -> str:
     """KQL text → one nested Spark SQL statement.  Handles statement-level
     ``let`` bindings (split on top-level ``;``), then the final pipeline."""
@@ -2929,6 +3015,7 @@ def _transpile_pipeline(
     if not stages or not stages[0]:
         raise KqlError("empty KQL pipeline")
     last_order: str | None = None  # most recent sort keys (serialize uses it)
+    graph_spec: tuple | None = None  # pending make-graph awaiting graph-match
     src = stages[0]
     mrange = re.match(
         r"^range\s+([A-Za-z_]\w*)\s+from\s+(.+?)\s+to\s+(.+?)\s+step\s+(.+)$",
@@ -3341,6 +3428,29 @@ def _transpile_pipeline(
             # charting is a client-side concern in Kusto — pass the relation
             # through unchanged (same no-op contract as ADX's tabular engine)
             rel = f"SELECT * FROM {sub}"
+        elif op == "make-graph":
+            # make-graph <src> --> <dst> with <Nodes> on <id>: remember the
+            # graph spec; the relation itself (the edge table) is untouched
+            # until graph-match lowers the pattern to joins
+            mg = re.match(
+                r"(?is)^(\w+)\s*-->\s*(\w+)\s+with\s+([A-Za-z_]\w*)"
+                r"\s+on\s+(\w+)\s*$",
+                rest.strip(),
+            )
+            if not mg:
+                raise KqlError(
+                    "make-graph subset: <src> --> <dst> with <Nodes> on "
+                    f"<id> (node properties need the nodes table), got {rest!r}"
+                )
+            nodes_name = mg.group(3)
+            nodes_rel = lets.get(nodes_name, nodes_name)
+            graph_spec = (rel, mg.group(1), mg.group(2), nodes_rel, mg.group(4))
+            continue
+        elif op == "graph-match":
+            if graph_spec is None:
+                raise KqlError("graph-match needs a preceding make-graph")
+            rel = _graph_match(graph_spec, rest)
+            graph_spec = None
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"
         elif op == "distinct":

@@ -519,6 +519,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_vocab_r30",
     "chsql_vocab_r31",
     "chsql_vocab_r32",
+    # --- round-10 Kusto graph semantics (make-graph + graph-match) ---
+    "kql_graph_match",
 ]
 
 _DRIVER_WINDOW_R5 = [

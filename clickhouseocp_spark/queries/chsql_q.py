@@ -5042,6 +5042,52 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 @register(
+    "kql_graph_match",
+    oracle="""
+SELECT c.c_name AS cn, n.n_name AS nn, r.r_name AS rn
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA' AND (100000 + c.c_custkey) % 10 = 0
+ORDER BY cn
+""",
+    tags=("kql", "dialect", "graph"),
+)
+def kql_graph_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``make-graph`` + ``graph-match`` (round 10 — Kusto's graph
+    semantics, ADX 2023+): the customer→nation→region hierarchy as a
+    property graph (ids shifted into one node space, node/edge tables
+    built with tabular lets + union), then the 2-hop pattern
+    ``(c)-[e1]->(n)-[e2]->(r)`` filtered on a far-node property.  Each
+    hop lowers to ONE equi-join Catalyst may reorder/broadcast — the
+    oracle is the INDEPENDENT flat 3-way join over the original keys, so
+    parity proves the graph lowering reconstructs exactly the relational
+    answer."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let edges = customer
+  | project s = 100000 + tolong(c_custkey), d = 1000 + tolong(c_nationkey)
+  | union (nation
+  | project s = 1000 + tolong(n_nationkey), d = tolong(n_regionkey));
+let nodes = customer
+  | project id = 100000 + tolong(c_custkey), name = c_name
+  | union (nation | project id = 1000 + tolong(n_nationkey), name = n_name)
+  | union (region | project id = tolong(r_regionkey), name = r_name);
+edges
+| make-graph s --> d with nodes on id
+| graph-match (c)-[e1]->(n)-[e2]->(r)
+  where r.name == 'ASIA' and c.id % 10 == 0
+  project cn = c.name, nn = n.name, rn = r.name
+| sort by cn asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (

@@ -2585,3 +2585,52 @@ t | summarize a = take_anyif(v, f == true)
         dialect="kusto",
     ).collect()[0]
     assert agg.a in (7, 9)
+
+
+def test_kql_graph_match_mechanics(spark):
+    """make-graph + graph-match: 2-hop path, cycle via repeated node var,
+    where-less form, and the subset errors (variable-length edges,
+    graph-match without make-graph)."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        """
+let edges = datatable(s: long, d: long, w: long)
+  [1, 2, 5, 2, 3, 7, 3, 1, 2, 1, 3, 9];
+let nodes = datatable(id: long, name: string)
+  [1, 'alpha', 2, 'beta', 3, 'gamma'];
+edges
+| make-graph s --> d with nodes on id
+| graph-match (a)-[e1]->(b)-[e2]->(c)
+  where a.name == 'alpha' and e2.w > 2
+  project an = a.name, bn = b.name, cn = c.name, w2 = e2.w
+""",
+        dialect="kusto",
+    ).collect()
+    assert [(r.an, r.bn, r.cn, r.w2) for r in rows] == [
+        ("alpha", "beta", "gamma", 7)
+    ]
+    # cycle: repeated node variable constrains instead of re-joining
+    cyc = eng.sql(
+        """
+let edges = datatable(s: long, d: long) [1, 2, 2, 1, 2, 3];
+let nodes = datatable(id: long, nm: string) [1, 'x', 2, 'y', 3, 'z'];
+edges
+| make-graph s --> d with nodes on id
+| graph-match (a)-[e1]->(b)-[e2]->(a)
+  project an = a.nm, bn = b.nm
+""",
+        dialect="kusto",
+    ).collect()
+    assert sorted((r.an, r.bn) for r in cyc) == [("x", "y"), ("y", "x")]
+    with _pytest.raises(KqlError, match="variable-length"):
+        transpile_kql(
+            "t | make-graph s --> d with n on id "
+            "| graph-match (a)-[e*1..3]->(b) project x = a.id"
+        )
+    with _pytest.raises(KqlError, match="preceding make-graph"):
+        transpile_kql("t | graph-match (a)-[e]->(b) project x = a.id")
