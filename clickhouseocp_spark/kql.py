@@ -2941,6 +2941,91 @@ def _graph_match(spec: tuple, rest: str) -> str:
     return sql
 
 
+def _graph_shortest_paths(spec: tuple, rest: str) -> str:
+    """``graph-shortest-paths [output=any|all] (a)-[e*1..K]->(b)
+    [where <cond on a/b>] project <items>`` — Kusto's bounded shortest
+    path (the upper bound is REQUIRED upstream too, which is what makes
+    this SQL-expressible): the K lengths unroll to K join chains UNIONed
+    with their length, then one aggregate keeps min(length) per endpoint
+    pair.  Subset: items/conditions may reference the endpoint variables'
+    properties and ``array_length(e)`` (the path length — the edge array
+    itself is not materialized; raise on other ``e.`` references).
+
+    100 TB shape: K bounded chains of key equi-joins (Catalyst reorders /
+    broadcasts dimension nodes) + ONE endpoint-keyed aggregate; cost is
+    O(K·|edges-reachable|), the same frontier bound a BFS would touch."""
+    edges_rel, src_col, dst_col, nodes_rel, id_col = spec
+    rest = re.sub(r"(?i)^\s*output\s*=\s*(any|all)\s+", "", rest)
+    m = re.match(
+        r"^\s*\(\s*(\w+)\s*\)\s*-\[\s*(\w+)\s*\*\s*(\d+)\s*\.\.\s*(\d+)"
+        r"\s*\]->\s*\(\s*(\w+)\s*\)\s*(.*)$",
+        rest,
+        re.DOTALL,
+    )
+    if not m:
+        raise KqlError(
+            "graph-shortest-paths subset: (a)-[e*1..K]->(b) "
+            f"[where ...] project ..., got {rest!r}"
+        )
+    a, e, lo, hi, b, tail = m.groups()
+    lo, hi = int(lo), int(hi)
+    if not (1 <= lo <= hi <= 8):
+        raise KqlError(
+            "graph-shortest-paths subset: bounds must satisfy "
+            f"1 <= lo <= hi <= 8, got {lo}..{hi}"
+        )
+    eb = f"({edges_rel})" if " " in edges_rel else edges_rel
+    nb = f"({nodes_rel})" if " " in nodes_rel else nodes_rel
+    mt = re.match(
+        r"(?is)^(?:where\s+(.*?)\s+)?project\s+(.+)$", tail.strip(), re.DOTALL
+    )
+    if not mt:
+        raise KqlError("graph-shortest-paths needs a trailing project")
+    where_txt, project_txt = mt.group(1), mt.group(2)
+
+    def rewrite(txt: str) -> str:
+        txt = re.sub(
+            rf"\barray_length\s*\(\s*{e}\s*\)", "__plen", txt
+        )
+        if re.search(rf"\b{e}\s*[.\[]", txt):
+            raise KqlError(
+                "graph-shortest-paths subset: the edge variable only "
+                f"supports array_length({e}) (the path length)"
+            )
+        txt = re.sub(rf"\b{a}\.", "__ga.", txt)
+        txt = re.sub(rf"\b{b}\.", "__gb.", txt)
+        return txt
+
+    # one chain per length L: endpoints + L as the path length
+    chains = []
+    for L in range(lo, hi + 1):
+        joins = [f"{eb} AS __e1"]
+        for i in range(2, L + 1):
+            joins.append(
+                f"JOIN {eb} AS __e{i} "
+                f"ON __e{i}.{src_col} = __e{i - 1}.{dst_col}"
+            )
+        chains.append(
+            f"SELECT __e1.{src_col} AS __sa, __e{L}.{dst_col} AS __sb, "
+            f"{L} AS __plen FROM {' '.join(joins)}"
+        )
+    paths = " UNION ALL ".join(chains)
+    shortest = (
+        f"SELECT __sa, __sb, min(__plen) AS __plen FROM ({paths}) __gsp "
+        f"GROUP BY __sa, __sb"
+    )
+    cond = f"({_expr(rewrite(where_txt))})" if where_txt else "true"
+    items = ", ".join(
+        _alias_item(x) for x in _split_top(rewrite(project_txt))
+    )
+    return (
+        f"SELECT {items} FROM ({shortest}) __gmin "
+        f"JOIN {nb} AS __ga ON __ga.{id_col} = __gmin.__sa "
+        f"JOIN {nb} AS __gb ON __gb.{id_col} = __gmin.__sb "
+        f"WHERE {cond}"
+    )
+
+
 def transpile_kql(query: str) -> str:
     """KQL text → one nested Spark SQL statement.  Handles statement-level
     ``let`` bindings (split on top-level ``;``), then the final pipeline."""
@@ -3450,6 +3535,13 @@ def _transpile_pipeline(
             if graph_spec is None:
                 raise KqlError("graph-match needs a preceding make-graph")
             rel = _graph_match(graph_spec, rest)
+            graph_spec = None
+        elif op == "graph-shortest-paths":
+            if graph_spec is None:
+                raise KqlError(
+                    "graph-shortest-paths needs a preceding make-graph"
+                )
+            rel = _graph_shortest_paths(graph_spec, rest)
             graph_spec = None
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"

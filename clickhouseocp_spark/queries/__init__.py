@@ -521,6 +521,7 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_vocab_r32",
     # --- round-10 Kusto graph semantics (make-graph + graph-match) ---
     "kql_graph_match",
+    "kql_graph_shortest_paths",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5088,6 +5088,57 @@ edges
 
 
 @register(
+    "kql_graph_shortest_paths",
+    oracle="""
+WITH RECURSIVE edges AS (
+  SELECT i AS s, i + 1 AS d FROM generate_series(1, 29) t(i)
+  UNION ALL
+  SELECT i, i + 5 FROM generate_series(1, 25, 6) t(i)
+), walk AS (
+  SELECT s, d, 1 AS len FROM edges
+  UNION ALL
+  SELECT w.s, e.d, w.len + 1
+  FROM walk w JOIN edges e ON e.s = w.d WHERE w.len < 6
+), best AS (SELECT s, d, min(len) AS len FROM walk GROUP BY s, d)
+SELECT 'n1' AS xn, 'n' || CAST(d AS VARCHAR) AS yn,
+       CAST(len AS BIGINT) AS len
+FROM best WHERE s = 1 AND d % 4 = 0 AND len BETWEEN 1 AND 6
+ORDER BY yn
+""",
+    tags=("kql", "dialect", "graph"),
+)
+def kql_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph-shortest-paths`` (round 10): bounded shortest path over a
+    chain-plus-shortcut graph — the skip edges make the true shortest
+    path genuinely shorter than the chain walk, so parity proves the
+    min-over-unrolled-lengths logic (not just reachability).  The K
+    bounded lengths unroll to K join chains + ONE endpoint aggregate
+    (Kusto requires the upper bound upstream too — that bound is what
+    makes the operator SQL-expressible).  The oracle is an INDEPENDENT
+    DuckDB WITH RECURSIVE breadth walk capped at the same depth."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let edges = range i from 1 to 29 step 1
+  | project s = tolong(i), d = tolong(i + 1)
+  | union (range i from 1 to 25 step 6
+           | project s = tolong(i), d = tolong(i + 5));
+let nodes = range i from 1 to 30 step 1
+  | project id = tolong(i), nm = strcat('n', tostring(i));
+edges
+| make-graph s --> d with nodes on id
+| graph-shortest-paths output=any (x)-[p*1..6]->(y)
+  where x.id == 1 and y.id % 4 == 0
+  project xn = x.nm, yn = y.nm, len = tolong(array_length(p))
+| sort by yn asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (
