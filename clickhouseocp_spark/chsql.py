@@ -1480,6 +1480,22 @@ FUNC_RULES: dict[str, object] = {
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,
     "minSampleSizeContinuous": _min_sample_size_continuous,
+    # retention(c1, ..., cK): r[0] = c1 seen in the group; r[i] = c1 AND
+    # c_{i+1} both seen (CH's cohort-retention aggregate — note it is NOT
+    # sequenced: any order within the group counts, per upstream docs)
+    "retention": lambda args: (
+        "array("
+        + ", ".join(
+            f"CAST(max(IF({args[0]}, 1, 0)) AS INT)"
+            if i == 0
+            else (
+                f"CAST(max(IF({args[0]}, 1, 0)) "
+                f"* max(IF({c}, 1, 0)) AS INT)"
+            )
+            for i, c in enumerate(args)
+        )
+        + ")"
+    ),
     # arrays / higher-order (CH lambda syntax `x -> e` is Spark's, args swap)
     "has": _rename("array_contains"),
     "hasAny": _rename("arrays_overlap"),
@@ -2939,10 +2955,79 @@ def _sequence_next_node_rule(p: list[str], a: list[str]) -> str:
     )
 
 
+def _sequence_pattern_steps(pat: str, fn: str, n_conds: int) -> list[int]:
+    """Parse the CH sequence pattern subset ``(?1)[.*(?2)...]`` — condition
+    references separated by ``.*`` (any events between).  Direct adjacency
+    and ``(?t<=...)`` time constraints are the DataFrame tier's job
+    (operators/funnel.py) — raise, never silently approximate."""
+    p = pat.strip().strip("'")
+    m = re.match(r"^\(\?(\d+)\)((?:\.\*\(\?\d+\))*)$", p)
+    if not m:
+        raise ChSqlError(
+            f"{fn} pattern subset: '(?1).*(?2)...' ('.*'-separated condition "
+            f"refs; adjacency/time constraints are operators/funnel.py's "
+            f"tier), got {pat!r}"
+        )
+    steps = [int(m.group(1))] + [
+        int(x) for x in re.findall(r"\(\?(\d+)\)", m.group(2))
+    ]
+    if any(not 1 <= s <= n_conds for s in steps):
+        raise ChSqlError(f"{fn}: pattern references condition out of range")
+    return steps
+
+
+def _sequence_fold(args: list[str], pat: str, fn: str) -> tuple[str, int]:
+    """(sorted-collect fold SQL advancing a level counter, step count).
+    State advances when the CURRENT level's condition fires — one level
+    per event, events in ``ts`` order (pass a unique key as ts for
+    deterministic tie handling, CH leaves equal-timestamp order
+    unspecified)."""
+    ts, conds = args[0], args[1:]
+    if not conds:
+        raise ChSqlError(f"{fn} needs (ts, cond1[, cond2, ...])")
+    steps = _sequence_pattern_steps(pat, fn, len(conds))
+    fields = ", ".join(
+        [f"'t', {ts}"] + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
+    )
+    arr = f"array_sort(collect_list(named_struct({fields})))"
+    whens = " ".join(
+        f"WHEN __st = {i} AND __ev.c{s} THEN {i + 1}"
+        for i, s in enumerate(steps)
+    )
+    step_case = f"(CASE {whens} ELSE __st END)"
+    return arr, len(steps), step_case
+
+
+def _sequence_match_rule(p: list[str], a: list[str]) -> str:
+    """sequenceMatch(pattern)(ts, cond...): 1 when the '.*'-separated
+    condition chain occurs in ts order — ONE sorted-collect fold."""
+    arr, k, step_case = _sequence_fold(a, p[0], "sequenceMatch")
+    body = step_case.replace("__st", "__acc").replace("__ev", "__e")
+    return (
+        f"IF(aggregate({arr}, 0, (__acc, __e) -> "
+        f"least({body}, {k})) >= {k}, 1, 0)"
+    )
+
+
+def _sequence_count_rule(p: list[str], a: list[str]) -> str:
+    """sequenceCount(pattern)(ts, cond...): greedy NON-OVERLAPPING chain
+    count (CH's contract) — the same fold with a wrap-and-count state."""
+    arr, k, step_case = _sequence_fold(a, p[0], "sequenceCount")
+    body = step_case.replace("__st", "__s.st").replace("__ev", "__e")
+    return (
+        f"aggregate({arr}, named_struct('st', 0, 'cnt', 0), "
+        f"(__s, __e) -> IF({body} >= {k}, "
+        f"named_struct('st', 0, 'cnt', __s.cnt + 1), "
+        f"named_struct('st', {body}, 'cnt', __s.cnt))).cnt"
+    )
+
+
 #: CH parametric aggregate syntax fname(params)(args)
 PARAMETRIC_RULES: dict[str, object] = {
     "sparkbar": _sparkbar_rule,
     "sequenceNextNode": _sequence_next_node_rule,
+    "sequenceMatch": _sequence_match_rule,
+    "sequenceCount": _sequence_count_rule,
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",

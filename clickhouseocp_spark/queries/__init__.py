@@ -522,6 +522,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     # --- round-10 Kusto graph semantics (make-graph + graph-match) ---
     "kql_graph_match",
     "kql_graph_shortest_paths",
+    # --- round-10 text-path funnel aggregates ---
+    "chsql_funnel_text",
 ]
 
 _DRIVER_WINDOW_R5 = [

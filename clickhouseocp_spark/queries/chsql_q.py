@@ -4985,6 +4985,78 @@ FROM events WHERE event_id < 200 ORDER BY event_id
 
 
 @register(
+    "chsql_funnel_text",
+    oracle="""
+WITH b AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h1,
+    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS h2,
+    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS h3,
+    min(CASE WHEN event_type = 'view' THEN event_id END) AS mv,
+    max(CASE WHEN event_type = 'click' THEN event_id END) AS xc,
+    min(CASE WHEN event_type = 'signup' THEN event_id END) AS ms,
+    max(CASE WHEN event_type = 'purchase' THEN event_id END) AS xp
+  FROM events GROUP BY user_id),
+t AS (
+  SELECT user_id, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+           AS prev_et
+  FROM events WHERE event_type IN ('view', 'click')),
+sc AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'click' AND prev_et = 'view'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS sc
+  FROM t GROUP BY user_id)
+SELECT b.user_id,
+  CAST(h1 AS VARCHAR) || ',' || CAST(h1 * h2 AS VARCHAR) || ','
+    || CAST(h1 * h3 AS VARCHAR) AS ret,
+  CAST(CASE WHEN mv < xc THEN 1 ELSE 0 END AS BIGINT) AS sm,
+  CAST(CASE WHEN EXISTS (SELECT 1 FROM events e
+        WHERE e.user_id = b.user_id AND e.event_type = 'click'
+          AND e.event_id > b.ms AND e.event_id < b.xp)
+    THEN 1 ELSE 0 END AS BIGINT) AS sm3,
+  COALESCE(sc.sc, 0) AS sc
+FROM b LEFT JOIN sc ON sc.user_id = b.user_id
+ORDER BY b.user_id
+""",
+    tags=("chsql", "dialect", "funnel", "aggregate"),
+)
+def chsql_funnel_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CH funnel aggregates on the TEXT path (round 10):
+    ``retention`` (cohort bits — NOT sequenced, per upstream docs),
+    ``sequenceMatch('(?1).*(?2)')`` / 3-step form, and
+    ``sequenceCount('(?1).*(?2)')`` (greedy NON-overlapping) — the
+    pattern subset is '.*'-separated condition refs; adjacency and time
+    constraints stay on the DataFrame tier (operators/funnel.py).  Each
+    lowers to ONE sorted-collect fold per group (event_id passed as the
+    sequence key: unique, so tie order is deterministic — CH leaves
+    equal-timestamp order unspecified).  The oracle is INDEPENDENT per
+    aggregate: retention via max-bits, 2-step match via min(view) <
+    max(click), 3-step via a click-between-extremes EXISTS, count via the
+    run-transition identity (greedy non-overlap count = adjacent
+    view→click pairs in the type-filtered sequence)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT user_id,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    retention(event_type = 'signup', event_type = 'click',
+              event_type = 'purchase')), ',') AS ret,
+  toInt64(sequenceMatch('(?1).*(?2)')(toInt64(event_id),
+    event_type = 'view', event_type = 'click')) AS sm,
+  toInt64(sequenceMatch('(?1).*(?2).*(?3)')(toInt64(event_id),
+    event_type = 'signup', event_type = 'click',
+    event_type = 'purchase')) AS sm3,
+  toInt64(sequenceCount('(?1).*(?2)')(toInt64(event_id),
+    event_type = 'view', event_type = 'click')) AS sc
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
