@@ -3022,12 +3022,60 @@ def _sequence_count_rule(p: list[str], a: list[str]) -> str:
     )
 
 
+def _window_funnel_rule(p: list[str], a: list[str]) -> str:
+    """windowFunnel(window)(ts, c1, ..., cK): the max funnel level
+    reached by a chain t1 ≤ ... ≤ t_i with t_i − t1 ≤ window — ONE
+    sorted-collect fold whose state is the LATEST chain-start timestamp
+    per level (greedy-latest is existence-OPTIMAL: a future extension is
+    feasible for some chain iff it is feasible for the max start, by
+    exchange).  Subset: default mode only (strict_order lives on the
+    DataFrame tier, operators/funnel.py); levels advance from PRE-event
+    state, so one event advances at most one level — pass mutually
+    exclusive conditions (the overwhelmingly common funnel shape) for
+    exact CH parity.  Ties in ts process in struct order — pass a unique
+    key for determinism (CH leaves equal-timestamp order unspecified)."""
+    if len(p) != 1:
+        raise ChSqlError(
+            "windowFunnel subset: modes (strict_order/strict_dedup/"
+            "strict_increase) are the DataFrame tier's job "
+            "(operators/funnel.py) — only windowFunnel(window) lowers here"
+        )
+    if len(a) < 2:
+        raise ChSqlError("windowFunnel needs (ts, cond1[, cond2, ...])")
+    w, ts, conds = p[0], a[0], a[1:]
+    k = len(conds)
+    fields = ", ".join(
+        [f"'t', CAST({ts} AS DOUBLE)"]
+        + [f"'c{i + 1}', ({c})" for i, c in enumerate(conds)]
+    )
+    arr = f"array_sort(collect_list(named_struct({fields})))"
+    flags = "array(" + ", ".join(f"__e.c{i + 1}" for i in range(k)) + ")"
+    step = (
+        f"transform(sequence(0, {k - 1}), __i -> CASE "
+        f"WHEN __i = 0 AND __e.c1 THEN "
+        f"greatest(coalesce(element_at(__s, 1), __e.t), __e.t) "
+        f"WHEN __i > 0 AND element_at({flags}, __i + 1) "
+        f"AND element_at(__s, __i) IS NOT NULL "
+        f"AND __e.t - element_at(__s, __i) <= ({w}) THEN "
+        f"greatest(coalesce(element_at(__s, __i + 1), "
+        f"element_at(__s, __i)), element_at(__s, __i)) "
+        f"ELSE element_at(__s, __i + 1) END)"
+    )
+    return (
+        f"aggregate({arr}, "
+        f"array_repeat(CAST(NULL AS DOUBLE), {k}), "
+        f"(__s, __e) -> {step}, "
+        f"__f -> size(filter(__f, __x -> __x IS NOT NULL)))"
+    )
+
+
 #: CH parametric aggregate syntax fname(params)(args)
 PARAMETRIC_RULES: dict[str, object] = {
     "sparkbar": _sparkbar_rule,
     "sequenceNextNode": _sequence_next_node_rule,
     "sequenceMatch": _sequence_match_rule,
     "sequenceCount": _sequence_count_rule,
+    "windowFunnel": _window_funnel_rule,
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",

@@ -524,6 +524,7 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_graph_shortest_paths",
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
+    "chsql_window_funnel_text",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5057,6 +5057,66 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 
 @register(
+    "chsql_window_funnel_text",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS DOUBLE) * 1000000
+           + event_id % 1000000 AS tsk
+  FROM events WHERE event_id < 5000),
+b AS (
+  SELECT user_id,
+         max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS h1
+  FROM e GROUP BY user_id),
+l2 AS (
+  SELECT DISTINCT s.user_id
+  FROM e s JOIN e c ON c.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    AND c.tsk >= s.tsk AND c.tsk - s.tsk <= 604800000000.0),
+l3 AS (
+  SELECT DISTINCT s.user_id
+  FROM e s
+  JOIN e c ON c.user_id = s.user_id
+  JOIN e p ON p.user_id = s.user_id
+  WHERE s.event_type = 'signup' AND c.event_type = 'click'
+    AND p.event_type = 'purchase'
+    AND c.tsk >= s.tsk AND p.tsk >= c.tsk
+    AND p.tsk - s.tsk <= 604800000000.0)
+SELECT b.user_id,
+  CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+            WHEN l2.user_id IS NOT NULL THEN 2
+            WHEN h1 = 1 THEN 1 ELSE 0 END AS BIGINT) AS lvl
+FROM b LEFT JOIN l2 ON l2.user_id = b.user_id
+LEFT JOIN l3 ON l3.user_id = b.user_id
+ORDER BY b.user_id
+""",
+    tags=("chsql", "dialect", "funnel", "aggregate"),
+)
+def chsql_window_funnel_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``windowFunnel(7d)`` on the TEXT path (round 10): max signup→click
+    →purchase level within a 7-day window, as ONE sorted-collect fold
+    whose state is the LATEST chain-start per level (existence-optimal by
+    exchange — see the lowering docstring).  The sequence key is
+    epoch-micros + event_id, unique, so tie order is deterministic on
+    both engines.  The oracle is the INDEPENDENT existence formulation:
+    level-k membership via k-way self-joins with the window predicate —
+    parity proves the greedy fold computes exactly 'a chain exists'."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH toFloat64(toUnixTimestamp(ts)) * 1000000 + event_id % 1000000 AS tsk
+SELECT user_id,
+  toInt64(windowFunnel(604800000000.0)(tsk,
+    event_type = 'signup', event_type = 'click',
+    event_type = 'purchase')) AS lvl
+FROM events WHERE event_id < 5000 GROUP BY user_id ORDER BY user_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (

@@ -2634,3 +2634,40 @@ edges
         )
     with _pytest.raises(KqlError, match="preceding make-graph"):
         transpile_kql("t | graph-match (a)-[e]->(b) project x = a.id")
+
+
+def test_window_funnel_text_mechanics(spark):
+    """Text-path windowFunnel: window cutoff honored (chain outside W does
+    not level up), greedy-latest chain start rescues a late chain, and the
+    mode subset raises toward the DataFrame tier."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        """
+SELECT k, toInt64(windowFunnel(10.0)(t, s = 1, s = 2, s = 3)) AS lvl
+FROM (
+  SELECT 1 AS k, toFloat64(0) AS t, 1 AS s
+  UNION ALL SELECT 1, toFloat64(9), 2 UNION ALL SELECT 1, toFloat64(12), 3
+  -- late restart: second chain start at t=5 makes level 3 reachable
+  UNION ALL SELECT 2, toFloat64(0), 1 UNION ALL SELECT 2, toFloat64(5), 1
+  UNION ALL SELECT 2, toFloat64(9), 2 UNION ALL SELECT 2, toFloat64(14), 3
+  -- no chain: step 2 precedes step 1
+  UNION ALL SELECT 3, toFloat64(0), 2 UNION ALL SELECT 3, toFloat64(1), 1
+) GROUP BY k ORDER BY k
+""",
+        dialect="clickhouse",
+    ).collect()
+    # k=1: 0->9 ok (lvl2), 12-0 > 10 -> lvl stays 2
+    # k=2: chain restarts at 5; 9-5<=10 lvl2, 14-5<=10 lvl3
+    # k=3: only step1 seen in order -> lvl1
+    assert [(r.k, r.lvl) for r in rows] == [(1, 2), (2, 3), (3, 1)]
+    with _pytest.raises(ChSqlError, match="strict_order"):
+        eng.sql(
+            "SELECT windowFunnel(10, 'strict_order')(ts, event_type = 'a') "
+            "FROM events",
+            dialect="clickhouse",
+        )
