@@ -3026,6 +3026,65 @@ def _graph_shortest_paths(spec: tuple, rest: str) -> str:
     )
 
 
+def _graph_mark_components(spec: tuple, rest: str) -> str:
+    """``graph-mark-components [kind=weak] [iterations=K]
+    with_component_id=<col>`` — weak connected components as K unrolled
+    min-label-propagation rounds (label = min id reachable; each round
+    ONE neighbor join + ONE min aggregate, the Hash-to-Min shape).  A
+    STATIC SQL statement cannot loop-until-converged, so the round count
+    is a declared bound: correct for graphs of diameter ≤ K (default 8 —
+    near-dup/hierarchy graphs are short chains); the general
+    any-diameter tier is ``operators/graph.connected_components``
+    (iterative, early-stopping, checkpointable).  Output = the node
+    table plus the component column."""
+    edges_rel, src_col, dst_col, nodes_rel, id_col = spec
+    rest = rest.strip()
+    rest = re.sub(r"(?i)^kind\s*=\s*weak\s+", "", rest)
+    iters = 8
+    mi = re.match(r"(?i)^iterations\s*=\s*(\d+)\s+", rest)
+    if mi:
+        iters = int(mi.group(1))
+        rest = rest[mi.end():]
+        if not 1 <= iters <= 16:
+            raise KqlError(
+                "graph-mark-components: iterations must be in [1, 16]"
+            )
+    mc = re.match(r"(?i)^with_component_id\s*=\s*(\w+)\s*$", rest)
+    if not mc:
+        raise KqlError(
+            "graph-mark-components subset: [kind=weak] [iterations=K] "
+            f"with_component_id=<col>, got {rest!r}"
+        )
+    cid = mc.group(1)
+    eb = f"({edges_rel})" if " " in edges_rel else edges_rel
+    nb = f"({nodes_rel})" if " " in nodes_rel else nodes_rel
+    # chained CTEs: each round references the previous ONCE by name (a
+    # naive nested-subquery unroll embeds the prior round twice — the min
+    # over self and neighbors — and the SQL text grows 2^K)
+    ctes = [
+        (
+            f"__gsym AS (SELECT {src_col} AS __s, {dst_col} AS __d "
+            f"FROM {eb} __ge1 UNION ALL SELECT {dst_col} AS __s, "
+            f"{src_col} AS __d FROM {eb} __ge2)"
+        ),
+        f"__gl0 AS (SELECT {id_col} AS __v, {id_col} AS __l FROM {nb} __gn0)",
+    ]
+    for i in range(iters):
+        ctes.append(
+            f"__gl{i + 1} AS (SELECT __a.__v AS __v, "
+            f"least(min(__a.__l), coalesce(min(__b.__l), min(__a.__l))) "
+            f"AS __l FROM __gl{i} __a "
+            f"LEFT JOIN __gsym ON __gsym.__s = __a.__v "
+            f"LEFT JOIN __gl{i} __b ON __b.__v = __gsym.__d "
+            f"GROUP BY __a.__v)"
+        )
+    return (
+        f"WITH {', '.join(ctes)} "
+        f"SELECT __gnf.*, __gl{iters}.__l AS {cid} FROM {nb} __gnf "
+        f"JOIN __gl{iters} ON __gl{iters}.__v = __gnf.{id_col}"
+    )
+
+
 def transpile_kql(query: str) -> str:
     """KQL text → one nested Spark SQL statement.  Handles statement-level
     ``let`` bindings (split on top-level ``;``), then the final pipeline."""
@@ -3542,6 +3601,33 @@ def _transpile_pipeline(
                     "graph-shortest-paths needs a preceding make-graph"
                 )
             rel = _graph_shortest_paths(graph_spec, rest)
+            graph_spec = None
+        elif op == "graph-mark-components":
+            if graph_spec is None:
+                raise KqlError(
+                    "graph-mark-components needs a preceding make-graph"
+                )
+            rel = _graph_mark_components(graph_spec, rest)
+            graph_spec = None
+        elif op == "graph-to-table":
+            if graph_spec is None:
+                raise KqlError("graph-to-table needs a preceding make-graph")
+            which = rest.strip().lower()
+            g_edges, _s, _d, g_nodes, _i = graph_spec
+            if which == "nodes":
+                rel = (
+                    g_nodes if " " not in g_nodes
+                    else f"SELECT * FROM ({g_nodes}) __gtt"
+                )
+            elif which in ("edges", ""):
+                rel = (
+                    g_edges if " " not in g_edges
+                    else f"SELECT * FROM ({g_edges}) __gtt"
+                )
+            else:
+                raise KqlError(
+                    f"graph-to-table: 'nodes' or 'edges', got {rest!r}"
+                )
             graph_spec = None
         elif op == "count":
             rel = f"SELECT count(*) AS Count FROM {sub}"

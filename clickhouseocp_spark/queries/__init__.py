@@ -522,6 +522,7 @@ _DRIVER_WINDOW_R13: list[str] = [
     # --- round-10 Kusto graph semantics (make-graph + graph-match) ---
     "kql_graph_match",
     "kql_graph_shortest_paths",
+    "kql_graph_components",
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
     "chsql_window_funnel_text",

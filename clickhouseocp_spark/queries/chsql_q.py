@@ -5271,6 +5271,43 @@ edges
 
 
 @register(
+    "kql_graph_components",
+    oracle="""
+SELECT i AS id, CAST((i - 1) // 7 * 7 + 1 AS BIGINT) AS cid
+FROM generate_series(1, 35) t(i)
+ORDER BY id
+""",
+    tags=("kql", "dialect", "graph"),
+)
+def kql_graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``graph-mark-components`` (round 10): weak components of a chain
+    graph broken into 7-node segments (edges i→i+1 except at multiples of
+    7), marked by K=8 unrolled min-label-propagation rounds — chained
+    CTEs, one neighbor join + one min aggregate per round; correct for
+    diameter ≤ K (this graph's diameter is 6), with the any-diameter
+    iterative tier in operators/graph.connected_components.  The oracle
+    is the CLOSED FORM: component(i) = ⌊(i−1)/7⌋·7 + 1 — fully
+    independent of the propagation."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+let edges = range i from 1 to 34 step 1
+  | where i % 7 != 0
+  | project s = tolong(i), d = tolong(i + 1);
+let nodes = range i from 1 to 35 step 1 | project id = tolong(i);
+edges
+| make-graph s --> d with nodes on id
+| graph-mark-components kind=weak with_component_id=cid
+| project id, cid
+| sort by id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (

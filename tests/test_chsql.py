@@ -2671,3 +2671,39 @@ FROM (
             "FROM events",
             dialect="clickhouse",
         )
+
+
+def test_kql_graph_to_table_and_components(spark):
+    """graph-to-table emits the node/edge relations; mark-components
+    handles self-loops and singletons; errors without make-graph."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    base = """
+let edges = datatable(s: long, d: long) [1,2, 2,3, 5,6, 8,8];
+let nodes = datatable(id: long, nm: string)
+  [1,'a', 2,'b', 3,'c', 5,'e', 6,'f', 8,'h', 9,'i'];
+edges
+| make-graph s --> d with nodes on id
+"""
+    comp = eng.sql(
+        base + "| graph-mark-components iterations=4 with_component_id=c"
+        "\n| project id, c | sort by id asc",
+        dialect="kusto",
+    ).collect()
+    assert [(r.id, r.c) for r in comp] == [
+        (1, 1), (2, 1), (3, 1), (5, 5), (6, 5), (8, 8), (9, 9)
+    ]
+    nodes = eng.sql(
+        base + "| graph-to-table nodes | count", dialect="kusto"
+    ).collect()
+    assert nodes[0].Count == 7
+    edges = eng.sql(
+        base + "| graph-to-table edges | count", dialect="kusto"
+    ).collect()
+    assert edges[0].Count == 4
+    with _pytest.raises(KqlError, match="preceding make-graph"):
+        transpile_kql("t | graph-mark-components with_component_id=c")
