@@ -393,3 +393,24 @@ def test_round9_plan_shapes(spark, sf_dir):
 
     reg = all_queries()
     assert shuffle_count(reg["kql_scan_concurrent"].fn(spark, sf_dir)) == 1
+
+
+def test_round10_fold_shuffle_budgets(spark, sf_dir):
+    """Plan gates (round 10): every sorted-collect fold aggregate —
+    sequenceNextNode, the funnel trio, sparkbar — lowers to ONE hash
+    aggregate plus the presentation ORDER BY and nothing else (≤2
+    exchanges); graph-match stays a broadcastable join chain (≤3)."""
+    from clickhouseocp_spark.plans.inspect import shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    reg = all_queries()
+    for name in (
+        "chsql_funnel_text",
+        "chsql_window_funnel_text",
+        "chsql_sequence_next_node",
+        "chsql_vocab_r26",
+    ):
+        n = shuffle_count(reg[name].fn(spark, sf_dir))
+        assert n <= 2, (name, n)
+    n = shuffle_count(reg["kql_graph_match"].fn(spark, sf_dir))
+    assert n <= 3, ("kql_graph_match", n)
