@@ -1480,6 +1480,101 @@ FUNC_RULES: dict[str, object] = {
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,
     "minSampleSizeContinuous": _min_sample_size_continuous,
+    # batch 33 (round 10): string / URL / JSON / bitmap / misc tail
+    "trimLeft": lambda args: f"ltrim({args[0]})",
+    "trimRight": lambda args: f"rtrim({args[0]})",
+    "rightPad": lambda args: f"rpad({', '.join(args)})",
+    "regexpExtract": lambda args: f"regexp_extract({', '.join(args)})",
+    "upperUTF8": _rename("upper"),
+    # CH toLastDayOfWeek (mode 0): week ends SATURDAY (start Sunday) —
+    # Spark's WEEK truncation starts Monday: shift in, truncate, shift out
+    "toLastDayOfWeek": lambda args: (
+        f"CAST(date_trunc('WEEK', CAST({args[0]} AS TIMESTAMP) "
+        f"+ INTERVAL 1 DAY) + INTERVAL 5 DAY AS DATE)"
+    ),
+    "toMillisecond": lambda args: (
+        f"CAST(floor(unix_micros(CAST({args[0]} AS TIMESTAMP)) % 1000000 "
+        f"/ 1000) AS INT)"
+    ),
+    "JSONExtractKeys": lambda args: f"json_object_keys({args[0]})",
+    "JSONArrayLength": lambda args: f"json_array_length({args[0]})",
+    "fragment": lambda args: f"parse_url({args[0]}, 'REF')",
+    "topLevelDomain": lambda args: (
+        f"element_at(split(parse_url({args[0]}, 'HOST'), '\\\\.'), -1)"
+    ),
+    "decodeURLComponent": lambda args: f"url_decode({args[0]})",
+    "encodeURLComponent": lambda args: f"url_encode({args[0]})",
+    # firstSignificantSubdomain: the label left of the effective TLD,
+    # where the TLD spans TWO labels when the second-to-last is one of
+    # CH's built-in second-level set (com/net/org/co) — the upstream
+    # list-free heuristic, e.g. news.clickhouse.com.tr → 'clickhouse'
+    "firstSignificantSubdomain": lambda args: (
+        f"element_at(split(parse_url({args[0]}, 'HOST'), '\\\\.'), "
+        f"IF(element_at(split(parse_url({args[0]}, 'HOST'), '\\\\.'), -2) "
+        f"IN ('com', 'net', 'org', 'co'), -3, -2))"
+    ),
+    "cutToFirstSignificantSubdomain": lambda args: (
+        f"array_join(slice(split(parse_url({args[0]}, 'HOST'), '\\\\.'), "
+        f"size(split(parse_url({args[0]}, 'HOST'), '\\\\.')) - "
+        f"IF(element_at(split(parse_url({args[0]}, 'HOST'), '\\\\.'), -2) "
+        f"IN ('com', 'net', 'org', 'co'), 2, 1), 3), '.')"
+    ),
+    # engine-specific 64-bit hashes (same documented deviation as
+    # sipHash64: the CONTRACT — determinism + discrimination — holds,
+    # the constants are Spark's)
+    "xxHash64": _rename("xxhash64"),
+    "xxHash32": lambda args: f"(xxhash64({args[0]}) & 4294967295)",
+    "murmurHash3_32": _rename("hash"),
+    "nanOrZero": lambda args: (
+        f"IF(isnan(CAST({args[0]} AS DOUBLE)), 0.0D, {args[0]})"
+    ),
+    "isIPv6String": lambda args: (
+        f"({args[0]} RLIKE "
+        f"'^[0-9a-fA-F:]+$' AND {args[0]} LIKE '%:%')"
+    ),
+    "caseWithoutExpression": lambda args: (
+        "CASE "
+        + " ".join(
+            f"WHEN {args[k]} THEN {args[k + 1]}"
+            for k in range(0, len(args) - 1, 2)
+        )
+        + (f" ELSE {args[-1]}" if len(args) % 2 == 1 else "")
+        + " END"
+    ),
+    "emptyArrayInt8": lambda args: "CAST(array() AS ARRAY<TINYINT>)",
+    "emptyArrayFloat64": lambda args: "CAST(array() AS ARRAY<DOUBLE>)",
+    # plain-array bitmap tail
+    "subBitmap": lambda args: (
+        f"slice(array_sort({args[0]}), CAST({args[1]} AS INT) + 1, "
+        f"CAST({args[2]} AS INT))"
+    ),
+    "bitmapContains": _rename("array_contains"),
+    "bitmapHasAny": _rename("arrays_overlap"),
+    "bitmapHasAll": lambda args: (
+        f"(size(array_except({args[1]}, {args[0]})) = 0)"
+    ),
+    "bitmapAndnot": lambda args: (
+        f"array_sort(array_except({args[0]}, {args[1]}))"
+    ),
+    # arrayShingles(arr, n) (CH 24.1): consecutive length-n windows
+    "arrayShingles": lambda args: (
+        f"transform(sequence(1, size({args[0]}) - CAST({args[1]} AS INT) "
+        f"+ 1), __i -> slice({args[0]}, __i, CAST({args[1]} AS INT)))"
+    ),
+    # arrayRandomSample(arr, k): k elements without replacement — the
+    # multiset-subset CONTRACT is checkable, the selection is not
+    "arrayRandomSample": lambda args: (
+        f"slice(shuffle({args[0]}), 1, CAST({args[1]} AS INT))"
+    ),
+    # geoDistance: CH's WGS84-ellipsoid-corrected distance deviates ≤0.5%
+    # from the spherical haversine this shares with greatCircleDistance
+    "geoDistance": lambda args: (
+        f"(6372797.560856 * 2 * asin(sqrt("
+        f"pow(sin(radians({args[3]} - {args[1]}) / 2), 2)"
+        f" + cos(radians({args[1]})) * cos(radians({args[3]}))"
+        f" * pow(sin(radians({args[2]} - {args[0]}) / 2), 2))))"
+    ),
+    "medianExact": lambda args: f"percentile({args[0]}, 0.5)",
     # retention(c1, ..., cK): r[0] = c1 seen in the group; r[i] = c1 AND
     # c_{i+1} both seen (CH's cohort-retention aggregate — note it is NOT
     # sequenced: any order within the group counts, per upstream docs)
@@ -3076,6 +3171,9 @@ PARAMETRIC_RULES: dict[str, object] = {
     "sequenceMatch": _sequence_match_rule,
     "sequenceCount": _sequence_count_rule,
     "windowFunnel": _window_funnel_rule,
+    # quantileDeterministic(p)(x, determinator): the determinator only
+    # stabilizes CH's reservoir sampling — the exact percentile ignores it
+    "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",

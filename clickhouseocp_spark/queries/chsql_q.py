@@ -5117,6 +5117,108 @@ FROM events WHERE event_id < 5000 GROUP BY user_id ORDER BY user_id
 
 
 @register(
+    "chsql_vocab_r33",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    'https://news.example.com.tr:84/p/q?x=1#frag' AS u,
+    TIMESTAMP '2024-03-05 10:20:30.456'
+      + (event_id % 40) * INTERVAL 1 DAY AS td
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  'pad' AS tl, 'pad' AS trr,
+  'ab***' AS rp,
+  CAST(event_id % 10 AS VARCHAR) AS rex,
+  'UP' AS up,
+  CAST(date_trunc('week', td + INTERVAL 1 DAY) AS DATE) + 5 AS ldw,
+  CAST(456 AS INTEGER) AS ms,
+  'a,b' AS jk,
+  CAST(3 AS BIGINT) AS jal,
+  'frag' AS fr,
+  'tr' AS tld,
+  'example' AS fsd,
+  'example.com.tr' AS cfsd,
+  'a b' AS dec_, 'a+b' AS enc,
+  0.0 AS nz,
+  TRUE AS ip6, FALSE AS ip6n,
+  'big' AS cwe,
+  CAST(0 AS BIGINT) AS ea8,
+  '3,5' AS sb,
+  TRUE AS bc, TRUE AS bha, FALSE AS bhall,
+  '1' AS ban,
+  '1,2|2,3|3,4' AS shg,
+  CAST(2 AS BIGINT) AS ars_n,
+  round(2 * 6372797.560856 * asin(sqrt(
+    pow(sin(radians(48.8 - 10.0) / 2), 2)
+    + cos(radians(10.0)) * cos(radians(48.8))
+    * pow(sin(radians(CAST(event_id % 90 AS DOUBLE) - 2.3) / 2), 2))), 3)
+    AS gd,
+  TRUE AS xh_ok
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 33 (round 10 — the sampled-gap sweep):
+    ``trimLeft/trimRight/rightPad/regexpExtract/upperUTF8``,
+    ``toLastDayOfWeek`` (Saturday, CH mode 0) / ``toMillisecond``,
+    ``JSONExtractKeys/JSONArrayLength``, the URL tail (``fragment``,
+    ``topLevelDomain``, ``firstSignificantSubdomain`` /
+    ``cutToFirstSignificantSubdomain`` — CH's list-free two-label-TLD
+    heuristic, ``decodeURLComponent/encodeURLComponent``), ``nanOrZero``,
+    ``isIPv6String``, ``caseWithoutExpression``, ``emptyArrayInt8``, the
+    plain-array bitmap tail (``subBitmap/bitmapContains/HasAny/HasAll/
+    Andnot``), ``arrayShingles``, ``arrayRandomSample`` (size contract —
+    the selection is random by definition), ``geoDistance``,
+    ``medianExact``/``quantileDeterministic``, and the xxHash64
+    determinism contract."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH 'https://news.example.com.tr:84/p/q?x=1#frag' AS u,
+     addDays(toDateTime('2024-03-05 10:20:30.456'), event_id % 40) AS td
+SELECT event_id,
+  trimLeft('  pad') AS tl, trimRight('pad  ') AS trr,
+  rightPad('ab', 5, '*') AS rp,
+  regexpExtract(concat('id=', toString(event_id % 10), ';'),
+                'id=([0-9]+)', 1) AS rex,
+  upperUTF8('up') AS up,
+  toLastDayOfWeek(td) AS ldw,
+  toMillisecond(td) AS ms,
+  arrayStringConcat(JSONExtractKeys('{"a": 1, "b": 2}'), ',') AS jk,
+  toInt64(JSONArrayLength('[1, 2, 3]')) AS jal,
+  fragment(u) AS fr,
+  topLevelDomain(u) AS tld,
+  firstSignificantSubdomain(u) AS fsd,
+  cutToFirstSignificantSubdomain(u) AS cfsd,
+  decodeURLComponent('a%20b') AS dec_,
+  encodeURLComponent('a b') AS enc,
+  nanOrZero(sqrt(toFloat64(-1))) AS nz,
+  isIPv6String('2001:db8::1') AS ip6, isIPv6String('10.0.0.1') AS ip6n,
+  caseWithoutExpression(event_id < 0, 'neg', 'big') AS cwe,
+  toInt64(size(emptyArrayInt8())) AS ea8,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    subBitmap([5, 1, 3, 7], 1, 2)), ',') AS sb,
+  bitmapContains([1, 3, 7], 3) AS bc,
+  bitmapHasAny([1, 3], [3, 9]) AS bha,
+  bitmapHasAll([1, 3], [3, 9]) AS bhall,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    bitmapAndnot([1, 3], [3, 9])), ',') AS ban,
+  arrayStringConcat(arrayMap(w -> arrayStringConcat(
+    arrayMap(x -> toString(x), w), ','),
+    arrayShingles([1, 2, 3, 4], 2)), '|') AS shg,
+  toInt64(size(arrayRandomSample([4, 5, 6], 2))) AS ars_n,
+  round(geoDistance(2.3, 10.0, toFloat64(event_id % 90), 48.8), 3) AS gd,
+  xxHash64('abc') = xxHash64('abc')
+    AND xxHash64('abc') != xxHash64('abd') AS xh_ok
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
