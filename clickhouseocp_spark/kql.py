@@ -3519,6 +3519,37 @@ def _transpile_pipeline(
             if mfs:
                 rel = _funnel_sequence(sub, mfs.group(1), last_order)
                 continue
+            mbk = re.match(
+                r"^basket\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if mbk:
+                # basket(threshold, col1, col2[, ...]): frequent attribute
+                # itemsets — ONE CUBE aggregate + HAVING on the support
+                # count (wildcard slots are NULL, Kusto's own rendering);
+                # the grand-total all-wildcard row is excluded like
+                # upstream.  Subset deviation: Kusto infers the column set
+                # from the schema — the text path needs them named.
+                bargs = _split_top(mbk.group(1))
+                if len(bargs) < 2:
+                    raise KqlError(
+                        "basket subset: (threshold, col1[, col2, ...]) — "
+                        "the column list must be explicit on the text path"
+                    )
+                thr = _expr(bargs[0])
+                cols = [c.strip() for c in bargs[1:]]
+                if len(cols) > 5:
+                    raise KqlError("basket subset: at most 5 columns")
+                tot = f"(SELECT count(*) FROM {sub})"
+                all_wild = " AND ".join(f"grouping({c}) = 1" for c in cols)
+                rel = (
+                    f"SELECT count(*) AS Count, "
+                    f"round(CAST(100.0 AS DOUBLE) * count(*) / {tot}, 6) AS Percent, "
+                    f"{', '.join(cols)} FROM {sub} "
+                    f"GROUP BY CUBE({', '.join(cols)}) "
+                    f"HAVING count(*) >= ({thr}) * {tot} "
+                    f"AND NOT ({all_wild})"
+                )
+                continue
             mrn = re.match(
                 r"^rows_near\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
             )

@@ -523,6 +523,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_graph_match",
     "kql_graph_shortest_paths",
     "kql_graph_components",
+    # --- round-10 Kusto data-mining plugin ---
+    "kql_basket",
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
     "chsql_window_funnel_text",

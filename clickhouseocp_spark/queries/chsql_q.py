@@ -5410,6 +5410,41 @@ edges
 
 
 @register(
+    "kql_basket",
+    oracle="""
+WITH src AS (SELECT lang, source FROM documents)
+SELECT CAST(count(*) AS BIGINT) AS Count,
+       round(100.0 * count(*) / (SELECT count(*) FROM src), 6) AS Percent,
+       lang, source
+FROM src
+GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+HAVING count(*) >= 0.1 * (SELECT count(*) FROM src)
+ORDER BY Count DESC, lang, source
+""",
+    tags=("kql", "dialect", "mining"),
+)
+def kql_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate basket`` (round 10 — the Kusto data-mining plugin):
+    frequent attribute itemsets over (lang, source) at 10% support — ONE
+    CUBE aggregate + HAVING on the support count, wildcards as NULLs,
+    grand total excluded (upstream behavior).  Text-path deviation:
+    columns are named explicitly (Kusto infers the schema).  The oracle
+    enumerates the same segments with explicit GROUPING SETS."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+documents
+| project lang, source
+| evaluate basket(0.1, lang, source)
+| sort by Count desc, lang asc, source asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_series_vector",
     oracle="""
 WITH s AS (
