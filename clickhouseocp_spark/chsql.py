@@ -1481,11 +1481,7 @@ FUNC_RULES: dict[str, object] = {
     "minSampleSizeContinous": _min_sample_size_continuous,
     "minSampleSizeContinuous": _min_sample_size_continuous,
     # batch 33 (round 10): string / URL / JSON / bitmap / misc tail
-    "trimLeft": lambda args: f"ltrim({args[0]})",
-    "trimRight": lambda args: f"rtrim({args[0]})",
-    "rightPad": lambda args: f"rpad({', '.join(args)})",
     "regexpExtract": lambda args: f"regexp_extract({', '.join(args)})",
-    "upperUTF8": _rename("upper"),
     # CH toLastDayOfWeek (mode 0): week ends SATURDAY (start Sunday) —
     # Spark's WEEK truncation starts Monday: shift in, truncate, shift out
     "toLastDayOfWeek": lambda args: (
@@ -1547,14 +1543,6 @@ FUNC_RULES: dict[str, object] = {
     "subBitmap": lambda args: (
         f"slice(array_sort({args[0]}), CAST({args[1]} AS INT) + 1, "
         f"CAST({args[2]} AS INT))"
-    ),
-    "bitmapContains": _rename("array_contains"),
-    "bitmapHasAny": _rename("arrays_overlap"),
-    "bitmapHasAll": lambda args: (
-        f"(size(array_except({args[1]}, {args[0]})) = 0)"
-    ),
-    "bitmapAndnot": lambda args: (
-        f"array_sort(array_except({args[0]}, {args[1]}))"
     ),
     # arrayShingles(arr, n) (CH 24.1): consecutive length-n windows
     "arrayShingles": lambda args: (
