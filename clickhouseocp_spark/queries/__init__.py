@@ -525,6 +525,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_graph_components",
     # --- round-10 Kusto data-mining plugin ---
     "kql_basket",
+    # --- round-10 generator sources (print / timespan-step range) ---
+    "kql_print_range",
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
     "chsql_window_funnel_text",

@@ -5410,6 +5410,40 @@ edges
 
 
 @register(
+    "kql_print_range",
+    oracle="""
+SELECT k FROM (VALUES
+  ('2024-01-01 00:00 x3.5'), ('2024-01-01 12:00 x3.5'),
+  ('2024-01-02 00:00 x3.5'), ('2024-01-02 12:00 x3.5'),
+  ('2024-01-03 00:00 x3.5'), ('printed xy 3')) t(k)
+ORDER BY k
+""",
+    tags=("kql", "dialect", "source"),
+)
+def kql_print_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two generator SOURCES of the Kusto pipeline grammar (round 10):
+    ``range`` with a TIMESPAN step (inclusive datetime progression →
+    explode(sequence)) and ``print`` (FROM-less scalar row), unioned and
+    rendered through format_datetime/strcat.  Oracle is the literal
+    expected VALUES list — nothing to replay."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+range t from todatetime('2024-01-01 00:00:00')
+        to todatetime('2024-01-03 00:00:00') step 12h
+| project k = strcat(format_datetime(t, 'yyyy-MM-dd HH:mm'), ' x',
+                     tostring(todouble(7) / 2))
+| union (print k = strcat('printed ', replace_string('Xy', 'X', 'x'),
+                          ' ', tostring(1 + 2)))
+| sort by k asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_basket",
     oracle="""
 WITH src AS (SELECT lang, source FROM documents)
