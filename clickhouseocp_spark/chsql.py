@@ -1480,6 +1480,210 @@ FUNC_RULES: dict[str, object] = {
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,
     "minSampleSizeContinuous": _min_sample_size_continuous,
+    # batch 34 (round 10): vector-name aliases, ISO/tz datetime, JSON
+    # accessors, URL hierarchy tier, bar rendering, bitmask decompositions,
+    # window-view starts, and the probe-found misc tail
+    "normL1": lambda args: (
+        f"aggregate({args[0]}, 0.0D, "
+        f"(__a, __x) -> __a + abs(CAST(__x AS DOUBLE)))"
+    ),
+    "normL2": lambda args: (
+        f"sqrt(aggregate({args[0]}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> acc + x * x))"
+    ),
+    "innerProduct": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v)"
+    ),
+    "scalarProduct": lambda args: (
+        f"aggregate(zip_with({args[0]}, {args[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v)"
+    ),
+    "cosineSimilarity": lambda args: (
+        f"(aggregate(zip_with({args[0]}, {args[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) * CAST(__y AS DOUBLE)), 0.0D, "
+        f"(__s, __v) -> __s + __v) "
+        f"/ (sqrt(aggregate({args[0]}, 0.0D, (__a, __x) -> "
+        f"__a + CAST(__x AS DOUBLE) * __x)) "
+        f"* sqrt(aggregate({args[1]}, 0.0D, (__a, __x) -> "
+        f"__a + CAST(__x AS DOUBLE) * __x))))"
+    ),
+    # ISO year start = the Monday of ISO week 1 = the week of Jan 4
+    # (YEAROFWEEK is Spark's ISO week-based year)
+    "toStartOfISOYear": lambda args: (
+        f"CAST(date_trunc('WEEK', make_date("
+        f"extract(YEAROFWEEK FROM {args[0]}), 1, 4)) AS DATE)"
+    ),
+    # CH toTimeZone keeps the instant and changes the RENDERING zone;
+    # Spark timestamps render in the session zone (pinned UTC), so the
+    # instant is re-expressed as the target zone's wall clock
+    "toTimeZone": lambda args: (
+        f"convert_timezone('UTC', {args[1]}, {args[0]})"
+    ),
+    "now64": lambda args: "current_timestamp()",
+    "degToRad": _rename("radians"),
+    "radToDeg": _rename("degrees"),
+    # simpleJSON* are CH's sloppy-scanner variants — lowered to the strict
+    # parser (identical on valid JSON; documented deviation on malformed)
+    "simpleJSONExtractString": lambda args: (
+        f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+    ),
+    "simpleJSONExtractInt": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS BIGINT)"
+    ),
+    "simpleJSONHas": lambda args: (
+        f"(get_json_object({args[0]}, concat('$.', {args[1]})) IS NOT NULL)"
+    ),
+    "JSONExtractRaw": lambda args: _json_path("get_json_object", args),
+    "JSON_VALUE": lambda args: f"get_json_object({args[0]}, {args[1]})",
+    "JSON_QUERY": lambda args: f"get_json_object({args[0]}, {args[1]})",
+    "JSON_EXISTS": lambda args: (
+        f"(get_json_object({args[0]}, {args[1]}) IS NOT NULL)"
+    ),
+    "toJSONString": lambda args: f"to_json({args[0]})",
+    # 1-based position of the EARLIEST match of any needle, 0 when none
+    "multiSearchFirstPosition": lambda args: (
+        f"coalesce(array_min(filter(transform({args[1]}, "
+        f"__n -> locate(__n, {args[0]})), __p -> __p > 0)), 0)"
+    ),
+    "appendTrailingCharIfAbsent": lambda args: (
+        f"IF(endswith({args[0]}, {args[1]}), {args[0]}, "
+        f"concat({args[0]}, {args[1]}))"
+    ),
+    "removeTrailingCharIfExists": lambda args: (
+        f"IF(endswith({args[0]}, {args[1]}), "
+        f"left({args[0]}, length({args[0]}) - length({args[1]})), {args[0]})"
+    ),
+    "basename": lambda args: (
+        f"element_at(split({args[0]}, '/'), -1)"
+    ),
+    "cutFragment": lambda args: (
+        f"element_at(split({args[0]}, '#', 2), 1)"
+    ),
+    "cutWWW": lambda args: (
+        f"replace({args[0]}, '://www.', '://')"
+    ),
+    "queryStringAndFragment": lambda args: (
+        f"element_at(split({args[0]}, '\\\\?', 2), 2)"
+    ),
+    "extractURLParameters": lambda args: (
+        f"split(coalesce(parse_url({args[0]}, 'QUERY'), ''), '&')"
+    ),
+    "extractURLParameterNames": lambda args: (
+        f"transform(split(coalesce(parse_url({args[0]}, 'QUERY'), ''), "
+        f"'&'), __p -> element_at(split(__p, '=', 2), 1))"
+    ),
+    # URLPathHierarchy('http://x.com/a/b?q') = ['/a/', '/a/b'] (growing
+    # path prefixes, no host); URLHierarchy prepends protocol://host/
+    "URLPathHierarchy": lambda args: (
+        f"transform(sequence(1, size(split(parse_url({args[0]}, 'PATH'), "
+        f"'/')) - 1), __i -> concat(array_join(slice(split("
+        f"parse_url({args[0]}, 'PATH'), '/'), 1, __i + 1), '/'), "
+        f"IF(__i + 1 < size(split(parse_url({args[0]}, 'PATH'), '/')), "
+        f"'/', '')))"
+    ),
+    # bar(x, min, max, width): CH's terminal bar — full blocks plus one
+    # partial EIGHTH block for the remainder
+    "bar": lambda args: (
+        f"concat(repeat('█', CAST(floor(round(({args[3]}) * 8.0 "
+        f"* (({args[0]}) - ({args[1]})) / (({args[2]}) - ({args[1]})), 6) "
+        f"/ 8) AS INT)), "
+        f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), "
+        f"CAST(CAST(round(({args[3]}) * 8.0 * (({args[0]}) - ({args[1]})) "
+        f"/ (({args[2]}) - ({args[1]})), 6) AS BIGINT) % 8 + 1 AS INT)))"
+    ),
+    "bitmaskToArray": lambda args: (
+        f"filter(transform(sequence(0, 62), __i -> "
+        f"IF((shiftright(CAST({args[0]} AS BIGINT), __i) & 1) = 1, "
+        f"shiftleft(CAST(1 AS BIGINT), __i), CAST(NULL AS BIGINT))), "
+        f"__x -> __x IS NOT NULL)"
+    ),
+    "bitmaskToList": lambda args: (
+        f"array_join(transform(filter(transform(sequence(0, 62), __i -> "
+        f"IF((shiftright(CAST({args[0]} AS BIGINT), __i) & 1) = 1, "
+        f"shiftleft(CAST(1 AS BIGINT), __i), CAST(NULL AS BIGINT))), "
+        f"__x -> __x IS NOT NULL), __v -> CAST(__v AS STRING)), ',')"
+    ),
+    "bitPositionsToArray": lambda args: (
+        f"filter(transform(sequence(0, 62), __i -> "
+        f"IF((shiftright(CAST({args[0]} AS BIGINT), __i) & 1) = 1, "
+        f"CAST(__i AS BIGINT), CAST(NULL AS BIGINT))), "
+        f"__x -> __x IS NOT NULL)"
+    ),
+    "parseDateTimeBestEffortOrNull": lambda args: (
+        f"try_to_timestamp({args[0]})"
+    ),
+    "parseDateTimeBestEffortOrZero": lambda args: (
+        f"coalesce(try_to_timestamp({args[0]}), "
+        f"TIMESTAMP '1970-01-01 00:00:00')"
+    ),
+    "makeDate32": lambda args: f"make_date({', '.join(args)})",
+    # session zone is pinned UTC (catalog.load_table)
+    "timezoneOf": lambda args: "'UTC'",
+    "timezoneOffset": lambda args: "CAST(0 AS INT)",
+    "countDigits": lambda args: (
+        f"IF(({args[0]}) = 0, 1, "
+        f"CAST(floor(log10(abs({args[0]}))) + 1 AS INT))"
+    ),
+    "toBool": lambda args: f"try_cast({args[0]} AS BOOLEAN)",
+    "toUUID": lambda args: f"lower(trim({args[0]}))",
+    # mapPopulateSeries: fill integer-key gaps min..max with 0 defaults
+    "mapPopulateSeries": lambda args: (
+        f"map_from_arrays(sequence(array_min(map_keys({args[0]})), "
+        f"array_max(map_keys({args[0]}))), "
+        f"transform(sequence(array_min(map_keys({args[0]})), "
+        f"array_max(map_keys({args[0]}))), __k -> "
+        f"coalesce(element_at({args[0]}, __k), 0)))"
+    ),
+    # window-view starts/ends (CH tumble/hop family)
+    "tumbleStart": lambda args: _to_start_of_interval(args[:2]),
+    "tumbleEnd": lambda args: (
+        f"({_to_start_of_interval(args[:2])} + {args[1]})"
+    ),
+    # exact sampling lowerings for the contract tier: binomial = n
+    # Bernoulli draws; Poisson = inverse-transform over the iterative pmf
+    # (p_k = p_{k-1}·λ/k), capped at λ+12√λ+16
+    "randBinomial": lambda args: (
+        f"aggregate(sequence(1, CAST({args[0]} AS INT)), 0, "
+        f"(__acc, __i) -> __acc + IF(rand() < ({args[1]}), 1, 0))"
+    ),
+    "randPoisson": lambda args: (
+        # freeze-check BEFORE advancing so the single uniform drawn at
+        # init drives the whole inverse-transform walk
+        f"aggregate(sequence(1, CAST(({args[0]}) + 12 * sqrt({args[0]}) "
+        f"+ 16 AS INT)), "
+        f"named_struct('k', 0, 'p', exp(-({args[0]})), "
+        f"'c', exp(-({args[0]})), 'u', rand(), 'done', false), "
+        f"(__s, __i) -> IF(__s.done OR __s.u < __s.c, named_struct("
+        f"'k', __s.k, 'p', __s.p, 'c', __s.c, 'u', __s.u, 'done', true), "
+        f"named_struct('k', __i, 'p', __s.p * ({args[0]}) / __i, "
+        f"'c', __s.c + __s.p * ({args[0]}) / __i, 'u', __s.u, "
+        f"'done', false)), "
+        f"__s -> __s.k)"
+    ),
+    # ULID: 10 Crockford-base32 chars of unix-millis + 16 random chars
+    # (the spec layout; the shared query-constant timestamp prefix is
+    # fine — uniqueness rides on the 80 random bits)
+    "generateULID": lambda args: (
+        "concat(concat_ws('', transform(sequence(9, 0, -1), __i -> "
+        "substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', "
+        "CAST((shiftright(unix_millis(current_timestamp()), __i * 5) "
+        "& 31) AS INT) + 1, 1))), "
+        "concat_ws('', transform(sequence(1, 16), __i -> "
+        "substring('0123456789ABCDEFGHJKMNPQRSTVWXYZ', "
+        "CAST(floor(rand() * 32) AS INT) + 1, 1))))"
+    ),
+    "randomPrintableASCII": lambda args: (
+        f"concat_ws('', transform(sequence(1, CAST({args[0]} AS INT)), "
+        f"__i -> char(32 + CAST(floor(rand() * 95) AS INT))))"
+    ),
+    "randomString": lambda args: (
+        f"concat_ws('', transform(sequence(1, CAST({args[0]} AS INT)), "
+        f"__i -> char(CAST(floor(rand() * 256) AS INT))))"
+    ),
     # batch 33 (round 10): string / URL / JSON / bitmap / misc tail
     "regexpExtract": lambda args: f"regexp_extract({', '.join(args)})",
     # CH toLastDayOfWeek (mode 0): week ends SATURDAY (start Sunday) —

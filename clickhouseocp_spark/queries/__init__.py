@@ -530,8 +530,10 @@ _DRIVER_WINDOW_R13: list[str] = [
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
     "chsql_window_funnel_text",
-    # --- round-10 sampled-gap FUNC sweep batch 33 ---
+    # --- round-10 sampled-gap FUNC sweep batches 33-35 ---
     "chsql_vocab_r33",
+    "chsql_vocab_r34",
+    "chsql_vocab_r35",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -5219,6 +5219,157 @@ FROM events WHERE event_id < 200 ORDER BY event_id
 
 
 @register(
+    "chsql_vocab_r34",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+    'https://www.ex.org/a/b/c.txt?k=1&j=2#frg' AS u,
+    TIMESTAMP '2024-03-05 10:20:30'
+      + (event_id % 500) * INTERVAL 1 DAY AS td
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  7.0 AS nl1, round(sqrt(13.0), 6) AS nl2,
+  11.0 AS ip_, round(9.0 / (sqrt(13.0) * sqrt(10.0)), 6) AS cs,
+  CAST(date_trunc('week',
+    make_date(CAST(strftime(td, '%G') AS INTEGER), 1, 4)) AS DATE) AS isy,
+  CAST(radians(180.0) AS DOUBLE) AS dr,
+  round(degrees(3.0), 6) AS rd,
+  'x' AS sje, CAST(7 AS BIGINT) AS sji, TRUE AS sjh,
+  '{"b":1}' AS jraw,
+  CAST(event_id % 9 AS VARCHAR) AS jv, TRUE AS je,
+  '{"a":1}' AS tjs,
+  CAST(1 AS BIGINT) AS msp, CAST(0 AS BIGINT) AS msp0,
+  'ab/' AS atc, 'ab' AS atc2, 'ab' AS rtc,
+  'c.txt' AS bn,
+  'https://www.ex.org/a/b/c.txt?k=1&j=2' AS cf,
+  'https://ex.org/a/b/c.txt?k=1&j=2#frg' AS cw,
+  'k=1&j=2#frg' AS qsf,
+  'k=1,j=2' AS eup, 'k,j' AS eupn,
+  '/a/,/a/b/,/a/b/c.txt' AS uph,
+  '██▌' AS bar1, '█████' AS bar2,
+  '2,16,32' AS bml, '1,4,5' AS bpa,
+  td AS pdn, TIMESTAMP '1970-01-01 00:00:00' AS pdz,
+  CAST('2024-03-05' AS DATE) AS md32,
+  'UTC' AS tzof, CAST(0 AS INTEGER) AS tzoff,
+  CAST(4 AS INTEGER) AS cd, CAST(1 AS INTEGER) AS cd0,
+  TRUE AS tb,
+  '61f0c404-5cb3-11e7-907b-a6006ad3dba0' AS uu,
+  '10,0,30' AS mps
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "vocabulary"),
+)
+def chsql_vocab_r34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 34 (round 10 — probe-found gaps): vector-name
+    aliases (``normL1/normL2/innerProduct/cosineSimilarity``),
+    ``toStartOfISOYear`` (the Monday of ISO week 1), ``degToRad/radToDeg``,
+    the ``simpleJSON*`` accessors, ``JSONExtractRaw``/``JSON_VALUE``/
+    ``JSON_EXISTS``/``toJSONString``, ``multiSearchFirstPosition``,
+    trailing-char editors, the URL hierarchy tier (``basename``,
+    ``cutFragment``, ``cutWWW``, ``queryStringAndFragment``,
+    ``extractURLParameters/Names``, ``URLPathHierarchy``), ``bar``
+    (eighth-block terminal rendering), ``bitmaskToList``/
+    ``bitPositionsToArray``, ``parseDateTimeBestEffortOrNull/OrZero``,
+    ``makeDate32``, ``timezoneOf/timezoneOffset`` (UTC pin),
+    ``countDigits``, ``toBool``, ``toUUID``, ``mapPopulateSeries``
+    (rendered as gap-filled values).  Oracle in closed form (ISO year via
+    DuckDB's %G)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH 'https://www.ex.org/a/b/c.txt?k=1&j=2#frg' AS u,
+     addDays(toDateTime('2024-03-05 10:20:30'), event_id % 500) AS td
+SELECT event_id,
+  normL1([3.0, -4.0]) AS nl1, round(normL2([3.0, 2.0]), 6) AS nl2,
+  innerProduct([1.0, 2.0], [3.0, 4.0]) AS ip_,
+  round(cosineSimilarity([3.0, 2.0], [1.0, 3.0]), 6) AS cs,
+  toStartOfISOYear(td) AS isy,
+  degToRad(180.0) AS dr,
+  round(radToDeg(3.0), 6) AS rd,
+  simpleJSONExtractString('{"a": "x"}', 'a') AS sje,
+  simpleJSONExtractInt('{"n": 7}', 'n') AS sji,
+  simpleJSONHas('{"a": 1}', 'a') AS sjh,
+  JSONExtractRaw('{"a": {"b": 1}}', 'a') AS jraw,
+  JSON_VALUE(concat('{"v": ', toString(event_id % 9), '}'), '$.v') AS jv,
+  JSON_EXISTS('{"a": 1}', '$.a') AS je,
+  toJSONString(map('a', 1)) AS tjs,
+  toInt64(multiSearchFirstPosition('hello', ['ll', 'he', 'zz'])) AS msp,
+  toInt64(multiSearchFirstPosition('hello', ['zz'])) AS msp0,
+  appendTrailingCharIfAbsent('ab', '/') AS atc,
+  appendTrailingCharIfAbsent('ab', 'b') AS atc2,
+  removeTrailingCharIfExists('ab/', '/') AS rtc,
+  basename('/a/b/c.txt') AS bn,
+  cutFragment(u) AS cf,
+  cutWWW(u) AS cw,
+  queryStringAndFragment(u) AS qsf,
+  arrayStringConcat(extractURLParameters(u), ',') AS eup,
+  arrayStringConcat(extractURLParameterNames(u), ',') AS eupn,
+  arrayStringConcat(URLPathHierarchy(u), ',') AS uph,
+  bar(2.5, 0, 10, 10) AS bar1, bar(10, 0, 10, 5) AS bar2,
+  bitmaskToList(50) AS bml,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    bitPositionsToArray(50)), ',') AS bpa,
+  parseDateTimeBestEffortOrNull(toString(td)) AS pdn,
+  parseDateTimeBestEffortOrZero('junk') AS pdz,
+  makeDate32(2024, 3, 5) AS md32,
+  timezoneOf(now()) AS tzof, timezoneOffset(now()) AS tzoff,
+  countDigits(1234) AS cd, countDigits(0) AS cd0,
+  toBool(1) AS tb,
+  toUUID('61F0C404-5CB3-11E7-907B-A6006AD3DBA0') AS uu,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    mapValues(mapPopulateSeries(map(1, 10, 3, 30)))), ',') AS mps
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r35",
+    oracle="""
+SELECT TRUE AS bin_ok, TRUE AS poi_ok, TRUE AS rs_ok, TRUE AS ra_ok,
+       TRUE AS ulid_ok
+""",
+    tags=("chsql", "dialect", "vocabulary", "contract"),
+)
+def chsql_vocab_r35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 35 (round 10): EXACT sampling lowerings under
+    moment contracts — ``randBinomial`` (n Bernoulli draws: mean np, all
+    draws within [0, n]), ``randPoisson`` (inverse-transform over the
+    iterative pmf — a real Poisson sampler, not a normal approximation:
+    mean λ, nonnegative, integer), ``randomString``/
+    ``randomPrintableASCII`` (exact length; printable subset check), and
+    ``generateULID`` (26-char Crockford base32, per-row unique).  Bounds
+    are many σ wide at the smallest fixture (n ≥ 1000 rows)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH s AS (
+  SELECT event_id,
+         randBinomial(20, 0.3) AS b,
+         randPoisson(4.0) AS p,
+         randomString(12) AS rs,
+         randomPrintableASCII(9) AS ra,
+         generateULID() AS ul
+  FROM events)
+SELECT
+  min(b) >= 0 AND max(b) <= 20
+    AND abs(avg(toFloat64(b)) - 6.0) < 1.0 AS bin_ok,
+  min(p) >= 0 AND abs(avg(toFloat64(p)) - 4.0) < 0.8
+    AND max(p) <= 44 AS poi_ok,
+  min(IF(length(rs) = 12, 1, 0)) = 1 AS rs_ok,
+  min(IF(length(ra) = 9 AND ra RLIKE '^[ -~]+$', 1, 0)) = 1 AS ra_ok,
+  min(IF(ul RLIKE '^[0-9A-HJKMNP-TV-Z]{26}$', 1, 0)) = 1
+    AND count(DISTINCT ul) = count() AS ulid_ok
+FROM s
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
     "chsql_sequence_next_node",
     oracle="""
 WITH f AS (
