@@ -722,6 +722,79 @@ def _kql_parse_version(a: list[str]) -> str:
     )
 
 
+#: convert_*(value, from, to) unit tables — factors to the base unit
+#: (temperature handled separately: affine, not linear)
+_KQL_UNITS: dict[str, dict[str, float]] = {
+    "angle": {"degree": 3.141592653589793 / 180.0, "radian": 1.0},
+    "length": {
+        "meter": 1.0, "kilometer": 1000.0, "centimeter": 0.01,
+        "millimeter": 0.001, "mile": 1609.344, "foot": 0.3048,
+        "inch": 0.0254, "yard": 0.9144, "nautical_mile": 1852.0,
+    },
+    "mass": {
+        "kilogram": 1.0, "gram": 0.001, "milligram": 1e-6,
+        "pound": 0.45359237, "ounce": 0.028349523125, "tonne": 1000.0,
+    },
+    "speed": {
+        "meter_per_second": 1.0, "kilometer_per_hour": 1.0 / 3.6,
+        "mile_per_hour": 0.44704, "knot": 1852.0 / 3600.0,
+    },
+    "volume": {
+        "liter": 1.0, "milliliter": 0.001, "cubic_meter": 1000.0,
+        "us_gallon": 3.785411784, "us_pint": 0.473176473,
+    },
+    "energy": {
+        "joule": 1.0, "kilojoule": 1000.0, "kilowatt_hour": 3.6e6,
+        "watt_hour": 3600.0, "calorie": 4.184,
+        "british_thermal_unit": 1055.05585262,
+    },
+}
+
+
+def _kql_convert(kind: str):
+    """convert_<kind>(value, from_unit, to_unit) — Kusto's 2023 unit
+    converters: the unit names must be string LITERALS (resolved to a
+    factor at transpile time — no per-row lookup)."""
+
+    def build(a: list[str]) -> str:
+        if len(a) != 3:
+            raise KqlError(f"convert_{kind} takes (value, from, to)")
+        units = _KQL_UNITS[kind]
+        f, t = a[1].strip().strip("'"), a[2].strip().strip("'")
+        if f not in units or t not in units:
+            raise KqlError(
+                f"convert_{kind} subset: units {sorted(units)}, "
+                f"got ({f!r}, {t!r})"
+            )
+        return f"(CAST({a[0]} AS DOUBLE) * {units[f]!r} / {units[t]!r})"
+
+    return build
+
+
+def _kql_convert_temperature(a: list[str]) -> str:
+    """convert_temperature: affine (offset) conversions via kelvin."""
+    if len(a) != 3:
+        raise KqlError("convert_temperature takes (value, from, to)")
+    to_k = {
+        "kelvin": "({x})",
+        "degree_celsius": "(({x}) + 273.15)",
+        "degree_fahrenheit": "((({x}) + 459.67) * 5.0 / 9.0)",
+    }
+    from_k = {
+        "kelvin": "({k})",
+        "degree_celsius": "(({k}) - 273.15)",
+        "degree_fahrenheit": "(({k}) * 9.0 / 5.0 - 459.67)",
+    }
+    f, t = a[1].strip().strip("'"), a[2].strip().strip("'")
+    if f not in to_k or t not in from_k:
+        raise KqlError(
+            f"convert_temperature subset: units {sorted(to_k)}, "
+            f"got ({f!r}, {t!r})"
+        )
+    k = to_k[f].format(x=f"CAST({a[0]} AS DOUBLE)")
+    return from_k[t].format(k=k)
+
+
 def _kql_array_shift(a: list[str], right: bool) -> str:
     """array_shift_left/right(arr, count[, fill]) — Kusto semantics: a
     negative count shifts the opposite direction; a count beyond the array
@@ -866,9 +939,15 @@ _KQL_SCALARS: dict = {
     ),
     # 0-based, -1 when missing (locate is 1-based, 0 when missing)
     "indexof": lambda a: f"(locate({a[1]}, {a[0]}) - 1)",
+    # countof(source, search[, kind]): kind='normal' (plain, the default)
+    # or 'regex' (Kusto's regex-count form → regexp_count)
     "countof": lambda a: (
-        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
-        f"/ length({a[1]}) AS BIGINT)"
+        f"CAST(regexp_count({a[0]}, {a[1]}) AS BIGINT)"
+        if len(a) > 2 and a[2].strip().strip("'").lower() == "regex"
+        else (
+            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+            f"/ length({a[1]}) AS BIGINT)"
+        )
     ),
     # Kusto extract(regex, captureGroup, source); SQL extract(YEAR FROM x)
     # passes through untouched via the arity bail-out
@@ -1105,6 +1184,73 @@ _KQL_SCALARS: dict = {
     "trim_end": lambda a: (
         f"regexp_replace({a[1]}, concat('(?:', {a[0]}, ')$'), '')"
     ),
+    # round-10 scalar batch 4: codecs / hashes / binary math / unixtime /
+    # the 2023 unit-converter family
+    "base64_encode_tostring": lambda a: f"base64({a[0]})",
+    "base64_decode_tostring": lambda a: (
+        f"CAST(unbase64({a[0]}) AS STRING)"
+    ),
+    "hash_sha256": lambda a: f"sha2({a[0]}, 256)",
+    "hash_sha1": lambda a: f"sha1({a[0]})",
+    "hash_md5": lambda a: f"md5({a[0]})",
+    "indexof_regex": lambda a: f"(regexp_instr({a[0]}, {a[1]}) - 1)",
+    "extract_json": lambda a: f"get_json_object({a[1]}, {a[0]})",
+    "new_guid": lambda a: "uuid()",
+    "tohex": lambda a: f"lower(hex({a[0]}))",
+    "binary_and": lambda a: f"({a[0]} & {a[1]})",
+    "binary_or": lambda a: f"({a[0]} | {a[1]})",
+    "binary_xor": lambda a: f"({a[0]} ^ {a[1]})",
+    "binary_not": lambda a: f"(~CAST({a[0]} AS BIGINT))",
+    "binary_shift_left": lambda a: (
+        f"shiftleft(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+    ),
+    "binary_shift_right": lambda a: (
+        f"shiftright(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+    ),
+    "bitset_count_ones": lambda a: f"CAST(bit_count({a[0]}) AS BIGINT)",
+    "strcmp": lambda a: (
+        f"CAST(CASE WHEN {a[0]} < {a[1]} THEN -1 "
+        f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END AS BIGINT)"
+    ),
+    "string_size": lambda a: f"CAST(octet_length({a[0]}) AS BIGINT)",
+    "strrep": lambda a: f"repeat({a[0]}, CAST({a[1]} AS INT))",
+    "unixtime_seconds_todatetime": lambda a: (
+        f"to_timestamp(CAST({a[0]} AS DOUBLE))"
+    ),
+    "unixtime_milliseconds_todatetime": lambda a: (
+        f"timestamp_millis(CAST({a[0]} AS BIGINT))"
+    ),
+    "unixtime_microseconds_todatetime": lambda a: (
+        f"timestamp_micros(CAST({a[0]} AS BIGINT))"
+    ),
+    "isascii": lambda a: (
+        f"({a[0]} RLIKE '^[\\\\x00-\\\\x7F]*$')"
+    ),
+    # array_iff(cond_arr, when_true, when_false): element-wise selection
+    "array_iff": lambda a: (
+        f"zip_with({a[0]}, zip_with({a[1]}, {a[2]}, "
+        f"(__l, __r) -> named_struct('l', __l, 'r', __r)), "
+        f"(__c, __p) -> IF(__c, __p.l, __p.r))"
+    ),
+    "array_ifs": lambda a: (
+        f"zip_with({a[0]}, zip_with({a[1]}, {a[2]}, "
+        f"(__l, __r) -> named_struct('l', __l, 'r', __r)), "
+        f"(__c, __p) -> IF(__c, __p.l, __p.r))"
+    ),
+    # scalar range(start, stop[, step]) — inclusive dynamic array (the
+    # SOURCE operator `range x from ...` is parsed separately)
+    "range": lambda a: (
+        f"sequence(CAST({a[0]} AS BIGINT), CAST({a[1]} AS BIGINT)"
+        + (f", CAST({a[2]} AS BIGINT)" if len(a) > 2 else "")
+        + ")"
+    ),
+    "convert_angle": _kql_convert("angle"),
+    "convert_length": _kql_convert("length"),
+    "convert_mass": _kql_convert("mass"),
+    "convert_speed": _kql_convert("speed"),
+    "convert_volume": _kql_convert("volume"),
+    "convert_energy": _kql_convert("energy"),
+    "convert_temperature": _kql_convert_temperature,
     "ipv4_is_private": _kql_ipv4_is_private,
     "ipv4_is_in_range": _kql_ipv4_in_range,
     "geo_distance_2points": _kql_geo_distance,

@@ -527,6 +527,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_basket",
     # --- round-10 generator sources (print / timespan-step range) ---
     "kql_print_range",
+    # --- round-10 KQL scalar batch 4 (codecs/hashes/binary/converters) ---
+    "kql_scalar_vocab4",
     # --- round-10 text-path funnel aggregates ---
     "chsql_funnel_text",
     "chsql_window_funnel_text",

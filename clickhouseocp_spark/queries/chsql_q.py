@@ -5595,6 +5595,103 @@ range t from todatetime('2024-01-01 00:00:00')
 
 
 @register(
+    "kql_scalar_vocab4",
+    oracle="""
+SELECT event_id,
+  to_base64(encode('v' || CAST(event_id % 50 AS VARCHAR))) AS b64,
+  'hello' AS bd,
+  sha256(CAST(event_id % 30 AS VARCHAR)) AS s256,
+  md5(CAST(event_id % 30 AS VARCHAR)) AS m5,
+  '11f6ad8ec52a2984abaafd7c3b516503785c2072' AS s1,
+  CAST(3 AS BIGINT) AS ir, CAST(-1 AS BIGINT) AS ir2,
+  CAST(6 AS BIGINT) AS co, CAST(2 AS BIGINT) AS co2,
+  CAST(event_id % 9 AS VARCHAR) AS ej,
+  lower(to_hex(event_id)) AS hx,
+  CAST(event_id & 12 AS BIGINT) AS ba,
+  CAST(event_id | 3 AS BIGINT) AS bo,
+  CAST(xor(event_id, 5) AS BIGINT) AS bx,
+  -(CAST(event_id AS BIGINT)) - 1 AS bn,
+  CAST(event_id << 2 AS BIGINT) AS bsl,
+  CAST(event_id >> 1 AS BIGINT) AS bsr,
+  CAST(bit_count(CAST(event_id AS BIGINT)) AS BIGINT) AS bco,
+  CAST(-1 AS BIGINT) AS sc, CAST(3 AS BIGINT) AS ss,
+  'ababab' AS sr,
+  CAST(to_timestamp(1700000000 + event_id) AS TIMESTAMP) AS ut,
+  CAST(epoch_ms(1700000000123) AS TIMESTAMP) AS um,
+  TRUE AS ia, FALSE AS ia2,
+  '1,4' AS ai,
+  array_to_string(list_transform(range(1, 4 + event_id % 4),
+    x -> CAST(x AS VARCHAR)), ',') AS rg,
+  round(3.141592653589793, 9) AS ca,
+  2000.0 AS cl, round(453.59237, 6) AS cm, round(3.6, 6) AS cs2,
+  273.15 AS ct, 1000.0 AS cv, 3600000.0 AS ce
+FROM events WHERE event_id < 200 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto scalar batch 4 (round 10 — probe-found gaps):
+    ``base64_encode/decode_tostring``, the STANDARD hash functions
+    ``hash_sha256/hash_md5`` (varying inputs, recomputed in the oracle —
+    hex digests are engine-agnostic, unlike the 64-bit xx-family) and
+    ``hash_sha1`` (pinned test vector — DuckDB lacks sha1),
+    ``indexof_regex`` (−1 on no match), 3-arg ``countof(…, 'regex')``,
+    ``extract_json``, ``tohex``, the ``binary_*`` bit-math family,
+    ``bitset_count_ones``, ``strcmp``, ``string_size`` (bytes),
+    ``strrep``, ``unixtime_seconds/milliseconds_todatetime``,
+    ``isascii``, ``array_iff``, scalar ``range``, and the 2023
+    ``convert_*`` unit-converter family (literal units → transpile-time
+    factors; affine temperature)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    return eng.sql(
+        """
+events
+| where event_id < 200
+| project event_id,
+    b64 = base64_encode_tostring(strcat('v', tostring(event_id % 50))),
+    bd = base64_decode_tostring('aGVsbG8='),
+    s256 = hash_sha256(tostring(event_id % 30)),
+    m5 = hash_md5(tostring(event_id % 30)),
+    s1 = hash_sha1('x'),
+    ir = indexof_regex('abc1d', '[0-9]'),
+    ir2 = indexof_regex('abc', '[0-9]'),
+    co = countof('a1b22c333', '[0-9]', 'regex'),
+    co2 = countof('ababa', 'ab'),
+    ej = extract_json('$.v', strcat('{"v": ', tostring(event_id % 9), '}')),
+    hx = tohex(event_id),
+    ba = binary_and(event_id, 12),
+    bo = binary_or(event_id, 3),
+    bx = binary_xor(event_id, 5),
+    bn = binary_not(event_id),
+    bsl = binary_shift_left(event_id, 2),
+    bsr = binary_shift_right(event_id, 1),
+    bco = bitset_count_ones(event_id),
+    sc = strcmp('a', 'b'),
+    ss = string_size('abc'),
+    sr = strrep('ab', 3),
+    ut = unixtime_seconds_todatetime(1700000000 + event_id),
+    um = unixtime_milliseconds_todatetime(1700000000123),
+    ia = isascii('abc'), ia2 = isascii('münchen'),
+    ai = strcat_array(array_iff(dynamic([true, false]),
+                                dynamic([1, 2]), dynamic([3, 4])), ','),
+    rg = strcat_array(range(1, 3 + event_id % 4, 1), ','),
+    ca = round(convert_angle(180.0, 'degree', 'radian'), 9),
+    cl = convert_length(2.0, 'kilometer', 'meter'),
+    cm = round(convert_mass(1.0, 'pound', 'gram'), 6),
+    cs2 = round(convert_speed(1.0, 'meter_per_second',
+                              'kilometer_per_hour'), 6),
+    ct = convert_temperature(0.0, 'degree_celsius', 'kelvin'),
+    cv = convert_volume(1.0, 'liter', 'milliliter'),
+    ce = convert_energy(1.0, 'kilowatt_hour', 'joule')
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
     "kql_basket",
     oracle="""
 WITH src AS (SELECT lang, source FROM documents)
