@@ -1253,6 +1253,9 @@ _KQL_SCALARS: dict = {
     "convert_temperature": _kql_convert_temperature,
     "ipv4_is_private": _kql_ipv4_is_private,
     "ipv4_is_in_range": _kql_ipv4_in_range,
+    # dcount_hll(h): estimate a summarize-produced hll() sketch — the
+    # scalar half of the Kusto HLL pair (see _agg_expr)
+    "dcount_hll": lambda a: f"hll_sketch_estimate({a[0]})",
     "geo_distance_2points": _kql_geo_distance,
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,
@@ -1471,6 +1474,18 @@ def _agg_expr(e: str) -> str:
         e, "dcountif",
         lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
     )
+    # round-10 sketch/bitwise aggregate batch: Kusto hll()/hll_merge() map
+    # to Spark's DataSketches HLL (hll_sketch_agg / hll_union_agg — JVM
+    # partial-aggregatable, so the two-level Kusto pattern `summarize
+    # hll() by fine | summarize hll_merge() by coarse` keeps map-side
+    # combine).  The sketch bytes are engine-specific; registry queries
+    # compare the ESTIMATE via an accuracy contract (dcount_hll scalar),
+    # never the binary column.  binary_all_* are the exact bitwise folds.
+    e = re.sub(r"\bbinary_all_and\s*\(", "bit_and(", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bbinary_all_or\s*\(", "bit_or(", e, flags=re.IGNORECASE)
+    e = re.sub(r"\bbinary_all_xor\s*\(", "bit_xor(", e, flags=re.IGNORECASE)
+    e = _rewrite_call(e, "hll_merge", lambda a: f"hll_union_agg({a[0]})")
+    e = _rewrite_call(e, "hll", lambda a: f"hll_sketch_agg({a[0]})")
     e = _rewrite_call(e, "take_any", lambda a: f"any_value({a[0]})")
     # make_bag: union the group's property bags into one map.  Duplicate
     # keys keep the first seen (entry fold — Kusto's pick between

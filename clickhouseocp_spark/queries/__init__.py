@@ -536,6 +536,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_vocab_r33",
     "chsql_vocab_r34",
     "chsql_vocab_r35",
+    # --- round-10 continuation: KQL sketch/bitwise aggregates ---
+    "kql_hll_binary_agg",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -7637,3 +7637,52 @@ GROUP BY event_type ORDER BY event_type
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_hll_binary_agg",
+    oracle="""
+SELECT event_type,
+       bit_and(event_id % 4096) AS band,
+       bit_or(event_id % 4096) AS bor,
+       bit_xor(event_id % 4096) AS bxor,
+       true AS hll_ok
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect", "aggregate", "sketch"),
+)
+def kql_hll_binary_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``hll()`` / ``hll_merge()`` / ``dcount_hll()`` (round 10 —
+    the re-mergeable distinct-count sketch pair) plus the exact bitwise
+    folds ``binary_all_and/or/xor``.  The HLL half lowers to Spark's
+    DataSketches aggregates (hll_sketch_agg / hll_union_agg /
+    hll_sketch_estimate) — partial-aggregatable JVM sketches, so the
+    canonical two-level Kusto pattern here (per-(type, user-class)
+    sketches merged per type) is exactly the distributed shape: sketches
+    combine map-side, bytes never reach Python.  Sketch bytes are
+    engine-specific, so the driver-checked output is the accuracy
+    CONTRACT (estimate within 5% of the exact dcount — the user classes
+    partition users, so the per-class exact dcounts sum losslessly);
+    the bitwise folds are exact and the oracle replays them directly.
+    Cites reference Dockerfile:102-104 (uniqHLL12 / groupBitAnd family
+    in the pinned engine)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| extend b = event_id % 4096, g = user_id % 4
+| summarize h = hll(user_id), band = binary_all_and(b),
+            bor = binary_all_or(b), bxor = binary_all_xor(b),
+            exact = dcount(user_id) by event_type, g
+| summarize hm = hll_merge(h), band = binary_all_and(band),
+            bor = binary_all_or(bor), bxor = binary_all_xor(bxor),
+            exact = sum(exact) by event_type
+| project event_type, band, bor, bxor,
+          hll_ok = abs(todouble(dcount_hll(hm)) - todouble(exact)) * 20.0
+                   < todouble(exact)
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
