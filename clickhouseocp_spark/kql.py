@@ -847,6 +847,94 @@ def _kql_ipv4_in_range(a: list[str]) -> str:
     )
 
 
+def _kql_ipv4_masked(ip: str, extra_pfx: str | None = None) -> tuple[str, str]:
+    """Common IPv4 machinery (round-10 scalar batch 5): returns the SQL for
+    (masked numeric value, effective prefix) of a dotted string that may
+    carry a '/suffix'; ``extra_pfx`` further clamps the prefix (Kusto's
+    optional PrefixMask argument — the EFFECTIVE prefix is the minimum)."""
+    base = _ipv4_num(f"element_at(split({ip}, '/'), 1)")
+    sfx = (
+        f"coalesce(try_cast(try_element_at(split({ip}, '/'), 2) AS INT), 32)"
+    )
+    if extra_pfx is not None:
+        sfx = f"least({sfx}, CAST({extra_pfx} AS INT))"
+    masked = (
+        f"transform(array(named_struct('n', {base}, 'm', {sfx})), "
+        f"__t -> shiftleft(shiftright(__t.n, 32 - __t.m), 32 - __t.m))[0]"
+    )
+    return masked, sfx
+
+
+def _kql_parse_ipv4(a: list[str]) -> str:
+    """parse_ipv4('a.b.c.d[/p]') → big-endian numeric with host bits
+    zeroed per the embedded suffix (Kusto semantics)."""
+    masked, _sfx = _kql_ipv4_masked(a[0])
+    return masked
+
+
+def _kql_parse_ipv4_mask(a: list[str]) -> str:
+    """parse_ipv4_mask(ip, prefix) → numeric masked by min(embedded,
+    prefix)."""
+    masked, _sfx = _kql_ipv4_masked(a[0], a[1])
+    return masked
+
+
+def _kql_ipv4_quad(masked: str) -> str:
+    return (
+        f"concat_ws('.', transform(sequence(3, 0, -1), "
+        f"__k -> CAST(shiftright({masked}, __k * 8) & 255 AS STRING)))"
+    )
+
+
+def _kql_format_ipv4(a: list[str]) -> str:
+    """format_ipv4(ip[, prefix]) → dotted string with host bits zeroed."""
+    masked, _sfx = _kql_ipv4_masked(a[0], a[1] if len(a) > 1 else None)
+    return _kql_ipv4_quad(masked)
+
+
+def _kql_format_ipv4_mask(a: list[str]) -> str:
+    """format_ipv4_mask(ip[, prefix]) → 'a.b.c.0/p' with the EFFECTIVE
+    prefix appended (Kusto prints the min of embedded and argument)."""
+    masked, sfx = _kql_ipv4_masked(a[0], a[1] if len(a) > 1 else None)
+    return f"concat({_kql_ipv4_quad(masked)}, '/', CAST({sfx} AS STRING))"
+
+
+def _kql_ipv4_compare(a: list[str]) -> str:
+    """ipv4_compare(ip1, ip2[, prefix]) → -1/0/1 comparing the numerics
+    masked by the minimum effective prefix of all three sources."""
+    extra = a[2] if len(a) > 2 else None
+    sfx1 = (
+        f"coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2) AS INT), 32)"
+    )
+    sfx2 = (
+        f"coalesce(try_cast(try_element_at(split({a[1]}, '/'), 2) AS INT), 32)"
+    )
+    eff = f"least({sfx1}, {sfx2}"
+    if extra is not None:
+        eff += f", CAST({extra} AS INT)"
+    eff += ")"
+    n1 = _ipv4_num(f"element_at(split({a[0]}, '/'), 1)")
+    n2 = _ipv4_num(f"element_at(split({a[1]}, '/'), 1)")
+    return (
+        f"transform(array(named_struct('a', {n1}, 'b', {n2}, 'm', {eff})), "
+        f"__t -> CAST(sign(shiftright(__t.a, 32 - __t.m) "
+        f"- shiftright(__t.b, 32 - __t.m)) AS BIGINT))[0]"
+    )
+
+
+def _kql_has_any_index(a: list[str]) -> str:
+    """has_any_index(source, list) → 0-based index of the FIRST list item
+    that occurs as a whole term in source, -1 when none (Kusto contract;
+    term = maximal alnum run, the same rule as bare `has`)."""
+    src, lst = a[0], a[1]
+    return (
+        f"coalesce(try_element_at(filter(transform({lst}, (__t, __i) -> "
+        f"named_struct('i', __i, 'ok', "
+        f"array_contains(split(lower({src}), '[^a-z0-9]+'), "
+        f"lower(CAST(__t AS STRING))))), __s -> __s.ok), 1).i, -1)"
+    )
+
+
 def _kql_geo_distance(a: list[str]) -> str:
     """geo_distance_2points(lon1, lat1, lon2, lat2) — haversine meters on
     the R=6371 km sphere (deviation: Kusto computes WGS84 geodesics —
@@ -1256,6 +1344,20 @@ _KQL_SCALARS: dict = {
     # dcount_hll(h): estimate a summarize-produced hll() sketch — the
     # scalar half of the Kusto HLL pair (see _agg_expr)
     "dcount_hll": lambda a: f"hll_sketch_estimate({a[0]})",
+    # round-10 scalar batch 5: the IPv4 parse/format family + indexed
+    # term search + set membership (the \bname\s*\( anchor keeps
+    # parse_ipv4 from half-matching parse_ipv4_mask)
+    "parse_ipv4_mask": _kql_parse_ipv4_mask,
+    "parse_ipv4": _kql_parse_ipv4,
+    "format_ipv4_mask": _kql_format_ipv4_mask,
+    "format_ipv4": _kql_format_ipv4,
+    "ipv4_netmask_suffix": lambda a: (
+        f"coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2) AS INT), "
+        f"32)"
+    ),
+    "ipv4_compare": _kql_ipv4_compare,
+    "has_any_index": _kql_has_any_index,
+    "set_has_element": lambda a: f"array_contains({a[0]}, {a[1]})",
     "geo_distance_2points": _kql_geo_distance,
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,

@@ -538,6 +538,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_vocab_r35",
     # --- round-10 continuation: KQL sketch/bitwise aggregates ---
     "kql_hll_binary_agg",
+    # --- round-10 continuation: KQL scalar batch 5 (IPv4 family) ---
+    "kql_scalar_vocab5",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -7686,3 +7686,62 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_scalar_vocab5",
+    oracle="""
+WITH s AS (
+  SELECT event_id, props,
+         event_id % 200 AS b2, event_id % 256 AS b3, event_id % 251 AS b4
+  FROM events WHERE event_id < 200)
+SELECT event_id,
+  CAST(10 * 16777216 + b2 * 65536 + b3 * 256 + b4 AS BIGINT) AS p,
+  CAST(10 * 16777216 + b2 * 65536 + b3 * 256 AS BIGINT) AS pm,
+  '10.' || b2 || '.' || b3 || '.0' AS f24,
+  '10.' || b2 || '.' || (b3 // 16) * 16 || '.0/20' AS fm,
+  CAST(16 AS INTEGER) AS sfx,
+  CAST(CASE WHEN b2 < 100 THEN -1 WHEN b2 = 100 THEN 0 ELSE 1 END
+       AS BIGINT) AS cmp,
+  true AS inr,
+  CAST(CASE WHEN json_extract_string(props, '$.k') = '7'
+            THEN 0 ELSE 1 END AS INTEGER) AS idx,
+  list_contains([1, 3, 5], CAST(event_id % 6 AS INTEGER)) AS she
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary", "ip"),
+)
+def kql_scalar_vocab5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL scalar batch 5 (round 10): the IPv4 parse/format family —
+    ``parse_ipv4`` / ``parse_ipv4_mask`` / ``format_ipv4`` /
+    ``format_ipv4_mask`` / ``ipv4_netmask_suffix`` / ``ipv4_compare``
+    (min-effective-prefix masking, Kusto semantics) — plus
+    ``has_any_index`` (0-based first-term index, -1 when absent) and
+    ``set_has_element``.  All zero-exchange JVM expressions; the oracle
+    replays each from the octet closed forms the IPs were synthesized
+    from."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 200
+| extend ip = strcat('10.', tostring(event_id % 200), '.',
+                     tostring(event_id % 256), '.',
+                     tostring(event_id % 251)),
+         cidr = strcat('10.', tostring(event_id % 200), '.0.0/16'),
+         terms = dynamic(['7', 'k', '42'])
+| project event_id,
+    p = parse_ipv4(ip),
+    pm = parse_ipv4_mask(ip, 24),
+    f24 = format_ipv4(ip, 24),
+    fm = format_ipv4_mask(ip, 20),
+    sfx = ipv4_netmask_suffix(cidr),
+    cmp = ipv4_compare(ip, '10.100.0.0/16'),
+    inr = ipv4_is_in_range(ip, cidr),
+    idx = has_any_index(props, terms),
+    she = set_has_element(dynamic([1, 3, 5]), toint(event_id % 6))
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )

@@ -1280,6 +1280,41 @@ def test_kql_scalar_vocab_mechanics():
         transpile_kql("t | extend s = strlen()")
 
 
+def test_kql_ipv4_family_and_hll(spark, sf_dir):
+    """Round-10 scalar batch 5 edge semantics (values, end-to-end): IPv4
+    parse/format masking, min-effective-prefix compare, has_any_index
+    first-match/miss, and the hll()/dcount_hll() pair exact at tiny
+    cardinality (DataSketches HLL is exact in sparse mode)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    r = eng.sql(
+        "print p = parse_ipv4('192.168.1.77/24'), "
+        "f = format_ipv4('10.1.2.3'), "
+        "fm = format_ipv4_mask('10.1.2.3', 8), "
+        "sfx = ipv4_netmask_suffix('1.2.3.4'), "
+        "c1 = ipv4_compare('10.0.0.1', '10.0.0.2'), "
+        "c2 = ipv4_compare('10.0.0.1/24', '10.0.0.200'), "
+        "i1 = has_any_index('hello world', dynamic(['x', 'world'])), "
+        "i2 = has_any_index('hello world', dynamic(['nope'])), "
+        "s1 = set_has_element(dynamic(['a', 'b']), 'c')",
+        dialect="kusto",
+    ).first()
+    assert r.p == 192 * 16777216 + 168 * 65536 + 256
+    assert r.f == "10.1.2.3"
+    assert r.fm == "10.0.0.0/8"
+    assert r.sfx == 32
+    assert (r.c1, r.c2) == (-1, 0)
+    assert (r.i1, r.i2) == (1, -1)
+    assert r.s1 is False
+    d = eng.sql(
+        "datatable(k:long)[1, 2, 2, 3, 3, 3] "
+        "| summarize h = hll(k) | project d = dcount_hll(h)",
+        dialect="kusto",
+    ).first()
+    assert d.d == 3
+
+
 def test_kql_let_datatable_print(spark, sf_dir):
     """let bindings (scalar macro + tabular), datatable literal relations,
     and the print source — executed end-to-end."""
