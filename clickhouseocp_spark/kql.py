@@ -2865,6 +2865,107 @@ def _facet(sub: str, rest: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def _diffpatterns(sub: str, argstr: str) -> str:
+    """evaluate diffpatterns(SplitCol, valA, valB, threshold, col1[, ...]):
+    mine attribute patterns whose prevalence DIFFERS between the two row
+    splits — ONE CUBE aggregate over the attribute columns computing both
+    split counts map-side (never two scans of the fact side; the split
+    totals are two scalar subqueries Catalyst folds into one reused scan).
+    Output per Kusto: CountA/CountB/PercentA/PercentB/PercentDiffAB + the
+    attribute columns with NULL wildcards; kept when |PercentA - PercentB|
+    ≥ threshold·100 points.  Subset deviations (documented): the column
+    set is explicit (Kusto infers it), SegmentId is omitted (ordering is
+    the caller's sort), and the weight-column/max-segments tuning knobs
+    are not accepted."""
+    a = _split_top(argstr)
+    if len(a) < 5:
+        raise KqlError(
+            "diffpatterns subset: (SplitCol, valA, valB, threshold, "
+            "col1[, col2, ...]) — the column list must be explicit"
+        )
+    split_col = a[0].strip()
+    if not re.match(r"^[A-Za-z_]\w*$", split_col):
+        raise KqlError(f"diffpatterns: SplitCol must be a column, got {a[0]!r}")
+    va, vb, thr = _expr(a[1]), _expr(a[2]), _expr(a[3])
+    cols = [c.strip() for c in a[4:]]
+    if len(cols) > 5:
+        raise KqlError("diffpatterns subset: at most 5 attribute columns")
+    if not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+        raise KqlError(f"diffpatterns needs bare column names, got {cols!r}")
+    tota = f"(SELECT count(*) FROM {sub} WHERE {split_col} = {va})"
+    totb = f"(SELECT count(*) FROM {sub} WHERE {split_col} = {vb})"
+    ca = f"count_if({split_col} = {va})"
+    cb = f"count_if({split_col} = {vb})"
+    all_wild = " AND ".join(f"grouping({c}) = 1" for c in cols)
+    clist = ", ".join(cols)
+    return (
+        f"SELECT CountA, CountB, round(PercentA, 6) AS PercentA, "
+        f"round(PercentB, 6) AS PercentB, "
+        f"round(abs(PercentA - PercentB), 6) AS PercentDiffAB, {clist} "
+        f"FROM (SELECT {ca} AS CountA, {cb} AS CountB, "
+        f"CAST(100.0 AS DOUBLE) * {ca} / nullif({tota}, 0) AS PercentA, "
+        f"CAST(100.0 AS DOUBLE) * {cb} / nullif({totb}, 0) AS PercentB, "
+        f"{clist} "
+        f"FROM (SELECT * FROM {sub} WHERE {split_col} IN ({va}, {vb})) __dpb "
+        f"GROUP BY CUBE({clist}) HAVING NOT ({all_wild})) __dp "
+        f"WHERE abs(PercentA - PercentB) >= ({thr}) * 100.0"
+    )
+
+
+def _autocluster(sub: str, argstr: str) -> str:
+    """evaluate autocluster(threshold, col1[, ...]): the informative
+    common-pattern miner.  Deterministic subset of Kusto's heuristic:
+    candidate segments are the CUBE patterns covering ≥ threshold of the
+    rows (≥1 fixed attribute), and a segment is DROPPED when a strictly
+    more specific segment retains ≥ half its rows (the size_weight=0.5
+    analog) — the survivors are the maximal informative patterns.  ONE
+    CUBE aggregate; the domination test is a self-anti-join over the
+    FILTERED segment set, whose size is bounded by the threshold (≤ 1/thr
+    segments per grouping set), so it broadcasts at any data scale.
+    Output: Count, Percent + attribute columns with NULL wildcards
+    (SegmentId omitted, column set explicit — same subset contract as
+    basket/diffpatterns)."""
+    a = _split_top(argstr)
+    if len(a) < 2:
+        raise KqlError(
+            "autocluster subset: (threshold, col1[, col2, ...]) — the "
+            "column list must be explicit"
+        )
+    thr = _expr(a[0])
+    cols = [c.strip() for c in a[1:]]
+    if len(cols) > 5:
+        raise KqlError("autocluster subset: at most 5 attribute columns")
+    if not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+        raise KqlError(f"autocluster needs bare column names, got {cols!r}")
+    tot = f"(SELECT count(*) FROM {sub})"
+    all_wild = " AND ".join(f"grouping({c}) = 1" for c in cols)
+    clist = ", ".join(cols)
+    gsel = ", ".join(f"grouping({c}) AS __g{i}" for i, c in enumerate(cols))
+    seg = (
+        f"SELECT count(*) AS Count, {clist}, {gsel} FROM {sub} "
+        f"GROUP BY CUBE({clist}) "
+        f"HAVING count(*) >= ({thr}) * {tot} AND NOT ({all_wild})"
+    )
+    spec = " AND ".join(
+        f"(__s.__g{i} = 1 OR (__t.__g{i} = 0 AND __t.{c} <=> __s.{c}))"
+        for i, c in enumerate(cols)
+    )
+    strict = (
+        " + ".join(f"__t.__g{i}" for i in range(len(cols)))
+        + " < "
+        + " + ".join(f"__s.__g{i}" for i in range(len(cols)))
+    )
+    sel = ", ".join(f"__s.{c}" for c in cols)
+    return (
+        f"SELECT __s.Count AS Count, "
+        f"round(CAST(100.0 AS DOUBLE) * __s.Count / {tot}, 6) AS Percent, "
+        f"{sel} "
+        f"FROM ({seg}) __s WHERE NOT EXISTS ("
+        f"SELECT 1 FROM ({seg}) __t "
+        f"WHERE {spec} AND ({strict}) AND __t.Count * 2 >= __s.Count)"
+    )
+
+
 def _top_nested(sub: str, rest: str) -> str:
     """Lower ``top-nested N1 of K1 by [n1 =] agg1, top-nested N2 of K2 by
     ... `` — Kusto's hierarchical top-k.  Arbitrary depth: level k joins the
@@ -3652,6 +3753,32 @@ def _transpile_pipeline(
                 f"md5(to_json(struct(*))) AS __smp FROM {sub}) __sm "
                 f"ORDER BY __smp LIMIT {int(rest.strip().strip('()'))}"
             )
+        elif op == "reduce":
+            # reduce by Expr: group string values by shape (Pattern, Count,
+            # Representative).  Deterministic subset of Kusto's proprietary
+            # clustering heuristic: the pattern replaces every maximal
+            # digit run with '*' (the dominant log-template case);
+            # Representative is the group's MIN value (Kusto's pick is
+            # unspecified — min makes runs reproducible).  ONE hash
+            # aggregate, all JVM.  `with threshold=...` tuning knobs are
+            # rejected rather than silently ignored.
+            mr = re.match(r"(?is)^by\s+(.+)$", rest.strip())
+            if not mr:
+                raise KqlError(f"reduce needs 'by <expr>', got {rest!r}")
+            body = mr.group(1).strip()
+            if re.search(r"\bwith\s+\w+\s*=", body, re.IGNORECASE):
+                raise KqlError(
+                    "reduce subset: 'with threshold/characters' tuning is "
+                    "not supported — the pattern rule is fixed (digit runs "
+                    "→ '*')"
+                )
+            rexpr = _expr(body)
+            rel = (
+                f"SELECT regexp_replace({rexpr}, '[0-9]+', '*') AS Pattern, "
+                f"count(*) AS Count, min({rexpr}) AS Representative "
+                f"FROM {sub} "
+                f"GROUP BY regexp_replace({rexpr}, '[0-9]+', '*')"
+            )
         elif op == "sample-distinct":
             ms = re.match(
                 r"^(\d+)\s+of\s+([A-Za-z_]\w*)$", rest.strip(), re.IGNORECASE
@@ -3781,6 +3908,18 @@ def _transpile_pipeline(
             )
             if mfs:
                 rel = _funnel_sequence(sub, mfs.group(1), last_order)
+                continue
+            mdp = re.match(
+                r"^diffpatterns\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if mdp:
+                rel = _diffpatterns(sub, mdp.group(1))
+                continue
+            mau = re.match(
+                r"^autocluster\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if mau:
+                rel = _autocluster(sub, mau.group(1))
                 continue
             mbk = re.match(
                 r"^basket\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL

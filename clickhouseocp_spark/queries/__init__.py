@@ -540,6 +540,10 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_hll_binary_agg",
     # --- round-10 continuation: KQL scalar batch 5 (IPv4 family) ---
     "kql_scalar_vocab5",
+    # --- round-10 continuation: KQL mining operators ---
+    "kql_reduce_by",
+    "kql_diffpatterns",
+    "kql_autocluster",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -7745,3 +7745,136 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_reduce_by",
+    oracle="""
+WITH s AS (
+  SELECT event_type || '#' || (event_id % 1000) || '-' || user_id AS v
+  FROM events)
+SELECT regexp_replace(v, '[0-9]+', '*', 'g') AS Pattern,
+       count(*) AS Count, min(v) AS Representative
+FROM s GROUP BY 1 ORDER BY Count DESC, Pattern
+""",
+    tags=("kql", "dialect", "mining"),
+)
+def kql_reduce_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``reduce by`` (round 10): group string values by shape —
+    (Pattern, Count, Representative).  Deterministic subset of Kusto's
+    proprietary clustering heuristic: pattern = digit runs → '*' (the
+    dominant log-template case), representative = group MIN.  ONE hash
+    aggregate, all JVM — patterns aggregate map-side, so at 100 TB the
+    shuffle carries one row per template, not per log line.  The oracle
+    replays the same template rule with DuckDB's global regexp_replace."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| extend s = strcat(event_type, '#', tostring(event_id % 1000), '-',
+                    tostring(user_id))
+| reduce by s
+| sort by Count desc, Pattern asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_diffpatterns",
+    oracle="""
+WITH d AS (
+  SELECT CASE WHEN n_chars > 300 THEN 'big' ELSE 'small' END AS sz,
+         lang, source FROM documents),
+seg AS (
+  SELECT CAST(sum(CASE WHEN sz = 'big' THEN 1 ELSE 0 END) AS BIGINT)
+           AS CountA,
+         CAST(sum(CASE WHEN sz = 'small' THEN 1 ELSE 0 END) AS BIGINT)
+           AS CountB,
+         100.0 * sum(CASE WHEN sz = 'big' THEN 1 ELSE 0 END)
+           / (SELECT count(*) FROM d WHERE sz = 'big') AS pa,
+         100.0 * sum(CASE WHEN sz = 'small' THEN 1 ELSE 0 END)
+           / (SELECT count(*) FROM d WHERE sz = 'small') AS pb,
+         lang, source
+  FROM d GROUP BY GROUPING SETS ((lang), (source), (lang, source)))
+SELECT CountA, CountB, round(pa, 6) AS PercentA, round(pb, 6) AS PercentB,
+       round(abs(pa - pb), 6) AS PercentDiffAB,
+       coalesce(lang, '*') AS lang1, coalesce(source, '*') AS source1
+FROM seg WHERE abs(pa - pb) >= 0.002 * 100.0
+ORDER BY PercentDiffAB DESC, lang1, source1
+""",
+    tags=("kql", "dialect", "mining"),
+)
+def kql_diffpatterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate diffpatterns`` (round 10): attribute patterns
+    whose prevalence differs between two row splits (big vs small
+    documents, split at the median length) — ONE CUBE aggregate computing both split counts map-side,
+    kept when the percent-point gap ≥ threshold·100.  The oracle
+    enumerates the same segments with explicit GROUPING SETS.  Wildcards
+    are projected to '*' post-evaluate so the sort is engine-portable
+    (NULL ordering differs between Spark and DuckDB)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+documents
+| extend sz = iff(n_chars > 300, 'big', 'small')
+| evaluate diffpatterns(sz, 'big', 'small', 0.002, lang, source)
+| project CountA, CountB, PercentA, PercentB, PercentDiffAB,
+          lang1 = coalesce(lang, '*'), source1 = coalesce(source, '*')
+| sort by PercentDiffAB desc, lang1 asc, source1 asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_autocluster",
+    oracle="""
+WITH d AS (SELECT lang, source FROM documents),
+seg AS (
+  SELECT count(*) AS cnt, lang, CAST(NULL AS VARCHAR) AS source,
+         0 AS gl, 1 AS gs FROM d GROUP BY lang
+  UNION ALL
+  SELECT count(*), CAST(NULL AS VARCHAR), source, 1, 0 FROM d
+  GROUP BY source
+  UNION ALL
+  SELECT count(*), lang, source, 0, 0 FROM d GROUP BY lang, source),
+fseg AS (
+  SELECT * FROM seg WHERE cnt >= 0.05 * (SELECT count(*) FROM d))
+SELECT s.cnt AS Count,
+       round(100.0 * s.cnt / (SELECT count(*) FROM d), 6) AS Percent,
+       coalesce(s.lang, '*') AS lang1, coalesce(s.source, '*') AS source1
+FROM fseg s
+WHERE NOT EXISTS (
+  SELECT 1 FROM fseg t
+  WHERE (s.gl = 1 OR (t.gl = 0 AND t.lang IS NOT DISTINCT FROM s.lang))
+    AND (s.gs = 1 OR (t.gs = 0 AND t.source IS NOT DISTINCT FROM s.source))
+    AND t.gl + t.gs < s.gl + s.gs
+    AND t.cnt * 2 >= s.cnt)
+ORDER BY Count DESC, lang1, source1
+""",
+    tags=("kql", "dialect", "mining"),
+)
+def kql_autocluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate autocluster`` (round 10): maximal informative
+    common patterns — CUBE segments covering ≥5% of rows, minus segments
+    dominated by a strictly more specific pattern retaining ≥ half their
+    rows (the size_weight=0.5 analog; deterministic subset of Kusto's
+    heuristic).  The domination anti-join runs over the threshold-bounded
+    segment set (≤ 1/thr per grouping set → broadcastable at any scale).
+    The oracle enumerates the grouping sets explicitly and replays the
+    same NOT EXISTS."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+documents
+| evaluate autocluster(0.05, lang, source)
+| project Count, Percent,
+          lang1 = coalesce(lang, '*'), source1 = coalesce(source, '*')
+| sort by Count desc, lang1 asc, source1 asc
+""",
+        dialect="kusto",
+    )

@@ -1315,6 +1315,47 @@ def test_kql_ipv4_family_and_hll(spark, sf_dir):
     assert d.d == 3
 
 
+def test_kql_mining_operators(spark, sf_dir):
+    """reduce by / diffpatterns / autocluster (round 10): template
+    grouping values, domination pruning, and the rejected-knob paths."""
+    import pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rows = eng.sql(
+        "datatable(s:string)['err 17 at node3', 'err 99 at node4', "
+        "'ok fast'] | reduce by s | sort by Count desc, Pattern asc",
+        dialect="kusto",
+    ).collect()
+    assert [(r.Pattern, r.Count, r.Representative) for r in rows] == [
+        ("err * at node*", 2, "err 17 at node3"),
+        ("ok fast", 1, "ok fast"),
+    ]
+    with pytest.raises(KqlError, match="tuning"):
+        transpile_kql("t | reduce by s with threshold=0.5")
+    with pytest.raises(KqlError, match="explicit"):
+        transpile_kql("t | evaluate autocluster(0.1)")
+    with pytest.raises(KqlError, match="explicit"):
+        transpile_kql("t | evaluate diffpatterns(sz, 'a', 'b', 0.1)")
+    # autocluster domination: the (k=1) segment covers 4 of 6 rows; its
+    # refinement (k=1, v='x') keeps 3 of those 4 (>= half) so the coarser
+    # segment is dropped; (k=2) is below the 0.3 threshold entirely
+    rows = eng.sql(
+        "datatable(k:long, v:string)"
+        "[1, 'x', 1, 'x', 1, 'x', 1, 'y', 2, 'y', 2, 'z'] "
+        "| evaluate autocluster(0.3, k, v) "
+        "| project Count, k1 = coalesce(tostring(k), '*'), "
+        "v1 = coalesce(v, '*') "
+        "| sort by Count desc, k1 asc, v1 asc",
+        dialect="kusto",
+    ).collect()
+    got = [(r.Count, r.k1, r.v1) for r in rows]
+    assert (3, "1", "x") in got
+    assert all(not (c == 4 and k == "1" and v == "*") for c, k, v in got)
+
+
 def test_kql_let_datatable_print(spark, sf_dir):
     """let bindings (scalar macro + tabular), datatable literal relations,
     and the print source — executed end-to-end."""
