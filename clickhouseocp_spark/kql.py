@@ -2865,6 +2865,56 @@ def _facet(sub: str, rest: str) -> str:
     return " UNION ALL ".join(parts)
 
 
+def _ipv4_lookup(sub: str, argstr: str, lets: dict[str, str]) -> str:
+    """evaluate ipv4_lookup(LookupTable, SourceIPColumn, IPKeyColumn):
+    enrich rows with the lookup row whose CIDR contains the source IP,
+    longest prefix winning (Kusto's matched-rows default).
+
+    Scale shape — a pure EQUI-join pipeline, never a range/theta join:
+    the source fans out over the lookup's DISTINCT prefix lengths (≤ 33
+    rows, broadcast), each copy hashes on (prefix_len, ip >> (32-len)) —
+    so a 100 TB fact side hash-joins a broadcast lookup per mask, and the
+    longest-prefix election is one row_number window keyed by a synthetic
+    row id.  Subset: matched rows only (no return_unmatched), and source/
+    lookup column names must be disjoint (SQL ambiguity surfaces as an
+    analysis error rather than Kusto's silent rename)."""
+    a = _split_top(argstr)
+    if len(a) != 3:
+        raise KqlError(
+            "ipv4_lookup subset: (LookupTable, SourceIPColumn, IPKeyColumn)"
+        )
+    lk_name, src_col, key_col = a[0].strip(), a[1].strip(), a[2].strip()
+    if not all(
+        re.match(r"^[A-Za-z_]\w*$", c) for c in (lk_name, src_col, key_col)
+    ):
+        raise KqlError(
+            f"ipv4_lookup needs bare table/column names, got {argstr!r}"
+        )
+    lk = lets.get(lk_name, lk_name)
+    if " " in lk:
+        lk = f"({lk})"
+    base = _ipv4_num(f"element_at(split({key_col}, '/'), 1)")
+    sfx = (
+        f"coalesce(try_cast(try_element_at(split({key_col}, '/'), 2) "
+        f"AS INT), 32)"
+    )
+    lkq = f"(SELECT *, {base} AS __b, {sfx} AS __m FROM {lk} __lk0)"
+    srcn = _ipv4_num(src_col)
+    return (
+        f"SELECT * EXCEPT (__rid, __n, __b, __m, __rk) FROM ("
+        f"SELECT __j.*, row_number() OVER (PARTITION BY __rid "
+        f"ORDER BY __m DESC, __b DESC) AS __rk FROM ("
+        f"SELECT __s.*, __l.* FROM "
+        f"(SELECT *, monotonically_increasing_id() AS __rid, "
+        f"{srcn} AS __n FROM {sub}) __s "
+        f"CROSS JOIN (SELECT DISTINCT __m AS __mm FROM {lkq} __lk1) __mk "
+        f"JOIN {lkq} __l "
+        f"ON __l.__m = __mk.__mm "
+        f"AND shiftright(__s.__n, 32 - __mk.__mm) "
+        f"= shiftright(__l.__b, 32 - __l.__m)) __j) __q WHERE __rk = 1"
+    )
+
+
 def _diffpatterns(sub: str, argstr: str) -> str:
     """evaluate diffpatterns(SplitCol, valA, valB, threshold, col1[, ...]):
     mine attribute patterns whose prevalence DIFFERS between the two row
@@ -3908,6 +3958,12 @@ def _transpile_pipeline(
             )
             if mfs:
                 rel = _funnel_sequence(sub, mfs.group(1), last_order)
+                continue
+            mip = re.match(
+                r"^ipv4_lookup\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL
+            )
+            if mip:
+                rel = _ipv4_lookup(sub, mip.group(1), lets)
                 continue
             mdp = re.match(
                 r"^diffpatterns\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL

@@ -544,6 +544,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_reduce_by",
     "kql_diffpatterns",
     "kql_autocluster",
+    # --- round-10 continuation: CIDR enrichment plugin ---
+    "kql_ipv4_lookup",
 ]
 
 _DRIVER_WINDOW_R5 = [

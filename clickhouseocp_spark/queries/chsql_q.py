@@ -7878,3 +7878,42 @@ documents
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_ipv4_lookup",
+    oracle="""
+SELECT event_id,
+       '10.' || (event_id % 2) || '.' || (event_id % 256) || '.1' AS ip,
+       CASE WHEN event_id % 2 = 1 THEN '10.1.0.0/16'
+            ELSE '10.0.0.0/8' END AS cidr,
+       CASE WHEN event_id % 2 = 1 THEN 'ten-one' ELSE 'ten' END AS net
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "ip", "join"),
+)
+def kql_ipv4_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``evaluate ipv4_lookup`` (round 10): CIDR containment
+    enrichment, longest prefix winning.  Lowering is a pure EQUI-join
+    pipeline — source rows fan out over the lookup's distinct prefix
+    lengths (broadcast, ≤33), hash-join on (len, ip >> (32-len)), then
+    one row_number window elects the longest prefix — so the fact side
+    never enters a range/theta join at any scale.  Synthetic IPs land in
+    both 10.0.0.0/8 and (odd ids) 10.1.0.0/16; the oracle replays the
+    longest-prefix election as a closed form."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+let lk = datatable(cidr:string, net:string)
+  ['10.0.0.0/8', 'ten', '10.1.0.0/16', 'ten-one', '192.168.0.0/16', 'priv'];
+events
+| where event_id < 300
+| extend ip = strcat('10.', tostring(event_id % 2), '.',
+                     tostring(event_id % 256), '.1')
+| evaluate ipv4_lookup(lk, ip, cidr)
+| project event_id, ip, cidr, net
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )

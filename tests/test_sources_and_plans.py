@@ -414,3 +414,20 @@ def test_round10_fold_shuffle_budgets(spark, sf_dir):
         assert n <= 2, (name, n)
     n = shuffle_count(reg["kql_graph_match"].fn(spark, sf_dir))
     assert n <= 3, ("kql_graph_match", n)
+
+
+def test_ipv4_lookup_plan_is_equi_join(spark, sf_dir):
+    """Plan gate (round 10): ipv4_lookup's fact-side join against the
+    CIDR lookup is a hash EQUI join on (prefix_len, ip >> (32-len)) —
+    never a SortMergeJoin or a fact-vs-lookup theta join.  The only
+    nested-loop allowed is the deliberate cross fan-out against the
+    broadcast distinct-mask relation (≤33 rows by construction)."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan
+    from clickhouseocp_spark.queries import all_queries
+
+    df = all_queries()["kql_ipv4_lookup"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    # the cross fan-out must be the broadcast flavor (lookup side tiny)
+    assert "CartesianProduct" not in plan
