@@ -415,6 +415,99 @@ def _kql_fit_line(a: list[str]) -> str:
     )
 
 
+def _fit_seg_full(arr: str, s: str, m: str) -> str:
+    """Closed-form least-squares fit of ``arr[s : s+m]`` against GLOBAL
+    x = s..s+m-1: STRUCT(slope, icept, ssres).  Grid sums Σx/Σx² are
+    constant-folded closed forms (Σ_{x=0}^{t} x² = t(t+1)(2t+1)/6); data
+    sums are one slice-aggregate each.  Shared by series_fit_2lines."""
+    s2hi = (
+        f"((CAST(({s}) + ({m}) - 1 AS DOUBLE)) * (({s}) + ({m})) "
+        f"* (2 * (({s}) + ({m})) - 1) / 6.0D)"
+    )
+    s2lo = f"((CAST(({s}) - 1 AS DOUBLE)) * ({s}) * (2 * ({s}) - 1) / 6.0D)"
+    sums = (
+        f"named_struct('m', CAST({m} AS DOUBLE), "
+        f"'sx', CAST({m} AS DOUBLE) * ({s}) "
+        f"+ CAST({m} AS DOUBLE) * (CAST({m} AS DOUBLE) - 1) / 2, "
+        f"'sxx', {s2hi} - {s2lo}, "
+        f"'sy', aggregate(slice({arr}, ({s}) + 1, {m}), 0.0D, "
+        f"(__sa, __sv) -> __sa + __sv), "
+        f"'syy', aggregate(slice({arr}, ({s}) + 1, {m}), 0.0D, "
+        f"(__sa, __sv) -> __sa + __sv * __sv), "
+        f"'sxy', aggregate(zip_with(slice({arr}, ({s}) + 1, {m}), "
+        f"sequence(CAST({s} AS INT), CAST(({s}) + ({m}) - 1 AS INT)), "
+        f"(__zv, __zx) -> __zv * CAST(__zx AS DOUBLE)), 0.0D, "
+        f"(__sa, __sv) -> __sa + __sv))"
+    )
+    lvl1 = (
+        f"transform(array({sums}), __f -> named_struct("
+        f"'slope', (__f.m * __f.sxy - __f.sx * __f.sy) "
+        f"/ (__f.m * __f.sxx - __f.sx * __f.sx), "
+        f"'sy', __f.sy, 'syy', __f.syy, 'sxy', __f.sxy, "
+        f"'sx', __f.sx, 'sxx', __f.sxx, 'm', __f.m))[0]"
+    )
+    return (
+        f"transform(array({lvl1}), __g -> named_struct("
+        f"'slope', __g.slope, "
+        f"'icept', (__g.sy - __g.slope * __g.sx) / __g.m, "
+        f"'ssres', greatest(0.0D, __g.syy "
+        f"- 2 * ((__g.sy - __g.slope * __g.sx) / __g.m) * __g.sy "
+        f"- 2 * __g.slope * __g.sxy "
+        f"+ __g.m * power((__g.sy - __g.slope * __g.sx) / __g.m, 2) "
+        f"+ 2 * ((__g.sy - __g.slope * __g.sx) / __g.m) * __g.slope * __g.sx "
+        f"+ __g.slope * __g.slope * __g.sxx)))[0]"
+    )
+
+
+def _kql_fit_2lines(a: list[str]) -> str:
+    """series_fit_2lines → STRUCT(rsquare, split_idx, variance, rvariance,
+    line_fit): try every split i (right segment starts at i, both halves
+    ≥2 points), fit each half by closed-form least squares in GLOBAL x,
+    keep the split minimizing total residual sum of squares (first i on
+    exact ties, via the struct sort key (rss, i)).  O(n²) in the SERIES
+    length per row — bounded by the make-series bin contract, never by
+    table size — and entirely JVM higher-order functions (zero exchanges,
+    zero Python).  Series shorter than 4 return NULL (no valid split).
+    Deviation: Kusto returns a tuple for multi-assignment — here a STRUCT
+    (project fields), the series_fit_line precedent."""
+    y = a[0]
+    ya = f"transform({y}, __v0 -> CAST(__v0 AS DOUBLE))"
+    left = _fit_seg_full("__ya", "0", "__i")
+    right = _fit_seg_full("__ya", "__i", "size(__ya) - __i")
+    cand = (
+        f"transform(sequence(2, size(__ya) - 2), __i -> "
+        f"transform(array(named_struct('l', {left}, 'r', {right})), "
+        f"__p -> named_struct('rss', __p.l.ssres + __p.r.ssres, "
+        f"'i', __i, 'l', __p.l, 'r', __p.r))[0])"
+    )
+    whole = (
+        f"named_struct('n', CAST(size(__ya) AS DOUBLE), "
+        f"'sy', aggregate(__ya, 0.0D, (__wa, __wv) -> __wa + __wv), "
+        f"'syy', aggregate(__ya, 0.0D, (__wa, __wv) -> __wa + __wv * __wv))"
+    )
+    out = (
+        f"transform(array(named_struct('b', array_sort({cand})[0], "
+        f"'w', {whole})), __q -> named_struct("
+        f"'rsquare', CASE WHEN __q.w.syy - __q.w.sy * __q.w.sy / __q.w.n "
+        f"<= 0.0D THEN 1.0D "
+        f"ELSE 1.0D - __q.b.rss / (__q.w.syy - __q.w.sy * __q.w.sy / __q.w.n) "
+        f"END, "
+        f"'split_idx', __q.b.i, "
+        f"'variance', (__q.w.syy - __q.w.sy * __q.w.sy / __q.w.n) "
+        f"/ (__q.w.n - 1), "
+        f"'rvariance', __q.b.rss / (__q.w.n - 1), "
+        f"'line_fit', concat("
+        f"transform(sequence(0, __q.b.i - 1), "
+        f"__k -> __q.b.l.icept + __q.b.l.slope * CAST(__k AS DOUBLE)), "
+        f"transform(sequence(__q.b.i, CAST(__q.w.n AS INT) - 1), "
+        f"__k -> __q.b.r.icept + __q.b.r.slope * CAST(__k AS DOUBLE)))))[0]"
+    )
+    return (
+        f"CASE WHEN size({y}) < 4 THEN NULL ELSE "
+        f"transform(array({ya}), __ya -> {out})[0] END"
+    )
+
+
 def _ser_decomp_core(y: str, period: str) -> str:
     """Shared decomposition pipeline for series_decompose[_anomalies]:
     returns a singleton-struct expression with fields
@@ -1189,6 +1282,8 @@ _KQL_SCALARS: dict = {
     "series_fill_linear": _kql_fill_linear,
     "series_fit_line_dynamic": _kql_fit_line,
     "series_fit_line": _kql_fit_line,
+    "series_fit_2lines_dynamic": _kql_fit_2lines,
+    "series_fit_2lines": _kql_fit_2lines,
     "series_pearson_correlation": _kql_pearson,
     "series_decompose_anomalies": _kql_series_anomalies,
     "series_decompose_forecast": _kql_series_forecast,

@@ -546,6 +546,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_autocluster",
     # --- round-10 continuation: CIDR enrichment plugin ---
     "kql_ipv4_lookup",
+    # --- round-10 continuation: two-segment trend fit ---
+    "kql_series_fit_2lines",
 ]
 
 _DRIVER_WINDOW_R5 = [

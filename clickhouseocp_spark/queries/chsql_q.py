@@ -7917,3 +7917,52 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_series_fit_2lines",
+    oracle="""
+SELECT * FROM (VALUES
+ (CAST(1 AS BIGINT), CAST(4 AS INTEGER), CAST(1.0 AS DOUBLE),
+  CAST(78.857143 AS DOUBLE), CAST(0.0 AS DOUBLE),
+  '0.000000,2.000000,4.000000,6.000000,22.000000,20.000000,18.000000,16.000000'),
+ (2, 3, 1.0, 2.75, 0.0,
+  '5.000000,5.000000,5.000000,1.000000,2.000000,3.000000,4.000000,5.000000,6.000000'),
+ (3, 5, 0.985463, 19.777778, 0.2875,
+  '1.200000,4.200000,7.200000,10.200000,13.200000,11.000000,7.500000,4.000000,0.500000'),
+ (4, CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+  CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR))
+) AS t(g, si, rs, va, rv, lf) ORDER BY g
+""",
+    tags=("kql", "dialect", "timeseries"),
+)
+def kql_series_fit_2lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``series_fit_2lines`` (round 10): two-segment linear trend —
+    every split is fitted closed-form in GLOBAL x, the minimum-RSS split
+    wins (first index on exact ties), output (rsquare, split_idx,
+    variance, rvariance, line_fit).  O(series²) per ROW, entirely JVM
+    higher-order functions — never per table, zero exchanges, zero
+    Python.  Planted series: an exact breakpoint (g=1), an exact
+    flat-then-ramp (g=2), a noisy two-trend (g=3), and the n<4 NULL
+    guard (g=4); the oracle pins the constants from an independent
+    least-squares implementation (line_fit comma-joined at 6dp, the
+    series convention)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+let t = datatable(g:long, y:dynamic)[
+  1, dynamic([0.0, 2.0, 4.0, 6.0, 22.0, 20.0, 18.0, 16.0]),
+  2, dynamic([5.0, 5.0, 5.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0]),
+  3, dynamic([1.0, 4.0, 8.0, 10.0, 13.0, 11.0, 7.0, 5.0, 0.0]),
+  4, dynamic([1.0, 2.0, 3.0])];
+t
+| extend f = series_fit_2lines(y)
+| project g, si = f.split_idx, rs = round(f.rsquare, 6),
+          va = round(f.variance, 6), rv = round(f.rvariance, 6),
+          lf = array_join(transform(f.line_fit,
+                 __x -> format_string('%.6f', __x)), ',')
+| sort by g asc
+""",
+        dialect="kusto",
+    )
