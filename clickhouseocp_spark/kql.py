@@ -1439,6 +1439,28 @@ _KQL_SCALARS: dict = {
     # dcount_hll(h): estimate a summarize-produced hll() sketch — the
     # scalar half of the Kusto HLL pair (see _agg_expr)
     "dcount_hll": lambda a: f"hll_sketch_estimate({a[0]})",
+    # dcount_intersect(h1, h2[, h3]): intersection cardinality by
+    # inclusion-exclusion over HLL sketches (|A∩B| = A + B − |A∪B|;
+    # three-way adds the pairwise unions back).  Estimates, so small
+    # negatives are possible near-disjoint — Kusto behaves the same.
+    "dcount_intersect": lambda a: (
+        f"(hll_sketch_estimate({a[0]}) + hll_sketch_estimate({a[1]}) "
+        f"- hll_sketch_estimate(hll_union({a[0]}, {a[1]})))"
+        if len(a) == 2
+        else (
+            f"(hll_sketch_estimate({a[0]}) + hll_sketch_estimate({a[1]}) "
+            f"+ hll_sketch_estimate({a[2]}) "
+            f"- hll_sketch_estimate(hll_union({a[0]}, {a[1]})) "
+            f"- hll_sketch_estimate(hll_union({a[0]}, {a[2]})) "
+            f"- hll_sketch_estimate(hll_union({a[1]}, {a[2]})) "
+            f"+ hll_sketch_estimate(hll_union(hll_union({a[0]}, {a[1]}), "
+            f"{a[2]})))"
+        )
+        if len(a) == 3
+        else (_ for _ in ()).throw(
+            KqlError("dcount_intersect takes 2 or 3 sketches")
+        )
+    ),
     # round-10 scalar batch 5: the IPv4 parse/format family + indexed
     # term search + set membership (the \bname\s*\( anchor keeps
     # parse_ipv4 from half-matching parse_ipv4_mask)
@@ -2710,6 +2732,136 @@ FROM (
 ) __sw1
 CROSS JOIN (SELECT max({b0}) AS __mx FROM {sub}) __swm
 WHERE __b <= __mx
+GROUP BY __b"""
+
+
+def _activity_engagement(sub: str, argstr: str) -> str:
+    """``evaluate activity_engagement(Id, Timeline, InnerWindow,
+    OuterWindow)`` — the DAU/MAU-style engagement ratio: per inner-window
+    bin, dcount of ids active in that bin vs dcount active in the outer
+    window ending at that bin, plus their ratio.
+
+    Lowering — the sliding_window_counts shape, never a range join: the
+    DISTINCT (id, bin) pre-agg fans each pair into the outer/inner bins
+    it covers (bounded fan-out = the window ratio), the inner membership
+    is the ``fanned bin == home bin`` flag, and ONE hash aggregate per
+    bin computes both distinct counts; phantom bins past the last
+    observed one are cut by a 1-row max subquery.  Subset: OuterWindow
+    must be a multiple of InnerWindow (Kusto requires the same)."""
+    args = _split_top(argstr)
+    if len(args) != 4:
+        raise KqlError(
+            "activity_engagement subset: (IdColumn, TimelineColumn, "
+            f"InnerActivityWindow, OuterActivityWindow), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    inner, outer = _ts_secs(args[2]), _ts_secs(args[3])
+    if not inner or not outer or outer % inner != 0:
+        raise KqlError(
+            "activity_engagement: windows must be timespan literals with "
+            f"Outer a multiple of Inner, got {args[2]!r}/{args[3]!r}"
+        )
+    b0 = f"CAST(floor(unix_timestamp({ts_col}) / {inner}) AS BIGINT) * {inner}"
+    return f"""SELECT timestamp_seconds(__b) AS {ts_col},
+       CAST(count(DISTINCT IF(__b = __b0, __id, NULL)) AS BIGINT)
+         AS dcount_activities_inner,
+       CAST(count(DISTINCT __id) AS BIGINT) AS dcount_activities_outer,
+       round(count(DISTINCT IF(__b = __b0, __id, NULL))
+             / CAST(count(DISTINCT __id) AS DOUBLE), 6) AS activity_ratio
+FROM (
+  SELECT __id, __b0,
+         explode(sequence(__b0, __b0 + {outer - inner}, {inner})) AS __b
+  FROM (SELECT DISTINCT {id_col} AS __id, {b0} AS __b0 FROM {sub}) __ae0
+) __ae1
+CROSS JOIN (SELECT max({b0}) AS __mx FROM {sub}) __aem
+WHERE __b <= __mx
+GROUP BY __b"""
+
+
+def _session_count(sub: str, argstr: str) -> str:
+    """``evaluate session_count(Id, Timeline, Bin, LookBackWindow)`` —
+    sessions STARTED per bin, where a new session starts at an event with
+    no same-id activity within the preceding LookBackWindow (the standard
+    gap rule).
+
+    Lowering: ONE per-id lag window (the session-start predicate is
+    ``lag IS NULL OR gap > lookback``) then one bin hash aggregate —
+    shuffle on id, aggregate on bin, nothing quadratic.  Subset: bounds
+    derive from the data (no Start/End operands, no extra dims)."""
+    args = _split_top(argstr)
+    if len(args) != 4:
+        raise KqlError(
+            "session_count subset: (IdColumn, TimelineColumn, Bin, "
+            f"LookBackWindow), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    bn, lb = _ts_secs(args[2]), _ts_secs(args[3])
+    if not bn or not lb:
+        raise KqlError(
+            "session_count: Bin/LookBackWindow must be timespan literals, "
+            f"got {args[2]!r}/{args[3]!r}"
+        )
+    b = f"CAST(floor(__ts / {bn}) AS BIGINT) * {bn}"
+    return f"""SELECT timestamp_seconds({b}) AS {ts_col},
+       CAST(sum(IF(__prev IS NULL OR __ts - __prev > {lb}, 1, 0)) AS BIGINT)
+         AS count_sessions
+FROM (
+  SELECT unix_timestamp({ts_col}) AS __ts,
+         lag(unix_timestamp({ts_col}), 1)
+           OVER (PARTITION BY {id_col} ORDER BY unix_timestamp({ts_col}))
+           AS __prev
+  FROM {sub}
+) __sc0
+GROUP BY {b}"""
+
+
+def _active_users_count(sub: str, argstr: str) -> str:
+    """``evaluate active_users_count(Id, Timeline, LookbackWindow, Period,
+    ActivePeriodsCount, Bin)`` — per bin, distinct ids active in at least
+    ActivePeriodsCount DISTINCT periods within the lookback window ending
+    at that bin (the rolling-retention / stickiness counter).
+
+    Lowering: DISTINCT (id, period) pre-agg, bounded fan-out of each
+    period into the lookback/bin report bins containing it, one (bin, id)
+    aggregate counting distinct periods, one bin aggregate counting
+    qualifying ids — two hash aggregates, no range join, fan-out bounded
+    by the lookback/bin ratio.  Subset: Lookback and Period must be
+    multiples of Bin."""
+    args = _split_top(argstr)
+    if len(args) != 6:
+        raise KqlError(
+            "active_users_count subset: (IdColumn, TimelineColumn, "
+            f"LookbackWindow, Period, ActivePeriodsCount, Bin), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    lb, per, bn = _ts_secs(args[2]), _ts_secs(args[3]), _ts_secs(args[5])
+    try:
+        k = int(args[4])
+    except ValueError:
+        raise KqlError(
+            f"active_users_count: ActivePeriodsCount must be an integer, "
+            f"got {args[4]!r}"
+        )
+    if not lb or not per or not bn or lb % bn != 0 or per % bn != 0:
+        raise KqlError(
+            "active_users_count: Lookback/Period/Bin must be timespan "
+            "literals with Lookback and Period multiples of Bin, got "
+            f"{args[2]!r}/{args[3]!r}/{args[5]!r}"
+        )
+    p0 = f"CAST(floor(unix_timestamp({ts_col}) / {per}) AS BIGINT) * {per}"
+    return f"""SELECT timestamp_seconds(__b) AS {ts_col},
+       CAST(count(*) AS BIGINT) AS dcount
+FROM (
+  SELECT __b, __id FROM (
+    SELECT __id, __p0,
+           explode(sequence(__p0, __p0 + {lb - bn}, {bn})) AS __b
+    FROM (SELECT DISTINCT {id_col} AS __id, {p0} AS __p0 FROM {sub}) __au0
+  ) __au1
+  CROSS JOIN (SELECT max({p0}) AS __mx FROM {sub}) __aum
+  WHERE __b <= __mx
+  GROUP BY __b, __id
+  HAVING count(DISTINCT __p0) >= {k}
+) __au2
 GROUP BY __b"""
 
 
@@ -4045,6 +4197,30 @@ def _transpile_pipeline(
             )
             if mna:
                 rel = _new_activity_metrics(sub, mna.group(1))
+                continue
+            mae = re.match(
+                r"^activity_engagement\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mae:
+                rel = _activity_engagement(sub, mae.group(1))
+                continue
+            msn = re.match(
+                r"^session_count\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if msn:
+                rel = _session_count(sub, msn.group(1))
+                continue
+            mau2 = re.match(
+                r"^active_users_count\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mau2:
+                rel = _active_users_count(sub, mau2.group(1))
                 continue
             mfs = re.match(
                 r"^funnel_sequence\s*\((.+)\)\s*$",

@@ -548,6 +548,11 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_ipv4_lookup",
     # --- round-10 continuation: two-segment trend fit ---
     "kql_series_fit_2lines",
+    # --- round-10 continuation: activity-analytics completion ---
+    "kql_activity_engagement",
+    "kql_session_count",
+    "kql_active_users_count",
+    "kql_dcount_intersect",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -7966,3 +7966,162 @@ t
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_activity_engagement",
+    oracle="""
+WITH b0 AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b0
+  FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT max(b0) AS m FROM b0),
+e AS (SELECT user_id, b0,
+             unnest(generate_series(b0, b0 + 6 * 86400, 86400)) AS b
+      FROM b0)
+SELECT make_timestamp(b * 1000000) AS ts,
+       CAST(COUNT(DISTINCT CASE WHEN b = b0 THEN user_id END) AS BIGINT)
+         AS dcount_activities_inner,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dcount_activities_outer,
+       round(COUNT(DISTINCT CASE WHEN b = b0 THEN user_id END)
+             / CAST(COUNT(DISTINCT user_id) AS DOUBLE), 6) AS activity_ratio
+FROM e, mx WHERE b <= m GROUP BY b ORDER BY ts
+""",
+    tags=("kql", "dialect", "activity"),
+)
+def kql_activity_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate activity_engagement`` (round 10): the DAU/WAU ratio —
+    per 1d bin, distinct users that day vs the trailing 7d window, plus
+    the engagement ratio.  Bounded bin fan-out (7 copies of the DISTINCT
+    (user, day) pre-agg) + ONE hash aggregate — never a range join; the
+    oracle replays the identical cover with generate_series."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where isnotnull(ts)
+| evaluate activity_engagement(user_id, ts, 1d, 7d)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_session_count",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL),
+l AS (SELECT user_id, t,
+             lag(t) OVER (PARTITION BY user_id ORDER BY t) AS p FROM e)
+SELECT make_timestamp((CAST(floor(t / 86400.0) AS BIGINT) * 86400)
+                      * 1000000) AS ts,
+       CAST(SUM(CASE WHEN p IS NULL OR t - p > 21600 THEN 1 ELSE 0 END)
+            AS BIGINT) AS count_sessions
+FROM l GROUP BY 1 ORDER BY ts
+""",
+    tags=("kql", "dialect", "activity"),
+)
+def kql_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate session_count`` (round 10): sessions STARTED per 1d
+    bin under the 6h gap rule (a new session when no same-user activity
+    within the preceding 6 hours).  ONE per-user lag window + one bin
+    aggregate; tie-ordered rows share a timestamp so the gap set — and
+    therefore the session count — is order-invariant.  The oracle
+    replays the same lag predicate."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where isnotnull(ts)
+| evaluate session_count(user_id, ts, 1d, 6h)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_active_users_count",
+    oracle="""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS p0
+  FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT max(p0) AS m FROM p),
+f AS (SELECT user_id, p0,
+             unnest(generate_series(p0, p0 + 6 * 86400, 86400)) AS b
+      FROM p),
+g AS (SELECT b, user_id FROM f, mx WHERE b <= m
+      GROUP BY b, user_id HAVING COUNT(DISTINCT p0) >= 3)
+SELECT make_timestamp(b * 1000000) AS ts,
+       CAST(COUNT(*) AS BIGINT) AS dcount
+FROM g GROUP BY b ORDER BY ts
+""",
+    tags=("kql", "dialect", "activity"),
+)
+def kql_active_users_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate active_users_count`` (round 10): rolling stickiness —
+    per 1d bin, distinct users active on ≥3 DISTINCT days within the
+    trailing 7d window.  DISTINCT (user, day) pre-agg → bounded 7-bin
+    fan-out → (bin, user) aggregate with the distinct-period HAVING →
+    bin count: two hash aggregates, no range join.  The oracle replays
+    the identical cover."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where isnotnull(ts)
+| evaluate active_users_count(user_id, ts, 7d, 1d, 3, 1d)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+
+
+@register(
+    "kql_dcount_intersect",
+    oracle="""
+WITH g AS (
+  SELECT event_type, user_id,
+         SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS e2,
+         SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) AS e3
+  FROM events GROUP BY event_type, user_id)
+SELECT event_type,
+       CAST(SUM(CASE WHEN e2 > 0 AND e3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_both,
+       true AS intersect_ok
+FROM g GROUP BY event_type ORDER BY event_type
+""",
+    tags=("kql", "dialect", "sketch"),
+)
+def kql_dcount_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``dcount_intersect`` (round 10): intersection cardinality by
+    inclusion-exclusion over hll() sketches — |A∩B| = |A| + |B| − |A∪B|
+    with Spark's hll_union.  Sketch estimates are engine-specific, so the
+    driver-checked output is the accuracy CONTRACT: the estimated
+    intersection of (users with an even event) ∩ (users with a mod-3
+    event) per type lands within ±20% (±2 absolute for small sets) of
+    the exact overlap the oracle computes."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| summarize e2 = countif(event_id % 2 == 0),
+            e3 = countif(event_id % 3 == 0) by event_type, user_id
+| summarize h1 = hll(iff(e2 > 0, user_id, long(null))),
+            h2 = hll(iff(e3 > 0, user_id, long(null))),
+            exact_both = countif(e2 > 0 and e3 > 0) by event_type
+| project event_type, exact_both,
+          intersect_ok = abs(todouble(dcount_intersect(h1, h2))
+                             - todouble(exact_both))
+                         <= greatest(2.0, 0.2 * todouble(exact_both))
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
