@@ -553,6 +553,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_session_count",
     "kql_active_users_count",
     "kql_dcount_intersect",
+    # --- round-10 continuation: streaming sessionization twin ---
+    "stream_session_count",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -543,3 +543,59 @@ def stream_scan_concurrent(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE rule-set replay (minus the declared counter, which the
     stream tier omits)."""
     return _stream_scan_concurrent_impl(spark, sf_dir)
+
+
+@register(
+    "stream_session_count",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS t
+  FROM events WHERE ts IS NOT NULL),
+l AS (SELECT user_id, t,
+             lag(t) OVER (PARTITION BY user_id ORDER BY t) AS p FROM e)
+SELECT make_timestamp((CAST(floor(t / 86400.0) AS BIGINT) * 86400)
+                      * 1000000) AS ts,
+       CAST(SUM(CASE WHEN p IS NULL OR t - p > 21600 THEN 1 ELSE 0 END)
+            AS BIGINT) AS count_sessions
+FROM l GROUP BY 1 ORDER BY ts
+""",
+    tags=("streaming", "activity"),
+)
+def stream_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``evaluate session_count`` (round 10): the
+    micro-batch stream maintains ONE stateful per-user aggregation
+    (sorted event-second list — state bounded by per-user activity, the
+    stream_scan_machine contract); the drained batch then derives
+    session starts (first event or gap > 6h) as a zero-exchange array
+    filter and re-bins them per day.  The drained result equals the
+    batch lag-window closed form the oracle replays — proving the
+    incremental fold and the window form agree."""
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    per_user = (
+        stream.select("user_id", F.unix_timestamp("ts").alias("t"))
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("t")).alias("ts_list"))
+    )
+    drained = run_available_now(per_user)
+    starts = drained.select(
+        F.explode(
+            F.expr(
+                "filter(transform(ts_list, (__t, __i) -> "
+                "IF(__i = 0 OR __t - element_at(ts_list, __i) > 21600, "
+                "__t, NULL)), __x -> __x IS NOT NULL)"
+            )
+        ).alias("t")
+    )
+    return (
+        starts.groupBy(
+            ((F.col("t") / 86400).cast("long") * 86400).alias("__b")
+        )
+        .agg(F.count(F.lit(1)).alias("count_sessions"))
+        .select(F.timestamp_seconds("__b").alias("ts"), "count_sessions")
+        .orderBy("ts")
+    )
