@@ -1476,6 +1476,12 @@ _KQL_SCALARS: dict = {
     "has_any_index": _kql_has_any_index,
     "set_has_element": lambda a: f"array_contains({a[0]}, {a[1]})",
     "geo_distance_2points": _kql_geo_distance,
+    # geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m):
+    # haversine containment on the same R=6371 km sphere as
+    # geo_distance_2points (same ≤0.5% WGS84 deviation, documented there)
+    "geo_point_in_circle": lambda a: (
+        f"({_kql_geo_distance(a[:4])} <= ({a[4]}))"
+    ),
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,
 }

@@ -555,6 +555,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_dcount_intersect",
     # --- round-10 continuation: streaming sessionization twin ---
     "stream_session_count",
+    # --- round-10 continuation: geo containment ---
+    "kql_geo_circle",
 ]
 
 _DRIVER_WINDOW_R5 = [

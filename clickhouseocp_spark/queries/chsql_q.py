@@ -8125,3 +8125,43 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_geo_circle",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         CAST(event_id % 160 - 80 AS DOUBLE) / 2 AS lon,
+         CAST(event_id % 120 - 60 AS DOUBLE) / 2 AS lat
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  2 * 6371000.0 * asin(least(1.0, sqrt(
+    pow(sin(radians(lat - 10.0) / 2), 2)
+    + cos(radians(10.0)) * cos(radians(lat))
+    * pow(sin(radians(lon - 20.0) / 2), 2)))) <= 3000000.0 AS inside
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "geo"),
+)
+def kql_geo_circle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``geo_point_in_circle`` (round 10): haversine containment on
+    the R=6371 km sphere — one boolean JVM expression sharing the
+    geo_distance_2points closed form (same documented ≤0.5% WGS84
+    deviation).  Synthetic points on a half-degree grid against a
+    3000 km circle at (20°E, 10°N); the oracle replays the identical
+    spherical formula."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 400
+| extend lon = todouble(event_id % 160 - 80) / 2,
+         lat = todouble(event_id % 120 - 60) / 2
+| project event_id,
+          inside = geo_point_in_circle(lon, lat, 20.0, 10.0, 3000000.0)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
