@@ -43,6 +43,11 @@ from __future__ import annotations
 
 import re
 
+from clickhouseocp_spark.functions.geo import (
+    geohash_decode_sql as _geohash_decode_sql,
+    geohash_encode_sql as _geohash_encode_sql,
+)
+
 
 class ChSqlError(ValueError):
     """Raised when CH-dialect text uses a construct outside the supported
@@ -2224,6 +2229,13 @@ FUNC_RULES: dict[str, object] = {
     ),
     "divideDecimal": lambda args: f"({args[0]} / {args[1]})",
     "multiplyDecimal": lambda args: f"({args[0]} * {args[1]})",
+    # geohash pair (round 10): pure JVM interval-halving folds shared with
+    # the KQL dialect (functions/geo.py::geohash_*_sql); precision must be
+    # a literal (it sizes the fold), CH default 12
+    "geohashEncode": lambda args: _geohash_encode_sql(
+        args[0], args[1], int(args[2]) if len(args) > 2 else 12
+    ),
+    "geohashDecode": lambda args: _geohash_decode_sql(args[0]),
     # H3 index math (round 8): pure bit-layout arithmetic per the public H3
     # spec — the geometry tier (geoToH3/h3ToGeo) stays behind the
     # documented library gate

@@ -136,6 +136,79 @@ def geohash_decode_py(gh: str) -> tuple[float, float]:
     return ((lo_lon + hi_lon) / 2, (lo_lat + hi_lat) / 2)
 
 
+def geohash_encode_sql(lon: str, lat: str, precision: int = 12) -> str:
+    """SQL-expression geohash encode (round 10): the same Niemeyer
+    interval-halving as :func:`geohash_encode_py`, but as ONE JVM
+    ``aggregate`` fold over the 5·precision bit positions — zero Python,
+    zero exchanges, usable from both text dialects (CH ``geohashEncode``,
+    KQL ``geo_point_to_geohash``).  The bit accumulator is a single
+    BIGINT (precision ≤ 12 → ≤ 60 bits), rendered to base32 by a final
+    5-bit-group transform.  pytest pins SQL == python over a dense grid."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in 1..12")
+    nbits = 5 * precision
+    fold = (
+        f"aggregate(sequence(0, {nbits - 1}), "
+        f"named_struct('lo', -180.0D, 'hi', 180.0D, "
+        f"'la', -90.0D, 'ha', 90.0D, 'bits', CAST(0 AS BIGINT)), "
+        f"(__s, __b) -> IF(__b % 2 = 0, "
+        f"IF(CAST({lon} AS DOUBLE) >= (__s.lo + __s.hi) / 2, "
+        f"named_struct('lo', (__s.lo + __s.hi) / 2, 'hi', __s.hi, "
+        f"'la', __s.la, 'ha', __s.ha, 'bits', __s.bits * 2 + 1), "
+        f"named_struct('lo', __s.lo, 'hi', (__s.lo + __s.hi) / 2, "
+        f"'la', __s.la, 'ha', __s.ha, 'bits', __s.bits * 2)), "
+        f"IF(CAST({lat} AS DOUBLE) >= (__s.la + __s.ha) / 2, "
+        f"named_struct('lo', __s.lo, 'hi', __s.hi, "
+        f"'la', (__s.la + __s.ha) / 2, 'ha', __s.ha, "
+        f"'bits', __s.bits * 2 + 1), "
+        f"named_struct('lo', __s.lo, 'hi', __s.hi, 'la', __s.la, "
+        f"'ha', (__s.la + __s.ha) / 2, 'bits', __s.bits * 2))), "
+        f"__s -> __s.bits)"
+    )
+    return (
+        f"concat_ws('', transform(sequence(0, {precision - 1}), "
+        f"__c -> substr('{_GH_BASE32}', "
+        f"CAST(shiftright({fold}, ({precision - 1} - __c) * 5) & 31 AS INT) "
+        f"+ 1, 1)))"
+    )
+
+
+def geohash_decode_sql(gh: str) -> str:
+    """SQL-expression geohash decode → STRUCT(lon, lat) cell midpoint —
+    one ``aggregate`` fold over the hash's bit positions, the inverse of
+    :func:`geohash_encode_sql` (variable-length input: the bit count is
+    5·length(gh), each bit looked up from its character's base32 index).
+    NULL/empty input yields the full-globe midpoint per the python twin."""
+    bit_of = (
+        f"(shiftright(CAST(locate(substr({gh}, CAST(__b / 5 AS INT) + 1, 1), "
+        f"'{_GH_BASE32}') - 1 AS BIGINT), 4 - CAST(__b % 5 AS INT)) & 1)"
+    )
+    fold = (
+        f"aggregate(sequence(0, CAST(5 * length({gh}) - 1 AS INT)), "
+        f"named_struct('lo', -180.0D, 'hi', 180.0D, "
+        f"'la', -90.0D, 'ha', 90.0D), "
+        f"(__s, __b) -> IF(__b % 2 = 0, "
+        f"IF({bit_of} = 1, "
+        f"named_struct('lo', (__s.lo + __s.hi) / 2, 'hi', __s.hi, "
+        f"'la', __s.la, 'ha', __s.ha), "
+        f"named_struct('lo', __s.lo, 'hi', (__s.lo + __s.hi) / 2, "
+        f"'la', __s.la, 'ha', __s.ha)), "
+        f"IF({bit_of} = 1, "
+        f"named_struct('lo', __s.lo, 'hi', __s.hi, "
+        f"'la', (__s.la + __s.ha) / 2, 'ha', __s.ha), "
+        f"named_struct('lo', __s.lo, 'hi', __s.hi, 'la', __s.la, "
+        f"'ha', (__s.la + __s.ha) / 2))), "
+        f"__s -> named_struct('lon', (__s.lo + __s.hi) / 2, "
+        f"'lat', (__s.la + __s.ha) / 2))"
+    )
+    # empty/NULL input: sequence(0, -1) would run DESCENDING — guard to
+    # the python twin's full-globe midpoint instead
+    return (
+        f"CASE WHEN coalesce(length({gh}), 0) < 1 "
+        f"THEN named_struct('lon', 0.0D, 'lat', 0.0D) ELSE {fold} END"
+    )
+
+
 def great_circle_angle(
     lon1: Column, lat1: Column, lon2: Column, lat2: Column
 ) -> Column:

@@ -162,6 +162,11 @@ from __future__ import annotations
 
 import re
 
+from clickhouseocp_spark.functions.geo import (
+    geohash_decode_sql as _geohash_decode_sql,
+    geohash_encode_sql as _geohash_encode_sql,
+)
+
 __all__ = ["transpile_kql", "KqlError"]
 
 
@@ -1482,6 +1487,13 @@ _KQL_SCALARS: dict = {
     "geo_point_in_circle": lambda a: (
         f"({_kql_geo_distance(a[:4])} <= ({a[4]}))"
     ),
+    # geohash pair (round 10): pure JVM interval-halving folds shared
+    # with the CH dialect (functions/geo.py); accuracy must be a literal
+    # (it sizes the fold), Kusto default 5
+    "geo_point_to_geohash": lambda a: _geohash_encode_sql(
+        a[0], a[1], int(a[2]) if len(a) > 2 else 5
+    ),
+    "geo_geohash_to_central_point": lambda a: _geohash_decode_sql(a[0]),
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,
 }

@@ -557,6 +557,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "stream_session_count",
     # --- round-10 continuation: geo containment ---
     "kql_geo_circle",
+    # --- round-10 continuation: SQL geohash folds (both dialects) ---
+    "chsql_geohash_roundtrip",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8165,3 +8165,39 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_geohash_roundtrip",
+    oracle="""
+SELECT event_id, true AS rt_ok
+FROM events WHERE event_id < 300 ORDER BY event_id
+""",
+    tags=("chsql", "dialect", "geo"),
+)
+def chsql_geohash_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``geohashEncode`` / ``geohashDecode`` on the text path (round 10):
+    pure JVM interval-halving folds (functions/geo.py::geohash_*_sql —
+    zero Python, zero exchanges, shared with KQL's geo_point_to_geohash
+    pair).  The driver-checked output is the round-trip CONTRACT — the
+    decoded cell midpoint lands within half a precision-6 cell of the
+    original point for every grid row; the BITWISE encode equality
+    against the python reference (published test vectors) is pinned by
+    pytest (test_geohash_sql_fold_matches_python_grid)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  (abs(d.lon - lon) <= 0.0056) AND (abs(d.lat - lat) <= 0.0028) AS rt_ok
+FROM (
+  SELECT event_id, lon, lat, geohashDecode(geohashEncode(lon, lat, 6)) AS d
+  FROM (
+    SELECT event_id,
+           toFloat64(event_id % 160 - 80) / 2.3 AS lon,
+           toFloat64(event_id % 120 - 60) / 2.7 AS lat
+    FROM events WHERE event_id < 300) __g0) __g1
+ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

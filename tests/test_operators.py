@@ -1247,6 +1247,49 @@ def test_geohash_known_vectors_and_column_form(spark):
     assert got == ["u4pru", "ezs42"]
 
 
+def test_geohash_sql_fold_matches_python_grid(spark):
+    """The round-10 SQL-expression geohash fold (geohash_encode_sql /
+    geohash_decode_sql — zero-Python, shared by both text dialects) is
+    BITWISE-identical to the python reference over a dense global grid
+    at precisions 1, 5, and 12, and decode inverts encode to the cell
+    midpoint."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.functions.geo import (
+        geohash_decode_py,
+        geohash_decode_sql,
+        geohash_encode_py,
+        geohash_encode_sql,
+    )
+
+    pts = [
+        (lon + 0.123, lat + 0.457)
+        for lon in range(-180, 180, 37)
+        for lat in range(-90, 90, 23)
+    ]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    cols = [
+        F.expr(geohash_encode_sql("lon", "lat", p)).alias(f"g{p}")
+        for p in (1, 5, 12)
+    ] + [
+        F.expr(
+            geohash_decode_sql(geohash_encode_sql("lon", "lat", 7))
+        ).alias("back")
+    ]
+    rows = df.select("lon", "lat", *cols).collect()
+    assert len(rows) == len(pts)
+    for r in rows:
+        for p in (1, 5, 12):
+            assert r[f"g{p}"] == geohash_encode_py(r.lon, r.lat, p)
+        elon, elat = geohash_decode_py(geohash_encode_py(r.lon, r.lat, 7))
+        assert abs(r.back.lon - elon) < 1e-12
+        assert abs(r.back.lat - elat) < 1e-12
+    # NULL/empty guard: full-globe midpoint, not a runtime error
+    empty = geohash_decode_sql("''")
+    z = spark.sql(f"SELECT {empty} AS z").first()
+    assert (z.z.lon, z.z.lat) == (0.0, 0.0)
+
+
 def test_fulltext_index_persisted_and_pruned(spark, sf_dir, tmp_path):
     """Full-text inverted-index analog (operators/fulltext.py, round 6):
     the persisted postings table partitioned by token_bucket answers
