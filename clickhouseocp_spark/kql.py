@@ -1243,8 +1243,17 @@ _KQL_SCALARS: dict = {
     ),
     "bin_at": _kql_bin_at,
     # typed literals: real(null) / long(null) / real(4.5) — the Kusto
-    # typed-null and typed-number forms
-    "real": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    # typed-null and typed-number forms; real also carries the IEEE
+    # specials real(+inf) / real(-inf) / real(nan)
+    "real": lambda a: (
+        "CAST('Infinity' AS DOUBLE)"
+        if a[0].strip().lower() in ("+inf", "inf")
+        else "CAST('-Infinity' AS DOUBLE)"
+        if a[0].strip().lower() == "-inf"
+        else "CAST('NaN' AS DOUBLE)"
+        if a[0].strip().lower() == "nan"
+        else f"CAST({a[0]} AS DOUBLE)"
+    ),
     "long": lambda a: f"CAST({a[0]} AS BIGINT)",
     # --- series_* time-series vocabulary (round 8) — all zero-shuffle
     # array combinators over make-series outputs ---
@@ -1494,6 +1503,90 @@ _KQL_SCALARS: dict = {
         a[0], a[1], int(a[2]) if len(a) > 2 else 5
     ),
     "geo_geohash_to_central_point": lambda a: _geohash_decode_sql(a[0]),
+    # round-10 scalar batch 6: runtime type / hashing / float predicates /
+    # array editing / bag algebra / URL codecs / regex escaping
+    "gettype": lambda a: (
+        # Kusto's runtime type names from Spark's typeof() — the common
+        # scalar map; every array/map shape is Kusto 'dynamic'
+        f"CASE WHEN typeof({a[0]}) IN ('bigint', 'int', 'smallint', "
+        f"'tinyint') THEN 'long' "
+        f"WHEN typeof({a[0]}) IN ('double', 'float') "
+        f"OR typeof({a[0]}) LIKE 'decimal%' THEN 'real' "
+        f"WHEN typeof({a[0]}) = 'string' THEN 'string' "
+        f"WHEN typeof({a[0]}) = 'boolean' THEN 'bool' "
+        f"WHEN typeof({a[0]}) LIKE 'timestamp%' THEN 'datetime' "
+        f"WHEN typeof({a[0]}) LIKE 'array%' "
+        f"OR typeof({a[0]}) LIKE 'map%' "
+        f"OR typeof({a[0]}) LIKE 'struct%' THEN 'dynamic' "
+        f"ELSE typeof({a[0]}) END"
+    ),
+    # hash/hash_combine/hash_many: 64-bit xxhash64 (Kusto documents its
+    # hash as xxhash-based; the exact seeds differ — documented deviation,
+    # registry checks are determinism/range contracts)
+    "hash_combine": lambda a: f"xxhash64({', '.join(a)})",
+    "hash_many": lambda a: f"xxhash64({', '.join(a)})",
+    "hash": lambda a: (
+        f"xxhash64({a[0]})" if len(a) == 1
+        else f"pmod(xxhash64({a[0]}), CAST({a[1]} AS BIGINT))"
+    ),
+    "isfinite": lambda a: (
+        f"(NOT isnan(CAST({a[0]} AS DOUBLE)) "
+        f"AND abs(CAST({a[0]} AS DOUBLE)) != CAST('Infinity' AS DOUBLE))"
+    ),
+    "isinf": lambda a: (
+        f"(abs(CAST({a[0]} AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+    ),
+    # isnan passes through to Spark's isnan
+    "exp2": lambda a: f"power(2.0D, {a[0]})",
+    "exp10": lambda a: f"power(10.0D, {a[0]})",
+    "array_sort_asc": lambda a: f"array_sort({a[0]})",
+    "array_sort_desc": lambda a: f"reverse(array_sort({a[0]}))",
+    # array_slice(arr, start, end): INCLUSIVE 0-based ends, negative
+    # wraps from the back (Kusto contract)
+    "array_slice": lambda a: (
+        f"transform(array(named_struct('a', {a[0]}, "
+        f"'s', CAST({a[1]} AS INT), 'e', CAST({a[2]} AS INT))), "
+        f"__t -> slice(__t.a, "
+        f"greatest(IF(__t.s < 0, size(__t.a) + __t.s, __t.s), 0) + 1, "
+        f"greatest(least(IF(__t.e < 0, size(__t.a) + __t.e, __t.e), "
+        f"size(__t.a) - 1) "
+        f"- greatest(IF(__t.s < 0, size(__t.a) + __t.s, __t.s), 0) + 1, "
+        f"0)))[0]"
+    ),
+    # array_split(arr, index): pair of [0, idx) / [idx, n) halves
+    "array_split": lambda a: (
+        f"transform(array(named_struct('a', {a[0]}, "
+        f"'i', greatest(least(CAST({a[1]} AS INT), size({a[0]})), 0))), "
+        f"__t -> array(slice(__t.a, 1, __t.i), "
+        f"slice(__t.a, __t.i + 1, size(__t.a) - __t.i)))[0]"
+    ),
+    # bag_merge: first-wins key union (the make_bag entry-fold idiom —
+    # O(k²) in BAG size, never rows)
+    "bag_merge": lambda a: (
+        f"map_from_entries(aggregate("
+        f"concat({', '.join(f'map_entries({b})' for b in a)}), "
+        f"slice(map_entries({a[0]}), 1, 0), "
+        f"(__acc, __e) -> IF(exists(__acc, __p -> __p.key = __e.key), "
+        f"__acc, array_append(__acc, __e))))"
+    ),
+    "bag_remove_keys": lambda a: (
+        f"map_filter({a[0]}, (__k, __v) -> "
+        f"NOT array_contains({a[1]}, __k))"
+    ),
+    # translate(search, replace, text) — Kusto arg order; Spark's is
+    # (text, search, replace)
+    "translate": lambda a: f"translate({a[2]}, {a[0]}, {a[1]})",
+    # url_encode is application/x-www-form-urlencoded in BOTH (space→'+')
+    "url_encode_component": lambda a: (
+        f"replace(url_encode({a[0]}), '+', '%20')"
+    ),
+    "url_encode": lambda a: f"url_encode({a[0]})",
+    "url_decode": lambda a: f"url_decode({a[0]})",
+    "regex_quote": lambda a: (
+        f"regexp_replace({a[0]}, "
+        f"'([\\\\\\\\.\\\\*\\\\+\\\\?\\\\^\\\\$\\\\{{\\\\}}\\\\(\\\\)\\\\|"
+        f"\\\\[\\\\]])', '\\\\\\\\$1')"
+    ),
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,
 }

@@ -559,6 +559,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_geo_circle",
     # --- round-10 continuation: SQL geohash folds (both dialects) ---
     "chsql_geohash_roundtrip",
+    # --- round-10 continuation: KQL scalar batch 6 ---
+    "kql_scalar_vocab6",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8201,3 +8201,77 @@ ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_scalar_vocab6",
+    oracle="""
+SELECT event_id,
+  'long' AS t1, 'string' AS t2, 'dynamic' AS t3,
+  true AS hs, true AS hm_ok,
+  round(power(2.0, CAST(event_id % 16 AS DOUBLE)), 6) AS e2,
+  round(power(10.0, CAST(event_id % 5 AS DOUBLE)), 6) AS e10,
+  CAST(event_id % 5 = 0 OR event_id % 5 = 2 OR event_id % 5 = 4
+       AS BOOLEAN) AS fin_chk,
+  list_aggr(list_sort([event_id % 5, event_id % 3, event_id % 7]),
+            'string_agg', ',') AS sa,
+  list_aggr(list_reverse(list_sort(
+            [event_id % 5, event_id % 3, event_id % 7])),
+            'string_agg', ',') AS sd,
+  CAST(event_id % 3 AS VARCHAR) || ',' || CAST(event_id % 7 AS VARCHAR)
+    AS sl,
+  CAST(1 AS BIGINT) AS bv,
+  translate(event_type, 'ceu', 'CEU') AS tr,
+  'a+' || event_type AS ue,
+  'x ' || event_type AS ud,
+  event_type || '\.' || CAST(event_id AS VARCHAR) AS rq
+FROM events WHERE event_id < 150 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL scalar batch 6 (round 10): ``gettype`` (runtime type names),
+    ``hash``/``hash_combine`` (xxhash64-backed — exact seeds deviate from
+    Kusto, so the checks are determinism/range contracts),
+    ``isfinite``/``isinf``/``isnan`` (IEEE predicates incl. the
+    real(+inf)/real(nan) typed literals), ``exp2``/``exp10``,
+    ``array_sort_asc/desc``, ``array_slice`` (inclusive 0-based, negative
+    wraps), ``array_split``, ``bag_merge`` (first-wins key union),
+    ``bag_remove_keys``, ``translate`` (Kusto arg order),
+    ``url_encode[_component]``/``url_decode``, ``regex_quote``.  All
+    zero-exchange JVM expressions; the oracle replays every value as a
+    closed form (list ops via DuckDB list functions, url/regex outputs
+    from the alnum-safe charset of the synthesized inputs)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 150
+| extend arr = pack_array(event_id % 5, event_id % 3, event_id % 7)
+| project event_id,
+    t1 = gettype(event_id), t2 = gettype(props), t3 = gettype(arr),
+    hs = hash(tostring(event_id)) == hash(tostring(event_id)),
+    hm_ok = hash(tostring(event_id), 10) >= 0
+            and hash(tostring(event_id), 10) < 10
+            and hash_combine(event_id, 1) == hash_many(event_id, 1),
+    e2 = round(exp2(todouble(event_id % 16)), 6),
+    e10 = round(exp10(todouble(event_id % 5)), 6),
+    fin_chk = isfinite(todouble(event_id % 5))
+              and not(isinf(todouble(event_id % 5)))
+              and not(isnan(todouble(event_id % 5)))
+              and isinf(real(+inf)) and isnan(real(nan))
+              and iff(event_id % 5 == 0 or event_id % 5 == 2
+                      or event_id % 5 == 4, true, false),
+    sa = strcat_array(array_sort_asc(arr), ','),
+    sd = strcat_array(array_sort_desc(arr), ','),
+    sl = strcat_array(array_slice(arr, 1, 2), ','),
+    bv = bag_merge(bag_pack('k', 1), bag_pack('k', 9))['k'],
+    tr = translate('ceu', 'CEU', event_type),
+    ue = url_encode(strcat('a ', event_type)),
+    ud = url_decode(strcat('x%20', event_type)),
+    rq = regex_quote(strcat(event_type, '.', tostring(event_id)))
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
