@@ -1838,6 +1838,10 @@ def _agg_expr(e: str) -> str:
     # percentile is a nearest-rank T-digest approximation; the lowering is
     # Spark's exact interpolated percentile (matches SQL PERCENTILE_CONT).
     def _pct(args: list[str]) -> str:
+        if len(args) == 3:
+            # already-lowered percentilew output (value, frac, frequency)
+            # re-entering the bare rewrite on the second pass — leave intact
+            return f"percentile({', '.join(args)})"
         if len(args) != 2:
             raise KqlError(f"percentile(expr, N) takes 2 args, got {args!r}")
         if args[1].strip().startswith("array("):
@@ -1866,6 +1870,70 @@ def _agg_expr(e: str) -> str:
             )
         return f"percentile({args[0]}, array({fracs}))"
 
+    # round-10 aggregate batch: covariance pair, -if spreads, conditional
+    # collectors, null-keeping collector, weighted percentile
+    e = _rewrite_call(
+        e, "covariancep", lambda a: f"covar_pop({a[0]}, {a[1]})"
+    )
+    e = _rewrite_call(
+        e, "covariance", lambda a: f"covar_samp({a[0]}, {a[1]})"
+    )
+    e = _rewrite_call(
+        e, "stdevif",
+        lambda a: f"stddev_samp(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    e = _rewrite_call(
+        e, "varianceif",
+        lambda a: f"var_samp(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    e = _rewrite_call(
+        e, "make_list_if",
+        lambda a: f"collect_list(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    e = _rewrite_call(
+        e, "make_set_if",
+        lambda a: f"collect_set(CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    # collect_list drops NULLs — the with_nulls form rides a struct wrapper
+    # (struct rows are never null) and unwraps after collection
+    e = _rewrite_call(
+        e, "make_list_with_nulls",
+        lambda a: (
+            f"transform(collect_list(struct({a[0]} AS __v)), "
+            f"__s -> __s.__v)"
+        ),
+    )
+
+    def _pctw(args: list[str]) -> str:
+        # percentilew(x, weight, N): exact interpolated percentile of the
+        # weight-expanded multiset — Spark's percentile frequency argument
+        # (integral weights, Kusto's own contract)
+        if len(args) != 3:
+            raise KqlError(f"percentilew(expr, weight, N) takes 3 args, got {args!r}")
+        try:
+            frac = float(args[2]) / 100.0
+        except ValueError:
+            raise KqlError(f"percentilew: N must be a numeric literal, got {args[2]!r}")
+        return f"percentile({args[0]}, {frac}, CAST({args[1]} AS BIGINT))"
+
+    def _pctsw_array(args: list[str]) -> str:
+        if len(args) < 3:
+            raise KqlError(
+                f"percentilesw_array(expr, weight, N...) needs >= 3 args, got {args!r}"
+            )
+        try:
+            fracs = ", ".join(str(float(p) / 100.0) for p in args[2:])
+        except ValueError:
+            raise KqlError(
+                f"percentilesw_array: N must be numeric literals, got {args!r}"
+            )
+        return (
+            f"percentile({args[0]}, array({fracs}), "
+            f"CAST({args[1]} AS BIGINT))"
+        )
+
+    e = _rewrite_call(e, "percentilesw_array", _pctsw_array)
+    e = _rewrite_call(e, "percentilew", _pctw)
     e = _rewrite_call(e, "percentiles_array", _pcts_array)
     e = _rewrite_call(e, "percentile", _pct)
     e = _rewrite_call(

@@ -561,6 +561,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "chsql_geohash_roundtrip",
     # --- round-10 continuation: KQL scalar batch 6 ---
     "kql_scalar_vocab6",
+    # --- round-10 continuation: KQL aggregate batch 7 ---
+    "kql_agg_vocab7",
 ]
 
 _DRIVER_WINDOW_R5 = [

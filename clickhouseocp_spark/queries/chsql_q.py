@@ -8275,3 +8275,67 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_agg_vocab7",
+    oracle="""
+WITH w AS (
+  SELECT event_type, CAST(event_id % 100 AS DOUBLE) AS x,
+         event_id % 3 + 1 AS wt,
+         unnest(generate_series(1, event_id % 3 + 1)) AS rep
+  FROM events)
+SELECT e.event_type,
+  round(covar_samp(value, CAST(event_id % 7 AS DOUBLE)), 6) AS cv,
+  round(covar_pop(value, CAST(event_id % 7 AS DOUBLE)), 6) AS cvp,
+  round(stddev_samp(CASE WHEN event_id % 2 = 0 THEN value END), 6)
+    AS sdif,
+  round(var_samp(CASE WHEN event_id % 2 = 0 THEN value END), 6) AS vrif,
+  list_aggr(list_sort(list(event_id) FILTER (event_id % 97 = 0)),
+            'string_agg', ',') AS mli,
+  list_aggr(list_sort(list(DISTINCT event_id % 5)
+                      FILTER (event_id % 2 = 1)), 'string_agg', ',')
+    AS msi,
+  CAST(count(*) AS INTEGER) AS ln_total,
+  CAST(count(CASE WHEN event_id % 10 != 0 THEN 1 END) AS INTEGER)
+    AS ln_nn,
+  round((SELECT quantile_cont(x, 0.5) FROM w
+         WHERE w.event_type = e.event_type), 6) AS pw
+FROM events e GROUP BY e.event_type ORDER BY e.event_type
+""",
+    tags=("kql", "dialect", "aggregate", "vocabulary"),
+)
+def kql_agg_vocab7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL aggregate batch 7 (round 10): ``covariance``/``covariancep``
+    (sample/population), ``stdevif``/``varianceif`` (conditional
+    spreads), ``make_list_if``/``make_set_if`` (conditional collectors,
+    sorted for determinism), ``make_list_with_nulls`` (struct-wrapper
+    collection so NULLs survive — checked by total vs non-null length),
+    and ``percentilew`` (exact interpolated weighted percentile via
+    Spark's percentile frequency argument).  The oracle replays the
+    weighted percentile by physically expanding each row weight times."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| summarize
+    cv = round(covariance(value, todouble(event_id % 7)), 6),
+    cvp = round(covariancep(value, todouble(event_id % 7)), 6),
+    sdif = round(stdevif(value, event_id % 2 == 0), 6),
+    vrif = round(varianceif(value, event_id % 2 == 0), 6),
+    mli = strcat_array(array_sort_asc(
+            make_list_if(event_id, event_id % 97 == 0)), ','),
+    msi = strcat_array(array_sort_asc(
+            make_set_if(event_id % 5, event_id % 2 == 1)), ','),
+    ln_total = array_length(make_list_with_nulls(
+            iff(event_id % 10 == 0, long(null), event_id))),
+    ln_nn = array_length(make_list(
+            iff(event_id % 10 == 0, long(null), event_id))),
+    pw = round(percentilew(todouble(event_id % 100),
+                           event_id % 3 + 1, 50), 6)
+    by event_type
+| sort by event_type asc
+""",
+        dialect="kusto",
+    )
