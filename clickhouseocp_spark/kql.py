@@ -3544,6 +3544,43 @@ _DT_TYPES = {"string": "STRING", "long": "BIGINT", "int": "INT",
              "dynamic": None}
 
 
+def _find_source(src: str, lets: dict[str, str]) -> str:
+    """``find [withsource=Col] in (T1, T2, ...) where Pred project c1,
+    ...`` — Kusto's cross-table search source.  Lowering: one UNION ALL
+    leg per table, each a filtered projection carrying the source-table
+    name column (default ``source_``) — filters push into every leg's
+    scan independently, so the union never materializes unmatched rows.
+    Subset (documented): the ``project`` list is required and its
+    columns (and the predicate's) must exist in every listed table —
+    Kusto pads missing columns from schema knowledge the text path does
+    not have."""
+    m = re.match(
+        r"(?is)^find\s+(?:withsource\s*=\s*([A-Za-z_]\w*)\s+)?"
+        r"in\s*\(([^)]+)\)\s*where\s+(.+?)\s+project\s+(.+)$",
+        src.strip(),
+    )
+    if not m:
+        raise KqlError(
+            "find subset: find [withsource=Col] in (T1, T2, ...) where "
+            f"<pred> project <cols> — project is required, got {src!r}"
+        )
+    srccol = m.group(1) or "source_"
+    tables = [t.strip() for t in m.group(2).split(",")]
+    if not tables or not all(re.match(r"^[A-Za-z_]\w*$", t) for t in tables):
+        raise KqlError(f"find: table list must be bare names, got {m.group(2)!r}")
+    pred = _expr(m.group(3))
+    cols = ", ".join(_alias_item(x) for x in _split_top(m.group(4)))
+    legs = []
+    for t in tables:
+        rel_t = lets.get(t, t)
+        if " " in rel_t:
+            rel_t = f"({rel_t}) __fd_{t}"
+        legs.append(
+            f"SELECT '{t}' AS {srccol}, {cols} FROM {rel_t} WHERE {pred}"
+        )
+    return " UNION ALL ".join(legs)
+
+
 def _externaldata(src: str) -> str:
     """``externaldata (c1:t1, ...) ['path'] [with (format='csv')]`` —
     Kusto's typed external source.  Local-file subset (no cloud URIs in
@@ -4026,6 +4063,8 @@ def _transpile_pipeline(
             f"SELECT explode(sequence({_expr(frm)}, {_expr(to)}, {step_sql})) "
             f"AS {name}"
         )
+    elif re.match(r"(?i)^find\b", src):
+        rel = _find_source(src, lets)
     elif re.match(r"(?i)^externaldata\b", src):
         rel = _externaldata(src)
     elif re.match(r"(?i)^datatable\b", src):

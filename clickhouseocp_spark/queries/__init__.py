@@ -563,6 +563,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_scalar_vocab6",
     # --- round-10 continuation: KQL aggregate batch 7 ---
     "kql_agg_vocab7",
+    # --- round-10 continuation: cross-table find source ---
+    "kql_find_source",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8339,3 +8339,36 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_find_source",
+    oracle="""
+SELECT * FROM (
+  SELECT 'docs' AS source_, doc_id AS id, lang AS tag FROM documents
+  WHERE doc_id < 40
+  UNION ALL
+  SELECT 'evts', event_id, event_type FROM events WHERE event_id < 40
+) ORDER BY source_, id
+""",
+    tags=("kql", "dialect", "source"),
+)
+def kql_find_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``find`` source (round 10): cross-table search — one UNION
+    ALL leg per table, each a filtered projection carrying the
+    source-table name, so the predicate pushes into every leg's scan
+    independently.  Subset: explicit project list shared by all legs
+    (Kusto pads from schema knowledge the text path does not have).
+    Searching a documents view and an events view for low ids; the
+    oracle replays the same union."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+let docs = documents | project id = doc_id, tag = lang;
+let evts = events | project id = event_id, tag = event_type;
+find in (docs, evts) where id < 40 project id, tag
+| sort by source_ asc, id asc
+""",
+        dialect="kusto",
+    )
