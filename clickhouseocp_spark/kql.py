@@ -1020,6 +1020,33 @@ def _kql_ipv4_compare(a: list[str]) -> str:
     )
 
 
+def _kql_format_timespan(a: list[str]) -> str:
+    """format_timespan(seconds, fmt) — the two canonical patterns."""
+    if len(a) != 2:
+        raise KqlError("format_timespan(timespan, format) takes 2 args")
+    fmt = a[1].strip().strip("'\"")
+    t = f"CAST({a[0]} AS BIGINT)"
+    two = "lpad(CAST({v} AS STRING), 2, '0')"
+    if fmt == "d.hh:mm:ss":
+        return (
+            f"concat(CAST({t} DIV 86400 AS STRING), '.', "
+            + two.format(v=f"{t} % 86400 DIV 3600")
+            + ", ':', " + two.format(v=f"{t} % 3600 DIV 60")
+            + ", ':', " + two.format(v=f"{t} % 60") + ")"
+        )
+    if fmt == "hh:mm:ss":
+        return (
+            "concat("
+            + two.format(v=f"{t} DIV 3600")
+            + ", ':', " + two.format(v=f"{t} % 3600 DIV 60")
+            + ", ':', " + two.format(v=f"{t} % 60") + ")"
+        )
+    raise KqlError(
+        "format_timespan subset: format must be 'd.hh:mm:ss' or "
+        f"'hh:mm:ss', got {fmt!r}"
+    )
+
+
 def _kql_has_any_index(a: list[str]) -> str:
     """has_any_index(source, list) → 0-based index of the FIRST list item
     that occurs as a whole term in source, -1 when none (Kusto contract;
@@ -1582,6 +1609,45 @@ _KQL_SCALARS: dict = {
     ),
     "url_encode": lambda a: f"url_encode({a[0]})",
     "url_decode": lambda a: f"url_decode({a[0]})",
+    # max_of/min_of: variadic scalar extrema, NULLs ignored (both Kusto
+    # and Spark greatest/least skip NULL operands)
+    "max_of": lambda a: f"greatest({', '.join(a)})",
+    "min_of": lambda a: f"least({', '.join(a)})",
+    # parse_urlquery: decoded key→value bag of the query string (leading
+    # '?' tolerated, valueless keys → empty string) — subset: a flat map,
+    # not Kusto's nested {"Query Parameters": ...} wrapper
+    "parse_urlquery": lambda a: (
+        f"map_from_entries(transform(filter(split("
+        f"regexp_replace({a[0]}, '^\\\\?', ''), '&'), "
+        f"__p -> __p != ''), __p -> named_struct("
+        f"'key', url_decode(element_at(split(__p, '='), 1)), "
+        f"'value', url_decode(coalesce(try_element_at(split(__p, '='), 2), "
+        f"'')))))"
+    ),
+    # format_timespan subset: seconds input, the two canonical patterns
+    # 'd.hh:mm:ss' and 'hh:mm:ss' (hours roll past 24 in the second form)
+    "format_timespan": lambda a: _kql_format_timespan(a),
+    # parse_csv subset: one quoted-field CSV record → array of fields
+    # (double-quote quoting, no embedded escaped quotes) as ONE character
+    # fold — O(len) per row, all JVM
+    "parse_csv": lambda a: (
+        f"transform(array(aggregate(split({a[0]}, ''), "
+        f"named_struct('q', false, 'cur', '', "
+        f"'out', CAST(array() AS ARRAY<STRING>)), "
+        f"(__s, __c) -> CASE "
+        f"WHEN __s.q AND __c = '\"' THEN "
+        f"named_struct('q', false, 'cur', __s.cur, 'out', __s.out) "
+        f"WHEN __s.q THEN "
+        f"named_struct('q', true, 'cur', concat(__s.cur, __c), "
+        f"'out', __s.out) "
+        f"WHEN __c = '\"' THEN "
+        f"named_struct('q', true, 'cur', __s.cur, 'out', __s.out) "
+        f"WHEN __c = ',' THEN named_struct('q', false, 'cur', '', "
+        f"'out', array_append(__s.out, __s.cur)) "
+        f"ELSE named_struct('q', false, 'cur', concat(__s.cur, __c), "
+        f"'out', __s.out) END, "
+        f"__s -> array_append(__s.out, __s.cur))), __r -> __r)[0]"
+    ),
     "regex_quote": lambda a: (
         f"regexp_replace({a[0]}, "
         f"'([\\\\\\\\.\\\\*\\\\+\\\\?\\\\^\\\\$\\\\{{\\\\}}\\\\(\\\\)\\\\|"

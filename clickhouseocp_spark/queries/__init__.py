@@ -565,6 +565,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_agg_vocab7",
     # --- round-10 continuation: cross-table find source ---
     "kql_find_source",
+    # --- round-10 continuation: KQL scalar batch 7 ---
+    "kql_scalar_vocab7",
 ]
 
 _DRIVER_WINDOW_R5 = [

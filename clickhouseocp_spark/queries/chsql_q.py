@@ -8372,3 +8372,50 @@ find in (docs, evts) where id < 40 project id, tag
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_scalar_vocab7",
+    oracle="""
+SELECT event_id,
+  greatest(event_id % 7, event_id % 5, 3) AS m1,
+  least(event_id % 7, event_id % 5, 3) AS m2,
+  CAST(event_id AS VARCHAR) AS uq,
+  CAST(event_id * 61 // 86400 AS VARCHAR) || '.' ||
+    lpad(CAST(event_id * 61 % 86400 // 3600 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(event_id * 61 % 3600 // 60 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(event_id * 61 % 60 AS VARCHAR), 2, '0') AS ft,
+  lpad(CAST(event_id * 61 // 3600 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(event_id * 61 % 3600 // 60 AS VARCHAR), 2, '0') || ':' ||
+    lpad(CAST(event_id * 61 % 60 AS VARCHAR), 2, '0') AS ft2,
+  CAST(event_id AS VARCHAR) || '|a,' || event_type || '|z' AS cs
+FROM events WHERE event_id < 150 ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL scalar batch 7 (round 10): ``max_of``/``min_of`` (variadic
+    extrema, NULLs ignored), ``parse_urlquery`` (decoded query-param
+    bag), ``format_timespan`` (both canonical patterns), ``parse_csv``
+    (quote-aware single-record split as ONE character fold).  All
+    zero-exchange JVM expressions; the oracle replays each closed form
+    (the CSV case round-trips a quoted embedded comma)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 150
+| project event_id,
+    m1 = max_of(event_id % 7, event_id % 5, 3),
+    m2 = min_of(event_id % 7, event_id % 5, 3),
+    uq = parse_urlquery(strcat('k=', tostring(event_id), '&t=',
+                               event_type))['k'],
+    ft = format_timespan(event_id * 61, 'd.hh:mm:ss'),
+    ft2 = format_timespan(event_id * 61, 'hh:mm:ss'),
+    cs = strcat_array(parse_csv(strcat(tostring(event_id), ',"a,',
+                                       event_type, '",z')), '|')
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
