@@ -1356,6 +1356,83 @@ def test_kql_mining_operators(spark, sf_dir):
     assert all(not (c == 4 and k == "1" and v == "*") for c, k, v in got)
 
 
+def test_kql_ipv4_and_csv_vs_stdlib_reference(spark, sf_dir):
+    """Seeded fuzz of the round-10 scalar families against INDEPENDENT
+    stdlib oracles: the IPv4 parse/format/compare/suffix quartet vs
+    ``ipaddress`` over 150 random ip[/prefix] cases, and ``parse_csv``
+    vs ``csv.reader`` over random records (subset charset: no embedded
+    escaped quotes)."""
+    import csv as csvmod
+    import io
+    import ipaddress
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rng = random.Random(20261)
+    cases = []
+    for i in range(150):
+        octets = ".".join(str(rng.randrange(256)) for _ in range(4))
+        sfx = rng.choice([None] + list(range(8, 33)))
+        ip = octets + (f"/{sfx}" if sfx is not None else "")
+        cases.append((i, ip, rng.randrange(8, 33)))
+    rows = ", ".join(f"{i}, '{ip}', {p}" for i, ip, p in cases)
+    got = eng.sql(
+        f"datatable(i:long, ip:string, p:long)[{rows}] "
+        "| project i, n = parse_ipv4(ip), f = format_ipv4(ip, p), "
+        "fm = format_ipv4_mask(ip, p), sfx = ipv4_netmask_suffix(ip), "
+        "c = ipv4_compare(ip, '128.0.0.0/4') "
+        "| sort by i asc",
+        dialect="kusto",
+    ).collect()
+    for (i, ip, p), r in zip(cases, got):
+        assert r.i == i
+        base, _, s = ip.partition("/")
+        eff = int(s) if s else 32
+        net = ipaddress.IPv4Network((base, eff), strict=False)
+        assert r.n == int(net.network_address), (ip, p)
+        eff2 = min(eff, p)
+        net2 = ipaddress.IPv4Network((base, eff2), strict=False)
+        assert r.f == str(net2.network_address), (ip, p)
+        assert r.fm == f"{net2.network_address}/{eff2}", (ip, p)
+        assert r.sfx == eff
+        m = min(eff, 4)
+        a = int(ipaddress.IPv4Address(base)) >> (32 - m)
+        b = int(ipaddress.IPv4Address("128.0.0.0")) >> (32 - m)
+        assert r.c == (a > b) - (a < b), (ip, p)
+
+    alphabet = "abc XY-09;:/%&"
+    recs = []
+    for i in range(60):
+        fields = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 9)))
+            for _ in range(rng.randrange(1, 6))
+        ]
+        buf = io.StringIO()
+        csvmod.writer(buf, lineterminator="").writerow(fields)
+        line = buf.getvalue()
+        if "'" in line or '"' in line:
+            continue
+        # force some quoted fields with embedded commas
+        if rng.random() < 0.4 and len(fields) > 1:
+            fields[0] = f"a,{fields[1]}"
+            buf = io.StringIO()
+            csvmod.writer(buf, lineterminator="").writerow(fields)
+            line = buf.getvalue()
+        recs.append((i, line, fields))
+    rows = ", ".join(f"{i}, '{line}'" for i, line, _f in recs)
+    got = eng.sql(
+        f"datatable(i:long, s:string)[{rows}] "
+        "| project i, out = strcat_array(parse_csv(s), '|') "
+        "| sort by i asc",
+        dialect="kusto",
+    ).collect()
+    for (i, line, fields), r in zip(recs, got):
+        expect = next(csvmod.reader(io.StringIO(line)))
+        assert r.out.split("|") == expect, (line, fields)
+
+
 def test_kql_let_datatable_print(spark, sf_dir):
     """let bindings (scalar macro + tabular), datatable literal relations,
     and the print source — executed end-to-end."""
