@@ -1948,6 +1948,32 @@ def _agg_expr(e: str) -> str:
         e, "stdevif",
         lambda a: f"stddev_samp(CASE WHEN {a[1]} THEN {a[0]} END)",
     )
+    # bare spread aggregates: Kusto stdev/variance are the SAMPLE forms,
+    # stdevp/variancep the population forms; Spark spells the sample
+    # stddev differently, so all four lower explicitly
+    e = _rewrite_call(e, "stdevp", lambda a: f"stddev_pop({a[0]})")
+    e = _rewrite_call(e, "stdev", lambda a: f"stddev_samp({a[0]})")
+    e = _rewrite_call(e, "variancep", lambda a: f"var_pop({a[0]})")
+    e = _rewrite_call(e, "variance", lambda a: f"var_samp({a[0]})")
+    e = _rewrite_call(
+        e, "count_distinctif",
+        lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    )
+    e = _rewrite_call(
+        e, "count_distinct", lambda a: f"count(DISTINCT {a[0]})"
+    )
+    e = _rewrite_call(
+        e, "make_bag_if",
+        lambda a: (
+            f"map_from_entries(aggregate("
+            f"flatten(collect_list(map_entries("
+            f"CASE WHEN {a[1]} THEN {a[0]} END))), "
+            f"slice(flatten(collect_list(map_entries("
+            f"CASE WHEN {a[1]} THEN {a[0]} END))), 1, 0), "
+            f"(__acc, __e) -> if(exists(__acc, __p -> __p.key = __e.key), "
+            f"__acc, array_append(__acc, __e))))"
+        ),
+    )
     e = _rewrite_call(
         e, "varianceif",
         lambda a: f"var_samp(CASE WHEN {a[1]} THEN {a[0]} END)",

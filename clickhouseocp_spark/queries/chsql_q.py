@@ -8300,7 +8300,15 @@ SELECT e.event_type,
   CAST(count(CASE WHEN event_id % 10 != 0 THEN 1 END) AS INTEGER)
     AS ln_nn,
   round((SELECT quantile_cont(x, 0.5) FROM w
-         WHERE w.event_type = e.event_type), 6) AS pw
+         WHERE w.event_type = e.event_type), 6) AS pw,
+  round(stddev_samp(value), 6) AS sd,
+  round(stddev_pop(value), 6) AS sdp,
+  round(var_samp(value), 6) AS vr,
+  round(var_pop(value), 6) AS vrp,
+  count(DISTINCT event_id % 11) AS cd,
+  count(DISTINCT CASE WHEN event_id % 2 = 0 THEN event_id % 11 END) AS cdi,
+  list_aggr(list_sort(list(DISTINCT CAST(event_id % 3 AS VARCHAR))
+                      FILTER (event_id % 50 = 0)), 'string_agg', ',') AS mb
 FROM events e GROUP BY e.event_type ORDER BY e.event_type
 """,
     tags=("kql", "dialect", "aggregate", "vocabulary"),
@@ -8311,6 +8319,8 @@ def kql_agg_vocab7(spark: SparkSession, sf_dir: str) -> DataFrame:
     spreads), ``make_list_if``/``make_set_if`` (conditional collectors,
     sorted for determinism), ``make_list_with_nulls`` (struct-wrapper
     collection so NULLs survive — checked by total vs non-null length),
+    bare ``stdev``/``stdevp``/``variance``/``variancep``,
+    ``count_distinct[if]`` (exact), ``make_bag_if``,
     and ``percentilew`` (exact interpolated weighted percentile via
     Spark's percentile frequency argument).  The oracle replays the
     weighted percentile by physically expanding each row weight times."""
@@ -8333,7 +8343,14 @@ events
     ln_nn = array_length(make_list(
             iff(event_id % 10 == 0, long(null), event_id))),
     pw = round(percentilew(todouble(event_id % 100),
-                           event_id % 3 + 1, 50), 6)
+                           event_id % 3 + 1, 50), 6),
+    sd = round(stdev(value), 6), sdp = round(stdevp(value), 6),
+    vr = round(variance(value), 6), vrp = round(variancep(value), 6),
+    cd = count_distinct(event_id % 11),
+    cdi = count_distinctif(event_id % 11, event_id % 2 == 0),
+    mb = strcat_array(array_sort(bag_keys(make_bag_if(
+           bag_pack(tostring(event_id % 3), event_id),
+           event_id % 50 == 0))), ',')
     by event_type
 | sort by event_type asc
 """,
