@@ -403,3 +403,91 @@ def test_random_streaming_scan_concurrent_agrees_with_simulator(
                 sl1 = None
         state[uid] = (seq, sl1, sl2)
     assert got == sorted(expect), (sorted(s1), sorted(s2))
+
+
+def test_fuzz_mining_plugins_vs_bruteforce(spark, sf_dir):
+    """Seeded fuzz of evaluate autocluster/diffpatterns against an
+    independent brute-force miner over random small categorical tables:
+    enumerate every grouping-set segment in python, apply the documented
+    threshold and domination rules, and compare exact result SETS."""
+    import random
+    from itertools import combinations
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rng = random.Random(77)
+    for trial in range(4):
+        n = rng.randrange(24, 60)
+        rows = [
+            (
+                rng.choice(["a", "b", "c"]),
+                rng.choice(["x", "y"]),
+                rng.choice(["big", "small"]),
+            )
+            for _ in range(n)
+        ]
+        cells = ", ".join(f"'{u}', '{v}', '{s}'" for u, v, s in rows)
+        dt = f"datatable(u:string, v:string, sz:string)[{cells}]"
+        thr = rng.choice([0.1, 0.2, 0.3])
+
+        # --- brute-force autocluster over (u, v) ---
+        segs = {}
+        for fixed in (("u",), ("v",), ("u", "v")):
+            for r in rows:
+                key = tuple(
+                    (c, r[0] if c == "u" else r[1]) for c in fixed
+                )
+                segs[key] = segs.get(key, 0) + 1
+        kept = {k: c for k, c in segs.items() if c >= thr * n}
+        surv = set()
+        for k, c in kept.items():
+            dominated = any(
+                set(k) < set(k2) and c2 * 2 >= c
+                for k2, c2 in kept.items()
+            )
+            if not dominated:
+                fx = dict(k)
+                surv.add((c, fx.get("u", "*"), fx.get("v", "*")))
+        got = eng.sql(
+            f"{dt} | evaluate autocluster({thr}, u, v) "
+            "| project Count, u1 = coalesce(u, '*'), v1 = coalesce(v, '*')",
+            dialect="kusto",
+        ).collect()
+        assert {(r.Count, r.u1, r.v1) for r in got} == surv, (trial, thr)
+
+        # --- brute-force diffpatterns split on sz ---
+        na = sum(1 for r in rows if r[2] == "big")
+        nb = n - na
+        if na == 0 or nb == 0:
+            continue
+        dsegs = {}
+        for r in rows:
+            for fixed in (("u",), ("v",), ("u", "v")):
+                key = tuple(
+                    (c, r[0] if c == "u" else r[1]) for c in fixed
+                )
+                ca, cb = dsegs.get(key, (0, 0))
+                if r[2] == "big":
+                    ca += 1
+                else:
+                    cb += 1
+                dsegs[key] = (ca, cb)
+        expect = set()
+        dthr = 0.05
+        for k, (ca, cb) in dsegs.items():
+            pa, pb = 100.0 * ca / na, 100.0 * cb / nb
+            if abs(pa - pb) >= dthr * 100.0:
+                fx = dict(k)
+                expect.add(
+                    (ca, cb, fx.get("u", "*"), fx.get("v", "*"))
+                )
+        got = eng.sql(
+            f"{dt} | evaluate diffpatterns(sz, 'big', 'small', {dthr}, u, v) "
+            "| project CountA, CountB, u1 = coalesce(u, '*'), "
+            "v1 = coalesce(v, '*')",
+            dialect="kusto",
+        ).collect()
+        assert {
+            (r.CountA, r.CountB, r.u1, r.v1) for r in got
+        } == expect, (trial,)
