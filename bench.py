@@ -142,6 +142,17 @@ HEADLINE = [
     # sequenceNextNode sorted-collect navigation aggregate
     "kql_rows_near",
     "chsql_sequence_next_node",
+    # round-10 continuation: segment mining (CUBE + domination anti-join),
+    # rolling stickiness (bounded fan-out + two hash aggs), CIDR
+    # enrichment (mask fan-out equi-join + longest-prefix window), the
+    # two-segment trend fit (deepest per-row combinator tower), the
+    # DataSketches HLL pair, and the streaming sessionization fold
+    "kql_autocluster",
+    "kql_active_users_count",
+    "kql_ipv4_lookup",
+    "kql_series_fit_2lines",
+    "kql_hll_binary_agg",
+    "stream_session_count",
 ]
 
 
