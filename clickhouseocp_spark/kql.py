@@ -4183,7 +4183,54 @@ def _transpile_pipeline(
             items = ", ".join(_alias_item(x) for x in _split_top(rest))
             rel = f"SELECT {items} FROM {sub}"
         elif op == "extend":
-            items = ", ".join(_alias_item(x) for x in _split_top(rest))
+            single = _split_top(rest)
+            mrr = (
+                re.match(
+                    r"(?is)^([A-Za-z_]\w*)\s*=\s*"
+                    r"row_rank_(dense|min)\s*\(\s*([A-Za-z_]\w*)\s*\)\s*$",
+                    single[0].strip(),
+                )
+                if len(single) == 1
+                else None
+            )
+            if mrr:
+                # row_rank_dense/row_rank_min(Term): serialized ranks that
+                # advance only when Term CHANGES from the previous row —
+                # a lag change-flag then its running sum (dense), plus a
+                # per-run min row_number (min).  Two (three) chained
+                # windows over the SAME serialized sort → one exchange.
+                # Subset: the single-assignment extend form.
+                if last_order is None:
+                    raise KqlError(
+                        "row_rank_dense()/row_rank_min() need a preceding "
+                        "sort (serialized row order)"
+                    )
+                alias, kind, term = mrr.group(1), mrr.group(2), mrr.group(3)
+                inner = (
+                    f"SELECT *, CASE WHEN {term} <=> "
+                    f"lag({term}) OVER (ORDER BY {last_order}) "
+                    f"THEN 0 ELSE 1 END AS __chg, "
+                    f"row_number() OVER (ORDER BY {last_order}) AS __rrn "
+                    f"FROM {sub}"
+                )
+                mid = (
+                    f"SELECT *, sum(__chg) OVER (ORDER BY {last_order} "
+                    f"ROWS UNBOUNDED PRECEDING) AS __run "
+                    f"FROM ({inner}) __rr0"
+                )
+                if kind == "dense":
+                    rel = (
+                        f"SELECT * EXCEPT (__chg, __rrn, __run), "
+                        f"__run AS {alias} FROM ({mid}) __rr1"
+                    )
+                else:
+                    rel = (
+                        f"SELECT * EXCEPT (__chg, __rrn, __run), "
+                        f"min(__rrn) OVER (PARTITION BY __run) AS {alias} "
+                        f"FROM ({mid}) __rr1"
+                    )
+                continue
+            items = ", ".join(_alias_item(x) for x in single)
             if re.search(r"\b(prev|next|row_cumsum|row_number)\s*\(", items,
                          re.IGNORECASE):
                 # Kusto's serialized-window functions: valid once row order

@@ -567,6 +567,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_find_source",
     # --- round-10 continuation: KQL scalar batch 7 ---
     "kql_scalar_vocab7",
+    # --- round-10 continuation: serialized ranks ---
+    "kql_row_rank",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8436,3 +8436,44 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_row_rank",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type IS NOT DISTINCT FROM
+                   lag(event_type) OVER (ORDER BY event_id)
+              THEN 0 ELSE 1 END AS chg,
+         row_number() OVER (ORDER BY event_id) AS rn
+  FROM events WHERE event_id < 400),
+m AS (SELECT *, sum(chg) OVER (ORDER BY event_id
+                               ROWS UNBOUNDED PRECEDING) AS run FROM s)
+SELECT event_id, event_type, CAST(run AS BIGINT) AS rd,
+       CAST(min(rn) OVER (PARTITION BY run) AS BIGINT) AS rm
+FROM m ORDER BY event_id
+""",
+    tags=("kql", "dialect", "window"),
+)
+def kql_row_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``row_rank_dense`` / ``row_rank_min`` (round 10): serialized
+    ranks that advance only when the term CHANGES from the previous row —
+    a lag change-flag, its running sum, and (min form) a per-run min row
+    number: chained windows over ONE serialized sort, one exchange.  The
+    oracle replays the identical three-window chain."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 400
+| sort by event_id asc
+| extend rd = row_rank_dense(event_type)
+| sort by event_id asc
+| extend rm = row_rank_min(event_type)
+| project event_id, event_type, rd = tolong(rd), rm = tolong(rm)
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
