@@ -334,7 +334,8 @@ class ChSparkEngine:
             query = expand_param_views(query, pviews)
         if head in ("ALTER", "OPTIMIZE", "TRUNCATE", "CREATE", "INSERT", "DROP",
                     "RENAME", "EXCHANGE", "DELETE", "SYSTEM", "KILL",
-                    "ATTACH", "DETACH", "UNDROP", "BACKUP", "RESTORE"):
+                    "ATTACH", "DETACH", "UNDROP", "BACKUP", "RESTORE",
+                    "CHECK"):
             return self.execute(query)
         if head == "SET":
             return self._set_statement(query)
@@ -1101,6 +1102,32 @@ class ChSparkEngine:
             # accepted no-op so migration scripts run unmodified
             self._table(m.group(1).lower())  # raise on unknown table
             return self.spark.range(0).select(F.lit("ok").alias("ok")).limit(0)
+        m = _re.match(
+            r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+"
+            r"(\w+)(?:\s+IN\s+PARTITION\s+\S+)?$",
+            text,
+        )
+        if m:
+            # CH forces computing a DEFAULT/MATERIALIZED column into old
+            # parts; this engine's ALTERs are lineage rewrites, so every
+            # column is computed at read already — accepted no-op with the
+            # column-existence check (the part of the contract that can
+            # fail)
+            t, col = m.group(1).lower(), m.group(2)
+            if col not in self._base_table(t).columns:
+                raise ChSqlError(f"MATERIALIZE COLUMN: no column {col!r} on {t!r}")
+            return self.spark.range(0).select(F.lit("ok").alias("ok")).limit(0)
+        m = _re.match(r"(?is)^CHECK\s+TABLE\s+(\w+)$", text)
+        if m:
+            # CH verifies part checksums and returns one row (result=1) —
+            # the session-view analog verifies the lineage evaluates end to
+            # end (a count() forces a full scan of every referenced file)
+            t = m.group(1).lower()
+            n = self._table(t).count()
+            return self.spark.sql(
+                f"SELECT CAST(1 AS TINYINT) AS result, "
+                f"CAST({n} AS BIGINT) AS rows_read"
+            )
         m = _re.match(
             r"(?is)^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COLUMN\s+(\w+)\s+([\w()0-9, ]+)$",
             text,

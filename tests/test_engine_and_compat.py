@@ -737,6 +737,26 @@ def test_undrop_table(spark, sf_dir):
     eng.sql("DROP TABLE udt")
 
 
+def test_check_table_and_materialize_column(spark, sf_dir):
+    """CHECK TABLE returns the CH one-row (result=1) shape after forcing a
+    full lineage evaluation; ALTER TABLE ... MATERIALIZE COLUMN is the
+    documented lineage no-op but still validates the column exists."""
+    import pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError
+
+    eng = ChSparkEngine(sf_dir, spark)
+    r = eng.sql("CHECK TABLE region").collect()
+    assert len(r) == 1 and r[0].result == 1 and r[0].rows_read == 5
+    eng.sql("CREATE TABLE mc AS SELECT r_regionkey FROM region")
+    eng.sql("ALTER TABLE mc ADD COLUMN dbl Int64 DEFAULT r_regionkey * 2")
+    eng.sql("ALTER TABLE mc MATERIALIZE COLUMN dbl")
+    assert eng.sql("SELECT sum(dbl) AS s FROM mc").collect()[0].s == 20
+    with pytest.raises(ChSqlError, match="MATERIALIZE COLUMN"):
+        eng.execute("ALTER TABLE mc MATERIALIZE COLUMN nope")
+    eng.sql("DROP TABLE mc")
+
+
 def test_parameterized_view(spark, sf_dir):
     """CREATE VIEW with {p:Type} placeholders (CH 23.1 parameterized views):
     instantiated per call via FROM v(p = value); unbound params raise."""
