@@ -4492,6 +4492,22 @@ def _transpile_pipeline(
             if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
                 raise KqlError(f"project-away needs bare column names, got {rest!r}")
             rel = f"SELECT * EXCEPT ({', '.join(cols)}) FROM {sub}"
+        elif op == "project-reorder":
+            # listed columns first, every other column in original order —
+            # Spark's `c1, c2, * EXCEPT (c1, c2)` is exactly that shape
+            cols = [c.strip() for c in _split_top(rest)]
+            if not cols or not all(re.match(r"^[A-Za-z_]\w*$", c) for c in cols):
+                raise KqlError(
+                    f"project-reorder needs bare column names, got {rest!r}"
+                )
+            rel = (
+                f"SELECT {', '.join(cols)}, * EXCEPT ({', '.join(cols)}) "
+                f"FROM {sub}"
+            )
+        elif op == "consume":
+            # swallow the relation (Kusto's execution sink) — the lazy
+            # analog keeps the schema and emits zero rows
+            rel = f"SELECT * FROM {sub} LIMIT 0"
         elif op == "project-rename":
             pairs = []
             for item in _split_top(rest):

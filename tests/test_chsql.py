@@ -1315,6 +1315,22 @@ def test_kql_ipv4_family_and_hll(spark, sf_dir):
     assert d.d == 3
 
 
+def test_kql_project_reorder_and_consume(spark, sf_dir):
+    """project-reorder: listed columns first, the rest keep their original
+    order (the `c1, * EXCEPT (c1)` shape); consume: schema kept, zero
+    rows."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    df = eng.sql("nation | project-reorder n_name | take 1", dialect="kusto")
+    assert df.columns[0] == "n_name"
+    assert set(df.columns) == {"n_nationkey", "n_name", "n_regionkey",
+                               "n_comment"}
+    sunk = eng.sql("region | consume", dialect="kusto")
+    assert sunk.count() == 0
+    assert "r_name" in sunk.columns
+
+
 def test_kql_mining_operators(spark, sf_dir):
     """reduce by / diffpatterns / autocluster (round 10): template
     grouping values, domination pruning, and the rejected-knob paths."""
