@@ -444,6 +444,47 @@ class ChSparkEngine:
                         "__kql_bag_unpack " + trail, dialect="kusto"
                     )
                 return out
+            # `| evaluate pivot(col, agg(x))` WITHOUT the value list —
+            # Kusto derives the output columns from the data, so the
+            # 2-arg form lives at the ENGINE level: one distinct scan of
+            # the pivot column (rows = output schema width, the bag_unpack
+            # bound), then re-enter the TEXT pivot with the derived
+            # values.  The 3+-arg (explicit values) form stays pure-text.
+            mpv = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+pivot\s*\((.+?)\)\s*(\|.*)?$",
+                query.strip(),
+            )
+            if mpv:
+                from clickhouseocp_spark.kql import _split_top
+
+                pargs = _split_top(mpv.group(2))
+                if len(pargs) == 2:
+                    from pyspark.sql import functions as F
+
+                    pcol = pargs[0].strip()
+                    df = self.spark.sql(transpile_kql(mpv.group(1)))
+                    vals = sorted(
+                        r[0]
+                        for r in df.select(pcol).distinct().collect()
+                        if r[0] is not None
+                    )
+                    if not vals:
+                        from clickhouseocp_spark.chsql import ChSqlError
+
+                        raise ChSqlError(
+                            f"evaluate pivot: no non-NULL values in {pcol!r}"
+                        )
+                    lit = ", ".join(
+                        "'" + str(v).replace("'", "''") + "'"
+                        if isinstance(v, str)
+                        else str(v)
+                        for v in vals
+                    )
+                    rebuilt = (
+                        f"{mpv.group(1)} | evaluate pivot({pcol}, "
+                        f"{pargs[1]}, {lit})" + (mpv.group(3) or "")
+                    )
+                    return self.sql(rebuilt, dialect="kusto")
             # `| evaluate narrow()` — transpose wide rows into
             # (Row, Column, Value) triples: needs the resolved schema, so
             # engine level; lowers to one stack() (CROSS-free lateral

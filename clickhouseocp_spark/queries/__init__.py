@@ -569,6 +569,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_scalar_vocab7",
     # --- round-10 continuation: serialized ranks ---
     "kql_row_rank",
+    # --- round-10 continuation: data-derived pivot ---
+    "kql_pivot_auto",
 ]
 
 _DRIVER_WINDOW_R5 = [

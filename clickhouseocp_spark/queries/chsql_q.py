@@ -8477,3 +8477,53 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_pivot_auto",
+    oracle="""
+SELECT user_id,
+  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+    AS click,
+  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS error,
+  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS purchase,
+  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+    AS view
+FROM events GROUP BY user_id ORDER BY user_id
+""",
+    tags=("kql", "dialect", "pivot"),
+)
+def kql_pivot_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate pivot(col, agg)`` WITHOUT the value list (round 10):
+    Kusto's data-derived output columns — one distinct scan of the pivot
+    column (rows = output schema width, the bag_unpack bound) feeds the
+    text-path PIVOT.  Upgrades the round-7 explicit-values subset to the
+    real Kusto contract.  NULL counts coalesce to 0 (Kusto renders absent
+    cells as empty longs).  The oracle enumerates the same per-type
+    conditional sums."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark)
+    df = eng.sql(
+        """
+events
+| project user_id, event_type
+| evaluate pivot(event_type, count())
+| sort by user_id asc
+""",
+        dialect="kusto",
+    )
+    return df.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(c), F.lit(0)).alias(c)
+            for c in df.columns
+            if c != "user_id"
+        ],
+    )
