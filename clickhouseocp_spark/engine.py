@@ -444,6 +444,79 @@ class ChSparkEngine:
                         "__kql_bag_unpack " + trail, dialect="kusto"
                     )
                 return out
+            # `find [withsource=Col] [in (T1, ...)] where Pred` WITHOUT a
+            # project clause — the schema-aware Kusto form lives at the
+            # ENGINE level: resolve every table's schema, output the
+            # first-seen union of their columns with typed-NULL padding,
+            # and drop tables whose schema cannot bind the predicate
+            # (Kusto: a predicate over a missing column never matches).
+            # The projected text form stays in the transpiler.
+            mfd = _re.match(
+                r"(?is)^find\s+(?:withsource\s*=\s*(\w+)\s+)?"
+                r"(?:in\s*\(([^)]+)\)\s*)?where\s+(.+)$",
+                query.strip(),
+            )
+            if mfd:
+                from clickhouseocp_spark.kql import _split_top as _ksplit
+
+                _fd_parts = _ksplit(mfd.group(3), "|")
+            if mfd and not _re.search(r"(?i)\bproject\b", _fd_parts[0]):
+                from pyspark.sql import functions as F
+
+                from clickhouseocp_spark.kql import _expr as _kql_expr
+
+                srccol = mfd.group(1) or "source_"
+                names = (
+                    [t.strip() for t in mfd.group(2).split(",")]
+                    if mfd.group(2)
+                    else sorted(self.tables)
+                )
+                pred = _kql_expr(_fd_parts[0].strip())
+                # first-seen union of output columns with their first types
+                out_cols: list[tuple[str, str]] = []
+                seen = set()
+                for t in names:
+                    for c, dt in self._table(t).dtypes:
+                        if c not in seen:
+                            seen.add(c)
+                            out_cols.append((c, dt))
+                legs = []
+                for t in names:
+                    df = self._table(t)
+                    try:
+                        flt = df.filter(F.expr(pred))
+                    except Exception:
+                        continue  # predicate references a missing column
+                    have = dict(df.dtypes)
+                    legs.append(
+                        flt.select(
+                            F.lit(t).alias(srccol),
+                            *[
+                                F.col(c).cast(dt).alias(c)
+                                if c in have
+                                else F.lit(None).cast(dt).alias(c)
+                                for c, dt in out_cols
+                            ],
+                        )
+                    )
+                if not legs:
+                    from clickhouseocp_spark.chsql import ChSqlError
+
+                    raise ChSqlError(
+                        "find: the predicate binds in none of the tables"
+                    )
+                out = legs[0]
+                for leg in legs[1:]:
+                    out = out.unionByName(leg)
+                if len(_fd_parts) > 1:
+                    # trailing stages re-enter the engine path over the
+                    # padded union (the bag_unpack pattern)
+                    out.createOrReplaceTempView("__kql_find")
+                    return self.sql(
+                        "__kql_find | " + " | ".join(_fd_parts[1:]),
+                        dialect="kusto",
+                    )
+                return out
             # `| evaluate pivot(col, agg(x))` WITHOUT the value list —
             # Kusto derives the output columns from the data, so the
             # 2-arg form lives at the ENGINE level: one distinct scan of

@@ -571,6 +571,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_row_rank",
     # --- round-10 continuation: data-derived pivot ---
     "kql_pivot_auto",
+    # --- round-10 continuation: schema-aware find ---
+    "kql_find_schema_aware",
 ]
 
 _DRIVER_WINDOW_R5 = [

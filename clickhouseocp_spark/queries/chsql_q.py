@@ -8527,3 +8527,33 @@ events
             if c != "user_id"
         ],
     )
+
+
+@register(
+    "kql_find_schema_aware",
+    oracle="""
+SELECT 'documents' AS source_, doc_id, text, lang, source, n_chars,
+       CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS TIMESTAMP) AS ts,
+       CAST(NULL AS BIGINT) AS user_id, CAST(NULL AS VARCHAR) AS event_type,
+       CAST(NULL AS DOUBLE) AS value, CAST(NULL AS VARCHAR) AS props
+FROM documents WHERE lang = 'en' AND doc_id < 60 ORDER BY doc_id
+""",
+    tags=("kql", "dialect", "source"),
+)
+def kql_find_schema_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aware ``find`` (round 10, the engine-level form): no project
+    clause — the output is the first-seen UNION of every listed table's
+    columns with typed-NULL padding, and tables whose schema cannot bind
+    the predicate contribute no rows (Kusto: a predicate over a missing
+    column never matches — here `lang` exists only in documents, so the
+    events leg drops).  The oracle replays the surviving leg with
+    explicit typed NULLs."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+find in (documents, events) where lang == 'en' and doc_id < 60
+| sort by doc_id asc
+""",
+        dialect="kusto",
+    )
