@@ -517,6 +517,51 @@ class ChSparkEngine:
                         dialect="kusto",
                     )
                 return out
+            # mining plugins WITHOUT an explicit column list — Kusto
+            # infers the attribute set from the input schema, so the
+            # bare forms live at the ENGINE level: resolve the prefix
+            # pipeline's schema, take its STRING columns (minus
+            # diffpatterns' split column), and re-enter the text lowering
+            # with the columns appended.  >5 string columns raises (the
+            # CUBE bound) — name them explicitly.
+            mmi = _re.match(
+                r"(?s)^(.*?)\|\s*evaluate\s+"
+                r"(basket|autocluster|diffpatterns)\s*\((.+?)\)\s*(\|.*)?$",
+                query.strip(),
+            )
+            if mmi:
+                from clickhouseocp_spark.kql import _split_top as _msplit
+
+                margs = _msplit(mmi.group(3))
+                mop = mmi.group(2).lower()
+                bare_n = {"basket": 1, "autocluster": 1, "diffpatterns": 4}
+                if len(margs) == bare_n[mop]:
+                    from clickhouseocp_spark.chsql import ChSqlError
+
+                    df = self.spark.sql(transpile_kql(mmi.group(1)))
+                    excl = (
+                        {margs[0].strip()} if mop == "diffpatterns" else set()
+                    )
+                    mcols = [
+                        c
+                        for c, dt in df.dtypes
+                        if dt == "string" and c not in excl
+                    ]
+                    if not mcols:
+                        raise ChSqlError(
+                            f"evaluate {mop}: no string attribute columns "
+                            "in the input — project some first"
+                        )
+                    if len(mcols) > 5:
+                        raise ChSqlError(
+                            f"evaluate {mop}: {len(mcols)} string columns "
+                            "exceed the CUBE bound — name ≤5 explicitly"
+                        )
+                    rebuilt = (
+                        f"{mmi.group(1)} | evaluate {mop}("
+                        f"{', '.join(margs + mcols)})" + (mmi.group(4) or "")
+                    )
+                    return self.sql(rebuilt, dialect="kusto")
             # `| evaluate pivot(col, agg(x))` WITHOUT the value list —
             # Kusto derives the output columns from the data, so the
             # 2-arg form lives at the ENGINE level: one distinct scan of

@@ -1368,6 +1368,24 @@ def test_kql_mining_operators(spark, sf_dir):
     got = [(r.Count, r.k1, r.v1) for r in rows]
     assert (3, "1", "x") in got
     assert all(not (c == 4 and k == "1" and v == "*") for c, k, v in got)
+    # schema-inferred bare forms (engine level): columns = the input's
+    # string columns — identical to the explicit list
+    a = eng.sql(
+        "documents | project lang, source | evaluate basket(0.1, lang, "
+        "source) | sort by Count desc, lang asc, source asc",
+        dialect="kusto",
+    ).collect()
+    b = eng.sql(
+        "documents | project lang, source | evaluate basket(0.1) "
+        "| sort by Count desc, lang asc, source asc",
+        dialect="kusto",
+    ).collect()
+    assert a == b and len(a) > 0
+    with pytest.raises(Exception, match="string attribute"):
+        eng.sql(
+            "events | project event_id | evaluate autocluster(0.1)",
+            dialect="kusto",
+        )
 
 
 def test_kql_ipv4_and_csv_vs_stdlib_reference(spark, sf_dir):
