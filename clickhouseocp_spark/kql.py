@@ -1021,7 +1021,9 @@ def _kql_ipv4_compare(a: list[str]) -> str:
 
 
 def _kql_format_timespan(a: list[str]) -> str:
-    """format_timespan(seconds, fmt) — the two canonical patterns."""
+    """format_timespan(seconds, fmt) — the two canonical patterns;
+    non-negative timespans (negative inputs mis-pad — Kusto prints a
+    leading '-'; take abs() first)."""
     if len(a) != 2:
         raise KqlError("format_timespan(timespan, format) takes 2 args")
     fmt = a[1].strip().strip("'\"")
@@ -3393,9 +3395,11 @@ def _ipv4_lookup(sub: str, argstr: str, lets: dict[str, str]) -> str:
     rows, broadcast), each copy hashes on (prefix_len, ip >> (32-len)) —
     so a 100 TB fact side hash-joins a broadcast lookup per mask, and the
     longest-prefix election is one row_number window keyed by a synthetic
-    row id.  Subset: matched rows only (no return_unmatched), and source/
+    row id.  Subset: matched rows only (no return_unmatched), source/
     lookup column names must be disjoint (SQL ambiguity surfaces as an
-    analysis error rather than Kusto's silent rename)."""
+    analysis error rather than Kusto's silent rename), and DUPLICATE
+    CIDR keys elect an unspecified row among the duplicates (same as
+    Kusto — dedup the lookup for determinism)."""
     a = _split_top(argstr)
     if len(a) != 3:
         raise KqlError(
