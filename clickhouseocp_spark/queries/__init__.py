@@ -573,6 +573,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_pivot_auto",
     # --- round-10 continuation: schema-aware find ---
     "kql_find_schema_aware",
+    # --- round-10 continuation: NB quality classifier (train+apply) ---
+    "quality_classifier_nb",
 ]
 
 _DRIVER_WINDOW_R5 = [

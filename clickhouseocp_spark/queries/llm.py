@@ -2713,3 +2713,99 @@ def quality_signals_bundle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "quality_classifier_nb",
+    oracle="""
+WITH d AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS cls,
+         string_split(text, ' ') AS w FROM documents),
+tok AS (SELECT doc_id, cls, unnest(w) AS t FROM d),
+cnt AS (SELECT t, SUM(cls) AS n_en, SUM(1 - cls) AS n_ot
+        FROM tok GROUP BY t),
+tot AS (SELECT SUM(n_en) AS te, SUM(n_ot) AS to_, COUNT(*) AS v FROM cnt),
+wt AS (
+  SELECT t, CAST(ROUND(ln((n_en + 1.0) / (te + v))
+                 - ln((n_ot + 1.0) / (to_ + v)), 6)
+            AS DECIMAL(38,12)) AS w
+  FROM cnt, tot),
+pri AS (
+  SELECT ROUND(ln((SUM(CASE WHEN cls = 1 THEN 1 ELSE 0 END) + 1.0)
+               / (SUM(CASE WHEN cls = 0 THEN 1 ELSE 0 END) + 1.0)), 6)
+         AS p
+  FROM (SELECT DISTINCT doc_id, cls FROM tok))
+SELECT tok.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+       ROUND(CAST(SUM(wt.w) AS DOUBLE) + (SELECT p FROM pri), 6) AS score,
+       (CAST(SUM(wt.w) AS DOUBLE) + (SELECT p FROM pri)) > 0 AS pred
+FROM tok JOIN wt ON tok.t = wt.t
+GROUP BY tok.doc_id ORDER BY tok.doc_id
+""",
+    tags=("llm", "text", "quality", "classifier"),
+)
+def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Naive-Bayes log-odds quality/language classifier TRAINED AND
+    APPLIED in one query (round 10) — the CCNet/DCLM fastText-filter
+    shape: token log-odds weights w(t) = ln P(t|en) − ln P(t|rest) with
+    Laplace smoothing, doc score = class prior + Σ w over token
+    INSTANCES, label = score > 0.
+
+    100 TB shape (the DSIR/bigram-LM discipline): ONE tokenize-explode
+    feeds both the model (a token-keyed map-combinable hash aggregate —
+    the weight table is vocabulary-sized, NOT corpus-sized) and the
+    scoring join (token-keyed, broadcastable when the vocab fits); the
+    1-row totals and prior broadcast.  Per-token weights round(6) then
+    DECIMAL(38,12)-sum so the per-doc score is merge-order-independent
+    (the parity discipline).  Cites reference Dockerfile:102-104 (the
+    pinned engine serves the same filter-scoring workloads via
+    groupBy/join)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("cls"),
+        F.explode(whitespace_tokens(F.col("text"))).alias("t"),
+    )
+    cnt = tok.groupBy("t").agg(
+        F.sum("cls").alias("n_en"), F.sum(1 - F.col("cls")).alias("n_ot")
+    )
+    tot = cnt.agg(
+        F.sum("n_en").alias("te"),
+        F.sum("n_ot").alias("to_"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    wt = cnt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log((F.col("n_en") + 1.0) / (F.col("te") + F.col("v")))
+            - F.log((F.col("n_ot") + 1.0) / (F.col("to_") + F.col("v"))),
+            6,
+        )
+        .cast("decimal(38,12)")
+        .alias("w"),
+    )
+    pri = (
+        tok.select("doc_id", "cls")
+        .distinct()
+        .agg(
+            F.round(
+                F.log(
+                    (F.sum(F.when(F.col("cls") == 1, 1).otherwise(0)) + 1.0)
+                    / (F.sum(F.when(F.col("cls") == 0, 1).otherwise(0)) + 1.0)
+                ),
+                6,
+            ).alias("p")
+        )
+    )
+    return (
+        tok.join(wt, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("w").alias("sw"))
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(F.col("sw").cast("double") + F.col("p"), 6).alias("score"),
+            ((F.col("sw").cast("double") + F.col("p")) > 0).alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
