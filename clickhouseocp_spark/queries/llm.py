@@ -2760,6 +2760,12 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned engine serves the same filter-scoring workloads via
     groupBy/join)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return nb_classifier_scores(d)
+
+
+def nb_classifier_scores(d: DataFrame) -> DataFrame:
+    """The quality_classifier_nb core over any (doc_id, lang, text)
+    relation — exposed for the planted-signal pytest."""
     tok = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("cls"),

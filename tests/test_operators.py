@@ -2006,3 +2006,27 @@ def test_stream_scan_concurrent_two_batches_equals_batch(spark, sf_dir, tmp_path
     key = lambda r: (r.user_id, r.ts, r.event_type, r.m)  # noqa: E731
     got, want = sorted(map(key, two.collect())), sorted(map(key, one.collect()))
     assert got == want and len(got) > 0
+
+
+def test_nb_classifier_planted_separation(spark):
+    """quality_classifier_nb core on a PLANTED corpus: 'en' docs carry
+    marker tokens the others never use (and vice versa), so the trained
+    log-odds classifier must separate the classes perfectly and rank the
+    marker-heavy docs by score sign."""
+    from clickhouseocp_spark.queries.llm import nb_classifier_scores
+
+    rows = []
+    for i in range(20):
+        if i % 2 == 0:
+            rows.append((i, "en", "the quick brown fox jumps " + "hello " * 3))
+        else:
+            rows.append((i, "de", "der schnelle braune fuchs " + "hallo " * 3))
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: (r.pred, r.score) for r in nb_classifier_scores(d).collect()}
+    assert len(got) == 20
+    for i in range(20):
+        pred, score = got[i]
+        assert pred is (i % 2 == 0), (i, score)
+    # scores are symmetric-ish: every en score positive, every de negative
+    assert all(got[i][1] > 0 for i in range(0, 20, 2))
+    assert all(got[i][1] < 0 for i in range(1, 20, 2))
