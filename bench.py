@@ -153,6 +153,9 @@ HEADLINE = [
     "kql_series_fit_2lines",
     "kql_hll_binary_agg",
     "stream_session_count",
+    # the train-and-apply NB quality classifier (one explode → (doc,
+    # token) pre-agg feeding both model and scoring — the DSIR shape)
+    "quality_classifier_nb",
 ]
 
 

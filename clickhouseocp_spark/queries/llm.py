@@ -2765,14 +2765,24 @@ def quality_classifier_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def nb_classifier_scores(d: DataFrame) -> DataFrame:
     """The quality_classifier_nb core over any (doc_id, lang, text)
-    relation — exposed for the planted-signal pytest."""
+    relation — exposed for the planted-signal pytest.
+
+    The DSIR pre-agg restructure: ONE tokenize-explode collapses to
+    per-(doc, token) counts immediately, and that small relation feeds
+    BOTH the model aggregate and the scoring join — the shuffle carries
+    (doc, token, m) rows, never raw token instances, and Spark's
+    shuffle-file reuse serves the shared stage to both consumers."""
     tok = d.select(
         "doc_id",
         F.when(F.col("lang") == "en", 1).otherwise(0).alias("cls"),
         F.explode(whitespace_tokens(F.col("text"))).alias("t"),
     )
-    cnt = tok.groupBy("t").agg(
-        F.sum("cls").alias("n_en"), F.sum(1 - F.col("cls")).alias("n_ot")
+    dt = tok.groupBy("doc_id", "cls", "t").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    cnt = dt.groupBy("t").agg(
+        F.sum(F.when(F.col("cls") == 1, F.col("m")).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("cls") == 0, F.col("m")).otherwise(0)).alias("n_ot"),
     )
     tot = cnt.agg(
         F.sum("n_en").alias("te"),
@@ -2790,7 +2800,7 @@ def nb_classifier_scores(d: DataFrame) -> DataFrame:
         .alias("w"),
     )
     pri = (
-        tok.select("doc_id", "cls")
+        dt.select("doc_id", "cls")
         .distinct()
         .agg(
             F.round(
@@ -2803,9 +2813,12 @@ def nb_classifier_scores(d: DataFrame) -> DataFrame:
         )
     )
     return (
-        tok.join(wt, "t")
+        dt.join(wt, "t")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("w").alias("sw"))
+        .agg(
+            F.sum("m").alias("n_tok"),
+            F.sum(F.col("w") * F.col("m").cast("decimal(18,0)")).alias("sw"),
+        )
         .crossJoin(F.broadcast(pri))
         .select(
             "doc_id",
