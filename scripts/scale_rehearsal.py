@@ -36,6 +36,9 @@ QUERIES = [
     "q21_waiting_orders",
     "kql_scan_concurrent",
     "dedup_minhash_lsh",
+    # round-10 continuation: the train-and-apply classifier corpus pass
+    "quality_classifier_nb",
+    "stream_session_count",
 ]
 
 
