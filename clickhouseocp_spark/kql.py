@@ -1225,6 +1225,29 @@ _KQL_SCALARS: dict = {
     "startofweek": lambda a: (
         f"(date_trunc('WEEK', ({a[0]}) + INTERVAL 1 DAY) - INTERVAL 1 DAY)"
     ),
+    # endofweek mirrors startofweek (Kusto weeks start Sunday): last
+    # microsecond of the Sunday-based week containing dt
+    "endofweek": lambda a: (
+        f"(date_trunc('WEEK', ({a[0]}) + INTERVAL 1 DAY) + INTERVAL 6 DAY "
+        "- INTERVAL 1 MICROSECOND)"
+    ),
+    # dayofweek: Kusto returns the timespan since the preceding Sunday —
+    # the seconds-based timespan convention of this dialect (whole days
+    # × 86400); Spark's dayofweek is 1=Sunday
+    "dayofweek": lambda a: (
+        f"CAST((dayofweek({a[0]}) - 1) * 86400 AS BIGINT)"
+    ),
+    # make_timespan(d, h, m, s) / (h, m, s) → seconds (the dialect's
+    # timespan representation)
+    "make_timespan": lambda a: (
+        f"(CAST({a[0]} AS BIGINT) * 86400 + CAST({a[1]} AS BIGINT) * 3600 "
+        f"+ CAST({a[2]} AS BIGINT) * 60 + CAST({a[3]} AS DOUBLE))"
+        if len(a) == 4
+        else (
+            f"(CAST({a[0]} AS BIGINT) * 3600 "
+            f"+ CAST({a[1]} AS BIGINT) * 60 + CAST({a[2]} AS DOUBLE))"
+        )
+    ),
     "startofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
     "startofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
     # round-8 datetime vocabulary completions

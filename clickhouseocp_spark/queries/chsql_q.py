@@ -8405,7 +8405,13 @@ SELECT event_id,
   lpad(CAST(event_id * 61 // 3600 AS VARCHAR), 2, '0') || ':' ||
     lpad(CAST(event_id * 61 % 3600 // 60 AS VARCHAR), 2, '0') || ':' ||
     lpad(CAST(event_id * 61 % 60 AS VARCHAR), 2, '0') AS ft2,
-  CAST(event_id AS VARCHAR) || '|a,' || event_type || '|z' AS cs
+  CAST(event_id AS VARCHAR) || '|a,' || event_type || '|z' AS cs,
+  date_trunc('week', ts + INTERVAL 1 DAY) - INTERVAL 1 DAY AS sw,
+  date_trunc('week', ts + INTERVAL 1 DAY) + INTERVAL 6 DAY
+    - INTERVAL 1 MICROSECOND AS ew,
+  CAST(dayofweek(ts) * 86400 AS BIGINT) AS dw,
+  CAST((event_id % 3) * 86400 + (event_id % 24) * 3600
+       + (event_id % 60) * 60 AS DOUBLE) + (event_id % 60) AS mt
 FROM events WHERE event_id < 150 ORDER BY event_id
 """,
     tags=("kql", "dialect", "vocabulary"),
@@ -8414,7 +8420,9 @@ def kql_scalar_vocab7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KQL scalar batch 7 (round 10): ``max_of``/``min_of`` (variadic
     extrema, NULLs ignored), ``parse_urlquery`` (decoded query-param
     bag), ``format_timespan`` (both canonical patterns), ``parse_csv``
-    (quote-aware single-record split as ONE character fold).  All
+    (quote-aware single-record split as ONE character fold), plus the
+    datetime tail ``startofweek``/``endofweek`` (Sunday weeks),
+    ``dayofweek`` (timespan since Sunday) and ``make_timespan``.  All
     zero-exchange JVM expressions; the oracle replays each closed form
     (the CSV case round-trips a quoted embedded comma)."""
     from clickhouseocp_spark.engine import ChSparkEngine
@@ -8431,7 +8439,11 @@ events
     ft = format_timespan(event_id * 61, 'd.hh:mm:ss'),
     ft2 = format_timespan(event_id * 61, 'hh:mm:ss'),
     cs = strcat_array(parse_csv(strcat(tostring(event_id), ',"a,',
-                                       event_type, '",z')), '|')
+                                       event_type, '",z')), '|'),
+    sw = startofweek(ts), ew = endofweek(ts),
+    dw = dayofweek(ts),
+    mt = make_timespan(event_id % 3, event_id % 24, event_id % 60,
+                       event_id % 60)
 | sort by event_id asc
 """,
         dialect="kusto",
