@@ -517,6 +517,71 @@ class ChSparkEngine:
                         dialect="kusto",
                     )
                 return out
+            # DATABASE-WIDE `search "term"` (no table prefix) — Kusto
+            # scans every table; engine level: per-table OR over its
+            # string columns, results as the same first-seen padded union
+            # as schema-aware find (source_ carries the table name; Kusto
+            # spells it $table, renamed for SQL/pandas portability).
+            msg = _re.match(
+                r"(?is)^search\s+"
+                r"(?:kind\s*=\s*(case_sensitive|case_insensitive)\s+)?"
+                r"['\"](.*?)['\"]\s*(\|.*)?$",
+                query.strip(),
+            )
+            if msg:
+                from pyspark.sql import functions as F
+
+                cs_flag = msg.group(1) == "case_sensitive"
+                term = msg.group(2)
+                names = sorted(self.tables)
+                out_cols: list[tuple[str, str]] = []
+                seen = set()
+                for t in names:
+                    for c, dt in self._table(t).dtypes:
+                        if c not in seen:
+                            seen.add(c)
+                            out_cols.append((c, dt))
+                legs = []
+                for t in names:
+                    df = self._table(t)
+                    have = dict(df.dtypes)
+                    scols = [c for c, dt in df.dtypes if dt == "string"]
+                    if not scols:
+                        continue
+                    cond = None
+                    for c in scols:
+                        e = (
+                            F.col(c).contains(term)
+                            if cs_flag
+                            else F.lower(F.col(c)).contains(term.lower())
+                        )
+                        cond = e if cond is None else (cond | e)
+                    legs.append(
+                        df.filter(F.coalesce(cond, F.lit(False))).select(
+                            F.lit(t).alias("source_"),
+                            *[
+                                F.col(c).cast(dt).alias(c)
+                                if c in have
+                                else F.lit(None).cast(dt).alias(c)
+                                for c, dt in out_cols
+                            ],
+                        )
+                    )
+                if legs:
+                    out = legs[0]
+                    for leg in legs[1:]:
+                        out = out.unionByName(leg)
+                else:
+                    out = self.spark.range(0).select(
+                        F.lit("").alias("source_")
+                    )
+                gtrail = msg.group(3)
+                if gtrail:
+                    out.createOrReplaceTempView("__kql_search_db")
+                    return self.sql(
+                        "__kql_search_db " + gtrail, dialect="kusto"
+                    )
+                return out
             # mining plugins WITHOUT an explicit column list — Kusto
             # infers the attribute set from the input schema, so the
             # bare forms live at the ENGINE level: resolve the prefix
@@ -687,7 +752,7 @@ class ChSparkEngine:
             msr = _re.match(
                 r"(?s)^(.*?)\|\s*search\s+"
                 r"(?:kind\s*=\s*(case_sensitive|case_insensitive)\s+)?"
-                r"['\"](.*?)['\"]\s*$",
+                r"['\"](.*?)['\"]\s*(\|.*)?$",
                 query.strip(),
             )
             if msr:
@@ -702,16 +767,27 @@ class ChSparkEngine:
                     if f.dataType.simpleString() == "string"
                 ]
                 if not scols:
-                    return df.filter(F.lit(False))
-                cond = None
-                for c in scols:
-                    e = (
-                        F.col(c).contains(term)
-                        if cs
-                        else F.lower(F.col(c)).contains(term.lower())
+                    out = df.filter(F.lit(False))
+                else:
+                    cond = None
+                    for c in scols:
+                        e = (
+                            F.col(c).contains(term)
+                            if cs
+                            else F.lower(F.col(c)).contains(term.lower())
+                        )
+                        cond = e if cond is None else (cond | e)
+                    out = df.filter(F.coalesce(cond, F.lit(False)))
+                trail = msr.group(4)
+                if trail:
+                    # trailing stages re-enter the engine path over the
+                    # matched relation (the bag_unpack pattern) — the
+                    # README's `| search "x" | count` shape
+                    out.createOrReplaceTempView("__kql_search")
+                    return self.sql(
+                        "__kql_search " + trail, dialect="kusto"
                     )
-                    cond = e if cond is None else (cond | e)
-                return df.filter(F.coalesce(cond, F.lit(False)))
+                return out
             return self.spark.sql(transpile_kql(query))
         if dialect in ("clickhouse", "ch"):
             df = self._run_ch(query)

@@ -575,6 +575,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_find_schema_aware",
     # --- round-10 continuation: NB quality classifier (train+apply) ---
     "quality_classifier_nb",
+    # --- round-10 continuation: database-wide search ---
+    "kql_search_database",
 ]
 
 _DRIVER_WINDOW_R5 = [

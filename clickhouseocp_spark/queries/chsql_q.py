@@ -8569,3 +8569,54 @@ find in (documents, events) where lang == 'en' and doc_id < 60
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_search_database",
+    oracle="""
+SELECT * FROM (
+  SELECT 'customer' AS source_, count(*) AS n FROM customer
+  WHERE lower(c_name) LIKE '%urgent%' OR lower(c_mktsegment) LIKE '%urgent%'
+  UNION ALL SELECT 'documents', count(*) FROM documents
+  WHERE lower(text) LIKE '%urgent%' OR lower(lang) LIKE '%urgent%'
+     OR lower(source) LIKE '%urgent%'
+  UNION ALL SELECT 'events', count(*) FROM events
+  WHERE lower(event_type) LIKE '%urgent%' OR lower(props) LIKE '%urgent%'
+  UNION ALL SELECT 'lineitem', count(*) FROM lineitem
+  WHERE lower(l_returnflag) LIKE '%urgent%'
+     OR lower(l_linestatus) LIKE '%urgent%'
+  UNION ALL SELECT 'nation', count(*) FROM nation
+  WHERE lower(n_name) LIKE '%urgent%'
+  UNION ALL SELECT 'orders', count(*) FROM orders
+  WHERE lower(o_orderstatus) LIKE '%urgent%'
+     OR lower(o_orderpriority) LIKE '%urgent%'
+  UNION ALL SELECT 'part', count(*) FROM part
+  WHERE lower(p_name) LIKE '%urgent%' OR lower(p_brand) LIKE '%urgent%'
+     OR lower(p_type) LIKE '%urgent%'
+  UNION ALL SELECT 'region', count(*) FROM region
+  WHERE lower(r_name) LIKE '%urgent%'
+  UNION ALL SELECT 'supplier', count(*) FROM supplier
+  WHERE lower(s_name) LIKE '%urgent%'
+) WHERE n > 0 ORDER BY source_
+""",
+    tags=("kql", "dialect", "source", "search"),
+)
+def kql_search_database(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATABASE-WIDE ``search`` (round 10): no table prefix — Kusto scans
+    every table in the database; the engine unions per-table
+    string-column OR filters with typed-NULL padding (the schema-aware
+    find machinery), and the trailing summarize re-enters the engine
+    path over the union.  Filters push into every table's scan
+    independently.  The oracle replays the per-table match counts with
+    the same lowered-substring rule (tables with zero matches produce no
+    group, and string-less tables contribute no leg)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+search "urgent"
+| summarize n = count() by source_
+| sort by source_ asc
+""",
+        dialect="kusto",
+    )

@@ -1315,6 +1315,31 @@ def test_kql_ipv4_family_and_hll(spark, sf_dir):
     assert d.d == 3
 
 
+def test_kql_search_trailing_and_database_wide(spark, sf_dir):
+    """Round-10 search completions: trailing stages after table-scoped
+    search re-enter the engine (the README `| search "x" | count`
+    shape), and prefix-less search scans EVERY table with typed-NULL
+    padding + a source_ column."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    n_bare = eng.sql('documents | search "vector"', dialect="kusto").count()
+    n_cnt = eng.sql(
+        'documents | search "vector" | count', dialect="kusto"
+    ).first()[0]
+    assert n_bare == n_cnt
+    db = eng.sql('search "NATION_3"', dialect="kusto")
+    assert "source_" in db.columns
+    rows = db.collect()
+    assert {r.source_ for r in rows} == {"nation"}
+    # case-sensitive kind respected database-wide
+    assert (
+        eng.sql('search kind=case_sensitive "nation_3"', dialect="kusto")
+        .count()
+        == 0
+    )
+
+
 def test_kql_project_reorder_and_consume(spark, sf_dir):
     """project-reorder: listed columns first, the rest keep their original
     order (the `c1, * EXCEPT (c1)` shape); consume: schema kept, zero
