@@ -3161,6 +3161,101 @@ FROM (
 GROUP BY __b"""
 
 
+def _funnel_sequence_completion(sub: str, argstr: str) -> str:
+    """``evaluate funnel_sequence_completion(Id, Timeline, Start, End,
+    State, dynamic([s1, ...]), dynamic([w1, ...]))`` — per max-window w:
+    how many ids complete each funnel prefix within w of their FIRST
+    step (the greedy-earliest chain: step j binds to the first matching
+    row after the row that bound step j-1, rows ordered by (timeline,
+    state)).
+
+    Lowering — the scan-machine shape: ONE per-id sorted-collect fold
+    carries k nullable step timestamps (each row advances at most the
+    FIRST unset slot whose predecessor is set), then the per-id chain
+    explodes over the literal window list (bounded fan-out = |windows|)
+    into one hash aggregate.  One exchange for the fold, one for the
+    window aggregate.  Output: Period (seconds — the dialect's timespan
+    form) + one count column per step literal."""
+    args = _split_top(argstr)
+    if len(args) != 7:
+        raise KqlError(
+            "funnel_sequence_completion subset: (IdColumn, TimelineColumn, "
+            f"Start, End, StateColumn, dynamic([steps]), "
+            f"dynamic([windows])), got {argstr!r}"
+        )
+    id_col, ts_col = args[0].strip(), args[1].strip()
+    start, end = _expr(args[2]), _expr(args[3])
+    state = args[4].strip()
+    mseq = re.match(
+        r"^dynamic\s*\(\s*\[(.*)\]\s*\)\s*$", args[5].strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    mwin = re.match(
+        r"^dynamic\s*\(\s*\[(.*)\]\s*\)\s*$", args[6].strip(),
+        re.IGNORECASE | re.DOTALL,
+    )
+    if not mseq or not mwin:
+        raise KqlError(
+            "funnel_sequence_completion: Sequence and Windows must be "
+            "dynamic([...]) literals"
+        )
+    steps = [_expr(s) for s in _split_top(mseq.group(1))]
+    wins = []
+    for w in _split_top(mwin.group(1)):
+        secs = _ts_secs(w) or (int(w) if w.strip().isdigit() else None)
+        if secs is None:
+            raise KqlError(
+                f"funnel_sequence_completion: window {w!r} must be a "
+                "timespan or integer-seconds literal"
+            )
+        wins.append(secs)
+    if not steps or not wins:
+        raise KqlError("funnel_sequence_completion: empty steps/windows")
+    k = len(steps)
+    init = ", ".join(f"'t{j}', CAST(NULL AS DOUBLE)" for j in range(1, k + 1))
+
+    def _set(j: int) -> str:
+        fields = ", ".join(
+            f"'t{i}', " + ("__r.ts" if i == j else f"__a.t{i}")
+            for i in range(1, k + 1)
+        )
+        return f"named_struct({fields})"
+
+    branches = []
+    for j, s in enumerate(steps, start=1):
+        prev = "" if j == 1 else f"__a.t{j - 1} IS NOT NULL AND "
+        branches.append(
+            f"WHEN {prev}__a.t{j} IS NULL AND __r.s = {s} THEN {_set(j)}"
+        )
+    fold = (
+        f"aggregate(sort_array(collect_list(named_struct("
+        f"'ts', CAST(unix_timestamp({ts_col}) AS DOUBLE), "
+        f"'s', {state}))), "
+        f"named_struct({init}), "
+        f"(__a, __r) -> CASE {' '.join(branches)} ELSE __a END)"
+    )
+    counts = ", ".join(
+        f"CAST(count_if(__f.t{j} IS NOT NULL AND "
+        f"__f.t{j} - __f.t1 <= __w) AS BIGINT) AS `{_strip_lit(steps[j - 1])}`"
+        for j in range(1, k + 1)
+    )
+    winlist = ", ".join(str(w) for w in wins)
+    return f"""SELECT CAST(__w AS BIGINT) AS Period, {counts}
+FROM (
+  SELECT {fold} AS __f FROM {sub}
+  WHERE {ts_col} >= {start} AND {ts_col} < {end}
+  GROUP BY {id_col}
+) __fc
+LATERAL VIEW explode(array({winlist})) __fcw AS __w
+GROUP BY __w"""
+
+
+def _strip_lit(s: str) -> str:
+    """Step literal → output column name (Kusto names count columns by
+    the step value)."""
+    return s.strip().strip("'\"").replace("`", "")
+
+
 def _activity_counts_metrics(sub: str, argstr: str) -> str:
     """``evaluate activity_counts_metrics(Id, Timeline, Bin)`` — per bin:
     ``count`` (rows), ``dcount`` (distinct ids), ``new_dcount`` (ids whose
@@ -4621,6 +4716,14 @@ def _transpile_pipeline(
             )
             if mau2:
                 rel = _active_users_count(sub, mau2.group(1))
+                continue
+            mfc = re.match(
+                r"^funnel_sequence_completion\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mfc:
+                rel = _funnel_sequence_completion(sub, mfc.group(1))
                 continue
             mfs = re.match(
                 r"^funnel_sequence\s*\((.+)\)\s*$",

@@ -577,6 +577,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "quality_classifier_nb",
     # --- round-10 continuation: database-wide search ---
     "kql_search_database",
+    # --- round-10 continuation: funnel completion windows ---
+    "kql_funnel_completion",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8620,3 +8620,53 @@ search "urgent"
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_funnel_completion",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS DOUBLE) AS t, event_type
+  FROM events
+  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'),
+c1 AS (SELECT user_id, min(t) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN c1 USING (user_id)
+       WHERE event_type = 'click' AND e.t > c1.t1 GROUP BY e.user_id),
+c3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e JOIN c2 USING (user_id)
+       WHERE event_type = 'purchase' AND e.t >= c2.t2 GROUP BY e.user_id),
+ch AS (SELECT c1.user_id, c1.t1, c2.t2, c3.t3
+       FROM c1 LEFT JOIN c2 USING (user_id) LEFT JOIN c3 USING (user_id)),
+w AS (SELECT unnest([86400, 604800]) AS w)
+SELECT CAST(w.w AS BIGINT) AS Period,
+  CAST(SUM(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+    AS signup,
+  CAST(SUM(CASE WHEN t2 IS NOT NULL AND t2 - t1 <= w.w THEN 1 ELSE 0 END)
+       AS BIGINT) AS click,
+  CAST(SUM(CASE WHEN t3 IS NOT NULL AND t3 - t1 <= w.w THEN 1 ELSE 0 END)
+       AS BIGINT) AS purchase
+FROM ch CROSS JOIN w GROUP BY w.w ORDER BY Period
+""",
+    tags=("kql", "dialect", "activity", "funnel"),
+)
+def kql_funnel_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate funnel_sequence_completion`` (round 10 — the last
+    member of the activity-plugin family): per max-window, ids completing
+    each funnel prefix within the window of their first step, the
+    greedy-earliest chain bound by ONE per-id sorted-collect fold (the
+    scan-machine shape) + one window-exploded hash aggregate.  The
+    oracle replays the chain as successive min-lookups under the fold's
+    (second, state) sort-order tie rule (strict > into a
+    lexicographically-earlier state, >= into a later one)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| evaluate funnel_sequence_completion(user_id, ts,
+    datetime(2024-01-01), datetime(2024-02-01), event_type,
+    dynamic(['signup', 'click', 'purchase']), dynamic([1d, 7d]))
+| sort by Period asc
+""",
+        dialect="kusto",
+    )
