@@ -3256,6 +3256,96 @@ def _strip_lit(s: str) -> str:
     return s.strip().strip("'\"").replace("`", "")
 
 
+def _sequence_detect(sub: str, argstr: str) -> str:
+    """``evaluate sequence_detect(Timeline, MaxStepWindow, MaxSpan,
+    name1 = pred1, ..., namek = predk, IdColumn)`` — ids whose rows
+    contain the predicate sequence, each consecutive gap within
+    MaxStepWindow and the whole chain within MaxSpan; output one row per
+    completing id with the bound step timestamps (columns named by the
+    predicate aliases, Kusto's shape).
+
+    Lowering — the funnel_sequence_completion fold with general
+    predicates: each row's k predicate bits evaluate BEFORE the per-id
+    sorted-collect (so arbitrary expressions ride the scan), the fold
+    binds the greedy-earliest chain, and the window constraints filter
+    completed chains.  Deviation (documented): Kusto restarts a sequence
+    when a step arrives outside MaxStepWindow; the greedy-earliest
+    subset binds first occurrences and filters — identical whenever the
+    first chain is the only chain (the planted-test contract)."""
+    args = _split_top(argstr)
+    if len(args) < 5:
+        raise KqlError(
+            "sequence_detect subset: (TimelineColumn, MaxStepWindow, "
+            "MaxSpan, name1 = pred1, ..., IdColumn) — ≥2 named predicates"
+        )
+    ts_col = args[0].strip()
+    step_w = _ts_secs(args[1]) or (
+        int(args[1]) if args[1].strip().isdigit() else None
+    )
+    span_w = _ts_secs(args[2]) or (
+        int(args[2]) if args[2].strip().isdigit() else None
+    )
+    if step_w is None or span_w is None:
+        raise KqlError(
+            "sequence_detect: MaxStepWindow/MaxSpan must be timespan or "
+            f"integer-seconds literals, got {args[1]!r}/{args[2]!r}"
+        )
+    id_col = args[-1].strip()
+    if not re.match(r"^[A-Za-z_]\w*$", id_col):
+        raise KqlError(
+            f"sequence_detect: last argument must be the Id column, got "
+            f"{args[-1]!r}"
+        )
+    preds: list[tuple[str, str]] = []
+    for item in args[3:-1]:
+        m = re.match(r"(?s)^([A-Za-z_]\w*)\s*=\s*(?![=])(.+)$", item.strip())
+        if not m:
+            raise KqlError(
+                f"sequence_detect: steps must be 'name = predicate', got "
+                f"{item!r}"
+            )
+        preds.append((m.group(1), _expr(m.group(2))))
+    if len(preds) < 2:
+        raise KqlError("sequence_detect needs at least 2 steps")
+    k = len(preds)
+    bits = ", ".join(
+        f"'p{j}', CAST(({p}) AS BOOLEAN)"
+        for j, (_n, p) in enumerate(preds, start=1)
+    )
+    init = ", ".join(f"'t{j}', CAST(NULL AS DOUBLE)" for j in range(1, k + 1))
+
+    def _set(j: int) -> str:
+        fields = ", ".join(
+            f"'t{i}', " + ("__r.ts" if i == j else f"__a.t{i}")
+            for i in range(1, k + 1)
+        )
+        return f"named_struct({fields})"
+
+    branches = []
+    for j in range(1, k + 1):
+        prev = "" if j == 1 else f"__a.t{j - 1} IS NOT NULL AND "
+        branches.append(
+            f"WHEN {prev}__a.t{j} IS NULL AND __r.p{j} THEN {_set(j)}"
+        )
+    fold = (
+        f"aggregate(sort_array(collect_list(named_struct("
+        f"'ts', CAST(unix_timestamp({ts_col}) AS DOUBLE), {bits}))), "
+        f"named_struct({init}), "
+        f"(__a, __r) -> CASE {' '.join(branches)} ELSE __a END)"
+    )
+    gaps = " AND ".join(
+        f"__f.t{j} - __f.t{j - 1} <= {step_w}" for j in range(2, k + 1)
+    )
+    outs = ", ".join(
+        f"timestamp_seconds(__f.t{j}) AS `{n}`"
+        for j, (n, _p) in enumerate(preds, start=1)
+    )
+    return f"""SELECT {id_col}, {outs}
+FROM (SELECT {id_col}, {fold} AS __f FROM {sub} GROUP BY {id_col}) __sd
+WHERE __f.t{k} IS NOT NULL AND {gaps}
+  AND __f.t{k} - __f.t1 <= {span_w}"""
+
+
 def _activity_counts_metrics(sub: str, argstr: str) -> str:
     """``evaluate activity_counts_metrics(Id, Timeline, Bin)`` — per bin:
     ``count`` (rows), ``dcount`` (distinct ids), ``new_dcount`` (ids whose
@@ -4724,6 +4814,14 @@ def _transpile_pipeline(
             )
             if mfc:
                 rel = _funnel_sequence_completion(sub, mfc.group(1))
+                continue
+            msd = re.match(
+                r"^sequence_detect\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if msd:
+                rel = _sequence_detect(sub, msd.group(1))
                 continue
             mfs = re.match(
                 r"^funnel_sequence\s*\((.+)\)\s*$",

@@ -579,6 +579,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_search_database",
     # --- round-10 continuation: funnel completion windows ---
     "kql_funnel_completion",
+    # --- round-10 continuation: predicate sequence detection ---
+    "kql_sequence_detect",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8670,3 +8670,43 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_sequence_detect",
+    oracle="""
+WITH e AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS DOUBLE) AS t, event_type
+  FROM events WHERE ts IS NOT NULL),
+c1 AS (SELECT user_id, min(t) AS t1 FROM e
+       WHERE event_type = 'signup' GROUP BY user_id),
+c2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN c1 USING (user_id)
+       WHERE event_type = 'click' AND e.t > c1.t1 GROUP BY e.user_id)
+SELECT c1.user_id,
+       make_timestamp(CAST(t1 AS BIGINT) * 1000000) AS s1,
+       make_timestamp(CAST(t2 AS BIGINT) * 1000000) AS s2
+FROM c1 JOIN c2 USING (user_id)
+WHERE t2 - t1 <= 2 * 86400 ORDER BY c1.user_id
+""",
+    tags=("kql", "dialect", "activity", "funnel"),
+)
+def kql_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate sequence_detect`` (round 10): ids whose event stream
+    contains the named predicate sequence within the step/span windows,
+    output = the bound step timestamps.  Same greedy-earliest per-id
+    fold as funnel_sequence_completion with GENERAL predicates (the bits
+    evaluate before the collect, so arbitrary expressions ride the
+    scan).  The oracle replays the chain as min-lookups under the
+    (second, predicate-bits) sort-order tie rule."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where isnotnull(ts)
+| evaluate sequence_detect(ts, 2d, 2d,
+    s1 = event_type == 'signup', s2 = event_type == 'click', user_id)
+| sort by user_id asc
+""",
+        dialect="kusto",
+    )
