@@ -3692,6 +3692,47 @@ def _diffpatterns(sub: str, argstr: str) -> str:
     )
 
 
+def _diffpatterns_text(sub: str, argstr: str) -> str:
+    """evaluate diffpatterns_text(TextColumn, SplitColumn, valA, valB[,
+    threshold]): whole-term mining of the TEXT column — which TERMS
+    differ in prevalence between the two row splits (the log-template
+    cousin of diffpatterns).  ONE tokenize-explode + one term hash
+    aggregate computing both split DOCUMENT counts map-side (a term
+    counts once per row, Kusto's contract); kept when the percent-point
+    gap ≥ threshold·100 (default 0.05).  Terms = maximal alnum runs,
+    lowercased — the same rule as `has`."""
+    a = _split_top(argstr)
+    if len(a) not in (4, 5):
+        raise KqlError(
+            "diffpatterns_text subset: (TextColumn, SplitColumn, valA, "
+            f"valB[, threshold]), got {argstr!r}"
+        )
+    text_col, split_col = a[0].strip(), a[1].strip()
+    if not all(re.match(r"^[A-Za-z_]\w*$", c) for c in (text_col, split_col)):
+        raise KqlError(
+            f"diffpatterns_text needs bare column names, got {argstr!r}"
+        )
+    va, vb = _expr(a[2]), _expr(a[3])
+    thr = _expr(a[4]) if len(a) == 5 else "0.05"
+    tota = f"(SELECT count(*) FROM {sub} WHERE {split_col} = {va})"
+    totb = f"(SELECT count(*) FROM {sub} WHERE {split_col} = {vb})"
+    ca = f"count_if({split_col} = {va})"
+    cb = f"count_if({split_col} = {vb})"
+    return (
+        f"SELECT Term, CountA, CountB, round(PercentA, 6) AS PercentA, "
+        f"round(PercentB, 6) AS PercentB, "
+        f"round(abs(PercentA - PercentB), 6) AS PercentDiffAB "
+        f"FROM (SELECT Term, {ca} AS CountA, {cb} AS CountB, "
+        f"CAST(100.0 AS DOUBLE) * {ca} / nullif({tota}, 0) AS PercentA, "
+        f"CAST(100.0 AS DOUBLE) * {cb} / nullif({totb}, 0) AS PercentB "
+        f"FROM (SELECT {split_col}, explode(array_distinct(filter(split("
+        f"lower({text_col}), '[^a-z0-9]+'), __t -> __t != ''))) AS Term "
+        f"FROM {sub} WHERE {split_col} IN ({va}, {vb})) __dt0 "
+        f"GROUP BY Term) __dt1 "
+        f"WHERE abs(PercentA - PercentB) >= ({thr}) * 100.0"
+    )
+
+
 def _autocluster(sub: str, argstr: str) -> str:
     """evaluate autocluster(threshold, col1[, ...]): the informative
     common-pattern miner.  Deterministic subset of Kusto's heuristic:
@@ -4836,6 +4877,14 @@ def _transpile_pipeline(
             )
             if mip:
                 rel = _ipv4_lookup(sub, mip.group(1), lets)
+                continue
+            mdt = re.match(
+                r"^diffpatterns_text\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mdt:
+                rel = _diffpatterns_text(sub, mdt.group(1))
                 continue
             mdp = re.match(
                 r"^diffpatterns\s*\((.+)\)\s*$", rest, re.IGNORECASE | re.DOTALL

@@ -581,6 +581,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_funnel_completion",
     # --- round-10 continuation: predicate sequence detection ---
     "kql_sequence_detect",
+    # --- round-10 continuation: term-level diffpatterns ---
+    "kql_diffpatterns_text",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8710,3 +8710,50 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_diffpatterns_text",
+    oracle="""
+WITH d AS (
+  SELECT CASE WHEN n_chars > 300 THEN 'big' ELSE 'small' END AS sz,
+         list_distinct(list_filter(string_split_regex(lower(text),
+                       '[^a-z0-9]+'), x -> x != '')) AS terms
+  FROM documents),
+t AS (SELECT sz, unnest(terms) AS Term FROM d),
+seg AS (
+  SELECT Term,
+         CAST(SUM(CASE WHEN sz = 'big' THEN 1 ELSE 0 END) AS BIGINT)
+           AS CountA,
+         CAST(SUM(CASE WHEN sz = 'small' THEN 1 ELSE 0 END) AS BIGINT)
+           AS CountB,
+         100.0 * SUM(CASE WHEN sz = 'big' THEN 1 ELSE 0 END)
+           / (SELECT count(*) FROM d WHERE sz = 'big') AS pa,
+         100.0 * SUM(CASE WHEN sz = 'small' THEN 1 ELSE 0 END)
+           / (SELECT count(*) FROM d WHERE sz = 'small') AS pb
+  FROM t GROUP BY Term)
+SELECT Term, CountA, CountB, round(pa, 6) AS PercentA,
+       round(pb, 6) AS PercentB, round(abs(pa - pb), 6) AS PercentDiffAB
+FROM seg WHERE abs(pa - pb) >= 0.05 * 100.0
+ORDER BY PercentDiffAB DESC, Term
+""",
+    tags=("kql", "dialect", "mining", "text"),
+)
+def kql_diffpatterns_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate diffpatterns_text`` (round 10): which TERMS differ in
+    document-prevalence between the two splits (big vs small documents)
+    — one tokenize-explode (per-row DISTINCT terms, Kusto counts a term
+    once per record) + one term hash aggregate computing both split
+    counts map-side.  The oracle replays the identical term rule with
+    DuckDB list functions."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+documents
+| extend sz = iff(n_chars > 300, 'big', 'small')
+| evaluate diffpatterns_text(text, sz, 'big', 'small', 0.05)
+| sort by PercentDiffAB desc, Term asc
+""",
+        dialect="kusto",
+    )
