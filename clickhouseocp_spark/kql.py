@@ -3031,6 +3031,58 @@ WHERE __b <= __mx
 GROUP BY __b"""
 
 
+def _rolling_percentile(sub: str, argstr: str) -> str:
+    """``evaluate rolling_percentile(ValueColumn, Percentile,
+    IndexColumn, BinSize, WindowSize)`` — per BinSize-aligned bin, the
+    exact interpolated percentile of the value over the trailing
+    WindowSize bins.  The sliding_window_counts fan-out shape: each row
+    explodes into the WindowSize bins it covers, ONE percentile hash
+    aggregate per bin, phantom tail bins cut by a 1-row max subquery —
+    never a range join.  Deviation: Kusto's percentile is a T-digest
+    approximation; this is Spark's exact interpolated percentile (the
+    dialect-wide percentile contract)."""
+    args = _split_top(argstr)
+    if len(args) != 5:
+        raise KqlError(
+            "rolling_percentile subset: (ValueColumn, Percentile, "
+            f"IndexColumn, BinSize, WindowSize), got {argstr!r}"
+        )
+    val, ts_col = args[0].strip(), args[2].strip()
+    try:
+        frac = float(args[1]) / 100.0
+    except ValueError:
+        raise KqlError(
+            f"rolling_percentile: Percentile must be numeric, got {args[1]!r}"
+        )
+    bn = _ts_secs(args[3])
+    if not bn:
+        raise KqlError(
+            f"rolling_percentile: BinSize must be a timespan literal, "
+            f"got {args[3]!r}"
+        )
+    try:
+        nwin = int(args[4])
+    except ValueError:
+        raise KqlError(
+            f"rolling_percentile: WindowSize must be an integer bin "
+            f"count, got {args[4]!r}"
+        )
+    if nwin < 1:
+        raise KqlError("rolling_percentile: WindowSize must be >= 1")
+    b0 = f"CAST(floor(unix_timestamp({ts_col}) / {bn}) AS BIGINT) * {bn}"
+    pname = args[1].strip().replace(".", "_")
+    return f"""SELECT timestamp_seconds(__b) AS {ts_col},
+       percentile(__v, {frac}) AS rolling_percentile_{pname}
+FROM (
+  SELECT {val} AS __v,
+         explode(sequence(__b0, __b0 + {(nwin - 1) * bn}, {bn})) AS __b
+  FROM (SELECT {val}, {b0} AS __b0 FROM {sub}) __rp0
+) __rp1
+CROSS JOIN (SELECT max({b0}) AS __mx FROM {sub}) __rpm
+WHERE __b <= __mx
+GROUP BY __b"""
+
+
 def _activity_engagement(sub: str, argstr: str) -> str:
     """``evaluate activity_engagement(Id, Timeline, InnerWindow,
     OuterWindow)`` — the DAU/MAU-style engagement ratio: per inner-window
@@ -4831,6 +4883,14 @@ def _transpile_pipeline(
             )
             if mae:
                 rel = _activity_engagement(sub, mae.group(1))
+                continue
+            mrp = re.match(
+                r"^rolling_percentile\s*\((.+)\)\s*$",
+                rest,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if mrp:
+                rel = _rolling_percentile(sub, mrp.group(1))
                 continue
             msn = re.match(
                 r"^session_count\s*\((.+)\)\s*$",

@@ -583,6 +583,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_sequence_detect",
     # --- round-10 continuation: term-level diffpatterns ---
     "kql_diffpatterns_text",
+    # --- round-10 continuation: rolling percentile windows ---
+    "kql_rolling_percentile",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8757,3 +8757,44 @@ documents
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_rolling_percentile",
+    oracle="""
+WITH b0 AS (
+  SELECT value,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b0
+  FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT max(b0) AS m FROM b0),
+e AS (SELECT value,
+             unnest(generate_series(b0, b0 + 6 * 86400, 86400)) AS b
+      FROM b0)
+SELECT make_timestamp(b * 1000000) AS ts,
+       round(quantile_cont(value, 0.9), 6) AS rolling_percentile_90
+FROM e, mx WHERE b <= m GROUP BY b ORDER BY ts
+""",
+    tags=("kql", "dialect", "activity", "timeseries"),
+)
+def kql_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``evaluate rolling_percentile`` (round 10): per 1d bin, the p90 of
+    the value over the trailing 7 bins — bounded fan-out + ONE
+    percentile hash aggregate (never a range join); exact interpolated
+    percentile (the dialect-wide deviation from Kusto's T-digest).  The
+    oracle replays the identical bin cover with quantile_cont; round(6)
+    absorbs interpolation last-ulp spread."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    df = ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where isnotnull(ts)
+| evaluate rolling_percentile(value, 90, ts, 1d, 7)
+| sort by ts asc
+""",
+        dialect="kusto",
+    )
+    return df.select("ts", F.round("rolling_percentile_90", 6).alias(
+        "rolling_percentile_90"))
