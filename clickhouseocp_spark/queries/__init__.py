@@ -585,6 +585,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_diffpatterns_text",
     # --- round-10 continuation: rolling percentile windows ---
     "kql_rolling_percentile",
+    # --- round-10 continuation: batch-6 registry completion ---
+    "kql_scalar_vocab6b",
 ]
 
 _DRIVER_WINDOW_R5 = [

@@ -8798,3 +8798,53 @@ events
     )
     return df.select("ts", F.round("rolling_percentile_90", 6).alias(
         "rolling_percentile_90"))
+
+
+@register(
+    "kql_scalar_vocab6b",
+    oracle="""
+WITH s AS (
+  SELECT event_id,
+         [event_id % 5, event_id % 3, event_id % 7, event_id % 11] AS arr
+  FROM events WHERE event_id < 150)
+SELECT event_id,
+  coalesce(list_aggr(list_transform(arr[1:CAST(event_id % 4 AS INTEGER)],
+            x -> CAST(x AS VARCHAR)), 'string_agg', ','), '') AS sp1,
+  coalesce(list_aggr(list_transform(arr[CAST(event_id % 4 AS INTEGER) + 1:4],
+            x -> CAST(x AS VARCHAR)), 'string_agg', ','), '') AS sp2,
+  CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'a,b' END AS brk,
+  'x%20' || CAST(event_id AS VARCHAR) || '%26' AS uc
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "vocabulary"),
+)
+def kql_scalar_vocab6b(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL scalar batch 6b (round 10 — registry coverage for the three
+    batch-6 lowerings that had only smoke tests): ``array_split`` (both
+    halves, varying split point incl. 0), ``bag_remove_keys``
+    (surviving keys), ``url_encode_component`` (RFC-3986: space → %20,
+    & → %26).  The oracle replays halves with DuckDB list slices and
+    the encodes as closed-form strings (digits are never escaped)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 150
+| extend arr = pack_array(event_id % 5, event_id % 3, event_id % 7,
+                          event_id % 11),
+         halves = array_split(arr, toint(event_id % 4)),
+         bag = bag_pack('a', 1, 'b', event_id, 'kill', 3)
+| project event_id,
+    sp1 = strcat_array(halves[0], ','),
+    sp2 = strcat_array(halves[1], ','),
+    brk = iff(event_id % 2 == 0,
+              strcat_array(array_sort(bag_keys(bag_remove_keys(bag,
+                dynamic(['kill', 'b', 'nope'])))), ','),
+              strcat_array(array_sort(bag_keys(bag_remove_keys(
+                bag_pack('a', 1, 'b', 2), dynamic(['nope'])))), ',')),
+    uc = url_encode_component(strcat('x ', tostring(event_id), '&'))
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
