@@ -8301,6 +8301,9 @@ SELECT e.event_type,
     AS ln_nn,
   round((SELECT quantile_cont(x, 0.5) FROM w
          WHERE w.event_type = e.event_type), 6) AS pw,
+  (SELECT printf('%.6f', quantile_cont(x, 0.25)) || ';'
+          || printf('%.6f', quantile_cont(x, 0.75))
+   FROM w WHERE w.event_type = e.event_type) AS pws,
   round(stddev_samp(value), 6) AS sd,
   round(stddev_pop(value), 6) AS sdp,
   round(var_samp(value), 6) AS vr,
@@ -8344,6 +8347,9 @@ events
             iff(event_id % 10 == 0, long(null), event_id))),
     pw = round(percentilew(todouble(event_id % 100),
                            event_id % 3 + 1, 50), 6),
+    pws = strcat_array(transform(array_sort_asc(percentilesw_array(
+            todouble(event_id % 100), event_id % 3 + 1, 25, 75)),
+            __x -> format_string('%.6f', __x)), ';'),
     sd = round(stdev(value), 6), sdp = round(stdevp(value), 6),
     vr = round(variance(value), 6), vrp = round(variancep(value), 6),
     cd = count_distinct(event_id % 11),
