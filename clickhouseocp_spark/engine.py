@@ -492,7 +492,15 @@ class ChSparkEngine:
                         flt.select(
                             F.lit(t).alias(srccol),
                             *[
-                                F.col(c).cast(dt).alias(c)
+                                # same-named columns may carry DIFFERENT
+                                # types across tables — try_cast pads to
+                                # the first-seen type without an ANSI
+                                # runtime error (NULL on mismatch)
+                                (
+                                    F.col(c).cast(dt)
+                                    if have[c] == dt
+                                    else F.expr(f"try_cast({c} AS {dt})")
+                                ).alias(c)
                                 if c in have
                                 else F.lit(None).cast(dt).alias(c)
                                 for c, dt in out_cols
@@ -560,7 +568,15 @@ class ChSparkEngine:
                         df.filter(F.coalesce(cond, F.lit(False))).select(
                             F.lit(t).alias("source_"),
                             *[
-                                F.col(c).cast(dt).alias(c)
+                                # same-named columns may carry DIFFERENT
+                                # types across tables — try_cast pads to
+                                # the first-seen type without an ANSI
+                                # runtime error (NULL on mismatch)
+                                (
+                                    F.col(c).cast(dt)
+                                    if have[c] == dt
+                                    else F.expr(f"try_cast({c} AS {dt})")
+                                ).alias(c)
                                 if c in have
                                 else F.lit(None).cast(dt).alias(c)
                                 for c, dt in out_cols
