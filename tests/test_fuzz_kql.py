@@ -491,3 +491,68 @@ def test_fuzz_mining_plugins_vs_bruteforce(spark, sf_dir):
         assert {
             (r.CountA, r.CountB, r.u1, r.v1) for r in got
         } == expect, (trial,)
+
+
+def test_fuzz_funnel_completion_vs_simulator(spark, sf_dir):
+    """Seeded fuzz of the funnel_sequence_completion fold against an
+    independent python simulator over random event streams — INCLUDING
+    second-collisions, which exercise the (second, state) sort-order tie
+    rule the oracle replays analytically."""
+    import random
+    from datetime import datetime, timedelta
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine(sf_dir, spark=spark)
+    rng = random.Random(4242)
+    base = datetime(2024, 3, 1)
+    for trial in range(3):
+        rows = []
+        for _ in range(rng.randrange(30, 60)):
+            rid = rng.randrange(1, 5)
+            sec = rng.randrange(0, 6 * 86400)
+            st = rng.choice(["a", "b", "c"])
+            rows.append((rid, sec, st))
+        cells = ", ".join(
+            f"{rid}, datetime({(base + timedelta(seconds=sec)).strftime('%Y-%m-%d %H:%M:%S')}), '{st}'"
+            for rid, sec, st in rows
+        )
+        wins = [3600 * rng.randrange(2, 30), 86400 * rng.randrange(2, 7)]
+        got = {
+            r.Period: (r.a, r.b, r.c)
+            for r in eng.sql(
+                f"let t = datatable(id:long, ts:datetime, st:string)[{cells}];"
+                "t | evaluate funnel_sequence_completion(id, ts, "
+                "datetime(2024-03-01), datetime(2024-03-10), st, "
+                f"dynamic(['a', 'b', 'c']), dynamic([{wins[0]}, {wins[1]}]))",
+                dialect="kusto",
+            ).collect()
+        }
+        # simulator: per id, sort by (second, state), first-unset-slot fold
+        base_epoch = int(base.timestamp())
+        chains = {}
+        for rid in {r[0] for r in rows}:
+            evs = sorted(
+                (base_epoch + sec, st) for r, sec, st in rows if r == rid
+            )
+            t = [None, None, None]
+            for ts, st in evs:
+                for j, step in enumerate(["a", "b", "c"]):
+                    if (
+                        t[j] is None
+                        and st == step
+                        and (j == 0 or t[j - 1] is not None)
+                    ):
+                        t[j] = ts
+                        break
+            chains[rid] = t
+        for w in wins:
+            exp = tuple(
+                sum(
+                    1
+                    for t in chains.values()
+                    if t[j] is not None and t[j] - t[0] <= w
+                )
+                for j in range(3)
+            )
+            assert got[w] == exp, (trial, w, chains, got)
