@@ -1062,6 +1062,66 @@ def _kql_has_any_index(a: list[str]) -> str:
     )
 
 
+def _kql_geo_polygon(a: list[str]) -> str:
+    """geo_point_in_polygon(lon, lat, dynamic({GeoJSON Polygon})) —
+    even-odd ray casting with the polygon parsed at TRANSPILE time (the
+    Kusto calling convention requires a literal), so the edge tests
+    unroll into codegen'd comparisons: no arrays, no UDF, no shuffle
+    (the functions/geo.py pointInPolygon discipline, shared arithmetic).
+    Subset: single outer ring (holes raise); boundary points follow the
+    strict `<` convention."""
+    import json as _json
+
+    if len(a) != 3:
+        raise KqlError(
+            "geo_point_in_polygon(lon, lat, dynamic({GeoJSON})) takes 3 args"
+        )
+    m = re.match(r"(?is)^dynamic\s*\((.+)\)\s*$", a[2].strip())
+    if not m:
+        raise KqlError(
+            "geo_point_in_polygon: the polygon must be a dynamic({...}) "
+            f"LITERAL (Kusto's own convention), got {a[2]!r}"
+        )
+    try:
+        gj = _json.loads(m.group(1))
+    except ValueError as exc:
+        raise KqlError(f"geo_point_in_polygon: bad GeoJSON literal: {exc}")
+    if not isinstance(gj, dict) or gj.get("type") != "Polygon":
+        raise KqlError(
+            "geo_point_in_polygon subset: GeoJSON type must be 'Polygon'"
+        )
+    rings = gj.get("coordinates") or []
+    if len(rings) != 1:
+        raise KqlError(
+            "geo_point_in_polygon subset: exactly one outer ring (holes "
+            "are not supported)"
+        )
+    poly = [(float(p[0]), float(p[1])) for p in rings[0]]
+    # GeoJSON closes the ring explicitly — drop the repeated last vertex
+    if len(poly) > 1 and poly[0] == poly[-1]:
+        poly = poly[:-1]
+    if len(poly) < 3:
+        raise KqlError("geo_point_in_polygon: ring needs >= 3 vertices")
+    hits = []
+    for i in range(len(poly)):
+        x1, y1 = poly[i]
+        x2, y2 = poly[(i + 1) % len(poly)]
+        straddles = f"(({y1!r} > __p.y) != ({y2!r} > __p.y))"
+        if y2 != y1:
+            cross = (
+                f"({x1!r} + (__p.y - {y1!r}) * {(x2 - x1)!r} "
+                f"/ {(y2 - y1)!r})"
+            )
+        else:
+            cross = "CAST('Infinity' AS DOUBLE)"
+        hits.append(f"IF({straddles} AND __p.x < {cross}, 1, 0)")
+    return (
+        f"transform(array(named_struct('x', CAST({a[0]} AS DOUBLE), "
+        f"'y', CAST({a[1]} AS DOUBLE))), "
+        f"__p -> ({' + '.join(hits)}) % 2 = 1)[0]"
+    )
+
+
 def _kql_geo_distance(a: list[str]) -> str:
     """geo_distance_2points(lon1, lat1, lon2, lat2) — haversine meters on
     the R=6371 km sphere (deviation: Kusto computes WGS84 geodesics —
@@ -1542,6 +1602,7 @@ _KQL_SCALARS: dict = {
     "has_any_index": _kql_has_any_index,
     "set_has_element": lambda a: f"array_contains({a[0]}, {a[1]})",
     "geo_distance_2points": _kql_geo_distance,
+    "geo_point_in_polygon": _kql_geo_polygon,
     # geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m):
     # haversine containment on the same R=6371 km sphere as
     # geo_distance_2points (same ≤0.5% WGS84 deviation, documented there)

@@ -587,6 +587,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_rolling_percentile",
     # --- round-10 continuation: batch-6 registry completion ---
     "kql_scalar_vocab6b",
+    # --- round-10 continuation: polygon containment ---
+    "kql_geo_polygon",
 ]
 
 _DRIVER_WINDOW_R5 = [

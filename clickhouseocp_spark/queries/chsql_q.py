@@ -8854,3 +8854,56 @@ events
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "kql_geo_polygon",
+    oracle="""
+WITH s AS (
+  SELECT event_id, CAST(event_id % 41 AS DOUBLE) / 10 - 2 AS x,
+         CAST(event_id % 37 AS DOUBLE) / 10 - 1.8 AS y
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  ((CASE WHEN (0.0 > y) != (1.8 > y)
+         AND x < (1.2 + (y - 0.0) * 0.30000000000000004
+                  / 1.8) THEN 1 ELSE 0 END)
+ + (CASE WHEN (1.8 > y) != (0.9 > y)
+         AND x < (1.5 + (y - 1.8) * -1.5
+                  / -0.9) THEN 1 ELSE 0 END)
+ + (CASE WHEN (0.9 > y) != (-1.1 > y)
+         AND x < (0.0 + (y - 0.9) * -1.3
+                  / -2.0) THEN 1 ELSE 0 END)
+ + (CASE WHEN (-1.1 > y) != (-0.4 > y)
+         AND x < (-1.3 + (y - -1.1) * 1.7000000000000002
+                  / 0.7000000000000001) THEN 1 ELSE 0 END)
+ + (CASE WHEN (-0.4 > y) != (0.0 > y)
+         AND x < (0.4 + (y - -0.4) * 0.7999999999999999
+                  / 0.4) THEN 1 ELSE 0 END)
+  ) % 2 = 1 AS inside
+FROM s ORDER BY event_id
+""",
+    tags=("kql", "dialect", "geo"),
+)
+def kql_geo_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kusto ``geo_point_in_polygon`` (round 10): even-odd ray casting
+    with the GeoJSON polygon parsed at TRANSPILE time — edge tests
+    unroll into plain codegen'd comparisons, no arrays/UDF/shuffle (the
+    pointInPolygon discipline).  A synthetic point grid against an
+    irregular pentagon; the oracle replays the IDENTICAL unrolled edge
+    arithmetic (same IEEE ops, same order → engine-deterministic)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events
+| where event_id < 400
+| extend x = todouble(event_id % 41) / 10 - 2,
+         y = todouble(event_id % 37) / 10 - 1.8
+| project event_id,
+    inside = geo_point_in_polygon(x, y, dynamic({"type": "Polygon",
+      "coordinates": [[[1.2, 0.0], [1.5, 1.8], [0.0, 0.9],
+                       [-1.3, -1.1], [0.4, -0.4], [1.2, 0.0]]]}))
+| sort by event_id asc
+""",
+        dialect="kusto",
+    )
