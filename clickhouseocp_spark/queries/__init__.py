@@ -589,6 +589,8 @@ _DRIVER_WINDOW_R13: list[str] = [
     "kql_scalar_vocab6b",
     # --- round-10 continuation: polygon containment ---
     "kql_geo_polygon",
+    # --- round-10 continuation: streaming rolling percentile twin ---
+    "stream_rolling_percentile",
 ]
 
 _DRIVER_WINDOW_R5 = [

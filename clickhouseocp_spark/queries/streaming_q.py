@@ -599,3 +599,67 @@ def stream_session_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.timestamp_seconds("__b").alias("ts"), "count_sessions")
         .orderBy("ts")
     )
+
+
+@register(
+    "stream_rolling_percentile",
+    oracle="""
+WITH b0 AS (
+  SELECT value,
+         CAST(floor(epoch(ts) / 86400) AS BIGINT) * 86400 AS b0
+  FROM events WHERE ts IS NOT NULL),
+mx AS (SELECT max(b0) AS m FROM b0),
+e AS (SELECT value,
+             unnest(generate_series(b0, b0 + 6 * 86400, 86400)) AS b
+      FROM b0)
+SELECT make_timestamp(b * 1000000) AS ts,
+       round(quantile_cont(value, 0.9), 6) AS p90
+FROM e, mx WHERE b <= m GROUP BY b ORDER BY ts
+""",
+    tags=("streaming", "timeseries"),
+)
+def stream_rolling_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``evaluate rolling_percentile`` (round 10): the
+    micro-batch stream fans each event into the 7 trailing bins it
+    covers BEFORE the stateful aggregation (stateless explode inside the
+    stream), and ONE stateful grouped percentile per bin accumulates
+    across micro-batches — state is one group per report bin, bounded by
+    the time axis, never the stream.  The drained result equals the
+    batch fan-out closed form (phantom tail bins cut post-drain, where
+    the global max is knowable)."""
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+    )
+
+    stream = events_stream(spark, sf_dir).where(F.col("ts").isNotNull())
+    binned = stream.select(
+        "value",
+        (
+            (F.unix_timestamp("ts") / 86400).cast("long") * 86400
+        ).alias("b0"),
+    )
+    fanned = binned.select(
+        "value",
+        F.explode(
+            F.sequence(
+                F.col("b0"), F.col("b0") + 6 * 86400, F.lit(86400)
+            )
+        ).alias("b"),
+    )
+    agg = fanned.groupBy("b").agg(
+        F.percentile("value", F.lit(0.9)).alias("p90")
+    )
+    drained = run_available_now(agg)
+    # the largest HOME bin is the largest fanned bin minus the window
+    # tail (every home fans to itself + 6 successors)
+    mx = drained.agg((F.max("b") - 6 * 86400).alias("m"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .where(F.col("b") <= F.col("m"))
+        .select(
+            F.timestamp_seconds("b").alias("ts"),
+            F.round("p90", 6).alias("p90"),
+        )
+        .orderBy("ts")
+    )
