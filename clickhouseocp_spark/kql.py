@@ -1122,6 +1122,41 @@ def _kql_geo_polygon(a: list[str]) -> str:
     )
 
 
+def _kql_geo_line_length(a: list[str]) -> str:
+    """geo_line_length(dynamic({GeoJSON LineString})) — sum of the
+    haversine segment lengths, the LineString parsed at TRANSPILE time
+    (literal subset, the geo_point_in_polygon convention) so the segment
+    sum constant-folds into one codegen'd expression.  Same R=6371 km
+    sphere deviation as geo_distance_2points."""
+    import json as _json
+
+    if len(a) != 1:
+        raise KqlError("geo_line_length(dynamic({GeoJSON})) takes 1 arg")
+    m = re.match(r"(?is)^dynamic\s*\((.+)\)\s*$", a[0].strip())
+    if not m:
+        raise KqlError(
+            "geo_line_length: the line must be a dynamic({...}) LITERAL"
+        )
+    try:
+        gj = _json.loads(m.group(1))
+    except ValueError as exc:
+        raise KqlError(f"geo_line_length: bad GeoJSON literal: {exc}")
+    if not isinstance(gj, dict) or gj.get("type") != "LineString":
+        raise KqlError(
+            "geo_line_length subset: GeoJSON type must be 'LineString'"
+        )
+    pts = [(float(p[0]), float(p[1])) for p in (gj.get("coordinates") or [])]
+    if len(pts) < 2:
+        raise KqlError("geo_line_length: LineString needs >= 2 vertices")
+    segs = [
+        _kql_geo_distance(
+            [repr(x1), repr(y1), repr(x2), repr(y2)]
+        )
+        for (x1, y1), (x2, y2) in zip(pts, pts[1:])
+    ]
+    return "(" + " + ".join(segs) + ")"
+
+
 def _kql_geo_distance(a: list[str]) -> str:
     """geo_distance_2points(lon1, lat1, lon2, lat2) — haversine meters on
     the R=6371 km sphere (deviation: Kusto computes WGS84 geodesics —
@@ -1603,6 +1638,7 @@ _KQL_SCALARS: dict = {
     "set_has_element": lambda a: f"array_contains({a[0]}, {a[1]})",
     "geo_distance_2points": _kql_geo_distance,
     "geo_point_in_polygon": _kql_geo_polygon,
+    "geo_line_length": _kql_geo_line_length,
     # geo_point_in_circle(lon, lat, center_lon, center_lat, radius_m):
     # haversine containment on the same R=6371 km sphere as
     # geo_distance_2points (same ≤0.5% WGS84 deviation, documented there)

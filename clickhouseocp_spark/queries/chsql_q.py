@@ -8139,7 +8139,15 @@ SELECT event_id,
   2 * 6371000.0 * asin(least(1.0, sqrt(
     pow(sin(radians(lat - 10.0) / 2), 2)
     + cos(radians(10.0)) * cos(radians(lat))
-    * pow(sin(radians(lon - 20.0) / 2), 2)))) <= 3000000.0 AS inside
+    * pow(sin(radians(lon - 20.0) / 2), 2)))) <= 3000000.0 AS inside,
+  round(2 * 6371000.0 * asin(least(1.0, sqrt(
+      pow(sin(radians(0.0 - 0.0) / 2), 2)
+      + cos(radians(0.0)) * cos(radians(0.0))
+      * pow(sin(radians(1.0 - 0.0) / 2), 2))))
+  + 2 * 6371000.0 * asin(least(1.0, sqrt(
+      pow(sin(radians(1.0 - 0.0) / 2), 2)
+      + cos(radians(0.0)) * cos(radians(1.0))
+      * pow(sin(radians(1.0 - 1.0) / 2), 2)))), 3) AS seg_len
 FROM s ORDER BY event_id
 """,
     tags=("kql", "dialect", "geo"),
@@ -8160,7 +8168,9 @@ events
 | extend lon = todouble(event_id % 160 - 80) / 2,
          lat = todouble(event_id % 120 - 60) / 2
 | project event_id,
-          inside = geo_point_in_circle(lon, lat, 20.0, 10.0, 3000000.0)
+          inside = geo_point_in_circle(lon, lat, 20.0, 10.0, 3000000.0),
+          seg_len = round(geo_line_length(dynamic({"type": "LineString",
+            "coordinates": [[0.0, 0.0], [1.0, 0.0], [1.0, 1.0]]})), 3)
 | sort by event_id asc
 """,
         dialect="kusto",

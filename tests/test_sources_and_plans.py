@@ -431,3 +431,28 @@ def test_ipv4_lookup_plan_is_equi_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     # the cross fan-out must be the broadcast flavor (lookup side tiny)
     assert "CartesianProduct" not in plan
+
+
+def test_continuation_tier_shuffle_budgets(spark, sf_dir):
+    """Plan gates (round-10 continuation): every fan-out/fold query stays
+    within its designed exchange budget — the bounded-bin fan-outs and
+    sorted-collect folds never degrade into range joins or extra
+    shuffles."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    reg = all_queries()
+    budgets = {
+        "kql_reduce_by": 2,           # template agg + presentation sort
+        "kql_row_rank": 3,            # one serialized sort chain + order
+        "kql_series_fit_2lines": 1,   # per-row combinator tower + sort
+        "kql_session_count": 3,       # id window + bin agg + sort
+        "kql_rolling_percentile": 4,  # fan-out + bin agg (+1-row max)
+        "kql_funnel_completion": 5,   # id fold + window agg
+        "kql_sequence_detect": 3,     # id fold + sort
+    }
+    for name, budget in budgets.items():
+        df = reg[name].fn(spark, sf_dir)
+        n = shuffle_count(df)
+        assert n <= budget, (name, n, budget)
+        assert "CartesianProduct" not in formatted_plan(df), name
