@@ -593,6 +593,11 @@ _DRIVER_WINDOW_R13: list[str] = [
     "stream_rolling_percentile",
 ]
 
+#: Round-11 births (≤3 — the r10 verdict caps registry growth this round so
+#: the 46-name R13 overflow + the chsql_vocab_r18 red re-record fit in one
+#: 50-slot window and full-registry driver coverage finally lands).
+_DRIVER_WINDOW_R14: list[str] = []
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -778,16 +783,18 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        # round-10 recording window (exactly 50): the 44 never-recorded
-        # names (R10 overflow 4 + R11 21 + R12 19) + the first 6 round-10
-        # births — full-registry driver coverage completes here
-        _DRIVER_WINDOW_R10[16:]
+        # round-11 recording window (≤50): the round-10 driver RED
+        # chsql_vocab_r18 re-record (oracle tz fix) + the 46 never-recorded
+        # round-10 births (R13 overflow) + ≤3 round-11 births — full-registry
+        # driver coverage (the goal open since round 5) completes here
+        ["chsql_vocab_r18"]
+        + _DRIVER_WINDOW_R13[6:]
+        + _DRIVER_WINDOW_R14
+        # already driver-recorded tail, in historic order
+        + _DRIVER_WINDOW_R10[16:]
         + _DRIVER_WINDOW_R11
         + _DRIVER_WINDOW_R12
         + _DRIVER_WINDOW_R13[:6]
-        # round-11 line: round-10 birth overflow
-        + _DRIVER_WINDOW_R13[6:]
-        # already driver-recorded tail, in historic order
         + _R9_RERECORDS
         + _DRIVER_WINDOW_R9
         + _DRIVER_WINDOW_R10[:16]

@@ -6967,8 +6967,8 @@ events
 SELECT event_id,
        ts + INTERVAL 3 DAY AS d_add,
        ts - INTERVAL 2 HOUR AS d_sub,
-       timezone('America/New_York', ts) AS utc_ny,
-       timezone('America/New_York', timezone('UTC', ts)) AS ny_local,
+       CAST(timezone('America/New_York', ts) AS TIMESTAMP) AS utc_ny,
+       CAST(timezone('America/New_York', timezone('UTC', ts)) AS TIMESTAMP) AS ny_local,
        least(greatest(value, 50.0), 200.0) AS clamped
 FROM events WHERE event_id < 300 ORDER BY event_id
 """,

@@ -81,9 +81,17 @@ def _canon_cell(v):
     if isinstance(v, Decimal):
         return ("dec", str(v))
     if isinstance(v, _dt.datetime):
-        v = v.replace(tzinfo=None)
-        if isinstance(v, _dt.datetime) and hasattr(v, "to_pydatetime"):
+        # tz-AWARE stays a DISTINCT tag (round 11, from the round-10 driver
+        # RED chsql_vocab_r18): DuckDB's pandas path returns TIMESTAMPTZ as
+        # datetime64[us, Etc/UTC] while Spark timestamps arrive naive — the
+        # driver's dtype-sensitive hash fails that pairing even when wall
+        # clocks match.  The old `v.replace(tzinfo=None)` silently passed it
+        # locally; now a tz-aware vs naive pairing fails HERE first.
+        tz_aware = v.tzinfo is not None
+        if hasattr(v, "to_pydatetime"):
             v = v.to_pydatetime()
+        if tz_aware:
+            return ("tzt", v.isoformat())
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
             return ("d", v.date().isoformat())
         return ("t", v.isoformat())
@@ -177,12 +185,17 @@ def compare_query(
 
     con = duck_connection(sf_dir)
     try:
-        return _compare_against_oracle(res, con, oracle, srows, scols)
+        return _compare_against_oracle(res, con, oracle, srows, scols, spdf)
     finally:
         con.close()
 
 
-def _compare_against_oracle(res, con, oracle, srows, scols) -> CompareResult:
+def _tz_aware_cols(df) -> set[str]:
+    """Column names whose pandas dtype is timezone-AWARE (DatetimeTZDtype)."""
+    return {c for c in df.columns if getattr(df.dtypes[c], "tz", None) is not None}
+
+
+def _compare_against_oracle(res, con, oracle, srows, scols, spdf=None) -> CompareResult:
     cur = con.execute(oracle)
     # Pandas path, NOT fetchall(): the driver reads the oracle through
     # pandas, which widens HUGEINT / DECIMAL / nullable-int to float64.
@@ -196,6 +209,21 @@ def _compare_against_oracle(res, con, oracle, srows, scols) -> CompareResult:
         res.ok = False
         res.errors.append(f"columns differ: spark={sorted(scols)} oracle={sorted(ocols)}")
         return res
+    # Frame-level tz-awareness gate (round 11, from the round-10 driver RED
+    # chsql_vocab_r18): the driver's schema hash is dtype-sensitive, so a
+    # datetime64[us, Etc/UTC] oracle column vs a naive Spark column is RED
+    # even with identical wall clocks (and even all-NULL, which the value
+    # check below cannot see).  Oracles must CAST(timezone(...) AS TIMESTAMP).
+    if spdf is not None:
+        stz, otz = _tz_aware_cols(spdf), _tz_aware_cols(odf)
+        if stz != otz:
+            res.ok = False
+            res.errors.append(
+                "tz-awareness differs (driver schema hash is dtype-strict): "
+                f"spark tz-aware={sorted(stz)} oracle tz-aware={sorted(otz)} "
+                "— CAST(timezone(...) AS TIMESTAMP) on the oracle side"
+            )
+            return res
     if len(srows) != len(orows):
         res.ok = False
         res.errors.append(f"row count differs: {len(srows)} vs {len(orows)}")

@@ -78,3 +78,32 @@ def test_every_query_is_staged_in_a_driver_window():
             staged |= set(getattr(q, name))
     missing = sorted(set(q.all_queries()) - staged - recorded)
     assert not missing, f"queries staged in no driver window: {missing}"
+
+
+def test_comparator_rejects_tz_aware_vs_naive(spark, sf_dir):
+    """Pinned regression for the round-10 driver RED `chsql_vocab_r18`: the
+    oracle's bare timezone('America/New_York', ts) returns a tz-AWARE
+    datetime64[us, Etc/UTC] through DuckDB's pandas path while Spark
+    timestamps arrive naive; the driver's dtype-sensitive schema/value hash
+    fails that pairing even with identical wall clocks.  The old comparator
+    stripped tzinfo (`v.replace(tzinfo=None)`) and passed it — CHECKALL
+    green was not driver-green.  This test fails on that old code."""
+
+    def naive_fn(sp, _sf):
+        return sp.sql("SELECT TIMESTAMP '2024-01-01 12:00:00' AS ts, 1 AS k")
+
+    # Identical wall clock, but DuckDB timezone() yields TIMESTAMPTZ.
+    aware_oracle = (
+        "SELECT timezone('UTC', TIMESTAMP '2024-01-01 12:00:00') AS ts, 1 AS k"
+    )
+    res = compare_query(spark, "tz_regression", naive_fn, aware_oracle, sf_dir)
+    assert not res.ok, "tz-aware oracle vs naive Spark must FAIL locally"
+    assert any("tz" in e for e in res.errors), res.errors
+
+    # The repo convention — CAST(timezone(...) AS TIMESTAMP) — passes.
+    naive_oracle = (
+        "SELECT CAST(timezone('UTC', TIMESTAMP '2024-01-01 12:00:00') "
+        "AS TIMESTAMP) AS ts, 1 AS k"
+    )
+    res2 = compare_query(spark, "tz_regression_ok", naive_fn, naive_oracle, sf_dir)
+    assert res2.ok, str(res2)
