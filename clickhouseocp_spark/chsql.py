@@ -54,6 +54,19 @@ class ChSqlError(ValueError):
     subset in a way the transpiler can detect."""
 
 
+def _literal_int_ch(tok: str) -> int:
+    """geohashEncode precision must be an integer LITERAL (it sizes the
+    generated interval-halving fold); a non-literal arg is a ChSqlError
+    naming the limitation, not a raw ValueError (advice r10)."""
+    try:
+        return int(str(tok).strip())
+    except (TypeError, ValueError):
+        raise ChSqlError(
+            "geohashEncode precision must be an integer literal (it sizes "
+            f"the generated expression at transpile time), got {tok!r}"
+        ) from None
+
+
 #: file()/url() format name → Spark datasource (the direct-file SQL read)
 _FILE_FORMATS = {
     "parquet": "parquet", "orc": "orc", "csv": "csv",
@@ -2233,7 +2246,7 @@ FUNC_RULES: dict[str, object] = {
     # the KQL dialect (functions/geo.py::geohash_*_sql); precision must be
     # a literal (it sizes the fold), CH default 12
     "geohashEncode": lambda args: _geohash_encode_sql(
-        args[0], args[1], int(args[2]) if len(args) > 2 else 12
+        args[0], args[1], _literal_int_ch(args[2]) if len(args) > 2 else 12
     ),
     "geohashDecode": lambda args: _geohash_decode_sql(args[0]),
     # H3 index math (round 8): pure bit-layout arithmetic per the public H3

@@ -15,6 +15,7 @@ named operator registry.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from clickhouseocp_spark.catalog import register_tables
@@ -485,8 +486,21 @@ class ChSparkEngine:
                     df = self._table(t)
                     try:
                         flt = df.filter(F.expr(pred))
-                    except Exception:
-                        continue  # predicate references a missing column
+                    except AnalysisException as e:
+                        # Kusto find skips ONLY tables whose schema cannot
+                        # bind the predicate; a type error or bad function
+                        # on a table that HAS the columns must surface, not
+                        # silently drop the leg (advice r10).
+                        cond = ""
+                        try:
+                            cond = e.getCondition() or ""
+                        except Exception:
+                            pass
+                        if "UNRESOLVED_COLUMN" in cond or (
+                            not cond and "UNRESOLVED_COLUMN" in str(e)
+                        ):
+                            continue  # predicate references a missing column
+                        raise
                     have = dict(df.dtypes)
                     legs.append(
                         flt.select(
@@ -673,10 +687,15 @@ class ChSparkEngine:
                         raise ChSqlError(
                             f"evaluate pivot: no non-NULL values in {pcol!r}"
                         )
+                    # bare str(v) is only valid KQL for plain numerics:
+                    # date/timestamp/Decimal/bool distinct values must be
+                    # re-injected QUOTED or the rebuilt pivot is invalid
+                    # SQL (advice r10); Spark's comparison coerces the
+                    # string literal back to the column type.
                     lit = ", ".join(
-                        "'" + str(v).replace("'", "''") + "'"
-                        if isinstance(v, str)
-                        else str(v)
+                        str(v)
+                        if isinstance(v, (int, float)) and not isinstance(v, bool)
+                        else "'" + str(v).replace("'", "''") + "'"
                         for v in vals
                     )
                     rebuilt = (

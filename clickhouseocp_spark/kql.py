@@ -1020,6 +1020,44 @@ def _kql_ipv4_compare(a: list[str]) -> str:
     )
 
 
+def _literal_int(tok: str, what: str) -> int:
+    """Coerce a transpiler token that MUST be an integer literal (it sizes a
+    codegen unroll); a non-literal arg is a KqlError naming the limitation,
+    not a raw ValueError (advice r10)."""
+    try:
+        return int(str(tok).strip())
+    except (TypeError, ValueError):
+        raise KqlError(
+            f"{what} must be an integer LITERAL (it sizes the generated "
+            f"expression at transpile time), got {tok!r}"
+        ) from None
+
+
+def _kql_make_timespan(a: list[str]) -> str:
+    """make_timespan → seconds; the three documented Kusto overloads
+    (day,h,m,s) / (h,m,s) / (h,m).  Any other arity is a KqlError, not an
+    IndexError (advice r10)."""
+    if len(a) == 4:
+        return (
+            f"(CAST({a[0]} AS BIGINT) * 86400 + CAST({a[1]} AS BIGINT) * 3600 "
+            f"+ CAST({a[2]} AS BIGINT) * 60 + CAST({a[3]} AS DOUBLE))"
+        )
+    if len(a) == 3:
+        return (
+            f"(CAST({a[0]} AS BIGINT) * 3600 "
+            f"+ CAST({a[1]} AS BIGINT) * 60 + CAST({a[2]} AS DOUBLE))"
+        )
+    if len(a) == 2:
+        return (
+            f"CAST((CAST({a[0]} AS BIGINT) * 3600 "
+            f"+ CAST({a[1]} AS BIGINT) * 60) AS DOUBLE)"
+        )
+    raise KqlError(
+        "make_timespan takes (day, hour, minute, second), (hour, minute, "
+        f"second) or (hour, minute) — got {len(a)} argument(s)"
+    )
+
+
 def _kql_format_timespan(a: list[str]) -> str:
     """format_timespan(seconds, fmt) — the two canonical patterns;
     non-negative timespans (negative inputs mis-pad — Kusto prints a
@@ -1332,17 +1370,10 @@ _KQL_SCALARS: dict = {
     "dayofweek": lambda a: (
         f"CAST((dayofweek({a[0]}) - 1) * 86400 AS BIGINT)"
     ),
-    # make_timespan(d, h, m, s) / (h, m, s) → seconds (the dialect's
-    # timespan representation)
-    "make_timespan": lambda a: (
-        f"(CAST({a[0]} AS BIGINT) * 86400 + CAST({a[1]} AS BIGINT) * 3600 "
-        f"+ CAST({a[2]} AS BIGINT) * 60 + CAST({a[3]} AS DOUBLE))"
-        if len(a) == 4
-        else (
-            f"(CAST({a[0]} AS BIGINT) * 3600 "
-            f"+ CAST({a[1]} AS BIGINT) * 60 + CAST({a[2]} AS DOUBLE))"
-        )
-    ),
+    # make_timespan(d, h, m, s) / (h, m, s) / (h, m) → seconds (the
+    # dialect's timespan representation; all three documented Kusto
+    # overloads — advice r10 added the 2-arg form)
+    "make_timespan": lambda a: _kql_make_timespan(a),
     "startofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
     "startofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
     # round-8 datetime vocabulary completions
@@ -1649,7 +1680,9 @@ _KQL_SCALARS: dict = {
     # with the CH dialect (functions/geo.py); accuracy must be a literal
     # (it sizes the fold), Kusto default 5
     "geo_point_to_geohash": lambda a: _geohash_encode_sql(
-        a[0], a[1], int(a[2]) if len(a) > 2 else 5
+        a[0],
+        a[1],
+        _literal_int(a[2], "geo_point_to_geohash accuracy") if len(a) > 2 else 5,
     ),
     "geo_geohash_to_central_point": lambda a: _geohash_decode_sql(a[0]),
     # round-10 scalar batch 6: runtime type / hashing / float predicates /
@@ -1737,14 +1770,21 @@ _KQL_SCALARS: dict = {
     "min_of": lambda a: f"least({', '.join(a)})",
     # parse_urlquery: decoded key→value bag of the query string (leading
     # '?' tolerated, valueless keys → empty string) — subset: a flat map,
-    # not Kusto's nested {"Query Parameters": ...} wrapper
+    # not Kusto's nested {"Query Parameters": ...} wrapper.  Repeated keys
+    # (?a=1&a=2, common in real URLs) would crash map_from_entries under
+    # Spark's default mapKeyDedupPolicy=EXCEPTION where Kusto tolerates
+    # them — same first-occurrence-wins fold as parse-kv below; and
+    # split(__p, '=', 2) keeps embedded '=' in values (redirect=a=b).
     "parse_urlquery": lambda a: (
-        f"map_from_entries(transform(filter(split("
+        f"map_from_entries(aggregate(transform(filter(split("
         f"regexp_replace({a[0]}, '^\\\\?', ''), '&'), "
         f"__p -> __p != ''), __p -> named_struct("
-        f"'key', url_decode(element_at(split(__p, '='), 1)), "
-        f"'value', url_decode(coalesce(try_element_at(split(__p, '='), 2), "
-        f"'')))))"
+        f"'key', url_decode(split(__p, '=', 2)[0]), "
+        f"'value', url_decode(coalesce(try_element_at(split(__p, '=', 2), 2), "
+        f"'')))), "
+        f"CAST(array() AS ARRAY<STRUCT<key: STRING, value: STRING>>), "
+        f"(__acc, __e) -> IF(exists(__acc, __a -> __a.key <=> __e.key), "
+        f"__acc, concat(__acc, array(__e)))))"
     ),
     # format_timespan subset: seconds input, the two canonical patterns
     # 'd.hh:mm:ss' and 'hh:mm:ss' (hours roll past 24 in the second form)
@@ -4608,9 +4648,14 @@ def _transpile_pipeline(
                         "sort (serialized row order)"
                     )
                 alias, kind, term = mrr.group(1), mrr.group(2), mrr.group(3)
+                # struct-wrap the <=> comparison: on the FIRST row lag()
+                # is a NULL STRUCT (never equal to the non-null wrapper),
+                # so a leading NULL term still counts as a change — a bare
+                # `term <=> lag(term)` would yield NULL<=>NULL = TRUE and
+                # shift every rank down by one (advice r10)
                 inner = (
-                    f"SELECT *, CASE WHEN {term} <=> "
-                    f"lag({term}) OVER (ORDER BY {last_order}) "
+                    f"SELECT *, CASE WHEN named_struct('v', {term}) <=> "
+                    f"lag(named_struct('v', {term})) OVER (ORDER BY {last_order}) "
                     f"THEN 0 ELSE 1 END AS __chg, "
                     f"row_number() OVER (ORDER BY {last_order}) AS __rrn "
                     f"FROM {sub}"

@@ -2917,3 +2917,94 @@ edges
     assert edges[0].Count == 4
     with _pytest.raises(KqlError, match="preceding make-graph"):
         transpile_kql("t | graph-mark-components with_component_id=c")
+
+
+def test_advice_r10_fixes(spark):
+    """Round-11 advice batch: parse_urlquery duplicate keys + embedded '=',
+    row_rank_* leading-NULL term, schema-aware find surfacing type errors,
+    evaluate pivot over datetime distinct values, make_timespan(h, m) and
+    the literal-coercion KqlError/ChSqlError contracts."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    # parse_urlquery: repeated key keeps the FIRST occurrence (Kusto
+    # tolerates duplicates; Spark's mapKeyDedupPolicy=EXCEPTION would
+    # crash), values keep embedded '=', valueless key → ''
+    r = eng.sql(
+        "print m = parse_urlquery('?a=1&a=2&redirect=u=v&empty')",
+        dialect="kusto",
+    ).collect()[0]
+    assert dict(r.m) == {"a": "1", "redirect": "u=v", "empty": ""}
+
+    # row_rank_dense / row_rank_min: a leading NULL run is rank 1 (the
+    # first serialized row is unconditionally a change; bare term <=>
+    # lag(term) made it NULL<=>NULL = no-change and shifted all ranks)
+    q = """
+let t = datatable(k: long) [1, 2, 3, 4, 5];
+t
+| extend term = case(k <= 2, string(null), k == 5, 'y', 'x')
+| sort by k asc
+| extend r = row_rank_{kind}(term)
+| project k, r
+| sort by k asc
+"""
+    dense = eng.sql(q.format(kind="dense"), dialect="kusto").collect()
+    assert [(x.k, x.r) for x in dense] == [(1, 1), (2, 1), (3, 2), (4, 2), (5, 3)]
+    rmin = eng.sql(q.format(kind="min"), dialect="kusto").collect()
+    assert [(x.k, x.r) for x in rmin] == [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)]
+
+    # schema-aware find: a TYPE error on a table that HAS the columns
+    # surfaces (Kusto only skips tables whose schema cannot bind)...
+    from pyspark.errors import AnalysisException
+
+    with _pytest.raises(AnalysisException, match="DATATYPE_MISMATCH"):
+        eng.sql(
+            "find in (events) where bit_count(event_type) > 2",
+            dialect="kusto",
+        )
+    # ...while a predicate referencing a column a table lacks still skips
+    # that table quietly
+    assert (
+        eng.sql(
+            "find in (events, nation) where event_id < 5", dialect="kusto"
+        ).count()
+        == 5
+    )
+
+    # 2-arg evaluate pivot over datetime distinct values: quoted literal
+    # re-injection (bare str(v) was invalid SQL)
+    p = eng.sql(
+        """
+let t = datatable(k: long, d: datetime)
+  [1, datetime(2024-01-01), 2, datetime(2024-01-01), 3, datetime(2024-02-01)];
+t
+| evaluate pivot(d, count())
+""",
+        dialect="kusto",
+    )
+    assert sorted(p.columns) == [
+        "2024-01-01 00:00:00", "2024-02-01 00:00:00", "k",
+    ]
+    assert p.count() == 3
+
+    # make_timespan: the documented 2-arg (hour, minute) Kusto overload
+    r = eng.sql("print s = make_timespan(1, 30)", dialect="kusto").collect()[0]
+    assert r.s == 5400.0
+    with _pytest.raises(KqlError, match="make_timespan"):
+        eng.sql("print s = make_timespan(1)", dialect="kusto")
+
+    # literal-coercion contract: KqlError / ChSqlError, not raw ValueError
+    with _pytest.raises(KqlError, match="integer LITERAL"):
+        eng.sql(
+            "events | project g = geo_point_to_geohash(value, value, event_id)",
+            dialect="kusto",
+        )
+    with _pytest.raises(ChSqlError, match="integer literal"):
+        transpile(
+            "SELECT geohashEncode(1.0, 2.0, event_id) FROM events"
+        )
