@@ -249,6 +249,36 @@ def main() -> None:
     ).count()
 
     load_start = os.getloadavg()
+
+    # Host-speed probe (round 11): BENCH_FULL_r9 vs r10 showed every
+    # UNTOUCHED query moving ~1.3-1.4x between rounds (r9's host was the
+    # outlier-fast one; r10 matched r8-class speed) — per-round containers
+    # do not run on identically-fast machines.  Two fixed workloads, one
+    # pure-JVM codegen and one Arrow/Python-worker roundtrip, recorded in
+    # the artifact so cross-round per-query ratios can be normalized by
+    # probe ratio before being read as plan regressions.
+    def _probe(fn):
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn()
+            runs.append(time.perf_counter() - t0)
+        return round(sorted(runs)[1], 4)
+
+    spark.range(10**8).selectExpr("sum(xxhash64(id) % 100000) s").collect()  # warm
+    cpu_probe = {
+        "jvm_hash_1e8": _probe(
+            lambda: spark.range(10**8)
+            .selectExpr("sum(xxhash64(id) % 100000) s")
+            .collect()
+        ),
+        "arrow_roundtrip_2e6": _probe(
+            lambda: spark.range(2 * 10**6)
+            .mapInPandas(lambda it: it, schema="id long")
+            .count()
+        ),
+    }
+
     prev_name, prev = _prev_timings()
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -290,6 +320,7 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
+        "cpu_probe": cpu_probe,
         "protocol": (
             "median of 3 timed runs after 1 warmup run per query; "
             "re-run once on >2x regression vs prior artifact"
