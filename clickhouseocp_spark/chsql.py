@@ -273,6 +273,74 @@ def _ttest_expr(args: list[str], welch: bool) -> str:
     return f"((avg({x0}) - avg({x1})) / {denom})"
 
 
+def _ks_test_expr(args: list[str]) -> str:
+    """kolmogorovSmirnovTest(sample_data, sample_index) → ('col1' =
+    d_statistic, 'col2' = p_value), the two-sample Kolmogorov-Smirnov test
+    (ClickHouse 23.x; reference image pins 25.7, Dockerfile:102).
+
+    D = max over distinct x of |F0(x) - F1(x)| via ONE sorted-collect fold
+    (the kql_scan_steps sorted-array-fold pattern: per-GROUP collect is the
+    bounded contract — a global KS over an unbounded table should pre-
+    aggregate or sample first; documented like topK's text tier).  Tied
+    values are evaluated only after the full tie run (the textbook ECDF
+    convention).  p-value is the asymptotic Kolmogorov series with the
+    Numerical-Recipes small-sample correction λ = (√ne + 0.12 + 0.11/√ne)·D
+    (public formula; CH's method='auto' switches to an exact permutation
+    count below n=10⁴ — documented deviation: this surface is always
+    asymptotic, λ < 0.2 → p = 1 exactly as NR's probks converges to)."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "kolmogorovSmirnovTest takes exactly (sample_data, sample_index)"
+        )
+    x, idx = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({idx}) IS NOT NULL THEN "
+        f"named_struct('x', CAST({x} AS DOUBLE), 'i', CAST({idx} AS INT)) END"
+    )
+    # λ and the alternating series, in terms of the fold result __d and the
+    # arm sizes __n; round(6) absorbs series-order float drift vs oracles
+    lam = (
+        "(sqrt(__n.ne) + CAST(0.12 AS DOUBLE) "
+        "+ CAST(0.11 AS DOUBLE) / sqrt(__n.ne)) * __d"
+    )
+    series = (
+        f"round(least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE), "
+        f"2 * aggregate(sequence(1, 50), CAST(0 AS DOUBLE), "
+        f"(__a, __k) -> __a + IF(__k % 2 = 1, CAST(1 AS DOUBLE), "
+        f"CAST(-1 AS DOUBLE)) * exp(-2 * __k * __k * ({lam}) * ({lam}))))), 6)"
+    )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"transform(array(named_struct("
+        f"'n0', CAST(size(filter(__p, __e -> __e.i = 0)) AS DOUBLE), "
+        f"'n1', CAST(size(filter(__p, __e -> __e.i <> 0)) AS DOUBLE), "
+        f"'ne', CAST(size(filter(__p, __e -> __e.i = 0)) AS DOUBLE) "
+        f"* size(filter(__p, __e -> __e.i <> 0)) / size(__p))), __n -> "
+        f"transform(array(aggregate(sequence(1, size(__p)), "
+        f"named_struct('c0', CAST(0 AS DOUBLE), 'c1', CAST(0 AS DOUBLE), "
+        f"'d', CAST(0 AS DOUBLE)), "
+        f"(__s, __j) -> named_struct("
+        f"'c0', __s.c0 + IF(element_at(__p, __j).i = 0, "
+        f"CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)), "
+        f"'c1', __s.c1 + IF(element_at(__p, __j).i = 0, "
+        f"CAST(0 AS DOUBLE), CAST(1 AS DOUBLE)), "
+        # evaluate only at a tie-run boundary (last row, or next x differs);
+        # least() keeps element_at in bounds under ANSI on the last row
+        f"'d', IF(__j = size(__p) OR element_at(__p, __j).x <> "
+        f"element_at(__p, least(__j + 1, size(__p))).x, "
+        f"greatest(__s.d, abs("
+        f"(__s.c0 + IF(element_at(__p, __j).i = 0, CAST(1 AS DOUBLE), "
+        f"CAST(0 AS DOUBLE))) / __n.n0 "
+        f"- (__s.c1 + IF(element_at(__p, __j).i = 0, CAST(0 AS DOUBLE), "
+        f"CAST(1 AS DOUBLE))) / __n.n1)), __s.d)), "
+        f"__s -> __s.d)), __d -> "
+        f"named_struct('col1', round(__d, 6), "
+        f"'col2', IF(__n.n0 = 0 OR __n.n1 = 0, CAST(NULL AS DOUBLE), "
+        f"IF(({lam}) < CAST(0.2 AS DOUBLE), CAST(1 AS DOUBLE), "
+        f"{series}))))[0])[0])[0]"
+    )
+
+
 #: two-sided alpha=0.05 / power=0.8 normal quantiles — the standard A/B
 #: defaults (the DataFrame tier pins the same constants, stats_q2.py)
 _MSS_Z_ALPHA = 1.9599639845400545
@@ -1494,6 +1562,7 @@ FUNC_RULES: dict[str, object] = {
     # the t CDF, out of pure-SQL scope)
     "studentTTest": lambda args: _ttest_expr(args, welch=False),
     "welchTTest": lambda args: _ttest_expr(args, welch=True),
+    "kolmogorovSmirnovTest": _ks_test_expr,
     # batch 26 (round 10): A/B planning scalars — 3-tuples like CH
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,
@@ -3415,6 +3484,22 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    # kolmogorovSmirnovTest(alternative, method)(x, idx): the two-sided
+    # asymptotic subset (this surface's only computation mode — the bare
+    # FUNC form shares it); other alternatives raise with the limitation
+    "kolmogorovSmirnovTest": lambda p, a: (
+        _ks_test_expr(a)
+        if [s.strip().strip("'") for s in p]
+        in (["two-sided"], ["two-sided", "auto"], ["two-sided", "asymptotic"])
+        else (_ for _ in ()).throw(
+            ChSqlError(
+                "kolmogorovSmirnovTest subset: alternative='two-sided' with "
+                "method 'auto'/'asymptotic' (one-sided alternatives and the "
+                "exact permutation method are out of pure-SQL scope), got "
+                f"{p!r}"
+            )
+        )
+    ),
     # Greenwald-Khanna IS Spark's approx_percentile sketch; CH calling
     # convention quantileGK(accuracy[, level])(expr)
     "quantileGK": lambda p, a: (

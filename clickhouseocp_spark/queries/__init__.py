@@ -596,7 +596,13 @@ _DRIVER_WINDOW_R13: list[str] = [
 #: Round-11 births (≤3 — the r10 verdict caps registry growth this round so
 #: the 46-name R13 overflow + the chsql_vocab_r18 red re-record fit in one
 #: 50-slot window and full-registry driver coverage finally lands).
-_DRIVER_WINDOW_R14: list[str] = []
+_DRIVER_WINDOW_R14: list[str] = [
+    # --- round-11 FUNC-sweep closure: every lowered-but-never-exercised
+    #     CH/KQL name now carries an oracle-backed query (r10 verdict #4/#5)
+    "chsql_vocab_r36",
+    "chsql_vocab_r37",
+    "kql_scalar_vocab8",
+]
 
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---

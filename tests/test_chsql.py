@@ -3008,3 +3008,87 @@ t
         transpile(
             "SELECT geohashEncode(1.0, 2.0, event_id) FROM events"
         )
+
+
+def test_kolmogorov_smirnov_mechanics(spark):
+    """kolmogorovSmirnovTest (round 11): D/p against an independent
+    bisect-based Python replay on a planted shifted sample, tie handling
+    (evaluation only at tie-run boundaries), λ < 0.2 → p = 1, and the
+    parameter-subset error contract."""
+    import bisect
+    import math
+
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    # planted: arm 0 = 0..19, arm 1 = 10..29 (shift 10) with ties inside
+    # each arm (x % 7 collapses values) — exercises the tie convention
+    vals = [(float(k % 7), 0) for k in range(20)] + [
+        (float(k % 7) + 2.0, 1) for k in range(20)
+    ]
+    rows = ", ".join(f"({v}, {i})" for v, i in vals)
+    r = eng.sql(
+        f"""
+SELECT tupleElement(kolmogorovSmirnovTest(x, i), 1) AS d,
+       tupleElement(kolmogorovSmirnovTest(x, i), 2) AS p
+FROM (SELECT col1 AS x, col2 AS i FROM VALUES {rows})
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    x0 = sorted(v for v, i in vals if i == 0)
+    x1 = sorted(v for v, i in vals if i == 1)
+    xs = sorted({v for v, _ in vals})
+    d_ref = max(
+        abs(
+            bisect.bisect_right(x0, x) / len(x0)
+            - bisect.bisect_right(x1, x) / len(x1)
+        )
+        for x in xs
+    )
+    ne = len(x0) * len(x1) / (len(x0) + len(x1))
+    lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d_ref
+    p_ref = 2 * sum(
+        (1 if k % 2 == 1 else -1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 51)
+    )
+    assert r.d == round(d_ref, 6)
+    assert r.p == round(min(max(p_ref, 0.0), 1.0), 6)
+
+    # identical samples → D = 0 → λ < 0.2 → p = 1 exactly
+    r0 = eng.sql(
+        """
+SELECT tupleElement(kolmogorovSmirnovTest(x, i), 1) AS d,
+       tupleElement(kolmogorovSmirnovTest(x, i), 2) AS p
+FROM (SELECT CAST(col1 AS DOUBLE) AS x, col2 AS i
+      FROM VALUES (1, 0), (2, 0), (3, 0), (1, 1), (2, 1), (3, 1))
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r0.d, r0.p) == (0.0, 1.0)
+
+    with _pytest.raises(ChSqlError, match="two-sided"):
+        transpile(
+            "SELECT kolmogorovSmirnovTest('greater', 'auto')(value, i) FROM t"
+        )
+    with _pytest.raises(ChSqlError, match="exactly"):
+        transpile("SELECT kolmogorovSmirnovTest(value) FROM t")
+
+
+def test_url_table_function(spark):
+    """url('file://...', Format) — the url()/file() shared direct-read
+    lowering (Hadoop-compatible URL; the HTTP hop itself is the server
+    tier's wire tests)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        "SELECT count(*) AS n FROM url("
+        "'file:///root/testdata/sf0.001/region.parquet', 'Parquet')",
+        dialect="clickhouse",
+    ).collect()
+    assert rows[0].n == 5
