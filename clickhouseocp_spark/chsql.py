@@ -341,6 +341,170 @@ def _ks_test_expr(args: list[str]) -> str:
     )
 
 
+def _phi_tail_sql(z: str) -> str:
+    """1 - Φ(z) for z ≥ 0 via the Abramowitz-Stegun 26.2.17 rational
+    approximation (|ε| < 7.5e-8 — public formula; both engines lack erf,
+    so oracles replay this EXACT expression and doubles match after the
+    round(6) convention)."""
+    t = f"(1.0 / (1.0 + 0.2316419 * ({z})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    return (
+        f"(exp(-(({z}) * ({z})) / 2) / sqrt(2 * pi()) * {poly})"
+    )
+
+
+def _mann_whitney_expr(args: list[str], continuity: bool = True) -> str:
+    """mannWhitneyUTest(sample_data, sample_index) → ('col1' = u_statistic
+    of the index-0 sample, 'col2' = two-sided p) — ClickHouse 21.x
+    (pinned image 25.7).
+
+    One sorted-collect fold (the kolmogorovSmirnovTest pattern, same
+    bounded-group contract): average ranks assigned per tie run, rank-sum
+    R1 and the tie term Σ(t³−t) accumulated at run boundaries; U1 = R1 −
+    n0(n0+1)/2; p from the normal approximation with tie-corrected σ and
+    the continuity correction (CH's default) via the A&S Φ tail.  CH's
+    'exact' small-sample path is out of pure-SQL scope — always the
+    normal approximation (documented deviation; oracles replay it)."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "mannWhitneyUTest takes exactly (sample_data, sample_index)"
+        )
+    x, idx = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({idx}) IS NOT NULL THEN "
+        f"named_struct('x', CAST({x} AS DOUBLE), 'i', CAST({idx} AS INT)) END"
+    )
+    cc = "0.5" if continuity else "0.0"
+    # fold state: run start __s (1-based), zeros-in-run __c, rank-sum __r1,
+    # tie term __tt
+    fold = (
+        f"aggregate(sequence(1, size(__p)), "
+        f"named_struct('s', CAST(1 AS DOUBLE), 'c', CAST(0 AS DOUBLE), "
+        f"'r1', CAST(0 AS DOUBLE), 'tt', CAST(0 AS DOUBLE)), "
+        f"(__st, __j) -> IF("
+        f"__j = size(__p) OR element_at(__p, __j).x <> "
+        f"element_at(__p, least(__j + 1, size(__p))).x, "
+        # boundary: close the run [s..j]: avg rank (s+j)/2, t = j-s+1
+        f"named_struct('s', CAST(__j + 1 AS DOUBLE), 'c', CAST(0 AS DOUBLE), "
+        f"'r1', __st.r1 + (__st.s + __j) / 2 * (__st.c "
+        f"+ IF(element_at(__p, __j).i = 0, CAST(1 AS DOUBLE), "
+        f"CAST(0 AS DOUBLE))), "
+        f"'tt', __st.tt + pow(__j - __st.s + 1, 3) - (__j - __st.s + 1)), "
+        # interior: extend the run
+        f"named_struct('s', __st.s, "
+        f"'c', __st.c + IF(element_at(__p, __j).i = 0, CAST(1 AS DOUBLE), "
+        f"CAST(0 AS DOUBLE)), "
+        f"'r1', __st.r1, 'tt', __st.tt)), "
+        f"__st -> named_struct('r1', __st.r1, 'tt', __st.tt))"
+    )
+    # z with tie-corrected sigma; n from __n struct
+    sig = (
+        "sqrt(__n.n0 * __n.n1 / 12 * ((__n.n0 + __n.n1 + 1) "
+        "- __f.tt / ((__n.n0 + __n.n1) * (__n.n0 + __n.n1 - 1))))"
+    )
+    u1 = "(__f.r1 - __n.n0 * (__n.n0 + 1) / 2)"
+    z = f"((abs({u1} - __n.n0 * __n.n1 / 2) - {cc}) / {sig})"
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"transform(array(named_struct("
+        f"'n0', CAST(size(filter(__p, __e -> __e.i = 0)) AS DOUBLE), "
+        f"'n1', CAST(size(filter(__p, __e -> __e.i <> 0)) AS DOUBLE))), "
+        f"__n -> transform(array({fold}), __f -> "
+        f"named_struct('col1', round({u1}, 6), "
+        f"'col2', IF(__n.n0 = 0 OR __n.n1 = 0 OR {sig} = 0, "
+        f"CAST(NULL AS DOUBLE), "
+        f"round(least(CAST(1 AS DOUBLE), "
+        f"2 * {_phi_tail_sql(f'greatest({z}, CAST(0 AS DOUBLE))')}), 6))"
+        f"))[0])[0])[0]"
+    )
+
+
+def _rank_corr_expr(args: list[str]) -> str:
+    """rankCorr(x, y) → Spearman ρ (average ranks on ties), ClickHouse
+    20.x.  Rank-by-counting inside ONE collected array: rank(e) =
+    #{o < e} + (#{o = e} + 1)/2 — O(n²) per GROUP by contract (the topK
+    text-tier discipline; the scale path for global correlation is a
+    two-pass window rank + corr, and the oracle replays exactly that),
+    then Pearson over the two rank vectors in closed form."""
+    if len(args) != 2:
+        raise ChSqlError("rankCorr takes exactly (x, y)")
+    x, y = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({y}) IS NOT NULL THEN "
+        f"named_struct('x', CAST({x} AS DOUBLE), 'y', CAST({y} AS DOUBLE)) END"
+    )
+    rx = (
+        "transform(__p, __e -> CAST(size(filter(__p, __o -> __o.x < __e.x)) "
+        "AS DOUBLE) + (size(filter(__p, __o -> __o.x = __e.x)) + 1) / 2)"
+    )
+    ry = (
+        "transform(__p, __e -> CAST(size(filter(__p, __o -> __o.y < __e.y)) "
+        "AS DOUBLE) + (size(filter(__p, __o -> __o.y = __e.y)) + 1) / 2)"
+    )
+    asum = "aggregate({0}, CAST(0 AS DOUBLE), (__a, __v) -> __a + __v)"
+    return (
+        f"transform(array(collect_list({pair})), __p -> "
+        f"transform(array(named_struct('rx', {rx}, 'ry', {ry}, "
+        f"'n', CAST(size(__p) AS DOUBLE))), __r -> "
+        f"round(("
+        + asum.format(
+            "zip_with(__r.rx, __r.ry, (__u, __v) -> "
+            f"(__u - {asum.format('__r.rx')} / __r.n) "
+            f"* (__v - {asum.format('__r.ry')} / __r.n))"
+        )
+        + ") / nullif(sqrt("
+        + asum.format(
+            f"transform(__r.rx, __u -> pow(__u - {asum.format('__r.rx')} "
+            "/ __r.n, 2))"
+        )
+        + " * "
+        + asum.format(
+            f"transform(__r.ry, __v -> pow(__v - {asum.format('__r.ry')} "
+            "/ __r.n, 2))"
+        )
+        + "), 0), 6))[0])[0]"
+    )
+
+
+def _mean_z_test_expr(params: list[str], args: list[str]) -> str:
+    """meanZTest(pop_var_x, pop_var_y, confidence_level)(sample_data,
+    sample_index) → ('col1' = z, 'col2' = two-sided p, 'col3'/'col4' = CI
+    of the mean difference), ClickHouse 22.x.  Plain conditional
+    aggregates (map-side combinable — the studentTTest shape);
+    confidence_level restricted to the literal 0.95 (the inverse normal
+    CDF is out of pure-SQL scope; the pinned z quantile is the
+    minSampleSize* convention)."""
+    if len(params) != 3 or len(args) != 2:
+        raise ChSqlError(
+            "meanZTest takes (pop_var_x, pop_var_y, confidence_level)"
+            "(sample_data, sample_index)"
+        )
+    if params[2].strip() != "0.95":
+        raise ChSqlError(
+            "meanZTest subset: confidence_level must be the literal 0.95 "
+            "(arbitrary levels need the inverse normal CDF — the pinned "
+            "z-quantile covers the standard default)"
+        )
+    vx, vy = params[0], params[1]
+    x, idx = args[0], args[1]
+    x0 = f"CASE WHEN ({idx}) = 0 THEN CAST({x} AS DOUBLE) END"
+    x1 = f"CASE WHEN ({idx}) = 1 THEN CAST({x} AS DOUBLE) END"
+    d = f"(avg({x0}) - avg({x1}))"
+    se = f"sqrt(({vx}) / count({x0}) + ({vy}) / count({x1}))"
+    z = f"({d} / {se})"
+    return (
+        f"named_struct("
+        f"'col1', round({z}, 6), "
+        f"'col2', round(least(CAST(1 AS DOUBLE), "
+        f"2 * {_phi_tail_sql(f'abs({z})')}), 6), "
+        f"'col3', round({d} - {_MSS_Z_ALPHA!r} * {se}, 6), "
+        f"'col4', round({d} + {_MSS_Z_ALPHA!r} * {se}, 6))"
+    )
+
+
 #: two-sided alpha=0.05 / power=0.8 normal quantiles — the standard A/B
 #: defaults (the DataFrame tier pins the same constants, stats_q2.py)
 _MSS_Z_ALPHA = 1.9599639845400545
@@ -1563,6 +1727,8 @@ FUNC_RULES: dict[str, object] = {
     "studentTTest": lambda args: _ttest_expr(args, welch=False),
     "welchTTest": lambda args: _ttest_expr(args, welch=True),
     "kolmogorovSmirnovTest": _ks_test_expr,
+    "mannWhitneyUTest": _mann_whitney_expr,
+    "rankCorr": _rank_corr_expr,
     # batch 26 (round 10): A/B planning scalars — 3-tuples like CH
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,
@@ -3484,6 +3650,23 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    "meanZTest": _mean_z_test_expr,
+    # mannWhitneyUTest(alternative[, continuity])(x, idx): two-sided only
+    # (the one-sided tails need the same normal machinery but flip the
+    # rejection side — out of the pinned subset); continuity 0/1 honored
+    "mannWhitneyUTest": lambda p, a: (
+        _mann_whitney_expr(
+            a,
+            continuity=(len(p) < 2 or p[1].strip() not in ("0", "false")),
+        )
+        if p and p[0].strip().strip("'") == "two-sided"
+        else (_ for _ in ()).throw(
+            ChSqlError(
+                "mannWhitneyUTest subset: alternative='two-sided'"
+                f" (got {p!r})"
+            )
+        )
+    ),
     # kolmogorovSmirnovTest(alternative, method)(x, idx): the two-sided
     # asymptotic subset (this surface's only computation mode — the bare
     # FUNC form shares it); other alternatives raise with the limitation

@@ -39,6 +39,8 @@ QUERIES = [
     # round-10 continuation: the train-and-apply classifier corpus pass
     "quality_classifier_nb",
     "stream_session_count",
+    # round-11: the remaining ≥1s bench headliner (r10 verdict stretch #8)
+    "rag_retrieve_context",
 ]
 
 

@@ -3092,3 +3092,95 @@ def test_url_table_function(spark):
         dialect="clickhouse",
     ).collect()
     assert rows[0].n == 5
+
+
+def test_rank_stats_vocabulary(spark):
+    """mannWhitneyUTest / rankCorr / meanZTest (round 11): values pinned
+    against an independent Python replay (average-rank walk, tie term,
+    A&S Φ tail) on the fixture, plus the parameter-subset contracts."""
+    import bisect
+    import math
+
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT tupleElement(mannWhitneyUTest(value, event_id % 2), 1) AS u,
+       tupleElement(mannWhitneyUTest(value, event_id % 2), 2) AS p,
+       tupleElement(mannWhitneyUTest('two-sided', 0)(value, event_id % 2), 2) AS p0,
+       rankCorr(value, toFloat64(user_id)) AS rc,
+       tupleElement(meanZTest(2500.0, 2500.0, 0.95)(value, event_id % 2), 1) AS z,
+       tupleElement(meanZTest(2500.0, 2500.0, 0.95)(value, event_id % 2), 2) AS zp
+FROM events WHERE event_id < 300
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    rows = duckdb.sql(
+        "SELECT value, event_id % 2 AS i, user_id FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 300"
+    ).fetchall()
+
+    def phi_tail(z):
+        t = 1 / (1 + 0.2316419 * z)
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+                    + t * (-1.821255978 + t * 1.330274429))))
+        return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+
+    vals = sorted((v, i) for v, i, _ in rows)
+    n = len(vals)
+    n0 = sum(1 for _, i in vals if i == 0)
+    n1 = n - n0
+    r1 = tt = 0.0
+    j = 0
+    while j < n:
+        k = j
+        while k + 1 < n and vals[k + 1][0] == vals[j][0]:
+            k += 1
+        t = k - j + 1
+        r1 += (j + k + 2) / 2 * sum(
+            1 for q in range(j, k + 1) if vals[q][1] == 0
+        )
+        tt += t ** 3 - t
+        j = k + 1
+    u1 = r1 - n0 * (n0 + 1) / 2
+    sig = math.sqrt(n0 * n1 / 12 * ((n + 1) - tt / (n * (n - 1))))
+    for cc, got in ((0.5, r.p), (0.0, r.p0)):
+        z = (abs(u1 - n0 * n1 / 2) - cc) / sig
+        assert got == round(min(1.0, 2 * phi_tail(max(z, 0.0))), 6)
+    assert r.u == round(u1, 6)
+
+    xs = [v for v, _, _ in rows]
+    ys = [float(u) for _, _, u in rows]
+
+    def ranks(a):
+        return [
+            sum(1 for o in a if o < e) + (sum(1 for o in a if o == e) + 1) / 2
+            for e in a
+        ]
+
+    rx, ry = ranks(xs), ranks(ys)
+    mx, my = sum(rx) / len(rx), sum(ry) / len(ry)
+    rho = sum((u - mx) * (v - my) for u, v in zip(rx, ry)) / math.sqrt(
+        sum((u - mx) ** 2 for u in rx) * sum((v - my) ** 2 for v in ry)
+    )
+    assert r.rc == round(rho, 6)
+
+    x0 = [v for v, i, _ in rows if i == 0]
+    x1 = [v for v, i, _ in rows if i == 1]
+    d = sum(x0) / len(x0) - sum(x1) / len(x1)
+    se = math.sqrt(2500 / len(x0) + 2500 / len(x1))
+    assert r.z == round(d / se, 6)
+    assert r.zp == round(min(1.0, 2 * phi_tail(abs(d / se))), 6)
+
+    with _pytest.raises(ChSqlError, match="two-sided"):
+        transpile("SELECT mannWhitneyUTest('greater')(v, i) FROM t")
+    with _pytest.raises(ChSqlError, match="0.95"):
+        transpile("SELECT meanZTest(1.0, 1.0, 0.99)(v, i) FROM t")
+    with _pytest.raises(ChSqlError, match="exactly"):
+        transpile("SELECT rankCorr(v) FROM t")
