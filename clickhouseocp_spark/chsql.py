@@ -505,6 +505,93 @@ def _mean_z_test_expr(params: list[str], args: list[str]) -> str:
     )
 
 
+def _contingency_expr(args: list[str], kind: str) -> str:
+    """The categorical-association family — ``cramersV``,
+    ``cramersVBiasCorrected`` (Bergsma's 2013 correction — the formula CH
+    documents), ``theilsU`` (uncertainty coefficient U(a|b)), and
+    ``contingency`` (coefficient √(χ²/(χ²+n))) — ClickHouse 22.x.
+
+    One collected pair array (values stringified for generality), then
+    χ²/entropies by counting over distinct values: χ² = n·(Σ_observed
+    c_ij²/(r_i·c_j) − 1) needs only OBSERVED cells, so the fold is
+    O(n·distinct) per GROUP (bounded-group contract, the rankCorr
+    discipline).  Natural-log entropies; outputs round(6)."""
+    if len(args) != 2:
+        raise ChSqlError(f"{kind} takes exactly (column1, column2)")
+    a, b = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({a}) IS NOT NULL AND ({b}) IS NOT NULL THEN "
+        f"named_struct('a', CAST({a} AS STRING), 'b', CAST({b} AS STRING)) END"
+    )
+    # observed-cell sum Σ c_ij² / (r_i · c_j) over DISTINCT pairs
+    chi_core = (
+        "aggregate(array_distinct(__p), CAST(0 AS DOUBLE), (__s, __e) -> __s "
+        "+ CAST(pow(size(filter(__p, __o -> __o.a = __e.a AND __o.b = __e.b)), 2) "
+        "AS DOUBLE) "
+        "/ size(filter(__p, __o -> __o.a = __e.a)) "
+        "/ size(filter(__p, __o -> __o.b = __e.b)))"
+    )
+    stats = (
+        f"named_struct('n', CAST(size(__p) AS DOUBLE), "
+        f"'r', CAST(size(array_distinct(transform(__p, __e -> __e.a))) "
+        f"AS DOUBLE), "
+        f"'c', CAST(size(array_distinct(transform(__p, __e -> __e.b))) "
+        f"AS DOUBLE), "
+        f"'chi', CAST(size(__p) AS DOUBLE) * ({chi_core} - 1))"
+    )
+    if kind == "contingency":
+        out = "sqrt(__t.chi / (__t.chi + __t.n))"
+    elif kind == "cramersV":
+        out = (
+            "IF(least(__t.r, __t.c) <= 1, CAST(NULL AS DOUBLE), "
+            "sqrt(__t.chi / (__t.n * (least(__t.r, __t.c) - 1))))"
+        )
+    elif kind == "cramersVBiasCorrected":
+        out = (
+            "transform(array(named_struct("
+            "'p2', greatest(CAST(0 AS DOUBLE), __t.chi / __t.n "
+            "- (__t.r - 1) * (__t.c - 1) / (__t.n - 1)), "
+            "'rc', __t.r - pow(__t.r - 1, 2) / (__t.n - 1), "
+            "'cc', __t.c - pow(__t.c - 1, 2) / (__t.n - 1))), __b -> "
+            "IF(least(__b.rc, __b.cc) <= 1, CAST(NULL AS DOUBLE), "
+            "sqrt(__b.p2 / (least(__b.rc, __b.cc) - 1))))[0]"
+        )
+    elif kind == "theilsU":
+        # U(a|b) = (H(a) − H(a|b)) / H(a); H from the same counting folds
+        ha = (
+            "aggregate(array_distinct(transform(__p, __e -> __e.a)), "
+            "CAST(0 AS DOUBLE), (__s, __v) -> __s "
+            "- CAST(size(filter(__p, __o -> __o.a = __v)) AS DOUBLE) / __t.n "
+            "* ln(CAST(size(filter(__p, __o -> __o.a = __v)) AS DOUBLE) "
+            "/ __t.n))"
+        )
+        # H(a,b) − H(b) = H(a|b), both over observed cells
+        hab = (
+            "aggregate(array_distinct(__p), CAST(0 AS DOUBLE), "
+            "(__s, __e) -> __s - CAST(size(filter(__p, __o -> "
+            "__o.a = __e.a AND __o.b = __e.b)) AS DOUBLE) / __t.n "
+            "* ln(CAST(size(filter(__p, __o -> __o.a = __e.a "
+            "AND __o.b = __e.b)) AS DOUBLE) / __t.n))"
+        )
+        hb = (
+            "aggregate(array_distinct(transform(__p, __e -> __e.b)), "
+            "CAST(0 AS DOUBLE), (__s, __v) -> __s "
+            "- CAST(size(filter(__p, __o -> __o.b = __v)) AS DOUBLE) / __t.n "
+            "* ln(CAST(size(filter(__p, __o -> __o.b = __v)) AS DOUBLE) "
+            "/ __t.n))"
+        )
+        out = (
+            f"IF(({ha}) = 0, CAST(NULL AS DOUBLE), "
+            f"(({ha}) - (({hab}) - ({hb}))) / ({ha}))"
+        )
+    else:  # pragma: no cover — internal
+        raise ChSqlError(f"unknown contingency kind {kind!r}")
+    return (
+        f"transform(array(collect_list({pair})), __p -> "
+        f"transform(array({stats}), __t -> round({out}, 6))[0])[0]"
+    )
+
+
 #: two-sided alpha=0.05 / power=0.8 normal quantiles — the standard A/B
 #: defaults (the DataFrame tier pins the same constants, stats_q2.py)
 _MSS_Z_ALPHA = 1.9599639845400545
@@ -1729,6 +1816,12 @@ FUNC_RULES: dict[str, object] = {
     "kolmogorovSmirnovTest": _ks_test_expr,
     "mannWhitneyUTest": _mann_whitney_expr,
     "rankCorr": _rank_corr_expr,
+    "cramersV": lambda a: _contingency_expr(a, "cramersV"),
+    "cramersVBiasCorrected": lambda a: _contingency_expr(
+        a, "cramersVBiasCorrected"
+    ),
+    "theilsU": lambda a: _contingency_expr(a, "theilsU"),
+    "contingency": lambda a: _contingency_expr(a, "contingency"),
     # batch 26 (round 10): A/B planning scalars — 3-tuples like CH
     "minSampleSizeConversion": _min_sample_size_conversion,
     "minSampleSizeContinous": _min_sample_size_continuous,

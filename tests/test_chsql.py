@@ -3184,3 +3184,58 @@ FROM events WHERE event_id < 300
         transpile("SELECT meanZTest(1.0, 1.0, 0.99)(v, i) FROM t")
     with _pytest.raises(ChSqlError, match="exactly"):
         transpile("SELECT rankCorr(v) FROM t")
+
+
+def test_contingency_family(spark):
+    """cramersV / cramersVBiasCorrected / theilsU / contingency (round 11):
+    pinned against an independent Counter-based Python replay."""
+    import math
+    from collections import Counter
+
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT cramersV(event_type, user_id % 5) AS cv,
+       cramersVBiasCorrected(event_type, user_id % 5) AS cvb,
+       theilsU(event_type, user_id % 5) AS tu,
+       contingency(event_type, user_id % 5) AS cg
+FROM events WHERE event_id < 400
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    rows = duckdb.sql(
+        "SELECT event_type, CAST(user_id % 5 AS VARCHAR) FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 400"
+    ).fetchall()
+    pc, ac, bc = Counter(rows), Counter(a for a, _ in rows), Counter(
+        b for _, b in rows
+    )
+    n, nr, nc = len(rows), len(ac), len(bc)
+    chi = n * (sum(v * v / (ac[a] * bc[b]) for (a, b), v in pc.items()) - 1)
+    assert r.cv == round(math.sqrt(chi / (n * (min(nr, nc) - 1))), 6)
+    p2 = max(0.0, chi / n - (nr - 1) * (nc - 1) / (n - 1))
+    rc = nr - (nr - 1) ** 2 / (n - 1)
+    cc = nc - (nc - 1) ** 2 / (n - 1)
+    assert r.cvb == round(math.sqrt(p2 / (min(rc, cc) - 1)), 6)
+    ha = -sum(v / n * math.log(v / n) for v in ac.values())
+    hb = -sum(v / n * math.log(v / n) for v in bc.values())
+    hab = -sum(v / n * math.log(v / n) for v in pc.values())
+    assert r.tu == round((ha - (hab - hb)) / ha, 6)
+    assert r.cg == round(math.sqrt(chi / (chi + n)), 6)
+
+    # a constant column has min(r,c) = 1 → NULL, not a crash
+    r1 = eng.sql(
+        "SELECT cramersV(1, user_id % 5) AS cv FROM events WHERE event_id < 50",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r1.cv is None
+
+    with _pytest.raises(ChSqlError, match="exactly"):
+        transpile("SELECT theilsU(a) FROM t")
