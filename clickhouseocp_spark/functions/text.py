@@ -363,6 +363,49 @@ def register_ch_udfs(spark) -> None:
     spark.udf.register("tgamma", unary(math.gamma))
     spark.udf.register("lgamma", unary(math.lgamma))
 
+    # punycode / IDNA family (CH 24.1+): RFC 3492 via the stdlib codecs —
+    # 'punycode' is the raw bootstring transform, 'idna' the per-label ACE
+    # form.  The try* variants return '' on undecodable input (the CH
+    # tryBase64Decode convention); the strict forms return NULL (our
+    # ANSI-safe analog of CH's thrown exception, documented deviation).
+    def _puny_enc(v):
+        return v.encode("punycode").decode("ascii")
+
+    def _puny_dec(v):
+        return v.encode("ascii").decode("punycode")
+
+    def _idna_enc(v):
+        if v == "":
+            return ""
+        return v.encode("idna").decode("ascii")
+
+    def _idna_dec(v):
+        if v == "":
+            return ""
+        return v.encode("ascii").decode("idna")
+
+    def strfn(fn, on_error):
+        @pandas_udf("string")
+        def _udf(a: pd.Series) -> pd.Series:
+            def one(v):
+                if v is None:
+                    return None
+                try:
+                    return fn(v)
+                except (UnicodeError, ValueError):
+                    return on_error
+
+            return a.map(one)
+
+        return _udf
+
+    spark.udf.register("punycodeEncode", strfn(_puny_enc, None))
+    spark.udf.register("punycodeDecode", strfn(_puny_dec, None))
+    spark.udf.register("tryPunycodeDecode", strfn(_puny_dec, ""))
+    spark.udf.register("idnaEncode", strfn(_idna_enc, None))
+    spark.udf.register("idnaDecode", strfn(_idna_dec, None))
+    spark.udf.register("tryIdnaEncode", strfn(_idna_enc, ""))
+
 
 # ---------------------------------------------------------------------------
 # stem('en', word) — CH's experimental NLP stemmer for English, implemented

@@ -3239,3 +3239,32 @@ FROM events WHERE event_id < 400
 
     with _pytest.raises(ChSqlError, match="exactly"):
         transpile("SELECT theilsU(a) FROM t")
+
+
+def test_punycode_idna_family(spark):
+    """punycodeEncode/Decode, idnaEncode/Decode + try* (CH 24.1, round 11):
+    RFC 3492/3490 known vectors via the stdlib codecs; try* return '' on
+    undecodable input (the tryBase64Decode convention), strict forms NULL
+    (ANSI-safe analog of CH's exception)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT punycodeEncode('München') AS pe,
+       punycodeDecode('Mnchen-3ya') AS pd,
+       punycodeEncode('abc') AS pe_ascii,
+       tryPunycodeDecode('§invalid§') AS tpd,
+       idnaEncode('münchen.de') AS ie,
+       idnaDecode('xn--mnchen-3ya.de') AS id,
+       tryIdnaEncode('') AS tie
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.pe == "Mnchen-3ya"
+    assert r.pd == "München"
+    assert r.pe_ascii == "abc-"
+    assert r.tpd == ""
+    assert r.ie == "xn--mnchen-3ya.de"
+    assert r.id == "münchen.de"
+    assert r.tie == ""
