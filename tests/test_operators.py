@@ -2030,3 +2030,71 @@ def test_nb_classifier_planted_separation(spark):
     # scores are symmetric-ish: every en score positive, every de negative
     assert all(got[i][1] > 0 for i in range(0, 20, 2))
     assert all(got[i][1] < 0 for i in range(1, 20, 2))
+
+
+def test_stream_lttb_window_equals_batch(spark, sf_dir):
+    """Streaming twin of largestTriangleThreeBuckets (round 11, the r10
+    verdict's item-5 stretch): per CLOSED event-time window, the stream
+    does the stateful part — one grouped sorted-collect of (x, y) points
+    per (series, window), state bounded by the time axis — and the
+    sequential LTTB pick runs post-drain on the bounded per-window arrays
+    (the stream_rolling_percentile decomposition: stateless prep →
+    stateful agg → closed-form finish).  Must select the IDENTICAL point
+    set as batch LTTB over the same (series, window) grouping."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.catalog import load_table
+    from clickhouseocp_spark.operators.downsample import lttb
+    from clickhouseocp_spark.streaming.pipeline import (
+        events_stream,
+        run_available_now,
+    )
+
+    def prep(df):
+        return df.where(F.col("ts").isNotNull()).select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("x_us"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("y6"),
+            (F.unix_timestamp("ts") / (7 * 86400)).cast("long").alias("w"),
+        )
+
+    # streaming: stateful per-(series, week) point collection, drained
+    agg = (
+        prep(events_stream(spark, sf_dir))
+        .groupBy("event_type", "w")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("x_us", "event_id", "y6"))
+            ).alias("pts")
+        )
+    )
+    drained = run_available_now(agg)
+    exploded = drained.select(
+        "event_type",
+        "w",
+        F.explode("pts").alias("p"),
+    ).select("event_type", "w", "p.x_us", "p.y6", "p.event_id")
+    stream_sel = lttb(
+        exploded, "x_us", "y6", 6, by=["event_type", "w"], keep=["event_id"]
+    )
+
+    # batch: identical grouping straight off the table
+    batch_sel = lttb(
+        prep(load_table(spark, sf_dir, "events")),
+        "x_us",
+        "y6",
+        6,
+        by=["event_type", "w"],
+        keep=["event_id"],
+    )
+
+    a = {
+        (r.event_type, r.w, r.sel_seq, r.event_id)
+        for r in stream_sel.collect()
+    }
+    b = {
+        (r.event_type, r.w, r.sel_seq, r.event_id)
+        for r in batch_sel.collect()
+    }
+    assert a == b and len(a) > 0
