@@ -456,3 +456,32 @@ def test_continuation_tier_shuffle_budgets(spark, sf_dir):
         n = shuffle_count(df)
         assert n <= budget, (name, n, budget)
         assert "CartesianProduct" not in formatted_plan(df), name
+
+
+def test_round11_vocab_shuffle_budgets(spark, sf_dir):
+    """Plan gates (round 11): the sweep batches stay scan-shaped —
+    chsql_vocab_r36 / kql_scalar_vocab8 are pure projections over one
+    scan plus the presentation ORDER BY (≤1 exchange, no join at all);
+    chsql_vocab_r37 is ONE hash aggregate (every statistical fold — KS,
+    quantiles, moments, contingency-style collects — rides the same
+    single grouped exchange) plus the sort (≤2); no CartesianProduct
+    anywhere."""
+    from clickhouseocp_spark.plans.inspect import formatted_plan, shuffle_count
+    from clickhouseocp_spark.queries import all_queries
+
+    reg = all_queries()
+    budgets = {
+        "chsql_vocab_r36": 2,   # window (leadInFrame) + presentation sort
+        # one grouped agg + presentation sort + ONE extra exchange from
+        # Spark's count-DISTINCT expand rewrite (groupBitmap = exact
+        # distinct mixed with plain aggregates) — the standard plan
+        "chsql_vocab_r37": 3,
+        "kql_scalar_vocab8": 1, # scan projection + presentation sort
+    }
+    for name, budget in budgets.items():
+        df = reg[name].fn(spark, sf_dir)
+        n = shuffle_count(df)
+        assert n <= budget, (name, n, budget)
+        plan = formatted_plan(df)
+        assert "CartesianProduct" not in plan, name
+        assert "SortMergeJoin" not in plan, name
