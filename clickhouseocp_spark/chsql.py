@@ -762,9 +762,20 @@ def _map_apply(args: list[str]) -> str:
         ).strip()
 
     ke, ve = (_subst(p) for p in parts)
+    # first-occurrence-wins fold before map_from_entries: a key lambda that
+    # COLLIDES (e.g. (k, v) -> (k % 2, v)) would otherwise throw under
+    # Spark's default mapKeyDedupPolicy=EXCEPTION, where CH's Map type
+    # physically tolerates duplicates (the parse-kv discipline, r11)
+    # the typed empty zero comes from slice(arr, 1, 0) so the fold works
+    # for ANY key/value types the lambda produces
+    ents = (
+        f"transform(map_entries({args[1]}), "
+        f"__e -> struct({ke} AS key, {ve} AS value))"
+    )
     return (
-        f"map_from_entries(transform(map_entries({args[1]}), "
-        f"__e -> struct({ke} AS key, {ve} AS value)))"
+        f"map_from_entries(aggregate({ents}, slice({ents}, 1, 0), "
+        f"(__acc, __n) -> IF(exists(__acc, __a -> __a.key <=> __n.key), "
+        f"__acc, concat(__acc, array(__n)))))"
     )
 
 

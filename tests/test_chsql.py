@@ -2088,6 +2088,16 @@ def test_map_vocabulary_batch17(spark):
         )
     ).collect()[0]
     assert r3.av3 == [6]
+    # round-11: a COLLIDING key lambda is first-occurrence-wins, not a
+    # Duplicate-map-key crash (Spark's default mapKeyDedupPolicy=EXCEPTION;
+    # CH's Map physically tolerates duplicates — the parse-kv discipline)
+    r4 = spark.sql(
+        transpile(
+            "SELECT mapSort(mapApply((k, v) -> (k % 2, v), "
+            "map(1, 10, 2, 20, 3, 30))) AS cm"
+        )
+    ).collect()[0]
+    assert dict(r4.cm) == {0: 20, 1: 10}
     # unsupported lambda shape is a clear error, not silent garbage
     import pytest as _pytest
 
