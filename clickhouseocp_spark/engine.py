@@ -120,6 +120,9 @@ class ChSparkEngine:
         # the FFT period kernel backs both the CH name and the KQL
         # series_periods_detect subset lowering
         register_series_udfs(self.spark)
+        from clickhouseocp_spark.functions.stl import register_stl_udfs
+
+        register_stl_udfs(self.spark)
 
     def sql(
         self, query: str, dialect: str = "auto", params: dict | None = None

@@ -3278,3 +3278,47 @@ SELECT punycodeEncode('München') AS pe,
     assert r.ie == "xn--mnchen-3ya.de"
     assert r.id == "münchen.de"
     assert r.tie == ""
+
+
+def test_series_decompose_stl(spark):
+    """seriesDecomposeSTL (CH 24.x, round 11): structural contracts on a
+    planted signal — exact closure (seasonal + trend + residue == series),
+    period-periodic seasonal component, planted seasonality and linear
+    trend recovered within tight bounds, short series → NULL."""
+    import math
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    # planted: period-7 seasonal [amplitude 10] + slope-0.5 trend
+    n, p = 56, 7
+    series = [
+        10 * math.sin(2 * math.pi * (i % p) / p) + 0.5 * i for i in range(n)
+    ]
+    lit = "[" + ", ".join(f"{v!r}" for v in series) + "]"
+    r = eng.sql(
+        f"SELECT seriesDecomposeSTL({lit}, 7) AS d",
+        dialect="clickhouse",
+    ).collect()[0]
+    seas, trend, resid = r.d
+    assert len(seas) == len(trend) == len(resid) == n
+    # exact closure (residue computed as the closure)
+    for i in range(n):
+        assert abs(seas[i] + trend[i] + resid[i] - series[i]) < 1e-9
+    # seasonal is period-periodic by construction
+    for i in range(n - p):
+        assert abs(seas[i] - seas[i + p]) < 1e-9
+    # planted amplitude recovered (mean trend removed per phase)
+    assert max(seas) > 8.0 and min(seas) < -8.0
+    # trend tracks the slope: ~0.5 per step over the interior
+    mid_slope = (trend[40] - trend[16]) / 24
+    assert abs(mid_slope - 0.5) < 0.1
+    # residue is small relative to the signal
+    assert max(abs(v) for v in resid) < 2.0
+
+    # shorter than 2*period → NULL (the ANSI-safe analog of CH's throw)
+    r2 = eng.sql(
+        "SELECT seriesDecomposeSTL([1.0, 2.0, 3.0], 7) AS d",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r2.d is None
