@@ -505,6 +505,153 @@ def _mean_z_test_expr(params: list[str], args: list[str]) -> str:
     )
 
 
+#: Lanczos g=7 n=9 coefficients (public — Numerical Recipes / Boost /
+#: Wikipedia "Lanczos approximation"): ~15 significant digits for z > 0.
+_LANCZOS = (
+    0.99999999999980993,
+    676.5203681218851,
+    -1259.1392167224028,
+    771.32342877765313,
+    -176.61502916214059,
+    12.507343278686905,
+    -0.13857109526572012,
+    9.9843695780195716e-6,
+    1.5056327351493116e-7,
+)
+
+
+def _lgamma_sql(z: str) -> str:
+    """ln Γ(z) for z > 0 as CLOSED-FORM SQL via the Lanczos approximation
+    — no fold, mixable anywhere."""
+    ag = f"CAST({_LANCZOS[0]!r} AS DOUBLE)"
+    for k in range(1, 9):
+        ag += f" + CAST({_LANCZOS[k]!r} AS DOUBLE) / (({z}) - 1 + {k})"
+    return (
+        f"(0.5 * ln(2 * pi()) + (({z}) - 0.5) * ln(({z}) + 6.5) "
+        f"- (({z}) + 6.5) + ln({ag}))"
+    )
+
+
+def _betacf_sql(a: str, b: str, x: str) -> str:
+    """NR ``betacf`` continued fraction (modified Lentz, fixed 100
+    iterations — deterministic, no early break) as ONE SQL fold over
+    sequence(1, 100); (a, b, x) are scalar sub-expressions, wrapped in a
+    struct so each is evaluated once."""
+
+    def clamp(v: str) -> str:
+        return f"IF(abs({v}) < 1e-300, 1e-300, {v})"
+
+    d0 = clamp("1 - __w.a1 * __w.x / (__w.a + 1)")
+    # per iteration: the even step (aa1) then the odd step (aa2); state
+    # carries Lentz's (c, d, h) with d already reciprocal-folded
+    aa1 = (
+        "(CAST(__m AS DOUBLE) * (__w.b - __m) * __w.x "
+        "/ ((__w.a - 1 + 2 * __m) * (__w.a + 2 * __m)))"
+    )
+    aa2 = (
+        "(-(__w.a + __m) * (__w.a1 + __m) * __w.x "
+        "/ ((__w.a + 2 * __m) * (__w.a + 1 + 2 * __m)))"
+    )
+    step = (
+        f"transform(array(named_struct("
+        f"'d1', 1 / {clamp(f'1 + {aa1} * __s.d')}, "
+        f"'c1', {clamp(f'1 + {aa1} / __s.c')})), __e1 -> "
+        f"transform(array(named_struct("
+        f"'d2', 1 / {clamp(f'1 + {aa2} * __e1.d1')}, "
+        f"'c2', {clamp(f'1 + {aa2} / __e1.c1')})), __e2 -> "
+        f"named_struct('c', __e2.c2, 'd', __e2.d2, "
+        f"'h', __s.h * __e1.d1 * __e1.c1 * __e2.d2 * __e2.c2))[0])[0]"
+    )
+    return (
+        f"transform(array(named_struct('a', CAST({a} AS DOUBLE), "
+        f"'b', CAST({b} AS DOUBLE), 'x', CAST({x} AS DOUBLE), "
+        f"'a1', CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))), __w -> "
+        f"aggregate(sequence(1, 100), "
+        f"named_struct('c', CAST(1 AS DOUBLE), 'd', 1 / {d0}, "
+        f"'h', 1 / {d0}), "
+        f"(__s, __m) -> {step}, __s -> __s.h))[0]"
+    )
+
+
+def _betai_sql(a: str, b: str, x: str) -> str:
+    """Regularized incomplete beta I_x(a, b) (NR ``betai``) in pure SQL:
+    Lanczos lgamma prefactor + the symmetric continued-fraction pick."""
+    bt = (
+        f"exp({_lgamma_sql(f'({a}) + ({b})')} - {_lgamma_sql(a)} "
+        f"- {_lgamma_sql(b)} + ({a}) * ln({x}) + ({b}) * ln(1 - ({x})))"
+    )
+    return (
+        f"(CASE WHEN ({x}) <= 0 THEN CAST(0 AS DOUBLE) "
+        f"WHEN ({x}) >= 1 THEN CAST(1 AS DOUBLE) "
+        f"WHEN ({x}) < (({a}) + 1) / (({a}) + ({b}) + 2) "
+        f"THEN {bt} * {_betacf_sql(a, b, x)} / ({a}) "
+        f"ELSE 1 - {bt} * {_betacf_sql(b, a, f'1 - ({x})')} / ({b}) END)"
+    )
+
+
+def _anova_expr(args: list[str]) -> str:
+    """analysisOfVariance(observation, group) — one-way ANOVA
+    ('col1' = f_statistic, 'col2' = p_value), ClickHouse 24.x (alias
+    ``anova``).  F from one collected pair array (per-group means by
+    counting over distinct groups — O(n·k), bounded-group contract);
+    p = P(F' > F) = I_{d2/(d2+d1·F)}(d2/2, d1/2) in PURE SQL — Lanczos
+    lgamma (closed form) + the NR continued fraction as a fixed-100-step
+    Lentz fold — so the whole thing mixes freely with any other
+    aggregate in the same SELECT (a GROUPED_AGG pandas kernel cannot:
+    Spark forbids mixing them with non-pandas aggregates — learned
+    empirically).  Pytest pins F and p against an independent Python
+    replay of the same formulas."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "analysisOfVariance takes exactly (observation, group)"
+        )
+    x, g = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({g}) IS NOT NULL THEN "
+        f"named_struct('x', CAST({x} AS DOUBLE), 'g', CAST({g} AS STRING)) END"
+    )
+    ssb = (
+        "aggregate(array_distinct(transform(__p, __e -> __e.g)), "
+        "CAST(0 AS DOUBLE), (__s, __v) -> __s "
+        "+ size(filter(__p, __o -> __o.g = __v)) "
+        "* pow(aggregate(filter(__p, __o -> __o.g = __v), CAST(0 AS DOUBLE), "
+        "(__a, __o) -> __a + __o.x) / size(filter(__p, __o -> __o.g = __v)) "
+        "- __t.mu, 2))"
+    )
+    ssw = (
+        "aggregate(array_distinct(transform(__p, __e -> __e.g)), "
+        "CAST(0 AS DOUBLE), (__s, __v) -> __s "
+        "+ aggregate(filter(__p, __o -> __o.g = __v), CAST(0 AS DOUBLE), "
+        "(__a, __o) -> __a + pow(__o.x "
+        "- aggregate(filter(__p, __i -> __i.g = __v), CAST(0 AS DOUBLE), "
+        "(__b, __i) -> __b + __i.x) / size(filter(__p, __o2 -> __o2.g = __v))"
+        ", 2)))"
+    )
+    stats = (
+        f"named_struct('n', CAST(size(__p) AS DOUBLE), "
+        f"'k', CAST(size(array_distinct(transform(__p, __e -> __e.g))) "
+        f"AS DOUBLE), "
+        f"'mu', aggregate(__p, CAST(0 AS DOUBLE), (__a, __e) -> __a + __e.x) "
+        f"/ size(__p))"
+    )
+    fstat = (
+        f"(({ssb}) / nullif(__t.k - 1, 0)) "
+        f"/ nullif(({ssw}) / nullif(__t.n - __t.k, 0), 0)"
+    )
+    surv = _betai_sql(
+        "__q.d2 / 2", "__q.d1 / 2", "__q.d2 / (__q.d2 + __q.d1 * __q.f)"
+    )
+    return (
+        f"transform(array(collect_list({pair})), __p -> "
+        f"transform(array({stats}), __t -> "
+        f"transform(array(named_struct('f', round({fstat}, 6), "
+        f"'d1', __t.k - 1, 'd2', __t.n - __t.k)), __q -> "
+        f"named_struct('col1', __q.f, "
+        f"'col2', IF(__q.f IS NULL OR __q.d1 < 1 OR __q.d2 < 1, "
+        f"CAST(NULL AS DOUBLE), round({surv}, 6))))[0])[0])[0]"
+    )
+
+
 def _contingency_expr(args: list[str], kind: str) -> str:
     """The categorical-association family — ``cramersV``,
     ``cramersVBiasCorrected`` (Bergsma's 2013 correction — the formula CH
@@ -1827,6 +1974,18 @@ FUNC_RULES: dict[str, object] = {
     "kolmogorovSmirnovTest": _ks_test_expr,
     "mannWhitneyUTest": _mann_whitney_expr,
     "rankCorr": _rank_corr_expr,
+    "analysisOfVariance": _anova_expr,
+    "anova": _anova_expr,
+    # groupArrayIntersect (CH 24.2): intersection of the array column
+    # across the group's rows; output SORTED for engine determinism (CH
+    # leaves the order unspecified — documented).  Typed seed = the first
+    # collected array, so any element type works.
+    "groupArrayIntersect": lambda a: (
+        f"transform(array(collect_list(CASE WHEN ({a[0]}) IS NOT NULL "
+        f"THEN ({a[0]}) END)), __ls -> IF(size(__ls) = 0, __ls[0], "
+        f"array_sort(aggregate(__ls, element_at(__ls, 1), "
+        f"(__acc, __a) -> array_intersect(__acc, __a)))))[0]"
+    ),
     "cramersV": lambda a: _contingency_expr(a, "cramersV"),
     "cramersVBiasCorrected": lambda a: _contingency_expr(
         a, "cramersVBiasCorrected"

@@ -120,9 +120,11 @@ class ChSparkEngine:
         # the FFT period kernel backs both the CH name and the KQL
         # series_periods_detect subset lowering
         register_series_udfs(self.spark)
+        from clickhouseocp_spark.functions.stats_dist import register_dist_udfs
         from clickhouseocp_spark.functions.stl import register_stl_udfs
 
         register_stl_udfs(self.spark)
+        register_dist_udfs(self.spark)
 
     def sql(
         self, query: str, dialect: str = "auto", params: dict | None = None

