@@ -505,88 +505,10 @@ def _mean_z_test_expr(params: list[str], args: list[str]) -> str:
     )
 
 
-#: Lanczos g=7 n=9 coefficients (public — Numerical Recipes / Boost /
-#: Wikipedia "Lanczos approximation"): ~15 significant digits for z > 0.
-_LANCZOS = (
-    0.99999999999980993,
-    676.5203681218851,
-    -1259.1392167224028,
-    771.32342877765313,
-    -176.61502916214059,
-    12.507343278686905,
-    -0.13857109526572012,
-    9.9843695780195716e-6,
-    1.5056327351493116e-7,
+from clickhouseocp_spark.functions.sqlstats import (
+    betai_sql as _betai_sql,
+    lgamma_sql as _lgamma_sql,
 )
-
-
-def _lgamma_sql(z: str) -> str:
-    """ln Γ(z) for z > 0 as CLOSED-FORM SQL via the Lanczos approximation
-    — no fold, mixable anywhere."""
-    ag = f"CAST({_LANCZOS[0]!r} AS DOUBLE)"
-    for k in range(1, 9):
-        ag += f" + CAST({_LANCZOS[k]!r} AS DOUBLE) / (({z}) - 1 + {k})"
-    return (
-        f"(0.5 * ln(2 * pi()) + (({z}) - 0.5) * ln(({z}) + 6.5) "
-        f"- (({z}) + 6.5) + ln({ag}))"
-    )
-
-
-def _betacf_sql(a: str, b: str, x: str) -> str:
-    """NR ``betacf`` continued fraction (modified Lentz, fixed 100
-    iterations — deterministic, no early break) as ONE SQL fold over
-    sequence(1, 100); (a, b, x) are scalar sub-expressions, wrapped in a
-    struct so each is evaluated once."""
-
-    def clamp(v: str) -> str:
-        return f"IF(abs({v}) < 1e-300, 1e-300, {v})"
-
-    d0 = clamp("1 - __w.a1 * __w.x / (__w.a + 1)")
-    # per iteration: the even step (aa1) then the odd step (aa2); state
-    # carries Lentz's (c, d, h) with d already reciprocal-folded
-    aa1 = (
-        "(CAST(__m AS DOUBLE) * (__w.b - __m) * __w.x "
-        "/ ((__w.a - 1 + 2 * __m) * (__w.a + 2 * __m)))"
-    )
-    aa2 = (
-        "(-(__w.a + __m) * (__w.a1 + __m) * __w.x "
-        "/ ((__w.a + 2 * __m) * (__w.a + 1 + 2 * __m)))"
-    )
-    step = (
-        f"transform(array(named_struct("
-        f"'d1', 1 / {clamp(f'1 + {aa1} * __s.d')}, "
-        f"'c1', {clamp(f'1 + {aa1} / __s.c')})), __e1 -> "
-        f"transform(array(named_struct("
-        f"'d2', 1 / {clamp(f'1 + {aa2} * __e1.d1')}, "
-        f"'c2', {clamp(f'1 + {aa2} / __e1.c1')})), __e2 -> "
-        f"named_struct('c', __e2.c2, 'd', __e2.d2, "
-        f"'h', __s.h * __e1.d1 * __e1.c1 * __e2.d2 * __e2.c2))[0])[0]"
-    )
-    return (
-        f"transform(array(named_struct('a', CAST({a} AS DOUBLE), "
-        f"'b', CAST({b} AS DOUBLE), 'x', CAST({x} AS DOUBLE), "
-        f"'a1', CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))), __w -> "
-        f"aggregate(sequence(1, 100), "
-        f"named_struct('c', CAST(1 AS DOUBLE), 'd', 1 / {d0}, "
-        f"'h', 1 / {d0}), "
-        f"(__s, __m) -> {step}, __s -> __s.h))[0]"
-    )
-
-
-def _betai_sql(a: str, b: str, x: str) -> str:
-    """Regularized incomplete beta I_x(a, b) (NR ``betai``) in pure SQL:
-    Lanczos lgamma prefactor + the symmetric continued-fraction pick."""
-    bt = (
-        f"exp({_lgamma_sql(f'({a}) + ({b})')} - {_lgamma_sql(a)} "
-        f"- {_lgamma_sql(b)} + ({a}) * ln({x}) + ({b}) * ln(1 - ({x})))"
-    )
-    return (
-        f"(CASE WHEN ({x}) <= 0 THEN CAST(0 AS DOUBLE) "
-        f"WHEN ({x}) >= 1 THEN CAST(1 AS DOUBLE) "
-        f"WHEN ({x}) < (({a}) + 1) / (({a}) + ({b}) + 2) "
-        f"THEN {bt} * {_betacf_sql(a, b, x)} / ({a}) "
-        f"ELSE 1 - {bt} * {_betacf_sql(b, a, f'1 - ({x})')} / ({b}) END)"
-    )
 
 
 def _anova_expr(args: list[str]) -> str:

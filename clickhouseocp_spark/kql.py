@@ -162,6 +162,10 @@ from __future__ import annotations
 
 import re
 
+from clickhouseocp_spark.functions.sqlstats import (
+    betai_sql as _betai_sql,
+    lgamma_sql as _lgamma_sql,
+)
 from clickhouseocp_spark.functions.geo import (
     geohash_decode_sql as _geohash_decode_sql,
     geohash_encode_sql as _geohash_encode_sql,
@@ -1020,6 +1024,73 @@ def _kql_ipv4_compare(a: list[str]) -> str:
     )
 
 
+def _kql_beta_cdf(a: list[str]) -> str:
+    """beta_cdf(x, alpha, beta) → I_x(alpha, beta) — the regularized
+    incomplete beta in pure SQL (Lanczos lgamma + NR Lentz fold)."""
+    if len(a) != 3:
+        raise KqlError("beta_cdf takes (x, alpha, beta)")
+    return _betai_sql(f"({a[1]})", f"({a[2]})", f"({a[0]})")
+
+
+def _kql_welch_test(a: list[str]) -> str:
+    """welch_test(mean1, variance1, count1, mean2, variance2, count2) →
+    two-sided p-value of Welch's unequal-variance t-test: t and the
+    Welch-Satterthwaite df in closed form, then the exact t-tail identity
+    2·P(T>|t|) = I_{df/(df+t²)}(df/2, 1/2) through the incomplete-beta
+    fold.  All JVM codegen; pinned against a math.lgamma Python replay."""
+    if len(a) != 6:
+        raise KqlError(
+            "welch_test takes (mean1, variance1, count1, "
+            "mean2, variance2, count2)"
+        )
+    m1, v1, n1, m2, v2, n2 = (f"CAST({x} AS DOUBLE)" for x in a)
+    se = f"named_struct('s1', ({v1}) / ({n1}), 's2', ({v2}) / ({n2}))"
+    t2 = f"(pow(({m1}) - ({m2}), 2) / (__se.s1 + __se.s2))"
+    df = (
+        f"(pow(__se.s1 + __se.s2, 2) / "
+        f"(pow(__se.s1, 2) / (({n1}) - 1) + pow(__se.s2, 2) / (({n2}) - 1)))"
+    )
+    p = _betai_sql("__q.df / 2", "CAST(0.5 AS DOUBLE)",
+                   "__q.df / (__q.df + __q.t2)")
+    return (
+        f"transform(array({se}), __se -> "
+        f"transform(array(named_struct('t2', {t2}, 'df', {df})), __q -> "
+        f"IF(__q.df < 1 OR __q.t2 IS NULL, CAST(NULL AS DOUBLE), "
+        f"least(CAST(1 AS DOUBLE), {p})))[0])[0]"
+    )
+
+
+def _kql_binomial_test(a: list[str]) -> str:
+    """binomial_test(successes, trials, p [, kind]) — EXACT one-sided
+    binomial tail via the incomplete-beta identity
+    P(X ≥ k) = I_p(k, n−k+1) (kind='greater', the default here) and
+    P(X ≤ k) = I_{1−p}(n−k, k+1) (kind='less').  kind='two-sided' (the
+    mass-comparison enumeration) is out of the pure-SQL subset and
+    raises with the limitation."""
+    if len(a) < 3 or len(a) > 4:
+        raise KqlError("binomial_test takes (successes, trials, p[, kind])")
+    kind = a[3].strip().strip("'\"").lower() if len(a) > 3 else "greater"
+    k, n, p = (f"CAST({x} AS DOUBLE)" for x in a[:3])
+    if kind == "greater":
+        return (
+            f"(CASE WHEN ({k}) <= 0 THEN CAST(1 AS DOUBLE) "
+            f"WHEN ({k}) > ({n}) THEN CAST(0 AS DOUBLE) "
+            f"ELSE {_betai_sql(k, f'({n}) - ({k}) + 1', p)} END)"
+        )
+    if kind == "less":
+        return (
+            f"(CASE WHEN ({k}) >= ({n}) THEN CAST(1 AS DOUBLE) "
+            f"WHEN ({k}) < 0 THEN CAST(0 AS DOUBLE) "
+            f"ELSE {_betai_sql(f'({n}) - ({k})', f'({k}) + 1', f'1 - ({p})')} "
+            f"END)"
+        )
+    raise KqlError(
+        "binomial_test subset: kind must be 'greater' or 'less' (the "
+        "two-sided exact test needs per-outcome mass enumeration — out of "
+        "the pure-SQL subset)"
+    )
+
+
 def _literal_int(tok: str, what: str) -> int:
     """Coerce a transpiler token that MUST be an integer literal (it sizes a
     codegen unroll); a non-literal arg is a KqlError naming the limitation,
@@ -1817,6 +1888,18 @@ _KQL_SCALARS: dict = {
     ),
     "parse_url": _kql_parse_url,
     "parse_path": _kql_parse_path,
+    # --- round-11 special-function tier: pure-SQL Lanczos lgamma + the
+    #     NR incomplete-beta fold (functions/sqlstats.py) — all JVM
+    #     codegen, mixable anywhere, pinned against math.lgamma replays
+    "beta_cdf": lambda a: _kql_beta_cdf(a),
+    "gamma": lambda a: (
+        f"IF(({a[0]}) > 0, exp({_lgamma_sql(a[0])}), CAST(NULL AS DOUBLE))"
+    ),
+    "loggamma": lambda a: (
+        f"IF(({a[0]}) > 0, {_lgamma_sql(a[0])}, CAST(NULL AS DOUBLE))"
+    ),
+    "welch_test": lambda a: _kql_welch_test(a),
+    "binomial_test": lambda a: _kql_binomial_test(a),
 }
 
 

@@ -3404,3 +3404,47 @@ FROM events WHERE event_id < 300
 
     with _pytest.raises(ChSqlError, match="exactly"):
         transpile("SELECT analysisOfVariance(v) FROM t")
+
+
+def test_kql_special_functions(spark):
+    """beta_cdf / gamma / loggamma / welch_test / binomial_test (round 11):
+    pure-SQL Lanczos+incomplete-beta tier pinned against math.lgamma
+    Python replays and known identities (Γ(5)=24, Γ(½)²=π)."""
+    import math
+
+    import pytest as _pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.stats_dist import betai
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+print b = round(beta_cdf(0.3, 2.0, 5.0), 6),
+      g = round(gamma(5.0), 6),
+      gpi = round(gamma(0.5) * gamma(0.5), 6),
+      gneg = gamma(-1.0),
+      lg = round(loggamma(10.0), 6),
+      w = round(welch_test(10.0, 4.0, 30, 11.5, 9.0, 40), 6),
+      bt = round(binomial_test(60, 100, 0.5), 6),
+      bl = round(binomial_test(40, 100, 0.5, 'less'), 6),
+      e = round(erf(1.0), 6)
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.b == round(betai(2, 5, 0.3), 6)
+    assert r.g == 24.0 and r.gpi == round(math.pi, 6) and r.gneg is None
+    assert r.lg == round(math.lgamma(10), 6)
+    s1, s2 = 4 / 30, 9 / 40
+    t2 = (10 - 11.5) ** 2 / (s1 + s2)
+    df = (s1 + s2) ** 2 / (s1 ** 2 / 29 + s2 ** 2 / 39)
+    assert r.w == round(betai(df / 2, 0.5, df / (df + t2)), 6)
+    assert r.bt == round(betai(60, 41, 0.5), 6)  # P(X>=60 | 100, .5)
+    assert r.bl == round(betai(60, 41, 0.5), 6)  # symmetric at p=.5
+    assert r.e == round(math.erf(1.0), 6)
+
+    with _pytest.raises(KqlError, match="two-sided"):
+        transpile_kql("t | extend p = binomial_test(3, 10, 0.5, 'two-sided')")
+    with _pytest.raises(KqlError, match="welch_test"):
+        transpile_kql("t | extend p = welch_test(1.0, 2.0)")
