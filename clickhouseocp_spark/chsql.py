@@ -255,22 +255,40 @@ def _tuple_arith(args: list[str], op: str) -> str:
 
 
 def _ttest_expr(args: list[str], welch: bool) -> str:
-    """Two-sample t statistic as ONE aggregate expression (conditional
-    aggregates over the index split — map-side combinable like any
-    GROUP BY expression)."""
+    """studentTTest/welchTTest(sample, index) → CH's real ('col1' = t,
+    'col2' = two-sided p) tuple (upgraded round 11 — the scalar-t
+    narrowing was the old documented deviation).  t from conditional
+    aggregates over the index split (map-side combinable); p via the
+    exact t-tail identity 2·P(T>|t|) = I_{df/(df+t²)}(df/2, 1/2) through
+    the pure-SQL incomplete-beta fold, df = n0+n1−2 (Student) or
+    Welch–Satterthwaite (Welch)."""
     x, idx = args[0], args[1]
     x0 = f"CASE WHEN ({idx}) = 0 THEN CAST({x} AS DOUBLE) END"
     x1 = f"CASE WHEN ({idx}) = 1 THEN CAST({x} AS DOUBLE) END"
     n0, n1 = f"count({x0})", f"count({x1})"
     if welch:
         denom = f"sqrt(var_samp({x0}) / {n0} + var_samp({x1}) / {n1})"
+        df = (
+            f"(pow(var_samp({x0}) / {n0} + var_samp({x1}) / {n1}, 2) "
+            f"/ (pow(var_samp({x0}) / {n0}, 2) / ({n0} - 1) "
+            f"+ pow(var_samp({x1}) / {n1}, 2) / ({n1} - 1)))"
+        )
     else:
         denom = (
             f"sqrt((var_samp({x0}) * ({n0} - 1) "
             f"+ var_samp({x1}) * ({n1} - 1)) / ({n0} + {n1} - 2) "
             f"* (1.0 / {n0} + 1.0 / {n1}))"
         )
-    return f"((avg({x0}) - avg({x1})) / {denom})"
+        df = f"CAST({n0} + {n1} - 2 AS DOUBLE)"
+    t = f"((avg({x0}) - avg({x1})) / {denom})"
+    p = _betai_sql("__q.df / 2", "CAST(0.5 AS DOUBLE)",
+                   "__q.df / (__q.df + __q.t * __q.t)")
+    return (
+        f"transform(array(named_struct('t', {t}, 'df', {df})), __q -> "
+        f"named_struct('col1', __q.t, "
+        f"'col2', IF(__q.df < 1 OR __q.t IS NULL, CAST(NULL AS DOUBLE), "
+        f"least(CAST(1 AS DOUBLE), {p}))))[0]"
+    )
 
 
 def _ks_test_expr(args: list[str]) -> str:

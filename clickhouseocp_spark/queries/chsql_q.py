@@ -7462,18 +7462,21 @@ FROM s
     tags=("chsql", "dialect", "statistics"),
 )
 def chsql_ttest_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """``studentTTest``/``welchTTest`` on the TEXT path (round 9): the
-    two-sample t statistics as ONE aggregate expression each (conditional
-    aggregates over the index split — map-side combinable; the (t, p)
-    tuple narrows to t, the DataFrame tier's documented deviation).  The
-    oracle replays the identical conditional-aggregate formulation."""
+    """``studentTTest``/``welchTTest`` on the TEXT path (round 9; round 11
+    upgraded the lowering to CH's real (t, p) tuple — this recorded query
+    keeps its original output shape by unpacking t with tupleElement, so
+    its driver record stays valid).  t from conditional aggregates over
+    the index split — map-side combinable; the oracle replays the
+    identical conditional-aggregate formulation."""
     from clickhouseocp_spark.engine import ChSparkEngine
 
     return ChSparkEngine(sf_dir, spark).sql(
         """
 SELECT
-  round(studentTTest(toFloat64(l_quantity), l_orderkey % 2), 6) AS st,
-  round(welchTTest(toFloat64(l_quantity), l_orderkey % 2), 6) AS wt
+  round(tupleElement(
+    studentTTest(toFloat64(l_quantity), l_orderkey % 2), 1), 6) AS st,
+  round(tupleElement(
+    welchTTest(toFloat64(l_quantity), l_orderkey % 2), 1), 6) AS wt
 FROM lineitem WHERE l_orderkey < 5000
 """,
         dialect="clickhouse",

@@ -3448,3 +3448,48 @@ print b = round(beta_cdf(0.3, 2.0, 5.0), 6),
         transpile_kql("t | extend p = binomial_test(3, 10, 0.5, 'two-sided')")
     with _pytest.raises(KqlError, match="welch_test"):
         transpile_kql("t | extend p = welch_test(1.0, 2.0)")
+
+
+def test_ttest_tuple_pvalue(spark):
+    """studentTTest/welchTTest return CH's real (t, p) tuple (round-11
+    upgrade from the scalar-t deviation): both pinned against a
+    statistics-module + NR-betai Python replay."""
+    import statistics
+
+    import duckdb
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.stats_dist import betai
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT round(tupleElement(studentTTest(value, event_id % 2), 1), 6) AS st,
+       round(tupleElement(studentTTest(value, event_id % 2), 2), 6) AS sp,
+       round(tupleElement(welchTTest(value, event_id % 2), 1), 6) AS wt,
+       round(tupleElement(welchTTest(value, event_id % 2), 2), 6) AS wp
+FROM events WHERE event_id < 400
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    rows = duckdb.sql(
+        "SELECT value, event_id % 2 FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 400"
+    ).fetchall()
+    x0 = [v for v, i in rows if i == 0]
+    x1 = [v for v, i in rows if i == 1]
+    n0, n1 = len(x0), len(x1)
+    v0, v1 = statistics.variance(x0), statistics.variance(x1)
+    d = statistics.mean(x0) - statistics.mean(x1)
+    t = d / ((v0 * (n0 - 1) + v1 * (n1 - 1)) / (n0 + n1 - 2)
+             * (1 / n0 + 1 / n1)) ** 0.5
+    df = n0 + n1 - 2
+    assert (r.st, r.sp) == (
+        round(t, 6), round(betai(df / 2, 0.5, df / (df + t * t)), 6)
+    )
+    se = v0 / n0 + v1 / n1
+    tw = d / se ** 0.5
+    dfw = se ** 2 / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    assert (r.wt, r.wp) == (
+        round(tw, 6), round(betai(dfw / 2, 0.5, dfw / (dfw + tw * tw)), 6)
+    )
