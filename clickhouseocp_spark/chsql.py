@@ -592,6 +592,111 @@ def _anova_expr(args: list[str]) -> str:
     )
 
 
+def _matrix_agg_expr(args: list[str], fn: str) -> str:
+    """corrMatrix/covarSampMatrix/covarPopMatrix(x1, ..., xn) →
+    Array(Array(Float64)) — n² plain JVM aggregates in ONE pass (each
+    cell is a builtin corr/covar over the same grouped exchange);
+    ClickHouse 24.x."""
+    if len(args) < 2:
+        raise ChSqlError(f"{fn}Matrix needs at least 2 columns")
+    rows = []
+    for a in args:
+        cells = ", ".join(
+            f"{fn}(CAST({a} AS DOUBLE), CAST({b} AS DOUBLE))" for b in args
+        )
+        rows.append(f"array({cells})")
+    return f"array({', '.join(rows)})"
+
+
+def _delta_sum_ts_expr(args: list[str]) -> str:
+    """deltaSumTimestamp(value, timestamp): sum of POSITIVE deltas between
+    consecutive values in TIMESTAMP order — CH's order-deterministic
+    deltaSum variant (bare deltaSum depends on physical block order,
+    which a shuffled engine cannot honor — rejected with guidance).  One
+    sorted-collect fold (bounded-group contract)."""
+    if len(args) != 2:
+        raise ChSqlError("deltaSumTimestamp takes exactly (value, timestamp)")
+    x, t = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({t}) IS NOT NULL THEN "
+        f"named_struct('t', {t}, 'x', CAST({x} AS DOUBLE)) END"
+    )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"aggregate(sequence(2, greatest(size(__p), 2)), CAST(0 AS DOUBLE), "
+        f"(__s, __j) -> __s + IF(__j > size(__p), CAST(0 AS DOUBLE), "
+        f"greatest(element_at(__p, __j).x - element_at(__p, __j - 1).x, "
+        f"CAST(0 AS DOUBLE)))))[0]"
+    )
+
+
+def _exp_time_decayed_avg_expr(params: list[str], args: list[str]) -> str:
+    """exponentialTimeDecayedAvg(halflife)(value, time): time-decayed
+    weighted mean anchored at the group's max time —
+    Σ vᵢ·2^(−(T−tᵢ)/h) / Σ 2^(−(T−tᵢ)/h).  Plain aggregates once T is
+    known, so it rides one collected fold (the decay needs T first)."""
+    if len(params) != 1 or len(args) != 2:
+        raise ChSqlError(
+            "exponentialTimeDecayedAvg takes (halflife)(value, time)"
+        )
+    h = params[0]
+    x, t = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({x}) IS NOT NULL AND ({t}) IS NOT NULL THEN "
+        f"named_struct('t', CAST({t} AS DOUBLE), 'x', CAST({x} AS DOUBLE)) END"
+    )
+    return (
+        f"transform(array(collect_list({pair})), __p -> "
+        f"transform(array(aggregate(__p, CAST(-1e300 AS DOUBLE), "
+        f"(__m, __e) -> greatest(__m, __e.t))), __T -> "
+        f"aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> "
+        f"__s + __e.x * pow(2.0, -(__T - __e.t) / ({h}))) "
+        f"/ aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> "
+        f"__s + pow(2.0, -(__T - __e.t) / ({h}))))[0])[0]"
+    )
+
+
+def _interval_length_sum_expr(args: list[str]) -> str:
+    """intervalLengthSum(start, end): total length of the UNION of the
+    group's [start, end] intervals (overlaps merged) — sort by start,
+    one sweep fold carrying (coverage_end, total); ClickHouse 21.x."""
+    if len(args) != 2:
+        raise ChSqlError("intervalLengthSum takes exactly (start, end)")
+    s, e = args[0], args[1]
+    pair = (
+        f"CASE WHEN ({s}) IS NOT NULL AND ({e}) IS NOT NULL THEN "
+        f"named_struct('s', CAST({s} AS DOUBLE), 'e', CAST({e} AS DOUBLE)) END"
+    )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"aggregate(__p, named_struct('c', CAST(-1e300 AS DOUBLE), "
+        f"'tot', CAST(0 AS DOUBLE)), "
+        f"(__st, __i) -> named_struct("
+        f"'c', greatest(__st.c, __i.e), "
+        f"'tot', __st.tot + IF(__i.s > __st.c, __i.e - __i.s, "
+        f"greatest(__i.e - __st.c, CAST(0 AS DOUBLE)))), "
+        f"__st -> __st.tot))[0]"
+    )
+
+
+def _entropy_expr(args: list[str]) -> str:
+    """entropy(x): Shannon entropy (base 2) of the value distribution —
+    counting fold over distinct values (O(n·d), bounded-group contract,
+    the theilsU discipline)."""
+    if len(args) != 1:
+        raise ChSqlError("entropy takes exactly 1 argument")
+    x = args[0]
+    pair = f"CASE WHEN ({x}) IS NOT NULL THEN CAST({x} AS STRING) END"
+    return (
+        f"transform(array(collect_list({pair})), __p -> "
+        f"round(aggregate(array_distinct(__p), CAST(0 AS DOUBLE), "
+        f"(__s, __v) -> __s - CAST(size(filter(__p, __o -> __o = __v)) "
+        f"AS DOUBLE) / size(__p) "
+        f"* log2(CAST(size(filter(__p, __o -> __o = __v)) AS DOUBLE) "
+        f"/ size(__p))), 6))[0]"
+    )
+
+
 def _contingency_expr(args: list[str], kind: str) -> str:
     """The categorical-association family — ``cramersV``,
     ``cramersVBiasCorrected`` (Bergsma's 2013 correction — the formula CH
@@ -1916,6 +2021,22 @@ FUNC_RULES: dict[str, object] = {
     "rankCorr": _rank_corr_expr,
     "analysisOfVariance": _anova_expr,
     "anova": _anova_expr,
+    "entropy": _entropy_expr,
+    "corrMatrix": lambda a: _matrix_agg_expr(a, "corr"),
+    "covarSampMatrix": lambda a: _matrix_agg_expr(a, "covar_samp"),
+    "covarPopMatrix": lambda a: _matrix_agg_expr(a, "covar_pop"),
+    "deltaSumTimestamp": _delta_sum_ts_expr,
+    # bare deltaSum depends on PHYSICAL block order (CH docs call the
+    # merge-order behavior out themselves); a shuffled engine has no such
+    # order — reject with the deterministic alternative
+    "deltaSum": lambda a: (_ for _ in ()).throw(
+        ChSqlError(
+            "deltaSum depends on physical row order, which a shuffled "
+            "engine cannot honor deterministically — use "
+            "deltaSumTimestamp(value, ts) (the order-keyed variant)"
+        )
+    ),
+    "intervalLengthSum": _interval_length_sum_expr,
     # groupArrayIntersect (CH 24.2): intersection of the array column
     # across the group's rows; output SORTED for engine determinism (CH
     # leaves the order unspecified — documented).  Typed seed = the first
@@ -3854,6 +3975,7 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
     "meanZTest": _mean_z_test_expr,
+    "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
     # mannWhitneyUTest(alternative[, continuity])(x, idx): two-sided only
     # (the one-sided tails need the same normal machinery but flip the
     # rejection side — out of the pinned subset); continuity 0/1 honored

@@ -3493,3 +3493,88 @@ FROM events WHERE event_id < 400
     assert (r.wt, r.wp) == (
         round(tw, 6), round(betai(dfw / 2, 0.5, dfw / (dfw + tw * tw)), 6)
     )
+
+
+def test_order_keyed_aggregates_and_matrices(spark):
+    """entropy / corrMatrix / covar*Matrix / deltaSumTimestamp /
+    exponentialTimeDecayedAvg / intervalLengthSum (round 11): pinned
+    against independent Python replays on the fixture; bare deltaSum is
+    rejected with guidance (physical-order dependence)."""
+    import math
+
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT entropy(event_type) AS ent,
+       round(arrayElement(arrayElement(
+         corrMatrix(value, toFloat64(event_id)), 1), 2), 6) AS c12,
+       round(arrayElement(arrayElement(
+         corrMatrix(value, toFloat64(event_id)), 2), 1), 6) AS c21,
+       arrayElement(arrayElement(
+         corrMatrix(value, toFloat64(event_id)), 1), 1) AS c11,
+       round(arrayElement(arrayElement(
+         covarPopMatrix(value, toFloat64(event_id)), 1), 2), 6) AS vp12,
+       round(deltaSumTimestamp(value, ts), 6) AS dst,
+       round(exponentialTimeDecayedAvg(3600.0)(
+         value, toFloat64(toUnixTimestamp(ts))), 6) AS eda,
+       round(intervalLengthSum(value, value + 10.0), 6) AS ils
+FROM events WHERE event_id < 200
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    rows = duckdb.sql(
+        "SELECT value, event_id, event_type, epoch(ts), ts FROM read_parquet("
+        "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 200 "
+        "ORDER BY ts"
+    ).fetchall()
+    # entropy
+    from collections import Counter
+
+    cnt = Counter(g for _, _, g, _, _ in rows)
+    n = len(rows)
+    ent = -sum(c / n * math.log2(c / n) for c in cnt.values())
+    assert r.ent == round(ent, 6)
+    # corr matrix symmetry + diagonal
+    assert r.c12 == r.c21 and r.c11 == 1.0
+    xs = [v for v, *_ in rows]
+    es = [float(e) for _, e, *_ in rows]
+    mx, me = sum(xs) / n, sum(es) / n
+    cov = sum((a - mx) * (b - me) for a, b in zip(xs, es)) / n
+    assert r.vp12 == round(cov, 6)
+    # deltaSumTimestamp: positive deltas in ts order
+    dst = sum(
+        max(0.0, rows[i][0] - rows[i - 1][0]) for i in range(1, len(rows))
+    )
+    assert r.dst == round(dst, 6)
+    # exponentialTimeDecayedAvg anchored at max ts
+    # toUnixTimestamp truncates to SECONDS (the repo's documented
+    # oracle-parity gotcha) — floor the fractional epochs in the replay
+    ts = [float(math.floor(t)) for *_, t, _ in rows]
+    T = max(ts)
+    w = [2 ** (-(T - t) / 3600.0) for t in ts]
+    assert r.eda == round(
+        sum(v * wi for v, wi in zip(xs, w)) / sum(w), 6
+    )
+    # intervalLengthSum: union of [v, v+10]
+    ivs = sorted((v, v + 10.0) for v in xs)
+    cur, tot = float("-inf"), 0.0
+    for s, e in ivs:
+        if s > cur:
+            tot += e - s
+            cur = e
+        else:
+            tot += max(0.0, e - cur)
+            cur = max(cur, e)
+    assert r.ils == round(tot, 6)
+
+    with _pytest.raises(ChSqlError, match="deltaSumTimestamp"):
+        transpile("SELECT deltaSum(v) FROM t")
+    with _pytest.raises(ChSqlError, match="at least 2"):
+        transpile("SELECT corrMatrix(v) FROM t")
