@@ -21,6 +21,7 @@ import math
 import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
 
 
 @pandas_udf("double")
@@ -50,3 +51,35 @@ def register_series_udfs(spark: SparkSession) -> None:
     registered UDF makes ``seriesPeriodDetectFFT(...)`` valid CH-dialect
     text).  Idempotent."""
     spark.udf.register("seriesPeriodDetectFFT", series_period_fft)
+    spark.udf.register("seriesFitPoly", series_fit_poly_k)
+
+
+@pandas_udf(ArrayType(DoubleType()))
+def series_fit_poly_k(
+    y: pd.Series, x: pd.Series, degree: pd.Series
+) -> pd.Series:
+    """series_fit_poly (Kusto): least-squares polynomial fit per row —
+    returns the coefficient array HIGHEST degree first (the
+    numpy.polyfit convention, matching Kusto's documented order).
+    x = NULL → the implicit 0..n−1 axis.  Same Arrow discipline as the
+    FFT kernel: self-contained (no module-level helper references, so a
+    worker import never executes a DDL-parsing decorator), one crossing
+    per batch, O(n·k²) per row."""
+    import numpy as np
+
+    out = []
+    for ys, xs, k in zip(y, x, degree):
+        if ys is None or k is None or int(k) < 1:
+            out.append(None)
+            continue
+        a = np.asarray(ys, dtype=np.float64)
+        ax = (
+            np.arange(a.size, dtype=np.float64)
+            if xs is None
+            else np.asarray(xs, dtype=np.float64)
+        )
+        if a.size <= int(k) or ax.size != a.size or not np.isfinite(a).all():
+            out.append(None)
+            continue
+        out.append([float(c) for c in np.polyfit(ax, a, int(k))])
+    return pd.Series(out)

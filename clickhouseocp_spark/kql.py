@@ -1900,6 +1900,14 @@ _KQL_SCALARS: dict = {
     ),
     "welch_test": lambda a: _kql_welch_test(a),
     "binomial_test": lambda a: _kql_binomial_test(a),
+    # series_fit_poly(y[, x, degree]) → coefficient array, highest degree
+    # first (Kusto's documented order = numpy.polyfit's) — the Arrow
+    # kernel in functions/series_fft.py; x omitted → implicit 0..n−1
+    "series_fit_poly": lambda a: (
+        f"seriesFitPoly({a[0]}, "
+        + (a[1] if len(a) > 1 else "CAST(NULL AS ARRAY<DOUBLE>)")
+        + f", {a[2] if len(a) > 2 else 1})"
+    ),
 }
 
 

@@ -3578,3 +3578,28 @@ FROM events WHERE event_id < 200
         transpile("SELECT deltaSum(v) FROM t")
     with _pytest.raises(ChSqlError, match="at least 2"):
         transpile("SELECT corrMatrix(v) FROM t")
+
+
+def test_series_fit_poly(spark):
+    """series_fit_poly (round 11): planted-polynomial recovery — the
+    kernel must return the generating coefficients (highest degree
+    first) within fitting tolerance, and the implicit-axis /
+    explicit-axis / short-series contracts."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    # planted: y = 2x^2 - 3x + 5 on x = 0..9
+    ys = [2 * x * x - 3 * x + 5 for x in range(10)]
+    lit = "dynamic([" + ", ".join(f"{v}.0" for v in ys) + "])"
+    r = eng.sql(
+        f"""
+print c2 = series_fit_poly({lit}, dynamic([0.0, 1.0, 2.0, 3.0, 4.0,
+                                           5.0, 6.0, 7.0, 8.0, 9.0]), 2),
+      c1 = series_fit_poly(dynamic([3.0, 5.0, 7.0, 9.0])),
+      short = series_fit_poly(dynamic([1.0, 2.0]), dynamic([0.0, 1.0]), 3)
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert [round(v, 6) for v in r.c2] == [2.0, -3.0, 5.0]
+    assert [round(v, 6) for v in r.c1] == [2.0, 3.0]  # slope, intercept
+    assert r.short is None  # n <= degree → NULL
