@@ -592,6 +592,105 @@ def _anova_expr(args: list[str]) -> str:
     )
 
 
+def _proportions_z_test_expr(args: list[str]) -> str:
+    """proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    conf_level, pooling) — CH 23.x SCALAR returning ('col1' = z,
+    'col2' = two-sided p, 'col3'/'col4' = CI of p_x − p_y).  Closed-form
+    arithmetic + the A&S Φ tail; conf_level pinned to 0.95 (the
+    minSampleSize* convention); pooling 'pooled' (CH default) or
+    'unpooled'."""
+    if len(args) != 6:
+        raise ChSqlError(
+            "proportionsZTest takes (successes_x, successes_y, trials_x, "
+            "trials_y, conf_level, pooling)"
+        )
+    if args[4].strip() != "0.95":
+        raise ChSqlError(
+            "proportionsZTest subset: conf_level must be the literal 0.95"
+        )
+    pooling = args[5].strip().strip("'\"").lower()
+    if pooling not in ("pooled", "unpooled"):
+        raise ChSqlError(
+            f"proportionsZTest pooling must be 'pooled' or 'unpooled', "
+            f"got {args[5]!r}"
+        )
+    sx, sy, nx, ny = (f"CAST({a} AS DOUBLE)" for a in args[:4])
+    base = (
+        f"named_struct('px', ({sx}) / ({nx}), 'py', ({sy}) / ({ny}), "
+        f"'pp', (({sx}) + ({sy})) / (({nx}) + ({ny})), "
+        f"'nx', {nx}, 'ny', {ny})"
+    )
+    if pooling == "pooled":
+        se = "sqrt(__b.pp * (1 - __b.pp) * (1 / __b.nx + 1 / __b.ny))"
+    else:
+        se = (
+            "sqrt(__b.px * (1 - __b.px) / __b.nx "
+            "+ __b.py * (1 - __b.py) / __b.ny)"
+        )
+    # the CI always uses the UNPOOLED se (the standard Wald interval)
+    se_ci = (
+        "sqrt(__b.px * (1 - __b.px) / __b.nx "
+        "+ __b.py * (1 - __b.py) / __b.ny)"
+    )
+    z = f"((__b.px - __b.py) / {se})"
+    return (
+        f"transform(array({base}), __b -> named_struct("
+        f"'col1', round({z}, 6), "
+        f"'col2', round(least(CAST(1 AS DOUBLE), "
+        f"2 * {_phi_tail_sql(f'abs({z})')}), 6), "
+        f"'col3', round(__b.px - __b.py - {_MSS_Z_ALPHA!r} * {se_ci}, 6), "
+        f"'col4', round(__b.px - __b.py + {_MSS_Z_ALPHA!r} * {se_ci}, 6)"
+        f"))[0]"
+    )
+
+
+def _ttest_one_sample_expr(args: list[str]) -> str:
+    """studentTTestOneSample(sample, population_mean) → ('col1' = t,
+    'col2' = two-sided p) — CH 25.x (in the pinned image).  Plain
+    aggregates + the incomplete-beta t tail, df = n − 1."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "studentTTestOneSample takes exactly (sample, population_mean)"
+        )
+    x, mu = args[0], args[1]
+    xd = f"CAST({x} AS DOUBLE)"
+    t = (
+        f"((avg({xd}) - ({mu})) / (stddev_samp({xd}) / sqrt(count({xd}))))"
+    )
+    p = _betai_sql("__q.df / 2", "CAST(0.5 AS DOUBLE)",
+                   "__q.df / (__q.df + __q.t * __q.t)")
+    return (
+        f"transform(array(named_struct('t', {t}, "
+        f"'df', CAST(count({xd}) - 1 AS DOUBLE))), __q -> "
+        f"named_struct('col1', __q.t, "
+        f"'col2', IF(__q.df < 1 OR __q.t IS NULL, CAST(NULL AS DOUBLE), "
+        f"least(CAST(1 AS DOUBLE), {p}))))[0]"
+    )
+
+
+def _quantile_exact_exclusive_expr(params: list[str], args: list[str]) -> str:
+    """quantileExactExclusive(level)(x) — the PERCENTILE.EXC convention
+    (h = (n+1)·p over the sorted sample, linear interpolation, h clamped
+    to [1, n]); Inclusive is Spark's own percentile.  One sorted-collect
+    fold."""
+    if len(params) != 1 or len(args) != 1:
+        raise ChSqlError("quantileExactExclusive takes (level)(expr)")
+    p, x = params[0], args[0]
+    arr = (
+        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL THEN "
+        f"CAST({x} AS DOUBLE) END))"
+    )
+    return (
+        f"transform(array({arr}), __a -> "
+        f"transform(array(least(greatest(({p}) * (size(__a) + 1), "
+        f"CAST(1 AS DOUBLE)), CAST(size(__a) AS DOUBLE))), __h -> "
+        f"element_at(__a, CAST(floor(__h) AS INT)) "
+        f"+ (__h - floor(__h)) * (element_at(__a, "
+        f"least(CAST(floor(__h) AS INT) + 1, size(__a))) "
+        f"- element_at(__a, CAST(floor(__h) AS INT))))[0])[0]"
+    )
+
+
 def _matrix_agg_expr(args: list[str], fn: str) -> str:
     """corrMatrix/covarSampMatrix/covarPopMatrix(x1, ..., xn) →
     Array(Array(Float64)) — n² plain JVM aggregates in ONE pass (each
@@ -2022,6 +2121,26 @@ FUNC_RULES: dict[str, object] = {
     "analysisOfVariance": _anova_expr,
     "anova": _anova_expr,
     "entropy": _entropy_expr,
+    "proportionsZTest": _proportions_z_test_expr,
+    "studentTTestOneSample": _ttest_one_sample_expr,
+    # value if the group has exactly ONE distinct non-NULL value, else NULL
+    "singleValueOrNull": lambda a: (
+        f"IF(count(DISTINCT {a[0]}) = 1, max({a[0]}), NULL)"
+    ),
+    # physical-block-order functions: a shuffled engine has no such order —
+    # reject with the deterministic alternative (the deltaSum discipline)
+    "runningDifference": lambda a: (_ for _ in ()).throw(
+        ChSqlError(
+            "runningDifference depends on physical row order — use the "
+            "window form: x - lagInFrame(x, 1, NULL) OVER (ORDER BY <key>)"
+        )
+    ),
+    "neighbor": lambda a: (_ for _ in ()).throw(
+        ChSqlError(
+            "neighbor depends on physical row order — use leadInFrame/"
+            "lagInFrame OVER (ORDER BY <key>)"
+        )
+    ),
     "corrMatrix": lambda a: _matrix_agg_expr(a, "corr"),
     "covarSampMatrix": lambda a: _matrix_agg_expr(a, "covar_samp"),
     "covarPopMatrix": lambda a: _matrix_agg_expr(a, "covar_pop"),
@@ -3974,6 +4093,19 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
+    "quantileExactExclusive": _quantile_exact_exclusive_expr,
+    "quantileExactInclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # the text surface points at the exact-integer operator tier (float
+    # triangle scores make near-tie argmax order-dependent — the operator
+    # documents and solves this; a text fold would silently reintroduce it)
+    "largestTriangleThreeBuckets": lambda p, a: (_ for _ in ()).throw(
+        ChSqlError(
+            "largestTriangleThreeBuckets on the text path would score "
+            "triangles in floats (near-tie argmax flips on summation "
+            "order) — use operators/downsample.lttb, the exact-integer "
+            "kernel (registry query lttb_downsample)"
+        )
+    ),
     "meanZTest": _mean_z_test_expr,
     "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
     # mannWhitneyUTest(alternative[, continuity])(x, idx): two-sided only

@@ -3603,3 +3603,85 @@ print c2 = series_fit_poly({lit}, dynamic([0.0, 1.0, 2.0, 3.0, 4.0,
     assert [round(v, 6) for v in r.c2] == [2.0, -3.0, 5.0]
     assert [round(v, 6) for v in r.c1] == [2.0, 3.0]  # slope, intercept
     assert r.short is None  # n <= degree → NULL
+
+
+def test_proportions_onesample_quantile_batch(spark):
+    """proportionsZTest / studentTTestOneSample / quantileExactExclusive /
+    quantileExactInclusive / singleValueOrNull (round 11), pinned against
+    Python replays; runningDifference/neighbor/deltaSum and the text-path
+    largestTriangleThreeBuckets reject with guidance."""
+    import math
+    import statistics
+
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.stats_dist import betai
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT round(tupleElement(
+         proportionsZTest(120, 100, 1000, 1000, 0.95, 'pooled'), 1), 6) AS z,
+       round(tupleElement(
+         proportionsZTest(120, 100, 1000, 1000, 0.95, 'pooled'), 2), 6) AS p,
+       round(tupleElement(
+         proportionsZTest(120, 100, 1000, 1000, 0.95, 'unpooled'), 1), 6)
+         AS zu,
+       round(tupleElement(studentTTestOneSample(value, 50.0), 1), 6) AS t1,
+       round(tupleElement(studentTTestOneSample(value, 50.0), 2), 6) AS p1,
+       round(quantileExactExclusive(0.25)(value), 6) AS qee,
+       round(quantileExactInclusive(0.25)(value), 6) AS qei,
+       singleValueOrNull(event_id % 1) AS sv1,
+       singleValueOrNull(event_id % 2) AS sv2
+FROM events WHERE event_id < 200
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    def phi_tail(z):
+        t = 1 / (1 + 0.2316419 * z)
+        poly = t * (0.319381530 + t * (-0.356563782 + t * (1.781477937
+                    + t * (-1.821255978 + t * 1.330274429))))
+        return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+
+    px, py, pp = 0.12, 0.10, 0.11
+    sep = math.sqrt(pp * (1 - pp) * (2 / 1000))
+    seu = math.sqrt(px * (1 - px) / 1000 + py * (1 - py) / 1000)
+    assert r.z == round((px - py) / sep, 6)
+    assert r.p == round(min(1, 2 * phi_tail((px - py) / sep)), 6)
+    assert r.zu == round((px - py) / seu, 6)
+
+    vals = [
+        v
+        for (v,) in duckdb.sql(
+            "SELECT value FROM read_parquet("
+            "'/root/testdata/sf0.001/events.parquet') WHERE event_id < 200"
+        ).fetchall()
+    ]
+    n = len(vals)
+    t = (statistics.mean(vals) - 50.0) / (
+        statistics.stdev(vals) / math.sqrt(n)
+    )
+    df = n - 1
+    assert r.t1 == round(t, 6)
+    assert r.p1 == round(betai(df / 2, 0.5, df / (df + t * t)), 6)
+
+    a = sorted(vals)
+    h = min(max(0.25 * (n + 1), 1.0), float(n))
+    lo = int(math.floor(h))
+    qee = a[lo - 1] + (h - lo) * (a[min(lo + 1, n) - 1] - a[lo - 1])
+    assert r.qee == round(qee, 6)
+    assert r.qei is not None and r.qei != r.qee  # distinct conventions
+    assert r.sv1 == 0 and r.sv2 is None
+
+    for bad in (
+        "SELECT runningDifference(v) FROM t",
+        "SELECT neighbor(v, 1) FROM t",
+        "SELECT largestTriangleThreeBuckets(12)(x, y) FROM t",
+        "SELECT proportionsZTest(1, 2, 3, 4, 0.99, 'pooled') FROM t",
+    ):
+        with _pytest.raises(ChSqlError):
+            transpile(bad)
