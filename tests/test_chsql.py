@@ -3520,6 +3520,8 @@ SELECT entropy(event_type) AS ent,
          corrMatrix(value, toFloat64(event_id)), 1), 1) AS c11,
        round(arrayElement(arrayElement(
          covarPopMatrix(value, toFloat64(event_id)), 1), 2), 6) AS vp12,
+       round(arrayElement(arrayElement(
+         covarSampMatrix(value, toFloat64(event_id)), 1), 2), 6) AS vs12,
        round(deltaSumTimestamp(value, ts), 6) AS dst,
        round(exponentialTimeDecayedAvg(3600.0)(
          value, toFloat64(toUnixTimestamp(ts))), 6) AS eda,
@@ -3548,6 +3550,7 @@ FROM events WHERE event_id < 200
     mx, me = sum(xs) / n, sum(es) / n
     cov = sum((a - mx) * (b - me) for a, b in zip(xs, es)) / n
     assert r.vp12 == round(cov, 6)
+    assert r.vs12 == round(cov * n / (n - 1), 6)
     # deltaSumTimestamp: positive deltas in ts order
     dst = sum(
         max(0.0, rows[i][0] - rows[i - 1][0]) for i in range(1, len(rows))
