@@ -1908,6 +1908,49 @@ _KQL_SCALARS: dict = {
         + (a[1] if len(a) > 1 else "CAST(NULL AS ARRAY<DOUBLE>)")
         + f", {a[2] if len(a) > 2 else 1})"
     ),
+    # --- round-11 scalar completions ---
+    "beta_pdf": lambda a: (
+        f"(CASE WHEN ({a[0]}) <= 0 OR ({a[0]}) >= 1 THEN CAST(0 AS DOUBLE) "
+        f"ELSE exp({_lgamma_sql(f'({a[1]}) + ({a[2]})')} "
+        f"- {_lgamma_sql(a[1])} - {_lgamma_sql(a[2])} "
+        f"+ (({a[1]}) - 1) * ln({a[0]}) "
+        f"+ (({a[2]}) - 1) * ln(1 - ({a[0]}))) END)"
+    ),
+    "atan2": lambda a: f"atan2({a[0]}, {a[1]})",  # both take (y, x)
+    "isnan": lambda a: f"isnan(CAST({a[0]} AS DOUBLE))",
+    # rand() → U[0,1); rand(n) → integer 0..n−1 (Kusto's two overloads);
+    # nondeterministic by nature — registry checks are range contracts
+    "rand": lambda a: (
+        "rand()" if not a or not a[0].strip()
+        else f"CAST(floor(rand() * ({a[0]})) AS BIGINT)"
+    ),
+    # bag_set_key(bag, key, value): key presence wins (the mapUpdate fold)
+    "bag_set_key": lambda a: (
+        f"map_from_entries(concat(filter(map_entries({a[0]}), "
+        f"__e -> NOT __e.key <=> ({a[1]})), "
+        f"array(named_struct('key', {a[1]}, 'value', {a[2]}))))"
+    ),
+    "repeat": lambda a: f"array_repeat({a[0]}, CAST({a[1]} AS INT))",
+    # Spark strings are validated UTF-8 by construction — a non-NULL
+    # string is well-formed (documented; the byte-level check belongs to
+    # binary ingestion, not the string type)
+    "isutf8": lambda a: f"(({a[0]}) IS NOT NULL)",
+    "unicode_codepoints_from_string": lambda a: (
+        f"transform(split({a[0]}, ''), __c -> ascii(__c))"
+    ),
+    # base64 → byte-value array via the hex rendering (binary is not
+    # directly indexable in Spark SQL; conv parses each hex pair)
+    "base64_decode_toarray": lambda a: (
+        f"transform(array(hex(unbase64({a[0]}))), __h -> "
+        f"transform(sequence(1, CAST(length(__h) / 2 AS INT)), __i -> "
+        f"CAST(conv(substring(__h, 2 * __i - 1, 2), 16, 10) AS BIGINT)))[0]"
+    ),
+    # Kusto's punycode pair rides the registered stdlib-codec kernels
+    "punycode_from_string": lambda a: f"punycodeEncode({a[0]})",
+    "punycode_to_string": lambda a: f"punycodeDecode({a[0]})",
+    "series_round": lambda a: (
+        f"transform({a[0]}, __v -> round(CAST(__v AS DOUBLE)))"
+    ),
 }
 
 
@@ -2212,6 +2255,10 @@ def _agg_expr(e: str) -> str:
         e, "count_distinctif",
         lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
     )
+    # bitwise reduction aggregates (round 11)
+    e = _rewrite_call(e, "binary_all_and", lambda a: f"bit_and({a[0]})")
+    e = _rewrite_call(e, "binary_all_or", lambda a: f"bit_or({a[0]})")
+    e = _rewrite_call(e, "binary_all_xor", lambda a: f"bit_xor({a[0]})")
     e = _rewrite_call(
         e, "count_distinct", lambda a: f"count(DISTINCT {a[0]})"
     )

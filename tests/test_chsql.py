@@ -3688,3 +3688,57 @@ FROM events WHERE event_id < 200
     ):
         with _pytest.raises(ChSqlError):
             transpile(bad)
+
+
+def test_kql_scalar_completions_r11(spark):
+    """beta_pdf / atan2 / isnan / rand / bag_set_key / repeat / isutf8 /
+    unicode_codepoints_from_string / base64_decode_toarray /
+    punycode_from_string / punycode_to_string / series_round +
+    binary_all_and/or/xor aggregates (round 11) — known answers and
+    range contracts."""
+    import functools
+    import math
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+print bp = round(beta_pdf(0.3, 2.0, 5.0), 6),
+      at = round(atan2(1.0, 1.0), 6),
+      nn = isnan(sqrt(-1.0)), nn2 = isnan(1.5),
+      r1 = rand() >= 0.0 and rand() < 1.0,
+      r2 = rand(10) >= 0 and rand(10) <= 9,
+      bsk = tostring(bag_set_key(bag_pack('a', 1, 'b', 2), 'b', 9)),
+      rp = tostring(repeat(7, 3)),
+      iu = isutf8('abc'),
+      ucp = tostring(unicode_codepoints_from_string('AbZ')),
+      b64 = tostring(base64_decode_toarray('QUJD')),
+      pf = punycode_from_string('München'),
+      pt = punycode_to_string('Mnchen-3ya'),
+      sr = tostring(series_round(dynamic([1.2, 2.7, -1.5])))
+""",
+        dialect="kusto",
+    ).collect()[0]
+    # beta_pdf(0.3; 2, 5) = 30 * 0.3 * 0.7^4 (closed form)
+    assert r.bp == round(30 * 0.3 * 0.7 ** 4, 6)
+    assert r.at == round(math.pi / 4, 6)
+    assert (r.nn, r.nn2) == (True, False)
+    assert r.r1 is True and r.r2 is True
+    assert r.bsk == "{a -> 1, b -> 9}"
+    assert r.rp == "[7, 7, 7]"
+    assert r.iu is True
+    assert r.ucp == "[65, 98, 90]"
+    assert r.b64 == "[65, 66, 67]"  # base64('ABC')
+    assert (r.pf, r.pt) == ("Mnchen-3ya", "München")
+    assert r.sr == "[1.0, 3.0, -2.0]"
+
+    agg = eng.sql(
+        "events | where event_id < 100 | summarize "
+        "a = binary_all_and(event_id % 4 + 4), "
+        "o = binary_all_or(event_id % 4), "
+        "x = binary_all_xor(event_id)",
+        dialect="kusto",
+    ).collect()[0]
+    assert agg.a == 4 and agg.o == 3
+    assert agg.x == functools.reduce(lambda p, q: p ^ q, range(100))
