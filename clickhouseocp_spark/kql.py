@@ -1091,6 +1091,96 @@ def _kql_binomial_test(a: list[str]) -> str:
     )
 
 
+def _ipv6_canon_sql(addr: str) -> str:
+    """Canonical IPv6: lowercase, '::' expanded, every group zero-padded
+    to 4 hex digits ('fe80::85d' → 'fe80:0000:…:085d') — Kusto's
+    parse_ipv6 output form.  Bare IPv4 maps to ::ffff:a.b.c.d and a
+    dotted-quad tail folds into the last two hex groups (RFC 4291
+    mixed notation).  Invalid shapes → NULL.  Pure string/array SQL."""
+    hexg = (
+        "lpad(lower(hex(CAST(regexp_extract(__q, "
+        "'(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)$', {hi}) AS INT) "
+        "* 256 + CAST(regexp_extract(__q, "
+        "'(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)$', {lo}) "
+        "AS INT))), 4, '0')"
+    )
+    v4fold = (
+        "CASE WHEN __q RLIKE '\\\\d+\\\\.\\\\d+\\\\.\\\\d+\\\\.\\\\d+$' "
+        "THEN concat(regexp_replace(__q, "
+        "'\\\\d+\\\\.\\\\d+\\\\.\\\\d+\\\\.\\\\d+$', ''), "
+        + hexg.format(hi=1, lo=2)
+        + ", ':', "
+        + hexg.format(hi=3, lo=4)
+        + ") ELSE __q END"
+    )
+    groups = (
+        "CASE WHEN __u LIKE '%::%' THEN "
+        "concat("
+        "filter(split(element_at(split(__u, '::'), 1), ':'), __g -> __g != ''), "
+        "array_repeat('0', 8 "
+        "- size(filter(split(element_at(split(__u, '::'), 1), ':'), "
+        "__g -> __g != '')) "
+        "- size(filter(split(try_element_at(split(__u, '::'), 2), ':'), "
+        "__g -> __g != ''))), "
+        "filter(split(try_element_at(split(__u, '::'), 2), ':'), "
+        "__g -> __g != '')) "
+        "ELSE split(__u, ':') END"
+    )
+    return (
+        f"transform(array(lower(trim({addr}))), __p -> "
+        # bare IPv4 → the ::ffff: mapped form first
+        f"transform(array(IF(__p NOT RLIKE ':' AND __p RLIKE "
+        f"'^\\\\d+\\\\.\\\\d+\\\\.\\\\d+\\\\.\\\\d+$', "
+        f"concat('::ffff:', __p), __p)), __q -> "
+        f"transform(array({v4fold}), __u -> "
+        f"transform(array({groups}), __gs -> "
+        f"IF(size(__gs) = 8 "
+        f"AND length(__u) - length(replace(__u, '::', '')) <= 2 "
+        f"AND forall(__gs, __g -> __g RLIKE '^[0-9a-f]{{1,4}}$'), "
+        f"concat_ws(':', transform(__gs, __g -> lpad(__g, 4, '0'))), "
+        f"CAST(NULL AS STRING))"
+        f")[0])[0])[0])[0]"
+    )
+
+
+def _kql_ipv6_is_match(a: list[str]) -> str:
+    """ipv6_is_match(a, b[, prefix]): equality of the first `prefix` bits
+    of the canonical forms (default 128; a '/len' suffix on either
+    literal side is honored by canonicalizing the host part).  Bit
+    prefixes compare as floor-shifted nibbles over the joined hex
+    digits."""
+    if len(a) < 2 or len(a) > 3:
+        raise KqlError("ipv6_is_match takes (ip1, ip2[, prefix])")
+
+    def strip_len(s: str) -> str:
+        return (
+            f"element_at(split({s}, '/'), 1)"
+        )
+
+    pfx = (
+        f"CAST(least(coalesce({a[2] if len(a) > 2 else 'NULL'}, "
+        f"try_cast(try_element_at(split({a[0]}, '/'), 2) AS INT), "
+        f"try_cast(try_element_at(split({a[1]}, '/'), 2) AS INT), "
+        f"128), 128) AS INT)"
+    )
+    c1 = _ipv6_canon_sql(strip_len(a[0]))
+    c2 = _ipv6_canon_sql(strip_len(a[1]))
+    # compare whole nibbles then the partial nibble (floor-shift)
+    return (
+        f"transform(array(named_struct("
+        f"'h1', replace({c1}, ':', ''), 'h2', replace({c2}, ':', ''), "
+        f"'p', {pfx})), __m -> "
+        f"IF(__m.h1 IS NULL OR __m.h2 IS NULL, CAST(NULL AS BOOLEAN), "
+        f"substring(__m.h1, 1, CAST(__m.p / 4 AS INT)) "
+        f"= substring(__m.h2, 1, CAST(__m.p / 4 AS INT)) "
+        f"AND (__m.p % 4 = 0 OR "
+        f"CAST(floor(conv(substring(__m.h1, CAST(__m.p / 4 AS INT) + 1, 1), "
+        f"16, 10) / pow(2, 4 - __m.p % 4)) AS INT) "
+        f"= CAST(floor(conv(substring(__m.h2, CAST(__m.p / 4 AS INT) + 1, 1), "
+        f"16, 10) / pow(2, 4 - __m.p % 4)) AS INT))))[0]"
+    )
+
+
 def _literal_int(tok: str, what: str) -> int:
     """Coerce a transpiler token that MUST be an integer literal (it sizes a
     codegen unroll); a non-literal arg is a KqlError naming the limitation,
@@ -1951,6 +2041,14 @@ _KQL_SCALARS: dict = {
     "series_round": lambda a: (
         f"transform({a[0]}, __v -> round(CAST(__v AS DOUBLE)))"
     ),
+    # IPv6 tier (round 11): canonical expansion in pure string/array SQL
+    "parse_ipv6": lambda a: _ipv6_canon_sql(a[0]),
+    "ipv6_compare": lambda a: (
+        f"CAST(CASE WHEN {_ipv6_canon_sql(a[0])} < {_ipv6_canon_sql(a[1])} "
+        f"THEN -1 WHEN {_ipv6_canon_sql(a[0])} > {_ipv6_canon_sql(a[1])} "
+        f"THEN 1 ELSE 0 END AS BIGINT)"
+    ),
+    "ipv6_is_match": _kql_ipv6_is_match,
 }
 
 

@@ -3742,3 +3742,41 @@ print bp = round(beta_pdf(0.3, 2.0, 5.0), 6),
     ).collect()[0]
     assert agg.a == 4 and agg.o == 3
     assert agg.x == functools.reduce(lambda p, q: p ^ q, range(100))
+
+
+def test_kql_ipv6_tier(spark):
+    """parse_ipv6 / ipv6_compare / ipv6_is_match (round 11): RFC-4291
+    canonicalization ('::' expansion, zero-padding, v4-mapped and
+    dotted-quad-tail forms), invalid shapes → NULL, bit-prefix matching
+    down to partial nibbles."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+print p1 = parse_ipv6('fe80::85d:e82c:9446:7994'),
+      p2 = parse_ipv6('::1'),
+      p3 = parse_ipv6('192.168.1.1'),
+      p4 = parse_ipv6('::ffff:10.0.0.1'),
+      p5 = parse_ipv6('not an ip'),
+      p6 = parse_ipv6('1:2:3:4:5:6:7:8:9'),
+      c1 = ipv6_compare('fe80::1',
+                        'fe80:0000:0000:0000:0000:0000:0000:0001'),
+      c2 = ipv6_compare('::1', '::2'),
+      m1 = ipv6_is_match('fe80::1', 'fe80::ffff', 64),
+      m2 = ipv6_is_match('fe80::1', 'fe81::1', 64),
+      m3 = ipv6_is_match('fe80::1', 'fe80::1'),
+      m4 = ipv6_is_match('fe80::aa00:0:0:0', 'fe80::a800:0:0:0', 70),
+      m5 = ipv6_is_match('fe80::aa00:0:0:0', 'fe80::a800:0:0:0', 72)
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.p1 == "fe80:0000:0000:0000:085d:e82c:9446:7994"
+    assert r.p2 == "0000:0000:0000:0000:0000:0000:0000:0001"
+    assert r.p3 == "0000:0000:0000:0000:0000:ffff:c0a8:0101"
+    assert r.p4 == "0000:0000:0000:0000:0000:ffff:0a00:0001"
+    assert r.p5 is None and r.p6 is None
+    assert (r.c1, r.c2) == (0, -1)
+    assert (r.m1, r.m2, r.m3) == (True, False, True)
+    # aa vs a8 agree through bit 69 but differ inside bits 64..71
+    assert (r.m4, r.m5) == (True, False)
