@@ -596,6 +596,14 @@ _DRIVER_WINDOW_R13: list[str] = [
 #: Round-11 births (≤3 — the r10 verdict caps registry growth this round so
 #: the 46-name R13 overflow + the chsql_vocab_r18 red re-record fit in one
 #: 50-slot window and full-registry driver coverage finally lands).
+#:
+#: ROUND-12 START TASK: once CORRECTNESS_r11 lands 50/50 green, the
+#: never-recorded backlog is ZERO for the first time — every registry
+#: query carries a driver record.  Round 12's window is therefore free:
+#: lead all_queries() with (a) any r11 reds (fix first), then (b) round-12
+#: births staged in a fresh _DRIVER_WINDOW_R15, then (c) re-records of the
+#: STALEST green records (CORRECTNESS_r01/r02 names) so old records rotate
+#: forward.  Registry growth is unconstrained again, but stage at birth.
 _DRIVER_WINDOW_R14: list[str] = [
     # --- round-11 FUNC-sweep closure: every lowered-but-never-exercised
     #     CH/KQL name now carries an oracle-backed query (r10 verdict #4/#5)
