@@ -1749,6 +1749,11 @@ _KQL_SCALARS: dict = {
         f"WHEN {a[0]} = {a[1]} THEN 0 ELSE 1 END AS BIGINT)"
     ),
     "string_size": lambda a: f"CAST(octet_length({a[0]}) AS BIGINT)",
+    # Kusto repeat(value, count) returns a dynamic ARRAY — must rewrite
+    # BEFORE strrep, whose OUTPUT is Spark's string repeat( and would be
+    # re-captured by this rule if it ran later (the rewrite loop mutates
+    # the text in dict order)
+    "repeat": lambda a: f"array_repeat({a[0]}, CAST({a[1]} AS INT))",
     "strrep": lambda a: f"repeat({a[0]}, CAST({a[1]} AS INT))",
     "unixtime_seconds_todatetime": lambda a: (
         f"to_timestamp(CAST({a[0]} AS DOUBLE))"
@@ -2020,7 +2025,6 @@ _KQL_SCALARS: dict = {
         f"__e -> NOT __e.key <=> ({a[1]})), "
         f"array(named_struct('key', {a[1]}, 'value', {a[2]}))))"
     ),
-    "repeat": lambda a: f"array_repeat({a[0]}, CAST({a[1]} AS INT))",
     # Spark strings are validated UTF-8 by construction — a non-NULL
     # string is well-formed (documented; the byte-level check belongs to
     # binary ingestion, not the string type)
