@@ -277,6 +277,17 @@ def main() -> None:
             .mapInPandas(lambda it: it, schema="id long")
             .count()
         ),
+        # IO axis (round-11 close finding): shared-host IO variance hits
+        # shuffle-bound shapes 1.2-1.5x while CPU probes stay flat — a
+        # fixed repartition+agg makes that axis normalizable too
+        "shuffle_5e6": _probe(
+            lambda: spark.range(5 * 10**6)
+            .selectExpr("id", "id % 1024 AS k")
+            .repartition(32, "k")
+            .groupBy("k")
+            .count()
+            .count()
+        ),
     }
 
     prev_name, prev = _prev_timings()
