@@ -672,7 +672,9 @@ def _quantile_exact_exclusive_expr(params: list[str], args: list[str]) -> str:
     """quantileExactExclusive(level)(x) — the PERCENTILE.EXC convention
     (h = (n+1)·p over the sorted sample, linear interpolation, h clamped
     to [1, n]); Inclusive is Spark's own percentile.  One sorted-collect
-    fold."""
+    fold.  An all-NULL group yields NULL (CH returns nan; NULL is the
+    engine's documented deviation for empty samples — under ANSI mode the
+    unguarded element_at(__a, 0) would otherwise abort the query)."""
     if len(params) != 1 or len(args) != 1:
         raise ChSqlError("quantileExactExclusive takes (level)(expr)")
     p, x = params[0], args[0]
@@ -682,12 +684,13 @@ def _quantile_exact_exclusive_expr(params: list[str], args: list[str]) -> str:
     )
     return (
         f"transform(array({arr}), __a -> "
+        f"IF(size(__a) = 0, CAST(NULL AS DOUBLE), "
         f"transform(array(least(greatest(({p}) * (size(__a) + 1), "
         f"CAST(1 AS DOUBLE)), CAST(size(__a) AS DOUBLE))), __h -> "
         f"element_at(__a, CAST(floor(__h) AS INT)) "
         f"+ (__h - floor(__h)) * (element_at(__a, "
         f"least(CAST(floor(__h) AS INT) + 1, size(__a))) "
-        f"- element_at(__a, CAST(floor(__h) AS INT))))[0])[0]"
+        f"- element_at(__a, CAST(floor(__h) AS INT))))[0]))[0]"
     )
 
 
@@ -730,13 +733,17 @@ def _delta_sum_ts_expr(args: list[str]) -> str:
 
 
 def _exp_time_decayed_avg_expr(params: list[str], args: list[str]) -> str:
-    """exponentialTimeDecayedAvg(halflife)(value, time): time-decayed
-    weighted mean anchored at the group's max time —
-    Σ vᵢ·2^(−(T−tᵢ)/h) / Σ 2^(−(T−tᵢ)/h).  Plain aggregates once T is
-    known, so it rides one collected fold (the decay needs T first)."""
+    """exponentialTimeDecayedAvg(x)(value, time): time-decayed weighted
+    mean anchored at the group's max time, with x an E-FOLDING time
+    constant exactly as ClickHouse defines it —
+    Σ vᵢ·e^(−(T−tᵢ)/x) / Σ e^(−(T−tᵢ)/x).  (An earlier revision used
+    base-2 half-life decay, a ln2-factor deviation from CH — fixed.)
+    Plain aggregates once T is known, so it rides one collected fold
+    (the decay needs T first)."""
     if len(params) != 1 or len(args) != 2:
         raise ChSqlError(
-            "exponentialTimeDecayedAvg takes (halflife)(value, time)"
+            "exponentialTimeDecayedAvg takes (x)(value, time) with x the "
+            "e-folding time constant"
         )
     h = params[0]
     x, t = args[0], args[1]
@@ -749,9 +756,286 @@ def _exp_time_decayed_avg_expr(params: list[str], args: list[str]) -> str:
         f"transform(array(aggregate(__p, CAST(-1e300 AS DOUBLE), "
         f"(__m, __e) -> greatest(__m, __e.t))), __T -> "
         f"aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> "
-        f"__s + __e.x * pow(2.0, -(__T - __e.t) / ({h}))) "
+        f"__s + __e.x * exp(-(__T - __e.t) / ({h}))) "
         f"/ aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> "
-        f"__s + pow(2.0, -(__T - __e.t) / ({h}))))[0])[0]"
+        f"__s + exp(-(__T - __e.t) / ({h}))))[0])[0]"
+    )
+
+
+def _array_levenshtein_expr(args: list[str]) -> str:
+    """arrayLevenshtein(a, b) — edit distance between ARRAYS (CH 25.3):
+    the classic rolling-row DP as one nested fold (outer over b's
+    elements, inner rebuilding the row left-to-right — the insert cell
+    depends on the cell just written, so the row is an append fold).
+    O(|a|·|b|) per row by contract; elements compare with null-safe
+    equality.  Spark's sequence(1, 0) DESCENDS, so both empty sides are
+    guarded explicitly (empty → the other side's length)."""
+    if len(args) != 2:
+        raise ChSqlError("arrayLevenshtein takes exactly (array1, array2)")
+    a, b = args
+    inner = (
+        "aggregate(sequence(1, size(__w.a)), array(CAST(__i AS BIGINT)), "
+        "(__nr, __j) -> concat(__nr, array(least("
+        "element_at(__row, __j + 1) + 1, "
+        "element_at(__nr, __j) + 1, "
+        "element_at(__row, __j) + IF(element_at(__w.a, __j) <=> "
+        "element_at(__w.b, __i), CAST(0 AS BIGINT), CAST(1 AS BIGINT))))))"
+    )
+    fold = (
+        f"aggregate(sequence(1, size(__w.b)), "
+        f"transform(sequence(0, size(__w.a)), __j -> CAST(__j AS BIGINT)), "
+        f"(__row, __i) -> {inner}, "
+        f"__row -> element_at(__row, -1))"
+    )
+    return (
+        f"transform(array(named_struct('a', {a}, 'b', {b})), __w -> "
+        f"CASE WHEN __w.a IS NULL OR __w.b IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN size(__w.b) = 0 THEN CAST(size(__w.a) AS BIGINT) "
+        f"WHEN size(__w.a) = 0 THEN CAST(size(__w.b) AS BIGINT) "
+        f"ELSE {fold} END)[0]"
+    )
+
+
+def _array_sym_diff_expr(args: list[str]) -> str:
+    """arraySymmetricDifference(a1, a2, ...) (CH 25.4): elements present
+    in at least one argument but not in ALL of them — union minus
+    intersection, SORTED for engine determinism (CH leaves the order
+    unspecified — the groupArrayIntersect convention)."""
+    if len(args) < 2:
+        raise ChSqlError("arraySymmetricDifference needs at least 2 arrays")
+    uni, inter = args[0], args[0]
+    for x in args[1:]:
+        uni = f"array_union({uni}, {x})"
+        inter = f"array_intersect({inter}, {x})"
+    return f"array_sort(array_except({uni}, {inter}))"
+
+
+def _string_compare_expr(args: list[str]) -> str:
+    """stringCompare(s1, s2[, offset1, offset2, n]) (CH 25.2): three-way
+    comparison (−1/0/1) of the strings or of n-unit slices at the given
+    0-based offsets.  Subset: offsets count CHARACTERS (Spark substring),
+    not bytes — identical for ASCII, documented for multi-byte."""
+    if len(args) == 2:
+        x, y = args
+    elif len(args) == 5:
+        x = (
+            f"substring({args[0]}, CAST({args[2]} AS INT) + 1, "
+            f"CAST({args[4]} AS INT))"
+        )
+        y = (
+            f"substring({args[1]}, CAST({args[3]} AS INT) + 1, "
+            f"CAST({args[4]} AS INT))"
+        )
+    else:
+        raise ChSqlError(
+            "stringCompare takes (s1, s2) or (s1, s2, offset1, offset2, n)"
+        )
+    return (
+        f"CAST(CASE WHEN ({x}) < ({y}) THEN -1 "
+        f"WHEN ({x}) > ({y}) THEN 1 ELSE 0 END AS INT)"
+    )
+
+
+def _string_bytes_fold(s: str, what: str) -> str:
+    """stringBytesUniq / stringBytesEntropy (CH 25.1): distinct-byte
+    count / Shannon entropy (base 2) of the UTF-8 BYTE distribution —
+    hex() exposes the bytes as digit pairs on both engines, so the fold
+    is pure string SQL and the oracle replays it verbatim."""
+    pairs = (
+        f"transform(sequence(1, CAST(length(hex({s})) / 2 AS INT)), "
+        f"__i -> substring(hex({s}), 2 * __i - 1, 2))"
+    )
+    if what == "uniq":
+        body = "CAST(size(array_distinct(__p)) AS BIGINT)"
+        empty = "CAST(0 AS BIGINT)"
+    else:
+        body = (
+            "aggregate(array_distinct(__p), CAST(0 AS DOUBLE), "
+            "(__s2, __v) -> __s2 "
+            "- CAST(size(filter(__p, __o -> __o = __v)) AS DOUBLE) "
+            "/ size(__p) "
+            "* log2(CAST(size(filter(__p, __o -> __o = __v)) AS DOUBLE) "
+            "/ size(__p)))"
+        )
+        empty = "CAST(0 AS DOUBLE)"
+    return (
+        f"transform(array({s}), __t -> IF(__t IS NULL, NULL, "
+        f"IF(length(__t) = 0, {empty}, "
+        f"transform(array({pairs}), __p -> {body})[0])))[0]"
+    )
+
+
+_HILBERT_FLIP = 2147483647  # 2^31 - 1: the curve order is 2^31 (see below)
+
+
+def _morton_encode_expr(args: list[str]) -> str:
+    """mortonEncode(a, b) — 2-D Morton (Z-order) interleave, CH 24.6.
+    Bit i of the FIRST argument lands at position 2i+1 and of the second
+    at 2i, matching CH's documented example ``mortonEncode(1, 2) = 6``.
+    Subset: 2-D, inputs < 2^31 (CH accepts up to 8 UInt args; BIGINT is
+    signed, so the 31-bit bound keeps the result positive and exact on
+    both engines — documented).  One 31-step JVM fold, no Python."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "mortonEncode subset: exactly 2 arguments (the 2-D form); "
+            "inputs must be < 2^31"
+        )
+    a, b = args
+    return (
+        f"aggregate(sequence(0, 30), CAST(0 AS BIGINT), (__a, __i) -> "
+        f"__a + shiftleft(shiftright(CAST({a} AS BIGINT), __i) & 1, "
+        f"2 * __i + 1) "
+        f"+ shiftleft(shiftright(CAST({b} AS BIGINT), __i) & 1, 2 * __i))"
+    )
+
+
+def _morton_decode_expr(args: list[str]) -> str:
+    """mortonDecode(2, code) → ('col1', 'col2') — the 2-D inverse of
+    mortonEncode (first coordinate from the odd bit positions)."""
+    if len(args) != 2 or args[0].strip() != "2":
+        raise ChSqlError(
+            "mortonDecode subset: the first argument must be the literal "
+            "dimension 2 (the 2-D form)"
+        )
+    c = args[1]
+    return (
+        f"named_struct("
+        f"'col1', aggregate(sequence(0, 30), CAST(0 AS BIGINT), "
+        f"(__a, __i) -> __a + shiftleft("
+        f"shiftright(CAST({c} AS BIGINT), 2 * __i + 1) & 1, __i)), "
+        f"'col2', aggregate(sequence(0, 30), CAST(0 AS BIGINT), "
+        f"(__a, __i) -> __a + shiftleft("
+        f"shiftright(CAST({c} AS BIGINT), 2 * __i) & 1, __i)))"
+    )
+
+
+def _hilbert_encode_expr(args: list[str]) -> str:
+    """hilbertEncode(x, y) — 2-D Hilbert curve index, CH 24.6; matches
+    CH's documented example ``hilbertEncode(3, 4) = 31``.
+
+    The published Wikipedia ``xy2d`` iteration (public domain pseudocode):
+    one fold over bit levels k = 30..0 carrying (x, y, d) — at each level
+    d += 4^k·((3·rx) XOR ry) followed by the quadrant rotate/flip, with
+    the flip complement against 2^31 − 1 (bits above the current level
+    are never re-read, so the full-order complement is equivalent to the
+    scope-local one).  Subset: 2-D, inputs < 2^31 so d < 2^62 stays exact
+    in signed BIGINT on both engines (documented).  Pure JVM fold."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "hilbertEncode subset: exactly 2 arguments (the 2-D form); "
+            "inputs must be < 2^31"
+        )
+    x, y = args
+    return (
+        f"aggregate(sequence(30, 0, -1), "
+        f"named_struct('x', CAST({x} AS BIGINT), 'y', CAST({y} AS BIGINT), "
+        f"'d', CAST(0 AS BIGINT)), "
+        f"(__s, __k) -> transform(array(named_struct("
+        f"'rx', shiftright(__s.x, __k) & 1, "
+        f"'ry', shiftright(__s.y, __k) & 1)), __r -> "
+        f"transform(array(named_struct("
+        f"'x2', IF(__r.ry = 0 AND __r.rx = 1, {_HILBERT_FLIP} - __s.x, "
+        f"__s.x), "
+        f"'y2', IF(__r.ry = 0 AND __r.rx = 1, {_HILBERT_FLIP} - __s.y, "
+        f"__s.y))), __q -> "
+        f"named_struct("
+        f"'x', IF(__r.ry = 0, __q.y2, __s.x), "
+        f"'y', IF(__r.ry = 0, __q.x2, __s.y), "
+        f"'d', __s.d + shiftleft(CAST(1 AS BIGINT), 2 * __k) "
+        f"* ((3 * __r.rx) ^ __r.ry)))[0])[0], "
+        f"__s -> __s.d)"
+    )
+
+
+def _hilbert_decode_expr(args: list[str]) -> str:
+    """hilbertDecode(2, code) → ('col1', 'col2') — the 2-D inverse
+    (Wikipedia ``d2xy``: ascending bit levels, scope-local flip against
+    2^k − 1, then accumulate 2^k·rx / 2^k·ry)."""
+    if len(args) != 2 or args[0].strip() != "2":
+        raise ChSqlError(
+            "hilbertDecode subset: the first argument must be the literal "
+            "dimension 2 (the 2-D form)"
+        )
+    c = args[1]
+    return (
+        f"aggregate(sequence(0, 30), "
+        f"named_struct('x', CAST(0 AS BIGINT), 'y', CAST(0 AS BIGINT), "
+        f"'t', CAST({c} AS BIGINT)), "
+        f"(__s, __k) -> transform(array(named_struct("
+        f"'rx', shiftright(__s.t, 1) & 1, "
+        f"'ry', (__s.t ^ (shiftright(__s.t, 1) & 1)) & 1, "
+        f"'s1', shiftleft(CAST(1 AS BIGINT), __k))), __r -> "
+        f"transform(array(named_struct("
+        f"'x2', IF(__r.ry = 0 AND __r.rx = 1, __r.s1 - 1 - __s.x, __s.x), "
+        f"'y2', IF(__r.ry = 0 AND __r.rx = 1, __r.s1 - 1 - __s.y, __s.y)"
+        f")), __q -> "
+        f"named_struct("
+        f"'x', IF(__r.ry = 0, __q.y2, __s.x) + __r.s1 * __r.rx, "
+        f"'y', IF(__r.ry = 0, __q.x2, __s.y) + __r.s1 * __r.ry, "
+        f"'t', shiftright(__s.t, 2)))[0])[0], "
+        f"__s -> named_struct('col1', __s.x, 'col2', __s.y))"
+    )
+
+
+def _ts_to_grid_expr(params: list[str], args: list[str], kind: str) -> str:
+    """timeSeriesResampleToGridWithStaleness / timeSeriesInstantDeltaToGrid
+    / timeSeriesInstantRateToGrid(start, end, step, window)(timestamp,
+    value) — ClickHouse 25.6's PromQL-style grid aggregates (the pinned
+    image 25.7 ships them behind allow_experimental_ts_to_grid_aggregate_
+    function).  start/end/step/window are numeric unix-second scalars;
+    timestamps CAST to DOUBLE seconds.
+
+    One sorted-collect fold per group (the kolmogorovSmirnovTest
+    bounded-group contract), then per grid point g = start + i·step over
+    the samples with t ∈ (g − window, g]:
+
+    - resample: the LAST sample's value (PromQL staleness lookback;
+      no sample → NULL),
+    - idelta: v_last − v_prev (PromQL ``idelta``; < 2 samples → NULL),
+    - irate: (v_last − v_prev)/(t_last − t_prev), counter RESET
+      (v_last < v_prev) → v_last/(t_last − t_prev) (PromQL ``irate``).
+
+    Same-timestamp ties order by (t, value) — deterministic under the
+    struct sort (documented; CH inherits insertion order there).  O(grid
+    × n) per group by contract — the grid is bounded by (end−start)/step.
+    """
+    if len(params) != 4 or len(args) != 2:
+        raise ChSqlError(
+            f"{kind} takes (start, end, step, window)(timestamp, value) "
+            f"with numeric unix-second parameters"
+        )
+    s0, e0, st, w = (f"CAST(({p}) AS DOUBLE)" for p in params)
+    t, x = args
+    pair = (
+        f"CASE WHEN ({t}) IS NOT NULL AND ({x}) IS NOT NULL THEN "
+        f"named_struct('t', CAST({t} AS DOUBLE), 'x', CAST({x} AS DOUBLE)) "
+        f"END"
+    )
+    g = f"({s0} + CAST(__i AS DOUBLE) * {st})"
+    win = f"filter(__p, __e -> __e.t <= {g} AND __e.t > {g} - {w})"
+    if kind == "timeSeriesResampleToGridWithStaleness":
+        cell = f"try_element_at({win}, -1).x"
+    elif kind == "timeSeriesInstantDeltaToGrid":
+        cell = (
+            f"transform(array({win}), __w -> "
+            f"IF(size(__w) < 2, CAST(NULL AS DOUBLE), "
+            f"element_at(__w, -1).x - element_at(__w, -2).x))[0]"
+        )
+    else:  # timeSeriesInstantRateToGrid
+        cell = (
+            f"transform(array({win}), __w -> "
+            f"IF(size(__w) < 2 "
+            f"OR element_at(__w, -1).t = element_at(__w, -2).t, "
+            f"CAST(NULL AS DOUBLE), "
+            f"IF(element_at(__w, -1).x >= element_at(__w, -2).x, "
+            f"element_at(__w, -1).x - element_at(__w, -2).x, "
+            f"element_at(__w, -1).x) "
+            f"/ (element_at(__w, -1).t - element_at(__w, -2).t)))[0]"
+        )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"transform(sequence(0, CAST(floor(({e0} - {s0}) / {st}) AS INT)), "
+        f"__i -> {cell}))[0]"
     )
 
 
@@ -2156,13 +2440,32 @@ FUNC_RULES: dict[str, object] = {
         )
     ),
     "intervalLengthSum": _interval_length_sum_expr,
+    # 2-D space-filling-curve index tier (CH 24.6) — pure 31-step JVM
+    # bit folds; oracle replays are the identical folds in DuckDB
+    "mortonEncode": _morton_encode_expr,
+    "mortonDecode": _morton_decode_expr,
+    "hilbertEncode": _hilbert_encode_expr,
+    "hilbertDecode": _hilbert_decode_expr,
+    # CH 25.x array/string additions (round 12)
+    "arrayLevenshtein": _array_levenshtein_expr,
+    "arraySymmetricDifference": _array_sym_diff_expr,
+    "stringCompare": _string_compare_expr,
+    "stringBytesUniq": lambda a: _string_bytes_fold(a[0], "uniq"),
+    "stringBytesEntropy": lambda a: _string_bytes_fold(a[0], "entropy"),
+    # CH CRC32 = CRC-32/IEEE-802.3 with init 0xffffffff (the zlib CRC) —
+    # exactly java.util.zip.CRC32 behind Spark's builtin; CRC32IEEE/CRC64
+    # use different init/poly conventions and stay unlowered
+    "CRC32": lambda a: f"crc32(encode({a[0]}, 'utf-8'))",
     # groupArrayIntersect (CH 24.2): intersection of the array column
     # across the group's rows; output SORTED for engine determinism (CH
     # leaves the order unspecified — documented).  Typed seed = the first
-    # collected array, so any element type works.
+    # collected array, so any element type works.  Empty group (all rows
+    # NULL) → typed NULL via try_element_at — the previous __ls[0] threw
+    # INVALID_ARRAY_INDEX under the session's ANSI mode.
     "groupArrayIntersect": lambda a: (
         f"transform(array(collect_list(CASE WHEN ({a[0]}) IS NOT NULL "
-        f"THEN ({a[0]}) END)), __ls -> IF(size(__ls) = 0, __ls[0], "
+        f"THEN ({a[0]}) END)), __ls -> IF(size(__ls) = 0, "
+        f"try_element_at(__ls, 1), "
         f"array_sort(aggregate(__ls, element_at(__ls, 1), "
         f"(__acc, __a) -> array_intersect(__acc, __a)))))[0]"
     ),
@@ -4061,6 +4364,17 @@ def _window_funnel_rule(p: list[str], a: list[str]) -> str:
 
 #: CH parametric aggregate syntax fname(params)(args)
 PARAMETRIC_RULES: dict[str, object] = {
+    # CH 25.6 PromQL-style timeSeries*ToGrid tier (experimental in the
+    # pinned 25.7 image) — one sorted-collect fold per group
+    "timeSeriesResampleToGridWithStaleness": lambda p, a: _ts_to_grid_expr(
+        p, a, "timeSeriesResampleToGridWithStaleness"
+    ),
+    "timeSeriesInstantDeltaToGrid": lambda p, a: _ts_to_grid_expr(
+        p, a, "timeSeriesInstantDeltaToGrid"
+    ),
+    "timeSeriesInstantRateToGrid": lambda p, a: _ts_to_grid_expr(
+        p, a, "timeSeriesInstantRateToGrid"
+    ),
     "sparkbar": _sparkbar_rule,
     "sequenceNextNode": _sequence_next_node_rule,
     "sequenceMatch": _sequence_match_rule,
@@ -4074,6 +4388,12 @@ PARAMETRIC_RULES: dict[str, object] = {
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantileTiming": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantileDD": lambda p, a: f"approx_percentile({a[-1]}, {p[-1]})",
+    # CH 24.x: the Interpolated variant IS Spark's percentile-with-
+    # frequency semantics (linear interpolation over the weighted cdf)
+    "quantileExactWeightedInterpolated": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, {a[1]})" if len(a) > 1
+        else f"percentile({a[0]}, {p[0]})"
+    ),
     "quantileExactWeighted": lambda p, a: (
         # exact weighted quantile via the 2*cumw >= q-scaled total identity is
         # an operator-level pattern (agg_quantile_weighted); the text surface

@@ -42,10 +42,20 @@ def lgamma_sql(z: str) -> str:
 
 
 def betacf_sql(a: str, b: str, x: str) -> str:
-    """NR ``betacf`` continued fraction (modified Lentz, fixed 100
-    iterations — deterministic, no early break) as ONE SQL fold over
-    sequence(1, 100); (a, b, x) are scalar sub-expressions, wrapped in a
-    struct so each is evaluated once."""
+    """NR ``betacf`` continued fraction (modified Lentz) as ONE SQL fold
+    over ``sequence(1, n)``; (a, b, x) are scalar sub-expressions, wrapped
+    in a struct so each is evaluated once.
+
+    Iteration count is ADAPTIVE: the CF needs roughly sqrt(max(a, b))
+    iterations near the x ≈ a/(a+b) branch cut (NR §6.4), so a fixed
+    small n silently loses digits once df/2 ≈ group row count grows
+    (sf1-scale groups).  n = clamp(3·sqrt(max(a,b)) + 50, [100, 10000]) —
+    exact through max(a,b) ≈ 1.1e7; past the 10000 cap (df ≈ 2e7) the
+    tail is still accurate to ~1e-12 because ``betai_sql``'s symmetric
+    pick keeps x on the fast-converging side of the cut, and iterations
+    past convergence multiply h by exactly 1 within double rounding (no
+    early break needed for determinism).  The Python replica
+    (``stats_dist._betacf``) mirrors the same envelope."""
 
     def clamp(v: str) -> str:
         return f"IF(abs({v}) < 1e-300, 1e-300, {v})"
@@ -75,7 +85,9 @@ def betacf_sql(a: str, b: str, x: str) -> str:
         f"transform(array(named_struct('a', CAST({a} AS DOUBLE), "
         f"'b', CAST({b} AS DOUBLE), 'x', CAST({x} AS DOUBLE), "
         f"'a1', CAST({a} AS DOUBLE) + CAST({b} AS DOUBLE))), __w -> "
-        f"aggregate(sequence(1, 100), "
+        f"aggregate(sequence(1, CAST(least(CAST(10000 AS DOUBLE), "
+        f"greatest(CAST(100 AS DOUBLE), "
+        f"ceil(3 * sqrt(greatest(__w.a, __w.b))) + 50)) AS INT)), "
         f"named_struct('c', CAST(1 AS DOUBLE), 'd', 1 / {d0}, "
         f"'h', 1 / {d0}), "
         f"(__s, __m) -> {step}, __s -> __s.h))[0]"

@@ -22,8 +22,12 @@ from pyspark.sql.functions import pandas_udf
 
 
 def _betacf(a: float, b: float, x: float) -> float:
-    """NR continued fraction for the incomplete beta (Lentz, 200 iters)."""
+    """NR continued fraction for the incomplete beta (Lentz; iteration
+    budget mirrors ``sqlstats.betacf_sql``'s adaptive envelope —
+    clamp(3·sqrt(max(a,b)) + 50, [200, 10000]) with the eps early
+    break)."""
     eps, fpmin = 3e-16, 1e-300
+    iters = int(min(10000.0, max(200.0, 3.0 * max(a, b) ** 0.5 + 50.0)))
     qab, qap, qam = a + b, a + 1.0, a - 1.0
     c = 1.0
     d = 1.0 - qab * x / qap
@@ -31,7 +35,7 @@ def _betacf(a: float, b: float, x: float) -> float:
         d = fpmin
     d = 1.0 / d
     h = d
-    for m in range(1, 201):
+    for m in range(1, iters + 1):
         m2 = 2 * m
         aa = m * (b - m) * x / ((qam + m2) * (a + m2))
         d = 1.0 + aa * d

@@ -1098,20 +1098,31 @@ def _ipv6_canon_sql(addr: str) -> str:
     dotted-quad tail folds into the last two hex groups (RFC 4291
     mixed notation).  Invalid shapes → NULL.  Pure string/array SQL."""
     hexg = (
-        "lpad(lower(hex(CAST(regexp_extract(__q, "
+        "lpad(lower(hex(try_cast(regexp_extract(__q, "
         "'(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)$', {hi}) AS INT) "
-        "* 256 + CAST(regexp_extract(__q, "
+        "* 256 + try_cast(regexp_extract(__q, "
         "'(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)$', {lo}) "
         "AS INT))), 4, '0')"
     )
+    # dotted-quad octets must each be <= 255 BEFORE the hex fold — an
+    # out-of-range octet (e.g. '300') used to hex to >4 digits and lpad
+    # silently TRUNCATED it to a wrong-but-plausible canonical form;
+    # try_cast also keeps absurd digit runs from aborting under ANSI
+    octs_ok = " AND ".join(
+        "coalesce(try_cast(regexp_extract(__q, "
+        f"'(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)\\\\.(\\\\d+)$', {i}) "
+        "AS INT), 256) <= 255"
+        for i in (1, 2, 3, 4)
+    )
     v4fold = (
         "CASE WHEN __q RLIKE '\\\\d+\\\\.\\\\d+\\\\.\\\\d+\\\\.\\\\d+$' "
-        "THEN concat(regexp_replace(__q, "
+        "THEN IF(" + octs_ok + ", "
+        "concat(regexp_replace(__q, "
         "'\\\\d+\\\\.\\\\d+\\\\.\\\\d+\\\\.\\\\d+$', ''), "
         + hexg.format(hi=1, lo=2)
         + ", ':', "
         + hexg.format(hi=3, lo=4)
-        + ") ELSE __q END"
+        + "), 'invalid') ELSE __q END"
     )
     groups = (
         "CASE WHEN __u LIKE '%::%' THEN "
@@ -1145,10 +1156,10 @@ def _ipv6_canon_sql(addr: str) -> str:
 
 def _kql_ipv6_is_match(a: list[str]) -> str:
     """ipv6_is_match(a, b[, prefix]): equality of the first `prefix` bits
-    of the canonical forms (default 128; a '/len' suffix on either
-    literal side is honored by canonicalizing the host part).  Bit
-    prefixes compare as floor-shifted nibbles over the joined hex
-    digits."""
+    of the canonical forms, where the effective prefix is the MINIMUM of
+    the explicit arg and any '/len' suffix on either side (Kusto
+    semantics; default 128).  Bit prefixes compare as floor-shifted
+    nibbles over the joined hex digits."""
     if len(a) < 2 or len(a) > 3:
         raise KqlError("ipv6_is_match takes (ip1, ip2[, prefix])")
 
@@ -1157,11 +1168,15 @@ def _kql_ipv6_is_match(a: list[str]) -> str:
             f"element_at(split({s}, '/'), 1)"
         )
 
+    # Kusto combines the explicit prefix arg AND both '/len' suffixes as
+    # the MINIMUM (a first-non-null coalesce compared 64 bits for
+    # ('x/64','y/48') instead of 48 — advice r11)
     pfx = (
-        f"CAST(least(coalesce({a[2] if len(a) > 2 else 'NULL'}, "
-        f"try_cast(try_element_at(split({a[0]}, '/'), 2) AS INT), "
-        f"try_cast(try_element_at(split({a[1]}, '/'), 2) AS INT), "
-        f"128), 128) AS INT)"
+        f"CAST(least(coalesce({a[2] if len(a) > 2 else 'NULL'}, 128), "
+        f"coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2) "
+        f"AS INT), 128), "
+        f"coalesce(try_cast(try_element_at(split({a[1]}, '/'), 2) "
+        f"AS INT), 128)) AS INT)"
     )
     c1 = _ipv6_canon_sql(strip_len(a[0]))
     c2 = _ipv6_canon_sql(strip_len(a[1]))
@@ -1877,6 +1892,10 @@ _KQL_SCALARS: dict = {
         f"xxhash64({a[0]})" if len(a) == 1
         else f"pmod(xxhash64({a[0]}), CAST({a[1]} AS BIGINT))"
     ),
+    # isnan must precede isfinite: isfinite's OUTPUT contains isnan( and
+    # the single-pass rewriter re-captures later rules' names
+    # (tests/test_rewrite_order.py enforces this mechanically)
+    "isnan": lambda a: f"isnan(CAST({a[0]} AS DOUBLE))",
     "isfinite": lambda a: (
         f"(NOT isnan(CAST({a[0]} AS DOUBLE)) "
         f"AND abs(CAST({a[0]} AS DOUBLE)) != CAST('Infinity' AS DOUBLE))"
@@ -2012,7 +2031,6 @@ _KQL_SCALARS: dict = {
         f"+ (({a[2]}) - 1) * ln(1 - ({a[0]}))) END)"
     ),
     "atan2": lambda a: f"atan2({a[0]}, {a[1]})",  # both take (y, x)
-    "isnan": lambda a: f"isnan(CAST({a[0]} AS DOUBLE))",
     # rand() → U[0,1); rand(n) → integer 0..n−1 (Kusto's two overloads);
     # nondeterministic by nature — registry checks are range contracts
     "rand": lambda a: (

@@ -65,6 +65,7 @@ def _load_all() -> None:
         scalars,
         stats_q,
         stats_q2,
+        stats_q3,
         vocab_q,
         vocab_q5,
         vocab_q6,
@@ -612,6 +613,79 @@ _DRIVER_WINDOW_R14: list[str] = [
     "kql_scalar_vocab8",
 ]
 
+#: Round-12 window: CORRECTNESS_r11 landed 50/50 green and the
+#: never-recorded backlog is ZERO, so the window carries (a) the 7
+#: round-12 births — the statistical/series tier registered per VERDICT
+#: r11 "What's missing" #1 (stats_q3.py: MW/meanZ, t-test/ANOVA p-values
+#: via the DuckDB Lentz-fold replay, rankCorr/entropy/intervalLengthSum/
+#: e-folding decay, corr matrices, STL contracts, series_fit_poly, the
+#: KQL beta_cdf/binomial_test/welch_test + round-12 ipv6 fixes) — and
+#: (b) re-records of the 43 STALEST greens (all CORRECTNESS_r01 names,
+#: recorded 11 rounds ago while their lowerings kept evolving — VERDICT
+#: r11 missing #2).
+#:
+#: ROUND-13 START TASK: lead with any r12 reds (fix first), then round-13
+#: births staged in _DRIVER_WINDOW_R16, then continue the staleness
+#: rotation — 6 r01 names (dict_get_unordered tail) + the 42 r02 names
+#: are the oldest records left.
+_DRIVER_WINDOW_R15: list[str] = [
+    # --- round-12 births: the statistical/series tier (stats_q3.py) ---
+    "chsql_mann_whitney_meanz",
+    "chsql_ttest_anova_pvalues",
+    "chsql_rank_entropy_decay",
+    "chsql_corr_matrices",
+    "chsql_series_stl_contracts",
+    "kql_series_fit_poly",
+    "kql_stat_scalars",
+    # --- round-12 births: the CH 25.6 PromQL timeSeries*ToGrid tier,
+    #     space-filling curves, -Resample closure, array/string batch ---
+    "chsql_timeseries_grid",
+    "chsql_morton_hilbert",
+    "chsql_resample_avg_minmax",
+    "chsql_vocab_r38",
+    # --- staleness rotation: 39 oldest green records (all r01; the
+    #     remaining 4 r01 + 42 r02 names lead round 13's rotation) ---
+    "q1_pricing_summary",
+    "filter_project",
+    "select_except_apply",
+    "json_extract_agg",
+    "sample_by_key",
+    "join_inner_multi",
+    "join_left_agg",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "join_theta_range",
+    "agg_basic",
+    "agg_argminmax",
+    "agg_collect_sorted",
+    "agg_stats",
+    "agg_quantiles",
+    "rollup_grouping",
+    "cube_agg",
+    "grouping_sets",
+    "window_rank",
+    "window_lag_lead",
+    "window_frames",
+    "sort_nulls_offset",
+    "limit_with_ties",
+    "setops_union_intersect_except",
+    "subquery_in_exists",
+    "json_variant",
+    "asof_join_backward",
+    "asof_join_forward_strict",
+    "with_fill_daily",
+    "with_fill_interpolate",
+    "limit_by_group",
+    "top_k_heavy_hitters",
+    "any_left_join",
+    "dedup_latest_version",
+    "paste_join_positional",
+    "sum_if_combinators",
+    "pivot_sum_if",
+]
+
 _DRIVER_WINDOW_R5 = [
     # --- latest driver record is red; all fixed — re-record ---
     "scalar_math",
@@ -797,14 +871,14 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        # round-11 recording window (≤50): the round-10 driver RED
-        # chsql_vocab_r18 re-record (oracle tz fix) + the 46 never-recorded
-        # round-10 births (R13 overflow) + ≤3 round-11 births — full-registry
-        # driver coverage (the goal open since round 5) completes here
-        ["chsql_vocab_r18"]
+        # round-12 recording window (exactly 50): 7 births (the
+        # statistical/series tier) + 43 stalest-green re-records (all
+        # CORRECTNESS_r01 names) — see _DRIVER_WINDOW_R15 notes
+        _DRIVER_WINDOW_R15
+        # already driver-recorded tail, in historic order
+        + ["chsql_vocab_r18"]
         + _DRIVER_WINDOW_R13[6:]
         + _DRIVER_WINDOW_R14
-        # already driver-recorded tail, in historic order
         + _DRIVER_WINDOW_R10[16:]
         + _DRIVER_WINDOW_R11
         + _DRIVER_WINDOW_R12

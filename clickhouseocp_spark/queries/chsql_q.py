@@ -8218,7 +8218,7 @@ ORDER BY event_id
 
 @register(
     "kql_scalar_vocab6",
-    oracle="""
+    oracle=r"""
 SELECT event_id,
   'long' AS t1, 'string' AS t2, 'dynamic' AS t3,
   true AS hs, true AS hm_ok,

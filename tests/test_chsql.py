@@ -3556,12 +3556,13 @@ FROM events WHERE event_id < 200
         max(0.0, rows[i][0] - rows[i - 1][0]) for i in range(1, len(rows))
     )
     assert r.dst == round(dst, 6)
-    # exponentialTimeDecayedAvg anchored at max ts
+    # exponentialTimeDecayedAvg anchored at max ts; x is an e-folding
+    # time constant (weight e^(-(T-t)/x)) exactly as CH defines it
     # toUnixTimestamp truncates to SECONDS (the repo's documented
     # oracle-parity gotcha) — floor the fractional epochs in the replay
     ts = [float(math.floor(t)) for *_, t, _ in rows]
     T = max(ts)
-    w = [2 ** (-(T - t) / 3600.0) for t in ts]
+    w = [math.exp(-(T - t) / 3600.0) for t in ts]
     assert r.eda == round(
         sum(v * wi for v, wi in zip(xs, w)) / sum(w), 6
     )
@@ -3780,3 +3781,186 @@ print p1 = parse_ipv6('fe80::85d:e82c:9446:7994'),
     assert (r.m1, r.m2, r.m3) == (True, False, True)
     # aa vs a8 agree through bit 69 but differ inside bits 64..71
     assert (r.m4, r.m5) == (True, False)
+
+
+def test_advice_r11_regressions(spark):
+    """Round-12 pins for the round-11 ADVICE items (all verified live
+    before fixing):
+
+    1. quantileExactExclusive over an all-NULL group returned NULL
+       instead of aborting with INVALID_INDEX_OF_ZERO under ANSI mode.
+    2. groupArrayIntersect over an all-NULL group returns a typed NULL
+       (try_element_at) instead of INVALID_ARRAY_INDEX.
+    3. exponentialTimeDecayedAvg's parameter is an E-FOLDING time
+       constant (weight e^(-(T-t)/x)) per ClickHouse — not a base-2
+       half-life (the ln2-factor deviation).
+    4. betacf_sql's Lentz fold is adaptively sized (~3*sqrt(max(a,b)));
+       a df=2e6 t-tail matches the Python replica to ~1e-11.
+    5. ipv6_is_match combines the explicit prefix AND both '/len'
+       suffixes as the MINIMUM (Kusto), and parse_ipv6 rejects
+       dotted-quad octets > 255 instead of silently truncating their
+       hex fold.
+    """
+    import math
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions import stats_dist
+    from clickhouseocp_spark.functions.sqlstats import betai_sql
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    # 1 + 2: all-NULL groups no longer abort under ANSI
+    spark.sql(
+        "SELECT * FROM VALUES (1, CAST(NULL AS DOUBLE), "
+        "CAST(NULL AS ARRAY<INT>)), (1, NULL, NULL), "
+        "(2, 5.0, array(1, 2, 3)), (2, 7.0, array(2, 3, 4)) t(g, v, a)"
+    ).createOrReplaceTempView("advice_r11")
+    rows = eng.sql(
+        "SELECT g, quantileExactExclusive(0.5)(v) AS q, "
+        "groupArrayIntersect(a) AS ia "
+        "FROM advice_r11 GROUP BY g ORDER BY g",
+        dialect="clickhouse",
+    ).collect()
+    assert rows[0].q is None and rows[0].ia is None
+    assert rows[1].q == 6.0 and sorted(rows[1].ia) == [2, 3]
+
+    # 3: e-folding decay
+    r = eng.sql(
+        "SELECT round(exponentialTimeDecayedAvg(10.0)(v, t), 9) AS e "
+        "FROM VALUES (1.0, 0.0), (3.0, 10.0) AS t(v, t)",
+        dialect="clickhouse",
+    ).collect()[0]
+    w = math.exp(-1.0)
+    assert r.e == round((1.0 * w + 3.0) / (w + 1.0), 9)
+
+    # 4: large-df incomplete-beta accuracy vs the Python replica
+    df_, tstat = 2_000_000.0, 1.96
+    x = df_ / (df_ + tstat * tstat)
+    p_sql = spark.sql(
+        f"SELECT {betai_sql(str(df_ / 2), '0.5', repr(x))} AS p"
+    ).collect()[0].p
+    assert abs(p_sql - stats_dist.betai(df_ / 2, 0.5, x)) < 1e-9
+    # and the tail is sane: ~0.05 for |t|=1.96 at huge df
+    assert abs(p_sql - 0.05) < 1e-4
+
+    # 5: min-prefix combination + octet validation
+    r = eng.sql(
+        """
+print m48 = ipv6_is_match('fe80:0001:0002:0003::1/64',
+                          'fe80:0001:0002:ffff::1/48'),
+      m64 = ipv6_is_match('fe80:0001:0002:0003::1/64',
+                          'fe80:0001:0002:ffff::1'),
+      marg = ipv6_is_match('fe80:0001:0002:0003::1/64',
+                           'fe80:0001:0002:ffff::1', 48),
+      bad = parse_ipv6('::ffff:300.1.1.1'),
+      bad2 = parse_ipv6('999999999999.1.1.1'),
+      ok = parse_ipv6('::ffff:255.255.255.255')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert (r.m48, r.m64, r.marg) == (True, False, True)
+    assert r.bad is None and r.bad2 is None
+    assert r.ok == "0000:0000:0000:0000:0000:ffff:ffff:ffff"
+
+
+def test_morton_hilbert_curves(spark):
+    """mortonEncode/Decode + hilbertEncode/Decode (CH 24.6, round 12):
+    pinned against an independent Python replay of the published
+    Wikipedia xy2d/d2xy iteration and CH's documented examples
+    (mortonEncode(1,2)=6, hilbertEncode(3,4)=31); roundtrips exact;
+    non-2-D forms rejected with the subset message."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    cases = [(1, 2), (3, 4), (123, 456), (1023, 17), (314159, 271828),
+             (2**30, 2**30 - 1)]
+    vals = ", ".join(f"({x}, {y})" for x, y in cases)
+    rows = eng.sql(
+        f"""
+SELECT x, y, mortonEncode(x, y) AS me, hilbertEncode(x, y) AS he,
+  tupleElement(mortonDecode(2, mortonEncode(x, y)), 1) AS mx,
+  tupleElement(mortonDecode(2, mortonEncode(x, y)), 2) AS my,
+  tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 1) AS hx,
+  tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 2) AS hy
+FROM VALUES {vals} AS t(x, y)
+""",
+        dialect="clickhouse",
+    ).collect()
+    for r in rows:
+        exp_m = sum(((r.x >> i) & 1) << (2 * i + 1) for i in range(31)) \
+            + sum(((r.y >> i) & 1) << (2 * i) for i in range(31))
+        assert r.me == exp_m and r.he == xy2d(2**31, r.x, r.y)
+        assert (r.mx, r.my) == (r.x, r.y) and (r.hx, r.hy) == (r.x, r.y)
+    by_xy = {(r.x, r.y): r for r in rows}
+    assert by_xy[(1, 2)].me == 6  # CH doc example
+    assert by_xy[(3, 4)].he == 31  # CH doc example
+
+    with _pytest.raises(ChSqlError, match="2-D"):
+        transpile("SELECT mortonEncode(a, b, c) FROM t")
+    with _pytest.raises(ChSqlError, match="dimension 2"):
+        transpile("SELECT hilbertDecode(3, c) FROM t")
+
+
+def test_timeseries_to_grid(spark):
+    """timeSeriesResampleToGridWithStaleness / InstantDeltaToGrid /
+    InstantRateToGrid (CH 25.6 PromQL tier, round 12): pinned against an
+    independent Python replay on planted samples — staleness lookback,
+    idelta, irate with counter-reset handling, empty-window NULLs."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    # planted: samples at t = 5, 18, 22, 41 (counter resets at t=22)
+    samples = [(5.0, 10.0), (18.0, 30.0), (22.0, 4.0), (41.0, 9.0)]
+    vals = ", ".join(f"({t}, {v})" for t, v in samples)
+    r = eng.sql(
+        f"""
+SELECT timeSeriesResampleToGridWithStaleness(0, 50, 10, 15)(t, v) AS rs,
+       timeSeriesInstantDeltaToGrid(0, 50, 10, 25)(t, v) AS idl,
+       timeSeriesInstantRateToGrid(0, 50, 10, 25)(t, v) AS irt
+FROM VALUES {vals} AS s(t, v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    def last_two(g, w):
+        win = [(t, v) for t, v in samples if g - w < t <= g]
+        return win[-2:] if len(win) >= 2 else None
+
+    grid = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+    exp_rs = []
+    for g in grid:
+        win = [(t, v) for t, v in samples if g - 15 < t <= g]
+        exp_rs.append(win[-1][1] if win else None)
+    assert r.rs == exp_rs
+    exp_idl, exp_irt = [], []
+    for g in grid:
+        lt = last_two(g, 25)
+        if lt is None:
+            exp_idl.append(None)
+            exp_irt.append(None)
+            continue
+        (t1, v1), (t2, v2) = lt
+        exp_idl.append(v2 - v1)
+        exp_irt.append((v2 - v1 if v2 >= v1 else v2) / (t2 - t1))
+    assert r.idl == exp_idl
+    assert r.irt == exp_irt
