@@ -796,6 +796,149 @@ def _array_levenshtein_expr(args: list[str]) -> str:
     )
 
 
+def _damerau_levenshtein_expr(args: list[str]) -> str:
+    """damerauLevenshteinDistance(s1, s2) (CH 24.8) — the FULL (1964)
+    Damerau-Levenshtein distance with unrestricted transpositions, the
+    variant DuckDB's ``damerau_levenshtein`` implements (oracle-verified:
+    d('CA','ABC') = 2, where the restricted/OSA variant gives 3).
+
+    One fold over s1's positions carrying ALL previous DP rows (the
+    transposition term reads d[k−1][l−1] for the last matching row k /
+    column l, so a two-row rolling window is not enough); k and l are
+    recomputed per cell as last-occurrence scans — O(|s1|·|s2|·max) per
+    value by the bounded-string contract (identifier/name-length
+    strings).  Positions are CHARACTERS (byte-identical for ASCII,
+    documented for multi-byte)."""
+    if len(args) != 2:
+        raise ChSqlError(
+            "damerauLevenshteinDistance takes exactly (s1, s2)"
+        )
+    a, b = args
+    # k = last i' < i with a[i'] = b[j]; l = last j' < j with b[j'] = a[i]
+    kk = (
+        "IF(__i = 1, 0, aggregate(sequence(1, __i - 1), 0, (__m, __x) -> "
+        "IF(substring(__w.a, __x, 1) = substring(__w.b, __j, 1), __x, __m)))"
+    )
+    ll = (
+        "IF(__j = 1, 0, aggregate(sequence(1, __j - 1), 0, (__m, __x) -> "
+        "IF(substring(__w.b, __x, 1) = substring(__w.a, __i, 1), __x, __m)))"
+    )
+    cell = (
+        f"transform(array(named_struct('k', {kk}, 'l', {ll})), __t -> "
+        "least("
+        # substitution: d[i-1][j-1] + cost
+        "element_at(element_at(__rows, __i), __j) "
+        "+ IF(substring(__w.a, __i, 1) = substring(__w.b, __j, 1), "
+        "CAST(0 AS BIGINT), CAST(1 AS BIGINT)), "
+        # deletion: d[i-1][j] + 1
+        "element_at(element_at(__rows, __i), __j + 1) + 1, "
+        # insertion: d[i][j-1] + 1
+        "element_at(__nr, __j) + 1, "
+        # transposition: d[k-1][l-1] + (i-k-1) + 1 + (j-l-1)
+        "IF(__t.k = 0 OR __t.l = 0, "
+        "CAST(length(__w.a) + length(__w.b) + 2 AS BIGINT), "
+        "element_at(element_at(__rows, __t.k), __t.l) "
+        "+ (__i - __t.k - 1) + 1 + (__j - __t.l - 1))))[0]"
+    )
+    new_row = (
+        f"aggregate(sequence(1, length(__w.b)), array(CAST(__i AS BIGINT)), "
+        f"(__nr, __j) -> concat(__nr, array({cell})))"
+    )
+    fold = (
+        f"aggregate(sequence(1, length(__w.a)), "
+        f"array(transform(sequence(0, length(__w.b)), "
+        f"__j -> CAST(__j AS BIGINT))), "
+        f"(__rows, __i) -> concat(__rows, array({new_row})), "
+        f"__rows -> element_at(element_at(__rows, -1), -1))"
+    )
+    return (
+        f"transform(array(named_struct('a', {a}, 'b', {b})), __w -> "
+        f"CASE WHEN __w.a IS NULL OR __w.b IS NULL THEN CAST(NULL AS BIGINT) "
+        f"WHEN length(__w.b) = 0 THEN CAST(length(__w.a) AS BIGINT) "
+        f"WHEN length(__w.a) = 0 THEN CAST(length(__w.b) AS BIGINT) "
+        f"ELSE {fold} END)[0]"
+    )
+
+
+def _jaro_expr(args: list[str], winkler: bool) -> str:
+    """jaroSimilarity / jaroWinklerSimilarity (CH 24.8) — the textbook
+    Jaro match-window algorithm as one fold over s1's positions carrying
+    (matched-j set, matched-char sequence); transpositions = half the
+    positions where the two matched sequences disagree.  Winkler boost
+    l·0.1·(1−sim) applies above the standard 0.7 threshold with prefix
+    cap 4 — the convention DuckDB's builtins implement, so the oracle is
+    an independent engine, not a replay.  Either side empty → 0 (the
+    DuckDB/CH convention; the '1 for two empties' textbook corner is
+    deliberately not taken).  O(|s1|·window) per value."""
+    if len(args) != 2:
+        raise ChSqlError("jaro similarity takes exactly (s1, s2)")
+    a, b = args
+    base = (
+        f"named_struct('a', {a}, 'b', {b}, "
+        f"'w', greatest(CAST(floor(greatest(length({a}), length({b})) / 2) "
+        f"AS INT) - 1, 0))"
+    )
+    cand = (
+        "IF(greatest(__i - __w.w, 1) > least(__i + __w.w, length(__w.b)), "
+        "CAST(array() AS ARRAY<INT>), "
+        "sequence(greatest(__i - __w.w, 1), least(__i + __w.w, "
+        "length(__w.b))))"
+    )
+    match_fold = (
+        f"aggregate(sequence(1, length(__w.a)), "
+        f"named_struct('js', CAST(array() AS ARRAY<INT>), "
+        f"'cs', CAST('' AS STRING)), "
+        f"(__s, __i) -> transform(array(try_element_at(filter({cand}, "
+        f"__j -> substring(__w.b, __j, 1) = substring(__w.a, __i, 1) "
+        f"AND NOT array_contains(__s.js, __j)), 1)), __j0 -> "
+        f"IF(__j0 IS NULL, __s, named_struct("
+        f"'js', concat(__s.js, array(__j0)), "
+        f"'cs', concat(__s.cs, substring(__w.a, __i, 1)))))[0])"
+    )
+    s2m = (
+        "concat_ws('', transform(array_sort(__m.js), "
+        "__j -> substring(__w.b, __j, 1)))"
+    )
+    sim = (
+        # t = FLOOR(mismatched positions / 2): the matched sequences are
+        # permutations of each other, so the mismatch count can be odd
+        # (a 3-cycle); implementations (DuckDB, Apache-commons) use
+        # integer division, not the fractional k/2 — found by the seeded
+        # random battery in test_damerau_jaro_distances
+        f"transform(array(named_struct('m', "
+        f"CAST(size(__m.js) AS DOUBLE), 't', "
+        f"CAST(size(filter(sequence(1, greatest(size(__m.js), 1)), __k -> "
+        f"__k <= size(__m.js) AND substring(__m.cs, __k, 1) "
+        f"<> substring({s2m}, __k, 1))) div 2 AS DOUBLE))), __q -> "
+        f"IF(__q.m = 0, CAST(0 AS DOUBLE), "
+        f"(__q.m / length(__w.a) + __q.m / length(__w.b) "
+        f"+ (__q.m - __q.t) / __q.m) / 3))[0]"
+    )
+    jaro = (
+        f"transform(array({match_fold}), __m -> {sim})[0]"
+    )
+    if winkler:
+        pfx = (
+            "size(filter(sequence(1, least(4, length(__w.a), "
+            "length(__w.b))), __k -> substring(__w.a, 1, __k) "
+            "= substring(__w.b, 1, __k)))"
+        )
+        body = (
+            f"transform(array({jaro}), __sim -> "
+            f"IF(__sim > CAST(0.7 AS DOUBLE), "
+            f"__sim + {pfx} * CAST(0.1 AS DOUBLE) * (1 - __sim), "
+            f"__sim))[0]"
+        )
+    else:
+        body = jaro
+    return (
+        f"transform(array({base}), __w -> "
+        f"CASE WHEN __w.a IS NULL OR __w.b IS NULL THEN CAST(NULL AS DOUBLE) "
+        f"WHEN length(__w.a) = 0 OR length(__w.b) = 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE {body} END)[0]"
+    )
+
+
 def _array_sym_diff_expr(args: list[str]) -> str:
     """arraySymmetricDifference(a1, a2, ...) (CH 25.4): elements present
     in at least one argument but not in ALL of them — union minus
@@ -2456,6 +2599,11 @@ FUNC_RULES: dict[str, object] = {
     # exactly java.util.zip.CRC32 behind Spark's builtin; CRC32IEEE/CRC64
     # use different init/poly conventions and stay unlowered
     "CRC32": lambda a: f"crc32(encode({a[0]}, 'utf-8'))",
+    # string-distance completions (CH 24.8) — DuckDB ships independent
+    # implementations of all three, so oracles cross-check engines
+    "damerauLevenshteinDistance": _damerau_levenshtein_expr,
+    "jaroSimilarity": lambda a: _jaro_expr(a, winkler=False),
+    "jaroWinklerSimilarity": lambda a: _jaro_expr(a, winkler=True),
     # groupArrayIntersect (CH 24.2): intersection of the array column
     # across the group's rows; output SORTED for engine determinism (CH
     # leaves the order unspecified — documented).  Typed seed = the first

@@ -863,6 +863,9 @@ SELECT p_partkey,
     len(list_filter(hp, __o -> __o = __v)) / CAST(len(hp) AS DOUBLE)
     * log2(len(list_filter(hp, __o -> __o = __v))
            / CAST(len(hp) AS DOUBLE)))), 6) AS be,
+  CAST(damerau_levenshtein(p_brand, p_type) AS BIGINT) AS dl,
+  round(jaro_similarity(p_name, p_type), 6) AS js,
+  round(jaro_winkler_similarity(p_name, p_type), 6) AS jw,
   qw.qw AS qw
 FROM pt CROSS JOIN qw
 ORDER BY p_partkey
@@ -876,7 +879,11 @@ def chsql_vocab_r38(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein``), ``arraySymmetricDifference`` (union minus
     intersection, sorted), ``stringCompare`` (both the 2-arg and
     offset-slice forms), ``stringBytesUniq`` / ``stringBytesEntropy``
-    (UTF-8 byte folds over hex() pairs — replayed verbatim), and
+    (UTF-8 byte folds over hex() pairs — replayed verbatim),
+    ``damerauLevenshteinDistance`` (FULL 1964 variant, all-rows DP fold)
+    / ``jaroSimilarity`` / ``jaroWinklerSimilarity`` (match-window fold,
+    0.7 boost threshold) — cross-checked against DuckDB's INDEPENDENT
+    implementations rather than replays — and
     ``quantileExactWeightedInterpolated`` (Spark's frequency-percentile
     IS the interpolated weighted quantile; the oracle expands weights).
     All pure JVM codegen, one scan."""
@@ -896,6 +903,9 @@ SELECT p_partkey,
   stringCompare(p_brand, p_type, 1, 1, 3) AS sc3,
   stringBytesUniq(p_name) AS bu,
   round(stringBytesEntropy(p_name), 6) AS be,
+  damerauLevenshteinDistance(p_brand, p_type) AS dl,
+  round(jaroSimilarity(p_name, p_type), 6) AS js,
+  round(jaroWinklerSimilarity(p_name, p_type), 6) AS jw,
   (SELECT round(quantileExactWeightedInterpolated(0.5)
      (p_retailprice, p_size % 7 + 1), 6)
    FROM part WHERE p_partkey < 200) AS qw

@@ -3964,3 +3964,50 @@ FROM VALUES {vals} AS s(t, v)
         exp_irt.append((v2 - v1 if v2 >= v1 else v2) / (t2 - t1))
     assert r.idl == exp_idl
     assert r.irt == exp_irt
+
+
+def test_damerau_jaro_distances(spark):
+    """damerauLevenshteinDistance / jaroSimilarity /
+    jaroWinklerSimilarity (CH 24.8, round 12): cross-checked against
+    DuckDB's INDEPENDENT implementations (not replays) over known pairs
+    plus a seeded random battery — full-DL transposition semantics
+    (d('CA','ABC') = 2, not the OSA 3), the 0.7 Winkler boost threshold,
+    and the empty-side → 0 convention."""
+    import random
+
+    import duckdb
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    rng = random.Random(20260816)
+    alpha = "abcde"
+    cases = [("CA", "ABC"), ("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"),
+             ("DWAYNE", "DUANE"), ("aXXXXX", "aYYYYY"),
+             ("clickhouse", "mouse"), ("", ""), ("abc", ""), ("a", "a"),
+             ("kitten", "sitting"), ("aabbcc", "ccbbaa")]
+    cases += [
+        ("".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))),
+         "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))))
+        for _ in range(40)
+    ]
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    vals = ", ".join(f"('{x}', '{y}')" for x, y in cases)
+    rows = eng.sql(
+        f"""
+SELECT a, b, damerauLevenshteinDistance(a, b) AS dl,
+       round(jaroSimilarity(a, b), 9) AS js,
+       round(jaroWinklerSimilarity(a, b), 9) AS jw
+FROM VALUES {vals} AS t(a, b)
+""",
+        dialect="clickhouse",
+    ).collect()
+    assert len(rows) == len(cases)
+    for r in rows:
+        d = duckdb.sql(
+            f"SELECT damerau_levenshtein('{r.a}','{r.b}'), "
+            f"jaro_similarity('{r.a}','{r.b}'), "
+            f"jaro_winkler_similarity('{r.a}','{r.b}')"
+        ).fetchone()
+        assert r.dl == d[0], (r.a, r.b, r.dl, d[0])
+        assert r.js == round(d[1], 9), (r.a, r.b, r.js, d[1])
+        assert r.jw == round(d[2], 9), (r.a, r.b, r.jw, d[2])
