@@ -1121,12 +1121,16 @@ def _hilbert_decode_expr(args: list[str]) -> str:
 
 
 def _ts_to_grid_expr(params: list[str], args: list[str], kind: str) -> str:
-    """timeSeriesResampleToGridWithStaleness / timeSeriesInstantDeltaToGrid
-    / timeSeriesInstantRateToGrid(start, end, step, window)(timestamp,
-    value) — ClickHouse 25.6's PromQL-style grid aggregates (the pinned
-    image 25.7 ships them behind allow_experimental_ts_to_grid_aggregate_
-    function).  start/end/step/window are numeric unix-second scalars;
-    timestamps CAST to DOUBLE seconds.
+    """timeSeriesResampleToGridWithStaleness / timeSeriesInstant{Delta,
+    Rate}ToGrid / timeSeries{Rate,Delta}ToGrid(start, end, step, window)
+    (timestamp, value) — ClickHouse 25.6's PromQL-style grid aggregates
+    (the pinned image 25.7 ships them behind
+    allow_experimental_ts_to_grid_aggregate_function).  start/end/step/
+    window are numeric unix-second scalars; timestamps CAST to DOUBLE
+    seconds.  Rate/Delta implement PromQL's extrapolatedRate exactly
+    (prometheus functions.go, public): counter-reset-corrected increase,
+    edge extrapolation capped at 1.1× the average sample interval and —
+    for counters — at the zero crossing; rate divides by the window.
 
     One sorted-collect fold per group (the kolmogorovSmirnovTest
     bounded-group contract), then per grid point g = start + i·step over
@@ -1164,7 +1168,7 @@ def _ts_to_grid_expr(params: list[str], args: list[str], kind: str) -> str:
             f"IF(size(__w) < 2, CAST(NULL AS DOUBLE), "
             f"element_at(__w, -1).x - element_at(__w, -2).x))[0]"
         )
-    else:  # timeSeriesInstantRateToGrid
+    elif kind == "timeSeriesInstantRateToGrid":
         cell = (
             f"transform(array({win}), __w -> "
             f"IF(size(__w) < 2 "
@@ -1174,6 +1178,61 @@ def _ts_to_grid_expr(params: list[str], args: list[str], kind: str) -> str:
             f"element_at(__w, -1).x - element_at(__w, -2).x, "
             f"element_at(__w, -1).x) "
             f"/ (element_at(__w, -1).t - element_at(__w, -2).t)))[0]"
+        )
+    else:  # timeSeriesRateToGrid / timeSeriesDeltaToGrid — PromQL's
+        # extrapolatedRate (prometheus functions.go, public): increase
+        # corrected for counter resets (rate only), then extrapolated to
+        # the window edges capped at 1.1× the average sample interval
+        # (and, for counters, at the zero-crossing); rate divides by the
+        # window, delta does not
+        counter = kind == "timeSeriesRateToGrid"
+        rs = (
+            "aggregate(sequence(2, greatest(size(__v0), 2)), "
+            "CAST(0 AS DOUBLE), (__s2, __k) -> __s2 "
+            "+ IF(__k > size(__v0), CAST(0 AS DOUBLE), "
+            "IF(try_element_at(__v0, __k).x "
+            "< try_element_at(__v0, __k - 1).x, "
+            "try_element_at(__v0, __k - 1).x, CAST(0 AS DOUBLE))))"
+        ) if counter else "CAST(0 AS DOUBLE)"
+        stats = (
+            f"named_struct("
+            f"'n', CAST(size(__v0) AS DOUBLE), "
+            f"'t1', try_element_at(__v0, 1).t, "
+            f"'tn', try_element_at(__v0, -1).t, "
+            f"'v1', try_element_at(__v0, 1).x, "
+            f"'vn', try_element_at(__v0, -1).x, "
+            f"'rs', {rs})"
+        )
+        inc = "(__st.vn - __st.v1 + __st.rs)"
+        lvl2 = (
+            f"named_struct('inc', {inc}, "
+            f"'si', __st.tn - __st.t1, "
+            f"'ad', (__st.tn - __st.t1) / (__st.n - 1), "
+            f"'ds0', __st.t1 - ({g} - {w}), "
+            f"'de', {g} - __st.tn)"
+        )
+        if counter:
+            ds = (
+                "least(__e.ds0, IF(__e.inc > 0 AND __st.v1 >= 0, "
+                "__e.si * __st.v1 / __e.inc, __e.ds0))"
+            )
+        else:
+            ds = "__e.ds0"
+        ext = (
+            f"(__e.si "
+            f"+ IF({ds} < CAST(1.1 AS DOUBLE) * __e.ad, {ds}, __e.ad / 2) "
+            f"+ IF(__e.de < CAST(1.1 AS DOUBLE) * __e.ad, __e.de, "
+            f"__e.ad / 2))"
+        )
+        result = (
+            f"__e.inc * ({ext} / __e.si) / {w}" if counter
+            else f"__e.inc * ({ext} / __e.si)"
+        )
+        cell = (
+            f"transform(array({win}), __v0 -> "
+            f"transform(array({stats}), __st -> "
+            f"IF(__st.n < 2 OR __st.tn <= __st.t1, CAST(NULL AS DOUBLE), "
+            f"transform(array({lvl2}), __e -> {result})[0]))[0])[0]"
         )
     return (
         f"transform(array(array_sort(collect_list({pair}))), __p -> "
@@ -4522,6 +4581,12 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "timeSeriesInstantRateToGrid": lambda p, a: _ts_to_grid_expr(
         p, a, "timeSeriesInstantRateToGrid"
+    ),
+    "timeSeriesRateToGrid": lambda p, a: _ts_to_grid_expr(
+        p, a, "timeSeriesRateToGrid"
+    ),
+    "timeSeriesDeltaToGrid": lambda p, a: _ts_to_grid_expr(
+        p, a, "timeSeriesDeltaToGrid"
     ),
     "sparkbar": _sparkbar_rule,
     "sequenceNextNode": _sequence_next_node_rule,

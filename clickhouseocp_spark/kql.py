@@ -1708,6 +1708,16 @@ _KQL_SCALARS: dict = {
         f"size({a[0]}) - pmod({a[1]}, size({a[0]}))), "
         f"slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
     ),
+    # rotate_right(arr, n) = rotate_left(arr, -n); pmod folds negatives
+    "array_rotate_right": lambda a: (
+        f"concat(slice({a[0]}, pmod(-({a[1]}), size({a[0]})) + 1, "
+        f"size({a[0]}) - pmod(-({a[1]}), size({a[0]}))), "
+        f"slice({a[0]}, 1, pmod(-({a[1]}), size({a[0]}))))"
+    ),
+    # the IDNA-domain punycode pair rides the registered stdlib-codec
+    # kernels (functions/text.py) — per-label xn-- decode/encode
+    "punycode_domain_from_string": lambda a: f"idnaDecode({a[0]})",
+    "punycode_domain_to_string": lambda a: f"idnaEncode({a[0]})",
     # Kusto-faithful shifts (round-9 advice fix): the count is clamped to
     # [0, size] (over-shift → full fill, no negative-slice runtime error)
     # and a negative count shifts the OTHER direction; vacated slots fill

@@ -622,8 +622,9 @@ grid AS (
   FROM e CROSS JOIN (SELECT unnest(range(0, 10)) AS gi) gs
 ),
 cells AS (
-  SELECT grid.event_type, grid.gi,
-         l.t AS t1, l.v AS v1, p.t AS t2, p.v AS v2
+  SELECT grid.event_type, grid.gi, grid.g,
+         l.t AS t1, l.v AS v1, p.t AS t2, p.v AS v2,
+         f.t AS ft, f.v AS fv, c.n AS n, r2.rsum AS rsum
   FROM grid
   LEFT JOIN LATERAL (
     SELECT t, v FROM e
@@ -635,6 +636,51 @@ cells AS (
     WHERE e.event_type = grid.event_type
       AND e.t <= grid.g AND e.t > grid.g - 21600.0
     ORDER BY t DESC, v DESC LIMIT 1 OFFSET 1) p ON true
+  LEFT JOIN LATERAL (
+    SELECT t, v FROM e
+    WHERE e.event_type = grid.event_type
+      AND e.t <= grid.g AND e.t > grid.g - 21600.0
+    ORDER BY t, v LIMIT 1) f ON true
+  LEFT JOIN LATERAL (
+    SELECT count(*) AS n FROM e
+    WHERE e.event_type = grid.event_type
+      AND e.t <= grid.g AND e.t > grid.g - 21600.0) c ON true
+  LEFT JOIN LATERAL (
+    SELECT coalesce(sum(CASE WHEN sub.v < sub.pv THEN sub.pv
+      ELSE 0 END), 0) AS rsum
+    FROM (SELECT e.v, lag(e.v) OVER (ORDER BY e.t, e.v) AS pv
+          FROM e
+          WHERE e.event_type = grid.event_type
+            AND e.t <= grid.g AND e.t > grid.g - 21600.0) sub) r2 ON true
+),
+calc AS (
+  SELECT event_type, gi, t1, v1, t2, v2,
+    CASE WHEN n < 2 OR t1 <= ft THEN NULL ELSE
+      (v1 - fv + rsum) * ((
+        (t1 - ft)
+        + CASE WHEN least(ft - (g - 21600.0),
+            CASE WHEN (v1 - fv + rsum) > 0 AND fv >= 0
+              THEN (t1 - ft) * fv / (v1 - fv + rsum)
+              ELSE ft - (g - 21600.0) END)
+            < 1.1 * ((t1 - ft) / (n - 1))
+          THEN least(ft - (g - 21600.0),
+            CASE WHEN (v1 - fv + rsum) > 0 AND fv >= 0
+              THEN (t1 - ft) * fv / (v1 - fv + rsum)
+              ELSE ft - (g - 21600.0) END)
+          ELSE ((t1 - ft) / (n - 1)) / 2 END
+        + CASE WHEN (g - t1) < 1.1 * ((t1 - ft) / (n - 1))
+          THEN (g - t1) ELSE ((t1 - ft) / (n - 1)) / 2 END
+      ) / (t1 - ft)) / 21600.0 END AS rt,
+    CASE WHEN n < 2 OR t1 <= ft THEN NULL ELSE
+      (v1 - fv) * ((
+        (t1 - ft)
+        + CASE WHEN (ft - (g - 21600.0)) < 1.1 * ((t1 - ft) / (n - 1))
+          THEN (ft - (g - 21600.0))
+          ELSE ((t1 - ft) / (n - 1)) / 2 END
+        + CASE WHEN (g - t1) < 1.1 * ((t1 - ft) / (n - 1))
+          THEN (g - t1) ELSE ((t1 - ft) / (n - 1)) / 2 END
+      ) / (t1 - ft)) END AS dl
+  FROM cells
 )
 SELECT event_type,
   string_agg(CASE WHEN v1 IS NULL THEN 'NULL'
@@ -644,21 +690,29 @@ SELECT event_type,
   string_agg(CASE WHEN v2 IS NULL OR t1 = t2 THEN 'NULL'
     ELSE printf('%.6f', round(
       CASE WHEN v1 >= v2 THEN v1 - v2 ELSE v1 END / (t1 - t2), 6)) END,
-    ',' ORDER BY gi) AS irt
-FROM cells GROUP BY event_type ORDER BY event_type
+    ',' ORDER BY gi) AS irt,
+  string_agg(CASE WHEN rt IS NULL THEN 'NULL'
+    ELSE printf('%.6f', round(rt, 6)) END, ',' ORDER BY gi) AS rt,
+  string_agg(CASE WHEN dl IS NULL THEN 'NULL'
+    ELSE printf('%.6f', round(dl, 6)) END, ',' ORDER BY gi) AS dl
+FROM calc GROUP BY event_type ORDER BY event_type
 """,
     tags=("chsql", "timeseries", "aggregates"),
 )
 def chsql_timeseries_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CH 25.6 PromQL-style ``timeSeries*ToGrid`` tier (experimental
     in the pinned 25.7 image): ``timeSeriesResampleToGridWithStaleness``
-    (staleness lookback), ``timeSeriesInstantDeltaToGrid`` (idelta), and
-    ``timeSeriesInstantRateToGrid`` (irate with counter-reset handling) —
-    a fixed 10-point 4-hour grid with a 6-hour lookback over the events
-    table.  One sorted-collect fold per group (bounded-group contract);
-    the oracle replays every grid cell with LATERAL last/prev sample
-    lookups.  Series are comma-joined (the kql_series_q discipline — list
-    cells never reach the driver hash)."""
+    (staleness lookback), ``timeSeriesInstantDeltaToGrid`` (idelta),
+    ``timeSeriesInstantRateToGrid`` (irate with counter-reset handling),
+    and the full ``timeSeriesRateToGrid`` / ``timeSeriesDeltaToGrid``
+    (PromQL's extrapolatedRate: reset-corrected increase, 1.1×-average-
+    interval edge extrapolation, counter zero-crossing cap) — a fixed
+    10-point 4-hour grid with a 6-hour lookback over the events table.
+    One sorted-collect fold per group (bounded-group contract); the
+    oracle replays every grid cell with LATERAL first/last/count/reset
+    lookups and the identical closed-form extrapolation.  Series are
+    comma-joined (the kql_series_q discipline — list cells never reach
+    the driver hash)."""
     from clickhouseocp_spark.engine import ChSparkEngine
 
     df = ChSparkEngine(sf_dir, spark).sql(
@@ -669,7 +723,11 @@ SELECT event_type,
   timeSeriesInstantDeltaToGrid(1704067200, 1704196800, 14400, 21600)
     (toFloat64(toUnixTimestamp(ts)), value) AS idl,
   timeSeriesInstantRateToGrid(1704067200, 1704196800, 14400, 21600)
-    (toFloat64(toUnixTimestamp(ts)), value) AS irt
+    (toFloat64(toUnixTimestamp(ts)), value) AS irt,
+  timeSeriesRateToGrid(1704067200, 1704196800, 14400, 21600)
+    (toFloat64(toUnixTimestamp(ts)), value) AS rt,
+  timeSeriesDeltaToGrid(1704067200, 1704196800, 14400, 21600)
+    (toFloat64(toUnixTimestamp(ts)), value) AS dl
 FROM events WHERE event_id < 600 AND value IS NOT NULL AND ts IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """,
@@ -683,7 +741,10 @@ GROUP BY event_type ORDER BY event_type
             f"format_string('%.6f', round(__x, 6)))), ',')"
         ).alias(col)
 
-    return df.select("event_type", _sj("rs"), _sj("idl"), _sj("irt"))
+    return df.select(
+        "event_type", _sj("rs"), _sj("idl"), _sj("irt"), _sj("rt"),
+        _sj("dl"),
+    )
 
 
 @register(

@@ -4011,3 +4011,83 @@ FROM VALUES {vals} AS t(a, b)
         assert r.dl == d[0], (r.a, r.b, r.dl, d[0])
         assert r.js == round(d[1], 9), (r.a, r.b, r.js, d[1])
         assert r.jw == round(d[2], 9), (r.a, r.b, r.jw, d[2])
+
+
+def test_kql_rotate_right_and_punycode_domain(spark):
+    """array_rotate_right (= rotate_left by −n, pmod-folded) and the
+    punycode_domain_from_string/punycode_domain_to_string IDNA pair
+    (round 12): planted values."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+print r1 = array_rotate_right(dynamic([1, 2, 3, 4, 5]), 2),
+      r2 = array_rotate_right(dynamic([1, 2, 3, 4, 5]), -1),
+      r3 = array_rotate_right(dynamic([1, 2, 3]), 7),
+      pd = punycode_domain_from_string('xn--bcher-kva.example.com'),
+      pe = punycode_domain_to_string('bücher.example.com')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.r1 == [4, 5, 1, 2, 3]
+    assert r.r2 == [2, 3, 4, 5, 1]
+    assert r.r3 == [3, 1, 2]  # 7 mod 3 = 1 right-rotation
+    assert r.pd == "bücher.example.com"
+    assert r.pe == "xn--bcher-kva.example.com"
+
+
+def test_timeseries_rate_delta_to_grid(spark):
+    """timeSeriesRateToGrid / timeSeriesDeltaToGrid (CH 25.6, round 12):
+    pinned against an independent Python replay of PromQL's
+    extrapolatedRate (counter-reset correction, edge extrapolation
+    capped at 1.1x the average sample interval, zero-crossing cap for
+    counters, rate dividing by the window and delta not)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    samples = [(3.0, 5.0), (11.0, 9.0), (19.0, 2.0), (27.0, 6.0),
+               (36.0, 11.0), (44.0, 13.0)]
+    grid = [0.0, 10.0, 20.0, 30.0, 40.0, 50.0]
+    W = 30.0
+
+    def replay(g, counter):
+        win = [(t, v) for t, v in samples if g - W < t <= g]
+        if len(win) < 2 or win[-1][0] <= win[0][0]:
+            return None
+        t1, v1 = win[0]
+        tn, vn = win[-1]
+        rs = sum(win[k - 1][1] for k in range(1, len(win))
+                 if win[k][1] < win[k - 1][1]) if counter else 0.0
+        inc = vn - v1 + rs
+        si, n = tn - t1, len(win)
+        ad = si / (n - 1)
+        ds0, de = t1 - (g - W), g - tn
+        if counter:
+            dz = si * v1 / inc if inc > 0 and v1 >= 0 else ds0
+            ds = min(ds0, dz)
+        else:
+            ds = ds0
+        ext = si + (ds if ds < 1.1 * ad else ad / 2) \
+            + (de if de < 1.1 * ad else ad / 2)
+        out = inc * (ext / si)
+        return out / W if counter else out
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    vals = ", ".join(f"({t}, {v})" for t, v in samples)
+    r = eng.sql(
+        f"""
+SELECT timeSeriesRateToGrid(0, 50, 10, 30)(t, v) AS rt,
+       timeSeriesDeltaToGrid(0, 50, 10, 30)(t, v) AS dl
+FROM VALUES {vals} AS s(t, v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    exp_rt = [replay(g, True) for g in grid]
+    exp_dl = [replay(g, False) for g in grid]
+    assert [None if v is None else round(v, 9) for v in r.rt] \
+        == [None if v is None else round(v, 9) for v in exp_rt]
+    assert [None if v is None else round(v, 9) for v in r.dl] \
+        == [None if v is None else round(v, 9) for v in exp_dl]
+    # the reset at t=19 (9 -> 2) must inflate rate but not delta
+    assert r.rt[3] is not None and r.dl[3] is not None
+    assert r.rt[3] * W > r.dl[3]
