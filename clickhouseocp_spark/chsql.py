@@ -939,6 +939,77 @@ def _jaro_expr(args: list[str], winkler: bool) -> str:
     )
 
 
+def _array_normalized_gini_expr(args: list[str]) -> str:
+    """arrayNormalizedGini(predicted, label) (CH 25.4) →
+    ('col1' = gini of labels ranked by prediction, 'col2' = the ideal
+    gini with labels ranked by themselves, 'col3' = their ratio) — the
+    standard normalized-Gini convention (Kaggle/public):
+    g = (Σᵢ cumᵢ / total − (n+1)/2) / n over labels sorted by the rank
+    key DESCENDING.  Ties order by (key DESC, label ASC) for engine
+    determinism (documented; CH leaves tie order to its sort).  Two
+    folds over one zipped sort — pure JVM."""
+    if len(args) != 2:
+        raise ChSqlError("arrayNormalizedGini takes (predicted, label)")
+    a, b = args
+
+    def gini(sorted_expr: str) -> str:
+        return (
+            f"transform(array({sorted_expr}), __sp -> "
+            f"transform(array(aggregate(__sp, "
+            f"named_struct('c', CAST(0 AS DOUBLE), "
+            f"'g', CAST(0 AS DOUBLE)), "
+            f"(__s, __e) -> named_struct('c', __s.c + __e.l, "
+            f"'g', __s.g + __s.c + __e.l))), __f -> "
+            f"(__f.g / __f.c - (size(__sp) + 1) / CAST(2 AS DOUBLE)) "
+            f"/ size(__sp))[0])[0]"
+        )
+
+    by_pred = (
+        f"array_sort(zip_with({a}, {b}, (__x, __y) -> "
+        f"named_struct('p', -CAST(__x AS DOUBLE), "
+        f"'l', CAST(__y AS DOUBLE))))"
+    )
+    by_label = (
+        f"array_sort(transform({b}, __y -> "
+        f"named_struct('p', -CAST(__y AS DOUBLE), "
+        f"'l', CAST(__y AS DOUBLE))))"
+    )
+    return (
+        f"transform(array({gini(by_pred)}), __gp -> "
+        f"transform(array({gini(by_label)}), __gl -> "
+        f"named_struct('col1', __gp, 'col2', __gl, "
+        f"'col3', __gp / __gl))[0])[0]"
+    )
+
+
+def _to_interval_expr(args: list[str]) -> str:
+    """toInterval(n, 'unit') (CH 25.x generic form): dispatch on the
+    unit STRING LITERAL to the same lowerings as the typed
+    toInterval<Unit> family."""
+    if len(args) != 2:
+        raise ChSqlError("toInterval takes (n, 'unit')")
+    unit = args[1].strip().strip("'\"").lower().rstrip("s")
+    per = {
+        "nanosecond": "(({0}) * INTERVAL 1 SECOND / 1000000000)",
+        "microsecond": "(({0}) * INTERVAL 1 SECOND / 1000000)",
+        "millisecond": "(({0}) * INTERVAL 1 SECOND / 1000)",
+        "second": "(({0}) * INTERVAL 1 SECOND)",
+        "minute": "(({0}) * INTERVAL 1 MINUTE)",
+        "hour": "(({0}) * INTERVAL 1 HOUR)",
+        "day": "(({0}) * INTERVAL 1 DAY)",
+        "week": "(({0}) * INTERVAL 7 DAY)",
+        "month": "(({0}) * INTERVAL 1 MONTH)",
+        "quarter": "(({0}) * INTERVAL 3 MONTH)",
+        "year": "(({0}) * INTERVAL 1 YEAR)",
+    }
+    if unit not in per:
+        raise ChSqlError(
+            f"toInterval unit must be a literal from {sorted(per)}, "
+            f"got {args[1]!r}"
+        )
+    return per[unit].format(args[0])
+
+
 def _array_sym_diff_expr(args: list[str]) -> str:
     """arraySymmetricDifference(a1, a2, ...) (CH 25.4): elements present
     in at least one argument but not in ALL of them — union minus
@@ -2650,6 +2721,7 @@ FUNC_RULES: dict[str, object] = {
     "hilbertDecode": _hilbert_decode_expr,
     # CH 25.x array/string additions (round 12)
     "arrayLevenshtein": _array_levenshtein_expr,
+    "arrayNormalizedGini": _array_normalized_gini_expr,
     "arraySymmetricDifference": _array_sym_diff_expr,
     "stringCompare": _string_compare_expr,
     "stringBytesUniq": lambda a: _string_bytes_fold(a[0], "uniq"),
@@ -3470,6 +3542,7 @@ FUNC_RULES: dict[str, object] = {
     # (TIMESTAMP_NTZ output — the repo's DateTime convention — and the
     # integer-div Nano variant live together there)
     "toUnixTimestamp64Milli": _rename("unix_millis"),
+    "toUnixTimestamp64Second": _rename("unix_seconds"),
     # Twitter-snowflake id <-> DateTime (CH epoch 1288834974657 ms)
     "snowflakeToDateTime": lambda args: (
         f"timestamp_millis(shiftright({args[0]}, 22) + 1288834974657)"
@@ -3869,6 +3942,8 @@ FUNC_RULES: dict[str, object] = {
     "toIntervalYear": lambda args: f"({args[0]} * INTERVAL 1 YEAR)",
     "toIntervalMonth": lambda args: f"({args[0]} * INTERVAL 1 MONTH)",
     "toIntervalWeek": lambda args: f"({args[0]} * INTERVAL 7 DAY)",
+    # CH 25.x generic form: toInterval(n, 'unit') — unit a string literal
+    "toInterval": _to_interval_expr,
     "toIntervalMinute": lambda args: f"({args[0]} * INTERVAL 1 MINUTE)",
     "toIntervalSecond": lambda args: f"({args[0]} * INTERVAL 1 SECOND)",
     "parseDateTime": lambda args: _parse_datetime(args),
@@ -4522,6 +4597,27 @@ def _sequence_count_rule(p: list[str], a: list[str]) -> str:
     )
 
 
+def _sequence_match_events_rule(p: list[str], a: list[str]) -> str:
+    """sequenceMatchEvents(pattern)(ts, cond...) (CH 24.3): the
+    timestamps of the FIRST matched chain's events, in chain order —
+    the sequenceMatch fold with the state carrying the matched ``t``
+    values (an event that advances the level appends its timestamp; the
+    typed empty seed is the ``slice(arr, 1, 0)`` idiom).  No match →
+    empty array (CH's convention)."""
+    arr, k, step_case = _sequence_fold(a, p[0], "sequenceMatchEvents")
+    body = step_case.replace("__st", "__s.st").replace("__ev", "__e")
+    return (
+        f"transform(array({arr}), __p -> "
+        f"aggregate(__p, named_struct('st', 0, "
+        f"'ts', slice(transform(__p, __x -> __x.t), 1, 0)), "
+        f"(__s, __e) -> IF(__s.st >= {k}, __s, "
+        f"transform(array(least({body}, {k})), __n -> "
+        f"IF(__n > __s.st, named_struct('st', __n, "
+        f"'ts', concat(__s.ts, array(__e.t))), __s))[0]), "
+        f"__s -> IF(__s.st >= {k}, __s.ts, slice(__s.ts, 1, 0))))[0]"
+    )
+
+
 def _window_funnel_rule(p: list[str], a: list[str]) -> str:
     """windowFunnel(window)(ts, c1, ..., cK): the max funnel level
     reached by a chain t1 ≤ ... ≤ t_i with t_i − t1 ≤ window — ONE
@@ -4591,6 +4687,7 @@ PARAMETRIC_RULES: dict[str, object] = {
     "sparkbar": _sparkbar_rule,
     "sequenceNextNode": _sequence_next_node_rule,
     "sequenceMatch": _sequence_match_rule,
+    "sequenceMatchEvents": _sequence_match_events_rule,
     "sequenceCount": _sequence_count_rule,
     "windowFunnel": _window_funnel_rule,
     # quantileDeterministic(p)(x, determinator): the determinator only

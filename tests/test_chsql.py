@@ -4091,3 +4091,64 @@ FROM VALUES {vals} AS s(t, v)
     # the reset at t=19 (9 -> 2) must inflate rate but not delta
     assert r.rt[3] is not None and r.dl[3] is not None
     assert r.rt[3] * W > r.dl[3]
+
+
+def test_sequence_match_events_gini_interval(spark):
+    """sequenceMatchEvents / arrayNormalizedGini / toInterval(n, 'unit')
+    / toUnixTimestamp64Second (round 12): planted chains (matched
+    timestamps in chain order, no-match -> empty), the Kaggle
+    normalized-Gini replay, generic-interval arithmetic, and the
+    64-second epoch."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    # events: (ts, kind) — chain A(kind=1) then B(kind=2) matches at 2, 5
+    r = eng.sql(
+        """
+SELECT sequenceMatchEvents('(?1).*(?2)')(t, k = 1, k = 2) AS ev,
+       sequenceMatchEvents('(?1).*(?2)')(t, k = 9, k = 2) AS none
+FROM VALUES (1, 2), (2, 1), (3, 3), (5, 2), (7, 2) AS s(t, k)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.ev == [2, 5] and r.none == []
+
+    # normalized gini: replay the Kaggle convention on a planted case
+    pred = [0.9, 0.3, 0.8, 0.75, 0.65, 0.6, 0.78, 0.7, 0.05, 0.4]
+    label = [1.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+
+    def gini(key, lab):
+        order = sorted(range(len(lab)), key=lambda i: (-key[i], lab[i]))
+        ls = [lab[i] for i in order]
+        total, cum, gsum = sum(ls), 0.0, 0.0
+        for v in ls:
+            cum += v
+            gsum += cum
+        return (gsum / total - (len(ls) + 1) / 2.0) / len(ls)
+
+    pl = ", ".join(map(str, pred))
+    ll = ", ".join(map(str, label))
+    r2 = eng.sql(
+        f"""
+SELECT round(tupleElement(arrayNormalizedGini([{pl}], [{ll}]), 1), 9) AS gp,
+       round(tupleElement(arrayNormalizedGini([{pl}], [{ll}]), 2), 9) AS gl,
+       round(tupleElement(arrayNormalizedGini([{pl}], [{ll}]), 3), 9) AS gn,
+       toInterval(3, 'day') + toDateTime('2024-01-01 00:00:00') AS d3,
+       toInterval(2, 'weeks') + toDate('2024-01-01') AS w2,
+       toUnixTimestamp64Second(toDateTime('2024-01-02 00:00:00')) AS u64
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    gp, gl = gini(pred, label), gini(label, label)
+    assert r2.gp == round(gp, 9)
+    assert r2.gl == round(gl, 9)
+    assert r2.gn == round(gp / gl, 9)
+    assert str(r2.d3).startswith("2024-01-04")
+    assert str(r2.w2).startswith("2024-01-15")
+    assert r2.u64 == 1704153600
+
+    with _pytest.raises(ChSqlError, match="unit must be a literal"):
+        transpile("SELECT toInterval(3, 'fortnight') FROM t")
