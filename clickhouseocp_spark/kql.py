@@ -1024,6 +1024,62 @@ def _kql_ipv4_compare(a: list[str]) -> str:
     )
 
 
+def _kql_extract_all(a: list[str]) -> str:
+    """extract_all(regex, [captureGroups,] source) — all matches of the
+    LITERAL regex: one capture group → array of strings
+    (regexp_extract_all), several → array of arrays (one
+    regexp_extract_all per group, zipped per match).  The regex must be
+    a string literal (the group count sizes the generated expression);
+    captureGroups subset: a dynamic([...]) of 1-based group INDEXES."""
+    if len(a) == 2:
+        rex, src = a[0].strip(), a[1]
+        wanted: list[int] | None = None
+    elif len(a) == 3:
+        rex, grp, src = a[0].strip(), a[1].strip(), a[2]
+        m = re.match(r"^dynamic\s*\(\s*\[(.*)\]\s*\)$", grp, re.IGNORECASE)
+        if not m:
+            raise KqlError(
+                "extract_all captureGroups subset: a dynamic([...]) of "
+                f"1-based group index literals, got {grp!r}"
+            )
+        try:
+            wanted = [int(t.strip()) for t in m.group(1).split(",")]
+        except ValueError:
+            raise KqlError(
+                "extract_all captureGroups subset: integer group indexes "
+                f"only (names need the regex's group table), got {grp!r}"
+            ) from None
+    else:
+        raise KqlError(
+            "extract_all takes (regex, [captureGroups,] source)"
+        )
+    if not (
+        len(rex) >= 2 and rex[0] in "'\"" and rex[-1] == rex[0]
+    ):
+        raise KqlError(
+            "extract_all: the regex must be a string LITERAL (its capture-"
+            f"group count sizes the generated expression), got {rex!r}"
+        )
+    body = rex[1:-1]
+    n_groups = len(re.findall(r"(?<!\\)\((?!\?)", body))
+    if n_groups < 1:
+        raise KqlError("extract_all: the regex needs a capture group")
+    groups = wanted if wanted is not None else list(range(1, n_groups + 1))
+    for gidx in groups:
+        if not 1 <= gidx <= n_groups:
+            raise KqlError(
+                f"extract_all: group {gidx} out of range (regex has "
+                f"{n_groups})"
+            )
+    if len(groups) == 1:
+        return f"regexp_extract_all({src}, {rex}, {groups[0]})"
+    pulls = ", ".join(
+        f"regexp_extract_all({src}, {rex}, {gidx})" for gidx in groups
+    )
+    cols = ", ".join(f"__z.`{i}`" for i in range(len(groups)))
+    return f"transform(arrays_zip({pulls}), __z -> array({cols}))"
+
+
 def _kql_beta_cdf(a: list[str]) -> str:
     """beta_cdf(x, alpha, beta) → I_x(alpha, beta) — the regularized
     incomplete beta in pure SQL (Lanczos lgamma + NR Lentz fold)."""
@@ -1475,6 +1531,7 @@ _KQL_SCALARS: dict = {
     ),
     # Kusto extract(regex, captureGroup, source); SQL extract(YEAR FROM x)
     # passes through untouched via the arity bail-out
+    "extract_all": _kql_extract_all,
     "extract": lambda a: (
         f"regexp_extract({a[2]}, {a[0]}, {a[1]})" if len(a) == 3
         else _keep("extract", a)
@@ -2455,6 +2512,10 @@ def _agg_expr(e: str) -> str:
         )
 
     e = _rewrite_call(e, "percentilesw_array", _pctsw_array)
+    # bare percentilesw: Kusto's multi-column assignment doesn't fit a
+    # single-expression rewrite, so it aliases the _array surface (the
+    # percentiles_array convention — documented deviation)
+    e = _rewrite_call(e, "percentilesw", _pctsw_array)
     e = _rewrite_call(e, "percentilew", _pctw)
     e = _rewrite_call(e, "percentiles_array", _pcts_array)
     e = _rewrite_call(e, "percentile", _pct)

@@ -4152,3 +4152,54 @@ SELECT round(tupleElement(arrayNormalizedGini([{pl}], [{ll}]), 1), 9) AS gp,
 
     with _pytest.raises(ChSqlError, match="unit must be a literal"):
         transpile("SELECT toInterval(3, 'fortnight') FROM t")
+
+
+def test_kql_extract_all_percentilesw(spark):
+    """extract_all (1-group → array, n-group → array-of-arrays,
+    captureGroups index subset, literal-regex contract) and bare
+    percentilesw aliasing the _array surface (round 12)."""
+    import duckdb
+    import pytest as _pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.kql import KqlError, transpile_kql
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        r"""
+print e1 = extract_all('(\\d+)', 'a1b22c333'),
+      e2 = extract_all('(\\w)(\\d+)', 'a1b22c333'),
+      e3 = extract_all('(\\w)(\\d+)', dynamic([2]), 'a1b22c333')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.e1 == ["1", "22", "333"]
+    assert r.e2 == [["a", "1"], ["b", "22"], ["c", "333"]]
+    assert r.e3 == ["1", "22", "333"]
+
+    rows = eng.sql(
+        """
+events | where event_id < 200
+| summarize pw = percentilesw(value, event_id % 3 + 1, 25, 50, 75)
+  by event_type
+| order by event_type asc
+""",
+        dialect="kusto",
+    ).collect()
+    # replay: weight-expanded exact interpolated percentiles via DuckDB
+    for row in rows:
+        exp = duckdb.sql(
+            "SELECT quantile_cont(value, [0.25, 0.5, 0.75]) FROM ("
+            "SELECT e.value FROM read_parquet("
+            "'/root/testdata/sf0.001/events.parquet') e "
+            "JOIN (SELECT unnest(range(1, 4)) AS r) reps "
+            "ON reps.r <= e.event_id % 3 + 1 "
+            f"WHERE e.event_id < 200 AND e.event_type = '{row.event_type}' "
+            "AND e.value IS NOT NULL)"
+        ).fetchone()[0]
+        assert [round(v, 9) for v in row.pw] == [round(v, 9) for v in exp]
+
+    with _pytest.raises(KqlError, match="LITERAL"):
+        transpile_kql("print x = extract_all(col, 'abc')")
+    with _pytest.raises(KqlError, match="capture group"):
+        transpile_kql(r"print x = extract_all('\\d+', 'abc')")
