@@ -939,6 +939,115 @@ def _jaro_expr(args: list[str], winkler: bool) -> str:
     )
 
 
+def _array_roc_auc_expr(args: list[str]) -> str:
+    """arrayROCAUC(scores, labels) (CH 25.x; alias arrayAUC) — area
+    under the ROC curve via the rank identity
+    AUC = (R₊ − P(P+1)/2) / (P·N) with AVERAGE ranks on score ties
+    (pairs scoring equal contribute ½ — the textbook convention).  One
+    zipped sort + one tie-run fold (the mannWhitneyUTest pattern);
+    label > 0 marks a positive; degenerate P = 0 or N = 0 → NULL (CH
+    raises — NULL is the engine's ANSI-safe analog, documented).
+    Subset: the optional ``scale`` parameter must stay default/true."""
+    if len(args) == 3 and args[2].strip().lower() in ("true", "1"):
+        args = args[:2]
+    if len(args) != 2:
+        raise ChSqlError(
+            "arrayROCAUC subset: (scores, labels) with scale left at the "
+            "default true (the unscaled area is the same fold times P·N)"
+        )
+    s, l = args
+    pairs = (
+        f"array_sort(zip_with({s}, {l}, (__x, __y) -> "
+        f"named_struct('x', CAST(__x AS DOUBLE), "
+        f"'i', IF(CAST(__y AS DOUBLE) > 0, 1, 0))))"
+    )
+    # tie-run fold: average rank (start+end)/2 credited to the run's
+    # positives; state (run start, positives in run, rank-sum of +)
+    fold = (
+        "aggregate(sequence(1, size(__p)), "
+        "named_struct('s', CAST(1 AS DOUBLE), 'c', CAST(0 AS DOUBLE), "
+        "'r1', CAST(0 AS DOUBLE)), "
+        "(__st, __j) -> IF("
+        "__j = size(__p) OR element_at(__p, __j).x <> "
+        "element_at(__p, least(__j + 1, size(__p))).x, "
+        "named_struct('s', CAST(__j + 1 AS DOUBLE), "
+        "'c', CAST(0 AS DOUBLE), "
+        "'r1', __st.r1 + (__st.s + __j) / 2 * (__st.c "
+        "+ element_at(__p, __j).i)), "
+        "named_struct('s', __st.s, "
+        "'c', __st.c + element_at(__p, __j).i, "
+        "'r1', __st.r1)), "
+        "__st -> __st.r1)"
+    )
+    return (
+        f"transform(array({pairs}), __p -> "
+        f"transform(array(named_struct("
+        f"'np', CAST(aggregate(__p, 0, (__a, __e) -> __a + __e.i) "
+        f"AS DOUBLE), 'n', CAST(size(__p) AS DOUBLE))), __c -> "
+        f"IF(__c.np = 0 OR __c.np = __c.n, CAST(NULL AS DOUBLE), "
+        f"({fold} - __c.np * (__c.np + 1) / 2) "
+        f"/ (__c.np * (__c.n - __c.np))))[0])[0]"
+    )
+
+
+def _array_pr_auc_expr(args: list[str]) -> str:
+    """arrayPrAUC(scores, labels) (CH 25.x) — area under the
+    precision-recall curve by the rectangle rule (average precision):
+    AP = Σ_{k: positive} precision@k / P over the score-DESCENDING
+    order, matching CH's documented example
+    arrayPrAUC([0.1,0.4,0.35,0.8], [0,0,1,1]) = 5/6.  Score ties order
+    negatives first ((−score, label) struct sort — the conservative
+    convention, documented; CH leaves tie order to its sort).  P = 0 →
+    NULL."""
+    if len(args) != 2:
+        raise ChSqlError("arrayPrAUC takes (scores, labels)")
+    s, l = args
+    pairs = (
+        f"array_sort(zip_with({s}, {l}, (__x, __y) -> "
+        f"named_struct('x', -CAST(__x AS DOUBLE), "
+        f"'i', IF(CAST(__y AS DOUBLE) > 0, 1, 0))))"
+    )
+    fold = (
+        "aggregate(sequence(1, size(__p)), "
+        "named_struct('tp', CAST(0 AS DOUBLE), 'ap', CAST(0 AS DOUBLE)), "
+        "(__st, __j) -> IF(element_at(__p, __j).i = 1, "
+        "named_struct('tp', __st.tp + 1, "
+        "'ap', __st.ap + (__st.tp + 1) / CAST(__j AS DOUBLE)), "
+        "named_struct('tp', __st.tp, 'ap', __st.ap)), "
+        "__st -> __st.ap)"
+    )
+    return (
+        f"transform(array({pairs}), __p -> "
+        f"transform(array(CAST(aggregate(__p, 0, (__a, __e) -> "
+        f"__a + __e.i) AS DOUBLE)), __np -> "
+        f"IF(__np = 0, CAST(NULL AS DOUBLE), {fold} / __np))[0])[0]"
+    )
+
+
+def _lp_norm_expr(args: list[str]) -> str:
+    """LpNorm(v, p) — (Σ|xᵢ|^p)^(1/p); p a numeric scalar."""
+    if len(args) != 2:
+        raise ChSqlError("LpNorm takes (array, p)")
+    v, p = args
+    return (
+        f"pow(aggregate({v}, CAST(0 AS DOUBLE), (__a, __x) -> "
+        f"__a + pow(abs(CAST(__x AS DOUBLE)), CAST({p} AS DOUBLE))), "
+        f"1 / CAST({p} AS DOUBLE))"
+    )
+
+
+def _lp_distance_expr(args: list[str]) -> str:
+    """LpDistance(a, b, p) — LpNorm of the element-wise difference."""
+    if len(args) != 3:
+        raise ChSqlError("LpDistance takes (array1, array2, p)")
+    a, b, p = args
+    diff = (
+        f"zip_with({a}, {b}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE))"
+    )
+    return _lp_norm_expr([diff, p])
+
+
 def _array_normalized_gini_expr(args: list[str]) -> str:
     """arrayNormalizedGini(predicted, label) (CH 25.4) →
     ('col1' = gini of labels ranked by prediction, 'col2' = the ideal
@@ -2722,6 +2831,20 @@ FUNC_RULES: dict[str, object] = {
     # CH 25.x array/string additions (round 12)
     "arrayLevenshtein": _array_levenshtein_expr,
     "arrayNormalizedGini": _array_normalized_gini_expr,
+    "arrayROCAUC": _array_roc_auc_expr,
+    "arrayAUC": _array_roc_auc_expr,  # the pre-25.x name
+    "arrayPrAUC": _array_pr_auc_expr,
+    "LpNorm": _lp_norm_expr,
+    "LpDistance": _lp_distance_expr,
+    "L2SquaredNorm": lambda a: (
+        f"aggregate({a[0]}, CAST(0 AS DOUBLE), (__a, __x) -> "
+        f"__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))"
+    ),
+    "L2SquaredDistance": lambda a: (
+        f"aggregate(zip_with({a[0]}, {a[1]}, (__x, __y) -> "
+        f"CAST(__x AS DOUBLE) - CAST(__y AS DOUBLE)), "
+        f"CAST(0 AS DOUBLE), (__a, __d) -> __a + __d * __d)"
+    ),
     "arraySymmetricDifference": _array_sym_diff_expr,
     "stringCompare": _string_compare_expr,
     "stringBytesUniq": lambda a: _string_bytes_fold(a[0], "uniq"),

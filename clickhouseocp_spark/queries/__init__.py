@@ -643,8 +643,9 @@ _DRIVER_WINDOW_R15: list[str] = [
     "chsql_morton_hilbert",
     "chsql_resample_avg_minmax",
     "chsql_vocab_r38",
-    # --- staleness rotation: 39 oldest green records (all r01; the
-    #     remaining 4 r01 + 42 r02 names lead round 13's rotation) ---
+    "chsql_vocab_r39",
+    # --- staleness rotation: 38 oldest green records (all r01; the
+    #     remaining 5 r01 + 42 r02 names lead round 13's rotation) ---
     "q1_pricing_summary",
     "filter_project",
     "select_except_apply",
@@ -683,7 +684,6 @@ _DRIVER_WINDOW_R15: list[str] = [
     "dedup_latest_version",
     "paste_join_positional",
     "sum_if_combinators",
-    "pivot_sum_if",
 ]
 
 _DRIVER_WINDOW_R5 = [

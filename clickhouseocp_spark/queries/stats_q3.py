@@ -975,3 +975,106 @@ ORDER BY p_partkey
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r39",
+    oracle="""
+WITH e AS (SELECT event_id FROM events WHERE event_id < 120),
+el AS (
+  SELECT event_id, g.i,
+    CAST((event_id * 7 + g.i * 13) % 97 AS DOUBLE)
+      / CAST(97 AS DOUBLE) AS s,
+    CASE WHEN (event_id + g.i) % 3 = 0 THEN 1 ELSE 0 END AS l,
+    CAST((event_id + g.i) % 7 AS DOUBLE) - CAST(3.0 AS DOUBLE) AS a,
+    CAST((event_id + g.i) % 5 AS DOUBLE) * CAST(1.5 AS DOUBLE)
+      - CAST(2.0 AS DOUBLE) AS b
+  FROM e CROSS JOIN (SELECT unnest(range(0, 12)) AS i) g
+),
+rk AS (
+  SELECT event_id, s, l,
+    rank() OVER (PARTITION BY event_id ORDER BY s)
+      + (count(*) OVER (PARTITION BY event_id, s) - 1) / 2.0 AS ar,
+    row_number() OVER (PARTITION BY event_id ORDER BY s DESC, l) AS rn
+  FROM el
+),
+tp AS (
+  SELECT event_id, rn, l,
+    sum(l) OVER (PARTITION BY event_id ORDER BY rn) AS tps
+  FROM rk
+),
+m AS (
+  SELECT rk.event_id,
+    round((sum(CASE WHEN rk.l = 1 THEN rk.ar ELSE 0 END)
+      - sum(rk.l) * (sum(rk.l) + 1) / 2.0)
+      / (sum(rk.l) * (count(*) - sum(rk.l))), 6) AS auc
+  FROM rk GROUP BY rk.event_id
+),
+p AS (
+  SELECT event_id,
+    round(sum(CASE WHEN l = 1 THEN tps * CAST(1 AS DOUBLE) / rn END)
+      / sum(l), 6) AS pr
+  FROM tp GROUP BY event_id
+),
+n AS (
+  SELECT event_id,
+    round(pow(sum(pow(abs(a), CAST(3 AS DOUBLE))),
+      1 / CAST(3 AS DOUBLE)), 6) AS lp3,
+    round(pow(sum(pow(abs(a - b), CAST(2.5 AS DOUBLE))),
+      1 / CAST(2.5 AS DOUBLE)), 6) AS lpd,
+    round(sum(a * a), 6) AS sq,
+    round(sum((a - b) * (a - b)), 6) AS sqd
+  FROM el GROUP BY event_id
+)
+SELECT m.event_id, m.auc, p.pr, n.lp3, n.lpd, n.sq, n.sqd
+FROM m
+JOIN p ON p.event_id = m.event_id
+JOIN n ON n.event_id = m.event_id
+ORDER BY m.event_id
+""",
+    tags=("chsql", "dialect", "vocabulary", "statistics"),
+)
+def chsql_vocab_r39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary batch 39 (round 12) — the ML-metric array tier
+    (CH 25.x): ``arrayROCAUC`` (tie-averaged rank identity, also under
+    the pre-25.x ``arrayAUC`` name), ``arrayPrAUC`` (average precision /
+    rectangle rule, CH's documented example pinned in pytest),
+    ``LpNorm`` / ``LpDistance`` (general p), ``L2SquaredNorm`` /
+    ``L2SquaredDistance`` — per-row planted arrays (deterministic from
+    event_id; score values distinct within each row so tie conventions
+    don't enter), the oracle replaying AUC via window average-ranks and
+    AP via a cumulative-TP window.  All pure JVM folds, one scan."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  round(arrayROCAUC(
+    arrayMap(i -> toFloat64((event_id * 7 + i * 13) % 97) / toFloat64(97),
+             range(12)),
+    arrayMap(i -> IF((event_id + i) % 3 = 0, 1, 0), range(12))), 6) AS auc,
+  round(arrayPrAUC(
+    arrayMap(i -> toFloat64((event_id * 7 + i * 13) % 97) / toFloat64(97),
+             range(12)),
+    arrayMap(i -> IF((event_id + i) % 3 = 0, 1, 0), range(12))), 6) AS pr,
+  round(LpNorm(
+    arrayMap(i -> toFloat64((event_id + i) % 7) - toFloat64(3.0),
+             range(12)), 3), 6) AS lp3,
+  round(LpDistance(
+    arrayMap(i -> toFloat64((event_id + i) % 7) - toFloat64(3.0),
+             range(12)),
+    arrayMap(i -> toFloat64((event_id + i) % 5) * toFloat64(1.5)
+             - toFloat64(2.0), range(12)), 2.5), 6) AS lpd,
+  round(L2SquaredNorm(
+    arrayMap(i -> toFloat64((event_id + i) % 7) - toFloat64(3.0),
+             range(12))), 6) AS sq,
+  round(L2SquaredDistance(
+    arrayMap(i -> toFloat64((event_id + i) % 7) - toFloat64(3.0),
+             range(12)),
+    arrayMap(i -> toFloat64((event_id + i) % 5) * toFloat64(1.5)
+             - toFloat64(2.0), range(12))), 6) AS sqd
+FROM events WHERE event_id < 120
+ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
