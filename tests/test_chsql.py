@@ -4203,3 +4203,126 @@ events | where event_id < 200
         transpile_kql("print x = extract_all(col, 'abc')")
     with _pytest.raises(KqlError, match="capture group"):
         transpile_kql(r"print x = extract_all('\\d+', 'abc')")
+
+
+def test_morton_hilbert_randomized_roundtrip(spark):
+    """Round-12 hardening: 120 seeded-random coordinate pairs through
+    encode→decode roundtrips plus the Python xy2d cross-check — covers
+    the full 31-bit range uniformly, not just the hand-picked cases."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    def rot(n, x, y, rx, ry):
+        if ry == 0:
+            if rx == 1:
+                x, y = n - 1 - x, n - 1 - y
+            x, y = y, x
+        return x, y
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            x, y = rot(n, x, y, rx, ry)
+            s //= 2
+        return d
+
+    rng = random.Random(12)
+    cases = [(rng.randrange(0, 2**31), rng.randrange(0, 2**31))
+             for _ in range(120)]
+    vals = ", ".join(f"({x}, {y})" for x, y in cases)
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rows = eng.sql(
+        f"""
+SELECT x, y, mortonEncode(x, y) AS me, hilbertEncode(x, y) AS he,
+  tupleElement(mortonDecode(2, mortonEncode(x, y)), 1) AS mx,
+  tupleElement(mortonDecode(2, mortonEncode(x, y)), 2) AS my,
+  tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 1) AS hx,
+  tupleElement(hilbertDecode(2, hilbertEncode(x, y)), 2) AS hy
+FROM VALUES {vals} AS t(x, y)
+""",
+        dialect="clickhouse",
+    ).collect()
+    assert len(rows) == 120
+    for r in rows:
+        assert (r.mx, r.my) == (r.x, r.y)
+        assert (r.hx, r.hy) == (r.x, r.y)
+        assert r.he == xy2d(2**31, r.x, r.y)
+        exp_m = sum(((r.x >> i) & 1) << (2 * i + 1) for i in range(31)) \
+            + sum(((r.y >> i) & 1) << (2 * i) for i in range(31))
+        assert r.me == exp_m
+
+
+def test_timeseries_grid_randomized(spark):
+    """Round-12 hardening: seeded-random sample sets through all five
+    timeSeries*ToGrid kinds vs the Python replay — windows that are
+    empty, single-sample, tied-boundary, and reset-heavy all occur."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    rng = random.Random(1212)
+    samples = sorted(
+        (float(rng.randrange(0, 100)), float(rng.randrange(0, 40)))
+        for _ in range(25)
+    )
+    grid = [float(g) for g in range(0, 101, 20)]
+    W = 30.0
+
+    def win(g, w):
+        return [(t, v) for t, v in samples if g - w < t <= g]
+
+    def rate_delta(g, counter):
+        w = win(g, W)
+        if len(w) < 2 or w[-1][0] <= w[0][0]:
+            return None
+        (t1, v1), (tn, vn) = w[0], w[-1]
+        rs = sum(w[k - 1][1] for k in range(1, len(w))
+                 if w[k][1] < w[k - 1][1]) if counter else 0.0
+        inc, si, n = vn - v1 + rs, tn - t1, len(w)
+        ad = si / (n - 1)
+        ds0, de = t1 - (g - W), g - tn
+        ds = min(ds0, si * v1 / inc) if counter and inc > 0 and v1 >= 0 \
+            else ds0
+        ext = si + (ds if ds < 1.1 * ad else ad / 2) \
+            + (de if de < 1.1 * ad else ad / 2)
+        out = inc * (ext / si)
+        return out / W if counter else out
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    vals = ", ".join(f"({t}, {v})" for t, v in samples)
+    r = eng.sql(
+        f"""
+SELECT timeSeriesResampleToGridWithStaleness(0, 100, 20, 30)(t, v) AS rs,
+       timeSeriesInstantDeltaToGrid(0, 100, 20, 30)(t, v) AS idl,
+       timeSeriesInstantRateToGrid(0, 100, 20, 30)(t, v) AS irt,
+       timeSeriesRateToGrid(0, 100, 20, 30)(t, v) AS rt,
+       timeSeriesDeltaToGrid(0, 100, 20, 30)(t, v) AS dl
+FROM VALUES {vals} AS s(t, v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+
+    def rnd(xs):
+        return [None if v is None else round(v, 9) for v in xs]
+
+    exp_rs = [(win(g, 30.0)[-1][1] if win(g, 30.0) else None)
+              for g in grid]
+    assert rnd(r.rs) == rnd(exp_rs)
+    exp_idl, exp_irt = [], []
+    for g in grid:
+        w = win(g, W)
+        if len(w) < 2 or w[-1][0] == w[-2][0]:
+            exp_idl.append(None if len(w) < 2 else w[-1][1] - w[-2][1])
+            exp_irt.append(None)
+            continue
+        (t2, v2), (t1, v1) = w[-2], w[-1]
+        exp_idl.append(v1 - v2)
+        exp_irt.append((v1 - v2 if v1 >= v2 else v1) / (t1 - t2))
+    assert rnd(r.idl) == rnd(exp_idl)
+    assert rnd(r.irt) == rnd(exp_irt)
+    assert rnd(r.rt) == rnd([rate_delta(g, True) for g in grid])
+    assert rnd(r.dl) == rnd([rate_delta(g, False) for g in grid])
