@@ -1091,6 +1091,39 @@ def _array_normalized_gini_expr(args: list[str]) -> str:
     )
 
 
+def _window_tvf_expr(args: list[str], fn: str) -> str:
+    """tumble(ts, INTERVAL n unit) / hop(ts, INTERVAL slide, INTERVAL
+    size) — ClickHouse's WINDOW VIEW time-window functions (22.x
+    experimental, in the pinned 25.7 image) as Spark's ``window()``
+    struct: usable directly in GROUP BY, with tumbleStart/tumbleEnd/
+    hopStart/hopEnd extracting the struct fields.  Subset: the interval
+    arguments must be ``INTERVAL <n> <unit>`` literals (they become
+    Spark duration strings at transpile time); the ``... AS alias``
+    GROUP-BY form isn't rewritten — pass the window expression itself
+    to the Start/End accessors (the documented batch-analog idiom;
+    incremental fire-on-insert is the streaming tier's job,
+    streaming/pipeline.py)."""
+    def dur(tok: str) -> str:
+        m = re.match(r"(?is)^\s*INTERVAL\s+'?(\d+)'?\s+(\w+)\s*$", tok)
+        if not m:
+            raise ChSqlError(
+                f"{fn} subset: interval arguments must be literal "
+                f"INTERVAL <n> <unit>, got {tok!r}"
+            )
+        return f"'{m.group(1)} {m.group(2).lower()}'"
+
+    if fn == "tumble":
+        if len(args) != 2:
+            raise ChSqlError("tumble takes (time, INTERVAL <n> <unit>)")
+        return f"window({args[0]}, {dur(args[1])})"
+    if len(args) != 3:
+        raise ChSqlError(
+            "hop takes (time, INTERVAL <slide>, INTERVAL <size>)"
+        )
+    # CH hop(time, slide, size) → Spark window(time, size, slide)
+    return f"window({args[0]}, {dur(args[2])}, {dur(args[1])})"
+
+
 def _to_interval_expr(args: list[str]) -> str:
     """toInterval(n, 'unit') (CH 25.x generic form): dispatch on the
     unit STRING LITERAL to the same lowerings as the typed
@@ -3039,10 +3072,16 @@ FUNC_RULES: dict[str, object] = {
         f"array_max(map_keys({args[0]}))), __k -> "
         f"coalesce(element_at({args[0]}, __k), 0)))"
     ),
-    # window-view starts/ends (CH tumble/hop family)
-    "tumbleStart": lambda args: _to_start_of_interval(args[:2]),
+    # window-view starts/ends (CH tumble/hop family) — BOTH documented
+    # forms: tumbleStart(window) extracts the field from a tumble()/hop()
+    # struct (round 12); tumbleStart(ts, INTERVAL ...) computes directly
+    "tumbleStart": lambda args: (
+        f"({args[0]}).start" if len(args) == 1
+        else _to_start_of_interval(args[:2])
+    ),
     "tumbleEnd": lambda args: (
-        f"({_to_start_of_interval(args[:2])} + {args[1]})"
+        f"({args[0]}).end" if len(args) == 1
+        else f"({_to_start_of_interval(args[:2])} + {args[1]})"
     ),
     # exact sampling lowerings for the contract tier: binomial = n
     # Bernoulli draws; Poisson = inverse-transform over the iterative pmf
@@ -4067,6 +4106,13 @@ FUNC_RULES: dict[str, object] = {
     "toIntervalWeek": lambda args: f"({args[0]} * INTERVAL 7 DAY)",
     # CH 25.x generic form: toInterval(n, 'unit') — unit a string literal
     "toInterval": _to_interval_expr,
+    # WINDOW VIEW time-window functions (batch analog — see docstring);
+    # tumbleStart/tumbleEnd live with the original entries above (arity
+    # dispatch: 1-arg struct extraction vs the 2-arg direct form)
+    "tumble": lambda a: _window_tvf_expr(a, "tumble"),
+    "hop": lambda a: _window_tvf_expr(a, "hop"),
+    "hopStart": lambda a: f"({a[0]}).start",
+    "hopEnd": lambda a: f"({a[0]}).end",
     "toIntervalMinute": lambda args: f"({args[0]} * INTERVAL 1 MINUTE)",
     "toIntervalSecond": lambda args: f"({args[0]} * INTERVAL 1 SECOND)",
     "parseDateTime": lambda args: _parse_datetime(args),

@@ -992,6 +992,21 @@ class ChSparkEngine:
                                  "refreshable materialized view")
             return self._create_table(name, self.sql(views[name][1]), (), ())
         m = _re.match(
+            r"(?is)^CREATE\s+WINDOW\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(\w+)\s+AS\s+(SELECT.+)$",
+            text,
+        )
+        if m:
+            # WINDOW VIEW (CH 22.x experimental, in the pinned image):
+            # tumble()/hop() group-by windows.  Batch analog — the view
+            # recomputes per read over the current data, exactly like a
+            # plain VIEW whose body uses the window functions; CH's
+            # incremental fire-on-insert/fire-on-watermark machinery is the
+            # Structured-Streaming tier (streaming/pipeline.py tumbling/
+            # hopping queries, driver-recorded).  tumble/hop lower to
+            # Spark's window() struct (chsql._window_tvf_expr).
+            return self._replace_view(m.group(1).lower(), self.sql(m.group(2)))
+        m = _re.match(
             r"(?is)^CREATE\s+(MATERIALIZED\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(\w+)\s+AS\s+(SELECT.+)$",
             text,

@@ -1566,17 +1566,15 @@ _KQL_SCALARS: dict = {
     "pack_array": lambda a: f"array({', '.join(a)})",
     "array_concat": lambda a: f"concat({', '.join(a)})",
     "strcat_array": lambda a: f"array_join({a[0]}, {a[1]})",
-    "array_sort_asc": lambda a: f"array_sort({a[0]})",
-    "array_sort_desc": lambda a: f"reverse(array_sort({a[0]}))",
+    # NB: array_sort_asc/desc and array_slice live in the later vocab
+    # section (the negative-wrap array_slice is the faithful one) — the
+    # duplicate-key AST gate (tests/test_rewrite_order.py) keeps this
+    # table single-sourced
     "set_union": lambda a: f"array_union({a[0]}, {a[1]})",
     "set_intersect": lambda a: f"array_intersect({a[0]}, {a[1]})",
     "set_difference": lambda a: f"array_except({a[0]}, {a[1]})",
     # Kusto array_index_of is 0-based, -1 when missing
     "array_index_of": lambda a: f"(array_position({a[0]}, {a[1]}) - 1)",
-    # Kusto array_slice(arr, start, end): 0-based INCLUSIVE bounds
-    "array_slice": lambda a: (
-        f"slice({a[0]}, ({a[1]}) + 1, ({a[2]}) - ({a[1]}) + 1)"
-    ),
     "bag_pack": lambda a: f"map({', '.join(a)})",
     "bag_keys": lambda a: f"map_keys({a[0]})",
     "todatetime": lambda a: f"try_to_timestamp({a[0]})",

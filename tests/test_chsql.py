@@ -4326,3 +4326,51 @@ FROM VALUES {vals} AS s(t, v)
     assert rnd(r.irt) == rnd(exp_irt)
     assert rnd(r.rt) == rnd([rate_delta(g, True) for g in grid])
     assert rnd(r.dl) == rnd([rate_delta(g, False) for g in grid])
+
+
+def test_window_view_tumble_hop(spark):
+    """CREATE WINDOW VIEW + tumble/hop/tumbleStart/tumbleEnd/hopStart/
+    hopEnd (CH 22.x experimental, round 12): batch analog — the view
+    recomputes per read; windows verified against DuckDB date_trunc
+    buckets; CH hop(time, slide, size) maps to Spark
+    window(time, size, slide)."""
+    import duckdb
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    eng.sql(
+        """
+CREATE WINDOW VIEW wv_daily_t AS
+SELECT tumbleStart(tumble(ts, INTERVAL 1 DAY)) AS ws,
+       tumbleEnd(tumble(ts, INTERVAL 1 DAY)) AS we,
+       count() AS n
+FROM events WHERE event_id < 200
+GROUP BY tumble(ts, INTERVAL 1 DAY)
+""",
+        dialect="clickhouse",
+    )
+    rows = eng.sql(
+        "SELECT * FROM wv_daily_t ORDER BY ws", dialect="clickhouse"
+    ).collect()
+    exp = duckdb.sql(
+        "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS ws, "
+        "count(*) AS n FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_id < 200 GROUP BY 1 ORDER BY 1"
+    ).fetchall()
+    assert [(r.ws, r.n) for r in rows] == [(t, n) for t, n in exp]
+    for r in rows:
+        assert (r.we - r.ws).total_seconds() == 86400
+
+    # hop: 1-day windows sliding 12h — every event lands in exactly 2
+    hop = eng.sql(
+        """
+SELECT hopStart(hop(ts, INTERVAL 12 HOUR, INTERVAL 1 DAY)) AS hs,
+       count() AS n
+FROM events WHERE event_id < 200
+GROUP BY hop(ts, INTERVAL 12 HOUR, INTERVAL 1 DAY)
+""",
+        dialect="clickhouse",
+    ).collect()
+    assert sum(r.n for r in hop) == 2 * 200

@@ -95,3 +95,33 @@ def test_rendered_outputs_are_fixpoints_of_the_remaining_pass():
         "move B ahead of A in _KQL_SCALARS (the repeat-before-strrep "
         f"rule): {hazards}"
     )
+
+
+def test_no_duplicate_dict_keys_in_rule_tables():
+    """A Python dict literal with duplicate keys silently keeps the LAST
+    one — round 12 nearly shipped a second 'tumbleStart' entry that
+    shadowed the existing 2-arg lowering 1,000 lines up.  Parse the rule
+    modules' ASTs and fail on any duplicate constant key inside one dict
+    literal."""
+    import ast
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    offenders = []
+    for mod in ("chsql.py", "kql.py"):
+        tree = ast.parse(
+            open(os.path.join(repo, "clickhouseocp_spark", mod)).read()
+        )
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.Dict):
+                continue
+            seen: set = set()
+            for k in node.keys:
+                if isinstance(k, ast.Constant):
+                    if k.value in seen:
+                        offenders.append((mod, node.lineno, k.value))
+                    seen.add(k.value)
+    assert not offenders, (
+        f"duplicate dict-literal keys (the last silently wins): "
+        f"{offenders}"
+    )
