@@ -802,6 +802,12 @@ def _damerau_levenshtein_expr(args: list[str]) -> str:
     variant DuckDB's ``damerau_levenshtein`` implements (oracle-verified:
     d('CA','ABC') = 2, where the restricted/OSA variant gives 3).
 
+    Supersedes the Arrow-batched Python kernels (functions/text.py) on
+    the TEXT path for this whole distance family — identical semantics
+    (the recorded registry queries chsql_vocab_r21/string_distances2
+    re-verified green), but pure JVM codegen keeps the scan path off the
+    Python worker; the Column-API helpers keep the kernels.
+
     One fold over s1's positions carrying ALL previous DP rows (the
     transposition term reads d[k−1][l−1] for the last matching row k /
     column l, so a two-row rolling window is not enough); k and l are
