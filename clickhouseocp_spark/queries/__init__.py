@@ -614,20 +614,22 @@ _DRIVER_WINDOW_R14: list[str] = [
 ]
 
 #: Round-12 window: CORRECTNESS_r11 landed 50/50 green and the
-#: never-recorded backlog is ZERO, so the window carries (a) the 7
+#: never-recorded backlog is ZERO, so the window carries (a) the 12
 #: round-12 births — the statistical/series tier registered per VERDICT
 #: r11 "What's missing" #1 (stats_q3.py: MW/meanZ, t-test/ANOVA p-values
 #: via the DuckDB Lentz-fold replay, rankCorr/entropy/intervalLengthSum/
 #: e-folding decay, corr matrices, STL contracts, series_fit_poly, the
-#: KQL beta_cdf/binomial_test/welch_test + round-12 ipv6 fixes) — and
-#: (b) re-records of the 43 STALEST greens (all CORRECTNESS_r01 names,
-#: recorded 11 rounds ago while their lowerings kept evolving — VERDICT
-#: r11 missing #2).
+#: KQL beta_cdf/binomial_test/welch_test + round-12 ipv6 fixes, the
+#: PromQL timeSeries*ToGrid tier, morton/hilbert curves, the -Resample
+#: closure, and vocab batches 38-39) — and (b) re-records of the 38
+#: STALEST greens (all CORRECTNESS_r01 names, recorded 11 rounds ago
+#: while their lowerings kept evolving — VERDICT r11 missing #2).
 #:
 #: ROUND-13 START TASK: lead with any r12 reds (fix first), then round-13
 #: births staged in _DRIVER_WINDOW_R16, then continue the staleness
-#: rotation — 6 r01 names (dict_get_unordered tail) + the 42 r02 names
-#: are the oldest records left.
+#: rotation — 5 r01 names (with_totals, partial_merge_reagg,
+#: dict_get_default, qualify_top_per_group, pivot_sum_if) + the 42 r02
+#: names are the oldest records left.
 _DRIVER_WINDOW_R15: list[str] = [
     # --- round-12 births: the statistical/series tier (stats_q3.py) ---
     "chsql_mann_whitney_meanz",
