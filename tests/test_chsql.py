@@ -4374,3 +4374,79 @@ GROUP BY hop(ts, INTERVAL 12 HOUR, INTERVAL 1 DAY)
         dialect="clickhouse",
     ).collect()
     assert sum(r.n for r in hop) == 2 * 200
+
+
+def test_vocab_r38_scalars_randomized(spark):
+    """Round-12 hardening for the r38 scalar batch: seeded-random
+    arrayLevenshtein vs an independent Python DP, CRC32 vs zlib,
+    stringBytes* vs byte-level replays, multi-arg
+    arraySymmetricDifference, and stringCompare orderings."""
+    import math
+    import random
+    import zlib
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    rng = random.Random(3812)
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, x in enumerate(a, 1):
+            cur = [i]
+            for j, y in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (x != y)))
+            prev = cur
+        return prev[-1]
+
+    arrs = [
+        ([rng.randrange(0, 5) for _ in range(rng.randrange(0, 8))],
+         [rng.randrange(0, 5) for _ in range(rng.randrange(0, 8))])
+        for _ in range(30)
+    ]
+    strs = ["", "a", "hello world", "aAbB!\t9", "ÿüé€", "xyzxyzxyz"]
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    def sqlarr(a):
+        return ("array(" + ", ".join(map(str, a)) + ")") if a \
+            else "CAST(array() AS ARRAY<INT>)"
+
+    sel = ", ".join(
+        f"arrayLevenshtein({sqlarr(a)}, {sqlarr(b)}) AS lv{i}"
+        for i, (a, b) in enumerate(arrs)
+    )
+    r = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    for i, (a, b) in enumerate(arrs):
+        assert r[f"lv{i}"] == lev(a, b), (a, b)
+
+    sel2 = ", ".join(
+        f"CRC32('{s}') AS c{i}, stringBytesUniq('{s}') AS u{i}, "
+        f"round(stringBytesEntropy('{s}'), 9) AS e{i}"
+        for i, s in enumerate(strs) if "'" not in s
+    )
+    r2 = eng.sql(f"SELECT {sel2}", dialect="clickhouse").collect()[0]
+    for i, s in enumerate(strs):
+        bs = s.encode("utf-8")
+        assert r2[f"c{i}"] == zlib.crc32(bs)
+        assert r2[f"u{i}"] == len(set(bs))
+        if bs:
+            n = len(bs)
+            ent = -sum(bs.count(v) / n * math.log2(bs.count(v) / n)
+                       for v in set(bs))
+        else:
+            ent = 0.0
+        assert r2[f"e{i}"] == round(ent, 9)
+
+    r3 = eng.sql(
+        """
+SELECT arraySymmetricDifference([1, 2], [2, 3], [2, 4]) AS s3,
+       arraySymmetricDifference([1, 1, 2], [2, 2, 1]) AS dedup,
+       stringCompare('', '') AS c0,
+       stringCompare('', 'a') AS c1,
+       stringCompare('b', 'a') AS c2
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r3.s3 == [1, 3, 4]  # 2 is in all three; the rest in some
+    assert r3.dedup == []  # same element sets -> empty
+    assert (r3.c0, r3.c1, r3.c2) == (0, -1, 1)
