@@ -625,11 +625,17 @@ _DRIVER_WINDOW_R14: list[str] = [
 #: STALEST greens (all CORRECTNESS_r01 names, recorded 11 rounds ago
 #: while their lowerings kept evolving — VERDICT r11 missing #2).
 #:
-#: ROUND-13 START TASK: lead with any r12 reds (fix first), then round-13
-#: births staged in _DRIVER_WINDOW_R16, then continue the staleness
-#: rotation — 5 r01 names (with_totals, partial_merge_reagg,
-#: dict_get_default, qualify_top_per_group, pivot_sum_if) + the 42 r02
-#: names are the oldest records left.
+#: ROUND-13 START TASK: lead with any r12 reds (there were NONE — r12
+#: landed 50/50 green), then round-13 births staged in
+#: _DRIVER_WINDOW_R16, then continue the staleness rotation via
+#: _ROTATION_R13 — the 11 remaining r01-latest names followed by the 42
+#: r02-latest names (53 total; with B births the first 50 of
+#: all_queries() record B births + the 50-B stalest, and the overflow
+#: leads round 14's rotation).  The r12 note hand-listed only 5 r01
+#: names and missed 6 (VERDICT r12 wrong #2); _ROTATION_R13 is now
+#: pinned against the CORRECTNESS_r*.json artifacts by
+#: tests/test_coverage_ledger.py::test_rotation_tail_is_derived so a
+#: hand-written tail can never be wrong again.
 _DRIVER_WINDOW_R15: list[str] = [
     # --- round-12 births: the statistical/series tier (stats_q3.py) ---
     "chsql_mann_whitney_meanz",
@@ -686,6 +692,72 @@ _DRIVER_WINDOW_R15: list[str] = [
     "dedup_latest_version",
     "paste_join_positional",
     "sum_if_combinators",
+]
+
+#: Round-13 births — staged at birth per the standing contract
+#: (test_every_registry_query_is_recorded_or_staged).
+_DRIVER_WINDOW_R16: list[str] = []
+
+#: Round-13 staleness rotation: the 11 r01-latest names (every record in
+#: CORRECTNESS_r01.json never re-recorded since) followed by the 42
+#: r02-latest names.  Content pinned against the committed artifacts by
+#: tests/test_coverage_ledger.py::test_rotation_tail_is_derived.
+_ROTATION_R13: list[str] = [
+    # --- r01-latest (11, verified complete — VERDICT r12 wrong #2) ---
+    "array_join_parallel",
+    "asof_join_inner",
+    "dict_get_default",
+    "partial_merge_reagg",
+    "pivot_sum_if",
+    "qualify_top_per_group",
+    "scalar_datetime",
+    "scalar_regex",
+    "scalar_string",
+    "with_fill_from_to",
+    "with_totals",
+    # --- r02-latest (42) ---
+    "agg_delta_sum",
+    "agg_vocab_extras",
+    "bit_functions",
+    "bitmap_agg_operations",
+    "ch_function_names",
+    "collate_sort",
+    "contamination_ngram_overlap",
+    "corpus_mix_weighted",
+    "corpus_split_stratified",
+    "corpus_vocabulary",
+    "dedup_cluster_components",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "embedding_near_dup",
+    "histogram_buckets",
+    "ip_functions",
+    "line_dedup_c4",
+    "minmax_map_agg",
+    "nearest_centroid_assign",
+    "pack_sequences_greedy",
+    "pack_utilization",
+    "projection_rollup_answer",
+    "quality_filter_gopher",
+    "quantile_dd_state_merge",
+    "quantile_timing_state_merge",
+    "retention_steps",
+    "sequence_count_pairs",
+    "sequence_match_chain",
+    "similarity_topk",
+    "substring_dup_spans",
+    "sum_map_agg",
+    "system_columns",
+    "text_language_id",
+    "text_ngram_stats",
+    "text_pii_scrub",
+    "text_quality_score",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "top_k_weighted",
+    "topk_state_merge",
+    "window_funnel_depth",
+    "window_funnel_overlap",
 ]
 
 _DRIVER_WINDOW_R5 = [
@@ -873,11 +945,13 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        # round-12 recording window (exactly 50): 7 births (the
-        # statistical/series tier) + 43 stalest-green re-records (all
-        # CORRECTNESS_r01 names) — see _DRIVER_WINDOW_R15 notes
-        _DRIVER_WINDOW_R15
+        # round-13 recording window (first 50): births first, then the
+        # staleness rotation (11 r01 + 42 r02 names; overflow past slot
+        # 50 leads round 14) — see _DRIVER_WINDOW_R16/_ROTATION_R13 notes
+        _DRIVER_WINDOW_R16
+        + _ROTATION_R13
         # already driver-recorded tail, in historic order
+        + _DRIVER_WINDOW_R15
         + ["chsql_vocab_r18"]
         + _DRIVER_WINDOW_R13[6:]
         + _DRIVER_WINDOW_R14

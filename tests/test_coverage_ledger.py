@@ -54,14 +54,88 @@ def test_registry_count_in_coverage_md():
     )
 
 
+def _git_commit_epoch(path: str) -> int:
+    """Last-commit unix time for *path*, or 0 if untracked/not a repo."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            ["git", "log", "-1", "--format=%ct", "--", path],
+            cwd=REPO, capture_output=True, text=True, timeout=30,
+        ).stdout.strip()
+        return int(out) if out else 0
+    except Exception:
+        return 0
+
+
 def test_driver_ledger_in_coverage_md():
+    """Every CORRECTNESS_r*.json round must have its regenerated ledger
+    row in COVERAGE.md — EXCEPT the newest artifact when the driver
+    committed it after COVERAGE.md's last commit (the driver writes
+    CORRECTNESS_r{N} post-close, so demanding its row at judgment time
+    made pytest red every round through no code defect — VERDICT r12
+    wrong #1).  The tolerated row becomes mandatory the moment
+    COVERAGE.md is next touched, so round N+1 still cannot skip it.
+    """
     text = open(os.path.join(REPO, "COVERAGE.md")).read()
-    missing = [row for row in _ledger_rows() if row not in text]
+    rows = _ledger_rows()
+    missing = [row for row in rows if row not in text]
+    if missing == [rows[-1]]:
+        newest = max(
+            glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+            key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+        )
+        cov_t = _git_commit_epoch(os.path.join(REPO, "COVERAGE.md"))
+        art_t = _git_commit_epoch(newest)
+        if art_t and cov_t and art_t > cov_t:
+            return  # post-close driver artifact; row due next round
     assert not missing, (
         "COVERAGE.md driver ledger is stale — regenerate these rows "
         f"(recorded/green/red/newly/cumulative from CORRECTNESS_r*.json): "
         f"{missing}"
     )
+
+
+def test_rotation_tail_is_derived():
+    """_ROTATION_R13 must equal the ground truth computed from the
+    committed CORRECTNESS_r*.json artifacts: exactly the names whose
+    LATEST driver record is r01 or r02, with every r01 name ordered
+    before any r02 name.  The r12 hand-written rotation note undercounted
+    the r01 tail 5-vs-11 (VERDICT r12 wrong #2); this pin kills the
+    hand-list class the way the ledger test killed the count class.
+    """
+    import clickhouseocp_spark.queries as q
+
+    latest: dict[str, int] = {}
+    for f in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
+        key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
+    ):
+        r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+        for name in json.load(open(f)):
+            latest[name] = r
+    # Only enforce while the r01/r02 tail is actually outstanding: once
+    # CORRECTNESS_r13+ re-records these names the list is historic.
+    expect_r01 = {n for n, r in latest.items() if r == 1}
+    expect_r02 = {n for n, r in latest.items() if r == 2}
+    rot = q._ROTATION_R13
+    if not (expect_r01 | expect_r02):
+        return  # tail fully rotated in a later round; list is historic
+    assert set(rot) >= (expect_r01 | expect_r02), (
+        f"_ROTATION_R13 misses stale names: "
+        f"{sorted((expect_r01 | expect_r02) - set(rot))}"
+    )
+    assert {n for n in rot if latest.get(n, 99) <= 2} == set(rot), (
+        f"_ROTATION_R13 contains non-stale names: "
+        f"{sorted(n for n in rot if latest.get(n, 99) > 2)}"
+    )
+    r01_idx = [rot.index(n) for n in expect_r01]
+    r02_idx = [rot.index(n) for n in expect_r02]
+    if r01_idx and r02_idx:
+        assert max(r01_idx) < min(r02_idx), (
+            "every r01-latest name must precede all r02-latest names in "
+            "_ROTATION_R13 (oldest records rotate first)"
+        )
 
 
 def test_every_registry_query_is_recorded_or_staged():
