@@ -254,6 +254,207 @@ def _tuple_arith(args: list[str], op: str) -> str:
     return f"named_struct({fields})"
 
 
+def _tuple_literal_elems(a: str, name: str) -> list[str]:
+    """Split a LITERAL ``(a, b, ...)`` tuple operand (the documented
+    tuple-arithmetic subset — see _tuple_arith)."""
+    a = a.strip()
+    if not (a.startswith("(") and a.endswith(")")):
+        raise ChSqlError(
+            f"{name} needs literal (a, b, ...) tuple operands, got {a!r}"
+        )
+    return _split_args(a[1:-1])
+
+
+def _tuple_pairwise(args: list[str], fmt: str, name: str) -> str:
+    """tupleIntDiv/tupleIntDivOrZero/tupleModulo (CH 24.x): element-wise
+    over two literal tuples with an arbitrary cell template."""
+    if len(args) != 2:
+        raise ChSqlError(f"{name} takes two tuples")
+    xs = _tuple_literal_elems(args[0], name)
+    ys = _tuple_literal_elems(args[1], name)
+    if len(xs) != len(ys):
+        raise ChSqlError(f"{name} needs two equal-arity tuples")
+    fields = ", ".join(
+        f"'col{i + 1}', " + fmt.format(x=x, y=y)
+        for i, (x, y) in enumerate(zip(xs, ys))
+    )
+    return f"named_struct({fields})"
+
+
+def _tuple_by_number(args: list[str], fmt: str, name: str) -> str:
+    """tupleMultiplyByNumber/tupleDivideByNumber/tupleIntDivByNumber
+    (CH 24.x): element-wise (tuple, scalar) with a cell template."""
+    if len(args) != 2:
+        raise ChSqlError(f"{name} takes (tuple, number)")
+    xs = _tuple_literal_elems(args[0], name)
+    fields = ", ".join(
+        f"'col{i + 1}', " + fmt.format(x=x, n=args[1])
+        for i, x in enumerate(xs)
+    )
+    return f"named_struct({fields})"
+
+
+def _java_byte_fold(s: str) -> str:
+    """The 32-bit Java/Hive string-hash fold h = 31·h + byte (mod 2^32)
+    over the UTF-8 bytes, exposed via hex() digit pairs — pure JVM SQL,
+    identical replay in DuckDB.  CH's javaHash folds the raw BYTES (not
+    UTF-16 code units), so ASCII matches java.lang.String.hashCode
+    exactly and multi-byte text follows CH, not Java (documented)."""
+    pairs = (
+        f"transform(sequence(1, CAST(length(hex({s})) / 2 AS INT)), "
+        f"__i -> CAST(conv(substring(hex({s}), 2 * __i - 1, 2), 16, 10) "
+        f"AS BIGINT))"
+    )
+    return (
+        f"IF(length({s}) = 0, CAST(0 AS BIGINT), "
+        f"aggregate({pairs}, CAST(0 AS BIGINT), "
+        f"(__h, __b) -> (__h * 31 + __b) & 4294967295))"
+    )
+
+
+def _java_hash_expr(args: list[str]) -> str:
+    """javaHash(s) (CH compat tier): signed-int32 view of the byte fold.
+    Pinned against java.lang.String.hashCode values for ASCII."""
+    if len(args) != 1:
+        raise ChSqlError("javaHash takes exactly (s)")
+    return (
+        f"transform(array({_java_byte_fold(args[0])}), __h -> "
+        f"CAST(IF(__h >= 2147483648, __h - 4294967296, __h) AS INT))[0]"
+    )
+
+
+def _hive_hash_expr(args: list[str]) -> str:
+    """hiveHash(s): javaHash with the sign bit cleared (Hive's
+    positive-bucket convention)."""
+    if len(args) != 1:
+        raise ChSqlError("hiveHash takes exactly (s)")
+    return (
+        f"CAST(({_java_byte_fold(args[0])}) & 2147483647 AS INT)"
+    )
+
+
+def _uuid_to_num_expr(args: list[str]) -> str:
+    """UUIDToNum(uuid[, variant]) → the 16 raw bytes; subset: variant 1
+    (big-endian, CH's default).  Variant 2 is the MS mixed-endian GUID
+    layout — out of subset, explicit error."""
+    if len(args) not in (1, 2):
+        raise ChSqlError("UUIDToNum takes (uuid[, variant])")
+    if len(args) == 2 and args[1].strip() != "1":
+        raise ChSqlError(
+            "UUIDToNum subset: variant 1 (big-endian) only — variant 2 "
+            "(MS mixed-endian) is not lowered"
+        )
+    return f"unhex(replace(CAST({args[0]} AS STRING), '-', ''))"
+
+
+def _ipv4_num_to_str(e: str) -> str:
+    """Dotted-quad render of a UInt32 (shared with the IPv4NumToString
+    rule's inline form)."""
+    return (
+        f"concat_ws('.', CAST(CAST(({e}) / 16777216 AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST(({e}) / 65536 AS BIGINT) % 256 AS STRING), "
+        f"CAST(CAST(({e}) / 256 AS BIGINT) % 256 AS STRING), "
+        f"CAST(({e}) % 256 AS STRING))"
+    )
+
+
+def _ipv4_cidr_to_range_expr(args: list[str]) -> str:
+    """ipv4CIDRToRange(ip, prefix) → ('col1' = lowest, 'col2' = highest)
+    address of the CIDR block, rendered dotted-quad (CH returns IPv4
+    values, which display exactly so).  Pure bit math: lo = ip & mask,
+    hi = lo | (2^(32-prefix) − 1); prefix 0 and 32 both well-defined
+    (shiftleft past 64 can't occur — the mask AND keeps 32 bits)."""
+    if len(args) != 2:
+        raise ChSqlError("ipv4CIDRToRange takes (ip, prefix)")
+    ip, p = args
+    num = (
+        f"(CAST(split({ip}, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        f"CAST(split({ip}, '\\\\.')[1] AS BIGINT) * 65536 + "
+        f"CAST(split({ip}, '\\\\.')[2] AS BIGINT) * 256 + "
+        f"CAST(split({ip}, '\\\\.')[3] AS BIGINT))"
+    )
+    return (
+        f"transform(array(named_struct('n', {num}, 'p', CAST({p} AS INT))), "
+        f"__c -> transform(array(__c.n & (shiftleft(CAST(4294967295 AS "
+        f"BIGINT), 32 - __c.p) & 4294967295)), __lo -> named_struct("
+        f"'col1', {_ipv4_num_to_str('__lo')}, "
+        f"'col2', {_ipv4_num_to_str('__lo + shiftright(CAST(4294967295 AS BIGINT), __c.p)')}"
+        f"))[0])[0]"
+    )
+
+
+def _series_outliers_tukey_expr(args: list[str]) -> str:
+    """seriesOutliersDetectTukey(series[, min_percentile, max_percentile,
+    K]) (CH 24.2): per-element anomaly score — 0 inside the Tukey fences,
+    else the distance past the nearest fence.  The quantile is CH's
+    n·p/100 rule pinned by BOTH documented examples: integer index →
+    the average of the two adjacent order statistics (q3 of the 16-point
+    doc series = (a[12]+a[13])/2 = 9 → fence 18 → score 45−18 = 27),
+    fractional → the ceil-th order statistic (20/80 example → fence
+    25.5 → score 19.5).  Fewer than 4 points → NULL (CH raises).
+    One sort + O(n) transforms per row, all JVM."""
+    if len(args) not in (1, 3, 4):
+        raise ChSqlError(
+            "seriesOutliersDetectTukey takes (series[, min_percentile, "
+            "max_percentile, K])"
+        )
+    arr = args[0]
+    pmin = args[1] if len(args) > 1 else "25.0"
+    pmax = args[2] if len(args) > 2 else "75.0"
+    k = args[3] if len(args) == 4 else "1.5"
+
+    def q(p: str) -> str:
+        np_ = f"(CAST(size(__sa) AS DOUBLE) * ({p}) / 100.0)"
+        i = f"CAST({np_} AS INT)"
+        return (
+            f"IF({np_} = floor({np_}) AND {i} >= 1, "
+            f"(try_element_at(__sa, {i}) + "
+            f"try_element_at(__sa, least({i} + 1, size(__sa)))) / 2.0, "
+            f"try_element_at(__sa, greatest(1, CAST(ceil({np_}) AS INT))))"
+        )
+
+    dbl = f"transform({arr}, __e -> CAST(__e AS DOUBLE))"
+    return (
+        f"IF(size({arr}) < 4, NULL, "
+        f"transform(array(array_sort({dbl})), __sa -> "
+        f"transform(array(named_struct('q1', {q('CAST(' + pmin + ' AS DOUBLE)')}, "
+        f"'q3', {q('CAST(' + pmax + ' AS DOUBLE)')})), __f -> "
+        f"transform({dbl}, __v -> CASE "
+        f"WHEN __v < __f.q1 - ({k}) * (__f.q3 - __f.q1) "
+        f"THEN (__f.q1 - ({k}) * (__f.q3 - __f.q1)) - __v "
+        f"WHEN __v > __f.q3 + ({k}) * (__f.q3 - __f.q1) "
+        f"THEN __v - (__f.q3 + ({k}) * (__f.q3 - __f.q1)) "
+        f"ELSE CAST(0 AS DOUBLE) END))[0])[0])"
+    )
+
+
+def _exp_moving_average_expr(params: list[str], args: list[str]) -> str:
+    """exponentialMovingAverage(x)(value, timeunit) (CH parametric
+    aggregate): Σ vᵢ·2^(−(T−tᵢ)/x) · (1 − 2^(−1/x)), T = max timeunit —
+    the (1 − 2^(−1/x)) factor is pinned by CH's documented example (ten
+    1s at unit-spaced times, x = 1 → 1 − 2⁻¹⁰ = 0.9990234375).  The
+    collected pairs are array_sort-ed so the float fold order is
+    deterministic and the DuckDB oracle replays it element-identically."""
+    if len(params) != 1 or len(args) != 2:
+        raise ChSqlError(
+            "exponentialMovingAverage takes (x)(value, timeunit)"
+        )
+    h = params[0]
+    v, t = args
+    pair = (
+        f"CASE WHEN ({v}) IS NOT NULL AND ({t}) IS NOT NULL THEN "
+        f"named_struct('t', CAST({t} AS DOUBLE), 'v', CAST({v} AS DOUBLE)) END"
+    )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"transform(array(aggregate(__p, CAST(-1e300 AS DOUBLE), "
+        f"(__m, __e) -> greatest(__m, __e.t))), __T -> "
+        f"(1.0 - pow(0.5, 1.0 / ({h}))) * "
+        f"aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> "
+        f"__s + __e.v * pow(0.5, (__T - __e.t) / ({h}))))[0])[0]"
+    )
+
+
 def _ttest_expr(args: list[str], welch: bool) -> str:
     """studentTTest/welchTTest(sample, index) → CH's real ('col1' = t,
     'col2' = two-sided p) tuple (upgraded round 11 — the scalar-t
@@ -1130,6 +1331,35 @@ def _window_tvf_expr(args: list[str], fn: str) -> str:
     return f"window({args[0]}, {dur(args[2])}, {dur(args[1])})"
 
 
+def _hop_start_end_expr(args: list[str], field: str) -> str:
+    """hopStart/hopEnd — both documented forms, mirroring the
+    tumbleStart arity dispatch (ADVICE r12 #4): 1-arg extracts the
+    field from a tumble()/hop() struct; 3-arg ``hopStart(time, slide,
+    size)`` computes the window directly.  CH's hop functions used
+    outside a WINDOW VIEW return the bounds of the FIRST (earliest)
+    window containing ``time``: the smallest slide-multiple start with
+    start + size > time, i.e. toStartOfInterval(time − size, slide) +
+    slide (exclusive upper bound, so a time exactly size past a grid
+    point belongs to the NEXT window — the formula covers that case
+    too).  A scalar closed form, NOT Spark's window(): a sliding
+    window() in a projection expands each row into size/slide rows."""
+    if len(args) == 1:
+        return f"({args[0]}).{field}"
+    if len(args) != 3:
+        raise ChSqlError(
+            "hopStart/hopEnd subset: 1 argument (a tumble()/hop() window "
+            "struct) or 3 (time, INTERVAL slide, INTERVAL size)"
+        )
+    time, slide, size = args
+    first = (
+        f"({_to_start_of_interval([f'(({time}) - {size})', slide])} "
+        f"+ {slide})"
+    )
+    if field == "start":
+        return first
+    return f"({first} + {size})"
+
+
 def _to_interval_expr(args: list[str]) -> str:
     """toInterval(n, 'unit') (CH 25.x generic form): dispatch on the
     unit STRING LITERAL to the same lowerings as the typed
@@ -1192,9 +1422,15 @@ def _string_compare_expr(args: list[str]) -> str:
         raise ChSqlError(
             "stringCompare takes (s1, s2) or (s1, s2, offset1, offset2, n)"
         )
+    # NULL propagates (CH propagates NULL through ordinary functions on
+    # Nullable args — ADVICE r12 #2; the bare CASE fell through to 0).
+    # Wrap-once via transform(array(named_struct(...))) so the 5-arg
+    # substring slices aren't re-evaluated per branch.
     return (
-        f"CAST(CASE WHEN ({x}) < ({y}) THEN -1 "
-        f"WHEN ({x}) > ({y}) THEN 1 ELSE 0 END AS INT)"
+        f"transform(array(named_struct('a', {x}, 'b', {y})), __sc -> "
+        f"CAST(CASE WHEN __sc.a IS NULL OR __sc.b IS NULL THEN NULL "
+        f"WHEN __sc.a < __sc.b THEN -1 "
+        f"WHEN __sc.a > __sc.b THEN 1 ELSE 0 END AS INT))[0]"
     )
 
 
@@ -1232,8 +1468,15 @@ _HILBERT_FLIP = 2147483647  # 2^31 - 1: the curve order is 2^31 (see below)
 
 def _morton_encode_expr(args: list[str]) -> str:
     """mortonEncode(a, b) — 2-D Morton (Z-order) interleave, CH 24.6.
-    Bit i of the FIRST argument lands at position 2i+1 and of the second
-    at 2i, matching CH's documented example ``mortonEncode(1, 2) = 6``.
+    Bit i of the FIRST argument lands at position 2i (even/LSB) and of
+    the second at 2i+1 — CH wraps morton-nd, whose encoder is
+    ``(Encode(rest...) << 1) | spread(first)``, so the first argument
+    takes the even positions: mortonEncode(1, 2) = 9 (and the 3-D
+    documented example mortonEncode(1, 2, 3) = 53 is only consistent
+    with this parity).  The r12 lowering had the two arguments swapped
+    (ADVICE r12 #1) — the self-consistent roundtrip/oracle masked it.
+    Matches functions/clickhouse_names.mortonEncode (the unrolled
+    Column-API kernel, which always had the right parity).
     Subset: 2-D, inputs < 2^31 (CH accepts up to 8 UInt args; BIGINT is
     signed, so the 31-bit bound keeps the result positive and exact on
     both engines — documented).  One 31-step JVM fold, no Python."""
@@ -1246,14 +1489,16 @@ def _morton_encode_expr(args: list[str]) -> str:
     return (
         f"aggregate(sequence(0, 30), CAST(0 AS BIGINT), (__a, __i) -> "
         f"__a + shiftleft(shiftright(CAST({a} AS BIGINT), __i) & 1, "
-        f"2 * __i + 1) "
-        f"+ shiftleft(shiftright(CAST({b} AS BIGINT), __i) & 1, 2 * __i))"
+        f"2 * __i) "
+        f"+ shiftleft(shiftright(CAST({b} AS BIGINT), __i) & 1, "
+        f"2 * __i + 1))"
     )
 
 
 def _morton_decode_expr(args: list[str]) -> str:
     """mortonDecode(2, code) → ('col1', 'col2') — the 2-D inverse of
-    mortonEncode (first coordinate from the odd bit positions)."""
+    mortonEncode (first coordinate from the EVEN bit positions, the
+    morton-nd parity; ADVICE r12 #1)."""
     if len(args) != 2 or args[0].strip() != "2":
         raise ChSqlError(
             "mortonDecode subset: the first argument must be the literal "
@@ -1264,10 +1509,10 @@ def _morton_decode_expr(args: list[str]) -> str:
         f"named_struct("
         f"'col1', aggregate(sequence(0, 30), CAST(0 AS BIGINT), "
         f"(__a, __i) -> __a + shiftleft("
-        f"shiftright(CAST({c} AS BIGINT), 2 * __i + 1) & 1, __i)), "
+        f"shiftright(CAST({c} AS BIGINT), 2 * __i) & 1, __i)), "
         f"'col2', aggregate(sequence(0, 30), CAST(0 AS BIGINT), "
         f"(__a, __i) -> __a + shiftleft("
-        f"shiftright(CAST({c} AS BIGINT), 2 * __i) & 1, __i)))"
+        f"shiftright(CAST({c} AS BIGINT), 2 * __i + 1) & 1, __i)))"
     )
 
 
@@ -3951,6 +4196,51 @@ FUNC_RULES: dict[str, object] = {
         f"[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{12}}$' "
         f"THEN lower({args[0]}) END"
     ),
+    "toUUIDOrDefault": lambda args: (
+        f"CASE WHEN {args[0]} RLIKE '^[0-9A-Fa-f]{{8}}-[0-9A-Fa-f]{{4}}-"
+        f"[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{12}}$' "
+        f"THEN lower({args[0]}) ELSE {args[1]} END"
+    ),
+    # UUIDToNum(uuid[, variant]): the FixedString(16) byte image; subset
+    # variant 1 (big-endian — CH's default); variant 2 (MS mixed-endian)
+    # stays out (documented)
+    "UUIDToNum": _uuid_to_num_expr,
+    # round-13 vocabulary batch (r40): tuple arithmetic closure, byte
+    # slicing, case-insensitive match counting, Java/Hive hashes, CIDR
+    # ranges, Tukey outlier scores
+    "tupleIntDiv": lambda args: _tuple_pairwise(
+        args, "CAST(try_divide({x}, {y}) AS BIGINT)", "tupleIntDiv"
+    ),
+    "tupleIntDivOrZero": lambda args: _tuple_pairwise(
+        args, "coalesce(CAST(try_divide({x}, {y}) AS BIGINT), 0)",
+        "tupleIntDivOrZero",
+    ),
+    "tupleModulo": lambda args: _tuple_pairwise(
+        args, "(({x}) % ({y}))", "tupleModulo"
+    ),
+    "tupleMultiplyByNumber": lambda args: _tuple_by_number(
+        args, "(({x}) * ({n}))", "tupleMultiplyByNumber"
+    ),
+    "tupleDivideByNumber": lambda args: _tuple_by_number(
+        args, "(CAST({x} AS DOUBLE) / ({n}))", "tupleDivideByNumber"
+    ),
+    "tupleIntDivByNumber": lambda args: _tuple_by_number(
+        args, "CAST(try_divide({x}, {n}) AS BIGINT)", "tupleIntDivByNumber"
+    ),
+    # byteSlice works on BYTES (substring is char-based — the BINARY
+    # round-trip keeps multi-byte UTF-8 honest)
+    "byteSlice": lambda args: (
+        f"CAST(substr(CAST({args[0]} AS BINARY), {args[1]}, {args[2]}) "
+        f"AS STRING)" if len(args) == 3
+        else f"CAST(substr(CAST({args[0]} AS BINARY), {args[1]}) AS STRING)"
+    ),
+    "countMatchesCaseInsensitive": lambda args: (
+        f"regexp_count({args[0]}, concat('(?i)', {args[1]}))"
+    ),
+    "javaHash": _java_hash_expr,
+    "hiveHash": _hive_hash_expr,
+    "ipv4CIDRToRange": _ipv4_cidr_to_range_expr,
+    "seriesOutliersDetectTukey": _series_outliers_tukey_expr,
     # CH rand() is a uniform UInt32 (users write rand() % N) — NOT a [0,1)
     # double; randCanonical() is the [0,1) form
     "rand": lambda args: "cast(floor(rand() * 4294967296) as bigint)",
@@ -4117,8 +4407,13 @@ FUNC_RULES: dict[str, object] = {
     # dispatch: 1-arg struct extraction vs the 2-arg direct form)
     "tumble": lambda a: _window_tvf_expr(a, "tumble"),
     "hop": lambda a: _window_tvf_expr(a, "hop"),
-    "hopStart": lambda a: f"({a[0]}).start",
-    "hopEnd": lambda a: f"({a[0]}).end",
+    # hopStart/hopEnd mirror the tumbleStart arity dispatch (ADVICE r12
+    # #4): 1-arg extracts from a hop() struct, 3-arg is the direct
+    # hopStart(time, slide, size) documented form.  NOTE: the direct
+    # form is the FIRST hop window's start/end (CH semantics: the
+    # earliest window containing `time`), i.e. the hop struct itself.
+    "hopStart": lambda a: _hop_start_end_expr(a, "start"),
+    "hopEnd": lambda a: _hop_start_end_expr(a, "end"),
     "toIntervalMinute": lambda args: f"({args[0]} * INTERVAL 1 MINUTE)",
     "toIntervalSecond": lambda args: f"({args[0]} * INTERVAL 1 SECOND)",
     "parseDateTime": lambda args: _parse_datetime(args),
@@ -4913,6 +5208,7 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "meanZTest": _mean_z_test_expr,
     "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
+    "exponentialMovingAverage": _exp_moving_average_expr,
     # mannWhitneyUTest(alternative[, continuity])(x, idx): two-sided only
     # (the one-sided tails need the same normal machinery but flip the
     # rejection side — out of the pinned subset); continuity 0/1 honored

@@ -23,11 +23,14 @@ from pyspark.sql.functions import pandas_udf
 
 def _betacf(a: float, b: float, x: float) -> float:
     """NR continued fraction for the incomplete beta (Lentz; iteration
-    budget mirrors ``sqlstats.betacf_sql``'s adaptive envelope —
-    clamp(3·sqrt(max(a,b)) + 50, [200, 10000]) with the eps early
-    break)."""
+    budget IS ``sqlstats.betacf_sql``'s adaptive envelope —
+    clamp(3·sqrt(max(a,b)) + 50, [100, 10000]) — plus the eps early
+    break, which the fixed-length SQL fold doesn't need because
+    converged tail factors multiply by 1.  The floor was 200 here vs
+    100 in betacf_sql/duck_betacf while the docstrings claimed
+    identical envelopes — ADVICE r12 #5; now all three share 100."""
     eps, fpmin = 3e-16, 1e-300
-    iters = int(min(10000.0, max(200.0, 3.0 * max(a, b) ** 0.5 + 50.0)))
+    iters = int(min(10000.0, max(100.0, 3.0 * max(a, b) ** 0.5 + 50.0)))
     qab, qap, qam = a + b, a + 1.0, a - 1.0
     c = 1.0
     d = 1.0 - qab * x / qap

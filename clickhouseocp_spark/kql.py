@@ -1024,6 +1024,43 @@ def _kql_ipv4_compare(a: list[str]) -> str:
     )
 
 
+def _regex_capture_group_count(body: str) -> int:
+    """Count CAPTURING groups in a regex literal the way the engine
+    numbers them (ADVICE r12 #3 — the old one-line lookaround miscounted
+    three classes): tracks escape state (``\\\\(`` is an escaped
+    backslash followed by a REAL group, ``\\(`` is a literal paren),
+    skips character classes (``[(]`` is no group), and counts named
+    groups ``(?P<name>...)`` / ``(?<name>...)`` — which ARE capturing
+    and consume indexes in RE2/Kusto and in the Java regex Spark
+    executes — while excluding lookbehinds ``(?<=`` / ``(?<!``."""
+    n, i, in_class = 0, 0, False
+    while i < len(body):
+        c = body[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            i += 1
+            continue
+        if c == "(":
+            rest = body[i + 1:]
+            if not rest.startswith("?"):
+                n += 1
+            elif rest.startswith("?P<") or (
+                rest.startswith("?<")
+                and not rest.startswith(("?<=", "?<!"))
+            ):
+                n += 1
+        i += 1
+    return n
+
+
 def _kql_extract_all(a: list[str]) -> str:
     """extract_all(regex, [captureGroups,] source) — all matches of the
     LITERAL regex: one capture group → array of strings
@@ -1061,7 +1098,7 @@ def _kql_extract_all(a: list[str]) -> str:
             f"group count sizes the generated expression), got {rex!r}"
         )
     body = rex[1:-1]
-    n_groups = len(re.findall(r"(?<!\\)\((?!\?)", body))
+    n_groups = _regex_capture_group_count(body)
     if n_groups < 1:
         raise KqlError("extract_all: the regex needs a capture group")
     groups = wanted if wanted is not None else list(range(1, n_groups + 1))

@@ -806,9 +806,9 @@ GROUP BY l_returnflag
 
 _DUCK_MORTON = (
     "CAST(list_sum(list_transform(range(0, 31), __i -> "
-    "((a >> __i) & 1) << (2 * __i + 1))) AS BIGINT) "
+    "((a >> __i) & 1) << (2 * __i))) AS BIGINT) "
     "+ CAST(list_sum(list_transform(range(0, 31), __i -> "
-    "((b >> __i) & 1) << (2 * __i))) AS BIGINT)"
+    "((b >> __i) & 1) << (2 * __i + 1))) AS BIGINT)"
 )
 
 #: the identical Wikipedia xy2d fold as a DuckDB list_reduce — Lentz-style
@@ -848,8 +848,9 @@ ORDER BY event_id
 )
 def chsql_morton_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 2-D space-filling-curve index tier (CH 24.6):
-    ``mortonEncode``/``mortonDecode`` (Z-order interleave, CH's
-    first-arg-at-odd-positions convention — mortonEncode(1,2)=6) and
+    ``mortonEncode``/``mortonDecode`` (Z-order interleave, the morton-nd
+    first-arg-at-EVEN-positions parity CH wraps — mortonEncode(1,2)=9;
+    the r12 swap fixed per ADVICE r12 #1) and
     ``hilbertEncode``/``hilbertDecode`` (the published Wikipedia
     xy2d/d2xy iteration — hilbertEncode(3,4)=31).  Encode values are
     replayed by the IDENTICAL bit folds in DuckDB (list_reduce with

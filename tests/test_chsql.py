@@ -3866,9 +3866,12 @@ print m48 = ipv6_is_match('fe80:0001:0002:0003::1/64',
 def test_morton_hilbert_curves(spark):
     """mortonEncode/Decode + hilbertEncode/Decode (CH 24.6, round 12):
     pinned against an independent Python replay of the published
-    Wikipedia xy2d/d2xy iteration and CH's documented examples
-    (mortonEncode(1,2)=6, hilbertEncode(3,4)=31); roundtrips exact;
-    non-2-D forms rejected with the subset message."""
+    Wikipedia xy2d/d2xy iteration and the morton-nd parity CH wraps
+    (first arg at even/LSB positions: mortonEncode(1,2)=9, the only
+    convention consistent with CH's documented 3-D example
+    mortonEncode(1,2,3)=53 — ADVICE r12 #1 fixed the r12 swap;
+    hilbertEncode(3,4)=31); roundtrips exact; non-2-D forms rejected
+    with the subset message."""
     import pytest as _pytest
 
     from clickhouseocp_spark.chsql import ChSqlError, transpile
@@ -3907,12 +3910,12 @@ FROM VALUES {vals} AS t(x, y)
         dialect="clickhouse",
     ).collect()
     for r in rows:
-        exp_m = sum(((r.x >> i) & 1) << (2 * i + 1) for i in range(31)) \
-            + sum(((r.y >> i) & 1) << (2 * i) for i in range(31))
+        exp_m = sum(((r.x >> i) & 1) << (2 * i) for i in range(31)) \
+            + sum(((r.y >> i) & 1) << (2 * i + 1) for i in range(31))
         assert r.me == exp_m and r.he == xy2d(2**31, r.x, r.y)
         assert (r.mx, r.my) == (r.x, r.y) and (r.hx, r.hy) == (r.x, r.y)
     by_xy = {(r.x, r.y): r for r in rows}
-    assert by_xy[(1, 2)].me == 6  # CH doc example
+    assert by_xy[(1, 2)].me == 9  # morton-nd parity (CH wraps morton-nd)
     assert by_xy[(3, 4)].he == 31  # CH doc example
 
     with _pytest.raises(ChSqlError, match="2-D"):
@@ -4177,6 +4180,21 @@ print e1 = extract_all('(\\d+)', 'a1b22c333'),
     assert r.e2 == [["a", "1"], ["b", "22"], ["c", "333"]]
     assert r.e3 == ["1", "22", "333"]
 
+    # Group-counter hardening (ADVICE r12 #3): escaped backslash before
+    # a REAL group, paren inside a character class, and named groups —
+    # which are capturing in RE2/Kusto/Java and consume indexes.
+    r2 = eng.sql(
+        r"""
+print g1 = extract_all('\\\\(\\d+)', 'x\\1y\\22z'),
+      g2 = extract_all('([(])(\\d+)', '(1 (22'),
+      g3 = extract_all('(?<w>\\w)-(\\d+)', dynamic([2]), 'a-1 b-22')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r2.g1 == ["1", "22"]
+    assert r2.g2 == [["(", "1"], ["(", "22"]]
+    assert r2.g3 == ["1", "22"]  # named group holds index 1
+
     rows = eng.sql(
         """
 events | where event_id < 200
@@ -4251,8 +4269,8 @@ FROM VALUES {vals} AS t(x, y)
         assert (r.mx, r.my) == (r.x, r.y)
         assert (r.hx, r.hy) == (r.x, r.y)
         assert r.he == xy2d(2**31, r.x, r.y)
-        exp_m = sum(((r.x >> i) & 1) << (2 * i + 1) for i in range(31)) \
-            + sum(((r.y >> i) & 1) << (2 * i) for i in range(31))
+        exp_m = sum(((r.x >> i) & 1) << (2 * i) for i in range(31)) \
+            + sum(((r.y >> i) & 1) << (2 * i + 1) for i in range(31))
         assert r.me == exp_m
 
 
@@ -4443,10 +4461,97 @@ SELECT arraySymmetricDifference([1, 2], [2, 3], [2, 4]) AS s3,
        arraySymmetricDifference([1, 1, 2], [2, 2, 1]) AS dedup,
        stringCompare('', '') AS c0,
        stringCompare('', 'a') AS c1,
-       stringCompare('b', 'a') AS c2
+       stringCompare('b', 'a') AS c2,
+       stringCompare(CAST(NULL AS STRING), 'a') AS cn1,
+       stringCompare('a', CAST(NULL AS STRING)) AS cn2,
+       stringCompare(CAST(NULL AS STRING), 'a', 0, 0, 1) AS cn3
 """,
         dialect="clickhouse",
     ).collect()[0]
     assert r3.s3 == [1, 3, 4]  # 2 is in all three; the rest in some
     assert r3.dedup == []  # same element sets -> empty
     assert (r3.c0, r3.c1, r3.c2) == (0, -1, 1)
+    # NULL propagates (ADVICE r12 #2: the bare CASE used to return 0)
+    assert r3.cn1 is None and r3.cn2 is None and r3.cn3 is None
+
+
+def test_vocab_r40_round13(spark):
+    """Round-13 vocabulary batch: tuple arithmetic closure (incl. the
+    OrZero/ByNumber variants), byteSlice on multi-byte UTF-8, javaHash/
+    hiveHash vs java.lang.String.hashCode values, UUIDToNum variant
+    subset, ipv4CIDRToRange edge prefixes, seriesOutliersDetectTukey
+    pinned against BOTH ClickHouse documented examples, and
+    exponentialMovingAverage pinned against CH's documented ten-ones
+    example (1 − 2⁻¹⁰)."""
+    import pytest as _pytest
+
+    from clickhouseocp_spark.chsql import ChSqlError, transpile
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT tupleElement(tupleIntDiv((15, 10), (5, 4)), 2) AS tid,
+       tupleElement(tupleIntDivOrZero((15, 10), (5, 0)), 2) AS tidz,
+       tupleElement(tupleIntDivByNumber((15, 10), 4), 1) AS tidn,
+       tupleElement(tupleModulo((15, 10), (4, 3)), 1) AS tmod,
+       tupleElement(tupleMultiplyByNumber((2, 3), 5), 2) AS tmul,
+       tupleElement(tupleDivideByNumber((1, 3), 4), 1) AS tdiv,
+       byteSlice('héllo', 2, 3) AS bs,
+       byteSlice('abcdef', 3) AS bs2,
+       countMatchesCaseInsensitive('AbaBA', 'a') AS cmi,
+       javaHash('hello') AS jh,
+       javaHash('') AS jh0,
+       javaHash('Z') AS jh1,
+       hiveHash('hello') AS hh,
+       hex(UUIDToNum('00112233-4455-6677-8899-aabbccddeeff')) AS u2n,
+       toUUIDOrDefault('00112233-4455-6677-8899-AABBCCDDEEFF', 'x') AS ud1,
+       toUUIDOrDefault('nope', 'fallback') AS ud2,
+       tupleElement(ipv4CIDRToRange('192.168.5.2', 16), 1) AS c16lo,
+       tupleElement(ipv4CIDRToRange('192.168.5.2', 16), 2) AS c16hi,
+       tupleElement(ipv4CIDRToRange('192.168.5.2', 0), 1) AS c0lo,
+       tupleElement(ipv4CIDRToRange('192.168.5.2', 0), 2) AS c0hi,
+       tupleElement(ipv4CIDRToRange('192.168.5.2', 32), 1) AS c32lo,
+       seriesOutliersDetectTukey(
+         [-3, 2, 15, 3, 5, 6, 4, 5, 12, 45, 12, 3, 3, 4, 5, 6]) AS tk,
+       seriesOutliersDetectTukey(
+         [-3, 2, 15, 3, 5, 6, 4, 5, 12, 45, 12, 3, 3, 4, 5, 6],
+         20, 80, 1.5) AS tk2,
+       seriesOutliersDetectTukey([1, 2, 3]) AS tkshort
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.tid, r.tidz, r.tidn, r.tmod, r.tmul) == (2, 0, 3, 3, 15)
+    assert r.tdiv == 0.25
+    assert r.bs == "él" and r.bs2 == "cdef"
+    assert r.cmi == 3
+    # java.lang.String.hashCode("hello") / ("") / ("Z") — published values
+    assert (r.jh, r.jh0, r.jh1) == (99162322, 0, 90)
+    assert r.hh == 99162322  # sign bit clear; "hello" hash is positive
+    assert r.u2n == "00112233445566778899AABBCCDDEEFF"
+    assert r.ud1 == "00112233-4455-6677-8899-aabbccddeeff"
+    assert r.ud2 == "fallback"
+    assert (r.c16lo, r.c16hi) == ("192.168.0.0", "192.168.255.255")
+    assert (r.c0lo, r.c0hi) == ("0.0.0.0", "255.255.255.255")
+    assert r.c32lo == "192.168.5.2"
+    # CH docs, seriesOutliersDetectTukey — both published examples
+    assert r.tk == [0, 0, 0, 0, 0, 0, 0, 0, 0, 27.0, 0, 0, 0, 0, 0, 0]
+    assert r.tk2 == [0, 0, 0, 0, 0, 0, 0, 0, 0, 19.5, 0, 0, 0, 0, 0, 0]
+    assert r.tkshort is None  # < 4 points (CH raises; we NULL — documented)
+
+    # CH docs, exponentialMovingAverage: ten 1s at unit-spaced times with
+    # x = 1 → 1 − 2⁻¹⁰ = 0.9990234375
+    vals = ", ".join(f"(1.0, {t}.0)" for t in range(1, 11))
+    r2 = eng.sql(
+        f"SELECT exponentialMovingAverage(1)(v, t) AS e "
+        f"FROM VALUES {vals} AS s(v, t)",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r2.e == 0.9990234375
+
+    with _pytest.raises(ChSqlError, match="variant 1"):
+        transpile("SELECT UUIDToNum(u, 2) FROM t")
+    with _pytest.raises(ChSqlError, match="equal-arity"):
+        transpile("SELECT tupleIntDiv((1, 2), (1, 2, 3)) FROM t")
+    with _pytest.raises(ChSqlError, match="hopStart/hopEnd subset"):
+        transpile("SELECT hopStart(ts, INTERVAL 12 HOUR) FROM t")
