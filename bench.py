@@ -159,6 +159,25 @@ HEADLINE = [
 ]
 
 
+def _prev_full_artifact() -> tuple[str, dict]:
+    """The newest committed BENCH_FULL_r{N}.json (the builder's idle-host
+    full artifact — carries cpu_probe + per-query medians for ALL
+    headliners, unlike the driver tail's top-24)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    arts = sorted(
+        (f for f in os.listdir(here)
+         if re.match(r"BENCH_FULL_r\d+\.json$", f)),
+        key=lambda f: int(re.search(r"r(\d+)", f).group(1)),
+    )
+    for name in reversed(arts):
+        try:
+            with open(os.path.join(here, name)) as f:
+                return name, json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+    return "", {}
+
+
 def _prev_timings() -> tuple[str, dict[str, float]]:
     """Per-query medians from the NEWEST committed BENCH_r{N}.json (driver
     artifact), so each round's line carries its deltas vs the round
@@ -347,6 +366,50 @@ def main() -> None:
                 n: round(t - prev[n], 4) for n, t in timings.items() if n in prev
             },
         }
+    # Probe-normalized cross-round comparison IN the artifact (r11 brief
+    # item #5, finished per VERDICT r12 wrong #4 — the analysis used to
+    # live only in a commit message): per-query ratio ÷ host-probe ratio.
+    # CPU-bound queries read against the jvm probe, shuffle/IO-bound ones
+    # against the shuffle probe; a query is flagged only when it regresses
+    # >1.3x under BOTH normalizations (then it's a plan change, not host
+    # drift — go diff the plan or write the SCALE.md note).
+    prev_full_name, prev_full = _prev_full_artifact()
+    if prev_full:
+        p_probe = prev_full.get("cpu_probe") or {}
+        p_q = prev_full.get("queries") or {}
+        jvm_r = (
+            cpu_probe["jvm_hash_1e8"] / p_probe["jvm_hash_1e8"]
+            if p_probe.get("jvm_hash_1e8") else None
+        )
+        sh_r = (
+            cpu_probe["shuffle_5e6"] / p_probe["shuffle_5e6"]
+            if p_probe.get("shuffle_5e6") else None
+        )
+        raw = {
+            n: round(t / p_q[n], 4)
+            for n, t in timings.items()
+            if p_q.get(n)
+        }
+        norm = {
+            "artifact": prev_full_name,
+            "jvm_probe_ratio": round(jvm_r, 4) if jvm_r else None,
+            "shuffle_probe_ratio": round(sh_r, 4) if sh_r else None,
+            "ratios_raw": raw,
+        }
+        if jvm_r:
+            norm["ratios_jvm_normalized"] = {
+                n: round(r / jvm_r, 4) for n, r in raw.items()
+            }
+        if sh_r:
+            norm["ratios_shuffle_normalized"] = {
+                n: round(r / sh_r, 4) for n, r in raw.items()
+            }
+        if jvm_r and sh_r:
+            norm["flagged_over_1p3"] = sorted(
+                n for n, r in raw.items()
+                if r / jvm_r > 1.3 and r / sh_r > 1.3
+            )
+        full["vs_prev_normalized"] = norm
     local_path = os.environ.get(
         "SPARK_GRAFT_BENCH_LOCAL", os.path.join(os.path.dirname(__file__), "BENCH_LOCAL.json")
     )

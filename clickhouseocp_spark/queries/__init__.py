@@ -71,6 +71,7 @@ def _load_all() -> None:
         vocab_q6,
         vocab_q7,
         vocab_q8,
+        vocab_q9,
         kql_series_q,
         tpch,
     )
@@ -696,7 +697,13 @@ _DRIVER_WINDOW_R15: list[str] = [
 
 #: Round-13 births — staged at birth per the standing contract
 #: (test_every_registry_query_is_recorded_or_staged).
-_DRIVER_WINDOW_R16: list[str] = []
+_DRIVER_WINDOW_R16: list[str] = [
+    # the WINDOW VIEW tier, oracle-registered (VERDICT r12 missing #2)
+    "chsql_window_view_tumble_hop",
+    # vocabulary batch r40 + the Tukey-outlier/EMA series tier
+    "chsql_vocab_r40",
+    "chsql_series_outliers_ema",
+]
 
 #: Round-13 staleness rotation: the 11 r01-latest names (every record in
 #: CORRECTNESS_r01.json never re-recorded since) followed by the 42

@@ -1,0 +1,205 @@
+"""ClickHouse vocabulary — round-13 batch ("r40") + the series/EMA tier.
+
+New names (all pure-JVM SQL lowerings, zero Python in the hot path):
+``tupleIntDiv``/``tupleIntDivOrZero``/``tupleModulo`` and the ByNumber
+trio (24.x tuple-arithmetic closure), ``byteSlice`` (byte-exact slicing
+through a BINARY round-trip), ``countMatchesCaseInsensitive``,
+``javaHash``/``hiveHash`` (the 31·h+byte fold, pinned against
+java.lang.String.hashCode for ASCII), ``UUIDToNum``/``toUUIDOrDefault``,
+``ipv4CIDRToRange``, ``seriesOutliersDetectTukey`` (24.2 — both
+documented examples pinned in pytest), and the parametric aggregate
+``exponentialMovingAverage`` (its (1 − 2^(−1/x)) normalization pinned by
+CH's documented ten-ones example = 1 − 2⁻¹⁰).
+
+Oracle policy: every scalar replays element-identically in DuckDB (the
+hash folds via seed-prepended ``list_reduce`` — DuckDB has no seeded
+reduce; the CIDR bit math via native ``<<``/``&``); the Tukey scores and
+EMA replay the identical sorted folds, rounded to 6 on both sides
+because the score/weight SUMS are float reductions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouseocp_spark.queries import register
+
+_DUCK_JAVA_FOLD = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(range(1, length(p_name) + 1), "
+    "__i -> CAST(ord(substring(p_name, __i, 1)) AS BIGINT))), "
+    "(__h, __b) -> (__h * 31 + __b) & 4294967295)"
+)
+
+# type-2 quantile (CH's seriesOutliersDetectTukey rule): integer n·p/100
+# averages the adjacent order statistics, fractional takes the ceil-th
+def _duck_tukey_q(p: str) -> str:
+    np_ = f"(CAST(len(sa) AS DOUBLE) * ({p}) / 100.0)"
+    i = f"CAST({np_} AS INT)"
+    return (
+        f"CASE WHEN {np_} = floor({np_}) AND {i} >= 1 THEN "
+        f"(list_extract(sa, {i}) + "
+        f"list_extract(sa, least({i} + 1, len(sa)))) / 2.0 "
+        f"ELSE list_extract(sa, greatest(1, CAST(ceil({np_}) AS INT))) END"
+    )
+
+
+@register(
+    "chsql_vocab_r40",
+    oracle=f"""
+WITH pt AS (
+  SELECT p_partkey, p_name, p_size FROM part WHERE p_partkey < 400
+)
+SELECT p_partkey,
+  CAST(floor(p_partkey / 7.0) AS BIGINT) AS tid1,
+  CAST(floor(p_size / 3.0) AS BIGINT) AS tid2,
+  CAST(p_partkey % 7 AS BIGINT) AS tmod1,
+  CAST(p_size * 3 AS BIGINT) AS tmul2,
+  round(p_partkey / 4.0, 6) AS tdiv1,
+  substring(p_name, 3, 8) AS bsl,
+  CAST(len(regexp_extract_all(lower(p_name), 'a')) AS INT) AS cmi,
+  CAST(CASE WHEN {_DUCK_JAVA_FOLD} >= 2147483648
+       THEN {_DUCK_JAVA_FOLD} - 4294967296
+       ELSE {_DUCK_JAVA_FOLD} END AS INT) AS jh,
+  CAST({_DUCK_JAVA_FOLD} & 2147483647 AS INT) AS hh,
+  upper(md5(p_name)) AS u2n,
+  'deadbeef-dead-beef-dead-beefdeadbeef' AS ud,
+  (CAST(CAST(168 AS BIGINT) * 16777216 + (p_partkey % 256) * 65536
+       + (p_size % 256) * 256 + 7 AS BIGINT)
+      & ((4294967295 << (32 - (8 + p_partkey % 25))) & 4294967295))
+    AS cidr_lo_num,
+  ((CAST(CAST(168 AS BIGINT) * 16777216 + (p_partkey % 256) * 65536
+       + (p_size % 256) * 256 + 7 AS BIGINT)
+      & ((4294967295 << (32 - (8 + p_partkey % 25))) & 4294967295))
+      | (4294967295 >> (8 + p_partkey % 25)))
+    AS cidr_hi_num
+FROM pt ORDER BY p_partkey
+""",
+    tags=("chsql", "scalar", "vocab"),
+)
+def chsql_vocab_r40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 vocabulary batch over ``part``: tuple arithmetic
+    closure (IntDiv/Modulo/ByNumber), byteSlice, case-insensitive match
+    counting, javaHash/hiveHash (DuckDB replays the identical
+    31·h+byte fold), UUIDToNum (byte image == md5 hex re-rendered),
+    toUUIDOrDefault, and ipv4CIDRToRange with a DATA-DEPENDENT prefix
+    (8..32), value-matched as numeric lo/hi (the dotted render is
+    re-parsed so both engines compare integers)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT p_partkey,
+  tupleElement(tupleIntDiv((p_partkey, p_size), (7, 3)), 1) AS tid1,
+  tupleElement(tupleIntDiv((p_partkey, p_size), (7, 3)), 2) AS tid2,
+  CAST(tupleElement(tupleModulo((p_partkey, p_size), (7, 5)), 1)
+    AS BIGINT) AS tmod1,
+  CAST(tupleElement(tupleMultiplyByNumber((p_partkey, p_size), 3), 2)
+    AS BIGINT) AS tmul2,
+  round(tupleElement(tupleDivideByNumber((p_partkey, p_size), 4), 1), 6)
+    AS tdiv1,
+  byteSlice(p_name, 3, 8) AS bsl,
+  countMatchesCaseInsensitive(p_name, 'a') AS cmi,
+  javaHash(p_name) AS jh,
+  hiveHash(p_name) AS hh,
+  hex(UUIDToNum(concat(
+    substring(md5(p_name), 1, 8), '-', substring(md5(p_name), 9, 4), '-',
+    substring(md5(p_name), 13, 4), '-', substring(md5(p_name), 17, 4), '-',
+    substring(md5(p_name), 21, 12)))) AS u2n,
+  toUUIDOrDefault(p_name, 'deadbeef-dead-beef-dead-beefdeadbeef') AS ud,
+  IPv4StringToNum(tupleElement(ipv4CIDRToRange(
+    concat('168.', toString(p_partkey % 256), '.',
+           toString(p_size % 256), '.7'),
+    8 + p_partkey % 25), 1)) AS cidr_lo_num,
+  IPv4StringToNum(tupleElement(ipv4CIDRToRange(
+    concat('168.', toString(p_partkey % 256), '.',
+           toString(p_size % 256), '.7'),
+    8 + p_partkey % 25), 2)) AS cidr_hi_num
+FROM part WHERE p_partkey < 400
+ORDER BY p_partkey
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_series_outliers_ema",
+    oracle=f"""
+WITH s AS (
+  SELECT event_type, list_sort(list(value)) AS sa
+  FROM events WHERE event_id < 300 AND value IS NOT NULL
+  GROUP BY event_type
+),
+q AS (
+  SELECT event_type, sa,
+    {_duck_tukey_q('25.0')} AS q1, {_duck_tukey_q('75.0')} AS q3,
+    {_duck_tukey_q('10.0')} AS q1w, {_duck_tukey_q('90.0')} AS q3w
+  FROM s
+),
+ema AS (
+  SELECT event_type,
+    round((1.0 - pow(0.5, 1.0 / 50.0)) * list_sum(list_transform(
+      list_sort(list({{'t': CAST(event_id AS DOUBLE),
+                       'v': CAST(value AS DOUBLE)}})),
+      __e -> __e.v * pow(0.5, (mx - __e.t) / 50.0))), 6) AS ema
+  FROM (SELECT event_type, event_id, value,
+               MAX(CAST(event_id AS DOUBLE)) OVER
+                 (PARTITION BY event_type) AS mx
+        FROM events WHERE event_id < 300 AND value IS NOT NULL)
+  GROUP BY event_type, mx
+)
+SELECT q.event_type,
+  round(list_sum(list_transform(sa, __v -> CASE
+    WHEN __v < q1 - 1.5 * (q3 - q1) THEN (q1 - 1.5 * (q3 - q1)) - __v
+    WHEN __v > q3 + 1.5 * (q3 - q1) THEN __v - (q3 + 1.5 * (q3 - q1))
+    ELSE 0.0 END)), 6) AS outlier_mass,
+  CAST(len(list_filter(sa, __v ->
+    __v < q1 - 1.5 * (q3 - q1) OR __v > q3 + 1.5 * (q3 - q1)))
+    AS BIGINT) AS n_outliers,
+  round(list_sum(list_transform(sa, __v -> CASE
+    WHEN __v < q1w - 2.0 * (q3w - q1w) THEN (q1w - 2.0 * (q3w - q1w)) - __v
+    WHEN __v > q3w + 2.0 * (q3w - q1w) THEN __v - (q3w + 2.0 * (q3w - q1w))
+    ELSE 0.0 END)), 6) AS outlier_mass_wide,
+  ema.ema AS ema
+FROM q JOIN ema ON q.event_type = ema.event_type
+ORDER BY q.event_type
+""",
+    tags=("chsql", "series", "stats"),
+)
+def chsql_series_outliers_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``seriesOutliersDetectTukey`` (default 25/75/1.5 fences AND the
+    explicit 10/90/2.0 overload) + ``exponentialMovingAverage(50)``
+    per event_type.  The input series is array_sort-ed on BOTH engines
+    so the float score/weight folds run in the identical element order;
+    sums round to 6.  Scores are reduced to order-insensitive
+    aggregates (mass + count) because the driver hashes cell values —
+    the per-element array itself is pinned in pytest against CH's two
+    documented examples."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH s AS (
+  SELECT event_type, arraySort(groupArray(value)) AS sa
+  FROM events WHERE event_id < 300 AND value IS NOT NULL
+  GROUP BY event_type
+),
+e AS (
+  SELECT event_type,
+         round(exponentialMovingAverage(50)(value, event_id), 6) AS ema
+  FROM events WHERE event_id < 300 AND value IS NOT NULL
+  GROUP BY event_type
+)
+SELECT s.event_type AS event_type,
+  round(arraySum(seriesOutliersDetectTukey(sa)), 6)
+    AS outlier_mass,
+  CAST(arrayCount(x -> x > 0, seriesOutliersDetectTukey(sa))
+    AS BIGINT) AS n_outliers,
+  round(arraySum(seriesOutliersDetectTukey(sa, 10, 90, 2.0)), 6)
+    AS outlier_mass_wide,
+  e.ema AS ema
+FROM s JOIN e ON s.event_type = e.event_type
+ORDER BY s.event_type
+""",
+        dialect="clickhouse",
+    )
