@@ -455,6 +455,119 @@ def _exp_moving_average_expr(params: list[str], args: list[str]) -> str:
     )
 
 
+def _map_agg_expr(args: list[str], op: str, name: str) -> str:
+    """sumMap/minMap/maxMap(keys, values) in the chsql DIALECT (the
+    DataFrame-API path has carried SURVEY §2.4's sumMap row since r02;
+    this lowers the TEXT surface): aggregate parallel (keys[], values[])
+    rows into CH's ('col1' = sorted distinct keys, 'col2' = per-key
+    sum/min/max) tuple.  One collect_list per group, then pure array
+    folds; the per-key sum seeds from the key's FIRST value so integer
+    inputs stay integer (no forced DOUBLE).  O(distinct_keys · total
+    pairs) per group — the scale path for huge key spaces stays the
+    explode+groupBy operator (queries/extras.py)."""
+    if len(args) != 2:
+        raise ChSqlError(f"{name} takes (key_array, value_array)")
+    k, v = args
+    pairs = (
+        f"flatten(collect_list(zip_with({k}, {v}, "
+        f"(__mk, __mv) -> named_struct('k', __mk, 'v', __mv))))"
+    )
+    vs = "transform(filter(__m, __e -> __e.k = __key), __e -> __e.v)"
+    if op == "sum":
+        fold = (
+            f"transform(array({vs}), __vs -> "
+            f"aggregate(slice(__vs, 2, greatest(size(__vs) - 1, 0)), "
+            f"element_at(__vs, 1), (__s, __e) -> __s + __e))[0]"
+        )
+    elif op == "min":
+        fold = f"array_min({vs})"
+    else:
+        fold = f"array_max({vs})"
+    keys = "array_sort(array_distinct(transform(__m, __e -> __e.k)))"
+    return (
+        f"transform(array({pairs}), __m -> named_struct("
+        f"'col1', {keys}, "
+        f"'col2', transform({keys}, __key -> {fold})))[0]"
+    )
+
+
+def _max_intersections_expr(args: list[str], what: str) -> str:
+    """maxIntersections / maxIntersectionsPosition(start, end) — the max
+    number of simultaneously-open [start, end) intervals in the group,
+    and the sweep point where that max is FIRST reached.  Classic sweep:
+    ±1 events sorted by (point, delta) — delta −1 before +1 at equal
+    points, exactly the half-open tie rule (an interval ending where
+    another starts does not overlap it) — then one running-sum fold.
+    Points are folded as DOUBLE (documented: CH returns the argument
+    type; the position is exact for integer inputs ≤ 2^53)."""
+    if len(args) != 2:
+        raise ChSqlError(f"{what} takes (start, end)")
+    s, e = args
+    evts = (
+        f"array_sort(flatten(collect_list(array("
+        f"named_struct('p', CAST({s} AS DOUBLE), 'd', 1), "
+        f"named_struct('p', CAST({e} AS DOUBLE), 'd', -1)))))"
+    )
+    fold = (
+        f"aggregate({evts}, "
+        f"named_struct('c', 0, 'mx', 0, 'pos', CAST(NULL AS DOUBLE)), "
+        f"(__st, __e) -> transform(array(__st.c + __e.d), __c -> "
+        f"named_struct('c', __c, "
+        f"'mx', IF(__c > __st.mx, __c, __st.mx), "
+        f"'pos', IF(__c > __st.mx, __e.p, __st.pos)))[0])"
+    )
+    field = "mx" if what == "maxIntersections" else "pos"
+    cast = "CAST(({0}).mx AS BIGINT)" if field == "mx" else "({0}).pos"
+    return cast.format(fold)
+
+
+def _exp_time_decayed_expr(params: list[str], args: list[str],
+                           mode: str) -> str:
+    """exponentialTimeDecayedCount/Sum/Max(x)(...) — the Avg sibling's
+    family (same e-folding decay anchored at the group's max time):
+    Count(x)(time) = Σ e^(−(T−tᵢ)/x)  (only a time argument),
+    Sum(x)(value, time) = Σ vᵢ·e^(−(T−tᵢ)/x),
+    Max(x)(value, time) = max vᵢ·e^(−(T−tᵢ)/x)."""
+    if len(params) != 1:
+        raise ChSqlError(f"exponentialTimeDecayed{mode} takes one parameter")
+    h = params[0]
+    if mode == "Count":
+        if len(args) != 1:
+            raise ChSqlError("exponentialTimeDecayedCount takes (x)(time)")
+        t = args[0]
+        pair = (
+            f"CASE WHEN ({t}) IS NOT NULL THEN "
+            f"named_struct('t', CAST({t} AS DOUBLE), "
+            f"'x', CAST(1 AS DOUBLE)) END"
+        )
+    else:
+        if len(args) != 2:
+            raise ChSqlError(
+                f"exponentialTimeDecayed{mode} takes (x)(value, time)"
+            )
+        x, t = args
+        pair = (
+            f"CASE WHEN ({x}) IS NOT NULL AND ({t}) IS NOT NULL THEN "
+            f"named_struct('t', CAST({t} AS DOUBLE), "
+            f"'x', CAST({x} AS DOUBLE)) END"
+        )
+    term = f"__e.x * exp(-(__T - __e.t) / ({h}))"
+    if mode == "Max":
+        body = (
+            f"aggregate(__p, CAST('-Infinity' AS DOUBLE), "
+            f"(__s, __e) -> greatest(__s, {term}))"
+        )
+    else:
+        body = (
+            f"aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> __s + {term})"
+        )
+    return (
+        f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"transform(array(aggregate(__p, CAST(-1e300 AS DOUBLE), "
+        f"(__m, __e) -> greatest(__m, __e.t))), __T -> {body})[0])[0]"
+    )
+
+
 def _ttest_expr(args: list[str], welch: bool) -> str:
     """studentTTest/welchTTest(sample, index) → CH's real ('col1' = t,
     'col2' = two-sided p) tuple (upgraded round 11 — the scalar-t
@@ -3569,6 +3682,27 @@ FUNC_RULES: dict[str, object] = {
         f" / (sqrt(aggregate({args[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))"
         f" * sqrt(aggregate({args[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x))))"
     ),
+    # angle = acos(cos-similarity), clamped against FP drift past ±1
+    "angleBetweenVectors": lambda args: (
+        f"acos(greatest(CAST(-1 AS DOUBLE), least(CAST(1 AS DOUBLE), "
+        f"aggregate(zip_with({args[0]}, {args[1]}, "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+        f"(acc, v) -> acc + v)"
+        f" / (sqrt(aggregate({args[0]}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> acc + x * x))"
+        f" * sqrt(aggregate({args[1]}, CAST(0 AS DOUBLE), "
+        f"(acc, x) -> acc + x * x))))))"
+    ),
+    # chsql-dialect sumMap family + interval sweep aggregates (round 13)
+    "sumMap": lambda args: _map_agg_expr(args, "sum", "sumMap"),
+    "minMap": lambda args: _map_agg_expr(args, "min", "minMap"),
+    "maxMap": lambda args: _map_agg_expr(args, "max", "maxMap"),
+    "maxIntersections": lambda args: _max_intersections_expr(
+        args, "maxIntersections"
+    ),
+    "maxIntersectionsPosition": lambda args: _max_intersections_expr(
+        args, "maxIntersectionsPosition"
+    ),
     # -ForEach combinator: element-wise aggregation across rows of arrays —
     # collect_list + a zip_with fold (ragged rows pad with 0, CH semantics)
     "sumForEach": lambda args: (
@@ -5208,6 +5342,15 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "meanZTest": _mean_z_test_expr,
     "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
+    "exponentialTimeDecayedCount": lambda p, a: _exp_time_decayed_expr(
+        p, a, "Count"
+    ),
+    "exponentialTimeDecayedSum": lambda p, a: _exp_time_decayed_expr(
+        p, a, "Sum"
+    ),
+    "exponentialTimeDecayedMax": lambda p, a: _exp_time_decayed_expr(
+        p, a, "Max"
+    ),
     "exponentialMovingAverage": _exp_moving_average_expr,
     # mannWhitneyUTest(alternative[, continuity])(x, idx): two-sided only
     # (the one-sided tails need the same normal machinery but flip the
@@ -5259,6 +5402,31 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"__v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS x, {a[1]} AS w)), "
         f"__p -> __p.x = __v), CAST(0 AS BIGINT), (__acc, __p) -> __acc + __p.w) AS __negn, "
         f"__v AS __val))), 1, {p[0]}), __s -> __s.__val)"
+    ),
+    # approx_top_k/count (CH 24.3): topK's shape but returning
+    # (item, count, error) tuples — exact here, so error ≡ 0; the scale
+    # path stays the sketch operator (operators/sketches.topk_state)
+    "approx_top_k": lambda p, a: (
+        f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"__v -> struct(-size(filter(collect_list({a[0]}), __y -> __y = __v)) AS __negn, "
+        f"__v AS __val))), 1, {p[0]}), __s -> named_struct("
+        f"'item', __s.__val, 'count', CAST(-__s.__negn AS BIGINT), "
+        f"'error', CAST(0 AS BIGINT)))"
+    ),
+    "approx_top_count": lambda p, a: (
+        f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"__v -> struct(-size(filter(collect_list({a[0]}), __y -> __y = __v)) AS __negn, "
+        f"__v AS __val))), 1, {p[0]}), __s -> named_struct("
+        f"'item', __s.__val, 'count', CAST(-__s.__negn AS BIGINT), "
+        f"'error', CAST(0 AS BIGINT)))"
+    ),
+    "approx_top_sum": lambda p, a: (
+        f"transform(slice(array_sort(transform(array_distinct(collect_list({a[0]})), "
+        f"__v -> struct(-aggregate(filter(collect_list(struct({a[0]} AS x, {a[1]} AS w)), "
+        f"__p -> __p.x = __v), CAST(0 AS BIGINT), (__acc, __p) -> __acc + __p.w) AS __negn, "
+        f"__v AS __val))), 1, {p[0]}), __s -> named_struct("
+        f"'item', __s.__val, 'count', CAST(-__s.__negn AS BIGINT), "
+        f"'error', CAST(0 AS BIGINT)))"
     ),
     "groupArraySample": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     # uniqUpTo(N)(x): exact distinct count while <= N, else N+1 (CH's

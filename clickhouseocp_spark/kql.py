@@ -1117,6 +1117,23 @@ def _kql_extract_all(a: list[str]) -> str:
     return f"transform(arrays_zip({pulls}), __z -> array({cols}))"
 
 
+def _erf_sql(x: str) -> str:
+    """erf(x) as pure SQL via the odd-symmetry identity
+    erf(x) = sign(x)·(1 − 2·(1 − Φ(|x|·√2))) with the tail from the
+    Abramowitz-Stegun 26.2.17 rational approximation (|ε| < 7.5e-8;
+    the same public formula chsql._phi_tail_sql and
+    _duck_stats.duck_phi_tail replay — identical doubles after the
+    round(6) oracle convention)."""
+    z = f"(abs(CAST({x} AS DOUBLE)) * 1.4142135623730951)"
+    t = f"(1.0 / (1.0 + 0.2316419 * {z}))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    tail = f"(exp(-({z} * {z}) / 2) / sqrt(2 * pi()) * {poly})"
+    return f"(sign(CAST({x} AS DOUBLE)) * (1.0 - 2.0 * {tail}))"
+
+
 def _kql_beta_cdf(a: list[str]) -> str:
     """beta_cdf(x, alpha, beta) → I_x(alpha, beta) — the regularized
     incomplete beta in pure SQL (Lanczos lgamma + NR Lentz fold)."""
@@ -1767,6 +1784,12 @@ _KQL_SCALARS: dict = {
         f"CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE)), 0.0D, "
         f"(__s, __v) -> __s + __v))"
     ),
+    # sum of squares = magnitude² — same null-skipping fold (round 13)
+    "series_sum2": lambda a: (
+        f"aggregate(transform({a[0]}, __x -> "
+        f"coalesce(CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE), 0.0D)), "
+        f"0.0D, (__s, __v) -> __s + __v)"
+    ),
     # cosine over the zipped pair; either zero magnitude → 0 (Kusto)
     "series_cosine_similarity": lambda a: (
         f"transform(array(named_struct("
@@ -2116,6 +2139,19 @@ _KQL_SCALARS: dict = {
     ),
     "welch_test": lambda a: _kql_welch_test(a),
     "binomial_test": lambda a: _kql_binomial_test(a),
+    # round-13 closers: unit conversions are Spark builtins; erf/erfc
+    # lower to the A&S 26.2.17 rational form as PURE SQL (the identical
+    # expression replays in DuckDB — the registered Arrow math.erf
+    # kernels stay for the text path, but pure-SQL keeps oracle parity
+    # exact, the same precedent as the r12 stats tier);
+    # base64_encode_fromguid encodes the GUID's 16 raw bytes
+    "degrees": lambda a: f"degrees({a[0]})",
+    "radians": lambda a: f"radians({a[0]})",
+    "erf": lambda a: _erf_sql(a[0]),
+    "erfc": lambda a: f"(1.0 - {_erf_sql(a[0])})",
+    "base64_encode_fromguid": lambda a: (
+        f"base64(unhex(replace(CAST({a[0]} AS STRING), '-', '')))"
+    ),
     # series_fit_poly(y[, x, degree]) → coefficient array, highest degree
     # first (Kusto's documented order = numpy.polyfit's) — the Arrow
     # kernel in functions/series_fft.py; x omitted → implicit 0..n−1

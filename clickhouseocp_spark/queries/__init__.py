@@ -703,6 +703,12 @@ _DRIVER_WINDOW_R16: list[str] = [
     # vocabulary batch r40 + the Tukey-outlier/EMA series tier
     "chsql_vocab_r40",
     "chsql_series_outliers_ema",
+    # vocabulary batch r41: sumMap-family dialect aggregates, interval
+    # sweeps, exponentialTimeDecayed* closure, approx_top_k
+    "chsql_vocab_r41",
+    # KQL scalar closers: degrees/radians, pure-SQL erf/erfc,
+    # series_sum2, base64_encode_fromguid
+    "kql_scalar_vocab9",
 ]
 
 #: Round-13 staleness rotation: the 11 r01-latest names (every record in

@@ -203,3 +203,190 @@ ORDER BY s.event_type
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r41",
+    oracle="""
+WITH src AS (
+  SELECT event_id, user_id % 7 AS g,
+         ['k' || CAST(event_id % 3 AS VARCHAR),
+          'k' || CAST(event_id % 5 AS VARCHAR)] AS ka,
+         [CAST(event_id % 97 AS BIGINT), CAST(event_id % 31 AS BIGINT)] AS va,
+         CAST(event_id % 50 AS DOUBLE) AS s_i,
+         CAST(event_id % 50 + event_id % 13 + 1 AS DOUBLE) AS e_i,
+         CAST(event_id % 40 AS DOUBLE) AS t,
+         CAST(event_id % 9 AS DOUBLE) AS v,
+         CAST(event_id % 6 AS VARCHAR) AS m
+  FROM events WHERE event_id < 300
+),
+pairs AS (
+  SELECT g, u.k AS k, u.v AS v
+  FROM src, LATERAL (SELECT unnest(ka) AS k, unnest(va) AS v) u
+),
+maps AS (
+  SELECT g, string_agg(k, ',' ORDER BY k) AS sm_keys,
+         string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS sm_vals,
+         string_agg(CAST(mnv AS VARCHAR), ',' ORDER BY k) AS mn_vals,
+         string_agg(CAST(mxv AS VARCHAR), ',' ORDER BY k) AS mx_vals
+  FROM (SELECT g, k, SUM(v) AS sv, MIN(v) AS mnv, MAX(v) AS mxv
+        FROM pairs GROUP BY g, k)
+  GROUP BY g
+),
+sweep AS (
+  SELECT g,
+    list_reduce(list_prepend([0.0, 0.0, CAST(NULL AS DOUBLE)],
+      list_sort(flatten(list([[s_i, 1.0], [e_i, -1.0]])))),
+      (__st, __e) -> [__st[1] + __e[2],
+                      greatest(__st[2], __st[1] + __e[2]),
+                      CASE WHEN __st[1] + __e[2] > __st[2]
+                           THEN __e[1] ELSE __st[3] END]) AS st
+  FROM src GROUP BY g
+),
+decay AS (
+  SELECT g, mx,
+    round(list_sum(list_transform(list_sort(list([t, 1.0])),
+      __e -> __e[2] * exp(-(mx - __e[1]) / 15.0))), 6) AS edc,
+    round(list_sum(list_transform(list_sort(list([t, v])),
+      __e -> __e[2] * exp(-(mx - __e[1]) / 15.0))), 6) AS eds,
+    round(list_max(list_transform(list_sort(list([t, v])),
+      __e -> __e[2] * exp(-(mx - __e[1]) / 15.0))), 6) AS edm
+  FROM (SELECT g, t, v, MAX(t) OVER (PARTITION BY g) AS mx FROM src)
+  GROUP BY g, mx
+),
+tops AS (
+  SELECT g,
+         array_to_string((list(m ORDER BY cnt DESC, m ASC))[1:3], ',')
+           AS tops,
+         array_to_string(list_transform(
+           (list(cnt ORDER BY cnt DESC, m ASC))[1:3],
+           __c -> CAST(__c AS VARCHAR)), ',') AS top_counts
+  FROM (SELECT g, m, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM src GROUP BY g, m)
+  GROUP BY g
+)
+SELECT maps.g AS g, sm_keys, sm_vals, mn_vals, mx_vals,
+       CAST(st[2] AS BIGINT) AS mi, st[3] AS mip,
+       edc, eds, edm,
+       round(acos(greatest(-1.0, least(1.0,
+         (2.0 * maps.g) / (1.0 + maps.g * maps.g)))), 6) AS ang,
+       tops, top_counts
+FROM maps
+JOIN sweep ON maps.g = sweep.g
+JOIN decay ON maps.g = decay.g
+JOIN tops ON maps.g = tops.g
+ORDER BY maps.g
+""",
+    tags=("chsql", "agg", "vocab"),
+)
+def chsql_vocab_r41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 vocabulary batch 2 (all pure-JVM SQL aggregates over the
+    chsql TEXT dialect): ``sumMap``/``minMap``/``maxMap`` on parallel
+    key/value arrays (CH's sorted-keys tuple; integer values so the
+    per-key sum fold is order-exact), ``maxIntersections``/
+    ``maxIntersectionsPosition`` (half-open interval sweep — the DuckDB
+    oracle replays the identical (point, ±1) sort with −1-before-+1 tie
+    rule and running-sum fold in a LIST-state list_reduce),
+    ``exponentialTimeDecayedCount/Sum/Max`` (e-folding decay anchored at
+    the group max time, sorted folds, round 6),
+    ``angleBetweenVectors`` (clamped acos of cosine similarity), and
+    ``approx_top_k`` (CH 24.3 — projected as parallel plain arrays
+    because struct-in-array renders differently across pandas paths)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, user_id % 7 AS g,
+         array(concat('k', toString(event_id % 3)),
+               concat('k', toString(event_id % 5))) AS ka,
+         array(toInt64(event_id % 97), toInt64(event_id % 31)) AS va,
+         toFloat64(event_id % 50) AS s_i,
+         toFloat64(event_id % 50 + event_id % 13 + 1) AS e_i,
+         toFloat64(event_id % 40) AS t,
+         toFloat64(event_id % 9) AS v,
+         toString(event_id % 6) AS m
+  FROM events WHERE event_id < 300
+)
+SELECT g,
+  arrayStringConcat(tupleElement(sumMap(ka, va), 1), ',') AS sm_keys,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMap(ka, va), 2)), ',') AS sm_vals,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(minMap(ka, va), 2)), ',') AS mn_vals,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(maxMap(ka, va), 2)), ',') AS mx_vals,
+  maxIntersections(s_i, e_i) AS mi,
+  maxIntersectionsPosition(s_i, e_i) AS mip,
+  round(exponentialTimeDecayedCount(15)(t), 6) AS edc,
+  round(exponentialTimeDecayedSum(15)(v, t), 6) AS eds,
+  round(exponentialTimeDecayedMax(15)(v, t), 6) AS edm,
+  round(angleBetweenVectors(array(1.0, toFloat64(g)),
+                            array(toFloat64(g), 1.0)), 6) AS ang,
+  arrayStringConcat(arrayMap(x -> tupleElement(x, 'item'),
+    approx_top_k(3)(m)), ',') AS tops,
+  arrayStringConcat(arrayMap(x -> toString(tupleElement(x, 'count')),
+    approx_top_k(3)(m)), ',') AS top_counts
+FROM src GROUP BY g ORDER BY g
+""",
+        dialect="clickhouse",
+    )
+
+
+_DUCK_ERF = (
+    "(sign(__ex) * (1.0 - 2.0 * (exp(-((abs(__ex) * 1.4142135623730951) "
+    "* (abs(__ex) * 1.4142135623730951)) / 2) / sqrt(2 * pi()) * "
+    "((1.0 / (1.0 + 0.2316419 * (abs(__ex) * 1.4142135623730951))) * "
+    "(0.319381530 + (1.0 / (1.0 + 0.2316419 * (abs(__ex) * "
+    "1.4142135623730951))) * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * "
+    "(abs(__ex) * 1.4142135623730951))) * (1.781477937 + (1.0 / (1.0 + "
+    "0.2316419 * (abs(__ex) * 1.4142135623730951))) * (-1.821255978 + "
+    "(1.0 / (1.0 + 0.2316419 * (abs(__ex) * 1.4142135623730951))) * "
+    "1.330274429))))))))"
+)
+
+
+@register(
+    "kql_scalar_vocab9",
+    oracle=f"""
+SELECT event_id,
+  round(degrees(value), 6) AS d,
+  round(radians(value), 6) AS r,
+  round({_DUCK_ERF.replace('__ex', '(value / 100.0 - 0.5)')}, 6) AS ef,
+  round(1.0 - {_DUCK_ERF.replace('__ex', '(value / 100.0)')}, 6) AS efc,
+  round(value * value + 4.0, 6) AS s2,
+  to_base64(from_hex(md5(event_type))) AS b64
+FROM events WHERE event_id < 200
+ORDER BY event_id
+""",
+    tags=("kql", "scalar", "vocab"),
+)
+def kql_scalar_vocab9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL round-13 scalar closers: ``degrees``/``radians`` (Spark
+    builtins), ``erf``/``erfc`` lowered to PURE SQL via the
+    Abramowitz-Stegun 26.2.17 rational tail (odd-symmetry identity —
+    negative arguments exercised; the oracle replays the identical
+    expression), ``series_sum2`` (null-skipping sum of squares), and
+    ``base64_encode_fromguid`` (the GUID's 16 raw bytes through
+    base64 — replayed as DuckDB to_base64(from_hex(md5)))."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events | where event_id < 200
+| project event_id,
+    d = round(degrees(value), 6),
+    r = round(radians(value), 6),
+    ef = round(erf(value / 100.0 - 0.5), 6),
+    efc = round(erfc(value / 100.0), 6),
+    s2 = round(series_sum2(pack_array(value, 2.0)), 6),
+    b64 = base64_encode_fromguid(strcat(
+      substring(hash_md5(event_type), 0, 8), '-',
+      substring(hash_md5(event_type), 8, 4), '-',
+      substring(hash_md5(event_type), 12, 4), '-',
+      substring(hash_md5(event_type), 16, 4), '-',
+      substring(hash_md5(event_type), 20, 12)))
+| order by event_id asc
+""",
+        dialect="kusto",
+    )

@@ -4555,3 +4555,95 @@ SELECT tupleElement(tupleIntDiv((15, 10), (5, 4)), 2) AS tid,
         transpile("SELECT tupleIntDiv((1, 2), (1, 2, 3)) FROM t")
     with _pytest.raises(ChSqlError, match="hopStart/hopEnd subset"):
         transpile("SELECT hopStart(ts, INTERVAL 12 HOUR) FROM t")
+
+
+def test_vocab_r41_round13(spark):
+    """Round-13 batch 2: sumMap/minMap/maxMap dialect aggregates
+    (integer-typed sums, sorted-key tuples), maxIntersections[Position]
+    (half-open tie rule: an interval ending exactly where another starts
+    does NOT overlap it), exponentialTimeDecayedCount/Sum/Max vs a
+    Python replay, angleBetweenVectors (orthogonal → π/2, parallel → 0,
+    opposite → π), and approx_top_k/approx_top_count/approx_top_sum
+    tuple outputs."""
+    import math
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT sumMap(ka, va) AS sm,
+       minMap(ka, va) AS mnm,
+       maxMap(ka, va) AS mxm
+FROM VALUES (array('b','a'), array(1, 2)),
+            (array('a','c'), array(10, 20)),
+            (array('b'), array(100)) AS t(ka, va)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.sm.col1 == ["a", "b", "c"] and r.sm.col2 == [12, 101, 20]
+    assert r.mnm.col2 == [2, 1, 20] and r.mxm.col2 == [10, 100, 20]
+    assert isinstance(r.sm.col2[0], int)  # integer inputs stay integer
+
+    # half-open sweep: [1,3) and [3,5) do NOT overlap (max stays 1);
+    # [1,5),[2,3),[4,6) reach 2 first at point 2
+    r2 = eng.sql(
+        """
+SELECT maxIntersections(s, e) AS a,
+       maxIntersectionsPosition(s, e) AS ap
+FROM VALUES (1, 3), (3, 5) AS t(s, e)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r2.a, r2.ap) == (1, 1.0)
+    r3 = eng.sql(
+        """
+SELECT maxIntersections(s, e) AS a,
+       maxIntersectionsPosition(s, e) AS ap
+FROM VALUES (1, 5), (2, 3), (4, 6) AS t(s, e)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r3.a, r3.ap) == (2, 2.0)
+
+    pts = [(0.0, 3.0), (5.0, 7.0), (10.0, 1.0)]
+    r4 = eng.sql(
+        """
+SELECT round(exponentialTimeDecayedCount(10)(t), 9) AS c,
+       round(exponentialTimeDecayedSum(10)(v, t), 9) AS s,
+       round(exponentialTimeDecayedMax(10)(v, t), 9) AS m
+FROM VALUES (0.0, 3.0), (5.0, 7.0), (10.0, 1.0) AS t(t, v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    T = max(t for t, _ in pts)
+    assert r4.c == round(sum(math.exp(-(T - t) / 10) for t, _ in pts), 9)
+    assert r4.s == round(
+        math.fsum(v * math.exp(-(T - t) / 10) for t, v in
+                  sorted(pts)), 9
+    ) or abs(r4.s - sum(v * math.exp(-(T - t) / 10) for t, v in pts)) < 1e-9
+    assert r4.m == round(
+        max(v * math.exp(-(T - t) / 10) for t, v in pts), 9
+    )
+
+    r5 = eng.sql(
+        """
+SELECT round(angleBetweenVectors([1.0, 0.0], [0.0, 2.0]), 9) AS orth,
+       round(angleBetweenVectors([1.0, 1.0], [2.0, 2.0]), 6) AS par,
+       round(angleBetweenVectors([1.0, 0.0], [-3.0, 0.0]), 9) AS opp,
+       approx_top_count(2)(c) AS atc,
+       approx_top_sum(2)(c, w) AS ats
+FROM VALUES ('x', 1), ('x', 1), ('y', 5), ('z', 1), ('x', 1), ('y', 1)
+  AS t(c, w)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r5.orth == round(math.pi / 2, 9)
+    assert r5.par == 0.0
+    assert r5.opp == round(math.pi, 9)
+    assert [(e.item, e["count"], e.error) for e in r5.atc] == [
+        ("x", 3, 0), ("y", 2, 0)
+    ]
+    assert [(e.item, e["count"], e.error) for e in r5.ats] == [
+        ("y", 6, 0), ("x", 3, 0)
+    ]
