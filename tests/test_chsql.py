@@ -4647,3 +4647,145 @@ FROM VALUES ('x', 1), ('x', 1), ('y', 5), ('z', 1), ('x', 1), ('y', 1)
     assert [(e.item, e["count"], e.error) for e in r5.ats] == [
         ("y", 6, 0), ("x", 3, 0)
     ]
+
+
+def test_round13_randomized_hardening(spark):
+    """Seeded-random batteries for the round-13 tier, each against an
+    independent Python replay: seriesOutliersDetectTukey (the n·p/100
+    quantile rule + fences on 40 random series), javaHash/hiveHash
+    (ASCII strings vs java.lang.String.hashCode semantics), sumMap
+    (random key/value array rows vs a dict fold), and
+    maxIntersections[Position] (random interval sets vs a Python
+    sweep with the half-open tie rule)."""
+    import math
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    rng = random.Random(1313)
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    # --- Tukey ---
+    def py_q(sa, p):
+        np_ = len(sa) * p / 100.0
+        i = int(np_)
+        if np_ == math.floor(np_) and i >= 1:
+            return (sa[i - 1] + sa[min(i, len(sa) - 1)]) / 2.0
+        return sa[max(1, math.ceil(np_)) - 1]
+
+    def py_tukey(xs, pmin, pmax, k):
+        sa = sorted(float(x) for x in xs)
+        q1, q3 = py_q(sa, pmin), py_q(sa, pmax)
+        lo, hi = q1 - k * (q3 - q1), q3 + k * (q3 - q1)
+        return [
+            round(lo - v, 6) if v < lo else round(v - hi, 6) if v > hi
+            else 0.0
+            for v in (float(x) for x in xs)
+        ]
+
+    series = [
+        [rng.randint(-50, 200) for _ in range(rng.randint(4, 25))]
+        for _ in range(40)
+    ]
+    sel = ", ".join(
+        f"transform(seriesOutliersDetectTukey(array("
+        f"{', '.join(str(v) for v in s)}), {pmin}, {pmax}, {k}), "
+        f"__x -> round(__x, 6)) AS t{i}"
+        for i, (s, (pmin, pmax, k)) in enumerate(
+            (s, rng.choice([(25, 75, 1.5), (20, 80, 1.5), (10, 90, 2.0),
+                            (30, 70, 1.0)]))
+            for s in series
+        )
+    )
+    row = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    rng2 = random.Random(1313)
+    series2 = [
+        [rng2.randint(-50, 200) for _ in range(rng2.randint(4, 25))]
+        for _ in range(40)
+    ]
+    for i, s in enumerate(series2):
+        pmin, pmax, k = rng2.choice(
+            [(25, 75, 1.5), (20, 80, 1.5), (10, 90, 2.0), (30, 70, 1.0)]
+        )
+        assert row[f"t{i}"] == py_tukey(s, pmin, pmax, k), (i, s)
+
+    # --- javaHash / hiveHash (ASCII) ---
+    def py_java(s):
+        h = 0
+        for b in s.encode():
+            h = (h * 31 + b) & 0xFFFFFFFF
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    words = [
+        "".join(rng.choice("abcdefgXYZ0123 _-!") for _ in range(rng.randint(0, 30)))
+        for _ in range(60)
+    ]
+    sel = ", ".join(
+        f"javaHash('{w}') AS j{i}, hiveHash('{w}') AS h{i}"
+        for i, w in enumerate(words)
+    )
+    row = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    for i, w in enumerate(words):
+        jh = py_java(w)
+        assert row[f"j{i}"] == jh
+        assert row[f"h{i}"] == jh & 0x7FFFFFFF
+
+    # --- sumMap / minMap / maxMap over random rows ---
+    rows = [
+        (
+            [rng.choice("abcde") for _ in range(rng.randint(1, 4))],
+        )
+        for _ in range(30)
+    ]
+    rows = [
+        (ks, [rng.randint(-100, 100) for _ in ks]) for (ks,) in rows
+    ]
+    vals = ", ".join(
+        "(array({}), array({}))".format(
+            ", ".join(f"'{k}'" for k in ks), ", ".join(str(v) for v in vs)
+        )
+        for ks, vs in rows
+    )
+    r = eng.sql(
+        f"SELECT sumMap(ka, va) AS sm, minMap(ka, va) AS mn, "
+        f"maxMap(ka, va) AS mx FROM VALUES {vals} AS t(ka, va)",
+        dialect="clickhouse",
+    ).collect()[0]
+    agg: dict = {}
+    for ks, vs in rows:
+        for k, v in zip(ks, vs):
+            s0, mn0, mx0 = agg.get(k, (0, None, None))
+            agg[k] = (
+                s0 + v,
+                v if mn0 is None else min(mn0, v),
+                v if mx0 is None else max(mx0, v),
+            )
+    keys = sorted(agg)
+    assert r.sm.col1 == keys and r.sm.col2 == [agg[k][0] for k in keys]
+    assert r.mn.col2 == [agg[k][1] for k in keys]
+    assert r.mx.col2 == [agg[k][2] for k in keys]
+
+    # --- maxIntersections sweep ---
+    for trial in range(5):
+        ivs = []
+        for _ in range(rng.randint(2, 40)):
+            s0 = rng.randint(0, 60)
+            ivs.append((s0, s0 + rng.randint(1, 15)))
+        evts = sorted(
+            [(float(s0), 1) for s0, _ in ivs] + [(float(e0), -1) for _, e0 in ivs],
+            key=lambda pe: (pe[0], pe[1]),
+        )
+        c = mx = 0
+        pos = None
+        for p, d in evts:
+            c += d
+            if c > mx:
+                mx, pos = c, p
+        vals = ", ".join(f"({s0}, {e0})" for s0, e0 in ivs)
+        r = eng.sql(
+            f"SELECT maxIntersections(s, e) AS a, "
+            f"maxIntersectionsPosition(s, e) AS p "
+            f"FROM VALUES {vals} AS t(s, e)",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert (r.a, r.p) == (mx, pos), (trial, ivs)
