@@ -333,6 +333,130 @@ def _hive_hash_expr(args: list[str]) -> str:
     )
 
 
+def _ipv6_render_from_hex(h: str) -> str:
+    """RFC 5952 text render of an IPv6 address given as 32 lowercase hex
+    chars: leading zeros stripped per group, the FIRST longest zero run
+    of ≥2 groups compressed to '::', and the IPv4-mapped prefix
+    (::ffff:a.b.c.d) rendered in mixed notation — glibc inet_ntop's
+    behavior, which CH's IPv6NumToString wraps.  One 8-step fold."""
+    gs = (
+        "transform(sequence(0, 7), __i -> "
+        f"regexp_replace(substring({h}, 4 * __i + 1, 4), '^0{{1,3}}', ''))"
+    )
+    fold = (
+        "aggregate(sequence(0, 7), "
+        "named_struct('cs', -1, 'cl', 0, 'bs', -1, 'bl', 0), "
+        "(__st, __i) -> IF(element_at(__gs, __i + 1) = '0', "
+        "transform(array(named_struct("
+        "'cs2', IF(__st.cl = 0, __i, __st.cs), 'cl2', __st.cl + 1)), "
+        "__n -> named_struct('cs', __n.cs2, 'cl', __n.cl2, "
+        "'bs', IF(__n.cl2 > __st.bl, __n.cs2, __st.bs), "
+        "'bl', greatest(__n.cl2, __st.bl)))[0], "
+        "named_struct('cs', -1, 'cl', 0, 'bs', __st.bs, 'bl', __st.bl)))"
+    )
+    dotted = (
+        f"concat_ws('.', transform(sequence(0, 3), __i -> "
+        f"CAST(CAST(conv(substring({h}, 25 + 2 * __i, 2), 16, 10) "
+        f"AS BIGINT) AS STRING)))"
+    )
+    return (
+        f"IF(substring({h}, 1, 20) = '00000000000000000000' "
+        f"AND substring({h}, 21, 4) = 'ffff', "
+        f"concat('::ffff:', {dotted}), "
+        f"transform(array({gs}), __gs -> "
+        f"transform(array({fold}), __st -> "
+        f"IF(__st.bl >= 2, "
+        f"concat(concat_ws(':', slice(__gs, 1, __st.bs)), '::', "
+        f"concat_ws(':', slice(__gs, __st.bs + __st.bl + 1, "
+        f"8 - __st.bs - __st.bl))), "
+        f"concat_ws(':', __gs)))[0])[0])"
+    )
+
+
+def _ipv6_string_to_num_expr(args: list[str]) -> str:
+    """IPv6StringToNum(s) → the 16 raw address bytes (CH's
+    FixedString(16) image); '::'-compressed, mixed-notation, and bare
+    dotted-quad (→ ::ffff:a.b.c.d) inputs all accepted via the shared
+    canonicalizer (kql._ipv6_canon_sql — same parser Kusto's parse_ipv6
+    rides); invalid shapes → NULL (CH throws; documented deviation,
+    matching the toIPv6-family OrNull convention)."""
+    if len(args) != 1:
+        raise ChSqlError("IPv6StringToNum takes (addr)")
+    from clickhouseocp_spark.kql import _ipv6_canon_sql
+
+    return f"unhex(replace({_ipv6_canon_sql(args[0])}, ':', ''))"
+
+
+def _ipv6_num_to_string_expr(args: list[str]) -> str:
+    """IPv6NumToString(bytes) → RFC 5952 text (see
+    _ipv6_render_from_hex); NULL when the input is not 16 bytes."""
+    if len(args) != 1:
+        raise ChSqlError("IPv6NumToString takes (fixed_string_16)")
+    return (
+        f"transform(array(lower(hex(CAST({args[0]} AS BINARY)))), __h -> "
+        f"IF(length(__h) != 32, CAST(NULL AS STRING), "
+        f"{_ipv6_render_from_hex('__h')}))[0]"
+    )
+
+
+def _cut_ipv6_expr(args: list[str]) -> str:
+    """cutIPv6(bytes, bytesToCutForIPv6, bytesToCutForIPv4): zero the
+    trailing N bytes (the IPv4 count when the address is IPv4-mapped,
+    the IPv6 count otherwise) and render the result as text."""
+    if len(args) != 3:
+        raise ChSqlError(
+            "cutIPv6 takes (bytes, bytesToCutForIPv6, bytesToCutForIPv4)"
+        )
+    b, n6, n4 = args
+    return (
+        f"transform(array(lower(hex(CAST({b} AS BINARY)))), __h0 -> "
+        f"IF(length(__h0) != 32, CAST(NULL AS STRING), "
+        f"transform(array(concat(substring(__h0, 1, 32 - 2 * "
+        f"IF(substring(__h0, 1, 20) = '00000000000000000000' "
+        f"AND substring(__h0, 21, 4) = 'ffff', "
+        f"CAST({n4} AS INT), CAST({n6} AS INT))), "
+        f"repeat('0', 2 * IF(substring(__h0, 1, 20) = "
+        f"'00000000000000000000' AND substring(__h0, 21, 4) = 'ffff', "
+        f"CAST({n4} AS INT), CAST({n6} AS INT))))), __h -> "
+        f"{_ipv6_render_from_hex('__h')})[0]))[0]"
+    )
+
+
+def _parse_readable_size_expr(args: list[str], mode: str) -> str:
+    """parseReadableSize[OrNull/OrZero]('1.5 MiB') → bytes, ceil-ed to
+    integer (CH 24.6).  Decimal (KB=1000…EB) and binary (KiB=1024…EiB)
+    units, case-insensitive, optional whitespace.  The base form
+    returns NULL on invalid input instead of CH's runtime exception
+    (data-dependent throws don't exist in Spark SQL — documented, same
+    convention as the toIPv6 family); OrZero coalesces to 0."""
+    if len(args) != 1:
+        raise ChSqlError(f"parseReadableSize{mode} takes (s)")
+    s = args[0]
+    num = (
+        f"try_cast(regexp_extract(trim({s}), "
+        f"'^([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([A-Za-z]+)$', 1) AS DOUBLE)"
+    )
+    unit = (
+        f"lower(regexp_extract(trim({s}), "
+        f"'^([0-9]+(?:\\\\.[0-9]+)?)\\\\s*([A-Za-z]+)$', 2))"
+    )
+    mult = (
+        f"CASE {unit} WHEN 'b' THEN CAST(1 AS DOUBLE) "
+        "WHEN 'kb' THEN 1e3 WHEN 'mb' THEN 1e6 WHEN 'gb' THEN 1e9 "
+        "WHEN 'tb' THEN 1e12 WHEN 'pb' THEN 1e15 WHEN 'eb' THEN 1e18 "
+        "WHEN 'kib' THEN CAST(1024 AS DOUBLE) "
+        "WHEN 'mib' THEN CAST(1048576 AS DOUBLE) "
+        "WHEN 'gib' THEN CAST(1073741824 AS DOUBLE) "
+        "WHEN 'tib' THEN CAST(1099511627776 AS DOUBLE) "
+        "WHEN 'pib' THEN CAST(1125899906842624 AS DOUBLE) "
+        "WHEN 'eib' THEN CAST(1152921504606846976 AS DOUBLE) END"
+    )
+    base = f"try_cast(ceil(({num}) * ({mult})) AS BIGINT)"
+    if mode == "OrZero":
+        return f"coalesce({base}, CAST(0 AS BIGINT))"
+    return base
+
+
 def _uuid_to_num_expr(args: list[str]) -> str:
     """UUIDToNum(uuid[, variant]) → the 16 raw bytes; subset: variant 1
     (big-endian, CH's default).  Variant 2 is the MS mixed-endian GUID
@@ -4375,6 +4499,27 @@ FUNC_RULES: dict[str, object] = {
     "hiveHash": _hive_hash_expr,
     "ipv4CIDRToRange": _ipv4_cidr_to_range_expr,
     "seriesOutliersDetectTukey": _series_outliers_tukey_expr,
+    # round-13 batch 5: the IPv6 byte/text tier (RFC 5952 render),
+    # parseReadableSize trio, MappedArrays aliases of the Map aggregates
+    "IPv6StringToNum": _ipv6_string_to_num_expr,
+    "IPv6NumToString": _ipv6_num_to_string_expr,
+    "cutIPv6": _cut_ipv6_expr,
+    "parseReadableSize": lambda args: _parse_readable_size_expr(args, ""),
+    "parseReadableSizeOrNull": lambda args: _parse_readable_size_expr(
+        args, "OrNull"
+    ),
+    "parseReadableSizeOrZero": lambda args: _parse_readable_size_expr(
+        args, "OrZero"
+    ),
+    "sumMappedArrays": lambda args: _map_agg_expr(
+        args, "sum", "sumMappedArrays"
+    ),
+    "minMappedArrays": lambda args: _map_agg_expr(
+        args, "min", "minMappedArrays"
+    ),
+    "maxMappedArrays": lambda args: _map_agg_expr(
+        args, "max", "maxMappedArrays"
+    ),
     # CH rand() is a uniform UInt32 (users write rand() % N) — NOT a [0,1)
     # double; randCanonical() is the [0,1) form
     "rand": lambda args: "cast(floor(rand() * 4294967296) as bigint)",

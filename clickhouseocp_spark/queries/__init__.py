@@ -709,6 +709,9 @@ _DRIVER_WINDOW_R16: list[str] = [
     # KQL scalar closers: degrees/radians, pure-SQL erf/erfc,
     # series_sum2, base64_encode_fromguid
     "kql_scalar_vocab9",
+    # vocabulary batch r42: the IPv6 byte/text tier (RFC 5952 render)
+    # + parseReadableSize trio
+    "chsql_vocab_r42",
 ]
 
 #: Round-13 staleness rotation: the 11 r01-latest names (every record in

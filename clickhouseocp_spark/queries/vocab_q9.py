@@ -390,3 +390,70 @@ events | where event_id < 200
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_vocab_r42",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+    CAST(event_id % 65535 + 1 AS BIGINT) AS n,
+    CAST(event_id % 256 AS BIGINT) AS a4,
+    CAST(user_id % 256 AS BIGINT) AS b4,
+    (CAST(event_id % 1000 AS DOUBLE) + 0.25) AS num,
+    ['b', 'kb', 'mib', 'gib', 'tb'][(event_id % 5) + 1] AS unit
+  FROM events WHERE event_id < 250
+)
+SELECT event_id,
+  '2001:db8::' || lower(to_hex(n)) AS rt6,
+  '20010DB8' || repeat('0', 20) || upper(lpad(to_hex(n), 4, '0')) AS hx6,
+  '::ffff:' || a4 || '.' || b4 || '.9.1' AS rt4,
+  '::ffff:' || a4 || '.' || b4 || '.0.0' AS cut4,
+  '2001:db8::' AS cut6,
+  CAST(ceil(num * (CASE unit WHEN 'b' THEN 1.0 WHEN 'kb' THEN 1e3
+    WHEN 'mib' THEN 1048576.0 WHEN 'gib' THEN 1073741824.0
+    WHEN 'tb' THEN 1e12 END)) AS BIGINT) AS bytes,
+  CAST(NULL AS BIGINT) AS bad_null,
+  CAST(0 AS BIGINT) AS bad_zero
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "scalar", "vocab"),
+)
+def chsql_vocab_r42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-13 batch 5: the IPv6 byte/text tier —
+    ``IPv6StringToNum``/``IPv6NumToString`` (RFC 5952 render: per-group
+    zero stripping, FIRST-longest ≥2 zero-run compression, IPv4-mapped
+    mixed notation) and ``cutIPv6`` (mapped addresses cut by the IPv4
+    byte count) — plus the ``parseReadableSize`` trio (decimal + binary
+    units, ceil to bytes; base form NULLs on invalid input instead of
+    CH's runtime throw, documented).  Inputs are CONSTRUCTED so every
+    render has a closed-form replay (single nonzero tail group →
+    '2001:db8::' || hex); the randomized pytest battery covers the
+    general render paths."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id,
+    concat('2001:db8::', lower(hex(event_id % 65535 + 1))) AS ip6,
+    concat('::ffff:', toString(event_id % 256), '.',
+           toString(user_id % 256), '.9.1') AS ip4m,
+    concat(toString(event_id % 1000), '.25 ',
+           arrayElement(array('B', 'KB', 'MiB', 'GiB', 'tb'),
+                        CAST(event_id % 5 AS INT) + 1)) AS sz
+  FROM events WHERE event_id < 250
+)
+SELECT event_id,
+  IPv6NumToString(IPv6StringToNum(ip6)) AS rt6,
+  hex(IPv6StringToNum(ip6)) AS hx6,
+  IPv6NumToString(IPv6StringToNum(ip4m)) AS rt4,
+  cutIPv6(IPv6StringToNum(ip4m), 0, 2) AS cut4,
+  cutIPv6(IPv6StringToNum(ip6), 6, 0) AS cut6,
+  parseReadableSize(sz) AS bytes,
+  parseReadableSizeOrNull(concat('x', sz)) AS bad_null,
+  parseReadableSizeOrZero(concat('x', sz)) AS bad_zero
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

