@@ -142,3 +142,34 @@ def test_tukey_fences_broadcast(spark, sf_dir):
 def test_round6_shuffle_budget(spark, sf_dir, name, budget):
     df = QS[name].fn(spark, sf_dir)
     assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+@pytest.mark.parametrize(
+    "name,budget",
+    [
+        # round-13 births: plan-shape gates at birth (the r12 discipline)
+        ("chsql_window_view_tumble_hop", 6),  # 3 union branches ×
+        # (partial→final agg) + the final sort; hop's 2-per-event Expand
+        # is the only fan-out
+        ("chsql_vocab_r40", 1),               # scan → project → sort
+        ("chsql_series_outliers_ema", 5),     # two grouped collects + join
+        ("chsql_vocab_r41", 5),               # one grouped collect + sort
+        ("chsql_vocab_r42", 1),               # pure scalar tier
+        ("kql_scalar_vocab9", 1),             # pure scalar tier
+    ],
+)
+def test_round13_shuffle_budget(spark, sf_dir, name, budget):
+    df = QS[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+def test_round13_no_python_nodes(spark, sf_dir):
+    """Every round-13 birth is pure-JVM: no row-at-a-time or Arrow
+    Python eval nodes anywhere in the physical plan."""
+    for name in (
+        "chsql_window_view_tumble_hop", "chsql_vocab_r40",
+        "chsql_series_outliers_ema", "chsql_vocab_r41",
+        "chsql_vocab_r42", "kql_scalar_vocab9",
+    ):
+        plan = formatted_plan(QS[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
