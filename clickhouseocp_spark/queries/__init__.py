@@ -714,10 +714,64 @@ _DRIVER_WINDOW_R16: list[str] = [
     "chsql_vocab_r42",
 ]
 
-#: Round-13 staleness rotation: the 11 r01-latest names (every record in
-#: CORRECTNESS_r01.json never re-recorded since) followed by the 42
-#: r02-latest names.  Content pinned against the committed artifacts by
-#: tests/test_coverage_ledger.py::test_rotation_tail_is_derived.
+#: Round-14 births — staged at birth per the standing contract
+#: (test_every_registry_query_is_recorded_or_staged).
+_DRIVER_WINDOW_R17: list[str] = []
+
+
+def _latest_driver_records() -> dict[str, tuple[int, bool]]:
+    """``name -> (round, green)`` from the committed CORRECTNESS_r*.json.
+
+    Ground truth for the staleness rotation: the driver's own per-round
+    correctness artifacts, committed at the repo root.  ``green`` is the
+    full three-way match (rows + schema + value hash).
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    latest: dict[str, tuple[int, bool]] = {}
+    for f in sorted(
+        _glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json")),
+        key=lambda p: int(
+            _re.search(r"r(\d+)", _os.path.basename(p)).group(1)
+        ),
+    ):
+        r = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
+        with open(f) as fh:
+            for name, v in _json.load(fh).items():
+                green = bool(
+                    v.get("rows_match")
+                    and v.get("schema_match", True)
+                    and v.get("hash_match", True)
+                )
+                latest[name] = (r, green)
+    return latest
+
+
+def _derived_rotation() -> list[str]:
+    """The staleness rotation, derived — not hand-listed — each round.
+
+    Rounds 12 and 13 both tripped on hand-written rotation lists (the r12
+    note undercounted the r01 tail; the r13 pin broke the moment the
+    rotation it checked succeeded).  This replaces the per-round list with
+    the ground truth itself: every driver-recorded name ordered by
+    (red-at-latest first, then record round ascending, then name), so the
+    window after the births is always "fix reds, then re-record the
+    stalest greens" and next round's rotation needs zero editing — the
+    driver's own post-close artifact reorders it automatically.
+    """
+    latest = _latest_driver_records()
+    return sorted(latest, key=lambda n: (latest[n][1], latest[n][0], n))
+
+
+#: Round-13 staleness rotation (historic — superseded by
+#: ``_derived_rotation()``): the 11 r01-latest names followed by the 42
+#: r02-latest names, as of the round-13 window.
 _ROTATION_R13: list[str] = [
     # --- r01-latest (11, verified complete — VERDICT r12 wrong #2) ---
     "array_join_parallel",
@@ -961,29 +1015,13 @@ def all_queries() -> dict[str, Query]:
     _load_all()
     ordered: dict[str, Query] = {}
     for name in (
-        # round-13 recording window (first 50): births first, then the
-        # staleness rotation (11 r01 + 42 r02 names; overflow past slot
-        # 50 leads round 14) — see _DRIVER_WINDOW_R16/_ROTATION_R13 notes
-        _DRIVER_WINDOW_R16
-        + _ROTATION_R13
-        # already driver-recorded tail, in historic order
-        + _DRIVER_WINDOW_R15
-        + ["chsql_vocab_r18"]
-        + _DRIVER_WINDOW_R13[6:]
-        + _DRIVER_WINDOW_R14
-        + _DRIVER_WINDOW_R10[16:]
-        + _DRIVER_WINDOW_R11
-        + _DRIVER_WINDOW_R12
-        + _DRIVER_WINDOW_R13[:6]
-        + _R9_RERECORDS
-        + _DRIVER_WINDOW_R9
-        + _DRIVER_WINDOW_R10[:16]
-        + _DRIVER_WINDOW_R8
-        + _DRIVER_WINDOW_R7
-        + _DRIVER_WINDOW_R6
-        + _DRIVER_WINDOW_R5
-        + _DRIVER_WINDOW_R4
-        + _DRIVER_WINDOW_R3
+        # recording window (first 50): births first, then the staleness
+        # rotation DERIVED from the committed CORRECTNESS_r*.json
+        # artifacts — reds-at-latest first, then stalest greens.  The
+        # derived tail covers every recorded name, so the full ordering
+        # is births + staleness order with no hand-maintained chain.
+        _DRIVER_WINDOW_R17
+        + _derived_rotation()
     ):
         if name in REGISTRY:
             ordered[name] = REGISTRY[name]

@@ -87,6 +87,11 @@ def test_driver_ledger_in_coverage_md():
         )
         cov_t = _git_commit_epoch(os.path.join(REPO, "COVERAGE.md"))
         art_t = _git_commit_epoch(newest)
+        if not art_t:
+            # The driver sometimes leaves the post-close artifact
+            # UNTRACKED (r13 did); fall back to file mtime so the
+            # tolerance still fires (VERDICT r13 wrong #1).
+            art_t = int(os.path.getmtime(newest))
         if art_t and cov_t and art_t > cov_t:
             return  # post-close driver artifact; row due next round
     assert not missing, (
@@ -97,45 +102,45 @@ def test_driver_ledger_in_coverage_md():
 
 
 def test_rotation_tail_is_derived():
-    """_ROTATION_R13 must equal the ground truth computed from the
-    committed CORRECTNESS_r*.json artifacts: exactly the names whose
-    LATEST driver record is r01 or r02, with every r01 name ordered
-    before any r02 name.  The r12 hand-written rotation note undercounted
-    the r01 tail 5-vs-11 (VERDICT r12 wrong #2); this pin kills the
-    hand-list class the way the ledger test killed the count class.
+    """The recording window past the births must be the staleness order
+    computed from the committed CORRECTNESS_r*.json artifacts: names
+    red at their latest record first, then greens by record round
+    ascending (stalest first), names alphabetical within a round.
+
+    Rounds 12 and 13 both tripped on hand-written rotation lists (the
+    r12 note undercounted the r01 tail; the r13 pin broke the moment
+    its own rotation succeeded — VERDICT r13 wrong #1).  The rotation
+    is now DERIVED in ``queries._derived_rotation()``; this test
+    recomputes the same ground truth independently and pins
+    ``all_queries()``'s ordering to births + that rotation, so the
+    hand-list failure class is dead for every future round at once.
     """
     import clickhouseocp_spark.queries as q
 
-    latest: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for f in sorted(
         glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")),
         key=lambda p: int(re.search(r"r(\d+)", os.path.basename(p)).group(1)),
     ):
         r = int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
-        for name in json.load(open(f)):
-            latest[name] = r
-    # Only enforce while the r01/r02 tail is actually outstanding: once
-    # CORRECTNESS_r13+ re-records these names the list is historic.
-    expect_r01 = {n for n, r in latest.items() if r == 1}
-    expect_r02 = {n for n, r in latest.items() if r == 2}
-    rot = q._ROTATION_R13
-    if not (expect_r01 | expect_r02):
-        return  # tail fully rotated in a later round; list is historic
-    assert set(rot) >= (expect_r01 | expect_r02), (
-        f"_ROTATION_R13 misses stale names: "
-        f"{sorted((expect_r01 | expect_r02) - set(rot))}"
+        for name, v in json.load(open(f)).items():
+            green = bool(
+                v.get("rows_match")
+                and v.get("schema_match", True)
+                and v.get("hash_match", True)
+            )
+            latest[name] = (r, green)
+    expected = sorted(latest, key=lambda n: (latest[n][1], latest[n][0], n))
+    assert q._derived_rotation() == expected
+
+    births = list(q._DRIVER_WINDOW_R17)
+    ordered = list(q.all_queries())
+    head = births + [n for n in expected if n in set(ordered)
+                     and n not in set(births)]
+    assert ordered[: len(head)] == head, (
+        "all_queries() must lead with the staged births followed by the "
+        "artifact-derived staleness rotation"
     )
-    assert {n for n in rot if latest.get(n, 99) <= 2} == set(rot), (
-        f"_ROTATION_R13 contains non-stale names: "
-        f"{sorted(n for n in rot if latest.get(n, 99) > 2)}"
-    )
-    r01_idx = [rot.index(n) for n in expect_r01]
-    r02_idx = [rot.index(n) for n in expect_r02]
-    if r01_idx and r02_idx:
-        assert max(r01_idx) < min(r02_idx), (
-            "every r01-latest name must precede all r02-latest names in "
-            "_ROTATION_R13 (oldest records rotate first)"
-        )
 
 
 def test_every_registry_query_is_recorded_or_staged():
