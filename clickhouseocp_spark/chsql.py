@@ -336,9 +336,13 @@ def _hive_hash_expr(args: list[str]) -> str:
 def _ipv6_render_from_hex(h: str) -> str:
     """RFC 5952 text render of an IPv6 address given as 32 lowercase hex
     chars: leading zeros stripped per group, the FIRST longest zero run
-    of ≥2 groups compressed to '::', and the IPv4-mapped prefix
-    (::ffff:a.b.c.d) rendered in mixed notation — glibc inet_ntop's
-    behavior, which CH's IPv6NumToString wraps.  One 8-step fold."""
+    of ≥2 groups compressed to '::', and mixed (dotted-quad) notation
+    exactly when glibc inet_ntop uses it — best zero run at base 0 with
+    length 6 (IPv4-compatible '::a.b.c.d') or length 5 with words[5] ==
+    0xffff (IPv4-mapped '::ffff:a.b.c.d').  inet_ntop's third clause
+    (len 7, words[7] != 1) is unreachable — a len-7 run swallows word 6
+    before the dotted branch can fire ('::2', '::102' stay hex; probed
+    against socket.inet_ntop, which the test replay pins).  One fold."""
     gs = (
         "transform(sequence(0, 7), __i -> "
         f"regexp_replace(substring({h}, 4 * __i + 1, 4), '^0{{1,3}}', ''))"
@@ -360,16 +364,16 @@ def _ipv6_render_from_hex(h: str) -> str:
         f"AS BIGINT) AS STRING)))"
     )
     return (
-        f"IF(substring({h}, 1, 20) = '00000000000000000000' "
-        f"AND substring({h}, 21, 4) = 'ffff', "
-        f"concat('::ffff:', {dotted}), "
         f"transform(array({gs}), __gs -> "
         f"transform(array({fold}), __st -> "
+        f"IF(__st.bs = 0 AND (__st.bl = 6 OR (__st.bl = 5 "
+        f"AND element_at(__gs, 6) = 'ffff')), "
+        f"concat('::', IF(__st.bl = 5, 'ffff:', ''), {dotted}), "
         f"IF(__st.bl >= 2, "
         f"concat(concat_ws(':', slice(__gs, 1, __st.bs)), '::', "
         f"concat_ws(':', slice(__gs, __st.bs + __st.bl + 1, "
         f"8 - __st.bs - __st.bl))), "
-        f"concat_ws(':', __gs)))[0])[0])"
+        f"concat_ws(':', __gs))))[0])[0]"
     )
 
 
@@ -686,9 +690,12 @@ def _exp_time_decayed_expr(params: list[str], args: list[str],
             f"aggregate(__p, CAST(0 AS DOUBLE), (__s, __e) -> __s + {term})"
         )
     return (
+        # all-NULL group → empty collected array → NULL, not the fold
+        # seed (-Inf / 0.0) — the NULL-skipping aggregate convention
         f"transform(array(array_sort(collect_list({pair}))), __p -> "
+        f"IF(size(__p) = 0, CAST(NULL AS DOUBLE), "
         f"transform(array(aggregate(__p, CAST(-1e300 AS DOUBLE), "
-        f"(__m, __e) -> greatest(__m, __e.t))), __T -> {body})[0])[0]"
+        f"(__m, __e) -> greatest(__m, __e.t))), __T -> {body})[0]))[0]"
     )
 
 

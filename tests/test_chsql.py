@@ -4618,10 +4618,25 @@ FROM VALUES (0.0, 3.0), (5.0, 7.0), (10.0, 1.0) AS t(t, v)
     ).collect()[0]
     T = max(t for t, _ in pts)
     assert r4.c == round(sum(math.exp(-(T - t) / 10) for t, _ in pts), 9)
-    assert r4.s == round(
-        math.fsum(v * math.exp(-(T - t) / 10) for t, v in
-                  sorted(pts)), 9
-    ) or abs(r4.s - sum(v * math.exp(-(T - t) / 10) for t, v in pts)) < 1e-9
+    # exact equality against the sorted-fold replay — no or-tolerance
+    # fallback masking a fold-order regression (r13 ADVICE)
+    s_replay = 0.0
+    for t, v in sorted(pts):
+        s_replay = s_replay + v * math.exp(-(T - t) / 10)
+    assert r4.s == round(s_replay, 9)
+
+    # all-NULL group → NULL, not the fold seed (-Inf / 0.0) — r13 ADVICE
+    rn = eng.sql(
+        """
+SELECT exponentialTimeDecayedCount(10)(t) AS c,
+       exponentialTimeDecayedSum(10)(v, t) AS s,
+       exponentialTimeDecayedMax(10)(v, t) AS m
+FROM VALUES (CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)),
+            (CAST(NULL AS DOUBLE), 1.0) AS t(t, v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert rn.c is None and rn.s is None and rn.m is None
     assert r4.m == round(
         max(v * math.exp(-(T - t) / 10) for t, v in pts), 9
     )
@@ -4804,26 +4819,15 @@ def test_ipv6_tier_randomized(spark):
     from clickhouseocp_spark.engine import ChSparkEngine
 
     def py_render(groups):
-        gs = [format(g, "x") for g in groups]
-        if groups[:5] == [0] * 5 and groups[5] == 0xFFFF:
-            return "::ffff:{}.{}.{}.{}".format(
-                groups[6] >> 8, groups[6] & 255, groups[7] >> 8,
-                groups[7] & 255
-            )
-        best_s = best_l = -1
-        cur_s, cur_l = -1, 0
-        for i, g in enumerate(groups):
-            if g == 0:
-                if cur_l == 0:
-                    cur_s = i
-                cur_l += 1
-                if cur_l > best_l:
-                    best_s, best_l = cur_s, cur_l
-            else:
-                cur_l = 0
-        if best_l >= 2:
-            return ":".join(gs[:best_s]) + "::" + ":".join(gs[best_s + best_l:])
-        return ":".join(gs)
+        # ground truth is glibc inet_ntop itself — the SQL render must
+        # match it bit-for-bit, INCLUDING the IPv4-compatible mixed
+        # notation ('::1.2.3.4') the old hand-replica missed (r13 ADVICE)
+        import socket
+
+        return socket.inet_ntop(
+            socket.AF_INET6,
+            b"".join(g.to_bytes(2, "big") for g in groups),
+        )
 
     rng = random.Random(4242)
     cases = []
@@ -4837,6 +4841,11 @@ def test_ipv6_tier_randomized(spark):
         [0, 0, 0, 0, 0, 0xFFFF, 0xC0A8, 0x0507],  # mapped
         [1, 0, 2, 0, 0, 3, 0, 4],              # single zeros + one run
         [0xFE80, 0, 0, 1, 0, 0, 0, 1],         # later run longer
+        [0, 0, 0, 0, 0, 0, 0x0102, 0x0304],    # IPv4-compatible ::1.2.3.4
+        [0, 0, 0, 0, 0, 0, 5, 0],              # compat ::0.5.0.0
+        [0, 0, 0, 0, 0, 0, 0, 2],              # len-7 run stays hex ::2
+        [0, 0, 0, 0, 0, 0, 0, 0x0102],         # len-7 run ::102 (no dots)
+        [0, 0, 0, 0, 0, 0xFFFF, 0, 0],         # ::ffff:0.0.0.0
     ]
     eng = ChSparkEngine("/root/testdata/sf0.001", spark)
     sel = ", ".join(
