@@ -426,6 +426,459 @@ def _cut_ipv6_expr(args: list[str]) -> str:
     )
 
 
+_RING_T = "ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>"
+
+
+def _ring_crossings(ring_var: str) -> str:
+    """Even-odd ray-cast crossing count of ring ``ring_var`` (bound array
+    of 2-double structs, open or closed — the wrap edge of a closed ring
+    is degenerate and contributes 0) against the bound point ``__p``.
+    Pure HOF fold: no UDF, no shuffle (the functions/geo.py
+    pointInPolygon discipline, runtime-general instead of
+    literal-unrolled).  Horizontal edges: the straddle test is already
+    false; the then-unused division yields IEEE Inf/NaN, never an ANSI
+    error (double division does not throw)."""
+    r = ring_var
+    nxt = f"element_at({r}, IF(__i = size({r}), 1, __i + 1))"
+    cur = f"element_at({r}, __i)"
+    return (
+        f"aggregate(sequence(1, size({r})), 0, (__c, __i) -> "
+        f"__c + IF(({cur}.y > __p.y) != ({nxt}.y > __p.y) "
+        f"AND __p.x < {cur}.x + (__p.y - {cur}.y) "
+        f"* ({nxt}.x - {cur}.x) / ({nxt}.y - {cur}.y), 1, 0))"
+    )
+
+
+def _point_in_polygon_expr(args: list[str]) -> str:
+    """pointInPolygon((x, y), ring[, hole...]) → UInt8 0/1 (even-odd
+    rule over the combined crossing count, so extra ring args are holes
+    — CH's multi-argument form).  Rings are ARBITRARY expressions
+    (literals, columns, groupArray results): each is cast positionally
+    to array<struct<x,y>>, so Spark's col1/col2 row-constructor names
+    never leak in.  Boundary points follow the strict `<` convention."""
+    if len(args) < 2:
+        raise ChSqlError("pointInPolygon takes ((x, y), ring[, holes...])")
+    point = f"CAST({args[0]} AS STRUCT<x: DOUBLE, y: DOUBLE>)"
+    rings = ", ".join(f"CAST({a} AS {_RING_T})" for a in args[1:])
+    return (
+        f"transform(array({point}), __p -> "
+        f"CAST(aggregate(array({rings}), 0, (__t, __r) -> "
+        f"__t + {_ring_crossings('__r')}) % 2 AS INT))[0]"
+    )
+
+
+def _polygon_area_cartesian_expr(args: list[str]) -> str:
+    """polygonAreaCartesian([[(x,y),...], ...]) — shoelace area summed
+    over rings, CLOCKWISE-POSITIVE (Boost.Geometry's default orientation,
+    which CH wraps: the doc example [[(0,0),(0,5),(5,5)]] → 12.5), so
+    counter-clockwise holes subtract naturally."""
+    if len(args) != 1:
+        raise ChSqlError("polygonAreaCartesian takes (polygon)")
+    shoelace = (
+        "aggregate(sequence(1, size(__r)), CAST(0 AS DOUBLE), "
+        "(__s, __i) -> __s + (element_at(__r, __i).x "
+        "* element_at(__r, IF(__i = size(__r), 1, __i + 1)).y "
+        "- element_at(__r, IF(__i = size(__r), 1, __i + 1)).x "
+        "* element_at(__r, __i).y))"
+    )
+    return (
+        f"aggregate(CAST({args[0]} AS ARRAY<{_RING_T}>), "
+        f"CAST(0 AS DOUBLE), (__t, __r) -> __t - 0.5 * {shoelace})"
+    )
+
+
+def _polygon_perimeter_cartesian_expr(args: list[str]) -> str:
+    """polygonPerimeterCartesian(polygon) — Σ over every ring (outer +
+    holes, Boost's convention) of Σ edge lengths, wrap edge included."""
+    if len(args) != 1:
+        raise ChSqlError("polygonPerimeterCartesian takes (polygon)")
+    edges = (
+        "aggregate(sequence(1, size(__r)), CAST(0 AS DOUBLE), "
+        "(__s, __i) -> __s + sqrt("
+        "pow(element_at(__r, IF(__i = size(__r), 1, __i + 1)).x "
+        "- element_at(__r, __i).x, 2) "
+        "+ pow(element_at(__r, IF(__i = size(__r), 1, __i + 1)).y "
+        "- element_at(__r, __i).y, 2)))"
+    )
+    return (
+        f"aggregate(CAST({args[0]} AS ARRAY<{_RING_T}>), "
+        f"CAST(0 AS DOUBLE), (__t, __r) -> __t + {edges})"
+    )
+
+
+#: Marker lexicons shared with functions/text.py's LID heuristic (kept
+#: in sync by the pytest that imports both).  CH's detectLanguage* wrap
+#: compiled CLD2 models — this n-gram/stopword heuristic is the
+#: documented self-contained stand-in (same deviation class as the
+#: text_language_id operator).
+_NLP_LANGS: list[tuple[str, tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "a", "in", "value", "table")),
+    ("es", ("el", "la", "de", "que", "y", "los", "por")),
+    ("fr", ("le", "la", "les", "des", "est", "une", "pour")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "mit")),
+    ("zh", ("de5", "shi4", "bu4", "le5", "zai4", "ren2")),
+]
+
+
+def _nlp_tokens(s: str) -> str:
+    return f"filter(split(lower({s}), '[^a-z0-9]+'), __t -> __t != '')"
+
+
+def _nlp_counts() -> str:
+    """Marker-hit counts per language over the bound token array __tk."""
+    cs = ", ".join(
+        "size(filter(__tk, __t -> __t IN ("
+        + ", ".join(f"'{m}'" for m in markers)
+        + ")))"
+        for _lang, markers in _NLP_LANGS
+    )
+    return f"array({cs})"
+
+
+def _detect_language_expr(args: list[str]) -> str:
+    """detectLanguage(s) → 2-letter code, 'un' when no marker hits (CH's
+    unknown code).  Argmax with earlier-language tie wins."""
+    if len(args) != 1:
+        raise ChSqlError("detectLanguage takes (text)")
+    langs = ", ".join(f"'{lang}'" for lang, _m in _NLP_LANGS)
+    return (
+        f"transform(array({_nlp_tokens(args[0])}), __tk -> "
+        f"transform(array({_nlp_counts()}), __cs -> "
+        f"transform(array(aggregate(sequence(1, size(__cs)), "
+        f"named_struct('i', 0, 'c', 0), (__b, __i) -> "
+        f"IF(element_at(__cs, __i) > __b.c, "
+        f"named_struct('i', __i, 'c', element_at(__cs, __i)), __b))), "
+        f"__bt -> IF(__bt.c = 0, 'un', "
+        f"element_at(array({langs}), __bt.i)))[0])[0])[0]"
+    )
+
+
+def _detect_language_mixed_expr(args: list[str]) -> str:
+    """detectLanguageMixed(s) → Map(lang → share of marker hits), only
+    languages with evidence; no evidence at all → {'un': 1.0}."""
+    if len(args) != 1:
+        raise ChSqlError("detectLanguageMixed takes (text)")
+    langs = ", ".join(f"'{lang}'" for lang, _m in _NLP_LANGS)
+    return (
+        f"transform(array({_nlp_tokens(args[0])}), __tk -> "
+        f"transform(array({_nlp_counts()}), __cs -> "
+        f"transform(array(aggregate(__cs, 0, (__a, __b) -> __a + __b)), "
+        f"__tt -> IF(__tt = 0, map('un', CAST(1.0 AS DOUBLE)), "
+        f"map_filter(map_from_arrays(array({langs}), "
+        f"transform(__cs, __c -> CAST(__c AS DOUBLE) / __tt)), "
+        f"(__k, __v) -> __v > 0)))[0])[0])[0]"
+    )
+
+
+def _detect_charset_expr(args: list[str]) -> str:
+    """detectCharset(s): 'UTF-8' when any non-ASCII character is
+    present, else 'US-ASCII' (CH's model-based detector reduced to the
+    deterministic two-way split — documented heuristic subset)."""
+    if len(args) != 1:
+        raise ChSqlError("detectCharset takes (text)")
+    return (
+        f"IF({args[0]} RLIKE '[^\\\\x00-\\\\x7F]', 'UTF-8', 'US-ASCII')"
+    )
+
+
+_PROG_LANG_KEYWORDS: list[tuple[str, tuple[str, ...]]] = [
+    ("C++", ("#include", "std::", "template", "nullptr", "->")),
+    ("Python", ("def ", "import ", "self.", "elif", "lambda")),
+    ("Java", ("public class", "extends", "implements", "System.out")),
+    ("JavaScript", ("function ", "=>", "const ", "var ", "console.log")),
+    ("SQL", ("select ", "from ", "where ", "group by", "insert into")),
+]
+
+
+def _detect_programming_language_expr(args: list[str]) -> str:
+    """detectProgrammingLanguage(s): keyword-occurrence argmax over a
+    fixed lexicon (C++/Python/Java/JavaScript/SQL), earlier language
+    wins ties, no hits → 'Undefined' — a deterministic stand-in for
+    CH's frequency-dictionary model (documented heuristic subset)."""
+    if len(args) != 1:
+        raise ChSqlError("detectProgrammingLanguage takes (text)")
+    names = ", ".join(f"'{n}'" for n, _k in _PROG_LANG_KEYWORDS)
+    counts = ", ".join(
+        "("
+        + " + ".join(
+            f"size(split(__lo, {_sql_quote(kw.lower())})) - 1"
+            for kw in kws
+        )
+        + ")"
+        for _n, kws in _PROG_LANG_KEYWORDS
+    )
+    return (
+        f"transform(array(lower({args[0]})), __lo -> "
+        f"transform(array(array({counts})), __cs -> "
+        f"transform(array(aggregate(sequence(1, size(__cs)), "
+        f"named_struct('i', 0, 'c', 0), (__b, __i) -> "
+        f"IF(element_at(__cs, __i) > __b.c, "
+        f"named_struct('i', __i, 'c', element_at(__cs, __i)), __b))), "
+        f"__bt -> IF(__bt.c = 0, 'Undefined', "
+        f"element_at(array({names}), __bt.i)))[0])[0])[0]"
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
+
+
+#: Irregular English lemmas for the rule-based ``lemmatize('en', w)``
+#: subset (CH requires server-configured lemmatizer dictionaries and
+#: throws without them; this built-in subset is the self-contained
+#: stand-in, documented).
+_EN_IRREGULAR_LEMMAS: list[tuple[str, str]] = [
+    ("mice", "mouse"), ("feet", "foot"), ("geese", "goose"),
+    ("teeth", "tooth"), ("men", "man"), ("women", "woman"),
+    ("children", "child"), ("people", "person"), ("ran", "run"),
+    ("went", "go"), ("was", "be"), ("were", "be"), ("better", "good"),
+    ("worse", "bad"),
+]
+
+
+def _lemmatize_expr(args: list[str]) -> str:
+    """lemmatize(lang, word) — 'en' subset: irregular table, then
+    -ies→y / -sses→ss / -(x|ch|sh|z)es→stem / plural -s stripping;
+    other languages pass the word through unchanged."""
+    if len(args) != 2:
+        raise ChSqlError("lemmatize takes (lang, word)")
+    lang, w = args
+    irr = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in _EN_IRREGULAR_LEMMAS
+    )
+    rules = (
+        f"CASE lower({w}) {irr} ELSE "
+        f"CASE WHEN lower({w}) RLIKE '^[a-z]{{2,}}ies$' "
+        f"THEN concat(substring(lower({w}), 1, length({w}) - 3), 'y') "
+        f"WHEN lower({w}) RLIKE 'sses$' "
+        f"THEN substring(lower({w}), 1, length({w}) - 2) "
+        f"WHEN lower({w}) RLIKE '(x|ch|sh|z)es$' "
+        f"THEN substring(lower({w}), 1, length({w}) - 2) "
+        f"WHEN lower({w}) RLIKE '^[a-z]{{2,}}s$' "
+        f"AND NOT lower({w}) RLIKE '(ss|us|is)$' "
+        f"THEN substring(lower({w}), 1, length({w}) - 1) "
+        f"ELSE lower({w}) END END"
+    )
+    return f"IF(lower({lang}) = 'en', {rules}, {w})"
+
+
+def _group_array_moving_expr(args: list[str], n: str | None,
+                             what: str) -> str:
+    """groupArrayMovingSum/Avg[(N)](x): element i of the result is the
+    sum (avg) of the last N collected values up to i (whole prefix when
+    unparameterized).  Ordering follows the collect order — pair with a
+    sorted single-partition input for determinism, the groupArray
+    convention.  Avg divides by the WINDOW SIZE (CH's contract: early
+    elements are partial) and returns Float64 (CH's integer-division
+    result type for int inputs is a documented deviation)."""
+    if len(args) != 1:
+        raise ChSqlError(f"groupArrayMoving{what} takes (x)")
+    win = f"CAST({n} AS INT)" if n is not None else "size(__a)"
+    start = f"greatest(1, __i - {win} + 1)"
+    length = f"least(__i, {win})"
+    body = (
+        f"aggregate(slice(__a, {start}, {length}), "
+        f"CAST(0 AS BIGINT), (__s, __e) -> __s + __e)"
+    )
+    if what == "Avg":
+        body = f"(CAST({body} AS DOUBLE) / {win})"
+    return (
+        f"transform(array(collect_list({args[0]})), __a -> "
+        f"transform(sequence(1, size(__a)), __i -> {body}))[0]"
+    )
+
+
+def _group_array_insert_at_expr(args: list[str]) -> str:
+    """groupArrayInsertAt(x, pos): value placed at 0-based position pos,
+    gaps NULL-filled (CH fills the type default — documented deviation;
+    Spark SQL cannot type-dispatch a default literal).  Duplicate
+    positions keep the first collected value (CH: unspecified)."""
+    if len(args) != 2:
+        raise ChSqlError("groupArrayInsertAt takes (x, pos)")
+    pairs = (
+        f"collect_list(named_struct('p', CAST({args[1]} AS INT), "
+        f"'v', {args[0]}))"
+    )
+    return (
+        f"transform(array({pairs}), __ps -> "
+        f"IF(size(__ps) = 0, slice(transform(__ps, __e -> __e.v), 1, 0), "
+        f"transform(sequence(0, aggregate(__ps, -1, "
+        f"(__m, __e) -> greatest(__m, __e.p))), __i -> "
+        f"try_element_at(transform(filter(__ps, __e -> __e.p = __i), "
+        f"__e -> __e.v), 1))))[0]"
+    )
+
+
+def _soundex_expr(args: list[str]) -> str:
+    """soundex(s): classic 4-char American Soundex — first letter kept,
+    consonants coded 1-6, H/W transparent (do not break a run), vowels
+    break runs but emit nothing, consecutive identical codes merged,
+    zero-padded/truncated to 4.  Non-alphabetic chars are ignored
+    (CH scans the whole string the same way); no letters → ''."""
+    if len(args) != 1:
+        raise ChSqlError("soundex takes (s)")
+    code = (
+        "CASE WHEN __c IN ('B','F','P','V') THEN '1' "
+        "WHEN __c IN ('C','G','J','K','Q','S','X','Z') THEN '2' "
+        "WHEN __c IN ('D','T') THEN '3' WHEN __c = 'L' THEN '4' "
+        "WHEN __c IN ('M','N') THEN '5' WHEN __c = 'R' THEN '6' "
+        "WHEN __c IN ('H','W') THEN 'h' ELSE '0' END"
+    )
+    return (
+        f"aggregate("
+        f"filter(split(upper({args[0]}), ''), __c -> __c RLIKE '^[A-Z]$'), "
+        f"named_struct('o', '', 'p', ''), "
+        f"(__st, __c) -> transform(array({code}), __k -> CASE "
+        f"WHEN __st.o = '' THEN named_struct('o', __c, 'p', __k) "
+        f"WHEN __k = 'h' THEN __st "
+        f"WHEN __k = '0' THEN named_struct('o', __st.o, 'p', '0') "
+        f"WHEN __k != __st.p THEN "
+        f"named_struct('o', concat(__st.o, __k), 'p', __k) "
+        f"ELSE __st END)[0], "
+        f"__st -> IF(__st.o = '', '', "
+        f"rpad(substring(__st.o, 1, 4), 4, '0')))"
+    )
+
+
+def _initcap_expr(args: list[str], utf8: bool) -> str:
+    """initcap[UTF8](s): first character of every word uppercased, the
+    rest lowercased, where a word is a run of alphanumerics (CH's
+    definition — NOT Spark initcap's whitespace-only splitting: CH
+    gives 'Foo-Bar' where Spark gives 'Foo-bar').  Zero-width
+    lookaround split keeps the separators, so concat round-trips."""
+    if len(args) != 1:
+        raise ChSqlError("initcap takes (s)")
+    cls = "\\\\p{L}\\\\p{Nd}" if utf8 else "0-9A-Za-z"
+    return (
+        f"array_join(transform("
+        f"split({args[0]}, '(?<=[^{cls}])(?=[{cls}])|(?<=[{cls}])(?=[^{cls}])'), "
+        f"__w -> IF(__w RLIKE '^[{cls}]', "
+        f"concat(upper(substring(__w, 1, 1)), lower(substring(__w, 2))), "
+        f"__w)), '')"
+    )
+
+
+# H3 v3 per-resolution constant tables (public: the H3 library's
+# published average-area / average-edge-length tables, which CH's
+# h3HexArea*/h3EdgeLength* wrap verbatim).
+_H3_HEX_AREA_KM2 = [
+    4250546.848, 607220.9782, 86745.85403, 12392.26486, 1770.323552,
+    252.9033645, 36.1290521, 5.1612932, 0.7373276, 0.1053325,
+    0.0150475, 0.0021496, 0.0003071, 0.0000439, 0.0000063, 0.0000009,
+]
+_H3_HEX_AREA_M2 = [
+    4.25055e12, 6.07221e11, 8.67459e10, 1.23932e10, 1.77032e9,
+    2.52903e8, 3.61291e7, 5.16129e6, 737327.6, 105332.5,
+    15047.5, 2149.6, 307.1, 43.9, 6.3, 0.9,
+]
+_H3_EDGE_KM = [
+    1107.712591, 418.6760055, 158.2446558, 59.81085794, 22.6063794,
+    8.544408276, 3.229482772, 1.220629759, 0.461354684, 0.174375668,
+    0.065907807, 0.024910561, 0.009415526, 0.003559893, 0.001348575,
+    0.000509713,
+]
+_H3_EDGE_M = [
+    1107712.591, 418676.0055, 158244.6558, 59810.85794, 22606.3794,
+    8544.408276, 3229.482772, 1220.629759, 461.3546837, 174.3756681,
+    65.90780749, 24.9105614, 9.415526211, 3.559893033, 1.348574562,
+    0.509713273,
+]
+#: The 12 pentagon base cells (H3's published list).
+_H3_PENTAGON_BASE_CELLS = [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+
+
+def _h3_table_expr(args: list[str], table: list[float], name: str) -> str:
+    """h3HexAreaM2/Km2, h3EdgeLengthM/Km(res): the library's constant
+    table indexed by resolution; res outside 0..15 → NULL (CH throws;
+    documented deviation, the OrNull convention)."""
+    if len(args) != 1:
+        raise ChSqlError(f"{name} takes (resolution)")
+    lits = ", ".join(repr(v) for v in table)
+    return (
+        f"IF(CAST({args[0]} AS INT) BETWEEN 0 AND 15, "
+        f"element_at(array({lits}), CAST({args[0]} AS INT) + 1), "
+        f"CAST(NULL AS DOUBLE))"
+    )
+
+
+def _h3_res0_indexes_expr(args: list[str]) -> str:
+    """h3GetRes0Indexes() → the 122 resolution-0 cell indexes, built from
+    the H3 index bit layout (mode 1 << 59, res 0, base cell << 45, all
+    15 digits = 7 → low 45 bits set): cell 0 is 0x8001fffffffffff."""
+    if args and any(a.strip() for a in args):
+        raise ChSqlError("h3GetRes0Indexes takes no arguments")
+    vals = ", ".join(
+        str((1 << 59) | (b << 45) | ((1 << 45) - 1)) for b in range(122)
+    )
+    return f"array({vals})"
+
+
+def _h3_pentagon_indexes_expr(args: list[str]) -> str:
+    """h3GetPentagonIndexes(res) → the 12 pentagon cells at that
+    resolution: pentagon = center-child chain of a pentagon base cell
+    (first `res` digits 0, remaining digits 7).  8^(15-res) stays below
+    2^53 so the pow round-trip through DOUBLE is exact."""
+    if len(args) != 1:
+        raise ChSqlError("h3GetPentagonIndexes takes (resolution)")
+    cells = ", ".join(str(b) for b in _H3_PENTAGON_BASE_CELLS)
+    r = f"CAST({args[0]} AS BIGINT)"
+    return (
+        f"IF({r} BETWEEN 0 AND 15, "
+        f"transform(array({cells}), __b -> "
+        f"{1 << 59} + {r} * {1 << 52} + CAST(__b AS BIGINT) * {1 << 45} "
+        f"+ CAST(pow(8, 15 - {r}) AS BIGINT) - 1), "
+        f"CAST(NULL AS ARRAY<BIGINT>))"
+    )
+
+
+_WKT_NUM = "(-?[0-9]+(?:\\\\.[0-9]+)?(?:[eE][+-]?[0-9]+)?)"
+
+
+def _wkt_points_list(body: str) -> str:
+    """'x y, x y, …' → array<struct<col1,col2>> (col1/col2 so
+    tupleElement and the tuple closure apply to the result)."""
+    return (
+        f"transform(filter(split({body}, ','), __pt -> trim(__pt) != ''), "
+        f"__pt -> named_struct("
+        f"'col1', CAST(element_at(split(trim(__pt), '\\\\s+'), 1) AS DOUBLE), "
+        f"'col2', CAST(element_at(split(trim(__pt), '\\\\s+'), 2) AS DOUBLE)))"
+    )
+
+
+def _read_wkt_expr(args: list[str], what: str) -> str:
+    """readWKTPoint/LineString/Polygon(s): WKT text → geo value (CH
+    tuple → col1/col2 struct; LineString → ring array; Polygon → array
+    of rings).  Malformed text → NULL fields / empty arrays instead of
+    CH's runtime throw (documented, the toIPv6-family convention)."""
+    if len(args) != 1:
+        raise ChSqlError(f"readWKT{what} takes (wkt_string)")
+    s = args[0]
+    if what == "Point":
+        pat = f"'(?i)^\\\\s*POINT\\\\s*\\\\(\\\\s*{_WKT_NUM}\\\\s+{_WKT_NUM}\\\\s*\\\\)\\\\s*$'"
+        return (
+            f"named_struct("
+            f"'col1', try_cast(regexp_extract({s}, {pat}, 1) AS DOUBLE), "
+            f"'col2', try_cast(regexp_extract({s}, {pat}, 2) AS DOUBLE))"
+        )
+    if what == "LineString":
+        body = (
+            f"regexp_extract({s}, "
+            f"'(?i)^\\\\s*LINESTRING\\\\s*\\\\((.*)\\\\)\\\\s*$', 1)"
+        )
+        return _wkt_points_list(body)
+    # Polygon: '(r1),(r2)' → rings split on ')...(' with the stray
+    # parens stripped per ring
+    body = (
+        f"regexp_extract({s}, "
+        f"'(?i)^\\\\s*POLYGON\\\\s*\\\\((.*)\\\\)\\\\s*$', 1)"
+    )
+    ring = _wkt_points_list("regexp_replace(__rt, '[()]', '')")
+    return (
+        f"transform(split({body}, '\\\\)\\\\s*,\\\\s*\\\\('), "
+        f"__rt -> {ring})"
+    )
+
+
 def _parse_readable_size_expr(args: list[str], mode: str) -> str:
     """parseReadableSize[OrNull/OrZero]('1.5 MiB') → bytes, ceil-ed to
     integer (CH 24.6).  Decimal (KB=1000…EB) and binary (KiB=1024…EiB)
@@ -3466,6 +3919,24 @@ FUNC_RULES: dict[str, object] = {
     "simpleJSONHas": lambda args: (
         f"(get_json_object({args[0]}, concat('$.', {args[1]})) IS NOT NULL)"
     ),
+    "simpleJSONExtractFloat": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS DOUBLE)"
+    ),
+    "simpleJSONExtractUInt": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS BIGINT)"
+    ),
+    # CH: 1 only for a literal true — any other value (or absence) is 0
+    "simpleJSONExtractBool": lambda args: (
+        f"IF(get_json_object({args[0]}, concat('$.', {args[1]})) = 'true', "
+        f"1, 0)"
+    ),
+    # get_json_object returns the raw JSON text for object/array values —
+    # exactly simpleJSONExtractRaw's contract on valid JSON
+    "simpleJSONExtractRaw": lambda args: (
+        f"coalesce(get_json_object({args[0]}, concat('$.', {args[1]})), '')"
+    ),
     "JSONExtractRaw": lambda args: _json_path("get_json_object", args),
     "JSON_VALUE": lambda args: f"get_json_object({args[0]}, {args[1]})",
     "JSON_QUERY": lambda args: f"get_json_object({args[0]}, {args[1]})",
@@ -3695,6 +4166,59 @@ FUNC_RULES: dict[str, object] = {
     ),
     # geoDistance: CH's WGS84-ellipsoid-corrected distance deviates ≤0.5%
     # from the spherical haversine this shares with greatCircleDistance
+    "soundex": _soundex_expr,
+    "detectLanguage": _detect_language_expr,
+    "detectLanguageMixed": _detect_language_mixed_expr,
+    "detectCharset": _detect_charset_expr,
+    "detectProgrammingLanguage": _detect_programming_language_expr,
+    "lemmatize": _lemmatize_expr,
+    "groupArrayMovingSum": lambda args: _group_array_moving_expr(
+        args, None, "Sum"),
+    "groupArrayMovingAvg": lambda args: _group_array_moving_expr(
+        args, None, "Avg"),
+    "groupArrayInsertAt": _group_array_insert_at_expr,
+    "initcap": lambda args: _initcap_expr(args, utf8=False),
+    "initcapUTF8": lambda args: _initcap_expr(args, utf8=True),
+    # CH translate REQUIRES equal-length from/to maps and errors
+    # otherwise; Spark's builtin deletes on a shorter `to` — the
+    # equal-length contract is the caller's (documented deviation)
+    "translate": _rename("translate"),
+    "translateUTF8": _rename("translate"),
+    "dayName": lambda args: f"date_format({args[0]}, 'EEEE')",
+    "toUUIDOrZero": lambda args: (
+        f"CASE WHEN {args[0]} RLIKE '^[0-9A-Fa-f]{{8}}-[0-9A-Fa-f]{{4}}-"
+        f"[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{4}}-[0-9A-Fa-f]{{12}}$' "
+        f"THEN lower({args[0]}) "
+        f"ELSE '00000000-0000-0000-0000-000000000000' END"
+    ),
+    "multiSearchAnyCaseInsensitive": lambda args: (
+        f"CAST(exists({args[1]}, __p -> "
+        f"locate(lower(__p), lower({args[0]})) > 0) AS INT)"
+    ),
+    # char-based like the existing stringJaccardIndex (the byte-vs-char
+    # split only differs on non-ASCII, where UTF8 is the char variant)
+    "stringJaccardIndexUTF8": lambda args: (
+        f"cast(size(array_intersect(array_distinct(split({args[0]}, '')), "
+        f"array_distinct(split({args[1]}, '')))) as double) / "
+        f"size(array_union(array_distinct(split({args[0]}, '')), "
+        f"array_distinct(split({args[1]}, ''))))"
+    ),
+    "h3HexAreaKm2": lambda args: _h3_table_expr(
+        args, _H3_HEX_AREA_KM2, "h3HexAreaKm2"),
+    "h3HexAreaM2": lambda args: _h3_table_expr(
+        args, _H3_HEX_AREA_M2, "h3HexAreaM2"),
+    "h3EdgeLengthKm": lambda args: _h3_table_expr(
+        args, _H3_EDGE_KM, "h3EdgeLengthKm"),
+    "h3EdgeLengthM": lambda args: _h3_table_expr(
+        args, _H3_EDGE_M, "h3EdgeLengthM"),
+    "h3GetRes0Indexes": _h3_res0_indexes_expr,
+    "h3GetPentagonIndexes": _h3_pentagon_indexes_expr,
+    "pointInPolygon": _point_in_polygon_expr,
+    "polygonAreaCartesian": _polygon_area_cartesian_expr,
+    "polygonPerimeterCartesian": _polygon_perimeter_cartesian_expr,
+    "readWKTPoint": lambda args: _read_wkt_expr(args, "Point"),
+    "readWKTLineString": lambda args: _read_wkt_expr(args, "LineString"),
+    "readWKTPolygon": lambda args: _read_wkt_expr(args, "Polygon"),
     "geoDistance": lambda args: (
         f"(6372797.560856 * 2 * asin(sqrt("
         f"pow(sin(radians({args[3]} - {args[1]}) / 2), 2)"
@@ -3950,6 +4474,29 @@ FUNC_RULES: dict[str, object] = {
     "cutQueryString": lambda args: f"element_at(split({args[0]}, '\\\\?', 2), 1)",
     "visitParamExtractString": lambda args: (
         f"get_json_object({args[0]}, concat('$.', {args[1]}))"
+    ),
+    # visitParam* are the legacy aliases of the simpleJSON* family
+    "visitParamHas": lambda args: (
+        f"(get_json_object({args[0]}, concat('$.', {args[1]})) IS NOT NULL)"
+    ),
+    "visitParamExtractInt": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS BIGINT)"
+    ),
+    "visitParamExtractUInt": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS BIGINT)"
+    ),
+    "visitParamExtractFloat": lambda args: (
+        f"try_cast(get_json_object({args[0]}, concat('$.', {args[1]})) "
+        f"AS DOUBLE)"
+    ),
+    "visitParamExtractBool": lambda args: (
+        f"IF(get_json_object({args[0]}, concat('$.', {args[1]})) = 'true', "
+        f"1, 0)"
+    ),
+    "visitParamExtractRaw": lambda args: (
+        f"coalesce(get_json_object({args[0]}, concat('$.', {args[1]})), '')"
     ),
     "tupleElement": lambda args: (
         f"{args[0]}.{args[1].strip()[1:-1]}"
@@ -4650,8 +5197,6 @@ FUNC_RULES: dict[str, object] = {
         f"p -> locate(p, {args[0]}) > 0), true), 0)"
     ),
     "positionUTF8": lambda args: f"locate({args[1]}, {args[0]})",
-    "translateUTF8": _rename("translate"),
-    "initcapUTF8": _rename("initcap"),
     # Spark strings are re-encoded valid UTF-8 on read → identity
     "toValidUTF8": lambda args: args[0],
     "arrayResize": lambda args: _array_resize(args),
@@ -5494,6 +6039,10 @@ PARAMETRIC_RULES: dict[str, object] = {
     ),
     "meanZTest": _mean_z_test_expr,
     "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
+    "groupArrayMovingSum": lambda p, a: _group_array_moving_expr(
+        a, p[0], "Sum"),
+    "groupArrayMovingAvg": lambda p, a: _group_array_moving_expr(
+        a, p[0], "Avg"),
     "exponentialTimeDecayedCount": lambda p, a: _exp_time_decayed_expr(
         p, a, "Count"
     ),

@@ -72,6 +72,7 @@ def _load_all() -> None:
         vocab_q7,
         vocab_q8,
         vocab_q9,
+        vocab_q10,
         kql_series_q,
         tpch,
     )
@@ -716,7 +717,20 @@ _DRIVER_WINDOW_R16: list[str] = [
 
 #: Round-14 births — staged at birth per the standing contract
 #: (test_every_registry_query_is_recorded_or_staged).
-_DRIVER_WINDOW_R17: list[str] = []
+_DRIVER_WINDOW_R17: list[str] = [
+    # the Cartesian polygon tier: pointInPolygon/area/perimeter/readWKT*
+    "chsql_geo_vocab2",
+    # h3 constant tables + bit-layout index constructors
+    "chsql_h3_vocab2",
+    # string batch r43: soundex, CH-rule initcap, translate, dayName,
+    # toUUIDOrZero, multiSearchAnyCaseInsensitive, stringJaccardIndexUTF8
+    "chsql_vocab_r43",
+    # simpleJSON/visitParam closure + groupArrayMoving*/InsertAt
+    "chsql_vocab_r44",
+    # NLP detect tier: detectLanguage[Mixed]/Charset/ProgrammingLanguage,
+    # lemmatize('en') rule subset
+    "chsql_nlp_detect",
+]
 
 
 def _latest_driver_records() -> dict[str, tuple[int, bool]]:

@@ -1,0 +1,437 @@
+"""ClickHouse vocabulary — round-14 births: the Cartesian polygon tier,
+the h3 constant tier, string batch r43, simpleJSON closure + moving
+aggregates (r44), and the NLP detect tier.
+
+New names (all pure-JVM SQL lowerings, zero Python in the hot path):
+``pointInPolygon`` (runtime HOF ray casting, multi-ring holes),
+``polygonAreaCartesian`` (Boost's clockwise-positive shoelace),
+``polygonPerimeterCartesian``, ``readWKTPoint/LineString/Polygon``;
+``h3HexAreaKm2/M2``, ``h3EdgeLengthKm/M`` (the H3 library's published
+per-resolution tables), ``h3GetRes0Indexes``/``h3GetPentagonIndexes``
+(bit-layout construction: mode 1 << 59 | res << 52 | cell << 45 |
+digit bits); ``soundex`` (classic American, H/W-transparent),
+``initcap``/``initcapUTF8`` (CH's alnum-run word rule — NOT Spark
+initcap's whitespace rule), ``translate[UTF8]``, ``dayName``,
+``toUUIDOrZero``, ``multiSearchAnyCaseInsensitive``,
+``stringJaccardIndexUTF8``; ``simpleJSONExtractFloat/Bool/UInt/Raw`` +
+the ``visitParam*`` legacy aliases, ``groupArrayMovingSum/Avg`` (window
+and prefix forms), ``groupArrayInsertAt``; ``detectLanguage[Mixed]``,
+``detectCharset``, ``detectProgrammingLanguage``, ``lemmatize`` (the
+documented heuristic subsets — CH wraps CLD2 models / user dictionaries
+the container cannot ship).
+
+Oracle policy: ray casting replays edge-by-edge with the same IEEE
+expression shape (vertical edges reduce to exact constants); h3 tables
+replay as literal arrays and the pentagon bit formula re-derives in
+DuckDB integer math; soundex pins the 5-value event_type domain
+(the general algorithm is pytest-swept); the NLP heuristics replay
+their marker counting / rule chains natively in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouseocp_spark.queries import register
+
+# straddle/cross terms for the two axis-aligned square rings (outer
+# ±1.5, hole ±0.5): horizontal edges never straddle; each vertical edge
+# contributes (x < c) under the shared straddle test, so the oracle
+# replays exactly four comparisons
+_DUCK_RAYCAST = """
+  (CASE WHEN (-1.5 > y) != (1.5 > y) AND x < 1.5 THEN 1 ELSE 0 END
+ + CASE WHEN (1.5 > y) != (-1.5 > y) AND x < -1.5 THEN 1 ELSE 0 END
+ + CASE WHEN (-0.5 > y) != (0.5 > y) AND x < 0.5 THEN 1 ELSE 0 END
+ + CASE WHEN (0.5 > y) != (-0.5 > y) AND x < -0.5 THEN 1 ELSE 0 END
+  ) % 2
+"""
+
+
+@register(
+    "chsql_geo_vocab2",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, CAST(event_id % 41 AS DOUBLE) / 10 - 2 AS x,
+         CAST(event_id % 37 AS DOUBLE) / 10 - 1.8 AS y
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  {_DUCK_RAYCAST} AS inside,
+  11.5 AS area,
+  21.071067811865476 AS perim,
+  CAST(event_id % 7 AS DOUBLE) AS wx,
+  CAST(event_id % 5 AS DOUBLE) AS wy,
+  3 AS ls_n,
+  2 AS pg_rings,
+  4 AS pg_r2n,
+  2.0 AS pg_x
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "geo", "vocab"),
+)
+def chsql_geo_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 Cartesian polygon tier: ``pointInPolygon`` with a hole
+    ring (even-odd over the combined crossing count — a point inside the
+    hole is OUTSIDE), ``polygonAreaCartesian`` (clockwise-positive
+    shoelace, hole subtracts: 12.5 − 1 = 11.5), ``polygonPerimeter
+    Cartesian`` (all rings), and the ``readWKT*`` parsers (struct
+    results projected to plain doubles for driver safety)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id,
+    toFloat64(event_id % 41) / 10 - 2 AS x,
+    toFloat64(event_id % 37) / 10 - 1.8 AS y,
+    concat('POINT (', toString(event_id % 7), ' ',
+           toString(event_id % 5), ')') AS wkt_pt
+  FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  pointInPolygon((x, y),
+    [(-1.5, -1.5), (1.5, -1.5), (1.5, 1.5), (-1.5, 1.5)],
+    [(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)]) AS inside,
+  polygonAreaCartesian(
+    [[(0., 0.), (0., 5.), (5., 5.)],
+     [(1., 1.), (2., 1.), (2., 2.), (1., 2.)]]) AS area,
+  polygonPerimeterCartesian(
+    [[(0., 0.), (0., 5.), (5., 5.)],
+     [(1., 1.), (2., 1.), (2., 2.), (1., 2.)]]) AS perim,
+  tupleElement(readWKTPoint(wkt_pt), 1) AS wx,
+  tupleElement(readWKTPoint(wkt_pt), 2) AS wy,
+  size(readWKTLineString('LINESTRING (1 1, 2 2, 3 3)')) AS ls_n,
+  size(readWKTPolygon(
+    'POLYGON ((0 0, 0 5, 5 5, 0 0), (1 1, 2 1, 2 2, 1 2))')) AS pg_rings,
+  size(arrayElement(readWKTPolygon(
+    'POLYGON ((0 0, 0 5, 5 5, 0 0), (1 1, 2 1, 2 2, 1 2))'), 2)) AS pg_r2n,
+  tupleElement(arrayElement(arrayElement(readWKTPolygon(
+    'POLYGON ((0 0, 0 5, 5 5, 0 0), (1 1, 2 1, 2 2, 1 2))'), 2), 2), 1)
+    AS pg_x
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+_H3_KM2 = ("4250546.848, 607220.9782, 86745.85403, 12392.26486, "
+           "1770.323552, 252.9033645, 36.1290521, 5.1612932, 0.7373276, "
+           "0.1053325, 0.0150475, 0.0021496, 0.0003071, 0.0000439, "
+           "0.0000063, 0.0000009")
+_H3_M2 = ("4250550000000.0, 607221000000.0, 86745900000.0, 12393200000.0, "
+          "1770320000.0, 252903000.0, 36129100.0, 5161290.0, 737327.6, "
+          "105332.5, 15047.5, 2149.6, 307.1, 43.9, 6.3, 0.9")
+_H3_EKM = ("1107.712591, 418.6760055, 158.2446558, 59.81085794, "
+           "22.6063794, 8.544408276, 3.229482772, 1.220629759, "
+           "0.461354684, 0.174375668, 0.065907807, 0.024910561, "
+           "0.009415526, 0.003559893, 0.001348575, 0.000509713")
+_H3_EM = ("1107712.591, 418676.0055, 158244.6558, 59810.85794, "
+          "22606.3794, 8544.408276, 3229.482772, 1220.629759, "
+          "461.3546837, 174.3756681, 65.90780749, 24.9105614, "
+          "9.415526211, 3.559893033, 1.348574562, 0.509713273")
+
+
+@register(
+    "chsql_h3_vocab2",
+    oracle=f"""
+WITH s AS (
+  SELECT event_id, CAST(event_id % 16 AS INT) AS res,
+         CAST(event_id % 12 AS INT) AS ci
+  FROM events WHERE event_id < 300)
+SELECT event_id,
+  list_extract([{_H3_KM2}], res + 1) AS ak,
+  list_extract([{_H3_M2}], res + 1) AS am,
+  list_extract([{_H3_EKM}], res + 1) AS ek,
+  list_extract([{_H3_EM}], res + 1) AS em,
+  122 AS r0n,
+  576495936675512319 AS r0c0,
+  CAST(576460752303423488 AS BIGINT)
+    + CAST(res AS BIGINT) * 4503599627370496
+    + CAST(list_extract([4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117],
+                        ci + 1) AS BIGINT) * 35184372088832
+    + CAST(pow(8, 15 - res) AS BIGINT) - 1 AS pent,
+  12 AS pn
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "geo", "vocab"),
+)
+def chsql_h3_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 h3 constant tier: the library's per-resolution average
+    area / edge-length tables (``h3HexAreaKm2``, ``h3EdgeLengthKm/M``,
+    ``h3HexAreaM2``) and
+    the bit-layout index constructors ``h3GetRes0Indexes`` /
+    ``h3GetPentagonIndexes`` (res-0 cell 0 = 0x8001fffffffffff), the
+    pentagon formula re-derived in DuckDB integer arithmetic."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, toInt32(event_id % 16) AS res,
+         toInt32(event_id % 12) AS ci
+  FROM events WHERE event_id < 300
+)
+SELECT event_id,
+  h3HexAreaKm2(res) AS ak,
+  h3HexAreaM2(res) AS am,
+  h3EdgeLengthKm(res) AS ek,
+  h3EdgeLengthM(res) AS em,
+  size(h3GetRes0Indexes()) AS r0n,
+  arrayElement(h3GetRes0Indexes(), 1) AS r0c0,
+  arrayElement(h3GetPentagonIndexes(res), ci + 1) AS pent,
+  size(h3GetPentagonIndexes(res)) AS pn
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r43",
+    oracle="""
+WITH s AS (
+  SELECT event_id, event_type, user_id, ts,
+         md5(event_type) AS h
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  CASE event_type WHEN 'click' THEN 'C420' WHEN 'error' THEN 'E660'
+    WHEN 'purchase' THEN 'P622' WHEN 'signup' THEN 'S251'
+    WHEN 'view' THEN 'V000' END AS sx,
+  upper(substring(event_type, 1, 1)) || substring(event_type, 2)
+    || '-' || CAST(event_id % 10 AS VARCHAR) || 'x' AS ic,
+  'Héllo-' || upper(substring(event_type, 1, 1))
+    || substring(event_type, 2) AS icu,
+  translate(event_type, 'aeiou', '12345') AS tr,
+  dayname(ts) AS dn,
+  substring(h, 1, 8) || '-' || substring(h, 9, 4) || '-'
+    || substring(h, 13, 4) || '-' || substring(h, 17, 4) || '-'
+    || substring(h, 21, 12) AS uok,
+  '00000000-0000-0000-0000-000000000000' AS uz,
+  CAST((position('ck' IN lower(event_type)) > 0
+     OR position('err' IN lower(event_type)) > 0) AS INT) AS msci,
+  round(CAST(len(list_intersect(
+      list_distinct(regexp_extract_all(event_type, '.')),
+      list_distinct(regexp_extract_all('click', '.')))) AS DOUBLE)
+    / len(list_distinct(list_concat(
+      list_distinct(regexp_extract_all(event_type, '.')),
+      list_distinct(regexp_extract_all('click', '.'))))), 6) AS sj
+FROM s ORDER BY event_id
+""",
+    tags=("chsql", "scalar", "vocab"),
+)
+def chsql_vocab_r43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 string batch: ``soundex`` (pinned over the 5-value
+    event_type domain — digits in the input exercise the non-alpha
+    ignore rule; the general algorithm incl. H/W transparency is
+    pytest-swept), CH-rule ``initcap[UTF8]`` (alnum-run words: the
+    digit-led word '3x' keeps its '3'), ``translate``, ``dayName``,
+    ``toUUIDOrZero`` (valid md5-derived UUID vs dash-less reject),
+    ``multiSearchAnyCaseInsensitive``, ``stringJaccardIndexUTF8``."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, event_type, user_id, ts,
+         MD5(event_type) AS h
+  FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  soundex(concat(event_type, toString(event_id % 10))) AS sx,
+  initcap(concat(event_type, '-', toString(event_id % 10), 'x')) AS ic,
+  initcapUTF8(concat('héllo-', event_type)) AS icu,
+  translate(event_type, 'aeiou', '12345') AS tr,
+  dayName(ts) AS dn,
+  toUUIDOrZero(concat(substring(h, 1, 8), '-', substring(h, 9, 4), '-',
+    substring(h, 13, 4), '-', substring(h, 17, 4), '-',
+    substring(h, 21, 12))) AS uok,
+  toUUIDOrZero(event_type) AS uz,
+  multiSearchAnyCaseInsensitive(event_type, ['CK', 'ERR']) AS msci,
+  round(stringJaccardIndexUTF8(event_type, 'click'), 6) AS sj
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+@register(
+    "chsql_vocab_r44",
+    oracle="""
+WITH s AS (
+  SELECT event_id, user_id, event_type,
+         CAST(event_id % 100 AS BIGINT) AS xv,
+         event_id % 2 = 0 AS even, CAST(event_id % 5 AS BIGINT) AS ov
+  FROM events WHERE event_id < 400),
+g AS (
+  SELECT user_id, COUNT(*) AS n FROM s GROUP BY user_id)
+SELECT s.event_id,
+  CAST(s.xv AS DOUBLE) AS f,
+  CASE WHEN s.even THEN 1 ELSE 0 END AS b,
+  '{"k":' || CAST(s.ov AS VARCHAR) || '}' AS raw,
+  TRUE AS h,
+  CAST(NULL AS BIGINT) AS u,
+  CAST(CASE WHEN g.n >= 3 THEN 3 * g.n - 3
+       WHEN g.n = 2 THEN 3 ELSE 1 END AS BIGINT) AS ms_sum,
+  CAST(g.n AS INT) AS ms_n,
+  1.0 AS ma_first,
+  CAST(s.event_id % 3 + 1 AS INT) AS ia_n,
+  s.event_type AS ia_last
+FROM s JOIN g ON s.user_id = g.user_id
+ORDER BY s.event_id
+""",
+    tags=("chsql", "json", "agg", "vocab"),
+)
+def chsql_vocab_r44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 simpleJSON closure + moving aggregates:
+    ``simpleJSONExtractFloat/Bool/Raw`` + ``visitParamHas`` /
+    ``visitParamExtractUInt`` (missing key → NULL, the documented
+    strict-parser convention) over constructed JSON, and
+    ``groupArrayMovingSum(3)`` / ``groupArrayMovingAvg(2)`` over a
+    constant-valued group (order-insensitive by construction: sum of
+    the moving array has the closed form 3n−3; the order-sensitive
+    general case is pytest-pinned) plus ``groupArrayInsertAt`` on
+    single-row groups (gap count = pos, value lands last)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, user_id, event_type,
+    concat('{"x": ', toString(event_id % 100),
+           ', "b": ', if(event_id % 2 = 0, 'true', 'false'),
+           ', "o": {"k": ', toString(event_id % 5), '}}') AS j
+  FROM events WHERE event_id < 400
+),
+mv AS (
+  SELECT user_id,
+    toInt64(arraySum(groupArrayMovingSum(3)(1))) AS ms_sum,
+    size(groupArrayMovingSum(3)(1)) AS ms_n,
+    arrayElement(groupArrayMovingAvg(2)(2), 1) AS ma_first
+  FROM src GROUP BY user_id
+),
+ia AS (
+  SELECT event_id,
+    size(groupArrayInsertAt(event_type, toInt32(event_id % 3))) AS ia_n,
+    arrayElement(groupArrayInsertAt(event_type, toInt32(event_id % 3)),
+                 toInt32(event_id % 3) + 1) AS ia_last
+  FROM src GROUP BY event_id, event_type
+)
+SELECT src.event_id,
+  simpleJSONExtractFloat(src.j, 'x') AS f,
+  simpleJSONExtractBool(src.j, 'b') AS b,
+  simpleJSONExtractRaw(src.j, 'o') AS raw,
+  visitParamHas(src.j, 'x') AS h,
+  visitParamExtractUInt(src.j, 'nope') AS u,
+  mv.ms_sum AS ms_sum, mv.ms_n AS ms_n, mv.ma_first AS ma_first,
+  ia.ia_n AS ia_n, ia.ia_last AS ia_last
+FROM src
+JOIN mv ON src.user_id = mv.user_id
+JOIN ia ON src.event_id = ia.event_id
+ORDER BY src.event_id
+""",
+        dialect="clickhouse",
+    )
+
+
+# DuckDB replay of the marker-count LID (same lexicons as chsql.py's
+# _NLP_LANGS — a pytest pins the two lists equal)
+_DUCK_TOKS = ("list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), "
+              "__t -> __t != '')")
+_DUCK_LANG_COUNT = {
+    "en": "('the', 'and', 'of', 'to', 'a', 'in', 'value', 'table')",
+    "es": "('el', 'la', 'de', 'que', 'y', 'los', 'por')",
+    "fr": "('le', 'la', 'les', 'des', 'est', 'une', 'pour')",
+    "de": "('der', 'die', 'das', 'und', 'ist', 'nicht', 'mit')",
+    "zh": "('de5', 'shi4', 'bu4', 'le5', 'zai4', 'ren2')",
+}
+_DUCK_COUNTS = ", ".join(
+    f"len(list_filter(toks, __t -> __t IN {m})) AS c_{lang}"
+    for lang, m in _DUCK_LANG_COUNT.items()
+)
+
+
+@register(
+    "chsql_nlp_detect",
+    oracle=f"""
+WITH s AS (
+  SELECT doc_id, text, {_DUCK_TOKS} AS toks
+  FROM documents WHERE doc_id < 300),
+c AS (
+  SELECT doc_id, text, toks, {_DUCK_COUNTS},
+         greatest(len(list_filter(toks, __t -> __t IN {_DUCK_LANG_COUNT['en']})),
+                  len(list_filter(toks, __t -> __t IN {_DUCK_LANG_COUNT['es']})),
+                  len(list_filter(toks, __t -> __t IN {_DUCK_LANG_COUNT['fr']})),
+                  len(list_filter(toks, __t -> __t IN {_DUCK_LANG_COUNT['de']})),
+                  len(list_filter(toks, __t -> __t IN {_DUCK_LANG_COUNT['zh']}))) AS m
+  FROM s)
+SELECT doc_id,
+  CASE WHEN m = 0 THEN 'un' WHEN c_en = m THEN 'en' WHEN c_es = m THEN 'es'
+    WHEN c_fr = m THEN 'fr' WHEN c_de = m THEN 'de' ELSE 'zh' END AS dl,
+  round(CASE WHEN m = 0 THEN -1.0
+    WHEN c_en = 0 THEN -1.0
+    ELSE CAST(c_en AS DOUBLE) / (c_en + c_es + c_fr + c_de + c_zh)
+    END, 6) AS en_share,
+  CASE WHEN regexp_matches(text, '[^\\x00-\\x7F]') THEN 'UTF-8'
+       ELSE 'US-ASCII' END AS cs,
+  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'Python' WHEN 1 THEN 'SQL'
+       ELSE 'JavaScript' END AS pl,
+  CASE WHEN len(toks) = 0 THEN '' ELSE (
+    CASE list_extract(toks, 1)
+      WHEN 'mice' THEN 'mouse' WHEN 'feet' THEN 'foot'
+      WHEN 'geese' THEN 'goose' WHEN 'teeth' THEN 'tooth'
+      WHEN 'men' THEN 'man' WHEN 'women' THEN 'woman'
+      WHEN 'children' THEN 'child' WHEN 'people' THEN 'person'
+      WHEN 'ran' THEN 'run' WHEN 'went' THEN 'go'
+      WHEN 'was' THEN 'be' WHEN 'were' THEN 'be'
+      WHEN 'better' THEN 'good' WHEN 'worse' THEN 'bad'
+      ELSE CASE
+        WHEN regexp_matches(list_extract(toks, 1), '^[a-z]{{2,}}ies$')
+        THEN substring(list_extract(toks, 1), 1,
+                       length(list_extract(toks, 1)) - 3) || 'y'
+        WHEN regexp_matches(list_extract(toks, 1), 'sses$')
+        THEN substring(list_extract(toks, 1), 1,
+                       length(list_extract(toks, 1)) - 2)
+        WHEN regexp_matches(list_extract(toks, 1), '(x|ch|sh|z)es$')
+        THEN substring(list_extract(toks, 1), 1,
+                       length(list_extract(toks, 1)) - 2)
+        WHEN regexp_matches(list_extract(toks, 1), '^[a-z]{{2,}}s$')
+         AND NOT regexp_matches(list_extract(toks, 1), '(ss|us|is)$')
+        THEN substring(list_extract(toks, 1), 1,
+                       length(list_extract(toks, 1)) - 1)
+        ELSE list_extract(toks, 1) END END) END AS lm
+FROM c ORDER BY doc_id
+""",
+    tags=("chsql", "text", "vocab"),
+)
+def chsql_nlp_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 NLP detect tier: ``detectLanguage`` (marker-count argmax,
+    'un' with no evidence), ``detectLanguageMixed`` projected as the
+    'en' share (map itself is driver-unsafe; −1 when absent),
+    ``detectCharset`` (ASCII/UTF-8 split), ``detectProgrammingLanguage``
+    over literal snippets chosen by doc_id (the keyword scoring is
+    pytest-swept), and the rule-based ``lemmatize('en', w)`` over each
+    document's first token — all documented heuristic stand-ins for
+    CH's CLD2/dictionary models, replayed natively in DuckDB."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT doc_id, text,
+    arrayFilter(__t -> __t != '', splitByRegexp('[^a-z0-9]+', lower(text)))
+      AS toks,
+    multiIf(doc_id % 3 = 0, 'def f(self): import os',
+            doc_id % 3 = 1, 'select x from t where y group by z',
+            'const f = (x) => { console.log(x); }') AS snippet
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+  detectLanguage(text) AS dl,
+  round(coalesce(detectLanguageMixed(text)['en'], -1.0), 6) AS en_share,
+  detectCharset(text) AS cs,
+  detectProgrammingLanguage(snippet) AS pl,
+  if(size(toks) = 0, '',
+     lemmatize('en', arrayElement(toks, 1))) AS lm
+FROM src ORDER BY doc_id
+""",
+        dialect="clickhouse",
+    )

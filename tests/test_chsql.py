@@ -4887,3 +4887,210 @@ FROM VALUES (array('a','b'), array(1, 2)),
     ).collect()[0]
     assert r.s.col1 == ["a", "b"] and r.s.col2 == [1, 9]
     assert r.mn.col2 == [1, 2] and r.mx.col2 == [1, 7]
+
+
+def test_polygon_tier_round14(spark):
+    """Cartesian polygon tier: pointInPolygon ray casting against a
+    shapely-free Python replay over a random point cloud + the CH doc
+    examples; area/perimeter incl. holes; readWKT* parsing."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS a,
+       pointInPolygon((10., 10.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS b,
+       pointInPolygon((2., 2.), [(0, 0), (10, 0), (10, 10), (0, 10)],
+                      [(1, 1), (3, 1), (3, 3), (1, 3)]) AS hole,
+       polygonAreaCartesian([[(0., 0.), (0., 5.), (5., 5.)]]) AS area,
+       polygonPerimeterCartesian([[(0., 0.), (0., 5.), (5., 5.)]]) AS per,
+       tupleElement(readWKTPoint('POINT (1.5 -2)'), 1) AS wx,
+       size(readWKTLineString('LINESTRING (1 1, 2 2, 3 3)')) AS ln,
+       size(readWKTPolygon(
+         'POLYGON ((0 0, 0 5, 5 5, 0 0), (1 1, 2 1, 2 2, 1 2))')) AS pr
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.a, r.b, r.hole) == (1, 0, 0)
+    assert r.area == 12.5 and abs(r.per - 17.071067811865476) < 1e-12
+    assert r.wx == 1.5 and r.ln == 3 and r.pr == 2
+
+    # randomized ray-cast battery vs an independent Python replay
+    rng = random.Random(1414)
+    poly = [(6.0, 0.0), (8.0, 4.0), (5.0, 8.0), (0.0, 2.0)]
+
+    def py_inside(px, py):
+        n, c = len(poly), 0
+        for i in range(n):
+            x1, y1 = poly[i]
+            x2, y2 = poly[(i + 1) % n]
+            if (y1 > py) != (y2 > py) and px < x1 + (py - y1) * (x2 - x1) / (y2 - y1):
+                c += 1
+        return c % 2
+
+    pts = [(round(rng.uniform(-2, 10), 3), round(rng.uniform(-2, 10), 3))
+           for _ in range(60)]
+    sel = ", ".join(
+        f"pointInPolygon(({px!r}, {py!r}), "
+        f"[(6., 0.), (8., 4.), (5., 8.), (0., 2.)]) AS p{i}"
+        for i, (px, py) in enumerate(pts)
+    )
+    row = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    for i, (px, py) in enumerate(pts):
+        assert row[f"p{i}"] == py_inside(px, py), (i, px, py)
+
+
+def test_h3_constants_round14(spark):
+    """h3 constant tier: table lookups, OOB → NULL, res-0/pentagon index
+    bit layout (known anchors: res0 cell0 = 0x8001fffffffffff, pentagon
+    res0 cell4 = 0x8009fffffffffff-style construction)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT h3HexAreaKm2(0) AS a0, h3HexAreaM2(15) AS m15,
+       h3EdgeLengthKm(10) AS e10, h3EdgeLengthM(0) AS em0,
+       h3HexAreaKm2(16) AS oob,
+       hex(arrayElement(h3GetRes0Indexes(), 1)) AS r0,
+       size(h3GetRes0Indexes()) AS n0,
+       hex(arrayElement(h3GetPentagonIndexes(0), 1)) AS p0,
+       hex(arrayElement(h3GetPentagonIndexes(5), 12)) AS p5,
+       h3GetPentagonIndexes(99) AS pbad
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.a0 == 4250546.848 and r.m15 == 0.9
+    assert r.e10 == 0.065907807 and r.em0 == 1107712.591
+    assert r.oob is None and r.pbad is None
+    assert r.r0 == "8001FFFFFFFFFFF" and r.n0 == 122
+    # pentagon base cell 4 at res 0: digits all 7
+    assert r.p0 == hex((1 << 59) | (4 << 45) | ((1 << 45) - 1))[2:].upper()
+    # res 5, base cell 117: first 5 digits 0, remaining 10 digits 7
+    assert r.p5 == hex(
+        (1 << 59) | (5 << 52) | (117 << 45) | ((1 << 30) - 1)
+    )[2:].upper()
+
+
+def test_string_tier_round14(spark):
+    """r43 string tier: soundex classic anchors + H/W transparency,
+    CH-rule initcap vs Spark's whitespace rule, translate passthrough,
+    simpleJSON/visitParam closure, moving aggregates (ordering pinned
+    on a single sorted VALUES partition), groupArrayInsertAt."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT soundex('Robert') AS s1, soundex('Rupert') AS s2,
+       soundex('Ashcraft') AS s3, soundex('Tymczak') AS s4,
+       soundex('Pfister') AS s5, soundex('Honeyman') AS s6,
+       soundex('a1k2s3el') AS s7, soundex('123') AS s8,
+       initcap('foo-bar_baz 3abc') AS ic,
+       initcapUTF8('héllo wörld-ñato') AS icu,
+       translate('abca', 'ac', 'xz') AS tr,
+       translateUTF8('abca', 'ac', 'xz') AS tru,
+       dayName(toDate('2026-08-16')) AS dn,
+       toUUIDOrZero('zz') AS uz,
+       multiSearchAnyCaseInsensitive('Hello World', ['WORLD']) AS ms,
+       round(stringJaccardIndexUTF8('abc', 'abd'), 6) AS sj
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.s1, r.s2, r.s3, r.s4) == ("R163", "R163", "A261", "T522")
+    assert (r.s5, r.s6) == ("P236", "H555")
+    assert r.s7 == "A240" and r.s8 == ""  # digits transparent to codes
+    assert r.ic == "Foo-Bar_Baz 3abc"
+    assert r.icu == "Héllo Wörld-Ñato"
+    assert r.tr == "xbzx" and r.tru == "xbzx"
+    assert r.dn == "Sunday"
+    assert r.uz == "00000000-0000-0000-0000-000000000000"
+    assert r.ms == 1 and r.sj == 0.5
+
+    r2 = eng.sql(
+        """
+SELECT simpleJSONExtractFloat(j, 'x') AS f,
+       simpleJSONExtractUInt(j, 'u') AS u,
+       simpleJSONExtractInt(j, 'u') AS i,
+       simpleJSONExtractBool(j, 'b') AS b,
+       simpleJSONExtractBool(j, 'x') AS nb,
+       simpleJSONExtractRaw(j, 'o') AS raw,
+       simpleJSONExtractRaw(j, 'nope') AS rmiss,
+       visitParamHas(j, 'x') AS h,
+       visitParamExtractString(j, 's') AS vs,
+       visitParamExtractInt(j, 'u') AS vi,
+       visitParamExtractFloat(j, 'x') AS vf,
+       visitParamExtractBool(j, 'b') AS vb,
+       visitParamExtractRaw(j, 'o') AS vraw,
+       visitParamExtractUInt(j, 'u') AS vu
+FROM VALUES ('{"x": 1.5, "u": 7, "b": true, "o": {"k": 1}, "s": "hi"}')
+  AS t(j)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r2.f == 1.5 and r2.u == 7 and r2.i == 7 and r2.b == 1
+    assert r2.nb == 0 and r2.raw == '{"k":1}' and r2.rmiss == ""
+    assert r2.h and r2.vs == "hi" and r2.vi == 7 and r2.vf == 1.5
+    assert r2.vb == 1 and r2.vraw == '{"k":1}' and r2.vu == 7
+
+    # moving aggregates over a sorted single-partition VALUES relation:
+    # insertion order == sort order here, pinning the window semantics
+    r3 = eng.sql(
+        """
+SELECT groupArrayMovingSum(v) AS ms,
+       groupArrayMovingSum(2)(v) AS ms2,
+       groupArrayMovingAvg(2)(v) AS ma2,
+       groupArrayInsertAt(s, p) AS ia
+FROM (SELECT * FROM VALUES (1, 'a', 0), (2, 'b', 3), (3, 'c', 1)
+      AS t(v, s, p) ORDER BY v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(r3.ms) == [1, 3, 6]
+    assert list(r3.ms2) == [1, 3, 5]
+    assert list(r3.ma2) == [0.5, 1.5, 2.5]  # partial head: 1/2
+    assert list(r3.ia) == ["a", "c", None, "b"]
+
+
+def test_nlp_detect_round14(spark):
+    """NLP detect tier: marker-lexicon sync with functions/text.py,
+    argmax tie rule, mixed shares, charset split, programming-language
+    keyword scoring, lemmatize rules + irregulars."""
+    from clickhouseocp_spark.chsql import _NLP_LANGS
+    from clickhouseocp_spark.engine import ChSparkEngine
+    from clickhouseocp_spark.functions.text import LANG_MARKERS
+
+    assert dict(_NLP_LANGS) == dict(LANG_MARKERS)
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT detectLanguage('the value of the table') AS en,
+       detectLanguage('der und die das ist') AS de,
+       detectLanguage('qqq zzz') AS un,
+       detectLanguage('the la') AS tie,
+       detectLanguageMixed('the table el que')['en'] AS mx_en,
+       detectLanguageMixed('qqq')['un'] AS mx_un,
+       detectCharset('ascii only') AS c1,
+       detectCharset('naïve') AS c2,
+       detectProgrammingLanguage('#include <vector> std::sort') AS cpp,
+       detectProgrammingLanguage('select a from b where c') AS sql_l,
+       detectProgrammingLanguage('plain prose') AS und,
+       lemmatize('en', 'Mice') AS l1, lemmatize('en', 'berries') AS l2,
+       lemmatize('en', 'boxes') AS l3, lemmatize('en', 'glasses') AS l4,
+       lemmatize('en', 'bus') AS l5, lemmatize('en', 'running') AS l6,
+       lemmatize('de', 'Tische') AS l7
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.en, r.de, r.un) == ("en", "de", "un")
+    # 'the' (en) vs 'la' (es+fr): one hit each — earliest language wins
+    assert r.tie == "en"
+    assert r.mx_en == 0.5 and r.mx_un == 1.0
+    assert (r.c1, r.c2) == ("US-ASCII", "UTF-8")
+    assert (r.cpp, r.sql_l, r.und) == ("C++", "SQL", "Undefined")
+    assert (r.l1, r.l2, r.l3) == ("mouse", "berry", "box")
+    assert (r.l4, r.l5, r.l6) == ("glass", "bus", "running")
+    assert r.l7 == "Tische"  # non-en passthrough

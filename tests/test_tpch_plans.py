@@ -163,6 +163,34 @@ def test_round13_shuffle_budget(spark, sf_dir, name, budget):
     assert shuffle_count(df) <= budget, formatted_plan(df)
 
 
+@pytest.mark.parametrize(
+    "name,budget",
+    [
+        # round-14 births: plan-shape gates at birth
+        ("chsql_geo_vocab2", 1),    # scalar ray-cast tier + final sort
+        ("chsql_h3_vocab2", 1),     # constant-table lookups + sort
+        ("chsql_vocab_r43", 1),     # pure scalar tier + sort
+        ("chsql_vocab_r44", 3),     # two grouped collects (joins stay
+        # broadcast over the shared scan) + the final sort
+        ("chsql_nlp_detect", 1),    # scalar heuristics + sort
+    ],
+)
+def test_round14_shuffle_budget(spark, sf_dir, name, budget):
+    df = QS[name].fn(spark, sf_dir)
+    assert shuffle_count(df) <= budget, formatted_plan(df)
+
+
+def test_round14_no_python_nodes(spark, sf_dir):
+    """Every round-14 birth is pure-JVM: no row-at-a-time or Arrow
+    Python eval nodes anywhere in the physical plan."""
+    for name in (
+        "chsql_geo_vocab2", "chsql_h3_vocab2", "chsql_vocab_r43",
+        "chsql_vocab_r44", "chsql_nlp_detect",
+    ):
+        plan = formatted_plan(QS[name].fn(spark, sf_dir))
+        assert "EvalPython" not in plan and "InPandas" not in plan, name
+
+
 def test_round13_no_python_nodes(spark, sf_dir):
     """Every round-13 birth is pure-JVM: no row-at-a-time or Arrow
     Python eval nodes anywhere in the physical plan."""
