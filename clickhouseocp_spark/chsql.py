@@ -2717,6 +2717,117 @@ def _map_apply(args: list[str]) -> str:
     )
 
 
+def _map_pred(args: list[str], quantifier: str, name: str) -> str:
+    """mapExists/mapAll((k, v) -> pred, m) (CH 22.3+): the boolean
+    quantifiers over map entries.  Spark's exists/forall are array-side
+    only, so the lowering walks map_entries with the same masked
+    parameter substitution as :func:`_map_apply` (string literals named
+    like a parameter stay literal)."""
+    if len(args) != 2:
+        raise ChSqlError(f"{name} takes ((k, v) -> pred, map)")
+    m = re.match(
+        r"^\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*(.*)$", args[0].strip(),
+        re.DOTALL,
+    )
+    if not m:
+        raise ChSqlError(f"{name} needs '(k, v) -> pred', got {args[0]!r}")
+    k, v, body = m.group(1), m.group(2), m.group(3)
+    if k == v:
+        raise ChSqlError(f"{name} lambda parameters must differ, got {k!r}")
+    lits: list[str] = []
+
+    def _mask(mm: "re.Match[str]") -> str:
+        lits.append(mm.group(0))
+        return f"\x00{len(lits) - 1}\x00"
+
+    masked = re.sub(r"'(?:[^'\\]|\\.)*'", _mask, body)
+    masked = re.sub(
+        rf"\b(?:{re.escape(k)}|{re.escape(v)})\b",
+        lambda mm: "__e.key" if mm.group(0) == k else "__e.value",
+        masked,
+    )
+    body = re.sub(
+        r"\x00(\d+)\x00", lambda mm: lits[int(mm.group(1))], masked
+    ).strip()
+    return f"{quantifier}(map_entries({args[1]}), __e -> ({body}))"
+
+
+def _get_subcolumn(args: list[str]) -> str:
+    """getSubcolumn(col, 'name'): the typed-subcolumn accessor.  The
+    Map/Array/Nullable pseudo-subcolumns dispatch on the literal name
+    (keys/values/size0/null — `Dockerfile` ships 25.7 where these are the
+    documented set); any other name is a Tuple field access."""
+    if len(args) != 2 or not args[1].strip().startswith("'"):
+        raise ChSqlError("getSubcolumn takes (col, 'subcolumn-literal')")
+    sub = args[1].strip()[1:-1]
+    col = args[0]
+    if sub == "keys":
+        return f"map_keys({col})"
+    if sub == "values":
+        return f"map_values({col})"
+    if sub == "size0":
+        return f"CAST(size({col}) AS BIGINT)"
+    if sub == "null":
+        return f"CAST(({col}) IS NULL AS TINYINT)"
+    return f"({col}).{sub}"
+
+
+def _overlay_expr(args: list[str]) -> str:
+    """overlay[UTF8](s, replace, offset[, len]): Spark's overlay with CH's
+    negative-offset rule (counted from the end, -1 = last char); the
+    replacement length defaults to length(replace) on both engines."""
+    if not 3 <= len(args) <= 4:
+        raise ChSqlError("overlay takes (s, replace, offset[, length])")
+    return (
+        f"overlay({args[0]}, {args[1]}, "
+        f"IF(({args[2]}) < 0, greatest(1, length({args[0]}) + ({args[2]}) "
+        f"+ 1), {args[2]})"
+        + (f", {args[3]}" if len(args) > 3 else "")
+        + ")"
+    )
+
+
+def _extract_key_value_pairs(args: list[str]) -> str:
+    """extractKeyValuePairs(s[, kv_delim[, pair_delims]]) → Map(String,
+    String).  Lowered to Spark's str_to_map, whose delimiters are regexes:
+    the CH defaults (':' / ',; ') become a character class.  The 4-arg
+    quoting-character form is rejected explicitly (CH's noise-tolerant
+    state machine has no Spark analog; the unquoted subset is the
+    documented contract)."""
+    if not 1 <= len(args) <= 3:
+        raise ChSqlError(
+            "extractKeyValuePairs supports (s[, kv_delim[, pair_delims]])"
+        )
+
+    def _lit_chars(lit: str, what: str) -> str:
+        if not (lit.startswith("'") and lit.endswith("'")):
+            raise ChSqlError(
+                f"extractKeyValuePairs {what} must be a string literal"
+            )
+        return lit[1:-1]
+
+    def _char_class(chars: str) -> str:
+        return "[" + re.sub(r"([\\\^\]\[\-])", r"\\\1", chars) + "]"
+
+    kv = (
+        _char_class(_lit_chars(args[1].strip(), "kv_delim"))
+        if len(args) > 1
+        else ":"
+    )
+    pchars = (
+        _lit_chars(args[2].strip(), "pair_delims") if len(args) > 2 else ",; "
+    )
+    pd = _char_class(pchars)
+    first = pchars[0].replace("\\", "\\\\").replace("'", "\\'")
+    # CH's state machine skips delimiter noise; str_to_map would turn a
+    # ', ' run into an empty pair — collapse runs and trim the ends first
+    cleaned = (
+        f"regexp_replace(regexp_replace({args[0]}, "
+        f"'^{pd}+|{pd}+$', ''), '{pd}+', '{first}')"
+    )
+    return f"str_to_map({cleaned}, '{pd}', '{kv}')"
+
+
 def _arg_minmax_comb(fn: str, which: str, args: list[str]) -> str:
     """fArgMin/fArgMax(x, y): apply f to x over the rows whose y equals the
     group's min/max of y (CH 24.x combinator semantics — ALL extreme rows
@@ -5374,6 +5485,92 @@ FUNC_RULES: dict[str, object] = {
         f"cos(radians({args[1]})) * cos(radians({args[3]})) * "
         f"pow(sin(radians(({args[2]}) - ({args[0]})) / 2), 2)))))"
     ),
+    # ------------------------------------------------------------------
+    # batch r45 (round 14, tranche 2): introspection constants, the
+    # overlay/subcolumn/map-quantifier closers, CI search variants.
+    # Single-node constants mirror the fixed session the engine builds
+    # (session.py: timeZone=UTC, database 'default') — same policy as
+    # currentDatabase/hostName/version above.
+    "timeZone": lambda args: "'UTC'",
+    "serverTimeZone": lambda args: "'UTC'",
+    "uptime": lambda args: "CAST(0 AS BIGINT)",
+    "zookeeperSessionUptime": lambda args: "CAST(0 AS BIGINT)",
+    "serverUUID": lambda args: "'00000000-0000-0000-0000-000000000000'",
+    "displayName": lambda args: "'localhost'",
+    "currentSchemas": lambda args: "array('default')",
+    "currentRoles": lambda args: "array('default')",
+    "defaultRoles": lambda args: "array('default')",
+    "enabledRoles": lambda args: "array('default')",
+    "currentProfiles": lambda args: "array('default')",
+    "enabledProfiles": lambda args: "array('default')",
+    "getOSKernelVersion": lambda args: "'Linux'",
+    # 25.7 returns 206 for Atomic-engine databases (the name suffix the
+    # engine reserves for the UUID link); constant here — no path limits
+    "getMaxTableNameLengthForDatabase": lambda args: "CAST(206 AS BIGINT)",
+    "transactionID": lambda args: (
+        "named_struct('col1', CAST(0 AS BIGINT), 'col2', CAST(0 AS BIGINT), "
+        "'col3', '00000000-0000-0000-0000-000000000000')"
+    ),
+    # overlay(s, replace, offset[, len]): CH counts a negative offset from
+    # the end (-1 = last char); len defaults to length(replace) on both
+    # engines, so the 3-arg form passes through
+    "overlay": _overlay_expr,
+    "overlayUTF8": _overlay_expr,
+    "isNotDistinctFrom": lambda args: f"({args[0]} <=> {args[1]})",
+    "getSubcolumn": _get_subcolumn,
+    "addQuarters": _ts_add("QUARTER"),
+    "subtractQuarters": _ts_add("QUARTER", "-"),
+    "toRelativeYearNum": lambda args: f"year({args[0]})",
+    # sub-second interval constructors: day-time intervals carry
+    # microsecond precision — toIntervalNanosecond truncates to the
+    # enclosing microsecond (documented; CH stores Int64 ticks)
+    "toIntervalMillisecond": lambda args: (
+        f"make_dt_interval(0, 0, 0, ({args[0]}) * 0.001D)"
+    ),
+    "toIntervalMicrosecond": lambda args: (
+        f"make_dt_interval(0, 0, 0, ({args[0]}) * 0.000001D)"
+    ),
+    "toIntervalNanosecond": lambda args: (
+        f"make_dt_interval(0, 0, 0, "
+        f"CAST(floor(({args[0]}) / 1000) AS DOUBLE) * 0.000001D)"
+    ),
+    "multiSearchFirstPositionCaseInsensitive": lambda args: (
+        f"coalesce(array_min(filter(transform({args[1]}, "
+        f"__n -> locate(lower(__n), lower({args[0]}))), __p -> __p > 0)), 0)"
+    ),
+    "multiSearchFirstIndexCaseInsensitive": lambda args: (
+        f"coalesce(array_position(transform({args[1]}, "
+        f"__n -> locate(lower(__n), lower({args[0]})) > 0), true), 0)"
+    ),
+    "toFloat32OrZero": lambda args: (
+        f"coalesce(try_cast({args[0]} AS FLOAT), CAST(0 AS FLOAT))"
+    ),
+    # Spark strings are UTF-8 native → the UTF8 variants share lowerings
+    "hasSubsequenceUTF8": lambda args: (
+        FUNC_RULES["hasSubsequence"](args)
+    ),
+    "hasSubsequenceCaseInsensitiveUTF8": lambda args: (
+        FUNC_RULES["hasSubsequenceCaseInsensitive"](args)
+    ),
+    "countSubstringsCaseInsensitiveUTF8": lambda args: (
+        FUNC_RULES["countSubstringsCaseInsensitive"](args)
+    ),
+    "mapExists": lambda args: _map_pred(args, "exists", "mapExists"),
+    "mapAll": lambda args: _map_pred(args, "forall", "mapAll"),
+    # mapPartialSort(limit, m): CH leaves entries past `limit` in
+    # unspecified order — a full sort is a valid instance of that
+    # contract (and the only deterministic one); the comparator form
+    # is rejected like mapApply rejects non-tuple lambdas
+    "mapPartialSort": lambda args: (
+        f"map_from_entries(array_sort(map_entries({args[1]})))"
+        if len(args) == 2
+        else _raise(ChSqlError(
+            "mapPartialSort: only the (limit, map) form is supported"))
+    ),
+    "extractKeyValuePairs": _extract_key_value_pairs,
+    # documented upstream aliases of extractKeyValuePairs
+    "str_to_map": _extract_key_value_pairs,
+    "mapFromString": _extract_key_value_pairs,
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
 

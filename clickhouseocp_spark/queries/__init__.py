@@ -730,6 +730,9 @@ _DRIVER_WINDOW_R17: list[str] = [
     # NLP detect tier: detectLanguage[Mixed]/Charset/ProgrammingLanguage,
     # lemmatize('en') rule subset
     "chsql_nlp_detect",
+    # tranche 2: introspection constants, overlay/getSubcolumn closers,
+    # map quantifiers, extractKeyValuePairs/str_to_map/mapFromString
+    "chsql_vocab_r45",
 ]
 
 

@@ -435,3 +435,108 @@ FROM src ORDER BY doc_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r45",
+    oracle="""
+WITH src AS (
+  SELECT event_id, event_type, date_trunc('second', ts) AS t
+  FROM events WHERE event_id < 500)
+SELECT event_id,
+  'UTC' AS tz,
+  'default' AS schemas,
+  CAST(206 AS BIGINT) AS maxlen,
+  '00000000-0000-0000-0000-000000000000' AS txn_host,
+  CAST(0 AS BIGINT) AS up0,
+  substr(event_type, 1, 1) || CAST(event_id % 10 AS VARCHAR)
+    || substr(event_type, 3) AS ov,
+  substr(event_type, 1, length(event_type) - 1) || 'ZZ' AS ovn,
+  CAST(nullif(event_id % 3, 0) IS NOT DISTINCT FROM
+       nullif(event_id % 5, 0) AS INT) AS ind,
+  'k1,k2' AS subk,
+  CAST(2 AS BIGINT) AS subsz,
+  CAST(t + to_months(CAST(3 * (event_id % 4) AS INT)) AS VARCHAR) AS aq,
+  CAST(year(t) AS BIGINT) AS ryn,
+  epoch_ms(t + to_milliseconds(250 * (event_id % 4))) AS ems,
+  epoch_ms(t + to_microseconds(250000 * (event_id % 4))) AS emu,
+  CAST(CASE event_type WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+       WHEN 'view' THEN 2 ELSE 0 END AS BIGINT) AS mcp,
+  CAST(CASE event_type WHEN 'error' THEN 1 WHEN 'purchase' THEN 2
+       WHEN 'signup' THEN 3 ELSE 0 END AS BIGINT) AS mci,
+  CAST(event_id % 9 AS DOUBLE) + 0.25 AS f32,
+  CAST(event_id % 5 IN (3, 4) AS INT) AS mex,
+  1 AS mal,
+  'a,b,c' AS mps,
+  event_type AS ekv,
+  CAST(event_id % 11 AS VARCHAR) AS ekv2,
+  CAST(event_type = 'view' AS INT) AS hs,
+  CAST(event_type = 'error' AS INT) AS hsc,
+  CAST(CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+       WHEN 'purchase' THEN 2 WHEN 'signup' THEN 1
+       WHEN 'view' THEN 2 END AS BIGINT) AS csc
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "vocab"),
+)
+def chsql_vocab_r45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r45: the introspection-constant tier
+    (timeZone/serverTimeZone, currentSchemas/currentRoles/profiles,
+    transactionID, serverUUID, uptime, getMaxTableNameLengthForDatabase),
+    ``overlay[UTF8]`` with CH's negative-offset rule, ``isNotDistinctFrom``,
+    ``getSubcolumn`` (keys/values/size0/null pseudo-subcolumns),
+    ``addQuarters``, ``toRelativeYearNum``, the sub-second interval
+    constructors (``toIntervalMillisecond/Microsecond/Nanosecond``), the
+    case-insensitive multiSearch/hasSubsequence/countSubstrings closers,
+    ``toFloat32OrZero``, the map quantifiers ``mapExists``/``mapAll``,
+    ``mapPartialSort``, and ``extractKeyValuePairs`` with its
+    ``str_to_map``/``mapFromString`` aliases (lowered onto Spark's
+    regex-delimited str_to_map after delimiter-noise collapse)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, event_type, toStartOfSecond(ts) AS t
+  FROM events WHERE event_id < 500
+)
+SELECT event_id,
+  timeZone() AS tz,
+  arrayStringConcat(currentSchemas(true), ',') AS schemas,
+  getMaxTableNameLengthForDatabase(currentDatabase()) AS maxlen,
+  tupleElement(transactionID(), 3) AS txn_host,
+  uptime() + zookeeperSessionUptime() AS up0,
+  overlay(event_type, toString(event_id % 10), 2) AS ov,
+  overlay(event_type, 'ZZ', -1) AS ovn,
+  CAST(isNotDistinctFrom(nullIf(event_id % 3, 0),
+                         nullIf(event_id % 5, 0)) AS INT) AS ind,
+  arrayStringConcat(getSubcolumn(map('k1', event_id, 'k2', event_id), 'keys'),
+                    ',') AS subk,
+  getSubcolumn(array(event_id, event_id), 'size0') AS subsz,
+  toString(addQuarters(t, event_id % 4)) AS aq,
+  CAST(toRelativeYearNum(t) AS BIGINT) AS ryn,
+  toUnixTimestamp64Milli(t + toIntervalMillisecond(250 * (event_id % 4))) AS ems,
+  toUnixTimestamp64Milli(t + toIntervalMicrosecond(250000 * (event_id % 4))) AS emu,
+  CAST(multiSearchFirstPositionCaseInsensitive(event_type,
+       ['UR', 'IEW', 'GNU']) AS BIGINT) AS mcp,
+  multiSearchFirstIndexCaseInsensitive(event_type,
+       ['ERROR', 'Purchase', 'SIGNUP']) AS mci,
+  toFloat64(toFloat32OrZero(concat(toString(event_id % 9), '.25'))) AS f32,
+  CAST(mapExists((k, v) -> v > 2, map('a', event_id % 3, 'b', event_id % 5))
+       AS INT) AS mex,
+  CAST(mapAll((k, v) -> v >= 0, map('a', event_id % 3, 'b', event_id % 5))
+       AS INT) AS mal,
+  arrayStringConcat(mapKeys(mapPartialSort(2, map('b', 1, 'a', 2, 'c', 3))),
+                    ',') AS mps,
+  element_at(extractKeyValuePairs(
+      concat('id:', toString(event_id), ', type:', event_type)), 'type')
+    AS ekv,
+  element_at(str_to_map(concat('k=', toString(event_id % 11), '|j=2'),
+                        '=', '|'), 'k') AS ekv2,
+  CAST(hasSubsequenceUTF8(event_type, 'iw') AS INT) AS hs,
+  CAST(hasSubsequenceCaseInsensitiveUTF8(event_type, 'RR') AS INT) AS hsc,
+  countSubstringsCaseInsensitiveUTF8(concat(event_type, 'E'), 'e') AS csc
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

@@ -5094,3 +5094,45 @@ SELECT detectLanguage('the value of the table') AS en,
     assert (r.l1, r.l2, r.l3) == ("mouse", "berry", "box")
     assert (r.l4, r.l5, r.l6) == ("glass", "bus", "running")
     assert r.l7 == "Tische"  # non-en passthrough
+
+
+def test_vocab_r45_round14(spark):
+    """r45 tranche: introspection constants (session-pinned values),
+    overlay's negative-offset rule (incl. the UTF8 alias), interval
+    constructors down to nanoseconds (µs truncation documented), map
+    quantifier lambdas with literal masking, extractKeyValuePairs
+    delimiter-noise collapse, and subtractQuarters round-trip."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT timeZone() AS tz, serverTimeZone() AS stz,
+       displayName() AS dn, getOSKernelVersion() AS osk,
+       arrayStringConcat(defaultRoles(), ',') AS dr,
+       arrayStringConcat(enabledRoles(), ',') AS er,
+       arrayStringConcat(currentProfiles(), ',') AS cp,
+       arrayStringConcat(enabledProfiles(), ',') AS ep,
+       overlayUTF8('Spark SQL', 'ANSI', 7, 3) AS ovu,
+       overlay('Hello', 'Z', -1) AS ovn,
+       toString(subtractQuarters(
+           addQuarters(toDateTime('2024-01-15 10:00:00'), 3), 3)) AS qq,
+       toString(toDateTime('2024-01-15 10:00:00')
+                + toIntervalNanosecond(1500000000)) AS ns,
+       toString(toDateTime('2024-01-15 10:00:00')
+                + toIntervalNanosecond(999)) AS ns0,
+       mapExists((k, v) -> concat(k, 'k') = 'ak', map('a', 1)) AS mek,
+       element_at(extractKeyValuePairs('a:1,,  b:2'), 'b') AS ekv
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.tz == "UTC" and r.stz == "UTC"
+    assert r.dn == "localhost" and r.osk == "Linux"
+    assert r.dr == r.er == r.cp == r.ep == "default"
+    assert r.ovu == "Spark ANSI"
+    assert r.ovn == "HellZ"
+    assert r.qq == "2024-01-15 10:00:00"
+    assert r.ns == "2024-01-15 10:00:01.5"
+    assert r.ns0 == "2024-01-15 10:00:00"  # sub-µs truncates, never rounds
+    assert r.mek is True
+    assert r.ekv == "2"
