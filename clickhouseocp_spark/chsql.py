@@ -333,6 +333,229 @@ def _hive_hash_expr(args: list[str]) -> str:
     )
 
 
+def _java_hash_utf16le_expr(args: list[str]) -> str:
+    """javaHashUTF16LE(s): the 31·h+unit fold over UTF-16 code units —
+    java.lang.String.hashCode proper (javaHash above folds UTF-8 BYTES,
+    CH's documented quirk).  BMP characters contribute their code point;
+    astral characters contribute the surrogate pair, derived
+    arithmetically from the code point ascii() yields."""
+    if len(args) != 1:
+        raise ChSqlError("javaHashUTF16LE takes exactly (s)")
+    units = (
+        f"flatten(transform(split({args[0]}, ''), __c -> "
+        f"IF(ascii(__c) < 65536, array(CAST(ascii(__c) AS BIGINT)), "
+        f"array(CAST(55296 + CAST(floor((ascii(__c) - 65536) / 1024) AS "
+        f"BIGINT) AS BIGINT), "
+        f"CAST(56320 + (ascii(__c) - 65536) % 1024 AS BIGINT)))))"
+    )
+    fold = (
+        f"IF(length({args[0]}) = 0, CAST(0 AS BIGINT), "
+        f"aggregate({units}, CAST(0 AS BIGINT), "
+        f"(__h, __u) -> (__h * 31 + __u) & 4294967295))"
+    )
+    return (
+        f"transform(array({fold}), __h -> "
+        f"CAST(IF(__h >= 2147483648, __h - 4294967296, __h) AS INT))[0]"
+    )
+
+
+#: RFC 4648 base32 alphabet (no padding char)
+_B32_ALPHABET = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+
+
+def _string_bytes(s: str) -> str:
+    """UTF-8 bytes of a string expression as ARRAY<BIGINT>, via hex()
+    digit pairs — the established pure-JVM byte extraction (see
+    :func:`_java_byte_fold`)."""
+    return (
+        f"transform(sequence(1, CAST(length(hex({s})) / 2 AS INT)), "
+        f"__i -> CAST(conv(substring(hex({s}), 2 * __i - 1, 2), 16, 10) "
+        f"AS BIGINT))"
+    )
+
+
+def _base32_encode_expr(args: list[str]) -> str:
+    """base32Encode(s) (RFC 4648, padded): 5-byte groups become one
+    40-bit integer, sliced into eight 5-bit alphabet indexes; the final
+    partial group keeps ceil(8r/5) chars and pads with '=' to a multiple
+    of 8.  One pass over the bytes, wrap-once bound."""
+    if len(args) != 1:
+        raise ChSqlError("base32Encode takes exactly (s)")
+    return (
+        f"IF(length({args[0]}) = 0, '', "
+        f"transform(array({_string_bytes(args[0])}), __b -> "
+        f"array_join(transform("
+        f"sequence(0, CAST(ceil(size(__b) / 5.0) - 1 AS INT)), __g -> "
+        # the 40-bit group value (missing tail bytes read as 0)
+        f"transform(array("
+        f"coalesce(try_element_at(__b, 5 * __g + 1), CAST(0 AS BIGINT)) * 4294967296 "
+        f"+ coalesce(try_element_at(__b, 5 * __g + 2), CAST(0 AS BIGINT)) * 16777216 "
+        f"+ coalesce(try_element_at(__b, 5 * __g + 3), CAST(0 AS BIGINT)) * 65536 "
+        f"+ coalesce(try_element_at(__b, 5 * __g + 4), CAST(0 AS BIGINT)) * 256 "
+        f"+ coalesce(try_element_at(__b, 5 * __g + 5), CAST(0 AS BIGINT))), __v -> "
+        f"rpad(substring(array_join(transform(sequence(0, 7), __k -> "
+        f"substring('{_B32_ALPHABET}', "
+        f"CAST((__v div CAST(pow(2, 35 - 5 * __k) AS BIGINT)) % 32 AS INT) "
+        f"+ 1, 1)), ''), 1, "
+        f"IF(size(__b) - 5 * __g >= 5, 8, "
+        f"element_at(array(8, 2, 4, 5, 7), "
+        f"CAST(size(__b) - 5 * __g AS INT) + 1))), 8, '='))[0]"
+        f"), ''))[0])"
+    )
+
+
+def _base32_decode_expr(args: list[str], try_form: bool) -> str:
+    """base32Decode / tryBase32Decode: padding stripped, each char's
+    5-bit alphabet index re-packed into bytes (bit i of the stream is
+    bit (4 - i mod 5) of value i div 5); bytes re-enter string space via
+    hex → unhex.  Invalid input (bad char / bad length) yields NULL —
+    for the strict form too, a documented deviation from CH's throw
+    (data-dependent raises don't exist in a Spark plan)."""
+    if len(args) != 1:
+        raise ChSqlError("base32Decode takes exactly (s)")
+    s = args[0]
+    stripped = f"regexp_replace(upper({s}), '=+$', '')"
+    valid = (
+        f"(length({s}) % 8 = 0 AND "
+        f"{stripped} RLIKE '^[A-Z2-7]*$')"
+    )
+    vals = (
+        f"transform(split(__s, ''), __c -> "
+        f"CAST(instr('{_B32_ALPHABET}', __c) - 1 AS BIGINT))"
+    )
+    body = (
+        f"transform(array({vals}), __v -> "
+        f"IF(size(__v) = 0, '', "
+        f"decode(unhex(array_join(transform("
+        f"sequence(0, CAST(floor(size(__v) * 5 / 8) - 1 AS INT)), __j -> "
+        f"lpad(conv(CAST(aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
+        f"(__a, __t) -> __a * 2 + "
+        f"CAST((coalesce(try_element_at(__v, "
+        f"CAST(floor((8 * __j + __t) / 5) AS INT) + 1), CAST(0 AS BIGINT)) "
+        f"div CAST(pow(2, 4 - (8 * __j + __t) % 5) AS BIGINT)) % 2 AS BIGINT)"
+        f") AS STRING), 10, 16), 2, '0')), '')), 'UTF-8')))[0]"
+    )
+    body = f"transform(array({stripped}), __s -> {body})[0]"
+    return f"IF({valid}, {body}, NULL)"
+
+
+#: XML's five predefined entities, encode order: '&' first
+_XML_ENTITIES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"),
+                 ('"', "&quot;"), ("'", "&apos;")]
+
+#: the decodeHTMLComponent named-entity subset (documented; CH ships the
+#: full HTML5 table) — name → code point
+_HTML_ENTITIES = {
+    "amp": 38, "lt": 60, "gt": 62, "quot": 34, "apos": 39,
+    "nbsp": 160, "copy": 169, "reg": 174, "trade": 8482,
+    "hellip": 8230, "mdash": 8212, "ndash": 8211, "deg": 176,
+    "plusmn": 177, "times": 215, "divide": 247, "euro": 8364,
+}
+
+
+def _encode_xml_component_expr(args: list[str]) -> str:
+    if len(args) != 1:
+        raise ChSqlError("encodeXMLComponent takes exactly (s)")
+    e = args[0]
+    for ch, ent in _XML_ENTITIES:
+        lit = "\\'" if ch == "'" else ch
+        e = f"replace({e}, '{lit}', '{ent}')"
+    return e
+
+
+def _decode_entities_expr(args: list[str], names: dict, fname: str) -> str:
+    """decodeXMLComponent / decodeHTMLComponent: split on '&'; each tail
+    piece either starts with a known named entity or a numeric
+    (&#123; / &#x7B;) reference up to ';' — decoded via the UTF-32 route
+    (char() wraps at 256) — or is kept verbatim with its '&'."""
+    if len(args) != 1:
+        raise ChSqlError(f"{fname} takes exactly (s)")
+    named = " ".join(
+        f"WHEN '{n}' THEN {cp}" for n, cp in sorted(names.items())
+    )
+    # __p: text after one '&'; __e: candidate entity name; __cp: code
+    # point or NULL when the piece is not a reference
+    piece = (
+        f"transform(array(substring(__p, 1, instr(__p, ';') - 1)), __e -> "
+        f"transform(array(CASE __e {named} "
+        f"WHEN '' THEN NULL "
+        f"ELSE IF(__e RLIKE '^#[0-9]+$', "
+        f"try_cast(substring(__e, 2) AS BIGINT), "
+        f"IF(__e RLIKE '^#[xX][0-9a-fA-F]+$', "
+        f"CAST(conv(substring(__e, 3), 16, 10) AS BIGINT), NULL)) END), "
+        f"__cp -> IF(__cp IS NULL OR __cp > 1114111, concat('&', __p), "
+        f"concat(decode(unhex(lpad(hex(__cp), 8, '0')), 'UTF-32'), "
+        f"substring(__p, length(__e) + 2))))[0])[0]"
+    )
+    return (
+        f"IF(instr({args[0]}, '&') = 0, {args[0]}, "
+        f"transform(array(split({args[0]}, '&')), __parts -> "
+        f"concat(element_at(__parts, 1), "
+        f"array_join(transform(slice(__parts, 2, size(__parts) - 1), "
+        f"__p -> IF(instr(__p, ';') = 0, concat('&', __p), {piece})), "
+        f"'')))[0])"
+    )
+
+
+def _extract_text_from_html_expr(args: list[str]) -> str:
+    """extractTextFromHTML(s): CDATA bodies kept verbatim, comments and
+    script/style elements dropped, remaining tags become whitespace,
+    whitespace collapsed and trimmed.  Documented deviation: a CDATA
+    body containing markup is unwrapped BEFORE tag stripping, so
+    embedded '<' falls to the tag pass (CH preserves it)."""
+    if len(args) != 1:
+        raise ChSqlError("extractTextFromHTML takes exactly (s)")
+    e = args[0]
+    e = f"regexp_replace({e}, '(?s)<!\\\\[CDATA\\\\[(.*?)\\\\]\\\\]>', ' $1 ')"
+    e = f"regexp_replace({e}, '(?s)<!--.*?-->', ' ')"
+    e = (
+        f"regexp_replace({e}, "
+        f"'(?is)<script\\\\b[^>]*>.*?</script\\\\s*>', ' ')"
+    )
+    e = (
+        f"regexp_replace({e}, "
+        f"'(?is)<style\\\\b[^>]*>.*?</style\\\\s*>', ' ')"
+    )
+    e = f"regexp_replace({e}, '<[^>]*>', ' ')"
+    e = f"trim(regexp_replace({e}, '\\\\s+', ' '))"
+    return e
+
+
+def _reinterpret_as_uint_expr(args: list[str], nbytes: int) -> str:
+    """reinterpretAsUInt8/16/32/64(s): little-endian load of the first
+    N bytes (missing bytes read 0, extra bytes ignored — CH pads/chops
+    the same way).  The 64-bit form returns the signed bit pattern
+    (documented: Spark has no unsigned 64)."""
+    if len(args) != 1:
+        raise ChSqlError("reinterpretAsUInt takes exactly (s)")
+    b = _string_bytes(args[0])
+    return (
+        f"transform(array({b}), __b -> "
+        f"aggregate(sequence(0, {nbytes - 1}), CAST(0 AS BIGINT), "
+        f"(__a, __i) -> __a + coalesce(try_element_at(__b, __i + 1), "
+        f"CAST(0 AS BIGINT)) * CAST(pow(2, 8 * __i) AS BIGINT)))[0]"
+    )
+
+
+def _reinterpret_as_string_expr(args: list[str]) -> str:
+    """reinterpretAsString(n): the integer's little-endian bytes with
+    trailing zero bytes stripped, viewed through ISO-8859-1 (CH emits
+    raw bytes; the latin-1 view keeps the result a valid Spark string —
+    identical for bytes < 128, documented above that)."""
+    if len(args) != 1:
+        raise ChSqlError("reinterpretAsString takes exactly (n)")
+    return (
+        f"transform(array(CAST({args[0]} AS BIGINT)), __n -> "
+        f"transform(array(transform(sequence(0, 7), __i -> "
+        f"(__n div CAST(pow(2, 8 * __i) AS BIGINT)) % 256)), __bs -> "
+        f"IF(__n = 0, '', decode(unhex(array_join(transform("
+        f"slice(__bs, 1, aggregate(sequence(1, 8), 0, (__m, __i) -> "
+        f"IF(element_at(__bs, __i) != 0, __i, __m))), "
+        f"__v -> lpad(conv(CAST(__v AS STRING), 10, 16), 2, '0')), '')), "
+        f"'ISO-8859-1')))[0])[0]"
+    )
+
+
 def _ipv6_render_from_hex(h: str) -> str:
     """RFC 5952 text render of an IPv6 address given as 32 lowercase hex
     chars: leading zeros stripped per group, the FIRST longest zero run
@@ -5571,6 +5794,31 @@ FUNC_RULES: dict[str, object] = {
     # documented upstream aliases of extractKeyValuePairs
     "str_to_map": _extract_key_value_pairs,
     "mapFromString": _extract_key_value_pairs,
+    # ------------------------------------------------------------------
+    # batch r46 (round 14, tranche 2): the encoding tier — RFC 4648
+    # base32, XML/HTML entity codecs, extractTextFromHTML, the
+    # reinterpret little-endian loads, javaHashUTF16LE (real UTF-16
+    # String.hashCode, vs javaHash's CH byte-fold quirk)
+    "base32Encode": _base32_encode_expr,
+    "base32Decode": lambda args: _base32_decode_expr(args, False),
+    "tryBase32Decode": lambda args: _base32_decode_expr(args, True),
+    "encodeXMLComponent": _encode_xml_component_expr,
+    "decodeXMLComponent": lambda args: _decode_entities_expr(
+        args, {"amp": 38, "lt": 60, "gt": 62, "quot": 34, "apos": 39},
+        "decodeXMLComponent"),
+    "decodeHTMLComponent": lambda args: _decode_entities_expr(
+        args, _HTML_ENTITIES, "decodeHTMLComponent"),
+    "extractTextFromHTML": _extract_text_from_html_expr,
+    "reinterpretAsUInt8": lambda args: (
+        _reinterpret_as_uint_expr(args, 1)),
+    "reinterpretAsUInt16": lambda args: (
+        _reinterpret_as_uint_expr(args, 2)),
+    "reinterpretAsUInt32": lambda args: (
+        _reinterpret_as_uint_expr(args, 4)),
+    "reinterpretAsUInt64": lambda args: (
+        _reinterpret_as_uint_expr(args, 8)),
+    "reinterpretAsString": _reinterpret_as_string_expr,
+    "javaHashUTF16LE": _java_hash_utf16le_expr,
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
 

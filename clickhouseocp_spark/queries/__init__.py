@@ -733,6 +733,9 @@ _DRIVER_WINDOW_R17: list[str] = [
     # tranche 2: introspection constants, overlay/getSubcolumn closers,
     # map quantifiers, extractKeyValuePairs/str_to_map/mapFromString
     "chsql_vocab_r45",
+    # tranche 2: the encoding tier — base32, XML/HTML entity codecs,
+    # extractTextFromHTML, reinterpret LE loads, javaHashUTF16LE
+    "chsql_vocab_r46",
 ]
 
 

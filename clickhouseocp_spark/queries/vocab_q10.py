@@ -540,3 +540,91 @@ FROM src ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r46",
+    oracle="""
+WITH src AS (
+  SELECT event_id, event_type FROM events WHERE event_id < 400)
+SELECT event_id,
+  CASE event_type WHEN 'click' THEN 'MNWGSY3L' WHEN 'error' THEN 'MVZHE33S'
+    WHEN 'purchase' THEN 'OB2XEY3IMFZWK===' WHEN 'signup' THEN 'ONUWO3TVOA======'
+    WHEN 'view' THEN 'OZUWK5Y=' END AS b32,
+  event_type || CAST(event_id % 10 AS VARCHAR) AS rt,
+  replace(replace(replace(event_type || '<&\"', '&', '&amp;'), '<', '&lt;'),
+          '\"', '&quot;') AS xenc,
+  'v=' || chr(CAST(65 + event_id % 26 AS INT)) || '+'
+       || chr(CAST(913 + event_id % 24 AS INT)) AS xdec,
+  CASE event_id % 3 WHEN 0 THEN chr(8364) WHEN 1 THEN chr(160)
+    ELSE chr(8212) END || '!' AS hdec,
+  'Hello ' || event_type || ' tail' AS htext,
+  CAST(ord(substr(event_type, 1, 1))
+    + 256 * ord(substr(event_type, 2, 1)) AS BIGINT) AS ru16,
+  CAST(ord(substr(event_type, 1, 1)) AS BIGINT)
+    + CAST(256 AS BIGINT) * ord(substr(event_type, 2, 1))
+    + CAST(65536 AS BIGINT) * ord(substr(event_type, 3, 1))
+    + CAST(16777216 AS BIGINT) * ord(substr(event_type, 4, 1)) AS ru32,
+  chr(CAST(65 + event_id % 26 AS INT))
+    || chr(CAST(66 + event_id % 25 AS INT)) AS rstr,
+  CAST(list_reduce(
+    list_prepend(CAST(0 AS BIGINT), list_transform(
+      range(1, length(event_type || CAST(event_id % 100 AS VARCHAR)) + 1),
+      __i -> CAST(ord(substr(event_type || CAST(event_id % 100 AS VARCHAR),
+                             CAST(__i AS INT), 1)) AS BIGINT))),
+    (__h, __u) -> ((__h * 31 + __u) & 4294967295)) AS BIGINT)
+    - CASE WHEN list_reduce(
+        list_prepend(CAST(0 AS BIGINT), list_transform(
+          range(1, length(event_type || CAST(event_id % 100 AS VARCHAR)) + 1),
+          __i -> CAST(ord(substr(event_type || CAST(event_id % 100 AS VARCHAR),
+                                 CAST(__i AS INT), 1)) AS BIGINT))),
+        (__h, __u) -> ((__h * 31 + __u) & 4294967295)) >= 2147483648
+      THEN 4294967296 ELSE 0 END AS jh16
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "vocab"),
+)
+def chsql_vocab_r46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r46 — the encoding tier: RFC 4648
+    ``base32Encode`` (alphabet pinned over the event_type domain; the
+    general algorithm is pytest-pinned against RFC test vectors) and a
+    ``base32Decode`` round-trip on data-dependent strings,
+    ``encodeXMLComponent``/``decodeXMLComponent`` (named + decimal +
+    hex numeric references via the UTF-32 decode route),
+    ``decodeHTMLComponent`` (documented named-entity subset),
+    ``extractTextFromHTML`` (comments/script/style dropped, CDATA
+    unwrapped, tags to whitespace, whitespace collapsed),
+    ``reinterpretAsUInt16/32`` little-endian loads,
+    ``reinterpretAsString``, and ``javaHashUTF16LE`` — the REAL
+    java.lang.String.hashCode over UTF-16 code units (javaHash keeps
+    CH's byte-fold quirk), replayed seed-prepended in DuckDB
+    ``list_reduce``."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, event_type FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  base32Encode(event_type) AS b32,
+  base32Decode(base32Encode(concat(event_type, toString(event_id % 10))))
+    AS rt,
+  encodeXMLComponent(concat(event_type, '<&"')) AS xenc,
+  decodeXMLComponent(concat('v=&#', toString(65 + event_id % 26), ';+&#x',
+                            hex(913 + event_id % 24), ';')) AS xdec,
+  concat(decodeHTMLComponent(multiIf(event_id % 3 = 0, '&euro;',
+                                     event_id % 3 = 1, '&nbsp;',
+                                     '&mdash;')), '!') AS hdec,
+  extractTextFromHTML(concat('<p>Hello <b>', event_type,
+      '</b></p><!-- drop --><script a=1>s<x</script> tail')) AS htext,
+  reinterpretAsUInt16(event_type) AS ru16,
+  reinterpretAsUInt32(event_type) AS ru32,
+  reinterpretAsString(65 + event_id % 26 + 256 * (66 + event_id % 25))
+    AS rstr,
+  CAST(javaHashUTF16LE(concat(event_type, toString(event_id % 100)))
+       AS BIGINT) AS jh16
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

@@ -5136,3 +5136,59 @@ SELECT timeZone() AS tz, serverTimeZone() AS stz,
     assert r.ns0 == "2024-01-15 10:00:00"  # sub-µs truncates, never rounds
     assert r.mek is True
     assert r.ekv == "2"
+
+
+def test_vocab_r46_encoding_tier(spark):
+    """r46 encoding tier, value-pinned against Python ground truth
+    (base64.b32encode / html entities / java String.hashCode):
+    RFC 4648 base32 test vectors both directions, entity codecs incl.
+    decimal + hex numeric references above U+00FF (the UTF-32 route —
+    char() wraps at 256), reinterpret little-endian loads, and
+    javaHashUTF16LE incl. an astral surrogate-pair contribution."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT base32Encode('') AS e0, base32Encode('f') AS e1,
+       base32Encode('fo') AS e2, base32Encode('foo') AS e3,
+       base32Encode('foob') AS e4, base32Encode('fooba') AS e5,
+       base32Encode('foobar') AS e6,
+       base32Decode('MZXW6===') AS d3, base32Decode('MY======') AS d1,
+       base32Decode(base32Encode('The quick brown fox')) AS drt,
+       tryBase32Decode('@@@') AS dbad,
+       tryBase32Decode('MZXW6YTB') AS dok,
+       encodeXMLComponent('a<b & ''c''') AS xe,
+       decodeXMLComponent('&lt;&amp;&#65;&#x42;&bogus;&gt') AS xd,
+       decodeHTMLComponent('&euro;&nbsp;&hellip;&#8212;') AS hd,
+       extractTextFromHTML(
+         '<p>A <b>B</b></p><!--x--><style>s</style><script>j<k</script> C')
+         AS ht,
+       extractTextFromHTML('a <![CDATA[kept]]> b') AS htc,
+       reinterpretAsUInt8('Az') AS r8, reinterpretAsUInt16('Az') AS r16,
+       reinterpretAsUInt32('Az') AS r32,
+       reinterpretAsUInt64('abcd') AS r64,
+       reinterpretAsString(16706) AS rs, reinterpretAsString(0) AS rs0,
+       javaHashUTF16LE('') AS j0, javaHashUTF16LE('abc') AS ja,
+       javaHashUTF16LE('hello world') AS jw,
+       javaHashUTF16LE('€') AS je, javaHashUTF16LE('𐍈') AS js
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.e0, r.e1, r.e2, r.e3) == ("", "MY======", "MZXQ====", "MZXW6===")
+    assert (r.e4, r.e5, r.e6) == ("MZXW6YQ=", "MZXW6YTB", "MZXW6YTBOI======")
+    assert r.d3 == "foo" and r.d1 == "f" and r.drt == "The quick brown fox"
+    assert r.dbad is None and r.dok == "fooba"
+    assert r.xe == "a&lt;b &amp; &apos;c&apos;"
+    assert r.xd == "<&AB&bogus;&gt"
+    assert r.hd == "€ …—"
+    assert r.ht == "A B C" and r.htc == "a kept b"
+    assert r.r8 == 65 and r.r16 == 65 + 122 * 256 == r.r32
+    assert r.r64 == 97 + 98 * 256 + 99 * 65536 + 100 * 16777216
+    assert r.rs == "BA" and r.rs0 == ""
+    # java.lang.String.hashCode pins ("abc".hashCode() == 96354, etc.);
+    # the astral char folds as its two surrogates: 55296+13, 56320+328
+    assert (r.j0, r.ja, r.jw) == (0, 96354, 1794106052)
+    assert r.je == 8364
+    # U+10348 → surrogates (0xD800, 0xDC00 + 0x348): 55296·31 + 57160
+    assert r.js == 55296 * 31 + 57160 == 1771336
