@@ -556,6 +556,116 @@ def _reinterpret_as_string_expr(args: list[str]) -> str:
     )
 
 
+def _to_ipv4_expr(args: list[str], default: str) -> str:
+    """toIPv4[OrNull/OrZero/OrDefault](s) → the UInt32 IPv4 image
+    (IPv4StringToNum's representation).  Shape-validated first — the
+    strict form returns NULL instead of CH's throw (documented,
+    consistent with the IPv6StringToNum convention)."""
+    if not args:
+        raise ChSqlError("toIPv4 takes (s[, default])")
+    s = args[0]
+    octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    valid = f"({s} RLIKE '^({octet}\\\\.){{3}}{octet}$')"
+    num = (
+        f"(CAST(element_at(split({s}, '\\\\.'), 1) AS BIGINT) * 16777216 + "
+        f"CAST(element_at(split({s}, '\\\\.'), 2) AS BIGINT) * 65536 + "
+        f"CAST(element_at(split({s}, '\\\\.'), 3) AS BIGINT) * 256 + "
+        f"CAST(element_at(split({s}, '\\\\.'), 4) AS BIGINT))"
+    )
+    return f"IF({valid}, {num}, {default})"
+
+
+def _to_ipv6_expr(args: list[str], default: str) -> str:
+    """toIPv6[OrNull/OrZero/OrDefault](s) → the 16 raw bytes
+    (IPv6StringToNum's image); dotted-quad input maps to ::ffff:a.b.c.d
+    via the shared canonicalizer."""
+    if not args:
+        raise ChSqlError("toIPv6 takes (s[, default])")
+    base = _ipv6_string_to_num_expr([args[0]])
+    return f"coalesce({base}, {default})"
+
+
+def _is_ip_address_in_range_expr(args: list[str]) -> str:
+    """isIPAddressInRange(addr, 'cidr') → UInt8.  IPv4 compares the two
+    UInt32s shifted past the host bits; IPv6 compares the first
+    floor(p/4) hex nibbles of the canonical 32-nibble form plus the
+    partial nibble (p mod 4 top bits).  Family mismatch or unparsable
+    input → 0, CH's behavior for non-throwing paths (CH throws on
+    malformed CIDR; documented deviation)."""
+    if len(args) != 2:
+        raise ChSqlError("isIPAddressInRange takes (addr, cidr)")
+    addr, cidr = args[0], args[1]
+    base = f"element_at(split({cidr}, '/'), 1)"
+    pfx = f"try_cast(try_element_at(split({cidr}, '/'), 2) AS INT)"
+    v4addr = _to_ipv4_expr([addr], "NULL")
+    v4base = _to_ipv4_expr(["__cb"], "NULL")
+    v6addr = _ipv6_string_to_num_expr([addr])
+    v6base = _ipv6_string_to_num_expr(["__cb"])
+    # IPv4 branch: numeric >> (32-p) equality via div pow(2, 32-p)
+    v4 = (
+        f"CAST(floor(({v4addr}) / pow(2, 32 - __p)) = "
+        f"floor(({v4base}) / pow(2, 32 - __p)) AS INT)"
+    )
+    # IPv6 branch over the 32-nibble hex forms: whole-nibble prefix +
+    # the (p mod 4)-bit partial nibble
+    v6cmp = (
+        f"transform(array(named_struct("
+        f"'a', lower(hex(CAST({v6addr} AS BINARY))), "
+        f"'b', lower(hex(CAST({v6base} AS BINARY))))), __h -> "
+        f"CAST(substring(__h.a, 1, CAST(floor(__p / 4) AS INT)) = "
+        f"substring(__h.b, 1, CAST(floor(__p / 4) AS INT)) "
+        f"AND (__p % 4 = 0 OR "
+        f"floor(CAST(conv(substring(__h.a, CAST(floor(__p / 4) AS INT) + 1, "
+        f"1), 16, 10) AS INT) / pow(2, 4 - __p % 4)) = "
+        f"floor(CAST(conv(substring(__h.b, CAST(floor(__p / 4) AS INT) + 1, "
+        f"1), 16, 10) AS INT) / pow(2, 4 - __p % 4))) AS INT))[0]"
+    )
+    return (
+        f"transform(array(named_struct('cb', {base}, 'p', {pfx})), "
+        f"__c -> transform(array(__c.cb), __cb -> "
+        f"transform(array(coalesce(__c.p, -1)), __p -> "
+        f"CASE WHEN __p < 0 THEN 0 "
+        f"WHEN instr({addr}, ':') = 0 AND instr(__cb, ':') = 0 THEN "
+        f"coalesce({v4}, 0) "
+        f"ELSE coalesce({v6cmp}, 0) END)[0])[0])[0]"
+    )
+
+
+def _point_in_ellipses_expr(args: list[str]) -> str:
+    """pointInEllipses(x, y, x0, y0, a0, b0, ...): 1 when (x, y) lies in
+    at least one of the axis-aligned ellipses."""
+    if len(args) < 6 or (len(args) - 2) % 4 != 0:
+        raise ChSqlError(
+            "pointInEllipses takes (x, y, x0, y0, a0, b0[, x1, ...])"
+        )
+    x, y = args[0], args[1]
+    terms = []
+    for i in range(2, len(args), 4):
+        cx, cy, a, b = args[i:i + 4]
+        terms.append(
+            f"(pow((({x}) - ({cx})) / ({a}), 2) + "
+            f"pow((({y}) - ({cy})) / ({b}), 2) <= 1.0D)"
+        )
+    return f"CAST(({' OR '.join(terms)}) AS INT)"
+
+
+def _wkt_expr(args: list[str]) -> str:
+    """wkt(point-tuple) → 'POINT(x y)' with CH's integral-shortening
+    (1.0 renders '1').  Ring/polygon/multipolygon inputs are rejected
+    explicitly — argument types are not visible at token level, and the
+    Point form is the one CH's docs demonstrate."""
+    if len(args) != 1:
+        raise ChSqlError("wkt takes (point)")
+    num = (
+        "IF({v} = floor({v}), CAST(CAST({v} AS BIGINT) AS STRING), "
+        "CAST({v} AS STRING))"
+    )
+    t = args[0]
+    fx = num.format(v=f"CAST(({t}).col1 AS DOUBLE)")
+    fy = num.format(v=f"CAST(({t}).col2 AS DOUBLE)")
+    return f"concat('POINT(', {fx}, ' ', {fy}, ')')"
+
+
 def _ipv6_render_from_hex(h: str) -> str:
     """RFC 5952 text render of an IPv6 address given as 32 lowercase hex
     chars: leading zeros stripped per group, the FIRST longest zero run
@@ -5819,6 +5929,31 @@ FUNC_RULES: dict[str, object] = {
         _reinterpret_as_uint_expr(args, 8)),
     "reinterpretAsString": _reinterpret_as_string_expr,
     "javaHashUTF16LE": _java_hash_utf16le_expr,
+    # ------------------------------------------------------------------
+    # batch r47 (round 14, tranche 2): the IP-type closure + geo closers.
+    # IPv4 carries as UInt32 (IPv4StringToNum's image), IPv6 as the 16
+    # raw bytes (IPv6StringToNum's image) — render with IPv4NumToString /
+    # IPv6NumToString as CH's implicit-toString would.
+    "toIPv4": lambda args: _to_ipv4_expr(args, "NULL"),
+    "toIPv4OrNull": lambda args: _to_ipv4_expr(args, "NULL"),
+    "toIPv4OrZero": lambda args: _to_ipv4_expr(args, "CAST(0 AS BIGINT)"),
+    "toIPv4OrDefault": lambda args: _to_ipv4_expr(
+        args, args[1] if len(args) > 1 else "CAST(0 AS BIGINT)"),
+    "toIPv6": lambda args: _to_ipv6_expr(args, "NULL"),
+    "toIPv6OrNull": lambda args: _to_ipv6_expr(args, "NULL"),
+    "toIPv6OrZero": lambda args: _to_ipv6_expr(
+        args, "unhex(repeat('0', 32))"),
+    "toIPv6OrDefault": lambda args: _to_ipv6_expr(
+        args, args[1] if len(args) > 1 else "unhex(repeat('0', 32))"),
+    "IPv4ToIPv6": lambda args: (
+        f"unhex(concat('00000000000000000000ffff', "
+        f"lpad(lower(hex(CAST({args[0]} AS BIGINT))), 8, '0')))"
+    ),
+    "isIPAddressInRange": _is_ip_address_in_range_expr,
+    # pointInEllipses(x, y, x0, y0, a0, b0, ...): 1 when the point is in
+    # AT LEAST ONE axis-aligned ellipse (CH semantics)
+    "pointInEllipses": _point_in_ellipses_expr,
+    "wkt": _wkt_expr,
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
 

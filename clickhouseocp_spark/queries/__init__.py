@@ -736,6 +736,10 @@ _DRIVER_WINDOW_R17: list[str] = [
     # tranche 2: the encoding tier — base32, XML/HTML entity codecs,
     # extractTextFromHTML, reinterpret LE loads, javaHashUTF16LE
     "chsql_vocab_r46",
+    # tranche 2: the IP-type closure (toIPv4/toIPv6 families,
+    # IPv4ToIPv6, isIPAddressInRange both families) + pointInEllipses,
+    # wkt Point render
+    "chsql_vocab_r47",
 ]
 
 

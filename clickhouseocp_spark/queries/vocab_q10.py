@@ -628,3 +628,78 @@ FROM src ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r47",
+    oracle="""
+WITH src AS (
+  SELECT event_id,
+    '10.' || CAST(event_id % 256 AS VARCHAR) || '.'
+          || CAST(event_id % 200 AS VARCHAR) || '.'
+          || CAST((event_id * 7) % 256 AS VARCHAR) AS a4,
+    CASE WHEN event_id = 0 THEN '2001:db8::1'
+         ELSE '2001:db8:' || format('{:x}', event_id) || '::1' END AS a6,
+    CAST(event_id % 21 AS DOUBLE) / 2 - 5 AS x,
+    CAST(event_id % 13 AS DOUBLE) / 2 - 3 AS y
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  CAST(10 AS BIGINT) * 16777216
+    + CAST(event_id % 256 AS BIGINT) * 65536
+    + CAST(event_id % 200 AS BIGINT) * 256
+    + CAST((event_id * 7) % 256 AS BIGINT) AS ip4,
+  a4 AS rt4,
+  CAST(1 AS INT) AS in8,
+  CAST(event_id % 256 >= 128 AS INT) AS in9,
+  a6 AS rt6,
+  CAST(event_id >= 256 AS INT) AS in40,
+  '::ffff:' || a4 AS mapped,
+  CAST(0 AS BIGINT) AS zbad,
+  CAST((x * x / 4 + y * y <= 1.0) OR
+       ((x - 5) * (x - 5) / 9 + (y - 5) * (y - 5) / 4 <= 1.0) AS INT) AS pe,
+  'POINT(' || CAST(event_id % 10 AS VARCHAR) || ' ' ||
+    CASE event_id % 4 WHEN 0 THEN '0' WHEN 1 THEN '0.5'
+                      WHEN 2 THEN '1' ELSE '1.5' END || ')' AS w
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "vocab", "ip"),
+)
+def chsql_vocab_r47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r47 — the IP-type closure:
+    ``toIPv4[OrNull/OrZero/OrDefault]`` (UInt32 image, shape-validated),
+    ``toIPv6`` family (16-byte image via the shared canonicalizer, dotted
+    input maps to ::ffff:), ``IPv4ToIPv6``, ``isIPAddressInRange`` for
+    BOTH families (UInt32 shift compare / 128-bit nibble-prefix compare
+    on the canonical hex form, with a data-dependent /9 and a /40 whose
+    match flips inside the scanned id range), plus the geo closers
+    ``pointInEllipses`` (any-of, two ellipses) and ``wkt`` Point render
+    with CH's integral shortening."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id,
+    concat('10.', toString(event_id % 256), '.',
+           toString(event_id % 200), '.',
+           toString((event_id * 7) % 256)) AS a4,
+    concat('2001:db8:', lower(hex(event_id)), '::1') AS a6,
+    toFloat64(event_id % 21) / 2 - 5 AS x,
+    toFloat64(event_id % 13) / 2 - 3 AS y
+  FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  toIPv4(a4) AS ip4,
+  IPv4NumToString(toIPv4OrDefault(a4, toIPv4('0.0.0.0'))) AS rt4,
+  isIPAddressInRange(a4, '10.0.0.0/8') AS in8,
+  isIPAddressInRange(a4, '10.128.0.0/9') AS in9,
+  IPv6NumToString(toIPv6(a6)) AS rt6,
+  isIPAddressInRange(a6, '2001:db8:100::/40') AS in40,
+  IPv6NumToString(IPv4ToIPv6(toIPv4(a4))) AS mapped,
+  toIPv4OrZero(concat('x', a4)) AS zbad,
+  pointInEllipses(x, y, 0., 0., 2., 1., 5., 5., 3., 2.) AS pe,
+  wkt((toFloat64(event_id % 10), toFloat64(event_id % 4) / 2)) AS w
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

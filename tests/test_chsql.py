@@ -5192,3 +5192,47 @@ SELECT base32Encode('') AS e0, base32Encode('f') AS e1,
     assert r.je == 8364
     # U+10348 → surrogates (0xD800, 0xDC00 + 0x348): 55296·31 + 57160
     assert r.js == 55296 * 31 + 57160 == 1771336
+
+
+def test_vocab_r47_ip_closure(spark):
+    """r47 IP closure: Or-variant semantics (Null/Zero/Default), the
+    dotted→mapped toIPv6 path, isIPAddressInRange families incl. the
+    non-nibble-aligned /22 and /49 prefixes, family mismatch and
+    malformed CIDR → 0."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT toIPv4OrNull('300.1.1.1') AS n4,
+       toIPv4OrZero('bad') AS z4,
+       IPv4NumToString(toIPv4OrDefault('bad', toIPv4('10.0.0.1'))) AS d4,
+       toIPv6OrNull('junk') AS n6,
+       IPv6NumToString(toIPv6OrZero('junk')) AS z6,
+       IPv6NumToString(toIPv6OrDefault('junk', toIPv6('::1'))) AS d6,
+       IPv6NumToString(toIPv6('192.168.0.1')) AS m6,
+       isIPAddressInRange('192.168.5.1', '192.168.4.0/22') AS r22a,
+       isIPAddressInRange('192.168.8.1', '192.168.4.0/22') AS r22b,
+       isIPAddressInRange('2001:db8:85a3::8a2e', '2001:db8:85a3::/49') AS r49a,
+       isIPAddressInRange('2001:db8:85a3:8000::1', '2001:db8:85a3::/49') AS r49b,
+       isIPAddressInRange('10.0.0.5', '0.0.0.0/0') AS r0,
+       isIPAddressInRange('10.0.0.1', '::/0') AS fam,
+       isIPAddressInRange('10.0.0.1', 'nocidr') AS badc,
+       pointInEllipses(10., 10., 10., 9.5, 1., 1.) AS pe1,
+       pointInEllipses(10., 10., 10., 8.5, 1., 1.) AS pe0,
+       wkt((1.5, 2.)) AS wp
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.n4 is None and r.z4 == 0 and r.d4 == "10.0.0.1"
+    assert r.n6 is None and r.z6 == "::" and r.d6 == "::1"
+    assert r.m6 == "::ffff:192.168.0.1"
+    assert (r.r22a, r.r22b) == (1, 0)
+    assert (r.r49a, r.r49b) == (1, 0)
+    assert r.r0 == 1
+    # '10.0.0.1' vs '::/0': the v6 branch canonicalizes the dotted quad
+    # to ::ffff:10.0.0.1, which IS in ::/0 — CH agrees (implicit cast)
+    assert r.fam == 1
+    assert r.badc == 0
+    assert (r.pe1, r.pe0) == (1, 0)
+    assert r.wp == "POINT(1.5 2)"

@@ -175,6 +175,7 @@ def test_round13_shuffle_budget(spark, sf_dir, name, budget):
         ("chsql_nlp_detect", 1),    # scalar heuristics + sort
         ("chsql_vocab_r45", 1),     # pure scalar tier + sort
         ("chsql_vocab_r46", 1),     # pure scalar tier + sort
+        ("chsql_vocab_r47", 1),     # pure scalar tier + sort
     ],
 )
 def test_round14_shuffle_budget(spark, sf_dir, name, budget):
@@ -188,7 +189,7 @@ def test_round14_no_python_nodes(spark, sf_dir):
     for name in (
         "chsql_geo_vocab2", "chsql_h3_vocab2", "chsql_vocab_r43",
         "chsql_vocab_r44", "chsql_nlp_detect", "chsql_vocab_r45",
-        "chsql_vocab_r46",
+        "chsql_vocab_r46", "chsql_vocab_r47",
     ):
         plan = formatted_plan(QS[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan and "InPandas" not in plan, name
