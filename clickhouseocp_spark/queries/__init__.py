@@ -740,6 +740,9 @@ _DRIVER_WINDOW_R17: list[str] = [
     # IPv4ToIPv6, isIPAddressInRange both families) + pointInEllipses,
     # wkt Point render
     "chsql_vocab_r47",
+    # tranche 2: hierarchical dictionaries — dictGetHierarchy/dictIsIn/
+    # dictGetChildren/dictGetDescendants as bounded dim-side closures
+    "dict_hierarchy_ops",
 ]
 
 

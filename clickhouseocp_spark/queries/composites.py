@@ -630,3 +630,105 @@ def with_fill_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp")).alias("k")
     ).agg(F.count(F.lit(1)).alias("n"))
     return with_fill(daily, order_col="k", step="1", staleness="4", zero_fill={"n": 0})
+
+
+@register(
+    "dict_hierarchy_ops",
+    oracle="""
+WITH rn AS (SELECT n_nationkey, n_regionkey FROM nation)
+SELECT s_suppkey,
+  CAST(s_nationkey AS VARCHAR) || ','
+    || CAST(100 + n_regionkey AS VARCHAR) || ',1000' AS chain_str,
+  CAST(n_regionkey = 2 AS INT) AS in_r2,
+  (SELECT string_agg(CAST(n2.n_nationkey AS VARCHAR), ','
+                     ORDER BY n2.n_nationkey)
+   FROM nation n2 WHERE n2.n_regionkey = rn.n_regionkey) AS region_desc,
+  '100,101,102,103,104' AS root_children,
+  (SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)
+   FROM (SELECT CAST(n_nationkey AS BIGINT) AS k FROM nation
+         UNION ALL SELECT 100 + r_regionkey FROM region)) AS root_desc
+FROM supplier JOIN rn ON s_nationkey = n_nationkey
+ORDER BY s_suppkey
+""",
+    tags=("dictionary", "hierarchy"),
+)
+def dict_hierarchy_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical dictionary tier (SURVEY §2.1 dictionaries —
+    dictGetHierarchy / dictIsIn / dictGetChildren / dictGetDescendants):
+    a 3-level tree (root 1000 → region nodes 100+r → nations) built from
+    the TPC-H dimension tables, closed by bounded broadcast self-joins
+    on the DICTIONARY side only (``operators/dictionary.py``
+    dict_hierarchy; no driver collect), then broadcast-joined to the
+    supplier fact side once.  ``root_children`` vs ``root_desc``
+    exercises the level=1 / level=0 split."""
+    from clickhouseocp_spark.operators.dictionary import (
+        dict_descendants,
+        dict_get_children,
+        dict_get_hierarchy,
+        dict_is_in,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_nationkey").cast("bigint").alias("s_nationkey")
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    dic = (
+        nat.select(
+            F.col("n_nationkey").cast("bigint").alias("k"),
+            (F.col("n_regionkey").cast("bigint") + 100).alias("p"),
+        )
+        .union(
+            reg.select(
+                (F.col("r_regionkey").cast("bigint") + 100).alias("k"),
+                F.lit(1000).cast("bigint").alias("p"),
+            )
+        )
+        .union(
+            spark.range(1).select(
+                F.lit(1000).cast("bigint").alias("k"),
+                F.lit(0).cast("bigint").alias("p"),
+            )
+        )
+    )
+
+    def _s(col):
+        return F.array_join(
+            F.transform(col, lambda x: x.cast("string")), ","
+        )
+
+    out = dict_get_hierarchy(
+        sup, dic, key="s_nationkey", dict_key="k", parent="p", max_depth=4
+    )
+    out = dict_is_in(
+        out, dic, child="s_nationkey", ancestor=102, dict_key="k",
+        parent="p", out="in_r2", max_depth=4,
+    )
+    # the supplier's region node, then its level-0 descendants (= the
+    # nations under it)
+    out = out.withColumn(
+        "region_node", F.element_at(F.col("hierarchy"), 2)
+    )
+    desc = dict_descendants(dic, "k", "p", level=0, max_depth=4)
+    out = out.join(
+        F.broadcast(desc.select(F.col("k").alias("region_node"),
+                                F.col("descendants").alias("rdesc"))),
+        "region_node", "left",
+    )
+    # root closure: one broadcast row for children (level 1) and all
+    # descendants (level 0)
+    root_children = dict_get_children(dic, "k", "p").filter(
+        F.col("k") == 1000
+    ).select(F.col("descendants").alias("rc"))
+    root_desc = desc.filter(F.col("k") == 1000).select(
+        F.col("descendants").alias("rd")
+    )
+    out = out.join(F.broadcast(root_children)).join(F.broadcast(root_desc))
+    return out.select(
+        "s_suppkey",
+        _s(F.col("hierarchy")).alias("chain_str"),
+        F.col("in_r2"),
+        _s(F.col("rdesc")).alias("region_desc"),
+        _s(F.col("rc")).alias("root_children"),
+        _s(F.col("rd")).alias("root_desc"),
+    ).orderBy("s_suppkey")

@@ -2098,3 +2098,49 @@ def test_stream_lttb_window_equals_batch(spark, sf_dir):
         for r in batch_sel.collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_dict_hierarchy_operators(spark):
+    """Hierarchical dictionary closure (dictGetHierarchy/dictIsIn/
+    dictGetChildren/dictGetDescendants): 3-level tree, unknown keys
+    yield empty chains, level=1 vs level=0 split, cycle guard via
+    max_depth."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.operators.dictionary import (
+        dict_descendants,
+        dict_get_children,
+        dict_get_hierarchy,
+        dict_hierarchy,
+        dict_is_in,
+    )
+
+    d = spark.createDataFrame(
+        [(1000, 0), (100, 1000), (101, 1000), (1, 100), (2, 100), (3, 101)],
+        "k INT, p INT",
+    )
+    h = {r.k: r.ancestors for r in dict_hierarchy(d, "k", "p").collect()}
+    assert h[1] == [1, 100, 1000] and h[3] == [3, 101, 1000]
+    assert h[100] == [100, 1000] and h[1000] == [1000]
+
+    facts = spark.createDataFrame([(1,), (3,), (99,)], "k INT")
+    gh = {r.k: r.hierarchy
+          for r in dict_get_hierarchy(facts, d, "k", "k", "p").collect()}
+    assert gh[99] == []  # unknown key → empty chain (CH behavior)
+
+    ii = {r.k: r.is_in
+          for r in dict_is_in(facts, d, "k", 100, "k", "p").collect()}
+    assert ii == {1: 1, 3: 0, 99: 0}
+
+    de = {r.k: r.descendants
+          for r in dict_descendants(d, "k", "p").collect()}
+    assert de[1000] == [1, 2, 3, 100, 101] and de[100] == [1, 2]
+    ch = {r.k: r.descendants
+          for r in dict_get_children(d, "k", "p").collect()}
+    assert ch[1000] == [100, 101] and ch[101] == [3]
+
+    # a 2-cycle must terminate and cut at max_depth, not hang
+    cyc = spark.createDataFrame([(1, 2), (2, 1)], "k INT, p INT")
+    hc = {r.k: r.ancestors
+          for r in dict_hierarchy(cyc, "k", "p", max_depth=4).collect()}
+    assert len(hc[1]) == 5 and hc[1][:3] == [1, 2, 1]

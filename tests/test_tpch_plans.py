@@ -176,6 +176,8 @@ def test_round13_shuffle_budget(spark, sf_dir, name, budget):
         ("chsql_vocab_r45", 1),     # pure scalar tier + sort
         ("chsql_vocab_r46", 1),     # pure scalar tier + sort
         ("chsql_vocab_r47", 1),     # pure scalar tier + sort
+        ("dict_hierarchy_ops", 5),  # closure groupBys + final sort, all
+        # shuffles dimension-sized; fact side joins broadcast only
     ],
 )
 def test_round14_shuffle_budget(spark, sf_dir, name, budget):
@@ -189,7 +191,7 @@ def test_round14_no_python_nodes(spark, sf_dir):
     for name in (
         "chsql_geo_vocab2", "chsql_h3_vocab2", "chsql_vocab_r43",
         "chsql_vocab_r44", "chsql_nlp_detect", "chsql_vocab_r45",
-        "chsql_vocab_r46", "chsql_vocab_r47",
+        "chsql_vocab_r46", "chsql_vocab_r47", "dict_hierarchy_ops",
     ):
         plan = formatted_plan(QS[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan and "InPandas" not in plan, name
