@@ -556,6 +556,100 @@ def _reinterpret_as_string_expr(args: list[str]) -> str:
     )
 
 
+def _array_levenshtein_expr(args: list[str]) -> str:
+    """arrayLevenshteinDistance(from, to) (CH 25.4): classic Levenshtein
+    over array ELEMENTS as a pure-JVM two-row DP fold — outer aggregate
+    walks `from`, inner aggregate builds each new row left-to-right (the
+    accumulator IS the new row, so the insertion term reads its own last
+    element).  O(|from|·|to|), zero Python — supersedes the pandas-UDF
+    form in queries/vocab_q5.py for the text path."""
+    if len(args) != 2:
+        raise ChSqlError("arrayLevenshteinDistance takes (from, to)")
+    dp = (
+        "aggregate(sequence(1, size(__ft.f)), "
+        "transform(sequence(0, size(__ft.t)), __j -> CAST(__j AS BIGINT)), "
+        "(__prev, __i) -> "
+        "aggregate(sequence(1, size(__ft.t)), "
+        "array(element_at(__prev, 1) + 1), "
+        "(__acc, __j) -> concat(__acc, array(least("
+        "element_at(__prev, __j + 1) + 1, "
+        "element_at(__acc, __j) + 1, "
+        "element_at(__prev, __j) + IF(element_at(__ft.f, __i) <=> "
+        "element_at(__ft.t, __j), CAST(0 AS BIGINT), "
+        "CAST(1 AS BIGINT)))))))"
+    )
+    return (
+        f"transform(array(named_struct('f', {args[0]}, 't', {args[1]})), "
+        f"__ft -> CASE WHEN size(__ft.f) = 0 THEN CAST(size(__ft.t) AS BIGINT) "
+        f"WHEN size(__ft.t) = 0 THEN CAST(size(__ft.f) AS BIGINT) "
+        f"ELSE element_at({dp}, size(__ft.t) + 1) END)[0]"
+    )
+
+
+def _array_levenshtein_weighted_dp(bind: str = "__ft") -> str:
+    """The weighted-DP fold body over a bound struct (f, t, fw, tw):
+    deletion costs fw[i], insertion tw[j], substitution fw[i]+tw[j] when
+    elements differ (0 when equal) — CH's arrayLevenshteinDistance
+    Weighted cost model.  Row 0 is the tw prefix-sum."""
+    b = bind
+    row0 = (
+        f"transform(sequence(0, size({b}.t)), __j -> "
+        f"aggregate(slice({b}.tw, 1, __j), CAST(0 AS DOUBLE), "
+        f"(__a, __x) -> __a + CAST(__x AS DOUBLE)))"
+    )
+    return (
+        f"aggregate(sequence(1, size({b}.f)), {row0}, "
+        f"(__prev, __i) -> "
+        f"aggregate(sequence(1, size({b}.t)), "
+        f"array(element_at(__prev, 1) + "
+        f"CAST(element_at({b}.fw, __i) AS DOUBLE)), "
+        f"(__acc, __j) -> concat(__acc, array(least("
+        f"element_at(__prev, __j + 1) + "
+        f"CAST(element_at({b}.fw, __i) AS DOUBLE), "
+        f"element_at(__acc, __j) + CAST(element_at({b}.tw, __j) AS DOUBLE), "
+        f"element_at(__prev, __j) + IF(element_at({b}.f, __i) <=> "
+        f"element_at({b}.t, __j), CAST(0 AS DOUBLE), "
+        f"CAST(element_at({b}.fw, __i) AS DOUBLE) + "
+        f"CAST(element_at({b}.tw, __j) AS DOUBLE)))))))"
+    )
+
+
+def _array_levenshtein_weighted_expr(args: list[str]) -> str:
+    """arrayLevenshteinDistanceWeighted(from, to, from_w, to_w)."""
+    if len(args) != 4:
+        raise ChSqlError(
+            "arrayLevenshteinDistanceWeighted takes (from, to, fw, tw)"
+        )
+    dp = _array_levenshtein_weighted_dp()
+    sumw = (
+        "aggregate({a}, CAST(0 AS DOUBLE), (__s, __x) -> "
+        "__s + CAST(__x AS DOUBLE))"
+    )
+    return (
+        f"transform(array(named_struct('f', {args[0]}, 't', {args[1]}, "
+        f"'fw', {args[2]}, 'tw', {args[3]})), __ft -> "
+        f"CASE WHEN size(__ft.f) = 0 THEN {sumw.format(a='__ft.tw')} "
+        f"WHEN size(__ft.t) = 0 THEN {sumw.format(a='__ft.fw')} "
+        f"ELSE element_at({dp}, size(__ft.t) + 1) END)[0]"
+    )
+
+
+def _array_similarity_expr(args: list[str]) -> str:
+    """arraySimilarity(from, to, from_w, to_w) = 1 − weightedDistance /
+    (sum(from_w) + sum(to_w)); 1.0 when both arrays are empty (zero
+    total weight)."""
+    if len(args) != 4:
+        raise ChSqlError("arraySimilarity takes (from, to, fw, tw)")
+    d = _array_levenshtein_weighted_expr(args)
+    tot = (
+        f"(aggregate({args[2]}, CAST(0 AS DOUBLE), (__s, __x) -> "
+        f"__s + CAST(__x AS DOUBLE)) + "
+        f"aggregate({args[3]}, CAST(0 AS DOUBLE), (__s, __x) -> "
+        f"__s + CAST(__x AS DOUBLE)))"
+    )
+    return f"coalesce(1.0D - ({d}) / nullif({tot}, 0.0D), 1.0D)"
+
+
 def _to_ipv4_expr(args: list[str], default: str) -> str:
     """toIPv4[OrNull/OrZero/OrDefault](s) → the UInt32 IPv4 image
     (IPv4StringToNum's representation).  Shape-validated first — the
@@ -5950,6 +6044,10 @@ FUNC_RULES: dict[str, object] = {
         f"lpad(lower(hex(CAST({args[0]} AS BIGINT))), 8, '0')))"
     ),
     "isIPAddressInRange": _is_ip_address_in_range_expr,
+    # batch r48: the array-edit-distance tier as pure-JVM DP folds
+    "arrayLevenshteinDistance": _array_levenshtein_expr,
+    "arrayLevenshteinDistanceWeighted": _array_levenshtein_weighted_expr,
+    "arraySimilarity": _array_similarity_expr,
     # pointInEllipses(x, y, x0, y0, a0, b0, ...): 1 when the point is in
     # AT LEAST ONE axis-aligned ellipse (CH semantics)
     "pointInEllipses": _point_in_ellipses_expr,

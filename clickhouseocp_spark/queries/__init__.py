@@ -743,6 +743,8 @@ _DRIVER_WINDOW_R17: list[str] = [
     # tranche 2: hierarchical dictionaries — dictGetHierarchy/dictIsIn/
     # dictGetChildren/dictGetDescendants as bounded dim-side closures
     "dict_hierarchy_ops",
+    # tranche 2: array edit distances as pure-JVM DP folds
+    "chsql_vocab_r48",
 ]
 
 

@@ -703,3 +703,105 @@ FROM src ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+#: the DuckDB replay of the (weighted) Levenshtein DP: list_reduce with
+#: list-of-lists elements so the accumulator (a DP row) and the fold
+#: elements (1-int index carriers) share a type — DuckDB's list_reduce
+#: has no independent seed type
+_DUCK_LEV = """
+  list_extract(
+    list_reduce(
+      list_prepend(list_transform(range(0, len(t) + 1),
+                                  __j -> CAST(__j AS BIGINT)),
+                   list_transform(range(1, len(f) + 1),
+                                  __i -> [CAST(__i AS BIGINT)])),
+      (__prev, __cur) ->
+        list_reduce(
+          list_prepend([__prev[1] + 1],
+                       list_transform(range(1, len(t) + 1),
+                                      __j -> [CAST(__j AS BIGINT)])),
+          (__acc, __cj) -> list_append(__acc, least(
+             __prev[__cj[1] + 1] + 1,
+             __acc[len(__acc)] + 1,
+             __prev[__cj[1]] + CASE WHEN f[__cur[1]] = t[__cj[1]]
+                               THEN 0 ELSE 1 END)))),
+    len(t) + 1)
+"""
+
+_DUCK_WLEV = """
+  list_extract(
+    list_reduce(
+      list_prepend(list_transform(range(0, len(t) + 1),
+                     __j -> coalesce(list_sum(tw[1:__j]), 0.0)),
+                   list_transform(range(1, len(f) + 1),
+                                  __i -> [CAST(__i AS DOUBLE)])),
+      (__prev, __cur) ->
+        list_reduce(
+          list_prepend([__prev[1] + fw[CAST(__cur[1] AS INT)]],
+                       list_transform(range(1, len(t) + 1),
+                                      __j -> [CAST(__j AS DOUBLE)])),
+          (__acc, __cj) -> list_append(__acc, least(
+             __prev[CAST(__cj[1] AS INT) + 1] + fw[CAST(__cur[1] AS INT)],
+             __acc[len(__acc)] + tw[CAST(__cj[1] AS INT)],
+             __prev[CAST(__cj[1] AS INT)]
+               + CASE WHEN f[CAST(__cur[1] AS INT)] = t[CAST(__cj[1] AS INT)]
+                 THEN 0.0
+                 ELSE fw[CAST(__cur[1] AS INT)] + tw[CAST(__cj[1] AS INT)]
+                 END)))),
+    len(t) + 1)
+"""
+
+
+@register(
+    "chsql_vocab_r48",
+    oracle=f"""
+WITH arrs AS (
+  SELECT event_id,
+    [CAST(event_id % 7 AS BIGINT), event_id % 5, event_id % 3,
+     event_id % 11] AS f,
+    [CAST(event_id % 5 AS BIGINT), event_id % 7, event_id % 3] AS t,
+    [1.5, 2.0, 1.0, 0.5] AS fw,
+    [1.0, 2.5, 2.0] AS tw
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  {_DUCK_LEV} AS lev,
+  round({_DUCK_WLEV}, 6) AS wlev,
+  round(1.0 - {_DUCK_WLEV} / 10.5, 6) AS sim
+FROM arrs ORDER BY event_id
+""",
+    tags=("chsql", "vocab", "array"),
+)
+def chsql_vocab_r48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r48 — the array-edit-distance tier as
+    PURE-JVM DP folds (supersedes the pandas-UDF arrayLevenshtein form
+    for the text path): ``arrayLevenshteinDistance`` (CH 25.4),
+    ``arrayLevenshteinDistanceWeighted`` (deletion fw[i], insertion
+    tw[j], substitution fw[i]+tw[j] when elements differ), and
+    ``arraySimilarity`` = 1 − weightedDistance / (Σfw + Σtw).  The DP
+    row is the fold accumulator — the inner aggregate reads its own
+    last element for the insertion term.  The DuckDB oracle replays the
+    SAME two-level fold with list-of-lists index carriers (list_reduce
+    has no independent seed type)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH arrs AS (
+  SELECT event_id,
+    [toInt64(event_id % 7), toInt64(event_id % 5), toInt64(event_id % 3),
+     toInt64(event_id % 11)] AS f,
+    [toInt64(event_id % 5), toInt64(event_id % 7), toInt64(event_id % 3)]
+      AS t,
+    [1.5, 2.0, 1.0, 0.5] AS fw,
+    [1.0, 2.5, 2.0] AS tw
+  FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  arrayLevenshteinDistance(f, t) AS lev,
+  round(arrayLevenshteinDistanceWeighted(f, t, fw, tw), 6) AS wlev,
+  round(arraySimilarity(f, t, fw, tw), 6) AS sim
+FROM arrs ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

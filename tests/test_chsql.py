@@ -5236,3 +5236,68 @@ SELECT toIPv4OrNull('300.1.1.1') AS n4,
     assert r.badc == 0
     assert (r.pe1, r.pe0) == (1, 0)
     assert r.wp == "POINT(1.5 2)"
+
+
+def test_vocab_r48_array_edit_distance(spark):
+    """r48 DP folds vs an independent Python replay on randomized
+    arrays (seeded), plus the documented CH doc examples and the empty/
+    weighted edge cases."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    def pylev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def pywlev(f, t, fw, tw):
+        prev = [0.0]
+        for j in range(1, len(t) + 1):
+            prev.append(prev[-1] + tw[j - 1])
+        for i in range(1, len(f) + 1):
+            cur = [prev[0] + fw[i - 1]]
+            for j in range(1, len(t) + 1):
+                cur.append(min(
+                    prev[j] + fw[i - 1], cur[j - 1] + tw[j - 1],
+                    prev[j - 1]
+                    + (0 if f[i - 1] == t[j - 1] else fw[i - 1] + tw[j - 1])))
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(48)
+    for _ in range(6):
+        f = [rng.randrange(5) for _ in range(rng.randrange(1, 7))]
+        t = [rng.randrange(5) for _ in range(rng.randrange(1, 7))]
+        fw = [round(rng.uniform(0.5, 3.0), 2) for _ in f]
+        tw = [round(rng.uniform(0.5, 3.0), 2) for _ in t]
+        fl = "[" + ",".join(str(x) for x in f) + "]"
+        tl = "[" + ",".join(str(x) for x in t) + "]"
+        fwl = "[" + ",".join(repr(x) for x in fw) + "]"
+        twl = "[" + ",".join(repr(x) for x in tw) + "]"
+        r = eng.sql(
+            f"SELECT arrayLevenshteinDistance({fl}, {tl}) AS lev, "
+            f"round(arrayLevenshteinDistanceWeighted({fl}, {tl}, {fwl}, "
+            f"{twl}), 9) AS wl, "
+            f"round(arraySimilarity({fl}, {tl}, {fwl}, {twl}), 9) AS sim",
+            dialect="clickhouse",
+        ).collect()[0]
+        assert r.lev == pylev(f, t), (f, t)
+        assert r.wl == round(pywlev(f, t, fw, tw), 9), (f, t, fw, tw)
+        assert r.sim == round(
+            1 - pywlev(f, t, fw, tw) / (sum(fw) + sum(tw)), 9)
+    r = eng.sql(
+        "SELECT arrayLevenshteinDistance([1,2,3,4], [1,3,2,4]) AS a, "
+        "arrayLevenshteinDistance(arraySlice([1], 1, 0), [9]) AS b, "
+        "arraySimilarity(arraySlice([1], 1, 0), arraySlice([1], 1, 0), "
+        "arraySlice([1.], 1, 0), arraySlice([1.], 1, 0)) AS c",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert (r.a, r.b, r.c) == (2, 1, 1.0)
