@@ -556,6 +556,60 @@ def _reinterpret_as_string_expr(args: list[str]) -> str:
     )
 
 
+#: encrypt/decrypt mode literal → (Spark mode, key bytes, needs-IV)
+_AES_MODES = {
+    "aes-128-ecb": ("ECB", 16, False),
+    "aes-192-ecb": ("ECB", 24, False),
+    "aes-256-ecb": ("ECB", 32, False),
+    "aes-128-cbc": ("CBC", 16, True),
+    "aes-192-cbc": ("CBC", 24, True),
+    "aes-256-cbc": ("CBC", 32, True),
+}
+
+
+def _aes_codec_expr(args: list[str], enc: bool, fname: str) -> str:
+    """encrypt/decrypt('aes-N-mode', data, key[, iv]) on Spark's
+    aes_encrypt/aes_decrypt (PKCS padding, CH's default).  Spark's CBC
+    output prepends the IV — stripped on encrypt / re-prepended on
+    decrypt so the bytes match CH's raw-ciphertext convention.  GCM/CFB/
+    OFB/CTR modes and the MySQL key-folding of over-long keys are
+    rejected explicitly (the exact-length-key subset is the documented
+    contract).  Key/IV lengths are validated by Spark at runtime."""
+    if not 3 <= len(args) <= 4:
+        raise ChSqlError(f"{fname} takes (mode, data, key[, iv])")
+    mode_lit = args[0].strip()
+    if not (mode_lit.startswith("'") and mode_lit.endswith("'")):
+        raise ChSqlError(f"{fname} mode must be a string literal")
+    entry = _AES_MODES.get(mode_lit[1:-1].lower())
+    if entry is None:
+        raise ChSqlError(
+            f"{fname}: unsupported mode {mode_lit}; supported: "
+            f"{sorted(_AES_MODES)}"
+        )
+    smode, _klen, needs_iv = entry
+    data, key = args[1], args[2]
+    if needs_iv:
+        if len(args) < 4:
+            raise ChSqlError(f"{fname}: {mode_lit} requires an IV")
+        iv = args[3]
+        if enc:
+            # drop Spark's prepended IV (16 bytes) from the output
+            return (
+                f"CAST(substring(aes_encrypt({data}, {key}, '{smode}', "
+                f"'PKCS', {iv}), 17) AS BINARY)"
+            )
+        return (
+            f"CAST(aes_decrypt(concat(CAST({iv} AS BINARY), "
+            f"CAST({data} AS BINARY)), {key}, '{smode}', 'PKCS') AS STRING)"
+        )
+    if enc:
+        return f"aes_encrypt({data}, {key}, '{smode}', 'PKCS')"
+    return (
+        f"CAST(aes_decrypt(CAST({data} AS BINARY), {key}, '{smode}', "
+        f"'PKCS') AS STRING)"
+    )
+
+
 def _array_levenshtein_expr(args: list[str]) -> str:
     """arrayLevenshteinDistance(from, to) (CH 25.4): classic Levenshtein
     over array ELEMENTS as a pure-JVM two-row DP fold — outer aggregate
@@ -6048,6 +6102,91 @@ FUNC_RULES: dict[str, object] = {
     "arrayLevenshteinDistance": _array_levenshtein_expr,
     "arrayLevenshteinDistanceWeighted": _array_levenshtein_weighted_expr,
     "arraySimilarity": _array_similarity_expr,
+    # ------------------------------------------------------------------
+    # batch r49 (round 14, tranche 2): string/date closers + AES codecs.
+    "ascii": _rename("ascii"),
+    "repeat": _rename("repeat"),
+    "space": _rename("space"),
+    # CH reverse is byte-level; Spark's is character-level — identical
+    # for ASCII/1-byte text, reverseUTF8 semantics otherwise (documented)
+    "reverse": _rename("reverse"),
+    # left/right with CH's negative-length rule (all but the last/first n)
+    "left": lambda args: (
+        f"IF(({args[1]}) < 0, "
+        f"substring({args[0]}, 1, greatest(0, length({args[0]}) "
+        f"+ ({args[1]}))), left({args[0]}, {args[1]}))"
+    ),
+    "right": lambda args: (
+        f"IF(({args[1]}) < 0, "
+        f"substring({args[0]}, -({args[1]}) + 1), "
+        f"right({args[0]}, {args[1]}))"
+    ),
+    "leftUTF8": lambda args: FUNC_RULES["left"](args),
+    "rightUTF8": lambda args: FUNC_RULES["right"](args),
+    "substringIndexUTF8": lambda args: (
+        f"substring_index({args[0]}, {args[1]}, {args[2]})"
+    ),
+    "ilike": lambda args: f"({args[0]} ILIKE {args[1]})",
+    "isZeroOrNull": lambda args: (
+        f"CAST(({args[0]}) IS NULL OR ({args[0]}) = 0 AS INT)"
+    ),
+    # Spark strings are re-encoded valid UTF-8 on read → constants
+    "isValidUTF8": lambda args: "CAST(1 AS INT)",
+    # timestamp(date[, time]): the 2-arg form adds the time-of-day string
+    # via a timestamp difference (day-time interval)
+    "timestamp": lambda args: (
+        f"CAST({args[0]} AS TIMESTAMP)" if len(args) == 1 else (
+            f"(CAST({args[0]} AS TIMESTAMP) + "
+            f"(CAST(concat('1970-01-01 ', {args[1]}) AS TIMESTAMP) "
+            f"- TIMESTAMP '1970-01-01 00:00:00'))"
+        )
+    ),
+    # toDateTime64(x, scale): numeric input is epoch seconds (fraction
+    # kept to Spark's µs); anything else casts.  Token-level dispatch on
+    # numeric literals; column inputs default to the cast form.
+    "toDateTime64": lambda args: (
+        f"timestamp_seconds(CAST({args[0]} AS DOUBLE))"
+        if re.match(r"^-?\d+(\.\d+)?$", args[0].strip())
+        else f"CAST({args[0]} AS TIMESTAMP)"
+    ),
+    "makeDateTime64": lambda args: (
+        f"make_timestamp({args[0]}, {args[1]}, {args[2]}, {args[3]}, "
+        f"{args[4]}, CAST({args[5]} AS DOUBLE)"
+        + (f" + CAST({args[6]} AS DOUBLE) / pow(10, "
+           + (args[7] if len(args) > 7 else "3") + ")"
+           if len(args) > 6 else "")
+        + ")"
+    ),
+    "fromUnixTimestamp64Second": lambda args: (
+        f"timestamp_seconds(CAST({args[0]} AS BIGINT))"
+    ),
+    "YYYYMMDDToDate32": lambda args: FUNC_RULES["YYYYMMDDToDate"](args),
+    "YYYYMMDDhhmmssToDateTime64": lambda args: (
+        FUNC_RULES["YYYYMMDDhhmmssToDateTime"](args)
+    ),
+    # RFC 3986 variants: same lowering as the base forms (the non-RFC
+    # forms here already parse scheme://user@host:port shapes)
+    "domainRFC": lambda args: FUNC_RULES["domain"](args),
+    "topLevelDomainRFC": lambda args: FUNC_RULES["topLevelDomain"](args),
+    "cutToFirstSignificantSubdomainRFC": lambda args: (
+        FUNC_RULES["cutToFirstSignificantSubdomain"](args)
+    ),
+    "firstSignificantSubdomainRFC": lambda args: (
+        FUNC_RULES["firstSignificantSubdomain"](args)
+    ),
+    "extractAllGroups": lambda args: (
+        FUNC_RULES["extractAllGroupsVertical"](args)
+    ),
+    # Spark BIGINT sums don't wrap on overflow (documented deviation —
+    # ANSI aborts instead); the name exists for query portability
+    "sumWithOverflow": _rename("sum"),
+    "splitByAlphaTokens": lambda args: FUNC_RULES["alphaTokens"](args),
+    "encrypt": lambda args: _aes_codec_expr(args, True, "encrypt"),
+    "decrypt": lambda args: _aes_codec_expr(args, False, "decrypt"),
+    "aes_encrypt_mysql": lambda args: _aes_codec_expr(
+        args, True, "aes_encrypt_mysql"),
+    "aes_decrypt_mysql": lambda args: _aes_codec_expr(
+        args, False, "aes_decrypt_mysql"),
     # pointInEllipses(x, y, x0, y0, a0, b0, ...): 1 when the point is in
     # AT LEAST ONE axis-aligned ellipse (CH semantics)
     "pointInEllipses": _point_in_ellipses_expr,
@@ -6841,6 +6980,14 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"array_join(array_sort(collect_list({a[0]})), {p[0] if p else chr(39) + chr(39)})"
     ),
     "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
+    # groupArrayLast(n)(x): the last n in accumulation order — like CH,
+    # order is whatever the engine saw (deterministic only under a
+    # single sorted partition; registry/pytest usage pins that)
+    "groupArrayLast": lambda p, a: (
+        f"transform(array(collect_list({a[0]})), __l -> "
+        f"IF(size(__l) <= {p[0]}, __l, "
+        f"slice(__l, -({p[0]}), {p[0]})))[0]"
+    ),
     "histogram": None,  # operators/sketches.py covers re-mergeable histograms
 }
 PARAMETRIC_RULES = {k: v for k, v in PARAMETRIC_RULES.items() if v is not None}

@@ -745,6 +745,8 @@ _DRIVER_WINDOW_R17: list[str] = [
     "dict_hierarchy_ops",
     # tranche 2: array edit distances as pure-JVM DP folds
     "chsql_vocab_r48",
+    # tranche 2: string/date closers + the AES codec pair
+    "chsql_vocab_r49",
 ]
 
 

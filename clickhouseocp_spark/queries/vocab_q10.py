@@ -805,3 +805,83 @@ FROM arrs ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r49",
+    oracle="""
+WITH src AS (
+  SELECT event_id, event_type FROM events WHERE event_id < 400)
+SELECT event_id,
+  repeat(substr(event_type, 1, 2), CAST(event_id % 3 AS INT)) AS rp,
+  reverse(event_type) AS rv,
+  substr(event_type, 1, length(event_type) - 2) AS lf,
+  substr(event_type, 3) AS rt,
+  array_to_string((string_split('a.b.c.' || event_type, '.'))[1:2], '.')
+    AS si,
+  CAST(event_type ILIKE 'V%' AS INT) AS il,
+  CAST(event_id % 3 IN (0, 2) AS INT) AS iz,
+  '2024-03-0' || CAST(1 + event_id % 9 AS VARCHAR) || ' 10:20:30' AS ts2,
+  CAST(make_timestamp((1546300800 + event_id) * 1000000) AS VARCHAR) AS dt64,
+  CAST(make_timestamp(2024, CAST(1 + event_id % 12 AS INT),
+       CAST(1 + event_id % 28 AS INT), CAST(event_id % 24 AS INT),
+       CAST(event_id % 60 AS INT),
+       CAST(event_id % 60 AS DOUBLE)
+         + CAST(event_id % 1000 AS DOUBLE) / 1000) AS VARCHAR) AS mk,
+  CAST(make_timestamp((1700000000 + event_id) * 1000000) AS VARCHAR) AS fu,
+  strftime(make_date(2024, 1, CAST(1 + event_id % 28 AS INT)), '%Y-%m-%d')
+    AS d32,
+  'sub.ex' || CAST(event_id % 10 AS VARCHAR) || '.org' AS dom,
+  event_type || CAST(event_id AS VARCHAR) AS rtout,
+  CAST(16 AS INT) AS enclen
+FROM src ORDER BY event_id
+""",
+    tags=("chsql", "vocab"),
+)
+def chsql_vocab_r49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r49 — string/date closers + the AES
+    codec pair: ``repeat``/``reverse``/``space``, ``left``/``right``
+    with CH's negative-length rule, ``substringIndexUTF8``, ``ilike``,
+    ``isZeroOrNull``, 2-arg ``timestamp`` (time-of-day added as a
+    day-time interval), ``toDateTime64`` (numeric epoch via cast),
+    ``makeDateTime64`` (fraction/10^precision), ``fromUnixTimestamp64
+    Second``, ``YYYYMMDDToDate32``, the RFC URL-function aliases, and
+    ``encrypt``/``decrypt`` ('aes-128-ecb' round-trip value-checked —
+    ciphertext bytes are engine-independent AES, the oracle checks the
+    decrypted identity and the one-block CBC length; Spark's prepended
+    CBC IV is stripped to CH's raw-ciphertext convention)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id, event_type FROM events WHERE event_id < 400
+)
+SELECT event_id,
+  repeat(substring(event_type, 1, 2), event_id % 3) AS rp,
+  reverse(event_type) AS rv,
+  left(event_type, -2) AS lf,
+  right(event_type, -2) AS rt,
+  substringIndexUTF8(concat('a.b.c.', event_type), '.', 2) AS si,
+  CAST(ilike(event_type, 'V%') AS INT) AS il,
+  isZeroOrNull(nullIf(event_id % 3, 2)) AS iz,
+  toString(timestamp(concat('2024-03-0', toString(1 + event_id % 9)),
+                     '10:20:30')) AS ts2,
+  toString(toDateTime64(1546300800 + event_id, 0)) AS dt64,
+  toString(makeDateTime64(2024, 1 + event_id % 12, 1 + event_id % 28,
+                          event_id % 24, event_id % 60, event_id % 60,
+                          event_id % 1000, 3)) AS mk,
+  toString(fromUnixTimestamp64Second(1700000000 + event_id)) AS fu,
+  toString(YYYYMMDDToDate32(20240101 + event_id % 28)) AS d32,
+  domainRFC(concat('https://u@sub.ex', toString(event_id % 10),
+                   '.org:443/p')) AS dom,
+  decrypt('aes-128-ecb',
+          encrypt('aes-128-ecb', concat(event_type, toString(event_id)),
+                  '1234567890123456'),
+          '1234567890123456') AS rtout,
+  CAST(length(encrypt('aes-128-cbc', event_type, '1234567890123456',
+                      'abcdefghijklmnop')) AS INT) AS enclen
+FROM src ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

@@ -5301,3 +5301,51 @@ def test_vocab_r48_array_edit_distance(spark):
         dialect="clickhouse",
     ).collect()[0]
     assert (r.a, r.b, r.c) == (2, 1, 1.0)
+
+
+def test_vocab_r49_closers(spark):
+    """r49 closers not exercised by the registry query: ascii/space,
+    the UTF8 left/right aliases, notILike, isValidUTF8/sumWithOverflow,
+    splitByAlphaTokens, extractAllGroups (vertical alias),
+    groupArrayLast over a sorted single partition, the MySQL AES pair,
+    the RFC subdomain aliases, YYYYMMDDhhmmssToDateTime64."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT ascii('A') AS a, space(2) AS sp,
+       leftUTF8('héllo', 2) AS lu, rightUTF8('héllo', -1) AS ru,
+       CAST(notILike('HeLLo', 'x%') AS INT) AS nil,
+       isValidUTF8('ok') AS iv,
+       arrayStringConcat(splitByAlphaTokens('ab.cd!ef'), ',') AS sat,
+       arrayStringConcat(arrayMap(g -> arrayStringConcat(g, ':'),
+         extractAllGroups('a=1, b=2', '(\\\\w+)=(\\\\d+)')), ';') AS eag,
+       toString(YYYYMMDDhhmmssToDateTime64(20240102030405)) AS dt64,
+       aes_decrypt_mysql('aes-128-ecb',
+         aes_encrypt_mysql('aes-128-ecb', 'mm', '1234567890123456'),
+         '1234567890123456') AS mrt,
+       firstSignificantSubdomainRFC('https://a.b.example.co.uk/x') AS fsd,
+       cutToFirstSignificantSubdomainRFC('https://a.b.example.co.uk/x')
+         AS cfsd,
+       topLevelDomainRFC('https://a.b.example.com/x') AS tld
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.a == 65 and r.sp == "  "
+    assert r.lu == "hé" and r.ru == "éllo"
+    assert r.nil == 1 and r.iv == 1
+    assert r.sat == "ab,cd,ef"
+    assert r.eag == "a:1;b:2"
+    assert r.dt64 == "2024-01-02 03:04:05"
+    assert r.mrt == "mm"
+    assert r.fsd == "example" and r.cfsd == "example.co.uk"
+    assert r.tld == "com"
+    agg = eng.sql(
+        "SELECT sumWithOverflow(n) AS s, "
+        "arrayStringConcat(arrayMap(x -> toString(x), groupArrayLast(3)(n)),"
+        " ',') AS gal "
+        "FROM (SELECT number AS n FROM numbers(7) ORDER BY n)",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert agg.s == 21 and agg.gal == "4,5,6"
