@@ -610,6 +610,114 @@ def _aes_codec_expr(args: list[str], enc: bool, fname: str) -> str:
     )
 
 
+def _sql_bind(val: str, var: str, body: str) -> str:
+    """Expression-level LET (the wrap-once idiom): bind ``val`` to
+    ``var`` inside ``body`` without re-evaluating it."""
+    return f"transform(array({val}), {var} -> {body})[0]"
+
+
+def _lttb_select_sql(n: int) -> str:
+    """The LTTB (largest-triangle-three-buckets, Steinarsson 2013)
+    selected-index fold over a bound ``__p`` struct of sorted parallel
+    arrays (x, y): first/last points pinned, the n−2 interior buckets
+    each contribute the point maximizing the triangle area with the
+    previously selected point and the NEXT bucket's average.  Returns
+    the 1-based selected indices; N ≤ n passes every index through.
+    Pure JVM: one outer fold over buckets, an avg fold and an argmax
+    fold per bucket."""
+    big_n = "CAST(size(__p.x) AS BIGINT)"
+    bs = "(CAST(floor(__i * __sz) AS BIGINT) + 2)"
+    be = "(CAST(floor((__i + 1) * __sz) AS BIGINT) + 1)"
+    ne = (
+        f"least(IF(__i < {n} - 3, "
+        f"CAST(floor((__i + 2) * __sz) AS BIGINT) + 1, {big_n}), {big_n})"
+    )
+
+    def avg(c: str) -> str:
+        return (
+            f"(aggregate(sequence(__be + 1, __ne), CAST(0 AS DOUBLE), "
+            f"(__a, __j) -> __a + element_at(__p.{c}, CAST(__j AS INT))) "
+            f"/ CAST(greatest(1, __ne - __be) AS DOUBLE))"
+        )
+
+    area = (
+        "abs((__c.px - __c.ax) * (element_at(__p.y, CAST(__j AS INT)) "
+        "- __c.py) - (__c.px - element_at(__p.x, CAST(__j AS INT))) "
+        "* (__c.ay - __c.py))"
+    )
+    argmax = (
+        f"CAST(element_at(aggregate(sequence(__bs, __be), "
+        f"array(CAST(0 AS DOUBLE), CAST(-1 AS DOUBLE)), "
+        f"(__st, __j) -> "
+        + _sql_bind(
+            area, "__ar",
+            "IF(__ar > element_at(__st, 2), "
+            "array(CAST(__j AS DOUBLE), __ar), __st)",
+        )
+        + "), 1) AS BIGINT)"
+    )
+    ctx = (
+        "named_struct("
+        "'px', element_at(__p.x, CAST(element_at(__sel, -1) AS INT)), "
+        "'py', element_at(__p.y, CAST(element_at(__sel, -1) AS INT)), "
+        f"'ax', {avg('x')}, 'ay', {avg('y')})"
+    )
+    step = _sql_bind(
+        "__BS__", "__bs",
+        _sql_bind(
+            "__BE__", "__be",
+            _sql_bind(
+                "__NE__", "__ne",
+                _sql_bind(ctx, "__c", f"concat(__sel, array({argmax}))"),
+            ),
+        ),
+    )
+    step = step.replace("__BS__", bs).replace("__BE__", be).replace(
+        "__NE__", ne
+    )
+    fold = (
+        f"aggregate(sequence(0, {n} - 3), array(CAST(1 AS BIGINT)), "
+        f"(__sel, __i) -> {step})"
+    )
+    body = _sql_bind(
+        f"CAST(({big_n}) - 2 AS DOUBLE) / ({n} - 2)", "__sz",
+        f"concat({fold}, array({big_n}))",
+    )
+    return f"IF({big_n} <= {n}, sequence(CAST(1 AS BIGINT), {big_n}), {body})"
+
+
+def _lttb_rule(params: list[str], args: list[str]) -> str:
+    """largestTriangleThreeBuckets(n)(x, y) / lttb: downsample the
+    group's series to n points — Array(Tuple(x, y)) sorted by x, CH's
+    return shape (tuple fields col1/col2 for tupleElement).  The group
+    is collected sorted once (the aggregate is sequential by nature —
+    same contract as CH, which buffers the group server-side)."""
+    if len(params) != 1 or len(args) != 2:
+        raise ChSqlError(
+            "largestTriangleThreeBuckets takes (n)(x, y) with literal n"
+        )
+    n = int(params[0])
+    if n < 3:
+        raise ChSqlError("largestTriangleThreeBuckets needs n >= 3")
+    pts = (
+        f"array_sort(collect_list(named_struct("
+        f"'x', CAST({args[0]} AS DOUBLE), 'y', CAST({args[1]} AS DOUBLE))))"
+    )
+    parallel = (
+        f"named_struct('x', transform(__s, __e -> __e.x), "
+        f"'y', transform(__s, __e -> __e.y))"
+    )
+    sel = _lttb_select_sql(n)
+    pick = (
+        f"transform({sel}, __si -> named_struct("
+        f"'col1', element_at(__p.x, CAST(__si AS INT)), "
+        f"'col2', element_at(__p.y, CAST(__si AS INT))))"
+    )
+    return _sql_bind(
+        pts, "__s", _sql_bind(parallel, "__p", pick)
+    )
+
+
 def _array_levenshtein_expr(args: list[str]) -> str:
     """arrayLevenshteinDistance(from, to) (CH 25.4): classic Levenshtein
     over array ELEMENTS as a pure-JVM two-row DP fold — outer aggregate
@@ -6980,6 +7088,9 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"array_join(array_sort(collect_list({a[0]})), {p[0] if p else chr(39) + chr(39)})"
     ),
     "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
+    # LTTB downsampling (CH 24.x largestTriangleThreeBuckets)
+    "largestTriangleThreeBuckets": _lttb_rule,
+    "lttb": _lttb_rule,
     # groupArrayLast(n)(x): the last n in accumulation order — like CH,
     # order is whatever the engine saw (deterministic only under a
     # single sorted partition; registry/pytest usage pins that)

@@ -747,6 +747,8 @@ _DRIVER_WINDOW_R17: list[str] = [
     "chsql_vocab_r48",
     # tranche 2: string/date closers + the AES codec pair
     "chsql_vocab_r49",
+    # tranche 2: LTTB downsampling aggregate as a pure-JVM fold
+    "chsql_lttb_downsample",
 ]
 
 

@@ -885,3 +885,102 @@ FROM src ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+def _duck_lttb_fold(n: int) -> str:
+    """The DuckDB replay of the LTTB selected-index fold over a grouped
+    point list ``p`` (sorted structs x/y) — same bucket bounds and
+    triangle-area argmax as the Spark fold in chsql._lttb_select_sql.
+
+    Shape constraint (DuckDB 1.0): a list_reduce nested INSIDE another
+    list_reduce whose inner range depends on the outer element leaks
+    state ACROSS GROUPED ROWS under vectorized evaluation (verified:
+    each group received its neighbor's argmax).  The per-bucket argmax
+    is therefore list_position(areas, list_max(areas)) over a plain
+    list_transform — first-wins on ties, identical to the Spark fold's
+    strict '>' rule — and the bucket/next-bucket reads use list SLICES
+    instead of range-folds."""
+    sz = f"((len(p) - 2) / {float(n - 2)!r})"
+    i = "(__cur[1])"
+    bs = f"(CAST(floor({i} * {sz}) AS BIGINT) + 2)"
+    be = f"(CAST(floor(({i} + 1) * {sz}) AS BIGINT) + 1)"
+    ne = (
+        f"least(CASE WHEN {i} < {n - 3} THEN "
+        f"CAST(floor(({i} + 2) * {sz}) AS BIGINT) + 1 "
+        f"ELSE len(p) END, len(p))"
+    )
+    px = "p[CAST(__sel[-1] AS INT)].x"
+    py = "p[CAST(__sel[-1] AS INT)].y"
+    ax = (
+        f"(coalesce(list_sum(list_transform(p[{be} + 1 : {ne}], "
+        f"__e -> __e.x)), 0.0) / greatest(1, {ne} - {be}))"
+    )
+    ay = (
+        f"(coalesce(list_sum(list_transform(p[{be} + 1 : {ne}], "
+        f"__e -> __e.y)), 0.0) / greatest(1, {ne} - {be}))"
+    )
+    areas = (
+        f"list_transform(p[{bs} : {be}], __q -> "
+        f"abs(({px} - {ax}) * (__q.y - {py}) "
+        f"- ({px} - __q.x) * ({ay} - {py})))"
+    )
+    pick = (
+        f"(CAST({bs} AS DOUBLE) - 1 + "
+        f"list_position({areas}, list_max({areas})))"
+    )
+    return (
+        f"CASE WHEN len(p) <= {n} THEN "
+        f"list_transform(range(1, len(p) + 1), __i -> CAST(__i AS DOUBLE)) "
+        f"ELSE list_concat(list_reduce("
+        f"list_prepend([CAST(1 AS DOUBLE)], "
+        f"list_transform(range(0, {n - 2}), __i -> [CAST(__i AS DOUBLE)])), "
+        f"(__sel, __cur) -> list_append(__sel, {pick})), "
+        f"[CAST(len(p) AS DOUBLE)]) END"
+    )
+
+
+@register(
+    "chsql_lttb_downsample",
+    oracle=f"""
+WITH grp AS (
+  SELECT event_type,
+         list(struct_pack(x := CAST(event_id AS DOUBLE), y := value)
+              ORDER BY event_id) AS p
+  FROM events WHERE event_id < 300 GROUP BY event_type),
+sel AS (
+  SELECT event_type, p, {_duck_lttb_fold(12)} AS s FROM grp)
+SELECT event_type,
+  unnest(list_transform(s, __si -> p[CAST(__si AS INT)].x)) AS x,
+  unnest(list_transform(s, __si -> round(p[CAST(__si AS INT)].y, 6))) AS y
+FROM sel ORDER BY event_type, x
+""",
+    tags=("chsql", "vocab", "series"),
+)
+def chsql_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``largestTriangleThreeBuckets(n)(x, y)`` / ``lttb`` (CH 24.x):
+    Steinarsson's largest-triangle-three-buckets downsampling as a
+    PURE-JVM fold over the group's sorted series — first/last pinned,
+    each interior bucket contributes the point maximizing the triangle
+    area with the previous pick and the next bucket's average.  The
+    group is collected sorted once (sequential by nature; CH buffers
+    the group the same way — bounded-group contract).  The DuckDB
+    oracle replays the identical fold (IEEE expression shape preserved,
+    so the per-bucket argmax — including '>' first-wins ties — agrees
+    bit-for-bit); results explode to plain rows to keep the driver
+    comparator on scalar columns."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_type,
+  tupleElement(pt, 1) AS x,
+  round(tupleElement(pt, 2), 6) AS y
+FROM (
+  SELECT event_type,
+    arrayJoin(largestTriangleThreeBuckets(12)(toFloat64(event_id), value))
+      AS pt
+  FROM events WHERE event_id < 300 GROUP BY event_type
+) ORDER BY event_type, x
+""",
+        dialect="clickhouse",
+    )

@@ -5349,3 +5349,61 @@ SELECT ascii('A') AS a, space(2) AS sp,
         dialect="clickhouse",
     ).collect()[0]
     assert agg.s == 21 and agg.gal == "4,5,6"
+
+
+def test_lttb_round14(spark):
+    """largestTriangleThreeBuckets(n)(x, y) vs an independent Python
+    LTTB (canonical Steinarsson bucketing) on seeded random series,
+    small-N passthrough, and the lttb alias."""
+    import random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+
+    def pylttb(pts, n):
+        N = len(pts)
+        if N <= n:
+            return pts
+        size = (N - 2) / (n - 2)
+        sel = [0]
+        for i in range(n - 2):
+            bs = int(i * size) + 1
+            bend = int((i + 1) * size) + 1
+            ne = min(int((i + 2) * size) + 1 if i < n - 3 else N, N)
+            cnt = max(1, ne - bend)
+            ax = sum(p[0] for p in pts[bend:ne]) / cnt
+            ay = sum(p[1] for p in pts[bend:ne]) / cnt
+            px, py = pts[sel[-1]]
+            best, barea = bs, -1.0
+            for j in range(bs, bend):
+                area = abs((px - ax) * (pts[j][1] - py)
+                           - (px - pts[j][0]) * (ay - py))
+                if area > barea:
+                    barea, best = area, j
+            sel.append(best)
+        sel.append(N - 1)
+        return [pts[i] for i in sel]
+
+    rng = random.Random(14)
+    for npts, k in [(41, 7), (25, 3), (9, 12), (60, 20)]:
+        pts = sorted(
+            (round(rng.uniform(0, 50), 2), round(rng.uniform(-5, 5), 2))
+            for _ in range(npts)
+        )
+        want = pylttb(pts, k)
+        xs = ",".join(repr(p[0]) for p in pts)
+        ys = ",".join(repr(p[1]) for p in pts)
+        r = eng.sql(
+            f"SELECT arrayStringConcat(arrayMap(t -> concat("
+            f"toString(tupleElement(t, 1)), ':', "
+            f"toString(tupleElement(t, 2))), "
+            f"lttb({k})(x, y)), ' ') AS s "
+            f"FROM (SELECT arrayElement([{xs}], toInt32(number + 1)) AS x, "
+            f"arrayElement([{ys}], toInt32(number + 1)) AS y "
+            f"FROM numbers({npts}))",
+            dialect="clickhouse",
+        ).collect()[0]
+        got = r.s
+        wants = " ".join(f"{p[0]}:{p[1]}" for p in want)
+        assert got == wants, (npts, k, got, wants)

@@ -180,6 +180,8 @@ def test_round13_shuffle_budget(spark, sf_dir, name, budget):
         # shuffles dimension-sized; fact side joins broadcast only
         ("chsql_vocab_r48", 1),     # scalar DP folds + sort
         ("chsql_vocab_r49", 1),     # pure scalar tier + sort
+        ("chsql_lttb_downsample", 3),  # grouped sorted collect + explode
+        # + final sort (partial_sort feeds the collect)
     ],
 )
 def test_round14_shuffle_budget(spark, sf_dir, name, budget):
@@ -194,7 +196,7 @@ def test_round14_no_python_nodes(spark, sf_dir):
         "chsql_geo_vocab2", "chsql_h3_vocab2", "chsql_vocab_r43",
         "chsql_vocab_r44", "chsql_nlp_detect", "chsql_vocab_r45",
         "chsql_vocab_r46", "chsql_vocab_r47", "dict_hierarchy_ops",
-        "chsql_vocab_r48", "chsql_vocab_r49",
+        "chsql_vocab_r48", "chsql_vocab_r49", "chsql_lttb_downsample",
     ):
         plan = formatted_plan(QS[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan and "InPandas" not in plan, name
