@@ -610,6 +610,74 @@ def _aes_codec_expr(args: list[str], enc: bool, fname: str) -> str:
     )
 
 
+def _sum_map_filtered_expr(params: list[str], args: list[str],
+                           name: str) -> str:
+    """sumMapFiltered(keys)(k_arr, v_arr): sumMap restricted to the
+    parametric key whitelist — pairs are position-filtered before the
+    shared map-aggregate fold (WithOverflow shares the lowering; Spark
+    BIGINT sums don't wrap, documented at sumWithOverflow)."""
+    if len(params) != 1 or len(args) != 2:
+        raise ChSqlError(f"{name} takes (keys)(key_array, value_array)")
+    keys, k, v = params[0], args[0], args[1]
+    idx = (
+        f"filter(sequence(1, size({k})), __fi -> "
+        f"array_contains({keys}, element_at({k}, __fi)))"
+    )
+    fk = f"transform({idx}, __fi -> element_at({k}, __fi))"
+    fv = f"transform({idx}, __fi -> element_at({v}, __fi))"
+    return _map_agg_expr([fk, fv], "sum", name)
+
+
+def _geohashes_in_box_expr(args: list[str]) -> str:
+    """geohashesInBox(lon_min, lat_min, lon_max, lat_max, precision):
+    every geohash cell of the given precision intersecting the box —
+    the grid steps derive from the bit split (5p bits, lon gets the
+    ceil half), each cell encoded at its center by the shared pure-JVM
+    geohash fold.  Inverted boxes yield an empty array (CH behavior);
+    the cell-count explosion guard is the PRECISION literal (≤ 6), not
+    a runtime raise — a Spark plan cannot throw data-dependently."""
+    if len(args) != 5:
+        raise ChSqlError(
+            "geohashesInBox takes (lon_min, lat_min, lon_max, lat_max, "
+            "precision)"
+        )
+    try:
+        p = int(args[4].strip())
+    except ValueError:
+        raise ChSqlError("geohashesInBox precision must be an int literal")
+    if not 1 <= p <= 6:
+        raise ChSqlError(
+            "geohashesInBox precision must be 1..6 (cell-count guard)"
+        )
+    lon_bits = (5 * p + 1) // 2
+    lat_bits = 5 * p // 2
+    slon = 360.0 / (1 << lon_bits)
+    slat = 180.0 / (1 << lat_bits)
+    i0 = f"CAST(floor((({args[0]}) + 180.0D) / {slon!r}) AS BIGINT)"
+    i1 = (
+        f"least(CAST(floor((({args[2]}) + 180.0D) / {slon!r}) AS BIGINT), "
+        f"{(1 << lon_bits) - 1})"
+    )
+    j0 = f"CAST(floor((({args[1]}) + 90.0D) / {slat!r}) AS BIGINT)"
+    j1 = (
+        f"least(CAST(floor((({args[3]}) + 90.0D) / {slat!r}) AS BIGINT), "
+        f"{(1 << lat_bits) - 1})"
+    )
+    from clickhouseocp_spark.functions.geo import geohash_encode_sql
+
+    cell = geohash_encode_sql(
+        f"(-180.0D + (CAST(__gi AS DOUBLE) + 0.5D) * {slon!r})",
+        f"(-90.0D + (CAST(__gj AS DOUBLE) + 0.5D) * {slat!r})",
+        p,
+    )
+    return (
+        f"IF(({args[0]}) > ({args[2]}) OR ({args[1]}) > ({args[3]}), "
+        f"slice(array(''), 1, 0), "
+        f"flatten(transform(sequence({i0}, {i1}), __gi -> "
+        f"transform(sequence({j0}, {j1}), __gj -> {cell}))))"
+    )
+
+
 def _sql_bind(val: str, var: str, body: str) -> str:
     """Expression-level LET (the wrap-once idiom): bind ``val`` to
     ``var`` inside ``body`` without re-evaluating it."""
@@ -6299,6 +6367,7 @@ FUNC_RULES: dict[str, object] = {
     # AT LEAST ONE axis-aligned ellipse (CH semantics)
     "pointInEllipses": _point_in_ellipses_expr,
     "wkt": _wkt_expr,
+    "geohashesInBox": _geohashes_in_box_expr,
 }
 FUNC_RULES = {k: v for k, v in FUNC_RULES.items() if v is not None}
 
@@ -7091,6 +7160,17 @@ PARAMETRIC_RULES: dict[str, object] = {
     # LTTB downsampling (CH 24.x largestTriangleThreeBuckets)
     "largestTriangleThreeBuckets": _lttb_rule,
     "lttb": _lttb_rule,
+    # uniqUpTo(N)(x): exact below the cap, N+1 above it — Spark's exact
+    # distinct IS a valid instance of CH's bounded-state contract
+    "uniqUpTo": lambda p, a: (
+        f"least(count(DISTINCT {a[0]}), CAST({p[0]} AS BIGINT) + 1)"
+    ),
+    "sumMapFiltered": lambda p, a: (
+        _sum_map_filtered_expr(p, a, "sumMapFiltered")
+    ),
+    "sumMapFilteredWithOverflow": lambda p, a: (
+        _sum_map_filtered_expr(p, a, "sumMapFilteredWithOverflow")
+    ),
     # groupArrayLast(n)(x): the last n in accumulation order — like CH,
     # order is whatever the engine saw (deterministic only under a
     # single sorted partition; registry/pytest usage pins that)

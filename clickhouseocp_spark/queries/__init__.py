@@ -749,6 +749,8 @@ _DRIVER_WINDOW_R17: list[str] = [
     "chsql_vocab_r49",
     # tranche 2: LTTB downsampling aggregate as a pure-JVM fold
     "chsql_lttb_downsample",
+    # tranche 2: uniqUpTo, sumMapFiltered, geohashesInBox
+    "chsql_vocab_r50",
 ]
 
 

@@ -984,3 +984,96 @@ FROM (
 """,
         dialect="clickhouse",
     )
+
+
+#: geohashesInBox pins for the g = event_id % 20 box family (lon0 =
+#: g − 9.75, lat0 = 5(g mod 7) − 14.75, 0.8 × 0.6 box, precision 4) —
+#: derived from an independent Python geohash implementation
+_GEOBOX_PINS = """
+    WHEN 0 THEN '7v3h 7v3j 7v3n 7v3p 7v3k 7v3m 7v3q 7v3r 7v3s 7v3t 7v3w 7v3x'
+    WHEN 1 THEN '7y3b 7y3c 7y3f 7y3g 7y60 7y61 7y64 7y65 7y62 7y63 7y66 7y67'
+    WHEN 2 THEN '7z4k 7z4m 7z4q 7z4r 7z62 7z4s 7z4t 7z4w 7z4x 7z68 7z4u 7z4v 7z4y 7z4z 7z6b 7z5h 7z5j 7z5n 7z5p 7z70'
+    WHEN 3 THEN 'eb51 eb54 eb55 eb5h eb53 eb56 eb57 eb5k eb59 eb5d eb5e eb5s eb5c eb5f eb5g eb5u'
+    WHEN 4 THEN 'ebgv ebgy ebgz ec5b ec5c ebuj ebun ebup ech0 ech1 ebum ebuq ebur ech2 ech3'
+    WHEN 5 THEN 'ecud ecue ecus ecut ecuf ecug ecuu ecuv ecv4 ecv5 ecvh ecvj'
+    WHEN 6 THEN 'eftq eftr efv2 efv3 efv6 eftw eftx efv8 efv9 efvd efty eftz efvb efvc efvf'
+    WHEN 7 THEN '7vqh 7vqj 7vqn 7vqp 7vqk 7vqm 7vqq 7vqr 7vqs 7vqt 7vqw 7vqx'
+    WHEN 8 THEN '7yqb 7yqc 7yqf 7yqg 7yr0 7yr1 7yr4 7yr5 7yr2 7yr3 7yr6 7yr7'
+    WHEN 9 THEN '7zpk 7zpm 7zpq 7zpr 7zr2 7zps 7zpt 7zpw 7zpx 7zr8 7zpu 7zpv 7zpy 7zpz 7zrb kp0h kp0j kp0n kp0p kp20'
+    WHEN 10 THEN 's001 s004 s005 s00h s003 s006 s007 s00k s009 s00d s00e s00s'
+    WHEN 11 THEN 's0bv s0by s0bz s10b s10c s0cj s0cn s0cp s110 s111 s0cm s0cq s0cr s112 s113'
+    WHEN 12 THEN 's1cd s1ce s1cs s1ct s1cf s1cg s1cu s1cv s1f4 s1f5 s1fh s1fj'
+    WHEN 13 THEN 's4dq s4dr s4f2 s4f3 s4f6 s4dw s4dx s4f8 s4f9 s4fd s4dy s4dz s4fb s4fc s4ff'
+    WHEN 14 THEN 'kj7h kj7j kj7n kj7p kj7k kj7m kj7q kj7r kj7s kj7t kj7w kj7x'
+    WHEN 15 THEN 'kn78 kn79 kn7d kn7e kn7b kn7c kn7f kn7g knk0 knk1 knk4 knk5 knk2 knk3 knk6 knk7'
+    WHEN 16 THEN 'kphk kphm kphq kphr kpk2 kphs kpht kphw kphx kpk8 kphu kphv kphy kphz kpkb kpjh kpjj kpjn kpjp kpm0'
+    WHEN 17 THEN 's0j1 s0j4 s0j5 s0jh s0j3 s0j6 s0j7 s0jk s0j9 s0jd s0je s0js'
+    WHEN 18 THEN 's0vv s0vy s0vz s1jb s1jc s0yj s0yn s0yp s1n0 s1n1 s0ym s0yq s0yr s1n2 s1n3'
+    WHEN 19 THEN 's1yd s1ye s1ys s1yt s1yf s1yg s1yu s1yv s1z4 s1z5 s1zh s1zj'
+"""
+
+
+@register(
+    "chsql_vocab_r50",
+    oracle=f"""
+WITH src AS (
+  SELECT event_id % 20 AS g, event_type, event_id
+  FROM events WHERE event_id < 400),
+pairs AS (
+  SELECT g, CAST(event_id % 5 AS BIGINT) AS k, CAST(1 AS BIGINT) AS v
+  FROM src
+  UNION ALL
+  SELECT g, CAST(event_id % 7 AS BIGINT), CAST(2 AS BIGINT) FROM src)
+SELECT s.g,
+  least(count(DISTINCT s.event_type), 3) AS u2,
+  least(count(DISTINCT s.event_type), 11) AS u10,
+  (SELECT string_agg(CAST(k AS VARCHAR), ',' ORDER BY k)
+   FROM (SELECT k FROM pairs p WHERE p.g = s.g AND p.k IN (0, 2, 4)
+         GROUP BY k) fk) AS fk,
+  (SELECT string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k)
+   FROM (SELECT k, sum(v) AS sv FROM pairs p
+         WHERE p.g = s.g AND p.k IN (0, 2, 4) GROUP BY k) fv) AS fv,
+  CASE s.g {_GEOBOX_PINS} END AS gb,
+  'sx1q sx1r' AS gb_doc
+FROM src s GROUP BY s.g ORDER BY s.g
+""",
+    tags=("chsql", "vocab", "geo"),
+)
+def chsql_vocab_r50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r50: ``uniqUpTo(N)(x)`` (exact under
+    the cap, N+1 above — Spark's exact distinct is a valid instance of
+    CH's bounded-state contract), ``sumMapFiltered[WithOverflow]``
+    (parametric key whitelist position-filtered into the shared
+    map-aggregate fold), and ``geohashesInBox`` (grid cells from the
+    5p-bit lon/lat split, each encoded at its center by the pure-JVM
+    geohash fold; the CH-docs box pins 'sx1q sx1r' and a 20-box family
+    pins against an independent Python geohash)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id % 20 AS g, event_type,
+    [toInt64(event_id % 5), toInt64(event_id % 7)] AS karr,
+    [toInt64(1), toInt64(2)] AS varr,
+    toFloat64(event_id % 20) - 9.75 AS lon0,
+    toFloat64((event_id % 20) % 7) * 5 - 14.75 AS lat0
+  FROM events WHERE event_id < 400
+)
+SELECT g,
+  uniqUpTo(2)(event_type) AS u2,
+  uniqUpTo(10)(event_type) AS u10,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMapFiltered([toInt64(0), toInt64(2), toInt64(4)])
+                 (karr, varr), 1)), ',') AS fk,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    tupleElement(sumMapFilteredWithOverflow(
+      [toInt64(0), toInt64(2), toInt64(4)])(karr, varr), 2)), ',') AS fv,
+  min(arrayStringConcat(
+    geohashesInBox(lon0, lat0, lon0 + 0.8, lat0 + 0.6, 4), ' ')) AS gb,
+  min(arrayStringConcat(
+    geohashesInBox(24.48, 40.56, 24.51, 40.61, 4), ' ')) AS gb_doc
+FROM src GROUP BY g ORDER BY g
+""",
+        dialect="clickhouse",
+    )
