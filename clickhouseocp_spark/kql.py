@@ -1264,6 +1264,69 @@ def _ipv6_canon_sql(addr: str) -> str:
     )
 
 
+#: properly-delimited IPv4 literals inside free text — Kusto requires
+#: NON-ALPHANUMERIC delimiters ('a1.2.3.4' does not match) and valid
+#: octets; the look-arounds also reject '1.2.3.4.5' tails
+_KQL_IPV4_EXTRACT = (
+    "regexp_extract_all({s}, "
+    "'(?<![0-9A-Za-z.])((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    "\\\\.){{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    "(?![0-9A-Za-z.])', 0)"
+)
+
+
+def _kql_ipv4_is_match(a: list[str]) -> str:
+    """ipv4_is_match(a, b[, prefix]): prefix-equality where the effective
+    prefix is the MINIMUM of the explicit arg and both '/len' suffixes
+    (same combining rule as ipv6_is_match; default 32)."""
+    if len(a) < 2 or len(a) > 3:
+        raise KqlError("ipv4_is_match takes (ip1, ip2[, prefix])")
+    n1 = _ipv4_num(f"element_at(split({a[0]}, '/'), 1)")
+    n2 = _ipv4_num(f"element_at(split({a[1]}, '/'), 1)")
+    pfx = (
+        f"CAST(least(coalesce({a[2] if len(a) > 2 else 'NULL'}, 32), "
+        f"coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2) "
+        f"AS INT), 32), "
+        f"coalesce(try_cast(try_element_at(split({a[1]}, '/'), 2) "
+        f"AS INT), 32)) AS INT)"
+    )
+    return (
+        f"transform(array(named_struct('x', {n1}, 'y', {n2}, 'p', {pfx})), "
+        f"__t -> shiftright(__t.x, 32 - __t.p) = "
+        f"shiftright(__t.y, 32 - __t.p))[0]"
+    )
+
+
+def _kql_parse_ipv6_mask(a: list[str]) -> str:
+    """parse_ipv6_mask(ip, prefix): the canonical zero-padded form with
+    the host bits zeroed — whole nibbles kept, the partial nibble
+    floor-masked, the rest '0', re-grouped 4-by-4 with colons."""
+    if len(a) != 2:
+        raise KqlError("parse_ipv6_mask takes (ip, prefix)")
+    canon = _ipv6_canon_sql(f"element_at(split({a[0]}, '/'), 1)")
+    pfx = (
+        f"CAST(least(coalesce({a[1]}, 128), "
+        f"coalesce(try_cast(try_element_at(split({a[0]}, '/'), 2) "
+        f"AS INT), 128)) AS INT)"
+    )
+    masked = (
+        "array_join(transform(sequence(1, 32), __ni -> "
+        "CASE WHEN __ni <= CAST(floor(__t.p / 4) AS INT) "
+        "THEN substring(__t.h, __ni, 1) "
+        "WHEN __ni = CAST(floor(__t.p / 4) AS INT) + 1 AND __t.p % 4 != 0 "
+        "THEN substring('0123456789abcdef', CAST(floor("
+        "CAST(conv(substring(__t.h, __ni, 1), 16, 10) AS INT) "
+        "/ pow(2, 4 - __t.p % 4)) * pow(2, 4 - __t.p % 4) AS INT) + 1, 1) "
+        "ELSE '0' END), '')"
+    )
+    return (
+        f"transform(array(named_struct("
+        f"'h', replace({canon}, ':', ''), 'p', {pfx})), __t -> "
+        f"array_join(transform(sequence(0, 7), __g -> "
+        f"substring({masked}, 4 * __g + 1, 4)), ':'))[0]"
+    )
+
+
 def _kql_ipv6_is_match(a: list[str]) -> str:
     """ipv6_is_match(a, b[, prefix]): equality of the first `prefix` bits
     of the canonical forms, where the effective prefix is the MINIMUM of
@@ -2209,7 +2272,66 @@ _KQL_SCALARS: dict = {
         f"THEN 1 ELSE 0 END AS BIGINT)"
     ),
     "ipv6_is_match": _kql_ipv6_is_match,
+    # --- scalar batch 10 (round 14): series trig, IPv4-in-text
+    # matchers, range families, parse_ipv6_mask, string closers -------
+    "series_sin": _series_map("sin({x})"),
+    "series_cos": _series_map("cos({x})"),
+    "series_tan": _series_map("tan({x})"),
+    "series_asin": _series_map("asin({x})"),
+    "series_acos": _series_map("acos({x})"),
+    "series_atan": _series_map("atan({x})"),
+    "weekofyear": lambda a: f"CAST(weekofyear({a[0]}) AS BIGINT)",
+    # make_string / unicode_codepoints_to_string: scalar code points
+    # (array inputs: transform + array_strcat compose the same result)
+    "make_string": lambda a: "concat(" + ", ".join(
+        f"decode(unhex(lpad(hex({x}), 8, '0')), 'UTF-32')" for x in a
+    ) + ")",
+    "unicode_codepoints_to_string": lambda a: "concat(" + ", ".join(
+        f"decode(unhex(lpad(hex({x}), 8, '0')), 'UTF-32')" for x in a
+    ) + ")",
+    "array_strcat": lambda a: (
+        f"array_join(transform({a[0]}, __v -> CAST(__v AS STRING)), {a[1]})"
+    ),
+    # todynamic/parse_json: dynamics carry as JSON text in this engine —
+    # the downstream accessors (bag/array operators) read JSON strings
+    "todynamic": lambda a: a[0],
+    "parse_json": lambda a: a[0],
+    "has_ipv4": lambda a: (
+        f"array_contains({_KQL_IPV4_EXTRACT.format(s=a[0])}, {a[1]})"
+    ),
+    "has_any_ipv4": lambda a: (
+        f"arrays_overlap({_KQL_IPV4_EXTRACT.format(s=a[0])}, {a[1]})"
+    ),
+    "has_ipv4_prefix": lambda a: (
+        f"exists({_KQL_IPV4_EXTRACT.format(s=a[0])}, "
+        f"__ip -> startswith(__ip, {a[1]}))"
+    ),
+    "ipv4_is_match": _kql_ipv4_is_match,
+    "ipv4_is_in_any_range": lambda a: (
+        f"exists({a[1]}" + (
+            f" || array({', '.join(a[2:])})" if len(a) > 2 else ""
+        ) + f", __r -> {_kql_ipv4_in_range([a[0], '__r'])})"
+        if a[1].strip().startswith(("array(", "["))
+        else (
+            "(" + " OR ".join(
+                _kql_ipv4_in_range([a[0], r]) for r in a[1:]
+            ) + ")"
+        )
+    ),
+    "ipv6_is_in_range": lambda a: _kql_ipv6_is_match([a[0], a[1]]),
+    "ipv6_is_in_any_range": lambda a: (
+        f"exists({a[1]}, __r -> {_kql_ipv6_is_match([a[0], '__r'])})"
+        if a[1].strip().startswith(("array(", "["))
+        else (
+            "(" + " OR ".join(
+                _kql_ipv6_is_match([a[0], r]) for r in a[1:]
+            ) + ")"
+        )
+    ),
+    "parse_ipv6_mask": _kql_parse_ipv6_mask,
 }
+
+
 
 
 def _expr(e: str) -> str:

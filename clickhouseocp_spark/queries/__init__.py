@@ -751,6 +751,9 @@ _DRIVER_WINDOW_R17: list[str] = [
     "chsql_lttb_downsample",
     # tranche 2: uniqUpTo, sumMapFiltered, geohashesInBox
     "chsql_vocab_r50",
+    # KQL scalar batch 10: series trig, IPv4-in-text matchers, range
+    # families, parse_ipv6_mask, make_string/array_strcat/todynamic
+    "kql_scalar_vocab10",
 ]
 
 

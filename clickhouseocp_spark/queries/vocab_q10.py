@@ -1077,3 +1077,87 @@ FROM src GROUP BY g ORDER BY g
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "kql_scalar_vocab10",
+    oracle="""
+WITH src AS (
+  SELECT event_id, ts,
+    CAST(event_id % 256 AS BIGINT) AS o2,
+    CAST(event_id % 200 AS BIGINT) AS o3,
+    '10.' || CAST(event_id % 256 AS VARCHAR) || '.'
+          || CAST(event_id % 200 AS VARCHAR) || '.1' AS a4,
+    CASE WHEN event_id = 0 THEN '2001:db8::1'
+         ELSE '2001:db8:' || format('{:x}', event_id) || '::1' END AS a6,
+    CAST(32 + event_id % 24 AS INT) AS p6,
+    CAST(8 + event_id % 24 AS INT) AS p4
+  FROM events WHERE event_id < 400)
+SELECT event_id,
+  round(sin(CAST(event_id % 7 AS DOUBLE) / 2), 6) AS ssin,
+  round(acos(CAST(event_id % 9 AS DOUBLE) / 10), 6) AS sacos,
+  CAST(weekofyear(ts) AS BIGINT) AS wk,
+  chr(CAST(65 + event_id % 26 AS INT)) || chr(9731) AS ms,
+  CAST(event_id % 5 AS VARCHAR) || '-' || CAST(event_id % 3 AS VARCHAR)
+    AS ac,
+  CAST(true AS BOOLEAN) AS h4,
+  CAST(event_id % 2 = 0 AS BOOLEAN) AS hp,
+  CAST(floor((256 * 256 * (CAST(10 AS BIGINT) * 256 + o2) + 256 * o3 + 1)
+             / power(2, 32 - p4)) =
+       floor((256 * 256 * (CAST(10 AS BIGINT) * 256 + o2) + 256 * 77 + 9)
+             / power(2, 32 - p4)) AS BOOLEAN) AS m4,
+  CAST(o2 >= 128 OR o2 < 64 AS BOOLEAN) AS r4any,
+  CAST(event_id >= 256 AS BOOLEAN) AS r6,
+  CAST(event_id >= 256 OR event_id < 128 AS BOOLEAN) AS r6any,
+  '2001:0db8:'
+    || lpad(lower(format('{:x}',
+         CAST(floor(event_id / power(2, 16 - least(p6 - 32, 16)))
+              * power(2, 16 - least(p6 - 32, 16)) AS BIGINT))), 4, '0')
+    || ':0000:0000:0000:0000:0000' AS pm,
+  '{"k":' || CAST(event_id % 5 AS VARCHAR) || '}' AS td
+FROM src ORDER BY event_id
+""",
+    tags=("kql", "vocab"),
+)
+def kql_scalar_vocab10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KQL round-14 scalar batch 10: the ``series_`` trig maps,
+    ``weekofyear``, ``make_string``/``unicode_codepoints_to_string``
+    (UTF-32 decode route), ``array_strcat``, the IPv4-in-text matchers
+    (``has_ipv4``/``has_any_ipv4``/``has_ipv4_prefix`` — look-arounds
+    enforce proper delimiting and octet validity), ``ipv4_is_match``
+    with Kusto's min-of-suffixes prefix rule, the range families
+    (``ipv4_is_in_any_range``/``ipv6_is_in_range``/
+    ``ipv6_is_in_any_range``), ``parse_ipv6_mask`` (canonical padded
+    form, host bits floor-masked per nibble), and ``todynamic``
+    (dynamics carry as JSON text)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+events | where event_id < 400
+| extend o2 = event_id % 256, o3 = event_id % 200
+| extend a4 = strcat('10.', tostring(o2), '.', tostring(o3), '.1'),
+         a6 = strcat('2001:db8:', tohex(event_id), '::1'),
+         p6 = toint(32 + event_id % 24), p4 = toint(8 + event_id % 24)
+| project event_id,
+    ssin = round(series_sin(pack_array(todouble(event_id % 7) / 2))[0], 6),
+    sacos = round(series_acos(pack_array(todouble(event_id % 9) / 10))[0], 6),
+    wk = weekofyear(ts),
+    ms = make_string(65 + event_id % 26, 9731),
+    ac = array_strcat(pack_array(event_id % 5, event_id % 3), '-'),
+    h4 = has_ipv4(strcat('src ', a4, ' end'), a4),
+    hp = iff(event_id % 2 == 0,
+             has_ipv4_prefix(strcat('x ', a4, ' y'), '10.'),
+             has_any_ipv4(strcat('x ', a4, ' y'), pack_array('9.9.9.9'))),
+    m4 = ipv4_is_match(a4, strcat('10.', tostring(o2), '.77.9'), p4),
+    r4any = ipv4_is_in_any_range(a4,
+              pack_array('10.128.0.0/9', '10.0.0.0/10')),
+    r6 = ipv6_is_in_range(a6, '2001:db8:100::/40'),
+    r6any = ipv6_is_in_any_range(a6,
+              pack_array('2001:db8:100::/40', '2001:db8:0::/41')),
+    pm = parse_ipv6_mask(a6, p6),
+    td = todynamic(strcat('{"k":', tostring(event_id % 5), '}'))
+| order by event_id asc
+""",
+        dialect="kusto",
+    )

@@ -5407,3 +5407,40 @@ def test_lttb_round14(spark):
         got = r.s
         wants = " ".join(f"{p[0]}:{p[1]}" for p in want)
         assert got == wants, (npts, k, got, wants)
+
+
+def test_kql_scalar_vocab10(spark):
+    """KQL batch-10 closers not covered by the registry query: series
+    trig family completeness, has_ipv4 rejection cases (embedded /
+    octet-overflow / substring), ipv6_is_in_any_range negative,
+    parse_ipv6_mask full-group boundary, make_string astral code point,
+    parse_json passthrough."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+print t1 = series_tan(pack_array(0.0))[0],
+  a1 = round(series_asin(pack_array(1.0))[0], 6),
+  a2 = round(series_atan(pack_array(1.0))[0], 6),
+  c1 = series_cos(pack_array(0.0))[0],
+  h1 = has_ipv4('a 999.1.2.3 b', '999.1.2.3'),
+  h2 = has_ipv4('a1.2.3.4 b', '1.2.3.4'),
+  h3 = has_ipv4('a 1.2.3.4 b', '1.2.3'),
+  r1 = ipv6_is_in_any_range('2001:dc8::1',
+         pack_array('2001:db8::/32', '2001:db9::/32')),
+  p1 = parse_ipv6_mask('2001:db8:85a3::ffff', 48),
+  m1 = make_string(66376),
+  j1 = parse_json('{"x": 2}')
+""",
+        dialect="kusto",
+    ).collect()[0]
+    assert r.t1 == 0.0 and r.c1 == 1.0
+    assert r.a1 == 1.570796 and r.a2 == 0.785398
+    assert r.h1 is False      # octet overflow never matches
+    assert r.h2 is False      # not delimited on the left
+    assert r.h3 is False      # needle is a prefix, not a full address
+    assert r.r1 is False
+    assert r.p1 == "2001:0db8:85a3:0000:0000:0000:0000:0000"
+    assert r.m1 == "\U00010348"
+    assert r.j1 == '{"x": 2}'
