@@ -7020,17 +7020,16 @@ PARAMETRIC_RULES: dict[str, object] = {
     "uniqCombined": lambda p, a: f"approx_count_distinct({', '.join(a)})",
     "quantileExactExclusive": _quantile_exact_exclusive_expr,
     "quantileExactInclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
-    # the text surface points at the exact-integer operator tier (float
-    # triangle scores make near-tie argmax order-dependent — the operator
-    # documents and solves this; a text fold would silently reintroduce it)
-    "largestTriangleThreeBuckets": lambda p, a: (_ for _ in ()).throw(
-        ChSqlError(
-            "largestTriangleThreeBuckets on the text path would score "
-            "triangles in floats (near-tie argmax flips on summation "
-            "order) — use operators/downsample.lttb, the exact-integer "
-            "kernel (registry query lttb_downsample)"
-        )
-    ),
+    # r14: the text path now lowers to the pure-JVM SORTED fold
+    # (_lttb_rule) — the earlier reject argued float near-tie argmax
+    # flips on summation order, which applies to PARALLEL sums; the
+    # fold's bucket averages accumulate strictly left-to-right with one
+    # IEEE expression shape on both engines, so the argmax is
+    # deterministic and oracle-replayable (chsql_lttb_downsample).  The
+    # exact-integer applyInPandas kernel (operators/downsample.lttb,
+    # registry query lttb_downsample) remains the huge-series tier —
+    # the fold collects the whole group; the kernel streams it.
+    "largestTriangleThreeBuckets": _lttb_rule,
     "meanZTest": _mean_z_test_expr,
     "exponentialTimeDecayedAvg": _exp_time_decayed_avg_expr,
     "groupArrayMovingSum": lambda p, a: _group_array_moving_expr(
@@ -7157,14 +7156,10 @@ PARAMETRIC_RULES: dict[str, object] = {
         f"array_join(array_sort(collect_list({a[0]})), {p[0] if p else chr(39) + chr(39)})"
     ),
     "groupArraySorted": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
-    # LTTB downsampling (CH 24.x largestTriangleThreeBuckets)
-    "largestTriangleThreeBuckets": _lttb_rule,
+    # lttb: alias of largestTriangleThreeBuckets (the pure-JVM sorted
+    # fold above; the exact-integer operator tier remains
+    # operators/downsample.lttb for huge series)
     "lttb": _lttb_rule,
-    # uniqUpTo(N)(x): exact below the cap, N+1 above it — Spark's exact
-    # distinct IS a valid instance of CH's bounded-state contract
-    "uniqUpTo": lambda p, a: (
-        f"least(count(DISTINCT {a[0]}), CAST({p[0]} AS BIGINT) + 1)"
-    ),
     "sumMapFiltered": lambda p, a: (
         _sum_map_filtered_expr(p, a, "sumMapFiltered")
     ),

@@ -1739,6 +1739,9 @@ _KQL_SCALARS: dict = {
     "dayofmonth": lambda a: f"day({a[0]})",
     "dayofyear": lambda a: f"dayofyear({a[0]})",
     "hourofday": lambda a: f"hour({a[0]})",
+    # weekofyear BEFORE week_of_year: the latter's rendered output
+    # contains the former's name (rewrite-order contract)
+    "weekofyear": lambda a: f"CAST(weekofyear({a[0]}) AS BIGINT)",
     "week_of_year": lambda a: f"weekofyear({a[0]})",
     "make_datetime": lambda a: f"make_timestamp({', '.join(a)})",
     # format_datetime: the Kusto pattern subset maps glyph-for-glyph onto
@@ -2280,7 +2283,6 @@ _KQL_SCALARS: dict = {
     "series_asin": _series_map("asin({x})"),
     "series_acos": _series_map("acos({x})"),
     "series_atan": _series_map("atan({x})"),
-    "weekofyear": lambda a: f"CAST(weekofyear({a[0]}) AS BIGINT)",
     # make_string / unicode_codepoints_to_string: scalar code points
     # (array inputs: transform + array_strcat compose the same result)
     "make_string": lambda a: "concat(" + ", ".join(

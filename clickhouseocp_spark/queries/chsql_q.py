@@ -2211,6 +2211,8 @@ SELECT o_orderkey,
        array_to_string(
          list_transform(string_split(lower(o_orderpriority), ' '),
                         w -> CASE WHEN length(w) = 0 THEN w
+                                  WHEN regexp_matches(w, '^[0-9]-')
+                                  THEN w[1:2] || upper(w[3:3]) || w[4:]
                                   ELSE upper(w[1:1]) || w[2:] END),
          ' ') AS prio_initcap,
        CAST((o_orderkey % 4294967296) % 256 * 16777216
@@ -2225,9 +2227,10 @@ FROM orders WHERE o_orderkey < 500
 )
 def chsql_vocab_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-5 vocabulary through the TEXT path: widthBucket lowered to ANSI
-    width_bucket, countMatches → regexp_count, initcap passthrough,
-    byteSwap lowered to shift/mask arithmetic, toDaysSinceYearZero lowered
-    to epoch-day + 719528."""
+    width_bucket, countMatches → regexp_count, initcap (CH's alnum-run
+    word rule since r14 — '2-high' capitalizes to '2-High'; the oracle
+    replays the run rule), byteSwap lowered to shift/mask arithmetic,
+    toDaysSinceYearZero lowered to epoch-day + 719528."""
     return _run(
         spark,
         sf_dir,

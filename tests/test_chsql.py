@@ -3681,10 +3681,14 @@ FROM events WHERE event_id < 200
     assert r.qei is not None and r.qei != r.qee  # distinct conventions
     assert r.sv1 == 0 and r.sv2 is None
 
+    # largestTriangleThreeBuckets lowers since r14 (the sorted pure-JVM
+    # fold — see test_lttb_round14); the reject list keeps the others
+    assert "aggregate" in transpile(
+        "SELECT largestTriangleThreeBuckets(12)(x, y) FROM t"
+    )
     for bad in (
         "SELECT runningDifference(v) FROM t",
         "SELECT neighbor(v, 1) FROM t",
-        "SELECT largestTriangleThreeBuckets(12)(x, y) FROM t",
         "SELECT proportionsZTest(1, 2, 3, 4, 0.99, 'pooled') FROM t",
     ):
         with _pytest.raises(ChSqlError):
