@@ -6149,7 +6149,15 @@ FUNC_RULES: dict[str, object] = {
     # (session.py: timeZone=UTC, database 'default') — same policy as
     # currentDatabase/hostName/version above.
     "timeZone": lambda args: "'UTC'",
+    "timezone": lambda args: "'UTC'",  # documented upstream alias
     "serverTimeZone": lambda args: "'UTC'",
+    "serverTimezone": lambda args: "'UTC'",  # documented upstream alias
+    # toTimeWithFixedDate(t, anchor_date): toTime's generalized form —
+    # the time-of-day re-anchored on the given date
+    "toTimeWithFixedDate": lambda args: (
+        f"(CAST({args[1]} AS TIMESTAMP) + make_dt_interval(0, 0, 0, "
+        f"CAST(unix_timestamp({args[0]}) % 86400 AS DOUBLE)))"
+    ),
     "uptime": lambda args: "CAST(0 AS BIGINT)",
     "zookeeperSessionUptime": lambda args: "CAST(0 AS BIGINT)",
     "serverUUID": lambda args: "'00000000-0000-0000-0000-000000000000'",

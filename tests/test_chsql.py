@@ -5448,3 +5448,92 @@ print t1 = series_tan(pack_array(0.0))[0],
     assert r.p1 == "2001:0db8:85a3:0000:0000:0000:0000:0000"
     assert r.m1 == "\U00010348"
     assert r.j1 == '{"x": 2}'
+
+
+def test_round14_randomized_hardening(spark):
+    """Randomized battery for the round-14 tranche-2 tier, pinned
+    against INDEPENDENT stdlib oracles: isIPAddressInRange vs
+    ipaddress (both families, random prefixes), base32 round-trip vs
+    base64.b32encode, overlay vs Python slicing (negative offsets),
+    javaHashUTF16LE vs a struct-level UTF-16 fold, toIPv6 render
+    round-trip vs ipaddress.compressed, plus the new tz/anchored-time
+    aliases."""
+    import base64
+    import ipaddress
+    import random
+    import struct
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    rng = random.Random(140)
+
+    exprs, wants = [], []
+    # isIPAddressInRange vs the ipaddress module
+    for i in range(10):
+        if i % 2 == 0:
+            ip = ipaddress.IPv4Address(rng.getrandbits(32))
+            net = ipaddress.IPv4Network(
+                (rng.getrandbits(32), rng.randrange(0, 33)), strict=False
+            )
+        else:
+            ip = ipaddress.IPv6Address(rng.getrandbits(128))
+            net = ipaddress.IPv6Network(
+                (rng.getrandbits(128), rng.randrange(0, 129)), strict=False
+            )
+        exprs.append(
+            f"isIPAddressInRange('{ip}', '{net.network_address}/"
+            f"{net.prefixlen}')"
+        )
+        wants.append(1 if ip in net else 0)
+    # base32 round-trip + encode equality vs base64.b32encode
+    for _ in range(6):
+        s = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz0123456789 _-")
+            for _ in range(rng.randrange(0, 23))
+        )
+        exprs.append(f"base32Encode('{s}')")
+        wants.append(base64.b32encode(s.encode()).decode())
+        exprs.append(f"base32Decode(base32Encode('{s}'))")
+        wants.append(s)
+    # overlay vs Python slicing, incl. negative offsets
+    for _ in range(6):
+        s = "".join(rng.choice("abcdefgh") for _ in range(rng.randrange(3, 10)))
+        rep = "".join(rng.choice("XYZ") for _ in range(rng.randrange(1, 4)))
+        off = rng.choice([1, 2, 3, -1, -2])
+        ln = rng.randrange(0, 4)
+        pos = off if off > 0 else max(1, len(s) + off + 1)
+        py = s[: pos - 1] + rep + s[pos - 1 + ln:]
+        exprs.append(f"overlay('{s}', '{rep}', {off}, {ln})")
+        wants.append(py)
+    # javaHashUTF16LE vs a UTF-16 code-unit fold (incl. astral + accents)
+    for s in ("héllo wörld", "𐍈ok", "a€b𝄞c", ""):
+        units = struct.unpack(
+            f">{len(s.encode('utf-16-be')) // 2}H", s.encode("utf-16-be")
+        )
+        acc = 0
+        for u in units:
+            acc = (acc * 31 + u) & 0xFFFFFFFF
+        if acc >= 2**31:
+            acc -= 2**32
+        exprs.append(f"javaHashUTF16LE('{s}')")
+        wants.append(acc)
+    # toIPv6 → RFC 5952 render round-trip vs ipaddress.compressed
+    for _ in range(6):
+        ip = ipaddress.IPv6Address(
+            rng.getrandbits(128) & rng.getrandbits(128) & rng.getrandbits(128)
+        )
+        exprs.append(f"IPv6NumToString(toIPv6('{ip}'))")
+        wants.append(ip.compressed)
+    # alias closers
+    exprs += [
+        "timezone()", "serverTimezone()",
+        "toString(toTimeWithFixedDate("
+        "toDateTime('2024-03-05 07:08:09'), toDate('1999-12-31')))",
+    ]
+    wants += ["UTC", "UTC", "1999-12-31 07:08:09"]
+
+    cols = ", ".join(f"{e} AS c{i}" for i, e in enumerate(exprs))
+    row = eng.sql(f"SELECT {cols}", dialect="clickhouse").collect()[0]
+    for i, want in enumerate(wants):
+        assert row[i] == want, (i, exprs[i], row[i], want)
