@@ -6237,6 +6237,59 @@ FUNC_RULES: dict[str, object] = {
     "str_to_map": _extract_key_value_pairs,
     "mapFromString": _extract_key_value_pairs,
     # ------------------------------------------------------------------
+    # batch r51 (round 14, tranche 2): wide-integer casts on
+    # DECIMAL(38,0) — Spark's widest exact integer.  DOCUMENTED RANGE
+    # DEVIATION: CH's Int128/256 reach ±2^127/±2^255; values beyond 38
+    # decimal digits fail the cast here (throw under ANSI for the
+    # strict form; NULL/0/default for the Or-variants) instead of
+    # wrapping.  All in-range arithmetic is exact.
+    "toInt128": lambda args: f"CAST({args[0]} AS DECIMAL(38,0))",
+    "toUInt128": lambda args: f"CAST({args[0]} AS DECIMAL(38,0))",
+    "toInt256": lambda args: f"CAST({args[0]} AS DECIMAL(38,0))",
+    "toUInt256": lambda args: f"CAST({args[0]} AS DECIMAL(38,0))",
+    "toInt128OrNull": lambda args: (
+        f"try_cast({args[0]} AS DECIMAL(38,0))"),
+    "toUInt128OrNull": lambda args: (
+        f"try_cast({args[0]} AS DECIMAL(38,0))"),
+    "toInt256OrNull": lambda args: (
+        f"try_cast({args[0]} AS DECIMAL(38,0))"),
+    "toUInt256OrNull": lambda args: (
+        f"try_cast({args[0]} AS DECIMAL(38,0))"),
+    "toInt128OrZero": lambda args: (
+        f"coalesce(try_cast({args[0]} AS DECIMAL(38,0)), "
+        f"CAST(0 AS DECIMAL(38,0)))"),
+    "toUInt128OrZero": lambda args: (
+        f"coalesce(try_cast({args[0]} AS DECIMAL(38,0)), "
+        f"CAST(0 AS DECIMAL(38,0)))"),
+    "toInt256OrZero": lambda args: (
+        f"coalesce(try_cast({args[0]} AS DECIMAL(38,0)), "
+        f"CAST(0 AS DECIMAL(38,0)))"),
+    "toUInt256OrZero": lambda args: (
+        f"coalesce(try_cast({args[0]} AS DECIMAL(38,0)), "
+        f"CAST(0 AS DECIMAL(38,0)))"),
+    # generateUUIDv7 (RFC 9562): unix-millis in the first 48 bits,
+    # version nibble 7, variant 10xx; entropy bits ride a fresh uuid().
+    # Nondeterministic BY DESIGN — registry checks are structure
+    # contracts (version/variant/timestamp recency), like CH's own
+    "generateUUIDv7": lambda args: (
+        "transform(array(named_struct("
+        "'t', lpad(lower(hex(unix_millis(now()))), 12, '0'), "
+        "'u', replace(uuid(), '-', ''))), __g -> concat("
+        "substring(__g.t, 1, 8), '-', substring(__g.t, 9, 4), '-7', "
+        "substring(__g.u, 2, 3), '-', "
+        "element_at(array('8', '9', 'a', 'b'), "
+        "CAST(conv(substring(__g.u, 5, 1), 16, 10) AS INT) % 4 + 1), "
+        "substring(__g.u, 6, 3), '-', substring(__g.u, 9, 12)))[0]"
+    ),
+    # generateSnowflakeID: Twitter-epoch millis << 22 | per-row
+    # sequence — monotonically_increasing_id is unique per row within
+    # the job (partition bits + counter), matching the uniqueness
+    # contract; machine-id bits fold into the sequence field
+    "generateSnowflakeID": lambda args: (
+        "(shiftleft(unix_millis(now()) - CAST(1288834974657 AS BIGINT), "
+        "22) + pmod(monotonically_increasing_id(), 4194304))"
+    ),
+    # ------------------------------------------------------------------
     # batch r46 (round 14, tranche 2): the encoding tier — RFC 4648
     # base32, XML/HTML entity codecs, extractTextFromHTML, the
     # reinterpret little-endian loads, javaHashUTF16LE (real UTF-16

@@ -754,6 +754,8 @@ _DRIVER_WINDOW_R17: list[str] = [
     # KQL scalar batch 10: series trig, IPv4-in-text matchers, range
     # families, parse_ipv6_mask, make_string/array_strcat/todynamic
     "kql_scalar_vocab10",
+    # tranche 2: wide-integer casts + the v7-UUID/snowflake generators
+    "chsql_vocab_r51",
 ]
 
 

@@ -1161,3 +1161,58 @@ events | where event_id < 400
 """,
         dialect="kusto",
     )
+
+
+@register(
+    "chsql_vocab_r51",
+    oracle="""
+SELECT event_id,
+  CAST(CAST(event_id + 1 AS HUGEINT)
+    * CAST('100000000000000000000' AS HUGEINT) AS VARCHAR) AS i128,
+  CAST(-(CAST(event_id + 7 AS HUGEINT)
+    * CAST('10000000000000000000000000' AS HUGEINT)) AS VARCHAR) AS n256,
+  '0' AS orz,
+  CAST(CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS HUGEINT)
+       ELSE NULL END AS VARCHAR) AS orn,
+  CAST(CAST(event_id AS HUGEINT) * CAST(99999999999 AS HUGEINT)
+       AS VARCHAR) AS mul,
+  CAST(1 AS INT) AS uuid7_ok,
+  CAST(1 AS INT) AS snow_ok
+FROM events WHERE event_id < 400 ORDER BY event_id
+""",
+    tags=("chsql", "vocab"),
+)
+def chsql_vocab_r51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-14 tranche 2, batch r51 — the wide-integer cast family on
+    DECIMAL(38,0) (``toInt128/toUInt128/toInt256/toUInt256`` +
+    Or-variants; documented range deviation: beyond 38 decimal digits
+    the cast rejects instead of wrapping — in-range arithmetic is
+    exact, HUGEINT-replayed in DuckDB; both engines surface the digits
+    as strings — wide decimals reach pandas as float64 on the DuckDB
+    side, so the string render is the exact-compare channel), plus ``generateUUIDv7`` /
+    ``generateSnowflakeID`` checked as STRUCTURE CONTRACTS (RFC 9562
+    version-7/variant-10 shape; the snowflake's embedded millisecond
+    timestamp decodes to the present) — the generators are random by
+    design, like CH's."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_id,
+  toString(toInt128(concat(toString(event_id + 1),
+                           '00000000000000000000'))) AS i128,
+  toString(toInt256(concat('-', toString(event_id + 7),
+                           '0000000000000000000000000'))) AS n256,
+  toString(toUInt256OrZero(concat('x', toString(event_id)))) AS orz,
+  toString(toInt128OrNull(IF(event_id % 2 = 0, toString(event_id),
+                             'junk'))) AS orn,
+  toString(toInt128(event_id) * toInt128(99999999999)) AS mul,
+  CAST(generateUUIDv7() RLIKE
+    '^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$'
+    AS INT) AS uuid7_ok,
+  CAST(snowflakeIDToDateTime(generateSnowflakeID())
+       > toDateTime('2026-01-01 00:00:00') AS INT) AS snow_ok
+FROM events WHERE event_id < 400 ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

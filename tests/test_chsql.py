@@ -5537,3 +5537,48 @@ def test_round14_randomized_hardening(spark):
     row = eng.sql(f"SELECT {cols}", dialect="clickhouse").collect()[0]
     for i, want in enumerate(wants):
         assert row[i] == want, (i, exprs[i], row[i], want)
+
+
+def test_vocab_r51_wide_ints(spark):
+    """r51 wide-integer casts: exact 30+ digit round-trips, Or-variant
+    semantics, exact in-range products, ANSI throw on overflow for the
+    strict form (the documented 38-digit range deviation), and the
+    generator structure contracts."""
+    import re as _re
+    from decimal import Decimal
+
+    import pytest as _pytest
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    r = eng.sql(
+        """
+SELECT toInt128('123456789012345678901234567890') AS a,
+       toInt256('-99999999999999999999999999999999999999') AS b,
+       toUInt128OrNull('nope') AS c,
+       toInt256OrZero('bad') AS d,
+       toInt128OrZero('bad') + toUInt128OrZero('bad') AS d2,
+       toInt256OrNull('x') AS c2, toUInt256OrNull('x') AS c3,
+       toInt128(123456789) * toInt128(987654321) AS e,
+       generateUUIDv7() AS u,
+       generateSnowflakeID() AS s,
+       dateTimeToSnowflakeID(toDateTime('2026-01-01 00:00:00')) AS s0
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert r.a == Decimal("123456789012345678901234567890")
+    assert r.b == Decimal("-99999999999999999999999999999999999999")
+    assert r.c is None and r.d == Decimal(0)
+    assert r.d2 == Decimal(0) and r.c2 is None and r.c3 is None
+    assert r.e == Decimal(123456789) * Decimal(987654321)
+    assert _re.match(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}"
+        r"-[0-9a-f]{12}$", r.u)
+    assert r.s > r.s0  # embedded timestamp is current
+    from pyspark.errors.exceptions.captured import NumberFormatException
+    with _pytest.raises(Exception):
+        eng.sql(
+            "SELECT toInt128('1" + "0" * 38 + "') AS x",
+            dialect="clickhouse",
+        ).collect()

@@ -184,6 +184,7 @@ def test_round13_shuffle_budget(spark, sf_dir, name, budget):
         # + final sort (partial_sort feeds the collect)
         ("chsql_vocab_r50", 4),     # grouped distinct + map-agg + sort
         ("kql_scalar_vocab10", 1),  # pure scalar tier + sort
+        ("chsql_vocab_r51", 1),     # pure scalar tier + sort
     ],
 )
 def test_round14_shuffle_budget(spark, sf_dir, name, budget):
@@ -199,7 +200,7 @@ def test_round14_no_python_nodes(spark, sf_dir):
         "chsql_vocab_r44", "chsql_nlp_detect", "chsql_vocab_r45",
         "chsql_vocab_r46", "chsql_vocab_r47", "dict_hierarchy_ops",
         "chsql_vocab_r48", "chsql_vocab_r49", "chsql_lttb_downsample",
-        "chsql_vocab_r50", "kql_scalar_vocab10",
+        "chsql_vocab_r50", "kql_scalar_vocab10", "chsql_vocab_r51",
     ):
         plan = formatted_plan(QS[name].fn(spark, sf_dir))
         assert "EvalPython" not in plan and "InPandas" not in plan, name
