@@ -158,6 +158,38 @@ HEADLINE = [
     "quality_classifier_nb",
 ]
 
+#: Driver-visible tail subset — PINNED (r14 VERDICT observation #1: the
+#: old "slowest 24" membership churned round-over-round, so the driver
+#: tail total mixed set membership with speed).  Fixed to the heaviest
+#: stable names from BENCH_FULL_r14; extend ONLY by appending, so
+#: round-over-round "pinned_total" compares the same work.
+PINNED_TAIL = [
+    "dedup_fuzzy_e2e",
+    "semantic_dedup_semdedup",
+    "stream_session_count",
+    "substring_dup_spans",
+    "dsir_select_topk",
+    "similarity_topk_ivfpq",
+    "text_bigram_logprob",
+    "q18_large_volume",
+    "line_dedup_c4",
+    "q21_waiting_orders",
+    "similarity_topk_ivf",
+    "similarity_topk_nsw",
+    "repetition_metrics",
+    "kql_scan_concurrent",
+    "quantile_dd_state_merge",
+    "embedding_pca_project",
+    "topk_state_merge",
+    "multimodal_video_frames",
+    "dedup_bloom_incremental",
+    "tfidf_top_terms",
+    "similarity_topk_pq",
+    "quality_filter_gopher",
+    "similarity_topk",
+    "rag_retrieve_context",
+]
+
 
 def _prev_full_artifact() -> tuple[str, dict]:
     """The newest committed BENCH_FULL_r{N}.json (the builder's idle-host
@@ -340,6 +372,8 @@ def main() -> None:
         spread[name] = [round(min(runs), 4), round(max(runs), 4)]
 
     total = round(sum(timings.values()), 4)
+    pinned = {n: timings[n] for n in PINNED_TAIL if n in timings}
+    pinned_total = round(sum(pinned.values()), 4)
     # Full artifact (spread / protocol / vs_prev) goes to a committed file;
     # stdout's LAST line stays compact so the driver's tail capture can parse
     # it (BENCH_r04.json had parsed:null — the old line outgrew the capture).
@@ -347,6 +381,8 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "pinned_total": pinned_total,
+        "pinned_n": len(pinned),
         "queries": timings,
         "spread": spread,
         "loadavg_1m": [round(load_start[0], 2), round(os.getloadavg()[0], 2)],
@@ -452,15 +488,18 @@ def main() -> None:
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "pinned_total": pinned_total,
+        "pinned_n": len(pinned),
         "queries": timings,
         "loadavg_1m": full["loadavg_1m"],
         "sf": full["sf"],
     }
     out = json.dumps(line, separators=(",", ":"))
-    if len(out) > 1800:  # driver tail capture is 2000 chars — keep slowest only
-        slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:24])
-        line["queries"] = slowest
-        line["queries_omitted"] = len(timings) - len(slowest)
+    if len(out) > 1800:  # driver tail capture is 2000 chars — keep the
+        # PINNED subset (not "slowest 24": fixed membership keeps the
+        # driver-visible per-query dict comparable round-over-round)
+        line["queries"] = pinned
+        line["queries_omitted"] = len(timings) - len(pinned)
         out = json.dumps(line, separators=(",", ":"))
     print(out)
 

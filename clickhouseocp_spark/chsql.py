@@ -415,8 +415,14 @@ def _base32_decode_expr(args: list[str], try_form: bool) -> str:
         raise ChSqlError("base32Decode takes exactly (s)")
     s = args[0]
     stripped = f"regexp_replace(upper({s}), '=+$', '')"
+    # valid stripped lengths mod 8 are {0,2,4,5,7}: a final group of
+    # 1/3/6 chars cannot carry a whole number of bytes (r14 ADVICE —
+    # 'A=======' would otherwise reach the decoder, whose
+    # floor(5/8)-1 = -1 makes sequence(0,-1) DESCEND and negative
+    # try_element_at indexes read from the array end)
     valid = (
         f"(length({s}) % 8 = 0 AND "
+        f"length({stripped}) % 8 NOT IN (1, 3, 6) AND "
         f"{stripped} RLIKE '^[A-Z2-7]*$')"
     )
     vals = (
@@ -425,7 +431,7 @@ def _base32_decode_expr(args: list[str], try_form: bool) -> str:
     )
     body = (
         f"transform(array({vals}), __v -> "
-        f"IF(size(__v) = 0, '', "
+        f"IF(size(__v) < 2, '', "
         f"decode(unhex(array_join(transform("
         f"sequence(0, CAST(floor(size(__v) * 5 / 8) - 1 AS INT)), __j -> "
         f"lpad(conv(CAST(aggregate(sequence(0, 7), CAST(0 AS BIGINT), "
@@ -1327,15 +1333,23 @@ def _group_array_moving_expr(args: list[str], n: str | None,
     sorted single-partition input for determinism, the groupArray
     convention.  Avg divides by the WINDOW SIZE (CH's contract: early
     elements are partial) and returns Float64 (CH's integer-division
-    result type for int inputs is a documented deviation)."""
+    result type for int inputs is a documented deviation).  The fold
+    accumulator is seeded ``__a[0] * CAST(0 AS BIGINT)`` so its type
+    follows the input — BIGINT for int columns (CH's Int64 moving-sum
+    result), DOUBLE for float columns (r14 ADVICE: a hardcoded BIGINT
+    seed failed analysis on DOUBLE inputs); DECIMAL inputs should be
+    cast to DOUBLE first (precision widening under addition breaks the
+    fold type check — documented deviation)."""
     if len(args) != 1:
         raise ChSqlError(f"groupArrayMoving{what} takes (x)")
     win = f"CAST({n} AS INT)" if n is not None else "size(__a)"
     start = f"greatest(1, __i - {win} + 1)"
     length = f"least(__i, {win})"
+    # __a is non-empty inside sequence(1, size(__a)), so __a[0] (the
+    # 0-based bracket subscript — element_at is the 1-based one) exists
     body = (
         f"aggregate(slice(__a, {start}, {length}), "
-        f"CAST(0 AS BIGINT), (__s, __e) -> __s + __e)"
+        f"__a[0] * CAST(0 AS BIGINT), (__s, __e) -> __s + __e)"
     )
     if what == "Avg":
         body = f"(CAST({body} AS DOUBLE) / {win})"
@@ -2935,6 +2949,238 @@ def _hilbert_decode_expr(args: list[str]) -> str:
         f"'y', IF(__r.ry = 0, __q.x2, __s.y) + __r.s1 * __r.ry, "
         f"'t', shiftright(__s.t, 2)))[0])[0], "
         f"__s -> named_struct('col1', __s.x, 'col2', __s.y))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# S2 cell tier (round 15) — geoToS2 / s2ToGeo / s2CellsIntersect /
+# s2GetNeighbors over the PUBLIC s2geometry cell-id definition (cube-face
+# Hilbert curve at leaf level 30, quadratic ST projection): face = argmax
+# |xyz| component, (u,v) face ratios, st = quadratic(u), 30-level Hilbert
+# fold with the published orientation tables kIJtoPos / kPosToIJ /
+# kPosToOrientation, id = face·2^61 + pos·2 + 1.  UInt64 ids surface as
+# their SIGNED-64 reinterpretation (faces 4-5 set bit 63 — the repo's
+# hash-function convention, documented deviation).  All pure-JVM folds;
+# the pytest battery cross-checks a randomized sample against an
+# independent Python transliteration of the same published algorithm
+# plus roundtrip/adjacency invariants.
+# ---------------------------------------------------------------------------
+
+#: 2^30 (leaf cells per face edge) and 2^29 (half), as SQL literals
+_S2_MAX = 1073741824
+_S2_HALF = 536870912
+
+#: kIJtoPos rows by orientation (flattened 4×4), kPosToIJ likewise, and
+#: kPosToOrientation — the published S2 Hilbert tables
+_S2_IJ_TO_POS = "array(0,1,3,2,0,3,1,2,2,3,1,0,2,1,3,0)"
+_S2_POS_TO_IJ = "array(0,1,3,2,0,2,3,1,3,2,0,1,3,1,0,2)"
+_S2_POS_TO_ORI = "array(1,0,0,3)"
+
+
+def _s2_xyz_expr(lon: str, lat: str) -> str:
+    return (
+        f"named_struct("
+        f"'x', cos(radians({lat})) * cos(radians({lon})), "
+        f"'y', cos(radians({lat})) * sin(radians({lon})), "
+        f"'z', sin(radians({lat})))"
+    )
+
+
+def _s2_face_expr(c: str) -> str:
+    """LargestAbsComponent: axis 0 if |x| strictly dominates, else 1 if
+    |y| > |z|, else 2; +3 when the winning component is negative."""
+    return (
+        f"CASE WHEN abs({c}.x) > abs({c}.y) AND abs({c}.x) > abs({c}.z) "
+        f"THEN IF({c}.x < 0, 3, 0) "
+        f"WHEN abs({c}.y) > abs({c}.z) THEN IF({c}.y < 0, 4, 1) "
+        f"ELSE IF({c}.z < 0, 5, 2) END"
+    )
+
+
+def _s2_u_expr(f: str, c: str) -> str:
+    return (
+        f"CASE {f} WHEN 0 THEN {c}.y / {c}.x WHEN 1 THEN -{c}.x / {c}.y "
+        f"WHEN 2 THEN -{c}.x / {c}.z WHEN 3 THEN {c}.z / {c}.x "
+        f"WHEN 4 THEN {c}.z / {c}.y ELSE -{c}.y / {c}.z END"
+    )
+
+
+def _s2_v_expr(f: str, c: str) -> str:
+    return (
+        f"CASE {f} WHEN 0 THEN {c}.z / {c}.x WHEN 1 THEN {c}.z / {c}.y "
+        f"WHEN 2 THEN -{c}.y / {c}.z WHEN 3 THEN {c}.y / {c}.x "
+        f"WHEN 4 THEN -{c}.x / {c}.y ELSE -{c}.x / {c}.z END"
+    )
+
+
+def _s2_uv_to_st(u: str) -> str:
+    """Quadratic ST projection (S2's default)."""
+    return (
+        f"IF({u} >= 0, 0.5 * sqrt(1 + 3 * ({u})), "
+        f"1 - 0.5 * sqrt(1 - 3 * ({u})))"
+    )
+
+
+def _s2_st_to_uv(s: str) -> str:
+    return (
+        f"IF({s} >= 0.5, (4 * ({s}) * ({s}) - 1) / 3, "
+        f"(1 - 4 * (1 - ({s})) * (1 - ({s}))) / 3)"
+    )
+
+
+def _s2_st_to_ij(s: str) -> str:
+    return (
+        f"greatest(CAST(0 AS BIGINT), least(CAST({_S2_MAX - 1} AS BIGINT), "
+        f"CAST(floor({_S2_MAX} * ({s})) AS BIGINT)))"
+    )
+
+
+def _s2_from_face_ij(f: str, i: str, j: str) -> str:
+    """FromFaceIJ: the 30-level Hilbert position fold (orientation seeded
+    face & kSwapMask), then id = face<<61 | pos<<1 | 1."""
+    return (
+        f"aggregate(sequence(29, 0, -1), "
+        f"named_struct('p', CAST(0 AS BIGINT), 'o', CAST({f} & 1 AS BIGINT)), "
+        f"(__s, __k) -> transform(array(element_at({_S2_IJ_TO_POS}, "
+        f"CAST(__s.o * 4 + 2 * (shiftright({i}, __k) & 1) "
+        f"+ (shiftright({j}, __k) & 1) AS INT) + 1)), "
+        f"__p -> named_struct('p', __s.p * 4 + __p, "
+        f"'o', __s.o ^ element_at({_S2_POS_TO_ORI}, __p + 1)))[0], "
+        f"__s -> shiftleft(CAST({f} AS BIGINT), 61) | shiftleft(__s.p, 1) | 1)"
+    )
+
+
+def _s2_decode_fold(idref: str) -> str:
+    """id → named_struct(f, i, j): the inverse 30-level fold over the
+    60 position bits (face bits masked off)."""
+    return (
+        f"aggregate(sequence(29, 0, -1), "
+        f"named_struct('i', CAST(0 AS BIGINT), 'j', CAST(0 AS BIGINT), "
+        f"'o', shiftrightunsigned({idref}, 61) & 1), "
+        f"(__s, __k) -> transform(array(CAST(shiftright("
+        f"shiftrightunsigned({idref}, 1) & 1152921504606846975, 2 * __k) "
+        f"& 3 AS INT)), __p -> "
+        f"transform(array(element_at({_S2_POS_TO_IJ}, "
+        f"CAST(__s.o * 4 AS INT) + __p + 1)), __ij -> "
+        f"named_struct('i', shiftleft(__s.i, 1) | shiftright(__ij, 1), "
+        f"'j', shiftleft(__s.j, 1) | (__ij & 1), "
+        f"'o', __s.o ^ element_at({_S2_POS_TO_ORI}, __p + 1)))[0])[0], "
+        f"__s -> named_struct("
+        f"'f', shiftrightunsigned({idref}, 61) & 7, 'i', __s.i, 'j', __s.j))"
+    )
+
+
+def _s2_face_uv_xyz(f: str, u: str, v: str) -> str:
+    return (
+        f"named_struct("
+        f"'x', CASE {f} WHEN 0 THEN CAST(1 AS DOUBLE) WHEN 1 THEN -({u}) "
+        f"WHEN 2 THEN -({u}) WHEN 3 THEN CAST(-1 AS DOUBLE) "
+        f"WHEN 4 THEN {v} ELSE {v} END, "
+        f"'y', CASE {f} WHEN 0 THEN {u} WHEN 1 THEN CAST(1 AS DOUBLE) "
+        f"WHEN 2 THEN -({v}) WHEN 3 THEN -({v}) "
+        f"WHEN 4 THEN CAST(-1 AS DOUBLE) ELSE {u} END, "
+        f"'z', CASE {f} WHEN 0 THEN {v} WHEN 1 THEN {v} "
+        f"WHEN 2 THEN CAST(1 AS DOUBLE) WHEN 3 THEN -({u}) "
+        f"WHEN 4 THEN -({u}) ELSE CAST(-1 AS DOUBLE) END)"
+    )
+
+
+def _geo_to_s2_expr(args: list[str]) -> str:
+    """geoToS2(lon, lat) → leaf cell id (signed-64 reinterpretation of
+    CH's UInt64)."""
+    if len(args) != 2:
+        raise ChSqlError("geoToS2 takes exactly (lon, lat)")
+    lon, lat = args
+    return (
+        f"transform(array({_s2_xyz_expr(lon, lat)}), __c -> "
+        f"transform(array(named_struct('f', {_s2_face_expr('__c')})), __w -> "
+        f"transform(array(named_struct("
+        f"'i', {_s2_st_to_ij(_s2_uv_to_st(_s2_u_expr('__w.f', '__c')))}, "
+        f"'j', {_s2_st_to_ij(_s2_uv_to_st(_s2_v_expr('__w.f', '__c')))})), "
+        f"__g -> {_s2_from_face_ij('__w.f', '__g.i', '__g.j')})[0])[0])[0]"
+    )
+
+
+def _s2_to_geo_expr(args: list[str]) -> str:
+    """s2ToGeo(id) → ('col1' lon, 'col2' lat) — the center of the leaf
+    cell (exact for geoToS2 output; coarser ids decode their trailing
+    Hilbert pattern's leaf, a documented leaf-form contract)."""
+    if len(args) != 1:
+        raise ChSqlError("s2ToGeo takes exactly (s2index)")
+    return (
+        f"transform(array(CAST({args[0]} AS BIGINT)), __n -> "
+        f"transform(array({_s2_decode_fold('__n')}), __d -> "
+        f"transform(array(named_struct('f', CAST(__d.f AS INT), "
+        f"'u', {_s2_st_to_uv(f'((CAST(__d.i AS DOUBLE) + 0.5) / {_S2_MAX})')}, "
+        f"'v', {_s2_st_to_uv(f'((CAST(__d.j AS DOUBLE) + 0.5) / {_S2_MAX})')})), "
+        f"__q -> "
+        f"transform(array({_s2_face_uv_xyz('__q.f', '__q.u', '__q.v')}), "
+        f"__c -> named_struct("
+        f"'col1', degrees(atan2(__c.y, __c.x)), "
+        f"'col2', degrees(atan2(__c.z, "
+        f"sqrt(__c.x * __c.x + __c.y * __c.y)))))[0])[0])[0])[0]"
+    )
+
+
+def _s2_cells_intersect_expr(args: list[str]) -> str:
+    """s2CellsIntersect(a, b): cells intersect iff one's leaf range
+    contains the other (lsb trick).  Signed compare is sound because a
+    cell's range never crosses its own face's sign, and cross-sign
+    comparisons correctly fall out false (different faces never
+    contain each other)."""
+    if len(args) != 2:
+        raise ChSqlError("s2CellsIntersect takes exactly (a, b)")
+    return (
+        f"transform(array(named_struct('a', CAST({args[0]} AS BIGINT), "
+        f"'b', CAST({args[1]} AS BIGINT))), __n -> "
+        f"transform(array(named_struct('la', __n.a & -__n.a, "
+        f"'lb', __n.b & -__n.b)), __l -> "
+        f"(__n.b >= __n.a - (__l.la - 1) AND __n.b <= __n.a + (__l.la - 1)) "
+        f"OR (__n.a >= __n.b - (__l.lb - 1) AND __n.a <= __n.b + (__l.lb - 1))"
+        f")[0])[0]"
+    )
+
+
+def _s2_get_neighbors_expr(args: list[str]) -> str:
+    """s2GetNeighbors(id) → [down, right, up, left] edge neighbors of
+    the LEAF cell (the geoToS2 output form — documented subset).
+    Cross-face wrap follows the published FromFaceIJWrap construction:
+    linear (u,v) clamped to ±(1+eps) so the point lies strictly beyond
+    the edge, re-projected through xyz onto the canonical face, then
+    linear ST back to (i,j)."""
+    if len(args) != 1:
+        raise ChSqlError("s2GetNeighbors takes exactly (s2index)")
+    lim = "1.0000000000000002"
+    wrap_uv = (
+        "named_struct("
+        f"'u', greatest(CAST(-{lim} AS DOUBLE), least(CAST({lim} AS DOUBLE), "
+        f"(2 * (__e.i - {_S2_HALF}) + 1) / CAST({_S2_MAX} AS DOUBLE))), "
+        f"'v', greatest(CAST(-{lim} AS DOUBLE), least(CAST({lim} AS DOUBLE), "
+        f"(2 * (__e.j - {_S2_HALF}) + 1) / CAST({_S2_MAX} AS DOUBLE))))"
+    )
+    wrapped = (
+        f"IF(__e.i >= 0 AND __e.i < {_S2_MAX} "
+        f"AND __e.j >= 0 AND __e.j < {_S2_MAX}, "
+        f"named_struct('f', __d.f, 'i', __e.i, 'j', __e.j), "
+        f"transform(array({wrap_uv}), __uv -> "
+        f"transform(array({_s2_face_uv_xyz('CAST(__d.f AS INT)', '__uv.u', '__uv.v')}), "
+        f"__c -> transform(array(named_struct("
+        f"'f2', {_s2_face_expr('__c')})), __w -> "
+        f"named_struct('f', CAST(__w.f2 AS BIGINT), "
+        f"'i', {_s2_st_to_ij('0.5 * ((' + _s2_u_expr('__w.f2', '__c') + ') + 1)')}, "
+        f"'j', {_s2_st_to_ij('0.5 * ((' + _s2_v_expr('__w.f2', '__c') + ') + 1)')}"
+        f"))[0])[0])[0])"
+    )
+    return (
+        f"transform(array(CAST({args[0]} AS BIGINT)), __n -> "
+        f"transform(array({_s2_decode_fold('__n')}), __d -> "
+        f"transform(array("
+        f"named_struct('i', __d.i, 'j', __d.j - 1), "
+        f"named_struct('i', __d.i + 1, 'j', __d.j), "
+        f"named_struct('i', __d.i, 'j', __d.j + 1), "
+        f"named_struct('i', __d.i - 1, 'j', __d.j)), __e -> "
+        f"transform(array({wrapped}), __g -> "
+        f"{_s2_from_face_ij('__g.f', '__g.i', '__g.j')})[0]))[0])[0]"
     )
 
 
@@ -4577,6 +4823,12 @@ FUNC_RULES: dict[str, object] = {
     "mortonDecode": _morton_decode_expr,
     "hilbertEncode": _hilbert_encode_expr,
     "hilbertDecode": _hilbert_decode_expr,
+    # S2 cell tier (round 15) — leaf-level cube-face Hilbert ids over
+    # the published s2geometry definition; pure 30-step JVM folds
+    "geoToS2": _geo_to_s2_expr,
+    "s2ToGeo": _s2_to_geo_expr,
+    "s2CellsIntersect": _s2_cells_intersect_expr,
+    "s2GetNeighbors": _s2_get_neighbors_expr,
     # CH 25.x array/string additions (round 12)
     "arrayLevenshtein": _array_levenshtein_expr,
     "arrayNormalizedGini": _array_normalized_gini_expr,

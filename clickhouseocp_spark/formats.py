@@ -470,6 +470,10 @@ def _rb_decode_value(ch_type: str, data: bytes, pos: int):
         return items, pos
     if ch_type == "String":
         n, pos = _read_leb128(data, pos)
+        if pos + n > len(data):
+            # Python slices silently truncate — raise so streaming
+            # callers (the TCP client's greedy loop) know to pull more
+            raise IndexError(f"String value truncated: need {n} bytes")
         return data[pos:pos + n].decode("utf-8"), pos + n
     if ch_type == "Date":
         (days,) = _struct.unpack_from("<H", data, pos)
@@ -570,6 +574,8 @@ def _native_decode_column(ch_type: str, n_rows: int, data: bytes, pos: int):
     if ch_type.startswith("Nullable("):
         inner = ch_type[9:-1]
         mask = data[pos : pos + n_rows]
+        if len(mask) < n_rows:
+            raise IndexError(f"null mask truncated: need {n_rows} bytes")
         pos += n_rows
         vals, pos = _native_decode_column(inner, n_rows, data, pos)
         return [None if m else v for m, v in zip(mask, vals)], pos

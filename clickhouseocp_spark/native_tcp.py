@@ -188,6 +188,18 @@ def _serve_connection(sock: socket.socket, engine) -> None:
         r.varint()  # stage (2 = Complete)
         compression = r.varint()
         query = r.string()
+        # compression gates BEFORE the trailing data block: a client
+        # that enabled compression wraps that Data packet in a
+        # compressed frame, so parsing it raw would misread the stream
+        # and hang in recv instead of delivering this exception
+        # (r14 ADVICE)
+        if compression:
+            _send_exception(
+                sock, 48, "NOT_IMPLEMENTED",
+                "TCP subset: compression is not supported — connect "
+                "with compression disabled",
+            )
+            return
         # trailing empty data block = end of external tables
         ptype = r.varint()
         if ptype != CLIENT_DATA:
@@ -200,13 +212,6 @@ def _serve_connection(sock: socket.socket, engine) -> None:
             _send_exception(
                 sock, 48, "NOT_IMPLEMENTED",
                 "TCP subset: external table data is not supported",
-            )
-            return
-        if compression:
-            _send_exception(
-                sock, 48, "NOT_IMPLEMENTED",
-                "TCP subset: compression is not supported — connect "
-                "with compression disabled",
             )
             return
         try:
@@ -369,16 +374,37 @@ class NativeTcpClient:
 
         # greedy: try to decode from the current buffer, pulling more
         # bytes on short reads (columns are variable width; the codec
-        # raises IndexError/struct.error when the buffer is truncated)
+        # raises IndexError/struct.error when the buffer is truncated).
+        # Bounded (r14 ADVICE): a genuinely malformed column — unknown
+        # type string, corrupt length prefix — raises the same errors
+        # regardless of buffer size, so a recv timeout / peer close /
+        # oversized buffer re-raises the ORIGINAL decode error with
+        # context instead of masking it as a hang.
+        max_buf = 1 << 26  # 64 MiB — far past any one-block column
         while True:
             try:
                 vals, pos = _native_decode_column(
                     ch_type, n_rows, bytes(self._r._buf), 0
                 )
-            except (IndexError, ValueError, struct.error):
-                chunk = self._r._sock.recv(65536)
+            except (IndexError, ValueError, struct.error) as exc:
+                if len(self._r._buf) > max_buf:
+                    raise ValueError(
+                        f"cannot decode column of type {ch_type!r} "
+                        f"after {len(self._r._buf)} buffered bytes"
+                    ) from exc
+                try:
+                    chunk = self._r._sock.recv(65536)
+                except (TimeoutError, socket.timeout):
+                    raise ValueError(
+                        f"cannot decode column of type {ch_type!r}: "
+                        f"no further bytes arrived "
+                        f"({len(self._r._buf)} buffered)"
+                    ) from exc
                 if not chunk:
-                    raise ConnectionError("peer closed mid-column")
+                    raise ValueError(
+                        f"peer closed mid-column while decoding "
+                        f"{ch_type!r} ({len(self._r._buf)} buffered)"
+                    ) from exc
                 self._r._buf += chunk
                 continue
             self._r._buf = self._r._buf[pos:]

@@ -758,6 +758,15 @@ _DRIVER_WINDOW_R17: list[str] = [
     "chsql_vocab_r51",
 ]
 
+#: Round-15 births — staged at birth per the standing contract
+#: (test_every_registry_query_is_recorded_or_staged).
+_DRIVER_WINDOW_R18: list[str] = []
+
+
+#: process-wide cache for :func:`_latest_driver_records` (the artifacts
+#: are committed files — immutable within a process lifetime)
+_LATEST_RECORDS_CACHE: dict[str, tuple[int, bool]] | None = None
+
 
 def _latest_driver_records() -> dict[str, tuple[int, bool]]:
     """``name -> (round, green)`` from the committed CORRECTNESS_r*.json.
@@ -765,7 +774,14 @@ def _latest_driver_records() -> dict[str, tuple[int, bool]]:
     Ground truth for the staleness rotation: the driver's own per-round
     correctness artifacts, committed at the repo root.  ``green`` is the
     full three-way match (rows + schema + value hash).
+
+    Cached per process (r14 ADVICE: ``all_queries()`` re-globbed and
+    re-parsed every artifact on each call), and an empty result — the
+    package running outside the repo checkout — warns instead of
+    silently degrading the births-then-staleness ordering contract.
     """
+    if _LATEST_RECORDS_CACHE is not None:
+        return _LATEST_RECORDS_CACHE
     import glob as _glob
     import json as _json
     import os as _os
@@ -790,7 +806,39 @@ def _latest_driver_records() -> dict[str, tuple[int, bool]]:
                     and v.get("hash_match", True)
                 )
                 latest[name] = (r, green)
+    if not latest:
+        import warnings as _warnings
+
+        _warnings.warn(
+            "no CORRECTNESS_r*.json artifacts found at "
+            f"{repo!r}; the derived staleness rotation is empty — "
+            "driver-window ordering degrades to births only",
+            stacklevel=2,
+        )
+    globals()["_LATEST_RECORDS_CACHE"] = latest
     return latest
+
+
+def _staged_births() -> list[str]:
+    """Names staged in a ``_DRIVER_WINDOW_R*`` list with NO driver
+    record yet — the births that lead the recording window.
+
+    Derived, like the rotation: once the driver records a birth, it
+    drops out of this list automatically and re-enters the window via
+    the staleness rotation, so a new round needs exactly one edit —
+    appending its ``_DRIVER_WINDOW_R{n}`` list.
+    """
+    recorded = set(_latest_driver_records())
+    births: list[str] = []
+    g = globals()
+    for attr in sorted(
+        (a for a in g if a.startswith("_DRIVER_WINDOW_R")),
+        key=lambda a: int(a.rsplit("R", 1)[1]),
+    ):
+        for name in g[attr]:
+            if name not in recorded and name not in births:
+                births.append(name)
+    return births
 
 
 def _derived_rotation() -> list[str]:
@@ -1056,11 +1104,12 @@ def all_queries() -> dict[str, Query]:
     ordered: dict[str, Query] = {}
     for name in (
         # recording window (first 50): births first, then the staleness
-        # rotation DERIVED from the committed CORRECTNESS_r*.json
-        # artifacts — reds-at-latest first, then stalest greens.  The
-        # derived tail covers every recorded name, so the full ordering
-        # is births + staleness order with no hand-maintained chain.
-        _DRIVER_WINDOW_R17
+        # rotation — BOTH derived from the committed CORRECTNESS_r*.json
+        # artifacts.  Births = staged-but-unrecorded names in staging-
+        # list order; rotation = reds-at-latest first, then stalest
+        # greens.  The derived tail covers every recorded name, so a
+        # new round's only edit is appending its _DRIVER_WINDOW_R{n}.
+        _staged_births()
         + _derived_rotation()
     ):
         if name in REGISTRY:

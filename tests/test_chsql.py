@@ -5057,6 +5057,22 @@ FROM (SELECT * FROM VALUES (1, 'a', 0), (2, 'b', 3), (3, 'c', 1)
     assert list(r3.ma2) == [0.5, 1.5, 2.5]  # partial head: 1/2
     assert list(r3.ia) == ["a", "c", None, "b"]
 
+    # r14 ADVICE: DOUBLE inputs must analyze — the fold accumulator is
+    # seeded element-typed (__a[1] * 0L), not a hardcoded BIGINT
+    r4 = eng.sql(
+        """
+SELECT groupArrayMovingSum(v) AS ms,
+       groupArrayMovingSum(2)(v) AS ms2,
+       groupArrayMovingAvg(2)(v) AS ma2
+FROM (SELECT * FROM VALUES (CAST(1.5 AS DOUBLE)), (CAST(2.5 AS DOUBLE)),
+      (CAST(4.0 AS DOUBLE)) AS t(v) ORDER BY v)
+""",
+        dialect="clickhouse",
+    ).collect()[0]
+    assert list(r4.ms) == [1.5, 4.0, 8.0]
+    assert list(r4.ms2) == [1.5, 4.0, 6.5]
+    assert list(r4.ma2) == [0.75, 2.0, 3.25]
+
 
 def test_nlp_detect_round14(spark):
     """NLP detect tier: marker-lexicon sync with functions/text.py,
@@ -5162,6 +5178,9 @@ SELECT base32Encode('') AS e0, base32Encode('f') AS e1,
        base32Decode(base32Encode('The quick brown fox')) AS drt,
        tryBase32Decode('@@@') AS dbad,
        tryBase32Decode('MZXW6YTB') AS dok,
+       tryBase32Decode('A=======') AS dr1,
+       tryBase32Decode('AAA=====') AS dr3,
+       tryBase32Decode('AAAAAA==') AS dr6,
        encodeXMLComponent('a<b & ''c''') AS xe,
        decodeXMLComponent('&lt;&amp;&#65;&#x42;&bogus;&gt') AS xd,
        decodeHTMLComponent('&euro;&nbsp;&hellip;&#8212;') AS hd,
@@ -5183,6 +5202,10 @@ SELECT base32Encode('') AS e0, base32Encode('f') AS e1,
     assert (r.e4, r.e5, r.e6) == ("MZXW6YQ=", "MZXW6YTB", "MZXW6YTBOI======")
     assert r.d3 == "foo" and r.d1 == "f" and r.drt == "The quick brown fox"
     assert r.dbad is None and r.dok == "fooba"
+    # r14 ADVICE: stripped lengths with remainder 1/3/6 cannot carry a
+    # whole byte count — must NULL, not decode garbage via a descending
+    # sequence(0,-1)
+    assert r.dr1 is None and r.dr3 is None and r.dr6 is None
     assert r.xe == "a&lt;b &amp; &apos;c&apos;"
     assert r.xd == "<&AB&bogus;&gt"
     assert r.hd == "€ …—"

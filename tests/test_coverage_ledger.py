@@ -133,7 +133,17 @@ def test_rotation_tail_is_derived():
     expected = sorted(latest, key=lambda n: (latest[n][1], latest[n][0], n))
     assert q._derived_rotation() == expected
 
-    births = list(q._DRIVER_WINDOW_R17)
+    # births recomputed independently: staged-but-unrecorded names in
+    # staging-list round order (mirrors queries._staged_births())
+    births: list[str] = []
+    for attr in sorted(
+        (a for a in dir(q) if a.startswith("_DRIVER_WINDOW_R")),
+        key=lambda a: int(a.rsplit("R", 1)[1]),
+    ):
+        for name in getattr(q, attr):
+            if name not in latest and name not in births:
+                births.append(name)
+    assert q._staged_births() == births
     ordered = list(q.all_queries())
     head = births + [n for n in expected if n in set(ordered)
                      and n not in set(births)]

@@ -80,6 +80,72 @@ def test_exception_packet(client):
     assert rows == [(1,)]
 
 
+def test_compression_rejected_before_trailing_block(tcp_server):
+    """r14 ADVICE: a client that enables compression wraps the trailing
+    end-of-external-tables Data packet in a compressed frame, so the
+    server must reject at the compression flag — BEFORE parsing that
+    block — or it misreads the stream and hangs in recv."""
+    import socket as _socket
+
+    from clickhouseocp_spark import native_tcp as nt
+
+    sock = _socket.create_connection(
+        ("127.0.0.1", tcp_server.port), timeout=10
+    )
+    try:
+        r = nt._Reader(sock)
+        hello = bytearray(nt._leb128(nt.CLIENT_HELLO))
+        hello += nt._wstr("compressed-client")
+        hello += nt._leb128(25) + nt._leb128(7)
+        hello += nt._leb128(nt.PROTOCOL_REVISION)
+        hello += nt._wstr("default") + nt._wstr("default") + nt._wstr("")
+        sock.sendall(bytes(hello))
+        assert r.varint() == nt.SERVER_HELLO
+        r.string(), r.varint(), r.varint(), r.varint(), r.string()
+        out = bytearray(nt._leb128(nt.CLIENT_QUERY))
+        out += nt._wstr("")
+        out += b"\x00"     # empty client info
+        out += nt._wstr("")  # zero settings
+        out += nt._leb128(2)   # stage: Complete
+        out += nt._leb128(1)   # compression ENABLED
+        out += nt._wstr("SELECT 1")
+        # deliberately NO raw trailing Data packet — a compressing
+        # client would send a compressed frame here instead
+        sock.sendall(bytes(out))
+        assert r.varint() == nt.SERVER_EXCEPTION
+        int.from_bytes(r.read(4), "little", signed=True)
+        name = r.string()
+        msg = r.string()
+        assert name == "NOT_IMPLEMENTED" and "compression" in msg
+    finally:
+        sock.close()
+
+
+def test_malformed_column_raises_not_hangs(tcp_server):
+    """r14 ADVICE: a genuinely malformed column must surface the decode
+    error promptly instead of masking it as a short read and blocking
+    until the 30 s socket timeout.  An unknown type string raises
+    immediately (KeyError from the codec table); a corrupt length
+    prefix that perpetually claims more bytes re-raises the original
+    short-read error once the socket goes quiet."""
+    from clickhouseocp_spark import native_tcp as nt
+
+    c = NativeTcpClient("127.0.0.1", tcp_server.port)
+    try:
+        c._sock.settimeout(0.5)
+        with pytest.raises(KeyError):
+            c._r._buf = b"\x01x"
+            c._decode_column("NoSuchType", 1)
+        # String row whose varint length prefix claims ~1 TiB: every
+        # decode attempt short-reads, the idle socket times out, and
+        # the bounded loop re-raises with context
+        c._r._buf = nt._leb128(1 << 40) + b"partial"
+        with pytest.raises(ValueError, match="no further bytes"):
+            c._decode_column("String", 1)
+    finally:
+        c.close()
+
+
 def test_concurrent_connections(tcp_server):
     a = NativeTcpClient("127.0.0.1", tcp_server.port)
     b = NativeTcpClient("127.0.0.1", tcp_server.port)
