@@ -73,6 +73,7 @@ def _load_all() -> None:
         vocab_q8,
         vocab_q9,
         vocab_q10,
+        vocab_q11,
         kql_series_q,
         tpch,
     )
@@ -760,7 +761,11 @@ _DRIVER_WINDOW_R17: list[str] = [
 
 #: Round-15 births — staged at birth per the standing contract
 #: (test_every_registry_query_is_recorded_or_staged).
-_DRIVER_WINDOW_R18: list[str] = []
+_DRIVER_WINDOW_R18: list[str] = [
+    # the S2 cell tier: geoToS2/s2ToGeo/s2CellsIntersect/s2GetNeighbors
+    # with an independent recursive-CTE oracle replay of the fold
+    "chsql_s2_vocab",
+]
 
 
 #: process-wide cache for :func:`_latest_driver_records` (the artifacts

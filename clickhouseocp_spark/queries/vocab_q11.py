@@ -1,0 +1,137 @@
+"""ClickHouse vocabulary — round-15 births: the S2 cell tier.
+
+New names (all pure-JVM SQL lowerings, zero Python in the hot path):
+``geoToS2`` / ``s2ToGeo`` (leaf-level-30 cell ids over the public
+s2geometry definition — cube face from the |xyz| argmax, quadratic ST
+projection, 30-level Hilbert fold with the published kIJtoPos /
+kPosToIJ / kPosToOrientation tables), ``s2CellsIntersect`` (lsb range
+containment), ``s2GetNeighbors`` (edge neighbors with the published
+FromFaceIJWrap cross-face construction).  UInt64 ids surface as their
+signed-64 reinterpretation (the repo's hash convention, documented).
+
+Oracle policy: the DuckDB oracle INDEPENDENTLY replays the forward
+algorithm — scalar xyz/face/uv/st math plus the 30-level Hilbert fold
+as a recursive CTE over the same published tables — so the cell ids are
+exact cross-engine comparisons, not pinned literals.  The derived
+checks (roundtrip decode, self/parent/sibling intersection, neighbor
+shape) are contract booleans the Spark side must genuinely earn; the
+pytest battery (tests/test_s2.py) additionally cross-checks randomized
+points and cross-face wrap neighbors against an independent Python
+transliteration of the same published algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from clickhouseocp_spark.queries import register
+
+#: one Hilbert step's curve-position lookup (kIJtoPos flattened by
+#: orientation), shared by both UNION-ALL references in the oracle
+_DUCK_S2_IDX = (
+    "CAST(h.orn*4 + 2*((g.i >> CAST(h.k AS INT)) & 1) + "
+    "((g.j >> CAST(h.k AS INT)) & 1) AS INT) + 1"
+)
+_DUCK_S2_P = (
+    "CAST(list_value(0,1,3,2,0,3,1,2,2,3,1,0,2,1,3,0)"
+    f"[{_DUCK_S2_IDX}] AS BIGINT)"
+)
+
+
+@register(
+    "chsql_s2_vocab",
+    oracle=f"""
+WITH RECURSIVE pts AS (
+  SELECT event_id,
+         CAST(event_id % 360 AS DOUBLE) - 179.75 AS lon,
+         CAST((event_id * 7) % 160 AS DOUBLE) - 79.7 AS lat
+  FROM events WHERE event_id < 60),
+g1 AS (
+  SELECT event_id, lon, lat,
+         cos(radians(lat)) * cos(radians(lon)) AS x,
+         cos(radians(lat)) * sin(radians(lon)) AS y,
+         sin(radians(lat)) AS z
+  FROM pts),
+g2 AS (
+  SELECT *, CASE WHEN abs(x) > abs(y) AND abs(x) > abs(z)
+                 THEN CASE WHEN x < 0 THEN 3 ELSE 0 END
+                 WHEN abs(y) > abs(z) THEN CASE WHEN y < 0 THEN 4 ELSE 1 END
+                 ELSE CASE WHEN z < 0 THEN 5 ELSE 2 END END AS f
+  FROM g1),
+g3 AS (
+  SELECT *, CASE f WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                   WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+            CASE f WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                   WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+  FROM g2),
+g5 AS (
+  SELECT event_id, lon, lat, f,
+    GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 *
+      CASE WHEN u >= 0 THEN 0.5*sqrt(1+3*u)
+           ELSE 1-0.5*sqrt(1-3*u) END) AS BIGINT))) AS i,
+    GREATEST(0, LEAST(1073741823, CAST(floor(1073741824 *
+      CASE WHEN v >= 0 THEN 0.5*sqrt(1+3*v)
+           ELSE 1-0.5*sqrt(1-3*v) END) AS BIGINT))) AS j
+  FROM g3),
+hil AS (
+  SELECT event_id, 29 AS k, CAST(0 AS BIGINT) AS pos,
+         CAST(f % 2 AS BIGINT) AS orn
+  FROM g5
+  UNION ALL
+  SELECT h.event_id, h.k - 1,
+         h.pos * 4 + {_DUCK_S2_P},
+         xor(h.orn, CAST(list_value(1,0,0,3)[CAST({_DUCK_S2_P} AS INT) + 1]
+                         AS BIGINT))
+  FROM hil h JOIN g5 g USING (event_id) WHERE h.k >= 0),
+ids AS (
+  SELECT g.event_id,
+         (CASE WHEN g.f >= 4 THEN g.f - 8 ELSE g.f END)
+           * 2305843009213693952 + h.pos * 2 + 1 AS id
+  FROM g5 g JOIN hil h ON h.event_id = g.event_id AND h.k = -1)
+SELECT event_id, id,
+  (id & -8192) | 4096 AS parent,
+  TRUE AS rt_ok,
+  TRUE AS self_int,
+  -- id's low 13 bits lie in [1, 8191], so id is always inside the
+  -- level-24 parent's +/-4095 leaf range
+  TRUE AS parent_int,
+  xor(id, 2) = id AS sib_int,
+  4 AS nb_distinct,
+  TRUE AS nb_noself
+FROM ids ORDER BY event_id
+""",
+    tags=("chsql", "geo", "vocab"),
+)
+def chsql_s2_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 S2 cell tier: ``geoToS2`` leaf ids exactly matched
+    against the oracle's independent recursive-CTE replay of the
+    published algorithm; ``s2ToGeo`` roundtrip (cell center within a
+    generous 1e-4 degrees — leaf cells are ~1e-8); ``s2CellsIntersect``
+    self/parent/sibling contracts; ``s2GetNeighbors`` shape contracts
+    (4 distinct neighbors, none the cell itself)."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH src AS (
+  SELECT event_id,
+         toFloat64(event_id % 360) - 179.75 AS lon,
+         toFloat64((event_id * 7) % 160) - 79.7 AS lat
+  FROM events WHERE event_id < 60
+),
+ids AS (
+  SELECT event_id, lon, lat, geoToS2(lon, lat) AS id FROM src
+)
+SELECT event_id, id,
+  bitOr(bitAnd(id, -8192), 4096) AS parent,
+  abs(tupleElement(s2ToGeo(id), 1) - lon) < 0.0001
+    AND abs(tupleElement(s2ToGeo(id), 2) - lat) < 0.0001 AS rt_ok,
+  s2CellsIntersect(id, id) AS self_int,
+  s2CellsIntersect(bitOr(bitAnd(id, -8192), 4096), id) AS parent_int,
+  s2CellsIntersect(id, bitXor(id, 2)) AS sib_int,
+  size(arrayDistinct(s2GetNeighbors(id))) AS nb_distinct,
+  NOT has(s2GetNeighbors(id), id) AS nb_noself
+FROM ids ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

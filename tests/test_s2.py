@@ -1,0 +1,233 @@
+"""S2 cell tier (round 15): the SQL lowerings cross-checked against an
+independent Python transliteration of the published s2geometry
+definition (cube-face Hilbert at leaf level 30, quadratic ST
+projection), plus roundtrip/adjacency/intersection invariants and the
+cross-face wrap construction."""
+
+import math
+import random
+
+import pytest
+
+# --- independent Python transliteration of the public algorithm ---
+
+MAX = 1 << 30
+POS_TO_IJ = [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]]
+IJ_TO_POS = [[0, 1, 3, 2], [0, 3, 1, 2], [2, 3, 1, 0], [2, 1, 3, 0]]
+POS_TO_ORI = [1, 0, 0, 3]
+
+
+def _xyz(lon, lat):
+    phi, th = math.radians(lat), math.radians(lon)
+    return (math.cos(phi) * math.cos(th),
+            math.cos(phi) * math.sin(th), math.sin(phi))
+
+
+def _face_of(p):
+    x, y, z = p
+    ax, ay, az = abs(x), abs(y), abs(z)
+    axis = 0 if (ax > ay and ax > az) else (1 if ay > az else 2)
+    return axis + (3 if p[axis] < 0 else 0)
+
+
+def _uv_from(face, p):
+    x, y, z = p
+    if face == 0:
+        return (y / x, z / x)
+    if face == 1:
+        return (-x / y, z / y)
+    if face == 2:
+        return (-x / z, -y / z)
+    if face == 3:
+        return (z / x, y / x)
+    if face == 4:
+        return (z / y, -x / y)
+    return (-y / z, -x / z)
+
+
+def _uv_to_st(u):
+    return 0.5 * math.sqrt(1 + 3 * u) if u >= 0 else \
+        1 - 0.5 * math.sqrt(1 - 3 * u)
+
+
+def _st_to_uv(s):
+    return (4 * s * s - 1) / 3 if s >= 0.5 else \
+        (1 - 4 * (1 - s) * (1 - s)) / 3
+
+
+def _st_to_ij(s):
+    return max(0, min(MAX - 1, math.floor(MAX * s)))
+
+
+def _from_face_ij(face, i, j):
+    pos, orn = 0, face & 1
+    for k in range(29, -1, -1):
+        ij = 2 * ((i >> k) & 1) + ((j >> k) & 1)
+        p = IJ_TO_POS[orn][ij]
+        pos = pos * 4 + p
+        orn ^= POS_TO_ORI[p]
+    return (face << 61) | (pos << 1) | 1
+
+
+def geo_to_s2(lon, lat):
+    p = _xyz(lon, lat)
+    f = _face_of(p)
+    u, v = _uv_from(f, p)
+    return _from_face_ij(f, _st_to_ij(_uv_to_st(u)), _st_to_ij(_uv_to_st(v)))
+
+
+def _to_face_ij(cid):
+    face = cid >> 61
+    pos = (cid >> 1) & ((1 << 60) - 1)
+    i = j = 0
+    orn = face & 1
+    for k in range(29, -1, -1):
+        p = (pos >> (2 * k)) & 3
+        ij = POS_TO_IJ[orn][p]
+        i = (i << 1) | (ij >> 1)
+        j = (j << 1) | (ij & 1)
+        orn ^= POS_TO_ORI[p]
+    return face, i, j
+
+
+def _face_uv_to_xyz(face, u, v):
+    if face == 0:
+        return (1, u, v)
+    if face == 1:
+        return (-u, 1, v)
+    if face == 2:
+        return (-u, -v, 1)
+    if face == 3:
+        return (-1, -v, -u)
+    if face == 4:
+        return (v, -1, -u)
+    return (v, u, -1)
+
+
+def s2_to_geo(cid):
+    face, i, j = _to_face_ij(cid)
+    u = _st_to_uv((i + 0.5) / MAX)
+    v = _st_to_uv((j + 0.5) / MAX)
+    x, y, z = _face_uv_to_xyz(face, u, v)
+    return (math.degrees(math.atan2(y, x)),
+            math.degrees(math.atan2(z, math.hypot(x, y))))
+
+
+def _wrap_from_face_ij(face, i, j):
+    if 0 <= i < MAX and 0 <= j < MAX:
+        return _from_face_ij(face, i, j)
+    lim = 1.0000000000000002  # 1 + DBL_EPSILON (FromFaceIJWrap's kLimit)
+    u = max(-lim, min(lim, (2 * (i - MAX // 2) + 1) / MAX))
+    v = max(-lim, min(lim, (2 * (j - MAX // 2) + 1) / MAX))
+    p = _face_uv_to_xyz(face, u, v)
+    f2 = _face_of(p)
+    u2, v2 = _uv_from(f2, p)
+    return _from_face_ij(f2, _st_to_ij(0.5 * (u2 + 1)),
+                         _st_to_ij(0.5 * (v2 + 1)))
+
+
+def neighbors(cid):
+    face, i, j = _to_face_ij(cid)
+    return [_wrap_from_face_ij(face, i, j - 1),
+            _wrap_from_face_ij(face, i + 1, j),
+            _wrap_from_face_ij(face, i, j + 1),
+            _wrap_from_face_ij(face, i - 1, j)]
+
+
+def _signed(u):
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+#: interior samples + face-boundary huggers (wrap exercise) + poles
+BOUNDARY_PTS = [
+    (44.99999999, 0.0), (45.00000001, 0.0), (135.00000001, 0.0),
+    (-45.00000001, 0.0), (0.0, 45.00000001), (0.0, -45.00000001),
+    (179.99999999, 0.0), (-179.99999999, 0.0),
+    (0.0, 89.99999999), (-135.2, -89.99999999),
+]
+
+
+@pytest.fixture(scope="module")
+def s2_rows(spark):
+    from clickhouseocp_spark.chsql import transpile
+
+    random.seed(1519)
+    pts = [(random.uniform(-180, 180), random.uniform(-89.9, 89.9))
+           for _ in range(48)] + BOUNDARY_PTS
+    vals = ", ".join(
+        f"(CAST({lon!r} AS DOUBLE), CAST({lat!r} AS DOUBLE))"
+        for lon, lat in pts
+    )
+    q = transpile(f"""
+SELECT lon, lat, geoToS2(lon, lat) AS id,
+       s2ToGeo(geoToS2(lon, lat)) AS rt,
+       s2GetNeighbors(geoToS2(lon, lat)) AS nb
+FROM (SELECT * FROM VALUES {vals} AS t(lon, lat))
+""")
+    return spark.sql(q).collect()
+
+
+def test_geo_to_s2_matches_reference(s2_rows):
+    for r in s2_rows:
+        assert r.id == _signed(geo_to_s2(r.lon, r.lat)), (r.lon, r.lat)
+
+
+def test_s2_to_geo_roundtrip(s2_rows):
+    for r in s2_rows:
+        # decode must agree with the reference decode exactly-ish (same
+        # IEEE expression shape) and sit within one leaf cell (~1e-5
+        # deg at the poles) of the encoded point
+        elon, elat = s2_to_geo(geo_to_s2(r.lon, r.lat))
+        assert abs(r.rt.col1 - elon) < 1e-9 and abs(r.rt.col2 - elat) < 1e-9
+        dlon = min(abs(r.rt.col1 - r.lon), 360 - abs(r.rt.col1 - r.lon))
+        assert abs(r.rt.col2 - r.lat) < 1e-4
+        assert dlon * math.cos(math.radians(r.lat)) < 1e-4
+
+
+def test_s2_neighbors_match_reference(s2_rows):
+    for r in s2_rows:
+        exp = [_signed(n) for n in neighbors(geo_to_s2(r.lon, r.lat))]
+        assert list(r.nb) == exp, (r.lon, r.lat)
+        assert len(set(r.nb)) == 4 and r.id not in set(r.nb)
+
+
+def test_s2_neighbors_cross_face_wrap(s2_rows):
+    # the boundary huggers must produce at least one cross-face
+    # neighbor somewhere (the FromFaceIJWrap path is genuinely taken)
+    crossed = 0
+    for r in s2_rows[-len(BOUNDARY_PTS):]:
+        own = (r.id >> 61) & 7 if r.id >= 0 else ((r.id + (1 << 64)) >> 61)
+        for n in r.nb:
+            nf = (n >> 61) & 7 if n >= 0 else ((n + (1 << 64)) >> 61)
+            crossed += nf != own
+    assert crossed >= 1
+
+
+def test_s2_cells_intersect(spark):
+    from clickhouseocp_spark.chsql import transpile
+
+    cid = _signed(geo_to_s2(12.5, 42.1))
+    parent = (cid & -8192) | 4096
+    other = _signed(geo_to_s2(12.5, 43.1))
+    q = transpile(
+        f"SELECT s2CellsIntersect({cid}, {cid}) AS self_i, "
+        f"s2CellsIntersect({parent}, {cid}) AS par_i, "
+        f"s2CellsIntersect({cid}, {parent}) AS par_r, "
+        f"s2CellsIntersect({cid}, {other}) AS far_i, "
+        f"s2CellsIntersect({cid}, bitXor({cid}, 2)) AS sib_i"
+    )
+    r = spark.sql(q).collect()[0]
+    assert r.self_i and r.par_i and r.par_r
+    assert not r.far_i and not r.sib_i
+
+
+def test_s2_plan_is_pure_jvm(spark):
+    from clickhouseocp_spark.chsql import transpile
+
+    q = transpile(
+        "SELECT geoToS2(toFloat64(id), toFloat64(id % 80)) AS s2, "
+        "s2GetNeighbors(geoToS2(toFloat64(id), toFloat64(id % 80))) AS nb "
+        "FROM (SELECT 1.0 AS id)"
+    )
+    plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
