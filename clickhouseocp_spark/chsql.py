@@ -2365,6 +2365,71 @@ def _array_levenshtein_expr(args: list[str]) -> str:
     )
 
 
+def _sellers_distance_sql(h: str, p: str) -> str:
+    """Minimum edit distance between pattern ``p`` and ANY substring of
+    haystack ``h`` — the Sellers (1980) approximate-substring DP: the
+    classic Levenshtein column fold with a free start (newrow[0] = 0 at
+    every haystack position) and a free end (running min over the final
+    row).  O(|h|·|p|) per row by contract, pure JVM."""
+    inner = (
+        "aggregate(sequence(1, size(__w.p)), array(CAST(0 AS BIGINT)), "
+        "(__nr, __j) -> concat(__nr, array(least("
+        "element_at(__s.r, __j + 1) + 1, "
+        "element_at(__nr, __j) + 1, "
+        "element_at(__s.r, __j) + IF(element_at(__w.p, __j) = "
+        "element_at(__w.h, __i), CAST(0 AS BIGINT), CAST(1 AS BIGINT))))))"
+    )
+    fold = (
+        f"aggregate(sequence(1, size(__w.h)), "
+        f"named_struct('r', transform(sequence(0, size(__w.p)), "
+        f"__j -> CAST(__j AS BIGINT)), "
+        f"'best', CAST(size(__w.p) AS BIGINT)), "
+        f"(__s, __i) -> transform(array({inner}), __nr2 -> "
+        f"named_struct('r', __nr2, "
+        f"'best', least(__s.best, element_at(__nr2, -1))))[0], "
+        f"__s -> __s.best)"
+    )
+    return (
+        # split('', '') yields [''] — the filter restores the empty array
+        f"transform(array(named_struct("
+        f"'h', filter(split({h}, ''), __c -> __c != ''), "
+        f"'p', filter(split({p}, ''), __c -> __c != ''))), __w -> "
+        f"CASE WHEN size(__w.p) = 0 THEN CAST(0 AS BIGINT) "
+        f"WHEN size(__w.h) = 0 THEN CAST(size(__w.p) AS BIGINT) "
+        f"ELSE {fold} END)[0]"
+    )
+
+
+def _multi_fuzzy_match_expr(args: list[str], kind: str) -> str:
+    """multiFuzzyMatchAny / AnyIndex / AllIndices (haystack, distance,
+    [patterns]): 1 / first 1-based index / all indices of patterns that
+    match some substring of the haystack within the edit distance.
+
+    Subset: patterns are matched as LITERAL strings via the Sellers
+    approximate-substring DP — CH's hyperscan regex-fuzzy tier (RE2
+    syntax inside the edit-distance automaton) is out of subset, so
+    patterns containing regex metacharacters would diverge; for plain
+    literals the semantics coincide (documented deviation)."""
+    if len(args) != 3:
+        raise ChSqlError(
+            f"multiFuzzyMatch{kind} takes exactly "
+            f"(haystack, distance, [patterns])"
+        )
+    h, d, pats = args
+    dist = _sellers_distance_sql(h, "__pat")
+    hit = f"transform({pats}, __pat -> {dist} <= CAST({d} AS BIGINT))"
+    if kind == "Any":
+        return f"CAST(exists({hit}, __x -> __x) AS INT)"
+    if kind == "AnyIndex":
+        return f"coalesce(array_position({hit}, true), 0)"
+    # AllIndices — CH returns Array(UInt64), ascending here
+    return (
+        f"filter(transform(sequence(1, size({pats})), __k -> "
+        f"IF(element_at({hit}, __k), CAST(__k AS BIGINT), "
+        f"CAST(-1 AS BIGINT))), __x -> __x > 0)"
+    )
+
+
 def _damerau_levenshtein_expr(args: list[str]) -> str:
     """damerauLevenshteinDistance(s1, s2) (CH 24.8) — the FULL (1964)
     Damerau-Levenshtein distance with unrestricted transpositions, the
@@ -6305,6 +6370,15 @@ FUNC_RULES: dict[str, object] = {
         f"coalesce(array_position(transform({args[1]}, "
         f"__r -> {args[0]} RLIKE __r), true), 0)"
     ),
+    # fuzzy tier (round 15): Sellers approximate-substring DP over
+    # literal patterns (the hyperscan regex-fuzzy tier is out of subset)
+    "multiFuzzyMatchAny": lambda args: _multi_fuzzy_match_expr(args, "Any"),
+    "multiFuzzyMatchAnyIndex": lambda args: (
+        _multi_fuzzy_match_expr(args, "AnyIndex")
+    ),
+    "multiFuzzyMatchAllIndices": lambda args: (
+        _multi_fuzzy_match_expr(args, "AllIndices")
+    ),
     "extractGroups": _extract_groups_rule,
     "toDaysSinceYearZero": lambda args: (
         f"CAST(datediff({args[0]}, DATE '1970-01-01') + 719528 AS BIGINT)"
@@ -7008,9 +7082,19 @@ def _to_start_of_interval(args: list[str]) -> str:
         )
     if n == 1 and unit in ("WEEK", "MONTH", "QUARTER", "YEAR"):
         return f"date_trunc('{unit}', {args[0]})"
+    if unit in ("MONTH", "QUARTER", "YEAR"):
+        # multi-n calendar buckets (CH 25.x): months-since-1970 floored
+        # to the bucket width (quarter = 3 months, year = 12)
+        k = n * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[unit]
+        months = f"((year({args[0]}) - 1970) * 12 + month({args[0]}) - 1)"
+        start = f"(CAST(floor({months} / {k}) AS INT) * {k})"
+        return (
+            f"CAST(make_date(1970 + ({start} div 12), "
+            f"({start} % 12) + 1, 1) AS TIMESTAMP)"
+        )
     raise ChSqlError(
-        "toStartOfInterval subset: any n for second/minute/hour/day, n=1 for "
-        "week/month/quarter/year"
+        "toStartOfInterval subset: any n for second/minute/hour/day, any n "
+        "for month/quarter/year, n=1 for week"
     )
 
 

@@ -765,6 +765,9 @@ _DRIVER_WINDOW_R18: list[str] = [
     # the S2 cell tier: geoToS2/s2ToGeo/s2CellsIntersect/s2GetNeighbors
     # with an independent recursive-CTE oracle replay of the fold
     "chsql_s2_vocab",
+    # vocab batch r52: multiFuzzyMatch* (Sellers DP over literal
+    # patterns) + toStartOfInterval multi-n calendar buckets
+    "chsql_vocab_r52",
 ]
 
 

@@ -135,3 +135,62 @@ FROM ids ORDER BY event_id
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_vocab_r52",
+    oracle="""
+WITH g AS (
+  SELECT event_type, min(ts) AS mn, max(ts) AS mx, count(*) AS c
+  FROM events GROUP BY event_type),
+m AS (
+  SELECT *, (year(mn) - 1970) * 12 + month(mn) - 1 AS mo FROM g)
+SELECT event_type,
+  CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 1 ELSE 0 END AS f_any,
+  CAST(CASE event_type WHEN 'error' THEN 2 WHEN 'signup' THEN 1
+       ELSE 0 END AS BIGINT) AS f_idx,
+  CASE event_type WHEN 'click' THEN '1' WHEN 'purchase' THEN '1,3'
+       WHEN 'view' THEN '2' ELSE '' END AS f_all,
+  make_timestamp(CAST(1970 + ((mo // 2) * 2 // 12) AS BIGINT),
+                 CAST(((mo // 2) * 2 % 12) + 1 AS BIGINT),
+                 1, 0, 0, 0.0) AS m2,
+  make_timestamp(CAST(1970 + ((mo // 6) * 6 // 12) AS BIGINT),
+                 CAST(((mo // 6) * 6 % 12) + 1 AS BIGINT),
+                 1, 0, 0, 0.0) AS q2,
+  make_timestamp(CAST(1970 + ((mo // 36) * 36 // 12) AS BIGINT),
+                 CAST(((mo // 36) * 36 % 12) + 1 AS BIGINT),
+                 1, 0, 0, 0.0) AS y3,
+  make_timestamp(CAST(floor(floor(epoch(mx)) / 864000) * 864000
+                 AS BIGINT) * 1000000) AS d10,
+  c
+FROM m ORDER BY event_type
+""",
+    tags=("chsql", "string", "vocab"),
+)
+def chsql_vocab_r52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 vocab batch r52: the ``multiFuzzyMatch*`` family
+    (Sellers approximate-substring DP over literal patterns — the
+    oracle pins the 5-value event_type domain, the general algorithm is
+    pytest-swept against a Python Sellers reference) and the
+    ``toStartOfInterval`` multi-n calendar buckets (2 MONTH /
+    2 QUARTER / 3 YEAR via months-since-1970 flooring, 10 DAY fixed
+    width), both replayed analytically in DuckDB."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+SELECT event_type,
+  multiFuzzyMatchAny(event_type, 1, ['clik', 'vew']) AS f_any,
+  multiFuzzyMatchAnyIndex(event_type, 2, ['sign', 'erors']) AS f_idx,
+  arrayStringConcat(arrayMap(__x -> toString(__x),
+      multiFuzzyMatchAllIndices(event_type, 1, ['ck', 'vw', 'pase'])),
+      ',') AS f_all,
+  toStartOfInterval(min(ts), INTERVAL 2 MONTH) AS m2,
+  toStartOfInterval(min(ts), INTERVAL 2 QUARTER) AS q2,
+  toStartOfInterval(min(ts), INTERVAL 3 YEAR) AS y3,
+  toStartOfInterval(max(ts), INTERVAL 10 DAY) AS d10,
+  count() AS c
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        dialect="clickhouse",
+    )

@@ -5605,3 +5605,59 @@ SELECT toInt128('123456789012345678901234567890') AS a,
             "SELECT toInt128('1" + "0" * 38 + "') AS x",
             dialect="clickhouse",
         ).collect()
+
+
+def test_multi_fuzzy_match_round15(spark):
+    """multiFuzzyMatch* (round 15): the Sellers approximate-substring
+    DP swept against a Python reference on randomized strings, plus the
+    documented edge cases (empty pattern matches everywhere; empty
+    haystack costs |pattern|)."""
+    import random as _random
+
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    def _sellers(h, p):
+        if not p:
+            return 0
+        if not h:
+            return len(p)
+        row = list(range(len(p) + 1))
+        best = len(p)
+        for c in h:
+            nr = [0]
+            for j in range(1, len(p) + 1):
+                nr.append(min(row[j] + 1, nr[j - 1] + 1,
+                              row[j - 1] + (p[j - 1] != c)))
+            row = nr
+            best = min(best, row[-1])
+        return best
+
+    _random.seed(155)
+    cases = []
+    for _ in range(40):
+        h = "".join(_random.choice("abcd") for _ in range(_random.randint(0, 12)))
+        p = "".join(_random.choice("abcd") for _ in range(_random.randint(1, 6)))
+        d = _random.randint(0, 3)
+        cases.append((h, p, d))
+    cases += [("", "ab", 1), ("", "ab", 2), ("abc", "", 0),
+              ("hello world", "wrld", 1), ("hello world", "wrld", 0)]
+    eng = ChSparkEngine("/root/testdata/sf0.001", spark)
+    sel = ", ".join(
+        f"multiFuzzyMatchAny('{h}', {d}, ['{p}']) AS a{k}"
+        for k, (h, p, d) in enumerate(cases)
+    )
+    r = eng.sql(f"SELECT {sel}", dialect="clickhouse").collect()[0]
+    for k, (h, p, d) in enumerate(cases):
+        exp = int(_sellers(h, p) <= d)
+        assert r[k] == exp, (h, p, d, r[k], exp)
+
+    # index forms + plan gate
+    r2 = eng.sql(
+        "SELECT multiFuzzyMatchAnyIndex('abcdef', 1, ['zzz', 'bce', 'xx']) AS i, "
+        "multiFuzzyMatchAllIndices('abcdef', 1, ['zzz', 'bce', 'abd']) AS ai",
+        dialect="clickhouse",
+    )
+    row = r2.collect()[0]
+    assert row.i == 2 and list(row.ai) == [2, 3]
+    plan = r2._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan and "InPandas" not in plan
