@@ -3249,6 +3249,128 @@ def _s2_get_neighbors_expr(args: list[str]) -> str:
     )
 
 
+def _s2_rect_expr(args: list[str], kind: str) -> str:
+    """s2RectAdd / s2RectContains / s2RectUnion / s2RectIntersection —
+    lat/lng rectangles represented by two S2 point ids (CH's calling
+    convention).  Subset: plain [min, max] intervals in both axes — no
+    longitude wrap-around (S2LatLngRect's full-circle interval algebra
+    is out of subset, documented); the 'empty intersection' case still
+    returns the computed (max-of-los, min-of-his) tuple.
+
+    Decodes via the s2ToGeo fold, re-encodes via the geoToS2 fold —
+    composite macros, sized for vocabulary parity rather than hot
+    paths."""
+    geo = _s2_to_geo_expr
+    if kind == "Add":
+        if len(args) != 3:
+            raise ChSqlError("s2RectAdd takes (rectLo, rectHi, point)")
+        lo, hi, p = (geo([a]) for a in args)
+        return (
+            f"transform(array(named_struct("
+            f"'lo', {lo}, 'hi', {hi}, 'p', {p})), __r -> named_struct("
+            f"'col1', {_geo_to_s2_expr(['least(__r.lo.col1, __r.p.col1)', 'least(__r.lo.col2, __r.p.col2)'])}, "
+            f"'col2', {_geo_to_s2_expr(['greatest(__r.hi.col1, __r.p.col1)', 'greatest(__r.hi.col2, __r.p.col2)'])}"
+            f"))[0]"
+        )
+    if kind == "Contains":
+        if len(args) != 3:
+            raise ChSqlError("s2RectContains takes (rectLo, rectHi, point)")
+        lo, hi, p = (geo([a]) for a in args)
+        return (
+            f"transform(array(named_struct("
+            f"'lo', {lo}, 'hi', {hi}, 'p', {p})), __r -> "
+            f"__r.p.col1 >= __r.lo.col1 AND __r.p.col1 <= __r.hi.col1 "
+            f"AND __r.p.col2 >= __r.lo.col2 AND __r.p.col2 <= __r.hi.col2"
+            f")[0]"
+        )
+    # Union / Intersection: (lo1, hi1, lo2, hi2) -> (lo, hi)
+    if len(args) != 4:
+        raise ChSqlError(f"s2Rect{kind} takes (lo1, hi1, lo2, hi2)")
+    lo1, hi1, lo2, hi2 = (geo([a]) for a in args)
+    f_lo, f_hi = ("least", "greatest") if kind == "Union" else \
+        ("greatest", "least")
+    return (
+        f"transform(array(named_struct('a', {lo1}, 'b', {hi1}, "
+        f"'c', {lo2}, 'd', {hi2})), __r -> named_struct("
+        f"'col1', {_geo_to_s2_expr([f'{f_lo}(__r.a.col1, __r.c.col1)', f'{f_lo}(__r.a.col2, __r.c.col2)'])}, "
+        f"'col2', {_geo_to_s2_expr([f'{f_hi}(__r.b.col1, __r.d.col1)', f'{f_hi}(__r.b.col2, __r.d.col2)'])}"
+        f"))[0]"
+    )
+
+
+def _s2_angle_expr(a: str, b: str) -> str:
+    """Angular distance (degrees) between two decoded (lon, lat)
+    structs — degrees(acos(clamped dot of the unit vectors))."""
+    dot = (
+        f"cos(radians({a}.col2)) * cos(radians({b}.col2)) "
+        f"* cos(radians({a}.col1) - radians({b}.col1)) "
+        f"+ sin(radians({a}.col2)) * sin(radians({b}.col2))"
+    )
+    return f"degrees(acos(greatest(CAST(-1 AS DOUBLE), least(CAST(1 AS DOUBLE), {dot}))))"
+
+
+def _s2_cap_contains_expr(args: list[str]) -> str:
+    """s2CapContains(center, degrees, point): the cap (all points within
+    the angular radius of the center) contains the point."""
+    if len(args) != 3:
+        raise ChSqlError("s2CapContains takes (center, degrees, point)")
+    c, deg, p = args
+    return (
+        f"transform(array(named_struct('c', {_s2_to_geo_expr([c])}, "
+        f"'p', {_s2_to_geo_expr([p])})), __k -> "
+        f"{_s2_angle_expr('__k.c', '__k.p')} <= CAST({deg} AS DOUBLE))[0]"
+    )
+
+
+def _s2_cap_union_expr(args: list[str]) -> str:
+    """s2CapUnion(c1, r1, c2, r2) → (center id, radius degrees) of the
+    smallest cap containing both: if one cap contains the other it wins;
+    otherwise radius = (d + r1 + r2) / 2 with the center slerped along
+    the c1→c2 arc at (radius − r1) from c1."""
+    if len(args) != 4:
+        raise ChSqlError("s2CapUnion takes (center1, radius1, center2, radius2)")
+    c1, r1, c2, r2 = args
+    # xyz of a decoded (lon, lat) struct
+    def _xyz(g: str) -> str:
+        return (
+            f"named_struct("
+            f"'x', cos(radians({g}.col2)) * cos(radians({g}.col1)), "
+            f"'y', cos(radians({g}.col2)) * sin(radians({g}.col1)), "
+            f"'z', sin(radians({g}.col2)))"
+        )
+
+    # slerp c1->c2 by fraction t of the full angle th (radians)
+    slerp = (
+        "named_struct("
+        "'x', (sin((1 - __t.t) * __t.th) * __t.a.x + sin(__t.t * __t.th) * __t.b.x) / sin(__t.th), "
+        "'y', (sin((1 - __t.t) * __t.th) * __t.a.y + sin(__t.t * __t.th) * __t.b.y) / sin(__t.th), "
+        "'z', (sin((1 - __t.t) * __t.th) * __t.a.z + sin(__t.t * __t.th) * __t.b.z) / sin(__t.th))"
+    )
+    new_center_id = _geo_to_s2_expr([
+        "degrees(atan2(__m.y, __m.x))",
+        "degrees(atan2(__m.z, sqrt(__m.x * __m.x + __m.y * __m.y)))",
+    ])
+    return (
+        f"transform(array(named_struct("
+        f"'g1', {_s2_to_geo_expr([c1])}, 'g2', {_s2_to_geo_expr([c2])}, "
+        f"'r1', CAST({r1} AS DOUBLE), 'r2', CAST({r2} AS DOUBLE))), __u -> "
+        f"transform(array(named_struct("
+        f"'d', {_s2_angle_expr('__u.g1', '__u.g2')})), __dd -> "
+        # containment fast paths keep the winning cap verbatim
+        f"CASE WHEN __dd.d + __u.r2 <= __u.r1 THEN "
+        f"named_struct('col1', CAST({c1} AS BIGINT), 'col2', __u.r1) "
+        f"WHEN __dd.d + __u.r1 <= __u.r2 THEN "
+        f"named_struct('col1', CAST({c2} AS BIGINT), 'col2', __u.r2) "
+        f"ELSE transform(array(named_struct("
+        f"'a', {_xyz('__u.g1')}, 'b', {_xyz('__u.g2')}, "
+        f"'th', radians(__dd.d), "
+        f"'t', (((__dd.d + __u.r1 + __u.r2) / 2) - __u.r1) / __dd.d)), "
+        f"__t -> transform(array({slerp}), __m -> named_struct("
+        f"'col1', {new_center_id}, "
+        f"'col2', (__dd.d + __u.r1 + __u.r2) / 2))[0])[0] END)[0])[0]"
+    )
+
+
 def _ts_to_grid_expr(params: list[str], args: list[str], kind: str) -> str:
     """timeSeriesResampleToGridWithStaleness / timeSeriesInstant{Delta,
     Rate}ToGrid / timeSeries{Rate,Delta}ToGrid(start, end, step, window)
@@ -4894,6 +5016,12 @@ FUNC_RULES: dict[str, object] = {
     "s2ToGeo": _s2_to_geo_expr,
     "s2CellsIntersect": _s2_cells_intersect_expr,
     "s2GetNeighbors": _s2_get_neighbors_expr,
+    "s2RectAdd": lambda args: _s2_rect_expr(args, "Add"),
+    "s2RectContains": lambda args: _s2_rect_expr(args, "Contains"),
+    "s2RectUnion": lambda args: _s2_rect_expr(args, "Union"),
+    "s2RectIntersection": lambda args: _s2_rect_expr(args, "Intersection"),
+    "s2CapContains": _s2_cap_contains_expr,
+    "s2CapUnion": _s2_cap_union_expr,
     # CH 25.x array/string additions (round 12)
     "arrayLevenshtein": _array_levenshtein_expr,
     "arrayNormalizedGini": _array_normalized_gini_expr,

@@ -768,6 +768,9 @@ _DRIVER_WINDOW_R18: list[str] = [
     # vocab batch r52: multiFuzzyMatch* (Sellers DP over literal
     # patterns) + toStartOfInterval multi-n calendar buckets
     "chsql_vocab_r52",
+    # S2 composites: rect add/contains/union/intersection + cap
+    # contains/union over the verified encode/decode primitives
+    "chsql_s2_vocab2",
 ]
 
 

@@ -194,3 +194,81 @@ FROM events GROUP BY event_type ORDER BY event_type
 """,
         dialect="clickhouse",
     )
+
+
+@register(
+    "chsql_s2_vocab2",
+    oracle="""
+SELECT event_id,
+  TRUE AS rc_in, FALSE AS rc_out, TRUE AS ra_ok, TRUE AS ru_ok,
+  TRUE AS ri_ok, TRUE AS cc_in, FALSE AS cc_out, TRUE AS cu_ok,
+  TRUE AS cu_cov
+FROM events WHERE event_id < 30 ORDER BY event_id
+""",
+    tags=("chsql", "geo", "vocab"),
+)
+def chsql_s2_vocab2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-15 S2 composites: ``s2RectAdd/Contains/Union/Intersection``
+    and ``s2CapContains/CapUnion``.  Contract-boolean oracle over
+    margin-robust geometry (every decision boundary is >= 1 degree away
+    from the test points, versus the <= 1e-7-degree cell-center
+    quantization of the id representation): rect containment both ways,
+    the expanded rect containing a point near the added corner, union
+    covering the second rect, intersection sitting inside the first
+    rect, cap membership at generous/impossible radii, and the cap
+    union's radius matching (d + r1 + r2)/2 with both member centers
+    covered.  The underlying encode/decode primitives carry the exact
+    cross-engine oracle in ``chsql_s2_vocab``."""
+    from clickhouseocp_spark.engine import ChSparkEngine
+
+    return ChSparkEngine(sf_dir, spark).sql(
+        """
+WITH pts AS (
+  SELECT event_id,
+         toFloat64(-30 + (event_id % 60)) AS lonA,
+         toFloat64(-20 + ((event_id * 3) % 40)) AS latA,
+         toFloat64(-30 + (event_id % 60) + 5 + (event_id % 7)) AS lonB,
+         toFloat64(-20 + ((event_id * 3) % 40) + 4) AS latB
+  FROM events WHERE event_id < 30
+),
+ids AS (
+  SELECT event_id, lonA, latA, lonB, latB,
+    geoToS2(lonA, latA) AS id_lo,
+    geoToS2(lonB, latB) AS id_hi,
+    geoToS2((lonA + lonB) / 2, (latA + latB) / 2) AS id_in,
+    geoToS2(lonB + 30, latB) AS id_out,
+    geoToS2(lonB + 29, latB - 1) AS id_b2,
+    geoToS2(lonA + 2, latA + 1) AS id_lo2,
+    geoToS2(lonB + 8, latB + 3) AS id_hi2,
+    geoToS2(lonB + 7.5, latB + 2.5) AS id_u2,
+    geoToS2(lonA + 3, latA + 2) AS id_i2,
+    geoToS2(lonA + 3, latA) AS id_near,
+    geoToS2(lonA + 6, latA) AS id_c
+  FROM pts
+),
+ops AS (
+  SELECT *,
+    s2RectAdd(id_lo, id_hi, id_out) AS ra,
+    s2RectUnion(id_lo, id_hi, id_lo2, id_hi2) AS ru,
+    s2RectIntersection(id_lo, id_hi, id_lo2, id_hi2) AS ri,
+    s2CapUnion(id_lo, 2.0, id_c, 3.0) AS cu
+  FROM ids
+)
+SELECT event_id,
+  s2RectContains(id_lo, id_hi, id_in) AS rc_in,
+  s2RectContains(id_lo, id_hi, id_out) AS rc_out,
+  s2RectContains(tupleElement(ra, 1), tupleElement(ra, 2), id_b2) AS ra_ok,
+  s2RectContains(tupleElement(ru, 1), tupleElement(ru, 2), id_u2) AS ru_ok,
+  s2RectContains(tupleElement(ri, 1), tupleElement(ri, 2), id_i2) AS ri_ok,
+  s2CapContains(id_lo, 10.0, id_near) AS cc_in,
+  s2CapContains(id_lo, 1.0, id_near) AS cc_out,
+  abs(tupleElement(cu, 2)
+      - (greatCircleAngle(lonA, latA, lonA + 6, latA) + 5.0) / 2) < 0.0001
+    AS cu_ok,
+  s2CapContains(tupleElement(cu, 1), tupleElement(cu, 2) + 0.000001, id_lo)
+    AND s2CapContains(tupleElement(cu, 1), tupleElement(cu, 2) + 0.000001,
+                      id_c) AS cu_cov
+FROM ops ORDER BY event_id
+""",
+        dialect="clickhouse",
+    )

@@ -231,3 +231,50 @@ def test_s2_plan_is_pure_jvm(spark):
     )
     plan = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "InPandas" not in plan
+
+
+def test_s2_rect_and_cap_ops(spark):
+    """S2 composites: rect containment/expansion/union/intersection and
+    cap membership/union, with margins far beyond the cell-center
+    quantization (~1e-7 deg) of the id representation."""
+    from clickhouseocp_spark.chsql import transpile
+
+    ids = {
+        "lo": geo_to_s2(10.0, 20.0), "hi": geo_to_s2(30.0, 40.0),
+        "inside": geo_to_s2(15.0, 25.0), "outside": geo_to_s2(50.0, 25.0),
+        "near_out": geo_to_s2(49.0, 25.0),
+        "lo2": geo_to_s2(20.0, 30.0), "hi2": geo_to_s2(60.0, 70.0),
+        "in2": geo_to_s2(25.0, 35.0),
+        "c1": geo_to_s2(0.0, 0.0), "c2": geo_to_s2(10.0, 0.0),
+    }
+    s = {k: _signed(v) for k, v in ids.items()}
+    q = transpile(f"""
+SELECT s2RectContains({s['lo']}, {s['hi']}, {s['inside']}) AS rc_in,
+       s2RectContains({s['lo']}, {s['hi']}, {s['outside']}) AS rc_out,
+       s2RectContains(tupleElement(s2RectAdd({s['lo']}, {s['hi']}, {s['outside']}), 1),
+                      tupleElement(s2RectAdd({s['lo']}, {s['hi']}, {s['outside']}), 2),
+                      {s['near_out']}) AS ra_ok,
+       s2RectContains(tupleElement(s2RectUnion({s['lo']}, {s['hi']}, {s['lo2']}, {s['hi2']}), 1),
+                      tupleElement(s2RectUnion({s['lo']}, {s['hi']}, {s['lo2']}, {s['hi2']}), 2),
+                      {s['hi2']}) AS ru_ok,
+       s2RectContains(tupleElement(s2RectIntersection({s['lo']}, {s['hi']}, {s['lo2']}, {s['hi2']}), 1),
+                      tupleElement(s2RectIntersection({s['lo']}, {s['hi']}, {s['lo2']}, {s['hi2']}), 2),
+                      {s['in2']}) AS ri_ok,
+       s2CapContains({s['c1']}, 11.0, {s['c2']}) AS cc_in,
+       s2CapContains({s['c1']}, 9.0, {s['c2']}) AS cc_out,
+       tupleElement(s2CapUnion({s['c1']}, 2.0, {s['c2']}, 3.0), 2) AS cu_r,
+       s2CapContains(tupleElement(s2CapUnion({s['c1']}, 2.0, {s['c2']}, 3.0), 1),
+                     tupleElement(s2CapUnion({s['c1']}, 2.0, {s['c2']}, 3.0), 2) + 1e-9,
+                     {s['c2']}) AS cu_c2,
+       tupleElement(s2CapUnion({s['c1']}, 20.0, {s['c2']}, 3.0), 1) AS big_c,
+       tupleElement(s2CapUnion({s['c1']}, 20.0, {s['c2']}, 3.0), 2) AS big_r
+""")
+    r = spark.sql(q).collect()[0]
+    assert r.rc_in and not r.rc_out
+    assert r.ra_ok and r.ru_ok and r.ri_ok
+    assert r.cc_in and not r.cc_out
+    # union of 2-deg and 3-deg caps 10 degrees apart: (10 + 2 + 3)/2
+    assert abs(r.cu_r - 7.5) < 1e-6
+    assert r.cu_c2
+    # containment fast path: the 20-degree cap swallows the 3-degree one
+    assert r.big_c == s["c1"] and r.big_r == 20.0
