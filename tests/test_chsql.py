@@ -394,8 +394,11 @@ def test_to_start_of_interval_buckets():
     assert "floor(unix_timestamp(ts) / 900" in out
     out = transpile("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM t")
     assert "date_trunc('MONTH', ts)" in out
+    # multi-n calendar buckets (round 15): months-since-1970 flooring
+    out = transpile("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM t")
+    assert "make_date" in out and "* 2" in out
     with pytest.raises(ChSqlError, match="subset"):
-        transpile("SELECT toStartOfInterval(ts, INTERVAL 2 MONTH) FROM t")
+        transpile("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK) FROM t")
 
 
 def test_to_start_of_week_modes():
