@@ -47,10 +47,17 @@ def connected_components(
     deployments: uses the reliable checkpoint dir when the session has one
     configured, else an eager ``localCheckpoint``.  See SCALE.md.
     """
+    # The edge set is the loop invariant: persist it so each round's plan
+    # starts from the materialized (s, d) pairs instead of replaying the
+    # whole pair-generation subtree (LSH banding / Jaccard verify) — across
+    # ACTIONS Spark re-plans fresh RDDs, so nothing upstream is reused
+    # unless it is cached (r15 measurement: the un-persisted loop re-ran
+    # the full MinHash+LSH pipeline once per round).  ids only — bounded.
     sym = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .unionByName(edges.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .distinct()
+        .persist()
     )
     labels = nodes.select(F.col(id_col).alias("v")).distinct().withColumn(
         "component", F.col("v")
@@ -63,6 +70,9 @@ def connected_components(
             .groupBy("s")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the previous label through the update so convergence is a
+        # filter-count on THIS round's (persisted) output — the old
+        # separate new⨝old join cost one extra shuffle join per round
         new_labels = (
             labels.join(nbr_min, labels["v"] == nbr_min["s"], "left")
             .select(
@@ -71,28 +81,33 @@ def connected_components(
                     F.col("component"),
                     F.coalesce("nbr_component", F.col("component")),
                 ).alias("component"),
+                F.col("component").alias("__prev"),
             )
         )
-        if checkpoint_every and (it + 1) % checkpoint_every == 0:
-            # eager checkpoint both materializes AND truncates the plan; a
-            # plain persist only does the former (lineage still replays the
-            # whole prefix after shuffle-file/cache loss on a cluster)
-            sc = new_labels.sparkSession.sparkContext
-            if sc.getCheckpointDir() is not None:
-                new_labels = new_labels.checkpoint(eager=True)
-            else:
-                new_labels = new_labels.localCheckpoint(eager=True)
-        new_labels.persist()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "v")
-            .where(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
+        sc = new_labels.sparkSession.sparkContext
+        if (
+            checkpoint_every
+            and (it + 1) % checkpoint_every == 0
+            and sc.getCheckpointDir() is not None
+        ):
+            # reliable checkpoint both materializes AND survives executor
+            # loss; see docstring (cluster knob)
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            # truncate the label lineage EVERY round: the logical plan
+            # otherwise grows by one join per round and Catalyst re-analyzes
+            # the whole prefix each iteration (plan explosion: the r14 final
+            # CC plan carried 6k Exchange nodes — planning time, not
+            # compute).  localCheckpoint is eager + cheap (labels are two
+            # longs per vertex); fault tolerance of the intermediate is
+            # covered by the checkpoint_every cluster knob above.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.where(F.col("component") != F.col("__prev")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("__prev")
         if changed == 0:
             break
-    # labels stays persisted — the returned projection reads the cached
-    # final iteration rather than replaying the whole lineage
+    sym.unpersist()
+    # the final labels are checkpointed/materialized — the returned
+    # projection reads them rather than replaying the iteration lineage
     return labels.select(F.col("v").alias(id_col), "component")
