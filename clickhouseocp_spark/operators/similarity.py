@@ -520,10 +520,13 @@ def semantic_dedup(
         id_alias="__id",
         vec_alias="__v",
     )
-    # the assignment pass (mapInPandas over the corpus) feeds two branches
-    # (the per-cell kernel + the final left join) — persist it once instead
-    # of recomputing the Python kernel per branch
-    assigned = assigned.persist()
+    # the per-cell kernel already holds every column of the row group, so it
+    # emits the kept flag IN PLACE — the old two-branch shape (persist the
+    # assignment, emit dominated ids, left-join them back) paid an extra
+    # Python pass over the persisted assignment plus a reattach join for
+    # data the kernel had in hand (guide §8: audit how decisions get
+    # re-attached to the payload)
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
 
     def mark_cell(pdf):
         ids = pdf["__id"].to_numpy()
@@ -533,19 +536,16 @@ def semantic_dedup(
         sim = m @ m.T
         # dominated = any STRICTLY EARLIER (lower-id) member with sim >= t
         dom = (np.tril(sim >= threshold, -1)).any(axis=1)
-        return pdf.iloc[order][dom][["__id"]]
+        out = pdf.iloc[order]
+        return out.assign(kept=~dom)
 
-    dominated = assigned.groupBy("__cell").applyInPandas(
-        mark_cell, schema="__id long"
-    )
-    return (
-        assigned.join(dominated.withColumn("__dom", F.lit(True)), "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.col("__v").alias(vec_col),
-            "__cell",
-            F.coalesce(~F.col("__dom"), F.lit(True)).alias("kept"),
-        )
+    return assigned.groupBy("__cell").applyInPandas(
+        mark_cell, schema=f"__id long, __v {vec_t}, __cell int, kept boolean"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.col("__v").alias(vec_col),
+        "__cell",
+        "kept",
     )
 
 

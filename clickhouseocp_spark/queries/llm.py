@@ -1305,8 +1305,16 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda i: F.array_join(F.slice(cw, i * 10 + 1, 10), " "),
     )
     ex = corpus.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
-    freq = ex.groupBy("chunk").agg(F.countDistinct("doc_id").alias("ndocs"))
-    marked = ex.join(freq, "chunk")
+    # single corpus pass (r15): the old freq-agg + re-attach join computed
+    # the scan+split+chunk explode TWICE (no cross-consumer reuse without
+    # materializing ex); a window over the chunk key marks duplicates in
+    # the same pass — countDistinct isn't a window function, so the
+    # distinct-doc count is size(collect_set(doc_id)) per chunk (bounded
+    # by the docs actually sharing a line; salt genuinely viral lines)
+    marked = ex.withColumn(
+        "ndocs",
+        F.size(F.collect_set("doc_id").over(Window.partitionBy("chunk"))),
+    )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.count_if(F.col("ndocs") >= 2).alias("n_dropped"),
@@ -1439,16 +1447,27 @@ def substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nwin - 1),
         lambda i: F.md5(F.array_join(F.slice(cw, i + 1, 20), " ")),
     )
-    ex = corpus.select("doc_id", F.posexplode(wins).alias("pos", "h"))
-    freq = ex.groupBy("h").agg(F.countDistinct("doc_id").alias("ndocs"))
+    # single corpus pass (r15): the old freq-agg + re-attach join computed
+    # the scan+split+md5 window build TWICE (the per-row-heavy part).  The
+    # output never uses pos/text, so pre-aggregate to distinct (doc_id, h)
+    # with an instance count — map-side combinable — then a count window
+    # over h IS countDistinct(doc_id) per hash; one explode pass total.
+    ex = corpus.select("doc_id", F.explode(wins).alias("h"))
+    per = ex.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("cnt"))
+    marked = per.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    )
     return (
-        ex.join(freq, "h")
-        .groupBy("doc_id")
+        marked.groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.count_if(F.col("ndocs") >= 2).alias("n_dup_windows"),
+            F.sum("cnt").alias("n_windows"),
+            F.sum(F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(0)).alias(
+                "n_dup_windows"
+            ),
             F.round(
-                F.count_if(F.col("ndocs") >= 2) / F.count(F.lit(1)), 6
+                F.sum(F.when(F.col("ndocs") >= 2, F.col("cnt")).otherwise(0))
+                / F.sum("cnt"),
+                6,
             ).alias("dup_frac"),
         )
     )
