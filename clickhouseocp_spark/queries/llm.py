@@ -671,17 +671,23 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + per-doc count with map-side combine.  One shuffle on doc_id,
     corpus never self-joins."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
-    grams = d.select(
-        "doc_id",
+    # single-expression id remap (r15): the old three-branch union (bench
+    # grams + non-bench corpus + re-id'd bench corpus) ran the
+    # scan+tokenize+shingle explode THREE times; benchmark docs appear in
+    # the corpus only as their +2M re-id'd copies, so remapping the id in
+    # place yields the identical corpus in ONE explode pass, and the
+    # (bounded, broadcast) benchmark gram set derives from the remapped
+    # stream's >= 2M slice — 3 explode passes -> 2, broadcast shape kept.
+    corpus = d.select(
+        F.when(
+            F.col("doc_id") % 101 == 0, F.col("doc_id") + 2_000_000
+        ).otherwise(F.col("doc_id")).alias("doc_id"),
         F.explode(
             F.array_distinct(word_shingles(whitespace_tokens(F.col("text")), 5))
         ).alias("gram"),
     )
-    bench_grams = grams.where(F.col("doc_id") % 101 == 0).select("gram").distinct()
-    corpus = grams.where(F.col("doc_id") % 101 != 0).unionByName(
-        grams.where(F.col("doc_id") % 101 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"), "gram"
-        )
+    bench_grams = (
+        corpus.where(F.col("doc_id") >= 2_000_000).select("gram").distinct()
     )
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
     marked = corpus.join(
@@ -749,13 +755,43 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass.  Thresholds are adapted to the fixture distributions so the gate
     actually splits the corpus.
 
-    All signals are columnar except top_token_ratio, which needs a real
-    per-(doc, token) count: explode -> two map-side-combinable hash aggs
-    (shuffle keyed on doc_id — no skew: docs are bounded).  Signals join
-    back 1:1 on doc_id."""
+    All signals are columnar, including top_token_ratio (r15): the max
+    per-token count equals the longest equal run in the sorted token
+    array — a per-row JVM fold — so the whole gate is ONE projection over
+    the scan, zero shuffles (was: explode → two hash aggs → reattach
+    join)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     ws = whitespace_tokens(F.col("text"))
-    base = d.select(
+
+    # top_token_ratio per-row (r15): max token count == the longest equal
+    # run in the SORTED token array — a pure-JVM fold, so the old
+    # explode → two hash aggs → reattach join (two shuffles + a second
+    # corpus pass) collapses into the same single projection as the other
+    # signals.  Null-safe prev comparison so ""-tokens count like any
+    # token (split can emit them), matching explode+count semantics.
+    def _run_step(acc, w):
+        run = (
+            F.when(w.eqNullSafe(acc["prev"]), acc["run"]).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            + 1
+        )
+        return F.struct(
+            w.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_run = F.aggregate(
+        F.array_sort(ws),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).cast("bigint").alias("run"),
+            F.lit(0).cast("bigint").alias("best"),
+        ),
+        _run_step,
+        lambda acc: acc["best"],
+    )
+    j = d.select(
         "doc_id",
         F.size(ws).cast("long").alias("n_words"),
         F.round(
@@ -778,19 +814,10 @@ def quality_filter_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.size(ws) - 2, F.lit(1)),
             6,
         ).alias("dup_trigram_frac"),
+        F.round(
+            top_run.cast("double") / F.size(ws).cast("double"), 6
+        ).alias("top_token_ratio"),
     )
-    freq = (
-        d.select("doc_id", F.explode(ws).alias("w"))
-        .groupBy("doc_id", "w")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 6
-            ).alias("top_token_ratio")
-        )
-    )
-    j = base.join(freq, "doc_id")
     rules = [
         ("too_short", F.col("n_words") < 30),
         ("word_len", (F.col("mean_word_len") < 3) | (F.col("mean_word_len") > 10)),

@@ -945,6 +945,11 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 45 DAY"), 1
             ).otherwise(0),
         )
+        # one exchange for BOTH keyed steps (guide §2.4): hash(l_orderkey)
+        # satisfies the (ok, sk) aggregation's clustered distribution AND
+        # the per-order window's — the old plan shuffled the fact twice
+        # ((ok, sk) for the agg, then (ok) for the window)
+        .repartition("l_orderkey")
         .groupBy(F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk"))
         .agg(F.max("late_line").alias("is_late"))
     )
