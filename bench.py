@@ -188,6 +188,11 @@ PINNED_TAIL = [
     "quality_filter_gopher",
     "similarity_topk",
     "rag_retrieve_context",
+    # r16 appends (VERDICT r15 #9: extend ONLY by appending) — queries
+    # optimized this round that weren't pinned yet
+    "contamination_ngram_overlap",
+    "max_intersections",
+    "kql_scan_steps",
 ]
 
 

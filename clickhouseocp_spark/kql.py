@@ -3482,7 +3482,8 @@ def _scan(
       ) __sc0
     ) __sc1{grp}
   ) __sc2
-) __sc3 LATERAL VIEW explode(__ms) __sct AS __m"""
+) __sc3 LATERAL VIEW OUTER explode(__ms) __sct AS __m
+WHERE __m IS NOT NULL"""
 
 
 def _scan_concurrent(
@@ -3651,7 +3652,8 @@ def _scan_concurrent(
       ) __sc0
     ) __sc1{grp}
   ) __sc2
-) __sc3 LATERAL VIEW explode(__ms) __sct AS __m"""
+) __sc3 LATERAL VIEW OUTER explode(__ms) __sct AS __m
+WHERE __m IS NOT NULL"""
 
 
 def _sliding_window_counts(sub: str, argstr: str) -> str:

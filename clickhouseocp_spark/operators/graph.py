@@ -64,6 +64,7 @@ def connected_components(
     )
     labels.persist()
     labels.count()  # materialize before iterating
+    prev_ckpt_rdd = None  # previous round's localCheckpoint block owner
     for it in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("v", "d2"), sym["d"] == F.col("d2"))
@@ -103,7 +104,22 @@ def connected_components(
             # covered by the checkpoint_every cluster knob above.
             new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.where(F.col("component") != F.col("__prev")).count()
-        labels.unpersist()
+        labels.unpersist()  # round-0 CacheManager entry; no-op afterwards
+        # localCheckpoint blocks are RDD-level, not CacheManager entries, so
+        # unpersist() above never frees them — drop the PREVIOUS round's
+        # blocks explicitly now that this round is materialized (they'd
+        # otherwise linger until ContextCleaner GC; r15 advice #3).  The
+        # checkpointed RDD is the LogicalRDD behind the returned frame.
+        try:
+            ckpt_rdd = new_labels._jdf.queryExecution().analyzed().rdd()
+        except Exception:  # plan shape differs (e.g. reliable checkpoint)
+            ckpt_rdd = None
+        if prev_ckpt_rdd is not None:
+            try:
+                prev_ckpt_rdd.unpersist(False)
+            except Exception:
+                pass
+        prev_ckpt_rdd = ckpt_rdd
         labels = new_labels.drop("__prev")
         if changed == 0:
             break

@@ -62,9 +62,61 @@ def fan_out(df, min_parts: int | None = None):
     At production scale this is a NO-OP by construction: a 100 TB scan has
     orders of magnitude more row groups than cores, so the condition never
     fires and no shuffle is added.  Round-robin partitioning (no keys) keeps
-    rows balanced without assuming any distribution."""
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    rows balanced without assuming any distribution.
+
+    The partition count is ESTIMATED from the scan's file sizes with
+    Spark's own split formula (`FilePartition.maxSplitBytes`) instead of
+    ``df.rdd.getNumPartitions()``, which planned the physical query a
+    second time per call (driver-side, every invocation — r15 verdict #8).
+    Non-local / non-file sources fall back to the RDD probe."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    est = _scan_partition_estimate(df, spark)
+    if est is None:  # can't stat cheaply — fall back to planning the RDD
+        est = df.rdd.getNumPartitions()
+    if est < target:
         return df.repartition(target)
     return df
+
+
+def _bytes_conf(spark, key: str, default: int) -> int:
+    """A size conf in bytes ('128MB', '134217728b', plain digits)."""
+    import re
+
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    m = re.fullmatch(r"(\d+)\s*([kmgt]?)b?", raw)
+    if not m:
+        return default
+    return int(m.group(1)) * 1024 ** {"": 0, "k": 1, "m": 2, "g": 3, "t": 4}[
+        m.group(2)
+    ]
+
+
+def _scan_partition_estimate(df, spark) -> int | None:
+    """Scan task count per Spark's file-split packing, from local file
+    sizes; None when any input is not a stat-able local file."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("file", ""):
+            return None
+        path = unquote(u.path)
+        try:
+            total += os.path.getsize(path)
+        except OSError:
+            return None
+    max_split = _bytes_conf(spark, "spark.sql.files.maxPartitionBytes", 128 << 20)
+    open_cost = _bytes_conf(spark, "spark.sql.files.openCostInBytes", 4 << 20)
+    padded = total + len(files) * open_cost
+    core_parallelism = max(spark.sparkContext.defaultParallelism, 1)
+    split = min(max_split, max(open_cost, padded / core_parallelism))
+    return max(1, -(-padded // int(max(split, 1))))

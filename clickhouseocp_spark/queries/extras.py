@@ -365,7 +365,18 @@ def quantile_dd_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistic — the exact value the DDSketch bound is stated against (the
     interpolated quantile differs from it by up to a whole inter-sample gap
     on sparse tails, so it can't carry the tight bound).  A value-hash match
-    therefore proves the exact companion AND the sketch's guarantee."""
+    therefore proves the exact companion AND the sketch's guarantee.
+
+    Exact-companion shape (r16): rank-based order statistics over the
+    DISTINCT-value cumulative counts — pre-aggregate to (event_type, value,
+    cnt) with map-side combine, one running-count window per event_type
+    (spillable sort, rows bounded by distinct values, never raw samples),
+    then every quantile/order-stat is a conditional MIN at its target rank.
+    Replaces the per-group ``sort_array(collect_list(value))`` array and the
+    ``percentile()`` value-map — both buffered entire groups on one task
+    (guide §5; the r15 8-core/32-core ratio of 9.33 was that memory
+    pressure).  Interpolation reproduces Spark's ``Percentile.getPercentile``
+    arithmetic term-for-term, so results are bit-identical."""
     from clickhouseocp_spark.operators.sketches import (
         quantile_dd_estimate,
         quantile_dd_merge,
@@ -382,22 +393,60 @@ def quantile_dd_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantile_dd_estimate(0.90, alpha).alias("__e90"),
         quantile_dd_estimate(0.99, alpha).alias("__e99"),
     )
-    def order_stat(q: float) -> F.Column:
-        # the ceil(q*n)-th smallest sample — test instrumentation only (the
-        # collect_list sort is bounded by the per-group row count at test SF)
-        return F.expr(
-            f"sort_array(collect_list(value))[cast(ceil({q} * count(value)) as int) - 1]"
-        )
 
-    exact = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.50)"), 6).alias("exact_q50"),
-        F.round(F.expr("percentile(value, 0.90)"), 6).alias("exact_q90"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("exact_q99"),
-        F.count(F.lit(1)).alias("n"),
-        order_stat(0.50).alias("__o50"),
-        order_stat(0.90).alias("__o90"),
-        order_stat(0.99).alias("__o99"),
+    # distinct-value cumulative counts: cum(v) = #samples <= v within the
+    # group.  NULL values sort last so non-null ranks are unaffected (the
+    # quantile machinery ignores NULLs; ``n`` still counts every row)
+    g = ev.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("__cnt"))
+    # all three sums share ONE (partition, order) spec — different frames in
+    # the same spec run in a single WindowExec pass over one sort
+    w = Window.partitionBy("event_type").orderBy(F.col("value").asc_nulls_last())
+    cum = g.select(
+        "event_type",
+        "value",
+        F.sum("__cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("__cum"),
+        F.sum(F.when(F.col("value").isNotNull(), F.col("__cnt")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n"),
+        F.sum("__cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .alias("__n_all"),
     )
+
+    def at_rank(rank: F.Column) -> F.Column:
+        # the rank-th smallest sample = min value whose cumulative count
+        # reaches the rank (exact order statistic, no per-group buffering)
+        return F.min(F.when(F.col("__cum") >= rank, F.col("value")))
+
+    n = F.col("__n")
+    agg_cols = [F.max("__n_all").alias("n")]
+    for q, tag in ((0.50, "50"), (0.90, "90"), (0.99, "99")):
+        pos = F.lit(q) * (n - 1).cast("double")
+        agg_cols += [
+            at_rank(F.floor(pos) + 1).alias(f"__lo{tag}"),
+            at_rank(F.ceil(pos) + 1).alias(f"__hi{tag}"),
+            at_rank(F.ceil(F.lit(q) * n)).alias(f"__o{tag}"),
+        ]
+    exact = cum.groupBy("event_type").agg(*agg_cols)
+    for q, tag in ((0.50, "50"), (0.90, "90"), (0.99, "99")):
+        # Spark Percentile.getPercentile: position = q*(n-1);
+        # (higher - position)*lower + (position - lower)*higher, no
+        # interpolation when the position is integral or the keys collide
+        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        flo, fhi = F.floor(pos), F.ceil(pos)
+        lo, hi = F.col(f"__lo{tag}"), F.col(f"__hi{tag}")
+        exact = exact.withColumn(
+            f"exact_q{tag}",
+            F.round(
+                F.when((flo == fhi) | (lo == hi), lo).otherwise(
+                    (fhi.cast("double") - pos) * lo
+                    + (pos - flo.cast("double")) * hi
+                ),
+                6,
+            ),
+        )
 
     def ok(est: str, ostat: str) -> F.Column:
         return F.abs(F.col(est) / F.col(ostat) - 1.0) <= alpha + 1e-12
@@ -476,23 +525,47 @@ FROM r WHERE rn <= 5 GROUP BY event_type
     tags=("agg", "sketch", "mergetree"),
 )
 def topk_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """topKState / topKMerge (SURVEY §2.4 -State family): per-(event_type,
-    day) heavy-hitter states merged to event_type, read at k=5
-    (operators/sketches.topk_state_*).  m is un-truncating here, so the merge
-    is exact and the oracle's direct top-5 must hash-match; the truncated
-    space-saving path is bounded by pytest."""
-    from clickhouseocp_spark.operators.sketches import (
-        topk_state_merge as merge_states,
-        topk_state_partial,
-        topk_state_read,
+    """topKState / topKMerge (SURVEY §2.4 -State family) read at k=5.  The
+    registry pins the EXACT merge (un-truncating m), and an un-truncated
+    state pipeline is algebraically a two-level count: day-partial item
+    counts summed per event_type ARE the merged state, so the query computes
+    exactly that — (event_type, user_id) hash agg (map-side combinable, the
+    relational form of the state; no per-group array is ever materialized,
+    unlike the m=1M ``collect_list`` states this replaces — guide §5) — then
+    a salted two-level top-5 (guide §2.5: rank within (event_type, salt),
+    keep 5, re-rank the ≤ 5×64 survivors per event_type) and the state-order
+    CSV render.  The truncated space-saving path (m < distinct items) stays
+    in operators/sketches.topk_state_* and is pytest-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    counted = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-
-    ev = load_table(spark, sf_dir, "events").withColumn("day", F.to_date("ts"))
-    partials = topk_state_partial(
-        ev, keys=("event_type", "day"), item_col="user_id", m=1_000_000
+    # state sort order: (cnt desc, item-as-string asc) — the tiebreak the
+    # -State family and the oracle both declare
+    item = F.col("user_id").cast("string")
+    salted = counted.withColumn("_salt", F.pmod(F.xxhash64("user_id"), F.lit(64)))
+    w1 = Window.partitionBy("event_type", "_salt").orderBy(
+        F.desc("_cnt"), item.asc()
     )
-    merged = merge_states(partials, keys=("event_type",), m=1_000_000)
-    return merged.select("event_type", topk_state_read(5).alias("top5"))
+    w2 = Window.partitionBy("event_type").orderBy(F.desc("_cnt"), item.asc())
+    top = (
+        salted.withColumn("_rn", F.row_number().over(w1))
+        .filter(F.col("_rn") <= 5)
+        .withColumn("_rn", F.row_number().over(w2))
+        .filter(F.col("_rn") <= 5)
+    )
+    entry = F.struct(
+        F.col("_rn").alias("rn"),
+        F.concat(item, F.lit(":"), F.col("_cnt").cast("string")).alias("kv"),
+    )
+    return top.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(entry)), lambda e: e["kv"]
+            ),
+            ",",
+        ).alias("top5")
+    )
 
 
 @register(

@@ -677,8 +677,13 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus only as their +2M re-id'd copies, so remapping the id in
     # place yields the identical corpus in ONE explode pass, and the
     # (bounded, broadcast) benchmark gram set derives from the remapped
-    # stream's >= 2M slice — 3 explode passes -> 2, broadcast shape kept.
+    # stream — 3 explode passes -> 2, broadcast shape kept.  Benchmark
+    # membership rides an explicit __is_bench column (r16): recovering it
+    # from the remapped id range (>= 2M) would silently misclassify any
+    # genuine corpus doc_id in that range at real scale.
+    is_bench = (F.col("doc_id") % 101 == 0).alias("__is_bench")
     corpus = d.select(
+        is_bench,
         F.when(
             F.col("doc_id") % 101 == 0, F.col("doc_id") + 2_000_000
         ).otherwise(F.col("doc_id")).alias("doc_id"),
@@ -687,7 +692,7 @@ def contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gram"),
     )
     bench_grams = (
-        corpus.where(F.col("doc_id") >= 2_000_000).select("gram").distinct()
+        corpus.where(F.col("__is_bench")).select("gram").distinct()
     )
     hit = F.when(F.col("__hit").isNotNull(), 1).otherwise(0)
     marked = corpus.join(
@@ -1308,10 +1313,14 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     (each doc unioned with a tail-truncated copy at id+1M) guarantees the
     drop path fires and is value-checked.
 
-    Scale shape: explode ships (doc_id, pos, line-hash) rows; the global
-    frequency agg map-side combines to distinct lines; the mark join is
-    line-keyed (no skew beyond genuinely viral lines — salt or count-min
-    those); reassembly is one doc-keyed agg."""
+    Scale shape (r16, the substring_dup_spans discipline): one explode pass;
+    instances pre-aggregate to DISTINCT (doc_id, chunk) rows carrying their
+    position list, so the duplicate-marking count window sees at most
+    distinct-docs-per-line rows — a viral line shared by millions of docs
+    costs rows proportional to the docs, never to repeated occurrences, and
+    nothing re-tokenizes.  The chunk-hash repartition is shared by the
+    pre-agg AND the window (guide §2.4 — hash(chunk) clusters both), so
+    marking costs ONE data exchange; reassembly is one doc-keyed agg."""
     d = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     words = whitespace_tokens(F.col("text"))
     truncated = d.select(
@@ -1331,28 +1340,40 @@ def line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nchunks - 1),
         lambda i: F.array_join(F.slice(cw, i * 10 + 1, 10), " "),
     )
-    ex = corpus.select("doc_id", F.posexplode(chunks).alias("pos", "chunk"))
-    # single corpus pass (r15): the old freq-agg + re-attach join computed
-    # the scan+split+chunk explode TWICE (no cross-consumer reuse without
-    # materializing ex); a window over the chunk key marks duplicates in
-    # the same pass — countDistinct isn't a window function, so the
-    # distinct-doc count is size(collect_set(doc_id)) per chunk (bounded
-    # by the docs actually sharing a line; salt genuinely viral lines)
-    marked = ex.withColumn(
-        "ndocs",
-        F.size(F.collect_set("doc_id").over(Window.partitionBy("chunk"))),
+    # single corpus pass (r15) + distinct-row marking (r16): instances
+    # collapse to one (doc_id, chunk) row with their position list BEFORE
+    # the duplicate-mark window, so the window input is bounded by
+    # distinct docs per line (was: every instance, with collect_set
+    # buffers on top).  repartition("chunk") is shared by the pre-agg and
+    # the window — one exchange serves both (§2.4).
+    ex = corpus.select(
+        "doc_id", F.posexplode(chunks).alias("pos", "chunk")
+    ).repartition("chunk")
+    per = ex.groupBy("doc_id", "chunk").agg(F.collect_list("pos").alias("poses"))
+    marked = per.withColumn(
+        "ndocs", F.count(F.lit(1)).over(Window.partitionBy("chunk"))
     )
     return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.count_if(F.col("ndocs") >= 2).alias("n_dropped"),
+        F.sum(F.size("poses")).alias("n_chunks"),
+        F.sum(
+            F.when(F.col("ndocs") >= 2, F.size("poses")).otherwise(0)
+        ).cast("long").alias("n_dropped"),
         F.coalesce(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("ndocs") < 2,
-                                F.struct("pos", "chunk"),
+                        F.flatten(
+                            F.collect_list(
+                                F.when(
+                                    F.col("ndocs") < 2,
+                                    F.transform(
+                                        "poses",
+                                        lambda p: F.struct(
+                                            p.alias("pos"),
+                                            F.col("chunk").alias("chunk"),
+                                        ),
+                                    ),
+                                )
                             )
                         )
                     ),

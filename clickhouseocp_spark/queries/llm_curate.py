@@ -133,56 +133,61 @@ def repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     in Gopher table A1) — the filters that catch boilerplate and
     machine-generated loops that token-level stats miss.
 
-    Scale shape: shingles explode to (doc_id, gram) and immediately hash-agg
-    (map-side combine); both metrics come back to the document with
-    doc-id-keyed joins; gram strings never appear in a shuffle wider than the
-    per-doc count table.  Ties on the top bigram break lexicographically on
-    both engines."""
+    Scale shape (r16): ONE tagged explode — 2-grams and 5-grams ride the
+    same (doc_id, n, gram) hash agg (map-side combine), then both metrics
+    fall out of a single doc-keyed aggregation: the top bigram is
+    min(struct(-cnt, gram)) (= cnt desc, gram asc — the same lexicographic
+    tiebreak, no row_number window) and the dup-5gram mass is a conditional
+    sum.  The r15 shape ran two explode passes over a cached token table
+    plus a window and two doc-keyed joins; all of that folds into two
+    exchanges total, and the cache is gone (guide §2.3/§2.4).  A doc with
+    no bigrams (single word) emits no gram rows and is absent, exactly as
+    the old inner join on top2 made it."""
     d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.length("text").alias("n_chars"), whitespace_tokens(F.col("text")).alias("words")
     )
-    d = d.cache()
-
-    def gram_counts(n: int) -> DataFrame:
-        return (
-            d.select("doc_id", F.explode(word_shingles(F.col("words"), n)).alias("g"))
-            .groupBy("doc_id", "g")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-
-    w = Window.partitionBy("doc_id").orderBy(F.col("cnt").desc(), F.col("g"))
-    top2 = (
-        gram_counts(2)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("g").alias("g2"), F.col("cnt").alias("cnt2"))
+    grams = F.concat(
+        F.transform(
+            word_shingles(F.col("words"), 2),
+            lambda g: F.struct(F.lit(2).alias("n"), g.alias("g")),
+        ),
+        F.transform(
+            word_shingles(F.col("words"), 5),
+            lambda g: F.struct(F.lit(5).alias("n"), g.alias("g")),
+        ),
     )
-    dup5 = (
-        gram_counts(5)
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("g")).otherwise(0)
+    counts = (
+        d.select("doc_id", "n_chars", F.explode(grams).alias("e"))
+        .groupBy("doc_id", "n_chars", F.col("e.n").alias("n"), F.col("e.g").alias("g"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    res = counts.groupBy("doc_id").agg(
+        F.max("n_chars").alias("n_chars"),
+        F.min(
+            F.when(
+                F.col("n") == 2,
+                F.struct((-F.col("cnt")).alias("nc"), F.col("g").alias("g")),
             )
-            .cast("bigint")
-            .alias("dup_chars")
+        ).alias("b"),
+        F.sum(
+            F.when(
+                (F.col("n") == 5) & (F.col("cnt") >= 2),
+                F.col("cnt") * F.length("g"),
+            ).otherwise(0)
         )
+        .cast("bigint")
+        .alias("dup_chars"),
     )
-    return (
-        d.select("doc_id", "n_chars")
-        .join(top2, "doc_id")
-        .join(dup5, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.round(
-                (F.col("cnt2") * F.length("g2")).cast("double") / F.col("n_chars"), 6
-            ).alias("top_bigram_char_frac"),
-            F.round(
-                F.coalesce(F.col("dup_chars"), F.lit(0)).cast("double")
-                / F.col("n_chars"),
-                6,
-            ).alias("dup_5gram_char_frac"),
-        )
+    return res.select(
+        "doc_id",
+        F.round(
+            ((-F.col("b.nc")) * F.length(F.col("b.g"))).cast("double")
+            / F.col("n_chars"),
+            6,
+        ).alias("top_bigram_char_frac"),
+        F.round(F.col("dup_chars").cast("double") / F.col("n_chars"), 6).alias(
+            "dup_5gram_char_frac"
+        ),
     )
 
 

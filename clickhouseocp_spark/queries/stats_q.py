@@ -436,7 +436,11 @@ def max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps (ORDER BY t, d with d = −1 < 1).
 
     Scale shape: the sweep is PARTITIONED BY the group key — each key's
-    timeline prefix-sums independently, so there is no global sort."""
+    timeline prefix-sums independently, so there is no global sort.  The
+    peak and its earliest instant fold into ONE aggregation via
+    max(struct(cum, -micros)) (r16) — the old second window
+    (max(cum) OVER (PARTITION BY event_type)) re-buffered every partition
+    just to broadcast the peak back onto each row (guide §2.4)."""
     ev = load_table(spark, sf_dir, "events")
     starts = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("d"))
     ends = ev.select(
@@ -452,12 +456,27 @@ def max_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     swept = deltas.withColumn("cum", F.sum("d").over(sweep))
-    peaks = swept.withColumn(
-        "peak", F.max("cum").over(Window.partitionBy("event_type"))
+    # max over (cum, -micros): highest cum, then earliest t — struct
+    # comparison reproduces "MIN(t) among peak rows" in one pass (null t
+    # sorts below any value, so it is preferred away exactly like MIN)
+    best = F.max(
+        F.struct(
+            F.col("cum").alias("c"),
+            # t is TIMESTAMP_NTZ; the session pins UTC, so the cast
+            # round-trips micros exactly
+            (-F.unix_micros(F.col("t").cast("timestamp"))).alias("nt"),
+        )
     )
-    return peaks.groupBy("event_type").agg(
-        F.max("peak").cast("bigint").alias("max_intersections"),
-        F.min(F.when(F.col("cum") == F.col("peak"), F.col("t"))).alias("peak_at"),
+    return (
+        swept.groupBy("event_type")
+        .agg(best.alias("__b"))
+        .select(
+            "event_type",
+            F.col("__b.c").cast("bigint").alias("max_intersections"),
+            F.timestamp_micros(-F.col("__b.nt"))
+            .cast("timestamp_ntz")
+            .alias("peak_at"),
+        )
     )
 
 
