@@ -421,7 +421,7 @@ def quantile_dd_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.min(F.when(F.col("__cum") >= rank, F.col("value")))
 
     n = F.col("__n")
-    agg_cols = [F.max("__n_all").alias("n")]
+    agg_cols = [F.max("__n_all").alias("n"), F.max("__n").alias("__nn")]
     for q, tag in ((0.50, "50"), (0.90, "90"), (0.99, "99")):
         pos = F.lit(q) * (n - 1).cast("double")
         agg_cols += [
@@ -431,10 +431,11 @@ def quantile_dd_state_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     exact = cum.groupBy("event_type").agg(*agg_cols)
     for q, tag in ((0.50, "50"), (0.90, "90"), (0.99, "99")):
-        # Spark Percentile.getPercentile: position = q*(n-1);
-        # (higher - position)*lower + (position - lower)*higher, no
-        # interpolation when the position is integral or the keys collide
-        pos = F.lit(q) * (F.col("n") - 1).cast("double")
+        # Spark Percentile.getPercentile: position = q*(nn-1) over the
+        # NON-NULL count; (higher - position)*lower + (position -
+        # lower)*higher, no interpolation when the position is integral or
+        # the keys collide
+        pos = F.lit(q) * (F.col("__nn") - 1).cast("double")
         flo, fhi = F.floor(pos), F.ceil(pos)
         lo, hi = F.col(f"__lo{tag}"), F.col(f"__hi{tag}")
         exact = exact.withColumn(

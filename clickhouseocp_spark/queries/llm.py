@@ -1787,7 +1787,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
     ).filter(F.length("term") >= 3)
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # share ONE term-keyed exchange between the tf aggregation and the df
+    # window (guide §2.4, the q21 trick: hash(term) clusters (doc, term)
+    # too) — was Exchange(doc,term) + Exchange(term), i.e. two full passes
+    # of the token stream over the wire.  The lost map-side combine is
+    # ~free: (doc, term) is near-unique in natural text, so the raw token
+    # stream is barely wider than the combined tf stream.
+    tf = toks.repartition("term").groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
     # (doc, term) rows are unique → a row count over the term window IS the
     # document frequency; one pass, no tf self-join (which would recompute
     # the token explode on both sides)
