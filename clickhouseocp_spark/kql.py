@@ -3262,9 +3262,83 @@ _SCAN_DECL_TYPES = {
     "datetime": ("TIMESTAMP", "NULL"),
 }
 
+#: a sort list made only of bare column idents (+ ASC/DESC/NULLS modifiers) —
+#: the shape whose referenced columns the scan pruner can enumerate exactly
+_ORDER_BARE_RE = re.compile(
+    r"^\s*[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?(?:\s+NULLS\s+(?:FIRST|LAST))?"
+    r"(?:\s*,\s*[A-Za-z_]\w*(?:\s+(?:ASC|DESC))?"
+    r"(?:\s+NULLS\s+(?:FIRST|LAST))?)*\s*$",
+    re.IGNORECASE,
+)
+
+
+def _scan_downstream_cols(next_stage: str | None) -> set[str] | None:
+    """If the stage immediately after a ``scan`` is a ``project`` of bare
+    identifiers (optionally ``alias = ident``), the scan's visible output is
+    exactly those names — return the referenced set so the lowering can drop
+    unreferenced source columns before the machine's row struct is built
+    (guide §2.3: project before the exchange; nested-field pruning cannot
+    reach through the collect_list/aggregate lambdas on its own).  Any other
+    shape → ``None``: no pruning, the full row remains scan's output
+    contract."""
+    if not next_stage:
+        return None
+    kw = next_stage.split(None, 1)
+    if not kw or kw[0].lower() != "project" or len(kw) < 2:
+        return None
+    cols: set[str] = set()
+    for item in _split_top(kw[1]):
+        m = re.match(r"^\s*(?:[A-Za-z_]\w*\s*=\s*)?([A-Za-z_]\w*)\s*$", item)
+        if not m:
+            return None
+        cols.add(m.group(1))
+    return cols
+
+
+def _prune_scan_source(
+    sub: str,
+    downstream_cols: set[str] | None,
+    match_id: str | None,
+    var_names: list[str],
+    keys: list[str],
+    last_order: str,
+    steps: list[tuple[str, str, dict[str, str], str]],
+) -> str:
+    """Narrow the scan machine's input to the columns it can prove are used:
+    the downstream project's refs (minus the scan-created match_id/declared
+    vars), the partition keys, the serialization sort keys, and every row
+    field a step predicate/assignment touches (their lowered forms carry the
+    exact ``__r.__row.<name>`` refs).  Everything else — payload columns the
+    final project drops — would otherwise ride the exchange, the per-key
+    sort, the collect_list arrays AND the fold.  Applies only when the sort
+    list is bare idents (else its column set is not enumerable textually);
+    otherwise returns ``sub`` unchanged."""
+    if downstream_cols is None or not _ORDER_BARE_RE.match(last_order):
+        return sub
+    order_idents = {
+        w
+        for w in re.findall(r"[A-Za-z_]\w*", last_order)
+        if w.lower() not in ("asc", "desc", "nulls", "first", "last")
+    }
+    lowered = [p for _n, p, a, _o in steps] + [
+        e for _n, _p, a, _o in steps for e in a.values()
+    ]
+    used = set(re.findall(r"__r\.__row\.(\w+)", " ".join(lowered)))
+    needed = (
+        (set(downstream_cols) - ({match_id} if match_id else set()) - set(var_names))
+        | set(keys)
+        | order_idents
+        | used
+    )
+    return f"(SELECT {', '.join(sorted(needed))} FROM {sub}) __scp"
+
 
 def _scan(
-    sub: str, rest: str, last_order: str | None, keys: list[str] | None = None
+    sub: str,
+    rest: str,
+    last_order: str | None,
+    keys: list[str] | None = None,
+    downstream_cols: set[str] | None = None,
 ) -> str:
     """Lower Kusto's ``scan`` operator — the stateful row machine — in its
     LINEAR-pattern subset: ``scan [with_match_id=m] [declare (v: type =
@@ -3417,6 +3491,9 @@ def _scan(
         raw_steps.append((ms.group(1), pred_txt, raw_assigns, out_mode))
     if not steps:
         raise KqlError("scan needs at least one step")
+    sub = _prune_scan_source(
+        sub, downstream_cols, match_id, var_names, keys, last_order, steps
+    )
     if concurrent:
         return _scan_concurrent(
             sub, last_order, keys, decls, raw_steps, match_id
@@ -4194,7 +4271,9 @@ FROM (
 GROUP BY __prev, __next"""
 
 
-def _partition(sub: str, rest: str) -> str:
+def _partition(
+    sub: str, rest: str, downstream_cols: set[str] | None = None
+) -> str:
     """Lower ``partition by Key ( <subpipeline> )`` — Kusto's groupwise
     apply.  The subquery runs logically per key value and results union;
     the subset lowers every stage to key-aware relational forms so the
@@ -4228,7 +4307,8 @@ def _partition(sub: str, rest: str) -> str:
     key, pipe = m.group(1), m.group(2).strip()
     rel = f"SELECT * FROM {sub}"
     sub_order: str | None = None
-    for i, st in enumerate(s.strip() for s in _split_top(pipe, "|")):
+    sub_stages = [s.strip() for s in _split_top(pipe, "|")]
+    for i, st in enumerate(sub_stages):
         if not st:
             raise KqlError("partition: empty subpipeline stage")
         wrap = f"({rel}) __p{i}"
@@ -4279,7 +4359,11 @@ def _partition(sub: str, rest: str) -> str:
             sel = ", ".join([key] + extra + agg_items)
             rel = f"SELECT {sel} FROM {wrap} GROUP BY {grp}"
         elif op == "scan":
-            rel = _scan(wrap, arg, sub_order, keys=[key])
+            # the downstream-project prune only holds when nothing else in
+            # the subpipeline runs after the scan (a later stage could read
+            # columns the project drops)
+            dcols = downstream_cols if i == len(sub_stages) - 1 else None
+            rel = _scan(wrap, arg, sub_order, keys=[key], downstream_cols=dcols)
         else:
             raise KqlError(
                 f"partition: unsupported subpipeline stage {op!r} (subset: "
@@ -5303,7 +5387,14 @@ def _transpile_pipeline(
             if last_order and base.endswith(f" ORDER BY {last_order}"):
                 base = base[: -len(f" ORDER BY {last_order}")]
             sub = f"({base}) __k{i}" if " " in base or base.startswith("(") else base
-            rel = _scan(sub, rest, last_order)
+            rel = _scan(
+                sub,
+                rest,
+                last_order,
+                downstream_cols=_scan_downstream_cols(
+                    stages[i + 2] if i + 2 < len(stages) else None
+                ),
+            )
         elif op == "invoke":
             mi = re.match(r"^([A-Za-z_]\w*)\s*\(\s*\)\s*$", rest.strip())
             if not mi or mi.group(1) not in funcs:
@@ -5315,7 +5406,13 @@ def _transpile_pipeline(
             sub_lets[param] = rel if " " in rel else f"SELECT * FROM {rel}"
             rel = _transpile_pipeline(fbody, sub_lets, funcs)
         elif op == "partition":
-            rel = _partition(sub, rest)
+            rel = _partition(
+                sub,
+                rest,
+                _scan_downstream_cols(
+                    stages[i + 2] if i + 2 < len(stages) else None
+                ),
+            )
         elif op == "facet":
             rel = _facet(sub, rest)
         elif op == "serialize":

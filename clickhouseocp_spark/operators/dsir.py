@@ -38,15 +38,20 @@ from pyspark.sql import DataFrame, functions as F
 N_BUCKETS = 1024
 
 
-def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(id, bucket) per token instance — lowercase alnum tokenization,
-    portable md5-prefix bucket hash."""
+def _tokens(df: DataFrame, text_col: str, id_col: str, flag=None) -> DataFrame:
+    """(id, bucket[, __t]) per token instance — lowercase alnum
+    tokenization, portable md5-prefix bucket hash.  ``flag`` (a boolean
+    Column over ``df``'s rows) rides along as ``__t`` so a target subset
+    can be tagged without a second tokenization pass."""
+    extra = [flag.alias("__t")] if flag is not None else []
     tok = df.select(
         F.col(id_col),
+        *extra,
         F.explode(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+")).alias("t"),
     ).filter(F.col("t") != "")
     return tok.select(
         id_col,
+        *(["__t"] if flag is not None else []),
         (F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
          % N_BUCKETS).alias("b"),
     )
@@ -54,24 +59,48 @@ def _tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def dsir_weights(
     raw: DataFrame, target: DataFrame, text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", target_flag=None,
 ) -> DataFrame:
     """(id_col, n_tokens, logw): per-document log importance weight of the
-    hashed-unigram target/raw model.  Docs with zero tokens drop out."""
+    hashed-unigram target/raw model.  Docs with zero tokens drop out.
+
+    ``target_flag``: when the target corpus is a filtered SUBSET of
+    ``raw`` (the common in-pipeline case), pass the membership predicate
+    as a Column over raw's rows instead of a second frame (``target`` is
+    then ignored) — the target bucket counts become a conditional sum
+    over the single tokenization's pre-agg, identical integers to
+    tokenizing the subset again, and the second corpus scan+split+explode
+    disappears."""
     # per-(doc,bucket) PRE-AGG feeds BOTH the model fit and the scoring
     # join (the bigram-LM shape, SCALE.md): the corpus tokenizes ONCE —
     # without it the explode branch re-executes for each consumer — and
     # the broadcast join ships (doc,bucket,count) rows, not token
     # instances (≥10× fewer for natural text)
-    db_r = (
-        _tokens(raw, text_col, id_col)
-        .groupBy(id_col, "b")
-        .agg(F.count("*").alias("c"))
-        .persist()
-    )
-    ct = _tokens(target, text_col, id_col).groupBy("b").agg(
-        F.count("*").alias("ct")
-    )
+    if target_flag is not None:
+        # __t is constant per doc, so (id, b, __t) has the cardinality of
+        # (id, b): the flag adds a column, not rows, to the persisted state
+        db_rt = (
+            _tokens(raw, text_col, id_col, flag=target_flag)
+            .groupBy(id_col, "b", "__t")
+            .agg(F.count("*").alias("c"))
+            .persist()
+        )
+        ct = (
+            db_rt.filter(F.col("__t"))
+            .groupBy("b")
+            .agg(F.sum("c").alias("ct"))
+        )
+        db_r = db_rt.drop("__t")
+    else:
+        db_r = (
+            _tokens(raw, text_col, id_col)
+            .groupBy(id_col, "b")
+            .agg(F.count("*").alias("c"))
+            .persist()
+        )
+        ct = _tokens(target, text_col, id_col).groupBy("b").agg(
+            F.count("*").alias("ct")
+        )
     cr = db_r.groupBy("b").agg(F.sum("c").alias("cr"))
     totals = cr.agg(F.sum("cr").alias("nr")).crossJoin(
         ct.agg(F.sum("ct").alias("nt"))
@@ -118,12 +147,14 @@ def dsir_weights(
 
 def dsir_select(
     raw: DataFrame, target: DataFrame, k: int, text_col: str = "text",
-    id_col: str = "doc_id",
+    id_col: str = "doc_id", target_flag=None,
 ) -> DataFrame:
     """Top-k Gumbel resampling: (id_col, n_tokens, logw, key), the k raw
     documents selected ∝ importance weight, deterministically (the Gumbel
-    noise derives from md5(id) — reproducible across engines and runs)."""
-    w = dsir_weights(raw, target, text_col, id_col)
+    noise derives from md5(id) — reproducible across engines and runs).
+    ``target_flag``: see dsir_weights — subset targets fit from the single
+    tokenization pass."""
+    w = dsir_weights(raw, target, text_col, id_col, target_flag=target_flag)
     u = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("double") + F.lit(0.5)

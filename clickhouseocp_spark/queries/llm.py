@@ -2359,12 +2359,19 @@ def dsir_select_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     every document, Gumbel-top-50 resample.  Every stage is portable-exact
     (md5-prefix feature hash, DECIMAL-summed rounded log terms,
     md5-seeded Gumbel noise), so the oracle replays fit + scoring +
-    selection bit-for-bit.  Plan: two token hash-aggs, one 1024-row
+    selection bit-for-bit.  Plan: ONE token hash-agg (the target is a
+    subset of raw, so its fit counts are a flag-conditional sum over the
+    shared (doc, bucket) pre-agg — no second tokenization), one 1024-row
     broadcast, one doc-keyed agg, distributed TakeOrdered."""
     from clickhouseocp_spark.operators.dsir import dsir_select
 
     docs = load_table(spark, sf_dir, "documents")
-    return dsir_select(docs, docs.filter(F.col("lang") == "en"), k=50)
+    # the target is a SUBSET of raw → fit rides the raw tokenization's
+    # (doc, bucket) pre-agg via a membership flag instead of tokenizing
+    # the 'en' slice a second time (identical integer counts)
+    return dsir_select(
+        docs, None, k=50, target_flag=F.col("lang") == "en"
+    )
 
 
 @register(

@@ -50,6 +50,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's coalescing floor (default 1MB) assumes a partition's work
+        # scales with its BYTES; post-shuffle stages here that run sorted-
+        # collect folds / higher-order aggregates are row-CPU-bound, and the
+        # 1MB floor serializes them onto 1-3 tasks at small-per-key data
+        # sizes (measured: the keyed scan machine ran 1-partition at sf0.1,
+        # 2x slower than at 64KB).  64KB only changes behavior when a
+        # shuffle's total bytes are below ~2MB/core — at cluster scale
+        # partitions are far above either floor, so this is inert there.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64KB"),
+        )
         # Arrow-vectorized JVM<->Python boundary for pandas_udf / applyInPandas.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))

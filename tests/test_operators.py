@@ -1423,6 +1423,31 @@ def test_dsir_prefers_target_like_docs(spark):
     assert picked == {r.doc_id for r in dsir_select(raw, target, k=30).collect()}
 
 
+def test_dsir_target_flag_equals_two_frame_fit(spark):
+    """r16: when the target is a filtered subset of raw, the target_flag
+    path (single tokenization, flag-conditional fit counts) must reproduce
+    the two-frame fit row-for-row — weights AND selection."""
+    from pyspark.sql import functions as F
+
+    from clickhouseocp_spark.operators.dsir import dsir_select, dsir_weights
+
+    rows = []
+    for i in range(60):
+        lang = "en" if i % 3 == 0 else "de"
+        text = ("alpha beta gamma " if i % 3 == 0 else "zork quux blarg ") * 4
+        rows.append((i, lang, text + f"tail{i}"))
+    rows.append((60, "en", ""))  # zero-token doc drops out either way
+    raw = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    flag = F.col("lang") == "en"
+    two = dsir_weights(raw, raw.filter(flag))
+    one = dsir_weights(raw, None, target_flag=flag)
+    assert two.exceptAll(one).count() == 0
+    assert one.exceptAll(two).count() == 0
+    sel_two = dsir_select(raw, raw.filter(flag), k=10).collect()
+    sel_one = dsir_select(raw, None, k=10, target_flag=flag).collect()
+    assert [tuple(r) for r in sel_two] == [tuple(r) for r in sel_one]
+
+
 def test_int8_quantize_roundtrip(spark, sf_dir):
     """Codes in [-127, 127], dequantization error <= scale/2, zero vector
     quantizes to NULL scale."""

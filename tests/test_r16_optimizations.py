@@ -185,3 +185,53 @@ def test_contamination_flags_planted_posttest(spark, sf_dir):
     assert planted, "fixture must contain planted bench copies"
     for r in planted:
         assert r.contamination == 1.0 and r.flagged
+
+
+# ---------------------------------------------------------------------------
+# kql scan: source columns pruned to what the machine + downstream use
+# ---------------------------------------------------------------------------
+
+
+def test_kql_scan_source_pruning_sql_shape():
+    """A bare-ident ``project`` after ``scan`` narrows the machine's input
+    to the referenced columns + keys + sort keys + step-touched fields; any
+    other downstream shape leaves the full row (no ``__scp`` wrapper)."""
+    import re
+
+    from clickhouseocp_spark.kql import transpile_kql
+
+    s = transpile_kql(
+        "t | sort by ts asc | scan with (step a: x == 1) | project ts, x"
+    )
+    m = re.search(r"\(SELECT ([\w, ]+) FROM .*?\) __scp", s, re.S)
+    assert m, s
+    assert m.group(1) == "ts, x", m.group(1)
+
+    # step-only column y survives pruning even though project drops it
+    s2 = transpile_kql(
+        "t | sort by ts asc | scan with (step a: y > 2) | project ts"
+    )
+    m2 = re.search(r"\(SELECT ([\w, ]+) FROM .*?\) __scp", s2, re.S)
+    assert m2 and m2.group(1) == "ts, y", s2
+
+    # expression project → column set not enumerable → no pruning
+    assert "__scp" not in transpile_kql(
+        "t | sort by ts asc | scan with (step a: x == 1) "
+        "| project z = strcat(tostring(ts), 'a')"
+    )
+    # no downstream stage → scan's full row is the output contract
+    assert "__scp" not in transpile_kql(
+        "t | sort by ts asc | scan with (step a: x == 1)"
+    )
+
+
+def test_kql_scan_registry_queries_prune_payload_columns(spark, sf_dir):
+    """The benched scan machines must not carry events.value/props through
+    the exchange, the per-key sort, the row arrays and the fold: the
+    parquet ReadSchema stops at the 4 referenced columns."""
+    for q in ("kql_scan_steps", "kql_scan_concurrent"):
+        plan = formatted_plan(QS[q].fn(spark, sf_dir))
+        assert "props" not in plan, (q, plan)
+        assert "value" not in plan, (q, plan)
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert rs and "event_type" in rs[0], (q, rs)
